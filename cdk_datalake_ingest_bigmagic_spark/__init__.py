@@ -1,0 +1,21 @@
+"""PySpark-native data-lake ingest + transform engine.
+
+A from-scratch, Spark-first re-expression of the capabilities of the
+reference pipeline ``MR34Z1r0/cdk-datalake-ingest-bigmagic`` (a CDK/Glue
+ELT stack): config-driven load strategies, an all-string raw layer, a
+per-column transformation DSL compiled to native ``pyspark.sql.Column``
+expressions, window-based latest-record dedup, merge/upsert stage tables,
+watermark bookkeeping — plus large-scale training-data operators
+(dedup, similarity search, text analysis, multimodal plumbing).
+
+Everything here is DataFrame/SQL-first so Catalyst + AQE own the
+physical plan; no RDDs, no row-at-a-time Python in hot paths.
+"""
+
+__version__ = "0.1.0"
+
+from cdk_datalake_ingest_bigmagic_spark.session import get_spark  # noqa: F401
+from cdk_datalake_ingest_bigmagic_spark.functions.compiler import (  # noqa: F401
+    DslCompiler,
+    spark_type_for,
+)

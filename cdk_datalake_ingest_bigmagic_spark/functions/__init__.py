@@ -1,0 +1,7 @@
+"""Scalar function library: the transform DSL compiler + text/vector helpers."""
+
+from cdk_datalake_ingest_bigmagic_spark.functions.dsl import parse_transformation  # noqa: F401
+from cdk_datalake_ingest_bigmagic_spark.functions.compiler import (  # noqa: F401
+    DslCompiler,
+    spark_type_for,
+)

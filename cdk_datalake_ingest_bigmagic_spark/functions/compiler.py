@@ -1,0 +1,450 @@
+"""Compile transformation-DSL ASTs into native Spark Column expressions.
+
+Every DSL function lowers to built-in ``pyspark.sql.functions`` — no
+Python UDFs — so the whole per-column transform of a table is a single
+``df.select(...)`` that stays inside WholeStageCodegen and scales to
+arbitrary data volume.
+
+Semantics replicate the reference's transform engine
+(``/root/reference/artifacts/aws-glue/code/stage/light_transform.py``):
+
+- magic dates: integer day ordinals with offset 693596 from 1900-01-01,
+  detected by ``cast(int) > 100000``   (light_transform.py:875-935)
+- magic times: ``HHMMSS`` ints/strings lpad'ed to 6  (:1040-1049)
+- byte booleans 'T'/'F'/0x54/0x46/84/70              (:1206-1213)
+- periods ``YYYYMM`` with '190001' null sentinel     (:1170-1178)
+- null-like string normalization ('', 'None', 'NULL', 'null')  (:864)
+- ``$``-prefixed args are literals, bare args are column refs  (:852-858)
+- ``numeric(p,s)`` declared types parse to DecimalType, default (18,2)
+  (:1346-1354)
+
+Permissive casts (invalid → NULL) are required: the session must run
+with ``spark.sql.ansi.enabled=false`` (see session.py).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cdk_datalake_ingest_bigmagic_spark.functions.dsl import (
+    Call,
+    Node,
+    Token,
+    parse_transformation,
+)
+
+MAGIC_OFFSET = 693596  # = date(1900,1,1).toordinal(); day-ordinal bias
+MAGIC_BASE_DATE = "1900-01-01"
+MAGIC_THRESHOLD = 100000  # int values above this are magic ordinals
+PERIOD_NULL_SENTINEL = "190001"
+NULLISH_STRINGS = ["None", "NULL", "null"]
+
+_DECIMAL_RE = re.compile(r"numeric\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", re.IGNORECASE)
+
+_SIMPLE_TYPES: dict[str, T.DataType] = {
+    "string": T.StringType(),
+    "int": T.IntegerType(),
+    "integer": T.IntegerType(),
+    "bigint": T.LongType(),
+    "long": T.LongType(),
+    "double": T.DoubleType(),
+    "float": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "timestamp": T.TimestampType(),
+    "date": T.DateType(),
+}
+
+
+def spark_type_for(declared: str | None) -> T.DataType:
+    """Map a declared config type (``NEW_DATA_TYPE``) to a Spark type."""
+    if not declared:
+        return T.StringType()
+    d = declared.strip().lower()
+    if d in _SIMPLE_TYPES:
+        return _SIMPLE_TYPES[d]
+    m = _DECIMAL_RE.match(d)
+    if m:
+        return T.DecimalType(int(m.group(1)), int(m.group(2)))
+    if d.startswith("numeric") or d.startswith("decimal"):
+        return T.DecimalType(18, 2)
+    return T.StringType()
+
+
+class DslCompileError(ValueError):
+    pass
+
+
+@dataclass
+class CompileContext:
+    """Schema-aware resolution context: which tokens are columns."""
+
+    columns: frozenset[str]
+    declared_type: str = "string"
+
+
+# A builder receives the context and the *resolved* args: Column for
+# column refs / nested calls, str for literal tokens.
+Builder = Callable[[CompileContext, Sequence["Column | str"]], Column]
+_REGISTRY: dict[str, Builder] = {}
+
+
+def _register(name: str) -> Callable[[Builder], Builder]:
+    def deco(fn: Builder) -> Builder:
+        _REGISTRY[f"fn_transform_{name}"] = fn
+        return fn
+
+    return deco
+
+
+def _is_col(arg: "Column | str") -> bool:
+    return isinstance(arg, Column)
+
+
+def _as_col(arg: "Column | str") -> Column:
+    return arg if isinstance(arg, Column) else F.col(arg)
+
+
+def _default_expr(arg: "Column | str | None", as_null: T.DataType) -> Column:
+    """Resolve a trailing default arg: ``$x`` → literal x, bare name →
+    column ref, Column → itself, None → typed NULL."""
+    if arg is None:
+        return F.lit(None).cast(as_null)
+    if isinstance(arg, Column):
+        return arg
+    if arg.startswith("$"):
+        return F.lit(arg[1:])
+    return F.col(arg)
+
+
+# --------------------------------------------------------------------------
+# string functions
+# --------------------------------------------------------------------------
+
+
+@_register("ClearString")
+def _clear_string(ctx: CompileContext, args: Sequence["Column | str"]) -> Column:
+    """trim; NULL / '' / 'None' / 'NULL' / 'null' → default (or NULL)."""
+    if not args:
+        raise DslCompileError("ClearString requires a column argument")
+    src = _as_col(args[0])
+    nullish = src.isNull() | (F.trim(src) == "") | F.trim(src).isin(NULLISH_STRINGS)
+    if len(args) > 1:
+        return F.when(nullish, _default_expr(args[1], T.StringType())).otherwise(F.trim(src))
+    return F.when(nullish, F.lit(None).cast(T.StringType())).otherwise(F.trim(src))
+
+
+@_register("Concatenate")
+def _concatenate(ctx: CompileContext, args: Sequence["Column | str"]) -> Column:
+    """Pipe-joined concat; each part trimmed, NULL → '' (separator kept)."""
+    parts = []
+    for a in args:
+        if _is_col(a):
+            parts.append(F.coalesce(F.trim(a.cast(T.StringType())), F.lit("")))
+        else:
+            parts.append(F.lit(str(a)))
+    return F.concat_ws("|", *parts)
+
+
+@_register("Concatenate_ws")
+def _concatenate_ws(ctx: CompileContext, args: Sequence["Column | str"]) -> Column:
+    """Like Concatenate but the last literal arg is the separator."""
+    if len(args) < 2:
+        raise DslCompileError("Concatenate_ws requires columns + separator")
+    sep = args[-1] if isinstance(args[-1], str) else "|"
+    parts = [
+        F.coalesce(F.trim(_as_col(a).cast(T.StringType())), F.lit("")) for a in args[:-1]
+    ]
+    return F.concat_ws(sep, *parts)
+
+
+# --------------------------------------------------------------------------
+# temporal functions (magic encodings)
+# --------------------------------------------------------------------------
+
+
+def magic_date(src: Column) -> Column:
+    """Decode a Visual-FoxPro day ordinal into a date.
+
+    ordinal = (date - 1900-01-01).days + 693596, so the inverse is
+    ``date_add('1900-01-01', ordinal - 693596)``.
+    """
+    return F.date_add(
+        F.to_date(F.lit(MAGIC_BASE_DATE)), src.cast(T.IntegerType()) - F.lit(MAGIC_OFFSET)
+    )
+
+
+def _is_magic(src: Column) -> Column:
+    i = src.cast(T.IntegerType())
+    return i.isNotNull() & (i > F.lit(MAGIC_THRESHOLD))
+
+
+def _date_default(default: "Column | str | None") -> Column:
+    """Default for date functions: 'to_null' → NULL date, else parse."""
+    if default is None or (isinstance(default, str) and default.lower() == "to_null"):
+        return F.lit(None).cast(T.DateType())
+    if isinstance(default, Column):
+        return default
+    return F.to_date(F.lit(default), "yyyy-MM-dd")
+
+
+@_register("DateMagic")
+def _date_magic(ctx: CompileContext, args: Sequence["Column | str"]) -> Column:
+    """Magic ordinal (>100000) → date; else parse string with fmt; else default."""
+    if len(args) < 2:
+        raise DslCompileError("DateMagic requires (col, format[, default])")
+    src = _as_col(args[0])
+    fmt = args[1] if isinstance(args[1], str) else "yyyy-MM-dd"
+    default = _date_default(args[2] if len(args) > 2 else None)
+    return (
+        F.when(src.isNull(), default)
+        .when(_is_magic(src), magic_date(src))
+        .otherwise(F.coalesce(F.to_date(src.cast(T.StringType()), fmt), default))
+    )
+
+
+@_register("Date")
+def _date(ctx: CompileContext, args: Sequence["Column | str"]) -> Column:
+    """Plain to_date with format + default (no magic branch)."""
+    if len(args) < 2:
+        raise DslCompileError("Date requires (col, format[, default])")
+    src = _as_col(args[0])
+    fmt = args[1] if isinstance(args[1], str) else "yyyy-MM-dd"
+    default = _date_default(args[2] if len(args) > 2 else None)
+    return F.when(src.isNull(), default).otherwise(
+        F.coalesce(F.to_date(src.cast(T.StringType()), fmt), default)
+    )
+
+
+@_register("Datetime")
+def _datetime(ctx: CompileContext, args: Sequence["Column | str"]) -> Column:
+    """to_timestamp(col); with no args, current processing timestamp."""
+    if not args:
+        return F.current_timestamp()
+    return F.to_timestamp(_as_col(args[0]))
+
+
+def magic_time_string(src: Column) -> Column:
+    """HHMMSS int/string → 'HH:mm:ss' (lpad to 6 first: 70000 → 07:00:00)."""
+    t = F.lpad(src.cast(T.StringType()), 6, "0")
+    return F.concat_ws(
+        ":", F.substring(t, 1, 2), F.substring(t, 3, 2), F.substring(t, 5, 2)
+    )
+
+
+@_register("DatetimeMagic")
+def _datetime_magic(ctx: CompileContext, args: Sequence["Column | str"]) -> Column:
+    """Magic date ordinal + HHMMSS time column → timestamp."""
+    if len(args) < 2:
+        raise DslCompileError("DatetimeMagic requires (date_col, time_col[, fmt[, default]])")
+    dsrc = _as_col(args[0])
+    tsrc = _as_col(args[1])
+    default = args[3] if len(args) > 3 else "to_null"
+
+    converted_date = (
+        F.when(dsrc.isNull(), F.lit(None).cast(T.DateType()))
+        .when(_is_magic(dsrc), magic_date(dsrc))
+        .otherwise(F.to_date(dsrc.cast(T.StringType()), "yyyy-MM-dd"))
+    )
+    ts = F.to_timestamp(
+        F.concat(converted_date.cast(T.StringType()), F.lit(" "), magic_time_string(tsrc)),
+        "yyyy-MM-dd HH:mm:ss",
+    )
+    if isinstance(default, str) and default.lower() == "to_null":
+        return ts
+    if isinstance(default, Column):
+        return F.coalesce(ts, default)
+    return F.coalesce(ts, F.to_timestamp(F.lit(default), "yyyy-MM-dd HH:mm:ss"))
+
+
+@_register("Date_to_String")
+def _date_to_string(ctx: CompileContext, args: Sequence["Column | str"]) -> Column:
+    """date_format(date_expr, fmt); accepts nested calls or column refs."""
+    if len(args) < 2:
+        raise DslCompileError("Date_to_String requires (date, format)")
+    src = args[0]
+    fmt = args[1] if isinstance(args[1], str) else "yyyyMM"
+    if isinstance(src, str):
+        expr = F.to_date(F.col(src)) if src in ctx.columns else F.to_date(F.lit(src))
+    else:
+        expr = src
+    return F.date_format(expr, fmt)
+
+
+@_register("PeriodMagic")
+def _period_magic(ctx: CompileContext, args: Sequence["Column | str"]) -> Column:
+    """month + year columns → 'YYYYMM'; any NULL → sentinel '190001'."""
+    if len(args) < 2:
+        raise DslCompileError("PeriodMagic requires (month_col, year_col)")
+    month = _as_col(args[0])
+    year = _as_col(args[1])
+    return F.when(month.isNull() | year.isNull(), F.lit(PERIOD_NULL_SENTINEL)).otherwise(
+        F.concat(year.cast(T.StringType()), F.lpad(month.cast(T.StringType()), 2, "0"))
+    )
+
+
+# --------------------------------------------------------------------------
+# casts
+# --------------------------------------------------------------------------
+
+
+def _cast_builder(dtype: T.DataType | None) -> Builder:
+    def build(ctx: CompileContext, args: Sequence["Column | str"]) -> Column:
+        if not args:
+            raise DslCompileError("cast function requires a column argument")
+        target = dtype if dtype is not None else spark_type_for(ctx.declared_type)
+        return _as_col(args[0]).cast(target)
+
+    return build
+
+
+_REGISTRY["fn_transform_Integer"] = _cast_builder(T.IntegerType())
+_REGISTRY["fn_transform_Double"] = _cast_builder(T.DoubleType())
+_REGISTRY["fn_transform_Boolean"] = _cast_builder(T.BooleanType())
+# Numeric takes precision/scale from the column's declared numeric(p,s)
+_REGISTRY["fn_transform_Numeric"] = _cast_builder(None)
+
+
+# --------------------------------------------------------------------------
+# categorical mappings
+# --------------------------------------------------------------------------
+
+
+@_register("ByteMagic")
+def _byte_magic(ctx: CompileContext, args: Sequence["Column | str"]) -> Column:
+    """'T'/'F' in any byte encoding ('T', 0x54, 84 / 'F', 0x46, 70) → 'T'/'F'."""
+    if not args:
+        raise DslCompileError("ByteMagic requires a column argument")
+    src = _as_col(args[0])
+    default = _default_expr(args[1] if len(args) > 1 else "$F", T.StringType())
+    s = src.cast(T.StringType())
+    return (
+        F.when(src.isNull(), default)
+        .when(s == "T", F.lit("T"))
+        .when(s == "F", F.lit("F"))
+        .when(s == "0x54", F.lit("T"))
+        .when(s == "0x46", F.lit("F"))
+        .when(s == "84", F.lit("T"))
+        .when(s == "70", F.lit("F"))
+        .otherwise(default)
+    )
+
+
+def _parse_rule(rule: str) -> tuple[list[str], str]:
+    value_part, label = rule.split("->", 1)
+    return [v.strip() for v in value_part.split("|")], label.strip()
+
+
+@_register("Case")
+def _case(ctx: CompileContext, args: Sequence["Column | str"]) -> Column:
+    """isin-mapping rules 'v1|v2->label'; unmatched keeps the original value."""
+    if len(args) < 2:
+        raise DslCompileError("Case requires (col, rule, ...)")
+    src = _as_col(args[0])
+    expr: Column = src
+    for rule in args[1:]:
+        if isinstance(rule, str) and "->" in rule:
+            values, label = _parse_rule(rule)
+            expr = F.when(src.isin(values), F.lit(label)).otherwise(expr)
+    return expr
+
+
+@_register("Case_with_default")
+def _case_with_default(ctx: CompileContext, args: Sequence["Column | str"]) -> Column:
+    """Rules with explicit default; 'a&b' selector matches multiple columns
+    conjunctively, '|' separates alternatives (OR)."""
+    if len(args) < 2:
+        raise DslCompileError("Case_with_default requires (col, [rules...,] default)")
+    selector = args[0]
+    default = _default_expr(args[-1], T.StringType())
+    rules = args[1:-1]
+    expr: Column = default
+
+    if isinstance(selector, str) and "&" in selector:
+        sel_cols = [c.strip() for c in selector.split("&")]
+        for rule in rules:
+            if not (isinstance(rule, str) and "->" in rule):
+                continue
+            values, label = _parse_rule(rule)
+            cond: Column | None = None
+            for value in values:
+                parts = value.split("&")
+                sub: Column | None = None
+                for i, cname in enumerate(sel_cols):
+                    if i < len(parts):
+                        c = F.col(cname) == F.lit(parts[i].strip())
+                        sub = c if sub is None else (sub & c)
+                if sub is not None:
+                    cond = sub if cond is None else (cond | sub)
+            if cond is not None:
+                expr = F.when(cond, F.lit(label)).otherwise(expr)
+        return expr
+
+    src = _as_col(selector)
+    for rule in rules:
+        if isinstance(rule, str) and "->" in rule:
+            values, label = _parse_rule(rule)
+            expr = F.when(src.isin(values), F.lit(label)).otherwise(expr)
+    return expr
+
+
+# --------------------------------------------------------------------------
+# compiler entry
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class DslCompiler:
+    """Compile TRANSFORMATION strings into Spark Columns.
+
+    ``columns`` is the input DataFrame's column set, used (like the
+    reference does) to decide whether a bare token is a column ref or a
+    literal.
+    """
+
+    columns: frozenset[str] = field(default_factory=frozenset)
+
+    @classmethod
+    def for_dataframe(cls, df) -> "DslCompiler":
+        return cls(columns=frozenset(df.columns))
+
+    def compile(self, transformation: str | None, declared_type: str = "string") -> Column:
+        """Compile one column spec. Empty → typed NULL (reference T16)."""
+        node = parse_transformation(transformation)
+        if node is None:
+            return F.lit(None).cast(spark_type_for(declared_type))
+        return self._compile_node(node, declared_type)
+
+    def _compile_node(self, node: Node, declared_type: str) -> Column:
+        if isinstance(node, Token):
+            # Bare column name (T15) or a raw SQL fragment like
+            # ltrim(rtrim(x)) coming from COLUMNS config.
+            if node.text in self.columns or node.text.isidentifier():
+                return F.col(node.text)
+            return F.expr(node.text)
+        builder = _REGISTRY.get(node.name)
+        if builder is None:
+            raise DslCompileError(f"unsupported DSL function: {node.name}")
+        ctx = CompileContext(columns=self.columns, declared_type=declared_type)
+        args = [self._resolve_arg(a) for a in node.args]
+        return builder(ctx, args)
+
+    def _resolve_arg(self, node: Node) -> "Column | str":
+        if isinstance(node, Call):
+            # Nested call: its own declared type is inferred stringly;
+            # only Numeric consults declared_type, and nested Numeric
+            # inherits the reference's 'double' inference.
+            builder = _REGISTRY.get(node.name)
+            if builder is None:
+                raise DslCompileError(f"unsupported nested DSL function: {node.name}")
+            ctx = CompileContext(columns=self.columns, declared_type="double")
+            args = [self._resolve_arg(a) for a in node.args]
+            return builder(ctx, args)
+        if node.text in self.columns:
+            return F.col(node.text)
+        return node.text

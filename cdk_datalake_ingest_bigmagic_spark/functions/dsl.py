@@ -1,0 +1,114 @@
+"""Parser for the per-column transformation DSL.
+
+The DSL is the reference pipeline's column-transform language (grammar
+observed in ``/root/reference/artifacts/aws-glue/code/stage/
+light_transform.py:619-692`` and the production specs in
+``artifacts/configuration/csv/columns.csv``):
+
+    TRANSFORMATION := '' | COLUMN_NAME | CALL
+    CALL           := 'fn_transform_' NAME '(' ARGS? ')'
+    ARGS           := ARG (',' ARG)*
+    ARG            := CALL | TOKEN          # TOKEN = column name or literal
+
+Commas inside parentheses or double quotes do not split arguments;
+nesting is arbitrary (e.g.
+``fn_transform_Date_to_String(fn_transform_DateMagic(fecha,yyyy-MM-dd,1900-01-01),yyyyMM)``).
+
+This module only builds an AST; resolution of a TOKEN into a column
+reference vs. a literal happens in the compiler (it needs the input
+DataFrame's schema, same late-binding the reference uses).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Union
+
+_CALL_RE = re.compile(r"^(\w+)\((.*)\)$", re.DOTALL)
+FN_PREFIX = "fn_transform_"
+
+
+@dataclass(frozen=True)
+class Token:
+    """An unresolved argument: a column name or a literal string."""
+
+    text: str
+
+
+@dataclass(frozen=True)
+class Call:
+    """A DSL function invocation."""
+
+    name: str
+    args: tuple["Node", ...]
+
+
+Node = Union[Token, Call]
+
+
+class DslSyntaxError(ValueError):
+    pass
+
+
+def split_args(args_str: str) -> list[str]:
+    """Split a comma-separated arg list, honoring parens and quotes."""
+    if not args_str.strip():
+        return []
+    out: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    in_quotes = False
+    prev = ""
+    for ch in args_str:
+        if ch == '"' and prev != "\\":
+            in_quotes = not in_quotes
+            buf.append(ch)
+        elif ch == "(" and not in_quotes:
+            depth += 1
+            buf.append(ch)
+        elif ch == ")" and not in_quotes:
+            depth -= 1
+            buf.append(ch)
+        elif ch == "," and depth == 0 and not in_quotes:
+            part = "".join(buf).strip()
+            if part:
+                out.append(part)
+            buf = []
+        else:
+            buf.append(ch)
+        prev = ch
+    part = "".join(buf).strip()
+    if part:
+        out.append(part)
+    if depth != 0 or in_quotes:
+        raise DslSyntaxError(f"unbalanced parens/quotes in args: {args_str!r}")
+    return out
+
+
+def parse_transformation(expression: str | None) -> Node | None:
+    """Parse a TRANSFORMATION cell.
+
+    Returns ``None`` for empty (→ NULL column of declared type),
+    a ``Token`` for a bare column name, or a ``Call`` tree.
+    """
+    if expression is None or not expression.strip():
+        return None
+    expression = expression.strip()
+    m = _CALL_RE.match(expression)
+    if not m:
+        return Token(expression)
+    name, args_str = m.group(1), m.group(2)
+    if not name.startswith(FN_PREFIX):
+        # Something like ltrim(rtrim(x)) — not a DSL call; treat as a
+        # raw SQL token the compiler hands to F.expr().
+        return Token(expression)
+    args: list[Node] = []
+    for raw in split_args(args_str):
+        if raw.startswith(FN_PREFIX) and _CALL_RE.match(raw):
+            nested = parse_transformation(raw)
+            assert nested is not None
+            args.append(nested)
+        else:
+            args.append(Token(raw))
+    return Call(name, tuple(args))

@@ -1,0 +1,66 @@
+"""SparkSession factory with scale-aware defaults.
+
+Mirrors the reference's Spark conf (AQE, skew join, legacy time parser,
+Kryo — cf. reference ``light_transform.py:2009-2020``) but tuned for a
+generic cluster rather than Glue. On a real cluster only
+``master``/memory change; the SQL conf below is what makes the engine's
+semantics and 100 TB-scale behavior correct:
+
+- AQE on (runtime coalesce, skew-join splitting, local shuffle reader)
+- ANSI off: the transform DSL relies on permissive casts
+  (``'abc'::int -> NULL``), the Spark-3-era behavior the reference's
+  Glue 4.0 jobs had.
+- LEGACY time parser: ``yyyyMMdd``-style patterns on arbitrary strings.
+- session timezone UTC so Parquet timestamps round-trip vs DuckDB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "bigmagic-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the configured SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` for local runs;
+    on a cluster pass ``None`` via spark-submit and leave master unset.
+    ``shuffle_partitions`` should be ~2-3x total executor cores in
+    production; locally it defaults to the core count.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.localShuffleReader.enabled", "true")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.legacy.timeParserPolicy", "LEGACY")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        # 128 MiB split targets keep partitions executor-memory-sized at scale
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,19 @@
+import os
+
+import pytest
+
+os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "4g")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from cdk_datalake_ingest_bigmagic_spark.session import get_spark
+
+    spark = get_spark(app_name="tests", shuffle_partitions=4)
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")

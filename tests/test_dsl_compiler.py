@@ -1,0 +1,302 @@
+"""Golden tests for the DSL → Column compiler.
+
+Each test feeds hand-built rows through one DSL function and asserts
+hand-computed outputs, including the magic-date edge ordinals
+(693596 ↔ 1900-01-01, the 100000 magic threshold, NULL handling).
+"""
+
+import datetime
+from decimal import Decimal
+
+import pytest
+
+from cdk_datalake_ingest_bigmagic_spark.functions.compiler import (
+    MAGIC_OFFSET,
+    DslCompiler,
+    spark_type_for,
+)
+
+
+def run_one(spark, rows, schema, transformation, declared_type="string"):
+    df = spark.createDataFrame(rows, schema=schema)
+    compiler = DslCompiler.for_dataframe(df)
+    out = df.select(compiler.compile(transformation, declared_type).alias("out"))
+    return [r["out"] for r in out.collect()]
+
+
+def ordinal(d: datetime.date) -> int:
+    return (d - datetime.date(1900, 1, 1)).days + MAGIC_OFFSET
+
+
+# -- ClearString (T1) -------------------------------------------------------
+
+
+def test_clear_string_null_normalization(spark):
+    vals = ["  hi  ", "", "   ", "None", "NULL", "null", None, " x"]
+    got = run_one(spark, [(v,) for v in vals], "c: string", "fn_transform_ClearString(c)")
+    assert got == ["hi", None, None, None, None, None, None, "x"]
+
+
+def test_clear_string_with_literal_default(spark):
+    vals = ["  hi  ", "", None, "None"]
+    got = run_one(
+        spark, [(v,) for v in vals], "c: string", "fn_transform_ClearString(c,$UNK)"
+    )
+    assert got == ["hi", "UNK", "UNK", "UNK"]
+
+
+def test_clear_string_with_column_default(spark):
+    rows = [("", "fallback"), ("v", "d2")]
+    got = run_one(
+        spark, rows, "c: string, d: string", "fn_transform_ClearString(c,d)"
+    )
+    assert got == ["fallback", "v"]
+
+
+# -- Concatenate (T2/T3) ----------------------------------------------------
+
+
+def test_concatenate_pipe_and_null_to_empty(spark):
+    rows = [(" a ", "b", None), ("x", None, " z")]
+    got = run_one(
+        spark,
+        rows,
+        "c1: string, c2: string, c3: string",
+        "fn_transform_Concatenate(c1,c2,c3)",
+    )
+    assert got == ["a|b|", "x||z"]
+
+
+def test_concatenate_ws_custom_sep(spark):
+    rows = [("a", "b")]
+    got = run_one(
+        spark, rows, "c1: string, c2: string", "fn_transform_Concatenate_ws(c1,c2,-)"
+    )
+    assert got == ["a-b"]
+
+
+# -- DateMagic (T5) ---------------------------------------------------------
+
+
+def test_date_magic_ordinals(spark):
+    d1 = datetime.date(2024, 6, 25)
+    d2 = datetime.date(1900, 1, 1)
+    vals = [str(ordinal(d1)), str(ordinal(d2))]
+    got = run_one(
+        spark, [(v,) for v in vals], "c: string", "fn_transform_DateMagic(c,yyyy-MM-dd)"
+    )
+    # 693596 itself is > 100000 → magic branch → 1900-01-01 exactly
+    assert got == [d1, d2]
+
+
+def test_date_magic_string_branch_and_default(spark):
+    vals = ["2023-05-17", "garbage", "0", None]
+    got = run_one(
+        spark,
+        [(v,) for v in vals],
+        "c: string",
+        "fn_transform_DateMagic(c,yyyy-MM-dd,1999-12-31)",
+    )
+    fallback = datetime.date(1999, 12, 31)
+    assert got == [datetime.date(2023, 5, 17), fallback, fallback, fallback]
+
+
+def test_date_magic_to_null_default(spark):
+    vals = ["garbage", None, "100000"]  # 100000 is NOT > threshold → string branch
+    got = run_one(
+        spark,
+        [(v,) for v in vals],
+        "c: string",
+        "fn_transform_DateMagic(c,yyyy-MM-dd,to_null)",
+    )
+    assert got == [None, None, None]
+
+
+def test_date_magic_threshold_boundary(spark):
+    # 100001 is magic; it decodes to 1900-01-01 + (100001-693596) days —
+    # a far-past date, but the branch decision is what matters here.
+    vals = ["100001"]
+    got = run_one(
+        spark, [(v,) for v in vals], "c: string", "fn_transform_DateMagic(c,yyyy-MM-dd)"
+    )
+    expected = datetime.date(1900, 1, 1) + datetime.timedelta(days=100001 - MAGIC_OFFSET)
+    assert got == [expected]
+
+
+# -- DatetimeMagic (T6) -----------------------------------------------------
+
+
+def test_datetime_magic(spark):
+    d = datetime.date(2024, 6, 25)
+    rows = [
+        (str(ordinal(d)), "070000"),
+        (str(ordinal(d)), "70000"),  # < 6 digits → lpad
+        (str(ordinal(d)), "235959"),
+        (None, "120000"),
+    ]
+    got = run_one(
+        spark,
+        rows,
+        "d: string, t: string",
+        "fn_transform_DatetimeMagic(d,t,yyyy-MM-dd HH:mm:ss)",
+    )
+    assert got == [
+        datetime.datetime(2024, 6, 25, 7, 0, 0),
+        datetime.datetime(2024, 6, 25, 7, 0, 0),
+        datetime.datetime(2024, 6, 25, 23, 59, 59),
+        None,
+    ]
+
+
+def test_datetime_magic_iso_date_branch(spark):
+    rows = [("2024-06-25", "010203")]
+    got = run_one(
+        spark,
+        rows,
+        "d: string, t: string",
+        "fn_transform_DatetimeMagic(d,t,yyyy-MM-dd HH:mm:ss)",
+    )
+    assert got == [datetime.datetime(2024, 6, 25, 1, 2, 3)]
+
+
+def test_datetime_magic_explicit_default(spark):
+    rows = [("garbage", "xx")]
+    got = run_one(
+        spark,
+        rows,
+        "d: string, t: string",
+        "fn_transform_DatetimeMagic(d,t,yyyy-MM-dd HH:mm:ss,1900-01-01 00:00:00)",
+    )
+    assert got == [datetime.datetime(1900, 1, 1, 0, 0, 0)]
+
+
+# -- Date / Datetime / Date_to_String --------------------------------------
+
+
+def test_date_formats(spark):
+    got = run_one(
+        spark, [("25/06/2024",)], "c: string", "fn_transform_Date(c,dd/MM/yyyy)"
+    )
+    assert got == [datetime.date(2024, 6, 25)]
+
+
+def test_datetime_parses(spark):
+    got = run_one(
+        spark, [("2024-06-25 07:08:09",)], "c: string", "fn_transform_Datetime(c)"
+    )
+    assert got == [datetime.datetime(2024, 6, 25, 7, 8, 9)]
+
+
+def test_date_to_string_nested_datemagic(spark):
+    d = datetime.date(2024, 6, 25)
+    got = run_one(
+        spark,
+        [(str(ordinal(d)),)],
+        "fecha: string",
+        "fn_transform_Date_to_String(fn_transform_DateMagic(fecha,yyyy-MM-dd,1900-01-01),yyyyMM)",
+    )
+    assert got == ["202406"]
+
+
+# -- casts (T9/T10) ---------------------------------------------------------
+
+
+def test_integer_double_boolean_casts(spark):
+    assert run_one(spark, [("42",), ("bad",)], "c: string", "fn_transform_Integer(c)") == [
+        42,
+        None,
+    ]
+    assert run_one(spark, [("1.5",)], "c: string", "fn_transform_Double(c)") == [1.5]
+    assert run_one(spark, [("true",)], "c: string", "fn_transform_Boolean(c)") == [True]
+
+
+def test_numeric_uses_declared_decimal(spark):
+    got = run_one(
+        spark,
+        [("123.456",)],
+        "c: string",
+        "fn_transform_Numeric(c)",
+        declared_type="numeric(13,2)",
+    )
+    assert got == [Decimal("123.46")]
+
+
+def test_spark_type_for_decimal_default():
+    t = spark_type_for("numeric")
+    assert (t.precision, t.scale) == (18, 2)
+
+
+# -- PeriodMagic / ByteMagic / Case ----------------------------------------
+
+
+def test_period_magic(spark):
+    rows = [("6", "2024"), ("11", "1999"), (None, "2024"), ("6", None)]
+    got = run_one(
+        spark, rows, "m: string, y: string", "fn_transform_PeriodMagic(m,y)"
+    )
+    assert got == ["202406", "199911", "190001", "190001"]
+
+
+def test_byte_magic(spark):
+    vals = ["T", "F", "0x54", "0x46", "84", "70", "junk", None]
+    got = run_one(spark, [(v,) for v in vals], "c: string", "fn_transform_ByteMagic(c)")
+    assert got == ["T", "F", "T", "F", "T", "F", "F", "F"]
+
+
+def test_byte_magic_custom_default(spark):
+    got = run_one(spark, [("junk",)], "c: string", "fn_transform_ByteMagic(c,$X)")
+    assert got == ["X"]
+
+
+def test_case_keeps_unmatched(spark):
+    vals = ["001", "002", "003", "099"]
+    got = run_one(
+        spark,
+        [(v,) for v in vals],
+        "c: string",
+        "fn_transform_Case(c,001|002->Activo,003->Inactivo)",
+    )
+    assert got == ["Activo", "Activo", "Inactivo", "099"]
+
+
+def test_case_with_default_single(spark):
+    vals = ["001", "003", "099", None]
+    got = run_one(
+        spark,
+        [(v,) for v in vals],
+        "c: string",
+        "fn_transform_Case_with_default(c,001|002->Activo,003->Inactivo,$Desconocido)",
+    )
+    assert got == ["Activo", "Inactivo", "Desconocido", "Desconocido"]
+
+
+def test_case_with_default_multicolumn(spark):
+    rows = [("03", "003"), ("03", "004"), ("04", "008"), (None, None)]
+    got = run_one(
+        spark,
+        rows,
+        "linea: string, familia: string",
+        "fn_transform_Case_with_default(linea&familia,03&003|04&008->T,$F)",
+    )
+    assert got == ["T", "F", "T", "F"]
+
+
+# -- simple column / NULL column (T15/T16) ----------------------------------
+
+
+def test_bare_column_rename(spark):
+    got = run_one(spark, [("v",)], "c: string", "c")
+    assert got == ["v"]
+
+
+def test_empty_transformation_null_of_type(spark):
+    df = spark.createDataFrame([("x",)], "c: string")
+    compiler = DslCompiler.for_dataframe(df)
+    out = df.select(compiler.compile("", "timestamp").alias("out"))
+    assert out.schema["out"].dataType.typeName() == "timestamp"
+    assert out.collect()[0]["out"] is None
+
+
+def test_raw_sql_fragment_token(spark):
+    got = run_one(spark, [("  pad  ",)], "c: string", "ltrim(rtrim(c))")
+    assert got == ["pad"]

@@ -1,0 +1,65 @@
+from cdk_datalake_ingest_bigmagic_spark.functions.dsl import (
+    Call,
+    Token,
+    parse_transformation,
+    split_args,
+)
+
+
+def test_empty_returns_none():
+    assert parse_transformation("") is None
+    assert parse_transformation(None) is None
+    assert parse_transformation("   ") is None
+
+
+def test_bare_column():
+    node = parse_transformation("compania")
+    assert node == Token("compania")
+
+
+def test_simple_call():
+    node = parse_transformation("fn_transform_ClearString(compania)")
+    assert node == Call("fn_transform_ClearString", (Token("compania"),))
+
+
+def test_call_with_default():
+    node = parse_transformation("fn_transform_ClearString(descrip,$UNK)")
+    assert node == Call("fn_transform_ClearString", (Token("descrip"), Token("$UNK")))
+
+
+def test_no_args_call():
+    node = parse_transformation("fn_transform_Datetime()")
+    assert node == Call("fn_transform_Datetime", ())
+
+
+def test_nested_call():
+    # production example: columns.csv:1046 of the reference config
+    node = parse_transformation(
+        "fn_transform_Date_to_String(fn_transform_DateMagic(fecha,yyyy-MM-dd,1900-01-01),yyyyMM)"
+    )
+    assert isinstance(node, Call)
+    assert node.name == "fn_transform_Date_to_String"
+    inner = node.args[0]
+    assert isinstance(inner, Call)
+    assert inner.name == "fn_transform_DateMagic"
+    assert inner.args == (Token("fecha"), Token("yyyy-MM-dd"), Token("1900-01-01"))
+    assert node.args[1] == Token("yyyyMM")
+
+
+def test_rules_with_arrows():
+    node = parse_transformation(
+        "fn_transform_Case_with_default(linea&familia,03&003->T,$F)"
+    )
+    assert node == Call(
+        "fn_transform_Case_with_default",
+        (Token("linea&familia"), Token("03&003->T"), Token("$F")),
+    )
+
+
+def test_split_args_quotes_and_parens():
+    assert split_args('a, "x, y", f(b, c)') == ["a", '"x, y"', "f(b, c)"]
+
+
+def test_non_dsl_function_is_raw_token():
+    node = parse_transformation("ltrim(rtrim(compania))")
+    assert node == Token("ltrim(rtrim(compania))")
