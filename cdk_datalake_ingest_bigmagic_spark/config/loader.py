@@ -1,0 +1,80 @@
+"""CSV config loader.
+
+The reference's catalog is `;`-delimited latin-1 CSV (its files commit
+Windows-1252-ish artifacts), with quote-sanitation quirks: triple quotes
+collapse to one, and fully-quoted cells are unwrapped
+(reference ``light_transform.py:585-617``, ``extract_data.py:99-207``).
+Quote characters inside COLUMNS/FILTER_EXP are stripped because they
+break generated SQL (``extract_data.py:817-892``) — we keep that in the
+loader so the engine itself never sees them.
+
+Config files are tiny (~10²-10³ rows): driver-side plain-Python parsing
+is correct here; no reason to involve Spark.
+"""
+
+from __future__ import annotations
+
+import csv
+from io import StringIO
+from pathlib import Path
+
+from cdk_datalake_ingest_bigmagic_spark.config.models import (
+    Catalog,
+    ColumnSpec,
+    EndpointConfig,
+    TableConfig,
+)
+
+
+def _sanitize_cell(value: str | None) -> str:
+    if value is None:
+        return ""
+    v = value.replace('"""', '"')
+    if v.startswith('"') and v.endswith('"') and len(v) >= 2:
+        v = v[1:-1]
+    return v
+
+
+def read_config_csv(path: str | Path, encoding: str = "latin-1") -> list[dict[str, str]]:
+    """Read a `;`-delimited config CSV into sanitized row dicts."""
+    content = Path(path).read_text(encoding=encoding)
+    reader = csv.DictReader(StringIO(content), delimiter=";")
+    return [{k: _sanitize_cell(v) for k, v in row.items() if k} for row in reader]
+
+
+def strip_quotes_for_sql(fragment: str) -> str:
+    """Remove double quotes from SQL fragments (COLUMNS / FILTER_EXP):
+    they break SQL Server identifier quoting in the reference and are
+    config noise for us."""
+    return fragment.replace('"', "")
+
+
+def load_catalog(
+    tables_csv: str | Path | None = None,
+    columns_csv: str | Path | None = None,
+    endpoints_csv: str | Path | None = None,
+) -> Catalog:
+    catalog = Catalog()
+    if tables_csv:
+        for row in read_config_csv(tables_csv):
+            cfg = TableConfig.from_row(
+                {
+                    **row,
+                    "COLUMNS": strip_quotes_for_sql(row.get("COLUMNS", "")),
+                    "FILTER_EXP": strip_quotes_for_sql(row.get("FILTER_EXP", "")),
+                }
+            )
+            if cfg.stage_table_name:
+                catalog.tables[cfg.stage_table_name] = cfg
+    if columns_csv:
+        for row in read_config_csv(columns_csv):
+            spec = ColumnSpec.from_row(row)
+            table = (row.get("TABLE_NAME") or "").upper()
+            if table:
+                catalog.columns.setdefault(table, []).append(spec)
+    if endpoints_csv:
+        for row in read_config_csv(endpoints_csv):
+            ep = EndpointConfig.from_row(row)
+            if ep.endpoint_name:
+                catalog.endpoints[ep.endpoint_name] = ep
+    return catalog

@@ -1,0 +1,187 @@
+"""Config data model: tables / columns / endpoints.
+
+Mirrors the reference's external catalog (CSV config) so its production
+configs replay unchanged:
+
+- ``tables.csv`` header (reference ``artifacts/configuration/csv/
+  tables.csv:1``): COLUMNS;LOAD_TYPE;PARTITION_MODE;PARTITION_COLUMN;
+  DELAY_INCREMENTAL_INI;DELAY_INCREMENTAL_END;FILTER_COLUMN;
+  FILTER_DATA_TYPE;FILTER_EXP;ID_COLUMN;JOIN_EXPR;PROCESS_ID;
+  SOURCE_SCHEMA;SOURCE_TABLE;SOURCE_TABLE_TYPE;STAGE_TABLE_NAME;STATUS;
+  JOB_EXTRACT_MAX_CAPACITY
+- ``columns.csv`` header (``columns.csv:1``): COLUMN_NAME;COLUMN_ID;
+  IS_FILTER_DATE;IS_ID;IS_ORDER_BY;IS_PARTITION;NEW_DATA_TYPE;
+  TABLE_NAME;TRANSFORMATION
+
+Defaulting rules replicated:
+- LOAD_TYPE default: 't'-type sources → incremental, else full
+  (reference ``extract_data.py:176-193``)
+- flag parsing: IS_ID/IS_ORDER_BY/IS_FILTER_DATE are 'T'-flags,
+  IS_PARTITION accepts true/1/yes/y/t (``light_transform.py:1613-1631``)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+def _truthy(value: str | None) -> bool:
+    return (value or "").strip().lower() in {"true", "1", "yes", "y", "t"}
+
+
+def _t_flag(value: str | None) -> bool:
+    return (value or "").strip().upper() == "T"
+
+
+@dataclass(frozen=True)
+class ColumnSpec:
+    """One target column of a stage table (reference ColumnMetadata,
+    ``light_transform.py:524-534``)."""
+
+    name: str
+    column_id: int
+    data_type: str = "string"
+    transformation: str = ""
+    is_partition: bool = False
+    is_id: bool = False
+    is_order_by: bool = False
+    is_filter_date: bool = False
+
+    @classmethod
+    def from_row(cls, row: dict[str, str]) -> "ColumnSpec":
+        return cls(
+            name=row.get("COLUMN_NAME", ""),
+            column_id=int(row.get("COLUMN_ID") or "0"),
+            data_type=row.get("NEW_DATA_TYPE") or "string",
+            transformation=row.get("TRANSFORMATION", "") or "",
+            is_partition=_truthy(row.get("IS_PARTITION")) or _t_flag(row.get("IS_PARTITION")),
+            is_id=_t_flag(row.get("IS_ID")),
+            is_order_by=_t_flag(row.get("IS_ORDER_BY")),
+            is_filter_date=_t_flag(row.get("IS_FILTER_DATE")),
+        )
+
+
+@dataclass(frozen=True)
+class TableConfig:
+    """One source table's extraction + staging config (tables.csv row)."""
+
+    source_table: str
+    stage_table_name: str
+    columns: str = "*"  # SQL select-list (P1), may contain expressions
+    load_type: str = ""  # full | incremental | time_range ('' → default)
+    partition_mode: str = ""  # AUTO | MIN_MAX | NONE
+    partition_column: str = ""
+    delay_incremental_ini: str = "-2"
+    delay_incremental_end: str = "0"
+    filter_column: str = ""  # e.g. "fecha between {0} and {1}" or "colA,colB"
+    filter_data_type: str = ""  # aje_period | aje_date | aje_processperiod | ...
+    filter_exp: str = ""  # arbitrary predicate incl. IN-subquery
+    id_column: str = ""  # synthetic id expression (P2)
+    join_expr: str = ""  # free-form join clause (J1)
+    process_id: str = ""
+    source_schema: str = ""
+    source_table_type: str = ""  # 't' = transactional
+    status: str = "a"
+    num_days: str = ""
+
+    @classmethod
+    def from_row(cls, row: dict[str, str]) -> "TableConfig":
+        return cls(
+            source_table=row.get("SOURCE_TABLE", ""),
+            stage_table_name=row.get("STAGE_TABLE_NAME", ""),
+            columns=row.get("COLUMNS", "") or "*",
+            load_type=(row.get("LOAD_TYPE") or "").strip().lower(),
+            partition_mode=(row.get("PARTITION_MODE") or "").strip().upper(),
+            partition_column=row.get("PARTITION_COLUMN", "") or "",
+            delay_incremental_ini=row.get("DELAY_INCREMENTAL_INI") or "-2",
+            delay_incremental_end=row.get("DELAY_INCREMENTAL_END") or "0",
+            filter_column=row.get("FILTER_COLUMN", "") or "",
+            filter_data_type=(row.get("FILTER_DATA_TYPE") or "").strip().lower(),
+            filter_exp=row.get("FILTER_EXP", "") or "",
+            id_column=row.get("ID_COLUMN", "") or "",
+            join_expr=row.get("JOIN_EXPR", "") or "",
+            process_id=row.get("PROCESS_ID", "") or "",
+            source_schema=row.get("SOURCE_SCHEMA", "") or "",
+            source_table_type=(row.get("SOURCE_TABLE_TYPE") or "").strip().lower(),
+            status=(row.get("STATUS") or "a").strip().lower(),
+            num_days=row.get("NUM_DAYS", "") or "",
+        )
+
+    @property
+    def effective_load_type(self) -> str:
+        """LOAD_TYPE with the reference's defaulting (extract_data.py:176-193):
+        transactional ('t') sources default to incremental, else full.
+        Aliases between-date / date_range normalize to time_range."""
+        lt = self.load_type
+        if not lt:
+            return "incremental" if self.source_table_type == "t" else "full"
+        if lt in {"between-date", "between_date", "date_range"}:
+            return "time_range"
+        return lt
+
+    @property
+    def is_active(self) -> bool:
+        return self.status == "a"
+
+    def id_columns_of(self, columns: list[ColumnSpec]) -> list[str]:
+        return [c.name for c in columns if c.is_id]
+
+
+@dataclass(frozen=True)
+class EndpointConfig:
+    """Source endpoint (database) connection config."""
+
+    endpoint_name: str = ""
+    environment: str = ""
+    db_type: str = "sqlserver"  # sqlserver | oracle | mysql
+    server: str = ""
+    db_name: str = ""
+    username: str = ""
+    password: str = ""
+    port: str = ""
+
+    @classmethod
+    def from_row(cls, row: dict[str, str]) -> "EndpointConfig":
+        return cls(
+            endpoint_name=row.get("ENDPOINT_NAME", ""),
+            environment=row.get("ENVIRONMENT", ""),
+            db_type=(row.get("BD_TYPE") or row.get("DB_TYPE") or "sqlserver").lower(),
+            server=row.get("SRC_SERVER_NAME", ""),
+            db_name=row.get("SRC_DB_NAME", ""),
+            username=row.get("SRC_DB_USERNAME", ""),
+            password=row.get("SRC_DB_PASSWORD", ""),
+            port=row.get("DB_PORT_NUMBER", "") or "",
+        )
+
+    @property
+    def jdbc_url(self) -> str:
+        if self.db_type == "sqlserver":
+            port = self.port or "1433"
+            return f"jdbc:sqlserver://{self.server}:{port};databaseName={self.db_name}"
+        if self.db_type == "mysql":
+            port = self.port or "3306"
+            return f"jdbc:mysql://{self.server}:{port}/{self.db_name}"
+        if self.db_type == "oracle":
+            port = self.port or "1521"
+            return f"jdbc:oracle:thin:@{self.server}:{port}/{self.db_name}"
+        raise ValueError(f"unsupported db_type: {self.db_type}")
+
+
+@dataclass
+class Catalog:
+    """In-memory catalog of all configured tables/columns/endpoints."""
+
+    tables: dict[str, TableConfig] = field(default_factory=dict)
+    columns: dict[str, list[ColumnSpec]] = field(default_factory=dict)
+    endpoints: dict[str, EndpointConfig] = field(default_factory=dict)
+
+    def columns_for(self, stage_table_name: str) -> list[ColumnSpec]:
+        specs = self.columns.get(stage_table_name.upper(), [])
+        return sorted(specs, key=lambda c: c.column_id)
+
+    def tables_for_process(self, process_id: str) -> list[TableConfig]:
+        return [
+            t
+            for t in self.tables.values()
+            if t.is_active and (not process_id or t.process_id == process_id)
+        ]

@@ -1,0 +1,154 @@
+"""Raw → stage transform pipeline.
+
+Re-expresses the reference's Glue light-transform job
+(``light_transform.py:1423-1564``) as one declarative Spark plan:
+
+    raw parquet (all-string) ── DSL select ── latest-record dedup (W1)
+        ── order by (O1) ── stage write (overwrite | merge by id)
+
+The whole per-table transform is a single ``select`` of compiled Column
+expressions → one narrow stage inside WholeStageCodegen; the only
+shuffle is the dedup/sort, which shares the id-key partitioning the
+merge needs anyway.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.config.models import ColumnSpec, TableConfig
+from cdk_datalake_ingest_bigmagic_spark.functions.compiler import (
+    DslCompiler,
+    spark_type_for,
+)
+from cdk_datalake_ingest_bigmagic_spark.storage.stage import (
+    latest_record_dedup,
+    stage_table,
+)
+
+# Reference error-tolerance policy (light_transform.py:1487-1509)
+FAIL_THRESHOLD = 0.50  # >50% of columns failing → hard failure
+WARN_THRESHOLD = 0.10  # >10% → warning
+
+
+class TransformFailure(RuntimeError):
+    def __init__(self, errors: list[str]):
+        self.errors = errors
+        super().__init__(f"{len(errors)} column transformations failed: {errors[:5]}")
+
+
+@dataclass
+class TransformResult:
+    df: DataFrame
+    errors: list[str] = field(default_factory=list)
+    warnings: list[str] = field(default_factory=list)
+
+
+def compile_columns(
+    df: DataFrame, specs: list[ColumnSpec]
+) -> tuple[list[Column], list[str]]:
+    """Compile every ColumnSpec into an aliased Column; failed columns
+    become typed NULLs and are reported (T17 error quarantine).
+
+    Failures can surface at build time (bad DSL) or at analysis time
+    (unknown source column), so each expression is validated against the
+    input schema with a zero-row ``select`` probe — pure plan analysis,
+    no job is launched.
+    """
+    compiler = DslCompiler.for_dataframe(df)
+    exprs: list[Column] = []
+    errors: list[str] = []
+    for spec in sorted(specs, key=lambda s: s.column_id):
+        try:
+            expr = compiler.compile(spec.transformation, spec.data_type)
+            df.limit(0).select(expr)  # analysis probe: resolves or raises
+        except Exception as e:  # quarantine: NULL of declared type
+            errors.append(f"{spec.name}: {e}")
+            expr = F.lit(None).cast(spark_type_for(spec.data_type))
+        exprs.append(expr.alias(spec.name))
+    return exprs, errors
+
+
+def apply_transformations(df: DataFrame, specs: list[ColumnSpec]) -> TransformResult:
+    """DSL-select with the reference's error thresholds."""
+    exprs, errors = compile_columns(df, specs)
+    if specs and len(errors) / len(specs) > FAIL_THRESHOLD:
+        raise TransformFailure(errors)
+    warnings = errors if specs and len(errors) / len(specs) > WARN_THRESHOLD else []
+    return TransformResult(df=df.select(*exprs), errors=errors, warnings=warnings)
+
+
+def transform_raw_to_stage(
+    raw_df: DataFrame,
+    specs: list[ColumnSpec],
+    dedup: bool = True,
+    sort: bool = True,
+) -> TransformResult:
+    """Typed select + W1 dedup + O1 order-by (no write)."""
+    result = apply_transformations(raw_df, specs)
+    df = result.df
+    id_cols = [s.name for s in specs if s.is_id]
+    date_cols = [s.name for s in specs if s.is_filter_date]
+    order_cols = [s.name for s in specs if s.is_order_by]
+    if dedup:
+        df = latest_record_dedup(df, id_cols, date_cols) if id_cols else df.dropDuplicates()
+    if sort and order_cols:
+        # Reference sorts globally before write (light_transform.py:1799).
+        # A global sort is a range-partitioning exchange; keep it optional
+        # because at 100 TB it only pays off for downstream zone-map skips.
+        df = df.orderBy(*order_cols)
+    result.df = df
+    return result
+
+
+def write_stage(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    specs: list[ColumnSpec],
+    load_type: str = "full",
+) -> None:
+    """Stage write policy (light_transform.py:1534-1564): merge when the
+    table exists and the load is incremental-like, else partitioned
+    overwrite. Dedup-by-key MUST have run first (MERGE multi-match)."""
+    table = stage_table(spark, path)
+    id_cols = [s.name for s in specs if s.is_id]
+    partition_cols = [s.name for s in specs if s.is_partition]
+    incremental = load_type in {"incremental", "time_range"}
+    if incremental and id_cols and table.exists():
+        table.merge(df.dropDuplicates(), id_cols, partition_cols)
+    else:
+        table.overwrite(df, partition_cols)
+
+
+def empty_stage_frame(spark: SparkSession, specs: list[ColumnSpec]) -> DataFrame:
+    """S13: materialize the declared schema for an empty extraction."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(s.name, spark_type_for(s.data_type), True)
+            for s in sorted(specs, key=lambda c: c.column_id)
+        ]
+    )
+    return spark.createDataFrame([], schema)
+
+
+def run_table_pipeline(
+    spark: SparkSession,
+    raw_path: str,
+    stage_path: str,
+    table: TableConfig,
+    specs: list[ColumnSpec],
+) -> TransformResult:
+    """Full raw→stage for one table: read, transform, dedup, write."""
+    raw_df = spark.read.parquet(raw_path)
+    if raw_df.isEmpty():
+        result = TransformResult(df=empty_stage_frame(spark, specs))
+    else:
+        result = transform_raw_to_stage(raw_df, specs)
+    write_stage(spark, result.df, stage_path, specs, table.effective_load_type)
+    return result

@@ -1,0 +1,214 @@
+"""Load-strategy planner (X5) + filter builders (P3–P7).
+
+The reference turns (LOAD_TYPE, PARTITION_MODE, LoadMode, config filters)
+into generated SQL strings executed on the source DB
+(``extract_data.py:1117-1204``, ``utils/extract_data_v2/strategies/``).
+Here the same planning produces a *DataFrame transformation*: the
+planner returns a filter Column (plus metadata) to apply to the source
+scan — Catalyst pushes those predicates down to JDBC/Parquet, restoring
+the reference's pushdown behavior for free.
+
+Date-window math replicates ``date_utils.get_date_limits_with_range``
+(``utils/extract_data_v2/utils/date_utils.py:48-94``): delays are months
+back from "now" in America/Lima; ``aje_period`` windows format as
+YYYYMM, ``aje_date``/``aje_processperiod`` as magic day ordinals over
+full-month boundaries. The clock is injectable (SURVEY §7.3.2).
+"""
+
+from __future__ import annotations
+
+import calendar
+import datetime as dt
+import enum
+from dataclasses import dataclass, field
+from typing import Callable
+from zoneinfo import ZoneInfo
+
+from dateutil.relativedelta import relativedelta
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.config.models import TableConfig
+from cdk_datalake_ingest_bigmagic_spark.functions.compiler import MAGIC_OFFSET
+
+TZ_LIMA = ZoneInfo("America/Lima")
+
+Clock = Callable[[], dt.datetime]
+
+
+def lima_now() -> dt.datetime:
+    return dt.datetime.now(TZ_LIMA)
+
+
+class LoadStrategy(str, enum.Enum):
+    FULL = "full"
+    INCREMENTAL = "incremental"
+    TIME_RANGE = "time_range"
+
+
+class LoadMode(str, enum.Enum):
+    """Run mode (reference strategies/base/load_mode.py:4-26)."""
+
+    INITIAL = "initial"  # first load: ignore watermarks, re-land
+    NORMAL = "normal"  # incremental from watermark / window
+    RESET = "reset"  # like initial but destructive re-land
+    REPROCESS = "reprocess"  # re-run a specific window
+
+
+def month_window_limits(
+    delay_ini: str,
+    delay_end: str,
+    data_type: str,
+    clock: Clock = lima_now,
+) -> tuple[str, str]:
+    """(lower, upper) literals for the incremental month window (P4)."""
+    ini = int((delay_ini or "-2").strip().replace("'", "") or "-2")
+    end = int((delay_end or "0").strip().replace("'", "") or "0")
+    now = clock()
+    start = now - relativedelta(months=-ini)
+    finish = now - relativedelta(months=-end)
+
+    if data_type == "aje_period":
+        return start.strftime("%Y%m"), finish.strftime("%Y%m")
+
+    if data_type in ("aje_date", "aje_processperiod"):
+        start = start.replace(day=1)
+        _, last = calendar.monthrange(finish.year, finish.month)
+        finish = finish.replace(day=last)
+        to_ordinal = lambda d: (d.date() - dt.date(1900, 1, 1)).days + MAGIC_OFFSET
+        return str(to_ordinal(start)), str(to_ordinal(finish))
+
+    return start.strftime("%Y-%m-%d"), finish.strftime("%Y-%m-%d")
+
+
+def window_filter(
+    filter_column: str,
+    lower: str,
+    upper: str,
+) -> Column:
+    """Instantiate the FILTER_COLUMN template (P4/P5).
+
+    Two shapes exist in production config:
+    - a template: ``"fecha between {0} and {1}"`` → rendered and parsed
+      as a SQL expression;
+    - a column list: ``"colA,colB"`` → dual-column OR-window (P5,
+      extract_data.py:1035-1043).
+    """
+    fc = filter_column.strip()
+    if "{0}" in fc or "{1}" in fc:
+        return F.expr(fc.format(lower, upper))
+    cols = [c.strip() for c in fc.split(",") if c.strip()]
+    if len(cols) == 1:
+        return F.col(cols[0]).between(F.lit(lower), F.lit(upper))
+    cond: Column | None = None
+    for c in cols:
+        sub = F.col(c).isNotNull() & F.col(c).between(F.lit(lower), F.lit(upper))
+        cond = sub if cond is None else (cond | sub)
+    assert cond is not None, "empty FILTER_COLUMN"
+    return cond
+
+
+def watermark_filter(column: str, last_value) -> Column:
+    """P6: strictly-greater-than bookmark filter."""
+    return F.col(column) > F.lit(last_value)
+
+
+def range_filter(column: str, start, end) -> Column:
+    """P7: explicit BETWEEN."""
+    return F.col(column).between(F.lit(start), F.lit(end))
+
+
+@dataclass
+class ExtractionPlan:
+    """Declarative result of planning: what to scan and how to filter.
+
+    The reference's equivalent IR is ``ExtractionParams``
+    (``strategies/base/extraction_params.py:6-60``) rendered to SQL; ours
+    stays declarative so Catalyst owns pushdown and parallelism.
+    """
+
+    table: TableConfig
+    strategy: LoadStrategy
+    mode: LoadMode = LoadMode.NORMAL
+    filters: list[Column] = field(default_factory=list)
+    # filled for range-partitionable scans (X1): partition column bounds
+    partition_column: str | None = None
+    num_partitions: int | None = None
+    window: tuple[str, str] | None = None
+    destructive: bool = False  # S12: re-land target before write
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        for flt in self.filters:
+            df = df.filter(flt)
+        return df
+
+
+MAX_SCAN_PARTITIONS = 30  # reference extract_data.py:1138
+
+
+def plan_extraction(
+    table: TableConfig,
+    mode: LoadMode = LoadMode.NORMAL,
+    clock: Clock = lima_now,
+    watermark_value=None,
+    start_value: str | None = None,
+    end_value: str | None = None,
+) -> ExtractionPlan:
+    """X5 strategy selection → ExtractionPlan.
+
+    full        → optional FILTER_EXP only
+    incremental → month window from delays (P4/P5) or watermark (P6)
+    time_range  → explicit range (P7) or min/max window
+    INITIAL/RESET ignore incremental filters and re-land everything.
+    """
+    strategy = LoadStrategy(table.effective_load_type)
+    filters: list[Column] = []
+    window: tuple[str, str] | None = None
+
+    if table.filter_exp.strip():
+        filters.append(F.expr(table.filter_exp))
+
+    full_reland = mode in (LoadMode.INITIAL, LoadMode.RESET)
+
+    if strategy is LoadStrategy.INCREMENTAL and not full_reland:
+        if watermark_value is not None and table.partition_column:
+            filters.append(watermark_filter(table.partition_column, watermark_value))
+        elif table.filter_column.strip():
+            lo, hi = month_window_limits(
+                table.delay_incremental_ini,
+                table.delay_incremental_end,
+                table.filter_data_type,
+                clock,
+            )
+            window = (lo, hi)
+            filters.append(window_filter(table.filter_column, lo, hi))
+    elif strategy is LoadStrategy.TIME_RANGE and not full_reland:
+        if start_value is not None and end_value is not None and table.partition_column:
+            window = (start_value, end_value)
+            filters.append(range_filter(table.partition_column, start_value, end_value))
+        elif table.filter_column.strip():
+            lo, hi = month_window_limits(
+                table.delay_incremental_ini,
+                table.delay_incremental_end,
+                table.filter_data_type,
+                clock,
+            )
+            window = (lo, hi)
+            filters.append(window_filter(table.filter_column, lo, hi))
+
+    partition_column = table.partition_column or None
+    num_partitions = (
+        MAX_SCAN_PARTITIONS
+        if partition_column and table.partition_mode in ("AUTO", "MIN_MAX")
+        else None
+    )
+    return ExtractionPlan(
+        table=table,
+        strategy=strategy,
+        mode=mode,
+        filters=filters,
+        partition_column=partition_column,
+        num_partitions=num_partitions,
+        window=window,
+        destructive=full_reland,
+    )

@@ -1,0 +1,162 @@
+"""Watermark store: (project, table, column) → last extracted value.
+
+Replaces the reference's DynamoDB storage
+(``load/watermark_storage/dynamodb_watermark_storage.py:75-101``) and its
+transactional provisional→confirm→rollback protocol
+(``transactional_watermark_storage.py:47-134``) with a tiny versioned
+Parquet/Delta table: every state change appends a row, the current state
+is the max-version row per key. Append-only means no read-modify-write
+races between concurrently-running table loads, and the history doubles
+as an audit log (the reference versions by timestamp too).
+
+This table is bookkeeping-sized (rows = tables × runs); driver-side
+reads of it are O(KB) — scale is irrelevant here, correctness of the
+protocol is what matters.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import enum
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import Row, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class WatermarkState(str, enum.Enum):
+    PROVISIONAL = "provisional"
+    CONFIRMED = "confirmed"
+    ROLLED_BACK = "rolled_back"
+
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("project", T.StringType(), False),
+        T.StructField("table_name", T.StringType(), False),
+        T.StructField("column_name", T.StringType(), False),
+        T.StructField("value", T.StringType(), True),
+        T.StructField("state", T.StringType(), False),
+        T.StructField("txn_id", T.StringType(), False),
+        T.StructField("updated_at", T.TimestampType(), False),
+        T.StructField("version", T.LongType(), False),
+    ]
+)
+
+
+@dataclass(frozen=True)
+class Watermark:
+    project: str
+    table_name: str
+    column_name: str
+    value: str | None
+    state: str
+    txn_id: str
+
+
+class WatermarkStore:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # -- internals ---------------------------------------------------------
+
+    def _read(self):
+        # existence check first: letting spark.read throw leaves a noisy
+        # JVM stack trace in the logs even when caught
+        if "://" not in self.path or self.path.startswith("file://"):
+            from pathlib import Path
+
+            p = Path(self.path.removeprefix("file://"))
+            if not (p.exists() and any(p.rglob("*.parquet"))):
+                return self.spark.createDataFrame([], _SCHEMA)
+        try:
+            return self.spark.read.schema(_SCHEMA).parquet(self.path)
+        except Exception:
+            return self.spark.createDataFrame([], _SCHEMA)
+
+    def _append(self, row: dict) -> None:
+        df = self.spark.createDataFrame([Row(**row)], _SCHEMA)
+        df.write.mode("append").parquet(self.path)
+
+    def _next_version(self) -> int:
+        cur = self._read().agg(F.max("version").alias("v")).first()["v"]
+        return (cur or 0) + 1
+
+    def _current(self, project: str, table: str, column: str) -> Row | None:
+        df = (
+            self._read()
+            .filter(
+                (F.col("project") == project)
+                & (F.col("table_name") == table)
+                & (F.col("column_name") == column)
+            )
+            .orderBy(F.col("version").desc())
+        )
+        head = df.take(1)
+        return head[0] if head else None
+
+    # -- protocol ----------------------------------------------------------
+
+    def get(self, project: str, table: str, column: str) -> str | None:
+        """Latest CONFIRMED value (provisional values are not visible to
+        readers, mirroring the transactional storage's contract)."""
+        df = (
+            self._read()
+            .filter(
+                (F.col("project") == project)
+                & (F.col("table_name") == table)
+                & (F.col("column_name") == column)
+                & (F.col("state") == WatermarkState.CONFIRMED.value)
+            )
+            .orderBy(F.col("version").desc())
+        )
+        head = df.take(1)
+        return head[0]["value"] if head else None
+
+    def save_provisional(
+        self, project: str, table: str, column: str, value: str
+    ) -> str:
+        """Stage a new watermark before the load lands; returns txn id."""
+        txn_id = uuid.uuid4().hex
+        self._append(
+            dict(
+                project=project,
+                table_name=table,
+                column_name=column,
+                value=value,
+                state=WatermarkState.PROVISIONAL.value,
+                txn_id=txn_id,
+                updated_at=dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
+                version=self._next_version(),
+            )
+        )
+        return txn_id
+
+    def _resolve(self, txn_id: str, state: WatermarkState) -> None:
+        rows = self._read().filter(F.col("txn_id") == txn_id).take(1)
+        if not rows:
+            raise KeyError(f"unknown watermark txn: {txn_id}")
+        r = rows[0]
+        self._append(
+            dict(
+                project=r["project"],
+                table_name=r["table_name"],
+                column_name=r["column_name"],
+                value=r["value"],
+                state=state.value,
+                txn_id=txn_id,
+                updated_at=dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
+                version=self._next_version(),
+            )
+        )
+
+    def confirm(self, txn_id: str) -> None:
+        """Load landed durably → make the provisional value visible."""
+        self._resolve(txn_id, WatermarkState.CONFIRMED)
+
+    def rollback(self, txn_id: str) -> None:
+        """Load failed → next run re-reads from the previous confirmed value."""
+        self._resolve(txn_id, WatermarkState.ROLLED_BACK)

@@ -1,0 +1,120 @@
+"""File sources/sinks: the raw landing layer and its contract.
+
+Raw-layer contract (reference S6, ``extract_data.py:671-713`` +
+``parquet_formatter.py:34``): **every column lands as string**, snappy
+Parquet, under Hive-style ingest-date partitions ``year=/month=/day=``
+(path template ``extract_data.py:236``). The all-string erasure is what
+makes the typed world start at stage; the transform DSL (T1) depends on
+its quirks ('None' strings ↔ NULL).
+
+Sinks S7 (pipe-delimited CSV fallback) and S8 (csv.gz) are kept for
+format parity. The partition-path formatter replicates X4
+(``light_transform.py:1815-1916`` token grammar).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def stringify_all(df: DataFrame) -> DataFrame:
+    """Cast every column to string (raw contract).
+
+    NULL stays NULL (Spark cast), unlike pandas ``astype(str)`` which
+    produced literal ``'None'`` strings in the reference
+    (extract_data.py:694) — T1 ClearString treats both spellings as
+    null-ish, so the difference is intentionally normalized here
+    (SURVEY §7.3.3 decision: normalize consciously).
+    """
+    return df.select([F.col(c).cast(T.StringType()).alias(c) for c in df.columns])
+
+
+def write_raw(
+    df: DataFrame,
+    path: str,
+    ingest_date: dt.date | None = None,
+    mode: str = "append",
+) -> None:
+    """Land a source extraction in the raw layer (S6).
+
+    One write → many files sized by Spark's task parallelism (replacing
+    the reference's thread/chunk machinery O4/S3). Date partitions give
+    downstream partition pruning for DATE_PROCESS reprocessing.
+    """
+    d = ingest_date or dt.date.today()
+    out = (
+        stringify_all(df)
+        .withColumn("year", F.lit(f"{d.year:04d}"))
+        .withColumn("month", F.lit(f"{d.month:02d}"))
+        .withColumn("day", F.lit(f"{d.day:02d}"))
+    )
+    out.write.mode(mode).partitionBy("year", "month", "day").parquet(path)
+
+
+def read_raw(
+    spark: SparkSession,
+    path: str,
+    ingest_date: dt.date | None = None,
+) -> DataFrame:
+    """Read the raw layer, optionally pruned to one ingest date
+    (reference reads the exact year=/month=/day= prefix,
+    light_transform.py:1689-1696 — here partition pruning does it)."""
+    df = spark.read.parquet(path)
+    if ingest_date is not None:
+        df = df.filter(
+            (F.col("year") == f"{ingest_date.year:04d}")
+            & (F.col("month") == f"{ingest_date.month:02d}")
+            & (F.col("day") == f"{ingest_date.day:02d}")
+        )
+    return df.drop("year", "month", "day")
+
+
+def write_csv_fallback(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S7: pipe-delimited, quote-all, utf-8 CSV fallback sink."""
+    (
+        stringify_all(df)
+        .write.mode(mode)
+        .option("sep", "|")
+        .option("quoteAll", "true")
+        .option("header", "true")
+        .csv(path)
+    )
+
+
+def write_csv_gz(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S8: gzip CSV sink (layer variant)."""
+    (
+        stringify_all(df)
+        .write.mode(mode)
+        .option("compression", "gzip")
+        .option("header", "true")
+        .csv(path)
+    )
+
+
+_PARTITION_TOKENS = {
+    "{YYYY}": "%Y",
+    "{YY}": "%y",
+    "{MM}": "%m",
+    "{DD}": "%d",
+    "{HH}": "%H",
+    "{MI}": "%M",
+    "{SS}": "%S",
+}
+_MONTH_ABBR = ["JAN", "FEB", "MAR", "APR", "MAY", "JUN",
+               "JUL", "AUG", "SEP", "OCT", "NOV", "DEC"]
+
+
+def format_partition_path(template: str, when: dt.datetime) -> str:
+    """X4: expand {YYYY}{MM}{DD}{HH}{MI}{SS}{MON}{WEEK}{QUARTER} tokens."""
+    out = template
+    for token, fmt in _PARTITION_TOKENS.items():
+        out = out.replace(token, when.strftime(fmt))
+    out = out.replace("{MON}", _MONTH_ABBR[when.month - 1])
+    out = out.replace("{WEEK}", f"{when.isocalendar()[1]:02d}")
+    out = out.replace("{QUARTER}", str((when.month - 1) // 3 + 1))
+    return out

@@ -1,0 +1,179 @@
+"""JDBC source: partitioned parallel scans of relational sources.
+
+Replaces the reference's hand-rolled extraction parallelism with Spark's
+built-in partitioned JDBC reader:
+
+- X1 uniform range partitioning (min/max probe → ≤30 uniform ranges,
+  ``extract_data.py:997-1024,1127-1159``) → ``partitionColumn /
+  lowerBound / upperBound / numPartitions`` — identical semantics
+  (uniform strides, closed-open, first/last absorb outliers).
+- X2 date striping / S3 keyset pagination (OFFSET/FETCH 1M-row chunks)
+  → ``numPartitions`` + ``fetchsize``; no driver-side chunk loop.
+- P1/P3/J1 free-form SQL (select list, IN-subquery filters, join
+  clauses) → pushed verbatim via ``.option("query", ...)`` when given,
+  else ``dbtable`` + DataFrame filters that Catalyst pushes down
+  (``pushDownPredicate`` defaults on).
+
+No live database exists in the test environment, so tests cover option
+construction and the min/max partition math; the reader itself is the
+stock Spark JDBC source.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cdk_datalake_ingest_bigmagic_spark.config.models import EndpointConfig, TableConfig
+
+MAX_SCAN_PARTITIONS = 30  # reference extract_data.py:1138
+DEFAULT_FETCH_SIZE = 10_000
+
+_DRIVERS = {
+    "sqlserver": "com.microsoft.sqlserver.jdbc.SQLServerDriver",
+    "mysql": "com.mysql.cj.jdbc.Driver",
+    "oracle": "oracle.jdbc.OracleDriver",
+}
+
+
+@dataclass(frozen=True)
+class JdbcScanSpec:
+    """Fully-resolved reader options for one table scan."""
+
+    url: str
+    driver: str
+    dbtable: str | None = None
+    query: str | None = None
+    partition_column: str | None = None
+    lower_bound: str | None = None
+    upper_bound: str | None = None
+    num_partitions: int | None = None
+    fetch_size: int = DEFAULT_FETCH_SIZE
+    user: str = ""
+    password: str = ""
+
+    def options(self) -> dict[str, str]:
+        opts: dict[str, str] = {
+            "url": self.url,
+            "driver": self.driver,
+            "fetchsize": str(self.fetch_size),
+        }
+        partitioned = bool(
+            self.partition_column and self.num_partitions and self.num_partitions > 1
+        )
+        if self.query:
+            # Spark forbids query+partitionColumn; wrap as a subquery
+            opts["dbtable" if partitioned else "query"] = (
+                f"({self.query}) scan_subquery" if partitioned else self.query
+            )
+        elif self.dbtable:
+            opts["dbtable"] = self.dbtable
+        if partitioned:
+            opts.update(
+                partitionColumn=self.partition_column,
+                lowerBound=str(self.lower_bound),
+                upperBound=str(self.upper_bound),
+                numPartitions=str(self.num_partitions),
+            )
+        if self.user:
+            opts["user"] = self.user
+            opts["password"] = self.password
+        return opts
+
+
+def clamp_partitions(lower: int, upper: int, requested: int = MAX_SCAN_PARTITIONS) -> int:
+    """X1 partition-count rule: ≤30, reduced when the key range is
+    narrower than the partition count (extract_data.py:1138-1144)."""
+    span = upper - lower
+    if span <= 0:
+        return 1
+    return max(1, min(requested, span))
+
+
+def source_relation(table: TableConfig) -> str:
+    """FROM clause: schema-qualified source + optional free-form join
+    (J1, appended verbatim as the reference does)."""
+    rel = f"{table.source_schema}.{table.source_table}" if table.source_schema else table.source_table
+    if table.join_expr.strip():
+        rel = f"{rel} {table.join_expr.strip()}"
+    return rel
+
+
+def build_scan_query(table: TableConfig) -> str:
+    """Generated SELECT matching the reference's query builder
+    (``query_builder.py:132-146``): synthetic id column (P2) prepended
+    unless present, then the configured select list, FROM + join,
+    static FILTER_EXP (P3)."""
+    select_list = table.columns.strip() or "*"
+    if table.id_column.strip() and " id" not in select_list.lower()[:60]:
+        select_list = f"{table.id_column.strip()} id, {select_list}"
+    sql = f"SELECT {select_list} FROM {source_relation(table)}"
+    if table.filter_exp.strip():
+        sql += f" WHERE {table.filter_exp.strip()}"
+    return sql
+
+
+def probe_min_max(
+    spark: SparkSession,
+    endpoint: EndpointConfig,
+    table: TableConfig,
+) -> tuple[str | None, str | None]:
+    """A1: ``SELECT MIN(c), MAX(c) FROM t [join] WHERE c <> 0 [AND f]``
+    — seeds range partitioning (extract_data.py:969-995)."""
+    col = table.partition_column
+    where = f"WHERE {col} <> 0"
+    if table.filter_exp.strip():
+        where += f" AND {table.filter_exp.strip()}"
+    q = f"SELECT MIN({col}) min_val, MAX({col}) max_val FROM {source_relation(table)} {where}"
+    row = (
+        spark.read.format("jdbc")
+        .options(
+            url=endpoint.jdbc_url,
+            driver=_DRIVERS[endpoint.db_type],
+            query=q,
+            user=endpoint.username,
+            password=endpoint.password,
+        )
+        .load()
+        .first()
+    )
+    if row is None:
+        return None, None
+    return row["min_val"], row["max_val"]
+
+
+def scan_spec_for(
+    endpoint: EndpointConfig,
+    table: TableConfig,
+    bounds: tuple[str, str] | None = None,
+) -> JdbcScanSpec:
+    """Build the reader spec for a table under its configured
+    PARTITION_MODE; ``bounds`` comes from probe_min_max for MIN_MAX/AUTO."""
+    partition_column = table.partition_column or None
+    num_partitions = None
+    lower = upper = None
+    if partition_column and bounds and table.partition_mode in ("AUTO", "MIN_MAX"):
+        lower, upper = bounds
+        try:
+            num_partitions = clamp_partitions(int(float(lower)), int(float(upper)))
+        except (TypeError, ValueError):
+            num_partitions = MAX_SCAN_PARTITIONS
+    return JdbcScanSpec(
+        url=endpoint.jdbc_url,
+        driver=_DRIVERS[endpoint.db_type],
+        query=build_scan_query(table),
+        partition_column=partition_column if num_partitions else None,
+        lower_bound=lower,
+        upper_bound=upper,
+        num_partitions=num_partitions,
+        user=endpoint.username,
+        password=endpoint.password,
+    )
+
+
+def read_jdbc(spark: SparkSession, spec: JdbcScanSpec) -> DataFrame:
+    reader = spark.read.format("jdbc")
+    for k, v in spec.options().items():
+        reader = reader.option(k, v)
+    return reader.load()

@@ -1,0 +1,81 @@
+from pathlib import Path
+
+from cdk_datalake_ingest_bigmagic_spark.config.loader import load_catalog, read_config_csv
+from cdk_datalake_ingest_bigmagic_spark.config.models import ColumnSpec, TableConfig
+
+TABLES_CSV = """COLUMNS;LOAD_TYPE;PARTITION_MODE;PARTITION_COLUMN;DELAY_INCREMENTAL_INI;DELAY_INCREMENTAL_END;FILTER_COLUMN;FILTER_DATA_TYPE;FILTER_EXP;ID_COLUMN;JOIN_EXPR;PROCESS_ID;SOURCE_SCHEMA;SOURCE_TABLE;SOURCE_TABLE_TYPE;STAGE_TABLE_NAME;STATUS;JOB_EXTRACT_MAX_CAPACITY
+colA, colB;full;;;;;;;"compania in (select compania from mcompa1f b where b.flgbi = 'a')";rtrim(ltrim(compania));;10;dbo;trelcons1f;m;i_relacion_consumo;a;
+colA, colB;;MIN_MAX;fecpedido;-2;0;fecpedido between {0} and {1};aje_date;;;;10;dbo;thpedi1f;t;t_documento_pedido;a;
+colA;between-date;;;;;;;;;;10;dbo;x;m;t_ranged;a;
+colA;full;;;;;;;;;;10;dbo;y;m;t_inactive;i;
+"""
+
+COLUMNS_CSV = """COLUMN_NAME;COLUMN_ID;IS_FILTER_DATE;IS_ID;IS_ORDER_BY;IS_PARTITION;NEW_DATA_TYPE;TABLE_NAME;TRANSFORMATION
+processdate;-2;F;F;F;F;timestamp;T_PEDIDO;fn_transform_Datetime()
+id_pedido;0;F;T;F;F;string;T_PEDIDO;fn_transform_ClearString(id)
+id_compania;1;F;F;F;T;string;T_PEDIDO;fn_transform_ClearString(compania)
+lastmodifydate;-1;T;F;T;F;timestamp;T_PEDIDO;fn_transform_Datetime(lastmodifydate)
+"""
+
+
+def write(tmp_path: Path, name: str, content: str) -> Path:
+    p = tmp_path / name
+    p.write_text(content, encoding="latin-1")
+    return p
+
+
+def test_load_catalog(tmp_path):
+    cat = load_catalog(
+        tables_csv=write(tmp_path, "tables.csv", TABLES_CSV),
+        columns_csv=write(tmp_path, "columns.csv", COLUMNS_CSV),
+    )
+    assert set(cat.tables) == {
+        "i_relacion_consumo",
+        "t_documento_pedido",
+        "t_ranged",
+        "t_inactive",
+    }
+    t = cat.tables["i_relacion_consumo"]
+    assert t.effective_load_type == "full"
+    # quote sanitation stripped the quotes around FILTER_EXP
+    assert t.filter_exp.startswith("compania in (select")
+    assert '"' not in t.filter_exp
+
+    # LOAD_TYPE defaulting: source_table_type 't' → incremental
+    t2 = cat.tables["t_documento_pedido"]
+    assert t2.load_type == ""
+    assert t2.effective_load_type == "incremental"
+    assert t2.partition_mode == "MIN_MAX"
+
+    # between-date alias → time_range
+    assert cat.tables["t_ranged"].effective_load_type == "time_range"
+    assert not cat.tables["t_inactive"].is_active
+
+
+def test_columns_sorted_and_flags(tmp_path):
+    cat = load_catalog(columns_csv=write(tmp_path, "columns.csv", COLUMNS_CSV))
+    specs = cat.columns_for("t_pedido")
+    assert [s.name for s in specs] == [
+        "processdate",
+        "lastmodifydate",
+        "id_pedido",
+        "id_compania",
+    ]  # sorted by column_id (-2, -1, 0, 1)
+    by_name = {s.name: s for s in specs}
+    assert by_name["id_pedido"].is_id
+    assert by_name["id_compania"].is_partition
+    assert by_name["lastmodifydate"].is_filter_date and by_name["lastmodifydate"].is_order_by
+
+
+def test_quote_sanitation_triple(tmp_path):
+    # csv.DictReader unquotes '"""q"""' to '"q"', sanitizer unwraps to 'q'
+    p = write(tmp_path, "x.csv", 'A;B\n"""q""";plain\n')
+    rows = read_config_csv(p)
+    assert rows[0]["A"] == "q"
+
+
+def test_tables_for_process(tmp_path):
+    cat = load_catalog(tables_csv=write(tmp_path, "tables.csv", TABLES_CSV))
+    active = cat.tables_for_process("10")
+    assert all(t.is_active for t in active)
+    assert len(active) == 3

@@ -1,0 +1,194 @@
+"""End-to-end raw→stage pipeline tests with a DuckDB oracle.
+
+Builds the FIXTURES.md F1-style raw table (all-string, magic encodings),
+runs the full pipeline (DSL select → W1 dedup → write), reads the stage
+table back and compares against an independent DuckDB reimplementation
+of the semantics.
+"""
+
+import datetime as dt
+
+import duckdb
+import pytest
+
+from cdk_datalake_ingest_bigmagic_spark.config.models import ColumnSpec, TableConfig
+from cdk_datalake_ingest_bigmagic_spark.functions.compiler import MAGIC_OFFSET
+from cdk_datalake_ingest_bigmagic_spark.plans.pipeline import (
+    TransformFailure,
+    apply_transformations,
+    empty_stage_frame,
+    run_table_pipeline,
+    transform_raw_to_stage,
+)
+from cdk_datalake_ingest_bigmagic_spark.sources.files import read_raw, write_raw
+from cdk_datalake_ingest_bigmagic_spark.storage.stage import stage_table
+
+
+def ordinal(d: dt.date) -> int:
+    return (d - dt.date(1900, 1, 1)).days + MAGIC_OFFSET
+
+
+SPECS = [
+    ColumnSpec("id_pedido", 0, "string", "fn_transform_ClearString(id)", is_id=True),
+    ColumnSpec("fecha_pedido", 1, "date", "fn_transform_DateMagic(fecpedido,yyyy-MM-dd,to_null)"),
+    ColumnSpec(
+        "lastmodifydate", 2, "timestamp",
+        "fn_transform_DatetimeMagic(fecmodi,horamodi,yyyy-MM-dd HH:mm:ss)",
+        is_filter_date=True, is_order_by=True,
+    ),
+    ColumnSpec("importe", 3, "numeric(13,2)", "fn_transform_Numeric(importe)"),
+    ColumnSpec("compania", 4, "string", "fn_transform_ClearString(compania,$00)", is_partition=True),
+]
+
+
+def raw_rows():
+    d1, d2 = dt.date(2024, 5, 10), dt.date(2024, 6, 20)
+    return [
+        # id, fecpedido, fecmodi, horamodi, importe, compania
+        ("A1", str(ordinal(d1)), str(ordinal(d1)), "90000", "10.50", " 01 "),
+        ("A2", str(ordinal(d2)), str(ordinal(d2)), "100000", "20.25", "02"),
+        # key collision: A1 modified later → must win dedup
+        ("A1", str(ordinal(d1)), str(ordinal(d2)), "110000", "99.99", "01"),
+        # exact duplicate row
+        ("A2", str(ordinal(d2)), str(ordinal(d2)), "100000", "20.25", "02"),
+        # null-ish compania → default
+        ("A3", "0", str(ordinal(d1)), "80000", "bad", "None"),
+    ]
+
+
+RAW_SCHEMA = "id: string, fecpedido: string, fecmodi: string, horamodi: string, importe: string, compania: string"
+
+
+def test_transform_and_dedup_against_duckdb(spark):
+    raw = spark.createDataFrame(raw_rows(), RAW_SCHEMA)
+    result = transform_raw_to_stage(raw, SPECS)
+    got = {r["id_pedido"]: r.asDict() for r in result.df.collect()}
+    assert result.errors == []
+    assert set(got) == {"A1", "A2", "A3"}
+
+    con = duckdb.connect()
+    con.execute(
+        """CREATE TABLE raw (id text, fecpedido text, fecmodi text, horamodi text,
+           importe text, compania text)"""
+    )
+    con.executemany("INSERT INTO raw VALUES (?,?,?,?,?,?)", raw_rows())
+    oracle = con.execute(
+        f"""
+        WITH typed AS (
+          SELECT
+            trim(id) AS id_pedido,
+            CASE WHEN try_cast(fecpedido AS INT) > 100000
+                 THEN DATE '1900-01-01' + (fecpedido::INT - {MAGIC_OFFSET})
+                 ELSE try_cast(fecpedido AS DATE) END AS fecha_pedido,
+            (CASE WHEN try_cast(fecmodi AS INT) > 100000
+                 THEN DATE '1900-01-01' + (fecmodi::INT - {MAGIC_OFFSET})
+                 ELSE try_cast(fecmodi AS DATE) END
+             + make_time((lpad(horamodi,6,'0')[1:2])::INT,
+                         (lpad(horamodi,6,'0')[3:4])::INT,
+                         (lpad(horamodi,6,'0')[5:6])::INT)) AS lastmodifydate,
+            try_cast(importe AS DECIMAL(13,2)) AS importe,
+            CASE WHEN compania IS NULL OR trim(compania) IN ('', 'None', 'NULL', 'null')
+                 THEN '00' ELSE trim(compania) END AS compania
+          FROM raw
+        ), dedup AS (
+          SELECT *, row_number() OVER (PARTITION BY id_pedido ORDER BY lastmodifydate DESC) rn
+          FROM typed
+        )
+        SELECT id_pedido, fecha_pedido, lastmodifydate, importe, compania
+        FROM dedup WHERE rn = 1
+        """
+    ).fetchall()
+    expect = {r[0]: r for r in oracle}
+    assert set(expect) == set(got)
+    for k, row in expect.items():
+        g = got[k]
+        assert g["fecha_pedido"] == row[1], k
+        assert g["lastmodifydate"] == row[2], k
+        assert (g["importe"] is None) == (row[3] is None)
+        if g["importe"] is not None:
+            assert g["importe"] == row[3], k
+        assert g["compania"] == row[4], k
+    # A1 dedup kept the later modification
+    assert str(got["A1"]["importe"]) == "99.99"
+
+
+def test_error_quarantine_thresholds(spark):
+    raw = spark.createDataFrame([("x",)], "c: string")
+    # 1 bad of 3 (33%) → warning path, NULL column, no raise
+    specs = [
+        ColumnSpec("ok", 0, "string", "fn_transform_ClearString(c)"),
+        ColumnSpec("ok2", 1, "string", "c"),
+        ColumnSpec("bad", 2, "string", "fn_transform_ClearString(missing_col)"),
+    ]
+    res = apply_transformations(raw, specs)
+    assert len(res.errors) == 1 and res.warnings
+    row = res.df.collect()[0]
+    assert row["bad"] is None and row["ok"] == "x"
+
+    # >50% bad → hard failure
+    specs_bad = [
+        ColumnSpec("b1", 0, "string", "fn_transform_ClearString(m1)"),
+        ColumnSpec("b2", 1, "string", "fn_transform_Bogus(c)"),
+        ColumnSpec("ok", 2, "string", "c"),
+    ]
+    with pytest.raises(TransformFailure):
+        apply_transformations(raw, specs_bad)
+
+
+def test_raw_layer_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, 2.5, "x"), (2, None, None)], "a: long, b: double, c: string")
+    path = str(tmp_path / "raw")
+    write_raw(df, path, ingest_date=dt.date(2024, 6, 15))
+    back = read_raw(spark, path, ingest_date=dt.date(2024, 6, 15))
+    assert set(back.columns) == {"a", "b", "c"}
+    assert all(f.dataType.typeName() == "string" for f in back.schema.fields)
+    rows = {r["a"]: r for r in back.collect()}
+    assert rows["1"]["b"] == "2.5"
+    assert rows["2"]["b"] is None  # NULL stays NULL, not 'None'
+    # wrong date → pruned empty
+    assert read_raw(spark, path, ingest_date=dt.date(2024, 6, 16)).count() == 0
+
+
+def test_full_pipeline_merge_upsert(spark, tmp_path):
+    """Two incremental batches: second updates A1 and inserts A9 (S10)."""
+    raw_path = str(tmp_path / "raw")
+    stage_path = str(tmp_path / "stage")
+    table = TableConfig(
+        source_table="thpedi1f", stage_table_name="t_pedido",
+        load_type="incremental",
+    )
+    d = dt.date(2024, 6, 1)
+    batch1 = spark.createDataFrame(raw_rows(), RAW_SCHEMA)
+    write_raw(batch1, raw_path, ingest_date=d)
+    run_table_pipeline(spark, raw_path, stage_path, table, SPECS)
+    t = stage_table(spark, stage_path)
+    first = {r["id_pedido"]: r for r in t.read().collect()}
+    assert set(first) == {"A1", "A2", "A3"}
+
+    d2 = dt.date(2024, 6, 2)
+    later = ordinal(dt.date(2024, 7, 1))
+    batch2 = spark.createDataFrame(
+        [
+            ("A1", str(later), str(later), "120000", "55.55", "01"),
+            ("A9", str(later), str(later), "130000", "9.99", "03"),
+        ],
+        RAW_SCHEMA,
+    )
+    raw_path2 = str(tmp_path / "raw2")
+    write_raw(batch2, raw_path2, ingest_date=d2)
+    run_table_pipeline(spark, raw_path2, stage_path, table, SPECS)
+
+    after = {r["id_pedido"]: r for r in t.read().collect()}
+    assert set(after) == {"A1", "A2", "A3", "A9"}
+    assert str(after["A1"]["importe"]) == "55.55"  # updated
+    assert str(after["A9"]["importe"]) == "9.99"  # inserted
+    assert str(after["A2"]["importe"]) == "20.25"  # untouched
+
+
+def test_empty_extraction_materializes_schema(spark, tmp_path):
+    df = empty_stage_frame(spark, SPECS)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == [
+        "id_pedido", "fecha_pedido", "lastmodifydate", "importe", "compania",
+    ]
+    assert df.schema["importe"].dataType.simpleString() == "decimal(13,2)"

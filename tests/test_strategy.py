@@ -1,0 +1,126 @@
+import datetime as dt
+from zoneinfo import ZoneInfo
+
+from cdk_datalake_ingest_bigmagic_spark.config.models import TableConfig
+from cdk_datalake_ingest_bigmagic_spark.functions.compiler import MAGIC_OFFSET
+from cdk_datalake_ingest_bigmagic_spark.plans.strategy import (
+    LoadMode,
+    LoadStrategy,
+    month_window_limits,
+    plan_extraction,
+)
+from cdk_datalake_ingest_bigmagic_spark.sources.jdbc import (
+    build_scan_query,
+    clamp_partitions,
+    scan_spec_for,
+)
+from cdk_datalake_ingest_bigmagic_spark.config.models import EndpointConfig
+
+FIXED_NOW = dt.datetime(2024, 6, 15, 12, 0, 0, tzinfo=ZoneInfo("America/Lima"))
+
+
+def fixed_clock():
+    return FIXED_NOW
+
+
+def test_month_window_period():
+    lo, hi = month_window_limits("-2", "0", "aje_period", fixed_clock)
+    assert (lo, hi) == ("202404", "202406")
+
+
+def test_month_window_aje_date_magic_ordinals():
+    lo, hi = month_window_limits("-2", "0", "aje_date", fixed_clock)
+    # start: 2024-04-01, end: 2024-06-30 (full-month boundaries)
+    expect_lo = (dt.date(2024, 4, 1) - dt.date(1900, 1, 1)).days + MAGIC_OFFSET
+    expect_hi = (dt.date(2024, 6, 30) - dt.date(1900, 1, 1)).days + MAGIC_OFFSET
+    assert (lo, hi) == (str(expect_lo), str(expect_hi))
+
+
+def test_month_window_default_iso():
+    lo, hi = month_window_limits("-1", "0", "", fixed_clock)
+    assert (lo, hi) == ("2024-05-15", "2024-06-15")
+
+
+def make_table(**kw) -> TableConfig:
+    base = dict(source_table="thpedi1f", stage_table_name="t_pedido")
+    base.update(kw)
+    return TableConfig(**base)
+
+
+def test_plan_full_with_filter_exp():
+    t = make_table(load_type="full", filter_exp="compania = '01'")
+    plan = plan_extraction(t, clock=fixed_clock)
+    assert plan.strategy is LoadStrategy.FULL
+    assert len(plan.filters) == 1
+    assert not plan.destructive
+
+
+def test_plan_incremental_window():
+    t = make_table(
+        source_table_type="t",
+        filter_column="fecpedido between {0} and {1}",
+        filter_data_type="aje_date",
+        delay_incremental_ini="-2",
+    )
+    plan = plan_extraction(t, clock=fixed_clock)
+    assert plan.strategy is LoadStrategy.INCREMENTAL
+    assert plan.window is not None
+    assert len(plan.filters) == 1
+
+
+def test_plan_initial_ignores_window():
+    t = make_table(
+        source_table_type="t",
+        filter_column="fecpedido between {0} and {1}",
+        filter_data_type="aje_date",
+    )
+    plan = plan_extraction(t, mode=LoadMode.INITIAL, clock=fixed_clock)
+    assert plan.filters == []
+    assert plan.destructive
+
+
+def test_plan_incremental_watermark_precedence():
+    t = make_table(
+        source_table_type="t",
+        partition_column="nropedido",
+        filter_column="fecpedido between {0} and {1}",
+    )
+    plan = plan_extraction(t, watermark_value="12345", clock=fixed_clock)
+    assert plan.window is None  # watermark filter won, not the month window
+    assert len(plan.filters) == 1
+
+
+def test_plan_time_range_explicit():
+    t = make_table(load_type="time_range", partition_column="fecpedido")
+    plan = plan_extraction(t, start_value="100", end_value="200", clock=fixed_clock)
+    assert plan.window == ("100", "200")
+
+
+def test_clamp_partitions():
+    assert clamp_partitions(0, 1000) == 30  # wide range → max 30
+    assert clamp_partitions(0, 10) == 10  # narrow range → span
+    assert clamp_partitions(5, 5) == 1  # empty span → 1
+
+
+def test_build_scan_query_with_id_and_join():
+    t = make_table(
+        columns="colA, colB",
+        id_column="rtrim(ltrim(compania))",
+        join_expr="inner join tclicg1f t on t.compania = t2.compania",
+        filter_exp="flgbi = 'a'",
+        source_schema="dbo",
+    )
+    q = build_scan_query(t)
+    assert q.startswith("SELECT rtrim(ltrim(compania)) id, colA, colB FROM dbo.thpedi1f inner join")
+    assert q.endswith("WHERE flgbi = 'a'")
+
+
+def test_scan_spec_partitioned_uses_subquery():
+    ep = EndpointConfig(endpoint_name="e", db_type="sqlserver", server="h", db_name="d")
+    t = make_table(partition_mode="MIN_MAX", partition_column="nropedido")
+    spec = scan_spec_for(ep, t, bounds=("1", "1000000"))
+    opts = spec.options()
+    assert "query" not in opts
+    assert opts["dbtable"].startswith("(SELECT")
+    assert opts["numPartitions"] == "30"
+    assert opts["partitionColumn"] == "nropedido"

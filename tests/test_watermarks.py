@@ -1,0 +1,41 @@
+import pytest
+
+from cdk_datalake_ingest_bigmagic_spark.plans.watermarks import WatermarkStore
+
+
+def test_provisional_confirm_rollback(spark, tmp_path):
+    store = WatermarkStore(spark, str(tmp_path / "wm"))
+    key = ("proj", "t_pedido", "fecpedido")
+
+    assert store.get(*key) is None
+
+    txn1 = store.save_provisional(*key, "100")
+    # provisional not visible to readers
+    assert store.get(*key) is None
+    store.confirm(txn1)
+    assert store.get(*key) == "100"
+
+    # a failed load rolls back; confirmed value survives
+    txn2 = store.save_provisional(*key, "200")
+    assert store.get(*key) == "100"
+    store.rollback(txn2)
+    assert store.get(*key) == "100"
+
+    # a later successful load advances
+    txn3 = store.save_provisional(*key, "300")
+    store.confirm(txn3)
+    assert store.get(*key) == "300"
+
+
+def test_keys_are_independent(spark, tmp_path):
+    store = WatermarkStore(spark, str(tmp_path / "wm"))
+    t1 = store.save_provisional("p", "t1", "c", "5")
+    store.confirm(t1)
+    assert store.get("p", "t2", "c") is None
+    assert store.get("p", "t1", "c") == "5"
+
+
+def test_unknown_txn_raises(spark, tmp_path):
+    store = WatermarkStore(spark, str(tmp_path / "wm"))
+    with pytest.raises(KeyError):
+        store.confirm("nope")
