@@ -1,0 +1,72 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # reference-surface operators
+    "scan_projection",
+    "filter_semijoin_subquery",
+    "join_config_multitable",
+    "agg_pricing_summary",
+    "window_dedup_latest",
+    "dsl_datetimemagic_roundtrip",
+    "dsl_numeric_decimal",
+    # LLM-data operators
+    "text_quality_features",
+    "text_language_id",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embedding_similarity_pairs",
+]
+
+
+def main() -> None:
+    from cdk_datalake_ingest_bigmagic_spark import get_spark
+    from cdk_datalake_ingest_bigmagic_spark.queries import all_queries
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+
+    queries = all_queries()
+    # JVM / codegen warmup so the first timed query isn't charged for
+    # session bring-up
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        # count() forces full execution without driver-side collection
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

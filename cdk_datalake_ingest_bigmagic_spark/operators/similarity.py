@@ -1,0 +1,214 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two execution tiers, chosen for what survives a 100×-corpus scale-up:
+
+- **Matrix-kernel brute force** (exact baseline): the embedding table is
+  broadcast as a normalized numpy matrix (an embedding "index" —
+  vectors × dims, tiny relative to the corpus it indexes), and a
+  ``mapInPandas`` stage computes cosine blocks with one BLAS matmul per
+  Arrow batch. No |rows|² shuffle is ever materialized: each task
+  streams its rows against the broadcast index. This is the standard
+  broadcast-join shape, just with a matmul instead of a hash probe.
+- **SRP-LSH bucketing** (scale path): sign-random-projection signatures
+  computed with posexplode + a broadcast hyperplane table (pure codegen
+  Column ops), bucket self-join, exact verification within buckets only.
+  Hyperplane signs derive from md5(plane:dim) parity — deterministic,
+  engine-reproducible, no stored model.
+
+Scalar cosine (``zip_with``/``aggregate`` fold) is kept for single-query
+top-k: interpreted higher-order functions are fine for one query vector
+against N rows, wrong for N×N pair search.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def to_double_array(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def topk_for_id(
+    df: DataFrame, id_col: str, vec_col: str, query_id, k: int = 10
+) -> DataFrame:
+    """Exact top-k neighbors of one in-table vector (excluding itself).
+
+    One-row broadcast join + TakeOrderedAndProject: linear scan, no
+    global shuffle, no collect — unchanged on a cluster.
+    """
+    q = df.filter(F.col(id_col) == query_id).select(
+        to_double_array(F.col(vec_col)).alias("__q")
+    )
+    sim = cosine(to_double_array(F.col(vec_col)), F.col("__q"))
+    return (
+        df.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != query_id)
+        .select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+_PAIR_SCHEMA = T.StructType(
+    [
+        T.StructField("id_a", T.LongType(), False),
+        T.StructField("id_b", T.LongType(), False),
+        T.StructField("cosine_sim", T.DoubleType(), False),
+    ]
+)
+
+
+def _broadcast_index(df: DataFrame, id_col: str, vec_col: str):
+    """Normalize and broadcast the embedding matrix. The index is
+    (N × dims) float64 — broadcast-sized by construction; for corpora
+    where it isn't, bucket first (ann_lsh_pairs) and index per bucket."""
+    import numpy as np
+
+    pdf = df.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    M = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+    norms = np.sqrt((M * M).sum(axis=1))
+    norms[norms == 0] = 1.0
+    Mn = M / norms[:, None]
+    return df.sparkSession.sparkContext.broadcast((ids, Mn))
+
+
+def similarity_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.45,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine ≥ threshold — exact.
+
+    Arrow batches × broadcast index: each task does one matmul per
+    batch and emits only the surviving pairs, so the quadratic
+    similarity space is scanned but never shuffled or materialized.
+    """
+    import numpy as np
+
+    bc = _broadcast_index(df, id_col, vec_col)
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        ids_all, Mn_all = bc.value
+        for pdf in batches:
+            A = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            a_norms = np.sqrt((A * A).sum(axis=1))
+            a_norms[a_norms == 0] = 1.0
+            S = (A / a_norms[:, None]) @ Mn_all.T
+            a_ids = pdf[id_col].to_numpy()
+            rows_i, cols_j = np.where(
+                (np.round(S, 4) >= threshold) & (a_ids[:, None] < ids_all[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "id_a": a_ids[rows_i],
+                    "id_b": ids_all[cols_j],
+                    "cosine_sim": np.round(S[rows_i, cols_j], 4),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(run, _PAIR_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# SRP-LSH (scale path)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplane_rows(dims: int, num_planes: int) -> list[tuple[int, int, float]]:
+    """±1 hyperplane weights from md5(plane:dim) parity — the same
+    constants any engine derives, so signatures are reproducible."""
+    import hashlib
+
+    rows = []
+    for p in range(num_planes):
+        for d in range(dims):
+            digest = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+            sign = 1.0 if int(digest[:2], 16) % 2 == 0 else -1.0
+            rows.append((p, d, sign))
+    return rows
+
+
+def srp_buckets(
+    df: DataFrame, id_col: str, vec_col: str, dims: int, num_planes: int = 8
+) -> DataFrame:
+    """(id, bucket) from sign-random-projection: bit_p = [v·h_p > 0].
+
+    posexplode + broadcast hyperplane join + two map-side-combinable
+    aggregations — all codegen, linear in rows × dims × planes.
+    """
+    spark = df.sparkSession
+    hp = spark.createDataFrame(
+        _hyperplane_rows(dims, num_planes), "plane INT, dim INT, sign DOUBLE"
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(to_double_array(F.col(vec_col))).alias("dim", "x")
+    )
+    proj = (
+        exploded.join(F.broadcast(hp), "dim")
+        .groupBy(id_col, "plane")
+        .agg(F.sum(F.col("x") * F.col("sign")).alias("proj"))
+    )
+    bit = F.when(F.col("proj") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), plane)")).otherwise(
+        F.lit(0).cast("long")
+    )
+    return proj.groupBy(id_col).agg(F.sum(bit).alias("bucket"))
+
+
+def ann_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims: int,
+    num_planes: int = 8,
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Approximate pair search: SRP-bucket, then exact cosine only
+    within buckets (precision 1, recall < 1 by construction).
+
+    The bucket join bounds candidate pairs; at corpus scale this is the
+    difference between |rows|² and Σ_bucket |bucket|².
+    """
+    buckets = srp_buckets(df, id_col, vec_col, dims, num_planes)
+    with_b = df.join(buckets, id_col)
+    a = with_b.select(
+        F.col(id_col).alias("id_a"),
+        to_double_array(F.col(vec_col)).alias("va"),
+        F.col("bucket"),
+    )
+    b = with_b.select(
+        F.col(id_col).alias("id_b"),
+        to_double_array(F.col(vec_col)).alias("vb"),
+        F.col("bucket"),
+    )
+    sim = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(sim, 4).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -1,0 +1,128 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure Column expressions / DataFrame ops (JVM-side, codegen'd) — a
+100 TB corpus pays no Python tax here. Tokenization is regex-based
+(whitespace words + a BPE-ish split); language ID is an n-gram/stopword
+voting heuristic; fingerprints are md5 over normalized text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish token pattern: letter runs, digit runs, single punctuation
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny per-language stopword lists for the voting heuristic.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "y", "en", "es", "un", "una", "que", "los"],
+    "fr": ["le", "la", "de", "et", "en", "est", "un", "une", "que", "les"],
+}
+
+
+def word_count(text: Column) -> Column:
+    """Whitespace token count; empty/blank text counts 0."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count via regexp_count (letters/digits/punct runs)."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_PATTERN))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def alpha_ratio(text: Column) -> Column:
+    """Fraction of characters that are ASCII letters (single division)."""
+    letters = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
+        letters.cast("double") / F.length(text).cast("double")
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    punct = F.length(F.regexp_replace(text, r"[^\.,;:!\?]", ""))
+    return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
+        punct.cast("double") / F.length(text).cast("double")
+    )
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    words = LANG_STOPWORDS[lang]
+    tokens = F.split(F.lower(F.trim(text)), r"\s+")
+    hits = F.size(F.filter(tokens, lambda t: t.isin(words)))
+    total = word_count(text)
+    return F.when(total == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / total.cast("double")
+    )
+
+
+def normalize_text(text: Column) -> Column:
+    """Lowercase + collapse all whitespace runs to single spaces + trim."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of normalized text
+    (identical across engines; used for exact dedup)."""
+    return F.md5(normalize_text(text))
+
+
+def token_hash64(token: Column) -> Column:
+    """Stable 32-bit-in-a-long token hash from md5 hex — reproducible in
+    any engine with md5 (unlike Spark's xxhash64 seed behavior)."""
+    return F.conv(F.substring(F.md5(token), 1, 8), 16, 10).cast("long")
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-voting language ID.
+
+    Tokenizes (letters-only), counts stopword hits per language, picks
+    the argmax with a deterministic tie order (en < es < fr < und).
+    One explode + one aggregation — scales linearly, shuffles on id.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"[^a-z]+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    scored = toks.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.col("tok").isin(words), 1).otherwise(0)).alias(f"hits_{lang}")
+            for lang, words in LANG_STOPWORDS.items()
+        ]
+    )
+    langs = list(LANG_STOPWORDS)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    guess = F.lit("und")
+    # reverse order so earlier languages win ties
+    for lang in reversed(langs):
+        guess = F.when(
+            (F.col(f"hits_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(guess)
+    out = scored.select(F.col(id_col), guess.alias("lang_pred"))
+    # docs with zero alpha tokens never reached the aggregation
+    return (
+        df.select(id_col)
+        .join(out, id_col, "left")
+        .select(F.col(id_col), F.coalesce(F.col("lang_pred"), F.lit("und")).alias("lang_pred"))
+    )
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Quality-scoring feature set (length / punctuation / stopword
+    ratios), all computed in one projection."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        char_count(t).alias("n_chars"),
+        word_count(t).alias("n_words"),
+        bpe_token_count(t).alias("n_tokens"),
+        F.round(alpha_ratio(t), 6).alias("alpha_ratio"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(t, "en"), 6).alias("stopword_ratio"),
+    )

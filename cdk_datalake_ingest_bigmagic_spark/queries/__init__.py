@@ -1,0 +1,63 @@
+"""Query inventory: every SURVEY §2 operator + LLM-pipeline operators,
+each as a (spark_callable, duckdb_oracle_sql) pair.
+
+The callables take ``(spark, sf_dir)`` and return a DataFrame; oracles
+are ANSI SQL strings DuckDB runs over the same parquet tables. Column
+names/aliases match exactly on both sides (the driver sorts columns by
+name before value-hashing).
+
+Cross-engine determinism rules used throughout (so value hashes match):
+- money aggregates go through exact DECIMAL sums, then one cast to
+  double (decimal addition is associative; double summation is not);
+- double ratios are computed from integer counts (single IEEE division);
+- hash-based operators use md5 hex strings (identical in both engines);
+- every result set is closed under a deterministic predicate — no
+  ambiguous top-k boundaries (ties broken by unique keys).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read a testdata table; nanosecond-precision parquet timestamps
+    (illegal for Spark's reader) come in as longs and are truncated to
+    microseconds — the same truncation DuckDB's TIMESTAMP_NS→TIMESTAMP
+    cast applies, so oracles stay value-identical."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+# populate the registry
+from cdk_datalake_ingest_bigmagic_spark.queries import relational  # noqa: E402,F401
+from cdk_datalake_ingest_bigmagic_spark.queries import dsl_demo  # noqa: E402,F401
+from cdk_datalake_ingest_bigmagic_spark.queries import llmdata  # noqa: E402,F401
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    return dict(ORACLES)

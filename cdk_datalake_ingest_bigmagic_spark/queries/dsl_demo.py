@@ -1,0 +1,331 @@
+"""Transformation-DSL queries over testdata.
+
+Each query deterministically "messies" a testdata column into the
+reference's raw encodings (magic ordinals, HHMMSS ints, byte booleans,
+null-ish strings), then decodes it with the DSL compiler — and the
+DuckDB oracle reimplements the same decode independently. This proves
+the compiled Column expressions, not just the golden unit tests.
+
+The magic ordinal for a date d is (d - 1900-01-01).days + 693596
+(reference light_transform.py:33-34; decode :922-935).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.functions.compiler import (
+    MAGIC_OFFSET,
+    DslCompiler,
+)
+from cdk_datalake_ingest_bigmagic_spark.queries import load, register
+
+
+def _compile(df: DataFrame, pairs: list[tuple[str, str, str]]) -> DataFrame:
+    """pairs: (alias, transformation, declared_type) — plus keeps keys."""
+    compiler = DslCompiler.for_dataframe(df)
+    return df.select(
+        *[compiler.compile(t, dt).alias(a) for a, t, dt in pairs],
+    )
+
+
+@register(
+    "dsl_clearstring",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN m IS NULL OR trim(m) IN ('', 'None', 'NULL', 'null')
+                THEN 'UNK' ELSE trim(m) END AS cleaned
+    FROM (
+      SELECT c_custkey,
+             CASE c_custkey % 5
+               WHEN 0 THEN NULL
+               WHEN 1 THEN '   '
+               WHEN 2 THEN 'None'
+               ELSE concat('  ', c_name, ' ') END AS m
+      FROM customer)
+    """,
+)
+def dsl_clearstring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 ClearString with default over messified customer names."""
+    c = load(spark, sf_dir, "customer")
+    m = (
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(None))
+        .when(F.col("c_custkey") % 5 == 1, F.lit("   "))
+        .when(F.col("c_custkey") % 5 == 2, F.lit("None"))
+        .otherwise(F.concat(F.lit("  "), F.col("c_name"), F.lit(" ")))
+    )
+    messy = c.select("c_custkey", m.alias("m"))
+    compiler = DslCompiler.for_dataframe(messy)
+    return messy.select(
+        "c_custkey",
+        compiler.compile("fn_transform_ClearString(m,$UNK)", "string").alias("cleaned"),
+    )
+
+
+@register(
+    "dsl_concatenate",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           concat(trim(CAST(l_orderkey AS VARCHAR)), '|',
+                  trim(CAST(l_linenumber AS VARCHAR)), '|',
+                  trim(l_returnflag)) AS id_full
+    FROM lineitem
+    """,
+)
+def dsl_concatenate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 Concatenate: pipe-joined trimmed parts."""
+    li = load(spark, sf_dir, "lineitem")
+    compiler = DslCompiler.for_dataframe(li)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        compiler.compile(
+            "fn_transform_Concatenate(l_orderkey,l_linenumber,l_returnflag)", "string"
+        ).alias("id_full"),
+    )
+
+
+@register(
+    "dsl_datemagic_roundtrip",
+    oracle=f"""
+    SELECT o_orderkey,
+           (DATE '1900-01-01' + CAST(ordval AS INT) - {MAGIC_OFFSET}) AS decoded
+    FROM (
+      SELECT o_orderkey,
+             CAST(datediff('day', DATE '1900-01-01', CAST(o_orderdate AS DATE))
+                  + {MAGIC_OFFSET} AS VARCHAR) AS ordval
+      FROM orders)
+    """,
+)
+def dsl_datemagic_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 DateMagic: encode o_orderdate to a magic ordinal string, decode
+    with the DSL — the roundtrip must reproduce the original date."""
+    o = load(spark, sf_dir, "orders")
+    ordval = (
+        F.datediff(F.col("o_orderdate").cast("date"), F.to_date(F.lit("1900-01-01")))
+        + F.lit(MAGIC_OFFSET)
+    ).cast("string")
+    enc = o.select("o_orderkey", ordval.alias("ordval"))
+    compiler = DslCompiler.for_dataframe(enc)
+    return enc.select(
+        "o_orderkey",
+        compiler.compile("fn_transform_DateMagic(ordval,yyyy-MM-dd,to_null)", "date").alias(
+            "decoded"
+        ),
+    )
+
+
+@register(
+    "dsl_datetimemagic_roundtrip",
+    oracle=f"""
+    SELECT event_id,
+           (DATE '1900-01-01' + CAST(dateval AS INT) - {MAGIC_OFFSET}
+            + make_time(CAST(lpad(timeval, 6, '0')[1:2] AS INT),
+                        CAST(lpad(timeval, 6, '0')[3:4] AS INT),
+                        CAST(lpad(timeval, 6, '0')[5:6] AS INT))) AS decoded
+    FROM (
+      SELECT event_id,
+             CAST(datediff('day', DATE '1900-01-01', CAST(ts AS DATE))
+                  + {MAGIC_OFFSET} AS VARCHAR) AS dateval,
+             CAST(hour(ts) * 10000 + minute(ts) * 100
+                  + CAST(floor(second(ts)) AS INT) AS VARCHAR) AS timeval
+      FROM events)
+    """,
+)
+def dsl_datetimemagic_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 DatetimeMagic: events.ts → (magic ordinal, HHMMSS int) → decode;
+    equals ts truncated to seconds."""
+    ev = load(spark, sf_dir, "events")
+    dateval = (
+        F.datediff(F.col("ts").cast("date"), F.to_date(F.lit("1900-01-01")))
+        + F.lit(MAGIC_OFFSET)
+    ).cast("string")
+    timeval = (
+        F.hour("ts") * 10000 + F.minute("ts") * 100 + F.floor(F.second("ts")).cast("int")
+    ).cast("string")
+    enc = ev.select("event_id", dateval.alias("dateval"), timeval.alias("timeval"))
+    compiler = DslCompiler.for_dataframe(enc)
+    return enc.select(
+        "event_id",
+        compiler.compile(
+            "fn_transform_DatetimeMagic(dateval,timeval,yyyy-MM-dd HH:mm:ss)",
+            "timestamp",
+        ).alias("decoded"),
+    )
+
+
+@register(
+    "dsl_periodmagic",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN mes IS NULL OR anyo IS NULL THEN '190001'
+                ELSE concat(anyo, lpad(mes, 2, '0')) END AS periodo
+    FROM (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                  ELSE CAST(month(o_orderdate) AS VARCHAR) END AS mes,
+             CAST(year(o_orderdate) AS VARCHAR) AS anyo
+      FROM orders)
+    """,
+)
+def dsl_periodmagic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11 PeriodMagic with the '190001' NULL sentinel."""
+    o = load(spark, sf_dir, "orders")
+    mes = F.when(F.col("o_orderkey") % 11 == 0, F.lit(None)).otherwise(
+        F.month("o_orderdate").cast("string")
+    )
+    enc = o.select(
+        "o_orderkey", mes.alias("mes"), F.year("o_orderdate").cast("string").alias("anyo")
+    )
+    compiler = DslCompiler.for_dataframe(enc)
+    return enc.select(
+        "o_orderkey",
+        compiler.compile("fn_transform_PeriodMagic(mes,anyo)", "string").alias("periodo"),
+    )
+
+
+@register(
+    "dsl_bytemagic",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN flag IS NULL THEN 'F'
+                WHEN flag = 'T' THEN 'T' WHEN flag = 'F' THEN 'F'
+                WHEN flag = '0x54' THEN 'T' WHEN flag = '0x46' THEN 'F'
+                WHEN flag = '84' THEN 'T' WHEN flag = '70' THEN 'F'
+                ELSE 'F' END AS decoded
+    FROM (
+      SELECT event_id,
+             CASE event_id % 7
+               WHEN 0 THEN 'T' WHEN 1 THEN 'F' WHEN 2 THEN '0x54'
+               WHEN 3 THEN '0x46' WHEN 4 THEN '84' WHEN 5 THEN '70'
+               ELSE NULL END AS flag
+      FROM events)
+    """,
+)
+def dsl_bytemagic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12 ByteMagic over all encodings of T/F."""
+    ev = load(spark, sf_dir, "events")
+    flag = (
+        F.when(F.col("event_id") % 7 == 0, "T")
+        .when(F.col("event_id") % 7 == 1, "F")
+        .when(F.col("event_id") % 7 == 2, "0x54")
+        .when(F.col("event_id") % 7 == 3, "0x46")
+        .when(F.col("event_id") % 7 == 4, "84")
+        .when(F.col("event_id") % 7 == 5, "70")
+        .otherwise(F.lit(None))
+    )
+    enc = ev.select("event_id", flag.alias("flag"))
+    compiler = DslCompiler.for_dataframe(enc)
+    return enc.select(
+        "event_id",
+        compiler.compile("fn_transform_ByteMagic(flag,$F)", "string").alias("decoded"),
+    )
+
+
+@register(
+    "dsl_case_mapping",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'hot'
+                WHEN o_orderpriority IN ('5-LOW') THEN 'cold'
+                ELSE o_orderpriority END AS priority_class
+    FROM orders
+    """,
+)
+def dsl_case_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13 Case: unmatched values keep the original."""
+    o = load(spark, sf_dir, "orders")
+    compiler = DslCompiler.for_dataframe(o)
+    return o.select(
+        "o_orderkey",
+        compiler.compile(
+            "fn_transform_Case(o_orderpriority,1-URGENT|2-HIGH->hot,5-LOW->cold)",
+            "string",
+        ).alias("priority_class"),
+    )
+
+
+@register(
+    "dsl_case_multicolumn",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN (l_returnflag = 'R' AND l_linestatus = 'F')
+                  OR (l_returnflag = 'A' AND l_linestatus = 'F') THEN 'closed_return'
+                ELSE 'other' END AS status_class
+    FROM lineitem
+    """,
+)
+def dsl_case_multicolumn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T14 Case_with_default with a two-column '&' selector."""
+    li = load(spark, sf_dir, "lineitem")
+    compiler = DslCompiler.for_dataframe(li)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        compiler.compile(
+            "fn_transform_Case_with_default(l_returnflag&l_linestatus,"
+            "R&F|A&F->closed_return,$other)",
+            "string",
+        ).alias("status_class"),
+    )
+
+
+@register(
+    "dsl_numeric_decimal",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(round(l_extendedprice, 2) AS VARCHAR) AS DECIMAL(13,2))
+             AS price_dec
+    FROM lineitem
+    """,
+)
+def dsl_numeric_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10 Numeric: string → declared decimal(13,2). Pre-rounded so both
+    engines parse an exact 2-dp literal."""
+    li = load(spark, sf_dir, "lineitem")
+    enc = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice"), 2).cast("string").alias("price_str"),
+    )
+    compiler = DslCompiler.for_dataframe(enc)
+    return enc.select(
+        "l_orderkey",
+        "l_linenumber",
+        compiler.compile("fn_transform_Numeric(price_str)", "numeric(13,2)").alias(
+            "price_dec"
+        ),
+    )
+
+
+@register(
+    "dsl_date_to_string_nested",
+    oracle=f"""
+    SELECT o_orderkey,
+           strftime(DATE '1900-01-01' + CAST(ordval AS INT) - {MAGIC_OFFSET}, '%Y%m')
+             AS processperiod
+    FROM (
+      SELECT o_orderkey,
+             CAST(datediff('day', DATE '1900-01-01', CAST(o_orderdate AS DATE))
+                  + {MAGIC_OFFSET} AS VARCHAR) AS ordval
+      FROM orders)
+    """,
+)
+def dsl_date_to_string_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 nested in T5: the production 'processperiod' pattern
+    (reference columns.csv:1046)."""
+    o = load(spark, sf_dir, "orders")
+    ordval = (
+        F.datediff(F.col("o_orderdate").cast("date"), F.to_date(F.lit("1900-01-01")))
+        + F.lit(MAGIC_OFFSET)
+    ).cast("string")
+    enc = o.select("o_orderkey", ordval.alias("ordval"))
+    compiler = DslCompiler.for_dataframe(enc)
+    return enc.select(
+        "o_orderkey",
+        compiler.compile(
+            "fn_transform_Date_to_String(fn_transform_DateMagic(ordval,yyyy-MM-dd,1900-01-01),yyyyMM)",
+            "string",
+        ).alias("processperiod"),
+    )

@@ -1,0 +1,359 @@
+"""Training-data pipeline queries: text analysis, dedup, similarity,
+multimodal plumbing — over the ``documents`` and ``embeddings`` tables.
+
+Oracles reimplement the exact operator logic in DuckDB SQL; hash-based
+operators use md5 (identical hex in both engines) and integer-derived
+ratios so value hashes match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.operators import dedup as dd
+from cdk_datalake_ingest_bigmagic_spark.operators import similarity as sim
+from cdk_datalake_ingest_bigmagic_spark.operators import text as tx
+from cdk_datalake_ingest_bigmagic_spark.queries import load, register
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+             AS n_tokens
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace words + BPE-ish regex tokens."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        tx.char_count(t).alias("n_chars"),
+        tx.word_count(t).alias("n_words"),
+        tx.bpe_token_count(t).cast("long").alias("n_tokens"),
+    )
+
+
+@register(
+    "text_quality_features",
+    oracle=r"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens,
+           round(CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                      / length(text)::DOUBLE END, 6) AS alpha_ratio,
+           round(CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE length(regexp_replace(text, '[^\.,;:!\?]', '', 'g'))::DOUBLE
+                      / length(text)::DOUBLE END, 6) AS punct_ratio,
+           round(CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+')) END) = 0 THEN 0.0
+                 ELSE len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                          t -> t IN ('the','a','of','and','to','in','is','it','that','for')))::DOUBLE
+                      / (CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(string_split_regex(trim(text), '\s+')) END)::DOUBLE
+                 END, 6) AS stopword_ratio
+    FROM documents
+    """,
+)
+def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features (length/punct/stopword ratios)."""
+    d = load(spark, sf_dir, "documents")
+    out = tx.quality_features(d, "doc_id", "text")
+    return out.withColumn("n_tokens", F.col("n_tokens").cast("long"))
+
+
+@register(
+    "text_language_id",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t AS tok
+      FROM documents, unnest(string_split_regex(lower(text), '[^a-z]+')) AS u(t)
+      WHERE t <> ''
+    ), scored AS (
+      SELECT doc_id,
+        SUM(CASE WHEN tok IN ('the','a','of','and','to','in','is','it','that','for') THEN 1 ELSE 0 END) AS hits_en,
+        SUM(CASE WHEN tok IN ('el','la','de','y','en','es','un','una','que','los') THEN 1 ELSE 0 END) AS hits_es,
+        SUM(CASE WHEN tok IN ('le','la','de','et','en','est','un','une','que','les') THEN 1 ELSE 0 END) AS hits_fr
+      FROM toks GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(CASE
+             WHEN s.hits_en = greatest(s.hits_en, s.hits_es, s.hits_fr)
+                  AND greatest(s.hits_en, s.hits_es, s.hits_fr) > 0 THEN 'en'
+             WHEN s.hits_es = greatest(s.hits_en, s.hits_es, s.hits_fr)
+                  AND greatest(s.hits_en, s.hits_es, s.hits_fr) > 0 THEN 'es'
+             WHEN s.hits_fr = greatest(s.hits_en, s.hits_es, s.hits_fr)
+                  AND greatest(s.hits_en, s.hits_es, s.hits_fr) > 0 THEN 'fr'
+             ELSE 'und' END, 'und') AS lang_pred
+    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-voting language ID heuristic."""
+    d = load(spark, sf_dir, "documents")
+    return tx.language_id(d, "doc_id", "text")
+
+
+@register(
+    "text_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over normalized text."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle=r"""
+    SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+           COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via fingerprint groupBy (shuffles 16-byte digests,
+    not documents)."""
+    d = load(spark, sf_dir, "documents")
+    return dd.exact_duplicates(d, "doc_id", "text")
+
+
+_SHINGLE_CTE = r"""
+    norm AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+2], ' ') AS shingle
+      FROM norm, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) i
+      WHERE len(w) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_inter::DOUBLE / (sa.n + sb.n - n_inter)::DOUBLE, 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(n_inter::DOUBLE / (sa.n + sb.n - n_inter)::DOUBLE, 6) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram Jaccard near-dup pairs via shingle inverted index."""
+    d = load(spark, sf_dir, "documents")
+    sh = dd.shingle_table(d, "doc_id", "text", n=3)
+    return dd.jaccard_pairs(sh, "doc_id", threshold=0.8).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+# 8 bands × 4 rows: wide min-hash aggregation mirrored in SQL
+wide_mins = ",\n             ".join(
+    f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(32)
+)
+band_union = "\n      UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, "
+    + " || ',' || ".join(f"h{b * 4 + r}" for r in range(4))
+    + " AS band_key FROM wide"
+    for b in range(8)
+)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    wide AS (
+      SELECT doc_id,
+             {wide_mins}
+      FROM sh GROUP BY doc_id
+    ),
+    sig AS (
+      {band_union}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    verified AS (
+      SELECT i.id_a, i.id_b,
+             round(n_inter::DOUBLE / (sa.n + sb.n - n_inter)::DOUBLE, 6) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+      JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.8
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding (8 bands, md5-derived minima) + exact verify.
+
+    The LSH candidate set bounds the exact-Jaccard work — the property
+    that matters at corpus scale."""
+    d = load(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_bands=8, rows_per_band=4, threshold=0.8
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, t AS tok, COUNT(*) AS tf
+      FROM (SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+            FROM documents), unnest(w) AS u(t)
+      WHERE t <> ''
+      GROUP BY doc_id, t
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h, tf FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, b.bit, h, tf
+      FROM hashed, LATERAL (SELECT unnest(range(0, 32)) AS bit) b
+    ),
+    votes AS (
+      SELECT doc_id, bit,
+             SUM(CASE WHEN (h >> bit) & 1 = 1 THEN tf ELSE -tf END) AS vote
+      FROM bits GROUP BY doc_id, bit
+    ),
+    sigs AS (
+      SELECT doc_id,
+             SUM(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+      FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sigs a JOIN sigs b
+      ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (32-bit signatures, Hamming ≤ 3,
+    top-16-bit blocking)."""
+    d = load(spark, sf_dir, "documents")
+    return dd.simhash_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_COS = """
+    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+"""
+
+
+@register(
+    "embedding_topk",
+    oracle=f"""
+    SELECT b.vec_id, round({_COS}, 6) AS cosine_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id <> 0
+    ORDER BY {_COS} DESC, b.vec_id
+    LIMIT 10
+    """,
+)
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-10 cosine neighbors of vec_id 0."""
+    e = load(spark, sf_dir, "embeddings")
+    return sim.topk_for_id(e, "vec_id", "embedding", query_id=0, k=10)
+
+
+@register(
+    "embedding_similarity_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS}, 4) AS cosine_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round({_COS}, 4) >= 0.45
+    """,
+)
+def embedding_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact threshold pair search (quadratic verification baseline)."""
+    e = load(spark, sf_dir, "embeddings")
+    return sim.similarity_pairs(e, "vec_id", "embedding", threshold=0.45)
+
+
+@register("embedding_ann_lsh")  # no oracle: approximate (bucket recall < 1)
+def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: SRP-LSH bucketed pair search. Approximate by design
+    (recall<1, precision=1), so the driver records a rows-only check;
+    tests assert precision + recall bounds against the exact query."""
+    e = load(spark, sf_dir, "embeddings")
+    return sim.ann_lsh_pairs(e, "vec_id", "embedding", dims=64, num_planes=4, threshold=0.45)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_binary_stats",
+    oracle="""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS byte_len,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column stats through the Arrow mapInPandas feature stage
+    (payload = UTF-8 bytes of the text; md5 over the same bytes)."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.multimodal import (
+        extract_features,
+        media_table_from_documents,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    media = media_table_from_documents(d, "doc_id", "text")
+    feats = extract_features(media)
+    return feats.select("media_id", "byte_len", "payload_md5")

@@ -1,0 +1,403 @@
+"""Relational operator queries (SURVEY §2.1-§2.6) over the testdata
+star schema.
+
+Each query is the Spark-first re-expression of a reference operator:
+filters/joins become DataFrame ops with Catalyst pushdown instead of
+generated SQL strings; the reference file:line appears on each entry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.queries import load, register
+
+# ---------------------------------------------------------------------------
+# scans / projections
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scan_projection",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ltrim(rtrim(l_returnflag)) AS flag,
+           l_quantity
+    FROM lineitem
+    WHERE l_linenumber <= 3
+    """,
+)
+def scan_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 projection list with expressions (reference tables.csv COLUMNS,
+    extract_data.py:1075-1085): explicit select list reaches the parquet
+    scan as column pruning + pushed filter."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_linenumber") <= 3).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.trim(F.col("l_returnflag")).alias("flag"),
+        "l_quantity",
+    )
+
+
+@register(
+    "synthetic_id",
+    oracle="""
+    SELECT concat(trim(CAST(l_orderkey AS VARCHAR)), '|',
+                  trim(CAST(l_linenumber AS VARCHAR))) AS id,
+           l_orderkey, l_linenumber
+    FROM lineitem
+    """,
+)
+def synthetic_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 synthetic composite id: ``rtrim(ltrim(a)) + '|' + ...`` from
+    ID_COLUMN config (extract_data.py:1010-1011) → concat_ws."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        F.concat_ws(
+            "|",
+            F.trim(F.col("l_orderkey").cast("string")),
+            F.trim(F.col("l_linenumber").cast("string")),
+        ).alias("id"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+
+
+# ---------------------------------------------------------------------------
+# filters (P3-P7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_semijoin_subquery",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                         WHERE o_orderpriority = '1-URGENT')
+    """,
+)
+def filter_semijoin_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/J2: FILTER_EXP IN-subquery (tables.csv:2 ``compania in
+    (select ...)``) → left-semi join, broadcast when small."""
+    li = load(spark, sf_dir, "lineitem")
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    return li.join(
+        F.broadcast(urgent), li.l_orderkey == urgent.o_orderkey, "left_semi"
+    ).select("l_orderkey", "l_partkey", "l_quantity")
+
+
+@register(
+    "filter_month_window",
+    oracle="""
+    SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+    FROM events
+    WHERE CAST(ts AS TIMESTAMP) BETWEEN TIMESTAMP '2024-01-05 00:00:00'
+                                    AND TIMESTAMP '2024-01-20 23:59:59'
+    """,
+)
+def filter_month_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 incremental date window: DELAY-computed limits instantiated
+    into a between filter (extract_data.py:397-428). Window literals
+    pinned (injectable clock) for determinism."""
+    ev = load(spark, sf_dir, "events")
+    return ev.filter(
+        F.col("ts").between("2024-01-05 00:00:00", "2024-01-20 23:59:59")
+    ).select("event_id", "user_id", "event_type", "ts")
+
+
+@register(
+    "filter_dual_column_window",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate, o.o_orderdate
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE (l.l_shipdate IS NOT NULL AND
+           l.l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                            AND TIMESTAMP '1995-06-30 23:59:59')
+       OR (o.o_orderdate IS NOT NULL AND
+           o.o_orderdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+                             AND TIMESTAMP '1997-03-31 23:59:59')
+    """,
+)
+def filter_dual_column_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 dual-column OR-window: FILTER_COLUMN="colA,colB"
+    (extract_data.py:1035-1043)."""
+    li = load(spark, sf_dir, "lineitem").alias("l")
+    o = load(spark, sf_dir, "orders").alias("o")
+    joined = li.join(o, F.col("l.l_orderkey") == F.col("o.o_orderkey"))
+    c1 = F.col("l.l_shipdate").isNotNull() & F.col("l.l_shipdate").between(
+        "1995-01-01 00:00:00", "1995-06-30 23:59:59"
+    )
+    c2 = F.col("o.o_orderdate").isNotNull() & F.col("o.o_orderdate").between(
+        "1997-01-01 00:00:00", "1997-03-31 23:59:59"
+    )
+    return joined.filter(c1 | c2).select(
+        F.col("l.l_orderkey").alias("l_orderkey"),
+        F.col("l.l_linenumber").alias("l_linenumber"),
+        F.col("l.l_shipdate").alias("l_shipdate"),
+        F.col("o.o_orderdate").alias("o_orderdate"),
+    )
+
+
+@register(
+    "filter_watermark",
+    oracle="""
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+    FROM events
+    WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '2024-01-25 12:00:00'
+    """,
+)
+def filter_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 watermark bookmark filter: col > last_value
+    (incremental.py:257-344)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.filter(F.col("ts") > "2024-01-25 12:00:00").select(
+        "event_id", "user_id", "ts"
+    )
+
+
+@register(
+    "filter_explicit_range",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey BETWEEN 100 AND 500
+    """,
+)
+def filter_explicit_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 explicit START/END range (time_range.py:274-293)."""
+    o = load(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey").between(100, 500)).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins (J1)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_config_multitable",
+    oracle="""
+    SELECT n.n_name AS nation, r.r_name AS region,
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN nation n    ON c.c_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY n.n_name, r.r_name
+    """,
+)
+def join_config_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 config join chain (tables.csv JOIN_EXPR multi-key equi-joins)
+    re-expressed as DataFrame joins: Catalyst broadcasts the small
+    dimensions (nation/region/customer) instead of shipping SQL to the
+    source DB. Decimal-sum → double for cross-engine determinism."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(n.n_name.alias("nation"), r.r_name.alias("region"))
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregations (A1-A3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_minmax_probe",
+    oracle="""
+    SELECT MIN(o_orderkey) AS min_val, MAX(o_orderkey) AS max_val
+    FROM orders WHERE o_orderkey <> 0
+    """,
+)
+def agg_minmax_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 min/max probe that seeds X1 range partitioning
+    (extract_data.py:969-995)."""
+    o = load(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") != 0).agg(
+        F.min("o_orderkey").alias("min_val"), F.max("o_orderkey").alias("max_val")
+    )
+
+
+@register(
+    "agg_watermark_running_max",
+    oracle="SELECT MAX(CAST(ts AS TIMESTAMP)) AS watermark FROM events",
+)
+def agg_watermark_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 running max that advances the watermark (orchestrator.py:559-627)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.agg(F.max("ts").alias("watermark"))
+
+
+@register(
+    "agg_count_guards",
+    oracle="""
+    SELECT 'lineitem' AS tbl, COUNT(*) AS cnt FROM lineitem
+    UNION ALL SELECT 'orders', COUNT(*) FROM orders
+    UNION ALL SELECT 'events', COUNT(*) FROM events
+    """,
+)
+def agg_count_guards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 count guards branching empty-table handling
+    (light_transform.py:1442-1462)."""
+    rows = []
+    for t in ["lineitem", "orders", "events"]:
+        rows.append(
+            load(spark, sf_dir, t).agg(
+                F.lit(t).alias("tbl"), F.count(F.lit(1)).alias("cnt")
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@register(
+    "agg_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(round(l_extendedprice, 4) AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_base_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped aggregation (free Spark built-in the reference lacked,
+    SURVEY §2.4): TPC-H-Q1-shaped pricing summary, map-side partial
+    aggregation then one shuffle on the group keys."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice"), 4).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# windows / dedup / sort (W1, O1-O3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_dedup_latest",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts FROM (
+      SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def window_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 latest-record dedup (light_transform.py:1786-1797):
+    row_number over (id keys, order by change-date desc). event_id
+    tiebreak keeps the result deterministic."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+@register(
+    "order_by_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def order_by_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O2 order-by + limit: Spark turns this into TakeOrderedAndProject
+    (no global sort shuffle) — the scalable top-k plan."""
+    o = load(spark, sf_dir, "orders")
+    return o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")).limit(10).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "dedup_exact_rows",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 exact dedup → dropDuplicates (hash aggregate, map-side combine)."""
+    c = load(spark, sf_dir, "customer")
+    return c.select("c_mktsegment", "c_nationkey").dropDuplicates()
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) OVER (
+             PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_value
+    FROM events
+    WHERE user_id <= 20
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window frame (built-in beyond the reference's W1):
+    per-user running total, decimal accumulation for determinism."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_value"),
+    )

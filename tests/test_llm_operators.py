@@ -1,0 +1,130 @@
+"""Tests for text / dedup / similarity / multimodal operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.operators import dedup as dd
+from cdk_datalake_ingest_bigmagic_spark.operators import similarity as sim
+from cdk_datalake_ingest_bigmagic_spark.operators import text as tx
+from cdk_datalake_ingest_bigmagic_spark.operators.multimodal import (
+    decode_image,
+    extract_features,
+    media_table_from_documents,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "el rapido zorro marron salta sobre el perro y la casa de la"),
+        (4, "completely different content about spark engines and data"),
+        (5, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_word_and_token_counts(spark, docs):
+    out = {r["doc_id"]: r for r in docs.select(
+        "doc_id",
+        tx.word_count(F.col("text")).alias("w"),
+        tx.bpe_token_count(F.col("text")).alias("t"),
+    ).collect()}
+    assert out[1]["w"] == 9
+    assert out[6]["w"] == 0
+    assert out[1]["t"] == 9  # letters-only words
+
+
+def test_exact_duplicates(docs):
+    groups = dd.exact_duplicates(docs, "doc_id", "text").collect()
+    dup = [g for g in groups if g["n_docs"] > 1]
+    assert len(dup) == 1
+    assert dup[0]["n_docs"] == 2 and dup[0]["canonical_id"] == 1
+
+
+def test_jaccard_and_minhash_agree(docs):
+    sh = dd.shingle_table(docs, "doc_id", "text", n=3)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dd.jaccard_pairs(sh, "doc_id", 0.5).collect()
+    }
+    assert (1, 2) in exact and (1, 5) in exact
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dd.minhash_lsh_pairs(
+            docs, "doc_id", "text", n=3, num_bands=8, threshold=0.5
+        ).collect()
+    }
+    # LSH: precision 1 (subset of exact); the exact-dup pair always found
+    assert lsh <= exact
+    assert (1, 5) in lsh
+
+
+def test_simhash_exact_dup_distance_zero(docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in
+            dd.simhash_signatures(docs, "doc_id", "text").collect()}
+    assert sigs[1] == sigs[5]
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dd.simhash_pairs(docs, "doc_id", "text", max_hamming=8).collect()}
+    assert pairs.get((1, 5)) == 0
+
+
+def test_language_id(spark, docs):
+    out = {r["doc_id"]: r["lang_pred"] for r in
+           tx.language_id(docs, "doc_id", "text").collect()}
+    assert out[1] == "en"
+    assert out[3] == "es"
+    assert out[6] == "und"
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "  hello world "), (3, "other")],
+        "id: long, text: string",
+    )
+    fps = {r["id"]: r["fp"] for r in
+           df.select("id", tx.fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fps[1] == fps[2] != fps[3]
+
+
+def test_similarity_pairs_and_topk(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),  # close to 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    pairs = {(r["id_a"], r["id_b"]): r["cosine_sim"]
+             for r in sim.similarity_pairs(df, "vec_id", "embedding", 0.9).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
+    assert (1, 3) not in pairs
+
+    topk = sim.topk_for_id(df, "vec_id", "embedding", query_id=1, k=2).collect()
+    assert [r["vec_id"] for r in topk] == [2, 3]
+
+
+def test_ann_lsh_precision(spark, sf_dir):
+    from cdk_datalake_ingest_bigmagic_spark.queries import load
+
+    e = load(spark, sf_dir, "embeddings")
+    exact = {(r["id_a"], r["id_b"])
+             for r in sim.similarity_pairs(e, "vec_id", "embedding", 0.45).collect()}
+    approx = {(r["id_a"], r["id_b"])
+              for r in sim.ann_lsh_pairs(
+                  e, "vec_id", "embedding", dims=64, num_planes=4, threshold=0.45
+              ).collect()}
+    # precision 1: every approximate pair is a true pair
+    assert approx <= exact
+
+
+def test_multimodal_stub_and_features(spark, docs):
+    with pytest.raises(NotImplementedError):
+        decode_image(b"xx")
+    media = media_table_from_documents(docs, "doc_id", "text")
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert feats[1]["byte_len"] == len("the quick brown fox jumps over the lazy dog")
+    assert len(feats[1]["feature"]) == 8
+    assert feats[1]["payload_md5"] == feats[5]["payload_md5"]
