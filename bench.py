@@ -41,10 +41,22 @@ def main() -> None:
     spark = get_spark(app_name="bench")
 
     queries = all_queries()
-    # JVM / codegen warmup so the first timed query isn't charged for
-    # session bring-up
+    # Warm up the engine before timing: JVM codegen, shuffle machinery,
+    # and the Python worker pool are one-time session costs, not
+    # per-query costs — run every headline query once at the smallest
+    # SF so the timed loop measures steady-state throughput.
     spark.range(1000).selectExpr("sum(id)").collect()
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).count()
+    spark.range(64).repartition(8).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in HEADLINE:
+        try:
+            queries[name](spark, warm_dir).count()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

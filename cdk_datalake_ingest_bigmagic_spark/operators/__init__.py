@@ -1,0 +1,21 @@
+"""Corpus-scale operators: text analysis, dedup, similarity, multimodal."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Raise map-side parallelism when the input is under-partitioned
+    (e.g. one small parquet file → one task doing ALL the explode /
+    matmul work while 31 cores idle).
+
+    No-op on well-partitioned inputs: at corpus scale the file scan
+    already yields thousands of splits, so this never adds a shuffle
+    where the data is big. The repartition only ever moves the small,
+    under-split input.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cdk_datalake_ingest_bigmagic_spark.operators import fan_out
 from cdk_datalake_ingest_bigmagic_spark.operators.text import (
     fingerprint,
     normalize_text,
@@ -59,7 +60,7 @@ def shingle_table(
         f"i -> concat_ws(' ', slice(__words, i + 1, {n})))"
     )
     return (
-        df.select(F.col(id_col), words.alias("__words"))
+        fan_out(df.select(F.col(id_col), words.alias("__words")))
         .filter(F.size("__words") >= n)
         .select(F.col(id_col), F.explode(shingles).alias("shingle"))
         .distinct()
@@ -97,12 +98,62 @@ def jaccard_pairs(
     )
 
 
+MINHASH_PRIME = 2147483647  # 2^31 - 1 (Mersenne), products stay < 2^63
+
+
+def shingle_hash_table(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct (id, h) with h = 28-bit md5-derived long per shingle.
+
+    Hashing BEFORE the distinct means the dedup shuffle, the min-hash
+    aggregation, and the Jaccard-verify joins all move 8-byte longs
+    instead of shingle strings — the difference between shuffling ~8
+    bytes/row and ~25 bytes/row at corpus scale. 28 bits keeps
+    ``a*h`` < 2^63 for the universal-hash family below (portable to
+    engines without wrapping multiply); intra-document collisions are
+    ~|shingles|²/2^29 ≈ 1e-5 and identical in every engine.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    shingles = F.expr(
+        f"transform(sequence(0, size(__words) - {n}), "
+        f"i -> concat_ws(' ', slice(__words, i + 1, {n})))"
+    )
+    h = F.conv(F.substring(F.md5(F.col("__sh")), 1, 7), 16, 10).cast("long")
+    return (
+        fan_out(df.select(F.col(id_col), words.alias("__words")))
+        .filter(F.size("__words") >= n)
+        .select(F.col(id_col), F.explode(shingles).alias("__sh"))
+        .select(F.col(id_col), h.alias("h"))
+        .distinct()
+    )
+
+
+def minhash_hash_params(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family
+    h_i(x) = (a_i * x + b_i) mod (2^31-1). Shared with the DuckDB
+    oracle so signatures reproduce bit-for-bit across engines."""
+    return [
+        (
+            ((2654435761 * (i + 1)) % MINHASH_PRIME) or 1,
+            (40503 * (i + 7)) % MINHASH_PRIME,
+        )
+        for i in range(n_hashes)
+    ]
+
+
 def minhash_signatures(
     shingles: DataFrame, id_col: str, num_bands: int = 8, rows_per_band: int = 4
 ) -> DataFrame:
     """Banded MinHash signatures: num_bands × rows_per_band independent
-    min-hashes (hash i = min over shingles of md5(i:shingle)), AND-ed
-    within a band into one ``band_key``.
+    min-hashes, AND-ed within a band into one ``band_key``.
+
+    Input is a ``shingle_hash_table`` (id, h): each shingle was hashed
+    ONCE (md5 → 28-bit long); the n independent hash functions are
+    integer multiply-mods of that base — ~32× less hashing than
+    md5-per-function, and the min-aggregation runs over longs, not hex
+    strings. a*h < 2^31 * 2^28 never overflows int64 (portable to the
+    DuckDB oracle, which has no wrapping multiply).
 
     The AND/OR banding gives the classic S-curve
     P(candidate) = 1-(1-j^r)^b — with r=1 almost everything collides,
@@ -111,12 +162,14 @@ def minhash_signatures(
     Output: (id, band, band_key).
     """
     n_hashes = num_bands * rows_per_band
-    # one WIDE aggregation: 32 min() columns over the shingle rows —
+    # one WIDE aggregation: 32 min() columns over the shingle-hash rows —
     # map-side combinable, shuffles |shing| rows once instead of
     # exploding them n_hashes times
     aggs = [
-        F.min(F.md5(F.concat_ws(":", F.lit(i), F.col("shingle")))).alias(f"h{i}")
-        for i in range(n_hashes)
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+            f"h{i}"
+        )
+        for i, (a, b) in enumerate(minhash_hash_params(n_hashes))
     ]
     wide = shingles.groupBy(id_col).agg(*aggs)
     band_structs = F.array(
@@ -141,14 +194,20 @@ def verify_jaccard(
     shingles: DataFrame,
     id_col: str,
     threshold: float = 0.8,
+    shingle_col: str = "shingle",
 ) -> DataFrame:
     """Exact Jaccard for an explicit candidate-pair set only.
 
     Work is bounded by |candidates| × shingles-per-doc — the candidate
     DataFrame is expected to be orders of magnitude smaller than the
-    all-co-shingle pair space."""
-    a_sh = shingles.select(F.col(id_col).alias("id_a"), F.col("shingle").alias("sh_a"))
-    b_sh = shingles.select(F.col(id_col).alias("__idb"), F.col("shingle").alias("sh_b"))
+    all-co-shingle pair space. ``shingle_col`` may be a string shingle
+    or a shingle hash (longs join faster; same Jaccard either way)."""
+    a_sh = shingles.select(
+        F.col(id_col).alias("id_a"), F.col(shingle_col).alias("sh_a")
+    )
+    b_sh = shingles.select(
+        F.col(id_col).alias("__idb"), F.col(shingle_col).alias("sh_b")
+    )
     inter = (
         candidates.join(a_sh, "id_a")
         .join(b_sh, (F.col("id_b") == F.col("__idb")) & (F.col("sh_a") == F.col("sh_b")))
@@ -187,8 +246,10 @@ def minhash_lsh_pairs(
     S-curve midpoint near j≈0.55: j=0.8 pairs are caught w.p. ≈0.99,
     j=0.3 pairs almost never become candidates.
     """
-    sh = shingle_table(df, id_col, text_col, n).cache()
-    sig = minhash_signatures(sh, id_col, num_bands, rows_per_band)
+    sh = shingle_hash_table(df, id_col, text_col, n).cache()
+    # signatures are one narrow row per document — cache so the bucket
+    # self-join doesn't recompute the wide min-aggregation twice
+    sig = minhash_signatures(sh, id_col, num_bands, rows_per_band).cache()
     left = sig.select(F.col(id_col).alias("id_a"), "band", "band_key")
     right = sig.select(F.col(id_col).alias("id_b"), "band", "band_key")
     candidates = (
@@ -197,7 +258,7 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    return verify_jaccard(candidates, sh, id_col, threshold)
+    return verify_jaccard(candidates, sh, id_col, threshold, shingle_col="h")
 
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -209,7 +270,8 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     corpus scale because the aggregation is map-side combinable.
     """
     toks = (
-        df.select(
+        fan_out(df.select(F.col(id_col), F.col(text_col)))
+        .select(
             F.col(id_col),
             F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
         )

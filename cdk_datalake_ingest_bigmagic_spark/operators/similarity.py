@@ -131,7 +131,9 @@ def similarity_pairs(
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(run, _PAIR_SCHEMA)
+    from cdk_datalake_ingest_bigmagic_spark.operators import fan_out
+
+    return fan_out(df.select(id_col, vec_col)).mapInPandas(run, _PAIR_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -184,9 +184,30 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# 8 bands × 4 rows: wide min-hash aggregation mirrored in SQL
+# MinHash CTE: like _SHINGLE_CTE but the shingle is md5-hashed to a
+# 28-bit long BEFORE the DISTINCT — mirrors shingle_hash_table so
+# distinct-set sizes (and thus Jaccard) match the Spark side exactly
+# even on intra-document hash collisions.
+_SHINGLE_HASH_CTE = r"""
+    norm AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(array_to_string(w[i.i:i.i+2], ' ')), 1, 7))::BIGINT AS h
+      FROM norm, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) i
+      WHERE len(w) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+# 8 bands × 4 rows: wide min-hash aggregation mirrored in SQL — same
+# (a*h+b) mod 2^31-1 universal family as the Spark operator
 wide_mins = ",\n             ".join(
-    f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(32)
+    f"MIN(({a} * h + {b}) % {dd.MINHASH_PRIME}) AS h{i}"
+    for i, (a, b) in enumerate(dd.minhash_hash_params(32))
 )
 band_union = "\n      UNION ALL ".join(
     f"SELECT doc_id, {b} AS band, "
@@ -199,7 +220,7 @@ band_union = "\n      UNION ALL ".join(
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
-    WITH {_SHINGLE_CTE},
+    WITH {_SHINGLE_HASH_CTE},
     wide AS (
       SELECT doc_id,
              {wide_mins}
@@ -215,7 +236,7 @@ band_union = "\n      UNION ALL ".join(
     ),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
     verified AS (
