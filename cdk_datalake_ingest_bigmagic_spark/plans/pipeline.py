@@ -143,9 +143,16 @@ def run_table_pipeline(
     stage_path: str,
     table: TableConfig,
     specs: list[ColumnSpec],
+    ingest_date=None,
 ) -> TransformResult:
-    """Full raw→stage for one table: read, transform, dedup, write."""
-    raw_df = spark.read.parquet(raw_path)
+    """Full raw→stage for one table: read, transform, dedup, write.
+
+    ``ingest_date`` reprocesses one raw ingest-date partition
+    (DATE_PROCESS semantics — partition pruning reads only that
+    year=/month=/day= prefix)."""
+    from cdk_datalake_ingest_bigmagic_spark.sources.files import read_raw
+
+    raw_df = read_raw(spark, raw_path, ingest_date=ingest_date)
     if raw_df.isEmpty():
         result = TransformResult(df=empty_stage_frame(spark, specs))
     else:

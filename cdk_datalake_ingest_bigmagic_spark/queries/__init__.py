@@ -53,6 +53,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 from cdk_datalake_ingest_bigmagic_spark.queries import relational  # noqa: E402,F401
 from cdk_datalake_ingest_bigmagic_spark.queries import dsl_demo  # noqa: E402,F401
 from cdk_datalake_ingest_bigmagic_spark.queries import llmdata  # noqa: E402,F401
+from cdk_datalake_ingest_bigmagic_spark.queries import events  # noqa: E402,F401
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,113 @@
+"""Event-time queries over the ``events`` table: tumbling / sliding /
+session windows (batch semantics of the streaming operators in
+``streaming/windows.py``) and JSON property extraction.
+
+The window helpers are the exact code a streaming job runs — grouping
+by ``window``/``session_window`` works identically on batch input, so
+the DuckDB oracles double as cross-engine proofs of the streaming
+operators' event-time semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.queries import load, register
+from cdk_datalake_ingest_bigmagic_spark.streaming.windows import (
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+
+
+@register(
+    "events_tumbling_hourly",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           (SUM(CAST(value AS DECIMAL(18,2))))::DOUBLE AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling counts + decimal-exact value sums per type."""
+    e = load(spark, sf_dir, "events")
+    return tumbling_agg(e, "ts", "1 hour", ["event_type"], "value")
+
+
+@register(
+    "events_sliding_counts",
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS b30 FROM events
+    ), w AS (
+      SELECT b30 AS window_start FROM b
+      UNION ALL
+      SELECT b30 - INTERVAL 30 MINUTE AS window_start FROM b
+    )
+    SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+           COUNT(*) AS n_events
+    FROM w GROUP BY 1, 2
+    """,
+)
+def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 min; each event counts in the
+    two windows covering it (fan-out happens inside the grouping
+    expression, not as an explode)."""
+    e = load(spark, sf_dir, "events")
+    return sliding_agg(e, "ts", "1 hour", "30 minutes")
+
+
+@register(
+    "events_sessionization",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap.
+
+    Oracle is the classic gaps-and-islands rewrite; matching it
+    bit-for-bit pins down the boundary rule (a gap of exactly 30 min
+    starts a NEW session; session end = last event + gap)."""
+    e = load(spark, sf_dir, "events")
+    return session_agg(e, "ts", "30 minutes", ["user_id"])
+
+
+@register(
+    "events_json_props",
+    oracle="""
+    SELECT event_id, event_type,
+           json_extract_string(props, '$.k')::INT AS k
+    FROM events
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction from the semi-structured column."""
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )

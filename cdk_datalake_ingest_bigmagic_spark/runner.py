@@ -1,0 +1,240 @@
+"""Process runner: driver-side orchestration of per-table pipelines.
+
+Replaces the reference's orchestration layer — EventBridge cron →
+instance/group/base Step Functions → per-table Glue jobs → DynamoDB
+status log + SNS (``stacks/cdk_datalake_ingest_bigmagic_group_stack.py:
+288-566``, ``extract_data.py:313-368``) — with a plain driver loop:
+
+- a bounded thread pool submits per-table Spark actions concurrently
+  (the SFN Maps ran extracts at concurrency 15 and transforms at 60,
+  group stack ``:342,375``; one Spark app schedules all of it instead),
+- run status rows land in a parquet ``_runs`` table (the DynamoDB log),
+- ``DATE_PROCESS`` reprocessing re-reads one raw ingest-date partition
+  (``light_transform.py:1633-1704`` parses the date in many formats).
+
+Threads here only *submit* jobs; all data movement is executor work, so
+driver concurrency is orchestration parallelism, not compute.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import time
+import traceback
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cdk_datalake_ingest_bigmagic_spark.config.models import Catalog, TableConfig
+from cdk_datalake_ingest_bigmagic_spark.plans.pipeline import (
+    TransformFailure,
+    run_table_pipeline,
+)
+from cdk_datalake_ingest_bigmagic_spark.plans.strategy import (
+    LoadMode,
+    lima_now,
+    plan_extraction,
+)
+from cdk_datalake_ingest_bigmagic_spark.sources.files import write_raw
+
+# Reference SFN Map concurrency (group stack :342 extract, :375 transform)
+EXTRACT_CONCURRENCY = 15
+TRANSFORM_CONCURRENCY = 60
+
+# DATE_PROCESS accepted formats (light_transform.py:1633-1704 tries a
+# ladder of formats before giving up)
+_DATE_PROCESS_FORMATS = (
+    "%Y-%m-%d",
+    "%Y%m%d",
+    "%d/%m/%Y",
+    "%d-%m-%Y",
+    "%Y/%m/%d",
+    "%Y-%m-%d %H:%M:%S",
+    "%Y%m%d%H%M%S",
+    "%d/%m/%Y %H:%M:%S",
+)
+
+
+def parse_process_date(value: str | None) -> dt.date | None:
+    """Parse a DATE_PROCESS override; None/'' → today's load (no
+    reprocessing). Raises ValueError only if a value was given and no
+    format matches — silently guessing a date would reprocess the wrong
+    partition."""
+    if not value or not value.strip():
+        return None
+    v = value.strip()
+    for fmt in _DATE_PROCESS_FORMATS:
+        try:
+            return dt.datetime.strptime(v, fmt).date()
+        except ValueError:
+            continue
+    raise ValueError(f"unparseable DATE_PROCESS: {value!r}")
+
+
+@dataclass
+class TableRun:
+    """One table's outcome — the engine's DynamoDB-log-row equivalent."""
+
+    process_id: str
+    table: str
+    status: str  # SUCCESS | WARNING | FAILED
+    rows: int = -1
+    n_errors: int = 0
+    error: str = ""
+    started_at: float = 0.0
+    finished_at: float = 0.0
+
+
+@dataclass
+class ProcessRunner:
+    """Run every active table of a process group end-to-end.
+
+    ``source_provider`` supplies the extraction DataFrame per table
+    (JDBC in production via ``sources.jdbc``; parquet stand-ins in
+    tests) — the runner applies the load-strategy filters, lands raw,
+    transforms to stage, and logs.
+    """
+
+    spark: SparkSession
+    catalog: Catalog
+    raw_root: str
+    stage_root: str
+    runs_path: str | None = None
+    max_concurrency: int = EXTRACT_CONCURRENCY
+    clock: Callable[[], dt.datetime] = lima_now
+    _runs: list[TableRun] = field(default_factory=list)
+
+    def raw_path(self, table: TableConfig) -> str:
+        return f"{self.raw_root}/{table.stage_table_name.lower()}"
+
+    def stage_path(self, table: TableConfig) -> str:
+        return f"{self.stage_root}/{table.stage_table_name.lower()}"
+
+    # -- single table ------------------------------------------------------
+
+    def extract_table(
+        self,
+        table: TableConfig,
+        source_df: DataFrame,
+        mode: LoadMode = LoadMode.NORMAL,
+        watermark_value=None,
+        ingest_date: dt.date | None = None,
+    ) -> None:
+        """Strategy-filtered extraction → all-string raw landing (S6).
+
+        INITIAL/RESET are destructive re-lands (S12): the raw prefix is
+        overwritten instead of appended."""
+        plan = plan_extraction(
+            table, mode=mode, clock=self.clock, watermark_value=watermark_value
+        )
+        df = plan.apply(source_df)
+        write_raw(
+            df,
+            self.raw_path(table),
+            ingest_date=ingest_date or self.clock().date(),
+            mode="overwrite" if plan.destructive else "append",
+        )
+
+    def transform_table(
+        self, table: TableConfig, process_date: dt.date | None = None
+    ) -> TableRun:
+        """Raw → typed stage for one table, with reference status
+        semantics: transformation-error thresholds map to
+        SUCCESS / WARNING / FAILED (light_transform.py:1487-1509)."""
+        run = TableRun(
+            process_id=table.process_id,
+            table=table.stage_table_name,
+            status="SUCCESS",
+            started_at=time.time(),
+        )
+        try:
+            specs = self.catalog.columns_for(table.stage_table_name)
+            result = run_table_pipeline(
+                self.spark,
+                self.raw_path(table),
+                self.stage_path(table),
+                table,
+                specs,
+                ingest_date=process_date,
+            )
+            run.rows = result.df.count()
+            run.n_errors = len(result.errors)
+            if result.warnings:
+                run.status = "WARNING"
+                run.error = "; ".join(result.warnings[:3])
+        except TransformFailure as e:
+            run.status = "FAILED"
+            run.n_errors = len(e.errors)
+            run.error = str(e)
+        except Exception:
+            run.status = "FAILED"
+            run.error = traceback.format_exc(limit=3)
+        run.finished_at = time.time()
+        return run
+
+    # -- process group -----------------------------------------------------
+
+    def run_process(
+        self,
+        process_id: str,
+        source_provider: Callable[[TableConfig], DataFrame] | None = None,
+        mode: LoadMode = LoadMode.NORMAL,
+        date_process: str | None = None,
+    ) -> list[TableRun]:
+        """Extract (optional) + transform every active table of the
+        process, at bounded driver concurrency; log all outcomes."""
+        tables = self.catalog.tables_for_process(process_id)
+        process_date = parse_process_date(date_process)
+
+        def one(table: TableConfig) -> TableRun:
+            try:
+                if source_provider is not None:
+                    self.extract_table(
+                        table, source_provider(table), mode=mode,
+                        ingest_date=process_date,
+                    )
+            except Exception:
+                return TableRun(
+                    process_id=table.process_id,
+                    table=table.stage_table_name,
+                    status="FAILED",
+                    error=traceback.format_exc(limit=3),
+                    started_at=time.time(),
+                    finished_at=time.time(),
+                )
+            return self.transform_table(table, process_date=process_date)
+
+        if not tables:
+            return []
+        with ThreadPoolExecutor(
+            max_workers=min(self.max_concurrency, len(tables))
+        ) as pool:
+            runs = list(pool.map(one, tables))
+        self._runs.extend(runs)
+        self._log_runs(runs)
+        return runs
+
+    # -- run log -----------------------------------------------------------
+
+    def _log_runs(self, runs: list[TableRun]) -> None:
+        if not self.runs_path or not runs:
+            return
+        rows = [
+            (
+                r.process_id, r.table, r.status, r.rows, r.n_errors,
+                r.error, float(r.started_at), float(r.finished_at),
+            )
+            for r in runs
+        ]
+        self.spark.createDataFrame(
+            rows,
+            "process_id string, table string, status string, rows long, "
+            "n_errors int, error string, started_at double, finished_at double",
+        ).coalesce(1).write.mode("append").parquet(self.runs_path)
+
+    def run_log(self) -> DataFrame:
+        if not self.runs_path:
+            raise ValueError("runner has no runs_path configured")
+        return self.spark.read.parquet(self.runs_path)

@@ -1,0 +1,82 @@
+"""Metastore registration for stage tables.
+
+Replaces the reference's Glue-crawler pipeline (``crawler_stage.py:
+416-623``: build targets, batch 10 tables per crawler, run, poll) with
+direct catalog DDL — a crawler re-infers schemas Spark already knows,
+so registration is one ``CREATE TABLE ... USING PARQUET LOCATION``
+per table against whatever metastore the session is configured with
+(in-memory locally, Hive/Glue on a cluster via the same API).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+from pyspark.sql.utils import AnalysisException
+
+from cdk_datalake_ingest_bigmagic_spark.config.models import Catalog
+
+
+def _quote(identifier: str) -> str:
+    return "`" + identifier.replace("`", "``") + "`"
+
+
+def register_stage_table(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    database: str = "stage",
+    fmt: str = "parquet",
+) -> None:
+    """Register one stage table at its storage location.
+
+    External-location DDL: the metastore row points at the data, no
+    rewrite. Partition columns are discovered from the layout on first
+    read; ``MSCK``/``recoverPartitions`` is unnecessary for
+    path-discovered parquet and Delta self-describes.
+    """
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {_quote(database)}")
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {_quote(database)}.{_quote(name)} "
+        f"USING {fmt} LOCATION '{path}'"
+    )
+
+
+@dataclass
+class RegistrationResult:
+    registered: list[str]
+    failed: dict[str, str]
+
+
+def register_all(
+    spark: SparkSession,
+    catalog: Catalog,
+    stage_root: str,
+    database: str = "stage",
+    fmt: str = "parquet",
+) -> RegistrationResult:
+    """Register every active configured table whose stage data exists.
+
+    Missing/empty locations are recorded, not fatal — the reference's
+    crawler likewise skipped prefixes with no objects."""
+    registered: list[str] = []
+    failed: dict[str, str] = {}
+    for tc in catalog.tables.values():
+        if not tc.is_active:
+            continue
+        name = tc.stage_table_name.lower()
+        try:
+            register_stage_table(
+                spark, name, f"{stage_root}/{name}", database=database, fmt=fmt
+            )
+            # probe: an unreadable location should surface now, not at
+            # first query time
+            spark.table(f"{_quote(database)}.{_quote(name)}").limit(0).collect()
+            registered.append(name)
+        except AnalysisException as e:
+            failed[name] = str(e)
+            spark.sql(
+                f"DROP TABLE IF EXISTS {_quote(database)}.{_quote(name)}"
+            )
+    return RegistrationResult(registered=registered, failed=failed)

@@ -1,0 +1,115 @@
+"""Event-time window operators: tumbling, sliding, session.
+
+The reference has no streaming operators (SURVEY §2.9) — its
+"watermark" is a batch bookmark. These are the Spark-native upgrade
+path: each helper works on BOTH batch DataFrames (deterministic,
+oracle-checkable) and streaming DataFrames (with an event-time
+watermark bounding state), because ``window``/``session_window`` are
+ordinary grouping expressions in Spark.
+
+Aggregates over ``value`` go through DECIMAL sums (associative) and are
+cast to double at the end, so results are bit-identical across engines
+and across partition orders — a plain double sum is
+reduction-order-dependent and would flap the correctness hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _with_watermark(df: DataFrame, ts_col: str, watermark: str | None) -> DataFrame:
+    # Watermarks only mean something on streams; on batch they are a
+    # no-op but Spark still validates the column, so gate explicitly.
+    if watermark and df.isStreaming:
+        return df.withWatermark(ts_col, watermark)
+    return df
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    group_cols: list[str] | None = None,
+    value_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Fixed windows: (window_start, window_end, *group_cols, n_events
+    [, total_value]). State per key is one window — the smallest
+    streaming-state footprint of the three."""
+    df = _with_watermark(df, ts_col, watermark)
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value")
+        )
+    w = F.window(F.col(ts_col), duration)
+    return (
+        df.groupBy(w, *(group_cols or []))
+        .agg(*aggs)
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *(group_cols or []),
+            *[c for c in ("n_events", "total_value") if value_col or c == "n_events"],
+        )
+    )
+
+
+def sliding_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    group_cols: list[str] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Overlapping windows (each event lands in duration/slide windows).
+
+    The fan-out happens inside the window grouping expression — no
+    explode materializes duration/slide copies of the input."""
+    df = _with_watermark(df, ts_col, watermark)
+    w = F.window(F.col(ts_col), duration, slide)
+    return (
+        df.groupBy(w, *(group_cols or []))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *(group_cols or []),
+            "n_events",
+        )
+    )
+
+
+def session_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    group_cols: list[str],
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session windows: events of a key belong to one session while
+    consecutive gaps stay strictly under ``gap``; session end = last
+    event + gap. Output: (*group_cols, session_start, session_end,
+    n_events).
+
+    Semantics note (matters for the oracle): a new session starts when
+    ts >= previous ts + gap — the boundary event goes to the NEW
+    session.
+    """
+    df = _with_watermark(df, ts_col, watermark)
+    w = F.session_window(F.col(ts_col), gap)
+    return (
+        df.groupBy(w, *group_cols)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            *group_cols,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,156 @@
+"""Process-runner orchestration tests: extract→raw→stage across a
+process group, status logging, DATE_PROCESS reprocessing, catalog
+registration."""
+
+import datetime as dt
+
+import pytest
+
+from cdk_datalake_ingest_bigmagic_spark.config.models import (
+    Catalog,
+    ColumnSpec,
+    TableConfig,
+)
+from cdk_datalake_ingest_bigmagic_spark.runner import (
+    ProcessRunner,
+    parse_process_date,
+)
+from cdk_datalake_ingest_bigmagic_spark.sources.files import write_raw
+from cdk_datalake_ingest_bigmagic_spark.storage.catalog import register_all
+
+
+def fixed_clock():
+    return dt.datetime(2024, 6, 15, 12, 0, 0)
+
+
+def make_catalog() -> Catalog:
+    orders = TableConfig(
+        source_table="orders_src",
+        stage_table_name="orders_stage",
+        load_type="full",
+        filter_exp="flag = 'a'",
+        process_id="P1",
+    )
+    broken = TableConfig(
+        source_table="broken_src",
+        stage_table_name="broken_stage",
+        load_type="full",
+        process_id="P1",
+    )
+    other = TableConfig(
+        source_table="other_src",
+        stage_table_name="other_stage",
+        load_type="full",
+        process_id="P2",
+    )
+    columns = {
+        "ORDERS_STAGE": [
+            ColumnSpec("order_id", 0, "string", "fn_transform_ClearString(id)", is_id=True),
+            ColumnSpec("amount", 1, "numeric(13,2)", "fn_transform_Numeric(amt)"),
+        ],
+        # every column references a missing source column → 100% errors
+        "BROKEN_STAGE": [
+            ColumnSpec("a", 0, "string", "missing_col_1"),
+            ColumnSpec("b", 1, "string", "missing_col_2"),
+        ],
+        "OTHER_STAGE": [
+            ColumnSpec("k", 0, "string", "fn_transform_ClearString(id)", is_id=True),
+        ],
+    }
+    return Catalog(
+        tables={t.stage_table_name: t for t in (orders, broken, other)},
+        columns=columns,
+    )
+
+
+def source_provider_for(spark):
+    def provider(table: TableConfig):
+        if table.source_table == "orders_src":
+            return spark.createDataFrame(
+                [("A1", "10.50", "a"), ("A2", "20.00", "a"), ("X9", "5.00", "x")],
+                "id string, amt string, flag string",
+            )
+        return spark.createDataFrame([("Z1",)], "id string")
+
+    return provider
+
+
+def test_parse_process_date_formats():
+    d = dt.date(2024, 6, 15)
+    for s in ("2024-06-15", "20240615", "15/06/2024", "15-06-2024",
+              "2024/06/15", "2024-06-15 10:30:00"):
+        assert parse_process_date(s) == d
+    assert parse_process_date(None) is None
+    assert parse_process_date("  ") is None
+    with pytest.raises(ValueError):
+        parse_process_date("June 15th")
+
+
+def test_run_process_end_to_end(spark, tmp_path):
+    runner = ProcessRunner(
+        spark=spark,
+        catalog=make_catalog(),
+        raw_root=str(tmp_path / "raw"),
+        stage_root=str(tmp_path / "stage"),
+        runs_path=str(tmp_path / "_runs"),
+        clock=fixed_clock,
+    )
+    runs = runner.run_process("P1", source_provider=source_provider_for(spark))
+    by_table = {r.table: r for r in runs}
+    assert set(by_table) == {"orders_stage", "broken_stage"}
+
+    ok = by_table["orders_stage"]
+    assert ok.status == "SUCCESS"
+    assert ok.rows == 2  # X9 filtered out by FILTER_EXP
+
+    stage = spark.read.parquet(str(tmp_path / "stage/orders_stage"))
+    got = {r["order_id"]: float(r["amount"]) for r in stage.collect()}
+    assert got == {"A1": 10.50, "A2": 20.00}
+
+    bad = by_table["broken_stage"]
+    assert bad.status == "FAILED"
+    assert bad.n_errors == 2
+
+    log = runner.run_log()
+    assert log.count() == 2
+    assert set(r["status"] for r in log.collect()) == {"SUCCESS", "FAILED"}
+
+    # P2 untouched by the P1 run
+    assert not (tmp_path / "stage/other_stage").exists()
+
+
+def test_date_process_reprocesses_one_partition(spark, tmp_path):
+    catalog = make_catalog()
+    raw_root, stage_root = str(tmp_path / "raw"), str(tmp_path / "stage")
+    table = catalog.tables["orders_stage"]
+    raw_path = f"{raw_root}/orders_stage"
+
+    d1 = spark.createDataFrame([("A1", "1.00", "a")], "id string, amt string, flag string")
+    d2 = spark.createDataFrame([("B1", "2.00", "a")], "id string, amt string, flag string")
+    write_raw(d1, raw_path, ingest_date=dt.date(2024, 6, 1))
+    write_raw(d2, raw_path, ingest_date=dt.date(2024, 6, 2))
+
+    runner = ProcessRunner(
+        spark=spark, catalog=catalog, raw_root=raw_root,
+        stage_root=stage_root, clock=fixed_clock,
+    )
+    run = runner.transform_table(table, process_date=dt.date(2024, 6, 2))
+    assert run.status == "SUCCESS"
+    stage = spark.read.parquet(f"{stage_root}/orders_stage")
+    assert [r["order_id"] for r in stage.collect()] == ["B1"]
+
+
+def test_register_all_catalog(spark, tmp_path):
+    catalog = make_catalog()
+    stage_root = str(tmp_path / "stage")
+    spark.createDataFrame([("A1", 1.5)], "order_id string, amount double") \
+        .write.parquet(f"{stage_root}/orders_stage")
+
+    result = register_all(spark, catalog, stage_root, database="test_stage")
+    assert "orders_stage" in result.registered
+    # tables with no stage data land in failed, not raised
+    assert set(result.failed) == {"broken_stage", "other_stage"}
+
+    rows = spark.table("test_stage.orders_stage").collect()
+    assert rows[0]["order_id"] == "A1"
+    spark.sql("DROP DATABASE IF EXISTS test_stage CASCADE")
