@@ -60,6 +60,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        # drop caches left by prior queries (minhash pipelines cache
+        # intermediates) so queries are timed independently
+        spark.catalog.clearCache()
         fn = queries[name]
         t0 = time.time()
         # count() forces full execution without driver-side collection

@@ -1,0 +1,72 @@
+"""File source/sink tests: all-string raw contract, CSV fallback sinks
+(S7/S8), ingest-date pruning (S4), partition-path tokens (X4)."""
+
+import datetime as dt
+import glob
+import gzip
+
+from cdk_datalake_ingest_bigmagic_spark.sources.files import (
+    format_partition_path,
+    read_raw,
+    stringify_all,
+    write_csv_fallback,
+    write_csv_gz,
+    write_raw,
+)
+
+
+def test_stringify_all_contract(spark):
+    df = spark.createDataFrame(
+        [(1, 2.5, dt.date(2024, 6, 1), None)],
+        "a int, b double, c date, d string",
+    )
+    out = stringify_all(df)
+    assert [t for _, t in out.dtypes] == ["string"] * 4
+    row = out.collect()[0]
+    assert (row["a"], row["b"], row["c"]) == ("1", "2.5", "2024-06-01")
+    assert row["d"] is None  # NULL stays NULL, not 'None' (conscious fix
+    # of the reference's pandas astype(str) quirk; T1 maps 'None' → NULL
+    # anyway for configs that relied on it)
+
+
+def test_write_read_raw_roundtrip_and_pruning(spark, tmp_path):
+    p = str(tmp_path / "raw")
+    df1 = spark.createDataFrame([("A", 1)], "k string, v int")
+    df2 = spark.createDataFrame([("B", 2)], "k string, v int")
+    write_raw(df1, p, ingest_date=dt.date(2024, 6, 1))
+    write_raw(df2, p, ingest_date=dt.date(2024, 6, 2))
+
+    all_rows = {r["k"] for r in read_raw(spark, p).collect()}
+    assert all_rows == {"A", "B"}
+    day2 = read_raw(spark, p, ingest_date=dt.date(2024, 6, 2))
+    assert [r["k"] for r in day2.collect()] == ["B"]
+    # partition columns are internal to the raw layout
+    assert set(day2.columns) == {"k", "v"}
+
+
+def test_csv_fallback_pipe_quote_all(spark, tmp_path):
+    p = str(tmp_path / "csv")
+    df = spark.createDataFrame([("A|x", 1)], "k string, v int")
+    write_csv_fallback(df, p)
+    text = "".join(open(f).read() for f in glob.glob(f"{p}/part-*.csv"))
+    assert '"k"|"v"' in text
+    assert '"A|x"|"1"' in text  # quote-all keeps embedded pipes safe
+
+
+def test_csv_gz_sink(spark, tmp_path):
+    p = str(tmp_path / "gz")
+    df = spark.createDataFrame([("A", 1)], "k string, v int")
+    write_csv_gz(df, p)
+    text = "".join(
+        gzip.open(f, "rt").read() for f in glob.glob(f"{p}/part-*.csv.gz")
+    )
+    assert "A,1" in text
+
+
+def test_format_partition_path_tokens():
+    when = dt.datetime(2024, 6, 5, 7, 8, 9)
+    assert (
+        format_partition_path("{YYYY}/{MM}/{DD}/{HH}{MI}{SS}", when)
+        == "2024/06/05/070809"
+    )
+    assert format_partition_path("{YY}-{MON}-q{QUARTER}-w{WEEK}", when) == "24-JUN-q2-w23"
