@@ -21,6 +21,8 @@ HEADLINE = [
     "join_config_multitable",
     "agg_pricing_summary",
     "window_dedup_latest",
+    "agg_rollup_pricing",
+    "events_asof_join",
     "dsl_datetimemagic_roundtrip",
     "dsl_numeric_decimal",
     # LLM-data operators

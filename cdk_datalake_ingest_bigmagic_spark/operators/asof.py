@@ -1,0 +1,92 @@
+"""As-of (point-in-time) join: for each left row, the most recent right
+row at or before its timestamp, per key.
+
+Spark has no built-in as-of join; the naive translations are a per-row
+correlated subquery (quadratic) or a range join (explodes on dense
+keys). The scale-correct pattern used here is union + window:
+
+    tag left(0)/right(1) rows → union → one window per key ordered by
+    (ts, tag) → last non-null right payload seen so far → keep left rows
+
+One shuffle on the key, state per partition is a single running value —
+the same cost profile as a groupBy, independent of time-gap density.
+``allowed_lag`` optionally discards matches older than a horizon
+(emulating merge_asof tolerance).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    allowed_lag: str | None = None,
+) -> DataFrame:
+    """Left as-of join. Output: all left columns + ``value_cols`` (from
+    the matched right row, NULL when nothing precedes) + ``matched_ts``.
+
+    Ties (right ts == left ts) match — "at or before". When several
+    right rows share one timestamp the latest by input order of the
+    window's deterministic (ts, tag) sort wins via ``last``.
+    """
+    lcols = left.columns
+    l = left.withColumn("__ts", F.col(left_ts).cast("timestamp")).withColumn(
+        "__tag", F.lit(1)
+    )
+    payload = F.struct(
+        F.col(right_ts).cast("timestamp").alias("__mts"),
+        *[F.col(c) for c in value_cols],
+    )
+    r = (
+        right.select(
+            *on,
+            F.col(right_ts).cast("timestamp").alias("__ts"),
+            payload.alias("__payload"),
+        )
+        .withColumn("__tag", F.lit(0))
+    )
+    l_aug = l.select(
+        *[F.col(c) for c in lcols], "__ts", "__tag", F.lit(None).cast(
+            r.schema["__payload"].dataType
+        ).alias("__payload")
+    )
+    r_aug = r.select(
+        *[
+            F.col(c) if c in on else F.lit(None).cast(dict(l_aug.dtypes)[c]).alias(c)
+            for c in lcols
+        ],
+        "__ts",
+        "__tag",
+        "__payload",
+    )
+    unioned = l_aug.unionByName(r_aug)
+    # right rows sort before left rows at equal ts (tag 0 < 1) so an
+    # equal-timestamp right row is visible to the left row — "at or
+    # before" semantics
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__ts", "__tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+    out = matched.filter(F.col("__tag") == 1).select(
+        *lcols,
+        F.col("__match.__mts").alias("matched_ts"),
+        *[F.col(f"__match.{c}").alias(c) for c in value_cols],
+    )
+    if allowed_lag is not None:
+        horizon = F.col(left_ts).cast("timestamp") - F.expr(f"INTERVAL {allowed_lag}")
+        keep = F.col("matched_ts") >= horizon
+        out = out.select(
+            *lcols,
+            F.when(keep, F.col("matched_ts")).alias("matched_ts"),
+            *[F.when(keep, F.col(c)).alias(c) for c in value_cols],
+        )
+    return out

@@ -181,6 +181,95 @@ def srp_buckets(
     return proj.groupBy(id_col).agg(F.sum(bit).alias("bucket"))
 
 
+def ann_ivf_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    threshold: float = 0.45,
+) -> DataFrame:
+    """IVF-style approximate pair search: coarse-quantize vectors into
+    ``n_lists`` inverted lists, probe each vector against its
+    ``n_probe`` nearest lists, verify candidates with exact cosine.
+
+    The coarse centroids are the vectors of the ``n_lists`` smallest
+    ids — deterministic, no trained model to ship; swap in k-means
+    centroids without touching the plan shape. Index side assigns each
+    vector to 1 list; query side probes ``n_probe`` lists, so recall
+    grows with n_probe while candidate count stays Σ|list|·n_probe —
+    the IVF trade that keeps pair search sub-quadratic at corpus scale.
+    """
+    import numpy as np
+
+    # centroid table is tiny (n_lists × dims) — driver-collect + broadcast
+    cent_rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(n_lists).collect()
+    )
+    C = np.vstack([np.asarray(r[1], dtype="float64") for r in cent_rows])
+    C = C / np.maximum(np.sqrt((C * C).sum(axis=1))[:, None], 1e-12)
+    bc = df.sparkSession.sparkContext.broadcast(C)
+
+    assign_schema = T.StructType(
+        [
+            T.StructField("__id", T.LongType(), False),
+            T.StructField("list_id", T.IntegerType(), False),
+            T.StructField("probes", T.ArrayType(T.IntegerType()), False),
+        ]
+    )
+
+    def assign(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        Cn = bc.value
+        k = min(n_probe, Cn.shape[0])
+        for pdf in batches:
+            V = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            Vn = V / np.maximum(np.sqrt((V * V).sum(axis=1))[:, None], 1e-12)
+            S = Vn @ Cn.T
+            # stable top-k: argsort on (-sim, list index) so equal
+            # similarities break ties identically everywhere
+            order = np.argsort(-S, axis=1, kind="stable")
+            yield pd.DataFrame(
+                {
+                    "__id": pdf[id_col],
+                    "list_id": order[:, 0].astype("int32"),
+                    "probes": [row[:k].astype("int32").tolist() for row in order],
+                }
+            )
+
+    from cdk_datalake_ingest_bigmagic_spark.operators import fan_out
+
+    assigned = fan_out(df.select(id_col, vec_col)).mapInPandas(
+        assign, assign_schema
+    )
+    index_side = assigned.select(
+        F.col("__id").alias("id_b"), F.col("list_id").alias("probe")
+    )
+    query_side = assigned.select(
+        F.col("__id").alias("id_a"), F.explode("probes").alias("probe")
+    )
+    candidates = (
+        query_side.join(index_side, "probe")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = df.select(
+        F.col(id_col).alias("id_a"), to_double_array(F.col(vec_col)).alias("__va")
+    )
+    vb = df.select(
+        F.col(id_col).alias("id_b"), to_double_array(F.col(vec_col)).alias("__vb")
+    )
+    sim = cosine(F.col("__va"), F.col("__vb"))
+    return (
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(sim, 4).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def ann_lsh_pairs(
     df: DataFrame,
     id_col: str,

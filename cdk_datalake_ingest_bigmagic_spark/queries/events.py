@@ -96,6 +96,40 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_asof_join",
+    oracle="""
+    WITH errors AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ), clicks AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           c.ts AS matched_ts, c.value AS last_click_value
+    FROM errors e ASOF LEFT JOIN clicks c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each error event picks up the most recent
+    preceding click of the same user (union + running ``last`` over one
+    key-partitioned window — one shuffle, no range explosion; DuckDB's
+    native ASOF JOIN is the oracle)."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.asof import asof_join
+
+    e = load(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("last_click_value")
+    )
+    return asof_join(
+        errors, clicks, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["last_click_value"],
+    )
+
+
+@register(
     "events_json_props",
     oracle="""
     SELECT event_id, event_type,

@@ -352,6 +352,30 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_lsh_pairs(e, "vec_id", "embedding", dims=64, num_planes=4, threshold=0.45)
 
 
+@register("embedding_ann_ivf")  # no oracle: approximate (probe recall < 1)
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF scale path: coarse-quantized inverted lists + n_probe search,
+    exact-cosine verification of candidates only. Rows-only check;
+    tests assert precision + recall bounds against the exact query."""
+    e = load(spark, sf_dir, "embeddings")
+    return sim.ann_ivf_pairs(e, "vec_id", "embedding", n_lists=16, n_probe=4, threshold=0.45)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS}, 4) AS cosine_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round({_COS}, 4) >= 0.48
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (semantic dedup): the exact
+    pair search at a tighter threshold — candidates for canonicalization."""
+    e = load(spark, sf_dir, "embeddings")
+    return sim.similarity_pairs(e, "vec_id", "embedding", threshold=0.48)
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------

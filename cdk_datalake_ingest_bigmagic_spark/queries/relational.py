@@ -401,3 +401,51 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("running_value"),
     )
+
+
+@register(
+    "agg_rollup_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag)::INT AS g_flag,
+           GROUPING(l_linestatus)::INT AS g_status,
+           COUNT(*) AS n_rows,
+           (SUM(CAST(l_quantity AS DECIMAL(18,2))))::DOUBLE AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals (built-in beyond the reference's flat aggs):
+    grouping flags disambiguate subtotal rows from real NULL groups."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").alias("g_flag"),
+        F.grouping("l_linestatus").alias("g_status"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+@register(
+    "agg_cube_counts",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus)::INT AS g_status,
+           GROUPING(o_orderpriority)::INT AS g_priority,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions — all 4 grouping-set combinations in one
+    pass (Spark expands grouping sets map-side; one shuffle)."""
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").alias("g_status"),
+        F.grouping("o_orderpriority").alias("g_priority"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -128,3 +128,53 @@ def test_multimodal_stub_and_features(spark, docs):
     assert feats[1]["byte_len"] == len("the quick brown fox jumps over the lazy dog")
     assert len(feats[1]["feature"]) == 8
     assert feats[1]["payload_md5"] == feats[5]["payload_md5"]
+
+
+def test_ann_ivf_precision_and_recall(spark, sf_dir):
+    from cdk_datalake_ingest_bigmagic_spark.queries import load
+
+    e = load(spark, sf_dir, "embeddings")
+    exact = {(r["id_a"], r["id_b"])
+             for r in sim.similarity_pairs(e, "vec_id", "embedding", 0.45).collect()}
+    approx = {(r["id_a"], r["id_b"])
+              for r in sim.ann_ivf_pairs(
+                  e, "vec_id", "embedding", n_lists=16, n_probe=4, threshold=0.45
+              ).collect()}
+    # precision 1: candidates are exact-verified
+    assert approx <= exact
+    # probing 4/16 lists must recover a decent share of true pairs
+    if exact:
+        assert len(approx) / len(exact) >= 0.3
+
+
+def test_asof_join_semantics(spark):
+    from cdk_datalake_ingest_bigmagic_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", "2024-01-01 10:00:00"),
+         (2, "u", "2024-01-01 12:00:00"),
+         (3, "v", "2024-01-01 09:00:00")],
+        "event_id long, user string, ts string",
+    )
+    right = spark.createDataFrame(
+        [("u", "2024-01-01 09:30:00", 1.0),
+         ("u", "2024-01-01 10:00:00", 2.0),   # ties with event 1 → matches
+         ("u", "2024-01-01 11:00:00", 3.0),
+         ("v", "2024-01-01 09:30:00", 9.0)],  # after event 3 → no match
+        "user string, ts string, val double",
+    )
+    out = {r["event_id"]: r for r in asof_join(
+        left, right, on=["user"], left_ts="ts", right_ts="ts",
+        value_cols=["val"],
+    ).collect()}
+    assert out[1]["val"] == 2.0   # at-or-before includes equal ts
+    assert out[2]["val"] == 3.0   # latest preceding
+    assert out[3]["val"] is None  # nothing precedes
+
+    # allowed_lag discards stale matches
+    lagged = {r["event_id"]: r for r in asof_join(
+        left, right, on=["user"], left_ts="ts", right_ts="ts",
+        value_cols=["val"], allowed_lag="30 MINUTES",
+    ).collect()}
+    assert lagged[1]["val"] == 2.0
+    assert lagged[2]["val"] is None  # 11:00 click is 60min before 12:00
