@@ -1,0 +1,70 @@
+"""Skew mitigation: salted joins and two-phase aggregation.
+
+AQE's skew-join splitting handles sort-merge skew automatically (we
+enable it in ``session.py``); these helpers cover the cases AQE can't:
+a hot key overwhelming a single reducer in a hash aggregation, and a
+shuffle join where neither side fits broadcast but one key dominates.
+
+Salting trades one extra narrow column + an ``n_salts``-times larger
+build-side explode for an ``n_salts``-way split of the hot key's
+reducer — the classic fix that keeps a 1000-executor job from waiting
+on one straggler task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+
+
+def with_salt(df: DataFrame, n_salts: int, seed: int = 42) -> DataFrame:
+    """Uniform random salt 0..n_salts-1 per row (seeded → reproducible
+    given the same partitioning)."""
+    return df.withColumn(
+        SALT_COL, F.floor(F.rand(seed) * n_salts).cast("int")
+    )
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Join where ``skewed`` has hot keys: salt the skewed side, explode
+    ``other`` across all salts, join on key+salt. Result equals the
+    plain join; the hot key's rows now land on ``n_salts`` reducers."""
+    s = with_salt(skewed, n_salts)
+    o = other.withColumn(
+        SALT_COL,
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>")),
+    )
+    return s.join(o, [*on, SALT_COL], how).drop(SALT_COL)
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, Column],
+    n_salts: int = 8,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys, for aggregates that
+    re-aggregate losslessly (sum/count/min/max): partial agg on
+    (keys, salt) → final agg on keys.
+
+    ``aggs`` maps output name → partial aggregate expression; the final
+    phase re-aggregates with the matching combiner (sum for sum/count,
+    min for min, max for max — inferred from the expression name).
+    """
+    partial = with_salt(df, n_salts).groupBy(*keys, SALT_COL).agg(
+        *[expr.alias(f"__p_{name}") for name, expr in aggs.items()]
+    )
+    finals = []
+    for name, expr in aggs.items():
+        fn = expr._jc.toString().split("(")[0].lower()
+        combiner = {"min": F.min, "max": F.max}.get(fn, F.sum)
+        finals.append(combiner(f"__p_{name}").alias(name))
+    return partial.groupBy(*keys).agg(*finals)

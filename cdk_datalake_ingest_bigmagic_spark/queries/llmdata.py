@@ -303,6 +303,61 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_pairs(d, "doc_id", "text", max_hamming=3)
 
 
+@register(
+    "corpus_clean_pipeline",
+    oracle=r"""
+    WITH featured AS (
+      SELECT doc_id, text,
+             length(text) AS n_chars,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    ), quality AS (
+      SELECT * FROM featured WHERE n_words >= 5 AND n_chars >= 20
+    ), lang AS (
+      SELECT q.*,
+        (SELECT COUNT(*) FROM unnest(string_split_regex(lower(q.text), '[^a-z]+')) AS u(t)
+          WHERE t IN ('the','a','of','and','to','in','is','it','that','for')) AS hits_en
+      FROM quality q
+    ), english AS (
+      SELECT * FROM lang WHERE hits_en >= 2
+    )
+    SELECT fingerprint, MIN(doc_id) AS canonical_id, COUNT(*) AS n_dups
+    FROM english
+    GROUP BY fingerprint
+    """,
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus cleaning: quality gate (length
+    thresholds) → cheap language gate (English stopword hits) → exact
+    dedup keeping the canonical (min-id) document per fingerprint.
+
+    Composed entirely of the individual operators, in one lazy plan —
+    Catalyst collapses the three "stages" into a scan + filter + one
+    aggregation, so adding gates costs no extra passes over the corpus.
+    """
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    featured = d.select(
+        "doc_id",
+        "text",
+        tx.char_count(t).alias("n_chars"),
+        tx.word_count(t).alias("n_words"),
+        tx.fingerprint(t).alias("fingerprint"),
+    )
+    quality = featured.filter((F.col("n_words") >= 5) & (F.col("n_chars") >= 20))
+    toks = F.split(F.lower(t), r"[^a-z]+")
+    hits_en = F.size(
+        F.filter(toks, lambda x: x.isin(tx.LANG_STOPWORDS["en"]))
+    )
+    english = quality.withColumn("hits_en", hits_en).filter(F.col("hits_en") >= 2)
+    return english.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------

@@ -449,3 +449,35 @@ def agg_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("o_orderpriority").alias("g_priority"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal, rnk
+    FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (
+               PARTITION BY c_nationkey
+               ORDER BY c_acctbal DESC, c_custkey
+             ) AS rnk
+      FROM customer
+    ) t WHERE rnk <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by balance per nation: rank-filter over one
+    window (ties broken by key for determinism). At scale this beats a
+    groupBy-collect_list because nothing materializes per group beyond
+    the running rank."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.select(
+            "c_nationkey", "c_custkey", "c_acctbal",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )

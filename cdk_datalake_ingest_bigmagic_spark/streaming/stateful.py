@@ -1,0 +1,94 @@
+"""Stateful streaming operators: cross-batch dedup and custom
+per-key state via ``applyInPandasWithState``.
+
+``streaming_dedup_by_key`` uses the built-in
+``dropDuplicatesWithinWatermark`` — state is bounded by the event-time
+watermark, so a key seen months ago doesn't pin memory forever (the
+failure mode of unbounded ``dropDuplicates`` state at corpus scale).
+
+``running_totals_stream`` shows the custom-state escape hatch for
+semantics the built-ins can't express: arbitrary per-key accumulators
+held in an Arrow-backed state store, with processing-time timeouts to
+expire idle keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def streaming_dedup_by_key(
+    stream: DataFrame, key_cols: list[str], ts_col: str, watermark: str
+) -> DataFrame:
+    """Exactly-once key emission across micro-batches, with state that
+    expires ``watermark`` past the event-time frontier."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
+_TOTAL_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("total", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+_STATE_SCHEMA = T.StructType(
+    [T.StructField("total", T.DoubleType()), T.StructField("n", T.LongType())]
+)
+
+
+def running_totals_stream(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Per-key running (sum, count) maintained in group state — the
+    ``applyInPandasWithState`` pattern for custom stateful operators.
+
+    Each micro-batch updates only the touched keys. Pass
+    ``idle_timeout_ms`` on long-running continuous queries to expire
+    idle keys and bound the store; leave it None for drain-and-stop
+    (AvailableNow) runs — a processing-time timeout keeps scheduling
+    empty batches to fire expirations, so the query would never
+    terminate.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        total, n = state.get if state.exists else (0.0, 0)
+        for pdf in pdfs:
+            total += float(pdf[value_col].sum())
+            n += int(len(pdf))
+        state.update((total, n))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame({"key": [key[0]], "total": [total], "n": [n]})
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        stream.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=_TOTAL_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=timeout,
+        )
+    )

@@ -1,0 +1,107 @@
+"""Skew-salting equivalence tests and stateful streaming operators."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.operators.skew import (
+    salted_agg,
+    salted_join,
+)
+from cdk_datalake_ingest_bigmagic_spark.streaming.stateful import (
+    running_totals_stream,
+    streaming_dedup_by_key,
+)
+
+
+def test_salted_join_equals_plain_join(spark):
+    # one hot key (k=0 repeated), one cold
+    skewed = spark.createDataFrame(
+        [(0, i) for i in range(50)] + [(1, 99)], "k int, v int"
+    )
+    other = spark.createDataFrame([(0, "hot"), (1, "cold"), (2, "unused")], "k int, name string")
+    plain = {(r["k"], r["v"], r["name"])
+             for r in skewed.join(other, ["k"]).collect()}
+    salted = {(r["k"], r["v"], r["name"])
+              for r in salted_join(skewed, other, ["k"], n_salts=4).collect()}
+    assert salted == plain and len(plain) == 51
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    df = spark.createDataFrame(
+        [(0, i) for i in range(100)] + [(1, 7)], "k int, v int"
+    )
+    plain = {
+        (r["k"], r["total"], r["n"], r["mx"])
+        for r in df.groupBy("k").agg(
+            F.sum("v").alias("total"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("v").alias("mx"),
+        ).collect()
+    }
+    salted = {
+        (r["k"], r["total"], r["n"], r["mx"])
+        for r in salted_agg(
+            df, ["k"],
+            {"total": F.sum("v"), "n": F.count(F.lit(1)), "mx": F.max("v")},
+            n_salts=4,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def _write_stream_files(spark, path):
+    rows1 = [("A", dt.datetime(2024, 1, 1, 10, 0), 1.0),
+             ("B", dt.datetime(2024, 1, 1, 10, 1), 2.0)]
+    rows2 = [("A", dt.datetime(2024, 1, 1, 10, 2), 5.0),  # duplicate key A
+             ("C", dt.datetime(2024, 1, 1, 10, 3), 3.0)]
+    schema = "k string, ts timestamp, v double"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(path)
+    return spark.createDataFrame(rows1 + rows2, schema).schema
+
+
+def test_streaming_dedup_by_key(spark, tmp_path):
+    src = str(tmp_path / "src")
+    schema = _write_stream_files(spark, src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+        .parquet(src)
+    )
+    deduped = streaming_dedup_by_key(stream, ["k"], "ts", "1 hour")
+    q = (
+        deduped.writeStream.format("memory").queryName("dedup_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    out = spark.sql("SELECT k, v FROM dedup_test").collect()
+    got = {r["k"]: r["v"] for r in out}
+    assert len(out) == 3  # duplicate A from batch 2 suppressed by state
+    assert set(got) == {"A", "B", "C"}
+
+
+def test_running_totals_stream(spark, tmp_path):
+    src = str(tmp_path / "src")
+    schema = _write_stream_files(spark, src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    totals = running_totals_stream(stream, "k", "v")
+    q = (
+        totals.writeStream.format("memory").queryName("totals_test")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    # last update per key wins
+    rows = spark.sql(
+        "SELECT key, total, n FROM totals_test"
+    ).collect()
+    last = {}
+    for r in rows:
+        last[r["key"]] = (r["total"], r["n"])
+    assert last["A"] == (6.0, 2)  # 1.0 + 5.0 across two micro-batches
+    assert last["B"] == (2.0, 1)
+    assert last["C"] == (3.0, 1)
