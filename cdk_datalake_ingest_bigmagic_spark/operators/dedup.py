@@ -264,10 +264,11 @@ def minhash_lsh_pairs(
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """32-bit SimHash per document from word-token md5 hashes.
 
-    bit b of the signature = majority vote of bit b across token hashes.
-    Implemented as explode(tokens) × explode(bits 0..31) → weighted sum —
-    wide but fully vectorized; ~64 rows per token is fine even at
-    corpus scale because the aggregation is map-side combinable.
+    bit b of the signature = majority vote of bit b across token hashes
+    (weighted by term frequency). Implemented as ONE wide aggregation:
+    32 conditional sums over the (id, token-hash, tf) rows — no bit
+    explode, so the shuffle moves |tokens| rows once instead of
+    32×|tokens|, and every sum is map-side combinable.
     """
     toks = (
         fan_out(df.select(F.col(id_col), F.col(text_col)))
@@ -280,20 +281,21 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     hashed = toks.select(F.col(id_col), token_hash64(F.col("tok")).alias("h"), "tf")
-    bits = hashed.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"),
-        F.col("h"),
-        F.col("tf"),
-    )
-    # +tf when the bit is set, -tf when not (shift amount is a column,
-    # so go through expr — the pyspark wrappers require a literal int)
-    contrib = F.when(F.expr("(h >> bit) & 1") == 1, F.col("tf")).otherwise(-F.col("tf"))
-    votes = bits.groupBy(id_col, "bit").agg(F.sum(contrib).alias("vote"))
-    bit_val = F.when(F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
-        F.lit(0).cast("long")
-    )
-    return votes.groupBy(id_col).agg(F.sum(bit_val).alias("simhash"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
+            .otherwise(-F.col("tf"))
+        ).alias(f"v{b}")
+        for b in range(32)
+    ]
+    wide = hashed.groupBy(id_col).agg(*votes)
+    sig_expr = None
+    for b in range(32):
+        term = F.when(
+            F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sig_expr = term if sig_expr is None else (sig_expr + term)
+    return wide.select(F.col(id_col), sig_expr.alias("simhash"))
 
 
 def simhash_pairs(
