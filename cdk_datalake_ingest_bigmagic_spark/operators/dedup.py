@@ -307,7 +307,9 @@ def simhash_pairs(
     (near-identical docs almost always share them), keeping the join
     far below |docs|²; exact Hamming check via bit_count(xor).
     """
-    sig = simhash_signatures(df, id_col, text_col)
+    # one narrow row per document — cache so the blocked self-join
+    # doesn't run the token aggregation twice
+    sig = simhash_signatures(df, id_col, text_col).cache()
     block = F.shiftright(F.col("simhash"), 16)
     a = sig.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), block.alias("blk")

@@ -481,3 +481,42 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= 3)
     )
+
+
+@register(
+    "join_part_supplier_revenue",
+    oracle="""
+    SELECT p.p_brand, n.n_name AS supp_nation,
+           COUNT(*) AS n_lines,
+           (SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * CAST((1 - l.l_discount) AS DECIMAL(18,2))))::DOUBLE AS revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_size <= 20
+    GROUP BY 1, 2
+    """,
+)
+def join_part_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-many-dims star join (part + supplier + nation broadcast
+    against the lineitem fact): revenue by brand and supplier nation.
+    Decimal product/sum keeps cross-engine bit-equality; the double cast
+    happens once at the end."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") <= 20)
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("p_brand"), F.col("n_name").alias("supp_nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )

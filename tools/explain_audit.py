@@ -1,0 +1,53 @@
+"""Dump formatted physical plans for the headline queries.
+
+Usage: python tools/explain_audit.py [sf_dir] [query ...]
+
+For each query, prints the `explain("formatted")` output plus a quick
+scorecard: were filters pushed to the scan, is the read schema pruned,
+which join strategies appear, and how many shuffle exchanges the plan
+contains. This is the review loop the engine's operators were tuned
+with — run it after changing any operator.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main() -> None:
+    from bench import HEADLINE
+    from cdk_datalake_ingest_bigmagic_spark import get_spark
+    from cdk_datalake_ingest_bigmagic_spark.queries import all_queries
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2:] or HEADLINE
+
+    spark = get_spark(app_name="explain-audit", shuffle_partitions=8)
+    queries = all_queries()
+    for name in only:
+        df = queries[name](spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        joins = sorted(set(re.findall(r"(\w*HashJoin|SortMergeJoin|BroadcastNestedLoopJoin)", plan)))
+        exchanges = len(re.findall(r"\n\(\d+\) Exchange", plan))
+        print(f"===== {name} =====")
+        print(f"  joins: {joins or '-'}   shuffle exchanges: {exchanges}")
+        for i, (f, s) in enumerate(zip(pushed, schemas)):
+            ncols = len(s.split(",")) if s else 0
+            print(f"  scan{i}: pushed=[{f[:90]}] cols={ncols}")
+        if "--full" in sys.argv:
+            print(plan)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
