@@ -96,6 +96,56 @@ def extract_features(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_bytes", T.BinaryType(), True),
+        T.StructField("frame_md5", T.StringType(), True),
+    ]
+)
+
+
+def sample_frames_df(
+    df: DataFrame, frame_size: int = 64, every_n: int = 2
+) -> DataFrame:
+    """Frame sampling over binary payloads: split each payload into
+    ``frame_size``-byte frames, keep every ``every_n``-th.
+
+    The Arrow ``mapInPandas`` stage is the exact shape a real video
+    decoder runs in (payload in → many frames out, batch-at-a-time);
+    only the "decode" (here: byte slicing) is the deterministic fake.
+    Output fan-out is bounded per batch, so executor memory stays flat
+    however large the corpus is.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, idxs, frames, digests = [], [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                n_frames = (len(payload) + frame_size - 1) // frame_size
+                for i in range(0, n_frames, every_n):
+                    chunk = bytes(payload[i * frame_size : (i + 1) * frame_size])
+                    ids.append(media_id)
+                    idxs.append(i)
+                    frames.append(chunk)
+                    digests.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame_bytes": frames,
+                    "frame_md5": digests,
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
 def media_table_from_documents(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Build a synthetic media table from text documents (UTF-8 payloads)
     so multimodal plumbing is testable without real binaries."""

@@ -437,6 +437,33 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_frame_sample",
+    oracle="""
+    -- testdata text is pure ASCII (asserted in tests), so character
+    -- slicing here equals the Spark side's byte slicing
+    SELECT doc_id AS media_id, i.i::INT AS frame_idx,
+           encode(substr(text, i.i * 64 + 1, 64)) AS frame_bytes,
+           md5(substr(text, i.i * 64 + 1, 64)) AS frame_md5
+    FROM documents,
+         LATERAL (SELECT unnest(range(0, (length(text) + 63) // 64)) AS i) i
+    WHERE i.i % 2 = 0
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling plumbing: payload → every 2nd 64-byte
+    frame via the Arrow mapInPandas decode stage (slicing stands in for
+    the codec; schema/fan-out/batching are the real thing)."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.multimodal import (
+        media_table_from_documents,
+        sample_frames_df,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    media = media_table_from_documents(d, "doc_id", "text")
+    return sample_frames_df(media, frame_size=64, every_n=2)
+
+
+@register(
     "multimodal_binary_stats",
     oracle="""
     SELECT doc_id AS media_id,

@@ -26,6 +26,7 @@ from dataclasses import dataclass, field
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from cdk_datalake_ingest_bigmagic_spark.config.models import Catalog, TableConfig
 from cdk_datalake_ingest_bigmagic_spark.plans.pipeline import (
@@ -34,9 +35,11 @@ from cdk_datalake_ingest_bigmagic_spark.plans.pipeline import (
 )
 from cdk_datalake_ingest_bigmagic_spark.plans.strategy import (
     LoadMode,
+    LoadStrategy,
     lima_now,
     plan_extraction,
 )
+from cdk_datalake_ingest_bigmagic_spark.plans.watermarks import WatermarkStore
 from cdk_datalake_ingest_bigmagic_spark.sources.files import write_raw
 
 # Reference SFN Map concurrency (group stack :342 extract, :375 transform)
@@ -102,6 +105,8 @@ class ProcessRunner:
     raw_root: str
     stage_root: str
     runs_path: str | None = None
+    watermarks: WatermarkStore | None = None
+    project: str = "default"
     max_concurrency: int = EXTRACT_CONCURRENCY
     clock: Callable[[], dt.datetime] = lima_now
     _runs: list[TableRun] = field(default_factory=list)
@@ -125,17 +130,52 @@ class ProcessRunner:
         """Strategy-filtered extraction → all-string raw landing (S6).
 
         INITIAL/RESET are destructive re-lands (S12): the raw prefix is
-        overwritten instead of appended."""
+        overwritten instead of appended.
+
+        With a watermark store configured, incremental tables follow the
+        reference's transactional protocol (A2/P6): read the last
+        CONFIRMED value → filter → probe the new max → save PROVISIONAL
+        → land raw → CONFIRM (rollback on failure, so a torn load never
+        advances the bookmark).
+        """
+        use_wm = (
+            self.watermarks is not None
+            and watermark_value is None
+            and table.partition_column
+            and LoadStrategy(table.effective_load_type)
+            is LoadStrategy.INCREMENTAL
+            and mode not in (LoadMode.INITIAL, LoadMode.RESET)
+        )
+        if use_wm:
+            watermark_value = self.watermarks.get(
+                self.project, table.stage_table_name, table.partition_column
+            )
         plan = plan_extraction(
             table, mode=mode, clock=self.clock, watermark_value=watermark_value
         )
         df = plan.apply(source_df)
-        write_raw(
-            df,
-            self.raw_path(table),
-            ingest_date=ingest_date or self.clock().date(),
-            mode="overwrite" if plan.destructive else "append",
-        )
+
+        txn_id = None
+        if use_wm:
+            new_max = df.agg(F.max(table.partition_column)).first()[0]
+            if new_max is not None:
+                txn_id = self.watermarks.save_provisional(
+                    self.project, table.stage_table_name,
+                    table.partition_column, str(new_max),
+                )
+        try:
+            write_raw(
+                df,
+                self.raw_path(table),
+                ingest_date=ingest_date or self.clock().date(),
+                mode="overwrite" if plan.destructive else "append",
+            )
+        except Exception:
+            if txn_id is not None:
+                self.watermarks.rollback(txn_id)
+            raise
+        if txn_id is not None:
+            self.watermarks.confirm(txn_id)
 
     def transform_table(
         self, table: TableConfig, process_date: dt.date | None = None

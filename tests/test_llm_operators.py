@@ -178,3 +178,32 @@ def test_asof_join_semantics(spark):
     ).collect()}
     assert lagged[1]["val"] == 2.0
     assert lagged[2]["val"] is None  # 11:00 click is 60min before 12:00
+
+
+def test_frame_sampling_plumbing(spark, sf_dir):
+    from cdk_datalake_ingest_bigmagic_spark.operators.multimodal import (
+        media_table_from_documents,
+        sample_frames_df,
+    )
+    from cdk_datalake_ingest_bigmagic_spark.queries import load
+
+    d = load(spark, sf_dir, "documents")
+    # oracle relies on ASCII text ⇒ byte slicing == char slicing
+    from pyspark.sql import functions as F
+    non_ascii = d.filter(
+        F.length(F.col("text")) != F.octet_length(F.col("text"))
+    ).count()
+    assert non_ascii == 0
+
+    media = media_table_from_documents(d.limit(5), "doc_id", "text")
+    frames = sample_frames_df(media, frame_size=64, every_n=2).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["media_id"], []).append(r)
+    for rows in by_doc.values():
+        idxs = sorted(r["frame_idx"] for r in rows)
+        assert all(i % 2 == 0 for i in idxs)          # every 2nd frame
+        assert all(len(r["frame_bytes"]) <= 64 for r in rows)
+        import hashlib
+        for r in rows:
+            assert hashlib.md5(r["frame_bytes"]).hexdigest() == r["frame_md5"]

@@ -154,3 +154,43 @@ def test_register_all_catalog(spark, tmp_path):
     rows = spark.table("test_stage.orders_stage").collect()
     assert rows[0]["order_id"] == "A1"
     spark.sql("DROP DATABASE IF EXISTS test_stage CASCADE")
+
+
+def test_incremental_watermark_protocol(spark, tmp_path):
+    from cdk_datalake_ingest_bigmagic_spark.plans.watermarks import WatermarkStore
+
+    inc = TableConfig(
+        source_table="inc_src",
+        stage_table_name="inc_stage",
+        load_type="incremental",
+        partition_column="seq",
+        process_id="P1",
+    )
+    catalog = Catalog(
+        tables={"inc_stage": inc},
+        columns={"INC_STAGE": [
+            ColumnSpec("k", 0, "string", "fn_transform_ClearString(id)", is_id=True),
+            ColumnSpec("seq", 1, "integer", "fn_transform_Integer(seq)"),
+        ]},
+    )
+    store = WatermarkStore(spark, str(tmp_path / "_wm"))
+    runner = ProcessRunner(
+        spark=spark, catalog=catalog,
+        raw_root=str(tmp_path / "raw"), stage_root=str(tmp_path / "stage"),
+        watermarks=store, project="proj", clock=fixed_clock,
+    )
+    schema = "id string, seq int"
+
+    # first load: no confirmed watermark → everything lands; max confirmed
+    runner.extract_table(inc, spark.createDataFrame(
+        [("A", 1), ("B", 2)], schema))
+    assert store.get("proj", "inc_stage", "seq") == "2"
+
+    # second load: rows at/below the bookmark are filtered out
+    runner.extract_table(inc, spark.createDataFrame(
+        [("B", 2), ("C", 3), ("D", 4)], schema))
+    assert store.get("proj", "inc_stage", "seq") == "4"
+
+    raw = spark.read.parquet(str(tmp_path / "raw/inc_stage"))
+    ids = sorted(r["id"] for r in raw.collect())
+    assert ids == ["A", "B", "C", "D"]  # B landed once, not twice
