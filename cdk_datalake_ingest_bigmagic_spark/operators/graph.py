@@ -1,0 +1,65 @@
+"""Connected components over a pair/edge list — the clustering step
+that turns near-duplicate PAIRS into duplicate GROUPS (one canonical
+document per component).
+
+Iterative min-label propagation: every vertex starts labeled with
+itself; each round, a vertex adopts the smallest label among itself and
+its neighbors; converged when a round changes nothing. Rounds are plain
+DataFrame joins + aggregations, so each one is a bounded shuffle and
+the loop runs O(diameter) times — near-dup clusters are shallow (a
+handful of rounds), while a driver-side union-find would need the whole
+edge list on one machine.
+
+``localCheckpoint`` after each round cuts the lineage so the plan
+doesn't grow with iterations (the classic iterative-algorithm trap on
+Spark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, component) for every vertex in ``edges``; component = the
+    smallest vertex id reachable from it. Raises if not converged
+    within ``max_iter`` rounds (diameter guard, not a silent cap)."""
+    both = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    both = both.distinct().localCheckpoint()
+    labels = (
+        both.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            both.join(labels, both.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+                (F.coalesce(F.col("nbr_min"), F.col("component")) < F.col("component"))
+                .cast("int")
+                .alias("changed"),
+            )
+        ).localCheckpoint()
+        n_changed = updated.agg(F.sum("changed")).first()[0] or 0
+        labels = updated.drop("changed")
+        if n_changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")

@@ -262,6 +262,49 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE round(n_inter::DOUBLE / (sa.n + sb.n - n_inter)::DOUBLE, 6) >= 0.8
+    ),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM edges
+      UNION SELECT id_b, id_a FROM edges
+    ),
+    reach AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    )
+    SELECT a AS id, LEAST(a, MIN(b)) AS component
+    FROM reach GROUP BY a
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate clusters: connected components by
+    iterative min-label propagation over the Jaccard≥0.8 edge list
+    (oracle: recursive transitive closure — viable only because dup
+    clusters are tiny; the propagation loop is what scales)."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.graph import (
+        connected_components,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    sh = dd.shingle_table(d, "doc_id", "text", n=3)
+    pairs = dd.jaccard_pairs(sh, "doc_id", threshold=0.8)
+    return connected_components(pairs, "id_a", "id_b")
+
+
+@register(
     "dedup_simhash",
     oracle=r"""
     WITH toks AS (

@@ -520,3 +520,25 @@ def join_part_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rev).cast("double").alias("revenue"),
         )
     )
+
+
+@register(
+    "agg_exact_quantiles",
+    oracle="""
+    SELECT event_type,
+           [quantile_cont(value, 0.5), quantile_cont(value, 0.9),
+            quantile_cont(value, 0.99)] AS q
+    FROM events GROUP BY 1
+    """,
+)
+def agg_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated quantiles per group. Spark's
+    `percentile` and DuckDB's `quantile_cont` share the interpolation
+    formula, so even the float results match bit-for-bit. (The approx
+    path — percentile_approx / t-digest — is the 100 TB default; exact
+    needs a per-group sort and is kept for oracle-checkable workloads.)
+    """
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.5, 0.9, 0.99))").alias("q")
+    )

@@ -207,3 +207,20 @@ def test_frame_sampling_plumbing(spark, sf_dir):
         import hashlib
         for r in rows:
             assert hashlib.md5(r["frame_bytes"]).hexdigest() == r["frame_md5"]
+
+
+def test_connected_components_known_graph(spark):
+    from cdk_datalake_ingest_bigmagic_spark.operators.graph import (
+        connected_components,
+    )
+
+    # chain 1-2-3-4, triangle 10-11-12, pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    cc = {r["id"]: r["component"]
+          for r in connected_components(edges).collect()}
+    assert {cc[1], cc[2], cc[3], cc[4]} == {1}
+    assert {cc[10], cc[11], cc[12]} == {10}
+    assert {cc[20], cc[21]} == {20}
