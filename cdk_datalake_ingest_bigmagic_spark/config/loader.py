@@ -22,6 +22,7 @@ from cdk_datalake_ingest_bigmagic_spark.config.models import (
     Catalog,
     ColumnSpec,
     EndpointConfig,
+    ScheduleConfig,
     TableConfig,
 )
 
@@ -53,8 +54,14 @@ def load_catalog(
     tables_csv: str | Path | None = None,
     columns_csv: str | Path | None = None,
     endpoints_csv: str | Path | None = None,
+    programmer_csv: str | Path | None = None,
 ) -> Catalog:
     catalog = Catalog()
+    if programmer_csv:
+        for row in read_config_csv(programmer_csv):
+            sched = ScheduleConfig.from_row(row)
+            if sched.process_id:
+                catalog.schedules.append(sched)
     if tables_csv:
         for row in read_config_csv(tables_csv):
             cfg = TableConfig.from_row(

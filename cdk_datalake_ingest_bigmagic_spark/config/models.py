@@ -167,6 +167,48 @@ class EndpointConfig:
         raise ValueError(f"unsupported db_type: {self.db_type}")
 
 
+@dataclass(frozen=True)
+class ScheduleConfig:
+    """One process group's cron schedule (reference ``programmer.csv:1``,
+    consumed by the EventBridge rule in the group stack). The engine's
+    runner is invoked by any scheduler; this keeps the catalog complete
+    so existing configs replay and a cron line can be derived."""
+
+    endpoint_name: str = ""
+    instance: str = ""
+    process_id: str = ""
+    minutes: str = "*"
+    hours: str = "*"
+    day_of_month: str = "*"
+    month: str = "*"
+    day_of_week: str = "*"
+    year: str = "*"
+    env: str = ""
+
+    @classmethod
+    def from_row(cls, row: dict[str, str]) -> "ScheduleConfig":
+        return cls(
+            endpoint_name=row.get("ENDPOINT_NAME", ""),
+            instance=row.get("INSTANCE", ""),
+            process_id=row.get("PROCESS_ID", ""),
+            minutes=row.get("CRON_MINUTES", "*") or "*",
+            hours=row.get("CRON_HOURS", "*") or "*",
+            day_of_month=row.get("CRON_DAY_OF_MONTH", "*") or "*",
+            month=row.get("CRON_MONTH", "*") or "*",
+            day_of_week=row.get("CRON_DAY_OF_WEEK", "*") or "*",
+            year=row.get("CRON_YEAR", "*") or "*",
+            env=row.get("ENV", ""),
+        )
+
+    @property
+    def cron(self) -> str:
+        """Standard 5-field cron line for any scheduler."""
+        return " ".join(
+            (self.minutes, self.hours, self.day_of_month, self.month,
+             self.day_of_week)
+        )
+
+
 @dataclass
 class Catalog:
     """In-memory catalog of all configured tables/columns/endpoints."""
@@ -174,6 +216,7 @@ class Catalog:
     tables: dict[str, TableConfig] = field(default_factory=dict)
     columns: dict[str, list[ColumnSpec]] = field(default_factory=dict)
     endpoints: dict[str, EndpointConfig] = field(default_factory=dict)
+    schedules: list[ScheduleConfig] = field(default_factory=list)
 
     def columns_for(self, stage_table_name: str) -> list[ColumnSpec]:
         specs = self.columns.get(stage_table_name.upper(), [])

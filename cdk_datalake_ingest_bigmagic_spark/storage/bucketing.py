@@ -1,0 +1,47 @@
+"""Bucketed stage tables: pre-shuffled storage for co-located joins.
+
+Writing a table bucketed by its join/merge key means every downstream
+equi-join or aggregation on that key reads already-partitioned data —
+Spark elides the shuffle exchange entirely. For a stage table that is
+MERGEd every load and joined by id downstream, paying one shuffle at
+write time instead of one per query is the 100 TB win.
+
+Bucketing goes through the session catalog (``saveAsTable``) because
+bucket metadata lives in the metastore, not in the files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a bucketed (optionally sorted) managed table.
+
+    ``n_buckets`` should divide target parallelism; sorted buckets
+    additionally let merge-join skip its sort."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def bucketed_join_ready(spark: SparkSession, table_a: str, table_b: str) -> bool:
+    """True when both tables are bucketed compatibly (same bucket count)
+    — the precondition for an exchange-free join."""
+
+    def buckets(t: str) -> int | None:
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {t}").collect():
+            if r["col_name"] == "Num Buckets":
+                return int(r["data_type"])
+        return None
+
+    a, b = buckets(table_a), buckets(table_b)
+    return a is not None and a == b

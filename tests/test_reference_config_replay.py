@@ -90,3 +90,11 @@ def test_process_groups_cover_all_tables(ref_catalog):
     }
     active = {t.stage_table_name for t in ref_catalog.tables.values() if t.is_active}
     assert active <= grouped
+
+
+def test_programmer_schedules_parse():
+    catalog = load_catalog(programmer_csv=f"{REF_CSV}/programmer.csv")
+    assert catalog.schedules, "programmer.csv should yield schedules"
+    for s in catalog.schedules:
+        assert s.process_id
+        assert len(s.cron.split()) == 5

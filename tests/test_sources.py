@@ -70,3 +70,46 @@ def test_format_partition_path_tokens():
         == "2024/06/05/070809"
     )
     assert format_partition_path("{YY}-{MON}-q{QUARTER}-w{WEEK}", when) == "24-JUN-q2-w23"
+
+
+def test_bucketed_join_elides_exchange(spark, tmp_path):
+    """Joining two tables bucketed on the key must not shuffle either
+    side — the property that makes bucketing pay at scale."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_bigmagic_spark.storage.bucketing import (
+        bucketed_join_ready,
+        write_bucketed,
+    )
+
+    a = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+    )
+    b = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+    )
+    spark.sql("DROP TABLE IF EXISTS bt_a")
+    spark.sql("DROP TABLE IF EXISTS bt_b")
+    write_bucketed(a, "bt_a", ["k"], n_buckets=4, sort_cols=["k"])
+    write_bucketed(b, "bt_b", ["k"], n_buckets=4, sort_cols=["k"])
+    assert bucketed_join_ready(spark, "bt_a", "bt_b")
+
+    # disable broadcast so the join would otherwise shuffle
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bt_a").join(spark.table("bt_b"), "k")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # buckets already co-located
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
