@@ -65,6 +65,13 @@ def salted_agg(
     finals = []
     for name, expr in aggs.items():
         fn = expr._jc.toString().split("(")[0].lower()
+        if fn not in {"sum", "count", "min", "max"}:
+            # avg/stddev/... would re-aggregate incorrectly — refuse
+            # loudly instead of returning silently wrong numbers
+            raise ValueError(
+                f"salted_agg supports sum/count/min/max, got {fn!r} for {name!r}"
+                " (decompose avg into sum+count and divide after)"
+            )
         combiner = {"min": F.min, "max": F.max}.get(fn, F.sum)
         finals.append(combiner(f"__p_{name}").alias(name))
     return partial.groupBy(*keys).agg(*finals)

@@ -157,6 +157,11 @@ class ProcessRunner:
 
         txn_id = None
         if use_wm:
+            # the max probe AND the landing write both consume the
+            # extraction — cache so a JDBC source is queried once, not
+            # twice (the reference tracks the running max during its
+            # single pass for the same reason, orchestrator.py:559-627)
+            df = df.cache()
             new_max = df.agg(F.max(table.partition_column)).first()[0]
             if new_max is not None:
                 txn_id = self.watermarks.save_provisional(
@@ -174,6 +179,9 @@ class ProcessRunner:
             if txn_id is not None:
                 self.watermarks.rollback(txn_id)
             raise
+        finally:
+            if use_wm:
+                df.unpersist()
         if txn_id is not None:
             self.watermarks.confirm(txn_id)
 

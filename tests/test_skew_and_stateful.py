@@ -105,3 +105,11 @@ def test_running_totals_stream(spark, tmp_path):
     assert last["A"] == (6.0, 2)  # 1.0 + 5.0 across two micro-batches
     assert last["B"] == (2.0, 1)
     assert last["C"] == (3.0, 1)
+
+
+def test_salted_agg_rejects_non_reaggregable(spark):
+    import pytest
+
+    df = spark.createDataFrame([(0, 1)], "k int, v int")
+    with pytest.raises(ValueError, match="sum/count/min/max"):
+        salted_agg(df, ["k"], {"m": F.avg("v")}, n_salts=2)
