@@ -122,6 +122,37 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", tx.fingerprint(F.col("text")).alias("fingerprint"))
 
 
+@register(
+    "text_frequent_tokens",
+    oracle=r"""
+    SELECT t AS tok, COUNT(*) AS n
+    FROM documents,
+         unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS u(t)
+    WHERE t <> ''
+    GROUP BY t
+    ORDER BY n DESC, t
+    LIMIT 20
+    """,
+)
+def text_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-wide top-20 tokens (vocabulary head). Deterministic
+    tie-break by token; TakeOrderedAndProject keeps the sort local +
+    top-k merge, never a full global sort."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.explode(
+                F.split(tx.normalize_text(F.col("text")), " ")
+            ).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup
 # ---------------------------------------------------------------------------
