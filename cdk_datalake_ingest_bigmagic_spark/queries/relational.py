@@ -542,3 +542,27 @@ def agg_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         F.expr("percentile(value, array(0.5, 0.9, 0.99))").alias("q")
     )
+
+
+@register(
+    "set_ops_segments",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 0
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_ops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (INTERSECT / EXCEPT): building-segment customers in
+    credit with no finished orders. Both compile to aggregates/anti-joins
+    — no distinct-then-join hand-rolling."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    in_credit = c.filter(F.col("c_acctbal") > 0).select("c_custkey")
+    finished = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return building.intersect(in_credit).exceptAll(finished.distinct())

@@ -194,3 +194,30 @@ def test_incremental_watermark_protocol(spark, tmp_path):
     raw = spark.read.parquet(str(tmp_path / "raw/inc_stage"))
     ids = sorted(r["id"] for r in raw.collect())
     assert ids == ["A", "B", "C", "D"]  # B landed once, not twice
+
+
+def test_warning_band_status(spark, tmp_path):
+    """10–50% column failures → WARNING status (reference thresholds)."""
+    t = TableConfig(source_table="w", stage_table_name="warn_stage",
+                    load_type="full", process_id="P1")
+    catalog = Catalog(
+        tables={"warn_stage": t},
+        columns={"WARN_STAGE": [
+            ColumnSpec("a", 0, "string", "fn_transform_ClearString(id)", is_id=True),
+            ColumnSpec("b", 1, "string", "id"),
+            ColumnSpec("c", 2, "string", "id"),
+            ColumnSpec("bad", 3, "string", "missing_col"),  # 1/4 = 25%
+        ]},
+    )
+    runner = ProcessRunner(
+        spark=spark, catalog=catalog,
+        raw_root=str(tmp_path / "raw"), stage_root=str(tmp_path / "stage"),
+        clock=fixed_clock,
+    )
+    src = spark.createDataFrame([("A",)], "id string")
+    runs = runner.run_process("P1", source_provider=lambda tc: src)
+    assert runs[0].status == "WARNING"
+    assert runs[0].n_errors == 1
+    stage = spark.read.parquet(str(tmp_path / "stage/warn_stage"))
+    row = stage.collect()[0]
+    assert row["a"] == "A" and row["bad"] is None  # quarantined to NULL
