@@ -169,3 +169,63 @@ def events_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0)
     )
+
+
+@register(
+    "events_user_similarity",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, EXTRACT(hour FROM ts)::INT AS h, COUNT(*)::DOUBLE AS c
+      FROM events GROUP BY 1, 2
+    ), grid AS (
+      SELECT u.user_id, hh.h, COALESCE(c.c, 0.0) AS c
+      FROM (SELECT DISTINCT user_id FROM events) u
+      CROSS JOIN (SELECT unnest(range(0, 24))::INT AS h) hh
+      LEFT JOIN counts c ON c.user_id = u.user_id AND c.h = hh.h
+    ), vec AS (
+      SELECT user_id, list(c ORDER BY h) AS hours FROM grid GROUP BY user_id
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           round(
+             list_dot_product(a.hours, b.hours)
+             / (sqrt(list_dot_product(a.hours, a.hours))
+                * sqrt(list_dot_product(b.hours, b.hours))), 6) AS cosine_sim
+    FROM vec a JOIN vec b ON a.user_id < b.user_id
+    WHERE round(
+             list_dot_product(a.hours, b.hours)
+             / (sqrt(list_dot_product(a.hours, a.hours))
+                * sqrt(list_dot_product(b.hours, b.hours))), 6) >= 0.9
+    """,
+)
+def events_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral similarity: per-user 24-dim hour-of-day activity
+    vectors (one pivot-style aggregation), then cosine pairs ≥ 0.9.
+
+    Bridges the relational and vector worlds: the vectors are integer
+    counts, so the dot products are exact in any engine and the one
+    double division is bit-reproducible. At corpus scale the pair space
+    would go through the LSH/IVF candidates paths instead of the full
+    self-join."""
+    e = load(spark, sf_dir, "events")
+    hour_counts = [
+        F.sum(
+            F.when(F.hour("ts") == h, F.lit(1)).otherwise(F.lit(0))
+        ).cast("double").alias(f"h{h}")
+        for h in range(24)
+    ]
+    vec = e.groupBy("user_id").agg(*hour_counts).select(
+        "user_id", F.array(*[F.col(f"h{h}") for h in range(24)]).alias("hours")
+    )
+    a = vec.select(F.col("user_id").alias("user_a"), F.col("hours").alias("va"))
+    b = vec.select(F.col("user_id").alias("user_b"), F.col("hours").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate(F.transform("va", lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x))
+    nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x))
+    sim = F.round(dot / (na * nb), 6)
+    return (
+        a.join(b, F.col("user_a") < F.col("user_b"))
+        .select("user_a", "user_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= 0.9)
+    )
