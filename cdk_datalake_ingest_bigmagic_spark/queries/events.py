@@ -229,3 +229,31 @@ def events_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_a", "user_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= 0.9)
     )
+
+
+@register(
+    "events_lag_lead_gaps",
+    oracle="""
+    SELECT event_id, user_id,
+           epoch_us(ts) - lag(epoch_us(ts))  OVER w AS us_since_prev,
+           lead(epoch_us(ts)) OVER w - epoch_us(ts) AS us_to_next
+    FROM events
+    WHERE user_id <= 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def events_lag_lead_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics: inter-event gaps per user, computed in exact
+    integer microseconds so both engines agree bit-for-bit (second
+    truncation would differ depending on where the floor happens)."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        (us - F.lag(us).over(w)).alias("us_since_prev"),
+        (F.lead(us).over(w) - us).alias("us_to_next"),
+    )
