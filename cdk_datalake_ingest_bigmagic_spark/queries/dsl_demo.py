@@ -329,3 +329,61 @@ def dsl_date_to_string_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
             "string",
         ).alias("processperiod"),
     )
+
+
+@register(
+    "dsl_misc_functions",
+    oracle="""
+    SELECT o_orderkey,
+           concat(trim(seg), '#', trim(pr)) AS joined,
+           try_cast(qty AS INTEGER) AS qty_int,
+           try_cast(amt AS DOUBLE) AS amt_dbl,
+           CASE WHEN flag IS NULL THEN NULL
+                ELSE try_cast(flag AS BOOLEAN) END AS flag_bool,
+           coalesce(try_strptime(d, '%d/%m/%Y')::DATE, DATE '1900-01-01') AS d_date,
+           try_cast(ts AS TIMESTAMP) AS ts_parsed
+    FROM (
+      SELECT o_orderkey,
+             concat(' ', o_orderstatus, ' ') AS seg,
+             concat(o_orderpriority, '  ')   AS pr,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'x' ELSE (o_orderkey % 100)::VARCHAR END AS qty,
+             (o_totalprice)::VARCHAR AS amt,
+             CASE o_orderkey % 3 WHEN 0 THEN 'true' WHEN 1 THEN 'false' ELSE NULL END AS flag,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'junk'
+                  ELSE strftime(o_orderdate, '%d/%m/%Y') END AS d,
+             strftime(o_orderdate, '%Y-%m-%d 08:30:00') AS ts
+      FROM orders)
+    """,
+)
+def dsl_misc_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3/T4/T7/T9 in one pass: Concatenate_ws with explicit separator,
+    plain Date parse (dd/MM/yyyy + default), Datetime parse, and the
+    Integer/Double/Boolean permissive casts (bad input → NULL — ANSI
+    off, as the reference's Glue jobs ran)."""
+    o = load(spark, sf_dir, "orders")
+    messy = o.select(
+        "o_orderkey",
+        F.concat(F.lit(" "), F.col("o_orderstatus"), F.lit(" ")).alias("seg"),
+        F.concat(F.col("o_orderpriority"), F.lit("  ")).alias("pr"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("x"))
+        .otherwise((F.col("o_orderkey") % 100).cast("string")).alias("qty"),
+        F.col("o_totalprice").cast("string").alias("amt"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("true"))
+        .when(F.col("o_orderkey") % 3 == 1, F.lit("false"))
+        .otherwise(F.lit(None)).alias("flag"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("junk"))
+        .otherwise(F.date_format("o_orderdate", "dd/MM/yyyy")).alias("d"),
+        F.date_format("o_orderdate", "yyyy-MM-dd 08:30:00").alias("ts"),
+    )
+    return _compile(
+        messy,
+        [
+            ("o_orderkey", "o_orderkey", "int"),
+            ("joined", "fn_transform_Concatenate_ws(seg,pr,#)", "string"),
+            ("qty_int", "fn_transform_Integer(qty)", "int"),
+            ("amt_dbl", "fn_transform_Double(amt)", "double"),
+            ("flag_bool", "fn_transform_Boolean(flag)", "boolean"),
+            ("d_date", "fn_transform_Date(d,dd/MM/yyyy,1900-01-01)", "date"),
+            ("ts_parsed", "fn_transform_Datetime(ts)", "timestamp"),
+        ],
+    )
