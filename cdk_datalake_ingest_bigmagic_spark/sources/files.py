@@ -59,11 +59,22 @@ def read_raw(
     spark: SparkSession,
     path: str,
     ingest_date: dt.date | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Read the raw layer, optionally pruned to one ingest date
     (reference reads the exact year=/month=/day= prefix,
-    light_transform.py:1689-1696 — here partition pruning does it)."""
-    df = spark.read.parquet(path)
+    light_transform.py:1689-1696 — here partition pruning does it).
+
+    ``merge_schema`` unions schemas across files — the drift story when
+    a source table grows a column mid-history (older files yield NULLs,
+    and the all-string contract means no type conflicts). Off by
+    default: schema merging reads every file footer, which is a real
+    cost on a large prefix; reprocessing a single ingest date rarely
+    needs it."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(path)
     if ingest_date is not None:
         df = df.filter(
             (F.col("year") == f"{ingest_date.year:04d}")

@@ -113,3 +113,35 @@ def test_bucketed_join_elides_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bt_a")
         spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_read_raw_schema_drift(spark, tmp_path):
+    """A column added mid-history merges in; older files read as NULL.
+    The all-string raw contract guarantees no type conflicts."""
+    p = str(tmp_path / "raw")
+    write_raw(spark.createDataFrame([("A", "1")], "k string, v string"),
+              p, ingest_date=dt.date(2024, 6, 1))
+    write_raw(spark.createDataFrame([("B", "2", "new")], "k string, v string, extra string"),
+              p, ingest_date=dt.date(2024, 6, 2))
+
+    merged = read_raw(spark, p, merge_schema=True)
+    assert set(merged.columns) == {"k", "v", "extra"}
+    rows = {r["k"]: r["extra"] for r in merged.collect()}
+    assert rows == {"A": None, "B": "new"}
+
+
+def test_stage_optimize_compacts_files(spark, tmp_path):
+    import glob as _glob
+
+    from cdk_datalake_ingest_bigmagic_spark.storage.stage import stage_table
+
+    path = str(tmp_path / "stage")
+    df = spark.range(0, 1000).selectExpr("id", "id * 2 AS v").repartition(16)
+    table = stage_table(spark, path)
+    table.overwrite(df)
+    before = len(_glob.glob(f"{path}/part-*.parquet"))
+    assert before >= 16
+    table.optimize(target_partitions=2)
+    after = len(_glob.glob(f"{path}/part-*.parquet"))
+    assert after <= 2
+    assert table.read().count() == 1000
