@@ -19,3 +19,21 @@ from cdk_datalake_ingest_bigmagic_spark.functions.compiler import (  # noqa: F40
     DslCompiler,
     spark_type_for,
 )
+
+
+def __getattr__(name):  # lazy top-level conveniences, no import cycles
+    if name == "ProcessRunner":
+        from cdk_datalake_ingest_bigmagic_spark.runner import ProcessRunner
+
+        return ProcessRunner
+    if name == "load_catalog":
+        from cdk_datalake_ingest_bigmagic_spark.config.loader import load_catalog
+
+        return load_catalog
+    if name == "WatermarkStore":
+        from cdk_datalake_ingest_bigmagic_spark.plans.watermarks import (
+            WatermarkStore,
+        )
+
+        return WatermarkStore
+    raise AttributeError(name)

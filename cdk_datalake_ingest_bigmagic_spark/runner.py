@@ -109,6 +109,13 @@ class ProcessRunner:
     project: str = "default"
     max_concurrency: int = EXTRACT_CONCURRENCY
     clock: Callable[[], dt.datetime] = lima_now
+    # post-load small-file compaction (reference OPTIMIZE/VACUUM after
+    # each stage write, light_transform.py:1394-1409)
+    optimize_after_write: bool = False
+    # notification slot for FAILED/WARNING runs (the reference's SNS
+    # publish, extract_data.py:313-368); exceptions in the hook are
+    # swallowed — a broken notifier must not fail the pipeline
+    notify: Callable[[TableRun], None] | None = None
     _runs: list[TableRun] = field(default_factory=list)
 
     def raw_path(self, table: TableConfig) -> str:
@@ -212,6 +219,12 @@ class ProcessRunner:
             if result.warnings:
                 run.status = "WARNING"
                 run.error = "; ".join(result.warnings[:3])
+            if self.optimize_after_write:
+                from cdk_datalake_ingest_bigmagic_spark.storage.stage import (
+                    stage_table,
+                )
+
+                stage_table(self.spark, self.stage_path(table)).optimize()
         except TransformFailure as e:
             run.status = "FAILED"
             run.n_errors = len(e.errors)
@@ -220,6 +233,11 @@ class ProcessRunner:
             run.status = "FAILED"
             run.error = traceback.format_exc(limit=3)
         run.finished_at = time.time()
+        if self.notify is not None and run.status in ("FAILED", "WARNING"):
+            try:
+                self.notify(run)
+            except Exception:
+                pass
         return run
 
     # -- process group -----------------------------------------------------

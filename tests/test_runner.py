@@ -221,3 +221,23 @@ def test_warning_band_status(spark, tmp_path):
     stage = spark.read.parquet(str(tmp_path / "stage/warn_stage"))
     row = stage.collect()[0]
     assert row["a"] == "A" and row["bad"] is None  # quarantined to NULL
+
+
+def test_notify_and_optimize_hooks(spark, tmp_path):
+    notified = []
+    runner = ProcessRunner(
+        spark=spark, catalog=make_catalog(),
+        raw_root=str(tmp_path / "raw"), stage_root=str(tmp_path / "stage"),
+        clock=fixed_clock,
+        optimize_after_write=True,
+        notify=notified.append,
+    )
+    runs = runner.run_process("P1", source_provider=source_provider_for(spark))
+    statuses = {r.table: r.status for r in runs}
+    assert statuses["orders_stage"] == "SUCCESS"
+    assert statuses["broken_stage"] == "FAILED"
+    # only the failure is notified; the success is not
+    assert [n.table for n in notified] == ["broken_stage"]
+    # compaction ran and the table still reads
+    stage = spark.read.parquet(str(tmp_path / "stage/orders_stage"))
+    assert stage.count() == 2
