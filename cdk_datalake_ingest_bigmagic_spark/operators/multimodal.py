@@ -57,6 +57,14 @@ def sample_frames(payload: bytes, every_n: int = 30):  # pragma: no cover - stub
     raise NotImplementedError("video frame sampling requires a codec library")
 
 
+def resize_image(payload: bytes, width: int, height: int) -> bytes:  # pragma: no cover - stub
+    """Resize an image payload. STUB: requires an image codec library.
+    The distributed shape is ``extract_features``/``sample_frames_df``:
+    an Arrow ``mapInPandas`` stage mapping payload → payload, with
+    (width, height) carried in the ``meta`` map."""
+    raise NotImplementedError("image resizing requires a codec library")
+
+
 def _fake_feature(payload: bytes, dims: int = 8) -> list[float]:
     """Deterministic stand-in for a decoded-media feature vector: bytes
     of the payload digest scaled to [0,1). Lets the distributed plumbing

@@ -79,6 +79,30 @@ def token_hash64(token: Column) -> Column:
     return F.conv(F.substring(F.md5(token), 1, 8), 16, 10).cast("long")
 
 
+ROLLING_BASE = 1000003          # polynomial base (prime)
+ROLLING_MOD = 2147483647        # 2^31 - 1; acc*B + h < 2^52, no overflow
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Order-sensitive polynomial rolling hash over word tokens:
+    acc_{i+1} = (acc_i * B + h(tok_i)) mod p, seeded with the 28-bit
+    md5-derived token hash.
+
+    Unlike the md5 fingerprint (whole-document, order implicit in the
+    bytes), this is the incremental form: the hash of doc+token derives
+    from the hash of doc in O(1), which is what windowed / streaming
+    fingerprinting builds on. All integer arithmetic — bit-identical in
+    any engine with the same fold order.
+    """
+    toks = F.filter(F.split(normalize_text(text), " "), lambda t: t != "")
+    h = lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long")  # noqa: E731
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * F.lit(ROLLING_BASE) + h(t)) % F.lit(ROLLING_MOD),
+    )
+
+
 def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Stopword-voting language ID.
 

@@ -123,6 +123,29 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_rolling_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(
+                 list_filter(
+                   string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                   t -> t <> ''),
+                 t -> ('0x' || substr(md5(t), 1, 7))::BIGINT)),
+             (acc, x) -> (acc * 1000003 + x) % 2147483647
+           ) AS rolling_fp
+    FROM documents
+    """,
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling hash per document (incremental
+    fingerprint form; same fold order in both engines → bit-identical)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.rolling_fingerprint(F.col("text")).alias("rolling_fp"))
+
+
+@register(
     "text_frequent_tokens",
     oracle=r"""
     SELECT t AS tok, COUNT(*) AS n
