@@ -45,7 +45,9 @@ MAGIC_THRESHOLD = 100000  # int values above this are magic ordinals
 PERIOD_NULL_SENTINEL = "190001"
 NULLISH_STRINGS = ["None", "NULL", "null"]
 
-_DECIMAL_RE = re.compile(r"numeric\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", re.IGNORECASE)
+_DECIMAL_RE = re.compile(
+    r"(?:numeric|decimal)\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", re.IGNORECASE
+)
 
 _SIMPLE_TYPES: dict[str, T.DataType] = {
     "string": T.StringType(),

@@ -69,10 +69,13 @@ def asof_join(
     unioned = l_aug.unionByName(r_aug)
     # right rows sort before left rows at equal ts (tag 0 < 1) so an
     # equal-timestamp right row is visible to the left row — "at or
-    # before" semantics
+    # before" semantics; __payload as the final key makes the pick
+    # among right rows sharing (key, ts) deterministic (struct
+    # comparison — left rows all have NULL payload, their order is
+    # irrelevant)
     w = (
         Window.partitionBy(*on)
-        .orderBy("__ts", "__tag")
+        .orderBy("__ts", "__tag", "__payload")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = unioned.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))

@@ -61,12 +61,16 @@ def topk_for_id(
         to_double_array(F.col(vec_col)).alias("__q")
     )
     sim = cosine(to_double_array(F.col(vec_col)), F.col("__q"))
+    # rank by the UNROUNDED cosine (the oracle does too — ranking by the
+    # rounded value could flip membership at the top-k boundary when two
+    # neighbors differ only past the rounding precision)
     return (
         df.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != query_id)
-        .select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))
-        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .select(F.col(id_col), sim.alias("__sim"))
+        .orderBy(F.col("__sim").desc(), F.col(id_col))
         .limit(k)
+        .select(F.col(id_col), F.round(F.col("__sim"), 6).alias("cosine_sim"))
     )
 
 

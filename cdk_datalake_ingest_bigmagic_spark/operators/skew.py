@@ -36,7 +36,16 @@ def salted_join(
 ) -> DataFrame:
     """Join where ``skewed`` has hot keys: salt the skewed side, explode
     ``other`` across all salts, join on key+salt. Result equals the
-    plain join; the hot key's rows now land on ``n_salts`` reducers."""
+    plain join; the hot key's rows now land on ``n_salts`` reducers.
+
+    Only inner/left-ish joins are supported: a right or full outer join
+    would emit an unmatched build-side row once PER SALT COPY."""
+    if how not in {"inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti", "cross"}:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched rows of"
+            " the exploded side would duplicate n_salts times"
+        )
     s = with_salt(skewed, n_salts)
     o = other.withColumn(
         SALT_COL,

@@ -147,14 +147,26 @@ def run_table_pipeline(
 ) -> TransformResult:
     """Full raw→stage for one table: read, transform, dedup, write.
 
-    ``ingest_date`` reprocesses one raw ingest-date partition
-    (DATE_PROCESS semantics — partition pruning reads only that
-    year=/month=/day= prefix)."""
+    ``ingest_date`` selects one raw ingest-date partition (DATE_PROCESS
+    semantics — partition pruning reads only that year=/month=/day=
+    prefix). ``None`` reads the ENTIRE raw history — a full-reprocess,
+    not the daily default; the runner passes the current load's date.
+
+    Empty-slice guard: an empty raw read only materializes the declared
+    schema (S13) when the stage table doesn't exist yet. When stage
+    already has data, the write is skipped — otherwise a reprocess
+    pointed at a day with no landing would overwrite a populated table
+    with nothing."""
     from cdk_datalake_ingest_bigmagic_spark.sources.files import read_raw
 
     raw_df = read_raw(spark, raw_path, ingest_date=ingest_date)
     if raw_df.isEmpty():
         result = TransformResult(df=empty_stage_frame(spark, specs))
+        if stage_table(spark, stage_path).exists():
+            result.warnings.append(
+                f"empty raw slice for {ingest_date}; stage left untouched"
+            )
+            return result
     else:
         result = transform_raw_to_stage(raw_df, specs)
     write_stage(spark, result.df, stage_path, specs, table.effective_load_type)

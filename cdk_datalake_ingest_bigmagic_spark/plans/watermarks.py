@@ -82,8 +82,16 @@ class WatermarkStore:
         df.write.mode("append").parquet(self.path)
 
     def _next_version(self) -> int:
-        cur = self._read().agg(F.max("version").alias("v")).first()["v"]
-        return (cur or 0) + 1
+        """Monotonic version from the wall clock (nanoseconds).
+
+        A max(version)+1 read-modify-write would race under the
+        runner's concurrent table loads (two writers both read 7,
+        both append 8). Nanosecond stamps are disjoint for practical
+        concurrency without coordination; ordering stays last-writer-
+        wins per key, which is the bookmark semantic anyway."""
+        import time
+
+        return time.time_ns()
 
     def _current(self, project: str, table: str, column: str) -> Row | None:
         df = (

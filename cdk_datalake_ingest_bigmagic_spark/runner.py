@@ -220,11 +220,23 @@ class ProcessRunner:
                 run.status = "WARNING"
                 run.error = "; ".join(result.warnings[:3])
             if self.optimize_after_write:
+                from cdk_datalake_ingest_bigmagic_spark.functions.compiler import (
+                    spark_type_for,
+                )
                 from cdk_datalake_ingest_bigmagic_spark.storage.stage import (
                     stage_table,
                 )
 
-                stage_table(self.spark, self.stage_path(table)).optimize()
+                pcols = [s.name for s in specs if s.is_partition]
+                stage_table(self.spark, self.stage_path(table)).optimize(
+                    partition_cols=pcols or None,
+                    partition_types={
+                        s.name: spark_type_for(s.data_type)
+                        for s in specs
+                        if s.is_partition
+                    }
+                    or None,
+                )
         except TransformFailure as e:
             run.status = "FAILED"
             run.n_errors = len(e.errors)
@@ -254,15 +266,20 @@ class ProcessRunner:
         tables = self.catalog.tables_for_process(process_id)
         process_date = parse_process_date(date_process)
 
+        # each run lands at (and transforms exactly) one ingest date —
+        # reading the whole raw prefix every run would re-union all
+        # appended snapshots and resurrect source-deleted rows
+        load_date = process_date or self.clock().date()
+
         def one(table: TableConfig) -> TableRun:
             try:
                 if source_provider is not None:
                     self.extract_table(
                         table, source_provider(table), mode=mode,
-                        ingest_date=process_date,
+                        ingest_date=load_date,
                     )
             except Exception:
-                return TableRun(
+                run = TableRun(
                     process_id=table.process_id,
                     table=table.stage_table_name,
                     status="FAILED",
@@ -270,7 +287,13 @@ class ProcessRunner:
                     started_at=time.time(),
                     finished_at=time.time(),
                 )
-            return self.transform_table(table, process_date=process_date)
+                if self.notify is not None:
+                    try:
+                        self.notify(run)
+                    except Exception:
+                        pass
+                return run
+            return self.transform_table(table, process_date=load_date)
 
         if not tables:
             return []

@@ -95,8 +95,12 @@ class ParquetStageTable:
             self.overwrite(df, partition_cols)
             return
         existing = self.read()
-        # align column order; schema drift -> take incoming schema
         kept = existing.join(df.select(*id_cols).distinct(), on=id_cols, how="left_anti")
+        # schema drift → take the incoming schema: a column the live
+        # table doesn't have yet reads as typed NULL for kept rows
+        for c in df.columns:
+            if c not in kept.columns:
+                kept = kept.withColumn(c, F.lit(None).cast(df.schema[c].dataType))
         merged = kept.select(*df.columns).unionByName(df)
         self._rewrite(merged, partition_cols)
 
@@ -122,12 +126,24 @@ class ParquetStageTable:
                 writer = writer.partitionBy(*partition_cols)
             writer.parquet(self.path)
 
-    def optimize(self, target_partitions: int | None = None) -> None:
+    def optimize(
+        self,
+        target_partitions: int | None = None,
+        partition_cols: list[str] | None = None,
+        partition_types: dict[str, object] | None = None,
+    ) -> None:
         """Small-file compaction (stands in for Delta OPTIMIZE,
-        reference light_transform.py:1394-1409)."""
+        reference light_transform.py:1394-1409).
+
+        Pass ``partition_cols`` for partitioned tables — compaction
+        must rewrite WITH the layout or partition pruning is lost.
+        ``partition_types`` restores declared types that the partition
+        directory read re-inferred (e.g. ``'01'`` → int 1)."""
         df = self.read()
+        for c, t in (partition_types or {}).items():
+            df = df.withColumn(c, F.col(c).cast(t))
         n = target_partitions or max(1, df.rdd.getNumPartitions() // 4)
-        self._rewrite(df.repartition(n), None)
+        self._rewrite(df.repartition(n), partition_cols)
 
 
 class DeltaStageTable(ParquetStageTable):  # pragma: no cover - needs delta pkg
@@ -174,7 +190,13 @@ class DeltaStageTable(ParquetStageTable):  # pragma: no cover - needs delta pkg
             .execute()
         )
 
-    def optimize(self, target_partitions: int | None = None) -> None:
+    def optimize(
+        self,
+        target_partitions: int | None = None,
+        partition_cols: list[str] | None = None,
+        partition_types: dict[str, object] | None = None,
+    ) -> None:
+        # Delta OPTIMIZE preserves the partition layout natively
         self.spark.sql(f"OPTIMIZE delta.`{self.path}`")
         self.spark.sql(f"VACUUM delta.`{self.path}` RETAIN 168 HOURS")
 
