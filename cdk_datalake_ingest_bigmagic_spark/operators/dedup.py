@@ -7,15 +7,21 @@ Designed for corpus-scale runs:
 - **n-gram Jaccard**: word-shingle inverted index; candidate pairs come
   from a self-join on the (deduplicated) shingle table, so cost is
   bounded by shingle collision lists, not |docs|².
-- **MinHash-LSH**: per-band minimum of md5(band || shingle); documents
-  sharing any band minimum become candidates (standard banding scheme),
-  then candidates are verified with true Jaccard. Hashes are md5 hex
-  strings (lexicographic min), reproducible across engines/runs.
-- **SimHash**: 32-bit signatures from per-token md5-derived hashes;
-  near-dup = Hamming distance ≤ k via bit_count(xor).
+- **MinHash-LSH**: per-document shingle-hash ARRAYS (28-bit md5-derived
+  longs); banded signatures are array_min over universal-hash remaps of
+  that array — a pure projection. Documents sharing any band key become
+  candidates (standard banding scheme), then candidates are verified
+  with exact Jaccard via array_intersect. The only shuffles in the
+  whole pipeline are the band-key bucket join and the verify joins.
+- **SimHash**: 32-bit signatures folded in-row from per-token
+  md5-derived hashes (aggregate over the token-hash array — zero
+  shuffles); near-dup = Hamming distance ≤ k via bit_count(xor) on a
+  top-16-bit-blocked self-join.
 
-Everything is built-in Column expressions (explode / groupBy / join) —
-no Python UDFs — so Tungsten executes the whole thing.
+Everything is built-in Column expressions — no Python UDFs. The in-row
+array work trades a corpus-sized shuffle for per-partition CPU, the
+right trade at 100 TB where the network, not the cores, is the
+bottleneck.
 """
 
 from __future__ import annotations
@@ -101,15 +107,17 @@ def jaccard_pairs(
 MINHASH_PRIME = 2147483647  # 2^31 - 1 (Mersenne), products stay < 2^63
 
 
-def shingle_hash_table(
+def shingle_hash_arrays(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """Distinct (id, h) with h = 28-bit md5-derived long per shingle.
+    """Per-document DISTINCT shingle-hash set as one array column:
+    (id, hs: array<long>), h = 28-bit md5-derived long per shingle.
 
-    Hashing BEFORE the distinct means the dedup shuffle, the min-hash
-    aggregation, and the Jaccard-verify joins all move 8-byte longs
-    instead of shingle strings — the difference between shuffling ~8
-    bytes/row and ~25 bytes/row at corpus scale. 28 bits keeps
+    Everything — shingling, hashing, dedup — happens INSIDE the row
+    (transform + array_distinct), so building the table costs ZERO
+    shuffles; the only data movement in a dedup pipeline is whatever
+    the caller does with the arrays. A row carries ~8 bytes per
+    distinct shingle, bounded by document length. 28 bits keeps
     ``a*h`` < 2^63 for the universal-hash family below (portable to
     engines without wrapping multiply); intra-document collisions are
     ~|shingles|²/2^29 ≈ 1e-5 and identical in every engine.
@@ -119,13 +127,27 @@ def shingle_hash_table(
         f"transform(sequence(0, size(__words) - {n}), "
         f"i -> concat_ws(' ', slice(__words, i + 1, {n})))"
     )
-    h = F.conv(F.substring(F.md5(F.col("__sh")), 1, 7), 16, 10).cast("long")
+    hs = F.array_distinct(
+        F.transform(
+            shingles,
+            lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long"),
+        )
+    )
     return (
         fan_out(df.select(F.col(id_col), words.alias("__words")))
         .filter(F.size("__words") >= n)
-        .select(F.col(id_col), F.explode(shingles).alias("__sh"))
-        .select(F.col(id_col), h.alias("h"))
-        .distinct()
+        .select(F.col(id_col), hs.alias("hs"))
+    )
+
+
+def shingle_hash_table(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Exploded (id, h) view of ``shingle_hash_arrays`` — distinct by
+    construction (array_distinct within the doc, one doc per row), so
+    no global DISTINCT shuffle is ever paid."""
+    return shingle_hash_arrays(df, id_col, text_col, n).select(
+        F.col(id_col), F.explode("hs").alias("h")
     )
 
 
@@ -143,16 +165,18 @@ def minhash_hash_params(n_hashes: int) -> list[tuple[int, int]]:
 
 
 def minhash_signatures(
-    shingles: DataFrame, id_col: str, num_bands: int = 8, rows_per_band: int = 4
+    shingle_arrays: DataFrame, id_col: str, num_bands: int = 8, rows_per_band: int = 4
 ) -> DataFrame:
     """Banded MinHash signatures: num_bands × rows_per_band independent
     min-hashes, AND-ed within a band into one ``band_key``.
 
-    Input is a ``shingle_hash_table`` (id, h): each shingle was hashed
+    Input is ``shingle_hash_arrays`` (id, hs): each shingle was hashed
     ONCE (md5 → 28-bit long); the n independent hash functions are
     integer multiply-mods of that base — ~32× less hashing than
-    md5-per-function, and the min-aggregation runs over longs, not hex
-    strings. a*h < 2^31 * 2^28 never overflows int64 (portable to the
+    md5-per-function — and each signature slot is an ``array_min`` over
+    the in-row array, so signature computation is a pure projection
+    with ZERO shuffle (the old shape shuffled |shingle| rows into a
+    groupBy). a*h < 2^31 * 2^28 never overflows int64 (portable to the
     DuckDB oracle, which has no wrapping multiply).
 
     The AND/OR banding gives the classic S-curve
@@ -162,16 +186,15 @@ def minhash_signatures(
     Output: (id, band, band_key).
     """
     n_hashes = num_bands * rows_per_band
-    # one WIDE aggregation: 32 min() columns over the shingle-hash rows —
-    # map-side combinable, shuffles |shing| rows once instead of
-    # exploding them n_hashes times
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
-            f"h{i}"
-        )
+
+    def _univ(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+    mins = [
+        F.array_min(F.transform(F.col("hs"), _univ(a, b))).alias(f"h{i}")
         for i, (a, b) in enumerate(minhash_hash_params(n_hashes))
     ]
-    wide = shingles.groupBy(id_col).agg(*aggs)
+    wide = shingle_arrays.select(F.col(id_col), *mins)
     band_structs = F.array(
         *[
             F.struct(
@@ -191,38 +214,30 @@ def minhash_signatures(
 
 def verify_jaccard(
     candidates: DataFrame,
-    shingles: DataFrame,
+    shingle_arrays: DataFrame,
     id_col: str,
     threshold: float = 0.8,
-    shingle_col: str = "shingle",
 ) -> DataFrame:
     """Exact Jaccard for an explicit candidate-pair set only.
 
-    Work is bounded by |candidates| × shingles-per-doc — the candidate
-    DataFrame is expected to be orders of magnitude smaller than the
-    all-co-shingle pair space. ``shingle_col`` may be a string shingle
-    or a shingle hash (longs join faster; same Jaccard either way)."""
-    a_sh = shingles.select(
-        F.col(id_col).alias("id_a"), F.col(shingle_col).alias("sh_a")
+    Each side's distinct shingle-hash set arrives as ONE array row, so
+    the exact check is two narrow joins + an in-row ``array_intersect``
+    — no explode, no re-aggregation. Work is bounded by |candidates| ×
+    shingles-per-doc, orders of magnitude below the all-co-shingle pair
+    space."""
+    a = shingle_arrays.select(
+        F.col(id_col).alias("id_a"), F.col("hs").alias("__hs_a")
     )
-    b_sh = shingles.select(
-        F.col(id_col).alias("__idb"), F.col(shingle_col).alias("sh_b")
+    b = shingle_arrays.select(
+        F.col(id_col).alias("id_b"), F.col("hs").alias("__hs_b")
     )
-    inter = (
-        candidates.join(a_sh, "id_a")
-        .join(b_sh, (F.col("id_b") == F.col("__idb")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
-    jac = F.col("n_inter").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    n_inter = F.size(F.array_intersect(F.col("__hs_a"), F.col("__hs_b")))
+    jac = n_inter.cast("double") / (
+        F.size("__hs_a") + F.size("__hs_b") - n_inter
     ).cast("double")
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -240,16 +255,16 @@ def minhash_lsh_pairs(
     """MinHash-LSH near-dup pipeline: shingle → banded signatures →
     band-key bucket join → verify candidates with true Jaccard.
 
-    The bucket join shuffles only (band, band_key) pairs; the exact
-    Jaccard runs on the candidate set alone — that's the property that
-    survives a 100×-corpus scale-up. Defaults (b=8, r=4) put the
-    S-curve midpoint near j≈0.55: j=0.8 pairs are caught w.p. ≈0.99,
-    j=0.3 pairs almost never become candidates.
+    The ONLY shuffles in the whole pipeline are the band-key bucket
+    join and the candidate→array verify joins: shingling, hashing,
+    signatures, and the exact-Jaccard arithmetic are all in-row array
+    expressions. The exact Jaccard runs on the candidate set alone —
+    that's the property that survives a 100×-corpus scale-up. Defaults
+    (b=8, r=4) put the S-curve midpoint near j≈0.55: j=0.8 pairs are
+    caught w.p. ≈0.99, j=0.3 pairs almost never become candidates.
     """
-    sh = shingle_hash_table(df, id_col, text_col, n).cache()
-    # signatures are one narrow row per document — cache so the bucket
-    # self-join doesn't recompute the wide min-aggregation twice
-    sig = minhash_signatures(sh, id_col, num_bands, rows_per_band).cache()
+    arrays = shingle_hash_arrays(df, id_col, text_col, n).cache()
+    sig = minhash_signatures(arrays, id_col, num_bands, rows_per_band)
     left = sig.select(F.col(id_col).alias("id_a"), "band", "band_key")
     right = sig.select(F.col(id_col).alias("id_b"), "band", "band_key")
     candidates = (
@@ -258,37 +273,40 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    return verify_jaccard(candidates, sh, id_col, threshold, shingle_col="h")
+    return verify_jaccard(candidates, arrays, id_col, threshold)
 
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """32-bit SimHash per document from word-token md5 hashes.
 
-    bit b of the signature = majority vote of bit b across token hashes
-    (weighted by term frequency). Implemented as ONE wide aggregation:
-    32 conditional sums over the (id, token-hash, tf) rows — no bit
-    explode, so the shuffle moves |tokens| rows once instead of
-    32×|tokens|, and every sum is map-side combinable.
+    bit b of the signature = majority vote of bit b across token
+    occurrences (summing ±1 per occurrence ≡ the tf-weighted vote over
+    distinct tokens). The whole computation is IN-ROW: the token-hash
+    array is materialized once per document, then 32 ``aggregate``
+    expressions fold it into the vote counters — ZERO shuffles (the
+    old shape shuffled |tokens| rows into a token-frequency groupBy).
     """
-    toks = (
+    toks = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda t: t != ""
+    )
+    hashed = (
         fan_out(df.select(F.col(id_col), F.col(text_col)))
         .select(
             F.col(id_col),
-            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+            F.transform(toks, lambda t: token_hash64(t)).alias("__hs"),
         )
-        .filter(F.col("tok") != "")
-        .groupBy(id_col, "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .filter(F.size("__hs") > 0)
     )
-    hashed = toks.select(F.col(id_col), token_hash64(F.col("tok")).alias("h"), "tf")
+    def _vote(b: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1).cast("long")
+        ).otherwise(F.lit(-1).cast("long"))
+
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
-            .otherwise(-F.col("tf"))
-        ).alias(f"v{b}")
+        F.aggregate(F.col("__hs"), F.lit(0).cast("long"), _vote(b)).alias(f"v{b}")
         for b in range(32)
     ]
-    wide = hashed.groupBy(id_col).agg(*votes)
+    wide = hashed.select(F.col(id_col), *votes)
     sig_expr = None
     for b in range(32):
         term = F.when(
