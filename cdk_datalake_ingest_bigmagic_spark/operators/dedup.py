@@ -52,14 +52,13 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def shingle_table(
+def shingle_string_arrays(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
-
-    Uses transform over a sequence of start offsets — one projection +
-    one explode, no UDF. Documents shorter than n words yield no rows.
-    """
+    """Per-document DISTINCT word n-gram shingle set as one array
+    column: (id, shingles: array<string>). Shingling and dedup happen
+    in-row (transform + array_distinct) — zero shuffles. Documents
+    shorter than n words yield no rows."""
     words = F.split(normalize_text(F.col(text_col)), " ")
     shingles = F.expr(
         f"transform(sequence(0, size(__words) - {n}), "
@@ -68,29 +67,50 @@ def shingle_table(
     return (
         fan_out(df.select(F.col(id_col), words.alias("__words")))
         .filter(F.size("__words") >= n)
-        .select(F.col(id_col), F.explode(shingles).alias("shingle"))
-        .distinct()
+        .select(F.col(id_col), F.array_distinct(shingles).alias("shingles"))
+    )
+
+
+def shingle_table(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Exploded view of ``shingle_string_arrays`` — distinct by
+    construction (array_distinct within the doc, one doc per row), so
+    no global DISTINCT shuffle is ever paid.
+    """
+    return shingle_string_arrays(df, id_col, text_col, n).select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
     )
 
 
 def jaccard_pairs(
-    shingles: DataFrame, id_col: str, threshold: float = 0.8
+    shingle_arrays: DataFrame, id_col: str, threshold: float = 0.8
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard ≥ threshold.
 
-    Inverted-index self-join: pairs sharing at least one shingle, then
-    |∩| / (|A| + |B| - |∩|). The division is exact-integer-derived so
-    results reproduce bit-for-bit anywhere.
+    Input is ``shingle_string_arrays`` (id, shingles). The inverted
+    index (explode → self-join on the shingle) generates pairs sharing
+    at least one shingle — cost bounded by shingle collision lists,
+    not |docs|² — then |∩| / (|A| + |B| - |∩|) with set sizes read
+    from the in-row arrays (no size-aggregation shuffle). The division
+    is exact-integer-derived so results reproduce bit-for-bit anywhere.
     """
-    a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
-    b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    exploded = shingle_arrays.select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
+    )
+    a = exploded.select(F.col(id_col).alias("id_a"), "shingle")
+    b = exploded.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    sizes = shingle_arrays.select(
+        F.col(id_col), F.size("shingles").alias("n_shingles")
+    )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
     jac = F.col("n_inter").cast("double") / (

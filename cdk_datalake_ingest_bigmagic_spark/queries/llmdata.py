@@ -232,7 +232,7 @@ _SHINGLE_CTE = r"""
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram Jaccard near-dup pairs via shingle inverted index."""
     d = load(spark, sf_dir, "documents")
-    sh = dd.shingle_table(d, "doc_id", "text", n=3)
+    sh = dd.shingle_string_arrays(d, "doc_id", "text", n=3)
     return dd.jaccard_pairs(sh, "doc_id", threshold=0.8).select(
         "id_a", "id_b", "jaccard"
     )
@@ -353,7 +353,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load(spark, sf_dir, "documents")
-    sh = dd.shingle_table(d, "doc_id", "text", n=3)
+    sh = dd.shingle_string_arrays(d, "doc_id", "text", n=3)
     pairs = dd.jaccard_pairs(sh, "doc_id", threshold=0.8)
     return connected_components(pairs, "id_a", "id_b")
 

@@ -45,7 +45,7 @@ def test_exact_duplicates(docs):
 
 
 def test_jaccard_and_minhash_agree(docs):
-    sh = dd.shingle_table(docs, "doc_id", "text", n=3)
+    sh = dd.shingle_string_arrays(docs, "doc_id", "text", n=3)
     exact = {
         (r["id_a"], r["id_b"])
         for r in dd.jaccard_pairs(sh, "doc_id", 0.5).collect()
