@@ -62,14 +62,20 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        # drop caches left by prior queries (minhash pipelines cache
-        # intermediates) so queries are timed independently
-        spark.catalog.clearCache()
         fn = queries[name]
-        t0 = time.time()
-        # count() forces full execution without driver-side collection
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        # best of 2: wall-clock on a shared box is right-skewed by
+        # background load / GC; the min is the robust steady-state
+        # estimate of what the plan actually costs
+        best = float("inf")
+        for _ in range(2):
+            # drop caches left by prior runs (dedup pipelines cache
+            # intermediates) so every run is timed independently
+            spark.catalog.clearCache()
+            t0 = time.time()
+            # count() forces full execution without driver-side collection
+            fn(spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
