@@ -1,0 +1,202 @@
+"""Property-based tests (hypothesis) for the pure-Python planner/parser
+components — the pieces whose edge cases golden tests can't enumerate:
+the DSL arg splitter/parser, the magic-ordinal month-window math
+(reference date_utils.py:48-94), and the partition-path formatter
+(light_transform.py:1815-1916). No SparkSession needed; runs in ms.
+"""
+
+from __future__ import annotations
+
+import calendar
+import datetime as dt
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cdk_datalake_ingest_bigmagic_spark.config.loader import (
+    _sanitize_cell,
+    strip_quotes_for_sql,
+)
+from cdk_datalake_ingest_bigmagic_spark.functions.compiler import MAGIC_OFFSET
+from cdk_datalake_ingest_bigmagic_spark.functions.dsl import (
+    Call,
+    Token,
+    parse_transformation,
+    split_args,
+)
+from cdk_datalake_ingest_bigmagic_spark.plans.strategy import month_window_limits
+from cdk_datalake_ingest_bigmagic_spark.sources.files import format_partition_path
+
+# ---------------------------------------------------------------- DSL parser
+
+# Argument text that survives a round trip untouched: no separators the
+# splitter owns (comma/paren/quote) and nothing str.strip() removes
+# (the parser strips args by design, so whitespace-class characters —
+# including \x1c-\x1f — would not round-trip).
+_plain_token = st.text(
+    alphabet=st.characters(
+        codec="ascii", min_codepoint=33, max_codepoint=126,
+        exclude_characters=',()"',
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _node_strategy() -> st.SearchStrategy:
+    return st.recursive(
+        _plain_token.map(Token),
+        lambda children: st.builds(
+            Call,
+            st.from_regex(r"fn_transform_[A-Za-z_][A-Za-z0-9_]{0,10}", fullmatch=True),
+            st.lists(children, min_size=1, max_size=3).map(tuple),
+        ),
+        max_leaves=8,
+    )
+
+
+def _render(node) -> str:
+    if isinstance(node, Token):
+        return node.text
+    return f"{node.name}({','.join(_render(a) for a in node.args)})"
+
+
+@given(_node_strategy())
+@settings(max_examples=300, deadline=None)
+def test_parse_render_round_trip(tree):
+    """render(tree) parses back to exactly the same tree — the parser
+    loses nothing on arbitrarily nested fn_transform_* calls."""
+    assert parse_transformation(_render(tree)) == tree
+
+
+@given(st.lists(_plain_token, min_size=0, max_size=6))
+@settings(max_examples=300, deadline=None)
+def test_split_args_round_trip(parts):
+    """Joining depth-0 args with ',' and splitting returns the parts."""
+    assert split_args(",".join(parts)) == parts
+
+
+@given(st.lists(_plain_token, min_size=1, max_size=4))
+@settings(max_examples=200, deadline=None)
+def test_split_args_ignores_nested_commas(parts):
+    """Commas inside parens and quotes never split."""
+    wrapped = f"f({','.join(parts)})"
+    quoted = '"a,b"'
+    assert split_args(f"{wrapped},{quoted}") == [wrapped, quoted]
+
+
+@given(st.text(max_size=30))
+@settings(max_examples=300, deadline=None)
+def test_parse_never_crashes_on_balanced_input(s):
+    """Any input either parses or raises the typed DslSyntaxError —
+    no other exception escapes (config cells are user-controlled)."""
+    from cdk_datalake_ingest_bigmagic_spark.functions.dsl import DslSyntaxError
+
+    try:
+        parse_transformation(s)
+    except DslSyntaxError:
+        pass
+
+
+# ------------------------------------------------- month-window magic math
+
+_clocks = st.datetimes(
+    min_value=dt.datetime(1990, 1, 15),
+    max_value=dt.datetime(2049, 12, 15),
+)
+_delays = st.integers(min_value=-36, max_value=0)
+
+
+@given(_clocks, _delays, _delays)
+@settings(max_examples=300, deadline=None)
+def test_month_window_aje_date_magic_ordinals(now, ini, end):
+    """For aje_date, the limits are magic ordinals of the FIRST day of
+    the start month and the LAST day of the end month — and because
+    MAGIC_OFFSET == date(1900,1,1).toordinal(), the magic ordinal IS
+    the proleptic-Gregorian ordinal (an independent identity check of
+    the reference's offset 693596)."""
+    lo, hi = month_window_limits(str(ini), str(end), "aje_date", clock=lambda: now)
+    lo_d = dt.date.fromordinal(int(lo))
+    hi_d = dt.date.fromordinal(int(hi))
+    start = now + dt.timedelta(days=0)
+    # month arithmetic: expected year/month after shifting by the delay
+    exp_lo = (now.year * 12 + (now.month - 1) + ini)
+    exp_hi = (now.year * 12 + (now.month - 1) + end)
+    assert (lo_d.year * 12 + lo_d.month - 1) == exp_lo
+    assert (hi_d.year * 12 + hi_d.month - 1) == exp_hi
+    assert lo_d.day == 1
+    assert hi_d.day == calendar.monthrange(hi_d.year, hi_d.month)[1]
+    # offset identity: re-encode through the 1900-01-01 + 693596 path
+    assert int(lo) == (lo_d - dt.date(1900, 1, 1)).days + MAGIC_OFFSET
+    if ini <= end:
+        assert int(lo) <= int(hi)
+
+
+@given(_clocks, _delays, _delays)
+@settings(max_examples=300, deadline=None)
+def test_month_window_aje_period_shape(now, ini, end):
+    """aje_period limits are YYYYMM strings of the shifted months; the
+    string ordering matches the chronological ordering."""
+    lo, hi = month_window_limits(str(ini), str(end), "aje_period", clock=lambda: now)
+    assert len(lo) == 6 and len(hi) == 6 and lo.isdigit() and hi.isdigit()
+    exp_lo = now.year * 12 + (now.month - 1) + ini
+    assert int(lo[:4]) * 12 + int(lo[4:]) - 1 == exp_lo
+    if ini <= end:
+        assert lo <= hi
+
+
+@given(_clocks, _delays, _delays)
+@settings(max_examples=200, deadline=None)
+def test_month_window_default_iso_dates(now, ini, end):
+    """Any other FILTER_DATA_TYPE yields ISO yyyy-MM-dd literals."""
+    lo, hi = month_window_limits(str(ini), str(end), "smalldatetime", clock=lambda: now)
+    dt.date.fromisoformat(lo)
+    dt.date.fromisoformat(hi)
+    if ini <= end:
+        assert lo <= hi
+
+
+# ---------------------------------------------------- partition-path tokens
+
+_whens = st.datetimes(
+    min_value=dt.datetime(1990, 1, 1),
+    max_value=dt.datetime(2049, 12, 31),
+)
+
+
+@given(_whens)
+@settings(max_examples=300, deadline=None)
+def test_partition_path_tokens(when):
+    out = format_partition_path(
+        "y={YYYY}/m={MM}/d={DD}/h={HH}{MI}{SS}/w={WEEK}/q={QUARTER}/{MON}/{YY}",
+        when,
+    )
+    assert out == (
+        f"y={when:%Y}/m={when:%m}/d={when:%d}/h={when:%H}{when:%M}{when:%S}"
+        f"/w={when.isocalendar()[1]:02d}/q={(when.month - 1) // 3 + 1}"
+        f"/{['JAN','FEB','MAR','APR','MAY','JUN','JUL','AUG','SEP','OCT','NOV','DEC'][when.month - 1]}"
+        f"/{when:%y}"
+    )
+
+
+@given(st.text(alphabet=st.characters(codec="ascii", exclude_characters="{}"), max_size=40), _whens)
+@settings(max_examples=200, deadline=None)
+def test_partition_path_token_free_is_identity(template, when):
+    assert format_partition_path(template, when) == template
+
+
+# ------------------------------------------------------- config sanitizers
+
+
+@given(st.text(max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_strip_quotes_removes_every_double_quote(s):
+    assert '"' not in strip_quotes_for_sql(s)
+
+
+@given(st.text(alphabet=st.characters(codec="ascii", exclude_characters='"'), max_size=20))
+@settings(max_examples=200, deadline=None)
+def test_sanitize_cell_unwraps_quoted(s):
+    """A cell wrapped in one pair of quotes loses exactly that pair."""
+    assert _sanitize_cell(f'"{s}"') == s
+    assert _sanitize_cell(s) == s
