@@ -1,0 +1,158 @@
+"""Randomized differential tests for the magic temporal/byte codecs.
+
+Golden tests pin the known edge ordinals; these sweep thousands of
+seeded-random raw-layer strings through the compiled Column
+expressions in ONE DataFrame and compare every row against an
+independent pure-Python decoder (reference semantics:
+light_transform.py:875-1080 DateMagic/DatetimeMagic,
+:1151-1178 PeriodMagic, :1206-1213 ByteMagic).
+
+Generation deliberately avoids inputs whose behavior is
+parser-lenience-defined rather than codec-defined (date-shaped junk
+like '2024-13-01' rolls over under the LEGACY parser; times with
+out-of-range fields roll over too) — those are not raw-layer shapes,
+and the codec contract under test is the magic branch + the
+valid-parse branch + the default branch.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+from cdk_datalake_ingest_bigmagic_spark.functions.compiler import (
+    MAGIC_OFFSET,
+    MAGIC_THRESHOLD,
+    DslCompiler,
+)
+
+N = 3000
+SEED = 20260813
+
+
+# ---------------------------------------------------------- python mirrors
+
+
+def _py_int(s: str | None) -> int | None:
+    """Spark string→int cast with ANSI off: trim, else NULL."""
+    if s is None:
+        return None
+    try:
+        return int(s.strip())
+    except ValueError:
+        return None
+
+
+def mirror_date_magic(s: str | None) -> dt.date | None:
+    if s is None:
+        return None
+    i = _py_int(s)
+    if i is not None and i > MAGIC_THRESHOLD:
+        return dt.date(1900, 1, 1) + dt.timedelta(days=i - MAGIC_OFFSET)
+    try:
+        return dt.datetime.strptime(s.strip(), "%Y-%m-%d").date()
+    except ValueError:
+        return None
+
+
+def mirror_datetime_magic(d: str | None, t: str | None) -> dt.datetime | None:
+    date = mirror_date_magic(d)
+    if date is None or t is None:
+        return None
+    ts = str(t).rjust(6, "0")
+    try:
+        h, m, s = int(ts[0:2]), int(ts[2:4]), int(ts[4:6])
+        return dt.datetime(date.year, date.month, date.day, h, m, s)
+    except ValueError:
+        return None
+
+
+def mirror_byte_magic(s: str | None, default: str = "F") -> str:
+    if s in ("T", "0x54", "84"):
+        return "T"
+    if s in ("F", "0x46", "70"):
+        return "F"
+    return default
+
+
+def mirror_period_magic(month: str | None, year: str | None) -> str:
+    if month is None or year is None:
+        return "190001"
+    padded = month.rjust(2, "0")
+    return year + (padded[:2] if len(padded) > 2 else padded)
+
+
+# ------------------------------------------------------------- generators
+
+
+def _gen_date_raw(rng: random.Random) -> str | None:
+    kind = rng.random()
+    if kind < 0.35:  # magic ordinal of a date in 1905..2150
+        d = dt.date(1905, 1, 1) + dt.timedelta(days=rng.randrange(0, 89000))
+        return str(d.toordinal())
+    if kind < 0.45:  # magic ordinal BELOW 1900 (still > threshold)
+        return str(rng.randrange(MAGIC_THRESHOLD + 1, dt.date(1900, 1, 1).toordinal()))
+    if kind < 0.75:  # valid ISO string
+        d = dt.date(1950, 1, 1) + dt.timedelta(days=rng.randrange(0, 54000))
+        return d.isoformat()
+    if kind < 0.85:  # small int: NOT magic, not a date either
+        return str(rng.randrange(0, MAGIC_THRESHOLD))
+    if kind < 0.95:  # junk
+        return rng.choice(["", "abc", "not-a-date", "--", "x1y2"])
+    return None
+
+
+def _gen_time_raw(rng: random.Random) -> str | None:
+    if rng.random() < 0.9:
+        h, m, s = rng.randrange(0, 24), rng.randrange(0, 60), rng.randrange(0, 60)
+        return str(h * 10000 + m * 100 + s)  # no leading zeros, like the source
+    return None
+
+
+def _gen_byte_raw(rng: random.Random) -> str | None:
+    return rng.choice(["T", "F", "0x54", "0x46", "84", "70", "t", "x", "", None])
+
+
+def _gen_period(rng: random.Random) -> tuple[str | None, str | None]:
+    month = rng.choice([str(rng.randrange(1, 13)), f"{rng.randrange(1, 13):02d}", None])
+    year = rng.choice([str(rng.randrange(1900, 2100)), None])
+    return month, year
+
+
+# ------------------------------------------------------------------ test
+
+
+def test_magic_codecs_differential(spark):
+    rng = random.Random(SEED)
+    rows = [
+        (
+            _gen_date_raw(rng),
+            _gen_time_raw(rng),
+            _gen_byte_raw(rng),
+            *_gen_period(rng),
+        )
+        for _ in range(N)
+    ]
+    df = spark.createDataFrame(
+        rows, "d_raw: string, t_raw: string, b_raw: string, m_raw: string, y_raw: string"
+    )
+    c = DslCompiler.for_dataframe(df)
+    got = df.select(
+        c.compile("fn_transform_DateMagic(d_raw,yyyy-MM-dd)", "date").alias("d"),
+        c.compile("fn_transform_DatetimeMagic(d_raw,t_raw)", "timestamp").alias("ts"),
+        c.compile("fn_transform_ByteMagic(b_raw)", "string").alias("b"),
+        c.compile("fn_transform_PeriodMagic(m_raw,y_raw)", "string").alias("p"),
+    ).collect()
+
+    mismatches = []
+    for row, (d_raw, t_raw, b_raw, m_raw, y_raw) in zip(got, rows):
+        exp = (
+            mirror_date_magic(d_raw),
+            mirror_datetime_magic(d_raw, t_raw),
+            mirror_byte_magic(b_raw),
+            mirror_period_magic(m_raw, y_raw),
+        )
+        act = (row["d"], row["ts"], row["b"], row["p"])
+        if act != exp:
+            mismatches.append((d_raw, t_raw, b_raw, m_raw, y_raw, act, exp))
+    assert not mismatches, f"{len(mismatches)} mismatches, first 5: {mismatches[:5]}"
