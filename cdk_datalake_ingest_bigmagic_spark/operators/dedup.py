@@ -284,7 +284,9 @@ def minhash_lsh_pairs(
     caught w.p. ≈0.99, j=0.3 pairs almost never become candidates.
     """
     arrays = shingle_hash_arrays(df, id_col, text_col, n).cache()
-    sig = minhash_signatures(arrays, id_col, num_bands, rows_per_band)
+    # the bucket self-join reads signatures twice; cache the narrow
+    # (id, band, band_key) rows so the 32×array_min projection runs once
+    sig = minhash_signatures(arrays, id_col, num_bands, rows_per_band).cache()
     left = sig.select(F.col(id_col).alias("id_a"), "band", "band_key")
     right = sig.select(F.col(id_col).alias("id_b"), "band", "band_key")
     candidates = (
