@@ -1,0 +1,73 @@
+"""Deterministic corpus sampling / mixing.
+
+Training-data pipelines need reproducible subsets: the same corpus,
+seed, and rates must select the same documents on any engine, any
+partition count, any run — which rules out ``df.sample()`` (RNG is
+partition-dependent) in favor of content-addressed selection:
+
+    bucket(id) = md5(seed || "|" || id)[0:7] as a 28-bit integer, mod 10^4
+    keep iff bucket < rate * 10^4
+
+One projection + one filter — no shuffle, no RNG state, pushdown-safe.
+The per-stratum variant broadcasts a rates table so corpus mixing
+(thousands of sources × weights) stays a map-side join at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SAMPLE_BUCKETS = 10_000  # rate resolution: 0.01%
+
+
+def sample_bucket(id_col, seed: str = "sample"):
+    """Deterministic [0, SAMPLE_BUCKETS) bucket per id — identical in
+    any engine with md5 (mirrors the DuckDB oracle expression)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + "|"), id_col.cast("string"))), 1, 7),
+        16,
+        10,
+    ).cast("long")
+    return h % F.lit(SAMPLE_BUCKETS)
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, rate: float, seed: str = "sample"
+) -> DataFrame:
+    """Keep a deterministic ``rate`` fraction of rows by id hash."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    threshold = int(rate * SAMPLE_BUCKETS)
+    return df.filter(sample_bucket(F.col(id_col), seed) < F.lit(threshold))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    seed: str = "sample",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-mixing primitive
+    (e.g. keep 100% of books, 25% of web crawl).
+
+    The rates dict becomes a broadcast-joined lookup table, so the
+    pattern scales to arbitrarily many strata without a when-chain of
+    config baked into the plan.
+    """
+    spark = df.sparkSession
+    lookup = spark.createDataFrame(
+        [(k, int(v * SAMPLE_BUCKETS)) for k, v in sorted(rates.items())],
+        f"{strata_col}: string, __threshold: int",
+    )
+    default_threshold = int(default_rate * SAMPLE_BUCKETS)
+    return (
+        df.join(F.broadcast(lookup), strata_col, "left")
+        .filter(
+            sample_bucket(F.col(id_col), seed)
+            < F.coalesce(F.col("__threshold"), F.lit(default_threshold))
+        )
+        .drop("__threshold")
+    )

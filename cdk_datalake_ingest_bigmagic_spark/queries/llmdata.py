@@ -581,3 +581,62 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_table_from_documents(d, "doc_id", "text")
     feats = extract_features(media)
     return feats.select("media_id", "byte_len", "payload_md5")
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling / corpus mixing
+# ---------------------------------------------------------------------------
+
+# Same bucket expression as operators/sampling.py::sample_bucket —
+# md5-derived 28-bit integer mod 10^4, identical hex → identical
+# buckets in both engines.
+_BUCKET_SQL = "(('0x' || substr(md5('{seed}|' || doc_id), 1, 7))::BIGINT % 10000)"
+
+_MIX_RATES = {"src1": 1.0, "src2": 0.5, "src3": 0.25, "src4": 0.1}
+_MIX_DEFAULT = 0.05
+
+
+@register(
+    "sample_hash_fraction",
+    oracle=f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE {_BUCKET_SQL.format(seed='sample')} < 1000
+    """,
+)
+def sample_hash_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% subset by id hash: same rows on every engine,
+    partition count, and run — the reproducible alternative to
+    df.sample() for training-data subsetting."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.sampling import hash_sample
+
+    d = load(spark, sf_dir, "documents")
+    return hash_sample(d, "doc_id", rate=0.1).select("doc_id", "source")
+
+
+_mix_cases = " ".join(
+    f"WHEN source = '{k}' THEN {int(v * 10000)}" for k, v in sorted(_MIX_RATES.items())
+)
+
+
+@register(
+    "corpus_mix_weighted",
+    oracle=f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE {_BUCKET_SQL.format(seed='mix')}
+          < (CASE {_mix_cases} ELSE {int(_MIX_DEFAULT * 10000)} END)
+    """,
+)
+def corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing: per-source deterministic sampling rates via a
+    broadcast-joined rates table (keep all of src1, half of src2, ...,
+    5% of everything else)."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        d, "doc_id", "source", _MIX_RATES, default_rate=_MIX_DEFAULT, seed="mix"
+    ).select("doc_id", "source")

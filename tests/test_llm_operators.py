@@ -224,3 +224,39 @@ def test_connected_components_known_graph(spark):
     assert {cc[1], cc[2], cc[3], cc[4]} == {1}
     assert {cc[10], cc[11], cc[12]} == {10}
     assert {cc[20], cc[21]} == {20}
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark):
+    from cdk_datalake_ingest_bigmagic_spark.operators.sampling import (
+        hash_sample,
+        stratified_hash_sample,
+    )
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    picked1 = sorted(r.doc_id for r in hash_sample(df, "doc_id", 0.2).collect())
+    picked2 = sorted(
+        r.doc_id for r in hash_sample(df.repartition(7), "doc_id", 0.2).collect()
+    )
+    assert picked1 == picked2, "selection must not depend on partitioning"
+    assert 0.15 < len(picked1) / 2000 < 0.25
+    # different seed → different (but still deterministic) subset
+    other = sorted(r.doc_id for r in hash_sample(df, "doc_id", 0.2, seed="x").collect())
+    assert other != picked1
+    # rate bounds
+    assert hash_sample(df, "doc_id", 0.0).count() == 0
+    assert hash_sample(df, "doc_id", 1.0).count() == 2000
+    import pytest
+
+    with pytest.raises(ValueError):
+        hash_sample(df, "doc_id", 1.5)
+
+    strat = df.withColumn(
+        "src",
+        (F.col("doc_id") % 2 == 0).cast("string"),
+    )
+    mixed = stratified_hash_sample(
+        strat, "doc_id", "src", {"true": 1.0}, default_rate=0.0
+    )
+    rows = mixed.collect()
+    assert all(r.src == "true" for r in rows)
+    assert len(rows) == 1000
