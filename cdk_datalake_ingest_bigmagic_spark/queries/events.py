@@ -257,3 +257,132 @@ def events_lag_lead_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (us - F.lag(us).over(w)).alias("us_since_prev"),
         (F.lead(us).over(w) - us).alias("us_to_next"),
     )
+
+
+@register(
+    "events_funnel_steps",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) FILTER (WHERE event_type = 'signup') AS t1
+      FROM events GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND s1.t1 IS NOT NULL AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(t1) FROM s1) AS n_signup,
+           (SELECT count(*) FROM s2) AS n_click_after,
+           (SELECT count(*) FROM s3) AS n_purchase_after
+    """,
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → click → purchase: each step's
+    earliest qualifying time must be strictly after the previous
+    step's. Three Window passes share ONE hash partitioning on
+    user_id — a single shuffle however many steps the funnel has
+    (per-step self-joins would shuffle once per step)."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    typ, ts = F.col("event_type"), F.col("ts")
+    e1 = e.withColumn(
+        "t1", F.min(F.when(typ == "signup", ts)).over(w)
+    )
+    e2 = e1.withColumn(
+        "t2",
+        F.min(
+            F.when((typ == "click") & F.col("t1").isNotNull() & (ts > F.col("t1")), ts)
+        ).over(w),
+    )
+    e3 = e2.withColumn(
+        "t3",
+        F.min(
+            F.when((typ == "purchase") & F.col("t2").isNotNull() & (ts > F.col("t2")), ts)
+        ).over(w),
+    )
+    uid = F.col("user_id")
+    return e3.agg(
+        F.count_distinct(F.when(F.col("t1").isNotNull(), uid)).alias("n_signup"),
+        F.count_distinct(F.when(F.col("t2").isNotNull(), uid)).alias("n_click_after"),
+        F.count_distinct(F.when(F.col("t3").isNotNull(), uid)).alias("n_purchase_after"),
+    )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS aweek
+      FROM events
+    )
+    SELECT c.cohort_week,
+           CAST((a.aweek - c.cohort_week) / 7 AS INT) AS week_n,
+           count(*) AS n_users
+    FROM cohort c JOIN activity a ON c.user_id = a.user_id
+    WHERE a.aweek >= c.cohort_week
+    GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by signup week, counted in each
+    later activity week. Cohort and activity aggregations share the
+    user_id partitioning, so the join is co-located after one shuffle
+    each; the final (cohort_week, week_n) rollup is tiny."""
+    e = load(spark, sf_dir, "events")
+    cohort = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week"))
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("aweek")
+    ).distinct()
+    return (
+        cohort.join(activity, "user_id")
+        .filter(F.col("aweek") >= F.col("cohort_week"))
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("aweek"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_n"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+from cdk_datalake_ingest_bigmagic_spark.storage.layout import (  # noqa: E402
+    zorder_key2,
+    zorder_key2_sql,
+)
+
+
+@register(
+    "events_zorder_key",
+    oracle=f"""
+    SELECT event_id,
+           {zorder_key2_sql('user_id', '(event_id % 1440)')} AS zkey
+    FROM events
+    """,
+)
+def events_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over (user_id, event_id%1440) —
+    the sort key `storage/layout.py::write_zordered` range-partitions
+    on so parquet min/max stats prune on both dimensions at 100 TB."""
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        zorder_key2(F.col("user_id"), F.col("event_id") % 1440).alias("zkey"),
+    )

@@ -1,0 +1,68 @@
+"""Multi-dimensional file layout: Z-order (Morton) clustering.
+
+Sorting a table by one column gives perfect min/max file skipping on
+that column and none on any other. Interleaving the bits of two keys
+(Morton order) before a range-partitioned sort gives useful skipping
+on BOTH dimensions — the standard lever for 100 TB tables queried by
+(tenant, date)-style predicates when the engine's file index prunes
+on per-file column statistics.
+
+The key is pure integer bit arithmetic (codegen-friendly, no UDF) and
+is mirrored verbatim by a DuckDB oracle expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key2(a: Column, b: Column, bits: int = 16) -> Column:
+    """Morton-interleave the low ``bits`` of two non-negative ints:
+    bit i of ``a`` lands at position 2i, bit i of ``b`` at 2i+1."""
+    lo_mask = (1 << bits) - 1
+    a_ = a.cast("long").bitwiseAND(F.lit(lo_mask))
+    b_ = b.cast("long").bitwiseAND(F.lit(lo_mask))
+    key: Column | None = None
+    for i in range(bits):
+        abit = F.shiftleft(F.shiftright(a_, i).bitwiseAND(F.lit(1)), 2 * i)
+        bbit = F.shiftleft(F.shiftright(b_, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        term = abit.bitwiseOR(bbit)
+        key = term if key is None else key.bitwiseOR(term)
+    assert key is not None
+    return key
+
+
+def zorder_key2_sql(a: str, b: str, bits: int = 16) -> str:
+    """The identical key as portable SQL (DuckDB oracle parity)."""
+    lo_mask = (1 << bits) - 1
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} & {lo_mask}) >> {i} & 1) << {2 * i})")
+        terms.append(f"((({b} & {lo_mask}) >> {i} & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    bits: int = 16,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered on the Morton key of (col_a, col_b):
+    range-partition by the key (each output file covers a tight
+    z-range, so min/max stats prune on both dimensions), then sort
+    within partitions for row-group-level skipping."""
+    key = zorder_key2(F.col(col_a), F.col(col_b), bits).alias("__zkey")
+    clustered = df.withColumn("__zkey", key)
+    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        clustered.repartitionByRange(n, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -145,3 +145,50 @@ def test_stage_optimize_compacts_files(spark, tmp_path):
     after = len(_glob.glob(f"{path}/part-*.parquet"))
     assert after <= 2
     assert table.read().count() == 1000
+
+
+def test_write_zordered_clusters_both_dimensions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_bigmagic_spark.storage.layout import (
+        write_zordered,
+        zorder_key2,
+    )
+
+    df = spark.range(0, 4096).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 64).alias("a"),
+        (F.col("id") / 64).cast("long").alias("b"),
+    )
+    path = str(tmp_path / "zordered")
+    write_zordered(df, path, "a", "b", bits=6, num_files=8)
+    back = spark.read.parquet(path)
+    assert back.count() == 4096
+    assert {r.k for r in back.collect()} == set(range(4096))
+    # each output file must cover a narrow slice of BOTH dimensions:
+    # with 8 z-range files over a 64x64 grid, every file's bounding box
+    # is far smaller than the full extent in at least... both dims stay
+    # bounded by the z-curve cell structure (<= half the extent here).
+    stats = (
+        back.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(
+            (F.max("a") - F.min("a")).alias("ra"),
+            (F.max("b") - F.min("b")).alias("rb"),
+        )
+        .collect()
+    )
+    assert len(stats) >= 2
+    assert all(r.ra <= 32 or r.rb <= 32 for r in stats)
+    # and the key itself is a true Morton interleave
+    got = (
+        df.select(zorder_key2(F.col("a"), F.col("b"), 6).alias("z"), "a", "b")
+        .limit(200)
+        .collect()
+    )
+    for r in got:
+        expect = 0
+        for i in range(6):
+            expect |= ((r.a >> i) & 1) << (2 * i)
+            expect |= ((r.b >> i) & 1) << (2 * i + 1)
+        assert r.z == expect
