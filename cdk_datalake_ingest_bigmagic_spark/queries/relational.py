@@ -566,3 +566,73 @@ def set_ops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("c_custkey")
     )
     return building.intersect(in_credit).exceptAll(finished.distinct())
+
+
+@register(
+    "filter_antijoin_no_orders",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    GROUP BY c_mktsegment
+    """,
+)
+def filter_antijoin_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti join: customers with no urgent order,
+    counted per segment. The anti probe needs only o_custkey after the
+    priority filter, so the orders scan prunes to two columns and the
+    join side stays narrow however wide the fact table is."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        c.join(urgent, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "agg_above_customer_average",
+    oracle="""
+    WITH t AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(o_totalprice AS DECIMAL(18,4)) AS tp,
+             sum(CAST(o_totalprice AS DECIMAL(18,4)))
+               OVER (PARTITION BY o_custkey) AS csum,
+             count(*) OVER (PARTITION BY o_custkey) AS n
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, tp * n - csum AS above_x_n
+    FROM t WHERE n >= 2 AND tp * n > csum
+    """,
+)
+def agg_above_customer_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery ('orders above this customer's
+    average'), decorrelated into one window pass — one shuffle on
+    o_custkey instead of a per-row subquery or a self-join. The
+    above-average test and margin are decimal-exact (tp·n vs Σtp, no
+    division), so results are partition-order-independent and
+    hash-match across engines."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    tp = F.col("o_totalprice").cast("decimal(18,4)")
+    t = o.select(
+        "o_custkey",
+        "o_orderkey",
+        tp.alias("tp"),
+        F.sum(tp).over(w).alias("csum"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    excess = F.col("tp") * F.col("n") - F.col("csum")
+    return (
+        t.filter((F.col("n") >= 2) & (F.col("tp") * F.col("n") > F.col("csum")))
+        .select("o_custkey", "o_orderkey", excess.alias("above_x_n"))
+    )
