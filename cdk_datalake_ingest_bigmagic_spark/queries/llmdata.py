@@ -258,15 +258,17 @@ _SHINGLE_HASH_CTE = r"""
 """
 
 # 8 bands × 4 rows: wide min-hash aggregation mirrored in SQL — same
-# (a*h+b) mod 2^31-1 universal family as the Spark operator
+# (a*h+b) mod 2^31-1 universal family as the Spark operator, band keys
+# packed into longs pairwise (h*P + h', both < 2^31) exactly like
+# minhash_signatures
 wide_mins = ",\n             ".join(
     f"MIN(({a} * h + {b}) % {dd.MINHASH_PRIME}) AS h{i}"
     for i, (a, b) in enumerate(dd.minhash_hash_params(32))
 )
 band_union = "\n      UNION ALL ".join(
     f"SELECT doc_id, {b} AS band, "
-    + " || ',' || ".join(f"h{b * 4 + r}" for r in range(4))
-    + " AS band_key FROM wide"
+    f"h{b * 4} * {dd.MINHASH_PRIME} + h{b * 4 + 1} AS k1, "
+    f"h{b * 4 + 2} * {dd.MINHASH_PRIME} + h{b * 4 + 3} AS k2 FROM wide"
     for b in range(8)
 )
 
@@ -286,7 +288,7 @@ band_union = "\n      UNION ALL ".join(
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM sig a JOIN sig b
-        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.doc_id < b.doc_id
     ),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
