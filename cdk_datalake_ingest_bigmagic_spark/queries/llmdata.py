@@ -238,21 +238,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# MinHash CTE: like _SHINGLE_CTE but the shingle is md5-hashed to a
-# 28-bit long BEFORE the DISTINCT — mirrors shingle_hash_table so
-# distinct-set sizes (and thus Jaccard) match the Spark side exactly
-# even on intra-document hash collisions.
-_SHINGLE_HASH_CTE = r"""
+# MinHash CTE: mirrors shingle_hash_arrays — each WORD md5-hashed to
+# a 28-bit long, shingle hash = polynomial combine of the n word
+# hashes, distinct per document BEFORE sizing, so distinct-set sizes
+# (and thus Jaccard) match the Spark side exactly even on
+# intra-document hash collisions.
+_SHINGLE_HASH_CTE = rf"""
     norm AS (
       SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+             list_transform(
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+               x -> ('0x' || substr(md5(x), 1, 7))::BIGINT
+             ) AS wh
       FROM documents
     ),
     sh AS (
       SELECT DISTINCT doc_id,
-             ('0x' || substr(md5(array_to_string(w[i.i:i.i+2], ' ')), 1, 7))::BIGINT AS h
-      FROM norm, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) i
-      WHERE len(w) >= 3
+             ((wh[i.i] * {dd.WORDHASH_BASE} % {dd.SHINGLE_MOD} + wh[i.i + 1])
+               * {dd.WORDHASH_BASE} % {dd.SHINGLE_MOD} + wh[i.i + 2])
+               % {dd.SHINGLE_MOD} AS h
+      FROM norm, LATERAL (SELECT unnest(range(1, len(wh) - 1)) AS i) i
+      WHERE len(wh) >= 3
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
 """
