@@ -31,6 +31,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "embedding_similarity_pairs",
+    "events_funnel_steps",
+    "corpus_mix_weighted",
 ]
 
 

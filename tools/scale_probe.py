@@ -1,0 +1,81 @@
+"""Scale probe: run the heavy corpus operators on an N× replica of the
+sf0.1 documents table to check the shapes that matter at 100 TB —
+linear wall-clock growth, no candidate explosion, no single-partition
+bottleneck.
+
+Each replica's words are suffixed with the replica index, so replicas
+are textually disjoint: the near-dup structure scales linearly with N
+instead of quadratically (a dup-free scale-up, which is the growth
+shape a real crawl has after exact dedup).
+
+Usage: python tools/scale_probe.py [N_replicas] [out_parquet]
+Prints one JSON line per probed operator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1/documents.parquet"
+
+
+def build_replica(n: int, out: str) -> int:
+    import duckdb
+
+    duckdb.sql(
+        rf"""
+        COPY (
+          SELECT (doc_id + 300000 * r.r) AS doc_id,
+                 regexp_replace(text, '(\S+)', '\1_' || r.r, 'g') AS text,
+                 lang, source, n_chars
+          FROM '{SRC}', (SELECT unnest(range({n})) AS r) r
+        ) TO '{out}' (FORMAT PARQUET, ROW_GROUP_SIZE 100000)
+        """
+    )
+    return duckdb.sql(f"SELECT count(*) FROM '{out}'").fetchone()[0]
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    out = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/documents_x{n}.parquet"
+    if not os.path.exists(out):
+        build_replica(n, out)
+
+    from cdk_datalake_ingest_bigmagic_spark import get_spark
+    from cdk_datalake_ingest_bigmagic_spark.operators import dedup as dd
+
+    spark = get_spark(app_name="scale-probe")
+    docs = spark.read.parquet(out)
+    n_docs = docs.count()
+
+    probes = {
+        "minhash_lsh": lambda: dd.minhash_lsh_pairs(
+            docs, "doc_id", "text", 3, 8, 4, 0.8
+        ),
+        "simhash": lambda: dd.simhash_pairs(docs, "doc_id", "text", 3),
+        "exact_dup": lambda: dd.exact_duplicates(docs, "doc_id", "text"),
+    }
+    for name, fn in probes.items():
+        spark.catalog.clearCache()
+        t0 = time.time()
+        rows = fn().count()
+        print(
+            json.dumps(
+                {
+                    "probe": name,
+                    "n_docs": n_docs,
+                    "rows": rows,
+                    "sec": round(time.time() - t0, 1),
+                    "docs_per_sec": int(n_docs / (time.time() - t0)),
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()
