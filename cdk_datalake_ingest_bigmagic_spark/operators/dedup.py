@@ -22,6 +22,11 @@ Everything is built-in Column expressions — no Python UDFs. The in-row
 array work trades a corpus-sized shuffle for per-partition CPU, the
 right trade at 100 TB where the network, not the cores, is the
 bottleneck.
+
+Precondition: one row per id. The per-document array shapes assume
+``id_col`` is unique (true after exact dedup, and for every table the
+engine lands); duplicate id rows would double-count intersections.
+Run ``exact_duplicates`` / ``dropDuplicates`` first on raw crawls.
 """
 
 from __future__ import annotations
@@ -68,20 +73,6 @@ def shingle_string_arrays(
         fan_out(df.select(F.col(id_col), words.alias("__words")))
         .filter(F.size("__words") >= n)
         .select(F.col(id_col), F.array_distinct(shingles).alias("shingles"))
-    )
-
-
-def shingle_table(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
-) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
-
-    Exploded view of ``shingle_string_arrays`` — distinct by
-    construction (array_distinct within the doc, one doc per row), so
-    no global DISTINCT shuffle is ever paid.
-    """
-    return shingle_string_arrays(df, id_col, text_col, n).select(
-        F.col(id_col), F.explode("shingles").alias("shingle")
     )
 
 
@@ -161,21 +152,14 @@ def shingle_hash_arrays(
         f"array_distinct(transform(sequence(1, size(__wh) - {n - 1}), "
         f"i -> {poly} % {SHINGLE_MOD}))"
     )
+    # fan_out BEFORE any hashing: the md5 work must run above the
+    # parallelizing exchange, so an under-partitioned scan ships raw
+    # text (small) and every core hashes its own slice
     return (
-        fan_out(df.select(F.col(id_col), word_hashes.alias("__wh")))
+        fan_out(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), word_hashes.alias("__wh"))
         .filter(F.size("__wh") >= n)
         .select(F.col(id_col), hs.alias("hs"))
-    )
-
-
-def shingle_hash_table(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
-) -> DataFrame:
-    """Exploded (id, h) view of ``shingle_hash_arrays`` — distinct by
-    construction (array_distinct within the doc, one doc per row), so
-    no global DISTINCT shuffle is ever paid."""
-    return shingle_hash_arrays(df, id_col, text_col, n).select(
-        F.col(id_col), F.explode("hs").alias("h")
     )
 
 
@@ -281,8 +265,12 @@ def verify_jaccard(
     return (
         candidates.join(a, "id_a")
         .join(b, "id_b")
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", n_inter.alias("__ni"), F.round(jac, 6).alias("jaccard"))
+        # pairs must actually share a shingle (keeps the historical
+        # contract meaningful at threshold 0: candidates that collided
+        # only via band-minimum coincidence are never emitted)
+        .filter((F.col("jaccard") >= threshold) & (F.col("__ni") > 0))
+        .drop("__ni")
     )
 
 
@@ -311,7 +299,7 @@ def minhash_lsh_pairs(
     # integer math — recomputing it per join side is cheaper than
     # writing 8 rows/doc through the cache
     sig = minhash_signatures(arrays, id_col, num_bands, rows_per_band)
-    key_cols = [c for c in sig.columns if c.startswith("k")]
+    key_cols = [f"k{k + 1}" for k in range((rows_per_band + 1) // 2)]
     left = sig.select(F.col(id_col).alias("id_a"), "band", *key_cols)
     right = sig.select(F.col(id_col).alias("id_b"), "band", *key_cols)
     candidates = (

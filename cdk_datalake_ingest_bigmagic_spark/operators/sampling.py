@@ -38,7 +38,8 @@ def hash_sample(
     """Keep a deterministic ``rate`` fraction of rows by id hash."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
-    threshold = int(rate * SAMPLE_BUCKETS)
+    # round, don't truncate: 0.043*10000 is 429.999... in binary float
+    threshold = round(rate * SAMPLE_BUCKETS)
     return df.filter(sample_bucket(F.col(id_col), seed) < F.lit(threshold))
 
 
@@ -59,10 +60,10 @@ def stratified_hash_sample(
     """
     spark = df.sparkSession
     lookup = spark.createDataFrame(
-        [(k, int(v * SAMPLE_BUCKETS)) for k, v in sorted(rates.items())],
+        [(k, round(v * SAMPLE_BUCKETS)) for k, v in sorted(rates.items())],
         f"{strata_col}: string, __threshold: int",
     )
-    default_threshold = int(default_rate * SAMPLE_BUCKETS)
+    default_threshold = round(default_rate * SAMPLE_BUCKETS)
     return (
         df.join(F.broadcast(lookup), strata_col, "left")
         .filter(

@@ -56,9 +56,15 @@ def write_zordered(
     range-partition by the key (each output file covers a tight
     z-range, so min/max stats prune on both dimensions), then sort
     within partitions for row-group-level skipping."""
+    if num_files is not None and num_files <= 0:
+        raise ValueError(f"num_files must be positive, got {num_files}")
     key = zorder_key2(F.col(col_a), F.col(col_b), bits).alias("__zkey")
     clustered = df.withColumn("__zkey", key)
-    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    n = (
+        num_files
+        if num_files is not None
+        else df.sparkSession.sparkContext.defaultParallelism
+    )
     (
         clustered.repartitionByRange(n, "__zkey")
         .sortWithinPartitions("__zkey")

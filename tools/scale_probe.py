@@ -27,10 +27,11 @@ SRC = "/root/testdata/sf0.1/documents.parquet"
 def build_replica(n: int, out: str) -> int:
     import duckdb
 
+    stride = duckdb.sql(f"SELECT max(doc_id) + 1 FROM '{SRC}'").fetchone()[0]
     duckdb.sql(
         rf"""
         COPY (
-          SELECT (doc_id + 300000 * r.r) AS doc_id,
+          SELECT (doc_id + {stride} * r.r) AS doc_id,
                  regexp_replace(text, '(\S+)', '\1_' || r.r, 'g') AS text,
                  lang, source, n_chars
           FROM '{SRC}', (SELECT unnest(range({n})) AS r) r
