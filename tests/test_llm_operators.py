@@ -260,3 +260,36 @@ def test_hash_sample_deterministic_and_partition_invariant(spark):
     rows = mixed.collect()
     assert all(r.src == "true" for r in rows)
     assert len(rows) == 1000
+
+
+def _plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_dedup_zero_shuffle_plan_shape(spark):
+    """Pin the architectural claim: shingle arrays, MinHash signatures,
+    and SimHash signatures are pure projections — the plans contain NO
+    shuffle exchange (fan_out is a no-op here because the input is
+    already at defaultParallelism)."""
+    docs = spark.range(
+        0, 256, 1, numPartitions=spark.sparkContext.defaultParallelism
+    ).selectExpr(
+        "id as doc_id",
+        "concat('alpha beta gamma delta epsilon zeta token', id) as text",
+    )
+    arrays = dd.shingle_hash_arrays(docs, "doc_id", "text", 3)
+    assert "Exchange" not in _plan_of(arrays)
+    sig = dd.minhash_signatures(arrays, "doc_id")
+    assert "Exchange" not in _plan_of(sig)
+    assert "Exchange" not in _plan_of(dd.simhash_signatures(docs, "doc_id", "text"))
+    # the full LSH pipeline's only exchanges belong to the bucket join
+    # + candidate distinct + the two verify joins — bounded regardless
+    # of corpus size, never one per hash function
+    full_plan = _plan_of(dd.minhash_lsh_pairs(docs, "doc_id", "text"))
+    assert full_plan.count("Exchange") <= 8
