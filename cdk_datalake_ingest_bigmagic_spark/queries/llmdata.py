@@ -503,20 +503,93 @@ def embedding_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.similarity_pairs(e, "vec_id", "embedding", threshold=0.45)
 
 
-@register("embedding_ann_lsh")  # no oracle: approximate (bucket recall < 1)
+# SRP hyperplanes are md5-parity constants (similarity.py::
+# _hyperplane_rows), so the "approximate" LSH pipeline is a
+# DETERMINISTIC function of the input: only its recall vs the exact
+# search is approximate. The oracle inlines the same ±1 signs; both
+# engines sum projection terms in ascending-dim order, so the sign
+# tests agree bit-for-bit.
+_SRP_SIGNS: dict[tuple[int, int], float] = {
+    (p, d): s for p, d, s in sim._hyperplane_rows(64, 4)
+}
+_srp_bucket_sql = " + ".join(
+    "(CASE WHEN ("
+    + " + ".join(
+        f"({_SRP_SIGNS[(p, d)]:+.1f}) * embedding[{d + 1}]" for d in range(64)
+    )
+    + f") > 0 THEN {1 << p} ELSE 0 END)"
+    for p in range(4)
+)
+
+
+@register(
+    "embedding_ann_lsh",
+    oracle=f"""
+    WITH bk AS (
+      SELECT vec_id, embedding::DOUBLE[] AS embedding,
+             {_srp_bucket_sql} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS}, 4) AS cosine_sim
+    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round({_COS}, 4) >= 0.45
+    """,
+)
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path: SRP-LSH bucketed pair search. Approximate by design
-    (recall<1, precision=1), so the driver records a rows-only check;
+    """Scale path: SRP-LSH bucketed pair search. Recall vs the exact
+    search is approximate, but the pipeline itself is deterministic
+    (md5-parity hyperplanes), so the oracle reproduces it exactly;
     tests assert precision + recall bounds against the exact query."""
     e = load(spark, sf_dir, "embeddings")
     return sim.ann_lsh_pairs(e, "vec_id", "embedding", dims=64, num_planes=4, threshold=0.45)
 
 
-@register("embedding_ann_ivf")  # no oracle: approximate (probe recall < 1)
+# IVF is likewise deterministic: centroids = the 16 smallest-id
+# vectors, assignment = nearest-centroid with stable index tie-break,
+# probes = 4 nearest lists. The oracle reproduces assignment with
+# cosine ranking (numpy normalizes-then-dots; SQL divides the dot by
+# the norms — equal up to ~1e-16, far below observed centroid gaps).
+@register(
+    "embedding_ann_ivf",
+    oracle=f"""
+    WITH cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_idx,
+             embedding::DOUBLE[] AS cvec
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    ranked AS (
+      SELECT e.vec_id, c.list_idx,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cvec)
+                        / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                           * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+                        c.list_idx
+             ) AS rk
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assigned AS (SELECT vec_id, list_idx FROM ranked WHERE rk = 1),
+    probes   AS (SELECT vec_id, list_idx FROM ranked WHERE rk <= 4),
+    cand AS (
+      SELECT DISTINCT LEAST(q.vec_id, i.vec_id) AS id_a,
+                      GREATEST(q.vec_id, i.vec_id) AS id_b
+      FROM probes q JOIN assigned i
+        ON q.list_idx = i.list_idx AND q.vec_id <> i.vec_id
+      WHERE q.vec_id < i.vec_id
+    )
+    SELECT c.id_a, c.id_b, round({_COS}, 4) AS cosine_sim
+    FROM cand c
+    JOIN embeddings a ON a.vec_id = c.id_a
+    JOIN embeddings b ON b.vec_id = c.id_b
+    WHERE round({_COS}, 4) >= 0.45
+    """,
+)
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF scale path: coarse-quantized inverted lists + n_probe search,
-    exact-cosine verification of candidates only. Rows-only check;
-    tests assert precision + recall bounds against the exact query."""
+    exact-cosine verification of candidates only. Deterministic
+    centroids (smallest-id vectors) make even this 'approximate' path
+    oracle-reproducible; tests additionally assert precision + recall
+    bounds against the exact query."""
     e = load(spark, sf_dir, "embeddings")
     return sim.ann_ivf_pairs(e, "vec_id", "embedding", n_lists=16, n_probe=4, threshold=0.45)
 
