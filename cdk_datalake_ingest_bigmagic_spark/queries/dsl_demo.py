@@ -275,14 +275,18 @@ def dsl_case_multicolumn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dsl_numeric_decimal",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           CAST(CAST(round(l_extendedprice, 2) AS VARCHAR) AS DECIMAL(13,2))
+           CAST(CAST(CAST(round(l_extendedprice, 2) AS VARCHAR) AS DECIMAL(13,2))
+                AS VARCHAR)
              AS price_dec
     FROM lineitem
     """,
 )
 def dsl_numeric_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T10 Numeric: string → declared decimal(13,2). Pre-rounded so both
-    engines parse an exact 2-dp literal."""
+    engines parse an exact 2-dp literal. The decimal is the *internal*
+    type (that's T10's contract); the emitted column is its canonical
+    fixed-scale string rendering, because Spark and DuckDB print equal
+    decimals differently and the driver hashes the printed value."""
     li = load(spark, sf_dir, "lineitem")
     enc = li.select(
         "l_orderkey",
@@ -290,12 +294,11 @@ def dsl_numeric_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice"), 2).cast("string").alias("price_str"),
     )
     compiler = DslCompiler.for_dataframe(enc)
+    price_dec = compiler.compile("fn_transform_Numeric(price_str)", "numeric(13,2)")
     return enc.select(
         "l_orderkey",
         "l_linenumber",
-        compiler.compile("fn_transform_Numeric(price_str)", "numeric(13,2)").alias(
-            "price_dec"
-        ),
+        price_dec.cast("string").alias("price_dec"),
     )
 
 

@@ -526,8 +526,9 @@ def join_part_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_exact_quantiles",
     oracle="""
     SELECT event_type,
-           [quantile_cont(value, 0.5), quantile_cont(value, 0.9),
-            quantile_cont(value, 0.99)] AS q
+           quantile_cont(value, 0.5) AS q50,
+           quantile_cont(value, 0.9) AS q90,
+           quantile_cont(value, 0.99) AS q99
     FROM events GROUP BY 1
     """,
 )
@@ -537,10 +538,16 @@ def agg_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula, so even the float results match bit-for-bit. (The approx
     path — percentile_approx / t-digest — is the 100 TB default; exact
     needs a per-group sort and is kept for oracle-checkable workloads.)
-    """
+    The three quantiles come out of ONE sort (a single `percentile`
+    aggregate over an array of fractions) and are emitted as scalar
+    columns — array-typed outputs break the driver's pandas-based
+    canonicalizer (unhashable list), so results must stay scalar."""
     e = load(spark, sf_dir, "events")
+    q = F.expr("percentile(value, array(0.5, 0.9, 0.99))")
     return e.groupBy("event_type").agg(
-        F.expr("percentile(value, array(0.5, 0.9, 0.99))").alias("q")
+        F.element_at(q, 1).alias("q50"),
+        F.element_at(q, 2).alias("q90"),
+        F.element_at(q, 3).alias("q99"),
     )
 
 
@@ -608,7 +615,7 @@ def filter_antijoin_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(*) OVER (PARTITION BY o_custkey) AS n
       FROM orders
     )
-    SELECT o_custkey, o_orderkey, tp * n - csum AS above_x_n
+    SELECT o_custkey, o_orderkey, CAST(tp * n - csum AS DOUBLE) AS above_x_n
     FROM t WHERE n >= 2 AND tp * n > csum
     """,
 )
@@ -617,8 +624,10 @@ def agg_above_customer_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     average'), decorrelated into one window pass — one shuffle on
     o_custkey instead of a per-row subquery or a self-join. The
     above-average test and margin are decimal-exact (tp·n vs Σtp, no
-    division), so results are partition-order-independent and
-    hash-match across engines."""
+    division), so results are partition-order-independent; the margin
+    is cast to double only at the very end because Spark's and DuckDB's
+    decimal-widening rules render the (equal) exact values differently,
+    which fails the driver's textual value hash."""
     from pyspark.sql import Window
 
     o = load(spark, sf_dir, "orders")
@@ -631,7 +640,7 @@ def agg_above_customer_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(tp).over(w).alias("csum"),
         F.count(F.lit(1)).over(w).alias("n"),
     )
-    excess = F.col("tp") * F.col("n") - F.col("csum")
+    excess = (F.col("tp") * F.col("n") - F.col("csum")).cast("double")
     return (
         t.filter((F.col("n") >= 2) & (F.col("tp") * F.col("n") > F.col("csum")))
         .select("o_custkey", "o_orderkey", excess.alias("above_x_n"))
