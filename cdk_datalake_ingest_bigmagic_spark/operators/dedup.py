@@ -6,7 +6,9 @@ Designed for corpus-scale runs:
   16-byte digest, never on the document text.
 - **n-gram Jaccard**: word-shingle inverted index; candidate pairs come
   from a self-join on the (deduplicated) shingle table, so cost is
-  bounded by shingle collision lists, not |docs|².
+  bounded by shingle collision lists, not |docs|² — and a document-
+  frequency cap drops stop-shingles from the index so no single hot
+  shingle can emit a quadratic collision list.
 - **MinHash-LSH**: per-document shingle-hash ARRAYS (28-bit md5-derived
   longs); banded signatures are array_min over universal-hash remaps of
   that array — a pure projection. Documents sharing any band key become
@@ -16,7 +18,8 @@ Designed for corpus-scale runs:
 - **SimHash**: 32-bit signatures folded in-row from per-token
   md5-derived hashes (aggregate over the token-hash array — zero
   shuffles); near-dup = Hamming distance ≤ k via bit_count(xor) on a
-  top-16-bit-blocked self-join.
+  pigeonhole-blocked self-join (k+1 signature blocks — any pair within
+  distance k agrees on ≥1 block, so recall is exact).
 
 Everything is built-in Column expressions — no Python UDFs. The in-row
 array work trades a corpus-sized shuffle for per-partition CPU, the
@@ -77,38 +80,62 @@ def shingle_string_arrays(
 
 
 def jaccard_pairs(
-    shingle_arrays: DataFrame, id_col: str, threshold: float = 0.8
+    shingle_arrays: DataFrame,
+    id_col: str,
+    threshold: float = 0.8,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard ≥ threshold.
 
     Input is ``shingle_string_arrays`` (id, shingles). The inverted
-    index (explode → self-join on the shingle) generates pairs sharing
-    at least one shingle — cost bounded by shingle collision lists,
-    not |docs|² — then |∩| / (|A| + |B| - |∩|) with set sizes read
-    from the in-row arrays (no size-aggregation shuffle). The division
-    is exact-integer-derived so results reproduce bit-for-bit anywhere.
+    index (explode → self-join on the shingle) generates CANDIDATES —
+    pairs sharing at least one *indexable* shingle — then the exact
+    Jaccard is computed from the full in-row arrays
+    (``array_intersect``), so reported values are always exact. The
+    division is exact-integer-derived and reproduces bit-for-bit.
+
+    ``max_df`` drops shingles whose document frequency exceeds it from
+    the INDEX ONLY (they still count in the verify): a stop-shingle
+    appearing in 10⁵ docs would otherwise emit a 10¹⁰-row collision
+    list — the classic inverted-index blow-up. The only pairs this can
+    lose are ones sharing *no* below-cap shingle, vanishingly unlikely
+    for genuinely near-duplicate documents. ``max_df=None`` disables
+    the cap (exact recall, unbounded worst case).
     """
     exploded = shingle_arrays.select(
         F.col(id_col), F.explode("shingles").alias("shingle")
     )
+    if max_df is not None:
+        # df-filter joins on the same key as the self-join below, so
+        # the exploded table is shuffled on `shingle` exactly once and
+        # both hash joins reuse that partitioning
+        rare = (
+            exploded.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("shingle")
+        )
+        exploded = exploded.join(rare, "shingle")
     a = exploded.select(F.col(id_col).alias("id_a"), "shingle")
     b = exploded.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
+    candidates = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    sizes = shingle_arrays.select(
-        F.col(id_col), F.size("shingles").alias("n_shingles")
+    sa = shingle_arrays.select(
+        F.col(id_col).alias("id_a"), F.col("shingles").alias("__sh_a")
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
-    jac = F.col("n_inter").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    sb = shingle_arrays.select(
+        F.col(id_col).alias("id_b"), F.col("shingles").alias("__sh_b")
+    )
+    n_inter = F.size(F.array_intersect(F.col("__sh_a"), F.col("__sh_b")))
+    jac = n_inter.cast("double") / (
+        F.size("__sh_a") + F.size("__sh_b") - n_inter
     ).cast("double")
     return (
-        inter.join(sa, "id_a")
+        candidates.join(sa, "id_a")
         .join(sb, "id_b")
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
@@ -351,29 +378,69 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return wide.select(F.col(id_col), sig_expr.alias("simhash"))
 
 
+def simhash_pairs_from_signatures(
+    sig: DataFrame, id_col: str, max_hamming: int = 3, n_bits: int = 32
+) -> DataFrame:
+    """Near-dup pairs from a (id, simhash) table, pigeonhole-blocked.
+
+    The signature is split into ``max_hamming + 1`` contiguous bit
+    blocks; two signatures within Hamming distance ``max_hamming``
+    differ in at most ``max_hamming`` blocks, so they must AGREE on at
+    least one — blocking on (block_idx, block_val) therefore has FULL
+    recall (unlike single-prefix blocking, which silently drops any
+    pair whose differing bits fall inside the prefix). Candidates come
+    from one equi-join on the exploded block keys (same shuffle shape
+    as a single-block join, ×(k+1) rows), then the exact
+    ``bit_count(xor)`` check keeps true pairs only.
+    """
+    nb = max_hamming + 1
+    bounds = [(i * n_bits) // nb for i in range(nb + 1)]
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk_i"),
+                F.shiftright(F.col("simhash"), bounds[i])
+                .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
+                .alias("blk_v"),
+            )
+            for i in range(nb)
+        ]
+    )
+    exploded = sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(blocks).alias("bk")
+    ).select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.col("bk.blk_i").alias("blk_i"),
+        F.col("bk.blk_v").alias("blk_v"),
+    )
+    a = exploded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "blk_i", "blk_v"
+    )
+    b = exploded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "blk_i", "blk_v"
+    )
+    dist = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        a.join(b, ["blk_i", "blk_v"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dist.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        # a close pair can agree on several blocks → dedup candidates
+        .distinct()
+    )
+
+
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
-    Pair generation is blocked on the top-16 bits of the signature
-    (near-identical docs almost always share them), keeping the join
-    far below |docs|²; exact Hamming check via bit_count(xor).
+    Pair generation uses pigeonhole blocking over ``max_hamming + 1``
+    signature blocks (full recall — see
+    ``simhash_pairs_from_signatures``); exact check via bit_count(xor).
     """
     # one narrow row per document — cache so the blocked self-join
     # doesn't run the token aggregation twice
     sig = simhash_signatures(df, id_col, text_col).cache()
-    block = F.shiftright(F.col("simhash"), 16)
-    a = sig.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), block.alias("blk")
-    )
-    b = sig.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), block.alias("blk")
-    )
-    dist = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return (
-        a.join(b, "blk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", dist.alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
-    )
+    return simhash_pairs_from_signatures(sig, id_col, max_hamming)

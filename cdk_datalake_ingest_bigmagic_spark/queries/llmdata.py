@@ -393,17 +393,29 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              SUM(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
       FROM votes GROUP BY doc_id
+    ),
+    blocks AS (
+      SELECT doc_id, simhash, i.blk_i,
+             (simhash >> (i.blk_i * 8)) & 255 AS blk_v
+      FROM sigs, LATERAL (SELECT unnest(range(0, 4)) AS blk_i) i
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM blocks a JOIN blocks b
+        ON a.blk_i = b.blk_i AND a.blk_v = b.blk_v AND a.doc_id < b.doc_id
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
-    FROM sigs a JOIN sigs b
-      ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    SELECT c.id_a, c.id_b,
+           bit_count(xor(sa.simhash, sb.simhash)) AS hamming
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.id_a
+    JOIN sigs sb ON sb.doc_id = c.id_b
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (32-bit signatures, Hamming ≤ 3,
-    top-16-bit blocking)."""
+    pigeonhole blocking over 4 × 8-bit blocks — full recall: a pair
+    within distance 3 must agree on at least one block)."""
     d = load(spark, sf_dir, "documents")
     return dd.simhash_pairs(d, "doc_id", "text", max_hamming=3)
 

@@ -71,6 +71,60 @@ def test_simhash_exact_dup_distance_zero(docs):
     assert pairs.get((1, 5)) == 0
 
 
+def test_simhash_pigeonhole_finds_pairs_differing_in_top_bits(spark):
+    """A pair whose 3 differing bits all sit in the top 16 bits is
+    provably missed by single-prefix (top-16-bit) blocking; pigeonhole
+    blocking over max_hamming+1 blocks must find it."""
+    sig = spark.createDataFrame(
+        [
+            (1, 0x12345678),
+            (2, 0x12345678 ^ 0xE0000000),  # bits 29,30,31 differ → d=3
+            (3, 0x12345678 ^ 0x00070000),  # bits 16,17,18 differ → d=3
+            (4, 0x0F0F0F0F),               # far from everything
+        ],
+        "doc_id: long, simhash: long",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dd.simhash_pairs_from_signatures(
+            sig, "doc_id", max_hamming=3
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 3
+    assert pairs[(1, 3)] == 3
+    assert all(h <= 3 for h in pairs.values())
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_jaccard_df_cap_bounds_stop_shingles(spark):
+    """A stop-shingle shared by every document must not generate
+    quadratic candidate pairs once its document frequency exceeds the
+    cap — while genuinely near-dup pairs (sharing below-cap shingles)
+    are still found with EXACT Jaccard values."""
+    stop = "aaa bbb ccc"
+    rows = [(i, f"{stop} unique{i} word{i} tail{i}") for i in range(1, 9)]
+    rows += [
+        (100, "the same near duplicate document body here"),
+        (101, "the same near duplicate document body here extra"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    sh = dd.shingle_string_arrays(df, "doc_id", "text", n=3)
+
+    # threshold 0 exposes the raw candidate space: uncapped, the 8
+    # stop-shingle docs form all 28 pairs; capped, none survive
+    uncapped = {(r["id_a"], r["id_b"])
+                for r in dd.jaccard_pairs(sh, "doc_id", 0.0, max_df=None).collect()}
+    capped = {(r["id_a"], r["id_b"])
+              for r in dd.jaccard_pairs(sh, "doc_id", 0.0, max_df=3).collect()}
+    assert len(uncapped) == 28 + 1
+    assert capped == {(100, 101)}
+
+    # the surviving pair's value is exact (verified on full arrays):
+    # docs share 5 of (5, 6) shingles → 5/6
+    val = dd.jaccard_pairs(sh, "doc_id", 0.5, max_df=3).collect()
+    assert len(val) == 1 and abs(val[0]["jaccard"] - 5 / 6) < 1e-6
+
+
 def test_language_id(spark, docs):
     out = {r["doc_id"]: r["lang_pred"] for r in
            tx.language_id(docs, "doc_id", "text").collect()}
