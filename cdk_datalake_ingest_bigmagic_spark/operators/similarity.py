@@ -83,12 +83,44 @@ _PAIR_SCHEMA = T.StructType(
 )
 
 
-def _broadcast_index(df: DataFrame, id_col: str, vec_col: str):
+#: Hard ceiling on rows pulled to the driver for the exact broadcast
+#: index. Memory is rows × dims × 8 bytes (float64) on the driver AND
+#: on every executor — 2M × 64-dim ≈ 1 GB. Lower it for wide
+#: embeddings; above the ceiling use the scale tiers (ann_lsh_pairs /
+#: ann_ivf_pairs) or route automatically with on_overflow="route".
+DEFAULT_MAX_INDEX_ROWS = 2_000_000
+
+
+class IndexTooLargeError(ValueError):
+    """The embedding table exceeds the broadcast-index ceiling."""
+
+    def __init__(self, n_rows: int, max_rows: int):
+        self.n_rows = n_rows
+        self.max_rows = max_rows
+        super().__init__(
+            f"embedding table has {n_rows} rows, above the broadcast-index "
+            f"ceiling of {max_rows}; collecting it would risk a driver OOM. "
+            f"Use ann_lsh_pairs/ann_ivf_pairs, raise max_index_rows "
+            f"explicitly, or pass on_overflow='route'."
+        )
+
+
+def _broadcast_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    max_index_rows: int = DEFAULT_MAX_INDEX_ROWS,
+):
     """Normalize and broadcast the embedding matrix. The index is
-    (N × dims) float64 — broadcast-sized by construction; for corpora
-    where it isn't, bucket first (ann_lsh_pairs) and index per bucket."""
+    (N × dims) float64 — broadcast-sized ONLY up to ``max_index_rows``,
+    enforced with a count before anything is collected; for corpora
+    above the ceiling, bucket first (ann_lsh_pairs) and index per
+    bucket."""
     import numpy as np
 
+    n = df.count()
+    if n > max_index_rows:
+        raise IndexTooLargeError(n, max_index_rows)
     pdf = df.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy()
     M = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
@@ -103,16 +135,34 @@ def similarity_pairs(
     id_col: str,
     vec_col: str,
     threshold: float = 0.45,
+    max_index_rows: int = DEFAULT_MAX_INDEX_ROWS,
+    on_overflow: str = "raise",
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine ≥ threshold — exact.
 
     Arrow batches × broadcast index: each task does one matmul per
     batch and emits only the surviving pairs, so the quadratic
     similarity space is scanned but never shuffled or materialized.
+
+    The broadcast index is capped at ``max_index_rows`` (counted before
+    any collect). Above the cap: ``on_overflow="raise"`` (default)
+    raises :class:`IndexTooLargeError`; ``on_overflow="route"`` falls
+    back to SRP-LSH bucketed search (``ann_lsh_pairs`` — approximate:
+    precision 1, recall < 1), the plan you'd want at that size anyway.
     """
     import numpy as np
 
-    bc = _broadcast_index(df, id_col, vec_col)
+    if on_overflow not in ("raise", "route"):
+        raise ValueError(f"on_overflow must be 'raise' or 'route', got {on_overflow!r}")
+    try:
+        bc = _broadcast_index(df, id_col, vec_col, max_index_rows)
+    except IndexTooLargeError:
+        if on_overflow == "route":
+            dims = df.select(F.size(F.col(vec_col))).first()[0]
+            return ann_lsh_pairs(
+                df, id_col, vec_col, dims=dims, threshold=threshold
+            )
+        raise
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd

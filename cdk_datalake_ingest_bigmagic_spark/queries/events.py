@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cdk_datalake_ingest_bigmagic_spark.operators import similarity as _sim
 from cdk_datalake_ingest_bigmagic_spark.queries import load, register
 from cdk_datalake_ingest_bigmagic_spark.streaming.windows import (
     session_agg,
@@ -171,9 +172,27 @@ def events_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SRP hyperplane signs for the 24-dim hour vectors (md5-parity — the
+# same constants both engines derive; see similarity._hyperplane_rows).
+# The oracle inlines them so the bucketed candidate generation is
+# reproduced exactly: only RECALL vs an all-pairs search is
+# approximate; the pipeline itself is a deterministic function of the
+# input.
+_US_PLANES = 4
+_US_SIGNS: dict[tuple[int, int], float] = {
+    (p, d): s for p, d, s in _sim._hyperplane_rows(24, _US_PLANES)
+}
+_us_bucket_sql = " + ".join(
+    "(CASE WHEN ("
+    + " + ".join(f"({_US_SIGNS[(p, d)]:+.1f}) * hours[{d + 1}]" for d in range(24))
+    + f") > 0 THEN {1 << p} ELSE 0 END)"
+    for p in range(_US_PLANES)
+)
+
+
 @register(
     "events_user_similarity",
-    oracle="""
+    oracle=f"""
     WITH counts AS (
       SELECT user_id, EXTRACT(hour FROM ts)::INT AS h, COUNT(*)::DOUBLE AS c
       FROM events GROUP BY 1, 2
@@ -184,13 +203,15 @@ def events_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       LEFT JOIN counts c ON c.user_id = u.user_id AND c.h = hh.h
     ), vec AS (
       SELECT user_id, list(c ORDER BY h) AS hours FROM grid GROUP BY user_id
+    ), bk AS (
+      SELECT user_id, hours, {_us_bucket_sql} AS bucket FROM vec
     )
     SELECT a.user_id AS user_a, b.user_id AS user_b,
            round(
              list_dot_product(a.hours, b.hours)
              / (sqrt(list_dot_product(a.hours, a.hours))
                 * sqrt(list_dot_product(b.hours, b.hours))), 6) AS cosine_sim
-    FROM vec a JOIN vec b ON a.user_id < b.user_id
+    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.user_id < b.user_id
     WHERE round(
              list_dot_product(a.hours, b.hours)
              / (sqrt(list_dot_product(a.hours, a.hours))
@@ -199,13 +220,15 @@ def events_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Behavioral similarity: per-user 24-dim hour-of-day activity
-    vectors (one pivot-style aggregation), then cosine pairs ≥ 0.9.
+    vectors (one pivot-style aggregation), then cosine pairs ≥ 0.9
+    generated WITHIN SRP-LSH buckets — the registered plan is the scale
+    plan (Σ|bucket|² candidate pairs through one equi-join, no
+    broadcast-nested-loop over all user pairs), and the oracle mirrors
+    the same md5-parity hyperplanes so candidates match exactly.
 
     Bridges the relational and vector worlds: the vectors are integer
     counts, so the dot products are exact in any engine and the one
-    double division is bit-reproducible. At corpus scale the pair space
-    would go through the LSH/IVF candidates paths instead of the full
-    self-join."""
+    double division is bit-reproducible."""
     e = load(spark, sf_dir, "events")
     hour_counts = [
         F.sum(
@@ -216,8 +239,14 @@ def events_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = e.groupBy("user_id").agg(*hour_counts).select(
         "user_id", F.array(*[F.col(f"h{h}") for h in range(24)]).alias("hours")
     )
-    a = vec.select(F.col("user_id").alias("user_a"), F.col("hours").alias("va"))
-    b = vec.select(F.col("user_id").alias("user_b"), F.col("hours").alias("vb"))
+    buckets = _sim.srp_buckets(vec, "user_id", "hours", dims=24, num_planes=_US_PLANES)
+    with_b = vec.join(buckets, "user_id")
+    a = with_b.select(
+        F.col("user_id").alias("user_a"), F.col("hours").alias("va"), "bucket"
+    )
+    b = with_b.select(
+        F.col("user_id").alias("user_b"), F.col("hours").alias("vb"), "bucket"
+    )
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
@@ -225,7 +254,8 @@ def events_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x))
     sim = F.round(dot / (na * nb), 6)
     return (
-        a.join(b, F.col("user_a") < F.col("user_b"))
+        a.join(b, "bucket")
+        .filter(F.col("user_a") < F.col("user_b"))
         .select("user_a", "user_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= 0.9)
     )

@@ -160,6 +160,29 @@ def test_similarity_pairs_and_topk(spark):
     assert [r["vec_id"] for r in topk] == [2, 3]
 
 
+def test_similarity_index_guard_raises_and_routes(spark, sf_dir):
+    """Above the broadcast-index ceiling the exact tier must refuse to
+    collect (driver-OOM hazard at corpus scale) or, when asked, route
+    to the bucketed LSH plan instead of collecting."""
+    from cdk_datalake_ingest_bigmagic_spark.queries import load
+
+    e = load(spark, sf_dir, "embeddings")
+    with pytest.raises(sim.IndexTooLargeError):
+        sim.similarity_pairs(e, "vec_id", "embedding", 0.45, max_index_rows=10)
+
+    exact = {(r["id_a"], r["id_b"])
+             for r in sim.similarity_pairs(e, "vec_id", "embedding", 0.45).collect()}
+    routed_df = sim.similarity_pairs(
+        e, "vec_id", "embedding", 0.45, max_index_rows=10, on_overflow="route"
+    )
+    # the routed plan is the bucketed one — no Python map stage, so no
+    # driver-side matrix was ever built
+    plan = routed_df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan
+    routed = {(r["id_a"], r["id_b"]) for r in routed_df.collect()}
+    assert routed <= exact  # approximate tier: precision 1
+
+
 def test_ann_lsh_precision(spark, sf_dir):
     from cdk_datalake_ingest_bigmagic_spark.queries import load
 
@@ -347,3 +370,16 @@ def test_dedup_zero_shuffle_plan_shape(spark):
     # of corpus size, never one per hash function
     full_plan = _plan_of(dd.minhash_lsh_pairs(docs, "doc_id", "text"))
     assert full_plan.count("Exchange") <= 8
+
+
+def test_user_similarity_plan_is_bucketed(spark, sf_dir):
+    """The REGISTERED user-similarity query must be the scale plan:
+    SRP-bucketed equi-join, never a broadcast-nested-loop over all user
+    pairs (which is what a bare `a.join(b, user_a < user_b)` compiles
+    to)."""
+    from cdk_datalake_ingest_bigmagic_spark.queries import all_queries
+
+    df = all_queries()["events_user_similarity"](spark, sf_dir)
+    plan = _plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
