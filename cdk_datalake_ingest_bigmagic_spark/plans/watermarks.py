@@ -25,6 +25,8 @@ from pyspark.sql import Row, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from cdk_datalake_ingest_bigmagic_spark.retry import with_retries
+
 
 class WatermarkState(str, enum.Enum):
     PROVISIONAL = "provisional"
@@ -78,8 +80,15 @@ class WatermarkStore:
             return self.spark.createDataFrame([], _SCHEMA)
 
     def _append(self, row: dict) -> None:
-        df = self.spark.createDataFrame([Row(**row)], _SCHEMA)
-        df.write.mode("append").parquet(self.path)
+        # metadata write on the driver path — a transient storage error
+        # must not fail the whole load, so it gets the reference's
+        # retry loop (extract_data.py:896-921 retries its bookmark/S3
+        # metadata writes the same way)
+        def _write():
+            df = self.spark.createDataFrame([Row(**row)], _SCHEMA)
+            df.write.mode("append").parquet(self.path)
+
+        with_retries(_write, label=f"watermark append {self.path}")
 
     def _next_version(self) -> int:
         """Monotonic version from the wall clock (nanoseconds).

@@ -1,0 +1,53 @@
+"""Driver-side retry for source probes and metadata writes.
+
+Spark's task retries cover executor-side failure, but driver-side
+actions — the JDBC min/max probe, watermark appends — run outside task
+scheduling and previously failed on the first transient error. This
+mirrors the reference's retry contract: 3 attempts with a fixed delay
+between them (``sql_server_extractor.py:25-29,141-193``; S3/metadata
+writes use the same loop shape in ``extract_data.py:896-921``).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from collections.abc import Callable
+from typing import TypeVar
+
+log = logging.getLogger(__name__)
+
+MAX_ATTEMPTS = 3  # reference sql_server_extractor.py:28
+RETRY_DELAY_S = 5.0  # reference sql_server_extractor.py:29
+
+T = TypeVar("T")
+
+
+def with_retries(
+    fn: Callable[[], T],
+    *,
+    attempts: int = MAX_ATTEMPTS,
+    delay_s: float = RETRY_DELAY_S,
+    sleep: Callable[[float], None] = time.sleep,
+    label: str = "driver action",
+) -> T:
+    """Run ``fn`` up to ``attempts`` times, sleeping ``delay_s`` between
+    failures; re-raises the last error once attempts are exhausted.
+
+    ``sleep`` is injectable so tests (and callers that need jitter) can
+    substitute their own clock.
+    """
+    if attempts < 1:
+        raise ValueError("attempts must be >= 1")
+    for attempt in range(attempts):
+        try:
+            return fn()
+        except Exception as e:
+            if attempt == attempts - 1:
+                raise
+            log.warning(
+                "%s failed (attempt %d/%d): %s — retrying in %.1fs",
+                label, attempt + 1, attempts, e, delay_s,
+            )
+            sleep(delay_s)
+    raise AssertionError("unreachable")

@@ -26,6 +26,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from cdk_datalake_ingest_bigmagic_spark.config.models import EndpointConfig, TableConfig
+from cdk_datalake_ingest_bigmagic_spark.retry import with_retries
 
 MAX_SCAN_PARTITIONS = 30  # reference extract_data.py:1138
 DEFAULT_FETCH_SIZE = 10_000
@@ -126,18 +127,24 @@ def probe_min_max(
     if table.filter_exp.strip():
         where += f" AND {table.filter_exp.strip()}"
     q = f"SELECT MIN({col}) min_val, MAX({col}) max_val FROM {source_relation(table)} {where}"
-    row = (
-        spark.read.format("jdbc")
-        .options(
-            url=endpoint.jdbc_url,
-            driver=_DRIVERS[endpoint.db_type],
-            query=q,
-            user=endpoint.username,
-            password=endpoint.password,
+
+    def _probe():
+        return (
+            spark.read.format("jdbc")
+            .options(
+                url=endpoint.jdbc_url,
+                driver=_DRIVERS[endpoint.db_type],
+                query=q,
+                user=endpoint.username,
+                password=endpoint.password,
+            )
+            .load()
+            .first()
         )
-        .load()
-        .first()
-    )
+
+    # the probe is a driver-side action outside Spark's task retries —
+    # transient DB errors get the reference's 3×5s loop
+    row = with_retries(_probe, label=f"min/max probe {table.source_table}")
     if row is None:
         return None, None
     return row["min_val"], row["max_val"]
@@ -172,8 +179,31 @@ def scan_spec_for(
     )
 
 
+def dedupe_column_names(df: DataFrame) -> DataFrame:
+    """Uniquify duplicate output column names in declaration order:
+    the first occurrence keeps its name, repeats become ``col_1``,
+    ``col_2``, ... (reference ``extract_data.py:430-463``). A config
+    whose select list yields two columns named alike would otherwise
+    produce a DataFrame where every reference to the name is ambiguous.
+    Positional rename via ``toDF`` — no column resolution involved.
+    """
+    cols = df.columns
+    if len(cols) == len(set(cols)):
+        return df
+    seen: dict[str, int] = {}
+    renamed: list[str] = []
+    for c in cols:
+        if c in seen:
+            seen[c] += 1
+            renamed.append(f"{c}_{seen[c]}")
+        else:
+            seen[c] = 0
+            renamed.append(c)
+    return df.toDF(*renamed)
+
+
 def read_jdbc(spark: SparkSession, spec: JdbcScanSpec) -> DataFrame:
     reader = spark.read.format("jdbc")
     for k, v in spec.options().items():
         reader = reader.option(k, v)
-    return reader.load()
+    return dedupe_column_names(reader.load())

@@ -192,3 +192,69 @@ def test_write_zordered_clusters_both_dimensions(spark, tmp_path):
             expect |= ((r.a >> i) & 1) << (2 * i)
             expect |= ((r.b >> i) & 1) << (2 * i + 1)
         assert r.z == expect
+
+
+def test_dedupe_column_names_declaration_order(spark):
+    from cdk_datalake_ingest_bigmagic_spark.sources.jdbc import dedupe_column_names
+
+    df = spark.sql("SELECT 1 AS a, 2 AS a, 3 AS b, 4 AS a, 5 AS b")
+    out = dedupe_column_names(df)
+    assert out.columns == ["a", "a_1", "b", "a_2", "b_1"]
+    row = out.collect()[0]
+    # positional rename: values stay with their declaration slot
+    assert (row["a"], row["a_1"], row["b"], row["a_2"], row["b_1"]) == (1, 2, 3, 4, 5)
+    # no duplicates → untouched (same plan object, no pointless projection)
+    clean = spark.sql("SELECT 1 AS x, 2 AS y")
+    assert dedupe_column_names(clean) is clean
+
+
+def test_with_retries_flaky_then_success_and_exhaustion():
+    import pytest
+
+    from cdk_datalake_ingest_bigmagic_spark.retry import with_retries
+
+    calls = {"n": 0}
+    naps = []
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError(f"transient {calls['n']}")
+        return "ok"
+
+    assert with_retries(flaky, sleep=naps.append) == "ok"
+    assert calls["n"] == 3
+    assert naps == [5.0, 5.0]  # reference delay, between attempts only
+
+    def always_down():
+        raise RuntimeError("db down")
+
+    naps.clear()
+    with pytest.raises(RuntimeError, match="db down"):
+        with_retries(always_down, sleep=naps.append)
+    assert naps == [5.0, 5.0]  # no sleep after the final failure
+
+
+def test_watermark_append_retries_transient_write(spark, tmp_path, monkeypatch):
+    """A flaky storage layer must not fail the bookmark protocol: the
+    first append attempt dies, the retry lands, and the confirmed value
+    is readable."""
+    from cdk_datalake_ingest_bigmagic_spark.plans import watermarks as wm
+
+    store = wm.WatermarkStore(spark, str(tmp_path / "wm"))
+    real_create = spark.createDataFrame
+    state = {"fail_next": 1}
+
+    def flaky_create(*args, **kwargs):
+        if state["fail_next"]:
+            state["fail_next"] -= 1
+            raise RuntimeError("transient storage error")
+        return real_create(*args, **kwargs)
+
+    monkeypatch.setattr(spark, "createDataFrame", flaky_create)
+    monkeypatch.setattr(wm, "with_retries", lambda fn, **kw: __import__(
+        "cdk_datalake_ingest_bigmagic_spark.retry", fromlist=["with_retries"]
+    ).with_retries(fn, sleep=lambda s: None))
+    txn = store.save_provisional("proj", "tbl", "col", "42")
+    store.confirm(txn)
+    assert store.get("proj", "tbl", "col") == "42"
