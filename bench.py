@@ -30,7 +30,9 @@ HEADLINE = [
     "text_language_id",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_connected_components",
     "embedding_similarity_pairs",
+    "embedding_ann_ivf",
     "events_funnel_steps",
     "corpus_mix_weighted",
 ]

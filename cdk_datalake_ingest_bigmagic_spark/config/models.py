@@ -164,6 +164,11 @@ class EndpointConfig:
         if self.db_type == "oracle":
             port = self.port or "1521"
             return f"jdbc:oracle:thin:@{self.server}:{port}/{self.db_name}"
+        if self.db_type == "derby":
+            # embedded Derby (in-JVM, db_name is a filesystem path) —
+            # ships with Spark, so the live-JDBC path is testable
+            # without an external server
+            return f"jdbc:derby:{self.db_name};create=true"
         raise ValueError(f"unsupported db_type: {self.db_type}")
 
 

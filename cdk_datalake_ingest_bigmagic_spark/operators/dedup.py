@@ -101,34 +101,49 @@ def jaccard_pairs(
     lose are ones sharing *no* below-cap shingle, vanishingly unlikely
     for genuinely near-duplicate documents. ``max_df=None`` disables
     the cap (exact recall, unbounded worst case).
+
+    Shingles are re-keyed ONCE to ``xxhash64`` longs and both the
+    inverted index and the verify run on the hashed sets: every shuffle
+    moves 8-byte keys instead of n-word strings, and the verify
+    intersects long arrays instead of string arrays. An in-document
+    collision (which alone could perturb a Jaccard value) has
+    probability ~|shingles|²/2⁶⁵ ≈ 1e-16 per document — the values are
+    the exact string-set Jaccards for any real corpus.
     """
+    # hash once; the result feeds five plan branches (df-cap, both
+    # self-join sides, both verify sides) — cache so shingling and
+    # hashing run once
+    shingle_arrays = shingle_arrays.select(
+        F.col(id_col),
+        F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias("__hs"),
+    ).cache()
     exploded = shingle_arrays.select(
-        F.col(id_col), F.explode("shingles").alias("shingle")
+        F.col(id_col), F.explode("__hs").alias("__sh")
     )
     if max_df is not None:
         # df-filter joins on the same key as the self-join below, so
-        # the exploded table is shuffled on `shingle` exactly once and
+        # the exploded table is shuffled on `__sh` exactly once and
         # both hash joins reuse that partitioning
         rare = (
-            exploded.groupBy("shingle")
+            exploded.groupBy("__sh")
             .agg(F.count(F.lit(1)).alias("__df"))
             .filter(F.col("__df") <= max_df)
-            .select("shingle")
+            .select("__sh")
         )
-        exploded = exploded.join(rare, "shingle")
-    a = exploded.select(F.col(id_col).alias("id_a"), "shingle")
-    b = exploded.select(F.col(id_col).alias("id_b"), "shingle")
+        exploded = exploded.join(rare, "__sh")
+    a = exploded.select(F.col(id_col).alias("id_a"), "__sh")
+    b = exploded.select(F.col(id_col).alias("id_b"), "__sh")
     candidates = (
-        a.join(b, "shingle")
+        a.join(b, "__sh")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
     sa = shingle_arrays.select(
-        F.col(id_col).alias("id_a"), F.col("shingles").alias("__sh_a")
+        F.col(id_col).alias("id_a"), F.col("__hs").alias("__sh_a")
     )
     sb = shingle_arrays.select(
-        F.col(id_col).alias("id_b"), F.col("shingles").alias("__sh_b")
+        F.col(id_col).alias("id_b"), F.col("__hs").alias("__sh_b")
     )
     n_inter = F.size(F.array_intersect(F.col("__sh_a"), F.col("__sh_b")))
     jac = n_inter.cast("double") / (

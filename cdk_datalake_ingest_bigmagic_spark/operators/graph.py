@@ -30,9 +30,12 @@ def connected_components(
     """(id, component) for every vertex in ``edges``; component = the
     smallest vertex id reachable from it. Raises if not converged
     within ``max_iter`` rounds (diameter guard, not a silent cap)."""
-    both = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    # materialize the edge list ONCE before symmetrizing: the union
+    # references `edges` twice, and without this checkpoint the whole
+    # upstream pipeline (e.g. a near-dup candidate join) would be
+    # recomputed per branch
+    pairs = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
+    both = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
     both = both.distinct().localCheckpoint()
     labels = (
         both.select(F.col("a").alias("id"))

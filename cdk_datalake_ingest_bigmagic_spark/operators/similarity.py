@@ -294,34 +294,57 @@ def ann_ivf_pairs(
 
     from cdk_datalake_ingest_bigmagic_spark.operators import fan_out
 
+    # (id, list, probes) is a few bytes per vector and feeds BOTH join
+    # sides — cache so the assignment matmul pass runs once, not twice
     assigned = fan_out(df.select(id_col, vec_col)).mapInPandas(
         assign, assign_schema
+    ).cache()
+
+    # verify PER LIST with one matmul per group instead of
+    # materializing the candidate-pair join: the shuffle moves
+    # Σ|list|·n_probe vector rows (linear in the corpus), never the
+    # quadratic candidate list, and the per-pair cosine is a BLAS
+    # block product instead of an interpreted array fold
+    members = assigned.select(
+        F.col("__id"), F.col("list_id").alias("probe"), F.lit(True).alias("__member")
     )
-    index_side = assigned.select(
-        F.col("__id").alias("id_b"), F.col("list_id").alias("probe")
+    probers = assigned.select(
+        F.col("__id"), F.explode("probes").alias("probe"), F.lit(False).alias("__member")
     )
-    query_side = assigned.select(
-        F.col("__id").alias("id_a"), F.explode("probes").alias("probe")
-    )
-    candidates = (
-        query_side.join(index_side, "probe")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    va = df.select(
-        F.col(id_col).alias("id_a"), to_double_array(F.col(vec_col)).alias("__va")
-    )
-    vb = df.select(
-        F.col(id_col).alias("id_b"), to_double_array(F.col(vec_col)).alias("__vb")
-    )
-    sim = cosine(F.col("__va"), F.col("__vb"))
-    return (
-        candidates.join(va, "id_a")
-        .join(vb, "id_b")
-        .select("id_a", "id_b", F.round(sim, 4).alias("cosine_sim"))
-        .filter(F.col("cosine_sim") >= threshold)
-    )
+    vecs = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    grouped = members.unionByName(probers).join(vecs, "__id")
+
+    def verify(pdf) -> "pd.DataFrame":
+        import pandas as pd
+
+        V = np.vstack(pdf["__v"].to_numpy()).astype("float64")
+        Vn = V / np.maximum(np.sqrt((V * V).sum(axis=1))[:, None], 1e-12)
+        ids = pdf["__id"].to_numpy()
+        mem = pdf["__member"].to_numpy()
+        idx = np.arange(len(ids))
+        m_idx, p_idx = idx[mem], idx[~mem]
+        if len(m_idx) == 0 or len(p_idx) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine_sim": "float64"}
+            )
+        S = np.round(Vn[p_idx] @ Vn[m_idx].T, 4)
+        # pair (a, b) exists iff the SMALLER id probes a list the
+        # larger is assigned to — the same asymmetric rule as the
+        # candidate-join formulation (and the SQL oracle)
+        rows_i, cols_j = np.where(
+            (S >= threshold) & (ids[p_idx][:, None] < ids[m_idx][None, :])
+        )
+        return pd.DataFrame(
+            {
+                "id_a": ids[p_idx][rows_i],
+                "id_b": ids[m_idx][cols_j],
+                "cosine_sim": S[rows_i, cols_j],
+            }
+        )
+
+    # a pair can co-occur in several probed lists → dedup at the end;
+    # the distinct runs on the (small) surviving pair set only
+    return grouped.groupBy("probe").applyInPandas(verify, _PAIR_SCHEMA).distinct()
 
 
 def ann_lsh_pairs(

@@ -35,6 +35,8 @@ _DRIVERS = {
     "sqlserver": "com.microsoft.sqlserver.jdbc.SQLServerDriver",
     "mysql": "com.mysql.cj.jdbc.Driver",
     "oracle": "oracle.jdbc.OracleDriver",
+    # embedded Derby ships in Spark's jars/ — the live-JDBC test backend
+    "derby": "org.apache.derby.jdbc.EmbeddedDriver",
 }
 
 
