@@ -149,7 +149,9 @@ def probe_min_max(
     row = with_retries(_probe, label=f"min/max probe {table.source_table}")
     if row is None:
         return None, None
-    return row["min_val"], row["max_val"]
+    # positional access: case-folding dialects (Oracle, Derby) return
+    # the aliases as MIN_VAL/MAX_VAL, so a name lookup is not portable
+    return row[0], row[1]
 
 
 def scan_spec_for(

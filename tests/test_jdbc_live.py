@@ -1,0 +1,157 @@
+"""Live JDBC path against embedded Derby (ships in Spark's jars/).
+
+Round 1 left S1/S2 (the actual JDBC read path) untestable — no external
+database exists in the sandbox. Embedded Derby closes that gap: it runs
+inside the Spark JVM, so the REAL reader path — generated scan query,
+min/max probe, range partitioning, predicate pushdown — executes
+against a live database with zero external services.
+
+Dialect note: Spark's JDBC writer quotes identifiers, so the fixture
+creates UPPERCASE columns — unquoted references in generated SQL
+(``SELECT GRP FROM ...``) then resolve, exactly as they do against the
+reference's SQL Server sources.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.config.models import EndpointConfig, TableConfig
+from cdk_datalake_ingest_bigmagic_spark.sources import jdbc as src
+
+N_ROWS = 500
+
+
+@pytest.fixture(scope="module")
+def endpoint(tmp_path_factory):
+    db_dir = tmp_path_factory.mktemp("derby") / "livedb"
+    return EndpointConfig(
+        endpoint_name="derby-live",
+        db_type="derby",
+        db_name=str(db_dir),
+    )
+
+
+@pytest.fixture(scope="module")
+def seeded(spark, endpoint):
+    """Create APP.ORDERS (N_ROWS rows) and APP.SEGMENTS in Derby."""
+    props = {"driver": src._DRIVERS["derby"]}
+    orders = spark.range(1, N_ROWS + 1).selectExpr(
+        "id AS ID",
+        "cast(id % 7 as int) AS GRP",
+        "concat('cust_', id % 50) AS CUSTOMER",
+        "cast(id * 1.5 as decimal(12,2)) AS AMOUNT",
+        # P4-style magic ordinal column (days since 1900 + offset)
+        "cast(45000 + id % 400 as int) AS FECHA",
+    )
+    orders.write.jdbc(endpoint.jdbc_url, "APP.ORDERS", mode="overwrite", properties=props)
+    segments = spark.createDataFrame(
+        [(0, "keep"), (2, "keep"), (5, "keep")], "SEG INT, ACTION STRING"
+    )
+    (
+        segments.write.format("jdbc")
+        .option("url", endpoint.jdbc_url)
+        .option("driver", props["driver"])
+        .option("dbtable", "APP.SEGMENTS")
+        # Derby maps StringType to CLOB, which can't be compared to a
+        # character literal — force a comparable VARCHAR
+        .option("createTableColumnTypes", "ACTION VARCHAR(16)")
+        .mode("overwrite")
+        .save()
+    )
+    return orders
+
+
+def test_generated_scan_query_runs_live(spark, endpoint, seeded):
+    """S1/P1/P2/P3: the builder's generated SQL (select list, synthetic
+    id, static filter) executes against a real database."""
+    table = TableConfig(
+        source_table="ORDERS",
+        source_schema="APP",
+        stage_table_name="stage_orders",
+        columns="GRP, CUSTOMER, AMOUNT",
+        id_column="ID",
+        filter_exp="GRP <> 6",
+    )
+    spec = src.scan_spec_for(endpoint, table)
+    df = src.read_jdbc(spark, spec)
+    assert [c.upper() for c in df.columns] == ["ID", "GRP", "CUSTOMER", "AMOUNT"]
+    expected = seeded.filter("GRP <> 6").count()
+    assert df.count() == expected
+
+
+def test_min_max_probe_and_partitioned_scan(spark, endpoint, seeded):
+    """A1 + X1 live: probe real bounds, then scan with uniform range
+    partitions — partition count honors the clamp and no rows are
+    dropped or duplicated at stripe boundaries."""
+    table = TableConfig(
+        source_table="ORDERS",
+        source_schema="APP",
+        stage_table_name="stage_orders",
+        partition_mode="MIN_MAX",
+        partition_column="ID",
+    )
+    bounds = src.probe_min_max(spark, endpoint, table)
+    assert bounds == (1, N_ROWS)
+    spec = src.scan_spec_for(endpoint, table, bounds=(str(bounds[0]), str(bounds[1])))
+    assert spec.num_partitions == src.clamp_partitions(1, N_ROWS)
+    df = src.read_jdbc(spark, spec)
+    assert df.rdd.getNumPartitions() == spec.num_partitions
+    assert df.count() == N_ROWS
+    # exactly one copy of every id
+    assert df.select(F.countDistinct("ID")).first()[0] == N_ROWS
+
+
+def test_in_subquery_filter_runs_live(spark, endpoint, seeded):
+    """P3: FILTER_EXP with an IN-subquery is pushed verbatim into the
+    generated query and evaluated by the source database."""
+    table = TableConfig(
+        source_table="ORDERS",
+        source_schema="APP",
+        stage_table_name="stage_orders",
+        columns="ID, GRP",
+        filter_exp="GRP IN (SELECT SEG FROM APP.SEGMENTS WHERE ACTION = 'keep')",
+    )
+    df = src.read_jdbc(spark, src.scan_spec_for(endpoint, table))
+    expected = seeded.filter(F.col("GRP").isin(0, 2, 5)).count()
+    assert df.count() == expected
+
+
+def test_window_filter_pushed_to_jdbc_scan(spark, endpoint, seeded):
+    """P4 window pushdown (VERDICT item 10): an incremental month-window
+    filter on an int (magic ordinal) column must reach the JDBC scan as
+    a pushed predicate — i.e. the source database evaluates it, Spark
+    never sees the excluded rows."""
+    from cdk_datalake_ingest_bigmagic_spark.plans.strategy import window_filter
+
+    table = TableConfig(
+        source_table="ORDERS",
+        source_schema="APP",
+        stage_table_name="stage_orders",
+    )
+    df = src.read_jdbc(spark, src.scan_spec_for(endpoint, table))
+    windowed = df.filter(window_filter("FECHA", "45100", "45200")).select("ID", "FECHA")
+    plan = windowed._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "FECHA" in pushed and ("GreaterThanOrEqual" in pushed or "LessThanOrEqual" in pushed)
+    expected = seeded.filter("FECHA between 45100 and 45200").count()
+    assert windowed.count() == expected
+
+
+def test_chunked_fetch_roundtrip(spark, endpoint, seeded):
+    """S3: fetchsize is a reader hint, not a chunk loop — verify a
+    small fetchsize still returns every row exactly once."""
+    table = TableConfig(
+        source_table="ORDERS",
+        source_schema="APP",
+        stage_table_name="stage_orders",
+        columns="ID, CUSTOMER",
+    )
+    spec = src.scan_spec_for(endpoint, table)
+    small = src.JdbcScanSpec(
+        url=spec.url, driver=spec.driver, query=spec.query, fetch_size=37
+    )
+    df = src.read_jdbc(spark, small)
+    assert df.count() == N_ROWS
