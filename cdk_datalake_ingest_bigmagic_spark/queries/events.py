@@ -279,7 +279,12 @@ def events_lag_lead_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
-    us = F.unix_micros(F.col("ts"))
+    # sf dirs differ in parquet timestamp encoding: nanos arrive as
+    # bigint (converted to TIMESTAMP by load()), micros arrive as
+    # TIMESTAMP_NTZ, which unix_micros rejects. The session timezone is
+    # pinned to UTC, so casting NTZ -> TIMESTAMP is value-exact and a
+    # no-op when ts is already TIMESTAMP.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return e.select(
         "event_id",
