@@ -282,9 +282,11 @@ def events_lag_lead_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf dirs differ in parquet timestamp encoding: nanos arrive as
     # bigint (converted to TIMESTAMP by load()), micros arrive as
     # TIMESTAMP_NTZ, which unix_micros rejects. The session timezone is
-    # pinned to UTC, so casting NTZ -> TIMESTAMP is value-exact and a
-    # no-op when ts is already TIMESTAMP.
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    # pinned to UTC, so casting NTZ -> TIMESTAMP_LTZ is value-exact and
+    # a no-op when ts is already TIMESTAMP. "timestamp_ltz" (not bare
+    # "timestamp") keeps the target type fixed even if
+    # spark.sql.timestampType were set to TIMESTAMP_NTZ.
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return e.select(
         "event_id",

@@ -630,9 +630,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_frame_sample",
     oracle="""
     -- testdata text is pure ASCII (asserted in tests), so character
-    -- slicing here equals the Spark side's byte slicing
+    -- slicing here equals the Spark side's byte slicing. Frames are
+    -- hex-encoded: the gate's pandas canonicalizer can't sort raw
+    -- bytearray values, and hex is byte-for-byte equivalent evidence.
     SELECT doc_id AS media_id, i.i::INT AS frame_idx,
-           encode(substr(text, i.i * 64 + 1, 64)) AS frame_bytes,
+           upper(hex(encode(substr(text, i.i * 64 + 1, 64)))) AS frame_hex,
            md5(substr(text, i.i * 64 + 1, 64)) AS frame_md5
     FROM documents,
          LATERAL (SELECT unnest(range(0, (length(text) + 63) // 64)) AS i) i
@@ -642,7 +644,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling plumbing: payload → every 2nd 64-byte
     frame via the Arrow mapInPandas decode stage (slicing stands in for
-    the codec; schema/fan-out/batching are the real thing)."""
+    the codec; schema/fan-out/batching are the real thing).
+
+    The operator keeps ``frame_bytes`` as a true binary column (that is
+    what a downstream consumer wants); only this registered view
+    hex-encodes it, because the correctness gate canonicalizes results
+    through pandas, which cannot sort binary values."""
     from cdk_datalake_ingest_bigmagic_spark.operators.multimodal import (
         media_table_from_documents,
         sample_frames_df,
@@ -650,7 +657,13 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     media = media_table_from_documents(d, "doc_id", "text")
-    return sample_frames_df(media, frame_size=64, every_n=2)
+    frames = sample_frames_df(media, frame_size=64, every_n=2)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.upper(F.hex("frame_bytes")).alias("frame_hex"),
+        "frame_md5",
+    )
 
 
 @register(

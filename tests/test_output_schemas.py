@@ -1,0 +1,41 @@
+"""Mechanical audit of every registered query's output schema.
+
+The external correctness gate canonicalizes results via pandas
+``sort_values`` before hashing; array, binary, map, and struct cells
+are unsortable there (round 1 lost ``agg_exact_quantiles`` to an array
+column, round 2 lost ``multimodal_frame_sample`` to a binary column —
+the same class of failure twice). This test makes the constraint a
+hard rule: registering a query whose result schema contains a
+non-scalar column fails CI before the gate ever sees it.
+
+Schema inspection is lazy (no job runs), so this covers all ~67
+queries in seconds.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from cdk_datalake_ingest_bigmagic_spark.queries import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+BANNED = (T.ArrayType, T.BinaryType, T.MapType, T.StructType)
+
+
+@pytest.mark.parametrize("name", sorted(all_queries()))
+def test_output_schema_is_gate_safe(spark, name):
+    fn = all_queries()[name]
+    df = fn(spark, SF_DIR)
+    bad = [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if isinstance(f.dataType, BANNED)
+    ]
+    assert not bad, (
+        f"query {name!r} outputs non-scalar columns {bad}; the gate's "
+        "pandas canonicalizer cannot sort these — hex/json-encode or "
+        "drop them in the registered view (the operator itself may "
+        "keep the rich type)"
+    )
