@@ -10,9 +10,18 @@ the loop runs O(diameter) times — near-dup clusters are shallow (a
 handful of rounds), while a driver-side union-find would need the whole
 edge list on one machine.
 
-``localCheckpoint`` after each round cuts the lineage so the plan
-doesn't grow with iterations (the classic iterative-algorithm trap on
-Spark).
+Lineage is cut after every round (the classic iterative-algorithm trap
+on Spark: without it the plan grows per iteration). Two cut modes:
+
+- default ``localCheckpoint()``: blocks stored UNREPLICATED on executor
+  local storage — fast, but losing one executor mid-job aborts a
+  multi-hour run. Fine for short local jobs and tests.
+- ``checkpoint_dir=...``: reliable ``df.checkpoint()`` to durable
+  storage (HDFS/S3/DBFS path) — each round's state survives executor
+  loss, which is the mode a 100-TB, thousand-executor dedup job must
+  run in. Costs one write+read of the (id, component) table per round;
+  that table is two longs per vertex, so the I/O is small next to the
+  per-round join shuffle.
 """
 
 from __future__ import annotations
@@ -21,27 +30,45 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _lineage_cutter(edges: DataFrame, checkpoint_dir: str | None):
+    """Return a df→df function that materializes + cuts lineage, using
+    reliable checkpoints when a durable dir is given."""
+    if checkpoint_dir is None:
+        return lambda df: df.localCheckpoint()
+    sc = edges.sparkSession.sparkContext
+    sc.setCheckpointDir(checkpoint_dir)
+    # eager=True materializes immediately, same as localCheckpoint
+    return lambda df: df.checkpoint(eager=True)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id, component) for every vertex in ``edges``; component = the
     smallest vertex id reachable from it. Raises if not converged
-    within ``max_iter`` rounds (diameter guard, not a silent cap)."""
+    within ``max_iter`` rounds (diameter guard, not a silent cap).
+
+    ``checkpoint_dir``: when set, per-round state is checkpointed to
+    that durable path (``SparkContext.setCheckpointDir`` + eager
+    ``df.checkpoint()``) so executor loss costs one round, not the
+    job. When None (default), fast unreplicated ``localCheckpoint``.
+    """
+    cut = _lineage_cutter(edges, checkpoint_dir)
     # materialize the edge list ONCE before symmetrizing: the union
     # references `edges` twice, and without this checkpoint the whole
     # upstream pipeline (e.g. a near-dup candidate join) would be
     # recomputed per branch
-    pairs = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
+    pairs = cut(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
     both = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    both = both.distinct().localCheckpoint()
-    labels = (
+    both = cut(both.distinct())
+    labels = cut(
         both.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -49,7 +76,7 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("component").alias("nbr_min"))
         )
-        updated = (
+        updated = cut(
             labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
             .select(
                 "id",
@@ -60,7 +87,7 @@ def connected_components(
                 .cast("int")
                 .alias("changed"),
             )
-        ).localCheckpoint()
+        )
         n_changed = updated.agg(F.sum("changed")).first()[0] or 0
         labels = updated.drop("changed")
         if n_changed == 0:

@@ -94,6 +94,53 @@ def clamp_partitions(lower: int, upper: int, requested: int = MAX_SCAN_PARTITION
     return max(1, min(requested, span))
 
 
+def partition_bounds_plan(
+    lower, upper, requested: int = MAX_SCAN_PARTITIONS
+) -> tuple[int, str, str] | None:
+    """Resolve probed bounds of any supported partition-column type to
+    ``(num_partitions, lower_str, upper_str)`` for Spark's JDBC reader.
+
+    Three shapes, mirroring what a MIN/MAX probe can return:
+
+    - numeric (int/float/Decimal or numeric string): X1 uniform ranges,
+      clamp on the integer key span;
+    - date / timestamp (Python objects from the probe row, or ISO
+      strings): X2 date striping (extract_data.py:1164-1196) — Spark's
+      reader accepts date/timestamp ``lowerBound/upperBound`` natively
+      and stripes the range itself, so the only job here is clamping
+      the partition count on the DAY span (a 10-day window should not
+      fan out into 30 near-empty stripes);
+    - anything else → None (caller falls back to a single partition —
+      an unpartitionable key must not silently get unclamped bounds).
+    """
+    import datetime as _dt
+
+    if lower is None or upper is None:
+        return None
+    try:
+        return clamp_partitions(int(float(lower)), int(float(upper)), requested), str(lower), str(upper)
+    except (TypeError, ValueError):
+        pass
+    lo, hi = lower, upper
+    if isinstance(lo, str) and isinstance(hi, str):
+        for parse in (_dt.date.fromisoformat, _dt.datetime.fromisoformat):
+            try:
+                lo, hi = parse(lower.strip()), parse(upper.strip())
+                break
+            except ValueError:
+                continue
+    if isinstance(lo, _dt.date) and isinstance(hi, _dt.date):
+        # datetime is a date subclass; day-span clamp covers both
+        day_span = (
+            (hi.date() if isinstance(hi, _dt.datetime) else hi)
+            - (lo.date() if isinstance(lo, _dt.datetime) else lo)
+        ).days
+        n = max(1, min(requested, day_span))
+        # str() of date/datetime is the ISO form Spark's bound parser accepts
+        return n, str(lo), str(hi)
+    return None
+
+
 def source_relation(table: TableConfig) -> str:
     """FROM clause: schema-qualified source + optional free-form join
     (J1, appended verbatim as the reference does)."""
@@ -121,13 +168,19 @@ def probe_min_max(
     spark: SparkSession,
     endpoint: EndpointConfig,
     table: TableConfig,
+    zero_guard: bool = True,
 ) -> tuple[str | None, str | None]:
     """A1: ``SELECT MIN(c), MAX(c) FROM t [join] WHERE c <> 0 [AND f]``
-    — seeds range partitioning (extract_data.py:969-995)."""
+    — seeds range partitioning (extract_data.py:969-995).
+
+    ``zero_guard`` excludes the reference's integer sentinel value 0
+    from the bounds; it only typechecks against numeric keys, so pass
+    False when the partition column is DATE/TIMESTAMP (X2 striping,
+    extract_data.py:1164-1196)."""
     col = table.partition_column
-    where = f"WHERE {col} <> 0"
+    where = f"WHERE {col} <> 0" if zero_guard else ""
     if table.filter_exp.strip():
-        where += f" AND {table.filter_exp.strip()}"
+        where += (" AND " if where else "WHERE ") + table.filter_exp.strip()
     q = f"SELECT MIN({col}) min_val, MAX({col}) max_val FROM {source_relation(table)} {where}"
 
     def _probe():
@@ -157,19 +210,19 @@ def probe_min_max(
 def scan_spec_for(
     endpoint: EndpointConfig,
     table: TableConfig,
-    bounds: tuple[str, str] | None = None,
+    bounds: tuple | None = None,
 ) -> JdbcScanSpec:
     """Build the reader spec for a table under its configured
-    PARTITION_MODE; ``bounds`` comes from probe_min_max for MIN_MAX/AUTO."""
+    PARTITION_MODE; ``bounds`` comes from probe_min_max for MIN_MAX/AUTO
+    and may be numeric, date, or timestamp values (or their string
+    forms) — resolved by ``partition_bounds_plan``."""
     partition_column = table.partition_column or None
     num_partitions = None
     lower = upper = None
     if partition_column and bounds and table.partition_mode in ("AUTO", "MIN_MAX"):
-        lower, upper = bounds
-        try:
-            num_partitions = clamp_partitions(int(float(lower)), int(float(upper)))
-        except (TypeError, ValueError):
-            num_partitions = MAX_SCAN_PARTITIONS
+        plan = partition_bounds_plan(*bounds)
+        if plan is not None:
+            num_partitions, lower, upper = plan
     return JdbcScanSpec(
         url=endpoint.jdbc_url,
         driver=_DRIVERS[endpoint.db_type],

@@ -44,6 +44,8 @@ def seeded(spark, endpoint):
         "cast(id * 1.5 as decimal(12,2)) AS AMOUNT",
         # P4-style magic ordinal column (days since 1900 + offset)
         "cast(45000 + id % 400 as int) AS FECHA",
+        # true DATE column for X2 date-stripe partitioning
+        "date_add(date'2024-01-01', cast(id % 90 as int)) AS FECHA_D",
     )
     orders.write.jdbc(endpoint.jdbc_url, "APP.ORDERS", mode="overwrite", properties=props)
     segments = spark.createDataFrame(
@@ -138,6 +140,49 @@ def test_window_filter_pushed_to_jdbc_scan(spark, endpoint, seeded):
     assert "FECHA" in pushed and ("GreaterThanOrEqual" in pushed or "LessThanOrEqual" in pushed)
     expected = seeded.filter("FECHA between 45100 and 45200").count()
     assert windowed.count() == expected
+
+
+def test_date_column_partitioned_scan(spark, endpoint, seeded):
+    """X2 live: range partitioning on a true DATE column — the probe
+    (no numeric zero-guard) returns date bounds, the plan clamps the
+    partition count on the day span, and Spark's reader stripes the
+    date range with no dropped or duplicated rows."""
+    import datetime
+
+    table = TableConfig(
+        source_table="ORDERS",
+        source_schema="APP",
+        stage_table_name="stage_orders",
+        partition_mode="MIN_MAX",
+        partition_column="FECHA_D",
+    )
+    bounds = src.probe_min_max(spark, endpoint, table, zero_guard=False)
+    assert bounds == (datetime.date(2024, 1, 1), datetime.date(2024, 3, 30))
+    spec = src.scan_spec_for(endpoint, table, bounds=bounds)
+    # 89-day span, clamped to the 30-partition ceiling
+    assert spec.num_partitions == src.MAX_SCAN_PARTITIONS
+    assert spec.lower_bound == "2024-01-01" and spec.upper_bound == "2024-03-30"
+    df = src.read_jdbc(spark, spec)
+    assert df.rdd.getNumPartitions() > 1
+    assert df.count() == N_ROWS
+    assert df.select(F.countDistinct("ID")).first()[0] == N_ROWS
+
+
+def test_date_span_narrower_than_ceiling_clamps(spark, endpoint, seeded):
+    """A 10-day window must not fan out into 30 near-empty stripes."""
+    import datetime
+
+    plan = src.partition_bounds_plan(
+        datetime.date(2024, 1, 1), datetime.date(2024, 1, 11)
+    )
+    assert plan == (10, "2024-01-01", "2024-01-11")
+    # timestamp bounds: ISO strings in, day-span clamp, strings out
+    plan = src.partition_bounds_plan(
+        "2024-01-01 00:30:00", "2024-01-05 12:00:00"
+    )
+    assert plan is not None and plan[0] == 4
+    # unparseable bounds → no partitioning rather than unclamped bounds
+    assert src.partition_bounds_plan("abc", "xyz") is None
 
 
 def test_chunked_fetch_roundtrip(spark, endpoint, seeded):

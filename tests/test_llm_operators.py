@@ -303,6 +303,31 @@ def test_connected_components_known_graph(spark):
     assert {cc[20], cc[21]} == {20}
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """Long chain (diameter 12 > 5) through the durable-checkpoint
+    path: setCheckpointDir + eager df.checkpoint() per round, the mode
+    a multi-hour 100-TB components job must run in (localCheckpoint
+    state dies with a lost executor)."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.graph import (
+        connected_components,
+    )
+
+    # 0-1-2-...-12 chain, plus a disjoint pair
+    chain = [(i, i + 1) for i in range(12)]
+    edges = spark.createDataFrame(
+        chain + [(100, 101)], "id_a long, id_b long"
+    )
+    ckpt = str(tmp_path / "cc_ckpt")
+    cc = {r["id"]: r["component"]
+          for r in connected_components(
+              edges, checkpoint_dir=ckpt).collect()}
+    assert {cc[i] for i in range(13)} == {0}
+    assert {cc[100], cc[101]} == {100}
+    # the reliable checkpoint actually wrote to the durable dir
+    import os
+    assert any(os.scandir(ckpt)), "no checkpoint data written"
+
+
 def test_hash_sample_deterministic_and_partition_invariant(spark):
     from cdk_datalake_ingest_bigmagic_spark.operators.sampling import (
         hash_sample,
