@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -235,6 +236,43 @@ def srp_buckets(
     return proj.groupBy(id_col).agg(F.sum(bit).alias("bucket"))
 
 
+def _ivf_centroids(
+    df: DataFrame, id_col: str, vec_col: str, n_lists: int, method: str
+):
+    """Coarse-quantizer centroids as an (n_lists × dims) float64 matrix.
+
+    - ``"first-ids"`` (default): the vectors of the ``n_lists`` smallest
+      ids. Deterministic with zero training cost — ideal for
+      cross-engine reproducibility (the SQL oracle derives the same
+      centroids) — but quantization quality depends on id-order luck.
+    - ``"kmeans"``: spherical k-means via ``pyspark.ml.clustering.KMeans``
+      over unit-normalized vectors (unit-normalizing first makes
+      Euclidean k-means optimize the cosine objective). Better-balanced
+      lists → better recall at the same n_probe; seeded, but exact
+      centers can vary with partitioning, so it is not the default for
+      oracle-gated queries.
+    """
+    import numpy as np
+
+    if method == "first-ids":
+        cent_rows = (
+            df.select(id_col, vec_col).orderBy(id_col).limit(n_lists).collect()
+        )
+        return np.vstack([np.asarray(r[1], dtype="float64") for r in cent_rows])
+    if method == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        arr = to_double_array(F.col(vec_col))
+        unit = F.transform(arr, lambda x: x / F.greatest(norm(arr), F.lit(1e-12)))
+        feats = df.select(array_to_vector(unit).alias("features"))
+        model = KMeans(
+            k=n_lists, seed=7, maxIter=20, featuresCol="features"
+        ).fit(feats)
+        return np.vstack(model.clusterCenters()).astype("float64")
+    raise ValueError(f"centroids must be 'first-ids' or 'kmeans', got {method!r}")
+
+
 def ann_ivf_pairs(
     df: DataFrame,
     id_col: str,
@@ -242,25 +280,24 @@ def ann_ivf_pairs(
     n_lists: int = 16,
     n_probe: int = 2,
     threshold: float = 0.45,
+    centroids: str = "first-ids",
 ) -> DataFrame:
     """IVF-style approximate pair search: coarse-quantize vectors into
     ``n_lists`` inverted lists, probe each vector against its
     ``n_probe`` nearest lists, verify candidates with exact cosine.
 
-    The coarse centroids are the vectors of the ``n_lists`` smallest
-    ids — deterministic, no trained model to ship; swap in k-means
-    centroids without touching the plan shape. Index side assigns each
-    vector to 1 list; query side probes ``n_probe`` lists, so recall
-    grows with n_probe while candidate count stays Σ|list|·n_probe —
-    the IVF trade that keeps pair search sub-quadratic at corpus scale.
+    ``centroids`` picks the coarse quantizer (see :func:`_ivf_centroids`):
+    deterministic "first-ids" by default, trained "kmeans" for better
+    recall at corpus scale. The plan shape is identical either way.
+    Index side assigns each vector to 1 list; query side probes
+    ``n_probe`` lists, so recall grows with n_probe while candidate
+    count stays Σ|list|·n_probe — the IVF trade that keeps pair search
+    sub-quadratic at corpus scale.
     """
     import numpy as np
 
-    # centroid table is tiny (n_lists × dims) — driver-collect + broadcast
-    cent_rows = (
-        df.select(id_col, vec_col).orderBy(id_col).limit(n_lists).collect()
-    )
-    C = np.vstack([np.asarray(r[1], dtype="float64") for r in cent_rows])
+    # centroid table is tiny (n_lists × dims) — driver-side + broadcast
+    C = _ivf_centroids(df, id_col, vec_col, n_lists, centroids)
     C = C / np.maximum(np.sqrt((C * C).sum(axis=1))[:, None], 1e-12)
     bc = df.sparkSession.sparkContext.broadcast(C)
 
@@ -314,9 +351,7 @@ def ann_ivf_pairs(
     vecs = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     grouped = members.unionByName(probers).join(vecs, "__id")
 
-    def verify(pdf) -> "pd.DataFrame":
-        import pandas as pd
-
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
         V = np.vstack(pdf["__v"].to_numpy()).astype("float64")
         Vn = V / np.maximum(np.sqrt((V * V).sum(axis=1))[:, None], 1e-12)
         ids = pdf["__id"].to_numpy()

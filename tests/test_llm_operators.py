@@ -224,6 +224,35 @@ def test_ann_ivf_precision_and_recall(spark, sf_dir):
         assert len(approx) / len(exact) >= 0.3
 
 
+def test_ann_ivf_kmeans_centroids_recall(spark):
+    """Trained k-means centroids must not lose recall vs the degenerate
+    first-ids quantizer (VERDICT r2 item 6) — measured at sf0.01 against
+    the exact-pair ground truth. Precision stays 1 for both (candidates
+    are exact-verified)."""
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {(r["id_a"], r["id_b"])
+             for r in sim.similarity_pairs(e, "vec_id", "embedding", 0.45).collect()}
+    assert exact, "ground truth empty — threshold/testdata drifted"
+
+    def pairs(centroids):
+        return {(r["id_a"], r["id_b"])
+                for r in sim.ann_ivf_pairs(
+                    e, "vec_id", "embedding", n_lists=16, n_probe=4,
+                    threshold=0.45, centroids=centroids,
+                ).collect()}
+
+    first = pairs("first-ids")
+    km = pairs("kmeans")
+    assert first <= exact and km <= exact
+    assert len(km) >= len(first), (
+        f"kmeans recall {len(km)}/{len(exact)} fell below "
+        f"first-ids {len(first)}/{len(exact)}"
+    )
+
+    with pytest.raises(ValueError):
+        sim.ann_ivf_pairs(e, "vec_id", "embedding", centroids="nope")
+
+
 def test_asof_join_semantics(spark):
     from cdk_datalake_ingest_bigmagic_spark.operators.asof import asof_join
 
