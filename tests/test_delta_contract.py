@@ -1,0 +1,133 @@
+"""Backend-agnostic contract tests for the stage-table MERGE semantics.
+
+The reference stages into Delta Lake and MERGEs on the ``is_id``
+columns (``light_transform.py:1363-1409``); delta-spark cannot be
+installed in this sandbox (blocker recorded in SCALE.md), so the
+contract is written once against the abstract behavior and run against
+every importable backend:
+
+- ParquetStageTable: always runs (the emulation must honor the contract
+  bit-for-bit so a later switch to Delta changes nothing observable);
+- DeltaStageTable: auto-skips with a clear reason until the ``delta``
+  package exists, at which point the same tests run unchanged.
+
+Contract (Delta MERGE, whenMatchedUpdateAll + whenNotMatchedInsertAll):
+  C1 merge into a missing table materializes the source as-is;
+  C2 matched target rows are replaced column-for-column by name,
+     unmatched target rows survive untouched, unmatched source rows
+     are inserted;
+  C3 a target row matched by MORE THAN ONE source row is an ERROR
+     (nondeterministic update), while duplicate source keys that match
+     no target row are plain inserts and legal;
+  C4 merge is idempotent: re-merging the same source leaves the table
+     identical;
+  C5 partitioned tables keep their layout across merges (pruning still
+     works afterwards).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.storage import stage as st
+
+BACKENDS = [
+    pytest.param(st.ParquetStageTable, id="parquet"),
+    pytest.param(
+        st.DeltaStageTable,
+        id="delta",
+        marks=pytest.mark.skipif(
+            not st.HAVE_DELTA,
+            reason="delta-spark not installed in this environment "
+            "(recorded blocker, SCALE.md); contract runs on the parquet "
+            "emulation only",
+        ),
+    ),
+]
+
+
+def _rows(table):
+    return {tuple(r) for r in table.read().select("k", "grp", "val").collect()}
+
+
+def _make(spark, backend, tmp_path, name):
+    return backend(spark, str(tmp_path / name))
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, grp int, val string")
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_merge_into_missing_table_materializes_source(spark, tmp_path, backend):
+    t = _make(spark, backend, tmp_path, "c1")
+    t.merge(_df(spark, [(1, 0, "a"), (2, 1, "b")]), id_cols=["k"])
+    assert _rows(t) == {(1, 0, "a"), (2, 1, "b")}
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_merge_update_all_insert_all(spark, tmp_path, backend):
+    t = _make(spark, backend, tmp_path, "c2")
+    t.overwrite(_df(spark, [(1, 0, "a"), (2, 0, "b"), (3, 1, "c")]))
+    t.merge(_df(spark, [(2, 9, "B"), (4, 1, "d")]), id_cols=["k"])
+    assert _rows(t) == {
+        (1, 0, "a"),      # unmatched target survives
+        (2, 9, "B"),      # matched: every column updated from source
+        (3, 1, "c"),
+        (4, 1, "d"),      # unmatched source inserted
+    }
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_merge_multi_match_errors(spark, tmp_path, backend):
+    t = _make(spark, backend, tmp_path, "c3")
+    t.overwrite(_df(spark, [(1, 0, "a")]))
+    with pytest.raises(Exception, match="[Mm]ultiple source rows"):
+        t.merge(_df(spark, [(1, 1, "x"), (1, 2, "y")]), id_cols=["k"])
+    # the failed merge must not have clobbered the table
+    assert _rows(t) == {(1, 0, "a")}
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_merge_duplicate_source_keys_matching_nothing_insert(
+    spark, tmp_path, backend
+):
+    t = _make(spark, backend, tmp_path, "c3b")
+    t.overwrite(_df(spark, [(1, 0, "a")]))
+    t.merge(_df(spark, [(7, 1, "x"), (7, 2, "y")]), id_cols=["k"])
+    got = _rows(t)
+    assert (1, 0, "a") in got and len(got) == 3
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_merge_idempotent(spark, tmp_path, backend):
+    t = _make(spark, backend, tmp_path, "c4")
+    t.overwrite(_df(spark, [(1, 0, "a"), (2, 0, "b")]))
+    src = _df(spark, [(2, 9, "B"), (5, 2, "e")])
+    t.merge(src, id_cols=["k"])
+    first = _rows(t)
+    t.merge(src, id_cols=["k"])
+    assert _rows(t) == first
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_merge_preserves_partition_layout(spark, tmp_path, backend):
+    t = _make(spark, backend, tmp_path, "c5")
+    t.overwrite(
+        _df(spark, [(1, 0, "a"), (2, 1, "b")]), partition_cols=["grp"]
+    )
+    t.merge(
+        _df(spark, [(3, 1, "c")]), id_cols=["k"], partition_cols=["grp"]
+    )
+    assert {tuple(r) for r in t.read().select("k", "val").collect()} == {
+        (1, "a"), (2, "b"), (3, "c"),
+    }
+    if backend is st.ParquetStageTable:
+        # directory layout survived the copy-on-write rewrite
+        root = tmp_path / "c5"
+        assert any(root.glob("grp=*")), "partition directories lost"
+        # and pruning still works: one partition's scan reads one dir
+        pruned = t.read().filter(F.col("grp") == 1)
+        files = pruned.select(F.input_file_name()).distinct().collect()
+        assert all("grp=1" in r[0] for r in files)
