@@ -6,10 +6,13 @@ bottleneck.
 Each replica's words are suffixed with the replica index, so replicas
 are textually disjoint: the near-dup structure scales linearly with N
 instead of quadratically (a dup-free scale-up, which is the growth
-shape a real crawl has after exact dedup).
+shape a real crawl has after exact dedup). Embedding replicas get a
+deterministic per-replica ±1 sign flip per dimension, which decorrelates
+copies of the same vector across replicas for the same reason.
 
 Usage: python tools/scale_probe.py [N_replicas] [out_parquet]
-Prints one JSON line per probed operator.
+Prints one JSON line per probed operator; run at two N values and
+compare `sec` ratios to the data ratio to judge linearity.
 """
 
 from __future__ import annotations
@@ -22,6 +25,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC = "/root/testdata/sf0.1/documents.parquet"
+EMB_SRC = "/root/testdata/sf0.1/embeddings.parquet"
 
 
 def build_replica(n: int, out: str) -> int:
@@ -41,27 +45,65 @@ def build_replica(n: int, out: str) -> int:
     return duckdb.sql(f"SELECT count(*) FROM '{out}'").fetchone()[0]
 
 
+def build_embedding_replica(n: int, out: str) -> int:
+    """N× embeddings with a per-(replica, dim) deterministic ±1 sign
+    flip: same vector norms and distribution, but copies of a vector in
+    different replicas are decorrelated, so the near-neighbor structure
+    grows linearly with N instead of quadratically."""
+    import duckdb
+
+    stride = duckdb.sql(f"SELECT max(vec_id) + 1 FROM '{EMB_SRC}'").fetchone()[0]
+    duckdb.sql(
+        f"""
+        COPY (
+          SELECT (vec_id + {stride} * r.r) AS vec_id,
+                 list_transform(
+                   embedding,
+                   (x, i) -> x * CASE WHEN hash(r.r * 1000 + i) % 2 = 0
+                                      THEN 1.0 ELSE -1.0 END
+                 )::FLOAT[] AS embedding,
+                 label
+          FROM '{EMB_SRC}', (SELECT unnest(range({n})) AS r) r
+        ) TO '{out}' (FORMAT PARQUET, ROW_GROUP_SIZE 100000)
+        """
+    )
+    return duckdb.sql(f"SELECT count(*) FROM '{out}'").fetchone()[0]
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     out = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/documents_x{n}.parquet"
+    emb_out = f"/tmp/embeddings_x{n}.parquet"
     if not os.path.exists(out):
         build_replica(n, out)
+    if not os.path.exists(emb_out):
+        build_embedding_replica(n, emb_out)
 
     from cdk_datalake_ingest_bigmagic_spark import get_spark
     from cdk_datalake_ingest_bigmagic_spark.operators import dedup as dd
+    from cdk_datalake_ingest_bigmagic_spark.operators import similarity as sim
 
     spark = get_spark(app_name="scale-probe")
     docs = spark.read.parquet(out)
     n_docs = docs.count()
+    emb = spark.read.parquet(emb_out)
+    n_vecs = emb.count()
+    # inverted lists must scale with the corpus (fixed lists → growing
+    # per-list verify blocks); sqrt(N) is the standard IVF sizing
+    n_lists = max(16, int(n_vecs ** 0.5) // 4)
 
     probes = {
-        "minhash_lsh": lambda: dd.minhash_lsh_pairs(
+        "minhash_lsh": (n_docs, lambda: dd.minhash_lsh_pairs(
             docs, "doc_id", "text", 3, 8, 4, 0.8
-        ),
-        "simhash": lambda: dd.simhash_pairs(docs, "doc_id", "text", 3),
-        "exact_dup": lambda: dd.exact_duplicates(docs, "doc_id", "text"),
+        )),
+        "simhash": (n_docs, lambda: dd.simhash_pairs(docs, "doc_id", "text", 3)),
+        "exact_dup": (n_docs, lambda: dd.exact_duplicates(docs, "doc_id", "text")),
+        "ann_ivf": (n_vecs, lambda: sim.ann_ivf_pairs(
+            emb, "vec_id", "embedding",
+            n_lists=n_lists, n_probe=4, threshold=0.45,
+        )),
     }
-    for name, fn in probes.items():
+    for name, (n_items, fn) in probes.items():
         spark.catalog.clearCache()
         t0 = time.time()
         rows = fn().count()
@@ -69,10 +111,10 @@ def main() -> None:
             json.dumps(
                 {
                     "probe": name,
-                    "n_docs": n_docs,
+                    "n_items": n_items,
                     "rows": rows,
                     "sec": round(time.time() - t0, 1),
-                    "docs_per_sec": int(n_docs / (time.time() - t0)),
+                    "items_per_sec": int(n_items / (time.time() - t0)),
                 }
             )
         )
