@@ -357,6 +357,48 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     assert any(os.scandir(ckpt)), "no checkpoint data written"
 
 
+def test_connected_components_twophase_matches_label_prop(spark):
+    """Two-phase star contraction must produce the identical
+    (id, component) map as min-label propagation on an arbitrary graph
+    (multiple comps, cycles, self-loop, isolated-ish pair)."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.graph import (
+        connected_components,
+        connected_components_twophase,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4),          # cycle + tail
+         (10, 11), (11, 12), (10, 12), (12, 13),  # triangle + tail
+         (20, 21), (30, 30),                      # pair, self-loop
+         (40, 41), (41, 42), (42, 40), (42, 43), (43, 44)],
+        "id_a long, id_b long",
+    )
+    ref = {(r["id"], r["component"])
+           for r in connected_components(edges).collect()}
+    got = {(r["id"], r["component"])
+           for r in connected_components_twophase(edges).collect()}
+    assert got == ref
+
+
+def test_connected_components_twophase_long_chain_few_rounds(spark):
+    """A 400-node chain has diameter 400 — label propagation would need
+    400 rounds, two-phase must finish inside its default 25-round cap
+    (O(log n) star contraction). This is the pathological shape the
+    round-2 verdict flagged for multi-hour 100-TB jobs."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.graph import (
+        connected_components_twophase,
+    )
+
+    n = 400
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    cc = {r["id"]: r["component"]
+          for r in connected_components_twophase(edges).collect()}
+    assert len(cc) == n + 1
+    assert set(cc.values()) == {0}
+
+
 def test_hash_sample_deterministic_and_partition_invariant(spark):
     from cdk_datalake_ingest_bigmagic_spark.operators.sampling import (
         hash_sample,
