@@ -150,3 +150,150 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.round(punct_ratio(t), 6).alias("punct_ratio"),
         F.round(stopword_ratio(t, "en"), 6).alias("stopword_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition / quality gating (Gopher-style rules)
+# ---------------------------------------------------------------------------
+
+#: Repetition-rule thresholds (duplicate-word fraction, duplicate-bigram
+#: fraction, top-bigram fraction) in the spirit of the published Gopher
+#: data-quality rules. Tuned loose: the gate should drop pathological
+#: boilerplate, not normal prose.
+DUP_WORD_MAX = 0.80
+DUP_BIGRAM_MAX = 0.60
+TOP_BIGRAM_MAX = 0.20
+#: The top-bigram statistic is 1/n_bigrams for any repetition-free
+#: document, so below this many bigrams it is pure noise and the rule
+#: is not applied.
+TOP_BIGRAM_MIN_N = 20
+
+
+def repetition_features(
+    df: DataFrame, id_col: str, text_col: str, max_words: int = 2000
+) -> DataFrame:
+    """Repetition quality signals per document, all in-row (zero
+    shuffles): duplicate-word fraction (1 - distinct/total), duplicate-
+    bigram fraction, and top-bigram fraction (count of the most common
+    bigram / total bigrams), plus a keep/drop flag under the module
+    thresholds.
+
+    The top-bigram mode is computed in-row over the distinct-bigram
+    array (O(distinct × total) per document) instead of an
+    explode + groupBy — trading bounded partition-local CPU for zero
+    data movement, the right trade when the network is the 100-TB
+    bottleneck. ``max_words`` caps the per-document work so a single
+    pathological document can't stall its task.
+    """
+    words = F.slice(
+        F.filter(F.split(normalize_text(F.col(text_col)), " "), lambda x: x != ""),
+        1,
+        max_words,
+    )
+    out = df.select(F.col(id_col), words.alias("__w"))
+    w = F.col("__w")
+    bigrams = F.when(F.size(w) >= 2, F.expr(
+        "transform(sequence(1, size(__w) - 1), "
+        "i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1)))"
+    )).otherwise(F.array().cast("array<string>"))
+    out = out.withColumn("__bg", bigrams)
+    bg = F.col("__bg")
+    n_w = F.size(w)
+    n_bg = F.size(bg)
+    dup_word = F.when(n_w == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(w)).cast("double") / n_w.cast("double")
+    )
+    dup_bg = F.when(n_bg == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(bg)).cast("double") / n_bg.cast("double")
+    )
+    top_bg_count = F.when(n_bg == 0, F.lit(0)).otherwise(
+        F.array_max(
+            F.transform(
+                F.array_distinct(bg),
+                lambda x: F.size(F.filter(bg, lambda y: y == x)),
+            )
+        )
+    )
+    top_bg = F.when(n_bg == 0, F.lit(0.0)).otherwise(
+        top_bg_count.cast("double") / n_bg.cast("double")
+    )
+    return out.select(
+        F.col(id_col),
+        n_w.cast("long").alias("n_words"),
+        F.round(dup_word, 6).alias("dup_word_ratio"),
+        F.round(dup_bg, 6).alias("dup_bigram_ratio"),
+        F.round(top_bg, 6).alias("top_bigram_ratio"),
+        (
+            (F.round(dup_word, 6) <= DUP_WORD_MAX)
+            & (F.round(dup_bg, 6) <= DUP_BIGRAM_MAX)
+            & ((n_bg < TOP_BIGRAM_MIN_N) | (F.round(top_bg, 6) <= TOP_BIGRAM_MAX))
+        ).alias("passes_repetition_filter"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / scrubbing
+# ---------------------------------------------------------------------------
+
+#: Conservative ASCII patterns shared by Java regex and RE2 — no
+#: shorthand classes, no backreferences, so Spark and any oracle engine
+#: agree on every match boundary.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+PHONE_PATTERN = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+IPV4_PATTERN = r"[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace emails, then phone numbers, then IPv4 literals with
+    typed placeholder tags (order matters: an email's host part must
+    not be half-eaten by the IP rule first)."""
+    t = F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>")
+    t = F.regexp_replace(t, PHONE_PATTERN, "<PHONE>")
+    return F.regexp_replace(t, IPV4_PATTERN, "<IP>")
+
+
+def pii_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document PII counts + the scrubbed text — one projection,
+    all JVM-side regex (codegen), no Python in the path."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(EMAIL_PATTERN)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_PATTERN)).cast("long").alias("n_phones"),
+        F.regexp_count(t, F.lit(IPV4_PATTERN)).cast("long").alias("n_ips"),
+        scrub_pii(t).alias("scrubbed_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark-contamination check
+# ---------------------------------------------------------------------------
+
+
+def contamination_overlap(
+    corpus_shingles: DataFrame,
+    benchmark_shingles: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """(id, n_overlap): how many of each corpus document's DISTINCT
+    shingles appear anywhere in the benchmark set — the standard
+    n-gram decontamination check run before training.
+
+    Benchmark suites are tiny relative to a training corpus, so the
+    distinct benchmark shingle set is broadcast and the corpus side
+    never shuffles its shingles: explode (in-row arrays, linear) →
+    broadcast hash join → groupBy on the document id. Only contaminated
+    documents come back (inner join), which is the sparse result a
+    100-TB sweep wants to materialize.
+    """
+    bench = benchmark_shingles.select(
+        F.explode("shingles").alias("shingle")
+    ).distinct()
+    corpus = corpus_shingles.select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )

@@ -84,6 +84,10 @@ _GATE_FRONT: list[str] = [
     # never-green until now + changed this round
     "multimodal_frame_sample",
     "events_lag_lead_gaps",
+    # new queries this round (new ⇒ gated in their first round)
+    "text_repetition_filter",
+    "text_pii_scrub",
+    "contamination_ngram_overlap",
     # shared-operator changes this round (similarity.py, graph.py)
     "embedding_ann_ivf",
     "embedding_similarity_pairs",

@@ -746,3 +746,138 @@ def corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_hash_sample(
         d, "doc_id", "source", _MIX_RATES, default_rate=_MIX_DEFAULT, seed="mix"
     ).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# repetition gating / PII scrubbing / contamination (round 3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_repetition_filter",
+    oracle=r"""
+    WITH norm AS (
+      SELECT doc_id,
+             list_filter(
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+               x -> x <> ''
+             ) AS w
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, w,
+             CASE WHEN len(w) >= 2
+                  THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                  ELSE []::VARCHAR[] END AS bg
+      FROM norm
+    ),
+    r AS (
+      SELECT doc_id,
+             len(w)::BIGINT AS n_words,
+             round(CASE WHEN len(w) = 0 THEN 0.0
+                   ELSE 1.0 - len(list_distinct(w))::DOUBLE / len(w)::DOUBLE END, 6)
+               AS dup_word_ratio,
+             round(CASE WHEN len(bg) = 0 THEN 0.0
+                   ELSE 1.0 - len(list_distinct(bg))::DOUBLE / len(bg)::DOUBLE END, 6)
+               AS dup_bigram_ratio,
+             round(CASE WHEN len(bg) = 0 THEN 0.0
+                   ELSE list_max(list_transform(list_distinct(bg),
+                          x -> len(list_filter(bg, y -> y = x))))::DOUBLE
+                        / len(bg)::DOUBLE END, 6)
+               AS top_bigram_ratio
+      FROM b
+    )
+    SELECT r.doc_id, n_words, dup_word_ratio, dup_bigram_ratio, top_bigram_ratio,
+           (dup_word_ratio <= 0.80 AND dup_bigram_ratio <= 0.60
+            AND (len(b.bg) < 20 OR top_bigram_ratio <= 0.20))
+             AS passes_repetition_filter
+    FROM r JOIN b ON r.doc_id = b.doc_id
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gating: duplicate-word / duplicate-bigram
+    / top-bigram fractions plus the keep flag, all in-row Column ops
+    (the oracle skips the ``max_words`` cap — no testdata document
+    approaches it)."""
+    d = load(spark, sf_dir, "documents")
+    return tx.repetition_features(d, "doc_id", "text")
+
+
+@register(
+    "text_pii_scrub",
+    oracle=r"""
+    WITH synth AS (
+      SELECT doc_id,
+             source || '@example.com' || ' call ' ||
+             '555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' ||
+             lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0') ||
+             ' ip ' || '10.0.' || (doc_id % 256)::VARCHAR || '.7' ||
+             ' ' || text AS s
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(s,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}'))::BIGINT AS n_emails,
+           len(regexp_extract_all(s, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phones,
+           len(regexp_extract_all(s,
+             '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}'))::BIGINT AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(s,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+             '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>', 'g'))
+             AS scrubbed_md5
+    FROM synth
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + scrubbing. The corpus is synthetic and PII-free,
+    so the query plants one email, one phone number, and one IPv4 per
+    document (derived deterministically from testdata fields), then
+    proves detection counts and the scrubbed output byte-for-byte (md5)
+    against the oracle. Patterns are the RE2∩Java-safe subset."""
+    d = load(spark, sf_dir, "documents")
+    synth = F.concat_ws(
+        " ",
+        F.concat(F.col("source"), F.lit("@example.com")),
+        F.lit("call"),
+        F.concat(
+            F.lit("555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+        ),
+        F.lit("ip"),
+        F.concat(F.lit("10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7")),
+        F.col("text"),
+    )
+    feats = tx.pii_features(
+        d.select("doc_id", synth.alias("pii_text")), "doc_id", "pii_text"
+    )
+    return feats.select(
+        "doc_id", "n_emails", "n_phones", "n_ips",
+        F.md5("scrubbed_text").alias("scrubbed_md5"),
+    )
+
+
+@register(
+    "contamination_ngram_overlap",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0)
+    SELECT s.doc_id, COUNT(*)::BIGINT AS n_overlap
+    FROM sh s JOIN bench b ON s.shingle = b.shingle
+    WHERE s.doc_id % 50 <> 0
+    GROUP BY 1
+    """,
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with ``doc_id % 50 == 0`` stand
+    in for a held-out eval suite; every other document reports how many
+    of its distinct 3-gram shingles appear anywhere in that suite
+    (inner join — only contaminated docs come back). The benchmark
+    shingle set is broadcast; the corpus side never shuffles shingles."""
+    d = load(spark, sf_dir, "documents")
+    sh = dd.shingle_string_arrays(d, "doc_id", "text", n=3)
+    bench = sh.filter(F.col("doc_id") % 50 == 0)
+    corpus = sh.filter(F.col("doc_id") % 50 != 0)
+    return tx.contamination_overlap(corpus, bench, "doc_id")

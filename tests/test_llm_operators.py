@@ -479,3 +479,79 @@ def test_user_similarity_plan_is_bucketed(spark, sf_dir):
     plan = _plan_of(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_repetition_features_known_values(spark):
+    from cdk_datalake_ingest_bigmagic_spark.operators.text import (
+        repetition_features,
+    )
+
+    boiler = " ".join(["spam ham"] * 20)       # 40 words, top bigram dominates
+    clean = " ".join(f"w{i}" for i in range(40))  # 40 distinct words
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"),          # bigrams: ab ba ab ba ab -> top 'a b'=3/5
+         (2, "x y z w"),              # short, repetition-free
+         (3, ""),                     # empty
+         (4, "q"),                    # single word, no bigrams
+         (5, boiler),
+         (6, clean)],
+        "doc_id long, text string",
+    )
+    r = {row["doc_id"]: row for row in
+         repetition_features(docs, "doc_id", "text").collect()}
+    assert r[1]["n_words"] == 6
+    assert r[1]["dup_word_ratio"] == round(1 - 2 / 6, 6)
+    assert r[1]["dup_bigram_ratio"] == round(1 - 2 / 5, 6)
+    assert r[1]["top_bigram_ratio"] == 0.6
+    # short doc: dup ratios sit exactly at the thresholds and the
+    # top-bigram rule is waived under TOP_BIGRAM_MIN_N bigrams → kept
+    # (the repetition rules are long-form-document rules)
+    assert r[1]["passes_repetition_filter"] is True
+    assert r[2]["dup_word_ratio"] == 0.0
+    assert r[2]["passes_repetition_filter"] is True    # short + clean
+    assert r[3]["n_words"] == 0 and r[3]["top_bigram_ratio"] == 0.0
+    assert r[4]["n_words"] == 1 and r[4]["dup_bigram_ratio"] == 0.0
+    # long boilerplate: top bigram 'spam ham' = 20/39 > 0.20 → dropped
+    assert r[5]["passes_repetition_filter"] is False
+    # long clean doc: all rules pass
+    assert r[6]["passes_repetition_filter"] is True
+
+
+def test_pii_scrub_known_values(spark):
+    from cdk_datalake_ingest_bigmagic_spark.operators.text import pii_features
+
+    docs = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.org now"),
+         (2, "call 555-123-4567 or 555-999-0000"),
+         (3, "host 192.168.001.5 up"),
+         (4, "clean text only")],
+        "doc_id long, text string",
+    )
+    r = {row["doc_id"]: row for row in
+         pii_features(docs, "doc_id", "text").collect()}
+    assert (r[1]["n_emails"], r[1]["scrubbed_text"]) == (1, "mail <EMAIL> now")
+    assert r[2]["n_phones"] == 2
+    assert r[2]["scrubbed_text"] == "call <PHONE> or <PHONE>"
+    assert (r[3]["n_ips"], r[3]["scrubbed_text"]) == (1, "host <IP> up")
+    assert (r[4]["n_emails"], r[4]["n_phones"], r[4]["n_ips"]) == (0, 0, 0)
+    assert r[4]["scrubbed_text"] == "clean text only"
+
+
+def test_contamination_overlap_known_values(spark):
+    from cdk_datalake_ingest_bigmagic_spark.operators import dedup as dd
+    from cdk_datalake_ingest_bigmagic_spark.operators.text import (
+        contamination_overlap,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"),       # benchmark doc
+         (2, "a quick brown fox runs today"),    # shares 'quick brown fox'
+         (3, "totally different words here now")],
+        "doc_id long, text string",
+    )
+    sh = dd.shingle_string_arrays(docs, "doc_id", "text", n=3)
+    bench = sh.filter(F.col("doc_id") == 1)
+    corpus = sh.filter(F.col("doc_id") != 1)
+    got = {r["doc_id"]: r["n_overlap"]
+           for r in contamination_overlap(corpus, bench, "doc_id").collect()}
+    assert got == {2: 1}  # only 'quick brown fox'; doc 3 absent (inner join)
