@@ -264,3 +264,39 @@ def read_jdbc(spark: SparkSession, spec: JdbcScanSpec) -> DataFrame:
     for k, v in spec.options().items():
         reader = reader.option(k, v)
     return dedupe_column_names(reader.load())
+
+
+def resolve_scan(
+    spark: SparkSession,
+    endpoint: EndpointConfig,
+    table: TableConfig,
+) -> JdbcScanSpec:
+    """Probe (when the strategy wants bounds) and build the final scan
+    spec, picking the right probe semantics for the key type:
+
+    the first probe runs WITHOUT the numeric zero-guard (typechecks
+    against every column type); if the bounds come back numeric, a
+    second guarded probe applies the reference's 0-sentinel exclusion
+    (X1, extract_data.py:969-995). Two tiny driver-side aggregates on
+    an indexed key — not worth a config flag for the column type.
+    """
+    bounds = None
+    if table.partition_column and table.partition_mode in ("AUTO", "MIN_MAX"):
+        bounds = probe_min_max(spark, endpoint, table, zero_guard=False)
+        try:
+            float(bounds[0])  # numeric key (int/float/Decimal/numeric str)?
+            bounds = probe_min_max(spark, endpoint, table, zero_guard=True)
+        except (TypeError, ValueError):
+            pass  # date/timestamp/None bounds: keep the unguarded probe
+    return scan_spec_for(endpoint, table, bounds=bounds)
+
+
+def jdbc_source_provider(endpoint: EndpointConfig):
+    """``source_provider`` for :class:`~...runner.ProcessRunner`: given
+    (spark, table) → partitioned JDBC DataFrame. The production wiring
+    of S1–S3/X1/X2 behind the runner's pluggable extraction hook."""
+
+    def provide(spark: SparkSession, table: TableConfig) -> DataFrame:
+        return read_jdbc(spark, resolve_scan(spark, endpoint, table))
+
+    return provide

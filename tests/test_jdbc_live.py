@@ -185,6 +185,32 @@ def test_date_span_narrower_than_ceiling_clamps(spark, endpoint, seeded):
     assert src.partition_bounds_plan("abc", "xyz") is None
 
 
+def test_resolve_scan_auto_key_type(spark, endpoint, seeded):
+    """resolve_scan picks the probe semantics from the key type it sees:
+    numeric key → guarded probe (0-sentinel excluded), DATE key →
+    unguarded probe with date-stripe bounds. Both end-to-end on Derby
+    through the runner-facing provider."""
+    base = dict(
+        source_table="ORDERS", source_schema="APP",
+        stage_table_name="stage_orders", partition_mode="MIN_MAX",
+    )
+    spec_num = src.resolve_scan(
+        spark, endpoint, TableConfig(**base, partition_column="ID")
+    )
+    assert spec_num.num_partitions == src.MAX_SCAN_PARTITIONS
+    assert spec_num.lower_bound == "1"
+
+    spec_date = src.resolve_scan(
+        spark, endpoint, TableConfig(**base, partition_column="FECHA_D")
+    )
+    assert spec_date.lower_bound == "2024-01-01"
+    assert spec_date.num_partitions == src.MAX_SCAN_PARTITIONS
+
+    provide = src.jdbc_source_provider(endpoint)
+    df = provide(spark, TableConfig(**base, partition_column="FECHA_D"))
+    assert df.count() == N_ROWS
+
+
 def test_chunked_fetch_roundtrip(spark, endpoint, seeded):
     """S3: fetchsize is a reader hint, not a chunk loop — verify a
     small fetchsize still returns every row exactly once."""
