@@ -35,6 +35,11 @@ HEADLINE = [
     "embedding_ann_ivf",
     "events_funnel_steps",
     "corpus_mix_weighted",
+    # round-3 additions (keep appended so cross-round per-query
+    # comparisons on the common prefix stay aligned)
+    "text_repetition_filter",
+    "text_pii_scrub",
+    "contamination_ngram_overlap",
 ]
 
 
