@@ -555,3 +555,70 @@ def test_contamination_overlap_known_values(spark):
     got = {r["doc_id"]: r["n_overlap"]
            for r in contamination_overlap(corpus, bench, "doc_id").collect()}
     assert got == {2: 1}  # only 'quick brown fox'; doc 3 absent (inner join)
+
+
+def test_repetition_features_differential_random_corpus(spark):
+    """Differential check against an independent pure-Python
+    implementation over a seeded random corpus (repetitive and clean
+    docs, varied lengths) — one Spark job for all examples."""
+    import random
+
+    rng = random.Random(20260813)
+    vocab = [f"tok{i}" for i in range(30)]
+    rows = []
+    for doc_id in range(60):
+        n = rng.randint(0, 80)
+        # half the docs draw from a tiny vocab (repetitive), half wide
+        pool = vocab[: rng.choice([2, 3, 30])]
+        rows.append((doc_id, " ".join(rng.choice(pool) for _ in range(n))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    from cdk_datalake_ingest_bigmagic_spark.operators.text import (
+        repetition_features,
+    )
+
+    got = {r["doc_id"]: r for r in
+           repetition_features(docs, "doc_id", "text").collect()}
+
+    for doc_id, text in rows:
+        w = [t for t in text.split() if t]
+        bg = [f"{w[i]} {w[i+1]}" for i in range(len(w) - 1)]
+        exp_dup_w = 0.0 if not w else round(1 - len(set(w)) / len(w), 6)
+        exp_dup_bg = 0.0 if not bg else round(1 - len(set(bg)) / len(bg), 6)
+        exp_top = 0.0 if not bg else round(
+            max(bg.count(x) for x in set(bg)) / len(bg), 6
+        )
+        r = got[doc_id]
+        assert r["n_words"] == len(w)
+        assert abs(r["dup_word_ratio"] - exp_dup_w) < 1e-9
+        assert abs(r["dup_bigram_ratio"] - exp_dup_bg) < 1e-9
+        assert abs(r["top_bigram_ratio"] - exp_top) < 1e-9
+
+
+def test_scrub_pii_idempotent_and_complete(spark):
+    """Scrubbing twice equals scrubbing once, and a scrubbed text
+    contains no residual matches of any PII pattern."""
+    import re as _re
+
+    from cdk_datalake_ingest_bigmagic_spark.operators.text import (
+        EMAIL_PATTERN,
+        IPV4_PATTERN,
+        PHONE_PATTERN,
+        scrub_pii,
+    )
+
+    rows = [
+        (1, "a@b.co x 1.2.3.4 555-000-1111 c.d@e.org.uk end"),
+        (2, "dots.everywhere...  10.20.30.40.50 999-999-9999x"),
+        (3, "email@@double@host.com 0.0.0.0"),
+        (4, "nothing to see"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    once = df.select("id", scrub_pii(F.col("text")).alias("s"))
+    twice = once.select("id", scrub_pii(F.col("s")).alias("s"))
+    o = {r["id"]: r["s"] for r in once.collect()}
+    t = {r["id"]: r["s"] for r in twice.collect()}
+    assert o == t
+    for s in o.values():
+        for pat in (EMAIL_PATTERN, PHONE_PATTERN, IPV4_PATTERN):
+            assert not _re.search(pat, s), (pat, s)
