@@ -35,19 +35,23 @@ def asof_join(
     Ties (right ts == left ts) match — "at or before". When several
     right rows share one timestamp the latest by input order of the
     window's deterministic (ts, tag) sort wins via ``last``.
+
+    Timestamps cast to ``timestamp_ltz`` explicitly (not bare
+    ``timestamp``) so the comparison type is fixed even if
+    ``spark.sql.timestampType`` is set to TIMESTAMP_NTZ.
     """
     lcols = left.columns
-    l = left.withColumn("__ts", F.col(left_ts).cast("timestamp")).withColumn(
+    l = left.withColumn("__ts", F.col(left_ts).cast("timestamp_ltz")).withColumn(
         "__tag", F.lit(1)
     )
     payload = F.struct(
-        F.col(right_ts).cast("timestamp").alias("__mts"),
+        F.col(right_ts).cast("timestamp_ltz").alias("__mts"),
         *[F.col(c) for c in value_cols],
     )
     r = (
         right.select(
             *on,
-            F.col(right_ts).cast("timestamp").alias("__ts"),
+            F.col(right_ts).cast("timestamp_ltz").alias("__ts"),
             payload.alias("__payload"),
         )
         .withColumn("__tag", F.lit(0))
@@ -85,7 +89,7 @@ def asof_join(
         *[F.col(f"__match.{c}").alias(c) for c in value_cols],
     )
     if allowed_lag is not None:
-        horizon = F.col(left_ts).cast("timestamp") - F.expr(f"INTERVAL {allowed_lag}")
+        horizon = F.col(left_ts).cast("timestamp_ltz") - F.expr(f"INTERVAL {allowed_lag}")
         keep = F.col("matched_ts") >= horizon
         out = out.select(
             *lcols,

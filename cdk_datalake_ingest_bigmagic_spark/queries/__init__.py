@@ -88,7 +88,9 @@ _GATE_FRONT: list[str] = [
     "text_repetition_filter",
     "text_pii_scrub",
     "contamination_ngram_overlap",
-    # shared-operator changes this round (similarity.py, graph.py)
+    # shared-operator changes this round (similarity.py, graph.py,
+    # asof.py timestamp_ltz hardening)
+    "events_asof_join",
     "embedding_ann_ivf",
     "embedding_similarity_pairs",
     "dedup_embedding_cosine",
