@@ -41,15 +41,88 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _lineage_cutter(edges: DataFrame, checkpoint_dir: str | None):
-    """Return a df→df function that materializes + cuts lineage, using
-    reliable checkpoints when a durable dir is given."""
-    if checkpoint_dir is None:
-        return lambda df: df.localCheckpoint()
-    sc = edges.sparkSession.sparkContext
-    sc.setCheckpointDir(checkpoint_dir)
-    # eager=True materializes immediately, same as localCheckpoint
-    return lambda df: df.checkpoint(eager=True)
+class _LineageCutter:
+    """df→df materialize + lineage cut, with durable-checkpoint
+    hygiene when a reliable dir is used:
+
+    - Spark never deletes reliable checkpoint data on its own (cleanup
+      needs ``spark.cleaner.referenceTracking.cleanCheckpoints`` AND an
+      RDD GC), so a multi-hour iterative job would leave one full copy
+      of its state per round. :meth:`release` deletes a checkpoint's
+      files once the caller knows no later round references it.
+    - ``setCheckpointDir`` mutates SparkContext-global state;
+      :meth:`restore_dir` puts the previous dir back so other
+      checkpoint users in the same session aren't silently redirected.
+    """
+
+    def __init__(self, edges: DataFrame, checkpoint_dir: str | None):
+        self.reliable = checkpoint_dir is not None
+        self._sc = edges.sparkSession.sparkContext
+        self._prev_dir = None
+        # id(df) -> (df strong ref, set of rdd-N checkpoint dirs)
+        self._dirs: dict[int, tuple[DataFrame, set[str]]] = {}
+        if self.reliable:
+            try:
+                self._prev_dir = self._sc.getCheckpointDir()
+            except Exception:
+                self._prev_dir = None
+            self._sc.setCheckpointDir(checkpoint_dir)
+
+    def _fs_and_root(self):
+        root = self._sc.getCheckpointDir()
+        jvm = self._sc._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(root)
+        fs = jpath.getFileSystem(self._sc._jsc.hadoopConfiguration())
+        return fs, jpath
+
+    def _list_rdd_dirs(self) -> set[str]:
+        try:
+            fs, root = self._fs_and_root()
+            if not fs.exists(root):
+                return set()
+            return {st.getPath().toString() for st in fs.listStatus(root)}
+        except Exception:
+            return set()
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        if not self.reliable:
+            return df.localCheckpoint()
+        # the checkpointed RDD is not reachable from the Python
+        # DataFrame (df.rdd wraps it), so attribute the rdd-N dir the
+        # eager checkpoint just wrote by diffing the checkpoint root —
+        # cuts are serialized driver-side, so the diff is exactly ours
+        before = self._list_rdd_dirs()
+        out = df.checkpoint(eager=True)
+        self._dirs[id(out)] = (out, self._list_rdd_dirs() - before)
+        return out
+
+    def release(self, df: DataFrame) -> None:
+        """Delete ``df``'s reliable checkpoint files (no-op for
+        localCheckpoint — executor block cleanup is reference-tracked;
+        Spark itself never deletes reliable checkpoints). Only call
+        once nothing downstream will re-read ``df``."""
+        if not self.reliable:
+            return
+        _, dirs = self._dirs.pop(id(df), (None, set()))
+        try:
+            fs, _ = self._fs_and_root()
+            for p in dirs:
+                fs.delete(self._sc._jvm.org.apache.hadoop.fs.Path(p), True)
+        except Exception:
+            pass  # cleanup is best-effort; never fail the job over it
+
+    def restore_dir(self) -> None:
+        if self.reliable:
+            # None unsets (SparkContext wraps the arg in Option), so a
+            # session with no prior checkpoint dir goes back to none
+            try:
+                self._sc.setCheckpointDir(self._prev_dir)
+            except Exception:
+                pass
+
+
+def _lineage_cutter(edges: DataFrame, checkpoint_dir: str | None) -> _LineageCutter:
+    return _LineageCutter(edges, checkpoint_dir)
 
 
 def connected_components(
@@ -69,41 +142,49 @@ def connected_components(
     job. When None (default), fast unreplicated ``localCheckpoint``.
     """
     cut = _lineage_cutter(edges, checkpoint_dir)
-    # materialize the edge list ONCE before symmetrizing: the union
-    # references `edges` twice, and without this checkpoint the whole
-    # upstream pipeline (e.g. a near-dup candidate join) would be
-    # recomputed per branch
-    pairs = cut(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
-    both = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    both = cut(both.distinct())
-    labels = cut(
-        both.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
-    )
-    for _ in range(max_iter):
-        neighbor_min = (
-            both.join(labels, both.b == labels.id)
-            .groupBy("a")
-            .agg(F.min("component").alias("nbr_min"))
+    try:
+        # materialize the edge list ONCE before symmetrizing: the union
+        # references `edges` twice, and without this checkpoint the whole
+        # upstream pipeline (e.g. a near-dup candidate join) would be
+        # recomputed per branch
+        pairs = cut(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
+        both = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        both = cut(both.distinct())
+        labels_ck = cut(
+            both.select(F.col("a").alias("id"))
+            .distinct()
+            .withColumn("component", F.col("id"))
         )
-        updated = cut(
-            labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-                ).alias("component"),
-                (F.coalesce(F.col("nbr_min"), F.col("component")) < F.col("component"))
-                .cast("int")
-                .alias("changed"),
+        cut.release(pairs)  # `both` is materialized; nothing reads pairs now
+        labels = labels_ck
+        for _ in range(max_iter):
+            neighbor_min = (
+                both.join(labels, both.b == labels.id)
+                .groupBy("a")
+                .agg(F.min("component").alias("nbr_min"))
             )
-        )
-        n_changed = updated.agg(F.sum("changed")).first()[0] or 0
-        labels = updated.drop("changed")
-        if n_changed == 0:
-            return labels
-    raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+            updated = cut(
+                labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                    ).alias("component"),
+                    (F.coalesce(F.col("nbr_min"), F.col("component")) < F.col("component"))
+                    .cast("int")
+                    .alias("changed"),
+                )
+            )
+            n_changed = updated.agg(F.sum("changed")).first()[0] or 0
+            cut.release(labels_ck)  # superseded round state (durable mode)
+            labels_ck = updated
+            labels = updated.drop("changed")
+            if n_changed == 0:
+                cut.release(both)  # result reads only its own checkpoint
+                return labels
+        raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+    finally:
+        cut.restore_dir()
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -167,42 +248,49 @@ def connected_components_twophase(
     instead of a set-difference join.
     """
     cut = _lineage_cutter(edges, checkpoint_dir)
-    raw = cut(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
-    # remember every vertex (including self-loop-only ones):
-    # star-contraction drops isolated roots' incident edges as
-    # components collapse, but ids must all come back
-    vertices = cut(
-        raw.select(F.col("u").alias("id")).union(raw.select("v")).distinct()
-    )
-    pairs = raw.filter(F.col("u") != F.col("v"))
-    e = cut(pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct())
-
-    def signature(df: DataFrame) -> tuple:
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("u", "v")).alias("h"),
-        ).first()
-        return (row["n"], row["h"])
-
-    prev = None
-    for _ in range(max_iter):
-        # one round = large-star then small-star; each is a bounded
-        # groupBy+join shuffle, so a round costs the same order as one
-        # label-propagation step
-        e = _large_star(e)
-        e = cut(_small_star(e))
-        sig = signature(e)
-        if sig == prev:
-            break
-        prev = sig
-    else:
-        raise RuntimeError(
-            f"connected_components_twophase: no convergence in {max_iter} rounds"
+    try:
+        raw = cut(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+        # remember every vertex (including self-loop-only ones):
+        # star-contraction drops isolated roots' incident edges as
+        # components collapse, but ids must all come back
+        vertices = cut(
+            raw.select(F.col("u").alias("id")).union(raw.select("v")).distinct()
         )
-    # converged edge set is a forest of stars (u → root); roots and
-    # isolated vertices label themselves
-    membership = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
-    return (
-        vertices.join(membership, "id", "left")
-        .select("id", F.coalesce("component", "id").alias("component"))
-    )
+        pairs = raw.filter(F.col("u") != F.col("v"))
+        e = cut(pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct())
+        cut.release(raw)  # vertices + e are materialized
+
+        def signature(df: DataFrame) -> tuple:
+            row = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.xxhash64("u", "v")).alias("h"),
+            ).first()
+            return (row["n"], row["h"])
+
+        prev = None
+        prev_e = e
+        for _ in range(max_iter):
+            # one round = large-star then small-star; each is a bounded
+            # groupBy+join shuffle, so a round costs the same order as one
+            # label-propagation step
+            e = _large_star(e)
+            e = cut(_small_star(e))
+            cut.release(prev_e)  # superseded round state (durable mode)
+            prev_e = e
+            sig = signature(e)
+            if sig == prev:
+                break
+            prev = sig
+        else:
+            raise RuntimeError(
+                f"connected_components_twophase: no convergence in {max_iter} rounds"
+            )
+        # converged edge set is a forest of stars (u → root); roots and
+        # isolated vertices label themselves
+        membership = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+        return (
+            vertices.join(membership, "id", "left")
+            .select("id", F.coalesce("component", "id").alias("component"))
+        )
+    finally:
+        cut.restore_dir()

@@ -166,8 +166,6 @@ def similarity_pairs(
         raise
 
     def run(batches: Iterator) -> Iterator:
-        import pandas as pd
-
         ids_all, Mn_all = bc.value
         for pdf in batches:
             A = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
@@ -310,8 +308,6 @@ def ann_ivf_pairs(
     )
 
     def assign(batches: Iterator) -> Iterator:
-        import pandas as pd
-
         Cn = bc.value
         k = min(n_probe, Cn.shape[0])
         for pdf in batches:

@@ -103,23 +103,32 @@ def partition_bounds_plan(
     Three shapes, mirroring what a MIN/MAX probe can return:
 
     - numeric (int/float/Decimal or numeric string): X1 uniform ranges,
-      clamp on the integer key span;
+      clamp on the integer key span. Bounds are emitted as INTEGRAL
+      strings (floor(lower) / ceil(upper)): Spark parses numeric JDBC
+      bounds with ``toLong``, so ``"1.50"`` would crash the read — and
+      widening to the enclosing integers is safe because bounds only
+      set stride boundaries, never filter rows (the first/last stripes
+      are open-ended);
     - date / timestamp (Python objects from the probe row, or ISO
       strings): X2 date striping (extract_data.py:1164-1196) — Spark's
       reader accepts date/timestamp ``lowerBound/upperBound`` natively
       and stripes the range itself, so the only job here is clamping
-      the partition count on the DAY span (a 10-day window should not
-      fan out into 30 near-empty stripes);
+      the partition count: DAY span for dates (a 10-day window should
+      not fan out into 30 near-empty stripes), MINUTE span for
+      timestamps (an intraday window on a busy table still deserves
+      full parallelism — row volume is unrelated to calendar span);
     - anything else → None (caller falls back to a single partition —
       an unpartitionable key must not silently get unclamped bounds).
     """
     import datetime as _dt
+    import math
 
     if lower is None or upper is None:
         return None
     try:
-        return clamp_partitions(int(float(lower)), int(float(upper)), requested), str(lower), str(upper)
-    except (TypeError, ValueError):
+        lo_i, hi_i = math.floor(float(lower)), math.ceil(float(upper))
+        return clamp_partitions(lo_i, hi_i, requested), str(lo_i), str(hi_i)
+    except (TypeError, ValueError, OverflowError):
         pass
     lo, hi = lower, upper
     if isinstance(lo, str) and isinstance(hi, str):
@@ -129,12 +138,12 @@ def partition_bounds_plan(
                 break
             except ValueError:
                 continue
+    if isinstance(lo, _dt.datetime) and isinstance(hi, _dt.datetime):
+        minute_span = int((hi - lo).total_seconds() // 60)
+        n = max(1, min(requested, minute_span))
+        return n, str(lo), str(hi)
     if isinstance(lo, _dt.date) and isinstance(hi, _dt.date):
-        # datetime is a date subclass; day-span clamp covers both
-        day_span = (
-            (hi.date() if isinstance(hi, _dt.datetime) else hi)
-            - (lo.date() if isinstance(lo, _dt.datetime) else lo)
-        ).days
+        day_span = (hi - lo).days
         n = max(1, min(requested, day_span))
         # str() of date/datetime is the ISO form Spark's bound parser accepts
         return n, str(lo), str(hi)

@@ -100,19 +100,21 @@ class ParquetStageTable:
         # (delta.exceptions.DeltaUnsupportedOperationException; reference
         # light_transform.py:1382-1392 relies on unique source keys).
         # Duplicate source keys that match nothing are plain inserts and
-        # stay legal, exactly as in Delta.
-        multi = (
-            df.groupBy(*id_cols)
-            .count()
-            .filter(F.col("count") > 1)
-            .join(existing.select(*id_cols).distinct(), on=id_cols, how="left_semi")
-        )
-        if multi.limit(1).count() > 0:
-            raise ValueError(
-                "merge: multiple source rows match the same target row for "
-                f"id columns {id_cols}; deduplicate the source first "
-                "(latest_record_dedup) — Delta MERGE rejects this too"
+        # stay legal, exactly as in Delta. Guard cost: one aggregation
+        # over the (small) source batch; the target is only scanned for
+        # this check in the rare case the source actually has duplicate
+        # keys.
+        dup_src_keys = df.groupBy(*id_cols).count().filter(F.col("count") > 1)
+        if dup_src_keys.limit(1).count() > 0:
+            multi = dup_src_keys.join(
+                existing.select(*id_cols).distinct(), on=id_cols, how="left_semi"
             )
+            if multi.limit(1).count() > 0:
+                raise ValueError(
+                    "merge: multiple source rows match the same target row for "
+                    f"id columns {id_cols}; deduplicate the source first "
+                    "(latest_record_dedup) — Delta MERGE rejects this too"
+                )
         kept = existing.join(df.select(*id_cols).distinct(), on=id_cols, how="left_anti")
         # schema drift → take the incoming schema: a column the live
         # table doesn't have yet reads as typed NULL for kept rows

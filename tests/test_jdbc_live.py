@@ -176,13 +176,56 @@ def test_date_span_narrower_than_ceiling_clamps(spark, endpoint, seeded):
         datetime.date(2024, 1, 1), datetime.date(2024, 1, 11)
     )
     assert plan == (10, "2024-01-01", "2024-01-11")
-    # timestamp bounds: ISO strings in, day-span clamp, strings out
+    # timestamp bounds: ISO strings in, minute-span clamp, strings out
     plan = src.partition_bounds_plan(
         "2024-01-01 00:30:00", "2024-01-05 12:00:00"
     )
-    assert plan is not None and plan[0] == 4
+    assert plan is not None and plan[0] == src.MAX_SCAN_PARTITIONS
     # unparseable bounds → no partitioning rather than unclamped bounds
     assert src.partition_bounds_plan("abc", "xyz") is None
+
+
+def test_decimal_bounds_emit_integral_strings(spark, endpoint, seeded):
+    """Non-integral numeric bounds (DECIMAL key) must widen to
+    enclosing integers: Spark parses numeric JDBC bounds with toLong,
+    so '1.50' would crash the partitioned read. Bounds only set stride
+    boundaries (first/last stripes are open-ended), so widening never
+    drops rows — proven live on the Derby DECIMAL(12,2) column."""
+    from decimal import Decimal
+
+    plan = src.partition_bounds_plan(Decimal("1.50"), Decimal("750.00"))
+    assert plan == (30, "1", "750")
+
+    table = TableConfig(
+        source_table="ORDERS",
+        source_schema="APP",
+        stage_table_name="stage_orders",
+        partition_mode="MIN_MAX",
+        partition_column="AMOUNT",
+    )
+    spec = src.resolve_scan(spark, endpoint, table)
+    assert spec.num_partitions == src.MAX_SCAN_PARTITIONS
+    assert "." not in spec.lower_bound and "." not in spec.upper_bound
+    df = src.read_jdbc(spark, spec)
+    assert df.count() == N_ROWS
+    assert df.select(F.countDistinct("ID")).first()[0] == N_ROWS
+
+
+def test_intraday_timestamp_bounds_keep_parallelism(spark):
+    """A sub-day timestamp range must not collapse to one partition —
+    an intraday incremental window on a busy table still needs striped
+    reads (minute-span clamp, not day-span)."""
+    import datetime
+
+    plan = src.partition_bounds_plan(
+        datetime.datetime(2024, 1, 5, 1, 0), datetime.datetime(2024, 1, 5, 23, 0)
+    )
+    assert plan is not None and plan[0] == src.MAX_SCAN_PARTITIONS
+    # a 5-minute window stripes to 5, not 30 near-empty stripes
+    plan = src.partition_bounds_plan(
+        datetime.datetime(2024, 1, 5, 1, 0), datetime.datetime(2024, 1, 5, 1, 5)
+    )
+    assert plan is not None and plan[0] == 5
 
 
 def test_resolve_scan_auto_key_type(spark, endpoint, seeded):

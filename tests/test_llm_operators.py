@@ -347,14 +347,24 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         chain + [(100, 101)], "id_a long, id_b long"
     )
     ckpt = str(tmp_path / "cc_ckpt")
+    prev_dir = spark.sparkContext.getCheckpointDir()
     cc = {r["id"]: r["component"]
           for r in connected_components(
               edges, checkpoint_dir=ckpt).collect()}
     assert {cc[i] for i in range(13)} == {0}
     assert {cc[100], cc[101]} == {100}
-    # the reliable checkpoint actually wrote to the durable dir
+    # the reliable checkpoint wrote to the durable dir, and superseded
+    # rounds were cleaned up (Spark never deletes these itself): only
+    # the final round's state may remain
     import os
-    assert any(os.scandir(ckpt)), "no checkpoint data written"
+    rdd_dirs = [
+        os.path.join(r, d)
+        for r, ds, _ in os.walk(ckpt) for d in ds if d.startswith("rdd-")
+    ]
+    assert rdd_dirs, "no checkpoint data written"
+    assert len(rdd_dirs) <= 2, f"checkpoint leak: {rdd_dirs}"
+    # global checkpoint-dir state restored for other session users
+    assert spark.sparkContext.getCheckpointDir() == prev_dir
 
 
 def test_connected_components_twophase_matches_label_prop(spark):

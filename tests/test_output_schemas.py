@@ -8,8 +8,12 @@ the same class of failure twice). This test makes the constraint a
 hard rule: registering a query whose result schema contains a
 non-scalar column fails CI before the gate ever sees it.
 
-Schema inspection is lazy (no job runs), so this covers all ~67
-queries in seconds.
+Plan construction is cheap for most queries, but NOT free for all:
+a few run driver-side work while building the DataFrame (connected
+components iterates to convergence; the exact-similarity tier collects
+its broadcast index; IVF collects centroids), so the parametrized run
+executes real Spark jobs at sf0.001 — small, but this is an
+integration audit, not a schema-only unit test.
 """
 
 from __future__ import annotations
@@ -39,3 +43,30 @@ def test_output_schema_is_gate_safe(spark, name):
         "drop them in the registered view (the operator itself may "
         "keep the rich type)"
     )
+
+
+def test_oracle_assumptions_hold_in_testdata():
+    """Assumptions the oracles rely on, asserted so testdata drift
+    turns into a pointed failure here instead of an opaque gate red:
+    - documents text is pure ASCII (byte slicing == char slicing for
+      the multimodal oracles);
+    - no document approaches the repetition filter's max_words=2000
+      cap (the oracle computes over full text, Spark over the capped
+      prefix — identical only while this holds).
+    """
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        ascii_ok, max_words = duckdb.sql(
+            f"""
+            SELECT bool_and(octet_length(encode(text)) = length(text)),
+                   max(len(string_split_regex(trim(text), '\\s+')))
+            FROM '{path}'
+            """
+        ).fetchone()
+        assert ascii_ok, f"{sf}: non-ASCII text breaks byte-slice oracles"
+        assert max_words < 1000, (
+            f"{sf}: {max_words}-word doc nears the max_words cap — "
+            "align the text_repetition_filter oracle with the cap"
+        )
