@@ -432,11 +432,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), quality AS (
       SELECT * FROM featured WHERE n_words >= 5 AND n_chars >= 20
+    ), unrepetitive AS (
+      SELECT q.* FROM quality q
+      JOIN (
+        SELECT doc_id,
+               list_filter(
+                 string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                 x -> x <> ''
+               ) AS w
+        FROM documents
+      ) n USING (doc_id)
+      WHERE len(n.w) = 0
+         OR 1.0 - len(list_distinct(n.w))::DOUBLE / len(n.w)::DOUBLE <= 0.8
     ), lang AS (
       SELECT q.*,
         (SELECT COUNT(*) FROM unnest(string_split_regex(lower(q.text), '[^a-z]+')) AS u(t)
           WHERE t IN ('the','a','of','and','to','in','is','it','that','for')) AS hits_en
-      FROM quality q
+      FROM unrepetitive q
     ), english AS (
       SELECT * FROM lang WHERE hits_en >= 2
     )
@@ -447,11 +459,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus cleaning: quality gate (length
-    thresholds) → cheap language gate (English stopword hits) → exact
-    dedup keeping the canonical (min-id) document per fingerprint.
+    thresholds) → repetition gate (duplicate-word fraction, the in-row
+    Gopher-style rule) → cheap language gate (English stopword hits) →
+    exact dedup keeping the canonical (min-id) document per fingerprint.
 
     Composed entirely of the individual operators, in one lazy plan —
-    Catalyst collapses the three "stages" into a scan + filter + one
+    Catalyst collapses the four "stages" into a scan + filter + one
     aggregation, so adding gates costs no extra passes over the corpus.
     """
     d = load(spark, sf_dir, "documents")
@@ -464,6 +477,15 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.fingerprint(t).alias("fingerprint"),
     )
     quality = featured.filter((F.col("n_words") >= 5) & (F.col("n_chars") >= 20))
+    words = F.filter(
+        F.split(tx.normalize_text(t), " "), lambda x: x != ""
+    )
+    dup_word = F.lit(1.0) - F.size(F.array_distinct(words)).cast("double") / F.size(
+        words
+    ).cast("double")
+    quality = quality.filter(
+        (F.size(words) == 0) | (dup_word <= tx.DUP_WORD_MAX)
+    )
     toks = F.split(F.lower(t), r"[^a-z]+")
     hits_en = F.size(
         F.filter(toks, lambda x: x.isin(tx.LANG_STOPWORDS["en"]))
