@@ -79,6 +79,41 @@ def shingle_string_arrays(
     )
 
 
+def shingles_exploded(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Per-document DISTINCT word n-gram shingles in ROW form:
+    (id, shingle), one row per distinct shingle.
+
+    Same sets as :func:`shingle_string_arrays`, different construction:
+    posexplode an index range and build each shingle with
+    ``element_at`` + ``concat`` — scalar expressions only, so the whole
+    stage stays in WholeStageCodegen. Higher-order functions
+    (``transform``/``slice``) always run interpreted in Spark, and when
+    an operator explodes those arrays lazily the interpreted projection
+    dominates (measured 3.9s vs 0.75s for 5k docs at sf0.1 — 5× even
+    though this form pays a (id, shingle) dropDuplicates shuffle).
+    Use the array form when the consumer needs in-row sets (Jaccard
+    verify) or caches; use this form when the consumer wants the
+    exploded inverted-index relation directly.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    w = df.select(F.col(id_col), words.alias("__w")).filter(F.size("__w") >= n)
+    idx = w.select(
+        F.col(id_col), "__w",
+        F.explode(F.sequence(F.lit(1), F.size("__w") - (n - 1))).alias("__i"),
+    )
+    parts: list = []
+    for k in range(n):
+        if k:
+            parts.append(F.lit(" "))
+        parts.append(F.element_at("__w", F.col("__i") + k))
+    return (
+        idx.select(F.col(id_col), F.concat(*parts).alias("shingle"))
+        .dropDuplicates([id_col, "shingle"])
+    )
+
+
 def jaccard_pairs(
     shingle_arrays: DataFrame,
     id_col: str,

@@ -279,19 +279,19 @@ def contamination_overlap(
     shingles appear anywhere in the benchmark set — the standard
     n-gram decontamination check run before training.
 
+    Inputs are ROW-form shingle relations (id, shingle) — build them
+    with ``dedup.shingles_exploded``, whose scalar-only construction
+    stays in WholeStageCodegen (exploding lazy HOF-built arrays runs
+    the projection interpreted, measured 5× slower at sf0.1).
+
     Benchmark suites are tiny relative to a training corpus, so the
     distinct benchmark shingle set is broadcast and the corpus side
-    never shuffles its shingles: explode (in-row arrays, linear) →
-    broadcast hash join → groupBy on the document id. Only contaminated
-    documents come back (inner join), which is the sparse result a
-    100-TB sweep wants to materialize.
+    never shuffles its shingles: broadcast hash join → groupBy on the
+    document id. Only contaminated documents come back (inner join),
+    which is the sparse result a 100-TB sweep wants to materialize.
     """
-    bench = benchmark_shingles.select(
-        F.explode("shingles").alias("shingle")
-    ).distinct()
-    corpus = corpus_shingles.select(
-        F.col(id_col), F.explode("shingles").alias("shingle")
-    )
+    bench = benchmark_shingles.select("shingle").distinct()
+    corpus = corpus_shingles.select(F.col(id_col), "shingle")
     return (
         corpus.join(F.broadcast(bench), "shingle")
         .groupBy(id_col)

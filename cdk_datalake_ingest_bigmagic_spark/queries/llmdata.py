@@ -897,9 +897,12 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     in for a held-out eval suite; every other document reports how many
     of its distinct 3-gram shingles appear anywhere in that suite
     (inner join — only contaminated docs come back). The benchmark
-    shingle set is broadcast; the corpus side never shuffles shingles."""
+    shingle set is broadcast; the corpus side never shuffles shingles.
+    Shingles come from the codegen row-form builder
+    (``shingles_exploded``) — exploding HOF-built arrays runs
+    interpreted and was the whole query's bottleneck."""
     d = load(spark, sf_dir, "documents")
-    sh = dd.shingle_string_arrays(d, "doc_id", "text", n=3)
+    sh = dd.shingles_exploded(d, "doc_id", "text", n=3)
     bench = sh.filter(F.col("doc_id") % 50 == 0)
     corpus = sh.filter(F.col("doc_id") % 50 != 0)
     return tx.contamination_overlap(corpus, bench, "doc_id")

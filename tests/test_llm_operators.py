@@ -559,12 +559,19 @@ def test_contamination_overlap_known_values(spark):
          (3, "totally different words here now")],
         "doc_id long, text string",
     )
-    sh = dd.shingle_string_arrays(docs, "doc_id", "text", n=3)
+    sh = dd.shingles_exploded(docs, "doc_id", "text", n=3)
     bench = sh.filter(F.col("doc_id") == 1)
     corpus = sh.filter(F.col("doc_id") != 1)
     got = {r["doc_id"]: r["n_overlap"]
            for r in contamination_overlap(corpus, bench, "doc_id").collect()}
     assert got == {2: 1}  # only 'quick brown fox'; doc 3 absent (inner join)
+
+    # row-form builder produces exactly the array-form shingle sets
+    arrays = dd.shingle_string_arrays(docs, "doc_id", "text", n=3)
+    from_arrays = {(r["doc_id"], s)
+                   for r in arrays.collect() for s in r["shingles"]}
+    from_rows = {(r["doc_id"], r["shingle"]) for r in sh.collect()}
+    assert from_rows == from_arrays
 
 
 def test_repetition_features_differential_random_corpus(spark):
