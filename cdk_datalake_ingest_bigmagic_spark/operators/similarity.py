@@ -31,7 +31,10 @@ from pyspark.sql import types as T
 
 
 def to_double_array(v: Column) -> Column:
-    return F.transform(v, lambda x: x.cast("double"))
+    # a direct array cast is a scalar Cast expression (WholeStageCodegen);
+    # transform(x -> cast) would run interpreted like every higher-order
+    # function, which matters when the result feeds posexplode
+    return v.cast("array<double>")
 
 
 def dot(a: Column, b: Column) -> Column:
