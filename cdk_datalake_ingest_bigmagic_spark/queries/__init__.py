@@ -90,10 +90,12 @@ _GATE_FRONT: list[str] = [
     # never-green until now + changed this round
     "multimodal_frame_sample",
     "events_lag_lead_gaps",
-    # new queries this round (new ⇒ gated in their first round)
+    # new queries this round (new ⇒ gated in their first round;
+    # agg_approx_sketches has no oracle by design → rows-only check)
     "text_repetition_filter",
     "text_pii_scrub",
     "contamination_ngram_overlap",
+    "agg_approx_sketches",
     # shared-operator changes this round (similarity.py, graph.py,
     # asof.py timestamp_ltz hardening)
     "events_asof_join",

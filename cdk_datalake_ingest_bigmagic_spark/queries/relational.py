@@ -645,3 +645,30 @@ def agg_above_customer_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.filter((F.col("n") >= 2) & (F.col("tp") * F.col("n") > F.col("csum")))
         .select("o_custkey", "o_orderkey", excess.alias("above_x_n"))
     )
+
+
+@register("agg_approx_sketches")  # no oracle: sketch results are
+# engine-specific by construction (Spark HLL++ / KLL vs DuckDB's
+# algorithms differ in exact output); the driver records the weaker
+# rows-only check, and tests/test_llm_operators.py bounds the error
+# against the exact aggregates instead.
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB aggregation defaults: approx_count_distinct (HLL++,
+    fixed-size sketch instead of a distinct shuffle of every key) and
+    percentile_approx (KLL-style, no per-group sort) per event_type.
+    Exact counterparts (`agg_count_guards` distincts,
+    `agg_exact_quantiles`) stay oracle-gated; this query registers the
+    sketch surface itself so a reference user gets both tiers."""
+    from cdk_datalake_ingest_bigmagic_spark.queries import load as _load
+
+    e = _load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", 0.5, 10_000).alias("approx_q50"),
+            F.percentile_approx("value", 0.99, 10_000).alias("approx_q99"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

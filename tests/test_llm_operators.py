@@ -639,3 +639,29 @@ def test_scrub_pii_idempotent_and_complete(spark):
     for s in o.values():
         for pat in (EMAIL_PATTERN, PHONE_PATTERN, IPV4_PATTERN):
             assert not _re.search(pat, s), (pat, s)
+
+
+def test_approx_sketches_bounded_error(spark):
+    """The sketch aggregates have no cross-engine oracle (HLL++/KLL
+    outputs are engine-specific), so the correctness evidence is an
+    error bound against the exact aggregates at sf0.01."""
+    from cdk_datalake_ingest_bigmagic_spark.queries import QUERIES, load
+
+    approx = {r["event_type"]: r for r in
+              QUERIES["agg_approx_sketches"](spark, "/root/testdata/sf0.01").collect()}
+    exact = {r["event_type"]: r for r in
+             load(spark, "/root/testdata/sf0.01", "events")
+             .groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("users"),
+                  F.expr("percentile(value, 0.5)").alias("q50"),
+                  F.expr("percentile(value, 0.99)").alias("q99"))
+             .collect()}
+    assert set(approx) == set(exact) and approx
+    for et, a in approx.items():
+        ex = exact[et]
+        assert abs(a["approx_users"] - ex["users"]) <= max(3, 0.05 * ex["users"])
+        # percentile_approx returns a real sample value near the target
+        # rank; at 10k accuracy the rank error is tiny
+        spread = abs(ex["q99"] - ex["q50"]) or 1.0
+        assert abs(a["approx_q50"] - ex["q50"]) <= 0.05 * spread
+        assert abs(a["approx_q99"] - ex["q99"]) <= 0.05 * spread
