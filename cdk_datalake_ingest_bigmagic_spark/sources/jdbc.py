@@ -300,12 +300,13 @@ def resolve_scan(
     return scan_spec_for(endpoint, table, bounds=bounds)
 
 
-def jdbc_source_provider(endpoint: EndpointConfig):
-    """``source_provider`` for :class:`~...runner.ProcessRunner`: given
-    (spark, table) → partitioned JDBC DataFrame. The production wiring
-    of S1–S3/X1/X2 behind the runner's pluggable extraction hook."""
+def jdbc_source_provider(spark: SparkSession, endpoint: EndpointConfig):
+    """``source_provider`` for :class:`~...runner.ProcessRunner`
+    (called as ``provider(table)`` per the runner contract): table →
+    partitioned JDBC DataFrame. The production wiring of S1–S3/X1/X2
+    behind the runner's pluggable extraction hook."""
 
-    def provide(spark: SparkSession, table: TableConfig) -> DataFrame:
+    def provide(table: TableConfig) -> DataFrame:
         return read_jdbc(spark, resolve_scan(spark, endpoint, table))
 
     return provide

@@ -249,9 +249,64 @@ def test_resolve_scan_auto_key_type(spark, endpoint, seeded):
     assert spec_date.lower_bound == "2024-01-01"
     assert spec_date.num_partitions == src.MAX_SCAN_PARTITIONS
 
-    provide = src.jdbc_source_provider(endpoint)
-    df = provide(spark, TableConfig(**base, partition_column="FECHA_D"))
+    provide = src.jdbc_source_provider(spark, endpoint)
+    df = provide(TableConfig(**base, partition_column="FECHA_D"))
     assert df.count() == N_ROWS
+
+
+def test_runner_end_to_end_through_live_jdbc(spark, endpoint, seeded, tmp_path):
+    """Full production wiring, live: config catalog → ProcessRunner →
+    jdbc_source_provider (probe + partitioned Derby scan) → strategy
+    filter → all-string raw landing → DSL transform → typed stage
+    table. This is the path a reference user actually runs; every
+    previous live test covered the extraction layer in isolation."""
+    import datetime
+
+    from cdk_datalake_ingest_bigmagic_spark.config.models import Catalog, ColumnSpec
+    from cdk_datalake_ingest_bigmagic_spark.runner import ProcessRunner
+
+    table = TableConfig(
+        source_table="ORDERS",
+        source_schema="APP",
+        stage_table_name="orders_stage",
+        columns="ID, GRP, CUSTOMER, AMOUNT",
+        load_type="full",
+        partition_mode="MIN_MAX",
+        partition_column="ID",
+        filter_exp="GRP <> 6",
+        process_id="PLIVE",
+    )
+    catalog = Catalog(
+        tables={table.stage_table_name: table},
+        columns={
+            "ORDERS_STAGE": [
+                ColumnSpec("order_id", 0, "integer", "fn_transform_Integer(ID)", is_id=True),
+                ColumnSpec("customer", 1, "string", "fn_transform_ClearString(CUSTOMER)"),
+                ColumnSpec("amount", 2, "numeric(12,2)", "fn_transform_Numeric(AMOUNT)"),
+            ],
+        },
+    )
+    runner = ProcessRunner(
+        spark=spark,
+        catalog=catalog,
+        raw_root=str(tmp_path / "raw"),
+        stage_root=str(tmp_path / "stage"),
+        runs_path=str(tmp_path / "_runs"),
+        clock=lambda: datetime.datetime(2024, 6, 15, 12, 0, 0),
+    )
+    runs = runner.run_process(
+        "PLIVE", source_provider=src.jdbc_source_provider(spark, endpoint)
+    )
+    assert len(runs) == 1 and runs[0].status == "SUCCESS", runs[0].error
+    expected = seeded.filter("GRP <> 6").count()
+    assert runs[0].rows == expected
+    stage = spark.read.parquet(str(tmp_path / "stage" / "orders_stage"))
+    assert dict(stage.dtypes)["amount"] == "decimal(12,2)"
+    assert stage.count() == expected
+    assert stage.select(F.countDistinct("order_id")).first()[0] == expected
+    # run log landed
+    log = runner.run_log().collect()
+    assert log and log[0]["status"] == "SUCCESS"
 
 
 def test_chunked_fetch_roundtrip(spark, endpoint, seeded):
