@@ -83,6 +83,23 @@ def main() -> None:
     from cdk_datalake_ingest_bigmagic_spark.operators import dedup as dd
     from cdk_datalake_ingest_bigmagic_spark.operators import similarity as sim
 
+    def _tx():
+        from cdk_datalake_ingest_bigmagic_spark.operators import text as tx
+        return tx
+
+    def _contamination(docs):
+        from pyspark.sql import functions as F
+        from cdk_datalake_ingest_bigmagic_spark.operators.text import (
+            contamination_overlap,
+        )
+
+        sh = dd.shingles_exploded(docs, "doc_id", "text", n=3)
+        return contamination_overlap(
+            sh.filter(F.col("doc_id") % 50 != 0),
+            sh.filter(F.col("doc_id") % 50 == 0),
+            "doc_id",
+        )
+
     spark = get_spark(app_name="scale-probe")
     docs = spark.read.parquet(out)
     n_docs = docs.count()
@@ -102,6 +119,10 @@ def main() -> None:
             emb, "vec_id", "embedding",
             n_lists=n_lists, n_probe=4, threshold=0.45,
         )),
+        "repetition_filter": (n_docs, lambda: _tx().repetition_features(
+            docs, "doc_id", "text"
+        )),
+        "contamination": (n_docs, lambda: _contamination(docs)),
     }
     for name, (n_items, fn) in probes.items():
         spark.catalog.clearCache()
