@@ -80,19 +80,32 @@ def shingle_string_arrays(
 
 
 def shingles_exploded(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    distinct: bool = False,
 ) -> DataFrame:
-    """Per-document DISTINCT word n-gram shingles in ROW form:
-    (id, shingle), one row per distinct shingle.
+    """Per-document word n-gram shingles in ROW form: (id, shingle),
+    one row per shingle OCCURRENCE by default (``distinct=True`` for
+    one row per distinct shingle).
 
-    Same sets as :func:`shingle_string_arrays`, different construction:
-    posexplode an index range and build each shingle with
+    Same shingles as :func:`shingle_string_arrays`, different
+    construction: posexplode an index range and build each shingle with
     ``element_at`` + ``concat`` — scalar expressions only, so the whole
     stage stays in WholeStageCodegen. Higher-order functions
     (``transform``/``slice``) always run interpreted in Spark, and when
     an operator explodes those arrays lazily the interpreted projection
-    dominates (measured 3.9s vs 0.75s for 5k docs at sf0.1 — 5× even
-    though this form pays a (id, shingle) dropDuplicates shuffle).
+    dominates (measured 3.9s vs 0.75s for 5k docs at sf0.1).
+
+    The default is NON-distinct on purpose: ``dropDuplicates([id,
+    shingle])`` is a full hash-partition shuffle of the exploded
+    corpus×shingle relation — 26M rows at a 500k-doc probe, and the
+    measured superlinear path (11× wall for 10× data) when the consumer
+    was going to filter the relation down anyway (contamination's
+    broadcast benchmark join keeps only the sparse contaminated rows).
+    Consumers that need set semantics either pass ``distinct=True`` and
+    eat the shuffle knowingly, or — better — defer the dedup past their
+    selective join and use ``countDistinct``/``dropDuplicates`` on the
+    surviving rows only.
+
     Use the array form when the consumer needs in-row sets (Jaccard
     verify) or caches; use this form when the consumer wants the
     exploded inverted-index relation directly.
@@ -108,10 +121,8 @@ def shingles_exploded(
         if k:
             parts.append(F.lit(" "))
         parts.append(F.element_at("__w", F.col("__i") + k))
-    return (
-        idx.select(F.col(id_col), F.concat(*parts).alias("shingle"))
-        .dropDuplicates([id_col, "shingle"])
-    )
+    rows = idx.select(F.col(id_col), F.concat(*parts).alias("shingle"))
+    return rows.dropDuplicates([id_col, "shingle"]) if distinct else rows
 
 
 def jaccard_pairs(

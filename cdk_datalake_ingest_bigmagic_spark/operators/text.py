@@ -280,20 +280,29 @@ def contamination_overlap(
     n-gram decontamination check run before training.
 
     Inputs are ROW-form shingle relations (id, shingle) — build them
-    with ``dedup.shingles_exploded``, whose scalar-only construction
-    stays in WholeStageCodegen (exploding lazy HOF-built arrays runs
-    the projection interpreted, measured 5× slower at sf0.1).
+    with ``dedup.shingles_exploded`` (non-distinct default), whose
+    scalar-only construction stays in WholeStageCodegen (exploding lazy
+    HOF-built arrays runs the projection interpreted, measured 5×
+    slower at sf0.1). Duplicate (id, shingle) rows on the corpus side
+    are fine — the final agg is ``countDistinct`` — so the corpus MUST
+    NOT be pre-deduplicated: that ``dropDuplicates`` was a full
+    hash-partition shuffle of the exploded corpus×shingle relation
+    before the join that would have discarded almost all of it
+    (measured 11× wall for 10× data; deferring the distinct past the
+    join brought the probe back to ~linear).
 
     Benchmark suites are tiny relative to a training corpus, so the
     distinct benchmark shingle set is broadcast and the corpus side
-    never shuffles its shingles: broadcast hash join → groupBy on the
-    document id. Only contaminated documents come back (inner join),
-    which is the sparse result a 100-TB sweep wants to materialize.
+    never shuffles its shingles: broadcast hash join (codegen, zero
+    corpus shuffle) → groupBy on the document id over the surviving —
+    sparse — contaminated rows only. Only contaminated documents come
+    back (inner join), which is the result a 100-TB sweep wants to
+    materialize.
     """
     bench = benchmark_shingles.select("shingle").distinct()
     corpus = corpus_shingles.select(F.col(id_col), "shingle")
     return (
         corpus.join(F.broadcast(bench), "shingle")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .agg(F.count_distinct(F.col("shingle")).alias("n_overlap"))
     )

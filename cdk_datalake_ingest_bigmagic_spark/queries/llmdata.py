@@ -897,10 +897,14 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     in for a held-out eval suite; every other document reports how many
     of its distinct 3-gram shingles appear anywhere in that suite
     (inner join — only contaminated docs come back). The benchmark
-    shingle set is broadcast; the corpus side never shuffles shingles.
-    Shingles come from the codegen row-form builder
-    (``shingles_exploded``) — exploding HOF-built arrays runs
-    interpreted and was the whole query's bottleneck."""
+    shingle set is broadcast; the corpus side never shuffles shingles:
+    the exploded relation is NON-distinct (no corpus-wide
+    ``dropDuplicates`` shuffle), the broadcast join filters it to the
+    sparse contaminated rows, and the per-doc distinct happens in the
+    final ``countDistinct`` agg over those survivors only. Shingles
+    come from the codegen row-form builder (``shingles_exploded``) —
+    exploding HOF-built arrays runs interpreted and was the whole
+    query's bottleneck."""
     d = load(spark, sf_dir, "documents")
     sh = dd.shingles_exploded(d, "doc_id", "text", n=3)
     bench = sh.filter(F.col("doc_id") % 50 == 0)

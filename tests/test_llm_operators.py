@@ -574,6 +574,45 @@ def test_contamination_overlap_known_values(spark):
     assert from_rows == from_arrays
 
 
+def test_contamination_corpus_side_never_shuffles(spark):
+    """Pin the scale fix: the exploded corpus shingle relation must
+    flow straight into the broadcast benchmark join with NO exchange on
+    the streamed side — the per-doc distinct happens in the
+    countDistinct agg AFTER the join, over contaminated rows only.
+    (The old shape pre-deduplicated the 26M-row exploded relation:
+    measured 11× wall for 10× data; this shape measured 1.5×.)"""
+    from cdk_datalake_ingest_bigmagic_spark.operators import dedup as dd
+    from cdk_datalake_ingest_bigmagic_spark.operators.text import (
+        contamination_overlap,
+    )
+
+    docs = spark.range(0, 256).selectExpr(
+        "id as doc_id",
+        "concat('alpha beta gamma delta epsilon zeta token', id % 13) as text",
+    )
+    sh = dd.shingles_exploded(docs, "doc_id", "text", n=3)
+    df = contamination_overlap(
+        sh.filter(F.col("doc_id") % 50 != 0),
+        sh.filter(F.col("doc_id") % 50 == 0),
+        "doc_id",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the streamed (corpus) side of the join is the ':-' subtree
+    # between the join node and its BroadcastExchange build side
+    join_at = plan.index("BroadcastHashJoin")
+    build_at = plan.index("BroadcastExchange", join_at)
+    streamed_side = [
+        ln for ln in plan[join_at:build_at].splitlines()
+        if ln.lstrip().startswith(":")
+    ]
+    assert streamed_side, "plan shape changed - update the test's parser"
+    assert not any("Exchange" in ln for ln in streamed_side), (
+        "corpus-side shuffle before the broadcast benchmark join:\n"
+        + "\n".join(streamed_side)
+    )
+
+
 def test_repetition_features_differential_random_corpus(spark):
     """Differential check against an independent pure-Python
     implementation over a seeded random corpus (repetitive and clean

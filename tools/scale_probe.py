@@ -10,9 +10,10 @@ shape a real crawl has after exact dedup). Embedding replicas get a
 deterministic per-replica ±1 sign flip per dimension, which decorrelates
 copies of the same vector across replicas for the same reason.
 
-Usage: python tools/scale_probe.py [N_replicas] [out_parquet]
-Prints one JSON line per probed operator; run at two N values and
-compare `sec` ratios to the data ratio to judge linearity.
+Usage: python tools/scale_probe.py [N_replicas] [out_parquet] [probe...]
+Prints one JSON line per probed operator (all probes by default; name
+specific ones to re-measure a subset); run at two N values and compare
+`sec` ratios to the data ratio to judge linearity.
 """
 
 from __future__ import annotations
@@ -124,6 +125,12 @@ def main() -> None:
         )),
         "contamination": (n_docs, lambda: _contamination(docs)),
     }
+    selected = sys.argv[3:]
+    if selected:
+        unknown = set(selected) - set(probes)
+        if unknown:
+            raise SystemExit(f"unknown probes: {sorted(unknown)}")
+        probes = {k: probes[k] for k in selected}
     for name, (n_items, fn) in probes.items():
         spark.catalog.clearCache()
         t0 = time.time()
