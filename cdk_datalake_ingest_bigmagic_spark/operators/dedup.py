@@ -125,75 +125,103 @@ def shingles_exploded(
     return rows.dropDuplicates([id_col, "shingle"]) if distinct else rows
 
 
-def jaccard_pairs(
-    shingle_arrays: DataFrame,
+def jaccard_pairs_rows(
+    shingle_rows: DataFrame,
     id_col: str,
     threshold: float = 0.8,
     max_df: int | None = 1000,
 ) -> DataFrame:
-    """All pairs with shingle-set Jaccard ≥ threshold.
+    """All pairs with shingle-set Jaccard ≥ threshold, from a ROW-form
+    (id, shingle) relation — build it with :func:`shingles_exploded`
+    (non-distinct input is fine; the first step dedups per document).
 
-    Input is ``shingle_string_arrays`` (id, shingles). The inverted
-    index (explode → self-join on the shingle) generates CANDIDATES —
-    pairs sharing at least one *indexable* shingle — then the exact
-    Jaccard is computed from the full in-row arrays
-    (``array_intersect``), so reported values are always exact. The
-    division is exact-integer-derived and reproduces bit-for-bit.
+    Candidate generation is PREFIX-FILTERED (the SSJoin/PPJoin family:
+    Chaudhuri et al., ICDE'06; Xiao et al., WWW'08 — public
+    algorithms): under a global shingle order (ascending document
+    frequency, ties by hash), any two sets with Jaccard ≥ t must share
+    one of each other's first ``⌊(1−t)·n⌋+1`` shingles, so only that
+    prefix is indexed. Rare-first ordering makes prefix collision lists
+    tiny: on the sf0.1 corpus this cut the candidate space ~10×
+    (1.13M → 119k pairs for the same 256 true pairs) versus indexing
+    every shingle — and unlike a frequency cap, the pruning is
+    LOSSLESS at any scale. The candidate set, not the corpus, then
+    bounds the exact verify: per-document DISTINCT hash sets are packed
+    into arrays once and each candidate pair is checked in-row with
+    ``array_intersect`` on the FULL sets (never the prefix), so
+    reported values are always exact and reproduce bit-for-bit (the
+    division is exact-integer-derived).
 
-    ``max_df`` drops shingles whose document frequency exceeds it from
-    the INDEX ONLY (they still count in the verify): a stop-shingle
-    appearing in 10⁵ docs would otherwise emit a 10¹⁰-row collision
-    list — the classic inverted-index blow-up. The only pairs this can
+    ``max_df`` additionally drops shingles whose document frequency
+    exceeds it from the INDEX ONLY (they still count in the verify) —
+    with prefix filtering this is belt-and-braces against a residual
+    hot shingle in many small documents (prefix length ≥ 1 always
+    indexes a document's rarest shingle). The only pairs the cap can
     lose are ones sharing *no* below-cap shingle, vanishingly unlikely
-    for genuinely near-duplicate documents. ``max_df=None`` disables
-    the cap (exact recall, unbounded worst case).
+    for genuinely near-duplicate documents; ``max_df=None`` disables
+    it. Precondition as for the module: run exact dedup first — a
+    cluster of N *identical* documents has N² true pairs, which no
+    candidate filter can (or should) reduce.
 
-    Shingles are re-keyed ONCE to ``xxhash64`` longs and both the
-    inverted index and the verify run on the hashed sets: every shuffle
-    moves 8-byte keys instead of n-word strings, and the verify
-    intersects long arrays instead of string arrays. An in-document
-    collision (which alone could perturb a Jaccard value) has
+    Shingles are re-keyed ONCE to ``xxhash64`` longs: every shuffle
+    moves 8-byte keys, and the verify intersects long arrays. An
+    in-document collision (which alone could perturb a value) has
     probability ~|shingles|²/2⁶⁵ ≈ 1e-16 per document — the values are
     the exact string-set Jaccards for any real corpus.
     """
-    # hash once; the result feeds five plan branches (df-cap, both
-    # self-join sides, both verify sides) — cache so shingling and
-    # hashing run once
-    shingle_arrays = shingle_arrays.select(
-        F.col(id_col),
-        F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias("__hs"),
-    ).cache()
-    exploded = shingle_arrays.select(
-        F.col(id_col), F.explode("__hs").alias("__sh")
+    from pyspark.sql import Window
+
+    # one narrow (id, hash) relation feeds the frequency table, the
+    # prefix index, and the verify arrays — cache it so shingling +
+    # hashing + per-doc dedup run once; two longs per row, so even a
+    # corpus-scale relation is cache-friendly
+    dedup = (
+        shingle_rows.select(
+            F.col(id_col), F.xxhash64("shingle").alias("__sh")
+        )
+        .dropDuplicates([id_col, "__sh"])
+        .cache()
+    )
+    dfreq = dedup.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df"))
+    # full-set size must be computed BEFORE the max_df index filter
+    # (the prefix length is defined over the whole set)
+    w_id = Window.partitionBy(id_col)
+    w_rank = Window.partitionBy(id_col).orderBy("__df", "__sh")
+    enriched = dedup.join(dfreq, "__sh").withColumn(
+        "__n", F.count(F.lit(1)).over(w_id)
     )
     if max_df is not None:
-        # df-filter joins on the same key as the self-join below, so
-        # the exploded table is shuffled on `__sh` exactly once and
-        # both hash joins reuse that partitioning
-        rare = (
-            exploded.groupBy("__sh")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") <= max_df)
-            .select("__sh")
-        )
-        exploded = exploded.join(rare, "__sh")
-    a = exploded.select(F.col(id_col).alias("id_a"), "__sh")
-    b = exploded.select(F.col(id_col).alias("id_b"), "__sh")
+        enriched = enriched.filter(F.col("__df") <= max_df)
+    # prefix length n − ⌈t·n⌉ + 1 (Xiao et al.'s form). The ε guards
+    # float dust: 0.8·35 evaluates to 28.000000000000004, whose ceil
+    # would silently shorten the prefix by one and lose true pairs
+    # (observed: 255 of 256 oracle pairs). ε only ever LENGTHENS the
+    # prefix — recall-safe by construction.
+    prefix_len = (
+        F.col("__n")
+        - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(1e-9))
+        + 1
+    )
+    prefix = (
+        enriched.withColumn("__rn", F.row_number().over(w_rank))
+        .filter(F.col("__rn") <= prefix_len)
+        .select(F.col(id_col), "__sh")
+    )
+    a = prefix.select(F.col(id_col).alias("id_a"), "__sh")
+    b = prefix.select(F.col(id_col).alias("id_b"), "__sh")
     candidates = (
         a.join(b, "__sh")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
-    sa = shingle_arrays.select(
-        F.col(id_col).alias("id_a"), F.col("__hs").alias("__sh_a")
-    )
-    sb = shingle_arrays.select(
-        F.col(id_col).alias("id_b"), F.col("__hs").alias("__sh_b")
-    )
-    n_inter = F.size(F.array_intersect(F.col("__sh_a"), F.col("__sh_b")))
+    # full distinct sets in ROW-packed array form for the exact verify;
+    # size comes free in-row
+    arrays = dedup.groupBy(id_col).agg(F.collect_list("__sh").alias("__hs"))
+    sa = arrays.select(F.col(id_col).alias("id_a"), F.col("__hs").alias("__hs_a"))
+    sb = arrays.select(F.col(id_col).alias("id_b"), F.col("__hs").alias("__hs_b"))
+    n_inter = F.size(F.array_intersect(F.col("__hs_a"), F.col("__hs_b")))
     jac = n_inter.cast("double") / (
-        F.size("__sh_a") + F.size("__sh_b") - n_inter
+        F.size("__hs_a") + F.size("__hs_b") - n_inter
     ).cast("double")
     return (
         candidates.join(sa, "id_a")
@@ -201,6 +229,26 @@ def jaccard_pairs(
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def jaccard_pairs(
+    shingle_arrays: DataFrame,
+    id_col: str,
+    threshold: float = 0.8,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard ≥ threshold, from the
+    ARRAY-form (id, shingles) relation of
+    :func:`shingle_string_arrays`. Thin adapter: explodes the arrays
+    and delegates to :func:`jaccard_pairs_rows` — one implementation,
+    identical values either way. Prefer building row-form shingles
+    directly (``shingles_exploded``) when the input isn't already in
+    arrays: the scalar construction stays in codegen, the array HOFs
+    don't."""
+    rows = shingle_arrays.select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
+    )
+    return jaccard_pairs_rows(rows, id_col, threshold, max_df)
 
 
 MINHASH_PRIME = 2147483647  # 2^31 - 1 (Mersenne), products stay < 2^63

@@ -37,6 +37,8 @@ on Spark: without it the plan grows per iteration). Two cut modes:
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -50,9 +52,21 @@ class _LineageCutter:
       RDD GC), so a multi-hour iterative job would leave one full copy
       of its state per round. :meth:`release` deletes a checkpoint's
       files once the caller knows no later round references it.
+    - every invocation checkpoints into its OWN
+      ``checkpoint_dir/cc-<uuid>`` subtree, so listing/diffing/deleting
+      can never touch another job's live checkpoint files; the whole
+      subtree is deleted on failure (:meth:`destroy`). On success the
+      final round's files stay — the returned DataFrame lazily re-reads
+      them — and the unique subtree name tells the operator's caller
+      exactly what may be reclaimed once the result is consumed.
     - ``setCheckpointDir`` mutates SparkContext-global state;
       :meth:`restore_dir` puts the previous dir back so other
       checkpoint users in the same session aren't silently redirected.
+      Two reliable-checkpoint calls OVERLAPPING on driver threads in
+      one SparkContext can still race that global and write into each
+      other's subtree — concurrent reliable-mode use within a single
+      SparkContext is unsupported (run them as separate jobs, or use
+      the default localCheckpoint mode, which touches no global state).
     """
 
     def __init__(self, edges: DataFrame, checkpoint_dir: str | None):
@@ -66,31 +80,44 @@ class _LineageCutter:
                 self._prev_dir = self._sc.getCheckpointDir()
             except Exception:
                 self._prev_dir = None
-            self._sc.setCheckpointDir(checkpoint_dir)
+            self._root = f"{checkpoint_dir.rstrip('/')}/cc-{uuid.uuid4().hex}"
+            self._sc.setCheckpointDir(self._root)
+            # Spark appends its own UUID component under the dir it is
+            # given; rdd-N dirs land under THAT, so list the resolved
+            # path (destroy() still removes our whole cc-<uuid> root)
+            self._resolved = self._sc.getCheckpointDir() or self._root
 
-    def _fs_and_root(self):
-        root = self._sc.getCheckpointDir()
+    def _fs_and_path(self, path: str):
         jvm = self._sc._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(root)
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
         fs = jpath.getFileSystem(self._sc._jsc.hadoopConfiguration())
         return fs, jpath
 
     def _list_rdd_dirs(self) -> set[str]:
         try:
-            fs, root = self._fs_and_root()
-            if not fs.exists(root):
+            fs, resolved = self._fs_and_path(self._resolved)
+            if not fs.exists(resolved):
                 return set()
-            return {st.getPath().toString() for st in fs.listStatus(root)}
+            return {st.getPath().toString() for st in fs.listStatus(resolved)}
         except Exception:
             return set()
 
-    def __call__(self, df: DataFrame) -> DataFrame:
+    def __call__(self, df: DataFrame, lazy: bool = False) -> DataFrame:
+        """Cut ``df``'s lineage. ``lazy=True`` (honored in
+        localCheckpoint mode only) defers materialization to the
+        caller's next action — an iterative loop whose round ends in a
+        convergence aggregate then runs ONE job per round (the agg
+        materializes the cached checkpoint blocks it reads) instead of
+        an eager-materialize job plus an agg job. Reliable mode stays
+        eager: the durability contract is that the round's state is on
+        stable storage before the round is considered done."""
         if not self.reliable:
-            return df.localCheckpoint()
+            return df.localCheckpoint(eager=not lazy)
         # the checkpointed RDD is not reachable from the Python
         # DataFrame (df.rdd wraps it), so attribute the rdd-N dir the
-        # eager checkpoint just wrote by diffing the checkpoint root —
-        # cuts are serialized driver-side, so the diff is exactly ours
+        # eager checkpoint just wrote by diffing the per-invocation
+        # subtree — cuts are serialized driver-side, so the diff is
+        # exactly ours
         before = self._list_rdd_dirs()
         out = df.checkpoint(eager=True)
         self._dirs[id(out)] = (out, self._list_rdd_dirs() - before)
@@ -105,11 +132,25 @@ class _LineageCutter:
             return
         _, dirs = self._dirs.pop(id(df), (None, set()))
         try:
-            fs, _ = self._fs_and_root()
+            fs, _ = self._fs_and_path(self._resolved)
             for p in dirs:
                 fs.delete(self._sc._jvm.org.apache.hadoop.fs.Path(p), True)
         except Exception:
             pass  # cleanup is best-effort; never fail the job over it
+
+    def destroy(self) -> None:
+        """Delete this invocation's ENTIRE checkpoint subtree — only
+        safe on the failure path, where no result DataFrame escapes to
+        re-read it. The subtree is private to this invocation (uuid),
+        so nothing else can be deleted by mistake."""
+        if not self.reliable:
+            return
+        try:
+            fs, root = self._fs_and_path(self._root)
+            fs.delete(root, True)
+        except Exception:
+            pass
+        self._dirs.clear()
 
     def restore_dir(self) -> None:
         if self.reliable:
@@ -149,11 +190,18 @@ def connected_components(
         # recomputed per branch
         pairs = cut(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
         both = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        both = cut(both.distinct())
+        # lazy cuts: round 0's convergence agg materializes `both` and
+        # the initial labels in the SAME job (their plans above the
+        # pairs checkpoint are one distinct each — recomputing a branch
+        # inside one job is cheaper than an eager job per table).
+        # Reliable mode stays eager inside cut(), so the release(pairs)
+        # below never outruns a durable copy of `both`.
+        both = cut(both.distinct(), lazy=True)
         labels_ck = cut(
             both.select(F.col("a").alias("id"))
             .distinct()
-            .withColumn("component", F.col("id"))
+            .withColumn("component", F.col("id")),
+            lazy=True,
         )
         cut.release(pairs)  # `both` is materialized; nothing reads pairs now
         labels = labels_ck
@@ -163,6 +211,9 @@ def connected_components(
                 .groupBy("a")
                 .agg(F.min("component").alias("nbr_min"))
             )
+            # lazy cut: the convergence agg below is the round's ONE
+            # job — it materializes the cached checkpoint blocks it
+            # reads (reliable mode stays eager inside cut())
             updated = cut(
                 labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
                 .select(
@@ -173,7 +224,8 @@ def connected_components(
                     (F.coalesce(F.col("nbr_min"), F.col("component")) < F.col("component"))
                     .cast("int")
                     .alias("changed"),
-                )
+                ),
+                lazy=True,
             )
             n_changed = updated.agg(F.sum("changed")).first()[0] or 0
             cut.release(labels_ck)  # superseded round state (durable mode)
@@ -183,6 +235,9 @@ def connected_components(
                 cut.release(both)  # result reads only its own checkpoint
                 return labels
         raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+    except BaseException:
+        cut.destroy()  # no result escapes a failed run — reclaim it all
+        raise
     finally:
         cut.restore_dir()
 
@@ -245,7 +300,10 @@ def connected_components_twophase(
 
     Convergence is detected by an order-insensitive edge-set signature
     (count + sum of xxhash64(u, v)) — one cheap aggregate per round
-    instead of a set-difference join.
+    instead of a set-difference join. The hash sum runs as
+    ``decimal(38,0)`` so it is overflow-proof: a plain LONG sum relies
+    on silent wraparound, which throws under ANSI mode (the Spark 4
+    default — this library must behave in sessions it didn't build).
     """
     cut = _lineage_cutter(edges, checkpoint_dir)
     try:
@@ -263,7 +321,7 @@ def connected_components_twophase(
         def signature(df: DataFrame) -> tuple:
             row = df.agg(
                 F.count(F.lit(1)).alias("n"),
-                F.sum(F.xxhash64("u", "v")).alias("h"),
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
             ).first()
             return (row["n"], row["h"])
 
@@ -271,10 +329,11 @@ def connected_components_twophase(
         prev_e = e
         for _ in range(max_iter):
             # one round = large-star then small-star; each is a bounded
-            # groupBy+join shuffle, so a round costs the same order as one
-            # label-propagation step
+            # groupBy+join shuffle, so a round costs the same order as
+            # one label-propagation step. Lazy cut: the signature agg is
+            # the round's one materializing job.
             e = _large_star(e)
-            e = cut(_small_star(e))
+            e = cut(_small_star(e), lazy=True)
             cut.release(prev_e)  # superseded round state (durable mode)
             prev_e = e
             sig = signature(e)
@@ -292,5 +351,8 @@ def connected_components_twophase(
             vertices.join(membership, "id", "left")
             .select("id", F.coalesce("component", "id").alias("component"))
         )
+    except BaseException:
+        cut.destroy()  # no result escapes a failed run — reclaim it all
+        raise
     finally:
         cut.restore_dir()

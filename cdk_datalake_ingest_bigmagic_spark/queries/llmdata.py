@@ -230,10 +230,12 @@ _SHINGLE_CTE = r"""
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-gram Jaccard near-dup pairs via shingle inverted index."""
+    """3-gram Jaccard near-dup pairs via shingle inverted index — the
+    codegen row-form path (scalar shingle construction + hash dedup;
+    array HOFs run interpreted and doubled the wall time)."""
     d = load(spark, sf_dir, "documents")
-    sh = dd.shingle_string_arrays(d, "doc_id", "text", n=3)
-    return dd.jaccard_pairs(sh, "doc_id", threshold=0.8).select(
+    rows = dd.shingles_exploded(d, "doc_id", "text", n=3)
+    return dd.jaccard_pairs_rows(rows, "doc_id", threshold=0.8).select(
         "id_a", "id_b", "jaccard"
     )
 
@@ -361,8 +363,8 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load(spark, sf_dir, "documents")
-    sh = dd.shingle_string_arrays(d, "doc_id", "text", n=3)
-    pairs = dd.jaccard_pairs(sh, "doc_id", threshold=0.8)
+    rows = dd.shingles_exploded(d, "doc_id", "text", n=3)
+    pairs = dd.jaccard_pairs_rows(rows, "doc_id", threshold=0.8)
     return connected_components(pairs, "id_a", "id_b")
 
 

@@ -363,8 +363,64 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     ]
     assert rdd_dirs, "no checkpoint data written"
     assert len(rdd_dirs) <= 2, f"checkpoint leak: {rdd_dirs}"
+    # every checkpoint landed in THIS invocation's private cc-<uuid>
+    # subtree, so concurrent reliable-checkpoint users can never be
+    # misattributed or have live files deleted by our cleanup
+    assert all(
+        os.path.relpath(d, ckpt).split(os.sep)[0].startswith("cc-")
+        for d in rdd_dirs
+    ), rdd_dirs
     # global checkpoint-dir state restored for other session users
     assert spark.sparkContext.getCheckpointDir() == prev_dir
+
+
+def test_connected_components_failed_run_reclaims_checkpoints(spark, tmp_path):
+    """A run that dies (non-convergence here standing in for any
+    failure) must delete its entire private checkpoint subtree — no
+    result DataFrame escapes, so nothing can re-read it, and a retrying
+    orchestrator must not accumulate dead state per attempt."""
+    import pytest
+
+    from cdk_datalake_ingest_bigmagic_spark.operators.graph import (
+        connected_components,
+    )
+
+    chain = [(i, i + 1) for i in range(12)]
+    edges = spark.createDataFrame(chain, "id_a long, id_b long")
+    ckpt = tmp_path / "cc_ckpt_fail"
+    prev_dir = spark.sparkContext.getCheckpointDir()
+    with pytest.raises(RuntimeError, match="no convergence"):
+        connected_components(edges, max_iter=2, checkpoint_dir=str(ckpt))
+    import os
+    leftovers = [
+        os.path.join(r, d)
+        for r, ds, _ in os.walk(ckpt) for d in ds if d.startswith("rdd-")
+    ]
+    assert leftovers == [], f"failed run leaked checkpoints: {leftovers}"
+    assert spark.sparkContext.getCheckpointDir() == prev_dir
+
+
+def test_twophase_signature_survives_ansi_mode(spark):
+    """The convergence signature must not rely on silent LONG overflow:
+    under ANSI mode (the Spark 4 default — this library can be called
+    from sessions it didn't configure) a wrapping SUM(xxhash64) throws
+    mid-job. 400 edges make multiple wraps statistically certain, so
+    this test fails with ArithmeticException if the decimal(38,0)
+    widening ever regresses."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.graph import (
+        connected_components_twophase,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(400)], "id_a long, id_b long"
+    )
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        cc = {r["id"]: r["component"]
+              for r in connected_components_twophase(edges).collect()}
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+    assert set(cc.values()) == {0} and len(cc) == 401
 
 
 def test_connected_components_twophase_matches_label_prop(spark):
