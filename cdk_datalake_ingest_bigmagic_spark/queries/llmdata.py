@@ -325,9 +325,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_connected_components",
-    oracle=f"""
+_CC_ORACLE = f"""
     WITH RECURSIVE {_SHINGLE_CTE},
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
@@ -351,8 +349,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT a AS id, LEAST(a, MIN(b)) AS component
     FROM reach GROUP BY a
-    """,
-)
+    """
+
+
+def _jaccard_edges(spark: SparkSession, sf_dir: str):
+    d = load(spark, sf_dir, "documents")
+    rows = dd.shingles_exploded(d, "doc_id", "text", n=3)
+    return dd.jaccard_pairs_rows(rows, "doc_id", threshold=0.8)
+
+
+@register("dedup_connected_components", oracle=_CC_ORACLE)
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → duplicate clusters: connected components by
     iterative min-label propagation over the Jaccard≥0.8 edge list
@@ -362,10 +368,25 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    d = load(spark, sf_dir, "documents")
-    rows = dd.shingles_exploded(d, "doc_id", "text", n=3)
-    pairs = dd.jaccard_pairs_rows(rows, "doc_id", threshold=0.8)
-    return connected_components(pairs, "id_a", "id_b")
+    return connected_components(_jaccard_edges(spark, sf_dir), "id_a", "id_b")
+
+
+@register("dedup_connected_components_twophase", oracle=_CC_ORACLE)
+def dedup_connected_components_twophase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Same clusters via alternating large-star/small-star contraction —
+    the O(log²) algorithm a 100-TB job runs when the graph's diameter
+    is unknown (label propagation is O(diameter) rounds). Output is
+    identical by contract, so it gates against the same transitive-
+    closure oracle as ``dedup_connected_components``."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.graph import (
+        connected_components_twophase,
+    )
+
+    return connected_components_twophase(
+        _jaccard_edges(spark, sf_dir), "id_a", "id_b"
+    )
 
 
 @register(
@@ -832,11 +853,11 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH synth AS (
       SELECT doc_id,
-             source || '@example.com' || ' call ' ||
+             coalesce(source, '') || '@example.com' || ' call ' ||
              '555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' ||
              lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0') ||
              ' ip ' || '10.0.' || (doc_id % 256)::VARCHAR || '.7' ||
-             ' ' || text AS s
+             ' ' || coalesce(text, '') AS s
       FROM documents
     )
     SELECT doc_id,
@@ -858,11 +879,15 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the query plants one email, one phone number, and one IPv4 per
     document (derived deterministically from testdata fields), then
     proves detection counts and the scrubbed output byte-for-byte (md5)
-    against the oracle. Patterns are the RE2∩Java-safe subset."""
+    against the oracle. Patterns are the RE2∩Java-safe subset.
+    ``source``/``text`` are coalesced to '' on BOTH sides so the
+    engines agree by construction even on a NULL row (concat_ws skips
+    NULL operands, SQL ``||`` propagates them — a silent divergence
+    otherwise)."""
     d = load(spark, sf_dir, "documents")
     synth = F.concat_ws(
         " ",
-        F.concat(F.col("source"), F.lit("@example.com")),
+        F.concat(F.coalesce(F.col("source"), F.lit("")), F.lit("@example.com")),
         F.lit("call"),
         F.concat(
             F.lit("555-"),
@@ -872,7 +897,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit("ip"),
         F.concat(F.lit("10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7")),
-        F.col("text"),
+        F.coalesce(F.col("text"), F.lit("")),
     )
     feats = tx.pii_features(
         d.select("doc_id", synth.alias("pii_text")), "doc_id", "pii_text"

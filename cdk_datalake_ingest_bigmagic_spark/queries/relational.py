@@ -650,8 +650,9 @@ def agg_above_customer_average(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("agg_approx_sketches")  # no oracle: sketch results are
 # engine-specific by construction (Spark HLL++ / KLL vs DuckDB's
 # algorithms differ in exact output); the driver records the weaker
-# rows-only check, and tests/test_llm_operators.py bounds the error
-# against the exact aggregates instead.
+# rows-only check. The sketch surface is nonetheless under the full
+# cross-engine gate via agg_sketch_error_bounds below, which turns the
+# deterministic error bound itself into oracle-checkable booleans.
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100-TB aggregation defaults: approx_count_distinct (HLL++,
     fixed-size sketch instead of a distinct shuffle of every key) and
@@ -671,4 +672,58 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
         .orderBy("event_type")
+    )
+
+
+@register(
+    "agg_sketch_error_bounds",
+    oracle="""
+    SELECT event_type,
+           COUNT(*)::BIGINT AS n_events,
+           COUNT(DISTINCT user_id)::BIGINT AS exact_users,
+           TRUE AS users_within_bound,
+           TRUE AS q50_within_bound,
+           TRUE AS q99_within_bound
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Puts the approximate-sketch tier under the cross-engine gate:
+    Spark's HLL++ and KLL-style sketches are engine-specific in their
+    raw values but DETERMINISTIC given the data — so the *error bound*
+    is checkable. One plan computes both tiers per event_type and emits
+    booleans; the DuckDB oracle computes the exact side and literal
+    TRUEs, so any bound violation (or grouping/count divergence)
+    hash-mismatches.
+
+    Bounds asserted: HLL++ at rsd=0.02 within ±3σ (6%); each approx
+    quantile's value between the exact quantiles at q±0.02 — the
+    accuracy parameter 10⁴ guarantees rank error ≤ n/10⁴, far inside
+    that window, and a rank window (not a value distance) is the form
+    that survives discrete/plateaued value distributions."""
+    from cdk_datalake_ingest_bigmagic_spark.queries import load as _load
+
+    e = _load(spark, sf_dir, "events")
+    g = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("__au"),
+        F.count_distinct(F.col("user_id")).alias("exact_users"),
+        F.percentile_approx("value", 0.5, 10_000).alias("__aq50"),
+        F.percentile_approx("value", 0.99, 10_000).alias("__aq99"),
+        F.expr(
+            "percentile(value, array(0.48D, 0.52D, 0.97D, 1.0D))"
+        ).alias("__eq"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    rel_err = F.abs(F.col("__au") - F.col("exact_users")) / F.col("exact_users")
+    return g.select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        (rel_err <= F.lit(0.06)).alias("users_within_bound"),
+        F.col("__aq50").between(
+            F.element_at("__eq", 1), F.element_at("__eq", 2)
+        ).alias("q50_within_bound"),
+        F.col("__aq99").between(
+            F.element_at("__eq", 3), F.element_at("__eq", 4)
+        ).alias("q99_within_bound"),
     )

@@ -1,0 +1,81 @@
+"""Mechanical enforcement of the gate-rotation invariant.
+
+The external correctness gate checks only the FIRST 50 registered
+queries (`all_queries()` order). The rotation rule
+(`queries/__init__.py::_GATE_FRONT`) promises: everything that falls
+outside the window is an unchanged green from a prior round. A
+bookkeeping slip here would let a query silently lose its correctness
+signal — these tests make the invariant fail loudly instead.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+GATE_WINDOW = 50
+
+
+def _registry():
+    from cdk_datalake_ingest_bigmagic_spark.queries import (
+        _GATE_FRONT,
+        all_oracles,
+        all_queries,
+    )
+
+    return _GATE_FRONT, all_queries(), all_oracles()
+
+
+def _green_rows() -> dict[str, list[int]]:
+    """query -> rounds with a recorded hash-match green row."""
+    greens: dict[str, list[int]] = {}
+    for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        rnd = int(path.stem.split("_r")[1])
+        for name, row in json.loads(path.read_text()).items():
+            if row.get("hash_match"):
+                greens.setdefault(name, []).append(rnd)
+    return greens
+
+
+def test_gate_front_names_exist():
+    front, queries, _ = _registry()
+    unknown = [n for n in front if n not in queries]
+    assert unknown == [], f"_GATE_FRONT names not in registry: {unknown}"
+    assert len(set(front)) == len(front), "duplicate names in _GATE_FRONT"
+
+
+def test_out_of_window_queries_have_prior_green():
+    """Every query outside the 50-slot gate window must already have a
+    green hash-match row recorded in some prior round — otherwise the
+    rotation just dropped an unproven query."""
+    _, queries, oracles = _registry()
+    names = list(queries)
+    out = names[GATE_WINDOW:]
+    greens = _green_rows()
+    # oracle-less queries get rows-only checks, never hash greens; they
+    # are exempt from the green requirement but must stay IN the window
+    # unless explicitly justified (currently none are allowed out).
+    missing = [
+        n for n in out
+        if n in oracles and n not in greens
+    ]
+    assert missing == [], (
+        "queries fell out of the gate window without any recorded "
+        f"green row: {missing}"
+    )
+    no_oracle_out = [n for n in out if n not in oracles]
+    assert no_oracle_out == [], (
+        "oracle-less (rows-only) queries must stay inside the gate "
+        f"window: {no_oracle_out}"
+    )
+
+
+def test_every_query_has_oracle_or_documented_exemption():
+    """Each registered query needs an oracle; the rows-only exemptions
+    are enumerated here so adding one is a conscious decision."""
+    _, queries, oracles = _registry()
+    exempt = {"agg_approx_sketches"}  # engine-specific sketch values;
+    # bounds gated via agg_sketch_error_bounds
+    missing = [n for n in queries if n not in oracles and n not in exempt]
+    assert missing == [], f"queries without oracle or exemption: {missing}"
