@@ -309,6 +309,81 @@ def test_runner_end_to_end_through_live_jdbc(spark, endpoint, seeded, tmp_path):
     assert log and log[0]["status"] == "SUCCESS"
 
 
+def test_failed_extract_marks_run_failed_and_keeps_watermark(
+    spark, endpoint, seeded, tmp_path
+):
+    """A mid-extract DATABASE failure must surface through the runner's
+    run-log as FAILED and must NOT advance the watermark — the
+    provisional→confirm protocol's whole point (the reference's
+    transactional watermark storage has the same contract). Staged
+    live: a healthy incremental run confirms a bookmark; then a poison
+    row (division by zero evaluated inside Derby's WHERE) makes the
+    next scan die mid-extract."""
+    import datetime
+
+    from cdk_datalake_ingest_bigmagic_spark.config.models import Catalog, ColumnSpec
+    from cdk_datalake_ingest_bigmagic_spark.plans.watermarks import WatermarkStore
+    from cdk_datalake_ingest_bigmagic_spark.runner import ProcessRunner
+
+    props = {"driver": src._DRIVERS["derby"]}
+    healthy = spark.range(1, 101).selectExpr(
+        "id AS ID", "concat('r', id) AS PAYLOAD", "cast(1 as int) AS DEN"
+    )
+    healthy.write.jdbc(
+        endpoint.jdbc_url, "APP.WMSRC", mode="overwrite", properties=props
+    )
+
+    table = TableConfig(
+        source_table="WMSRC",
+        source_schema="APP",
+        stage_table_name="wm_stage",
+        load_type="incremental",
+        partition_column="ID",
+        # evaluated by Derby per scanned row: fine while DEN=1
+        filter_exp="ID / DEN >= 0",
+        process_id="PWM",
+    )
+    catalog = Catalog(
+        tables={table.stage_table_name: table},
+        columns={"WM_STAGE": [
+            ColumnSpec("k", 0, "integer", "fn_transform_Integer(ID)", is_id=True),
+            ColumnSpec("payload", 1, "string", "fn_transform_ClearString(PAYLOAD)"),
+        ]},
+    )
+    store = WatermarkStore(spark, str(tmp_path / "_wm"))
+    runner = ProcessRunner(
+        spark=spark, catalog=catalog,
+        raw_root=str(tmp_path / "raw"), stage_root=str(tmp_path / "stage"),
+        runs_path=str(tmp_path / "_runs"),
+        watermarks=store, project="proj",
+        clock=lambda: datetime.datetime(2024, 6, 15, 12, 0, 0),
+    )
+    provider = src.jdbc_source_provider(spark, endpoint)
+
+    runs = runner.run_process("PWM", source_provider=provider)
+    assert runs[0].status == "SUCCESS", runs[0].error
+    assert store.get("proj", "wm_stage", "ID") == "100"
+
+    # new rows arrive, one of them poison: Derby throws division-by-zero
+    # while evaluating the scan's WHERE clause → genuine mid-extract
+    # database failure
+    spark.createDataFrame(
+        [(101, "r101", 1), (102, "r102", 0), (103, "r103", 1)],
+        "ID long, PAYLOAD string, DEN int",
+    ).write.jdbc(endpoint.jdbc_url, "APP.WMSRC", mode="append", properties=props)
+
+    runs = runner.run_process("PWM", source_provider=provider)
+    assert runs[0].status == "FAILED"
+    assert runs[0].error  # traceback recorded in the log row
+    # the bookmark did NOT advance: next run re-reads from 100
+    assert store.get("proj", "wm_stage", "ID") == "100"
+    # and the failure is durable in the run log, not just in memory
+    log = runner.run_log().orderBy("started_at").collect()
+    assert [r["status"] for r in log if r["table"] == "wm_stage"] == [
+        "SUCCESS", "FAILED",
+    ]
+
+
 def test_chunked_fetch_roundtrip(spark, endpoint, seeded):
     """S3: fetchsize is a reader hint, not a chunk loop — verify a
     small fetchsize still returns every row exactly once."""

@@ -196,6 +196,57 @@ def test_incremental_watermark_protocol(spark, tmp_path):
     assert ids == ["A", "B", "C", "D"]  # B landed once, not twice
 
 
+def test_failed_landing_rolls_back_provisional_watermark(spark, tmp_path):
+    """The other half of the transactional protocol: when the max probe
+    SUCCEEDS (provisional saved) but the raw landing write then fails,
+    the provisional must be rolled back — a torn load never advances
+    the bookmark, and the store's history shows provisional →
+    rolled_back, never confirmed."""
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_bigmagic_spark.plans.watermarks import WatermarkStore
+
+    inc = TableConfig(
+        source_table="inc_src",
+        stage_table_name="inc_stage",
+        load_type="incremental",
+        partition_column="seq",
+        process_id="P1",
+    )
+    catalog = Catalog(
+        tables={"inc_stage": inc},
+        columns={"INC_STAGE": [
+            ColumnSpec("k", 0, "string", "fn_transform_ClearString(id)", is_id=True),
+        ]},
+    )
+    store = WatermarkStore(spark, str(tmp_path / "_wm"))
+    runner = ProcessRunner(
+        spark=spark, catalog=catalog,
+        raw_root=str(tmp_path / "raw"), stage_root=str(tmp_path / "stage"),
+        watermarks=store, project="proj", clock=fixed_clock,
+    )
+    schema = "id string, seq int"
+    runner.extract_table(inc, spark.createDataFrame([("A", 1)], schema))
+    assert store.get("proj", "inc_stage", "seq") == "1"
+
+    # make the landing target unwritable: the raw path's parent becomes
+    # a plain FILE, so the parquet write fails after the probe ran
+    import shutil
+
+    shutil.rmtree(tmp_path / "raw")
+    (tmp_path / "raw").write_text("not a directory")
+    with pytest.raises(Exception):
+        runner.extract_table(inc, spark.createDataFrame([("B", 2)], schema))
+
+    # bookmark unchanged; history shows the txn was rolled back
+    assert store.get("proj", "inc_stage", "seq") == "1"
+    states = {
+        r["state"]
+        for r in store._read().filter(F.col("value") == "2").collect()
+    }
+    assert states == {"provisional", "rolled_back"}
+
+
 def test_warning_band_status(spark, tmp_path):
     """10–50% column failures → WARNING status (reference thresholds)."""
     t = TableConfig(source_table="w", stage_table_name="warn_stage",
