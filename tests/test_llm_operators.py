@@ -532,6 +532,13 @@ def test_dedup_zero_shuffle_plan_shape(spark):
     # of corpus size, never one per hash function
     full_plan = _plan_of(dd.minhash_lsh_pairs(docs, "doc_id", "text"))
     assert full_plan.count("Exchange") <= 8
+    # simhash end-to-end: signatures stay a pure projection (asserted
+    # above); the only exchanges the pair pipeline may add belong to
+    # the pigeonhole block join + the candidate distinct. A regression
+    # to per-bit or per-block shuffles (or an interpreted projection
+    # forcing an extra exchange) trips this cap.
+    simhash_plan = _plan_of(dd.simhash_pairs(docs, "doc_id", "text"))
+    assert simhash_plan.count("Exchange") <= 6
 
 
 def test_user_similarity_plan_is_bucketed(spark, sf_dir):
