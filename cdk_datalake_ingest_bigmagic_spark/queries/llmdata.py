@@ -325,7 +325,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CC_ORACLE = f"""
+_CC_CTES = f"""
     WITH RECURSIVE {_SHINGLE_CTE},
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
@@ -347,6 +347,9 @@ _CC_ORACLE = f"""
       UNION
       SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
     )
+    """
+
+_CC_ORACLE = _CC_CTES + """
     SELECT a AS id, LEAST(a, MIN(b)) AS component
     FROM reach GROUP BY a
     """
@@ -386,6 +389,52 @@ def dedup_connected_components_twophase(
 
     return connected_components_twophase(
         _jaccard_edges(spark, sf_dir), "id_a", "id_b"
+    )
+
+
+@register(
+    "dedup_keep_list",
+    oracle=_CC_CTES + """
+    , comp AS (
+      SELECT a AS id, LEAST(a, MIN(b)) AS component
+      FROM reach GROUP BY a
+    )
+    SELECT d.doc_id,
+           coalesce(c.component, d.doc_id) AS component,
+           (coalesce(c.component, d.doc_id) = d.doc_id) AS keep
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    """,
+)
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup decision a training-data pipeline actually
+    materializes: every document with its duplicate-cluster id and a
+    keep/drop flag (keep = the cluster's canonical member, canonical =
+    smallest doc_id, which IS the component label by construction).
+    Composes shingle → prefix-filtered Jaccard pairs → connected
+    components → left join back to the corpus.
+
+    Scale shape: the component table is pair-vertices only — orders of
+    magnitude smaller than the corpus (near-dups are the exception,
+    not the rule) — so the final left join broadcasts the labels and
+    the corpus-side scan never shuffles; singleton documents label
+    themselves via coalesce."""
+    from pyspark.sql import functions as F  # noqa: F811 (local alias)
+
+    from cdk_datalake_ingest_bigmagic_spark.operators.graph import (
+        connected_components,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    cc = connected_components(_jaccard_edges(spark, sf_dir), "id_a", "id_b")
+    labels = cc.select(F.col("id").alias("doc_id"), "component")
+    return (
+        d.select("doc_id")
+        .join(F.broadcast(labels), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component"),
+            (F.coalesce("component", "doc_id") == F.col("doc_id")).alias("keep"),
+        )
     )
 
 
