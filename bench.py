@@ -40,6 +40,9 @@ HEADLINE = [
     "text_repetition_filter",
     "text_pii_scrub",
     "contamination_ngram_overlap",
+    # round-4 addition: the prefix-filtered exact-Jaccard path (also
+    # the edge pipeline inside dedup_connected_components above)
+    "dedup_ngram_jaccard",
 ]
 
 

@@ -88,6 +88,16 @@ def main() -> None:
         from cdk_datalake_ingest_bigmagic_spark.operators import text as tx
         return tx
 
+    def _components(d):
+        from cdk_datalake_ingest_bigmagic_spark.operators.graph import (
+            connected_components,
+        )
+
+        pairs = dd.jaccard_pairs_rows(
+            dd.shingles_exploded(d, "doc_id", "text", 3), "doc_id", 0.8
+        )
+        return connected_components(pairs, "id_a", "id_b")
+
     def _contamination(docs):
         from pyspark.sql import functions as F
         from cdk_datalake_ingest_bigmagic_spark.operators.text import (
@@ -124,28 +134,37 @@ def main() -> None:
             docs, "doc_id", "text"
         )),
         "contamination": (n_docs, lambda: _contamination(docs)),
+        "jaccard": (n_docs, lambda: dd.jaccard_pairs_rows(
+            dd.shingles_exploded(docs, "doc_id", "text", 3), "doc_id", 0.8
+        )),
+        "components": (n_docs, lambda: _components(docs)),
     }
-    selected = sys.argv[3:]
+    args = sys.argv[3:]
+    # --warm: run each probe twice and report the SECOND time. Probe
+    # order is otherwise a confounder: the session's first heavy job
+    # pays JVM JIT + OS page-cache warmup, so a first-position probe
+    # reads 2-3x slower than the same work run second (measured:
+    # components-at-100x 120.7s cold-first vs 44.6s second-position).
+    # Cross-N ratio comparisons need same-position, same-warmth runs.
+    warm = "--warm" in args
+    selected = [a for a in args if not a.startswith("--")]
     if selected:
         unknown = set(selected) - set(probes)
         if unknown:
             raise SystemExit(f"unknown probes: {sorted(unknown)}")
         probes = {k: probes[k] for k in selected}
     for name, (n_items, fn) in probes.items():
-        spark.catalog.clearCache()
-        t0 = time.time()
-        rows = fn().count()
-        print(
-            json.dumps(
-                {
-                    "probe": name,
-                    "n_items": n_items,
-                    "rows": rows,
-                    "sec": round(time.time() - t0, 1),
-                    "items_per_sec": int(n_items / (time.time() - t0)),
-                }
-            )
-        )
+        record = {"probe": name, "n_items": n_items}
+        for attempt in range(2 if warm else 1):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            rows = fn().count()
+            sec = round(time.time() - t0, 1)
+            record.update(rows=rows, sec=sec,
+                          items_per_sec=int(n_items / (time.time() - t0)))
+            if attempt == 0 and warm:
+                record["cold_sec"] = sec
+        print(json.dumps(record))
 
 
 if __name__ == "__main__":
