@@ -637,6 +637,59 @@ def test_contamination_overlap_known_values(spark):
     assert from_rows == from_arrays
 
 
+def test_prefix_filter_recall_differential(spark):
+    """The prefix filter's completeness claim (any pair with Jaccard ≥
+    t shares one of each other's n−⌈t·n⌉+1 rarest shingles) checked
+    DIFFERENTIALLY: a seeded random corpus with planted near-dups, the
+    operator's output compared pair-for-pair and value-for-value
+    against a brute-force pure-Python computation, across thresholds —
+    including ones that make t·n land exactly on integers (the
+    float-dust case that silently cost a true pair before the ε
+    guard)."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(60)]
+    docs = []
+    for i in range(40):
+        base = [rng.choice(vocab) for _ in range(rng.randint(8, 25))]
+        docs.append((2 * i, " ".join(base)))
+        mutated = list(base)
+        if rng.random() < 0.6:           # plant a near-dup of varying depth
+            for _ in range(rng.randint(0, 3)):
+                mutated[rng.randrange(len(mutated))] = rng.choice(vocab)
+        docs.append((2 * i + 1, " ".join(mutated)))
+
+    def shingle_set(text, n=3):
+        ws = text.split()
+        return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+
+    sets = {i: shingle_set(t) for i, t in docs if shingle_set(t)}
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = dd.shingles_exploded(df, "doc_id", "text", n=3)
+    for threshold in (0.0, 0.5, 0.8):
+        expect = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if j >= threshold:
+                expect[(a, b)] = round(j, 6)
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dd.jaccard_pairs_rows(
+                rows, "doc_id", threshold, max_df=None
+            ).collect()
+        }
+        assert got == expect, (
+            f"t={threshold}: missing={set(expect) - set(got)} "
+            f"extra={set(got) - set(expect)}"
+        )
+
+
 def test_contamination_corpus_side_never_shuffles(spark):
     """Pin the scale fix: the exploded corpus shingle relation must
     flow straight into the broadcast benchmark join with NO exchange on
