@@ -204,13 +204,22 @@ def jaccard_pairs_rows(
     prefix = (
         enriched.withColumn("__rn", F.row_number().over(w_rank))
         .filter(F.col("__rn") <= prefix_len)
-        .select(F.col(id_col), "__sh")
+        .select(F.col(id_col), "__sh", "__n")
     )
-    a = prefix.select(F.col(id_col).alias("id_a"), "__sh")
-    b = prefix.select(F.col(id_col).alias("id_b"), "__sh")
+    a = prefix.select(F.col(id_col).alias("id_a"), "__sh", F.col("__n").alias("__na"))
+    b = prefix.select(F.col(id_col).alias("id_b"), "__sh", F.col("__n").alias("__nb"))
+    # length filter (lossless): J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so
+    # J ≥ t forces the set sizes within ratio t of each other — applied
+    # on the collision rows BEFORE the distinct, pruning mismatched-
+    # size pairs out of both the distinct and the verify (same ε guard
+    # as the prefix length: only ever widens, never drops a true pair)
     candidates = (
         a.join(b, "__sh")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("__nb") >= F.col("__na") * threshold - 1e-9)
+            & (F.col("__na") >= F.col("__nb") * threshold - 1e-9)
+        )
         .select("id_a", "id_b")
         .distinct()
     )
