@@ -56,10 +56,11 @@ from cdk_datalake_ingest_bigmagic_spark.queries import llmdata  # noqa: E402,F40
 from cdk_datalake_ingest_bigmagic_spark.queries import events  # noqa: E402,F401
 
 # The external correctness gate checks the first 50 registered queries.
-# With 74 registered (round 4: +dedup_connected_components_twophase,
-# +agg_sketch_error_bounds, +dedup_keep_list; round 3 added
+# With 75 registered (round 4: +dedup_connected_components_twophase,
+# +agg_sketch_error_bounds, +dedup_keep_list, +corpus_source_stats;
+# round 3 added
 # text_repetition_filter, text_pii_scrub, contamination_ngram_overlap,
-# agg_approx_sketches), 24 sit outside the window each round, so the
+# agg_approx_sketches), 25 sit outside the window each round, so the
 # window is ROTATED via _GATE_FRONT.
 #
 # ROTATION RULE (invariant, every round — do not regress this):
@@ -89,12 +90,13 @@ from cdk_datalake_ingest_bigmagic_spark.queries import events  # noqa: E402,F401
 #   (3) the 21 queries whose newest green row was round 1/2 (listed in
 #       VERDICT r3 "What's missing" #3) — every query's newest green
 #       is ≤2 rounds old after this window runs.
-#   The 24 falling out this round are all unchanged round-3 greens.
+#   The 25 falling out this round are all unchanged round-3 greens.
 _GATE_FRONT: list[str] = [
     # new this round
     "dedup_connected_components_twophase",
     "agg_sketch_error_bounds",
     "dedup_keep_list",
+    "corpus_source_stats",
     # changed this round
     "contamination_ngram_overlap",
     "dedup_ngram_jaccard",

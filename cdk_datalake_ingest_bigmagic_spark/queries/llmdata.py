@@ -46,6 +46,38 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_source_stats",
+    oracle=r"""
+    SELECT source,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(length(text))::BIGINT AS total_chars,
+           SUM(CASE WHEN trim(text) = '' THEN 0
+               ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT
+             AS total_words,
+           COUNT(DISTINCT md5(text))::BIGINT AS n_unique_texts,
+           COUNT(DISTINCT lang)::BIGINT AS n_langs
+    FROM documents GROUP BY source
+    """,
+)
+def corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source corpus report every training-data pipeline keeps
+    on a dashboard: volume (docs/chars/words), exact-duplicate pressure
+    (distinct md5 fingerprints vs doc count), and language spread per
+    source. One partial-aggregated groupBy — the distincts are the only
+    shuffled payload (16-byte digests and short lang codes), so the
+    report costs one pass at any corpus size."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tx.char_count(t)).cast("long").alias("total_chars"),
+        F.sum(tx.word_count(t)).cast("long").alias("total_words"),
+        F.count_distinct(F.md5(t)).alias("n_unique_texts"),
+        F.count_distinct(F.col("lang")).alias("n_langs"),
+    )
+
+
+@register(
     "text_quality_features",
     oracle=r"""
     SELECT doc_id,
