@@ -57,3 +57,72 @@ def stream_raw_to_stage(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_corpus_clean(
+    spark: SparkSession,
+    docs_path: str,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+):
+    """Incremental corpus cleaning — the continuous-crawl version of
+    ``corpus_clean_pipeline``. Each run drains exactly the document
+    files not yet seen (checkpointed file log), then per micro-batch:
+
+    1. repetition gate (Gopher-style rules; zero-shuffle projection),
+    2. PII scrub (codegen ``regexp_replace``),
+    3. exact dedup WITHIN the batch (min id per content fingerprint),
+    4. exact dedup AGAINST everything already landed (anti-join on the
+       sink's fingerprint column — at 100 TB this reads one pruned
+       column of the sink, and the anti-join build side is the batch,
+       which is small by construction in a streaming ingest),
+
+    and appends the survivors (scrubbed text + fingerprint) to the
+    sink. Run it from cron with ``available_now`` and it is exactly the
+    reference's scheduled-incremental shape; the checkpointed file log
+    replaces watermark bookkeeping.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_bigmagic_spark.operators import text as tx
+
+    schema = spark.read.parquet(docs_path).schema
+    stream = spark.readStream.schema(schema).parquet(docs_path)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        passing = (
+            tx.repetition_features(batch_df, id_col, text_col)
+            .filter(F.col("passes_repetition_filter"))
+            .select(id_col)
+        )
+        cleaned = (
+            batch_df.join(passing, id_col)
+            .withColumn(text_col, tx.scrub_pii(F.col(text_col)))
+            .withColumn("fingerprint", tx.fingerprint(F.col(text_col)))
+        )
+        w = Window.partitionBy("fingerprint").orderBy(id_col)
+        cleaned = (
+            cleaned.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        try:
+            existing = spark.read.parquet(out_path).select("fingerprint")
+        except Exception:
+            existing = None  # first batch: no sink yet
+        if existing is not None:
+            cleaned = cleaned.join(existing, "fingerprint", "left_anti")
+        cleaned.write.mode("append").parquet(out_path)
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

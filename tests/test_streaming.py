@@ -57,6 +57,51 @@ def test_streaming_incremental_merge(spark, tmp_path):
     assert got == {"A": 10, "B": 2, "C": 3}
 
 
+def test_streaming_corpus_clean_incremental(spark, tmp_path):
+    """Continuous-crawl corpus cleaning: each run drains only NEW
+    document files, gates repetition, scrubs PII, and exact-dedups both
+    within the batch and against everything already landed."""
+    from cdk_datalake_ingest_bigmagic_spark.streaming.incremental import (
+        stream_corpus_clean,
+    )
+
+    docs = str(tmp_path / "docs")
+    out = str(tmp_path / "clean")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+    boiler = " ".join(["spam ham"] * 30)  # fails the repetition gate
+
+    batch1 = spark.createDataFrame(
+        [
+            (1, "good document with mail alice@example.org inside"),
+            (2, "good document with mail alice@example.org inside"),  # in-batch dup of 1
+            (3, boiler),
+            (4, "another perfectly clean document body"),
+        ],
+        schema,
+    )
+    batch1.write.parquet(docs)
+    stream_corpus_clean(spark, docs, out, ckpt).awaitTermination()
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    # dup collapsed to min id, boilerplate dropped, email scrubbed
+    assert set(got) == {1, 4}
+    assert "<EMAIL>" in got[1] and "@" not in got[1]
+
+    batch2 = spark.createDataFrame(
+        [
+            (5, "good document with mail alice@example.org inside"),  # cross-run dup of 1
+            (6, "fresh content arriving in the second crawl"),
+        ],
+        schema,
+    )
+    batch2.write.mode("append").parquet(docs)
+    stream_corpus_clean(spark, docs, out, ckpt).awaitTermination()
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    # only the genuinely new document landed; 5's content fingerprint
+    # already exists in the sink
+    assert got == {1, 4, 6}
+
+
 def test_streaming_tumbling_matches_batch(spark, tmp_path):
     src = str(tmp_path / "events")
     rows = [
