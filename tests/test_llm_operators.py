@@ -690,6 +690,50 @@ def test_prefix_filter_recall_differential(spark):
         )
 
 
+def test_prefix_filter_threshold_grid(spark):
+    """Sweep thresholds 0.05…0.95 on one small corpus against brute
+    force: the prefix length n−⌈t·n⌉+1 and the length filter both
+    involve t·n products that can land on exact integers for SOME
+    (t, n) — the grid makes sure no combination loses a pair."""
+    import itertools
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"v{i}" for i in range(25)]
+    docs = []
+    for i in range(10):
+        base = [rng.choice(vocab) for _ in range(rng.randint(5, 15))]
+        docs.append((2 * i, " ".join(base)))
+        mutated = list(base)
+        for _ in range(rng.randint(0, 2)):
+            mutated[rng.randrange(len(mutated))] = rng.choice(vocab)
+        docs.append((2 * i + 1, " ".join(mutated)))
+
+    def shingle_set(text, n=3):
+        ws = text.split()
+        return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+
+    sets = {i: s for i, t in docs if (s := shingle_set(t))}
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = dd.shingles_exploded(df, "doc_id", "text", n=3).cache()
+    for threshold in [round(0.05 * k, 2) for k in range(1, 20)]:
+        expect = set()
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            if inter and inter / (len(sets[a]) + len(sets[b]) - inter) >= threshold:
+                expect.add((a, b))
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in dd.jaccard_pairs_rows(
+                rows, "doc_id", threshold, max_df=None
+            ).collect()
+        }
+        assert got == expect, (
+            f"t={threshold}: missing={expect - got} extra={got - expect}"
+        )
+    rows.unpersist()
+
+
 def test_contamination_corpus_side_never_shuffles(spark):
     """Pin the scale fix: the exploded corpus shingle relation must
     flow straight into the broadcast benchmark join with NO exchange on
