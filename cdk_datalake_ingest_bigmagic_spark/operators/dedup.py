@@ -168,43 +168,53 @@ def jaccard_pairs_rows(
     probability ~|shingles|²/2⁶⁵ ≈ 1e-16 per document — the values are
     the exact string-set Jaccards for any real corpus.
     """
-    from pyspark.sql import Window
-
-    # one narrow (id, hash) relation feeds the frequency table, the
-    # prefix index, and the verify arrays — cache it so shingling +
-    # hashing + per-doc dedup run once; two longs per row, so even a
-    # corpus-scale relation is cache-friendly
-    dedup = (
-        shingle_rows.select(
-            F.col(id_col), F.xxhash64("shingle").alias("__sh")
-        )
-        .dropDuplicates([id_col, "__sh"])
-        .cache()
+    # Shuffle inventory (the whole point of this shape): the exploded
+    # corpus×shingle relation crosses the network exactly THREE times —
+    # (A) the document-frequency aggregation, (B) re-keying the rows on
+    # the shingle to pick up its df, (C) ONE groupBy(id) that builds
+    # each document's rarity-sorted distinct (df, hash) set in-row
+    # (collect_set dedups, sort_array gives the global order, so the
+    # separate dropDuplicates shuffle AND the row_number window sort
+    # AND the verify-array groupBy all collapse into this single
+    # aggregation). Everything after C — prefix slice, candidate join,
+    # verify — works on per-document rows or candidate pairs.
+    rows = shingle_rows.select(
+        F.col(id_col), F.xxhash64("shingle").alias("__sh")
     )
-    dfreq = dedup.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df"))
-    # full-set size must be computed BEFORE the max_df index filter
-    # (the prefix length is defined over the whole set)
-    w_id = Window.partitionBy(id_col)
-    w_rank = Window.partitionBy(id_col).orderBy("__df", "__sh")
-    enriched = dedup.join(dfreq, "__sh").withColumn(
-        "__n", F.count(F.lit(1)).over(w_id)
+    dfreq = rows.groupBy("__sh").agg(
+        F.count_distinct(F.col(id_col)).alias("__df")
     )
+    keyed = rows.join(dfreq, "__sh")
     if max_df is not None:
-        enriched = enriched.filter(F.col("__df") <= max_df)
+        # the cap drops capped shingles from the PREFIX INDEX only; the
+        # verify still needs them, so keep the row but mark it
+        keyed = keyed.withColumn(
+            "__idx", (F.col("__df") <= max_df).cast("int")
+        )
+    else:
+        keyed = keyed.withColumn("__idx", F.lit(1))
+    docs = keyed.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_set(F.struct("__df", F.col("__sh"), "__idx"))
+        ).alias("__items")
+    ).cache()
+    n = F.size("__items")
     # prefix length n − ⌈t·n⌉ + 1 (Xiao et al.'s form). The ε guards
     # float dust: 0.8·35 evaluates to 28.000000000000004, whose ceil
     # would silently shorten the prefix by one and lose true pairs
     # (observed: 255 of 256 oracle pairs). ε only ever LENGTHENS the
     # prefix — recall-safe by construction.
     prefix_len = (
-        F.col("__n")
-        - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(1e-9))
-        + 1
-    )
+        n - F.ceil(F.lit(threshold) * n - F.lit(1e-9)) + 1
+    ).cast("int")
     prefix = (
-        enriched.withColumn("__rn", F.row_number().over(w_rank))
-        .filter(F.col("__rn") <= prefix_len)
-        .select(F.col(id_col), "__sh", "__n")
+        docs.select(
+            F.col(id_col),
+            n.alias("__n"),
+            F.explode(F.slice("__items", F.lit(1), prefix_len)).alias("__it"),
+        )
+        .filter(F.col("__it.__idx") == 1)
+        .select(F.col(id_col), F.col("__it.__sh").alias("__sh"), "__n")
     )
     a = prefix.select(F.col(id_col).alias("id_a"), "__sh", F.col("__n").alias("__na"))
     b = prefix.select(F.col(id_col).alias("id_b"), "__sh", F.col("__n").alias("__nb"))
@@ -223,9 +233,13 @@ def jaccard_pairs_rows(
         .select("id_a", "id_b")
         .distinct()
     )
-    # full distinct sets in ROW-packed array form for the exact verify;
-    # size comes free in-row
-    arrays = dedup.groupBy(id_col).agg(F.collect_list("__sh").alias("__hs"))
+    # full distinct hash sets for the exact verify, projected once per
+    # DOCUMENT from the packed items (the transform HOF runs
+    # interpreted, but over |docs| rows — never per candidate pair)
+    arrays = docs.select(
+        F.col(id_col),
+        F.transform("__items", lambda it: it["__sh"]).alias("__hs"),
+    )
     sa = arrays.select(F.col(id_col).alias("id_a"), F.col("__hs").alias("__hs_a"))
     sb = arrays.select(F.col(id_col).alias("id_b"), F.col("__hs").alias("__hs_b"))
     n_inter = F.size(F.array_intersect(F.col("__hs_a"), F.col("__hs_b")))
