@@ -1,0 +1,61 @@
+"""Scoped caching for operator-internal intermediates.
+
+Several pair pipelines cache a small per-document table (packed shingle
+sets, signatures) that multiple join branches of the SAME query read.
+For a one-shot job that cache is self-managing — the executor LRU
+evicts it. But a long-running driver composing operators (the batch
+runner, ``stream_corpus_clean``) would accumulate stale CacheManager
+entries: Spark keys cached plans in the CacheManager and never releases
+them on GC, only on ``unpersist``.
+
+``CacheScope`` makes the lifetime explicit without changing the lazy
+operator contract: the operator registers everything it caches in the
+caller's scope, and the caller releases the scope once the consuming
+ACTION (write/collect) is done::
+
+    with CacheScope() as scope:
+        pairs = minhash_lsh_pairs(df, "id", "text", scope=scope)
+        pairs.write.parquet(out)
+    # exiting unpersists every intermediate the pipeline cached
+
+Passing ``scope=None`` (the default) keeps the old behavior — cache
+retained, LRU-managed — which is right for short-lived sessions and the
+correctness-gate runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+class CacheScope:
+    """Collects DataFrames cached inside operators so the caller can
+    release them deterministically (``release()`` or context exit)."""
+
+    def __init__(self) -> None:
+        self._cached: list[DataFrame] = []
+
+    def cache(self, df: DataFrame) -> DataFrame:
+        df = df.cache()
+        self._cached.append(df)
+        return df
+
+    def release(self) -> None:
+        while self._cached:
+            df = self._cached.pop()
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped — nothing left to release
+
+    def __enter__(self) -> "CacheScope":
+        return self
+
+    def __exit__(self, *exc) -> bool:
+        self.release()
+        return False
+
+
+def scoped_cache(df: DataFrame, scope: CacheScope | None) -> DataFrame:
+    """``df.cache()``, registered in ``scope`` when one is given."""
+    return scope.cache(df) if scope is not None else df.cache()

@@ -38,6 +38,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cdk_datalake_ingest_bigmagic_spark.operators import fan_out
+from cdk_datalake_ingest_bigmagic_spark.operators.caching import (
+    CacheScope,
+    scoped_cache,
+)
 from cdk_datalake_ingest_bigmagic_spark.operators.text import (
     fingerprint,
     normalize_text,
@@ -130,6 +134,7 @@ def jaccard_pairs_rows(
     id_col: str,
     threshold: float = 0.8,
     max_df: int | None = 1000,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard ≥ threshold, from a ROW-form
     (id, shingle) relation — build it with :func:`shingles_exploded`
@@ -155,10 +160,15 @@ def jaccard_pairs_rows(
     exceeds it from the INDEX ONLY (they still count in the verify) —
     with prefix filtering this is belt-and-braces against a residual
     hot shingle in many small documents (prefix length ≥ 1 always
-    indexes a document's rarest shingle). The only pairs the cap can
-    lose are ones sharing *no* below-cap shingle, vanishingly unlikely
-    for genuinely near-duplicate documents; ``max_df=None`` disables
-    it. Precondition as for the module: run exact dedup first — a
+    indexes a document's rarest below-cap shingle). Capped shingles are
+    filtered out BEFORE the prefix slice, so they never occupy prefix
+    slots; since the prefix length is computed from the FULL set size
+    (≥ what the theorem requires for the below-cap subsets), any pair
+    whose Jaccard over below-cap shingles alone reaches the threshold
+    is still guaranteed a prefix collision. The cap can lose only pairs
+    whose similarity depends on capped (ubiquitous) shingles to reach
+    the threshold — vanishingly unlikely for genuinely near-duplicate
+    documents; ``max_df=None`` disables it. Precondition as for the module: run exact dedup first — a
     cluster of N *identical* documents has N² true pairs, which no
     candidate filter can (or should) reduce.
 
@@ -193,27 +203,48 @@ def jaccard_pairs_rows(
         )
     else:
         keyed = keyed.withColumn("__idx", F.lit(1))
-    docs = keyed.groupBy(id_col).agg(
-        F.sort_array(
-            F.collect_set(F.struct("__df", F.col("__sh"), "__idx"))
-        ).alias("__items")
-    ).cache()
+    docs = scoped_cache(
+        keyed.groupBy(id_col).agg(
+            F.sort_array(
+                F.collect_set(F.struct("__df", F.col("__sh"), "__idx"))
+            ).alias("__items")
+        ),
+        scope,
+    )
     n = F.size("__items")
-    # prefix length n − ⌈t·n⌉ + 1 (Xiao et al.'s form). The ε guards
-    # float dust: 0.8·35 evaluates to 28.000000000000004, whose ceil
-    # would silently shorten the prefix by one and lose true pairs
-    # (observed: 255 of 256 oracle pairs). ε only ever LENGTHENS the
-    # prefix — recall-safe by construction.
+    # Candidate generation prunes against t_cand = threshold − 5e-7,
+    # not threshold: the final filter (and the oracle) compare the
+    # 6-decimal ROUNDED jaccard, so a pair with true J in
+    # [threshold − 5e-7, threshold) rounds UP into the output — the
+    # lossless filters must cover that half-rounding-width window or
+    # they'd prune a pair the verify would emit.
+    t_cand = threshold - 5e-7
+    # prefix length n − ⌈t·n⌉ + 1 (Xiao et al.'s form). The extra ε
+    # guards float dust: 0.8·35 evaluates to 28.000000000000004, whose
+    # ceil would silently shorten the prefix by one and lose true pairs
+    # (observed: 255 of 256 oracle pairs). Both ε's only ever LENGTHEN
+    # the prefix — recall-safe by construction.
     prefix_len = (
-        n - F.ceil(F.lit(threshold) * n - F.lit(1e-9)) + 1
+        n - F.ceil(F.lit(t_cand) * n - F.lit(1e-9)) + 1
     ).cast("int")
+    # Capped (above-max_df) shingles are dropped BEFORE the slice, so
+    # the prefix indexes the first prefix_len BELOW-CAP shingles. With
+    # prefix_len computed from the FULL set size n (monotone in n, so
+    # ≥ the filtered-theorem requirement), any pair whose below-cap
+    # Jaccard alone reaches t_cand is guaranteed a collision — capped
+    # shingles occupying prefix slots can't mask a below-cap match.
     prefix = (
         docs.select(
             F.col(id_col),
             n.alias("__n"),
-            F.explode(F.slice("__items", F.lit(1), prefix_len)).alias("__it"),
+            F.explode(
+                F.slice(
+                    F.filter("__items", lambda it: it["__idx"] == 1),
+                    F.lit(1),
+                    prefix_len,
+                )
+            ).alias("__it"),
         )
-        .filter(F.col("__it.__idx") == 1)
         .select(F.col(id_col), F.col("__it.__sh").alias("__sh"), "__n")
     )
     a = prefix.select(F.col(id_col).alias("id_a"), "__sh", F.col("__n").alias("__na"))
@@ -221,14 +252,15 @@ def jaccard_pairs_rows(
     # length filter (lossless): J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so
     # J ≥ t forces the set sizes within ratio t of each other — applied
     # on the collision rows BEFORE the distinct, pruning mismatched-
-    # size pairs out of both the distinct and the verify (same ε guard
-    # as the prefix length: only ever widens, never drops a true pair)
+    # size pairs out of both the distinct and the verify (pruned with
+    # t_cand + the same ε guard as the prefix length: only ever widens,
+    # never drops a pair the rounded final filter would keep)
     candidates = (
         a.join(b, "__sh")
         .filter(
             (F.col("id_a") < F.col("id_b"))
-            & (F.col("__nb") >= F.col("__na") * threshold - 1e-9)
-            & (F.col("__na") >= F.col("__nb") * threshold - 1e-9)
+            & (F.col("__nb") >= F.col("__na") * t_cand - 1e-9)
+            & (F.col("__na") >= F.col("__nb") * t_cand - 1e-9)
         )
         .select("id_a", "id_b")
         .distinct()
@@ -259,6 +291,7 @@ def jaccard_pairs(
     id_col: str,
     threshold: float = 0.8,
     max_df: int | None = 1000,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard ≥ threshold, from the
     ARRAY-form (id, shingles) relation of
@@ -271,7 +304,7 @@ def jaccard_pairs(
     rows = shingle_arrays.select(
         F.col(id_col), F.explode("shingles").alias("shingle")
     )
-    return jaccard_pairs_rows(rows, id_col, threshold, max_df)
+    return jaccard_pairs_rows(rows, id_col, threshold, max_df, scope)
 
 
 MINHASH_PRIME = 2147483647  # 2^31 - 1 (Mersenne), products stay < 2^63
@@ -441,6 +474,7 @@ def minhash_lsh_pairs(
     num_bands: int = 8,
     rows_per_band: int = 4,
     threshold: float = 0.8,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pipeline: shingle → banded signatures →
     band-key bucket join → verify candidates with true Jaccard.
@@ -453,7 +487,7 @@ def minhash_lsh_pairs(
     (b=8, r=4) put the S-curve midpoint near j≈0.55: j=0.8 pairs are
     caught w.p. ≈0.99, j=0.3 pairs almost never become candidates.
     """
-    arrays = shingle_hash_arrays(df, id_col, text_col, n).cache()
+    arrays = scoped_cache(shingle_hash_arrays(df, id_col, text_col, n), scope)
     # NOT cached: the signature projection from cached arrays is pure
     # integer math — recomputing it per join side is cheaper than
     # writing 8 rows/doc through the cache
@@ -564,7 +598,11 @@ def simhash_pairs_from_signatures(
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
@@ -574,5 +612,63 @@ def simhash_pairs(
     """
     # one narrow row per document — cache so the blocked self-join
     # doesn't run the token aggregation twice
-    sig = simhash_signatures(df, id_col, text_col).cache()
+    sig = scoped_cache(simhash_signatures(df, id_col, text_col), scope)
     return simhash_pairs_from_signatures(sig, id_col, max_hamming)
+
+
+#: Broadcast ceiling for duplicate-cluster label tables. Rows are two
+#: ids (≤ ~32 bytes serialized): 8M rows ≈ 256 MB on every executor —
+#: near Spark's 8 GB broadcast-table hard limit territory once the
+#: hash relation overhead is counted, and well past the point where a
+#: shuffle join is cheaper anyway.
+DEFAULT_MAX_BROADCAST_LABELS = 8_000_000
+
+
+def attach_keep_flags(
+    corpus: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    label_id_col: str = "id",
+    component_col: str = "component",
+    max_broadcast_labels: int = DEFAULT_MAX_BROADCAST_LABELS,
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """(id, component, keep) for every corpus row, from a duplicate-
+    cluster label table (e.g. connected-components output): keep = the
+    row IS its cluster's canonical member (component = min id, which is
+    the label by CC construction); unlabeled rows are singletons and
+    keep themselves.
+
+    The join route is SIZE-GUARDED, mirroring the counted
+    ``max_index_rows`` pattern in :mod:`operators.similarity`: the label
+    table is cached and counted first (cheap — CC output is checkpoint-
+    backed), then
+
+    - ``n ≤ max_broadcast_labels``: ``F.broadcast(labels)`` — the
+      corpus side never shuffles, the common case when near-dups are
+      the exception;
+    - above the cap: plain shuffle join on the id. A web-scale corpus
+      routinely has 30–50% near-duplicate membership — billions of
+      label rows at 100 TB — and a forced broadcast there OOMs every
+      executor. The corpus is being scanned regardless, so the
+      fallback costs one shuffle of (id, component) pairs + corpus
+      ids, the plan you'd want at that size anyway.
+    """
+    lbl = scoped_cache(
+        labels.select(
+            F.col(label_id_col).alias(id_col), F.col(component_col)
+        ),
+        scope,
+    )
+    n = lbl.count()
+    right = F.broadcast(lbl) if n <= max_broadcast_labels else lbl
+    comp = F.coalesce(component_col, id_col)
+    return (
+        corpus.select(id_col)
+        .join(right, id_col, "left")
+        .select(
+            id_col,
+            comp.alias(component_col),
+            (comp == F.col(id_col)).alias("keep"),
+        )
+    )

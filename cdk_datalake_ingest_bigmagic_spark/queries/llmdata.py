@@ -443,31 +443,22 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep/drop flag (keep = the cluster's canonical member, canonical =
     smallest doc_id, which IS the component label by construction).
     Composes shingle → prefix-filtered Jaccard pairs → connected
-    components → left join back to the corpus.
-
-    Scale shape: the component table is pair-vertices only — orders of
-    magnitude smaller than the corpus (near-dups are the exception,
-    not the rule) — so the final left join broadcasts the labels and
-    the corpus-side scan never shuffles; singleton documents label
-    themselves via coalesce."""
-    from pyspark.sql import functions as F  # noqa: F811 (local alias)
-
+    components → size-guarded label join back to the corpus
+    (``attach_keep_flags``: the label table is counted first —
+    broadcast below the cap so the corpus scan never shuffles, plain
+    shuffle join above it, because a high-dup-rate corpus makes the
+    label table corpus-sized and a forced broadcast OOMs). Singleton
+    documents label themselves via coalesce."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.dedup import (
+        attach_keep_flags,
+    )
     from cdk_datalake_ingest_bigmagic_spark.operators.graph import (
         connected_components,
     )
 
     d = load(spark, sf_dir, "documents")
     cc = connected_components(_jaccard_edges(spark, sf_dir), "id_a", "id_b")
-    labels = cc.select(F.col("id").alias("doc_id"), "component")
-    return (
-        d.select("doc_id")
-        .join(F.broadcast(labels), "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("component", "doc_id").alias("component"),
-            (F.coalesce("component", "doc_id") == F.col("doc_id")).alias("keep"),
-        )
-    )
+    return attach_keep_flags(d, cc, id_col="doc_id")
 
 
 @register(

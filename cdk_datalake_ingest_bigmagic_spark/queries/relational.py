@@ -715,11 +715,18 @@ def agg_sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
     )
     rel_err = F.abs(F.col("__au") - F.col("exact_users")) / F.col("exact_users")
+    # An all-NULL user_id group has exact_users = 0: guard the division
+    # so the boolean is a defined TRUE on both engines (unguarded it
+    # yields NULL, or a divide-by-zero error under ANSI mode — either
+    # way a hash mismatch against the oracle's literal TRUE).
+    users_ok = F.when(F.col("exact_users") == 0, F.lit(True)).otherwise(
+        rel_err <= F.lit(0.06)
+    )
     return g.select(
         "event_type",
         "n_events",
         "exact_users",
-        (rel_err <= F.lit(0.06)).alias("users_within_bound"),
+        users_ok.alias("users_within_bound"),
         F.col("__aq50").between(
             F.element_at("__eq", 1), F.element_at("__eq", 2)
         ).alias("q50_within_bound"),

@@ -112,11 +112,15 @@ def stream_corpus_clean(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        try:
+        # First-batch detection is an explicit FS existence check, not a
+        # swallowed read exception: a transient FS error / corrupt
+        # footer / permission failure on an EXISTING sink must fail the
+        # batch (the checkpoint will retry it) rather than silently
+        # disable cross-run dedup and append duplicates.
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(out_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
             existing = spark.read.parquet(out_path).select("fingerprint")
-        except Exception:
-            existing = None  # first batch: no sink yet
-        if existing is not None:
             cleaned = cleaned.join(existing, "fingerprint", "left_anti")
         cleaned.write.mode("append").parquet(out_path)
 
