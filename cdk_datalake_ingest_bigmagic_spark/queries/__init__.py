@@ -56,12 +56,10 @@ from cdk_datalake_ingest_bigmagic_spark.queries import llmdata  # noqa: E402,F40
 from cdk_datalake_ingest_bigmagic_spark.queries import events  # noqa: E402,F401
 
 # The external correctness gate checks the first 50 registered queries.
-# With 75 registered (round 4: +dedup_connected_components_twophase,
-# +agg_sketch_error_bounds, +dedup_keep_list, +corpus_source_stats;
-# round 3 added
-# text_repetition_filter, text_pii_scrub, contamination_ngram_overlap,
-# agg_approx_sketches), 25 sit outside the window each round, so the
-# window is ROTATED via _GATE_FRONT.
+# With 74 registered (round 5 deregistered agg_approx_sketches — the
+# sketch tier is hash-gated via agg_sketch_error_bounds, and a
+# permanent rows-only row added no signal), 24 sit outside the window
+# each round, so the window is ROTATED via _GATE_FRONT.
 #
 # ROTATION RULE (invariant, every round — do not regress this):
 #   front = (1) every query whose implementation OR any shared operator
@@ -75,59 +73,60 @@ from cdk_datalake_ingest_bigmagic_spark.queries import events  # noqa: E402,F401
 #   tests/test_gate_rotation.py, which cross-checks the out-of-window
 #   set against green rows in the recorded CORRECTNESS_r*.json files.
 #
-# Round 4 front:
-#   (1) changed: contamination_ngram_overlap (deferred-distinct fix),
-#       dedup_ngram_jaccard + dedup_connected_components (prefix-
-#       filtered Jaccard rewrite, graph.py checkpoint/lazy-cut rework),
-#       text_pii_scrub (NULL-coalesce hardening), plus the rest of the
-#       operators/dedup.py query family out of caution (dedup_exact,
-#       dedup_minhash_lsh, dedup_simhash — their functions are
-#       diff-unchanged but share the rewritten file).
-#   (2) new this round: dedup_connected_components_twophase,
-#       agg_sketch_error_bounds (puts the sketch tier under the hash
-#       gate; agg_approx_sketches itself stays rows-only by design and
-#       is kept in-window for continuity).
-#   (3) the 21 queries whose newest green row was round 1/2 (listed in
-#       VERDICT r3 "What's missing" #3) — every query's newest green
-#       is ≤2 rounds old after this window runs.
-#   The 25 falling out this round are all unchanged round-3 greens.
+# Round 5 front:
+#   (1) changed: the operators/dedup.py query family (rounded-boundary
+#       candidate epsilon, below-cap prefix slice, CacheScope wiring,
+#       attach_keep_flags routing — dedup_exact, dedup_ngram_jaccard,
+#       dedup_minhash_lsh, dedup_simhash, dedup_keep_list, plus the CC
+#       queries whose edges come through the rewritten Jaccard path and
+#       contamination_ngram_overlap which shares the file), and
+#       agg_sketch_error_bounds (all-NULL-group division guard).
+#   (2) new this round: none yet (new queries must be added here).
+#   (3) the 25 queries whose newest green row is round 3 (listed in
+#       VERDICT r4 "Next round" #2) — every query's newest green is
+#       ≤2 rounds old after this window runs.
+#   The 24 falling out this round are all unchanged round-4 greens
+#   (staleness 1 round — enforced by tests/test_gate_rotation.py's
+#   staleness check).
 _GATE_FRONT: list[str] = [
-    # new this round
-    "dedup_connected_components_twophase",
-    "agg_sketch_error_bounds",
-    "dedup_keep_list",
-    "corpus_source_stats",
-    # changed this round
-    "contamination_ngram_overlap",
-    "dedup_ngram_jaccard",
-    "dedup_connected_components",
-    "text_pii_scrub",
-    # same-file caution re-gates (operators/dedup.py rewrite)
+    # changed this round (operators/dedup.py + sketch-bounds guard)
     "dedup_exact",
+    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    # rows-only by design, kept in-window
-    "agg_approx_sketches",
-    # least-recently gated: newest green row is round 1/2
-    "set_ops_segments",
-    "filter_antijoin_no_orders",
-    "agg_above_customer_average",
-    "dsl_clearstring",
-    "dsl_concatenate",
-    "dsl_datemagic_roundtrip",
-    "dsl_datetimemagic_roundtrip",
-    "dsl_numeric_decimal",
-    "multimodal_binary_stats",
-    "sample_hash_fraction",
-    "corpus_mix_weighted",
-    "events_tumbling_hourly",
-    "events_sliding_counts",
-    "events_sessionization",
-    "events_json_props",
-    "events_pivot_counts",
-    "events_funnel_steps",
-    "events_cohort_retention",
-    "events_zorder_key",
+    "dedup_keep_list",
+    "dedup_connected_components",
+    "dedup_connected_components_twophase",
+    "contamination_ngram_overlap",
+    "agg_sketch_error_bounds",
+    # same-file caution (queries/llmdata.py touched for keep_list)
+    "corpus_source_stats",
+    # least-recently gated: newest green row is round 3
+    "agg_exact_quantiles",
+    "corpus_clean_pipeline",
+    "dedup_embedding_cosine",
+    "dsl_bytemagic",
+    "dsl_case_mapping",
+    "dsl_case_multicolumn",
+    "dsl_date_to_string_nested",
+    "dsl_misc_functions",
+    "dsl_periodmagic",
+    "embedding_ann_ivf",
+    "embedding_ann_lsh",
+    "embedding_similarity_pairs",
+    "embedding_topk",
+    "events_asof_join",
+    "events_lag_lead_gaps",
+    "events_user_similarity",
+    "join_part_supplier_revenue",
+    "multimodal_frame_sample",
+    "text_fingerprint",
+    "text_frequent_tokens",
+    "text_language_id",
+    "text_quality_features",
+    "text_repetition_filter",
+    "text_rolling_fingerprint",
+    "text_token_stats",
 ]
 
 

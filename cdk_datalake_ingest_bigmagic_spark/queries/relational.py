@@ -647,19 +647,21 @@ def agg_above_customer_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_sketches")  # no oracle: sketch results are
-# engine-specific by construction (Spark HLL++ / KLL vs DuckDB's
-# algorithms differ in exact output); the driver records the weaker
-# rows-only check. The sketch surface is nonetheless under the full
-# cross-engine gate via agg_sketch_error_bounds below, which turns the
-# deterministic error bound itself into oracle-checkable booleans.
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100-TB aggregation defaults: approx_count_distinct (HLL++,
     fixed-size sketch instead of a distinct shuffle of every key) and
     percentile_approx (KLL-style, no per-group sort) per event_type.
-    Exact counterparts (`agg_count_guards` distincts,
-    `agg_exact_quantiles`) stay oracle-gated; this query registers the
-    sketch surface itself so a reference user gets both tiers."""
+
+    Library API, deliberately NOT in the query registry: the raw sketch
+    values are engine-specific by construction (Spark HLL++/KLL vs
+    DuckDB's algorithms differ in exact output), so a registry entry
+    could only ever get a rows-only check — pure noise once
+    ``agg_sketch_error_bounds`` below puts the same sketch surface
+    under the full cross-engine hash gate by turning the deterministic
+    error bound into oracle-checkable booleans. Exact counterparts
+    (``agg_count_guards`` distincts, ``agg_exact_quantiles``) stay
+    oracle-gated; pytest covers this function's values against exact
+    aggregation directly."""
     from cdk_datalake_ingest_bigmagic_spark.queries import load as _load
 
     e = _load(spark, sf_dir, "events")

@@ -73,9 +73,34 @@ def test_out_of_window_queries_have_prior_green():
 
 def test_every_query_has_oracle_or_documented_exemption():
     """Each registered query needs an oracle; the rows-only exemptions
-    are enumerated here so adding one is a conscious decision."""
+    are enumerated here so adding one is a conscious decision. The list
+    is EMPTY since round 5 — agg_approx_sketches (engine-specific
+    sketch values) was deregistered in favor of the hash-gated
+    agg_sketch_error_bounds."""
     _, queries, oracles = _registry()
-    exempt = {"agg_approx_sketches"}  # engine-specific sketch values;
-    # bounds gated via agg_sketch_error_bounds
+    exempt: set[str] = set()
     missing = [n for n in queries if n not in oracles and n not in exempt]
     assert missing == [], f"queries without oracle or exemption: {missing}"
+
+
+def test_out_of_window_greens_are_fresh():
+    """The staleness half of the rotation invariant: a query outside
+    the gate window must have a green row at most 2 rounds old — the
+    rotation must bring every query back before its newest green goes
+    3 rounds stale. 'Current round' = newest recorded round + 1 (this
+    round's CORRECTNESS file doesn't exist while the round runs)."""
+    _, queries, _ = _registry()
+    out = list(queries)[GATE_WINDOW:]
+    greens = _green_rows()
+    rounds = [
+        int(p.stem.split("_r")[1]) for p in REPO.glob("CORRECTNESS_r*.json")
+    ]
+    current = max(rounds) + 1
+    stale = [
+        n for n in out
+        if n in greens and max(greens[n]) < current - 2
+    ]
+    assert stale == [], (
+        f"out-of-window queries with a green older than round "
+        f"{current - 2}: {stale} — rotate them back into _GATE_FRONT"
+    )

@@ -844,10 +844,13 @@ def test_approx_sketches_bounded_error(spark):
     """The sketch aggregates have no cross-engine oracle (HLL++/KLL
     outputs are engine-specific), so the correctness evidence is an
     error bound against the exact aggregates at sf0.01."""
-    from cdk_datalake_ingest_bigmagic_spark.queries import QUERIES, load
+    from cdk_datalake_ingest_bigmagic_spark.queries import load
+    from cdk_datalake_ingest_bigmagic_spark.queries.relational import (
+        agg_approx_sketches,
+    )
 
     approx = {r["event_type"]: r for r in
-              QUERIES["agg_approx_sketches"](spark, "/root/testdata/sf0.01").collect()}
+              agg_approx_sketches(spark, "/root/testdata/sf0.01").collect()}
     exact = {r["event_type"]: r for r in
              load(spark, "/root/testdata/sf0.01", "events")
              .groupBy("event_type")
