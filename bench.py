@@ -43,6 +43,12 @@ HEADLINE = [
     # round-4 addition: the prefix-filtered exact-Jaccard path (also
     # the edge pipeline inside dedup_connected_components above)
     "dedup_ngram_jaccard",
+    # round-5 additions: the composed paths a nightly 100-TB job
+    # actually schedules — the unknown-diameter CC variant, the
+    # end-to-end keep/drop decision, and per-source corpus stats
+    "dedup_connected_components_twophase",
+    "dedup_keep_list",
+    "corpus_source_stats",
 ]
 
 

@@ -3,6 +3,35 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def barrier(df: DataFrame) -> DataFrame:
+    """Materialization barrier for in-row array pipelines: forces the
+    columns computed so far to evaluate ONCE per row before anything
+    above references them.
+
+    Why it exists: Catalyst's CollapseProject merges adjacent
+    projections by INLINING an aliased expression into every reference
+    in the consumer — and higher-order array functions always run
+    interpreted, with no common-subexpression elimination. An inlined
+    ``element_at(__w, i)`` inside a ``transform`` lambda therefore
+    re-evaluates the whole normalize/split/hash chain that builds
+    ``__w`` on EVERY element access: O(n²·regex) per document instead
+    of O(n), invisible on 50-word test docs and catastrophic on real
+    ones (measured: repetition features on 5k sf0.1 docs, single
+    partition — 48 s inlined vs 0.4 s with the barrier).
+
+    A Generate node (explode of a one-element array) is a collapse
+    boundary the optimizer keeps: the child projection materializes,
+    and consumers see a cheap bound reference. No shuffle, no cache —
+    one extra per-row copy, negligible next to the array work it
+    prevents repeating. Column pruning still works through Generate,
+    so ``count()``-style consumers stay cheap.
+    """
+    return df.withColumn("__barrier", F.explode(F.array(F.lit(1)))).drop(
+        "__barrier"
+    )
 
 
 def fan_out(df: DataFrame) -> DataFrame:

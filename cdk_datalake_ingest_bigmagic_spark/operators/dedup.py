@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cdk_datalake_ingest_bigmagic_spark.operators import fan_out
+from cdk_datalake_ingest_bigmagic_spark.operators import barrier, fan_out
 from cdk_datalake_ingest_bigmagic_spark.operators.caching import (
     CacheScope,
     scoped_cache,
@@ -70,14 +70,17 @@ def shingle_string_arrays(
     """Per-document DISTINCT word n-gram shingle set as one array
     column: (id, shingles: array<string>). Shingling and dedup happen
     in-row (transform + array_distinct) — zero shuffles. Documents
-    shorter than n words yield no rows."""
+    shorter than n words yield no rows. The ``__words`` projection is
+    pinned behind ``barrier()`` so the per-shingle ``slice`` lambda
+    reads a materialized array instead of re-tokenizing the document
+    per element (see ``operators.barrier``)."""
     words = F.split(normalize_text(F.col(text_col)), " ")
     shingles = F.expr(
         f"transform(sequence(0, size(__words) - {n}), "
         f"i -> concat_ws(' ', slice(__words, i + 1, {n})))"
     )
     return (
-        fan_out(df.select(F.col(id_col), words.alias("__words")))
+        barrier(fan_out(df.select(F.col(id_col), words.alias("__words"))))
         .filter(F.size("__words") >= n)
         .select(F.col(id_col), F.array_distinct(shingles).alias("shingles"))
     )
@@ -346,10 +349,16 @@ def shingle_hash_arrays(
     )
     # fan_out BEFORE any hashing: the md5 work must run above the
     # parallelizing exchange, so an under-partitioned scan ships raw
-    # text (small) and every core hashes its own slice
+    # text (small) and every core hashes its own slice. barrier AFTER
+    # the word-hash projection: the polynomial combine's element_at
+    # accesses must read the materialized __wh array — inlined, each
+    # access would re-run the md5-per-word transform (O(n²·md5)/doc).
     return (
-        fan_out(df.select(F.col(id_col), F.col(text_col)))
-        .select(F.col(id_col), word_hashes.alias("__wh"))
+        barrier(
+            fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+                F.col(id_col), word_hashes.alias("__wh")
+            )
+        )
         .filter(F.size("__wh") >= n)
         .select(F.col(id_col), hs.alias("hs"))
     )
@@ -403,7 +412,11 @@ def minhash_signatures(
         F.array_min(F.transform(F.col("hs"), _univ(a, b))).alias(f"h{i}")
         for i, (a, b) in enumerate(minhash_hash_params(n_hashes))
     ]
-    wide = shingle_arrays.select(F.col(id_col), *mins)
+    # barrier: each of the n_hashes minima references hs — when the
+    # input isn't already materialized (cache / aggregation output),
+    # collapse would inline the whole shingle-hash construction into
+    # every one of them (n_hashes× the shingling work)
+    wide = barrier(shingle_arrays).select(F.col(id_col), *mins)
 
     def _pack(b: int, r: int):
         lo = F.col(f"h{b * rows_per_band + r}")
@@ -517,14 +530,15 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     toks = F.filter(
         F.split(normalize_text(F.col(text_col)), " "), lambda t: t != ""
     )
-    hashed = (
-        fan_out(df.select(F.col(id_col), F.col(text_col)))
-        .select(
+    # barrier: the 32 vote folds below each reference __hs — inlined,
+    # every fold would re-tokenize and re-md5 the document (32× the
+    # signature work); materialized, they fold one in-memory array
+    hashed = barrier(
+        fan_out(df.select(F.col(id_col), F.col(text_col))).select(
             F.col(id_col),
             F.transform(toks, lambda t: token_hash64(t)).alias("__hs"),
         )
-        .filter(F.size("__hs") > 0)
-    )
+    ).filter(F.size("__hs") > 0)
     def _vote(b: int):
         return lambda acc, h: acc + F.when(
             F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1).cast("long")

@@ -184,19 +184,27 @@ def repetition_features(
     data movement, the right trade when the network is the 100-TB
     bottleneck. ``max_words`` caps the per-document work so a single
     pathological document can't stall its task.
+
+    The word and bigram arrays are pinned behind ``barrier()`` — see
+    its docstring: without it, CollapseProject inlines ``__w`` into
+    every ``element_at`` lambda access and the interpreted HOFs
+    re-tokenize the document per element (O(n²·regex), measured 50×
+    slower at realistic doc lengths).
     """
+    from cdk_datalake_ingest_bigmagic_spark.operators import barrier
+
     words = F.slice(
         F.filter(F.split(normalize_text(F.col(text_col)), " "), lambda x: x != ""),
         1,
         max_words,
     )
-    out = df.select(F.col(id_col), words.alias("__w"))
+    out = barrier(df.select(F.col(id_col), words.alias("__w")))
     w = F.col("__w")
     bigrams = F.when(F.size(w) >= 2, F.expr(
         "transform(sequence(1, size(__w) - 1), "
         "i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1)))"
     )).otherwise(F.array().cast("array<string>"))
-    out = out.withColumn("__bg", bigrams)
+    out = barrier(out.withColumn("__bg", bigrams))
     bg = F.col("__bg")
     n_w = F.size(w)
     n_bg = F.size(bg)

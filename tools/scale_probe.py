@@ -46,6 +46,50 @@ def build_replica(n: int, out: str) -> int:
     return duckdb.sql(f"SELECT count(*) FROM '{out}'").fetchone()[0]
 
 
+#: Boilerplate phrases prepended with Zipfian document frequency —
+#: phrase k lands in a ~2^-(k+1) fraction of documents, so the hottest
+#: shingles have df ≈ N/2. Uniform replicas are textually DISJOINT
+#: across replicas, so they can never exercise the Zipf head a real
+#: natural-language crawl has; this corpus stresses exactly the two
+#: full-relation shuffles in the Jaccard pipeline that hash-partition
+#: on the shingle (df-aggregation and the re-key join).
+BOILERPLATE = [
+    "terms of service apply to all content in this document please read carefully",
+    "all rights reserved unauthorized reproduction is strictly prohibited by applicable law",
+    "subscribe to our newsletter for updates and exclusive offers every single week",
+    "the opinions expressed on this page are those of the author alone",
+    "copyright notice this entire page is protected by international copyright law",
+]
+
+
+def build_skew_replica(n: int, out: str) -> int:
+    """N× replica (disjoint word suffixes, as build_replica) with
+    Zipfian boilerplate prepended: bucket = id % 1024 → phrase 0 for
+    half the corpus, phrase 1 for a quarter, ... phrase 4 for the tail.
+    Boilerplate is NOT replica-suffixed — its shingles stay hot across
+    the whole corpus at any N."""
+    import duckdb
+
+    stride = duckdb.sql(f"SELECT max(doc_id) + 1 FROM '{SRC}'").fetchone()[0]
+    cuts = [512, 768, 896, 960]
+    case = "CASE "
+    for cut, phrase in zip(cuts, BOILERPLATE[:-1]):
+        case += f"WHEN ((doc_id + {stride} * r.r) % 1024) < {cut} THEN '{phrase}' "
+    case += f"ELSE '{BOILERPLATE[-1]}' END"
+    duckdb.sql(
+        rf"""
+        COPY (
+          SELECT (doc_id + {stride} * r.r) AS doc_id,
+                 {case} || ' ' ||
+                 regexp_replace(text, '(\S+)', '\1_' || r.r, 'g') AS text,
+                 lang, source, n_chars
+          FROM '{SRC}', (SELECT unnest(range({n})) AS r) r
+        ) TO '{out}' (FORMAT PARQUET, ROW_GROUP_SIZE 100000)
+        """
+    )
+    return duckdb.sql(f"SELECT count(*) FROM '{out}'").fetchone()[0]
+
+
 def build_embedding_replica(n: int, out: str) -> int:
     """N× embeddings with a per-(replica, dim) deterministic ±1 sign
     flip: same vector norms and distribution, but copies of a vector in
@@ -75,10 +119,13 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     out = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/documents_x{n}.parquet"
     emb_out = f"/tmp/embeddings_x{n}.parquet"
+    skew_out = f"/tmp/documents_skew_x{n}.parquet"
     if not os.path.exists(out):
         build_replica(n, out)
     if not os.path.exists(emb_out):
         build_embedding_replica(n, emb_out)
+    if not os.path.exists(skew_out):
+        build_skew_replica(n, skew_out)
 
     from cdk_datalake_ingest_bigmagic_spark import get_spark
     from cdk_datalake_ingest_bigmagic_spark.operators import dedup as dd
@@ -138,7 +185,56 @@ def main() -> None:
             dd.shingles_exploded(docs, "doc_id", "text", 3), "doc_id", 0.8
         )),
         "components": (n_docs, lambda: _components(docs)),
+        # Zipf-head stress: same pipeline, corpus whose hottest shingles
+        # sit in ~half the documents (df ≈ N/2 — boilerplate, which the
+        # uniform disjoint replicas can't produce). Exercises the two
+        # shingle-hash-partitioned shuffles under deliberate key skew.
+        "jaccard_skew": (n_docs, lambda: dd.jaccard_pairs_rows(
+            dd.shingles_exploded(
+                spark.read.parquet(skew_out), "doc_id", "text", 3
+            ),
+            "doc_id", 0.8,
+        )),
+        # the composed end-to-end decision a nightly job materializes:
+        # shingle → prefix Jaccard → CC → size-guarded label join
+        "keep_list": (n_docs, lambda: dd.attach_keep_flags(
+            docs, _components(docs), id_col="doc_id"
+        )),
+        "stream_clean": (n_docs, lambda: _stream_clean(docs)),
     }
+
+    def _stream_clean(d):
+        """One AvailableNow drain of the corpus into an empty sink,
+        then a second tick over ~1% more data to exercise the
+        cross-run anti-join against the populated sink. Fresh
+        checkpoint/sink per invocation (a reused checkpoint would
+        skip already-processed files and measure nothing)."""
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from cdk_datalake_ingest_bigmagic_spark.streaming.incremental import (
+            stream_corpus_clean,
+        )
+
+        work = tempfile.mkdtemp(prefix="stream_probe_")
+        docs_dir = f"{work}/docs"
+        d.write.parquet(docs_dir)
+        stream_corpus_clean(
+            spark, docs_dir, f"{work}/out", f"{work}/ckpt"
+        ).awaitTermination()
+        d.filter(F.col("doc_id") % 100 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(10_000_000_000)
+        ).write.mode("append").parquet(docs_dir)
+        stream_corpus_clean(
+            spark, docs_dir, f"{work}/out", f"{work}/ckpt"
+        ).awaitTermination()
+        sink = spark.read.parquet(f"{work}/out")
+        n = sink.count()
+        shutil.rmtree(work, ignore_errors=True)
+        # already counted; hand the framework a frame with that count
+        return spark.range(n)
     args = sys.argv[3:]
     # --warm: run each probe twice and report the SECOND time. Probe
     # order is otherwise a confounder: the session's first heavy job
