@@ -140,12 +140,19 @@ class EndpointConfig:
     password: str = ""
     port: str = ""
 
+    #: Dialect aliases the reference's factory accepts
+    #: (``datafactory_helper.py:36-46``: 'mssql' → SQLServerHelper,
+    #: 'mariadb' → MySQLHelper) — normalized at parse time so every
+    #: downstream consumer (URL builder, driver map) sees one name.
+    _DB_TYPE_ALIASES = {"mssql": "sqlserver", "mariadb": "mysql"}
+
     @classmethod
     def from_row(cls, row: dict[str, str]) -> "EndpointConfig":
+        raw_type = (row.get("BD_TYPE") or row.get("DB_TYPE") or "sqlserver").lower()
         return cls(
             endpoint_name=row.get("ENDPOINT_NAME", ""),
             environment=row.get("ENVIRONMENT", ""),
-            db_type=(row.get("BD_TYPE") or row.get("DB_TYPE") or "sqlserver").lower(),
+            db_type=cls._DB_TYPE_ALIASES.get(raw_type, raw_type),
             server=row.get("SRC_SERVER_NAME", ""),
             db_name=row.get("SRC_DB_NAME", ""),
             username=row.get("SRC_DB_USERNAME", ""),

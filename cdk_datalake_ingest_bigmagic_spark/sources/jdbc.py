@@ -173,6 +173,24 @@ def build_scan_query(table: TableConfig) -> str:
     return sql
 
 
+def probe_sql(table: TableConfig, zero_guard: bool = True) -> str:
+    """The A1 MIN/MAX probe statement. Deliberately dialect-neutral
+    ANSI — MIN/MAX + aliased projection runs unchanged on SQL Server,
+    MySQL/MariaDB, and Oracle (the reference ships one probe per
+    dialect helper only because each wraps its own driver; the SQL
+    itself is identical across them, extract_data.py:969-995). Aliases
+    are read back POSITIONALLY because case-folding dialects (Oracle,
+    Derby) upper-case them."""
+    col = table.partition_column
+    where = f"WHERE {col} <> 0" if zero_guard else ""
+    if table.filter_exp.strip():
+        where += (" AND " if where else "WHERE ") + table.filter_exp.strip()
+    return (
+        f"SELECT MIN({col}) min_val, MAX({col}) max_val "
+        f"FROM {source_relation(table)} {where}"
+    )
+
+
 def probe_min_max(
     spark: SparkSession,
     endpoint: EndpointConfig,
@@ -186,11 +204,7 @@ def probe_min_max(
     from the bounds; it only typechecks against numeric keys, so pass
     False when the partition column is DATE/TIMESTAMP (X2 striping,
     extract_data.py:1164-1196)."""
-    col = table.partition_column
-    where = f"WHERE {col} <> 0" if zero_guard else ""
-    if table.filter_exp.strip():
-        where += (" AND " if where else "WHERE ") + table.filter_exp.strip()
-    q = f"SELECT MIN({col}) min_val, MAX({col}) max_val FROM {source_relation(table)} {where}"
+    q = probe_sql(table, zero_guard)
 
     def _probe():
         return (

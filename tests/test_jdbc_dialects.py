@@ -1,0 +1,156 @@
+"""S2 dialect coverage: generated JDBC URLs, driver classes, default
+ports, alias normalization, and probe SQL per supported dialect.
+
+The reference reaches each engine through a per-dialect helper created
+by a factory (``aje_libs/bd/helpers/datafactory_helper.py:36-53``:
+'sqlserver'/'mssql' → SQLServerHelper port 1433, 'mysql'/'mariadb' →
+MySQLHelper port 3306, 'oracle' → OracleHelper port 1521, anything
+else → ValueError). Spark replaces the drivers with one JDBC reader,
+so the dialect surface collapses to URL format + driver class + the
+probe statement; these tests pin that surface so a config written for
+the reference resolves to the same engine/host/port here. Pure-pytest
+by necessity — no live oracle/mysql exists in the environment (the
+sqlserver-shaped path is exercised live through Derby in
+``test_jdbc_live.py``).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cdk_datalake_ingest_bigmagic_spark.config.models import (
+    EndpointConfig,
+    TableConfig,
+)
+from cdk_datalake_ingest_bigmagic_spark.sources.jdbc import (
+    _DRIVERS,
+    probe_sql,
+    scan_spec_for,
+)
+
+DIALECTS = [
+    # (db_type, default_port from the reference helper, URL template,
+    #  driver class)
+    (
+        "sqlserver",
+        "1433",
+        "jdbc:sqlserver://{server}:{port};databaseName={db}",
+        "com.microsoft.sqlserver.jdbc.SQLServerDriver",
+    ),
+    (
+        "mysql",
+        "3306",
+        "jdbc:mysql://{server}:{port}/{db}",
+        "com.mysql.cj.jdbc.Driver",
+    ),
+    (
+        "oracle",
+        "1521",
+        "jdbc:oracle:thin:@{server}:{port}/{db}",
+        "oracle.jdbc.OracleDriver",
+    ),
+]
+
+
+def _endpoint(db_type: str, port: str = "") -> EndpointConfig:
+    return EndpointConfig.from_row(
+        {
+            "ENDPOINT_NAME": "E1",
+            "BD_TYPE": db_type,
+            "SRC_SERVER_NAME": "dbhost.example.internal",
+            "SRC_DB_NAME": "corpdb",
+            "SRC_DB_USERNAME": "svc",
+            "SRC_DB_PASSWORD": "pw",
+            "DB_PORT_NUMBER": port,
+        }
+    )
+
+
+@pytest.mark.parametrize("db_type,default_port,url_tpl,driver", DIALECTS)
+def test_default_port_matches_reference_helper(db_type, default_port, url_tpl, driver):
+    """Empty DB_PORT_NUMBER → the reference helper's default port
+    (sqlserver_helper 1433, mysql_helper.py:18 3306,
+    oracle_helper.py:18 1521)."""
+    ep = _endpoint(db_type)
+    assert ep.jdbc_url == url_tpl.format(
+        server="dbhost.example.internal", port=default_port, db="corpdb"
+    )
+
+
+@pytest.mark.parametrize("db_type,default_port,url_tpl,driver", DIALECTS)
+def test_explicit_port_overrides_default(db_type, default_port, url_tpl, driver):
+    ep = _endpoint(db_type, port="15000")
+    assert f":15000" in ep.jdbc_url
+    assert default_port not in ep.jdbc_url
+
+
+@pytest.mark.parametrize("db_type,default_port,url_tpl,driver", DIALECTS)
+def test_driver_class_per_dialect(db_type, default_port, url_tpl, driver):
+    assert _DRIVERS[db_type] == driver
+
+
+@pytest.mark.parametrize(
+    "alias,canonical",
+    [("mssql", "sqlserver"), ("MSSQL", "sqlserver"), ("mariadb", "mysql"), ("MariaDB", "mysql")],
+)
+def test_aliases_normalize_like_reference_factory(alias, canonical):
+    """datafactory_helper.py:36-46 treats 'mssql' as sqlserver and
+    'mariadb' as mysql; normalization happens at parse time so the URL
+    builder and driver map never see the alias."""
+    ep = _endpoint(alias)
+    assert ep.db_type == canonical
+    assert ep.jdbc_url == _endpoint(canonical).jdbc_url
+    assert _DRIVERS[ep.db_type]
+
+
+def test_unsupported_db_type_raises():
+    """Unknown engines fail loudly at URL-build time, mirroring the
+    factory's ValueError (datafactory_helper.py:52-53)."""
+    ep = _endpoint("postgres")
+    with pytest.raises(ValueError, match="unsupported db_type"):
+        _ = ep.jdbc_url
+
+
+@pytest.mark.parametrize("db_type,default_port,url_tpl,driver", DIALECTS)
+def test_scan_spec_resolves_url_and_driver(db_type, default_port, url_tpl, driver):
+    """scan_spec_for threads the dialect through to the Spark reader
+    options verbatim — the spec is the only thing read_jdbc consumes."""
+    table = TableConfig(
+        source_table="ventas",
+        stage_table_name="stg_ventas",
+        source_schema="dbo",
+        columns="a, b",
+        partition_mode="MIN_MAX",
+        partition_column="k",
+    )
+    spec = scan_spec_for(_endpoint(db_type), table, bounds=(0, 300))
+    opts = spec.options()
+    assert opts["driver"] == driver
+    assert opts["url"].startswith(url_tpl.split("{server}")[0])
+    assert opts["numPartitions"] == "30"  # X1 cap on a 300-wide key span
+
+
+def test_probe_sql_is_dialect_neutral_ansi():
+    """One ANSI MIN/MAX statement serves every dialect (the reference
+    duplicates it per helper only because each wraps its own driver —
+    extract_data.py:969-995); no dialect-specific literal formatting
+    (P8 obsolete-by-design) may creep in."""
+    table = TableConfig(
+        source_table="ventas",
+        stage_table_name="stg",
+        source_schema="dbo",
+        partition_column="folio",
+        filter_exp="estado IN (SELECT e FROM dbo.estados)",
+    )
+    sql = probe_sql(table)
+    assert sql == (
+        "SELECT MIN(folio) min_val, MAX(folio) max_val "
+        "FROM dbo.ventas WHERE folio <> 0 "
+        "AND estado IN (SELECT e FROM dbo.estados)"
+    )
+    # date/timestamp keys: the 0-sentinel guard would not typecheck
+    assert (
+        probe_sql(table, zero_guard=False)
+        == "SELECT MIN(folio) min_val, MAX(folio) max_val FROM dbo.ventas "
+        "WHERE estado IN (SELECT e FROM dbo.estados)"
+    )
