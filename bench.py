@@ -49,6 +49,11 @@ HEADLINE = [
     "dedup_connected_components_twophase",
     "dedup_keep_list",
     "corpus_source_stats",
+    # round-5 additions: chunking/packing (the step between curation
+    # and tokenizer sharding) and the token-rarity quality pass
+    "text_chunk_windows",
+    "pack_sequences",
+    "text_rare_tokens",
 ]
 
 

@@ -28,10 +28,44 @@ def barrier(df: DataFrame) -> DataFrame:
     one extra per-row copy, negligible next to the array work it
     prevents repeating. Column pruning still works through Generate,
     so ``count()``-style consumers stay cheap.
+
+    CAVEAT — the Generate blocks Project collapse but NOT filter
+    pushdown: PushPredicateThroughNonJoin pushes any predicate whose
+    references are all child outputs through a Generate, substituting
+    aliased expressions on the way down. A caller that FILTERS on a
+    column derived from the pinned arrays therefore gets the full
+    expression tree re-inlined below the barrier — the exact O(n²)
+    re-evaluation this function exists to prevent (measured: the
+    repetition-filter predicate on 1k sf0.1 docs — 2.3 s unfiltered
+    vs 134 s with the pushed filter). Columns that callers may filter
+    on must be wrapped with ``barrier_guard()``, which makes the
+    predicate reference the barrier's generator output — a reference
+    the pushdown rule refuses to move.
     """
-    return df.withColumn("__barrier", F.explode(F.array(F.lit(1)))).drop(
-        "__barrier"
+    return df.withColumn(BARRIER_COL, F.explode(F.array(F.lit(1)))).drop(
+        BARRIER_COL
     )
+
+
+BARRIER_COL = "__barrier"
+
+
+def keep_barrier(df: DataFrame) -> DataFrame:
+    """``barrier`` that RETAINS the generator-output column
+    (``BARRIER_COL``) so output columns can be wrapped with
+    ``barrier_guard``. Drop ``BARRIER_COL`` in the final select."""
+    return df.withColumn(BARRIER_COL, F.explode(F.array(F.lit(1))))
+
+
+def barrier_guard(col):
+    """Tie ``col`` to the barrier's generator output (always 1, so the
+    value is unchanged) so that a filter on the column cannot be
+    pushed below the ``keep_barrier`` Generate: the substituted
+    predicate references ``BARRIER_COL``, which is not an output of
+    the Generate's child, and PushPredicateThroughNonJoin leaves it
+    in place. Constant folding cannot remove the ``when``: the guard
+    is an attribute, not a literal, until after optimization."""
+    return F.when(F.col(BARRIER_COL) == 1, col)
 
 
 def fan_out(df: DataFrame) -> DataFrame:

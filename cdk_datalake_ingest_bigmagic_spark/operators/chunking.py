@@ -1,0 +1,139 @@
+"""Context-window chunking and sequence packing for training pipelines.
+
+Two operators a pretraining data job runs between curation and
+tokenizer sharding:
+
+- ``chunk_windows``: split each document into fixed-size token windows
+  with a configurable stride (overlapping windows when stride < chunk)
+  — the standard context-window preparation step. All in-row: one
+  tokenize, one ``sequence`` of window starts, one ``posexplode``; the
+  only data movement is the explode's row fan-out (no shuffle).
+- ``pack_sequences``: assign documents to fixed-capacity training
+  packs (sequence packing). Packing is inherently sequential, so it is
+  made scale-free by bucketing: a deterministic md5 bucket splits the
+  corpus into ``n_buckets`` independent streams, each packed by a
+  per-bucket running token total (one hash-partition shuffle, one sort
+  per bucket). At 100 TB the bucket count scales with the cluster —
+  each bucket's window state is its own partition, so no single
+  sequential packer ever sees the whole corpus.
+
+Both are pure Column expressions (JVM codegen; the token arrays sit
+behind ``operators.barrier()`` so interpreted array lambdas never
+re-tokenize per element), and both are deterministic cross-engine:
+window starts and pack ids are integer arithmetic, bucket assignment
+is the md5 idiom shared with ``operators.sampling``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.operators import barrier, fan_out
+from cdk_datalake_ingest_bigmagic_spark.operators.sampling import sample_bucket
+
+
+def chunk_windows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping fixed-size token windows per document.
+
+    Window k starts at token ``k * stride`` (0-based); every start
+    strictly below the document's token count yields a window, so the
+    last window(s) may be shorter than ``chunk`` (standard
+    sliding-window semantics — no token is dropped, and a document
+    shorter than ``chunk`` still yields its one partial window).
+    Blank/NULL documents yield no rows.
+
+    Returns (id, chunk_id, chunk_text, chunk_tokens); ``chunk_id`` is
+    the 0-based window ordinal.
+    """
+    if chunk < 1 or stride < 1:
+        raise ValueError(f"chunk and stride must be >= 1, got {chunk}/{stride}")
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    starts = F.expr(f"sequence(0, greatest(size(__words) - 1, 0), {stride})")
+    tokenized = (
+        barrier(
+            fan_out(
+                df.filter(F.trim(F.col(text_col)) != "").select(
+                    F.col(id_col), words.alias("__words")
+                )
+            )
+        )
+        .select(
+            F.col(id_col),
+            F.size("__words").alias("__n"),
+            F.col("__words"),
+            F.posexplode(starts).alias("chunk_id", "__start"),
+        )
+    )
+    return tokenized.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.expr(f"concat_ws(' ', slice(__words, __start + 1, {chunk}))").alias(
+            "chunk_text"
+        ),
+        F.least(F.lit(chunk), F.col("__n") - F.col("__start"))
+        .cast("long")
+        .alias("chunk_tokens"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    capacity: int = 256,
+    n_buckets: int = 8,
+    seed: str = "pack",
+) -> DataFrame:
+    """Capacity-quantized sequential sequence packing.
+
+    Each document lands in exactly one training pack of nominal token
+    ``capacity``. Within a bucket, documents are packed in ``id``
+    order by running token total: a document whose cumulative interval
+    ends in ``(k*capacity, (k+1)*capacity]`` joins pack ``k`` (packs
+    at bucket boundaries may overflow by at most one document — the
+    capacity-quantized approximation of first-fit, chosen because it
+    is a pure window cumsum: one shuffle, no sequential state).
+    Documents longer than ``capacity`` are token-clamped to one full
+    pack's worth. Blank/NULL documents are dropped.
+
+    ``n_buckets`` controls parallelism: each bucket is an independent
+    packer (its own window partition). Locally 8 suffices; a 100-TB
+    run raises it so every executor core packs its own stream — pack
+    identity stays deterministic for any fixed (n_buckets, seed).
+
+    Returns (id, bucket, pack_id, pack_tokens) where ``pack_tokens``
+    is the document's clamped token contribution.
+    """
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    t = F.trim(F.col(text_col))
+    n_tokens = F.when(t.isNull() | (t == ""), F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+    sized = df.select(
+        F.col(id_col),
+        (sample_bucket(F.col(id_col), seed=seed) % n_buckets).alias("bucket"),
+        F.least(n_tokens, F.lit(capacity)).cast("long").alias("pack_tokens"),
+    ).filter(F.col("pack_tokens") > 0)
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("pack_tokens").over(w)
+    # `div` is exact integer division (the `/`-then-cast route goes
+    # through double — exact only below 2^53, and this is a running
+    # corpus-wide token total)
+    return sized.withColumn("__cum", cum).select(
+        F.col(id_col),
+        F.col("bucket"),
+        F.expr(f"(__cum - 1) div {capacity}").alias("pack_id"),
+        F.col("pack_tokens"),
+    )

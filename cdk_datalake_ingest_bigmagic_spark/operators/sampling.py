@@ -15,7 +15,7 @@ The per-stratum variant broadcasts a rates table so corpus mixing
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SAMPLE_BUCKETS = 10_000  # rate resolution: 0.01%
@@ -71,4 +71,42 @@ def stratified_hash_sample(
             < F.coalesce(F.col("__threshold"), F.lit(default_threshold))
         )
         .drop("__threshold")
+    )
+
+
+def domain_cap(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    cap: int,
+    quality_col: str | None = None,
+) -> DataFrame:
+    """Per-domain document cap — the Common-Crawl-style curation rule
+    that no single domain/source may contribute more than ``cap``
+    documents to the corpus (SEO farms and boilerplate-heavy hosts
+    would otherwise dominate the mix).
+
+    Documents within a domain are ranked by ``quality_col`` descending
+    (best first) with the id as the deterministic tiebreak, and only
+    the top ``cap`` survive. One hash-partition shuffle on the domain
+    key + a per-key sort — the same movement any per-domain decision
+    needs. A pathologically hot domain makes one big sort partition;
+    if a deployment has one (one domain ≫ executor memory), cap it in
+    two stages: a coarse pre-filter with a smaller per-(domain, md5
+    salt) cap first, then this exact rank — the operator composes with
+    itself for that.
+
+    Returns the surviving rows plus ``domain_rank`` (1-based).
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    order = (
+        [F.col(quality_col).desc(), F.col(id_col).asc()]
+        if quality_col
+        else [F.col(id_col).asc()]
+    )
+    w = Window.partitionBy(domain_col).orderBy(*order)
+    return (
+        df.withColumn("domain_rank", F.row_number().over(w))
+        .filter(F.col("domain_rank") <= cap)
     )

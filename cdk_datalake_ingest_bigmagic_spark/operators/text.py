@@ -189,9 +189,18 @@ def repetition_features(
     its docstring: without it, CollapseProject inlines ``__w`` into
     every ``element_at`` lambda access and the interpreted HOFs
     re-tokenize the document per element (O(n²·regex), measured 50×
-    slower at realistic doc lengths).
+    slower at realistic doc lengths). Every output column is
+    additionally wrapped in ``barrier_guard``: callers FILTER on
+    ``passes_repetition_filter`` (the corpus-clean pipelines), and an
+    unguarded predicate would be pushed back through the Generate
+    with the full expression tree re-inlined — measured 2.3 s → 134 s
+    on 1k docs when the streaming path tripped exactly that.
     """
-    from cdk_datalake_ingest_bigmagic_spark.operators import barrier
+    from cdk_datalake_ingest_bigmagic_spark.operators import (
+        barrier,
+        barrier_guard,
+        keep_barrier,
+    )
 
     words = F.slice(
         F.filter(F.split(normalize_text(F.col(text_col)), " "), lambda x: x != ""),
@@ -204,7 +213,7 @@ def repetition_features(
         "transform(sequence(1, size(__w) - 1), "
         "i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1)))"
     )).otherwise(F.array().cast("array<string>"))
-    out = barrier(out.withColumn("__bg", bigrams))
+    out = keep_barrier(out.withColumn("__bg", bigrams))
     bg = F.col("__bg")
     n_w = F.size(w)
     n_bg = F.size(bg)
@@ -227,11 +236,11 @@ def repetition_features(
     )
     return out.select(
         F.col(id_col),
-        n_w.cast("long").alias("n_words"),
-        F.round(dup_word, 6).alias("dup_word_ratio"),
-        F.round(dup_bg, 6).alias("dup_bigram_ratio"),
-        F.round(top_bg, 6).alias("top_bigram_ratio"),
-        (
+        barrier_guard(n_w.cast("long")).alias("n_words"),
+        barrier_guard(F.round(dup_word, 6)).alias("dup_word_ratio"),
+        barrier_guard(F.round(dup_bg, 6)).alias("dup_bigram_ratio"),
+        barrier_guard(F.round(top_bg, 6)).alias("top_bigram_ratio"),
+        barrier_guard(
             (F.round(dup_word, 6) <= DUP_WORD_MAX)
             & (F.round(dup_bg, 6) <= DUP_BIGRAM_MAX)
             & ((n_bg < TOP_BIGRAM_MIN_N) | (F.round(top_bg, 6) <= TOP_BIGRAM_MAX))
@@ -313,4 +322,66 @@ def contamination_overlap(
         corpus.join(F.broadcast(bench), "shingle")
         .groupBy(id_col)
         .agg(F.count_distinct(F.col("shingle")).alias("n_overlap"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus-relative token rarity (quality proxy)
+# ---------------------------------------------------------------------------
+
+
+def token_rarity_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    rare_below: int = 3,
+) -> DataFrame:
+    """Per-document token-rarity profile against the CORPUS unigram
+    distribution — the integer-exact core of a unigram-LM quality
+    score (documents dominated by corpus-rare tokens are gibberish,
+    OCR noise, or boilerplate hashes; documents with none are
+    template spam).
+
+    Two passes over the occurrence relation (id, token):
+    corpus-wide token counts (one groupBy with map-side combine —
+    vocabulary grows sublinearly in corpus size, Heaps' law), then an
+    equi-join of occurrences to counts on the token (AQE picks
+    broadcast vs shuffle from the vocabulary's real size; Zipfian hot
+    tokens are exactly what AQE skew-split handles) and one groupBy on
+    the id.
+
+    All outputs are integers plus one single-division ratio, so the
+    result is bit-identical on any engine/partitioning — a float sum
+    of per-token log-probs would not be. (A true log-prob score is one
+    ``sum(tf * log2(cf/N))`` away from this relation; it is left out
+    of the hash-gated surface because libm log2 is not cross-engine
+    bit-stable.)
+
+    Returns (id, n_tokens, rare_tokens, rare_ratio, min_token_cf,
+    max_token_cf): occurrence counts, how many occurrences are of
+    corpus-rare tokens (corpus count < ``rare_below``), their ratio,
+    and the rarest/commonest token's corpus count.
+    """
+    t = F.lower(F.trim(F.col(text_col)))
+    occ = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col),
+            F.explode(F.split(t, r"\s+")).alias("__token"),
+        )
+    )
+    counts = occ.groupBy("__token").agg(F.count("*").alias("__cf"))
+    return (
+        occ.join(counts, "__token")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum((F.col("__cf") < rare_below).cast("long")).alias("rare_tokens"),
+            F.min("__cf").alias("min_token_cf"),
+            F.max("__cf").alias("max_token_cf"),
+        )
+        .withColumn(
+            "rare_ratio",
+            F.col("rare_tokens").cast("double") / F.col("n_tokens").cast("double"),
+        )
     )

@@ -56,10 +56,11 @@ from cdk_datalake_ingest_bigmagic_spark.queries import llmdata  # noqa: E402,F40
 from cdk_datalake_ingest_bigmagic_spark.queries import events  # noqa: E402,F401
 
 # The external correctness gate checks the first 50 registered queries.
-# With 74 registered (round 5 deregistered agg_approx_sketches — the
+# With 78 registered (round 5 deregistered agg_approx_sketches — the
 # sketch tier is hash-gated via agg_sketch_error_bounds, and a
-# permanent rows-only row added no signal), 24 sit outside the window
-# each round, so the window is ROTATED via _GATE_FRONT.
+# permanent rows-only row added no signal — and added four new
+# chunking/packing/curation queries), 28 sit outside the window each
+# round, so the window is ROTATED via _GATE_FRONT.
 #
 # ROTATION RULE (invariant, every round — do not regress this):
 #   front = (1) every query whose implementation OR any shared operator
@@ -81,7 +82,8 @@ from cdk_datalake_ingest_bigmagic_spark.queries import events  # noqa: E402,F401
 #       queries whose edges come through the rewritten Jaccard path and
 #       contamination_ngram_overlap which shares the file), and
 #       agg_sketch_error_bounds (all-NULL-group division guard).
-#   (2) new this round: none yet (new queries must be added here).
+#   (2) new this round: text_chunk_windows, pack_sequences,
+#       corpus_domain_cap, text_rare_tokens (never gated before).
 #   (3) the 25 queries whose newest green row is round 3 (listed in
 #       VERDICT r4 "Next round" #2) — every query's newest green is
 #       ≤2 rounds old after this window runs.
@@ -89,6 +91,11 @@ from cdk_datalake_ingest_bigmagic_spark.queries import events  # noqa: E402,F401
 #   (staleness 1 round — enforced by tests/test_gate_rotation.py's
 #   staleness check).
 _GATE_FRONT: list[str] = [
+    # new this round — never gated, must be in-window
+    "text_chunk_windows",
+    "pack_sequences",
+    "corpus_domain_cap",
+    "text_rare_tokens",
     # changed this round (operators/dedup.py + sketch-bounds guard)
     "dedup_exact",
     "dedup_ngram_jaccard",

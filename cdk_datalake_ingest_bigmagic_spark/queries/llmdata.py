@@ -1009,3 +1009,116 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = sh.filter(F.col("doc_id") % 50 == 0)
     corpus = sh.filter(F.col("doc_id") % 50 != 0)
     return tx.contamination_overlap(corpus, bench, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# chunking / packing / curation caps / token rarity (round 5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_chunk_windows",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+      FROM documents WHERE trim(text) <> ''
+    )
+    SELECT doc_id,
+           (s // 24) AS chunk_id,
+           array_to_string(list_slice(words, s + 1, s + 32), ' ') AS chunk_text,
+           CAST(least(32, len(words) - s) AS BIGINT) AS chunk_tokens
+    FROM w, UNNEST(range(0, len(words), 24)) AS t(s)
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 32-token windows, stride 24 (25%
+    overlap) — the step that turns curated documents into
+    training-context rows. In-row slice + posexplode; no shuffle."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.chunking import chunk_windows
+
+    d = load(spark, sf_dir, "documents")
+    return chunk_windows(d, "doc_id", "text", chunk=32, stride=24)
+
+
+@register(
+    "pack_sequences",
+    oracle=r"""
+    WITH sized AS (
+      SELECT doc_id,
+             (('0x' || substr(md5('pack|' || doc_id), 1, 7))::BIGINT % 10000) % 8
+               AS bucket,
+             least(len(string_split_regex(trim(text), '\s+')), 256) AS pack_tokens
+      FROM documents WHERE trim(text) <> ''
+    ), packed AS (
+      SELECT doc_id, bucket, pack_tokens,
+             sum(pack_tokens) OVER (
+               PARTITION BY bucket ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+             ) AS cum
+      FROM sized WHERE pack_tokens > 0
+    )
+    SELECT doc_id, bucket, (cum - 1) // 256 AS pack_id, pack_tokens FROM packed
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign every document to a fixed-capacity
+    (256-token) training pack. 8 deterministic md5 buckets, each an
+    independent window-cumsum packer — the bucketing is what keeps a
+    100-TB pack job parallel."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.chunking import pack_sequences
+
+    d = load(spark, sf_dir, "documents")
+    return pack_sequences(d, "doc_id", "text", capacity=256, n_buckets=8)
+
+
+@register(
+    "corpus_domain_cap",
+    oracle="""
+    SELECT doc_id, source, domain_rank FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+             ) AS domain_rank
+      FROM documents
+    ) WHERE domain_rank <= 20
+    """,
+)
+def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap: keep each source's 20 longest
+    documents (length as the quality proxy, id tiebreak) — the
+    anti-SEO-farm curation rule. One shuffle on the domain key."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.sampling import domain_cap
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return domain_cap(d, "doc_id", "source", cap=20, quality_col="n_chars").select(
+        "doc_id", "source", F.col("domain_rank").cast("long").alias("domain_rank")
+    )
+
+
+@register(
+    "text_rare_tokens",
+    oracle=r"""
+    WITH occ AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      FROM documents WHERE trim(text) <> ''
+    ), cf AS (
+      SELECT token, count(*) AS c FROM occ GROUP BY token
+    )
+    SELECT o.doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN cf.c < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS rare_tokens,
+           min(cf.c) AS min_token_cf,
+           max(cf.c) AS max_token_cf,
+           CAST(sum(CASE WHEN cf.c < 3 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS rare_ratio
+    FROM occ o JOIN cf USING (token)
+    GROUP BY o.doc_id
+    """,
+)
+def text_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative token rarity per document (integer-exact core
+    of a unigram-LM quality score): corpus token counts, occurrence
+    join, per-doc rare-token profile."""
+    d = load(spark, sf_dir, "documents")
+    return tx.token_rarity_features(d, "doc_id", "text", rare_below=3)

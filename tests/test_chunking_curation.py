@@ -1,0 +1,190 @@
+"""Tests for context-window chunking, sequence packing, per-domain
+caps, and token-rarity features (round-5 training-pipeline operators)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.operators.chunking import (
+    chunk_windows,
+    pack_sequences,
+)
+from cdk_datalake_ingest_bigmagic_spark.operators.sampling import domain_cap
+from cdk_datalake_ingest_bigmagic_spark.operators.text import token_rarity_features
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),  # 10 words
+        (2, "a b c"),  # shorter than one chunk
+        (3, ""),  # blank: no chunks, no pack
+        (4, None),  # NULL: same
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+# ---------------------------------------------------------------------------
+# chunk_windows
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_windows_sliding_semantics(docs):
+    out = {
+        (r["doc_id"], r["chunk_id"]): r
+        for r in chunk_windows(docs, "doc_id", "text", chunk=4, stride=3).collect()
+    }
+    # doc 1: starts 0,3,6,9 → windows of 4,4,4,1 tokens
+    assert [out[(1, i)]["chunk_tokens"] for i in range(4)] == [4, 4, 4, 1]
+    assert out[(1, 0)]["chunk_text"] == "w1 w2 w3 w4"
+    assert out[(1, 1)]["chunk_text"] == "w4 w5 w6 w7"  # 1-token overlap
+    assert out[(1, 3)]["chunk_text"] == "w10"
+    # doc 2 shorter than the chunk: one partial window
+    assert out[(2, 0)]["chunk_text"] == "a b c"
+    assert out[(2, 0)]["chunk_tokens"] == 3
+    # blank / NULL documents yield nothing
+    assert {k[0] for k in out} == {1, 2}
+
+
+def test_chunk_windows_no_token_dropped(docs):
+    """Every token of every document appears in at least one window."""
+    chunks = chunk_windows(docs, "doc_id", "text", chunk=4, stride=3)
+    covered = (
+        chunks.select(
+            "doc_id", F.explode(F.split("chunk_text", " ")).alias("tok")
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .count()
+        .collect()
+    )
+    assert {r["doc_id"]: r["count"] for r in covered} == {1: 10, 2: 3}
+
+
+def test_chunk_windows_is_shuffle_free(docs):
+    plan = chunk_windows(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan or "Exchange RoundRobinPartitioning" in plan
+
+
+def test_chunk_windows_validates_params(docs):
+    with pytest.raises(ValueError):
+        chunk_windows(docs, "doc_id", "text", chunk=0)
+    with pytest.raises(ValueError):
+        chunk_windows(docs, "doc_id", "text", stride=0)
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def sized_docs(spark):
+    # 40 docs of 7 tokens each + one 100-token doc (clamped by capacity)
+    rows = [(i, " ".join(f"t{j}" for j in range(7))) for i in range(40)]
+    rows.append((99, " ".join(f"x{j}" for j in range(100))))
+    rows.append((100, ""))
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_pack_sequences_quantized_capacity(sized_docs):
+    out = pack_sequences(
+        sized_docs, "doc_id", "text", capacity=20, n_buckets=2
+    ).collect()
+    assert {r["doc_id"] for r in out} == set(range(40)) | {99}  # blank dropped
+    by_pack: dict = {}
+    for r in out:
+        by_pack.setdefault((r["bucket"], r["pack_id"]), []).append(r["pack_tokens"])
+    # the long doc is clamped to exactly one pack's capacity
+    long_doc = [r for r in out if r["doc_id"] == 99][0]
+    assert long_doc["pack_tokens"] == 20
+    # capacity-quantized bound: a pack's total never exceeds
+    # capacity + (largest member - 1) — the boundary-doc overflow
+    for members in by_pack.values():
+        assert sum(members) <= 20 + max(members) - 1 or len(members) == 1
+    # within a bucket, pack ids are dense from 0 in doc order
+    for bucket in {r["bucket"] for r in out}:
+        ids = sorted(r["pack_id"] for r in out if r["bucket"] == bucket)
+        assert ids[0] == 0
+        assert all(b - a <= 1 for a, b in zip(ids, ids[1:]))
+
+
+def test_pack_sequences_partitioning_invariant(sized_docs):
+    a = sorted(
+        map(tuple, pack_sequences(sized_docs, "doc_id", "text", 20, 4).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            pack_sequences(
+                sized_docs.repartition(7), "doc_id", "text", 20, 4
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# domain_cap
+# ---------------------------------------------------------------------------
+
+
+def test_domain_cap_keeps_top_quality(spark):
+    rows = [
+        ("web", 1, 10),
+        ("web", 2, 30),
+        ("web", 3, 20),
+        ("web", 4, 30),  # quality tie with doc 2 → id breaks it
+        ("books", 5, 5),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, q long")
+    out = {
+        r["doc_id"]: r["domain_rank"]
+        for r in domain_cap(df, "doc_id", "source", cap=2, quality_col="q").collect()
+    }
+    # web keeps its two best (2 before 4 on the id tiebreak); books under cap
+    assert out == {2: 1, 4: 2, 5: 1}
+
+
+def test_domain_cap_without_quality_ranks_by_id(spark):
+    df = spark.createDataFrame(
+        [("s", i) for i in range(5)], "source string, doc_id long"
+    )
+    out = domain_cap(df, "doc_id", "source", cap=3).collect()
+    assert sorted(r["doc_id"] for r in out) == [0, 1, 2]
+
+
+def test_domain_cap_validates(spark):
+    df = spark.createDataFrame([("s", 1)], "source string, doc_id long")
+    with pytest.raises(ValueError):
+        domain_cap(df, "doc_id", "source", cap=0)
+
+
+# ---------------------------------------------------------------------------
+# token_rarity_features
+# ---------------------------------------------------------------------------
+
+
+def test_token_rarity_hand_check(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in token_rarity_features(df, "doc_id", "text", rare_below=2).collect()
+    }
+    # corpus counts: a=2, b=2, c=1
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["rare_tokens"] == 0
+    assert (out[1]["min_token_cf"], out[1]["max_token_cf"]) == (2, 2)
+    assert out[2]["n_tokens"] == 2
+    assert out[2]["rare_tokens"] == 1  # 'c' is corpus-rare
+    assert out[2]["rare_ratio"] == 0.5
+    assert (out[2]["min_token_cf"], out[2]["max_token_cf"]) == (1, 2)
+    assert 3 not in out  # blank docs excluded
+
+
+def test_token_rarity_case_folds(spark):
+    df = spark.createDataFrame([(1, "Word word WORD")], "doc_id long, text string")
+    row = token_rarity_features(df, "doc_id", "text", rare_below=4).collect()[0]
+    assert row["max_token_cf"] == 3  # all three fold to one token
+    assert row["rare_tokens"] == 3
