@@ -188,3 +188,57 @@ def test_token_rarity_case_folds(spark):
     row = token_rarity_features(df, "doc_id", "text", rare_below=4).collect()[0]
     assert row["max_token_cf"] == 3  # all three fold to one token
     assert row["rare_tokens"] == 3
+
+
+# ---------------------------------------------------------------------------
+# plan-shape pins (the shuffle counts the 100-TB design depends on)
+# ---------------------------------------------------------------------------
+
+
+def _plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _n_exchanges(df) -> int:
+    """Count physical Exchange nodes once (the formatted explain lists
+    every node twice: tree line + detail header)."""
+    import re
+
+    return len(re.findall(r"\(\d+\) Exchange", _plan_of(df)))
+
+
+def test_chunking_plan_shapes(spark):
+    """Pin the exchange budget of the round-5 operators: chunking is a
+    pure row-local pipeline (zero shuffles on a well-partitioned
+    input), packing and the domain cap each spend exactly their one
+    required hash-partition window shuffle."""
+    docs = spark.range(
+        0, 256, 1, numPartitions=spark.sparkContext.defaultParallelism
+    ).selectExpr(
+        "id as doc_id",
+        "concat('alpha beta gamma delta epsilon zeta eta theta ', id) as text",
+        "concat('src', id % 7) as source",
+        "length(concat('x', id)) as n_chars",
+    )
+    assert "Exchange" not in _plan_of(chunk_windows(docs, "doc_id", "text"))
+    assert _n_exchanges(pack_sequences(docs, "doc_id", "text")) == 1
+    from cdk_datalake_ingest_bigmagic_spark.operators.sampling import domain_cap
+
+    assert _n_exchanges(domain_cap(docs, "doc_id", "source", 5, "n_chars")) == 1
+
+
+def test_token_rarity_plan_shape(spark):
+    """Token rarity: corpus counts + occurrence join + per-doc agg.
+    Bounded exchange budget — the occurrence relation is shuffled at
+    most once for the join (locally the counts side broadcasts), the
+    count agg and the final per-doc agg are partial-aggregated."""
+    docs = spark.range(
+        0, 256, 1, numPartitions=spark.sparkContext.defaultParallelism
+    ).selectExpr("id as doc_id", "concat('alpha beta gamma ', id) as text")
+    assert _n_exchanges(token_rarity_features(docs, "doc_id", "text")) <= 4
