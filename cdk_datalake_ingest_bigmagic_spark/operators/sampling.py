@@ -80,6 +80,7 @@ def domain_cap(
     domain_col: str,
     cap: int,
     quality_col: str | None = None,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Per-domain document cap — the Common-Crawl-style curation rule
     that no single domain/source may contribute more than ``cap``
@@ -90,11 +91,19 @@ def domain_cap(
     (best first) with the id as the deterministic tiebreak, and only
     the top ``cap`` survive. One hash-partition shuffle on the domain
     key + a per-key sort — the same movement any per-domain decision
-    needs. A pathologically hot domain makes one big sort partition;
-    if a deployment has one (one domain ≫ executor memory), cap it in
-    two stages: a coarse pre-filter with a smaller per-(domain, md5
-    salt) cap first, then this exact rank — the operator composes with
-    itself for that.
+    needs.
+
+    A pathologically hot domain (one domain ≫ executor memory — a
+    URL-shortener or CDN host in a web crawl) makes one giant sort
+    partition. ``salt_buckets`` adds a LOSSLESS salted pre-cap stage:
+    rows are first capped at ``cap`` per (domain, md5-salt bucket) —
+    ``salt_buckets`` parallel window sorts, each seeing ~1/buckets of
+    the hot domain — before the exact global-per-domain rank runs on
+    the ≤ cap × salt_buckets survivors per domain. Lossless because a
+    row in a domain's true top-``cap`` has fewer than ``cap`` rows of
+    its own salt bucket ranked above it, so it always survives the
+    pre-cap. The exact stage's input is bounded per domain regardless
+    of how hot the domain is.
 
     Returns the surviving rows plus ``domain_rank`` (1-based).
     """
@@ -105,6 +114,17 @@ def domain_cap(
         if quality_col
         else [F.col(id_col).asc()]
     )
+    if salt_buckets is not None:
+        if salt_buckets < 1:
+            raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
+        salt = sample_bucket(F.col(id_col), seed="domain_cap_salt") % salt_buckets
+        pre = Window.partitionBy(domain_col, "__salt").orderBy(*order)
+        df = (
+            df.withColumn("__salt", salt)
+            .withColumn("__pre_rank", F.row_number().over(pre))
+            .filter(F.col("__pre_rank") <= cap)
+            .drop("__salt", "__pre_rank")
+        )
     w = Window.partitionBy(domain_col).orderBy(*order)
     return (
         df.withColumn("domain_rank", F.row_number().over(w))

@@ -242,3 +242,31 @@ def test_token_rarity_plan_shape(spark):
         0, 256, 1, numPartitions=spark.sparkContext.defaultParallelism
     ).selectExpr("id as doc_id", "concat('alpha beta gamma ', id) as text")
     assert _n_exchanges(token_rarity_features(docs, "doc_id", "text")) <= 4
+
+
+def test_domain_cap_salted_pre_cap_is_lossless(spark):
+    """The salted two-stage route must return exactly the plain
+    route's rows (the pre-cap is lossless by the rank argument in the
+    docstring) — across caps and bucket counts, including hot-domain
+    shapes where one domain holds most of the corpus."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        ("hot" if i % 10 != 9 else f"cold{i % 37}", i, rng.randrange(50))
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, q long")
+    for cap, buckets in [(1, 4), (5, 3), (20, 8)]:
+        plain = sorted(
+            map(tuple, domain_cap(df, "doc_id", "source", cap, "q").collect())
+        )
+        salted = sorted(
+            map(
+                tuple,
+                domain_cap(
+                    df, "doc_id", "source", cap, "q", salt_buckets=buckets
+                ).collect(),
+            )
+        )
+        assert salted == plain, (cap, buckets)

@@ -201,7 +201,24 @@ def main() -> None:
             docs, _components(docs), id_col="doc_id"
         )),
         "stream_clean": (n_docs, lambda: _stream_clean(docs)),
+        # round-5 operators: context-window chunking (row-local,
+        # should be scan-bound), bucketed sequence packing (one
+        # window shuffle), corpus-relative token rarity (count agg +
+        # occurrence join)
+        "chunking": (n_docs, lambda: _chunking().chunk_windows(
+            docs, "doc_id", "text", chunk=64, stride=48
+        )),
+        "packing": (n_docs, lambda: _chunking().pack_sequences(
+            docs, "doc_id", "text", capacity=2048, n_buckets=64
+        )),
+        "rare_tokens": (n_docs, lambda: _tx().token_rarity_features(
+            docs, "doc_id", "text"
+        )),
     }
+
+    def _chunking():
+        from cdk_datalake_ingest_bigmagic_spark.operators import chunking
+        return chunking
 
     def _stream_clean(d):
         """One AvailableNow drain of the corpus into an empty sink,
