@@ -56,11 +56,11 @@ from cdk_datalake_ingest_bigmagic_spark.queries import llmdata  # noqa: E402,F40
 from cdk_datalake_ingest_bigmagic_spark.queries import events  # noqa: E402,F401
 
 # The external correctness gate checks the first 50 registered queries.
-# With 78 registered (round 5 deregistered agg_approx_sketches — the
+# With 79 registered (round 5 deregistered agg_approx_sketches — the
 # sketch tier is hash-gated via agg_sketch_error_bounds, and a
-# permanent rows-only row added no signal — and added four new
-# chunking/packing/curation queries), 28 sit outside the window each
-# round, so the window is ROTATED via _GATE_FRONT.
+# permanent rows-only row added no signal — and added five new
+# chunking/packing/curation/novelty queries), 29 sit outside the
+# window each round, so the window is ROTATED via _GATE_FRONT.
 #
 # ROTATION RULE (invariant, every round — do not regress this):
 #   front = (1) every query whose implementation OR any shared operator
@@ -83,7 +83,8 @@ from cdk_datalake_ingest_bigmagic_spark.queries import events  # noqa: E402,F401
 #       contamination_ngram_overlap which shares the file), and
 #       agg_sketch_error_bounds (all-NULL-group division guard).
 #   (2) new this round: text_chunk_windows, pack_sequences,
-#       corpus_domain_cap, text_rare_tokens (never gated before).
+#       corpus_domain_cap, text_rare_tokens,
+#       dedup_incremental_novelty (never gated before).
 #   (3) the 25 queries whose newest green row is round 3 (listed in
 #       VERDICT r4 "Next round" #2) — every query's newest green is
 #       ≤2 rounds old after this window runs.
@@ -96,6 +97,7 @@ _GATE_FRONT: list[str] = [
     "pack_sequences",
     "corpus_domain_cap",
     "text_rare_tokens",
+    "dedup_incremental_novelty",
     # changed this round (operators/dedup.py + sketch-bounds guard)
     "dedup_exact",
     "dedup_ngram_jaccard",

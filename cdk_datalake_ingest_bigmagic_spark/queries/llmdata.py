@@ -1122,3 +1122,40 @@ def text_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, per-doc rare-token profile."""
     d = load(spark, sf_dir, "documents")
     return tx.token_rarity_features(d, "doc_id", "text", rare_below=3)
+
+
+@register(
+    "dedup_incremental_novelty",
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    )
+    SELECT doc_id, fingerprint FROM fp
+    WHERE doc_id % 10 = 0
+      AND fingerprint NOT IN (
+        SELECT fingerprint FROM fp WHERE doc_id % 10 <> 0
+      )
+    """,
+)
+def dedup_incremental_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-ingest novelty decision as a batch query — the
+    hash-gated twin of ``stream_corpus_clean``'s cross-run dedup (the
+    streaming path itself is exactly-once-file pytest-gated;
+    ``streaming/incremental.py:96-125``): which documents of a new
+    batch are NOT already in the landed corpus, by content
+    fingerprint. Left-anti hash join on 16-byte digests — the sink
+    side reads one pruned column at 100 TB, and the anti-join's build
+    side is the new batch, small by construction in a streaming
+    ingest."""
+    d = load(spark, sf_dir, "documents")
+    existing = d.filter(F.col("doc_id") % 10 != 0).select(
+        tx.fingerprint(F.col("text")).alias("fingerprint")
+    )
+    batch = d.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", tx.fingerprint(F.col("text")).alias("fingerprint")
+    )
+    return batch.join(existing, "fingerprint", "left_anti").select(
+        "doc_id", "fingerprint"
+    )
