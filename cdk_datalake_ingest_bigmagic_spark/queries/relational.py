@@ -736,3 +736,107 @@ def agg_sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("__eq", 3), F.element_at("__eq", 4)
         ).alias("q99_within_bound"),
     )
+
+
+@register(
+    "join_market_share",
+    oracle="""
+    WITH rev AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             n.n_name AS cust_nation,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * CAST((1 - l.l_discount) AS DECIMAL(18,2))) AS rev_dec
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT o_year, cust_nation,
+           rev_dec::DOUBLE AS revenue,
+           (rev_dec::DOUBLE
+            / (SUM(rev_dec) OVER (PARTITION BY o_year))::DOUBLE)
+             AS year_share
+    FROM rev
+    """,
+)
+def join_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market share (TPC-H Q8-flavored): each customer nation's share
+    of yearly revenue. Fact→orders→customer→nation chain — the two
+    fact-sized joins hash-partition on their keys, the nation dim
+    broadcasts — then one year-partitioned window over the tiny
+    (year × nation) aggregate. Shares divide two exact decimal sums
+    after one cast each, so the doubles are bit-identical on any
+    engine/partitioning."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(18,2)")
+    yearly = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.col("n_name").alias("cust_nation"),
+        )
+        .agg(F.sum(rev).alias("rev_dec"))
+    )
+    w = Window.partitionBy("o_year")
+    return yearly.select(
+        "o_year",
+        "cust_nation",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        (
+            F.col("rev_dec").cast("double")
+            / F.sum("rev_dec").over(w).cast("double")
+        ).alias("year_share"),
+    )
+
+
+@register(
+    "window_yearly_growth",
+    oracle="""
+    WITH yearly AS (
+      SELECT c.c_mktsegment AS mktsegment,
+             CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev_dec
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT mktsegment, o_year,
+           rev_dec::DOUBLE AS revenue,
+           (rev_dec::DOUBLE
+            - (lag(rev_dec) OVER (PARTITION BY mktsegment ORDER BY o_year))::DOUBLE)
+           / (lag(rev_dec) OVER (PARTITION BY mktsegment ORDER BY o_year))::DOUBLE
+             AS yoy_growth
+    FROM yearly
+    """,
+)
+def window_yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per market segment: decimal-exact
+    yearly sums, then a lag window on the tiny (segment × year)
+    aggregate (growth is NULL for each segment's first year). The
+    window runs after aggregation, so its sort touches dozens of rows
+    regardless of fact size."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    yearly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_dec"))
+    )
+    w = Window.partitionBy("mktsegment").orderBy("o_year")
+    prev = F.lag("rev_dec").over(w).cast("double")
+    return yearly.select(
+        "mktsegment",
+        "o_year",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        ((F.col("rev_dec").cast("double") - prev) / prev).alias("yoy_growth"),
+    )
