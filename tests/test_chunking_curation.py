@@ -270,3 +270,47 @@ def test_domain_cap_salted_pre_cap_is_lossless(spark):
             )
         )
         assert salted == plain, (cap, buckets)
+
+
+def test_chunking_packing_random_invariants(spark):
+    """Randomized invariants over one batch of messy documents
+    (varied lengths, repeated tokens, extra whitespace): at
+    stride == chunk the windows PARTITION the token sequence exactly;
+    pack assignments conserve every document and respect the
+    quantized capacity bound in every bucket."""
+    import random
+
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(30)] + ["x", "yy", "z9", "@@"]
+    rows = []
+    for i in range(200):
+        n = rng.randrange(0, 120)
+        sep = rng.choice([" ", "  ", "\t", " \n "])
+        rows.append((i, sep.join(rng.choice(vocab) for _ in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    chunk = 16
+    chunks = chunk_windows(df, "doc_id", "text", chunk=chunk, stride=chunk).collect()
+    rebuilt: dict = {}
+    for r in sorted(chunks, key=lambda r: (r["doc_id"], r["chunk_id"])):
+        rebuilt.setdefault(r["doc_id"], []).append(r["chunk_text"])
+        assert 1 <= r["chunk_tokens"] <= chunk
+    for i, text in rows:
+        toks = text.split()
+        if not toks:
+            assert i not in rebuilt
+            continue
+        assert " ".join(rebuilt[i]).split() == toks, i
+
+    cap = 64
+    packs = pack_sequences(df, "doc_id", "text", capacity=cap, n_buckets=4).collect()
+    assert {r["doc_id"] for r in packs} == {i for i, t in rows if t.split()}
+    totals: dict = {}
+    for r in packs:
+        assert 1 <= r["pack_tokens"] <= cap
+        totals.setdefault((r["bucket"], r["pack_id"]), 0)
+        totals[(r["bucket"], r["pack_id"])] += r["pack_tokens"]
+    # quantized rule: every pack's cumulative interval spans at most
+    # capacity + one boundary doc's tokens
+    for total in totals.values():
+        assert total <= 2 * cap - 1
