@@ -132,6 +132,71 @@ def shingles_exploded(
     return rows.dropDuplicates([id_col, "shingle"]) if distinct else rows
 
 
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    stride: int = 1,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated token spans — the detection core of
+    substring-level training-data dedup (the published exact-substring
+    approach builds a corpus suffix array; the distributed equivalent
+    is this hashed fixed-width span index: every ``n``-token window
+    repeated across ≥ ``min_docs`` distinct documents is flagged, with
+    its position, so a downstream pass can trim or drop the spans).
+
+    Pipeline: codegen span construction (posexplode of strided start
+    indexes + scalar ``element_at``/``concat`` — same idiom as
+    :func:`shingles_exploded`, never interpreted HOFs), md5 span keys,
+    one ``count_distinct`` aggregation on the 16-byte key, and one
+    equi-join of the occurrence relation back to the flagged keys.
+
+    Scale levers: ``stride`` thins the occurrence relation by its
+    factor (stride ≥ n/2 still overlaps every duplicated region ≥ 1.5n
+    tokens with at least one indexed span on each copy — the standard
+    volume/granularity trade); the flagged-key join side holds only
+    duplicated spans (the exception, not the rule, in a curated
+    corpus), and AQE broadcasts it when its runtime size allows.
+
+    Returns (id, span_pos, span_hash): 0-based token position of each
+    occurrence of each flagged span.
+    """
+    if n < 1 or stride < 1:
+        raise ValueError(f"n and stride must be >= 1, got {n}/{stride}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    w = fan_out(
+        df.select(F.col(id_col), words.alias("__w")).filter(F.size("__w") >= n)
+    )
+    idx = w.select(
+        F.col(id_col),
+        "__w",
+        F.explode(
+            F.sequence(F.lit(1), F.size("__w") - (n - 1), F.lit(stride))
+        ).alias("__i"),
+    )
+    parts: list = []
+    for k in range(n):
+        if k:
+            parts.append(F.lit(" "))
+        parts.append(F.element_at("__w", F.col("__i") + k))
+    occ = idx.select(
+        F.col(id_col),
+        (F.col("__i") - 1).cast("long").alias("span_pos"),
+        F.md5(F.concat(*parts)).alias("span_hash"),
+    )
+    flagged = (
+        occ.groupBy("span_hash")
+        .agg(F.count_distinct(F.col(id_col)).alias("__n_docs"))
+        .filter(F.col("__n_docs") >= min_docs)
+        .select("span_hash")
+    )
+    return occ.join(flagged, "span_hash").select(id_col, "span_pos", "span_hash")
+
+
 def jaccard_pairs_rows(
     shingle_rows: DataFrame,
     id_col: str,

@@ -1159,3 +1159,32 @@ def dedup_incremental_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch.join(existing, "fingerprint", "left_anti").select(
         "doc_id", "fingerprint"
     )
+
+
+@register(
+    "text_duplicate_spans",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+               AS words
+      FROM documents
+    ), occ AS (
+      SELECT doc_id,
+             CAST(s - 1 AS BIGINT) AS span_pos,
+             md5(array_to_string(list_slice(words, s, s + 7), ' ')) AS span_hash
+      FROM w, UNNEST(range(1, len(words) - 8 + 2, 2)) AS t(s)
+      WHERE len(words) >= 8
+    ), dup AS (
+      SELECT span_hash FROM occ
+      GROUP BY span_hash HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT doc_id, span_pos, span_hash FROM occ JOIN dup USING (span_hash)
+    """,
+)
+def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup detection: 8-token spans (stride 2)
+    repeated across ≥2 distinct documents, with positions — the spans
+    a trim pass would remove."""
+    d = load(spark, sf_dir, "documents")
+    return dd.duplicate_spans(d, "doc_id", "text", n=8, stride=2)

@@ -968,3 +968,30 @@ def test_repetition_filter_predicate_stays_above_barrier(spark):
     # the tokenizing split() must appear exactly once in the whole plan
     # (below the first barrier) — re-inlining would duplicate it
     assert plan.count("split(trim(") == 1
+
+
+def test_duplicate_spans_hand_check(spark):
+    """Two docs share one 8-token span (at different positions); a
+    third doc has no cross-document span. Flagged occurrences carry
+    0-based positions; within-doc repetition alone is not flagged."""
+    shared = "one two three four five six seven eight"
+    rows = [
+        (1, shared + " tail1 tail2"),
+        (2, "head1 head2 " + shared),
+        (3, "alpha beta gamma delta epsilon zeta eta theta"),
+        # within-doc repeat only: not cross-document
+        (4, "r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dd.duplicate_spans(df, "doc_id", "text", n=8, stride=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["span_pos"])
+    assert set(by_doc) == {1, 2}
+    assert by_doc[1] == [0]
+    assert by_doc[2] == [2]
+    hashes = {r["span_hash"] for r in out}
+    assert len(hashes) == 1  # the one shared span
+
+    with pytest.raises(ValueError):
+        dd.duplicate_spans(df, "doc_id", "text", min_docs=1)

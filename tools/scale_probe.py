@@ -214,6 +214,11 @@ def main() -> None:
         "rare_tokens": (n_docs, lambda: _tx().token_rarity_features(
             docs, "doc_id", "text"
         )),
+        # substring-level dedup detection: strided hashed span index
+        # (stride 4 = n/2, the documented volume/granularity trade)
+        "dup_spans": (n_docs, lambda: dd.duplicate_spans(
+            docs, "doc_id", "text", n=8, stride=4
+        )),
     }
 
     def _chunking():
