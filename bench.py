@@ -54,6 +54,12 @@ HEADLINE = [
     "text_chunk_windows",
     "pack_sequences",
     "text_rare_tokens",
+    # round-5 additions (second wave): substring-level dedup
+    # detection, the incremental novelty decision, and the multi-join
+    # market-share analytics path
+    "text_duplicate_spans",
+    "dedup_incremental_novelty",
+    "join_market_share",
 ]
 
 

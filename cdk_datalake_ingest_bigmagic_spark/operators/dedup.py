@@ -197,6 +197,66 @@ def duplicate_spans(
     return occ.join(flagged, "span_hash").select(id_col, "span_pos", "span_hash")
 
 
+def trim_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    spans: DataFrame,
+    n: int = 8,
+) -> DataFrame:
+    """Remove duplicated spans from documents, keeping one canonical
+    copy corpus-wide — the trim pass that consumes
+    :func:`duplicate_spans` (together they are the distributed
+    counterpart of suffix-array exact-substring dedup: repeated long
+    spans are boilerplate/licensing text that inflates loss on
+    memorized sequences).
+
+    Canonical copy per span = the occurrence with the smallest
+    (id, span_pos), kept verbatim; every other occurrence's ``n``
+    covered tokens are dropped. One min-aggregation on the span hash,
+    one per-document ``collect_list`` of drop positions (both
+    partial-aggregated, keys are 16-byte hashes / document ids), then
+    an in-row rebuild: token i survives unless some drop-start p
+    covers it (p ≤ i < p+n) — O(tokens × dropped spans) per document,
+    partition-local. Documents with nothing to drop pass through with
+    normalized text (the trim operates on the normalized token
+    stream, as the span index does).
+
+    Returns (id, text): the full corpus with trimmed text.
+    """
+    canon = spans.groupBy("span_hash").agg(
+        F.min(F.struct(F.col(id_col), F.col("span_pos"))).alias("__keep")
+    )
+    drops = (
+        spans.join(canon, "span_hash")
+        .filter(
+            (F.col(id_col) != F.col(f"__keep.{id_col}"))
+            | (F.col("span_pos") != F.col("__keep.span_pos"))
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("span_pos").alias("__drops"))
+    )
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    from cdk_datalake_ingest_bigmagic_spark.operators import barrier
+
+    tokenized = barrier(
+        df.select(F.col(id_col), words.alias("__w")).join(drops, id_col, "left")
+    )
+    kept = F.expr(
+        f"filter(sequence(1, size(__w)), i -> __drops IS NULL OR "
+        f"NOT exists(__drops, p -> i - 1 >= p AND i - 1 < p + {n}))"
+    )
+    # concat_ws coerces an all-NULL row to '' — keep NULL text NULL
+    rebuilt = F.when(
+        F.col("__w").isNotNull(),
+        F.expr("concat_ws(' ', transform(__kept, i -> element_at(__w, i)))"),
+    )
+    return (
+        barrier(tokenized.withColumn("__kept", kept))
+        .select(F.col(id_col), rebuilt.alias(text_col))
+    )
+
+
 def jaccard_pairs_rows(
     shingle_rows: DataFrame,
     id_col: str,

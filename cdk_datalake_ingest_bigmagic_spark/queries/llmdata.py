@@ -1188,3 +1188,59 @@ def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     a trim pass would remove."""
     d = load(spark, sf_dir, "documents")
     return dd.duplicate_spans(d, "doc_id", "text", n=8, stride=2)
+
+
+@register(
+    "text_span_trim",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+               AS words
+      FROM documents
+    ), occ AS (
+      SELECT doc_id,
+             CAST(s - 1 AS BIGINT) AS span_pos,
+             md5(array_to_string(list_slice(words, s, s + 7), ' ')) AS span_hash
+      FROM w, UNNEST(range(1, len(words) - 8 + 2, 2)) AS t(s)
+      WHERE len(words) >= 8
+    ), dup AS (
+      SELECT span_hash FROM occ
+      GROUP BY span_hash HAVING count(DISTINCT doc_id) >= 2
+    ), ranked AS (
+      SELECT o.doc_id, o.span_pos,
+             row_number() OVER (
+               PARTITION BY o.span_hash ORDER BY o.doc_id, o.span_pos
+             ) AS rn
+      FROM occ o JOIN dup USING (span_hash)
+    ), cov AS (
+      SELECT doc_id,
+             flatten(list_transform(list(span_pos), p -> range(p, p + 8)))
+               AS covered
+      FROM ranked WHERE rn > 1 GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           -- array_to_string([]) is NULL in DuckDB but concat_ws of an
+           -- empty row is '' in Spark: coalesce the fully-trimmed case,
+           -- keep NULL-text documents NULL
+           CASE WHEN words IS NULL THEN NULL
+                ELSE coalesce(
+                  array_to_string(
+                    list_transform(
+                      list_filter(range(0, len(words)),
+                                  i -> NOT list_contains(
+                                         coalesce(cov.covered, []::BIGINT[]), i)),
+                      i -> words[i + 1]),
+                    ' '), '') END AS text
+    FROM w LEFT JOIN cov USING (doc_id)
+    """,
+)
+def text_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end substring-level dedup: detect cross-document 8-token
+    spans (stride 2) and trim every non-canonical occurrence, keeping
+    one copy corpus-wide. Composes ``duplicate_spans`` +
+    ``trim_duplicate_spans``; output is the full corpus with
+    normalized, trimmed text."""
+    d = load(spark, sf_dir, "documents")
+    spans = dd.duplicate_spans(d, "doc_id", "text", n=8, stride=2)
+    return dd.trim_duplicate_spans(d, "doc_id", "text", spans, n=8)

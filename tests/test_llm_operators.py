@@ -995,3 +995,25 @@ def test_duplicate_spans_hand_check(spark):
 
     with pytest.raises(ValueError):
         dd.duplicate_spans(df, "doc_id", "text", min_docs=1)
+
+
+def test_trim_duplicate_spans_keeps_one_canonical_copy(spark):
+    """The trim pass removes every non-canonical occurrence's covered
+    tokens: doc 1 (smallest id/pos) keeps the shared span verbatim,
+    doc 2 loses exactly those 8 tokens, untouched docs pass through
+    normalized."""
+    shared = "one two three four five six seven eight"
+    rows = [
+        (1, shared + " tail1 tail2"),
+        (2, "head1 head2 " + shared + " tail3"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = dd.duplicate_spans(df, "doc_id", "text", n=8, stride=1)
+    out = {
+        r["doc_id"]: r["text"]
+        for r in dd.trim_duplicate_spans(df, "doc_id", "text", spans, n=8).collect()
+    }
+    assert out[1] == shared + " tail1 tail2"
+    assert out[2] == "head1 head2 tail3"
+    assert out[3] == "alpha beta gamma delta epsilon zeta eta theta"
