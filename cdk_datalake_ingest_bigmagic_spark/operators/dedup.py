@@ -34,7 +34,7 @@ Run ``exact_duplicates`` / ``dropDuplicates`` first on raw crawls.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cdk_datalake_ingest_bigmagic_spark.operators import barrier, fan_out
@@ -213,26 +213,25 @@ def trim_duplicate_spans(
 
     Canonical copy per span = the occurrence with the smallest
     (id, span_pos), kept verbatim; every other occurrence's ``n``
-    covered tokens are dropped. One min-aggregation on the span hash,
-    one per-document ``collect_list`` of drop positions (both
-    partial-aggregated, keys are 16-byte hashes / document ids), then
-    an in-row rebuild: token i survives unless some drop-start p
-    covers it (p ≤ i < p+n) — O(tokens × dropped spans) per document,
-    partition-local. Documents with nothing to drop pass through with
-    normalized text (the trim operates on the normalized token
-    stream, as the span index does).
+    covered tokens are dropped. Non-canonical occurrences come from
+    ONE ``row_number`` window over the span hash — deliberately not a
+    min-agg + self-join, which would reference (and therefore
+    re-execute) the whole detection subtree twice — then a
+    per-document ``collect_set`` of drop positions and an in-row
+    rebuild: token i survives unless some drop-start p covers it
+    (p ≤ i < p+n) — O(tokens × dropped spans) per document,
+    partition-local. The drop table holds only documents that lose a
+    span (the exception in a curated corpus), so the left join back
+    to the corpus broadcasts under AQE; documents with nothing to
+    drop pass through with normalized text (the trim operates on the
+    normalized token stream, as the span index does).
 
     Returns (id, text): the full corpus with trimmed text.
     """
-    canon = spans.groupBy("span_hash").agg(
-        F.min(F.struct(F.col(id_col), F.col("span_pos"))).alias("__keep")
-    )
+    w_canon = Window.partitionBy("span_hash").orderBy(id_col, "span_pos")
     drops = (
-        spans.join(canon, "span_hash")
-        .filter(
-            (F.col(id_col) != F.col(f"__keep.{id_col}"))
-            | (F.col("span_pos") != F.col("__keep.span_pos"))
-        )
+        spans.withColumn("__rn", F.row_number().over(w_canon))
+        .filter(F.col("__rn") > 1)
         .groupBy(id_col)
         .agg(F.collect_set("span_pos").alias("__drops"))
     )

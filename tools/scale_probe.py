@@ -219,6 +219,12 @@ def main() -> None:
         "dup_spans": (n_docs, lambda: dd.duplicate_spans(
             docs, "doc_id", "text", n=8, stride=4
         )),
+        # the full detect -> canonical-trim rewrite pass
+        "span_trim": (n_docs, lambda: dd.trim_duplicate_spans(
+            docs, "doc_id", "text",
+            dd.duplicate_spans(docs, "doc_id", "text", n=8, stride=4),
+            n=8,
+        )),
     }
 
     def _chunking():
@@ -257,6 +263,30 @@ def main() -> None:
         shutil.rmtree(work, ignore_errors=True)
         # already counted; hand the framework a frame with that count
         return spark.range(n)
+    #: Probes whose output is a PROJECTION of per-row computed columns
+    #: (rebuilt text, chunk strings, window ids): a bare ``count()``
+    #: lets column pruning delete the very work being measured (the
+    #: span-trim rewrite "ran" in 0.8 s flat at both 10× and 100×
+    #: before this). These are forced through a checksum of every
+    #: output column instead. Join/agg-shaped probes keep ``count()``
+    #: — their cost is the shuffles, which count() already forces, and
+    #: hashing their (large) pair outputs would bill output
+    #: materialization the operator itself never promises.
+    FORCE_ALL_COLUMNS = {"chunking", "packing", "rare_tokens",
+                         "span_trim", "repetition_filter"}
+
+    def run_probe(name: str, fn):
+        df = fn()
+        if name in FORCE_ALL_COLUMNS:
+            row = df.select(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.xxhash64(*df.columns)).alias("sig"),
+            ).collect()[0]
+            return row["n"]
+        return df.count()
+
+    from pyspark.sql import functions as F
+
     args = sys.argv[3:]
     # --warm: run each probe twice and report the SECOND time. Probe
     # order is otherwise a confounder: the session's first heavy job
@@ -276,7 +306,7 @@ def main() -> None:
         for attempt in range(2 if warm else 1):
             spark.catalog.clearCache()
             t0 = time.time()
-            rows = fn().count()
+            rows = run_probe(name, fn)
             sec = round(time.time() - t0, 1)
             record.update(rows=rows, sec=sec,
                           items_per_sec=int(n_items / (time.time() - t0)))
