@@ -63,6 +63,24 @@ HEADLINE = [
 ]
 
 
+def force(df) -> int:
+    """Force FULL evaluation of every output column (row count + an
+    xxhash64 checksum aggregated executor-side). A bare ``count()``
+    lets column pruning delete computed projections — chunk text,
+    DSL-transformed columns, quality ratios — and times a metadata
+    scan instead of the operator (round-5 finding; see SCALE.md
+    'Probe methodology fix'). Adopted for every headline query in
+    round 5: per-query times are comparable to earlier rounds only
+    for join/agg-shaped queries, whose cost count() already forced."""
+    from pyspark.sql import functions as F
+
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(*df.columns)).alias("sig"),
+    ).collect()[0]
+    return row["n"]
+
+
 def main() -> None:
     from cdk_datalake_ingest_bigmagic_spark import get_spark
     from cdk_datalake_ingest_bigmagic_spark.queries import all_queries
@@ -85,7 +103,7 @@ def main() -> None:
         warm_dir = sf_dir
     for name in HEADLINE:
         try:
-            queries[name](spark, warm_dir).count()
+            force(queries[name](spark, warm_dir))
         except Exception:
             pass
 
@@ -101,8 +119,8 @@ def main() -> None:
             # intermediates) so every run is timed independently
             spark.catalog.clearCache()
             t0 = time.time()
-            # count() forces full execution without driver-side collection
-            fn(spark, sf_dir).count()
+            # full-column forcing without driver-side collection
+            force(fn(spark, sf_dir))
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
