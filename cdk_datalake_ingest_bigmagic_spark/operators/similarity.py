@@ -414,3 +414,59 @@ def ann_lsh_pairs(
         .select("id_a", "id_b", F.round(sim, 4).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def scalar_quantize(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Per-dimension int8 scalar quantization of an embedding column —
+    the compression step a 100-TB ANN index takes before it can hold
+    codes in memory (4 bytes/dim → 1, at a small recall cost; the
+    IVF/LSH candidate structure is unchanged, only the stored vectors
+    shrink).
+
+    Two passes, both bounded: (1) global per-dimension min/max via a
+    map-side explode + partially-aggregated groupBy on the dimension
+    index (the shuffle carries partitions × dims partial rows, not
+    the corpus), collected to the driver — dims rows, the same
+    bounded-metadata pattern as the broadcast similarity index; (2) a
+    pure projection mapping each value to
+    ``least(255, floor((x - min_d) / (max_d - min_d) * 256))`` with
+    the bounds inlined as literal arrays. ``floor`` (not ``round``)
+    keeps the bucket rule unambiguous across engines; a constant
+    dimension (max == min) maps to code 0.
+
+    Returns (id, codes: array<int>). Deterministic for a fixed corpus
+    on any engine/partitioning — IEEE double subtract/divide/multiply
+    plus an exact floor.
+    """
+    dim_stats = (
+        df.select(F.posexplode(to_double_array(F.col(vec_col))).alias("__d", "__x"))
+        .groupBy("__d")
+        .agg(F.min("__x").alias("__mn"), F.max("__x").alias("__mx"))
+        .collect()
+    )
+    mins = [r["__mn"] for r in sorted(dim_stats, key=lambda r: r["__d"])]
+    maxs = [r["__mx"] for r in sorted(dim_stats, key=lambda r: r["__d"])]
+    mn_arr = F.array(*[F.lit(float(m)) for m in mins])
+    mx_arr = F.array(*[F.lit(float(m)) for m in maxs])
+    codes = F.expr(
+        "transform(__v, (x, i) -> CASE "
+        "WHEN element_at(__mx, i + 1) = element_at(__mn, i + 1) THEN 0 "
+        "ELSE least(255, cast(floor((x - element_at(__mn, i + 1)) "
+        "/ (element_at(__mx, i + 1) - element_at(__mn, i + 1)) * 256) as int)) "
+        "END)"
+    )
+    from cdk_datalake_ingest_bigmagic_spark.operators import barrier
+
+    prepared = barrier(
+        df.select(
+            F.col(id_col),
+            to_double_array(F.col(vec_col)).alias("__v"),
+            mn_arr.alias("__mn"),
+            mx_arr.alias("__mx"),
+        )
+    )
+    return prepared.select(F.col(id_col), codes.alias("codes"))

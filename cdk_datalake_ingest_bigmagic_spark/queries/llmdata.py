@@ -1244,3 +1244,30 @@ def text_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     spans = dd.duplicate_spans(d, "doc_id", "text", n=8, stride=2)
     return dd.trim_duplicate_spans(d, "doc_id", "text", spans, n=8)
+
+
+@register(
+    "embedding_scalar_quantize",
+    oracle="""
+    WITH dims AS (
+      SELECT i, min(embedding[i]::DOUBLE) AS mn, max(embedding[i]::DOUBLE) AS mx
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+      GROUP BY i
+    ), b AS (
+      SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM dims
+    )
+    SELECT vec_id,
+           list_transform(embedding, (x, i) -> CASE
+             WHEN b.mxs[i] = b.mns[i] THEN 0
+             ELSE least(255, CAST(floor((x::DOUBLE - b.mns[i])
+                    / (b.mxs[i] - b.mns[i]) * 256) AS INT))
+           END) AS codes
+    FROM embeddings, b
+    """,
+)
+def embedding_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding table: global
+    per-dimension bounds (bounded-metadata pass), then a pure
+    projection to 0-255 codes — 4x smaller vectors for the ANN tiers."""
+    e = load(spark, sf_dir, "embeddings")
+    return sim.scalar_quantize(e, "vec_id", "embedding")

@@ -314,3 +314,30 @@ def test_chunking_packing_random_invariants(spark):
     # capacity + one boundary doc's tokens
     for total in totals.values():
         assert total <= 2 * cap - 1
+
+
+def test_round5_operators_are_ansi_safe(spark):
+    """The in-row index arithmetic (element_at, div, sequence) must
+    produce identical results under ANSI mode — a cluster running
+    spark.sql.ansi.enabled=true (the Spark 4 default) may not get
+    errors or different rows."""
+    from cdk_datalake_ingest_bigmagic_spark.operators import dedup as dd
+
+    rows = [(i, " ".join(f"t{j}_{i % 5}" for j in range(i % 30))) for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run_all():
+        spans = dd.duplicate_spans(df, "doc_id", "text", n=4, stride=1)
+        return {
+            "chunks": sorted(map(tuple, chunk_windows(df, "doc_id", "text", 8, 6).collect())),
+            "packs": sorted(map(tuple, pack_sequences(df, "doc_id", "text", 32, 4).collect())),
+            "trim": sorted(map(tuple, dd.trim_duplicate_spans(df, "doc_id", "text", spans, n=4).collect())),
+        }
+
+    plain = run_all()
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        ansi = run_all()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+    assert ansi == plain

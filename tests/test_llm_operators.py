@@ -1017,3 +1017,22 @@ def test_trim_duplicate_spans_keeps_one_canonical_copy(spark):
     assert out[1] == shared + " tail1 tail2"
     assert out[2] == "head1 head2 tail3"
     assert out[3] == "alpha beta gamma delta epsilon zeta eta theta"
+
+
+def test_scalar_quantize_bounds_and_determinism(spark):
+    rows = [
+        (1, [0.0, 10.0, 5.0]),
+        (2, [1.0, 20.0, 5.0]),
+        (3, [0.5, 15.0, 5.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["codes"] for r in sim.scalar_quantize(df, "vec_id", "embedding").collect()}
+    # dim 0: min 0.0 -> 0, max 1.0 -> 255; dim 2 constant -> 0
+    assert out[1][0] == 0 and out[2][0] == 255
+    assert out[1][1] == 0 and out[2][1] == 255
+    assert [out[i][2] for i in (1, 2, 3)] == [0, 0, 0]
+    assert all(0 <= c <= 255 for codes in out.values() for c in codes)
+    # mid value: floor(0.5 * 256) = 128
+    assert out[3][0] == 128
+    repart = {r["vec_id"]: r["codes"] for r in sim.scalar_quantize(df.repartition(5), "vec_id", "embedding").collect()}
+    assert repart == out
