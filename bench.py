@@ -60,6 +60,9 @@ HEADLINE = [
     "text_duplicate_spans",
     "dedup_incremental_novelty",
     "join_market_share",
+    "text_span_trim",
+    "dedup_containment",
+    "embedding_scalar_quantize",
 ]
 
 

@@ -413,6 +413,100 @@ def jaccard_pairs_rows(
     )
 
 
+def containment_pairs_rows(
+    shingle_rows: DataFrame,
+    id_col: str,
+    threshold: float = 0.9,
+    max_df: int | None = 1000,
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """Directed near-CONTAINMENT pairs: (contained, container) where
+    ``|A∩B| / |A| ≥ threshold`` — the asymmetric complement of
+    :func:`jaccard_pairs_rows` that symmetric Jaccard cannot see (a
+    wire story quoted inside a long aggregator page has tiny Jaccard
+    but containment ≈ 1; containment dedup is how those leak past a
+    Jaccard-only pipeline).
+
+    Same three-full-relation-shuffle skeleton as the Jaccard path
+    (df agg, re-key join, one set-packing groupBy), with the
+    ASYMMETRIC prefix filter (same SSJoin/PPJoin literature): if
+    C(A→B) ≥ t then fewer than ``(1−t)·|A|`` of A's shingles are
+    outside B, so A's first ``|A| − ⌈t·|A|⌉ + 1`` rarest shingles
+    must hit B — only A's prefix is sliced, but it joins against the
+    container side's FULL below-cap shingle list (the asymmetry is
+    exactly that B gets no prefix). Rare-first ordering keeps A's
+    prefix collision lists small; the one-sided length filter
+    ``|B| ≥ t·|A|`` prunes before the candidate distinct. Exact
+    in-row ``array_intersect`` verify on full sets; same ε policy and
+    ``max_df`` belt-and-braces (capped shingles are excluded from
+    BOTH index sides but kept in the verify) as the Jaccard path.
+    """
+    rows = shingle_rows.select(
+        F.col(id_col), F.xxhash64("shingle").alias("__sh")
+    )
+    dfreq = rows.groupBy("__sh").agg(
+        F.count_distinct(F.col(id_col)).alias("__df")
+    )
+    keyed = rows.join(dfreq, "__sh").withColumn(
+        "__idx",
+        (F.col("__df") <= max_df).cast("int") if max_df is not None else F.lit(1),
+    )
+    docs = scoped_cache(
+        keyed.groupBy(id_col).agg(
+            F.sort_array(
+                F.collect_set(F.struct("__df", F.col("__sh"), "__idx"))
+            ).alias("__items")
+        ),
+        scope,
+    )
+    n = F.size("__items")
+    t_cand = threshold - 5e-7
+    prefix_len = (n - F.ceil(F.lit(t_cand) * n - F.lit(1e-9)) + 1).cast("int")
+    below_cap = F.filter("__items", lambda it: it["__idx"] == 1)
+    contained = docs.select(
+        F.col(id_col).alias("id_contained"),
+        n.alias("__na"),
+        F.explode(F.slice(below_cap, F.lit(1), prefix_len)).alias("__it"),
+    ).select("id_contained", F.col("__it.__sh").alias("__sh"), "__na")
+    container = docs.select(
+        F.col(id_col).alias("id_container"),
+        n.alias("__nb"),
+        F.explode(below_cap).alias("__it"),
+    ).select("id_container", F.col("__it.__sh").alias("__sh"), "__nb")
+    candidates = (
+        contained.join(container, "__sh")
+        .filter(
+            (F.col("id_contained") != F.col("id_container"))
+            & (F.col("__nb") >= F.col("__na") * t_cand - 1e-9)
+        )
+        .select("id_contained", "id_container")
+        .distinct()
+    )
+    arrays = docs.select(
+        F.col(id_col),
+        F.transform("__items", lambda it: it["__sh"]).alias("__hs"),
+    )
+    sa = arrays.select(
+        F.col(id_col).alias("id_contained"), F.col("__hs").alias("__hs_a")
+    )
+    sb = arrays.select(
+        F.col(id_col).alias("id_container"), F.col("__hs").alias("__hs_b")
+    )
+    cont = F.size(F.array_intersect(F.col("__hs_a"), F.col("__hs_b"))).cast(
+        "double"
+    ) / F.size("__hs_a").cast("double")
+    return (
+        candidates.join(sa, "id_contained")
+        .join(sb, "id_container")
+        .select(
+            "id_contained",
+            "id_container",
+            F.round(cont, 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def jaccard_pairs(
     shingle_arrays: DataFrame,
     id_col: str,

@@ -1271,3 +1271,27 @@ def embedding_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection to 0-255 codes — 4x smaller vectors for the ANN tiers."""
     e = load(spark, sf_dir, "embeddings")
     return sim.scalar_quantize(e, "vec_id", "embedding")
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    inter AS (
+      SELECT a.doc_id AS id_contained, b.doc_id AS id_container,
+             COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_contained, id_container,
+           round(n_inter::DOUBLE / sa.n::DOUBLE, 6) AS containment
+    FROM inter JOIN sizes sa ON sa.doc_id = id_contained
+    WHERE round(n_inter::DOUBLE / sa.n::DOUBLE, 6) >= 0.85
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed near-containment pairs (3-gram shingles, C >= 0.85):
+    the quote-inclusion detector symmetric Jaccard misses."""
+    d = load(spark, sf_dir, "documents")
+    rows = dd.shingles_exploded(d, "doc_id", "text", n=3)
+    return dd.containment_pairs_rows(rows, "doc_id", threshold=0.85)

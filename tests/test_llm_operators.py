@@ -1036,3 +1036,23 @@ def test_scalar_quantize_bounds_and_determinism(spark):
     assert out[3][0] == 128
     repart = {r["vec_id"]: r["codes"] for r in sim.scalar_quantize(df.repartition(5), "vec_id", "embedding").collect()}
     assert repart == out
+
+
+def test_containment_catches_quote_inclusion_jaccard_misses(spark):
+    """A short doc quoted inside a long one: containment ≈ 1 in the
+    contained→container direction only, while symmetric Jaccard is far
+    below its threshold — the case this operator exists for."""
+    quote = "the quick brown fox jumps over the lazy dog tonight again"
+    filler = " ".join(f"filler{i} word{i}" for i in range(40))
+    rows = [
+        (1, quote),
+        (2, filler + " " + quote + " closing remarks here now"),
+        (3, "totally unrelated content about spark execution engines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    shingles = dd.shingles_exploded(df, "doc_id", "text", n=3)
+    cont = dd.containment_pairs_rows(shingles, "doc_id", threshold=0.9).collect()
+    assert [(r["id_contained"], r["id_container"]) for r in cont] == [(1, 2)]
+    assert cont[0]["containment"] == 1.0
+    jac = dd.jaccard_pairs_rows(shingles, "doc_id", threshold=0.8).collect()
+    assert jac == []  # symmetric Jaccard can't see it

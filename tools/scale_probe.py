@@ -225,6 +225,11 @@ def main() -> None:
             dd.duplicate_spans(docs, "doc_id", "text", n=8, stride=4),
             n=8,
         )),
+        # asymmetric containment: A-prefix vs full-B index — the
+        # one-sided shape whose candidate growth this probe watches
+        "containment": (n_docs, lambda: dd.containment_pairs_rows(
+            dd.shingles_exploded(docs, "doc_id", "text", 3), "doc_id", 0.85
+        )),
     }
 
     def _chunking():
