@@ -1257,20 +1257,27 @@ def text_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM dims
     )
     SELECT vec_id,
-           list_transform(embedding, (x, i) -> CASE
+           array_to_string(list_transform(embedding, (x, i) -> CASE
              WHEN b.mxs[i] = b.mns[i] THEN 0
              ELSE least(255, CAST(floor((x::DOUBLE - b.mns[i])
                     / (b.mxs[i] - b.mns[i]) * 256) AS INT))
-           END) AS codes
+           END), ',') AS codes
     FROM embeddings, b
     """,
 )
 def embedding_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embedding table: global
     per-dimension bounds (bounded-metadata pass), then a pure
-    projection to 0-255 codes — 4x smaller vectors for the ANN tiers."""
+    projection to 0-255 codes — 4x smaller vectors for the ANN tiers.
+    The registered view serializes the code array to a CSV string
+    (the gate canonicalizer sorts scalar columns only); the operator
+    itself returns array<int>."""
     e = load(spark, sf_dir, "embeddings")
-    return sim.scalar_quantize(e, "vec_id", "embedding")
+    out = sim.scalar_quantize(e, "vec_id", "embedding")
+    return out.select(
+        "vec_id",
+        F.array_join(F.col("codes").cast("array<string>"), ",").alias("codes"),
+    )
 
 
 @register(
