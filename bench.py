@@ -63,6 +63,7 @@ HEADLINE = [
     "text_span_trim",
     "dedup_containment",
     "embedding_scalar_quantize",
+    "corpus_training_prep",
 ]
 
 

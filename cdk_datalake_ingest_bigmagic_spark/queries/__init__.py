@@ -56,13 +56,13 @@ from cdk_datalake_ingest_bigmagic_spark.queries import llmdata  # noqa: E402,F40
 from cdk_datalake_ingest_bigmagic_spark.queries import events  # noqa: E402,F401
 
 # The external correctness gate checks the first 50 registered queries.
-# With 85 registered (round 5 deregistered agg_approx_sketches — the
+# With 86 registered (round 5 deregistered agg_approx_sketches — the
 # sketch tier is hash-gated via agg_sketch_error_bounds, and a
 # permanent rows-only row added no signal — and added seven new
 # queries: chunking/packing/curation/novelty/span-detect/span-trim/
-# int8-quantization/containment + two multi-join analytics), 35 sit
-# outside the window each round, so the window is ROTATED via
-# _GATE_FRONT.
+# int8-quantization/containment/training-prep + two multi-join
+# analytics), 36 sit outside the window each round, so the window is
+# ROTATED via _GATE_FRONT.
 #
 # ROTATION RULE (invariant, every round — do not regress this):
 #   front = (1) every query whose implementation OR any shared operator
@@ -88,8 +88,8 @@ from cdk_datalake_ingest_bigmagic_spark.queries import events  # noqa: E402,F401
 #       corpus_domain_cap, text_rare_tokens,
 #       dedup_incremental_novelty, join_market_share,
 #       window_yearly_growth, text_duplicate_spans, text_span_trim,
-#       embedding_scalar_quantize, dedup_containment (never gated
-#       before).
+#       embedding_scalar_quantize, dedup_containment,
+#       corpus_training_prep (never gated before).
 #   (3) the 25 queries whose newest green row is round 3 (listed in
 #       VERDICT r4 "Next round" #2) — every query's newest green is
 #       ≤2 rounds old after this window runs.
@@ -109,6 +109,7 @@ _GATE_FRONT: list[str] = [
     "text_span_trim",
     "embedding_scalar_quantize",
     "dedup_containment",
+    "corpus_training_prep",
     # changed this round (operators/dedup.py + sketch-bounds guard)
     "dedup_exact",
     "dedup_ngram_jaccard",

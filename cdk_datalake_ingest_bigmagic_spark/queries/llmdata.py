@@ -1302,3 +1302,85 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     rows = dd.shingles_exploded(d, "doc_id", "text", n=3)
     return dd.containment_pairs_rows(rows, "doc_id", threshold=0.85)
+
+
+@register(
+    "corpus_training_prep",
+    oracle=r"""
+    WITH featured AS (
+      SELECT doc_id, text,
+             length(text) AS n_chars,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    ), quality AS (
+      SELECT * FROM featured WHERE n_words >= 5 AND n_chars >= 20
+    ), unrepetitive AS (
+      SELECT q.* FROM quality q
+      JOIN (
+        SELECT doc_id,
+               list_filter(
+                 string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                 x -> x <> ''
+               ) AS w
+        FROM documents
+      ) n USING (doc_id)
+      WHERE len(n.w) = 0
+         OR 1.0 - len(list_distinct(n.w))::DOUBLE / len(n.w)::DOUBLE <= 0.8
+    ), lang AS (
+      SELECT q.*,
+        (SELECT COUNT(*) FROM unnest(string_split_regex(lower(q.text), '[^a-z]+')) AS u(t)
+          WHERE t IN ('the','a','of','and','to','in','is','it','that','for')) AS hits_en
+      FROM unrepetitive q
+    ), english AS (
+      SELECT * FROM lang WHERE hits_en >= 2
+    ), canon AS (
+      SELECT MIN(doc_id) AS doc_id FROM english GROUP BY fingerprint
+    ), cw AS (
+      SELECT d.doc_id, string_split_regex(trim(d.text), '\s+') AS words
+      FROM documents d JOIN canon USING (doc_id)
+      WHERE trim(d.text) <> ''
+    ), chunks AS (
+      SELECT (doc_id || ':' || (s // 64)) AS chunk_key,
+             CAST(least(64, len(words) - s) AS BIGINT) AS ct
+      FROM cw, UNNEST(range(0, len(words), 64)) AS t(s)
+    ), sized AS (
+      SELECT chunk_key,
+             (('0x' || substr(md5('pack|' || chunk_key), 1, 7))::BIGINT % 10000) % 8
+               AS bucket,
+             least(ct, 256) AS pack_tokens
+      FROM chunks WHERE ct > 0
+    ), packed AS (
+      SELECT chunk_key, bucket, pack_tokens,
+             sum(pack_tokens) OVER (
+               PARTITION BY bucket ORDER BY chunk_key ROWS UNBOUNDED PRECEDING
+             ) AS cum
+      FROM sized
+    )
+    SELECT chunk_key, bucket, (cum - 1) // 256 AS pack_id, pack_tokens FROM packed
+    """,
+)
+def corpus_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-prep pipeline a nightly job schedules:
+    quality/repetition/language gates → canonical exact dedup →
+    64-token context chunks → 256-token training packs. Composed
+    entirely from the gated operators (clean pipeline, chunk_windows,
+    pack_sequences); Catalyst fuses the gates into the chunking scan,
+    and the only shuffles are the fingerprint dedup, the canonical-id
+    join, and the one pack-bucket window."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.chunking import (
+        chunk_windows,
+        pack_sequences,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    canon = corpus_clean_pipeline(spark, sf_dir).select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    cleaned = d.join(canon, "doc_id")
+    chunks = chunk_windows(cleaned, "doc_id", "text", chunk=64, stride=64)
+    keyed = chunks.select(
+        F.concat_ws(":", "doc_id", "chunk_id").alias("chunk_key"), "chunk_text"
+    )
+    return pack_sequences(keyed, "chunk_key", "chunk_text", capacity=256, n_buckets=8)
