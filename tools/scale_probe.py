@@ -230,7 +230,31 @@ def main() -> None:
         "containment": (n_docs, lambda: dd.containment_pairs_rows(
             dd.shingles_exploded(docs, "doc_id", "text", 3), "doc_id", 0.85
         )),
+        # clean gates -> canonical dedup -> chunk -> pack, one plan
+        "training_prep": (n_docs, lambda: _training_prep(docs)),
     }
+
+    def _training_prep(d):
+        from pyspark.sql import functions as F
+
+        from cdk_datalake_ingest_bigmagic_spark.operators import text as tx
+        from cdk_datalake_ingest_bigmagic_spark.operators.chunking import (
+            chunk_windows,
+            pack_sequences,
+        )
+
+        gates = tx.repetition_features(d, "doc_id", "text").filter(
+            F.col("passes_repetition_filter")
+        ).select("doc_id")
+        cleaned = d.join(gates, "doc_id")
+        canon = cleaned.groupBy(tx.fingerprint(F.col("text")).alias("fp")).agg(
+            F.min("doc_id").alias("doc_id")
+        ).select("doc_id")
+        chunks = chunk_windows(d.join(canon, "doc_id"), "doc_id", "text", 64, 64)
+        keyed = chunks.select(
+            F.concat_ws(":", "doc_id", "chunk_id").alias("k"), "chunk_text"
+        )
+        return pack_sequences(keyed, "k", "chunk_text", 256, 64)
 
     def _chunking():
         from cdk_datalake_ingest_bigmagic_spark.operators import chunking
@@ -278,7 +302,8 @@ def main() -> None:
     #: hashing their (large) pair outputs would bill output
     #: materialization the operator itself never promises.
     FORCE_ALL_COLUMNS = {"chunking", "packing", "rare_tokens",
-                         "span_trim", "repetition_filter"}
+                         "span_trim", "repetition_filter",
+                         "training_prep"}
 
     def run_probe(name: str, fn):
         df = fn()
