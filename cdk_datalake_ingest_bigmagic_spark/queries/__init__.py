@@ -122,6 +122,12 @@ _GATE_FRONT: list[str] = [
     "agg_sketch_error_bounds",
     # same-file caution (queries/llmdata.py touched for keep_list)
     "corpus_source_stats",
+    # same-file caution r5: operators/sampling.py gained domain_cap +
+    # the salted pre-cap, config/models.py gained dialect alias
+    # normalization — the queries riding those files re-gate
+    "sample_hash_fraction",
+    "corpus_mix_weighted",
+    "join_config_multitable",
     # least-recently gated: newest green row is round 3
     "agg_exact_quantiles",
     "corpus_clean_pipeline",
