@@ -74,6 +74,104 @@ def stratified_hash_sample(
     )
 
 
+def shard_assign(
+    df: DataFrame, id_col: str, n_shards: int, seed: str = "shard"
+) -> DataFrame:
+    """Deterministic global shuffle + sharding — the serialization step
+    of a training-data pipeline (examples must reach the trainer in a
+    reproducible pseudo-random order, split into ``n_shards`` files).
+
+    ``df.orderBy(rand())`` is neither reproducible nor scalable (a
+    global sort of the corpus); content-addressed ordering is both:
+
+        shard(id)    = md5(seed|id)[0:7] as 28-bit int, mod n_shards
+        position(id) = rank of the full md5 hex within the shard
+
+    One hash-partition shuffle on the shard key + a per-shard sort —
+    exactly the movement the sharded write itself performs
+    (``partitionBy(shard)`` + ``sortWithinPartitions``), so the
+    assignment is free at write time. Shards are independent: no
+    global sort, and ``n_shards`` scales with the cluster. Re-running
+    on any partitioning, any engine, yields the identical layout;
+    changing ``seed`` reshuffles every epoch's order without touching
+    the data.
+
+    Returns the input plus ``shard`` (int) and ``position`` (1-based
+    rank within the shard).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = F.md5(F.concat(F.lit(seed + "|"), F.col(id_col).cast("string")))
+    shard = (
+        F.conv(F.substring(h, 1, 7), 16, 10).cast("long") % F.lit(n_shards)
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy(F.col("__h").asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", shard)
+        .withColumn("position", F.row_number().over(w).cast("long"))
+        .drop("__h")
+    )
+
+
+def epoch_mix(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    epochs: dict[str, float],
+    default_epochs: float = 0.0,
+    seed: str = "epochs",
+) -> DataFrame:
+    """Epoch-weighted corpus mixing with UPSAMPLING — the training-mix
+    primitive ``stratified_hash_sample`` cannot express: a source may
+    contribute more than one epoch (e.g. books 2.5 epochs, web crawl
+    0.3), the way published LLM data recipes weight their sources.
+
+    Source ``s`` with weight ``e`` contributes ``floor(e)`` full
+    copies of every document plus one extra copy of a deterministic
+    hash-selected ``frac(e)`` subset — so expected tokens scale by
+    exactly ``e`` while repetition is spread evenly instead of
+    repeating a random subset more.
+
+    Execution: broadcast rates join + in-row ``sequence``/``explode``
+    — zero shuffle at any corpus size, and the explode multiplies rows
+    AFTER filters/pruning have run. Rows gain an ``epoch`` index
+    (0-based); a weight of 0 drops the source entirely.
+    """
+    import math
+
+    spark = df.sparkSession
+    rows = [
+        (k, math.floor(v), round((v - math.floor(v)) * SAMPLE_BUCKETS))
+        for k, v in sorted(epochs.items())
+    ]
+    for k, v in epochs.items():
+        if v < 0:
+            raise ValueError(f"epoch weight must be >= 0, got {k}={v}")
+    if default_epochs < 0:
+        raise ValueError(f"default_epochs must be >= 0, got {default_epochs}")
+    lookup = spark.createDataFrame(
+        rows, f"{strata_col}: string, __full: int, __fth: int"
+    )
+    d_full = math.floor(default_epochs)
+    d_fth = round((default_epochs - d_full) * SAMPLE_BUCKETS)
+    total = (
+        F.coalesce(F.col("__full"), F.lit(d_full))
+        + (
+            sample_bucket(F.col(id_col), seed)
+            < F.coalesce(F.col("__fth"), F.lit(d_fth))
+        ).cast("int")
+    )
+    # sequence(0, -1) would generate a DESCENDING range, not an empty
+    # one — gate on total > 0 and let explode drop the NULL rows
+    seq = F.when(total > 0, F.sequence(F.lit(0), total - F.lit(1)))
+    return (
+        df.join(F.broadcast(lookup), strata_col, "left")
+        .withColumn("epoch", F.explode(seq))
+        .drop("__full", "__fth")
+    )
+
+
 def domain_cap(
     df: DataFrame,
     id_col: str,

@@ -416,6 +416,107 @@ def ann_lsh_pairs(
     )
 
 
+_SEMDEDUP_SCHEMA = T.StructType(
+    [
+        T.StructField("__id", T.LongType(), False),
+        T.StructField("list_id", T.IntegerType(), False),
+        T.StructField("keep", T.BooleanType(), False),
+    ]
+)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_lists: int = 16,
+    threshold: float = 0.48,
+    centroids: str = "first-ids",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540, public): coarse-cluster the embedding space,
+    then within each cluster drop every document whose cosine to a
+    LOWER-ID cluster member reaches ``threshold`` — the lowest-id
+    member of each near-duplicate neighborhood survives as the
+    canonical copy. (The paper keeps the member farthest from the
+    centroid; a float-distance keep rule is not cross-engine
+    reproducible, so the deterministic id rule stands in — the set of
+    *neighborhoods* found is identical.)
+
+    Execution shape, built for the 100-TB corpus the algorithm was
+    published for:
+
+    - centroid table: ``n_lists × dims`` floats, driver-built and
+      broadcast (same deterministic first-ids / trained-kmeans options
+      as :func:`ann_ivf_pairs`);
+    - assignment: one ``mapInPandas`` pass — a single BLAS matmul per
+      Arrow batch against the broadcast centroids, zero shuffle, and
+      the vector rides along so no second join is needed;
+    - decision: ONE hash-partition shuffle on ``list_id``, then a
+      per-cluster ``applyInPandas`` block matmul marks members with a
+      lower-id neighbor at ≥ threshold. Per-cluster work is
+      |cluster|² in a BLAS kernel — ``n_lists`` is the knob (the paper
+      uses fixed-size clusters; scale it ~N/target so blocks stay
+      executor-sized) and no stage ever sees the corpus-wide pair
+      space.
+
+    Unlike the pair-emitting searches, the output is the full corpus
+    decision: (id, list_id, keep) with exactly one row per input row.
+    """
+    import numpy as np
+
+    C = _ivf_centroids(df, id_col, vec_col, n_lists, centroids)
+    C = C / np.maximum(np.sqrt((C * C).sum(axis=1))[:, None], 1e-12)
+    bc = df.sparkSession.sparkContext.broadcast(C)
+
+    assign_schema = T.StructType(
+        [
+            T.StructField("__id", T.LongType(), False),
+            T.StructField("list_id", T.IntegerType(), False),
+            T.StructField("__v", T.ArrayType(T.DoubleType()), False),
+        ]
+    )
+
+    def assign(batches: Iterator) -> Iterator:
+        Cn = bc.value
+        for pdf in batches:
+            V = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            Vn = V / np.maximum(np.sqrt((V * V).sum(axis=1))[:, None], 1e-12)
+            S = Vn @ Cn.T
+            # stable argmax: ties break toward the smaller list index,
+            # matching the SQL oracle's (sim DESC, list_idx) ranking
+            order = np.argsort(-S, axis=1, kind="stable")
+            yield pd.DataFrame(
+                {
+                    "__id": pdf[id_col],
+                    "list_id": order[:, 0].astype("int32"),
+                    "__v": [row.tolist() for row in V],
+                }
+            )
+
+    def decide(pdf: pd.DataFrame) -> pd.DataFrame:
+        V = np.vstack(pdf["__v"].to_numpy()).astype("float64")
+        Vn = V / np.maximum(np.sqrt((V * V).sum(axis=1))[:, None], 1e-12)
+        ids = pdf["__id"].to_numpy()
+        S = np.round(Vn @ Vn.T, 4)
+        lower = ids[None, :] < ids[:, None]  # [i, j]: j is a lower id
+        drop = ((S >= threshold) & lower).any(axis=1)
+        return pd.DataFrame(
+            {"__id": ids, "list_id": pdf["list_id"], "keep": ~drop}
+        )
+
+    from cdk_datalake_ingest_bigmagic_spark.operators import fan_out
+
+    assigned = fan_out(df.select(id_col, vec_col)).mapInPandas(
+        assign, assign_schema
+    )
+    return (
+        assigned.groupBy("list_id")
+        .applyInPandas(decide, _SEMDEDUP_SCHEMA)
+        .select(F.col("__id").alias(id_col), "list_id", "keep")
+    )
+
+
 def scalar_quantize(
     df: DataFrame,
     id_col: str,

@@ -56,13 +56,13 @@ from cdk_datalake_ingest_bigmagic_spark.queries import llmdata  # noqa: E402,F40
 from cdk_datalake_ingest_bigmagic_spark.queries import events  # noqa: E402,F401
 
 # The external correctness gate checks the first 50 registered queries.
-# With 86 registered (round 5 deregistered agg_approx_sketches — the
+# With 89 registered (round 5 deregistered agg_approx_sketches — the
 # sketch tier is hash-gated via agg_sketch_error_bounds, and a
-# permanent rows-only row added no signal — and added seven new
+# permanent rows-only row added no signal — and added fifteen new
 # queries: chunking/packing/curation/novelty/span-detect/span-trim/
 # int8-quantization/containment/training-prep + two multi-join
-# analytics), 36 sit outside the window each round, so the window is
-# ROTATED via _GATE_FRONT.
+# analytics + SemDeDup/shard-shuffle/epoch-mix), 39 sit outside the
+# window each round, so the window is ROTATED via _GATE_FRONT.
 #
 # ROTATION RULE (invariant, every round — do not regress this):
 #   front = (1) every query whose implementation OR any shared operator
@@ -89,11 +89,16 @@ from cdk_datalake_ingest_bigmagic_spark.queries import events  # noqa: E402,F401
 #       dedup_incremental_novelty, join_market_share,
 #       window_yearly_growth, text_duplicate_spans, text_span_trim,
 #       embedding_scalar_quantize, dedup_containment,
-#       corpus_training_prep (never gated before).
-#   (3) the 25 queries whose newest green row is round 3 (listed in
-#       VERDICT r4 "Next round" #2) — every query's newest green is
-#       ≤2 rounds old after this window runs.
-#   The 24 falling out this round are all unchanged round-4 greens
+#       corpus_training_prep, dedup_semantic_keep,
+#       corpus_shard_shuffle, corpus_mix_epochs (never gated before).
+#   (3) 22 of the 25 queries whose newest green row is round 3
+#       (VERDICT r4 "Next round" #2). The other three — dsl_bytemagic,
+#       dsl_case_mapping, dsl_periodmagic — are displaced by the three
+#       round-5 additions above: their implementations (DSL compiler)
+#       are untouched since round 3, their r3 greens sit at exactly
+#       the 2-round staleness ceiling the mechanical check allows, and
+#       they are the FIRST obligation of round 6's window.
+#   The 24 falling out from round 4 are all unchanged round-4 greens
 #   (staleness 1 round — enforced by tests/test_gate_rotation.py's
 #   staleness check).
 _GATE_FRONT: list[str] = [
@@ -110,6 +115,9 @@ _GATE_FRONT: list[str] = [
     "embedding_scalar_quantize",
     "dedup_containment",
     "corpus_training_prep",
+    "dedup_semantic_keep",
+    "corpus_shard_shuffle",
+    "corpus_mix_epochs",
     # changed this round (operators/dedup.py + sketch-bounds guard)
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -132,12 +140,9 @@ _GATE_FRONT: list[str] = [
     "agg_exact_quantiles",
     "corpus_clean_pipeline",
     "dedup_embedding_cosine",
-    "dsl_bytemagic",
-    "dsl_case_mapping",
     "dsl_case_multicolumn",
     "dsl_date_to_string_nested",
     "dsl_misc_functions",
-    "dsl_periodmagic",
     "embedding_ann_ivf",
     "embedding_ann_lsh",
     "embedding_similarity_pairs",

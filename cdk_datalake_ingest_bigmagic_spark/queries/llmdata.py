@@ -738,6 +738,54 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.similarity_pairs(e, "vec_id", "embedding", threshold=0.48)
 
 
+# SemDeDup reuses the deterministic IVF assignment (first-ids
+# centroids, stable cosine ranking), so even the clustered dedup
+# decision is oracle-reproducible end to end.
+@register(
+    "dedup_semantic_keep",
+    oracle=f"""
+    WITH cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_idx,
+             embedding::DOUBLE[] AS cvec
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    ranked AS (
+      SELECT e.vec_id, c.list_idx,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cvec)
+                        / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                           * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+                        c.list_idx
+             ) AS rk
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assigned AS (SELECT vec_id, list_idx FROM ranked WHERE rk = 1),
+    dup AS (
+      SELECT DISTINCT hi.vec_id
+      FROM assigned lo
+      JOIN assigned hi ON lo.list_idx = hi.list_idx AND lo.vec_id < hi.vec_id
+      JOIN embeddings a ON a.vec_id = lo.vec_id
+      JOIN embeddings b ON b.vec_id = hi.vec_id
+      WHERE round({_COS}, 4) >= 0.48
+    )
+    SELECT ass.vec_id, ass.list_idx AS list_id, (d.vec_id IS NULL) AS keep
+    FROM assigned ass LEFT JOIN dup d ON d.vec_id = ass.vec_id
+    """,
+)
+def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style clustered semantic dedup: coarse-cluster the
+    embedding space (deterministic first-ids centroids), then keep the
+    lowest-id member of every within-cluster cosine-0.48 neighborhood.
+    One shuffle on the cluster key; per-cluster BLAS block decisions;
+    one output row per corpus row — the full keep/drop decision, not
+    just the pair list."""
+    e = load(spark, sf_dir, "embeddings")
+    return sim.semantic_dedup(
+        e, "vec_id", "embedding", n_lists=16, threshold=0.48
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------
@@ -863,6 +911,82 @@ def corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_hash_sample(
         d, "doc_id", "source", _MIX_RATES, default_rate=_MIX_DEFAULT, seed="mix"
     ).select("doc_id", "source")
+
+
+@register(
+    "corpus_shard_shuffle",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             md5('shard|' || doc_id) AS hx,
+             (('0x' || substr(md5('shard|' || doc_id), 1, 7))::BIGINT % 8)::INT
+               AS shard
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id)
+             AS position
+    FROM h
+    """,
+)
+def corpus_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding for training
+    serialization: content-addressed shard assignment and a
+    reproducible pseudo-random within-shard order — the scalable
+    replacement for ``orderBy(rand())`` over the corpus."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.sampling import shard_assign
+
+    d = load(spark, sf_dir, "documents")
+    return shard_assign(d, "doc_id", n_shards=8, seed="shard").select(
+        "doc_id", "shard", "position"
+    )
+
+
+# epoch weights: >1 upsamples (the capability plain fractional
+# sampling lacks), exactly 1.0 passes through, <1 downsamples
+_EPOCH_RATES = {"src1": 2.5, "src2": 1.0, "src3": 0.25}
+_EPOCH_DEFAULT = 0.1
+_epoch_full_cases = " ".join(
+    f"WHEN source = '{k}' THEN {int(v)}" for k, v in sorted(_EPOCH_RATES.items())
+)
+_epoch_frac_cases = " ".join(
+    f"WHEN source = '{k}' THEN {round((v - int(v)) * 10000)}"
+    for k, v in sorted(_EPOCH_RATES.items())
+)
+
+
+@register(
+    "corpus_mix_epochs",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             (CASE {_epoch_full_cases} ELSE {int(_EPOCH_DEFAULT)} END)
+             + (CASE WHEN {_BUCKET_SQL.format(seed='epochs')}
+                     < (CASE {_epoch_frac_cases}
+                        ELSE {round((_EPOCH_DEFAULT - int(_EPOCH_DEFAULT)) * 10000)} END)
+                THEN 1 ELSE 0 END) AS total
+      FROM documents
+    )
+    SELECT doc_id, source, e.epoch::INT AS epoch
+    FROM r, LATERAL (SELECT unnest(range(0, total)) AS epoch) e
+    """,
+)
+def corpus_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-weighted training mix with upsampling: src1 contributes
+    2.5 epochs (every doc twice + a deterministic half again), src2
+    exactly once, src3 a quarter, everything else a tenth. Broadcast
+    rates + in-row sequence explode — zero shuffle."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.sampling import epoch_mix
+
+    d = load(spark, sf_dir, "documents")
+    return epoch_mix(
+        d,
+        "doc_id",
+        "source",
+        _EPOCH_RATES,
+        default_epochs=_EPOCH_DEFAULT,
+        seed="epochs",
+    ).select("doc_id", "source", F.col("epoch").cast("int").alias("epoch"))
 
 
 # ---------------------------------------------------------------------------

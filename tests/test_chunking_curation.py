@@ -341,3 +341,117 @@ def test_round5_operators_are_ansi_safe(spark):
     finally:
         spark.conf.set("spark.sql.ansi.enabled", "false")
     assert ansi == plain
+
+
+# ---------------------------------------------------------------------------
+# shard_assign / epoch_mix (deterministic serialization + epoch mixing)
+# ---------------------------------------------------------------------------
+
+
+def test_shard_assign_is_a_bijection(spark):
+    """Every input row gets exactly one (shard, position); positions
+    within a shard are exactly 1..|shard| (no gaps, no dupes)."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.sampling import shard_assign
+
+    df = spark.range(0, 500).selectExpr("id as doc_id")
+    out = shard_assign(df, "doc_id", n_shards=8).collect()
+    assert len(out) == 500
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["position"])
+    assert set(by_shard) <= set(range(8))
+    assert all(len(by_shard[s]) > 0 for s in by_shard)  # 500 ids, 8 shards
+    for s, positions in by_shard.items():
+        assert sorted(positions) == list(range(1, len(positions) + 1)), s
+
+
+def test_shard_assign_is_partitioning_invariant_and_seeded(spark):
+    """The layout must not depend on the input's physical partitioning
+    (that is the whole point vs orderBy(rand())), and a different seed
+    must produce a different order."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.sampling import shard_assign
+
+    a = spark.range(0, 300, 1, numPartitions=1).selectExpr("id as doc_id")
+    b = spark.range(0, 300, 1, numPartitions=13).selectExpr("id as doc_id")
+    la = sorted(map(tuple, shard_assign(a, "doc_id", 4).collect()))
+    lb = sorted(map(tuple, shard_assign(b, "doc_id", 4).collect()))
+    assert la == lb
+    reseeded = sorted(
+        map(tuple, shard_assign(a, "doc_id", 4, seed="epoch2").collect())
+    )
+    assert reseeded != la
+
+    with pytest.raises(ValueError):
+        shard_assign(a, "doc_id", n_shards=0)
+
+
+def test_shard_assign_plan_shape(spark):
+    """One hash-partition shuffle (the per-shard window) — the same
+    movement the sharded write performs, nothing extra."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.sampling import shard_assign
+
+    df = spark.range(0, 256, 1, numPartitions=4).selectExpr("id as doc_id")
+    assert _n_exchanges(shard_assign(df, "doc_id", 8)) == 1
+
+
+def test_epoch_mix_copy_counts(spark):
+    """Integer weights replicate exactly; fractional parts select the
+    same deterministic subset as hash_sample at the fraction; weight 0
+    drops the source; epoch indexes are contiguous from 0."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.sampling import (
+        epoch_mix,
+        hash_sample,
+    )
+
+    df = spark.range(0, 400).selectExpr(
+        "id as doc_id",
+        "concat('s', id % 4) as source",  # s0..s3, 100 docs each
+    )
+    out = epoch_mix(
+        df,
+        "doc_id",
+        "source",
+        {"s0": 2.0, "s1": 1.0, "s2": 0.5, "s3": 0.0},
+        seed="e",
+    ).collect()
+    by_doc: dict[int, list[int]] = {}
+    src = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+        src[r["doc_id"]] = r["source"]
+    # s0: exactly 2 copies each, epochs [0, 1]; s1: exactly one
+    for d, epochs in by_doc.items():
+        assert sorted(epochs) == list(range(len(epochs))), d
+        if src[d] == "s0":
+            assert len(epochs) == 2
+        elif src[d] == "s1":
+            assert len(epochs) == 1
+    assert sum(1 for d in src if src[d] == "s0") == 100
+    assert sum(1 for d in src if src[d] == "s1") == 100
+    assert not any(src[d] == "s3" for d in by_doc)
+    # s2's half-epoch = the hash_sample(0.5) subset under the same seed
+    half = {
+        r["doc_id"]
+        for r in hash_sample(
+            df.filter("source = 's2'"), "doc_id", 0.5, seed="e"
+        ).collect()
+    }
+    got_s2 = {d for d in by_doc if src[d] == "s2"}
+    assert got_s2 == half
+
+    with pytest.raises(ValueError):
+        epoch_mix(df, "doc_id", "source", {"s0": -1.0})
+    with pytest.raises(ValueError):
+        epoch_mix(df, "doc_id", "source", {}, default_epochs=-0.1)
+
+
+def test_epoch_mix_zero_shuffle(spark):
+    """Broadcast rates + in-row explode: no exchange at any corpus
+    size (the property that makes upsampling free at 100 TB)."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.sampling import epoch_mix
+
+    df = spark.range(0, 256, 1, numPartitions=4).selectExpr(
+        "id as doc_id", "concat('s', id % 4) as source"
+    )
+    out = epoch_mix(df, "doc_id", "source", {"s0": 2.5}, default_epochs=0.5)
+    assert _n_exchanges(out) == 0

@@ -253,6 +253,66 @@ def test_ann_ivf_kmeans_centroids_recall(spark):
         sim.ann_ivf_pairs(e, "vec_id", "embedding", centroids="nope")
 
 
+def test_semantic_dedup_matches_brute_force(spark, sf_dir):
+    """Differential check of the SemDeDup decision against a driver-side
+    numpy re-derivation: same first-ids centroids, same stable argmax
+    assignment, same drop rule (a lower-id cluster member at rounded
+    cosine >= threshold). Also pins the one-row-per-input contract."""
+    import numpy as np
+
+    from cdk_datalake_ingest_bigmagic_spark.queries import load
+
+    e = load(spark, sf_dir, "embeddings")
+    # 0.30 (looser than the registered query's 0.48) so the sf0.001
+    # corpus exercises the drop branch, not just unanimous keeps
+    out = sim.semantic_dedup(e, "vec_id", "embedding", n_lists=16, threshold=0.30)
+    got = {r["vec_id"]: (r["list_id"], r["keep"]) for r in out.collect()}
+
+    rows = sorted(
+        (r["vec_id"], np.asarray(r["embedding"], dtype="float64"))
+        for r in e.select("vec_id", "embedding").collect()
+    )
+    ids = np.array([r[0] for r in rows])
+    V = np.vstack([r[1] for r in rows])
+    Vn = V / np.maximum(np.sqrt((V * V).sum(axis=1))[:, None], 1e-12)
+    C = Vn[:16]  # first-ids centroids (rows sorted by id), normalized
+    assign = np.argsort(-(Vn @ C.T), axis=1, kind="stable")[:, 0]
+
+    assert len(got) == len(ids)  # one decision per corpus row
+    expected_drop = set()
+    for lst in range(16):
+        members = np.where(assign == lst)[0]
+        S = np.round(Vn[members] @ Vn[members].T, 4)
+        for i, mi in enumerate(members):
+            lower = ids[members] < ids[mi]
+            if ((S[i] >= 0.30) & lower).any():
+                expected_drop.add(int(ids[mi]))
+    for i, vid in enumerate(ids):
+        lst, keep = got[vid]
+        assert lst == assign[i], f"vec {vid}: list {lst} != {assign[i]}"
+        assert keep == (vid not in expected_drop), f"vec {vid}: keep flipped"
+    assert expected_drop, "testdata has no semantic dups — threshold drifted"
+
+    # every dropped doc has a genuine exact-cosine partner with a lower
+    # id (cluster-restricted dedup never drops without real evidence)
+    exact = sim.similarity_pairs(e, "vec_id", "embedding", 0.30)
+    high_ids = {r["id_b"] for r in exact.collect()}
+    assert expected_drop <= high_ids
+
+
+def test_semantic_dedup_plan_shape(spark):
+    """The decision pipeline spends exactly one hash-partition shuffle
+    (the cluster key); assignment is a shuffle-free Arrow pass."""
+    import re
+
+    e = spark.range(0, 256, 1, numPartitions=4).selectExpr(
+        "id as vec_id",
+        "transform(sequence(1, 8), d -> cast(pmod(id * d, 17) as double)) as embedding",
+    )
+    plan = sim.semantic_dedup(e, "vec_id", "embedding", n_lists=4)._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
 def test_asof_join_semantics(spark):
     from cdk_datalake_ingest_bigmagic_spark.operators.asof import asof_join
 
