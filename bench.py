@@ -64,6 +64,14 @@ HEADLINE = [
     "dedup_containment",
     "embedding_scalar_quantize",
     "corpus_training_prep",
+    # round-5 additions (third wave): the clustered semantic-dedup
+    # decision, deterministic training-shard serialization, and the
+    # upsampling epoch mix
+    "dedup_semantic_keep",
+    "corpus_shard_shuffle",
+    "corpus_mix_epochs",
+    "text_token_encode",
+    "text_quality_score",
 ]
 
 

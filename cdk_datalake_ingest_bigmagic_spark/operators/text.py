@@ -393,3 +393,112 @@ def token_rarity_features(
             F.col("rare_tokens").cast("double") / F.col("n_tokens").cast("double"),
         )
     )
+
+
+def build_vocab(df: DataFrame, text_col: str, vocab_size: int) -> DataFrame:
+    """Corpus vocabulary: the top ``vocab_size`` whitespace tokens by
+    count, ids 1..V assigned in (count DESC, token ASC) rank order —
+    id 0 is reserved for out-of-vocabulary. The deterministic tiebreak
+    makes the vocabulary identical on any engine / partitioning.
+
+    One partially-aggregated count groupBy (vocabulary grows
+    sublinearly in corpus size — Heaps' law) + a TakeOrdered top-V;
+    the rank window then runs on V rows only, so the single-partition
+    sort it implies is bounded by ``vocab_size``, never the corpus.
+    """
+    from pyspark.sql import Window
+
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    t = F.lower(F.trim(F.col(text_col)))
+    occ = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.explode(F.split(t, r"\s+")).alias("token")
+    )
+    top = (
+        occ.groupBy("token")
+        .agg(F.count("*").alias("__cnt"))
+        .orderBy(F.col("__cnt").desc(), F.col("token"))
+        .limit(vocab_size)
+    )
+    w = Window.orderBy(F.col("__cnt").desc(), F.col("token"))
+    return top.withColumn("tid", F.row_number().over(w)).select("token", "tid")
+
+
+def encode_token_ids(
+    df: DataFrame, id_col: str, text_col: str, vocab: DataFrame
+) -> DataFrame:
+    """Tokenize each document and map tokens to vocabulary ids — the
+    text→ids step a tokenizer shard performs before training (here
+    with the whitespace tokenizer; a BPE merge table would slot into
+    the same join shape).
+
+    Execution: position-tagged occurrence explode → broadcast(-able)
+    left join to the vocabulary (OOV → id 0; AQE flips to shuffle join
+    if the vocab outgrows the broadcast threshold) → one per-document
+    regroup that reassembles id order via an in-row sort of
+    (position, id) structs. The only corpus-sized shuffle is the final
+    groupBy on the document key.
+
+    Returns (id, n_tokens, n_oov, ids_csv) — ids serialized as CSV
+    because downstream gates canonicalize through pandas (same
+    decision as the quantization view); consumers wanting the array
+    use the struct column before the join's serialization.
+    """
+    occ = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("__pos", "token"),
+    )
+    enc = occ.join(F.broadcast(vocab), "token", "left").withColumn(
+        "__tid", F.coalesce(F.col("tid"), F.lit(0))
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("__pos", "__tid"))),
+        lambda x: x["__tid"].cast("string"),
+    )
+    return enc.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum((F.col("__tid") == 0).cast("long")).alias("n_oov"),
+        F.array_join(ordered, ",").alias("ids_csv"),
+    )
+
+
+#: Linear quality-score weights over the quality_features columns —
+#: fixed, published-style heuristic weights (a fastText-style learned
+#: scorer would broadcast its coefficients into the same expression).
+#: Logit > 0 means keep. All inputs are either integers or the
+#: 6-decimal-rounded ratios quality_features already emits, and the
+#: expression is a fixed-order sum of literal products, so both
+#: engines compute bit-identical doubles.
+QUALITY_WEIGHTS = {
+    "alpha_ratio": 2.0,      # prose is mostly letters
+    "punct_ratio": -4.0,     # punctuation soup is markup/code noise
+    "stopword_ratio": 3.0,   # natural language has function words
+}
+QUALITY_BIAS = -1.2
+QUALITY_SHORT_DOC_WORDS = 5  # below this, length dominates quality
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Model-based quality filtering (linear scorer over the heuristic
+    feature set): logit = bias + w·features, keep iff logit >= 0 and
+    the document clears the minimum length. One projection on top of
+    ``quality_features`` — Catalyst fuses it into the same pass, so
+    the 'model' costs nothing at 100 TB.
+    """
+    feats = quality_features(df, id_col, text_col)
+    logit = F.lit(QUALITY_BIAS)
+    for col, wgt in QUALITY_WEIGHTS.items():
+        logit = logit + F.lit(wgt) * F.col(col)
+    # the keep decision uses the ROUNDED logit so the boundary window
+    # [-5e-7, 0) decides identically on any engine (same rounding-
+    # boundary care as the Jaccard candidate epsilon)
+    rounded = F.round(logit, 6)
+    return feats.select(
+        F.col(id_col),
+        rounded.alias("quality_logit"),
+        (
+            (rounded >= 0) & (F.col("n_words") >= QUALITY_SHORT_DOC_WORDS)
+        ).alias("passes_quality"),
+    )

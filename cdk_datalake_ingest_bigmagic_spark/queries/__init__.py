@@ -56,13 +56,14 @@ from cdk_datalake_ingest_bigmagic_spark.queries import llmdata  # noqa: E402,F40
 from cdk_datalake_ingest_bigmagic_spark.queries import events  # noqa: E402,F401
 
 # The external correctness gate checks the first 50 registered queries.
-# With 89 registered (round 5 deregistered agg_approx_sketches — the
+# With 91 registered (round 5 deregistered agg_approx_sketches — the
 # sketch tier is hash-gated via agg_sketch_error_bounds, and a
 # permanent rows-only row added no signal — and added fifteen new
 # queries: chunking/packing/curation/novelty/span-detect/span-trim/
 # int8-quantization/containment/training-prep + two multi-join
-# analytics + SemDeDup/shard-shuffle/epoch-mix), 39 sit outside the
-# window each round, so the window is ROTATED via _GATE_FRONT.
+# analytics + SemDeDup/shard-shuffle/epoch-mix/token-encode/
+# quality-score), 41 sit outside the window each round, so the window
+# is ROTATED via _GATE_FRONT.
 #
 # ROTATION RULE (invariant, every round — do not regress this):
 #   front = (1) every query whose implementation OR any shared operator
@@ -90,14 +91,16 @@ from cdk_datalake_ingest_bigmagic_spark.queries import events  # noqa: E402,F401
 #       window_yearly_growth, text_duplicate_spans, text_span_trim,
 #       embedding_scalar_quantize, dedup_containment,
 #       corpus_training_prep, dedup_semantic_keep,
-#       corpus_shard_shuffle, corpus_mix_epochs (never gated before).
-#   (3) 22 of the 25 queries whose newest green row is round 3
-#       (VERDICT r4 "Next round" #2). The other three — dsl_bytemagic,
-#       dsl_case_mapping, dsl_periodmagic — are displaced by the three
-#       round-5 additions above: their implementations (DSL compiler)
-#       are untouched since round 3, their r3 greens sit at exactly
-#       the 2-round staleness ceiling the mechanical check allows, and
-#       they are the FIRST obligation of round 6's window.
+#       corpus_shard_shuffle, corpus_mix_epochs, text_token_encode,
+#       text_quality_score (never gated before).
+#   (3) 20 of the 25 queries whose newest green row is round 3
+#       (VERDICT r4 "Next round" #2). The other five — dsl_bytemagic,
+#       dsl_case_mapping, dsl_periodmagic, join_part_supplier_revenue,
+#       multimodal_frame_sample — are displaced by the five round-5
+#       additions above: their implementations are untouched since
+#       round 3, their r3 greens sit at exactly the 2-round staleness
+#       ceiling the mechanical check allows, and they are the FIRST
+#       obligation of round 6's window.
 #   The 24 falling out from round 4 are all unchanged round-4 greens
 #   (staleness 1 round — enforced by tests/test_gate_rotation.py's
 #   staleness check).
@@ -118,6 +121,8 @@ _GATE_FRONT: list[str] = [
     "dedup_semantic_keep",
     "corpus_shard_shuffle",
     "corpus_mix_epochs",
+    "text_token_encode",
+    "text_quality_score",
     # changed this round (operators/dedup.py + sketch-bounds guard)
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -150,8 +155,6 @@ _GATE_FRONT: list[str] = [
     "events_asof_join",
     "events_lag_lead_gaps",
     "events_user_similarity",
-    "join_part_supplier_revenue",
-    "multimodal_frame_sample",
     "text_fingerprint",
     "text_frequent_tokens",
     "text_language_id",

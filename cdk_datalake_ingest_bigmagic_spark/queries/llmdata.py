@@ -1248,6 +1248,91 @@ def text_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.token_rarity_features(d, "doc_id", "text", rare_below=3)
 
 
+# vocab_size 16 < the corpus's distinct-token count, so the encoding
+# exercises real OOV (id 0) alongside in-vocab ids
+@register(
+    "text_token_encode",
+    oracle=r"""
+    WITH norm AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS w
+      FROM documents WHERE trim(text) <> ''
+    ),
+    tok AS (
+      SELECT doc_id, w[i.i + 1] AS token, i.i AS pos
+      FROM norm, LATERAL (SELECT unnest(range(len(w))) AS i) i
+    ),
+    cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    vocab AS (
+      SELECT token, row_number() OVER (ORDER BY c DESC, token) AS tid
+      FROM cnt ORDER BY c DESC, token LIMIT 16
+    ),
+    enc AS (
+      SELECT t.doc_id, t.pos, COALESCE(v.tid, 0) AS tid
+      FROM tok t LEFT JOIN vocab v USING (token)
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_tokens,
+           sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+           string_agg(tid::VARCHAR, ',' ORDER BY pos) AS ids_csv
+    FROM enc GROUP BY doc_id
+    """,
+)
+def text_token_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build + token-id encoding: top-16 corpus vocabulary
+    (deterministic count/token rank, id 0 = OOV), then each document
+    re-expressed as its id sequence — the text→ids step before
+    training, with the id order reassembled in-row from position
+    structs after the broadcast vocab join."""
+    d = load(spark, sf_dir, "documents")
+    vocab = tx.build_vocab(d, "text", vocab_size=16)
+    return tx.encode_token_ids(d, "doc_id", "text", vocab)
+
+
+_quality_terms = " ".join(
+    f"+ {w} * {c}" for c, w in tx.QUALITY_WEIGHTS.items()
+)
+_QUALITY_LOGIT_SQL = f"round({tx.QUALITY_BIAS} {_quality_terms}, 6)"
+
+
+@register(
+    "text_quality_score",
+    oracle=rf"""
+    WITH f AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+             round(CASE WHEN length(text) = 0 THEN 0.0
+                   ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                        / length(text)::DOUBLE END, 6) AS alpha_ratio,
+             round(CASE WHEN length(text) = 0 THEN 0.0
+                   ELSE length(regexp_replace(text, '[^\.,;:!\?]', '', 'g'))::DOUBLE
+                        / length(text)::DOUBLE END, 6) AS punct_ratio,
+             round(CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(string_split_regex(trim(text), '\s+')) END) = 0 THEN 0.0
+                   ELSE len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            t -> t IN ('the','a','of','and','to','in','is','it','that','for')))::DOUBLE
+                        / (CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(string_split_regex(trim(text), '\s+')) END)::DOUBLE
+                   END, 6) AS stopword_ratio
+      FROM documents
+    )
+    SELECT doc_id,
+           {_QUALITY_LOGIT_SQL} AS quality_logit,
+           ({_QUALITY_LOGIT_SQL} >= 0
+            AND n_words >= {tx.QUALITY_SHORT_DOC_WORDS}) AS passes_quality
+    FROM f
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter: linear scorer (fixed published-style
+    weights; a trained fastText-style model would broadcast its
+    coefficients into the same fused expression) over the heuristic
+    feature set, with the rounded-logit keep decision."""
+    d = load(spark, sf_dir, "documents")
+    return tx.quality_score(d, "doc_id", "text")
+
+
 @register(
     "dedup_incremental_novelty",
     oracle=r"""

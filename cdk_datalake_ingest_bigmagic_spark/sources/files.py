@@ -107,6 +107,95 @@ def write_csv_gz(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     )
 
 
+def write_jsonl(
+    df: DataFrame, path: str, mode: str = "overwrite", compression: str | None = "gzip"
+) -> None:
+    """JSON-Lines sink — the interchange format LLM corpora ship in
+    (one JSON object per line). Compression defaults to gzip: JSONL's
+    redundancy makes uncompressed corpora ~5× larger on disk, and
+    downstream readers split gzip per-file (size the write's task
+    parallelism accordingly — each output file is one read split)."""
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def read_jsonl_corpus(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    quarantine_col: str = "_corrupt_record",
+):
+    """Read a JSONL corpus with an EXPLICIT schema and malformed-line
+    quarantine. Returns ``(good, bad)`` DataFrames.
+
+    Two 100-TB rules are baked in rather than optional:
+
+    - the schema is required — inference is a full extra pass over the
+      corpus before the real read starts;
+    - PERMISSIVE mode with a corrupt-record column — a web-scale JSONL
+      dump always contains malformed lines, and one bad line must cost
+      one quarantined row, not the job (the same error-quarantine
+      philosophy as the transform layer's T17).
+
+    The split caches the parsed frame first: Spark refuses queries
+    whose referenced columns are ONLY the internal corrupt-record
+    column (SPARK-21610), and without the cache the good/bad split
+    would re-parse the corpus twice anyway.
+    """
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    if quarantine_col not in [f.name for f in schema.fields]:
+        schema = schema.add(T.StructField(quarantine_col, T.StringType(), True))
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", quarantine_col)
+        .json(path)
+        .cache()
+    )
+    good = df.filter(F.col(quarantine_col).isNull()).drop(quarantine_col)
+    bad = df.filter(F.col(quarantine_col).isNotNull()).select(quarantine_col)
+    return good, bad
+
+
+def write_raw_orc(
+    df: DataFrame,
+    path: str,
+    ingest_date: dt.date | None = None,
+    mode: str = "append",
+) -> None:
+    """ORC variant of the raw landing sink — same all-string contract
+    and ingest-date partitions as :func:`write_raw`, for deployments
+    whose warehouse standardizes on ORC (Spark's ORC writer is
+    built-in; predicate pushdown and column pruning work the same as
+    parquet)."""
+    d = ingest_date or dt.date.today()
+    out = (
+        stringify_all(df)
+        .withColumn("year", F.lit(f"{d.year:04d}"))
+        .withColumn("month", F.lit(f"{d.month:02d}"))
+        .withColumn("day", F.lit(f"{d.day:02d}"))
+    )
+    out.write.mode(mode).partitionBy("year", "month", "day").orc(path)
+
+
+def read_raw_orc(
+    spark: SparkSession, path: str, ingest_date: dt.date | None = None
+) -> DataFrame:
+    """Read the ORC raw layer, optionally pruned to one ingest date
+    (partition pruning, as :func:`read_raw`)."""
+    df = spark.read.orc(path)
+    if ingest_date is not None:
+        df = df.filter(
+            (F.col("year") == f"{ingest_date.year:04d}")
+            & (F.col("month") == f"{ingest_date.month:02d}")
+            & (F.col("day") == f"{ingest_date.day:02d}")
+        )
+    return df.drop("year", "month", "day")
+
+
 _PARTITION_TOKENS = {
     "{YYYY}": "%Y",
     "{YY}": "%y",

@@ -1116,3 +1116,61 @@ def test_containment_catches_quote_inclusion_jaccard_misses(spark):
     assert cont[0]["containment"] == 1.0
     jac = dd.jaccard_pairs_rows(shingles, "doc_id", threshold=0.8).collect()
     assert jac == []  # symmetric Jaccard can't see it
+
+
+def test_build_vocab_and_encode(spark):
+    """Vocabulary ids follow (count DESC, token ASC); encoding maps
+    OOV to 0 and preserves token order; empty/NULL docs drop out."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.text import (
+        build_vocab,
+        encode_token_ids,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "b a a c"),
+            (2, "a b B x"),  # 'B' folds to 'b'; 'x' will be OOV
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id: long, text: string",
+    )
+    # counts: a=3, b=3, c=1, x=1 → ids: a=1, b=2 (tie count 3, token
+    # order), c=3; vocab_size=3 leaves x OOV
+    vocab = {r["token"]: r["tid"] for r in build_vocab(df, "text", 3).collect()}
+    assert vocab == {"a": 1, "b": 2, "c": 3}
+
+    enc = {
+        r["doc_id"]: r
+        for r in encode_token_ids(
+            df, "doc_id", "text", build_vocab(df, "text", 3)
+        ).collect()
+    }
+    assert set(enc) == {1, 2}  # blank and NULL docs drop out
+    assert enc[1]["ids_csv"] == "2,1,1,3"
+    assert enc[2]["ids_csv"] == "1,2,2,0"
+    assert enc[2]["n_oov"] == 1 and enc[1]["n_oov"] == 0
+    assert enc[1]["n_tokens"] == 4
+
+    with pytest.raises(ValueError):
+        build_vocab(df, "text", 0)
+
+
+def test_quality_score_decision(spark):
+    """The linear scorer keeps prose (letters + stopwords) and drops
+    punctuation soup and too-short documents."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.text import quality_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again"),
+            (2, ".,;:!? .,;:!? .,;:!? .,;:!? .,;:!? .,;:!?"),
+            (3, "good text"),  # positive logit but under the length floor
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {r["doc_id"]: r for r in quality_score(df, "doc_id", "text").collect()}
+    assert out[1]["passes_quality"] is True
+    assert out[2]["passes_quality"] is False
+    assert out[2]["quality_logit"] < 0
+    assert out[3]["passes_quality"] is False  # n_words < 5

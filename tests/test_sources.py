@@ -258,3 +258,76 @@ def test_watermark_append_retries_transient_write(spark, tmp_path, monkeypatch):
     txn = store.save_provisional("proj", "tbl", "col", "42")
     store.confirm(txn)
     assert store.get("proj", "tbl", "col") == "42"
+
+
+def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
+    """JSONL corpus source: explicit schema, malformed lines land in
+    the quarantine frame (one bad line costs one row, not the job),
+    good rows parse losslessly."""
+    from cdk_datalake_ingest_bigmagic_spark.sources.files import (
+        read_jsonl_corpus,
+        write_jsonl,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world", "en"), (2, "hola", "es")],
+        "doc_id: long, text: string, lang: string",
+    )
+    out = str(tmp_path / "corpus")
+    write_jsonl(df, out, compression=None)
+    # corrupt the corpus: append a malformed line to one part file
+    part = glob.glob(f"{out}/part-*.json")[0]
+    with open(part, "a") as f:
+        f.write('{"doc_id": 3, "text": "unterminated\n')
+    # drop the Hadoop CRC sidecar the out-of-band append invalidated
+    import os
+
+    crc = f"{os.path.dirname(part)}/.{os.path.basename(part)}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    good, bad = read_jsonl_corpus(
+        spark, out, "doc_id long, text string, lang string"
+    )
+    rows = {r["doc_id"]: r for r in good.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["text"] == "hello world" and rows[2]["lang"] == "es"
+    quarantined = bad.collect()
+    assert len(quarantined) == 1
+    assert "unterminated" in quarantined[0][0]
+
+
+def test_jsonl_gzip_compression(spark, tmp_path):
+    from cdk_datalake_ingest_bigmagic_spark.sources.files import (
+        read_jsonl_corpus,
+        write_jsonl,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id: long, text: string")
+    out = str(tmp_path / "gz")
+    write_jsonl(df, out)  # gzip default
+    assert glob.glob(f"{out}/part-*.json.gz")
+    good, bad = read_jsonl_corpus(spark, out, "doc_id long, text string")
+    assert good.count() == 2 and bad.count() == 0
+
+
+def test_orc_raw_roundtrip_and_pruning(spark, tmp_path):
+    """ORC raw landing: same all-string contract and ingest-date
+    partition pruning as the parquet layer."""
+    from cdk_datalake_ingest_bigmagic_spark.sources.files import (
+        read_raw_orc,
+        write_raw_orc,
+    )
+
+    df = spark.createDataFrame([(1, 2.5), (2, None)], "id: long, v: double")
+    out = str(tmp_path / "orc")
+    write_raw_orc(df, out, ingest_date=dt.date(2024, 6, 25))
+    write_raw_orc(df, out, ingest_date=dt.date(2024, 6, 26))
+    whole = read_raw_orc(spark, out)
+    assert whole.count() == 4
+    one = read_raw_orc(spark, out, ingest_date=dt.date(2024, 6, 25))
+    assert one.count() == 2
+    assert dict(one.dtypes) == {"id": "string", "v": "string"}  # raw contract
+    # partition pruning reached the scan
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan

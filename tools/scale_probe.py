@@ -232,6 +232,29 @@ def main() -> None:
         )),
         # clean gates -> canonical dedup -> chunk -> pack, one plan
         "training_prep": (n_docs, lambda: _training_prep(docs)),
+        # SemDeDup decision: one cluster-key shuffle + per-cluster BLAS
+        # blocks. Cluster count scales LINEARLY with the corpus (fixed
+        # ~500-vector clusters, the paper's fixed-size regime) — the
+        # sqrt(N) IVF sizing is wrong here: it grows per-cluster blocks
+        # as sqrt(N) and total pairwise work as N^1.5 (measured 12.2x
+        # wall for 10x data before this sizing; 'n_lists ~ N/target'
+        # is exactly what the operator's docstring prescribes)
+        "semdedup": (n_vecs, lambda: sim.semantic_dedup(
+            emb, "vec_id", "embedding",
+            n_lists=max(16, n_vecs // 500), threshold=0.45,
+        )),
+        # deterministic training-shard serialization: one hash shuffle
+        # + 64 independent per-shard sorts (shard count would scale
+        # with the cluster; positions force the window sort)
+        "shard_shuffle": (n_docs, lambda: _sampling().shard_assign(
+            docs.select("doc_id", "source"), "doc_id", n_shards=64
+        )),
+        # epoch-weighted upsampling mix: broadcast rates + in-row
+        # explode — expected ~1.05x the corpus out, zero shuffle
+        "epoch_mix": (n_docs, lambda: _sampling().epoch_mix(
+            docs.select("doc_id", "source"), "doc_id", "source",
+            {"src1": 2.5, "src2": 1.0, "src3": 0.25}, default_epochs=0.5,
+        )),
     }
 
     def _training_prep(d):
@@ -259,6 +282,10 @@ def main() -> None:
     def _chunking():
         from cdk_datalake_ingest_bigmagic_spark.operators import chunking
         return chunking
+
+    def _sampling():
+        from cdk_datalake_ingest_bigmagic_spark.operators import sampling
+        return sampling
 
     def _stream_clean(d):
         """One AvailableNow drain of the corpus into an empty sink,
@@ -303,7 +330,11 @@ def main() -> None:
     #: materialization the operator itself never promises.
     FORCE_ALL_COLUMNS = {"chunking", "packing", "rare_tokens",
                          "span_trim", "repetition_filter",
-                         "training_prep"}
+                         "training_prep",
+                         # shard positions are a window PROJECTION (an
+                         # unreferenced window expression is pruned);
+                         # epoch rows are an explode projection
+                         "shard_shuffle", "epoch_mix"}
 
     def run_probe(name: str, fn):
         df = fn()
