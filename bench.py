@@ -72,6 +72,7 @@ HEADLINE = [
     "corpus_mix_epochs",
     "text_token_encode",
     "text_quality_score",
+    "corpus_leakage_safe_split",
 ]
 
 

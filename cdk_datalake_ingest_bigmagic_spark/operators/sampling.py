@@ -228,3 +228,54 @@ def domain_cap(
         df.withColumn("domain_rank", F.row_number().over(w))
         .filter(F.col("domain_rank") <= cap)
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    labels: DataFrame,
+    splits: dict[str, float],
+    label_id_col: str = "id",
+    label_col: str = "component",
+    seed: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment with NO near-duplicate leakage: the
+    split bucket is hashed from the document's duplicate-CLUSTER label
+    (connected-components output), not its id, so every member of a
+    near-dup cluster lands in the same split. Hashing ids instead
+    silently leaks — a near-copy of a training document scores the
+    eval set. Documents absent from the label table are singletons and
+    hash their own id (coalesce).
+
+    ``splits`` maps name → fraction (insertion order = bucket order;
+    must sum to 1 within float dust — the last split absorbs the
+    rounding remainder so every document gets exactly one split).
+
+    One left join to the label table (plain equi-join: AQE broadcasts
+    a small label table and shuffles a corpus-sized one — same
+    no-forced-broadcast reasoning as ``attach_keep_flags``) + a pure
+    projection. Returns the input plus ``component`` and ``split``.
+    """
+    if not splits:
+        raise ValueError("splits must name at least one split")
+    total = sum(splits.values())
+    if any(v < 0 for v in splits.values()) or abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must be >= 0 and sum to 1, got {splits}")
+    lab = labels.select(
+        F.col(label_id_col).alias(id_col), F.col(label_col).alias("component")
+    )
+    joined = df.join(lab, id_col, "left").withColumn(
+        "component", F.coalesce(F.col("component"), F.col(id_col))
+    )
+    bucket = sample_bucket(F.col("component"), seed)
+    names = list(splits)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += splits[name]
+        cond = bucket < F.lit(round(cum * SAMPLE_BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    return joined.withColumn(
+        "split", last if expr is None else expr.otherwise(names[-1])
+    )

@@ -56,13 +56,13 @@ from cdk_datalake_ingest_bigmagic_spark.queries import llmdata  # noqa: E402,F40
 from cdk_datalake_ingest_bigmagic_spark.queries import events  # noqa: E402,F401
 
 # The external correctness gate checks the first 50 registered queries.
-# With 91 registered (round 5 deregistered agg_approx_sketches — the
+# With 92 registered (round 5 deregistered agg_approx_sketches — the
 # sketch tier is hash-gated via agg_sketch_error_bounds, and a
 # permanent rows-only row added no signal — and added fifteen new
 # queries: chunking/packing/curation/novelty/span-detect/span-trim/
 # int8-quantization/containment/training-prep + two multi-join
 # analytics + SemDeDup/shard-shuffle/epoch-mix/token-encode/
-# quality-score), 41 sit outside the window each round, so the window
+# quality-score/leakage-split), 42 sit outside the window each round, so the window
 # is ROTATED via _GATE_FRONT.
 #
 # ROTATION RULE (invariant, every round — do not regress this):
@@ -92,15 +92,17 @@ from cdk_datalake_ingest_bigmagic_spark.queries import events  # noqa: E402,F401
 #       embedding_scalar_quantize, dedup_containment,
 #       corpus_training_prep, dedup_semantic_keep,
 #       corpus_shard_shuffle, corpus_mix_epochs, text_token_encode,
-#       text_quality_score (never gated before).
-#   (3) 20 of the 25 queries whose newest green row is round 3
-#       (VERDICT r4 "Next round" #2). The other five — dsl_bytemagic,
-#       dsl_case_mapping, dsl_periodmagic, join_part_supplier_revenue,
-#       multimodal_frame_sample — are displaced by the five round-5
-#       additions above: their implementations are untouched since
-#       round 3, their r3 greens sit at exactly the 2-round staleness
-#       ceiling the mechanical check allows, and they are the FIRST
-#       obligation of round 6's window.
+#       text_quality_score, corpus_leakage_safe_split (never gated
+#       before).
+#   (3) 19 of the 25 queries whose newest green row is round 3
+#       (VERDICT r4 "Next round" #2). The other six — dsl_bytemagic,
+#       dsl_case_mapping, dsl_periodmagic, dsl_date_to_string_nested,
+#       join_part_supplier_revenue, multimodal_frame_sample — are
+#       displaced by the six round-5 additions above: their
+#       implementations are untouched since round 3, their r3 greens
+#       sit at exactly the 2-round staleness ceiling the mechanical
+#       check allows, and they are the FIRST obligation of round 6's
+#       window.
 #   The 24 falling out from round 4 are all unchanged round-4 greens
 #   (staleness 1 round — enforced by tests/test_gate_rotation.py's
 #   staleness check).
@@ -123,6 +125,7 @@ _GATE_FRONT: list[str] = [
     "corpus_mix_epochs",
     "text_token_encode",
     "text_quality_score",
+    "corpus_leakage_safe_split",
     # changed this round (operators/dedup.py + sketch-bounds guard)
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -146,7 +149,6 @@ _GATE_FRONT: list[str] = [
     "corpus_clean_pipeline",
     "dedup_embedding_cosine",
     "dsl_case_multicolumn",
-    "dsl_date_to_string_nested",
     "dsl_misc_functions",
     "embedding_ann_ivf",
     "embedding_ann_lsh",

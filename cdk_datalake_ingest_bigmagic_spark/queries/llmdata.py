@@ -462,6 +462,45 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_leakage_safe_split",
+    oracle=_CC_CTES + """
+    , comp AS (
+      SELECT a AS id, LEAST(a, MIN(b)) AS component
+      FROM reach GROUP BY a
+    ),
+    lab AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    )
+    SELECT doc_id, component,
+           CASE WHEN (('0x' || substr(md5('split|' || component), 1, 7))::BIGINT
+                      % 10000) < 8000 THEN 'train'
+                WHEN (('0x' || substr(md5('split|' || component), 1, 7))::BIGINT
+                      % 10000) < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM lab
+    """,
+)
+def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (80/10/10): the split bucket
+    hashes the near-dup CLUSTER label, never the doc id, so a near-copy
+    of a training document can never land in eval. Composes the same
+    prefix-Jaccard → connected-components labels as the keep list."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.graph import (
+        connected_components,
+    )
+    from cdk_datalake_ingest_bigmagic_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    cc = connected_components(_jaccard_edges(spark, sf_dir), "id_a", "id_b")
+    return leakage_safe_split(
+        d, "doc_id", cc, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "component", "split")
+
+
+@register(
     "dedup_simhash",
     oracle=r"""
     WITH toks AS (

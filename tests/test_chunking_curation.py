@@ -455,3 +455,44 @@ def test_epoch_mix_zero_shuffle(spark):
     )
     out = epoch_mix(df, "doc_id", "source", {"s0": 2.5}, default_epochs=0.5)
     assert _n_exchanges(out) == 0
+
+
+def test_leakage_safe_split_co_assigns_clusters(spark):
+    """Every member of a duplicate cluster gets the SAME split (the
+    anti-leakage property), fractions validate, and every document
+    gets exactly one split."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = spark.range(0, 300).selectExpr("id as doc_id")
+    # clusters of 3: {0,1,2} -> 0, {3,4,5} -> 3, ...
+    labels = spark.range(0, 300).selectExpr(
+        "id", "(id div 3) * 3 as component"
+    )
+    out = leakage_safe_split(
+        docs, "doc_id", labels, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).collect()
+    assert len(out) == 300
+    by_comp: dict[int, set[str]] = {}
+    for r in out:
+        by_comp.setdefault(r["component"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_comp.values())  # co-assignment
+    seen = {r["split"] for r in out}
+    assert seen == {"train", "val", "test"}
+    train_frac = sum(1 for r in out if r["split"] == "train") / 300
+    assert 0.6 < train_frac < 0.95  # hash split is approximate
+
+    # singletons (absent from labels) hash their own id
+    solo = leakage_safe_split(
+        docs, "doc_id", labels.filter("id < 0"), {"train": 1.0}
+    ).collect()
+    assert all(r["component"] == r["doc_id"] for r in solo)
+    assert all(r["split"] == "train" for r in solo)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        leakage_safe_split(docs, "doc_id", labels, {})
+    with _pytest.raises(ValueError):
+        leakage_safe_split(docs, "doc_id", labels, {"a": 0.5, "b": 0.4})
