@@ -56,13 +56,14 @@ from cdk_datalake_ingest_bigmagic_spark.queries import llmdata  # noqa: E402,F40
 from cdk_datalake_ingest_bigmagic_spark.queries import events  # noqa: E402,F401
 
 # The external correctness gate checks the first 50 registered queries.
-# With 92 registered (round 5 deregistered agg_approx_sketches — the
+# With 93 registered (round 5 deregistered agg_approx_sketches — the
 # sketch tier is hash-gated via agg_sketch_error_bounds, and a
 # permanent rows-only row added no signal — and added fifteen new
 # queries: chunking/packing/curation/novelty/span-detect/span-trim/
 # int8-quantization/containment/training-prep + two multi-join
 # analytics + SemDeDup/shard-shuffle/epoch-mix/token-encode/
-# quality-score/leakage-split), 42 sit outside the window each round, so the window
+# quality-score/leakage-split/shipping-priority), 43 sit outside the
+# window each round, so the window
 # is ROTATED via _GATE_FRONT.
 #
 # ROTATION RULE (invariant, every round — do not regress this):
@@ -92,17 +93,17 @@ from cdk_datalake_ingest_bigmagic_spark.queries import events  # noqa: E402,F401
 #       embedding_scalar_quantize, dedup_containment,
 #       corpus_training_prep, dedup_semantic_keep,
 #       corpus_shard_shuffle, corpus_mix_epochs, text_token_encode,
-#       text_quality_score, corpus_leakage_safe_split (never gated
-#       before).
-#   (3) 19 of the 25 queries whose newest green row is round 3
-#       (VERDICT r4 "Next round" #2). The other six — dsl_bytemagic,
+#       text_quality_score, corpus_leakage_safe_split,
+#       join_shipping_priority (never gated before).
+#   (3) 18 of the 25 queries whose newest green row is round 3
+#       (VERDICT r4 "Next round" #2). The other seven — dsl_bytemagic,
 #       dsl_case_mapping, dsl_periodmagic, dsl_date_to_string_nested,
-#       join_part_supplier_revenue, multimodal_frame_sample — are
-#       displaced by the six round-5 additions above: their
-#       implementations are untouched since round 3, their r3 greens
-#       sit at exactly the 2-round staleness ceiling the mechanical
-#       check allows, and they are the FIRST obligation of round 6's
-#       window.
+#       join_part_supplier_revenue, multimodal_frame_sample,
+#       events_lag_lead_gaps — are displaced by the seven round-5
+#       additions above: their implementations are untouched since
+#       round 3, their r3 greens sit at exactly the 2-round staleness
+#       ceiling the mechanical check allows, and they are the FIRST
+#       obligation of round 6's window.
 #   The 24 falling out from round 4 are all unchanged round-4 greens
 #   (staleness 1 round — enforced by tests/test_gate_rotation.py's
 #   staleness check).
@@ -126,6 +127,7 @@ _GATE_FRONT: list[str] = [
     "text_token_encode",
     "text_quality_score",
     "corpus_leakage_safe_split",
+    "join_shipping_priority",
     # changed this round (operators/dedup.py + sketch-bounds guard)
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -155,7 +157,6 @@ _GATE_FRONT: list[str] = [
     "embedding_similarity_pairs",
     "embedding_topk",
     "events_asof_join",
-    "events_lag_lead_gaps",
     "events_user_similarity",
     "text_fingerprint",
     "text_frequent_tokens",

@@ -840,3 +840,56 @@ def window_yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev_dec").cast("double").alias("revenue"),
         ((F.col("rev_dec").cast("double") - prev) / prev).alias("yoy_growth"),
     )
+
+
+@register(
+    "join_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * CAST((1 - l.l_discount) AS DECIMAL(18,2)))::DOUBLE AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * CAST((1 - l.l_discount) AS DECIMAL(18,2))) DESC,
+             o.o_orderdate, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def join_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping priority (TPC-H Q3-flavored): unshipped orders of one
+    market segment ranked by potential revenue. Both fact filters and
+    the segment filter reach the scans (PushedFilters), the pruned
+    customer side broadcasts under AQE, and the top-10 is a
+    TakeOrderedAndProject — no global sort materializes. Revenue sums
+    exact decimals (one cast to double at the end); the ORDER BY ties
+    break on the unique order key so the limit boundary is
+    deterministic cross-engine.
+    """
+    cutoff = "1998-06-01"
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(18,2)")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("__rev_dec"))
+        .orderBy(F.col("__rev_dec").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("__rev_dec").cast("double").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )

@@ -496,3 +496,39 @@ def test_leakage_safe_split_co_assigns_clusters(spark):
         leakage_safe_split(docs, "doc_id", labels, {})
     with _pytest.raises(ValueError):
         leakage_safe_split(docs, "doc_id", labels, {"a": 0.5, "b": 0.4})
+
+
+def test_new_sampling_ops_partitioning_and_ansi_invariant(spark):
+    """shard_assign / epoch_mix / leakage_safe_split must produce
+    identical rows under any input partitioning and under ANSI mode
+    (Spark 4 clusters default to ansi on)."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.sampling import (
+        epoch_mix,
+        leakage_safe_split,
+        shard_assign,
+    )
+
+    def run(np_):
+        df = spark.range(0, 200, 1, numPartitions=np_).selectExpr(
+            "id as doc_id", "concat('s', id % 3) as source"
+        )
+        labels = spark.range(0, 200, 1, numPartitions=np_).selectExpr(
+            "id", "(id div 4) * 4 as component"
+        )
+        return {
+            "shard": sorted(map(tuple, shard_assign(df, "doc_id", 4).collect())),
+            "epoch": sorted(map(tuple, epoch_mix(
+                df, "doc_id", "source", {"s0": 1.5, "s1": 0.5}
+            ).collect())),
+            "split": sorted(map(tuple, leakage_safe_split(
+                df, "doc_id", labels, {"train": 0.8, "test": 0.2}
+            ).collect())),
+        }
+
+    base = run(1)
+    assert run(7) == base
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        assert run(7) == base
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")

@@ -1174,3 +1174,20 @@ def test_quality_score_decision(spark):
     assert out[2]["passes_quality"] is False
     assert out[2]["quality_logit"] < 0
     assert out[3]["passes_quality"] is False  # n_words < 5
+
+
+def test_semantic_dedup_partitioning_invariant(spark):
+    """The SemDeDup decision must not depend on physical partitioning:
+    assignment is a per-row matmul and the per-cluster decision is a
+    vectorized any() — both order-free. Pin it."""
+    def run(np_):
+        e = spark.range(0, 300, 1, numPartitions=np_).selectExpr(
+            "id as vec_id",
+            "transform(sequence(1, 8), d -> cast(pmod(id * d, 13) as double)) as embedding",
+        )
+        return sorted(
+            map(tuple, sim.semantic_dedup(e, "vec_id", "embedding", n_lists=4,
+                                          threshold=0.9).collect())
+        )
+
+    assert run(1) == run(11)
