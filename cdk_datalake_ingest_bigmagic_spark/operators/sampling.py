@@ -75,7 +75,11 @@ def stratified_hash_sample(
 
 
 def shard_assign(
-    df: DataFrame, id_col: str, n_shards: int, seed: str = "shard"
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: str = "shard",
+    within: list[str] | None = None,
 ) -> DataFrame:
     """Deterministic global shuffle + sharding — the serialization step
     of a training-data pipeline (examples must reach the trainer in a
@@ -97,7 +101,10 @@ def shard_assign(
     the data.
 
     Returns the input plus ``shard`` (int) and ``position`` (1-based
-    rank within the shard).
+    rank within the shard). ``within`` adds columns to the position
+    window (e.g. ``["split"]`` so each train/val/test slice numbers
+    its shards independently — the layout a
+    ``partitionBy(split, shard)`` write wants).
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
@@ -105,7 +112,9 @@ def shard_assign(
     shard = (
         F.conv(F.substring(h, 1, 7), 16, 10).cast("long") % F.lit(n_shards)
     ).cast("int")
-    w = Window.partitionBy("shard").orderBy(F.col("__h").asc(), F.col(id_col).asc())
+    w = Window.partitionBy(*(within or []), "shard").orderBy(
+        F.col("__h").asc(), F.col(id_col).asc()
+    )
     return (
         df.withColumn("__h", h)
         .withColumn("shard", shard)
@@ -233,7 +242,7 @@ def domain_cap(
 def leakage_safe_split(
     df: DataFrame,
     id_col: str,
-    labels: DataFrame,
+    labels: DataFrame | None,
     splits: dict[str, float],
     label_id_col: str = "id",
     label_col: str = "component",
@@ -255,18 +264,30 @@ def leakage_safe_split(
     a small label table and shuffles a corpus-sized one — same
     no-forced-broadcast reasoning as ``attach_keep_flags``) + a pure
     projection. Returns the input plus ``component`` and ``split``.
+
+    ``labels=None`` means ``df`` already carries ``label_col`` (e.g.
+    the keep-list output) — no join at all, pure projection.
     """
     if not splits:
         raise ValueError("splits must name at least one split")
     total = sum(splits.values())
     if any(v < 0 for v in splits.values()) or abs(total - 1.0) > 1e-9:
         raise ValueError(f"split fractions must be >= 0 and sum to 1, got {splits}")
-    lab = labels.select(
-        F.col(label_id_col).alias(id_col), F.col(label_col).alias("component")
-    )
-    joined = df.join(lab, id_col, "left").withColumn(
-        "component", F.coalesce(F.col("component"), F.col(id_col))
-    )
+    if labels is None:
+        if label_col not in df.columns:
+            raise ValueError(
+                f"labels=None requires the input to carry {label_col!r}"
+            )
+        joined = df.withColumn(
+            "component", F.coalesce(F.col(label_col), F.col(id_col))
+        )
+    else:
+        lab = labels.select(
+            F.col(label_id_col).alias(id_col), F.col(label_col).alias("component")
+        )
+        joined = df.join(lab, id_col, "left").withColumn(
+            "component", F.coalesce(F.col("component"), F.col(id_col))
+        )
     bucket = sample_bucket(F.col("component"), seed)
     names = list(splits)
     cum = 0.0

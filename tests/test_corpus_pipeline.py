@@ -1,0 +1,115 @@
+"""Tests for the resumable corpus-curation pipeline (plans/corpus.py):
+end-to-end materialization, manifest-based resume, and per-step
+fingerprint invalidation."""
+
+import dataclasses
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.plans.corpus import (
+    MANIFEST,
+    CorpusPipeline,
+    CorpusPipelineConfig,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # 120 docs: 3 sources, a block of exact/near dups, one repetition
+    # offender the clean step must drop
+    rows = []
+    for i in range(120):
+        if i % 17 == 0:
+            text = "spam spam spam spam spam spam spam spam spam spam"
+        elif i % 5 == 0:
+            text = "the quick brown fox jumps over the lazy dog near the river bank today"
+        else:
+            text = f"the document number {i} talks about the data engine and the query planner in detail"
+        rows.append((i, text, f"src{i % 3}"))
+    return spark.createDataFrame(rows, "doc_id: long, text: string, source: string")
+
+
+def _mtimes(work):
+    out = {}
+    for step in os.listdir(work):
+        m = os.path.join(work, step, MANIFEST)
+        if os.path.exists(m):
+            out[step] = os.path.getmtime(m)
+    return out
+
+
+def test_pipeline_end_to_end_and_resume(spark, corpus, tmp_path_factory):
+    work = str(tmp_path_factory.mktemp("corpus_pipe"))
+    pipe = CorpusPipeline(spark, work)
+    results = pipe.run(corpus)
+
+    assert set(results) == {"clean", "dedup", "split", "shard"}
+    assert not any(r.skipped for r in results.values())
+    # the repetition offenders are gone, dups are flagged then dropped
+    assert results["clean"].rows < 120
+    assert results["split"].rows < results["dedup"].rows  # keep-only
+    # every kept doc got exactly one (split, shard, position)
+    shard = pipe.read("shard")
+    assert shard.count() == results["split"].rows
+    # positions are per-(split, shard) sequences
+    bad = (
+        shard.groupBy("split", "shard")
+        .agg(F.count("*").alias("n"), F.max("position").alias("mx"))
+        .filter(F.col("n") != F.col("mx"))
+        .count()
+    )
+    assert bad == 0
+    # near-dup co-assignment survives to the final artifact: component
+    # members share a split by construction
+    comp_splits = (
+        pipe.read("split").groupBy("component")
+        .agg(F.count_distinct("split").alias("ns")).filter("ns > 1").count()
+    )
+    assert comp_splits == 0
+    # the shard layout is hive-partitioned by split and shard
+    assert any(d.startswith("split=") for d in os.listdir(results["shard"].path))
+
+    # resume: nothing recomputes, manifests untouched
+    before = _mtimes(work)
+    rerun = CorpusPipeline(spark, work).run(corpus)
+    assert all(r.skipped for r in rerun.values())
+    assert _mtimes(work) == before
+
+
+def test_pipeline_fingerprint_invalidation(spark, corpus, tmp_path_factory):
+    """Changing n_shards re-runs ONLY the shard step; changing the
+    jaccard threshold cascades from dedup down but leaves clean
+    untouched."""
+    work = str(tmp_path_factory.mktemp("corpus_pipe_inval"))
+    CorpusPipeline(spark, work).run(corpus)
+    t0 = _mtimes(work)
+
+    resharded = CorpusPipeline(
+        spark, work, CorpusPipelineConfig(n_shards=4)
+    ).run(corpus)
+    assert resharded["clean"].skipped and resharded["dedup"].skipped
+    assert resharded["split"].skipped
+    assert not resharded["shard"].skipped
+    t1 = _mtimes(work)
+    assert t1["clean"] == t0["clean"] and t1["shard"] != t0["shard"]
+
+    retuned = CorpusPipeline(
+        spark, work, CorpusPipelineConfig(n_shards=4, jaccard_threshold=0.7)
+    ).run(corpus)
+    assert retuned["clean"].skipped
+    assert not retuned["dedup"].skipped
+    assert not retuned["split"].skipped and not retuned["shard"].skipped
+
+    # manifests carry the fingerprint that gates all of this
+    m = json.loads(open(os.path.join(work, "dedup", MANIFEST)).read())
+    assert set(m) == {"step", "rows", "fingerprint"}
+
+
+def test_pipeline_config_fingerprint_stable():
+    a = CorpusPipelineConfig()
+    b = CorpusPipelineConfig()
+    assert a.fingerprint() == b.fingerprint()
+    assert a.fingerprint() != dataclasses.replace(a, n_shards=4).fingerprint()

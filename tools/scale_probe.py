@@ -255,6 +255,12 @@ def main() -> None:
             docs.select("doc_id", "source"), "doc_id", "source",
             {"src1": 2.5, "src2": 1.0, "src3": 0.25}, default_epochs=0.5,
         )),
+        # vocab build + token-id encoding: corpus count agg (Heaps-law
+        # vocab), broadcast vocab join, one per-doc regroup
+        "token_encode": (n_docs, lambda: _tx().encode_token_ids(
+            docs, "doc_id", "text",
+            _tx().build_vocab(docs, "text", vocab_size=1024),
+        )),
     }
 
     def _training_prep(d):
@@ -333,8 +339,9 @@ def main() -> None:
                          "training_prep",
                          # shard positions are a window PROJECTION (an
                          # unreferenced window expression is pruned);
-                         # epoch rows are an explode projection
-                         "shard_shuffle", "epoch_mix"}
+                         # epoch rows are an explode projection; the
+                         # encoded id string is an agg projection
+                         "shard_shuffle", "epoch_mix", "token_encode"}
 
     def run_probe(name: str, fn):
         df = fn()
