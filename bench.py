@@ -73,6 +73,8 @@ HEADLINE = [
     "text_token_encode",
     "text_quality_score",
     "corpus_leakage_safe_split",
+    "embedding_pq_codes",
+    "join_shipping_priority",
 ]
 
 

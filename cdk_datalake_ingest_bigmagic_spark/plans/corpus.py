@@ -159,19 +159,23 @@ class CorpusPipeline:
         ic, tc = cfg.id_col, cfg.text_col
 
         def build_clean():
+            # both gates are projections — passthrough keeps the
+            # document riding along, so the whole clean step is
+            # scan → filter → filter → scrub with ZERO joins/shuffles
+            other = [c for c in docs.columns if c != ic]
+            rep_cols = [
+                "n_words", "dup_word_ratio", "dup_bigram_ratio",
+                "top_bigram_ratio", "passes_repetition_filter",
+            ]
             gated = (
-                tx.repetition_features(docs, ic, tc)
+                tx.repetition_features(docs, ic, tc, passthrough=other)
                 .filter(F.col("passes_repetition_filter"))
-                .select(ic)
-            )
-            quality = (
-                tx.quality_score(docs, ic, tc)
-                .filter(F.col("passes_quality"))
-                .select(ic)
+                .drop(*rep_cols)
             )
             return (
-                docs.join(gated, ic)
-                .join(quality, ic)
+                tx.quality_score(gated, ic, tc, passthrough=other)
+                .filter(F.col("passes_quality"))
+                .drop("quality_logit", "passes_quality")
                 .withColumn(tc, tx.scrub_pii(F.col(tc)))
             )
 

@@ -56,14 +56,14 @@ from cdk_datalake_ingest_bigmagic_spark.queries import llmdata  # noqa: E402,F40
 from cdk_datalake_ingest_bigmagic_spark.queries import events  # noqa: E402,F401
 
 # The external correctness gate checks the first 50 registered queries.
-# With 93 registered (round 5 deregistered agg_approx_sketches — the
+# With 94 registered (round 5 deregistered agg_approx_sketches — the
 # sketch tier is hash-gated via agg_sketch_error_bounds, and a
 # permanent rows-only row added no signal — and added fifteen new
 # queries: chunking/packing/curation/novelty/span-detect/span-trim/
 # int8-quantization/containment/training-prep + two multi-join
 # analytics + SemDeDup/shard-shuffle/epoch-mix/token-encode/
-# quality-score/leakage-split/shipping-priority), 43 sit outside the
-# window each round, so the window
+# quality-score/leakage-split/shipping-priority/pq-codes), 44 sit
+# outside the window each round, so the window
 # is ROTATED via _GATE_FRONT.
 #
 # ROTATION RULE (invariant, every round — do not regress this):
@@ -94,16 +94,17 @@ from cdk_datalake_ingest_bigmagic_spark.queries import events  # noqa: E402,F401
 #       corpus_training_prep, dedup_semantic_keep,
 #       corpus_shard_shuffle, corpus_mix_epochs, text_token_encode,
 #       text_quality_score, corpus_leakage_safe_split,
-#       join_shipping_priority (never gated before).
-#   (3) 18 of the 25 queries whose newest green row is round 3
-#       (VERDICT r4 "Next round" #2). The other seven — dsl_bytemagic,
+#       join_shipping_priority, embedding_pq_codes (never gated
+#       before).
+#   (3) 17 of the 25 queries whose newest green row is round 3
+#       (VERDICT r4 "Next round" #2). The other eight — dsl_bytemagic,
 #       dsl_case_mapping, dsl_periodmagic, dsl_date_to_string_nested,
 #       join_part_supplier_revenue, multimodal_frame_sample,
-#       events_lag_lead_gaps — are displaced by the seven round-5
-#       additions above: their implementations are untouched since
-#       round 3, their r3 greens sit at exactly the 2-round staleness
-#       ceiling the mechanical check allows, and they are the FIRST
-#       obligation of round 6's window.
+#       events_lag_lead_gaps, agg_exact_quantiles — are displaced by
+#       the eight round-5 additions above: their implementations are
+#       untouched since round 3, their r3 greens sit at exactly the
+#       2-round staleness ceiling the mechanical check allows, and
+#       they are the FIRST obligation of round 6's window.
 #   The 24 falling out from round 4 are all unchanged round-4 greens
 #   (staleness 1 round — enforced by tests/test_gate_rotation.py's
 #   staleness check).
@@ -128,6 +129,7 @@ _GATE_FRONT: list[str] = [
     "text_quality_score",
     "corpus_leakage_safe_split",
     "join_shipping_priority",
+    "embedding_pq_codes",
     # changed this round (operators/dedup.py + sketch-bounds guard)
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -147,7 +149,6 @@ _GATE_FRONT: list[str] = [
     "corpus_mix_weighted",
     "join_config_multitable",
     # least-recently gated: newest green row is round 3
-    "agg_exact_quantiles",
     "corpus_clean_pipeline",
     "dedup_embedding_cosine",
     "dsl_case_multicolumn",

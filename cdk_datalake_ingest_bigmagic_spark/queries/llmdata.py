@@ -825,6 +825,53 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PQ assignment mirrors the IVF determinism story: first-ids codebooks,
+# exact squared-euclidean ranking with the centroid index tie-break.
+# numpy's -2x·c + ||c||² and the SQL's sequential sum agree far beyond
+# observed centroid gaps (same acceptance as the ann_ivf oracle).
+@register(
+    "embedding_pq_codes",
+    oracle="""
+    WITH cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx,
+             embedding::DOUBLE[] AS cvec
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    sub AS (SELECT unnest(range(8)) AS s),
+    ranked AS (
+      SELECT e.vec_id, sub.s, c.cidx,
+             row_number() OVER (
+               PARTITION BY e.vec_id, sub.s
+               ORDER BY (-2 * list_dot_product(
+                           list_slice(e.embedding::DOUBLE[], sub.s*8+1, sub.s*8+8),
+                           list_slice(c.cvec, sub.s*8+1, sub.s*8+8))
+                         + list_dot_product(
+                           list_slice(c.cvec, sub.s*8+1, sub.s*8+8),
+                           list_slice(c.cvec, sub.s*8+1, sub.s*8+8))),
+                        c.cidx
+             ) AS rk
+      FROM embeddings e CROSS JOIN sub CROSS JOIN cent c
+    )
+    SELECT vec_id, string_agg(cidx::VARCHAR, ',' ORDER BY s) AS codes_csv
+    FROM ranked WHERE rk = 1 GROUP BY vec_id
+    """,
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization codes (m=8 subspaces × 16 centroids over
+    the 64-dim embeddings): each vector compressed to 8 small ints —
+    the memory tier below int8 scalar quantization. Zero-shuffle
+    mapInPandas encode against broadcast codebooks; codes serialized
+    CSV for the gate (same decision as the int8 view)."""
+    e = load(spark, sf_dir, "embeddings")
+    codes = sim.product_quantize(e, "vec_id", "embedding", m=8, k=16)
+    return codes.select(
+        "vec_id",
+        F.array_join(
+            F.transform(F.col("codes"), lambda x: x.cast("string")), ","
+        ).alias("codes_csv"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------

@@ -1191,3 +1191,97 @@ def test_semantic_dedup_partitioning_invariant(spark):
         )
 
     assert run(1) == run(11)
+
+
+def test_gate_passthrough_columns_and_plan(spark):
+    """passthrough lets gate-then-keep pipelines skip the corpus
+    self-join: columns ride the projection, values match the
+    join formulation, and the plan stays join- and exchange-free."""
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the dog", "s1"),
+         (2, "spam spam spam spam spam spam spam spam", "s2")],
+        "doc_id: long, text: string, source: string",
+    )
+    rep = tx.repetition_features(df, "doc_id", "text", passthrough=["source", "text"])
+    rows = {r["doc_id"]: r for r in rep.collect()}
+    assert rows[1]["source"] == "s1" and rows[1]["text"].startswith("the quick")
+    base = {r["doc_id"]: r["passes_repetition_filter"]
+            for r in tx.repetition_features(df, "doc_id", "text").collect()}
+    assert {k: v["passes_repetition_filter"] for k, v in rows.items()} == base
+
+    qs = tx.quality_score(df, "doc_id", "text", passthrough=["source"])
+    qrows = {r["doc_id"]: r for r in qs.collect()}
+    assert qrows[2]["source"] == "s2"
+    qbase = {r["doc_id"]: (r["quality_logit"], r["passes_quality"])
+             for r in tx.quality_score(df, "doc_id", "text").collect()}
+    assert {k: (v["quality_logit"], v["passes_quality"])
+            for k, v in qrows.items()} == qbase
+
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_encode_token_ids_plan_shape(spark):
+    """One corpus shuffle (the per-doc regroup); the vocab side joins
+    broadcast. (A zero-shuffle map-literal tier was prototyped and
+    measured ~2x slower at both probe scales - see the operator
+    docstring - so the join path is deliberately the only one.)"""
+    import re
+
+    rows = [(i, " ".join(f"w{j % 7}" for j in range(i % 11 + 1))) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    vocab = tx.build_vocab(df, "text", 4)
+    out = tx.encode_token_ids(df, "doc_id", "text", vocab)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # two hash exchanges: the vocab build's count agg (vocabulary-
+    # sized, Heaps-law bounded) + the per-doc regroup (the one
+    # corpus-sized shuffle)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+
+def test_product_quantize_matches_brute_force(spark, sf_dir):
+    """PQ codes must equal a driver-side numpy re-derivation (same
+    first-ids codebooks, same argmin with index tie-break), and
+    decoding from the codebooks must reconstruct vectors better than
+    a fixed-centroid baseline (the compression is doing work)."""
+    import numpy as np
+
+    from cdk_datalake_ingest_bigmagic_spark.queries import load
+
+    e = load(spark, sf_dir, "embeddings")
+    m, k = 8, 16
+    got = {r["vec_id"]: list(r["codes"])
+           for r in sim.product_quantize(e, "vec_id", "embedding", m=m, k=k).collect()}
+
+    rows = sorted((r["vec_id"], np.asarray(r["embedding"], dtype="float64"))
+                  for r in e.select("vec_id", "embedding").collect())
+    ids = [r[0] for r in rows]
+    V = np.vstack([r[1] for r in rows])
+    C = V[:k]
+    sub = V.shape[1] // m
+    recon_err = 0.0
+    base_err = 0.0
+    for i, vid in enumerate(ids):
+        for s in range(m):
+            X = V[i, s * sub:(s + 1) * sub]
+            B = C[:, s * sub:(s + 1) * sub]
+            D = ((X[None, :] - B) ** 2).sum(axis=1)
+            assert got[vid][s] == int(np.argmin(D)), (vid, s)
+            recon_err += D[got[vid][s]]
+            base_err += D[0]
+    assert len(got) == len(ids)
+    assert recon_err < base_err  # argmin beats always-centroid-0
+
+    with pytest.raises(ValueError):
+        sim.product_quantize(e, "vec_id", "embedding", m=7)  # 64 % 7 != 0
+    with pytest.raises(ValueError):
+        sim.product_quantize(e, "vec_id", "embedding", m=0)
+
+
+def test_product_quantize_zero_shuffle(spark):
+    e = spark.range(0, 128, 1, numPartitions=4).selectExpr(
+        "id as vec_id",
+        "transform(sequence(1, 16), d -> cast(pmod(id * d, 23) as double)) as embedding",
+    )
+    plan = sim.product_quantize(e, "vec_id", "embedding", m=4, k=8)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
