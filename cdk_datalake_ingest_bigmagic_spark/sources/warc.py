@@ -1,0 +1,89 @@
+"""WARC (Web ARChive, ISO 28500) ingestion — the format web crawls
+ship in (Common Crawl et al.), read DECLARATIVELY:
+
+- record splitting uses Spark's text source with a custom ``lineSep``
+  of the WARC version marker, so the scan itself emits one row per
+  record — no custom InputFormat, no whole-file reads, and the text
+  source's splittable-codec handling (plain or bzip2; gzip WARCs are
+  per-file splits) comes for free;
+- header parsing is pure codegen Column expressions
+  (``regexp_extract`` over the header block), so a 100-TB crawl pays
+  no Python tax to get to (url, date, type, payload).
+
+This reads *text-mode* WARC (content interpreted as UTF-8 with
+malformed bytes replaced — the right mode for text-pipeline
+ingestion; binary payloads belong to the multimodal path's
+binaryFile source).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Record delimiter: every WARC record begins with this marker on its
+#: own line. Splitting on "\r\n\r\nWARC/1.0" would miss the first
+#: record; splitting on the marker alone keeps headers intact and
+#: costs one empty leading element, filtered below.
+WARC_MARKER = "WARC/1.0"
+
+
+def _header(name: str) -> F.Column:
+    # headers end at the first blank line; capture up to end-of-line
+    return F.regexp_extract(
+        F.col("__record"), rf"(?m)^{name}:\s*([^\r\n]+)", 1
+    )
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Read WARC files into
+    (warc_type, target_uri, warc_date, record_id, content_length,
+    content) — one row per WARC record, response/conversion payloads
+    carried as text.
+
+    The payload is everything after the first blank line following
+    the header block; ``content_length`` is the declared header value
+    (useful for integrity checks against ``length(content)`` — the
+    text-mode read can differ when multi-byte sequences were
+    replaced).
+    """
+    raw = (
+        spark.read.option("lineSep", WARC_MARKER)
+        .text(path)
+        .withColumnRenamed("value", "__record")
+        .filter(F.trim(F.col("__record")) != "")
+    )
+    # header block = up to the first blank line; payload = the rest
+    # \A-anchored, so at most one match — safe with replace-all
+    payload = F.regexp_replace(
+        F.col("__record"), r"(?s)\A.*?\r?\n\r?\n", ""
+    )
+    return raw.select(
+        _header("WARC-Type").alias("warc_type"),
+        _header("WARC-Target-URI").alias("target_uri"),
+        _header("WARC-Date").alias("warc_date"),
+        _header("WARC-Record-ID").alias("record_id"),
+        _header("Content-Length").cast("long").alias("content_length"),
+        # WARC terminates each record with \r\n\r\n before the next
+        # marker — strip exactly that trailer, not payload whitespace
+        F.regexp_replace(payload, r"(\r?\n){1,2}\Z", "").alias("content"),
+    )
+
+
+def warc_responses_as_documents(
+    spark: SparkSession, path: str, min_chars: int = 1
+) -> DataFrame:
+    """The crawl→corpus adapter: response/conversion records as a
+    ``documents``-shaped table (doc_id, url, fetched_at, text) ready
+    for the curation operators. doc_id is the content-addressed
+    64-bit xxhash of (record_id, uri) — deterministic, join-stable,
+    no monotonically_increasing_id partition coupling."""
+    recs = read_warc(spark, path).filter(
+        F.col("warc_type").isin("response", "conversion")
+    )
+    return recs.filter(F.length("content") >= min_chars).select(
+        F.xxhash64("record_id", "target_uri").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.to_timestamp("warc_date").alias("fetched_at"),
+        F.col("content").alias("text"),
+    )

@@ -368,3 +368,72 @@ def test_bloom_indexed_write(spark, tmp_path):
         write_bloom_indexed(df, bloom_dir, [])
     with pytest.raises(ValueError):
         write_bloom_indexed(df, bloom_dir, ["nope"])
+
+
+def _write_warc(path):
+    """Minimal two-record WARC file (warcinfo + response + conversion)."""
+    rec = (
+        "WARC/1.0\r\n"
+        "WARC-Type: warcinfo\r\n"
+        "WARC-Date: 2024-06-01T00:00:00Z\r\n"
+        "WARC-Record-ID: <urn:uuid:info-1>\r\n"
+        "Content-Length: 10\r\n"
+        "\r\n"
+        "robots: ok\r\n"
+        "\r\n"
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        "WARC-Target-URI: http://example.com/a\r\n"
+        "WARC-Date: 2024-06-01T01:02:03Z\r\n"
+        "WARC-Record-ID: <urn:uuid:resp-1>\r\n"
+        "Content-Length: 25\r\n"
+        "\r\n"
+        "hello world from a crawl\n"
+        "\r\n"
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        "WARC-Target-URI: http://example.com/b\r\n"
+        "WARC-Date: 2024-06-01T02:00:00Z\r\n"
+        "WARC-Record-ID: <urn:uuid:conv-1>\r\n"
+        "Content-Length: 12\r\n"
+        "\r\n"
+        "second doc\r\n"
+        "\r\n"
+    )
+    with open(path, "w", newline="") as f:
+        f.write(rec)
+
+
+def test_read_warc_records(spark, tmp_path):
+    from cdk_datalake_ingest_bigmagic_spark.sources.warc import read_warc
+
+    p = str(tmp_path / "crawl.warc")
+    _write_warc(p)
+    rows = {r["record_id"]: r for r in read_warc(spark, p).collect()}
+    assert set(rows) == {"<urn:uuid:info-1>", "<urn:uuid:resp-1>", "<urn:uuid:conv-1>"}
+    resp = rows["<urn:uuid:resp-1>"]
+    assert resp["warc_type"] == "response"
+    assert resp["target_uri"] == "http://example.com/a"
+    assert resp["content_length"] == 25
+    assert resp["content"] == "hello world from a crawl"
+    assert rows["<urn:uuid:conv-1>"]["content"] == "second doc"
+
+
+def test_warc_responses_as_documents(spark, tmp_path):
+    from cdk_datalake_ingest_bigmagic_spark.sources.warc import (
+        warc_responses_as_documents,
+    )
+
+    p = str(tmp_path / "crawl.warc")
+    _write_warc(p)
+    docs = warc_responses_as_documents(spark, p).collect()
+    # warcinfo is excluded; the two content records become documents
+    assert len(docs) == 2
+    by_url = {r["url"]: r for r in docs}
+    assert by_url["http://example.com/a"]["text"] == "hello world from a crawl"
+    assert by_url["http://example.com/a"]["fetched_at"] is not None
+    ids = [r["doc_id"] for r in docs]
+    assert len(set(ids)) == 2  # content-addressed, distinct
+    # deterministic across re-reads
+    again = [r["doc_id"] for r in warc_responses_as_documents(spark, p).collect()]
+    assert sorted(again) == sorted(ids)

@@ -261,6 +261,11 @@ def main() -> None:
             docs, "doc_id", "text",
             _tx().build_vocab(docs, "text", vocab_size=1024),
         )),
+        # product quantization: broadcast codebooks, zero-shuffle
+        # BLAS encode — should be scan-bound and ~linear
+        "pq_codes": (n_vecs, lambda: sim.product_quantize(
+            emb, "vec_id", "embedding", m=8, k=16
+        )),
     }
 
     def _training_prep(d):
