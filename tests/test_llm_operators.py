@@ -1285,3 +1285,38 @@ def test_product_quantize_zero_shuffle(spark):
     )
     plan = sim.product_quantize(e, "vec_id", "embedding", m=4, k=8)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_pq_topk_recall_against_exact(spark, sf_dir):
+    """ADC top-k over PQ codes must recover a meaningful share of the
+    exact euclidean top-k (quantization trades exactness for a
+    dims*4/m-times-smaller scan), and the scored plan must stay
+    shuffle-free up to the TakeOrdered."""
+    import numpy as np
+
+    from cdk_datalake_ingest_bigmagic_spark.queries import load
+
+    e = load(spark, sf_dir, "embeddings")
+    rows = sorted((r["vec_id"], np.asarray(r["embedding"], dtype="float64"))
+                  for r in e.select("vec_id", "embedding").collect())
+    ids = np.array([r[0] for r in rows])
+    V = np.vstack([r[1] for r in rows])
+    q = V[7]  # an in-corpus query vector
+
+    approx = sim.pq_topk(e, "vec_id", "embedding", q.tolist(), k=20)
+    got = [r["vec_id"] for r in approx.collect()]
+    assert len(got) == 20
+
+    exact_order = ids[np.argsort(((V - q) ** 2).sum(axis=1), kind="stable")]
+    exact20 = set(exact_order[:20].tolist())
+    overlap = len(set(got) & exact20)
+    assert overlap >= 8, f"ADC recall collapsed: {overlap}/20"
+    # the query vector itself (distance 0 in exact space) must surface
+    assert ids[7] in got
+
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+    with pytest.raises(ValueError):
+        sim.pq_topk(e, "vec_id", "embedding", [1.0, 2.0], k=5)
