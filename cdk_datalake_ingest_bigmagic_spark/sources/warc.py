@@ -87,3 +87,37 @@ def warc_responses_as_documents(
         F.to_timestamp("warc_date").alias("fetched_at"),
         F.col("content").alias("text"),
     )
+
+
+def canonicalize_url(url: F.Column) -> F.Column:
+    """Canonical URL for crawl-level dedup and domain grouping — two
+    fetches of the same page routinely differ only in tracking params,
+    fragment, default port, or host case, and URL-level dedup runs
+    before any content is even fetched/compared.
+
+    Pure codegen ``regexp_replace`` chain (order matters):
+    lowercase scheme+host → drop fragment → drop default port → strip
+    tracking params (utm_*, gclid, fbclid, ref) → drop an emptied
+    query → collapse a bare trailing slash on the path.
+    """
+    # lowercase the scheme://host[:port] prefix only (paths are
+    # case-sensitive)
+    head = F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    rest = F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    u = F.concat(F.lower(head), rest)
+    u = F.regexp_replace(u, r"#.*$", "")                       # fragment
+    u = F.regexp_replace(u, r"^(https://[^/:]+):443(?=[/?]|$)", r"$1")
+    u = F.regexp_replace(u, r"^(http://[^/:]+):80(?=[/?]|$)", r"$1")
+    # tracking params, wherever they sit in the query string
+    u = F.regexp_replace(u, r"([?&])(utm_[a-z]+|gclid|fbclid|ref)=[^&#]*", r"$1")
+    u = F.regexp_replace(u, r"[?&]+$", "")                      # emptied query
+    u = F.regexp_replace(u, r"\?&+", "?")                       # ?&x=1 → ?x=1
+    u = F.regexp_replace(u, r"&&+", "&")
+    u = F.regexp_replace(u, r"^(https?://[^/?#]+)/$", r"$1")    # bare trailing /
+    return u
+
+
+def url_domain(url: F.Column) -> F.Column:
+    """Registrable host (lowercased, port stripped) — the grouping key
+    for ``domain_cap`` and per-domain corpus stats."""
+    return F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1))

@@ -437,3 +437,32 @@ def test_warc_responses_as_documents(spark, tmp_path):
     # deterministic across re-reads
     again = [r["doc_id"] for r in warc_responses_as_documents(spark, p).collect()]
     assert sorted(again) == sorted(ids)
+
+
+def test_canonicalize_url_and_domain(spark):
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_bigmagic_spark.sources.warc import (
+        canonicalize_url,
+        url_domain,
+    )
+
+    cases = [
+        # (raw, canonical, domain)
+        ("HTTP://Example.COM:80/Path?utm_source=x&q=1#frag",
+         "http://example.com/Path?q=1", "example.com"),
+        ("https://a.com:443/", "https://a.com", "a.com"),
+        ("https://a.com/p?gclid=123", "https://a.com/p", "a.com"),
+        ("https://a.com/p?x=1&fbclid=9&y=2", "https://a.com/p?x=1&y=2", "a.com"),
+        ("https://a.com/p/q", "https://a.com/p/q", "a.com"),
+        ("https://a.com", "https://a.com", "a.com"),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], "url: string")
+    out = df.select(
+        "url",
+        canonicalize_url(F.col("url")).alias("canon"),
+        url_domain(F.col("url")).alias("dom"),
+    ).collect()
+    for row, (raw, canon, dom) in zip(out, cases):
+        assert row["canon"] == canon, (raw, row["canon"])
+        assert row["dom"] == dom, (raw, row["dom"])
