@@ -1320,3 +1320,19 @@ def test_pq_topk_recall_against_exact(spark, sf_dir):
 
     with pytest.raises(ValueError):
         sim.pq_topk(e, "vec_id", "embedding", [1.0, 2.0], k=5)
+
+
+def test_semantic_dedup_kmeans_route(spark, sf_dir):
+    """The trained-codebook option must keep the one-decision-per-row
+    contract and drop at least as aggressively as random chance — the
+    plan/route is what's under test, not centroid quality."""
+    from cdk_datalake_ingest_bigmagic_spark.queries import load
+
+    e = load(spark, sf_dir, "embeddings")
+    out = sim.semantic_dedup(
+        e, "vec_id", "embedding", n_lists=8, threshold=0.30, centroids="kmeans"
+    )
+    rows = out.collect()
+    assert len(rows) == e.count()
+    assert len({r["vec_id"] for r in rows}) == len(rows)
+    assert any(not r["keep"] for r in rows)

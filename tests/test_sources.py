@@ -466,3 +466,28 @@ def test_canonicalize_url_and_domain(spark):
     for row, (raw, canon, dom) in zip(out, cases):
         assert row["canon"] == canon, (raw, row["canon"])
         assert row["dom"] == dom, (raw, row["dom"])
+
+
+def test_canonicalize_url_is_idempotent(spark):
+    """canonicalize(canonicalize(u)) == canonicalize(u) over a
+    combinatorial URL grid — the property that makes it safe to apply
+    at any (or every) pipeline stage."""
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_bigmagic_spark.sources.warc import canonicalize_url
+
+    urls = []
+    for scheme in ("http://", "HTTPS://"):
+        for host in ("Example.com", "a.b.org:443", "x.io:80"):
+            for path in ("", "/", "/P/q", "/p/"):
+                for q in ("", "?utm_source=1", "?a=1&fbclid=2&b=3", "?gclid=7"):
+                    for frag in ("", "#Sec"):
+                        urls.append((scheme + host + path + q + frag,))
+    df = spark.createDataFrame(urls, "url: string")
+    once = canonicalize_url(F.col("url"))
+    out = df.select(
+        once.alias("c1"),
+        canonicalize_url(once).alias("c2"),
+    ).collect()
+    for r in out:
+        assert r["c1"] == r["c2"], r
