@@ -717,3 +717,106 @@ def pq_topk(
         .limit(k)
         .select(id_col, F.round("adc_dist", 6).alias("adc_dist"))
     )
+
+
+def pq_topk_batch(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries_df: DataFrame,
+    query_id_col: str,
+    query_vec_col: str,
+    k: int = 10,
+    m: int = 8,
+    n_codebook: int = 16,
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """ADC top-k for a TABLE of queries against the PQ-coded corpus —
+    batch retrieval (eval-set nearest neighbors, dedup candidates for
+    an incoming batch) where :func:`pq_topk` serves one vector.
+
+    The query set is collected and broadcast as per-query distance
+    tables (bounded by ``max_queries`` — count-checked first, the
+    standard bounded-metadata guard); each Arrow batch of corpus codes
+    scores ALL queries with one numpy gather + sum per subspace, and
+    per-query top-k is reduced per batch then globally (TakeOrdered on
+    a (query, dist) frame of |queries| × k candidates per batch, never
+    the full cross product).
+
+    Returns (query_id, id, adc_dist) — k rows per query, ties broken
+    by corpus id.
+    """
+    import numpy as np
+
+    nq = queries_df.count()
+    if nq > max_queries:
+        raise IndexTooLargeError(nq, max_queries)
+    qrows = queries_df.select(query_id_col, query_vec_col).collect()
+    first = df.select(id_col, vec_col).orderBy(id_col).limit(n_codebook).collect()
+    C = np.vstack([np.asarray(r[1], dtype="float64") for r in first])
+    dims = C.shape[1]
+    if dims % m != 0:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    sub = dims // m
+    qids = np.array([r[0] for r in qrows])
+    Q = np.vstack([np.asarray(r[1], dtype="float64") for r in qrows])
+    if Q.shape[1] != dims:
+        raise ValueError(f"queries have {Q.shape[1]} dims, corpus has {dims}")
+    # dtabs: (nq, m, k) — query q's distance to centroid j in subspace s
+    dtabs = np.empty((len(Q), m, n_codebook), dtype="float64")
+    for s in range(m):
+        B = C[:, s * sub:(s + 1) * sub]
+        X = Q[:, s * sub:(s + 1) * sub]
+        dtabs[:, s, :] = (
+            (X * X).sum(axis=1)[:, None]
+            - 2.0 * (X @ B.T)
+            + (B * B).sum(axis=1)[None, :]
+        )
+    bc = df.sparkSession.sparkContext.broadcast((qids, dtabs))
+
+    codes = product_quantize(df, id_col, vec_col, m=m, k=n_codebook)
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("__id", T.LongType(), False),
+            T.StructField("adc_dist", T.DoubleType(), False),
+        ]
+    )
+
+    def score(batches: Iterator) -> Iterator:
+        qids_b, tabs = bc.value
+        for pdf in batches:
+            ids = pdf[pdf.columns[0]].to_numpy()  # (id_col, codes) frame
+            Cd = np.vstack(pdf["codes"].to_numpy()).astype("int64")  # (n, m)
+            # gather: D[q, n] = sum_s tabs[q, s, Cd[n, s]]
+            D = np.zeros((tabs.shape[0], len(ids)), dtype="float64")
+            for s in range(tabs.shape[1]):
+                D += tabs[:, s, :][:, Cd[:, s]]
+            # per-batch top-k per query bounds the emitted candidates
+            kk = min(k, len(ids))
+            part = np.argpartition(D, kk - 1, axis=1)[:, :kk]
+            q_idx = np.repeat(np.arange(tabs.shape[0]), kk)
+            n_idx = part.ravel()
+            yield pd.DataFrame(
+                {
+                    "query_id": qids_b[q_idx],
+                    "__id": ids[n_idx],
+                    "adc_dist": D[q_idx, n_idx],
+                }
+            )
+
+    from pyspark.sql import Window
+
+    cand = codes.mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("__id").asc()
+    )
+    return (
+        cand.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(
+            "query_id",
+            F.col("__id").alias(id_col),
+            F.round("adc_dist", 6).alias("adc_dist"),
+        )
+    )

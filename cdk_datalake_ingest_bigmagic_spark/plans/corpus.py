@@ -121,6 +121,9 @@ class CorpusPipeline:
     def _materialize(
         self, name: str, fp: str, df: DataFrame, partition_by: list[str] | None = None
     ) -> StepResult:
+        import time
+
+        t0 = time.time()
         path = self._step_dir(name)
         w = df.write.mode("overwrite")
         if partition_by:
@@ -128,7 +131,15 @@ class CorpusPipeline:
         w.parquet(path)
         rows = self.spark.read.parquet(path).count()
         with open(f"{path}/{MANIFEST}", "w") as f:
-            json.dump({"step": name, "rows": rows, "fingerprint": fp}, f)
+            json.dump(
+                {
+                    "step": name,
+                    "rows": rows,
+                    "fingerprint": fp,
+                    "seconds": round(time.time() - t0, 1),
+                },
+                f,
+            )
         return StepResult(name, path, rows, False, fp)
 
     def _step(self, name, upstream_fp, build, partition_by=None) -> StepResult:

@@ -105,7 +105,7 @@ def test_pipeline_fingerprint_invalidation(spark, corpus, tmp_path_factory):
 
     # manifests carry the fingerprint that gates all of this
     m = json.loads(open(os.path.join(work, "dedup", MANIFEST)).read())
-    assert set(m) == {"step", "rows", "fingerprint"}
+    assert set(m) == {"step", "rows", "fingerprint", "seconds"}
 
 
 def test_pipeline_config_fingerprint_stable():

@@ -1336,3 +1336,36 @@ def test_semantic_dedup_kmeans_route(spark, sf_dir):
     assert len(rows) == e.count()
     assert len({r["vec_id"] for r in rows}) == len(rows)
     assert any(not r["keep"] for r in rows)
+
+
+def test_pq_topk_batch_matches_single(spark, sf_dir):
+    """Batched ADC must return exactly the single-query ADC result for
+    each query (same codes, same tables, same tie-break), with k rows
+    per query; the query-count guard refuses unbounded collects."""
+    from cdk_datalake_ingest_bigmagic_spark.queries import load
+
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id").isin(3, 11, 42)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    batch = sim.pq_topk_batch(
+        e, "vec_id", "embedding", queries, "qid", "qvec", k=7
+    ).collect()
+    by_q: dict[int, list] = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["adc_dist"]))
+    assert set(by_q) == {3, 11, 42}
+    for qid, rows in by_q.items():
+        assert len(rows) == 7
+        qvec = [r["qvec"] for r in queries.collect() if r["qid"] == qid][0]
+        single = [
+            (r["vec_id"], r["adc_dist"])
+            for r in sim.pq_topk(e, "vec_id", "embedding", list(qvec), k=7).collect()
+        ]
+        got = sorted(rows, key=lambda t: (t[1], t[0]))
+        assert got == single, qid
+
+    with pytest.raises(sim.IndexTooLargeError):
+        sim.pq_topk_batch(
+            e, "vec_id", "embedding", queries, "qid", "qvec", max_queries=1
+        )

@@ -266,6 +266,11 @@ def main() -> None:
         "pq_codes": (n_vecs, lambda: sim.product_quantize(
             emb, "vec_id", "embedding", m=8, k=16
         )),
+        # the WHOLE resumable curation pipeline (clean → dedup →
+        # split → shard), including the inter-step parquet writes a
+        # nightly job pays — fresh work dir per invocation so --warm
+        # measures recompute, not manifest resume
+        "pipeline": (n_docs, lambda: _pipeline(docs)),
     }
 
     def _training_prep(d):
@@ -297,6 +302,35 @@ def main() -> None:
     def _sampling():
         from cdk_datalake_ingest_bigmagic_spark.operators import sampling
         return sampling
+
+    def _pipeline(d):
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from cdk_datalake_ingest_bigmagic_spark.plans.corpus import (
+            CorpusPipeline,
+        )
+
+        # The replica corpora suffix every word with "_<r>" — digits
+        # and underscores zero the quality gate's alpha/stopword
+        # ratios, so the raw replicas measure a gate that drops ~all
+        # input (final rows were CONSTANT across scales). Map digits/
+        # underscores to letters: replicas stay textually distinct,
+        # and the probe measures data FLOWING THROUGH all four steps.
+        d = d.withColumn(
+            "text", F.translate(F.col("text"), "0123456789_", "abcdefghijq")
+        )
+        work = tempfile.mkdtemp(prefix="pipe_probe_")
+        try:
+            pipe = CorpusPipeline(spark, work)
+            res = pipe.run(d)
+            n = res["shard"].rows
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+        # already materialized+counted; report the final shard rows
+        return spark.range(n)
 
     def _stream_clean(d):
         """One AvailableNow drain of the corpus into an empty sink,
