@@ -36,4 +36,14 @@ def __getattr__(name):  # lazy top-level conveniences, no import cycles
         )
 
         return WatermarkStore
+    if name == "CorpusPipeline":
+        from cdk_datalake_ingest_bigmagic_spark.plans.corpus import CorpusPipeline
+
+        return CorpusPipeline
+    if name == "CorpusPipelineConfig":
+        from cdk_datalake_ingest_bigmagic_spark.plans.corpus import (
+            CorpusPipelineConfig,
+        )
+
+        return CorpusPipelineConfig
     raise AttributeError(name)
