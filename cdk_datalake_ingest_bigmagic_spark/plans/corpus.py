@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MANIFEST = "_MANIFEST.json"
+TRAINING_MANIFEST = "_TRAINING_MANIFEST.json"
 
 
 @dataclass(frozen=True)
@@ -223,7 +224,45 @@ class CorpusPipeline:
                 within=["split"],
             )
 
-        self._step(
+        shard = self._step(
             "shard", split.fingerprint, build_shard, partition_by=["split", "shard"]
         )
+        self._write_training_manifest(shard)
         return dict(self.results)
+
+    def _write_training_manifest(self, shard: StepResult) -> None:
+        """The trainer-facing index: every (split, shard) with its row
+        count and hive path, so a data loader opens exactly the files
+        it needs without listing or counting anything. Rewritten only
+        when the shard step actually recomputed (the fingerprint in
+        the manifest gates it, like every step)."""
+        mpath = f"{self.work_dir}/{TRAINING_MANIFEST}"
+        if shard.skipped and os.path.exists(mpath):
+            m = json.loads(open(mpath).read())
+            if m.get("fingerprint") == shard.fingerprint:
+                return
+        counts = (
+            self.read("shard").groupBy("split", "shard").count().collect()
+        )
+        entries = sorted(
+            (
+                {
+                    "split": r["split"],
+                    "shard": int(r["shard"]),
+                    "rows": int(r["count"]),
+                    "path": f"{shard.path}/split={r['split']}/shard={r['shard']}",
+                }
+                for r in counts
+            ),
+            key=lambda e: (e["split"], e["shard"]),
+        )
+        with open(mpath, "w") as f:
+            json.dump(
+                {
+                    "fingerprint": shard.fingerprint,
+                    "total_rows": sum(e["rows"] for e in entries),
+                    "shards": entries,
+                },
+                f,
+                indent=1,
+            )

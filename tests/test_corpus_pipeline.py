@@ -113,3 +113,28 @@ def test_pipeline_config_fingerprint_stable():
     b = CorpusPipelineConfig()
     assert a.fingerprint() == b.fingerprint()
     assert a.fingerprint() != dataclasses.replace(a, n_shards=4).fingerprint()
+
+
+def test_training_manifest(spark, corpus, tmp_path_factory):
+    """The trainer index lists every (split, shard) with rows + hive
+    path, totals match the shard step, and an unchanged re-run leaves
+    it untouched."""
+    from cdk_datalake_ingest_bigmagic_spark.plans.corpus import TRAINING_MANIFEST
+
+    work = str(tmp_path_factory.mktemp("corpus_manifest"))
+    pipe = CorpusPipeline(spark, work, CorpusPipelineConfig(n_shards=4))
+    results = pipe.run(corpus)
+    mpath = os.path.join(work, TRAINING_MANIFEST)
+    m = json.loads(open(mpath).read())
+    assert m["total_rows"] == results["shard"].rows
+    assert all(os.path.isdir(e["path"]) for e in m["shards"])
+    by_key = {(e["split"], e["shard"]): e["rows"] for e in m["shards"]}
+    actual = {
+        (r["split"], r["shard"]): r["count"]
+        for r in pipe.read("shard").groupBy("split", "shard").count().collect()
+    }
+    assert by_key == actual
+
+    t0 = os.path.getmtime(mpath)
+    CorpusPipeline(spark, work, CorpusPipelineConfig(n_shards=4)).run(corpus)
+    assert os.path.getmtime(mpath) == t0  # resume leaves it untouched
