@@ -163,3 +163,80 @@ def media_table_from_documents(df: DataFrame, id_col: str, text_col: str) -> Dat
         F.lit("image").alias("media_type"),
         F.create_map(F.lit("synthetic"), F.lit("true")).alias("meta"),
     )
+
+
+AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("window_idx", T.IntegerType(), False),
+        T.StructField("start_ms", T.LongType(), False),
+        T.StructField("window_bytes", T.BinaryType(), True),
+        T.StructField("window_md5", T.StringType(), True),
+    ]
+)
+
+
+def window_audio_df(
+    df: DataFrame, window_ms: int = 1000, hop_ms: int | None = None
+) -> DataFrame:
+    """Fixed-duration audio windowing (the speech-pipeline analog of
+    video frame sampling): each payload is cut into ``window_ms``
+    windows every ``hop_ms`` (default: non-overlapping), where the
+    byte span of a millisecond comes from the row's TYPED METADATA —
+    ``meta['sample_rate']`` × ``meta['sample_width']`` — so one stage
+    handles a corpus of mixed formats without per-format partitions.
+
+    Real audio decode (codec → PCM) is the stubbed kernel
+    (:func:`decode_audio`); the metadata-driven byte windowing, batch
+    fan-out, and schema are the Spark-side contract a real decoder
+    drops into. Rows without rate/width metadata are skipped (a real
+    pipeline would route them to a probe stage).
+    """
+    if window_ms < 1:
+        raise ValueError(f"window_ms must be >= 1, got {window_ms}")
+    hop = hop_ms if hop_ms is not None else window_ms
+    if hop < 1:
+        raise ValueError(f"hop_ms must be >= 1, got {hop}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, idxs, starts, wins, digests = [], [], [], [], []
+            for media_id, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                if payload is None or not meta:
+                    continue
+                try:
+                    byte_rate = int(meta["sample_rate"]) * int(meta["sample_width"])
+                except (KeyError, TypeError, ValueError):
+                    continue
+                if byte_rate <= 0:
+                    continue
+                win_b = max(1, byte_rate * window_ms // 1000)
+                hop_b = max(1, byte_rate * hop // 1000)
+                idx = 0
+                for off in range(0, len(payload), hop_b):
+                    chunk = bytes(payload[off : off + win_b])
+                    if not chunk:
+                        break
+                    ids.append(media_id)
+                    idxs.append(idx)
+                    starts.append(off * 1000 // byte_rate)
+                    wins.append(chunk)
+                    digests.append(hashlib.md5(chunk).hexdigest())
+                    idx += 1
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "window_idx": pd.array(idxs, dtype="int32"),
+                    "start_ms": pd.array(starts, dtype="int64"),
+                    "window_bytes": wins,
+                    "window_md5": digests,
+                }
+            )
+
+    return df.select("media_id", "payload", "meta").mapInPandas(
+        run, AUDIO_WINDOW_SCHEMA
+    )

@@ -1369,3 +1369,47 @@ def test_pq_topk_batch_matches_single(spark, sf_dir):
         sim.pq_topk_batch(
             e, "vec_id", "embedding", queries, "qid", "qvec", max_queries=1
         )
+
+
+def test_window_audio_metadata_driven(spark):
+    """Audio windowing derives byte spans from per-row sample_rate ×
+    sample_width metadata: mixed formats in one stage, correct window
+    counts/offsets, metadata-less rows skipped."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.multimodal import (
+        window_audio_df,
+    )
+
+    rows = [
+        # 1000 bytes at 100 B/s (rate 100, width 1) -> 10 s of "audio"
+        (1, (bytes(range(256)) * 4)[:1000], "audio",
+         {"sample_rate": "100", "sample_width": "1"}),
+        # same bytes at 200 B/s -> 5 s
+        (2, (bytes(range(256)) * 4)[:1000], "audio",
+         {"sample_rate": "100", "sample_width": "2"}),
+        (3, b"xxxx", "audio", {}),  # no metadata: skipped
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id: long, payload: binary, media_type: string, "
+        "meta: map<string,string>",
+    )
+    out = window_audio_df(df, window_ms=1000).collect()
+    by_id: dict[int, list] = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert 3 not in by_id
+    # id 1: 100 B/s, 1000 B -> 10 windows of 100 B
+    w1 = sorted(by_id[1], key=lambda r: r["window_idx"])
+    assert len(w1) == 10
+    assert all(len(r["window_bytes"]) == 100 for r in w1)
+    assert [r["start_ms"] for r in w1] == [i * 1000 for i in range(10)]
+    # id 2: 200 B/s -> 5 windows of 200 B
+    w2 = by_id[2]
+    assert len(w2) == 5 and all(len(r["window_bytes"]) == 200 for r in w2)
+
+    # 50% hop overlaps: ~double the windows
+    overlapped = window_audio_df(df, window_ms=1000, hop_ms=500).collect()
+    assert len([r for r in overlapped if r["media_id"] == 1]) == 20
+
+    with pytest.raises(ValueError):
+        window_audio_df(df, window_ms=0)
