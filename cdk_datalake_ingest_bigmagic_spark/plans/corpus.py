@@ -101,6 +101,14 @@ class CorpusPipeline:
     # work_dir is a posix path here. A cluster deployment swaps these
     # two helpers for Hadoop FS calls (the parquet I/O already goes
     # through Spark and needs no change).
+    #
+    # Crash consistency: the manifest lands strictly AFTER the step's
+    # parquet, so a crash in between re-runs the step on resume; and
+    # because fingerprints are content-addressed (config + upstream
+    # fingerprint, never mtimes), an unchanged recompute leaves every
+    # downstream step valid and skipped. One writer per work_dir —
+    # concurrent runs against the same directory are last-writer-wins
+    # and not supported.
 
     def _step_dir(self, name: str) -> str:
         return f"{self.work_dir}/{name}"

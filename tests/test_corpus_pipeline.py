@@ -138,3 +138,19 @@ def test_training_manifest(spark, corpus, tmp_path_factory):
     t0 = os.path.getmtime(mpath)
     CorpusPipeline(spark, work, CorpusPipelineConfig(n_shards=4)).run(corpus)
     assert os.path.getmtime(mpath) == t0  # resume leaves it untouched
+
+
+def test_pipeline_crash_between_write_and_manifest(spark, corpus, tmp_path_factory):
+    """A crash after a step's parquet write but before its manifest
+    lands must recompute that step on resume — and because step
+    fingerprints are content-addressed (config chain), an unchanged
+    recompute leaves the downstream steps valid and skipped."""
+    work = str(tmp_path_factory.mktemp("corpus_crash"))
+    CorpusPipeline(spark, work).run(corpus)
+    os.remove(os.path.join(work, "dedup", MANIFEST))  # simulate the crash
+
+    rerun = CorpusPipeline(spark, work).run(corpus)
+    assert rerun["clean"].skipped
+    assert not rerun["dedup"].skipped          # recomputed
+    assert rerun["split"].skipped              # fingerprint unchanged
+    assert rerun["shard"].skipped
