@@ -534,3 +534,44 @@ def quality_score(
             (rounded >= 0) & (F.col("n_words") >= QUALITY_SHORT_DOC_WORDS)
         ).alias("passes_quality"),
     )
+
+
+def gate_report(
+    df: DataFrame, id_col: str, text_col: str, strata_col: str
+) -> DataFrame:
+    """Per-stratum curation-gate report — the nightly observability
+    table a data team actually watches: how many documents each source
+    contributes and what fraction clears each gate (repetition,
+    quality, non-empty), plus mean quality logit. A collapsing pass
+    rate for one source is the earliest signal of a crawler/format
+    regression, long before corpus-level metrics move.
+
+    All three gate signals ride ONE pass over the corpus (the gates
+    are projections; passthrough carries the stratum), then one
+    partially-aggregated groupBy on the stratum — no joins, no second
+    scan. Ratios divide two longs once, so the report is engine- and
+    partitioning-deterministic.
+    """
+    rep = repetition_features(df, id_col, text_col, passthrough=[strata_col, text_col])
+    both = quality_score(
+        rep, id_col, text_col,
+        passthrough=[strata_col, "passes_repetition_filter"],
+    )
+    agg = both.groupBy(F.col(strata_col)).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("passes_repetition_filter").cast("long")).alias("__rep"),
+        F.sum(F.col("passes_quality").cast("long")).alias("__qual"),
+        F.sum(
+            (F.col("passes_repetition_filter") & F.col("passes_quality")).cast("long")
+        ).alias("__both"),
+        F.avg("quality_logit").alias("mean_quality_logit"),
+    )
+    n = F.col("n_docs").cast("double")
+    return agg.select(
+        strata_col,
+        "n_docs",
+        (F.col("__rep").cast("double") / n).alias("repetition_pass_rate"),
+        (F.col("__qual").cast("double") / n).alias("quality_pass_rate"),
+        (F.col("__both").cast("double") / n).alias("combined_pass_rate"),
+        F.round("mean_quality_logit", 6).alias("mean_quality_logit"),
+    )

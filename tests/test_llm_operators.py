@@ -1413,3 +1413,45 @@ def test_window_audio_metadata_driven(spark):
 
     with pytest.raises(ValueError):
         window_audio_df(df, window_ms=0)
+
+
+def test_gate_report_matches_individual_gates(spark):
+    """The fused report must agree with computing each gate separately
+    (differential), and its plan must stay join-free with one
+    aggregation exchange."""
+    import re
+
+    rows = []
+    for i in range(90):
+        src = f"s{i % 3}"
+        if src == "s0" and i % 2 == 0:
+            text = "spam spam spam spam spam spam spam spam spam spam"
+        else:
+            text = f"the quick document number {i} is about the engine and the planner"
+        rows.append((i, text, src))
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, source: string")
+
+    rep = tx.gate_report(df, "doc_id", "text", "source")
+    got = {r["source"]: r for r in rep.collect()}
+
+    rep_flags = {r["doc_id"]: r["passes_repetition_filter"]
+                 for r in tx.repetition_features(df, "doc_id", "text").collect()}
+    q_flags = {r["doc_id"]: r["passes_quality"]
+               for r in tx.quality_score(df, "doc_id", "text").collect()}
+    for src in ("s0", "s1", "s2"):
+        ids = [i for i, _, s in rows if s == src]
+        assert got[src]["n_docs"] == len(ids)
+        assert got[src]["repetition_pass_rate"] == sum(
+            rep_flags[i] for i in ids) / len(ids)
+        assert got[src]["quality_pass_rate"] == sum(
+            q_flags[i] for i in ids) / len(ids)
+        assert got[src]["combined_pass_rate"] == sum(
+            rep_flags[i] and q_flags[i] for i in ids) / len(ids)
+    assert got["s0"]["repetition_pass_rate"] < 1.0  # the spam actually fails
+
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    # an executed AdaptiveSparkPlan prints final AND initial plans —
+    # count exchanges in the final section only
+    final = plan.split("== Initial Plan ==")[0]
+    assert len(re.findall(r"Exchange hashpartitioning", final)) == 1
