@@ -138,7 +138,11 @@ class CorpusPipeline:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(path)
-        rows = self.spark.read.parquet(path).count()
+        # schema is recorded so an EMPTY step output (a filtered-out
+        # corpus writes zero part files → nothing to infer from) stays
+        # readable and the pipeline degrades to empty artifacts, not
+        # an UNABLE_TO_INFER_SCHEMA failure
+        rows = self.spark.read.schema(df.schema).parquet(path).count()
         with open(f"{path}/{MANIFEST}", "w") as f:
             json.dump(
                 {
@@ -146,6 +150,7 @@ class CorpusPipeline:
                     "rows": rows,
                     "fingerprint": fp,
                     "seconds": round(time.time() - t0, 1),
+                    "schema": df.schema.jsonValue(),
                 },
                 f,
             )
@@ -160,7 +165,17 @@ class CorpusPipeline:
         return res
 
     def read(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(self.results[name].path)
+        from pyspark.sql import types as T
+
+        path = self.results[name].path
+        m = json.loads(open(f"{path}/{MANIFEST}").read())
+        reader = self.spark.read
+        if "schema" in m:
+            # the recorded DataFrame schema omits hive partition
+            # columns only when the step wasn't partitioned; shard's
+            # partition cols are IN its df schema, so this is total
+            reader = reader.schema(T.StructType.fromJson(m["schema"]))
+        return reader.parquet(path)
 
     # -- steps --------------------------------------------------------------
 

@@ -105,7 +105,7 @@ def test_pipeline_fingerprint_invalidation(spark, corpus, tmp_path_factory):
 
     # manifests carry the fingerprint that gates all of this
     m = json.loads(open(os.path.join(work, "dedup", MANIFEST)).read())
-    assert set(m) == {"step", "rows", "fingerprint", "seconds"}
+    assert set(m) == {"step", "rows", "fingerprint", "seconds", "schema"}
 
 
 def test_pipeline_config_fingerprint_stable():
@@ -154,3 +154,20 @@ def test_pipeline_crash_between_write_and_manifest(spark, corpus, tmp_path_facto
     assert not rerun["dedup"].skipped          # recomputed
     assert rerun["split"].skipped              # fingerprint unchanged
     assert rerun["shard"].skipped
+
+
+def test_pipeline_empty_corpus_degrades_gracefully(spark, tmp_path_factory):
+    """A fully-filtered (or simply empty) corpus must produce empty,
+    READABLE artifacts at every step — an empty parquet write carries
+    no inferable schema, so reads go through the schema recorded in
+    each manifest."""
+    empty = spark.createDataFrame([], "doc_id: long, text: string, source: string")
+    work = str(tmp_path_factory.mktemp("corpus_empty"))
+    pipe = CorpusPipeline(spark, work)
+    results = pipe.run(empty)
+    assert {k: v.rows for k, v in results.items()} == {
+        "clean": 0, "dedup": 0, "split": 0, "shard": 0,
+    }
+    shard = pipe.read("shard")
+    assert shard.count() == 0
+    assert {"doc_id", "split", "shard", "position"} <= set(shard.columns)
