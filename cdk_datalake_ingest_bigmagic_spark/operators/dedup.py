@@ -864,12 +864,19 @@ def attach_keep_flags(
     component_col: str = "component",
     max_broadcast_labels: int = DEFAULT_MAX_BROADCAST_LABELS,
     scope: CacheScope | None = None,
+    full_rows: bool = False,
 ) -> DataFrame:
     """(id, component, keep) for every corpus row, from a duplicate-
     cluster label table (e.g. connected-components output): keep = the
     row IS its cluster's canonical member (component = min id, which is
     the label by CC construction); unlabeled rows are singletons and
     keep themselves.
+
+    ``full_rows=True`` keeps every corpus column alongside the
+    decision (document + component + keep) — the shape a pipeline
+    materializes so downstream steps carry the payload; the default
+    returns the narrow decision table (id/component/keep), the shape
+    a reviewer or an audit join wants.
 
     The join route is SIZE-GUARDED, mirroring the counted
     ``max_index_rows`` pattern in :mod:`operators.similarity`: the label
@@ -895,11 +902,14 @@ def attach_keep_flags(
     n = lbl.count()
     right = F.broadcast(lbl) if n <= max_broadcast_labels else lbl
     comp = F.coalesce(component_col, id_col)
+    base = corpus if full_rows else corpus.select(id_col)
+    passthrough = [c for c in base.columns if c != id_col]
     return (
-        corpus.select(id_col)
+        base
         .join(right, id_col, "left")
         .select(
             id_col,
+            *passthrough,
             comp.alias(component_col),
             (comp == F.col(id_col)).alias("keep"),
         )

@@ -224,7 +224,10 @@ class CorpusPipeline:
                 cfg.jaccard_threshold,
             )
             labels = connected_components(pairs, "id_a", "id_b")
-            return dd.attach_keep_flags(cdf, labels, id_col=ic)
+            # full_rows: the artifact carries the DOCUMENTS, not just
+            # the decision — downstream steps and the trainer read
+            # payloads from here
+            return dd.attach_keep_flags(cdf, labels, id_col=ic, full_rows=True)
 
         dedup = self._step("dedup", clean.fingerprint, build_dedup)
 
@@ -264,15 +267,25 @@ class CorpusPipeline:
             m = json.loads(open(mpath).read())
             if m.get("fingerprint") == shard.fingerprint:
                 return
-        counts = (
-            self.read("shard").groupBy("split", "shard").count().collect()
-        )
+        sdf = self.read("shard")
+        aggs = [F.count("*").alias("__n")]
+        # char budget per shard when the corpus carries text — what a
+        # mixture/token-budget planner reads instead of re-scanning
+        has_chars = self.config.text_col in sdf.columns
+        if has_chars:
+            aggs.append(
+                F.sum(F.length(F.col(self.config.text_col))).alias("__chars")
+            )
+        counts = sdf.groupBy("split", "shard").agg(*aggs).collect()
         entries = sorted(
             (
                 {
                     "split": r["split"],
                     "shard": int(r["shard"]),
-                    "rows": int(r["count"]),
+                    "rows": int(r["__n"]),
+                    **(
+                        {"chars": int(r["__chars"] or 0)} if has_chars else {}
+                    ),
                     "path": f"{shard.path}/split={r['split']}/shard={r['shard']}",
                 }
                 for r in counts

@@ -129,6 +129,7 @@ def test_training_manifest(spark, corpus, tmp_path_factory):
     assert m["total_rows"] == results["shard"].rows
     assert all(os.path.isdir(e["path"]) for e in m["shards"])
     by_key = {(e["split"], e["shard"]): e["rows"] for e in m["shards"]}
+    assert all(e["chars"] > 0 for e in m["shards"])  # char budgets present
     actual = {
         (r["split"], r["shard"]): r["count"]
         for r in pipe.read("shard").groupBy("split", "shard").count().collect()
