@@ -1455,3 +1455,36 @@ def test_gate_report_matches_individual_gates(spark):
     # count exchanges in the final section only
     final = plan.split("== Initial Plan ==")[0]
     assert len(re.findall(r"Exchange hashpartitioning", final)) == 1
+
+
+def test_pq_adc_and_encode_ansi_safe(spark):
+    """ANSI mode (Spark 4 cluster default) turns out-of-bounds
+    element_at into an error — the ADC distance-table lookups (codes
+    are always within the codebook) and the token-encode pipeline must
+    return identical results with it on."""
+    e = spark.range(0, 64, 1, numPartitions=4).selectExpr(
+        "id as vec_id",
+        "transform(sequence(1, 16), d -> cast(pmod(id * d, 19) as double)) as embedding",
+    )
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 5} tok{(i + 1) % 5} tok{i % 3}") for i in range(40)],
+        "doc_id: long, text: string",
+    )
+    q = [float((d * 3) % 19) for d in range(1, 17)]
+
+    def run_all():
+        vocab = tx.build_vocab(docs, "text", 3)
+        return {
+            "adc": sorted(map(tuple, sim.pq_topk(
+                e, "vec_id", "embedding", q, k=5, m=4, n_codebook=8).collect())),
+            "enc": sorted(map(tuple, tx.encode_token_ids(
+                docs, "doc_id", "text", vocab).collect())),
+        }
+
+    plain = run_all()
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        ansi = run_all()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+    assert ansi == plain
