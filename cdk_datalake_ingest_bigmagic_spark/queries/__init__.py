@@ -86,6 +86,16 @@ from cdk_datalake_ingest_bigmagic_spark.queries import events  # noqa: E402,F401
 #       queries whose edges come through the rewritten Jaccard path and
 #       contamination_ngram_overlap which shares the file), and
 #       agg_sketch_error_bounds (all-NULL-group division guard).
+#   (1b) changed later in round 5 (second session), every rider
+#       in-window: operators/dedup.py (attach_keep_flags full_rows —
+#       dedup_keep_list re-gated), operators/text.py (gate
+#       passthrough, vocab/encode, quality_score, gate_report — all
+#       text_* riders in-window), operators/similarity.py
+#       (semantic_dedup, product_quantize, ADC — embedding_* riders
+#       in-window), operators/sampling.py (shard/epoch/split —
+#       sample/mix riders in-window); events.py and the DSL compiler
+#       are untouched this round, which is what makes their r3 greens
+#       displaceable.
 #   (2) new this round: text_chunk_windows, pack_sequences,
 #       corpus_domain_cap, text_rare_tokens,
 #       dedup_incremental_novelty, join_market_share,
