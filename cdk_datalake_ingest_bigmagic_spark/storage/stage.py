@@ -254,3 +254,27 @@ def latest_record_dedup(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+#: Cloud-object-store sweet spot: large enough to amortize open/seek
+#: and fill row groups, small enough for task-level parallelism.
+TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+def target_partitions_for(
+    spark, path: str, target_bytes: int = TARGET_FILE_BYTES
+) -> int:
+    """Compaction sizing from the table's ACTUAL on-disk bytes (Hadoop
+    FS content summary — works for any scheme Spark can read): the
+    ``target_partitions`` a small-file ``optimize()`` should use so
+    output files land near ``target_bytes``. Guessing this constant is
+    how tables end up as either a million 1 MB files (every reader
+    pays open/seek per file) or five 10 GB files (five tasks own the
+    table); measuring it is one metadata call.
+    """
+    if target_bytes < 1:
+        raise ValueError(f"target_bytes must be >= 1, got {target_bytes}")
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    size = fs.getContentSummary(jpath).getLength()
+    return max(1, -(-size // target_bytes))  # ceil division

@@ -491,3 +491,31 @@ def test_canonicalize_url_is_idempotent(spark):
     ).collect()
     for r in out:
         assert r["c1"] == r["c2"], r
+
+
+def test_target_partitions_for_sizing(spark, tmp_path):
+    """Compaction sizing reads real on-disk bytes: a table under the
+    target compacts to 1 file; lowering the target raises the count
+    proportionally; the optimize() round-trip applies it."""
+    import os
+
+    from cdk_datalake_ingest_bigmagic_spark.storage.stage import (
+        stage_table,
+        target_partitions_for,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 20000).selectExpr("id", "md5(cast(id as string)) as v")
+    table = stage_table(spark, path)
+    table.overwrite(df.repartition(16))
+
+    assert target_partitions_for(spark, path) == 1  # tiny table
+    small = target_partitions_for(spark, path, target_bytes=64 * 1024)
+    assert small > 1
+    table.optimize(target_partitions=target_partitions_for(spark, path))
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) == 1
+    assert table.read().count() == 20000
+
+    with pytest.raises(ValueError):
+        target_partitions_for(spark, path, target_bytes=0)
