@@ -1,0 +1,52 @@
+"""Human summary of a CorpusPipeline work directory: per-step rows,
+wall seconds, and fingerprints from the step manifests, plus the
+trainer-facing shard index — the first thing to read when a nightly
+run looks wrong.
+
+Usage: python tools/pipeline_report.py <work_dir>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+STEPS = ["clean", "dedup", "split", "shard"]
+
+
+def main() -> int:
+    if len(sys.argv) != 2:
+        print(__doc__)
+        return 2
+    work = sys.argv[1].rstrip("/")
+    prev_rows = None
+    print(f"pipeline @ {work}")
+    for step in STEPS:
+        mpath = f"{work}/{step}/_MANIFEST.json"
+        if not os.path.exists(mpath):
+            print(f"  {step:<6} <not materialized>")
+            prev_rows = None
+            continue
+        m = json.loads(open(mpath).read())
+        drop = ""
+        if prev_rows:
+            drop = f"  ({(prev_rows - m['rows']) / prev_rows:+.1%} vs prev)"
+        print(
+            f"  {step:<6} rows={m['rows']:>12,}  "
+            f"{m.get('seconds', '?'):>7}s  fp={m['fingerprint'][:12]}{drop}"
+        )
+        prev_rows = m["rows"]
+    tpath = f"{work}/_TRAINING_MANIFEST.json"
+    if os.path.exists(tpath):
+        t = json.loads(open(tpath).read())
+        per_split: dict[str, int] = {}
+        for e in t["shards"]:
+            per_split[e["split"]] = per_split.get(e["split"], 0) + e["rows"]
+        splits = ", ".join(f"{k}={v:,}" for k, v in sorted(per_split.items()))
+        print(f"  shards: {len(t['shards'])} files, {t['total_rows']:,} rows ({splits})")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
