@@ -1488,3 +1488,57 @@ def test_pq_adc_and_encode_ansi_safe(spark):
     finally:
         spark.conf.set("spark.sql.ansi.enabled", "false")
     assert ansi == plain
+
+
+def test_cc_algorithms_agree_on_random_graphs(spark):
+    """Label propagation and two-phase star contraction must produce
+    IDENTICAL (id, component) tables on randomized graphs — including
+    long chains (the worst case for propagation's O(diameter)) and
+    dense blocks (the worst case for contraction's intermediate
+    sizes). Seeded generation: failures reproduce."""
+    import random
+
+    from cdk_datalake_ingest_bigmagic_spark.operators.graph import (
+        connected_components,
+        connected_components_twophase,
+    )
+
+    rng = random.Random(20260814)
+    edges = []
+    # chain of 40 (diameter stress)
+    edges += [(i, i + 1) for i in range(100, 140)]
+    # dense block of 12 (contraction stress)
+    block = list(range(200, 212))
+    edges += [(a, b) for a in block for b in block if a < b and rng.random() < 0.5]
+    # random sparse remainder
+    for _ in range(120):
+        a, b = rng.randrange(0, 90), rng.randrange(0, 90)
+        if a != b:
+            edges.append((min(a, b), max(a, b)))
+    df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+
+    # the 40-edge chain NEEDS O(diameter) propagation rounds — above
+    # the default cap, which is precisely why the two-phase variant
+    # exists for unknown-diameter graphs (it converges in its default
+    # O(log^2) budget on the same input)
+    prop = {(r["id"], r["component"])
+            for r in connected_components(df, "id_a", "id_b", max_iter=64).collect()}
+    star = {(r["id"], r["component"])
+            for r in connected_components_twophase(df, "id_a", "id_b").collect()}
+    assert prop == star
+    # ground truth via union-find on the driver
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth = {(v, find(v)) for v in parent}
+    assert prop == truth
