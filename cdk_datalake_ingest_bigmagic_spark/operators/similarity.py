@@ -259,6 +259,8 @@ def _ivf_centroids(
         cent_rows = (
             df.select(id_col, vec_col).orderBy(id_col).limit(n_lists).collect()
         )
+        if not cent_rows:
+            return None  # empty corpus: callers emit an empty result
         return np.vstack([np.asarray(r[1], dtype="float64") for r in cent_rows])
     if method == "kmeans":
         from pyspark.ml.clustering import KMeans
@@ -299,6 +301,13 @@ def ann_ivf_pairs(
 
     # centroid table is tiny (n_lists × dims) — driver-side + broadcast
     C = _ivf_centroids(df, id_col, vec_col, n_lists, centroids)
+    if C is None:
+        # a fully-filtered corpus reaching dedup is a legitimate
+        # pipeline state — degrade to an empty decision table, don't
+        # crash on an empty centroid collect
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, list_id int, keep boolean"
+        )
     C = C / np.maximum(np.sqrt((C * C).sum(axis=1))[:, None], 1e-12)
     bc = df.sparkSession.sparkContext.broadcast(C)
 
@@ -466,6 +475,13 @@ def semantic_dedup(
     import numpy as np
 
     C = _ivf_centroids(df, id_col, vec_col, n_lists, centroids)
+    if C is None:
+        # a fully-filtered corpus reaching dedup is a legitimate
+        # pipeline state — degrade to an empty decision table, don't
+        # crash on an empty centroid collect
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, list_id int, keep boolean"
+        )
     C = C / np.maximum(np.sqrt((C * C).sum(axis=1))[:, None], 1e-12)
     bc = df.sparkSession.sparkContext.broadcast(C)
 
@@ -610,6 +626,10 @@ def product_quantize(
     first = (
         df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     )
+    if not first:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, codes array<int>"
+        )
     C = np.vstack([np.asarray(r[1], dtype="float64") for r in first])
     dims = C.shape[1]
     if dims % m != 0:
@@ -680,6 +700,10 @@ def pq_topk(
 
     codes = product_quantize(df, id_col, vec_col, m=m, k=n_codebook)
     first = df.select(id_col, vec_col).orderBy(id_col).limit(n_codebook).collect()
+    if not first:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, adc_dist double"
+        )
     C = np.vstack([np.asarray(r[1], dtype="float64") for r in first])
     dims = C.shape[1]
     sub = dims // m
@@ -753,6 +777,10 @@ def pq_topk_batch(
         raise IndexTooLargeError(nq, max_queries)
     qrows = queries_df.select(query_id_col, query_vec_col).collect()
     first = df.select(id_col, vec_col).orderBy(id_col).limit(n_codebook).collect()
+    if not qrows or not first:
+        return df.sparkSession.createDataFrame(
+            [], f"query_id long, {id_col} long, adc_dist double"
+        )
     C = np.vstack([np.asarray(r[1], dtype="float64") for r in first])
     dims = C.shape[1]
     if dims % m != 0:

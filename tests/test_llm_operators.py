@@ -1542,3 +1542,24 @@ def test_cc_algorithms_agree_on_random_graphs(spark):
             parent[max(ra, rb)] = min(ra, rb)
     truth = {(v, find(v)) for v in parent}
     assert prop == truth
+
+
+def test_embedding_operators_degrade_on_empty_corpus(spark):
+    """A fully-filtered corpus reaching the embedding operators must
+    yield empty, correctly-shaped results — not a driver-side crash in
+    the bounded centroid/codebook collects."""
+    e = spark.createDataFrame([], "vec_id: long, embedding: array<double>")
+    q = spark.createDataFrame([], "qid: long, qvec: array<double>")
+
+    sd = sim.semantic_dedup(e, "vec_id", "embedding", n_lists=4)
+    assert sd.count() == 0 and sd.columns == ["vec_id", "list_id", "keep"]
+
+    pq = sim.product_quantize(e, "vec_id", "embedding", m=4, k=4)
+    assert pq.count() == 0 and pq.columns == ["vec_id", "codes"]
+
+    tk = sim.pq_topk(e, "vec_id", "embedding", [1.0] * 8, k=3, m=4, n_codebook=4)
+    assert tk.count() == 0 and tk.columns == ["vec_id", "adc_dist"]
+
+    bt = sim.pq_topk_batch(e, "vec_id", "embedding", q, "qid", "qvec", k=3)
+    assert bt.count() == 0
+    assert bt.columns == ["query_id", "vec_id", "adc_dist"]
