@@ -266,6 +266,11 @@ def main() -> None:
         "pq_codes": (n_vecs, lambda: sim.product_quantize(
             emb, "vec_id", "embedding", m=8, k=16
         )),
+        # per-source gate observability: two projection gate passes
+        # fused into one scan + a stratum groupBy
+        "gate_report": (n_docs, lambda: _tx().gate_report(
+            docs, "doc_id", "text", "source"
+        )),
         # the WHOLE resumable curation pipeline (clean → dedup →
         # split → shard), including the inter-step parquet writes a
         # nightly job pays — fresh work dir per invocation so --warm
@@ -379,8 +384,14 @@ def main() -> None:
                          # shard positions are a window PROJECTION (an
                          # unreferenced window expression is pruned);
                          # epoch rows are an explode projection; the
-                         # encoded id string is an agg projection
-                         "shard_shuffle", "epoch_mix", "token_encode"}
+                         # encoded id string is an agg projection; a
+                         # count() of gate_report's 20-row aggregate
+                         # needs only the GROUP count, so Catalyst
+                         # deletes the gate aggregates themselves
+                         # (measured "1.0 s" for 500k docs of bigram
+                         # folds — impossible) — force the columns
+                         "shard_shuffle", "epoch_mix", "token_encode",
+                         "gate_report"}
 
     def run_probe(name: str, fn):
         df = fn()
