@@ -230,6 +230,16 @@ def main() -> None:
         "containment": (n_docs, lambda: dd.containment_pairs_rows(
             dd.shingles_exploded(docs, "doc_id", "text", 3), "doc_id", 0.85
         )),
+        # containment under the Zipf-head corpus: the container side
+        # indexes ALL below-cap shingles, so boilerplate-hot shingles
+        # (df ≈ N/2 ≫ max_df) must be absorbed by the cap, not melt
+        # the one-sided collision join
+        "containment_skew": (n_docs, lambda: dd.containment_pairs_rows(
+            dd.shingles_exploded(
+                spark.read.parquet(skew_out), "doc_id", "text", 3
+            ),
+            "doc_id", 0.85,
+        )),
         # clean gates -> canonical dedup -> chunk -> pack, one plan
         "training_prep": (n_docs, lambda: _training_prep(docs)),
         # SemDeDup decision: one cluster-key shuffle + per-cluster BLAS
