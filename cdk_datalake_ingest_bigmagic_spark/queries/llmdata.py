@@ -1266,7 +1266,8 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) AS cum
       FROM sized WHERE pack_tokens > 0
     )
-    SELECT doc_id, bucket, (cum - 1) // 256 AS pack_id, pack_tokens FROM packed
+    SELECT doc_id, bucket, CAST((cum - 1) // 256 AS BIGINT) AS pack_id,
+           pack_tokens FROM packed
     """,
 )
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1653,7 +1654,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) AS cum
       FROM sized
     )
-    SELECT chunk_key, bucket, (cum - 1) // 256 AS pack_id, pack_tokens FROM packed
+    SELECT chunk_key, bucket, CAST((cum - 1) // 256 AS BIGINT) AS pack_id,
+           pack_tokens FROM packed
     """,
 )
 def corpus_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
