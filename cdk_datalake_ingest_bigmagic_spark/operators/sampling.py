@@ -282,11 +282,19 @@ def leakage_safe_split(
             "component", F.coalesce(F.col(label_col), F.col(id_col))
         )
     else:
+        # a pre-existing 'component' column on df (e.g. the dedup
+        # full_rows artifact) would make the post-join reference
+        # ambiguous — the label table's column therefore rides a
+        # reserved temp name until the end
+        tmp = "__lsp_component"
         lab = labels.select(
-            F.col(label_id_col).alias(id_col), F.col(label_col).alias("component")
+            F.col(label_id_col).alias(id_col), F.col(label_col).alias(tmp)
         )
-        joined = df.join(lab, id_col, "left").withColumn(
-            "component", F.coalesce(F.col("component"), F.col(id_col))
+        base = df.drop("component") if "component" in df.columns else df
+        joined = (
+            base.join(lab, id_col, "left")
+            .withColumn("component", F.coalesce(F.col(tmp), F.col(id_col)))
+            .drop(tmp)
         )
     bucket = sample_bucket(F.col("component"), seed)
     names = list(splits)

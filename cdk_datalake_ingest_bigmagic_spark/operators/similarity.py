@@ -303,11 +303,11 @@ def ann_ivf_pairs(
     C = _ivf_centroids(df, id_col, vec_col, n_lists, centroids)
     if C is None:
         # a fully-filtered corpus reaching dedup is a legitimate
-        # pipeline state — degrade to an empty decision table, don't
-        # crash on an empty centroid collect
-        return df.sparkSession.createDataFrame(
-            [], f"{id_col} long, list_id int, keep boolean"
-        )
+        # pipeline state — degrade to an empty PAIR table (this
+        # function's contract is _PAIR_SCHEMA, not the decision table
+        # semantic_dedup emits), don't crash on an empty centroid
+        # collect
+        return df.sparkSession.createDataFrame([], _PAIR_SCHEMA)
     C = C / np.maximum(np.sqrt((C * C).sum(axis=1))[:, None], 1e-12)
     bc = df.sparkSession.sparkContext.broadcast(C)
 

@@ -428,7 +428,13 @@ def build_vocab(df: DataFrame, text_col: str, vocab_size: int) -> DataFrame:
         .orderBy(F.col("__cnt").desc(), F.col("token"))
         .limit(vocab_size)
     )
-    w = Window.orderBy(F.col("__cnt").desc(), F.col("token"))
+    # partitionBy a constant: same bounded single-partition sort over
+    # ≤ vocab_size rows, but an explicit partition spec — the empty
+    # spec's per-run "No Partition Defined" WARN would otherwise bury
+    # real warnings in every bench/pipeline log
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("__cnt").desc(), F.col("token")
+    )
     return top.withColumn("tid", F.row_number().over(w)).select("token", "tid")
 
 
@@ -440,11 +446,13 @@ def encode_token_ids(
     with the whitespace tokenizer; a BPE merge table would slot into
     the same join shape).
 
-    Execution: position-tagged occurrence explode → broadcast(-able)
-    left join to the vocabulary (OOV → id 0; AQE flips to shuffle join
-    if the vocab outgrows the broadcast threshold) → one per-document
-    regroup that reassembles id order via an in-row sort of
-    (position, id) structs. The only corpus-sized shuffle is the final
+    Execution: position-tagged occurrence explode → left join to the
+    vocabulary with NO forced broadcast hint — a hint would override
+    the size threshold and let a large user-supplied vocabulary OOM
+    the driver, so AQE/the planner picks broadcast for small vocabs
+    and shuffle for big ones (the same no-forced-broadcast reasoning
+    as ``attach_keep_flags``) — then one per-document regroup that
+    reassembles id order via an in-row sort of (position, id) structs. The only corpus-sized shuffle is the final
     groupBy on the document key; two-point probes put the whole path
     at 5.3 s / 35.4 s for 50k / 500k docs with the full id strings
     materialized.
@@ -467,7 +475,7 @@ def encode_token_ids(
             F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
         ).alias("__pos", "token"),
     )
-    enc = occ.join(F.broadcast(vocab), "token", "left").withColumn(
+    enc = occ.join(vocab, "token", "left").withColumn(
         "__tid", F.coalesce(F.col("tid"), F.lit(0))
     )
     ordered = F.transform(

@@ -139,24 +139,45 @@ def read_jsonl_corpus(
       one quarantined row, not the job (the same error-quarantine
       philosophy as the transform layer's T17).
 
-    The split caches the parsed frame first: Spark refuses queries
-    whose referenced columns are ONLY the internal corrupt-record
-    column (SPARK-21610), and without the cache the good/bad split
-    would re-parse the corpus twice anyway.
+    Neither frame caches anything: a corpus-sized ``.cache()`` here
+    would pin MEMORY_AND_DISK storage for the whole session even when
+    the caller reads only one of the two frames. Both frames are a
+    text scan + ``from_json`` expression parse: expression parsing is
+    not subject to SPARK-21610 (the json SOURCE refuses any query
+    whose referenced columns are only the internal corrupt-record
+    column — which is exactly what ``good.count()`` and every ``bad``
+    query compile to), and Catalyst's OptimizeJsonExprs still prunes
+    the parse schema to the fields a query touches. Consuming BOTH
+    frames costs two passes over the files; a caller that needs both
+    fully materialized can cache explicitly at its own scope.
     """
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
     if quarantine_col not in [f.name for f in schema.fields]:
         schema = schema.add(T.StructField(quarantine_col, T.StringType(), True))
-    df = (
-        spark.read.schema(schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", quarantine_col)
-        .json(path)
-        .cache()
+    # blank lines are noise in hand-edited corpora, not records — the
+    # json source skipped them, so this path does too
+    raw = spark.read.text(path).filter(F.trim(F.col("value")) != "")
+    parsed = F.from_json(
+        F.col("value"),
+        schema,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": quarantine_col},
     )
-    good = df.filter(F.col(quarantine_col).isNull()).drop(quarantine_col)
-    bad = df.filter(F.col(quarantine_col).isNotNull()).select(quarantine_col)
+    # from_json leaves the corrupt column NULL on good lines and may
+    # return a NULL struct outright (e.g. a literal `null` line); on
+    # bad lines the raw text itself is the quarantine payload
+    good = (
+        raw.select(parsed.alias("__j"))
+        .filter(
+            F.col("__j").isNotNull()
+            & F.col(f"__j.{quarantine_col}").isNull()
+        )
+        .select("__j.*")
+        .drop(quarantine_col)
+    )
+    bad = raw.filter(
+        parsed.isNull() | parsed[quarantine_col].isNotNull()
+    ).select(F.col("value").alias(quarantine_col))
     return good, bad
 
 

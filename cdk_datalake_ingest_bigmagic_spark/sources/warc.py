@@ -21,52 +21,76 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: Record delimiter: every WARC record begins with this marker on its
-#: own line. Splitting on "\r\n\r\nWARC/1.0" would miss the first
-#: record; splitting on the marker alone keeps headers intact and
-#: costs one empty leading element, filtered below.
-WARC_MARKER = "WARC/1.0"
+#: Record delimiter: a WARC record boundary is the version marker at
+#: the start of a line — anchor the split on the preceding CRLF (the
+#: tail of the record terminator) plus the major-version prefix, so
+#: both WARC/1.0 and WARC/1.1 frame, and a mid-line "WARC/1.0"
+#: occurrence inside a payload can NOT split. The first record (no
+#: preceding CRLF) and the consumed version remnant are repaired below.
+#:
+#: Known limitation (documented, not silently wrong): a *text* payload
+#: that itself contains a CRLF-terminated line starting with
+#: "WARC/1.<digit>" (a page quoting raw WARC, a nested dump) still
+#: splits there — the true record is truncated at that line and the
+#: fragment becomes a candidate row. The fragment is dropped by the
+#: mandatory-header validation in :func:`read_warc` unless it quotes a
+#: full header block. Exact framing needs Content-Length byte
+#: accounting, which a splittable declarative scan cannot do; crawls
+#: where that matters should pre-segment with a record-aware tool.
+WARC_DELIM = "\r\nWARC/1."
 
 
-def _header(name: str) -> F.Column:
-    # headers end at the first blank line; capture up to end-of-line
-    return F.regexp_extract(
-        F.col("__record"), rf"(?m)^{name}:\s*([^\r\n]+)", 1
-    )
+def _header(block: F.Column, name: str) -> F.Column:
+    # parse ONLY the header block (pre-blank-line text) — a payload
+    # that quotes "WARC-Type: ..." can then never spoof a header
+    return F.regexp_extract(block, rf"(?m)^{name}:\s*([^\r\n]+)", 1)
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
-    """Read WARC files into
+    """Read WARC (1.0 / 1.1) files into
     (warc_type, target_uri, warc_date, record_id, content_length,
     content) — one row per WARC record, response/conversion payloads
     carried as text.
 
-    The payload is everything after the first blank line following
-    the header block; ``content_length`` is the declared header value
-    (useful for integrity checks against ``length(content)`` — the
-    text-mode read can differ when multi-byte sequences were
-    replaced).
+    Rows missing the mandatory ``WARC-Type`` + ``WARC-Record-ID``
+    headers are dropped: they are either split fragments (see
+    ``WARC_DELIM``) or not WARC records at all. ``content_length`` is
+    the declared header value (useful for integrity checks against
+    ``length(content)`` — the text-mode read can differ when
+    multi-byte sequences were replaced).
     """
     raw = (
-        spark.read.option("lineSep", WARC_MARKER)
+        spark.read.option("lineSep", WARC_DELIM)
         .text(path)
         .withColumnRenamed("value", "__record")
         .filter(F.trim(F.col("__record")) != "")
     )
-    # header block = up to the first blank line; payload = the rest
-    # \A-anchored, so at most one match — safe with replace-all
-    payload = F.regexp_replace(
-        F.col("__record"), r"(?s)\A.*?\r?\n\r?\n", ""
+    # repair the split remnants: the first record keeps its full
+    # "WARC/1.x" line; every other row starts with the leftover minor
+    # version digits. Either way the version line carries no data.
+    rec = F.regexp_replace(
+        F.col("__record"), r"\A(?:WARC/1\.)?[0-9]+\r?\n", ""
     )
-    return raw.select(
-        _header("WARC-Type").alias("warc_type"),
-        _header("WARC-Target-URI").alias("target_uri"),
-        _header("WARC-Date").alias("warc_date"),
-        _header("WARC-Record-ID").alias("record_id"),
-        _header("Content-Length").cast("long").alias("content_length"),
-        # WARC terminates each record with \r\n\r\n before the next
-        # marker — strip exactly that trailer, not payload whitespace
-        F.regexp_replace(payload, r"(\r?\n){1,2}\Z", "").alias("content"),
+    # header block = up to the first blank line; payload = the rest
+    header_block = F.regexp_extract(rec, r"(?s)\A(.*?)(?:\r?\n\r?\n|\Z)", 1)
+    # \A-anchored, so at most one match — safe with replace-all
+    payload = F.regexp_replace(rec, r"(?s)\A.*?\r?\n\r?\n", "")
+    return (
+        raw.select(
+            _header(header_block, "WARC-Type").alias("warc_type"),
+            _header(header_block, "WARC-Target-URI").alias("target_uri"),
+            _header(header_block, "WARC-Date").alias("warc_date"),
+            _header(header_block, "WARC-Record-ID").alias("record_id"),
+            _header(header_block, "Content-Length")
+            .cast("long")
+            .alias("content_length"),
+            # WARC terminates each record with \r\n\r\n; the delimiter
+            # consumed one CRLF — strip the remaining trailer, not
+            # payload whitespace
+            F.regexp_replace(payload, r"(\r?\n){1,2}\Z", "").alias("content"),
+        )
+        # mandatory-header validation: regexp_extract misses → ''
+        .filter((F.col("warc_type") != "") & (F.col("record_id") != ""))
     )
 
 

@@ -497,6 +497,15 @@ def test_leakage_safe_split_co_assigns_clusters(spark):
     with _pytest.raises(ValueError):
         leakage_safe_split(docs, "doc_id", labels, {"a": 0.5, "b": 0.4})
 
+    # an input that ALREADY carries 'component' (the dedup full_rows
+    # artifact shape) must not make the post-join reference ambiguous;
+    # the label table wins over the stale input column
+    pre = docs.selectExpr("doc_id", "cast(-1 as bigint) as component")
+    relabeled = leakage_safe_split(
+        pre, "doc_id", labels, {"train": 1.0}
+    ).collect()
+    assert all(r["component"] == (r["doc_id"] // 3) * 3 for r in relabeled)
+
 
 def test_new_sampling_ops_partitioning_and_ansi_invariant(spark):
     """shard_assign / epoch_mix / leakage_safe_split must produce

@@ -83,19 +83,48 @@ def test_every_query_has_oracle_or_documented_exemption():
     assert missing == [], f"queries without oracle or exemption: {missing}"
 
 
+def _current_round() -> int:
+    """The round the registry's _GATE_FRONT was authored for.
+
+    While a round runs, its CORRECTNESS file doesn't exist yet, so
+    current = newest recorded round + 1. But the driver drops the new
+    file AFTER the builder's final commit — at that moment the newest
+    file IS the just-finished round whose front produced it, not
+    evidence of a new round's obligations (the round-5 suite tripped on
+    exactly this race). Disambiguate by timestamps: if the newest
+    CORRECTNESS file postdates HEAD's commit, it belongs to the round
+    HEAD closed, so current stays at that round's number."""
+    import subprocess
+
+    paths = sorted(
+        REPO.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(p.stem.split("_r")[1]),
+    )
+    newest = paths[-1]
+    newest_round = int(newest.stem.split("_r")[1])
+    try:
+        head_time = int(
+            subprocess.run(
+                ["git", "log", "-1", "--format=%ct"],
+                cwd=REPO, capture_output=True, text=True, check=True,
+            ).stdout.strip()
+        )
+    except Exception:
+        return newest_round + 1
+    if newest.stat().st_mtime > head_time:
+        return newest_round
+    return newest_round + 1
+
+
 def test_out_of_window_greens_are_fresh():
     """The staleness half of the rotation invariant: a query outside
     the gate window must have a green row at most 2 rounds old — the
     rotation must bring every query back before its newest green goes
-    3 rounds stale. 'Current round' = newest recorded round + 1 (this
-    round's CORRECTNESS file doesn't exist while the round runs)."""
+    3 rounds stale."""
     _, queries, _ = _registry()
     out = list(queries)[GATE_WINDOW:]
     greens = _green_rows()
-    rounds = [
-        int(p.stem.split("_r")[1]) for p in REPO.glob("CORRECTNESS_r*.json")
-    ]
-    current = max(rounds) + 1
+    current = _current_round()
     stale = [
         n for n in out
         if n in greens and max(greens[n]) < current - 2

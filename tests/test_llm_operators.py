@@ -1554,6 +1554,13 @@ def test_embedding_operators_degrade_on_empty_corpus(spark):
     sd = sim.semantic_dedup(e, "vec_id", "embedding", n_lists=4)
     assert sd.count() == 0 and sd.columns == ["vec_id", "list_id", "keep"]
 
+    # ann_ivf_pairs' contract is the PAIR table — its empty-corpus
+    # fallback must match it so downstream CC labeling / pair unions
+    # keep resolving id_a/id_b
+    iv = sim.ann_ivf_pairs(e, "vec_id", "embedding", n_lists=4)
+    assert iv.count() == 0
+    assert iv.columns == ["id_a", "id_b", "cosine_sim"]
+
     pq = sim.product_quantize(e, "vec_id", "embedding", m=4, k=4)
     assert pq.count() == 0 and pq.columns == ["vec_id", "codes"]
 

@@ -419,6 +419,51 @@ def test_read_warc_records(spark, tmp_path):
     assert rows["<urn:uuid:conv-1>"]["content"] == "second doc"
 
 
+def test_read_warc_payload_marker_and_v11(spark, tmp_path):
+    """Framing is anchored on CRLF + version prefix: a mid-line
+    'WARC/1.0' in a payload does not split the record, WARC/1.1 files
+    frame, and a CRLF-line false split yields a fragment that the
+    mandatory-header filter drops (truncation documented on
+    WARC_DELIM)."""
+    from cdk_datalake_ingest_bigmagic_spark.sources.warc import read_warc
+
+    rec = (
+        "WARC/1.1\r\n"
+        "WARC-Type: response\r\n"
+        "WARC-Target-URI: http://example.com/about-warc\r\n"
+        "WARC-Date: 2024-06-01T01:02:03Z\r\n"
+        "WARC-Record-ID: <urn:uuid:about-1>\r\n"
+        "Content-Length: 44\r\n"
+        "\r\n"
+        "the spec says WARC/1.0 starts every record.\n"
+        "\r\n"
+        "WARC/1.1\r\n"
+        "WARC-Type: response\r\n"
+        "WARC-Target-URI: http://example.com/quoted\r\n"
+        "WARC-Date: 2024-06-01T02:00:00Z\r\n"
+        "WARC-Record-ID: <urn:uuid:quote-1>\r\n"
+        "Content-Length: 30\r\n"
+        "\r\n"
+        "a line break then\r\n"
+        "WARC/1.0 quoted at line start\n"
+        "\r\n"
+    )
+    p = str(tmp_path / "crawl11.warc")
+    with open(p, "w", newline="") as f:
+        f.write(rec)
+    rows = {r["record_id"]: r for r in read_warc(spark, p).collect()}
+    # mid-line marker intact; both 1.1 records frame
+    assert "<urn:uuid:about-1>" in rows
+    assert rows["<urn:uuid:about-1>"]["content"] == (
+        "the spec says WARC/1.0 starts every record."
+    )
+    # the quoted-at-line-start record is truncated at the false split
+    # (documented limitation) but its fragment does NOT survive as a
+    # bogus record: every emitted row parsed mandatory headers
+    assert all(r["warc_type"] != "" and r["record_id"] != "" for r in rows.values())
+    assert rows["<urn:uuid:quote-1>"]["content"] == "a line break then"
+
+
 def test_warc_responses_as_documents(spark, tmp_path):
     from cdk_datalake_ingest_bigmagic_spark.sources.warc import (
         warc_responses_as_documents,
