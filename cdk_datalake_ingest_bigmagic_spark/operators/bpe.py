@@ -1,0 +1,254 @@
+"""Byte-pair-encoding subword tokenizer (Sennrich et al. 2016,
+arXiv:1508.07909, public) — the real-tokenizer tier the whitespace
+``encode_token_ids`` path was designed to grow into.
+
+Split of labor, built for the 100-TB corpus / 1000-executor shape:
+
+- **Training** runs on the WORD-FREQUENCY table, not the corpus: one
+  ``groupBy(word)`` shuffle produces a table that grows sublinearly in
+  corpus size (Heaps' law), capped at ``max_words`` rows by frequency
+  (the standard practice — merge decisions below the cap are noise),
+  collected to the driver, and trained with the classic pair-count
+  loop. Training data is bounded; only the encode pass is
+  corpus-sized.
+- **Encoding** applies the learned merge list in priority order — a
+  single pass is exact BPE because a merge can only ever enable pairs
+  learned AFTER it (a pair involving symbol ``ab`` cannot be learned
+  before ``ab`` exists). Two tiers, identical semantics (pinned by a
+  tier-equivalence test):
+
+  * ``expression``: each word is wrapped into ``<s><y><m>`` form and
+    the merge list becomes a chain of JVM ``replace`` calls — pure
+    codegen Columns, no Python, exact greedy left-to-right pair
+    merging (non-overlapping replace == BPE's scan order for a single
+    rule). Right for merge lists that fit an expression tree
+    (≤ ``_EXPR_TIER_MAX`` merges).
+  * ``pandas``: Arrow ``mapInPandas`` with the rank-dict algorithm and
+    a per-batch word memo — zero shuffle (documents never leave their
+    row), right for production-sized merge tables (32k+) where a 32k
+    deep expression tree would break codegen.
+
+The wrap sentinels ``<`` ``>`` are stripped from input during
+normalization (documented contract: BPE runs over the normalized
+``[a-z0-9 ]`` alphabet; anything else becomes a space first), which
+also keeps the oracle SQL for the gate query expressible as the same
+replace chain.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: above this many merges the nested-replace expression tree is deeper
+#: than codegen comfortably handles — auto tier switches to pandas
+_EXPR_TIER_MAX = 128
+
+
+def _normalize(col: F.Column) -> F.Column:
+    """Shared normalization: lowercase, fold everything outside
+    [a-z0-9 ] (including the wrap sentinels) to spaces, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9 ]", " "))
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int,
+    max_words: int = 100_000,
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merges from the corpus' word-frequency
+    table. One corpus shuffle (the word groupBy); the driver sees at
+    most ``max_words`` (word, count) rows — ties in the frequency cap
+    and in pair selection break lexicographically, so the merge list
+    is deterministic on any partitioning."""
+    if num_merges < 1:
+        raise ValueError(f"num_merges must be >= 1, got {num_merges}")
+    norm = _normalize(F.col(text_col))
+    counts = (
+        df.select(F.explode(F.split(norm, r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("word"))
+        .limit(max_words)
+        .collect()
+    )
+    # classic pair-count loop on the bounded word-freq dict
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(r["word"]): r["cnt"] for r in counts
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, cnt in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + cnt
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break  # every remaining pair is unique — merging is noise
+        a, b = best[0]
+        merges.append((a, b))
+        merged: dict[tuple[str, ...], int] = {}
+        for syms, cnt in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            merged[key] = merged.get(key, 0) + cnt
+        vocab = merged
+    return merges
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Reference rank-dict BPE encode for one word (pandas tier)."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank = None
+        best_i = -1
+        for i, pair in enumerate(zip(syms, syms[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        a = syms[best_i]
+        # merge ALL occurrences of the best pair left-to-right — the
+        # same scan order as one replace pass in the expression tier
+        b = syms[best_i + 1]
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    tier: str = "auto",
+) -> DataFrame:
+    """Encode every document with the learned ``merges``. Returns
+    (id_col, n_tokens, bpe_csv) — subword tokens in document order,
+    space-joined (the same CSV-materialization decision as
+    ``encode_token_ids``)."""
+    if tier == "auto":
+        tier = "expression" if len(merges) <= _EXPR_TIER_MAX else "pandas"
+    if tier == "expression":
+        return _bpe_encode_expr(df, id_col, text_col, merges)
+    if tier == "pandas":
+        return _bpe_encode_pandas(df, id_col, text_col, merges)
+    raise ValueError(f"unknown tier {tier!r}")
+
+
+def _bpe_encode_expr(
+    df: DataFrame, id_col: str, text_col: str, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Codegen tier: wrap each word's chars as <c><h><a><r><s>, run the
+    merge list as chained non-overlapping JVM replaces (greedy
+    left-to-right == BPE scan order; priority order == learned order),
+    unwrap with one regexp_extract_all. The only shuffle is the final
+    per-document regroup."""
+    norm = _normalize(F.col(text_col))
+    words = df.filter(norm != "").select(
+        F.col(id_col),
+        F.posexplode(F.split(norm, r"\s+")).alias("__pos", "__word"),
+    ).filter(F.col("__word") != "")
+    wrapped = F.regexp_replace(F.col("__word"), "(.)", "<$1>")
+    seq = reduce(
+        lambda c, ab: F.replace(
+            c, F.lit(f"<{ab[0]}><{ab[1]}>"), F.lit(f"<{ab[0]}{ab[1]}>")
+        ),
+        merges,
+        wrapped,
+    )
+    toks = F.regexp_extract_all(seq, F.lit("<([^>]*)>"), 1)
+    per_word = words.select(
+        id_col, "__pos", toks.alias("__toks")
+    )
+    ordered = F.flatten(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__pos", "__toks"))),
+            lambda x: x["__toks"],
+        )
+    )
+    return per_word.groupBy(id_col).agg(
+        F.sum(F.size("__toks")).cast("long").alias("n_tokens"),
+        F.array_join(ordered, " ").alias("bpe_csv"),
+    )
+
+
+def _bpe_encode_pandas(
+    df: DataFrame, id_col: str, text_col: str, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Arrow tier: rank-dict BPE with a per-batch word memo; documents
+    are encoded whole in their row — zero shuffle, and the merge table
+    rides the closure once per executor, not per row."""
+    import re
+
+    import pandas as pd
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    out_schema = f"{id_col} long, n_tokens long, bpe_csv string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, list[str]] = {}
+
+        def enc(word: str) -> list[str]:
+            got = memo.get(word)
+            if got is None:
+                got = memo[word] = _encode_word(word, ranks)
+            return got
+
+        for pdf in batches:
+            ids, ntoks, csvs = [], [], []
+            for i, raw in zip(pdf[id_col], pdf[text_col]):
+                norm = re.sub(
+                    "[^a-z0-9 ]", " ", ("" if raw is None else raw).lower()
+                ).strip()
+                if not norm:
+                    continue
+                toks: list[str] = []
+                for w in re.split(r"\s+", norm):
+                    if w:
+                        toks.extend(enc(w))
+                ids.append(i)
+                ntoks.append(len(toks))
+                csvs.append(" ".join(toks))
+            yield pd.DataFrame(
+                {id_col: ids, "n_tokens": ntoks, "bpe_csv": csvs}
+            )
+
+    from cdk_datalake_ingest_bigmagic_spark.operators import fan_out
+
+    return fan_out(df.select(id_col, text_col)).mapInPandas(run, out_schema)
+
+
+def bpe_vocab(merges: list[tuple[str, str]]) -> list[str]:
+    """The subword vocabulary a merge list induces: base alphabet +
+    one entry per merge, in id order (alphabet first, then merges in
+    learned order) — the table ``encode_token_ids`` joins against when
+    subword ids rather than strings are needed."""
+    base = [chr(c) for c in range(ord("a"), ord("z") + 1)] + [
+        chr(c) for c in range(ord("0"), ord("9") + 1)
+    ]
+    return base + [a + b for a, b in merges]

@@ -1681,3 +1681,72 @@ def corpus_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(":", "doc_id", "chunk_id").alias("chunk_key"), "chunk_text"
     )
     return pack_sequences(keyed, "chunk_key", "chunk_text", capacity=256, n_buckets=8)
+
+
+# ---------------------------------------------------------------------------
+# BPE subword encoding (fixed literal merge table so the oracle can
+# mirror the exact replace chain — the TRAINED path is pytest-pinned
+# against a reference trainer in tests/test_bpe.py)
+# ---------------------------------------------------------------------------
+
+#: 16 common-English merges, applied in this order. The single-pass
+#: property (a merge only enables later-learned pairs) holds for this
+#: hand-written list too: every right/left symbol of a later merge
+#: that is itself composite appears earlier.
+_BPE_GATE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("o", "r"), ("e", "n"),
+    ("a", "t"), ("e", "s"), ("o", "u"), ("i", "t"), ("i", "s"),
+    ("o", "f"),
+]
+
+
+def _bpe_oracle_chain(expr: str) -> str:
+    """Nest the gate merge list into a DuckDB replace() chain over the
+    <c><h><a><r> wrapped form — byte-identical semantics to the Spark
+    expression tier (non-overlapping left-to-right replace)."""
+    for a, b in _BPE_GATE_MERGES:
+        expr = f"replace({expr}, '<{a}><{b}>', '<{a}{b}>')"
+    return expr
+
+
+_BPE_ORACLE_TOKENS = _bpe_oracle_chain(
+    "regexp_replace(word, '(.)', '<\\1>', 'g')"
+)
+
+
+@register(
+    "text_bpe_encode",
+    oracle=rf"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split_regex(
+               trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+               '\s+') AS ws
+      FROM documents
+      WHERE trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')) <> ''
+    ), words AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[i + 1] AS word
+      FROM base, UNNEST(range(0, len(ws))) AS t(i)
+      WHERE ws[i + 1] <> ''
+    ), enc AS (
+      SELECT doc_id, pos,
+             regexp_extract_all({_BPE_ORACLE_TOKENS}, '<([^>]*)>', 1) AS toks
+      FROM words
+    )
+    SELECT doc_id,
+           CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+           string_agg(array_to_string(toks, ' '), ' ' ORDER BY pos)
+             AS bpe_csv
+    FROM enc GROUP BY doc_id
+    """,
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE subword encoding with the fixed gate merge table — the
+    expression tier's replace chain, run distributed over documents.
+    The pandas tier is pinned equal by tests/test_bpe.py, so this row
+    greens both."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.bpe import bpe_encode
+
+    d = load(spark, sf_dir, "documents")
+    return bpe_encode(d, "doc_id", "text", _BPE_GATE_MERGES, tier="expression")

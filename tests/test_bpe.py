@@ -1,0 +1,145 @@
+"""BPE tokenizer: training vs a hand-rolled reference, tier
+equivalence (expression replace-chain == pandas rank-dict), and the
+single-pass-in-learned-order property the expression tier relies on."""
+
+from __future__ import annotations
+
+import random
+
+from cdk_datalake_ingest_bigmagic_spark.operators.bpe import (
+    _encode_word,
+    bpe_encode,
+    bpe_vocab,
+    train_bpe,
+)
+
+
+def _ref_train(word_counts: dict[str, int], n: int) -> list[tuple[str, str]]:
+    """Independent reference BPE trainer (tie: count desc, pair asc)."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(n):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for p in zip(syms, syms[1:]):
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        merges.append((a, b))
+        nv = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == (a, b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + c
+        vocab = nv
+    return merges
+
+
+def test_train_bpe_matches_reference(spark):
+    texts = [
+        "the theme of the thesis",
+        "another mother brother",
+        "the other theme",
+        "in the inner din",
+    ] * 3
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id: long, text: string")
+    merges = train_bpe(df, "text", num_merges=8)
+    wc: dict[str, int] = {}
+    for t in texts:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    assert merges == _ref_train(wc, 8)
+    assert len(merges) == 8
+    # vocab: 36-char base alphabet + merges in learned order
+    v = bpe_vocab(merges)
+    assert len(v) == 36 + 8 and v[36] == merges[0][0] + merges[0][1]
+
+
+def test_train_bpe_normalizes_and_stops(spark):
+    # sentinels/punctuation fold to spaces before training; a corpus
+    # with no repeated pair stops early instead of emitting noise
+    df = spark.createDataFrame(
+        [(1, "AB<>ab!  ab?"), (2, "xy")], "doc_id: long, text: string"
+    )
+    merges = train_bpe(df, "text", num_merges=10)
+    assert merges[0] == ("a", "b")  # 'ab' occurs 3x after folding
+    assert all("<" not in a + b and ">" not in a + b for a, b in merges)
+    assert len(merges) < 10  # stopped when best pair count fell below 2
+
+
+def test_bpe_tiers_agree(spark):
+    rng = random.Random(7)
+    frags = ["the", "ing", "tion", "er", "an", "re", "qu", "xz"]
+    texts = [
+        " ".join(
+            "".join(rng.choice(frags) for _ in range(rng.randint(1, 4)))
+            for _ in range(rng.randint(3, 20))
+        )
+        for _ in range(60)
+    ] + ["", "   ", "Mixed CASE & punct-uation!", "th th th the the"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+    )
+    merges = train_bpe(df, "text", num_merges=24)
+    a = {r["doc_id"]: (r["n_tokens"], r["bpe_csv"])
+         for r in bpe_encode(df, "doc_id", "text", merges, tier="expression").collect()}
+    b = {r["doc_id"]: (r["n_tokens"], r["bpe_csv"])
+         for r in bpe_encode(df, "doc_id", "text", merges, tier="pandas").collect()}
+    assert a == b
+    assert len(a) == 62  # the two blank docs dropped on both tiers
+    # tokens reassemble to the normalized text
+    some = a[0][1].replace(" ", "")
+    assert some != ""
+
+
+def test_single_pass_equals_rank_dict():
+    """The expression tier applies merges once, in learned order; the
+    pandas tier re-scans for the best rank each round. These agree for
+    any merge list LEARNED from data (a merge can only enable pairs
+    learned later) — fuzz that property on random learned tables."""
+    rng = random.Random(13)
+    for _ in range(20):
+        words = [
+            "".join(rng.choice("abcde") for _ in range(rng.randint(1, 9)))
+            for _ in range(40)
+        ]
+        wc: dict[str, int] = {}
+        for w in words:
+            wc[w] = wc.get(w, 0) + rng.randint(1, 5)
+        merges = _ref_train(wc, 12)
+        ranks = {p: i for i, p in enumerate(merges)}
+        for w in wc:
+            # single pass in learned order
+            syms = list(w)
+            for a, b in merges:
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and (syms[i], syms[i + 1]) == (a, b):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            assert syms == _encode_word(w, ranks), (w, merges)
+
+
+def test_bpe_encode_empty_and_oov(spark):
+    df = spark.createDataFrame(
+        [(1, "zzz qqq"), (2, None)], "doc_id: long, text: string"
+    )
+    out = {r["doc_id"]: r for r in
+           bpe_encode(df, "doc_id", "text", [("t", "h")]).collect()}
+    assert set(out) == {1}  # null text dropped, not crashed
+    assert out[1]["bpe_csv"] == "z z z q q q"
+    assert out[1]["n_tokens"] == 6

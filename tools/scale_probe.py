@@ -271,6 +271,14 @@ def main() -> None:
             docs, "doc_id", "text",
             _tx().build_vocab(docs, "text", vocab_size=1024),
         )),
+        # BPE: word-frequency-table training (one corpus shuffle,
+        # driver loop bounded by max_words) + the Arrow rank-dict
+        # encode tier (zero shuffle — docs never leave their row)
+        "bpe_encode": (n_docs, lambda: _bpe().bpe_encode(
+            docs, "doc_id", "text",
+            _bpe().train_bpe(docs, "text", num_merges=64, max_words=20_000),
+            tier="pandas",
+        )),
         # product quantization: broadcast codebooks, zero-shuffle
         # BLAS encode — should be scan-bound and ~linear
         "pq_codes": (n_vecs, lambda: sim.product_quantize(
@@ -313,6 +321,10 @@ def main() -> None:
     def _chunking():
         from cdk_datalake_ingest_bigmagic_spark.operators import chunking
         return chunking
+
+    def _bpe():
+        from cdk_datalake_ingest_bigmagic_spark.operators import bpe
+        return bpe
 
     def _sampling():
         from cdk_datalake_ingest_bigmagic_spark.operators import sampling
@@ -401,6 +413,8 @@ def main() -> None:
                          # (measured "1.0 s" for 500k docs of bigram
                          # folds — impossible) — force the columns
                          "shard_shuffle", "epoch_mix", "token_encode",
+                         # bpe_csv is a mapInPandas projection
+                         "bpe_encode",
                          "gate_report"}
 
     def run_probe(name: str, fn):
