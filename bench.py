@@ -75,6 +75,10 @@ HEADLINE = [
     "corpus_leakage_safe_split",
     "embedding_pq_codes",
     "join_shipping_priority",
+    # round-6 additions: BPE subword encoding (expression tier) and
+    # metadata-driven audio windowing
+    "text_bpe_encode",
+    "multimodal_audio_windows",
 ]
 
 

@@ -284,6 +284,7 @@ def ann_ivf_pairs(
     n_probe: int = 2,
     threshold: float = 0.45,
     centroids: str = "first-ids",
+    max_list_size: int = 16384,
 ) -> DataFrame:
     """IVF-style approximate pair search: coarse-quantize vectors into
     ``n_lists`` inverted lists, probe each vector against its
@@ -296,6 +297,20 @@ def ann_ivf_pairs(
     ``n_probe`` lists, so recall grows with n_probe while candidate
     count stays Σ|list|·n_probe — the IVF trade that keeps pair search
     sub-quadratic at corpus scale.
+
+    ``max_list_size`` is the hot-centroid guard: a list whose member
+    count exceeds it is split into ``ceil(n/max_list_size)``
+    id-hashed sub-buckets, and probers of that list replicate across
+    its sub-buckets. A skewed quantizer (half the corpus in one
+    list — boilerplate embeddings, a degenerate centroid) otherwise
+    concentrates the whole verify matmul in ONE task whose |probers| ×
+    |members| similarity block grows quadratically (measured: the 200k
+    hot-centroid probe corpus — see SCALE.md round 6). Splitting keeps
+    per-group members bounded so the work spreads across ``n_sub``
+    tasks; output is identical (a pair lands in exactly one sub-bucket
+    of its member's list; the final distinct already absorbs
+    multi-probe duplicates). Balanced lists get ``n_sub = 1`` and only
+    pay a size-table join (a tiny aggregate AQE broadcasts).
     """
     import numpy as np
 
@@ -349,15 +364,47 @@ def ann_ivf_pairs(
     # materializing the candidate-pair join: the shuffle moves
     # Σ|list|·n_probe vector rows (linear in the corpus), never the
     # quadratic candidate list, and the per-pair cosine is a BLAS
-    # block product instead of an interpreted array fold
-    members = assigned.select(
-        F.col("__id"), F.col("list_id").alias("probe"), F.lit(True).alias("__member")
-    )
-    probers = assigned.select(
-        F.col("__id"), F.explode("probes").alias("probe"), F.lit(False).alias("__member")
+    # block product instead of an interpreted array fold.
+    #
+    # hot-centroid guard: lists above max_list_size split into
+    # id-hashed sub-buckets (members → one sub; probers → every sub of
+    # the probed list). The size table is n_lists rows — AQE
+    # broadcasts both joins. Vectors are attached BEFORE the prober
+    # sub-bucket explode, so replication is a map-side Generate on
+    # already-joined rows, never extra join input; the replication
+    # cost is confined to the final groupBy shuffle, and only hot
+    # lists (n_sub > 1) pay it at all.
+    sizes = assigned.groupBy("list_id").agg(
+        F.ceil(F.count("*") / F.lit(max_list_size)).cast("int").alias("__nsub")
     )
     vecs = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-    grouped = members.unionByName(probers).join(vecs, "__id")
+    members = (
+        assigned.join(sizes, "list_id")
+        .select(
+            F.col("__id"),
+            F.col("list_id").alias("probe"),
+            F.pmod(F.xxhash64("__id"), F.col("__nsub")).cast("int").alias("__sub"),
+            F.lit(True).alias("__member"),
+        )
+        .join(vecs, "__id")
+    )
+    probers = (
+        assigned.select(F.col("__id"), F.explode("probes").alias("probe"))
+        .join(sizes.withColumnRenamed("list_id", "probe"), "probe")
+        .join(vecs, "__id")
+        .select(
+            F.col("__id"),
+            F.col("probe"),
+            F.explode(F.sequence(F.lit(0), F.col("__nsub") - 1)).alias("__sub"),
+            F.lit(False).alias("__member"),
+            F.col("__v"),
+        )
+    )
+    grouped = members.unionByName(probers)
+
+    _EMPTY = pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []}).astype(
+        {"id_a": "int64", "id_b": "int64", "cosine_sim": "float64"}
+    )
 
     def verify(pdf: pd.DataFrame) -> pd.DataFrame:
         V = np.vstack(pdf["__v"].to_numpy()).astype("float64")
@@ -367,27 +414,40 @@ def ann_ivf_pairs(
         idx = np.arange(len(ids))
         m_idx, p_idx = idx[mem], idx[~mem]
         if len(m_idx) == 0 or len(p_idx) == 0:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cosine_sim": "float64"}
+            return _EMPTY
+        # block the prober side so the similarity matrix is bounded at
+        # block × max_list_size however many probers the group holds
+        out = []
+        m_ids = ids[m_idx]
+        Mn = Vn[m_idx].T
+        for lo in range(0, len(p_idx), 4096):
+            pb = p_idx[lo : lo + 4096]
+            S = np.round(Vn[pb] @ Mn, 4)
+            # pair (a, b) exists iff the SMALLER id probes a list the
+            # larger is assigned to — the same asymmetric rule as the
+            # candidate-join formulation (and the SQL oracle)
+            rows_i, cols_j = np.where(
+                (S >= threshold) & (ids[pb][:, None] < m_ids[None, :])
             )
-        S = np.round(Vn[p_idx] @ Vn[m_idx].T, 4)
-        # pair (a, b) exists iff the SMALLER id probes a list the
-        # larger is assigned to — the same asymmetric rule as the
-        # candidate-join formulation (and the SQL oracle)
-        rows_i, cols_j = np.where(
-            (S >= threshold) & (ids[p_idx][:, None] < ids[m_idx][None, :])
-        )
-        return pd.DataFrame(
-            {
-                "id_a": ids[p_idx][rows_i],
-                "id_b": ids[m_idx][cols_j],
-                "cosine_sim": S[rows_i, cols_j],
-            }
-        )
+            if len(rows_i):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ids[pb][rows_i],
+                            "id_b": m_ids[cols_j],
+                            "cosine_sim": S[rows_i, cols_j],
+                        }
+                    )
+                )
+        return pd.concat(out, ignore_index=True) if out else _EMPTY
 
     # a pair can co-occur in several probed lists → dedup at the end;
     # the distinct runs on the (small) surviving pair set only
-    return grouped.groupBy("probe").applyInPandas(verify, _PAIR_SCHEMA).distinct()
+    return (
+        grouped.groupBy("probe", "__sub")
+        .applyInPandas(verify, _PAIR_SCHEMA)
+        .distinct()
+    )
 
 
 def ann_lsh_pairs(

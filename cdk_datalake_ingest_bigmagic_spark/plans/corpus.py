@@ -182,6 +182,9 @@ class CorpusPipeline:
     def run(self, docs: DataFrame) -> dict[str, StepResult]:
         from cdk_datalake_ingest_bigmagic_spark.operators import dedup as dd
         from cdk_datalake_ingest_bigmagic_spark.operators import text as tx
+        from cdk_datalake_ingest_bigmagic_spark.operators.caching import (
+            CacheScope,
+        )
         from cdk_datalake_ingest_bigmagic_spark.operators.graph import (
             connected_components,
         )
@@ -192,6 +195,12 @@ class CorpusPipeline:
 
         cfg = self.config
         ic, tc = cfg.id_col, cfg.text_col
+        # run-scoped cache lifetime: operator-internal caches (packed
+        # shingle sets, keep-list labels) are consumed by the step
+        # writes inside this call — a nightly driver invoking run()
+        # repeatedly must not accumulate CacheManager entries across
+        # invocations (pinned by test_pipeline_leaves_no_cached_rdds)
+        scope = CacheScope()
 
         def build_clean():
             # both gates are projections — passthrough keeps the
@@ -222,14 +231,22 @@ class CorpusPipeline:
                 dd.shingles_exploded(cdf, ic, tc, cfg.shingle_n),
                 ic,
                 cfg.jaccard_threshold,
+                scope=scope,
             )
             labels = connected_components(pairs, "id_a", "id_b")
             # full_rows: the artifact carries the DOCUMENTS, not just
             # the decision — downstream steps and the trainer read
             # payloads from here
-            return dd.attach_keep_flags(cdf, labels, id_col=ic, full_rows=True)
+            return dd.attach_keep_flags(
+                cdf, labels, id_col=ic, full_rows=True, scope=scope
+            )
 
-        dedup = self._step("dedup", clean.fingerprint, build_dedup)
+        try:
+            dedup = self._step("dedup", clean.fingerprint, build_dedup)
+        finally:
+            # the dedup write (the consuming action) has run — release
+            # the operator caches before the downstream steps
+            scope.release()
 
         def build_split():
             ddf = self.read("dedup")

@@ -56,15 +56,9 @@ from cdk_datalake_ingest_bigmagic_spark.queries import llmdata  # noqa: E402,F40
 from cdk_datalake_ingest_bigmagic_spark.queries import events  # noqa: E402,F401
 
 # The external correctness gate checks the first 50 registered queries.
-# With 94 registered (round 5 deregistered agg_approx_sketches — the
-# sketch tier is hash-gated via agg_sketch_error_bounds, and a
-# permanent rows-only row added no signal — and added fifteen new
-# queries: chunking/packing/curation/novelty/span-detect/span-trim/
-# int8-quantization/containment/training-prep + two multi-join
-# analytics + SemDeDup/shard-shuffle/epoch-mix/token-encode/
-# quality-score/leakage-split/shipping-priority/pq-codes), 44 sit
-# outside the window each round, so the window
-# is ROTATED via _GATE_FRONT.
+# With 96 registered (round 6 added text_bpe_encode and
+# multimodal_audio_windows), 46 sit outside the window each round, so
+# the window is ROTATED via _GATE_FRONT.
 #
 # ROTATION RULE (invariant, every round — do not regress this):
 #   front = (1) every query whose implementation OR any shared operator
@@ -78,104 +72,91 @@ from cdk_datalake_ingest_bigmagic_spark.queries import events  # noqa: E402,F401
 #   tests/test_gate_rotation.py, which cross-checks the out-of-window
 #   set against green rows in the recorded CORRECTNESS_r*.json files.
 #
-# Round 5 front:
-#   (1) changed: the operators/dedup.py query family (rounded-boundary
-#       candidate epsilon, below-cap prefix slice, CacheScope wiring,
-#       attach_keep_flags routing — dedup_exact, dedup_ngram_jaccard,
-#       dedup_minhash_lsh, dedup_simhash, dedup_keep_list, plus the CC
-#       queries whose edges come through the rewritten Jaccard path and
-#       contamination_ngram_overlap which shares the file), and
-#       agg_sketch_error_bounds (all-NULL-group division guard).
-#   (1b) changed later in round 5 (second session), every rider
-#       in-window: operators/dedup.py (attach_keep_flags full_rows —
-#       dedup_keep_list re-gated), operators/text.py (gate
-#       passthrough, vocab/encode, quality_score, gate_report — all
-#       text_* riders in-window), operators/similarity.py
-#       (semantic_dedup, product_quantize, ADC — embedding_* riders
-#       in-window), operators/sampling.py (shard/epoch/split —
-#       sample/mix riders in-window); events.py and the DSL compiler
-#       are untouched this round, which is what makes their r3 greens
-#       displaceable.
-#   (2) new this round: text_chunk_windows, pack_sequences,
-#       corpus_domain_cap, text_rare_tokens,
-#       dedup_incremental_novelty, join_market_share,
-#       window_yearly_growth, text_duplicate_spans, text_span_trim,
-#       embedding_scalar_quantize, dedup_containment,
-#       corpus_training_prep, dedup_semantic_keep,
-#       corpus_shard_shuffle, corpus_mix_epochs, text_token_encode,
-#       text_quality_score, corpus_leakage_safe_split,
-#       join_shipping_priority, embedding_pq_codes (never gated
-#       before).
-#   (3) 17 of the 25 queries whose newest green row is round 3
-#       (VERDICT r4 "Next round" #2). The other eight — dsl_bytemagic,
-#       dsl_case_mapping, dsl_periodmagic, dsl_date_to_string_nested,
-#       join_part_supplier_revenue, multimodal_frame_sample,
-#       events_lag_lead_gaps, agg_exact_quantiles — are displaced by
-#       the eight round-5 additions above: their implementations are
-#       untouched since round 3, their r3 greens sit at exactly the
-#       2-round staleness ceiling the mechanical check allows, and
-#       they are the FIRST obligation of round 6's window.
-#   The 24 falling out from round 4 are all unchanged round-4 greens
-#   (staleness 1 round — enforced by tests/test_gate_rotation.py's
-#   staleness check).
+# Round 6 front:
+#   (1) never green / red last round: pack_sequences +
+#       corpus_training_prep (r5 hash_match false — the DuckDB
+#       HUGEINT pack_id oracle artifact, CAST fixed this round) and
+#       the two new queries (text_bpe_encode,
+#       multimodal_audio_windows).
+#   (2) the 8 queries whose newest green was round 3 — the obligation
+#       VERDICT r5 item 2 names (DSL compiler/events/relational code
+#       untouched, but greens decay without re-measurement).
+#   (3) changed-file riders: operators/similarity.py (ann_ivf empty-
+#       corpus pair schema + the max_list_size hot-centroid guard) →
+#       all embedding/semantic queries; operators/sampling.py
+#       (leakage_safe_split component-collision fix) → the
+#       sample/mix/shard/split/cap family; operators/text.py
+#       (encode_token_ids broadcast hint dropped, build_vocab window
+#       spec) → the text_* family plus the composed
+#       corpus_clean_pipeline / corpus_source_stats /
+#       dedup_incremental_novelty and contamination_ngram_overlap;
+#       events_user_similarity rides the similarity module's SRP
+#       path.
+#   (4) early rotation of 8 round-4 greens (cheap relational ones) so
+#       round 7's obligation is 28 r4 re-gates, not 36 — the window
+#       math the r5 tripwire failure taught.
+#   Out of window: 46 queries, every one an unchanged green from
+#   round 4 or 5 (ceiling: current-2 = 4) — enforced by
+#   tests/test_gate_rotation.py, whose current-round computation now
+#   tolerates the driver dropping CORRECTNESS_r06 after the final
+#   commit.
 _GATE_FRONT: list[str] = [
-    # new this round — never gated, must be in-window
-    "text_chunk_windows",
+    # (1) red last round (oracle type artifact, CAST landed) / new
     "pack_sequences",
-    "corpus_domain_cap",
-    "text_rare_tokens",
-    "dedup_incremental_novelty",
-    "join_market_share",
-    "window_yearly_growth",
-    "text_duplicate_spans",
-    "text_span_trim",
-    "embedding_scalar_quantize",
-    "dedup_containment",
     "corpus_training_prep",
-    "dedup_semantic_keep",
-    "corpus_shard_shuffle",
-    "corpus_mix_epochs",
-    "text_token_encode",
-    "text_quality_score",
-    "corpus_leakage_safe_split",
-    "join_shipping_priority",
-    "embedding_pq_codes",
-    # changed this round (operators/dedup.py + sketch-bounds guard)
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_keep_list",
-    "dedup_connected_components",
-    "dedup_connected_components_twophase",
-    "contamination_ngram_overlap",
-    "agg_sketch_error_bounds",
-    # same-file caution (queries/llmdata.py touched for keep_list)
-    "corpus_source_stats",
-    # same-file caution r5: operators/sampling.py gained domain_cap +
-    # the salted pre-cap, config/models.py gained dialect alias
-    # normalization — the queries riding those files re-gate
-    "sample_hash_fraction",
-    "corpus_mix_weighted",
-    "join_config_multitable",
-    # least-recently gated: newest green row is round 3
-    "corpus_clean_pipeline",
-    "dedup_embedding_cosine",
-    "dsl_case_multicolumn",
-    "dsl_misc_functions",
+    "text_bpe_encode",
+    "multimodal_audio_windows",
+    # (2) r3-stale re-gates
+    "dsl_bytemagic",
+    "dsl_case_mapping",
+    "dsl_periodmagic",
+    "dsl_date_to_string_nested",
+    "join_part_supplier_revenue",
+    "agg_exact_quantiles",
+    "events_lag_lead_gaps",
+    "multimodal_frame_sample",
+    # (3) operators/similarity.py riders
     "embedding_ann_ivf",
     "embedding_ann_lsh",
     "embedding_similarity_pairs",
     "embedding_topk",
-    "events_asof_join",
+    "dedup_embedding_cosine",
+    "dedup_semantic_keep",
+    "embedding_scalar_quantize",
+    "embedding_pq_codes",
     "events_user_similarity",
-    "text_fingerprint",
-    "text_frequent_tokens",
+    # (3) operators/sampling.py riders
+    "corpus_leakage_safe_split",
+    "corpus_shard_shuffle",
+    "corpus_mix_epochs",
+    "corpus_mix_weighted",
+    "corpus_domain_cap",
+    "sample_hash_fraction",
+    # (3) operators/text.py riders (direct + composed)
+    "text_token_encode",
+    "text_token_stats",
     "text_language_id",
     "text_quality_features",
-    "text_repetition_filter",
+    "text_quality_score",
+    "text_fingerprint",
     "text_rolling_fingerprint",
-    "text_token_stats",
+    "text_frequent_tokens",
+    "text_repetition_filter",
+    "text_rare_tokens",
+    "text_pii_scrub",
+    "contamination_ngram_overlap",
+    "corpus_clean_pipeline",
+    "corpus_source_stats",
+    "dedup_incremental_novelty",
+    # (4) early rotation of round-4 greens
+    "scan_projection",
+    "synthetic_id",
+    "filter_month_window",
+    "filter_dual_column_window",
+    "filter_explicit_range",
+    "filter_watermark",
+    "order_by_topk",
+    "dedup_exact_rows",
 ]
 
 

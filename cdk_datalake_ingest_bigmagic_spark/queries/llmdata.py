@@ -1750,3 +1750,55 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return bpe_encode(d, "doc_id", "text", _BPE_GATE_MERGES, tier="expression")
+
+
+@register(
+    "multimodal_audio_windows",
+    oracle="""
+    -- testdata text is pure ASCII (asserted in tests), so character
+    -- slicing equals the operator's byte slicing; md5 of the slice is
+    -- byte-identical evidence without sorting raw binary in the gate.
+    WITH m AS (
+      SELECT doc_id AS media_id, text,
+             CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 32000 END AS byte_rate
+      FROM documents
+    ), w AS (
+      SELECT media_id, text, byte_rate,
+             (byte_rate * 50) // 1000 AS win_b,
+             (byte_rate * 30) // 1000 AS hop_b
+      FROM m
+    )
+    SELECT media_id,
+           CAST(t.off // hop_b AS INT) AS window_idx,
+           CAST(t.off * 1000 // byte_rate AS BIGINT) AS start_ms,
+           md5(substr(text, CAST(t.off AS INT) + 1, CAST(win_b AS INT)))
+             AS window_md5
+    FROM w, UNNEST(range(0, octet_length(encode(text)), hop_b)) AS t(off)
+    """,
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-driven audio windowing over a MIXED-format media
+    corpus: half the rows carry 8 kHz × 1-byte metadata, half
+    16 kHz × 2-byte — one stage windows both, reading the byte span of
+    a millisecond from each row's typed metadata (the contract a real
+    PCM decoder drops into). 50 ms windows every 30 ms (overlapping,
+    so the hop arithmetic is exercised, not just the window size)."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.multimodal import (
+        window_audio_df,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    even = F.col("doc_id") % 2 == 0
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("audio").alias("media_type"),
+        F.create_map(
+            F.lit("sample_rate"),
+            F.when(even, F.lit("8000")).otherwise(F.lit("16000")),
+            F.lit("sample_width"),
+            F.when(even, F.lit("1")).otherwise(F.lit("2")),
+        ).alias("meta"),
+    )
+    wins = window_audio_df(media, window_ms=50, hop_ms=30)
+    return wins.select("media_id", "window_idx", "start_ms", "window_md5")

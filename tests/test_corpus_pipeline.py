@@ -172,3 +172,18 @@ def test_pipeline_empty_corpus_degrades_gracefully(spark, tmp_path_factory):
     shard = pipe.read("shard")
     assert shard.count() == 0
     assert {"doc_id", "split", "shard", "position"} <= set(shard.columns)
+
+
+def test_pipeline_leaves_no_cached_rdds(spark, corpus, tmp_path_factory):
+    """A nightly driver invokes run() repeatedly in one session — the
+    operator-internal caches (packed shingle sets, keep-list labels)
+    must be released when the run's consuming writes are done, not
+    accumulate in the CacheManager forever. (localCheckpoint blocks
+    from connected-components are reference-tracked by Spark itself
+    and are not CacheManager entries.)"""
+    work = str(tmp_path_factory.mktemp("pipe_scope"))
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty(), "another test leaked a cached DataFrame"
+    res = CorpusPipeline(spark, work).run(corpus)
+    assert res["shard"].rows > 0
+    assert cm.isEmpty(), "run() left DataFrame cache entries behind"

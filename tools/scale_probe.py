@@ -90,6 +90,52 @@ def build_skew_replica(n: int, out: str) -> int:
     return duckdb.sql(f"SELECT count(*) FROM '{out}'").fetchone()[0]
 
 
+def build_hot_embedding_replica(n: int, out: str) -> int:
+    """N× embeddings with a HOT CENTROID: every odd id ≥ 256 becomes
+    0.55·U + uniform jitter (U = the unit direction of the corpus'
+    first vector, which first-ids centroid selection keeps as centroid
+    0), so ~half the corpus assigns to ONE inverted list. Jitter scale
+    puts pairwise cosine among hot vectors at ≈ 0.30 — BELOW the 0.45
+    probe threshold — so the hot list stresses the per-list verify
+    block without quadratic true-pair output (which would bill output
+    materialization, not the straggler)."""
+    import duckdb
+
+    stride = duckdb.sql(f"SELECT max(vec_id) + 1 FROM '{EMB_SRC}'").fetchone()[0]
+    duckdb.sql(
+        f"""
+        COPY (
+          WITH h AS (
+            SELECT embedding AS hv,
+                   sqrt(list_sum(list_transform(embedding, x -> x * x))) AS hn
+            FROM '{EMB_SRC}'
+            WHERE vec_id = (SELECT min(vec_id) FROM '{EMB_SRC}')
+          )
+          SELECT (vec_id + {stride} * r.r) AS vec_id,
+                 CASE WHEN (vec_id + {stride} * r.r) >= 256
+                       AND (vec_id + {stride} * r.r) % 2 = 1 THEN
+                   list_transform(
+                     hv,
+                     (x, i) -> 0.55 * x / hn
+                               + 0.18 * (((hash((vec_id + {stride} * r.r)
+                                               * 131 + i) % 2001) / 1000.0)
+                                         - 1.0)
+                   )::FLOAT[]
+                 ELSE
+                   list_transform(
+                     embedding,
+                     (x, i) -> x * CASE WHEN hash(r.r * 1000 + i) % 2 = 0
+                                        THEN 1.0 ELSE -1.0 END
+                   )::FLOAT[]
+                 END AS embedding,
+                 label
+          FROM '{EMB_SRC}', (SELECT unnest(range({n})) AS r) r, h
+        ) TO '{out}' (FORMAT PARQUET, ROW_GROUP_SIZE 100000)
+        """
+    )
+    return duckdb.sql(f"SELECT count(*) FROM '{out}'").fetchone()[0]
+
+
 def build_embedding_replica(n: int, out: str) -> int:
     """N× embeddings with a per-(replica, dim) deterministic ±1 sign
     flip: same vector norms and distribution, but copies of a vector in
@@ -119,11 +165,14 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     out = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/documents_x{n}.parquet"
     emb_out = f"/tmp/embeddings_x{n}.parquet"
+    hot_emb_out = f"/tmp/embeddings_hot_x{n}.parquet"
     skew_out = f"/tmp/documents_skew_x{n}.parquet"
     if not os.path.exists(out):
         build_replica(n, out)
     if not os.path.exists(emb_out):
         build_embedding_replica(n, emb_out)
+    if not os.path.exists(hot_emb_out):
+        build_hot_embedding_replica(n, hot_emb_out)
     if not os.path.exists(skew_out):
         build_skew_replica(n, skew_out)
 
@@ -176,6 +225,16 @@ def main() -> None:
         "ann_ivf": (n_vecs, lambda: sim.ann_ivf_pairs(
             emb, "vec_id", "embedding",
             n_lists=n_lists, n_probe=4, threshold=0.45,
+        )),
+        # hot-centroid stress: ~half the corpus assigns to ONE list —
+        # the per-list verify must not become a single straggler task.
+        # Threshold 0.6 (vs the hot pairs' ~0.30±0.09 cosine) keeps
+        # the OUTPUT near-empty: the verify matmul cost is threshold-
+        # independent, so this measures the straggler, not 2M-pair
+        # materialization
+        "ann_ivf_hot": (n_vecs, lambda: sim.ann_ivf_pairs(
+            spark.read.parquet(hot_emb_out), "vec_id", "embedding",
+            n_lists=n_lists, n_probe=4, threshold=0.6,
         )),
         "repetition_filter": (n_docs, lambda: _tx().repetition_features(
             docs, "doc_id", "text"
