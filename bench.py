@@ -75,10 +75,13 @@ HEADLINE = [
     "corpus_leakage_safe_split",
     "embedding_pq_codes",
     "join_shipping_priority",
-    # round-6 additions: BPE subword encoding (expression tier) and
-    # metadata-driven audio windowing
+    # round-6 additions: BPE subword encoding (expression tier),
+    # metadata-driven audio windowing, token-budget mixture planning,
+    # and the per-source OOV-rate report
     "text_bpe_encode",
     "multimodal_audio_windows",
+    "corpus_mix_budget",
+    "text_oov_rate",
 ]
 
 

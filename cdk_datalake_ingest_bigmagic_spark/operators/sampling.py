@@ -181,6 +181,93 @@ def epoch_mix(
     )
 
 
+def mix_to_budget(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    text_col: str,
+    budget_tokens: int,
+    weights: dict[str, float],
+    default_weight: float = 0.0,
+    seed: str = "budget",
+    max_sources: int = 100_000,
+) -> DataFrame:
+    """Token-budget mixture planning: given a total training budget
+    and per-source mixture weights, DERIVE each source's sampling rate
+    from its measured token mass and emit the deterministic sample —
+    the step that turns \"2 T tokens at 30% web / 30% code / 40%
+    books\" into an actual corpus. ``epoch_mix`` applies rates someone
+    already chose; this computes them from the data.
+
+    rate(s) = min(1, (budget · w(s) / Σw) / tokens(s)) — a source
+    whose share exceeds its corpus is kept whole (upsampling beyond
+    1.0 is ``epoch_mix``'s job, deliberately separate).
+
+    Execution: one partially-aggregated per-source token groupBy
+    (driver sees |sources| rows, counted against ``max_sources`` —
+    the counted-cap pattern), rate arithmetic on the driver, then the
+    broadcast-lookup + md5-bucket filter the other samplers use: the
+    corpus-sized pass is one projection + filter, no shuffle.
+    Thresholds use floor() (not round) in BOTH engines — Python
+    rounds half-to-even, DuckDB half-away, so round() on an exact
+    .5 boundary would diverge.
+
+    Returns the kept rows with ``n_tokens`` appended.
+    """
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    if any(v < 0 for v in weights.values()) or default_weight < 0:
+        raise ValueError("mixture weights must be >= 0")
+    import math
+
+    t = F.trim(F.col(text_col))
+    n_tokens = F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("long")
+    toks = df.withColumn("n_tokens", n_tokens)
+    totals_df = toks.groupBy(source_col).agg(
+        F.sum("n_tokens").alias("__tok")
+    )
+    n_sources = totals_df.count()
+    if n_sources > max_sources:
+        raise ValueError(
+            f"{n_sources} sources exceed max_sources={max_sources}; "
+            "raise the cap only if the driver can hold the rate table"
+        )
+    totals = {
+        r[source_col]: int(r["__tok"] or 0)
+        for r in totals_df.collect()
+    }
+    # Σw over the sources PRESENT, in sorted order (float sums are
+    # order-dependent; the oracle's aggregate must see the same value
+    # — with exact-binary weights any order agrees, sorted makes it
+    # contractual)
+    total_w = sum(
+        weights.get(s, default_weight) for s in sorted(totals)
+    )
+    rows = []
+    for s in sorted(totals):
+        w = weights.get(s, default_weight)
+        tok = totals[s]
+        if w <= 0 or tok == 0 or total_w <= 0:
+            thr = 0
+        else:
+            rate = min(1.0, (budget_tokens * w / total_w) / tok)
+            thr = math.floor(rate * SAMPLE_BUCKETS)
+        rows.append((s, thr))
+    lookup = df.sparkSession.createDataFrame(
+        rows, f"{source_col}: string, __threshold: int"
+    )
+    return (
+        toks.join(F.broadcast(lookup), source_col, "left")
+        .filter(
+            sample_bucket(F.col(id_col), seed)
+            < F.coalesce(F.col("__threshold"), F.lit(0))
+        )
+        .select(*df.columns, "n_tokens")
+    )
+
+
 def domain_cap(
     df: DataFrame,
     id_col: str,

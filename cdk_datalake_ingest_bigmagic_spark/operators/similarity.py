@@ -29,6 +29,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from cdk_datalake_ingest_bigmagic_spark.operators.caching import (
+    CacheScope,
+    scoped_cache,
+)
+
 
 def to_double_array(v: Column) -> Column:
     # a direct array cast is a scalar Cast expression (WholeStageCodegen);
@@ -285,6 +290,7 @@ def ann_ivf_pairs(
     threshold: float = 0.45,
     centroids: str = "first-ids",
     max_list_size: int = 16384,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """IVF-style approximate pair search: coarse-quantize vectors into
     ``n_lists`` inverted lists, probe each vector against its
@@ -354,11 +360,14 @@ def ann_ivf_pairs(
 
     from cdk_datalake_ingest_bigmagic_spark.operators import fan_out
 
-    # (id, list, probes) is a few bytes per vector and feeds BOTH join
-    # sides — cache so the assignment matmul pass runs once, not twice
-    assigned = fan_out(df.select(id_col, vec_col)).mapInPandas(
-        assign, assign_schema
-    ).cache()
+    # (id, list, probes) is a few bytes per vector and feeds the size
+    # table + both join sides — cache so the assignment matmul pass
+    # runs once, not three times; a long-lived driver passes a scope
+    # to release it after the consuming action
+    assigned = scoped_cache(
+        fan_out(df.select(id_col, vec_col)).mapInPandas(assign, assign_schema),
+        scope,
+    )
 
     # verify PER LIST with one matmul per group instead of
     # materializing the candidate-pair join: the shuffle moves

@@ -56,9 +56,10 @@ from cdk_datalake_ingest_bigmagic_spark.queries import llmdata  # noqa: E402,F40
 from cdk_datalake_ingest_bigmagic_spark.queries import events  # noqa: E402,F401
 
 # The external correctness gate checks the first 50 registered queries.
-# With 96 registered (round 6 added text_bpe_encode and
-# multimodal_audio_windows), 46 sit outside the window each round, so
-# the window is ROTATED via _GATE_FRONT.
+# With 98 registered (round 6 added text_bpe_encode,
+# multimodal_audio_windows, corpus_mix_budget, text_oov_rate), 48 sit
+# outside the window each round, so the window is ROTATED via
+# _GATE_FRONT.
 #
 # ROTATION RULE (invariant, every round — do not regress this):
 #   front = (1) every query whose implementation OR any shared operator
@@ -106,6 +107,8 @@ _GATE_FRONT: list[str] = [
     "corpus_training_prep",
     "text_bpe_encode",
     "multimodal_audio_windows",
+    "corpus_mix_budget",
+    "text_oov_rate",
     # (2) r3-stale re-gates
     "dsl_bytemagic",
     "dsl_case_mapping",
@@ -148,15 +151,14 @@ _GATE_FRONT: list[str] = [
     "corpus_clean_pipeline",
     "corpus_source_stats",
     "dedup_incremental_novelty",
-    # (4) early rotation of round-4 greens
+    # (4) early rotation of round-4 greens (two slots went to the
+    # second-wave queries corpus_mix_budget / text_oov_rate above)
     "scan_projection",
     "synthetic_id",
     "filter_month_window",
     "filter_dual_column_window",
     "filter_explicit_range",
     "filter_watermark",
-    "order_by_topk",
-    "dedup_exact_rows",
 ]
 
 

@@ -1802,3 +1802,104 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wins = window_audio_df(media, window_ms=50, hop_ms=30)
     return wins.select("media_id", "window_idx", "start_ms", "window_md5")
+
+
+@register(
+    "corpus_mix_budget",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END
+               AS n_tokens,
+             CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 1.0
+                         WHEN 'src2' THEN 1.0 ELSE 0.25 END AS w
+      FROM documents
+    ), totals AS (
+      SELECT source, sum(n_tokens) AS s_tokens, any_value(w) AS w
+      FROM toks GROUP BY source
+    ), tw AS (
+      SELECT sum(w) AS total_w FROM totals
+    ), rates AS (
+      SELECT source,
+             CASE WHEN s_tokens = 0 OR w <= 0 THEN 0
+                  ELSE floor(least(1.0, (3000 * w / total_w) / s_tokens)
+                             * 10000) END AS thr
+      FROM totals, tw
+    )
+    SELECT t.doc_id, t.source, CAST(t.n_tokens AS BIGINT) AS n_tokens
+    FROM toks t JOIN rates r USING (source)
+    WHERE ('0x' || substr(md5('budget|' || t.doc_id), 1, 7))::BIGINT % 10000
+          < r.thr
+    """,
+)
+def corpus_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture planning: a 3000-token budget split
+    3:1:1 across the first three sources with a 0.25 default — the
+    operator measures each source's token mass, derives its sampling
+    rate, and emits the deterministic sample. Weights are exact binary
+    fractions so the Σw double is bit-identical in both engines."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.sampling import (
+        mix_to_budget,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return mix_to_budget(
+        d, "doc_id", "source", "text", budget_tokens=3000,
+        weights={"src0": 3.0, "src1": 1.0, "src2": 1.0},
+        default_weight=0.25,
+    ).select("doc_id", "source", "n_tokens")
+
+
+@register(
+    "text_oov_rate",
+    oracle=r"""
+    WITH occ AS (
+      SELECT d.doc_id, d.source, u.tok
+      FROM (
+        SELECT doc_id, source,
+               string_split_regex(lower(trim(text)), '\s+') AS ws
+        FROM documents WHERE trim(text) <> ''
+      ) d, UNNEST(d.ws) AS u(tok)
+    ), vocab AS (
+      SELECT tok FROM (
+        SELECT tok, count(*) AS c FROM occ GROUP BY tok
+        ORDER BY c DESC, tok LIMIT 256
+      )
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS oov_ratio
+    FROM occ LEFT JOIN vocab v USING (tok)
+    GROUP BY source
+    """,
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage observability: per-source OOV rate under a
+    256-entry corpus vocabulary — the report that tells a tokenizer
+    owner which source will shred into unknowns. Composes build_vocab
+    + encode_token_ids, then one |sources|-row aggregate; the ratio is
+    a single division of exact longs."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.text import (
+        build_vocab,
+        encode_token_ids,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    v = build_vocab(d, "text", vocab_size=256)
+    enc = encode_token_ids(d, "doc_id", "text", v)
+    return (
+        enc.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_oov").alias("n_oov"),
+        )
+        .withColumn(
+            "oov_ratio",
+            F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
+        )
+    )

@@ -541,3 +541,44 @@ def test_new_sampling_ops_partitioning_and_ansi_invariant(spark):
         assert run(7) == base
     finally:
         spark.conf.set("spark.sql.ansi.enabled", "false")
+
+
+def test_mix_to_budget_rates_and_caps(spark):
+    """Budget shares derive per-source rates from measured token mass;
+    a source whose share exceeds its corpus caps at rate 1 (kept
+    whole); zero-weight sources drop entirely; the sample is
+    deterministic across invocations."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.sampling import (
+        mix_to_budget,
+    )
+
+    rows = []
+    for i in range(300):
+        src = f"s{i % 3}"
+        rows.append((i, src, "tok " * 10))  # 10 tokens per doc
+    df = spark.createDataFrame(rows, "doc_id: long, source: string, text: string")
+    # total 1000 tokens/source; budget 1500 at 4:1:0 -> s0 target 1200
+    # (caps at 1.0), s1 target 300 (rate 0.3), s2 weight 0 (dropped)
+    out = mix_to_budget(
+        df, "doc_id", "source", "text", budget_tokens=1500,
+        weights={"s0": 4.0, "s1": 1.0, "s2": 0.0},
+    )
+    got = out.groupBy("source").count().collect()
+    by_src = {r["source"]: r["count"] for r in got}
+    assert by_src.get("s0") == 100        # rate capped at 1.0
+    assert "s2" not in by_src             # zero weight
+    assert 15 <= by_src.get("s1", 0) <= 45  # ~30% hash sample
+    assert out.columns == df.columns + ["n_tokens"]
+    assert {r["n_tokens"] for r in out.select("n_tokens").distinct().collect()} == {10}
+    again = sorted(r["doc_id"] for r in out.collect())
+    assert again == sorted(r["doc_id"] for r in out.collect())
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mix_to_budget(df, "doc_id", "source", "text", -1, {"s0": 1.0})
+    with _pytest.raises(ValueError):
+        mix_to_budget(df, "doc_id", "source", "text", 10, {"s0": -1.0})
+    with _pytest.raises(ValueError):
+        mix_to_budget(df, "doc_id", "source", "text", 10, {"s0": 1.0},
+                      max_sources=2)
