@@ -143,3 +143,35 @@ def test_bpe_encode_empty_and_oov(spark):
     assert set(out) == {1}  # null text dropped, not crashed
     assert out[1]["bpe_csv"] == "z z z q q q"
     assert out[1]["n_tokens"] == 6
+
+
+def test_bpe_plan_shapes(spark):
+    """Exchange budget: the expression tier spends exactly its one
+    per-document regroup shuffle; the pandas tier is zero-shuffle
+    (documents never leave their row)."""
+    import re
+
+    def n_exchanges(df):
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return len(re.findall(r"\(\d+\) Exchange", buf.getvalue()))
+
+    # NOT spark.range: RangeExec reports range partitioning on id,
+    # which satisfies the regroup's distribution and hides the
+    # exchange this test pins. createDataFrame has unknown
+    # partitioning, like a real file scan. Rows span every default
+    # partition so the pandas tier's fan_out repartition is a no-op.
+    par = spark.sparkContext.defaultParallelism
+    docs = spark.createDataFrame(
+        [(i, f"the quick fox {i}") for i in range(4 * par)],
+        "doc_id: long, text: string",
+    ).repartition(par)
+    merges = [("t", "h"), ("th", "e")]
+    assert n_exchanges(bpe_encode(docs, "doc_id", "text", merges,
+                                  tier="expression")) == 2  # repartition + regroup
+    assert n_exchanges(bpe_encode(docs, "doc_id", "text", merges,
+                                  tier="pandas")) == 1  # the repartition only

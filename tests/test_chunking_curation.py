@@ -582,3 +582,28 @@ def test_mix_to_budget_rates_and_caps(spark):
     with _pytest.raises(ValueError):
         mix_to_budget(df, "doc_id", "source", "text", 10, {"s0": 1.0},
                       max_sources=2)
+
+
+def test_mix_to_budget_plan_shape(spark):
+    """The corpus-sized pass of mix_to_budget is one projection +
+    broadcast-lookup filter: ZERO shuffle exchanges (the per-source
+    totals aggregate runs as its own bounded driver job before the
+    plan is built)."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.sampling import (
+        mix_to_budget,
+    )
+
+    docs = spark.range(
+        0, 256, 1, numPartitions=spark.sparkContext.defaultParallelism
+    ).selectExpr(
+        "id as doc_id",
+        "concat('alpha beta gamma ', id) as text",
+        "concat('src', id % 4) as source",
+    )
+    out = mix_to_budget(
+        docs, "doc_id", "source", "text", 300, {"src0": 1.0},
+        default_weight=0.5,
+    )
+    plan = _plan_of(out)
+    assert _n_exchanges(out) == 0
+    assert "BroadcastHashJoin" in plan
