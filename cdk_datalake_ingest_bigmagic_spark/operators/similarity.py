@@ -466,28 +466,44 @@ def ann_lsh_pairs(
     dims: int,
     num_planes: int = 8,
     threshold: float = 0.45,
+    max_bucket_size: int = 16384,
 ) -> DataFrame:
     """Approximate pair search: SRP-bucket, then exact cosine only
     within buckets (precision 1, recall < 1 by construction).
 
     The bucket join bounds candidate pairs; at corpus scale this is the
     difference between |rows|² and Σ_bucket |bucket|².
+
+    ``max_bucket_size`` is the hot-bucket guard, the same regime the
+    IVF path's ``max_list_size`` closes: a degenerate signature (e.g.
+    boilerplate embeddings collapsing into one bucket) otherwise hands
+    ONE sort-merge task the whole |bucket|² comparison block. Buckets
+    above the cap split into id-hashed sub-buckets — the b-side lands
+    in one sub, the a-side replicates across the bucket's subs
+    (map-side Generate), and each pair still meets exactly once under
+    the ``id_a < id_b`` filter. Balanced buckets have ``n_sub = 1``
+    and pay only the bucket-size-table broadcast join.
     """
     buckets = srp_buckets(df, id_col, vec_col, dims, num_planes)
-    with_b = df.join(buckets, id_col)
+    sizes = buckets.groupBy("bucket").agg(
+        F.ceil(F.count("*") / F.lit(max_bucket_size)).cast("int").alias("__nsub")
+    )
+    with_b = df.join(buckets, id_col).join(sizes, "bucket")
     a = with_b.select(
         F.col(id_col).alias("id_a"),
         to_double_array(F.col(vec_col)).alias("va"),
         F.col("bucket"),
+        F.explode(F.sequence(F.lit(0), F.col("__nsub") - 1)).alias("__sub"),
     )
     b = with_b.select(
         F.col(id_col).alias("id_b"),
         to_double_array(F.col(vec_col)).alias("vb"),
         F.col("bucket"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.col("__nsub")).cast("int").alias("__sub"),
     )
     sim = cosine(F.col("va"), F.col("vb"))
     return (
-        a.join(b, "bucket")
+        a.join(b, ["bucket", "__sub"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round(sim, 4).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)

@@ -224,6 +224,27 @@ def test_ann_ivf_precision_and_recall(spark, sf_dir):
         assert len(approx) / len(exact) >= 0.3
 
 
+def test_ann_lsh_bucket_split_output_identical(spark, sf_dir):
+    """The LSH hot-bucket guard must not change the pair set: a tiny
+    cap shatters every bucket into sub-buckets, and the output must
+    equal the effectively unsplit run."""
+    from cdk_datalake_ingest_bigmagic_spark.queries import load
+
+    e = load(spark, sf_dir, "embeddings")
+
+    def pairs(cap):
+        return {(r["id_a"], r["id_b"], r["cosine_sim"])
+                for r in sim.ann_lsh_pairs(
+                    e, "vec_id", "embedding", dims=64, num_planes=4,
+                    threshold=0.45, max_bucket_size=cap,
+                ).collect()}
+
+    unsplit = pairs(10_000_000)
+    split = pairs(5)
+    assert split == unsplit
+    assert unsplit
+
+
 def test_ann_ivf_list_split_output_identical(spark, sf_dir):
     """The hot-centroid guard (max_list_size sub-bucketing) must not
     change the pair set: a tiny cap forces every list to split into
