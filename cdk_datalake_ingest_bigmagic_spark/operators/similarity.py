@@ -388,7 +388,7 @@ def ann_ivf_pairs(
     )
     vecs = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     members = (
-        assigned.join(sizes, "list_id")
+        assigned.join(F.broadcast(sizes), "list_id")
         .select(
             F.col("__id"),
             F.col("list_id").alias("probe"),
@@ -399,7 +399,7 @@ def ann_ivf_pairs(
     )
     probers = (
         assigned.select(F.col("__id"), F.explode("probes").alias("probe"))
-        .join(sizes.withColumnRenamed("list_id", "probe"), "probe")
+        .join(F.broadcast(sizes.withColumnRenamed("list_id", "probe")), "probe")
         .join(vecs, "__id")
         .select(
             F.col("__id"),
@@ -488,7 +488,9 @@ def ann_lsh_pairs(
     sizes = buckets.groupBy("bucket").agg(
         F.ceil(F.count("*") / F.lit(max_bucket_size)).cast("int").alias("__nsub")
     )
-    with_b = df.join(buckets, id_col).join(sizes, "bucket")
+    # ≤ 2^num_planes size rows — explicit broadcast keeps the corpus
+    # side shuffle-free in the static plan
+    with_b = df.join(buckets, id_col).join(F.broadcast(sizes), "bucket")
     a = with_b.select(
         F.col(id_col).alias("id_a"),
         to_double_array(F.col(vec_col)).alias("va"),
@@ -526,6 +528,8 @@ def semantic_dedup(
     n_lists: int = 16,
     threshold: float = 0.48,
     centroids: str = "first-ids",
+    max_cluster_size: int = 16384,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540, public): coarse-cluster the embedding space,
@@ -599,20 +603,74 @@ def semantic_dedup(
         V = np.vstack(pdf["__v"].to_numpy()).astype("float64")
         Vn = V / np.maximum(np.sqrt((V * V).sum(axis=1))[:, None], 1e-12)
         ids = pdf["__id"].to_numpy()
-        S = np.round(Vn @ Vn.T, 4)
-        lower = ids[None, :] < ids[:, None]  # [i, j]: j is a lower id
-        drop = ((S >= threshold) & lower).any(axis=1)
+        dec = pdf["__dec"].to_numpy()
+        d_idx = np.where(dec)[0]
+        if len(d_idx) == 0:
+            # a sub-bucket can receive only comparator copies
+            return pd.DataFrame(
+                {"__id": [], "list_id": [], "keep": []}
+            ).astype({"__id": "int64", "list_id": "int32", "keep": "bool"})
+        d_ids = ids[d_idx]
+        drop = np.zeros(len(d_idx), dtype=bool)
+        # comparator side blocked so the similarity matrix is bounded
+        # at |deciders| × block however large the cluster
+        for lo in range(0, len(ids), 4096):
+            Cb = Vn[lo : lo + 4096]
+            c_ids = ids[lo : lo + 4096]
+            S = np.round(Vn[d_idx] @ Cb.T, 4)
+            drop |= (
+                (S >= threshold) & (c_ids[None, :] < d_ids[:, None])
+            ).any(axis=1)
         return pd.DataFrame(
-            {"__id": ids, "list_id": pdf["list_id"], "keep": ~drop}
+            {
+                "__id": d_ids,
+                "list_id": pdf["list_id"].to_numpy()[d_idx],
+                "keep": ~drop,
+            }
         )
 
     from cdk_datalake_ingest_bigmagic_spark.operators import fan_out
 
-    assigned = fan_out(df.select(id_col, vec_col)).mapInPandas(
-        assign, assign_schema
+    # the assignment pass feeds the size table AND the decide input —
+    # cache so the per-batch matmul runs once (scoped for long drivers)
+    assigned = scoped_cache(
+        fan_out(df.select(id_col, vec_col)).mapInPandas(assign, assign_schema),
+        scope,
+    )
+    # hot-cluster guard (same regime as ann_ivf_pairs' max_list_size):
+    # the fixed-size n_lists sizing bounds the EXPECTED cluster, but
+    # skewed embeddings still pile into one cluster and hand a single
+    # decide task a |cluster|² matrix. Clusters above max_cluster_size
+    # split: each member DECIDES in its id-hashed sub-bucket, and
+    # rides along as a COMPARATOR copy only into the foreign
+    # sub-buckets — so balanced clusters (n_sub = 1, the common case)
+    # have an empty comparator side and pay nothing but the
+    # size-table join. The size table is n_lists rows by construction
+    # — an explicit broadcast, so the corpus side never shuffles for
+    # the join even in the static plan.
+    sizes = assigned.groupBy("list_id").agg(
+        F.ceil(F.count("*") / F.lit(max_cluster_size)).cast("int").alias("__nsub")
+    )
+    wa = assigned.join(F.broadcast(sizes), "list_id")
+    own = F.pmod(F.xxhash64("__id"), F.col("__nsub")).cast("int")
+    deciders = wa.select(
+        "__id", "list_id", own.alias("__sub"),
+        F.lit(True).alias("__dec"), "__v",
+    )
+    comparators = (
+        wa.select(
+            "__id", "list_id",
+            F.explode(F.sequence(F.lit(0), F.col("__nsub") - 1)).alias("__sub"),
+            own.alias("__own"), "__v",
+        )
+        .filter(F.col("__sub") != F.col("__own"))
+        .select(
+            "__id", "list_id", "__sub", F.lit(False).alias("__dec"), "__v"
+        )
     )
     return (
-        assigned.groupBy("list_id")
+        deciders.unionByName(comparators)
+        .groupBy("list_id", "__sub")
         .applyInPandas(decide, _SEMDEDUP_SCHEMA)
         .select(F.col("__id").alias(id_col), "list_id", "keep")
     )

@@ -224,6 +224,27 @@ def test_ann_ivf_precision_and_recall(spark, sf_dir):
         assert len(approx) / len(exact) >= 0.3
 
 
+def test_semantic_dedup_cluster_split_output_identical(spark, sf_dir):
+    """The hot-cluster guard must not change the decision table: a
+    tiny cap shatters every cluster into sub-buckets, and the
+    (id, list_id, keep) output must equal the unsplit run."""
+    from cdk_datalake_ingest_bigmagic_spark.queries import load
+
+    e = load(spark, sf_dir, "embeddings")
+
+    def decisions(cap):
+        return {(r["vec_id"], r["list_id"], r["keep"])
+                for r in sim.semantic_dedup(
+                    e, "vec_id", "embedding", n_lists=8, threshold=0.45,
+                    max_cluster_size=cap,
+                ).collect()}
+
+    unsplit = decisions(10_000_000)
+    split = decisions(7)
+    assert split == unsplit
+    assert any(not k for (_, _, k) in unsplit)  # non-vacuous: drops exist
+
+
 def test_ann_lsh_bucket_split_output_identical(spark, sf_dir):
     """The LSH hot-bucket guard must not change the pair set: a tiny
     cap shatters every bucket into sub-buckets, and the output must
@@ -344,8 +365,11 @@ def test_semantic_dedup_matches_brute_force(spark, sf_dir):
 
 
 def test_semantic_dedup_plan_shape(spark):
-    """The decision pipeline spends exactly one hash-partition shuffle
-    (the cluster key); assignment is a shuffle-free Arrow pass."""
+    """The decision pipeline spends its one corpus hash-partition
+    shuffle (the cluster/sub key) plus the n_lists-row size-table
+    aggregate's tiny exchange; assignment is a shuffle-free Arrow
+    pass and the size table joins as an explicit broadcast (the
+    corpus side never shuffles for it)."""
     import re
 
     e = spark.range(0, 256, 1, numPartitions=4).selectExpr(
@@ -353,7 +377,15 @@ def test_semantic_dedup_plan_shape(spark):
         "transform(sequence(1, 8), d -> cast(pmod(id * d, 17) as double)) as embedding",
     )
     plan = sim.semantic_dedup(e, "vec_id", "embedding", n_lists=4)._jdf.queryExecution().executedPlan().toString()
-    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    # 3 hash exchanges: ONE corpus-sized (the decide group key) + the
+    # n_lists-row size aggregate, which the plan materializes once per
+    # union branch over the CACHED assignment (partial-agged, tiny)
+    assert len(re.findall(r"Exchange hashpartitioning\(list_id#\d+, __sub", plan)) == 1
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 3
+    # the size table joins as a broadcast — the corpus side never
+    # shuffles for it
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_asof_join_semantics(spark):

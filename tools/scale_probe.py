@@ -91,10 +91,15 @@ def build_skew_replica(n: int, out: str) -> int:
 
 
 def build_hot_embedding_replica(n: int, out: str) -> int:
-    """N× embeddings with a HOT CENTROID: every odd id ≥ 256 becomes
+    """N× embeddings with a HOT CENTROID: every odd id ≥ 1024 becomes
     0.55·U + uniform jitter (U = the unit direction of the corpus'
     first vector, which first-ids centroid selection keeps as centroid
-    0), so ~half the corpus assigns to ONE inverted list. Jitter scale
+    0), so ~half the corpus assigns to ONE inverted list. The id
+    floor sits above every probe's centroid count (IVF √N/4 ≈ 111,
+    SemDeDup N/500 = 400 at 100×) so no CENTROID is itself hot — a
+    lower floor was measured to contaminate 72 of SemDeDup's 400
+    first-ids centroids and smear the hot mass over 72 warm clusters
+    instead of one hot one. Jitter scale
     puts pairwise cosine among hot vectors at ≈ 0.30 — BELOW the 0.45
     probe threshold — so the hot list stresses the per-list verify
     block without quadratic true-pair output (which would bill output
@@ -112,7 +117,7 @@ def build_hot_embedding_replica(n: int, out: str) -> int:
             WHERE vec_id = (SELECT min(vec_id) FROM '{EMB_SRC}')
           )
           SELECT (vec_id + {stride} * r.r) AS vec_id,
-                 CASE WHEN (vec_id + {stride} * r.r) >= 256
+                 CASE WHEN (vec_id + {stride} * r.r) >= 1024
                        AND (vec_id + {stride} * r.r) % 2 = 1 THEN
                    list_transform(
                      hv,
@@ -236,6 +241,16 @@ def main() -> None:
             spark.read.parquet(hot_emb_out), "vec_id", "embedding",
             n_lists=n_lists, n_probe=4, threshold=0.6,
         )),
+        # ablation: blocked verify matmul but NO list splitting —
+        # isolates how much of the hot fix is memory-bounding vs
+        # sub-bucket parallelism (locally BLAS multithreads the one
+        # hot task, so this under-sells splitting; on a cluster the
+        # unsplit task is a straggler on a few cores)
+        "ann_ivf_hot_unsplit": (n_vecs, lambda: sim.ann_ivf_pairs(
+            spark.read.parquet(hot_emb_out), "vec_id", "embedding",
+            n_lists=n_lists, n_probe=4, threshold=0.6,
+            max_list_size=10**9,
+        )),
         "repetition_filter": (n_docs, lambda: _tx().repetition_features(
             docs, "doc_id", "text"
         )),
@@ -311,6 +326,20 @@ def main() -> None:
         "semdedup": (n_vecs, lambda: sim.semantic_dedup(
             emb, "vec_id", "embedding",
             n_lists=max(16, n_vecs // 500), threshold=0.45,
+        )),
+        # hot-cluster stress: the fixed-size regime bounds EXPECTED
+        # cluster size, but skewed embeddings (the hot-centroid
+        # corpus) still pile ~half the corpus into one cluster — the
+        # per-cluster decide must not become one quadratic task
+        "semdedup_hot": (n_vecs, lambda: sim.semantic_dedup(
+            spark.read.parquet(hot_emb_out), "vec_id", "embedding",
+            n_lists=max(16, n_vecs // 500), threshold=0.6,
+        )),
+        # same corpus with the guard disabled — the pre/post A/B
+        "semdedup_hot_unguarded": (n_vecs, lambda: sim.semantic_dedup(
+            spark.read.parquet(hot_emb_out), "vec_id", "embedding",
+            n_lists=max(16, n_vecs // 500), threshold=0.6,
+            max_cluster_size=10**9,
         )),
         # deterministic training-shard serialization: one hash shuffle
         # + 64 independent per-shard sorts (shard count would scale
