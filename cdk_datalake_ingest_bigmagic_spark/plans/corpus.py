@@ -10,6 +10,10 @@ composition of the training-data operators into the four steps a
 4. ``shard`` — deterministic shard + in-shard position, written
    ``partitionBy(split, shard)`` so each (split, shard) is one
    self-contained file set for the trainer
+5. ``tokenize`` (optional, ``bpe_merges > 0``) — BPE merge table
+   trained on the TRAIN split only (val/test must not shape the
+   vocabulary), applied to every split; the merge table + induced
+   vocab land beside the encoded parquet as ``_TOKENIZER.json``
 
 Each step materializes parquet plus a ``_MANIFEST.json`` carrying a
 fingerprint of (pipeline config, upstream step fingerprint, step
@@ -47,6 +51,12 @@ class CorpusPipelineConfig:
     splits: tuple = (("train", 0.9), ("val", 0.05), ("test", 0.05))
     n_shards: int = 8
     seed: str = "corpus"
+    #: > 0 enables the optional ``tokenize`` step: a BPE merge table
+    #: of this size is trained on the TRAIN split only (tokenizer
+    #: leakage hygiene — val/test must not shape the vocabulary) and
+    #: applied to every split.
+    bpe_merges: int = 0
+    bpe_max_words: int = 100_000
 
     def fingerprint(self) -> str:
         blob = json.dumps(
@@ -94,6 +104,8 @@ class CorpusPipeline:
         "dedup": ("id_col", "text_col", "shingle_n", "jaccard_threshold"),
         "split": ("id_col", "splits", "seed"),
         "shard": ("id_col", "n_shards", "seed"),
+        "tokenize": ("id_col", "text_col", "splits", "bpe_merges",
+                     "bpe_max_words"),
     }
 
     # -- manifest plumbing --------------------------------------------------
@@ -167,7 +179,16 @@ class CorpusPipeline:
     def read(self, name: str) -> DataFrame:
         from pyspark.sql import types as T
 
-        path = self.results[name].path
+        if name in self.results:
+            path = self.results[name].path
+        else:
+            # a fresh instance (a report/inspection process) can read
+            # any step a prior run materialized in this work_dir
+            path = self._step_dir(name)
+            if not os.path.exists(f"{path}/{MANIFEST}"):
+                raise KeyError(
+                    f"step {name!r} is not materialized in {self.work_dir}"
+                )
         m = json.loads(open(f"{path}/{MANIFEST}").read())
         reader = self.spark.read
         if "schema" in m:
@@ -271,6 +292,50 @@ class CorpusPipeline:
             "shard", split.fingerprint, build_shard, partition_by=["split", "shard"]
         )
         self._write_training_manifest(shard)
+
+        if cfg.bpe_merges > 0:
+            from cdk_datalake_ingest_bigmagic_spark.operators.bpe import (
+                bpe_encode,
+                bpe_vocab,
+                train_bpe,
+            )
+
+            tok_fp = self._fingerprint("tokenize", shard.fingerprint)
+            fresh = self._fresh("tokenize", tok_fp)
+            # the step has TWO artifacts (parquet + merge table); the
+            # tokenizer lands after _materialize's manifest, so a
+            # crash in between leaves a fresh-looking manifest with no
+            # tokenizer — freshness requires both
+            if fresh is not None and not os.path.exists(
+                f"{fresh.path}/_TOKENIZER.json"
+            ):
+                fresh = None
+            if fresh is not None:
+                self.results["tokenize"] = fresh
+            else:
+                sdf = self.read("shard")
+                train_split = cfg.splits[0][0]
+                merges = train_bpe(
+                    sdf.filter(F.col("split") == train_split),
+                    tc,
+                    num_merges=cfg.bpe_merges,
+                    max_words=cfg.bpe_max_words,
+                )
+                enc = bpe_encode(sdf, ic, tc, merges).join(
+                    sdf.select(ic, "split", "shard"), ic
+                )
+                res = self._materialize(
+                    "tokenize", tok_fp, enc, ["split", "shard"]
+                )
+                # the trained tokenizer IS an artifact a trainer
+                # loads; it lands after _materialize's manifest, and
+                # the freshness check above treats its absence as a
+                # torn step — so a crash anywhere in between re-runs
+                with open(f"{res.path}/_TOKENIZER.json", "w") as f:
+                    json.dump(
+                        {"merges": merges, "vocab": bpe_vocab(merges)}, f
+                    )
+                self.results["tokenize"] = res
         return dict(self.results)
 
     def _write_training_manifest(self, shard: StepResult) -> None:

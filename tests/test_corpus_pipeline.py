@@ -187,3 +187,49 @@ def test_pipeline_leaves_no_cached_rdds(spark, corpus, tmp_path_factory):
     res = CorpusPipeline(spark, work).run(corpus)
     assert res["shard"].rows > 0
     assert cm.isEmpty(), "run() left DataFrame cache entries behind"
+
+
+def test_pipeline_tokenize_step(spark, corpus, tmp_path_factory):
+    """bpe_merges > 0 adds the tokenize step: merge table trained on
+    the TRAIN split only, every split encoded, tokenizer artifact
+    durable, resume honored, and a torn step (tokenizer missing)
+    re-runs instead of resuming."""
+    import dataclasses
+    import json as _json
+    import os as _os
+
+    work = str(tmp_path_factory.mktemp("pipe_tok"))
+    cfg = dataclasses.replace(CorpusPipelineConfig(), bpe_merges=12)
+    pipe = CorpusPipeline(spark, work, cfg)
+    res = pipe.run(corpus)
+    assert "tokenize" in res and not res["tokenize"].skipped
+    tok = _json.loads(open(f"{res['tokenize'].path}/_TOKENIZER.json").read())
+    assert len(tok["merges"]) == 12
+    assert len(tok["vocab"]) == 36 + 12
+    enc = pipe.read("tokenize")
+    assert set(enc.columns) == {"doc_id", "n_tokens", "bpe_csv", "split", "shard"}
+    assert enc.count() == res["shard"].rows  # every doc of every split encoded
+    # determinism: the merge table is trained on train only — verify
+    # against a direct train_bpe over the shard artifact's train split
+    from cdk_datalake_ingest_bigmagic_spark.operators.bpe import train_bpe
+
+    sdf = pipe.read("shard")
+    direct = train_bpe(sdf.filter(F.col("split") == "train"), "text", 12)
+    assert [tuple(m) for m in tok["merges"]] == direct
+
+    # resume: a second run skips everything, including tokenize
+    res2 = CorpusPipeline(spark, work, cfg).run(corpus)
+    assert all(r.skipped for r in res2.values())
+
+    # torn step: delete the tokenizer artifact — the manifest alone
+    # must NOT count as fresh
+    _os.remove(f"{res['tokenize'].path}/_TOKENIZER.json")
+    res3 = CorpusPipeline(spark, work, cfg).run(corpus)
+    assert not res3["tokenize"].skipped
+    assert _os.path.exists(f"{res['tokenize'].path}/_TOKENIZER.json")
+
+    # config isolation: without bpe_merges the step doesn't exist and
+    # the shard fingerprint is unchanged (no spurious recompute)
+    work2 = str(tmp_path_factory.mktemp("pipe_notok"))
+    res4 = CorpusPipeline(spark, work2).run(corpus)
+    assert "tokenize" not in res4

@@ -12,7 +12,7 @@ import json
 import os
 import sys
 
-STEPS = ["clean", "dedup", "split", "shard"]
+STEPS = ["clean", "dedup", "split", "shard", "tokenize"]
 
 
 def main() -> int:
@@ -25,8 +25,9 @@ def main() -> int:
     for step in STEPS:
         mpath = f"{work}/{step}/_MANIFEST.json"
         if not os.path.exists(mpath):
-            print(f"  {step:<6} <not materialized>")
-            prev_rows = None
+            if step != "tokenize":  # tokenize is optional
+                print(f"  {step:<6} <not materialized>")
+                prev_rows = None
             continue
         m = json.loads(open(mpath).read())
         drop = ""
@@ -37,6 +38,10 @@ def main() -> int:
             f"{m.get('seconds', '?'):>7}s  fp={m['fingerprint'][:12]}{drop}"
         )
         prev_rows = m["rows"]
+    tok = f"{work}/tokenize/_TOKENIZER.json"
+    if os.path.exists(tok):
+        tk = json.loads(open(tok).read())
+        print(f"  tokenizer: {len(tk['merges'])} merges, vocab {len(tk['vocab'])}")
     tpath = f"{work}/_TRAINING_MANIFEST.json"
     if os.path.exists(tpath):
         t = json.loads(open(tpath).read())
