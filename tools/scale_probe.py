@@ -367,6 +367,16 @@ def main() -> None:
             _bpe().train_bpe(docs, "text", num_merges=64, max_words=20_000),
             tier="pandas",
         )),
+        # token-budget mixture: one per-source token agg (driver sees
+        # |sources| rows) + a zero-shuffle broadcast-lookup filter
+        "mix_budget": (n_docs, lambda: _sampling().mix_to_budget(
+            docs, "doc_id", "source", "text",
+            budget_tokens=n_docs * 40,
+            weights={"src0": 3.0, "src1": 1.0}, default_weight=0.25,
+        )),
+        # per-source OOV report: vocab count agg + occurrence join +
+        # two bounded aggregates
+        "oov_rate": (n_docs, lambda: _oov_rate(docs)),
         # product quantization: broadcast codebooks, zero-shuffle
         # BLAS encode — should be scan-bound and ~linear
         "pq_codes": (n_vecs, lambda: sim.product_quantize(
@@ -413,6 +423,19 @@ def main() -> None:
     def _bpe():
         from cdk_datalake_ingest_bigmagic_spark.operators import bpe
         return bpe
+
+    def _oov_rate(d):
+        from pyspark.sql import functions as F
+
+        tx = _tx()
+        v = tx.build_vocab(d, "text", vocab_size=1024)
+        enc = tx.encode_token_ids(d, "doc_id", "text", v)
+        return (
+            enc.join(d.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(F.sum("n_tokens").alias("n_tokens"),
+                 F.sum("n_oov").alias("n_oov"))
+        )
 
     def _sampling():
         from cdk_datalake_ingest_bigmagic_spark.operators import sampling
@@ -503,6 +526,10 @@ def main() -> None:
                          "shard_shuffle", "epoch_mix", "token_encode",
                          # bpe_csv is a mapInPandas projection
                          "bpe_encode",
+                         # the kept rows + n_tokens are a projection;
+                         # the 20-row OOV report's aggregates would be
+                         # pruned under a bare count
+                         "mix_budget", "oov_rate",
                          "gate_report"}
 
     def run_probe(name: str, fn):
