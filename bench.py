@@ -82,6 +82,7 @@ HEADLINE = [
     "multimodal_audio_windows",
     "corpus_mix_budget",
     "text_oov_rate",
+    "corpus_quality_percentile",
 ]
 
 

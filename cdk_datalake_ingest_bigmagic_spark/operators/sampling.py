@@ -181,6 +181,44 @@ def epoch_mix(
     )
 
 
+def percentile_gate(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    strata_col: str,
+    keep_frac: float,
+) -> DataFrame:
+    """Keep the top ``keep_frac`` of every stratum by score — the
+    "best 30% of each source" curation rule (CCNet-style
+    perplexity-bucket selection, with any score column: the linear
+    quality logit, a perplexity, a reward-model output). Unlike
+    ``domain_cap`` (absolute per-domain COUNT), the kept volume
+    scales with each stratum.
+
+    One hash-partition shuffle on the stratum key; rank and stratum
+    size share the single window partitioning (rank ties break on the
+    id, so the kept set is deterministic on any engine). A
+    pathologically hot stratum concentrates its sort in one partition
+    — the same regime ``domain_cap``'s salted pre-cap documents; a
+    score-threshold pre-filter (drop clearly-bad rows first) is the
+    analogous lossless bound here.
+
+    Returns the kept rows plus ``strata_rank`` (1 = best in stratum).
+    """
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    wn = Window.partitionBy(strata_col)
+    return (
+        df.withColumn("strata_rank", F.row_number().over(w).cast("long"))
+        .withColumn("__n", F.count("*").over(wn))
+        .filter(F.col("strata_rank") <= F.ceil(F.lit(keep_frac) * F.col("__n")))
+        .drop("__n")
+    )
+
+
 def mix_to_budget(
     df: DataFrame,
     id_col: str,

@@ -291,7 +291,6 @@ class CorpusPipeline:
         shard = self._step(
             "shard", split.fingerprint, build_shard, partition_by=["split", "shard"]
         )
-        self._write_training_manifest(shard)
 
         if cfg.bpe_merges > 0:
             from cdk_datalake_ingest_bigmagic_spark.operators.bpe import (
@@ -336,20 +335,39 @@ class CorpusPipeline:
                         {"merges": merges, "vocab": bpe_vocab(merges)}, f
                     )
                 self.results["tokenize"] = res
+        self._write_training_manifest(shard, self.results.get("tokenize"))
         return dict(self.results)
 
-    def _write_training_manifest(self, shard: StepResult) -> None:
+    def _write_training_manifest(
+        self, shard: StepResult, tokenize: StepResult | None = None
+    ) -> None:
         """The trainer-facing index: every (split, shard) with its row
         count and hive path, so a data loader opens exactly the files
-        it needs without listing or counting anything. Rewritten only
-        when the shard step actually recomputed (the fingerprint in
-        the manifest gates it, like every step)."""
+        it needs without listing or counting anything. When the
+        tokenize step ran, each entry also carries its exact BPE token
+        budget — the number a mixture/curriculum planner actually
+        wants. Rewritten only when a contributing step recomputed (the
+        fingerprint in the manifest gates it, like every step)."""
         mpath = f"{self.work_dir}/{TRAINING_MANIFEST}"
-        if shard.skipped and os.path.exists(mpath):
+        fp = tokenize.fingerprint if tokenize is not None else shard.fingerprint
+        if (
+            shard.skipped
+            and (tokenize is None or tokenize.skipped)
+            and os.path.exists(mpath)
+        ):
             m = json.loads(open(mpath).read())
-            if m.get("fingerprint") == shard.fingerprint:
+            if m.get("fingerprint") == fp:
                 return
         sdf = self.read("shard")
+        tokens: dict[tuple, int] = {}
+        if tokenize is not None:
+            tokens = {
+                (r["split"], int(r["shard"])): int(r["__tok"] or 0)
+                for r in self.read("tokenize")
+                .groupBy("split", "shard")
+                .agg(F.sum("n_tokens").alias("__tok"))
+                .collect()
+            }
         aggs = [F.count("*").alias("__n")]
         # char budget per shard when the corpus carries text — what a
         # mixture/token-budget planner reads instead of re-scanning
@@ -368,6 +386,11 @@ class CorpusPipeline:
                     **(
                         {"chars": int(r["__chars"] or 0)} if has_chars else {}
                     ),
+                    **(
+                        {"tokens": tokens.get((r["split"], int(r["shard"])), 0)}
+                        if tokens
+                        else {}
+                    ),
                     "path": f"{shard.path}/split={r['split']}/shard={r['shard']}",
                 }
                 for r in counts
@@ -377,8 +400,13 @@ class CorpusPipeline:
         with open(mpath, "w") as f:
             json.dump(
                 {
-                    "fingerprint": shard.fingerprint,
+                    "fingerprint": fp,
                     "total_rows": sum(e["rows"] for e in entries),
+                    **(
+                        {"total_tokens": sum(e["tokens"] for e in entries)}
+                        if tokens
+                        else {}
+                    ),
                     "shards": entries,
                 },
                 f,

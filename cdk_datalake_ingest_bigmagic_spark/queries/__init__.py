@@ -56,10 +56,10 @@ from cdk_datalake_ingest_bigmagic_spark.queries import llmdata  # noqa: E402,F40
 from cdk_datalake_ingest_bigmagic_spark.queries import events  # noqa: E402,F401
 
 # The external correctness gate checks the first 50 registered queries.
-# With 98 registered (round 6 added text_bpe_encode,
-# multimodal_audio_windows, corpus_mix_budget, text_oov_rate), 48 sit
-# outside the window each round, so the window is ROTATED via
-# _GATE_FRONT.
+# With 99 registered (round 6 added text_bpe_encode,
+# multimodal_audio_windows, corpus_mix_budget, text_oov_rate,
+# corpus_quality_percentile), 49 sit outside the window each round,
+# so the window is ROTATED via _GATE_FRONT.
 #
 # ROTATION RULE (invariant, every round — do not regress this):
 #   front = (1) every query whose implementation OR any shared operator
@@ -77,8 +77,9 @@ from cdk_datalake_ingest_bigmagic_spark.queries import events  # noqa: E402,F401
 #   (1) never green / red last round: pack_sequences +
 #       corpus_training_prep (r5 hash_match false — the DuckDB
 #       HUGEINT pack_id oracle artifact, CAST fixed this round) and
-#       the two new queries (text_bpe_encode,
-#       multimodal_audio_windows).
+#       the five new queries (text_bpe_encode,
+#       multimodal_audio_windows, corpus_mix_budget, text_oov_rate,
+#       corpus_quality_percentile).
 #   (2) the 8 queries whose newest green was round 3 — the obligation
 #       VERDICT r5 item 2 names (DSL compiler/events/relational code
 #       untouched, but greens decay without re-measurement).
@@ -93,10 +94,11 @@ from cdk_datalake_ingest_bigmagic_spark.queries import events  # noqa: E402,F401
 #       dedup_incremental_novelty and contamination_ngram_overlap;
 #       events_user_similarity rides the similarity module's SRP
 #       path.
-#   (4) early rotation of 8 round-4 greens (cheap relational ones) so
-#       round 7's obligation is 28 r4 re-gates, not 36 — the window
-#       math the r5 tripwire failure taught.
-#   Out of window: 46 queries, every one an unchanged green from
+#   (4) early rotation of 5 round-4 greens (cheap relational ones) so
+#       round 7's obligation is 31 r4 re-gates, not 36 — the window
+#       math the r5 tripwire failure taught (three early slots were
+#       given back to the second-wave new queries).
+#   Out of window: 49 queries, every one an unchanged green from
 #   round 4 or 5 (ceiling: current-2 = 4) — enforced by
 #   tests/test_gate_rotation.py, whose current-round computation now
 #   tolerates the driver dropping CORRECTNESS_r06 after the final
@@ -109,6 +111,7 @@ _GATE_FRONT: list[str] = [
     "multimodal_audio_windows",
     "corpus_mix_budget",
     "text_oov_rate",
+    "corpus_quality_percentile",
     # (2) r3-stale re-gates
     "dsl_bytemagic",
     "dsl_case_mapping",
@@ -151,14 +154,13 @@ _GATE_FRONT: list[str] = [
     "corpus_clean_pipeline",
     "corpus_source_stats",
     "dedup_incremental_novelty",
-    # (4) early rotation of round-4 greens (two slots went to the
-    # second-wave queries corpus_mix_budget / text_oov_rate above)
+    # (4) early rotation of round-4 greens (three slots went to the
+    # second-wave queries above)
     "scan_projection",
     "synthetic_id",
     "filter_month_window",
     "filter_dual_column_window",
     "filter_explicit_range",
-    "filter_watermark",
 ]
 
 

@@ -1903,3 +1903,54 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
         )
     )
+
+
+@register(
+    "corpus_quality_percentile",
+    oracle=rf"""
+    WITH f AS (
+      SELECT doc_id, source,
+             round(CASE WHEN length(text) = 0 THEN 0.0
+                   ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                        / length(text)::DOUBLE END, 6) AS alpha_ratio,
+             round(CASE WHEN length(text) = 0 THEN 0.0
+                   ELSE length(regexp_replace(text, '[^\.,;:!\?]', '', 'g'))::DOUBLE
+                        / length(text)::DOUBLE END, 6) AS punct_ratio,
+             round(CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(string_split_regex(trim(text), '\s+')) END) = 0 THEN 0.0
+                   ELSE len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            t -> t IN ('the','a','of','and','to','in','is','it','that','for')))::DOUBLE
+                        / (CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(string_split_regex(trim(text), '\s+')) END)::DOUBLE
+                   END, 6) AS stopword_ratio
+      FROM documents
+    ), s AS (
+      SELECT doc_id, source, {_QUALITY_LOGIT_SQL} AS quality_logit FROM f
+    ), r AS (
+      SELECT doc_id, source, quality_logit,
+             CAST(row_number() OVER (
+               PARTITION BY source ORDER BY quality_logit DESC, doc_id
+             ) AS BIGINT) AS strata_rank,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM s
+    )
+    SELECT doc_id, source, quality_logit, strata_rank
+    FROM r WHERE strata_rank <= ceil(0.3 * n)
+    """,
+)
+def corpus_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-percentile curation: keep the best 30% of
+    each source by the linear quality logit — the CCNet-style
+    keep-the-top-bucket rule, with volume that scales per stratum
+    (unlike domain_cap's absolute count). Composes quality_score
+    (riding source through passthrough, zero self-join) with the
+    generic percentile_gate window."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.sampling import (
+        percentile_gate,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    scored = tx.quality_score(d, "doc_id", "text", passthrough=["source"])
+    return percentile_gate(
+        scored, "doc_id", "quality_logit", "source", keep_frac=0.3
+    ).select("doc_id", "source", "quality_logit", "strata_rank")

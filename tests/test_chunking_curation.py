@@ -607,3 +607,35 @@ def test_mix_to_budget_plan_shape(spark):
     plan = _plan_of(out)
     assert _n_exchanges(out) == 0
     assert "BroadcastHashJoin" in plan
+
+
+def test_percentile_gate_semantics(spark):
+    """Top-keep_frac per stratum, rank ties broken by id, fraction
+    validated, kept volume scales with each stratum."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.sampling import (
+        percentile_gate,
+    )
+
+    rows = [(i, "a", float(i % 10)) for i in range(100)]       # 100-row stratum
+    rows += [(100 + i, "b", float(i)) for i in range(10)]      # 10-row stratum
+    df = spark.createDataFrame(rows, "doc_id: long, src: string, score: double")
+    out = percentile_gate(df, "doc_id", "score", "src", 0.3).collect()
+    by_src: dict = {}
+    for r in out:
+        by_src.setdefault(r["src"], []).append(r)
+    assert len(by_src["a"]) == 30 and len(by_src["b"]) == 3
+    # stratum b keeps exactly its top-3 scores
+    assert sorted(r["doc_id"] for r in by_src["b"]) == [107, 108, 109]
+    assert sorted(r["strata_rank"] for r in by_src["b"]) == [1, 2, 3]
+    # ties (score i%10 repeats 10x in a) break on the id: rank 1..30
+    # are the 3 lowest ids of each of the top-3 score classes
+    top_a = {r["doc_id"] for r in by_src["a"]}
+    expect = {i for i in range(100) if i % 10 in (9, 8, 7)}
+    assert top_a == expect
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        percentile_gate(df, "doc_id", "score", "src", 0.0)
+    with _pytest.raises(ValueError):
+        percentile_gate(df, "doc_id", "score", "src", 1.1)

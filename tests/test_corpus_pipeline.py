@@ -228,8 +228,19 @@ def test_pipeline_tokenize_step(spark, corpus, tmp_path_factory):
     assert not res3["tokenize"].skipped
     assert _os.path.exists(f"{res['tokenize'].path}/_TOKENIZER.json")
 
+    # the training manifest gains exact per-shard token budgets
+    tm = _json.loads(open(f"{work}/_TRAINING_MANIFEST.json").read())
+    assert tm["fingerprint"] == res3["tokenize"].fingerprint
+    assert tm["total_tokens"] > 0
+    assert all("tokens" in e for e in tm["shards"])
+    assert tm["total_tokens"] == sum(e["tokens"] for e in tm["shards"])
+
     # config isolation: without bpe_merges the step doesn't exist and
-    # the shard fingerprint is unchanged (no spurious recompute)
+    # the shard fingerprint is unchanged (no spurious recompute);
+    # its manifest carries no token fields
     work2 = str(tmp_path_factory.mktemp("pipe_notok"))
     res4 = CorpusPipeline(spark, work2).run(corpus)
     assert "tokenize" not in res4
+    tm2 = _json.loads(open(f"{work2}/_TRAINING_MANIFEST.json").read())
+    assert "total_tokens" not in tm2
+    assert all("tokens" not in e for e in tm2["shards"])

@@ -49,7 +49,8 @@ def main() -> int:
         for e in t["shards"]:
             per_split[e["split"]] = per_split.get(e["split"], 0) + e["rows"]
         splits = ", ".join(f"{k}={v:,}" for k, v in sorted(per_split.items()))
-        print(f"  shards: {len(t['shards'])} files, {t['total_rows']:,} rows ({splits})")
+        tok = f", {t['total_tokens']:,} tokens" if "total_tokens" in t else ""
+        print(f"  shards: {len(t['shards'])} files, {t['total_rows']:,} rows{tok} ({splits})")
     return 0
 
 
