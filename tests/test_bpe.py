@@ -175,3 +175,48 @@ def test_bpe_plan_shapes(spark):
                                   tier="expression")) == 2  # repartition + regroup
     assert n_exchanges(bpe_encode(docs, "doc_id", "text", merges,
                                   tier="pandas")) == 1  # the repartition only
+
+
+def test_bpe_properties_random_corpora():
+    """Property sweep over random word distributions (driver-side, no
+    Spark: the trainer core and both encode semantics are pure):
+    - single-pass-in-learned-order == rank-dict re-scan for LEARNED
+      merge lists (the expression tier's correctness premise);
+    - encoded tokens always reassemble to the original word;
+    - merge count never exceeds requested; every merge pair was
+      adjacent somewhere in the corpus."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words_st = st.lists(
+        st.text(alphabet="abcdef", min_size=1, max_size=10),
+        min_size=1, max_size=30,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(words_st, st.integers(min_value=1, max_value=16))
+    def check(words, n_merges):
+        wc: dict[str, int] = {}
+        for w in words:
+            wc[w] = wc.get(w, 0) + 1
+        merges = _ref_train(wc, n_merges)
+        assert len(merges) <= n_merges
+        ranks = {p: i for i, p in enumerate(merges)}
+        for w in wc:
+            enc = _encode_word(w, ranks)
+            assert "".join(enc) == w  # lossless
+            # single pass in learned order matches the rank-dict scan
+            syms = list(w)
+            for a, b in merges:
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and (syms[i], syms[i + 1]) == (a, b):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            assert syms == enc, (w, merges)
+
+    check()
