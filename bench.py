@@ -83,6 +83,7 @@ HEADLINE = [
     "corpus_mix_budget",
     "text_oov_rate",
     "corpus_quality_percentile",
+    "text_winnow_fingerprints",
 ]
 
 

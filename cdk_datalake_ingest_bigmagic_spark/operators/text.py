@@ -583,3 +583,87 @@ def gate_report(
         (F.col("__both").cast("double") / n).alias("combined_pass_rate"),
         F.round("mean_quality_logit", 6).alias("mean_quality_logit"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken
+    2003 — the MOSS algorithm; public): hash every k-word gram, slide
+    a window of ``w`` gram hashes, and keep the RIGHTMOST minimum of
+    each window. The selection guarantee: any shared word run of
+    length ≥ ``w + k - 1`` between two documents yields at least one
+    shared fingerprint — robust substring matching with a bounded
+    fingerprint density (~2/(w+1) of positions), where a fixed-stride
+    span index (``duplicate_spans``) can stride past an unaligned
+    copy.
+
+    Execution: entirely in-row higher-order functions — gram hashes,
+    per-window rightmost-argmin, distinct — with ``barrier()`` pins
+    between array stages (the CollapseProject re-evaluation trap), and
+    one final explode. Zero shuffles; documents shorter than ``k``
+    words yield no fingerprints; ``m < w`` grams degrade to one
+    whole-sequence minimum (the standard boundary rule).
+
+    Returns (id, fp_pos, fp_hash): gram position (0-based) and the
+    28-bit md5-derived gram hash — md5, not xxhash, so any engine
+    reproduces the selection bit-for-bit.
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+    from cdk_datalake_ingest_bigmagic_spark.operators import barrier
+
+    toks = F.filter(F.split(normalize_text(F.col(text_col)), " "),
+                    lambda t: t != "")
+    base = barrier(
+        df.filter(F.size(toks) >= k).select(F.col(id_col), toks.alias("__t"))
+    )
+    gram = lambda i: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(F.array_join(F.slice(F.col("__t"), i + 1, k), " ")), 1, 7
+        ),
+        16, 10,
+    ).cast("long")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("__t") - k), gram
+    )
+    g = barrier(base.select(id_col, grams.alias("__g")))
+
+    def pick(j):
+        win = F.slice(F.col("__g"), j + 1, w)
+        minv = F.array_min(win)
+        # rightmost occurrence of the min: first position in the
+        # reversed window, mapped back (list ops are 1-based in both
+        # engines, so the oracle mirrors this expression exactly).
+        # (pos, hash) packs into ONE long — the hash is 28 bits by
+        # construction — because array_distinct over structs is not
+        # portable (DuckDB's list_distinct rejects struct lists).
+        pos = (j + F.size(win) - F.array_position(F.reverse(win), minv)).cast(
+            "long"
+        )
+        return pos * F.lit(268435456) + minv  # pos * 2^28 + h
+
+    sel = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size("__g") - w, F.lit(0))),
+            pick,
+        )
+    )
+    # explode the selection DIRECTLY — the explode's own Generate is
+    # the collapse boundary here. Pinning the selection behind a
+    # further barrier() and exploding the pinned column was measured
+    # 30× SLOWER (103.7 s vs 3.5 s on 500 sf0.001 docs): with a
+    # Generate already below it, the outer explode re-evaluates the
+    # whole selection expression once per OUTPUT row (≈ fingerprints
+    # per doc), exactly the re-evaluation the barrier was meant to
+    # prevent. One Generate, evaluated once per input row, is the
+    # right shape.
+    return g.select(id_col, F.explode(sel).alias("__fp")).select(
+        id_col,
+        F.expr("__fp div 268435456").alias("fp_pos"),
+        (F.col("__fp") % F.lit(268435456)).alias("fp_hash"),
+    )

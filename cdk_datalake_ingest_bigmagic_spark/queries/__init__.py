@@ -56,10 +56,11 @@ from cdk_datalake_ingest_bigmagic_spark.queries import llmdata  # noqa: E402,F40
 from cdk_datalake_ingest_bigmagic_spark.queries import events  # noqa: E402,F401
 
 # The external correctness gate checks the first 50 registered queries.
-# With 99 registered (round 6 added text_bpe_encode,
+# With 100 registered (round 6 added text_bpe_encode,
 # multimodal_audio_windows, corpus_mix_budget, text_oov_rate,
-# corpus_quality_percentile), 49 sit outside the window each round,
-# so the window is ROTATED via _GATE_FRONT.
+# corpus_quality_percentile, text_winnow_fingerprints), 50 sit
+# outside the window each round, so the window is ROTATED via
+# _GATE_FRONT.
 #
 # ROTATION RULE (invariant, every round — do not regress this):
 #   front = (1) every query whose implementation OR any shared operator
@@ -77,9 +78,9 @@ from cdk_datalake_ingest_bigmagic_spark.queries import events  # noqa: E402,F401
 #   (1) never green / red last round: pack_sequences +
 #       corpus_training_prep (r5 hash_match false — the DuckDB
 #       HUGEINT pack_id oracle artifact, CAST fixed this round) and
-#       the five new queries (text_bpe_encode,
+#       the six new queries (text_bpe_encode,
 #       multimodal_audio_windows, corpus_mix_budget, text_oov_rate,
-#       corpus_quality_percentile).
+#       corpus_quality_percentile, text_winnow_fingerprints).
 #   (2) the 8 queries whose newest green was round 3 — the obligation
 #       VERDICT r5 item 2 names (DSL compiler/events/relational code
 #       untouched, but greens decay without re-measurement).
@@ -94,11 +95,11 @@ from cdk_datalake_ingest_bigmagic_spark.queries import events  # noqa: E402,F401
 #       dedup_incremental_novelty and contamination_ngram_overlap;
 #       events_user_similarity rides the similarity module's SRP
 #       path.
-#   (4) early rotation of 5 round-4 greens (cheap relational ones) so
-#       round 7's obligation is 31 r4 re-gates, not 36 — the window
-#       math the r5 tripwire failure taught (three early slots were
+#   (4) early rotation of 4 round-4 greens (cheap relational ones) so
+#       round 7's obligation is 32 r4 re-gates, not 36 — the window
+#       math the r5 tripwire failure taught (four early slots were
 #       given back to the second-wave new queries).
-#   Out of window: 49 queries, every one an unchanged green from
+#   Out of window: 50 queries, every one an unchanged green from
 #   round 4 or 5 (ceiling: current-2 = 4) — enforced by
 #   tests/test_gate_rotation.py, whose current-round computation now
 #   tolerates the driver dropping CORRECTNESS_r06 after the final
@@ -112,6 +113,7 @@ _GATE_FRONT: list[str] = [
     "corpus_mix_budget",
     "text_oov_rate",
     "corpus_quality_percentile",
+    "text_winnow_fingerprints",
     # (2) r3-stale re-gates
     "dsl_bytemagic",
     "dsl_case_mapping",
@@ -160,7 +162,6 @@ _GATE_FRONT: list[str] = [
     "synthetic_id",
     "filter_month_window",
     "filter_dual_column_window",
-    "filter_explicit_range",
 ]
 
 

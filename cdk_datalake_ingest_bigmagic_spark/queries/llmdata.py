@@ -1954,3 +1954,51 @@ def corpus_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return percentile_gate(
         scored, "doc_id", "quality_logit", "source", keep_frac=0.3
     ).select("doc_id", "source", "quality_logit", "strata_rank")
+
+
+@register(
+    "text_winnow_fingerprints",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+               x -> x <> '') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_transform(
+               range(0, len(toks) - 4 + 1),
+               i -> ('0x' || substr(
+                       md5(array_to_string(list_slice(toks, i + 1, i + 4), ' ')),
+                       1, 7))::BIGINT) AS grams
+      FROM t WHERE len(toks) >= 4
+    ), sel AS (
+      -- (pos, hash) packed into one BIGINT (hash is 28 bits), because
+      -- list_distinct over struct lists is not supported
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(0, greatest(len(grams) - 4, 0) + 1),
+               j -> CAST(j + len(list_slice(grams, j + 1, j + 4))
+                        - list_position(
+                            list_reverse(list_slice(grams, j + 1, j + 4)),
+                            list_aggregate(list_slice(grams, j + 1, j + 4), 'min'))
+                     AS BIGINT) * 268435456
+                    + list_aggregate(list_slice(grams, j + 1, j + 4), 'min')
+               )) AS fps
+      FROM g
+    )
+    SELECT doc_id,
+           CAST(u.fp // 268435456 AS BIGINT) AS fp_pos,
+           CAST(u.fp % 268435456 AS BIGINT) AS fp_hash
+    FROM sel, UNNEST(sel.fps) AS u(fp)
+    """,
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (MOSS): 4-word gram hashes,
+    window of 4, rightmost-minimum rule — any shared run of ≥ 7 words
+    between documents is guaranteed a shared fingerprint. All in-row
+    HOFs, barrier-pinned, one explode; md5 gram hashes so both
+    engines select identical positions."""
+    d = load(spark, sf_dir, "documents")
+    return tx.winnow_fingerprints(d, "doc_id", "text", k=4, w=4)

@@ -1645,3 +1645,59 @@ def test_embedding_operators_degrade_on_empty_corpus(spark):
     bt = sim.pq_topk_batch(e, "vec_id", "embedding", q, "qid", "qvec", k=3)
     assert bt.count() == 0
     assert bt.columns == ["query_id", "vec_id", "adc_dist"]
+
+
+def test_winnow_fingerprints_guarantee_and_rule(spark):
+    """The winnowing guarantee: two documents sharing a word run of
+    length >= w + k - 1 share at least one fingerprint; plus the
+    rightmost-min selection rule and short-doc boundary behavior."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 = w + k - 1
+    rows = [
+        (1, f"one two three {shared} four five six"),
+        (2, f"x1 y2 {shared} z3"),
+        (3, "nothing in common with the others at all here"),
+        (4, "tiny doc"),        # < k words: no fingerprints
+        (5, "a b c d"),         # exactly k words, m < w: one fingerprint
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = winnow_fingerprints(df, "doc_id", "text", k=4, w=4)
+    by_doc: dict[int, set] = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+    assert by_doc[1] & by_doc[2], "shared >= w+k-1 run must share a fingerprint"
+    assert not (by_doc[3] & by_doc[1])
+    assert 4 not in by_doc
+    assert len(by_doc[5]) == 1
+
+    # rightmost-min rule, hand-checked against a driver recomputation
+    import hashlib
+
+    def ref(words, k=4, w=4):
+        grams = []
+        for i in range(len(words) - k + 1):
+            h = int(hashlib.md5(" ".join(words[i:i + k]).encode()).hexdigest()[:7], 16)
+            grams.append(h)
+        sel = set()
+        for j in range(max(len(grams) - w, 0) + 1):
+            win = grams[j:j + w]
+            m = min(win)
+            # rightmost occurrence
+            pos = j + len(win) - 1 - win[::-1].index(m)
+            sel.add((pos, m))
+        return sel
+
+    for doc_id, text in rows:
+        words = [t for t in text.lower().split() if t]
+        expect = ref(words) if len(words) >= 4 else set()
+        got = {(r["fp_pos"], r["fp_hash"])
+               for r in out.filter(F.col("doc_id") == doc_id).collect()}
+        assert got == expect, doc_id
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        winnow_fingerprints(df, "doc_id", "text", k=0)

@@ -367,6 +367,11 @@ def main() -> None:
             _bpe().train_bpe(docs, "text", num_merges=64, max_words=20_000),
             tier="pandas",
         )),
+        # winnowing fingerprint selection: pure in-row HOFs + one
+        # explode — should be scan/CPU-bound and linear
+        "winnow": (n_docs, lambda: _tx().winnow_fingerprints(
+            docs, "doc_id", "text", k=4, w=4
+        )),
         # token-budget mixture: one per-source token agg (driver sees
         # |sources| rows) + a zero-shuffle broadcast-lookup filter
         "mix_budget": (n_docs, lambda: _sampling().mix_to_budget(
@@ -529,7 +534,7 @@ def main() -> None:
                          # the kept rows + n_tokens are a projection;
                          # the 20-row OOV report's aggregates would be
                          # pruned under a bare count
-                         "mix_budget", "oov_rate",
+                         "mix_budget", "oov_rate", "winnow",
                          "gate_report"}
 
     def run_probe(name: str, fn):
