@@ -84,6 +84,7 @@ HEADLINE = [
     "text_oov_rate",
     "corpus_quality_percentile",
     "text_winnow_fingerprints",
+    "text_winnow_matches",
 ]
 
 

@@ -667,3 +667,67 @@ def winnow_fingerprints(
         F.expr("__fp div 268435456").alias("fp_pos"),
         (F.col("__fp") % F.lit(268435456)).alias("fp_hash"),
     )
+
+
+def winnow_matches(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 1,
+    max_df: int = 100,
+) -> DataFrame:
+    """Cross-document near-copy detection over winnowing fingerprints:
+    (id_a, id_b, shared_fps, overlap) for every document pair sharing
+    ≥ ``min_shared`` selected fingerprints, with overlap = shared /
+    min(|fps_a|, |fps_b|) — the MOSS match score.
+
+    ``max_df`` drops fingerprints selected in more than that many
+    documents before the collision join — the same df-cap that bounds
+    the Jaccard prefix index: a boilerplate run shared by half the
+    corpus would otherwise explode the join quadratically, and
+    corpus-wide boilerplate is exactly what copy detection should NOT
+    match on (it is ``duplicate_spans``' job to strip it).
+
+    Shuffle budget: the per-hash df aggregate, the collision
+    self-join on the (capped) hash, the pair aggregate, and the two
+    per-doc-count joins — all keyed, nothing all-pairs.
+    """
+    fps = (
+        winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+        .select(F.col(id_col), "fp_hash")
+        .distinct()
+    )
+    ok = (
+        fps.groupBy("fp_hash")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select("fp_hash")
+    )
+    kept = fps.join(ok, "fp_hash")
+    per_doc = kept.groupBy(id_col).agg(F.count("*").alias("__n"))
+    a = kept.select(F.col(id_col).alias("id_a"), "fp_hash")
+    b = kept.select(F.col(id_col).alias("id_b"), "fp_hash")
+    pairs = (
+        a.join(b, "fp_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+    na = per_doc.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
+    nb = per_doc.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+    return (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "shared_fps",
+            (
+                F.col("shared_fps").cast("double")
+                / F.least("__na", "__nb").cast("double")
+            ).alias("overlap"),
+        )
+    )

@@ -56,11 +56,11 @@ from cdk_datalake_ingest_bigmagic_spark.queries import llmdata  # noqa: E402,F40
 from cdk_datalake_ingest_bigmagic_spark.queries import events  # noqa: E402,F401
 
 # The external correctness gate checks the first 50 registered queries.
-# With 100 registered (round 6 added text_bpe_encode,
+# With 101 registered (round 6 added text_bpe_encode,
 # multimodal_audio_windows, corpus_mix_budget, text_oov_rate,
-# corpus_quality_percentile, text_winnow_fingerprints), 50 sit
-# outside the window each round, so the window is ROTATED via
-# _GATE_FRONT.
+# corpus_quality_percentile, text_winnow_fingerprints,
+# text_winnow_matches), 51 sit outside the window each round, so the
+# window is ROTATED via _GATE_FRONT.
 #
 # ROTATION RULE (invariant, every round — do not regress this):
 #   front = (1) every query whose implementation OR any shared operator
@@ -80,7 +80,8 @@ from cdk_datalake_ingest_bigmagic_spark.queries import events  # noqa: E402,F401
 #       HUGEINT pack_id oracle artifact, CAST fixed this round) and
 #       the six new queries (text_bpe_encode,
 #       multimodal_audio_windows, corpus_mix_budget, text_oov_rate,
-#       corpus_quality_percentile, text_winnow_fingerprints).
+#       corpus_quality_percentile, text_winnow_fingerprints,
+#       text_winnow_matches).
 #   (2) the 8 queries whose newest green was round 3 — the obligation
 #       VERDICT r5 item 2 names (DSL compiler/events/relational code
 #       untouched, but greens decay without re-measurement).
@@ -95,11 +96,11 @@ from cdk_datalake_ingest_bigmagic_spark.queries import events  # noqa: E402,F401
 #       dedup_incremental_novelty and contamination_ngram_overlap;
 #       events_user_similarity rides the similarity module's SRP
 #       path.
-#   (4) early rotation of 4 round-4 greens (cheap relational ones) so
-#       round 7's obligation is 32 r4 re-gates, not 36 — the window
-#       math the r5 tripwire failure taught (four early slots were
+#   (4) early rotation of 3 round-4 greens (cheap relational ones) so
+#       round 7's obligation is 33 r4 re-gates, not 36 — the window
+#       math the r5 tripwire failure taught (five early slots were
 #       given back to the second-wave new queries).
-#   Out of window: 50 queries, every one an unchanged green from
+#   Out of window: 51 queries, every one an unchanged green from
 #   round 4 or 5 (ceiling: current-2 = 4) — enforced by
 #   tests/test_gate_rotation.py, whose current-round computation now
 #   tolerates the driver dropping CORRECTNESS_r06 after the final
@@ -114,6 +115,7 @@ _GATE_FRONT: list[str] = [
     "text_oov_rate",
     "corpus_quality_percentile",
     "text_winnow_fingerprints",
+    "text_winnow_matches",
     # (2) r3-stale re-gates
     "dsl_bytemagic",
     "dsl_case_mapping",
@@ -161,7 +163,6 @@ _GATE_FRONT: list[str] = [
     "scan_projection",
     "synthetic_id",
     "filter_month_window",
-    "filter_dual_column_window",
 ]
 
 

@@ -2002,3 +2002,66 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines select identical positions."""
     d = load(spark, sf_dir, "documents")
     return tx.winnow_fingerprints(d, "doc_id", "text", k=4, w=4)
+
+
+@register(
+    "text_winnow_matches",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+               x -> x <> '') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_transform(
+               range(0, len(toks) - 4 + 1),
+               i -> ('0x' || substr(
+                       md5(array_to_string(list_slice(toks, i + 1, i + 4), ' ')),
+                       1, 7))::BIGINT) AS grams
+      FROM t WHERE len(toks) >= 4
+    ), sel AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(0, greatest(len(grams) - 4, 0) + 1),
+               j -> CAST(j + len(list_slice(grams, j + 1, j + 4))
+                        - list_position(
+                            list_reverse(list_slice(grams, j + 1, j + 4)),
+                            list_aggregate(list_slice(grams, j + 1, j + 4), 'min'))
+                     AS BIGINT) * 268435456
+                    + list_aggregate(list_slice(grams, j + 1, j + 4), 'min')
+               )) AS fps
+      FROM g
+    ), fpd AS (
+      SELECT DISTINCT doc_id, CAST(u.fp % 268435456 AS BIGINT) AS h
+      FROM sel, UNNEST(sel.fps) AS u(fp)
+    ), ok AS (
+      SELECT h FROM fpd GROUP BY h HAVING count(*) <= 100
+    ), kept AS (
+      SELECT f.doc_id, f.h FROM fpd f JOIN ok USING (h)
+    ), pc AS (
+      SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id
+    ), p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS shared_fps
+      FROM kept a JOIN kept b USING (h)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.id_a, p.id_b, p.shared_fps,
+           CAST(p.shared_fps AS DOUBLE) / CAST(least(pa.n, pb.n) AS DOUBLE)
+             AS overlap
+    FROM p
+    JOIN pc pa ON pa.doc_id = p.id_a
+    JOIN pc pb ON pb.doc_id = p.id_b
+    WHERE p.shared_fps >= 1
+    """,
+)
+def text_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnow-based near-copy pairs: documents sharing selected
+    fingerprints, scored by shared / min(|fps|) — the MOSS match
+    report, df-capped so boilerplate-hot fingerprints can't explode
+    the collision join."""
+    d = load(spark, sf_dir, "documents")
+    return tx.winnow_matches(d, "doc_id", "text", k=4, w=4)

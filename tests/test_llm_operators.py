@@ -1701,3 +1701,38 @@ def test_winnow_fingerprints_guarantee_and_rule(spark):
 
     with _pytest.raises(ValueError):
         winnow_fingerprints(df, "doc_id", "text", k=0)
+
+
+def test_winnow_matches_scores_and_df_cap(spark):
+    """A near-copy pair scores high overlap; unrelated docs don't
+    match; a boilerplate-hot fingerprint (df > max_df) is excluded
+    from matching."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.text import (
+        winnow_matches,
+    )
+
+    copy = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    boiler = "terms of service apply read carefully every day ok now"
+    rows = [
+        (1, copy),
+        (2, copy + " extra trailing words here"),
+        (3, "completely different content nothing shared at all between these"),
+        # boilerplate shared by MANY docs — df-capped out of matching
+        (10, boiler + " unique ten"),
+        (11, boiler + " unique eleven"),
+        (12, boiler + " unique twelve"),
+        (13, boiler + " unique thirteen"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {(r["id_a"], r["id_b"]): r
+           for r in winnow_matches(df, "doc_id", "text", max_df=3).collect()}
+    assert (1, 2) in out
+    assert out[(1, 2)]["overlap"] >= 0.8  # near-copy
+    assert not any(3 in pair for pair in out)
+    # every boilerplate fingerprint has df=4 > 3 → no boiler pairs
+    assert not any(a >= 10 and b >= 10 for a, b in out)
+    # raising the cap lets the boilerplate family match
+    out2 = {(r["id_a"], r["id_b"])
+            for r in winnow_matches(df, "doc_id", "text", max_df=10).collect()}
+    assert (10, 11) in out2

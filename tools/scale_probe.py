@@ -372,6 +372,10 @@ def main() -> None:
         "winnow": (n_docs, lambda: _tx().winnow_fingerprints(
             docs, "doc_id", "text", k=4, w=4
         )),
+        # winnow collision join: df-capped pair detection
+        "winnow_matches": (n_docs, lambda: _tx().winnow_matches(
+            docs, "doc_id", "text", k=4, w=4
+        )),
         # token-budget mixture: one per-source token agg (driver sees
         # |sources| rows) + a zero-shuffle broadcast-lookup filter
         "mix_budget": (n_docs, lambda: _sampling().mix_to_budget(
