@@ -85,6 +85,12 @@ HEADLINE = [
     "corpus_quality_percentile",
     "text_winnow_fingerprints",
     "text_winnow_matches",
+    # round-6 additions (second wave): line-level curation (the
+    # highest-volume pass in a web-corpus pipeline) and BM25 lexical
+    # retrieval over the inverted term index
+    "corpus_line_dedup",
+    "text_line_quality",
+    "retrieval_bm25_topk",
 ]
 
 

@@ -1,0 +1,172 @@
+"""Sparse lexical retrieval: inverted term index + BM25 top-k.
+
+A training-data pipeline needs retrieval for targeted curation
+(find documents about X), decontamination-by-query (pull everything
+that *scores* like an eval prompt, not just exact n-gram hits), and
+quality-weighted sampling. BM25 (Robertson & Zaragoza 2009) is the
+standard lexical scorer.
+
+Scale shape — the two-phase split is the whole point:
+
+- ``term_index`` runs ONCE over the corpus (one tokenize/explode, one
+  map-side-combinable aggregation) and is meant to be MATERIALIZED —
+  written out bucketed/partitioned by ``term`` — so that query-time
+  reads prune to the query's terms instead of re-scanning 100 TB of
+  text. The index is ~(unique terms per doc) rows, each a few dozen
+  bytes: orders of magnitude smaller than the corpus.
+- ``bm25_topk`` touches ONLY the index rows whose ``term`` is in the
+  query (predicate pushdown / partition pruning on the materialized
+  index), computes per-term document-frequency from those same rows
+  (a query-terms-sized aggregate), pivots to one row per candidate
+  document, and takes the global top-k with ``orderBy().limit(k)`` —
+  Spark's distributed TakeOrdered, never a single-partition window.
+
+Cross-engine determinism: IEEE basic ops (+,-,*,/) are correctly
+rounded and bit-reproducible across engines, but ``ln`` is not. The
+default ``idf='lucene'`` uses the standard log idf (property-tested
+against a NumPy reference); ``idf='rational'`` is the log-free
+Robertson ratio, every op an IEEE basic op, so DuckDB and Spark agree
+bit-for-bit — that variant backs the correctness-gate oracle.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def term_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Build the inverted index: (id, term, tf, dl) per unique
+    document-term pair.
+
+    ``dl`` (document length in tokens) is computed before the explode
+    and carried through it, so the aggregation needs no join back to
+    the documents. One shuffle (the groupBy), map-side combinable.
+    Empty/NULL documents contribute no rows.
+
+    Materialize with ``.write.bucketBy(n, 'term')`` (or partition by a
+    hash of ``term``) so query-time scans prune to the query's terms.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    tokens = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col),
+            F.size(words).alias("dl"),
+            F.explode(words).alias("term"),
+        )
+    )
+    return tokens.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.max("dl").alias("dl"),
+    )
+
+
+def corpus_stats(df: DataFrame, text_col: str) -> tuple[int, int]:
+    """(n_docs, total_tokens) over non-empty documents — the two
+    scalars BM25 needs. Bounded driver collect: one row."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    row = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.size(words)).alias("total"),
+        )
+        .first()
+    )
+    return int(row["n"]), int(row["total"] or 0)
+
+
+def bm25_topk(
+    index: DataFrame,
+    id_col: str,
+    terms: list[str],
+    k: int,
+    n_docs: int,
+    total_tokens: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+    idf: str = "lucene",
+) -> DataFrame:
+    """Top-k documents by BM25 over ``terms``.
+
+    ``idf='lucene'``: ln(1 + (N - df + 0.5) / (df + 0.5)) — Lucene's
+    non-negative idf. ``idf='rational'``: ((2N - 2df) + 1) /
+    ((2df) + 1), the same ratio without the log — monotone in df, so
+    rankings agree with the log variant for single-term queries and
+    for typical multi-term frequency profiles; it exists because its
+    arithmetic is bit-reproducible across engines (see module doc).
+
+    The per-term weights are pivoted to columns and summed in a FIXED
+    left-associated expression (``w0 + w1 + ...``) — float addition
+    is not associative, and an unordered SUM() would make the score
+    engine-dependent. Ties at the k boundary break on ``id``.
+    """
+    if idf not in ("lucene", "rational"):
+        raise ValueError(f"unknown idf variant: {idf}")
+    hits = index.filter(F.col("term").isin(terms))
+    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = hits.join(F.broadcast(dfreq), "term")
+
+    n = float(n_docs)
+    dfd = F.col("df").cast("double")
+    if idf == "lucene":
+        idf_expr = F.log(
+            F.lit(1.0)
+            + ((F.lit(n) - dfd) + F.lit(0.5)) / (dfd + F.lit(0.5))
+        )
+    else:
+        idf_expr = ((F.lit(2.0 * n) - F.lit(2.0) * dfd) + F.lit(1.0)) / (
+            (F.lit(2.0) * dfd) + F.lit(1.0)
+        )
+    tfd = F.col("tf").cast("double")
+    # dl/avgdl as (dl * N) / L: two exact int->double casts, one
+    # multiply, one divide — same tree the oracle writes.
+    rel_dl = (F.col("dl").cast("double") * F.lit(n)) / F.lit(
+        float(total_tokens)
+    )
+    tf_part = (tfd * F.lit(k1 + 1.0)) / (
+        tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * rel_dl)
+    )
+    scored = scored.withColumn("__w", idf_expr * tf_part)
+
+    per_term = scored.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("term") == t, F.col("__w"))).alias(f"__w{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    score = reduce(
+        lambda acc, i: acc + F.coalesce(F.col(f"__w{i}"), F.lit(0.0)),
+        range(1, len(terms)),
+        F.coalesce(F.col("__w0"), F.lit(0.0)),
+    )
+    return (
+        per_term.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def bm25_search(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+    idf: str = "lucene",
+) -> DataFrame:
+    """One-shot convenience: build the index in-flight and search it.
+
+    For repeated queries, materialize ``term_index`` once instead —
+    this exists for tests and single-query jobs.
+    """
+    idx = term_index(docs, id_col, text_col)
+    n, total = corpus_stats(docs, text_col)
+    return bm25_topk(
+        idx, id_col, terms, k, n, total, k1=k1, b=b, idf=idf
+    )

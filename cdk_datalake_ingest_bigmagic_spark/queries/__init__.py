@@ -56,10 +56,11 @@ from cdk_datalake_ingest_bigmagic_spark.queries import llmdata  # noqa: E402,F40
 from cdk_datalake_ingest_bigmagic_spark.queries import events  # noqa: E402,F401
 
 # The external correctness gate checks the first 50 registered queries.
-# With 101 registered (round 6 added text_bpe_encode,
+# With 104 registered (round 6 added text_bpe_encode,
 # multimodal_audio_windows, corpus_mix_budget, text_oov_rate,
 # corpus_quality_percentile, text_winnow_fingerprints,
-# text_winnow_matches), 51 sit outside the window each round, so the
+# text_winnow_matches, corpus_line_dedup, text_line_quality,
+# retrieval_bm25_topk), 54 sit outside the window each round, so the
 # window is ROTATED via _GATE_FRONT.
 #
 # ROTATION RULE (invariant, every round — do not regress this):
@@ -142,6 +143,12 @@ _GATE_FRONT: list[str] = [
     "corpus_mix_weighted",
     "corpus_domain_cap",
     "sample_hash_fraction",
+    # (1 cont.) round-6 second wave: line-level curation + BM25
+    # retrieval (new modules operators/lines.py, operators/
+    # retrieval.py) — never gated, must be in-window
+    "corpus_line_dedup",
+    "text_line_quality",
+    "retrieval_bm25_topk",
     # (3) operators/text.py riders (direct + composed)
     "text_token_encode",
     "text_token_stats",
@@ -158,11 +165,11 @@ _GATE_FRONT: list[str] = [
     "corpus_clean_pipeline",
     "corpus_source_stats",
     "dedup_incremental_novelty",
-    # (4) early rotation of round-4 greens (three slots went to the
-    # second-wave queries above)
-    "scan_projection",
-    "synthetic_id",
-    "filter_month_window",
+    # (4) the three early-rotation luxury slots (scan_projection,
+    # synthetic_id, filter_month_window — all r4 greens, within the
+    # round-6 freshness ceiling out-of-window) were given back to the
+    # second-wave line/retrieval queries; they rejoin the r4 re-gate
+    # obligation in round 7's front.
 ]
 
 

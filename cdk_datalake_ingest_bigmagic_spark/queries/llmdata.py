@@ -2065,3 +2065,217 @@ def text_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     the collision join."""
     d = load(spark, sf_dir, "documents")
     return tx.winnow_matches(d, "doc_id", "text", k=4, w=4)
+
+
+# ---------------------------------------------------------------------------
+# line-level curation (operators/lines.py)
+# ---------------------------------------------------------------------------
+#
+# The synthetic documents are single-line word streams, so both engines
+# synthesize identical "lines" first: non-overlapping 8-word windows
+# (the chunk_windows idiom with chunk == stride). The operators under
+# test are general; only the gate prep is synthetic.
+
+
+@register(
+    "corpus_line_dedup",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+      FROM documents WHERE trim(text) <> ''
+    ), l AS (
+      SELECT doc_id, (s // 8) AS line_no,
+             array_to_string(list_slice(words, s + 1, s + 8), ' ') AS line
+      FROM w, UNNEST(range(0, len(words), 8)) AS t(s)
+    ), r AS (
+      SELECT doc_id, line_no, line,
+             (length(line) < 20 OR
+              row_number() OVER (PARTITION BY md5(line)
+                                 ORDER BY doc_id, line_no) = 1) AS line_kept
+      FROM l
+    )
+    SELECT doc_id,
+           md5(coalesce(string_agg(CASE WHEN line_kept THEN line END,
+                                   chr(10) ORDER BY line_no), '')) AS doc_md5,
+           COUNT(*)::BIGINT AS n_lines,
+           SUM(CASE WHEN line_kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           SUM(CASE WHEN line_kept THEN 0 ELSE 1 END)::BIGINT AS n_dropped
+    FROM r GROUP BY doc_id
+    """,
+)
+def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global first-occurrence line dedup (CCNet/RefinedWeb style):
+    duplicated lines keep only their smallest-(doc, line_no) copy;
+    short lines (< 20 chars — the globally-hot ones) bypass the
+    shuffle. Agg+join shape, not a window, so a billion-copy hot line
+    collapses map-side instead of landing in one sort task."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.chunking import chunk_windows
+    from cdk_datalake_ingest_bigmagic_spark.operators import lines as ln
+
+    d = load(spark, sf_dir, "documents")
+    synth = chunk_windows(d, "doc_id", "text", chunk=8, stride=8).select(
+        "doc_id",
+        F.col("chunk_id").alias("line_no"),
+        F.col("chunk_text").alias("line"),
+    )
+    deduped = ln.dedup_lines(synth, "doc_id", "line_no", "line", min_chars=20)
+    rebuilt = ln.rebuild_documents(deduped, "doc_id", "line_no", "line")
+    return rebuilt.select(
+        "doc_id",
+        F.md5("text").alias("doc_md5"),
+        "n_lines",
+        "n_kept",
+        "n_dropped",
+    )
+
+
+@register(
+    "text_line_quality",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+      FROM documents WHERE trim(text) <> ''
+    ), l0 AS (
+      SELECT doc_id, (s // 8) AS line_no,
+             array_to_string(list_slice(words, s + 1, s + 8), ' ') AS line
+      FROM w, UNNEST(range(0, len(words), 8)) AS t(s)
+    ), l AS (
+      SELECT doc_id, line_no,
+             CASE WHEN (doc_id + line_no) % 13 = 5 THEN 'javascript ' || line
+                  WHEN (doc_id + line_no) % 11 = 7 THEN line || ' {'
+                  WHEN (doc_id + line_no) % 3 = 0 THEN line || '.'
+                  ELSE line END AS line
+      FROM l0
+    ), f AS (
+      SELECT doc_id, line_no, line,
+             (CASE WHEN trim(line) = '' THEN 0
+                   ELSE len(string_split_regex(trim(line), '\s+')) END < 5)
+               AS is_short,
+             (right(trim(line), 1) NOT IN ('.', '!', '?', '"', ''''))
+               AS is_no_punct,
+             (contains(line, '{') OR contains(line, '}')) AS has_brace,
+             (contains(lower(line), 'javascript')
+              OR contains(lower(line), 'lorem ipsum')
+              OR contains(lower(line), 'cookie')
+              OR contains(lower(line), 'terms of use')
+              OR contains(lower(line), 'privacy policy')) AS has_blocklist
+      FROM l
+    )
+    SELECT doc_id,
+           COUNT(*)::BIGINT AS n_lines,
+           SUM(CASE WHEN NOT (is_short OR is_no_punct OR has_brace
+                              OR has_blocklist)
+                    THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           SUM(CASE WHEN is_short THEN 1 ELSE 0 END)::BIGINT AS n_short,
+           SUM(CASE WHEN is_no_punct THEN 1 ELSE 0 END)::BIGINT
+             AS n_no_punct,
+           SUM(CASE WHEN has_brace THEN 1 ELSE 0 END)::BIGINT AS n_brace,
+           SUM(CASE WHEN has_blocklist THEN 1 ELSE 0 END)::BIGINT
+             AS n_blocklist
+    FROM f GROUP BY doc_id
+    """,
+)
+def text_line_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line quality rules (terminal punctuation, min words,
+    brace/boilerplate blocklist) counted per document. The gate prep
+    injects deterministic punctuation/boilerplate (the synthetic text
+    has none) with the same CASE in both engines; the rules
+    themselves are the operator's general codegen Columns."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.chunking import chunk_windows
+    from cdk_datalake_ingest_bigmagic_spark.operators import lines as ln
+
+    d = load(spark, sf_dir, "documents")
+    synth = chunk_windows(d, "doc_id", "text", chunk=8, stride=8).select(
+        "doc_id",
+        F.col("chunk_id").alias("line_no"),
+        F.col("chunk_text").alias("line"),
+    )
+    key = F.col("doc_id") + F.col("line_no")
+    injected = synth.withColumn(
+        "line",
+        F.when(key % 13 == 5, F.concat(F.lit("javascript "), F.col("line")))
+        .when(key % 11 == 7, F.concat(F.col("line"), F.lit(" {")))
+        .when(key % 3 == 0, F.concat(F.col("line"), F.lit(".")))
+        .otherwise(F.col("line")),
+    )
+    flagged = ln.line_quality_flags(injected, "line", min_words=5)
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("line_kept").cast("long")).alias("n_kept"),
+        F.sum(F.col("is_short").cast("long")).alias("n_short"),
+        F.sum(F.col("is_no_punct").cast("long")).alias("n_no_punct"),
+        F.sum(F.col("has_brace").cast("long")).alias("n_brace"),
+        F.sum(F.col("has_blocklist").cast("long")).alias("n_blocklist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# lexical retrieval (operators/retrieval.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "retrieval_bm25_topk",
+    oracle=r"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+      FROM documents WHERE trim(text) <> ''
+    ), stats AS (
+      SELECT COUNT(*)::BIGINT AS n, SUM(len(words))::BIGINT AS total
+      FROM docs
+    ), tok AS (
+      SELECT doc_id, len(words) AS dl, UNNEST(words) AS term FROM docs
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*)::BIGINT AS tf, MAX(dl) AS dl
+      FROM tok WHERE term IN ('spark', 'join', 'window', 'stream')
+      GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term
+    ), wgt AS (
+      -- every literal cast to DOUBLE: DuckDB parses bare decimal
+      -- literals as DECIMAL, whose exact arithmetic diverges from
+      -- Spark's IEEE doubles by an ulp
+      SELECT tf.doc_id, tf.term,
+             (((2.0::DOUBLE * s.n) - (2.0::DOUBLE * dfreq.df))
+                + 1.0::DOUBLE)
+               / ((2.0::DOUBLE * dfreq.df) + 1.0::DOUBLE)
+             * ((tf.tf * (1.2::DOUBLE + 1.0::DOUBLE))
+                / (tf.tf + (1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE)
+                    + (0.75::DOUBLE
+                       * ((CAST(tf.dl AS DOUBLE) * s.n) / s.total))))))
+               AS w
+      FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+    ), p AS (
+      SELECT doc_id,
+             max(CASE WHEN term = 'spark' THEN w END) AS w0,
+             max(CASE WHEN term = 'join' THEN w END) AS w1,
+             max(CASE WHEN term = 'window' THEN w END) AS w2,
+             max(CASE WHEN term = 'stream' THEN w END) AS w3
+      FROM wgt GROUP BY doc_id
+    )
+    SELECT doc_id,
+           (((coalesce(w0, 0.0::DOUBLE) + coalesce(w1, 0.0::DOUBLE))
+             + coalesce(w2, 0.0::DOUBLE)) + coalesce(w3, 0.0::DOUBLE))
+             AS score
+    FROM p ORDER BY score DESC, doc_id LIMIT 25
+    """,
+)
+def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-25 for a 4-term query over the inverted term index.
+    Gate uses the ``rational`` idf (log-free — every op IEEE-basic,
+    bit-identical cross-engine; see operators/retrieval.py); the
+    default log idf is property-tested in tests/test_retrieval.py.
+    Per-term weights pivot to columns and sum in a fixed
+    left-associated expression so the score never depends on SUM()
+    order."""
+    from cdk_datalake_ingest_bigmagic_spark.operators import retrieval as rt
+
+    d = load(spark, sf_dir, "documents")
+    return rt.bm25_search(
+        d,
+        "doc_id",
+        "text",
+        terms=["spark", "join", "window", "stream"],
+        k=25,
+        idf="rational",
+    )

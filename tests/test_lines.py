@@ -1,0 +1,191 @@
+"""Line-level curation (operators/lines.py) and snapshot diff
+(operators/snapshot.py): semantics + pinned plan shapes."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.operators import lines as ln
+from cdk_datalake_ingest_bigmagic_spark.operators.snapshot import snapshot_diff
+
+
+def _plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# split_lines
+# ---------------------------------------------------------------------------
+
+
+def test_split_lines_basic_and_plan(spark):
+    df = _docs(spark, [(1, "alpha\nbeta\n\ngamma"), (2, "solo")])
+    out = ln.split_lines(df, "doc_id", "text").collect()
+    got = {(r.doc_id, r.line_no): r.line for r in out}
+    assert got == {
+        (1, 0): "alpha",
+        (1, 1): "beta",
+        (1, 2): "",
+        (1, 3): "gamma",
+        (2, 0): "solo",
+    }
+    # pure in-row fan-out: the explode shuffles nothing
+    assert "Exchange" not in _plan_of(ln.split_lines(df, "doc_id", "text"))
+
+
+# ---------------------------------------------------------------------------
+# line_quality_flags
+# ---------------------------------------------------------------------------
+
+
+def test_line_quality_rules(spark):
+    rows = [
+        (1, 0, "this line has enough words and ends well."),
+        (1, 1, "too short."),
+        (1, 2, "this line has enough words but no terminal punctuation"),
+        (1, 3, "this line mentions javascript somewhere inside it."),
+        (1, 4, "this line contains a { curly brace marker."),
+        (1, 5, 'a quoted ending also counts as terminal here she said."'),
+        (1, 6, "Please accept our Cookie Policy before you continue."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, line_no long, line string")
+    out = {r.line_no: r for r in ln.line_quality_flags(df).collect()}
+    assert out[0].line_kept
+    assert out[1].is_short and not out[1].line_kept
+    assert out[2].is_no_punct and not out[2].line_kept
+    assert out[3].has_blocklist and not out[3].line_kept
+    assert out[4].has_brace and not out[4].line_kept
+    assert out[5].line_kept
+    # case-insensitive blocklist
+    assert out[6].has_blocklist and not out[6].line_kept
+    assert "Exchange" not in _plan_of(ln.line_quality_flags(df))
+
+
+# ---------------------------------------------------------------------------
+# dedup_lines
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_lines_first_occurrence_wins(spark):
+    dup = "this exact navigation line repeats across documents"
+    rows = [
+        (2, 0, dup),
+        (1, 5, dup),
+        (1, 0, "a unique first line that is long enough to dedup"),
+        (3, 1, dup),
+        (3, 0, "home"),  # short: exempt, always kept
+        (4, 0, "home"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, line_no long, line string")
+    out = ln.dedup_lines(df, "doc_id", "line_no", "line", min_chars=20)
+    kept = {(r.doc_id, r.line_no): r.line_kept for r in out.collect()}
+    # smallest (doc_id, line_no) copy of the duplicated line survives
+    assert kept[(1, 5)] and not kept[(2, 0)] and not kept[(3, 1)]
+    assert kept[(1, 0)]
+    # short lines bypass the dedup entirely
+    assert kept[(3, 0)] and kept[(4, 0)]
+    # no rows dropped — callers count removals from the flag
+    assert len(kept) == len(rows)
+
+
+def test_dedup_lines_plan_is_agg_join_not_window(spark):
+    df = spark.createDataFrame(
+        [(1, 0, "x" * 30)], "doc_id long, line_no long, line string"
+    )
+    plan = _plan_of(ln.dedup_lines(df, "doc_id", "line_no", "line"))
+    # the skew-tolerant shape: a map-side-combinable aggregation
+    # (partial_min runs before the exchange) plus one equi-join —
+    # never a global window sort over the digest
+    assert "Window" not in plan
+    assert "partial_min" in plan
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+# ---------------------------------------------------------------------------
+# rebuild_documents
+# ---------------------------------------------------------------------------
+
+
+def test_rebuild_documents_order_and_counts(spark):
+    rows = [
+        (1, 2, "third", True),
+        (1, 0, "first", True),
+        (1, 1, "dropped", False),
+        (2, 0, "gone", False),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, line_no long, line string, line_kept boolean"
+    )
+    out = {r.doc_id: r for r in ln.rebuild_documents(df, "doc_id").collect()}
+    assert out[1].text == "first\nthird"
+    assert (out[1].n_lines, out[1].n_kept, out[1].n_dropped) == (3, 2, 1)
+    # a fully-dropped document still lands (empty-result semantics)
+    assert out[2].text == "" and out[2].n_kept == 0 and out[2].n_dropped == 1
+
+
+def test_line_pipeline_end_to_end(spark):
+    """split -> quality -> global dedup -> rebuild composes."""
+    boiler = "please enable essential services to continue browsing now."
+    docs = _docs(
+        spark,
+        [
+            (1, f"real prose sentence number one stands here.\n{boiler}"),
+            (2, f"{boiler}\nanother real prose sentence stands here too."),
+        ],
+    )
+    split = ln.split_lines(docs, "doc_id", "text")
+    flagged = ln.line_quality_flags(split).filter("line_kept").select(
+        "doc_id", "line_no", "line"
+    )
+    deduped = ln.dedup_lines(flagged, "doc_id", "line_no", "line")
+    rebuilt = {
+        r.doc_id: r.text
+        for r in ln.rebuild_documents(deduped, "doc_id").collect()
+    }
+    assert rebuilt[1] == (
+        "real prose sentence number one stands here.\n" + boiler
+    )
+    # doc 2 lost its copy of the boilerplate line to doc 1's
+    assert rebuilt[2] == "another real prose sentence stands here too."
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_statuses(spark):
+    old = _docs(spark, [(1, "same"), (2, "will change"), (3, "goes away")])
+    new = _docs(spark, [(1, "same"), (2, "changed now"), (4, "brand new")])
+    out = {r.doc_id: r for r in snapshot_diff(old, new, "doc_id", "text").collect()}
+    assert out[1].status == "unchanged"
+    assert out[2].status == "changed"
+    assert out[3].status == "removed" and out[3].new_digest is None
+    assert out[4].status == "added" and out[4].old_digest is None
+
+
+def test_snapshot_diff_shuffles_digests_not_text(spark):
+    old = _docs(spark, [(1, "a")])
+    new = _docs(spark, [(1, "b")])
+    plan = _plan_of(snapshot_diff(old, new, "doc_id", "text"))
+    # the join carries (id, 32-hex digest) only: the text column is
+    # projected away before every exchange
+    import re
+
+    exchange_inputs = re.findall(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan
+    )
+    assert exchange_inputs, plan
+    assert all("text#" not in inp for inp in exchange_inputs), exchange_inputs

@@ -1,0 +1,127 @@
+"""BM25 retrieval (operators/retrieval.py): index semantics, scorer
+parity with a pure-Python reference, determinism, plan shape."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import math
+
+import pytest
+
+from cdk_datalake_ingest_bigmagic_spark.operators import retrieval as rt
+
+
+def _plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+CORPUS = [
+    (1, "spark join spark window"),
+    (2, "join join join stream table"),
+    (3, "window window window window window window"),
+    (4, "nothing relevant here at all"),
+    (5, "spark stream spark stream spark stream"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+def test_term_index_tf_and_dl(docs):
+    idx = {
+        (r.doc_id, r.term): (r.tf, r.dl)
+        for r in rt.term_index(docs, "doc_id", "text").collect()
+    }
+    assert idx[(1, "spark")] == (2, 4)
+    assert idx[(2, "join")] == (3, 5)
+    assert idx[(3, "window")] == (6, 6)
+    assert (4, "spark") not in idx
+
+
+def test_corpus_stats(docs):
+    n, total = rt.corpus_stats(docs, "text")
+    assert n == 5
+    assert total == 4 + 5 + 6 + 5 + 6
+
+
+def _py_bm25(terms, k1=1.2, b=0.75, idf="lucene"):
+    """Row-at-a-time reference implementation."""
+    toks = {d: t.split() for d, t in CORPUS}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = {
+        q: sum(1 for t in toks.values() if q in t)
+        for q in terms
+    }
+    scores = {}
+    for d, t in toks.items():
+        s = 0.0
+        for q in terms:
+            tf = t.count(q)
+            if tf == 0 or df[q] == 0:
+                continue
+            if idf == "lucene":
+                w = math.log(1.0 + (n - df[q] + 0.5) / (df[q] + 0.5))
+            else:
+                w = (2.0 * n - 2.0 * df[q] + 1.0) / (2.0 * df[q] + 1.0)
+            s += w * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * len(t) / avgdl)
+            )
+        scores[d] = s
+    return scores
+
+
+@pytest.mark.parametrize("idf", ["lucene", "rational"])
+def test_bm25_matches_python_reference(docs, idf):
+    terms = ["spark", "join", "window"]
+    got = {
+        r.doc_id: r.score
+        for r in rt.bm25_search(
+            docs, "doc_id", "text", terms, k=10, idf=idf
+        ).collect()
+    }
+    want = _py_bm25(terms, idf=idf)
+    for d, s in got.items():
+        assert s == pytest.approx(want[d], rel=1e-12), (d, idf)
+    # ranking agrees with the reference
+    want_rank = sorted(want, key=lambda d: (-want[d], d))[: len(got)]
+    got_rank = sorted(got, key=lambda d: (-got[d], d))
+    assert got_rank == want_rank
+
+
+def test_bm25_topk_limit_and_tiebreak(spark):
+    # identical documents tie exactly; the lower id wins the boundary
+    docs = spark.createDataFrame(
+        [(i, "spark spark other words") for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = rt.bm25_search(docs, "doc_id", "text", ["spark"], k=3).collect()
+    assert [r.doc_id for r in out] == [0, 1, 2]
+
+
+def test_bm25_no_hits_is_empty(docs):
+    out = rt.bm25_search(docs, "doc_id", "text", ["absentterm"], k=5)
+    assert out.count() == 0
+
+
+def test_bm25_rejects_unknown_idf(docs):
+    idx = rt.term_index(docs, "doc_id", "text")
+    with pytest.raises(ValueError):
+        rt.bm25_topk(idx, "doc_id", ["spark"], 5, 5, 26, idf="nope")
+
+
+def test_bm25_plan_shape(docs):
+    """df-broadcast, no cartesian, bounded exchanges: index groupBy,
+    df agg, pivot groupBy, TakeOrdered."""
+    df = rt.bm25_search(docs, "doc_id", "text", ["spark", "join"], k=5)
+    plan = _plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan  # the tiny per-term df table
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "TakeOrderedAndProject" in plan  # distributed top-k, no window

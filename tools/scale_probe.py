@@ -401,7 +401,43 @@ def main() -> None:
         # nightly job pays — fresh work dir per invocation so --warm
         # measures recompute, not manifest resume
         "pipeline": (n_docs, lambda: _pipeline(docs)),
+        # round 6: global line dedup (the highest-volume curation
+        # pass — synthesized 8-word lines, suffixed replicas keep the
+        # within-replica dup structure constant per replica so winner
+        # groups grow linearly) and BM25 over the inverted index
+        # (suffixes stripped so query-term posting lists grow
+        # linearly with the corpus — the regime a retrieval probe
+        # must stress)
+        "line_dedup": (n_docs, lambda: _line_dedup(docs)),
+        "bm25": (n_docs, lambda: _bm25(docs)),
     }
+
+    def _line_dedup(d):
+        from cdk_datalake_ingest_bigmagic_spark.operators import lines as ln_ops
+        from cdk_datalake_ingest_bigmagic_spark.operators.chunking import (
+            chunk_windows,
+        )
+
+        synth = chunk_windows(d, "doc_id", "text", chunk=8, stride=8).select(
+            "doc_id",
+            F.col("chunk_id").alias("line_no"),
+            F.col("chunk_text").alias("line"),
+        )
+        deduped = ln_ops.dedup_lines(
+            synth, "doc_id", "line_no", "line", min_chars=20
+        )
+        return ln_ops.rebuild_documents(deduped, "doc_id")
+
+    def _bm25(d):
+        from cdk_datalake_ingest_bigmagic_spark.operators import retrieval as rt
+
+        stripped = d.withColumn(
+            "text", F.translate(F.col("text"), "0123456789_", "")
+        )
+        return rt.bm25_search(
+            stripped, "doc_id", "text",
+            ["spark", "join", "window", "stream"], k=25,
+        )
 
     def _training_prep(d):
         from pyspark.sql import functions as F
@@ -521,6 +557,8 @@ def main() -> None:
     #: hashing their (large) pair outputs would bill output
     #: materialization the operator itself never promises.
     FORCE_ALL_COLUMNS = {"chunking", "packing", "rare_tokens",
+                         # the rebuilt per-doc text is a projection
+                         "line_dedup",
                          "span_trim", "repetition_filter",
                          "training_prep",
                          # shard positions are a window PROJECTION (an
