@@ -1,0 +1,204 @@
+"""Count-based bigram language model: train on the corpus, score
+documents by mean token surprisal.
+
+The strongest cheap quality signal after heuristic ratios is "how
+predictable is this text under a language model trained on the corpus
+itself" (the CCNet/Gopher-style perplexity filter, usually run with
+KenLM). A count-based bigram LM with add-k smoothing and unigram
+backoff captures the same ordering signal with pure DataFrame ops —
+no external model artifact, fully distributed.
+
+Scale shape:
+
+- ``train_bigram_lm``: one explode + two map-side-combinable counts.
+  The bigram table is capped at ``max_bigrams`` rows by global count
+  (distributed TakeOrdered — never a single-partition window); below
+  the cap the model backs off to unigrams, which bounds the model
+  size independently of corpus size (Heaps-law vocabularies grow
+  without bound; the cap is what makes the 100-TB train finite).
+- ``surprisal_score``: explode each document's bigrams, join the
+  capped model (broadcast when it fits, AQE otherwise), one per-doc
+  re-aggregation. Three shuffles total, all on bounded-width keys.
+
+Probability math runs in log2 space (Spark-side only — ``log`` is
+not bit-reproducible across engines, so the correctness gate for this
+operator is the integer count/backoff columns plus pytest parity with
+a pure-Python reference, not a cross-engine float hash).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.operators import barrier, fan_out
+
+
+@dataclass
+class BigramLM:
+    """Trained model: capped bigram counts, full unigram counts, and
+    the scalars smoothing needs."""
+
+    bigrams: DataFrame  # (w1, w2, big_count)
+    unigrams: DataFrame  # (w1, uni_count)
+    vocab_size: int
+    total_tokens: int
+    k: float  # add-k smoothing mass
+    max_bigrams: int  # the training cap (bounds the bigram table)
+
+
+def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    return (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col), F.posexplode(words).alias("pos", "w"))
+    )
+
+
+def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) pairs of adjacent tokens — an in-row zip of the
+    token array against its own tail, then one explode (no
+    self-join). The token array sits behind ``barrier()`` so the
+    transform lambda's repeated ``__w[i + 1]`` subscripts can never
+    re-run the split per element (the interpreted-HOF pathology
+    ``operators.barrier`` documents)."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    pairs = F.expr(
+        "transform(slice(__w, 1, greatest(size(__w) - 1, 0)), "
+        "(x, i) -> struct(x as w1, __w[i + 1] as w2))"
+    )
+    return (
+        barrier(
+            fan_out(
+                df.filter(F.trim(F.col(text_col)) != "").select(
+                    F.col(id_col), words.alias("__w")
+                )
+            )
+        )
+        .select(F.col(id_col), F.explode(pairs).alias("__p"))
+        .select(F.col(id_col), F.col("__p.w1"), F.col("__p.w2"))
+    )
+
+
+def train_bigram_lm(
+    df: DataFrame,
+    text_col: str,
+    max_bigrams: int = 1_000_000,
+    k: float = 0.5,
+) -> BigramLM:
+    """Count unigrams and (capped) bigrams over the corpus.
+
+    The bigram table keeps the globally most frequent ``max_bigrams``
+    pairs (ties broken lexically, so the cap is deterministic);
+    everything below the cap is served by the unigram backoff at
+    score time. Unigrams are kept in full — vocabulary grows far
+    slower than bigram inventory, and the scorer needs every w1's
+    continuation mass.
+    """
+    tmp = df.select(F.monotonically_increasing_id().alias("__id"), text_col)
+    uni = (
+        _tokens(tmp, "__id", text_col)
+        .groupBy(F.col("w").alias("w1"))
+        .agg(F.count(F.lit(1)).alias("uni_count"))
+    )
+    big = (
+        _doc_bigrams(tmp, "__id", text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("big_count"))
+        .orderBy(F.desc("big_count"), "w1", "w2")
+        .limit(max_bigrams)
+    )
+    totals = uni.agg(
+        F.count(F.lit(1)).alias("v"), F.sum("uni_count").alias("t")
+    ).first()
+    return BigramLM(
+        bigrams=big,
+        unigrams=uni,
+        vocab_size=int(totals["v"]),
+        total_tokens=int(totals["t"]),
+        k=k,
+        max_bigrams=max_bigrams,
+    )
+
+
+#: Above this many model rows the join side stops being broadcast and
+#: AQE picks the strategy — a Heaps-law vocabulary over 100 TB does
+#: not fit in executor memory (the counted-cap-or-shuffle-fallback
+#: rule every broadcast in this package follows).
+BROADCAST_ROW_LIMIT = 4_000_000
+
+
+def surprisal_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lm: BigramLM,
+    broadcast_row_limit: int = BROADCAST_ROW_LIMIT,
+) -> DataFrame:
+    """Mean bigram surprisal per document (bits/token transition).
+
+    P(w2|w1) = (big_count + k) / (uni_count(w1) + k·V) when the
+    bigram survived the training cap, else backoff
+    P(w2) = (uni_count(w2) + k) / (T + k·V) — unseen tokens get the
+    pure-smoothing floor. surprisal = -log2 P, averaged over the
+    document's transitions. Low = fluent/duplicative, high =
+    garbled/rare — the corpus-relative quality axis.
+
+    Returns (id, n_transitions, n_backoff, mean_surprisal). The two
+    integer columns are the cross-engine-checkable core; the float is
+    Spark-side log math.
+    """
+    v = float(lm.vocab_size)
+    t = float(lm.total_tokens)
+    k = float(lm.k)
+    pairs = _doc_bigrams(df, id_col, text_col)
+
+    # size-guarded broadcast: both model tables have KNOWN row counts
+    # from training (the bigram cap; the unigram vocab_size scalar),
+    # so the guard costs no extra job
+    def _hint(model_df: DataFrame, rows: int) -> DataFrame:
+        return F.broadcast(model_df) if rows <= broadcast_row_limit else model_df
+
+    big_side = _hint(lm.bigrams, min(lm.max_bigrams, lm.vocab_size**2))
+    uni_rows = lm.vocab_size
+    j = (
+        pairs.join(big_side, ["w1", "w2"], "left")
+        .join(
+            _hint(lm.unigrams.select("w1", "uni_count"), uni_rows),
+            "w1",
+            "left",
+        )
+        .join(
+            _hint(
+                lm.unigrams.select(
+                    F.col("w1").alias("w2"), F.col("uni_count").alias("__u2")
+                ),
+                uni_rows,
+            ),
+            "w2",
+            "left",
+        )
+    )
+    seen = F.col("big_count").isNotNull() & F.col("uni_count").isNotNull()
+    p_big = (F.col("big_count").cast("double") + F.lit(k)) / (
+        F.col("uni_count").cast("double") + F.lit(k * v)
+    )
+    p_back = (
+        F.coalesce(F.col("__u2").cast("double"), F.lit(0.0)) + F.lit(k)
+    ) / F.lit(t + k * v)
+    surprisal = -F.log2(F.when(seen, p_big).otherwise(p_back))
+    return (
+        j.select(
+            F.col(id_col),
+            (~seen).cast("long").alias("__backoff"),
+            surprisal.alias("__s"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.sum("__backoff").alias("n_backoff"),
+            F.avg("__s").alias("mean_surprisal"),
+        )
+    )

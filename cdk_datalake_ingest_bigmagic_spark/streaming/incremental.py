@@ -130,3 +130,48 @@ def stream_corpus_clean(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_term_index(
+    spark: SparkSession,
+    docs_path: str,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+):
+    """Incremental inverted-index maintenance — the streaming twin of
+    ``operators.retrieval.term_index``.
+
+    The term index is ADDITIVE under new-document appends: a new doc
+    contributes its own (id, term, tf, dl) postings and touches no
+    existing row, so each micro-batch simply appends its batch-local
+    index (one tokenize + one map-side-combinable aggregation over
+    the batch — never a read-modify-write of the accumulated index).
+    The checkpointed file log guarantees each document file is indexed
+    exactly once across runs; ``operators.retrieval.bm25_topk`` reads
+    the accumulated directory directly. Deletions/updates are the
+    snapshot-diff path: re-land the affected ids via
+    ``operators.snapshot.snapshot_diff`` and rebuild their postings —
+    at 100 TB the continuous case is append-dominated and this stream
+    keeps the index warm between full rebuilds.
+    """
+    from cdk_datalake_ingest_bigmagic_spark.operators.retrieval import term_index
+
+    schema = spark.read.parquet(docs_path).schema
+    stream = spark.readStream.schema(schema).parquet(docs_path)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        term_index(batch_df, id_col, text_col).write.mode("append").parquet(
+            index_path
+        )
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

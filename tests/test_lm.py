@@ -1,0 +1,152 @@
+"""Bigram LM surprisal (operators/lm.py): training counts, scoring
+parity with a pure-Python reference, cap/backoff semantics, plan
+shape."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import math
+
+import pytest
+
+from cdk_datalake_ingest_bigmagic_spark.operators import lm as lm_ops
+
+
+def _plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+CORPUS = [
+    (1, "the cat sat on the mat"),
+    (2, "the cat ran on the road"),
+    (3, "a dog sat on a log"),
+    (4, "completely novel gibberish tokens zxqv wvut"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def model(docs):
+    return lm_ops.train_bigram_lm(docs, "text", max_bigrams=1000, k=0.5)
+
+
+def _py_counts():
+    uni: dict[str, int] = {}
+    big: dict[tuple[str, str], int] = {}
+    for _, t in CORPUS:
+        toks = t.split()
+        for w in toks:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    return uni, big
+
+
+def test_training_counts(model):
+    uni, big = _py_counts()
+    got_uni = {r.w1: r.uni_count for r in model.unigrams.collect()}
+    got_big = {(r.w1, r.w2): r.big_count for r in model.bigrams.collect()}
+    assert got_uni == uni
+    assert got_big == big
+    assert model.vocab_size == len(uni)
+    assert model.total_tokens == sum(uni.values())
+
+
+def test_surprisal_matches_python_reference(docs, model):
+    uni, big = _py_counts()
+    v, t, k = len(uni), sum(uni.values()), 0.5
+
+    def py_score(text):
+        toks = text.split()
+        ss, backoffs = [], 0
+        for a, b in zip(toks, toks[1:]):
+            if (a, b) in big:
+                p = (big[(a, b)] + k) / (uni[a] + k * v)
+            else:
+                backoffs += 1
+                p = (uni.get(b, 0) + k) / (t + k * v)
+            ss.append(-math.log2(p))
+        return len(ss), backoffs, sum(ss) / len(ss)
+
+    got = {
+        r.doc_id: r
+        for r in lm_ops.surprisal_score(docs, "doc_id", "text", model).collect()
+    }
+    for d, text in CORPUS:
+        n, nb, s = py_score(text)
+        assert got[d].n_transitions == n
+        assert got[d].n_backoff == nb
+        assert got[d].mean_surprisal == pytest.approx(s, rel=1e-12)
+    # the fluent docs score lower than the gibberish one
+    assert got[1].mean_surprisal < got[4].mean_surprisal
+    assert got[2].mean_surprisal < got[4].mean_surprisal
+
+
+def test_bigram_cap_forces_backoff(docs):
+    """A cap below the bigram inventory keeps only the most frequent
+    pairs; everything else scores through the unigram backoff."""
+    capped = lm_ops.train_bigram_lm(docs, "text", max_bigrams=2, k=0.5)
+    kept = {(r.w1, r.w2) for r in capped.bigrams.collect()}
+    _, big = _py_counts()
+    top2 = sorted(big, key=lambda p: (-big[p], p))[:2]
+    assert kept == set(top2)
+    scored = {
+        r.doc_id: r
+        for r in lm_ops.surprisal_score(docs, "doc_id", "text", capped).collect()
+    }
+    # every transition outside the kept two is a backoff
+    total_backoff = sum(r.n_backoff for r in scored.values())
+    total_trans = sum(r.n_transitions for r in scored.values())
+    total_kept_uses = sum(big[p] for p in top2)
+    assert total_backoff == total_trans - total_kept_uses
+
+
+def test_large_model_skips_broadcast(spark, docs, model):
+    """The size guard: a row limit below the model size removes every
+    broadcast HINT, so an over-threshold model can never be forced
+    into executor memory (with auto-broadcast disabled the joins
+    become shuffle joins; with it on, AQE still gets to choose)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = lm_ops.surprisal_score(
+            docs, "doc_id", "text", model, broadcast_row_limit=0
+        )
+        plan = _plan_of(df)
+        assert "BroadcastExchange" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # and the result is identical to the broadcast route
+    a = {
+        (r.doc_id, r.n_transitions, r.n_backoff, round(r.mean_surprisal, 9))
+        for r in df.collect()
+    }
+    b = {
+        (r.doc_id, r.n_transitions, r.n_backoff, round(r.mean_surprisal, 9))
+        for r in lm_ops.surprisal_score(docs, "doc_id", "text", model).collect()
+    }
+    assert a == b
+
+
+def test_surprisal_plan_shape(docs, model):
+    df = lm_ops.surprisal_score(docs, "doc_id", "text", model)
+    plan = _plan_of(df)
+    assert "CartesianProduct" not in plan
+    # model joins broadcast under the default limit, so the CORPUS
+    # side flows shuffle-free into the final per-doc re-aggregation:
+    # exactly one exchange partitions on the document id. The
+    # remaining exchanges live inside the (bounded) model-training
+    # subtrees the broadcast sides carry.
+    assert plan.count("hashpartitioning(doc_id") == 1
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 5

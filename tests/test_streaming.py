@@ -134,3 +134,52 @@ def test_streaming_tumbling_matches_batch(spark, tmp_path):
     q.awaitTermination()
     streamed = {tuple(r) for r in spark.sql("SELECT * FROM tumbling_test").collect()}
     assert streamed == batch
+
+
+def test_stream_term_index_incremental(spark, tmp_path):
+    """Incremental inverted-index maintenance: each run indexes only
+    NEW document files; the accumulated index equals a from-scratch
+    batch build over the full corpus, and BM25 runs straight off it."""
+    from cdk_datalake_ingest_bigmagic_spark.operators import retrieval as rt
+    from cdk_datalake_ingest_bigmagic_spark.streaming.incremental import (
+        stream_term_index,
+    )
+
+    docs = str(tmp_path / "docs")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    batch1 = spark.createDataFrame(
+        [(1, "spark join spark window"), (2, "join stream table")], schema
+    )
+    batch1.write.parquet(docs)
+    stream_term_index(spark, docs, index, ckpt).awaitTermination()
+
+    batch2 = spark.createDataFrame(
+        [(3, "window window spark")], schema
+    )
+    batch2.write.mode("append").parquet(docs)
+    stream_term_index(spark, docs, index, ckpt).awaitTermination()
+
+    all_docs = spark.read.parquet(docs)
+    want = {
+        (r.doc_id, r.term): (r.tf, r.dl)
+        for r in rt.term_index(all_docs, "doc_id", "text").collect()
+    }
+    got = {
+        (r.doc_id, r.term): (r.tf, r.dl)
+        for r in spark.read.parquet(index).collect()
+    }
+    assert got == want  # exactly-once: no posting missing or doubled
+
+    # a third run with nothing new appends nothing
+    stream_term_index(spark, docs, index, ckpt).awaitTermination()
+    assert spark.read.parquet(index).count() == len(want)
+
+    # the accumulated index serves search directly
+    n, total = rt.corpus_stats(all_docs, "text")
+    top = rt.bm25_topk(
+        spark.read.parquet(index), "doc_id", ["spark"], 3, n, total
+    ).collect()
+    assert [r.doc_id for r in top] == [1, 3]

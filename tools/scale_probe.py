@@ -410,7 +410,17 @@ def main() -> None:
         # must stress)
         "line_dedup": (n_docs, lambda: _line_dedup(docs)),
         "bm25": (n_docs, lambda: _bm25(docs)),
+        # bigram-LM surprisal: suffixed replicas grow the vocabulary
+        # ~linearly with N, stressing the bigram cap + unigram
+        # backoff joins exactly as a growing real corpus would
+        "lm_surprisal": (n_docs, lambda: _lm_surprisal(docs)),
     }
+
+    def _lm_surprisal(d):
+        from cdk_datalake_ingest_bigmagic_spark.operators import lm as lm_ops
+
+        model = lm_ops.train_bigram_lm(d, "text", max_bigrams=200_000, k=0.5)
+        return lm_ops.surprisal_score(d, "doc_id", "text", model)
 
     def _line_dedup(d):
         from cdk_datalake_ingest_bigmagic_spark.operators import lines as ln_ops
@@ -559,6 +569,9 @@ def main() -> None:
     FORCE_ALL_COLUMNS = {"chunking", "packing", "rare_tokens",
                          # the rebuilt per-doc text is a projection
                          "line_dedup",
+                         # mean_surprisal is an agg projection a bare
+                         # count() would prune
+                         "lm_surprisal",
                          "span_trim", "repetition_filter",
                          "training_prep",
                          # shard positions are a window PROJECTION (an
