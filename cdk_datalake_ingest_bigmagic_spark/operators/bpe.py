@@ -252,3 +252,54 @@ def bpe_vocab(merges: list[tuple[str, str]]) -> list[str]:
         chr(c) for c in range(ord("0"), ord("9") + 1)
     ]
     return base + [a + b for a, b in merges]
+
+
+def fertility_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    merges: list[tuple[str, str]],
+    tier: str = "auto",
+) -> DataFrame:
+    """Per-source tokenizer fertility: the observability report that
+    decides whether a tokenizer fits a corpus before a training run
+    commits to it.
+
+    fertility = subword tokens per whitespace word (≈1 on in-domain
+    prose, inflating on code/foreign-script/garbled sources);
+    chars_per_token = the compression the context window actually
+    gets. Both are single IEEE divisions of exact integer sums, so
+    the report is cross-engine gate-able alongside the encode itself.
+
+    One encode pass + one join on the document key + one small
+    aggregation on the source key. Returns (source, n_docs, n_words,
+    n_tokens, n_chars, fertility, chars_per_token).
+    """
+    enc = bpe_encode(df, id_col, text_col, merges, tier=tier)
+    norm = _normalize(F.col(text_col))
+    words = F.when(norm == "", F.lit(0)).otherwise(F.size(F.split(norm, r"\s+")))
+    base = df.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        words.cast("long").alias("__w"),
+        F.length(norm).cast("long").alias("__c"),
+    )
+    joined = base.join(enc.select(id_col, "n_tokens"), id_col, "left")
+    agg = joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__w").alias("n_words"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("n_tokens"),
+        F.sum("__c").alias("n_chars"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_words",
+        "n_tokens",
+        "n_chars",
+        (F.col("n_tokens").cast("double") / F.col("n_words").cast("double"))
+        .alias("fertility"),
+        (F.col("n_chars").cast("double") / F.col("n_tokens").cast("double"))
+        .alias("chars_per_token"),
+    )

@@ -20,6 +20,11 @@ Scale shape:
   capped model (broadcast when it fits, AQE otherwise), one per-doc
   re-aggregation. Three shuffles total, all on bounded-width keys.
 
+Reference parity: none — the reference has no text-quality tier;
+beyond-parity per the build brief (published analogues: CCNet's
+KenLM perplexity filter, Wenzek et al. 2020; Gopher's quality
+pipeline, Rae et al. 2021).
+
 Probability math runs in log2 space (Spark-side only — ``log`` is
 not bit-reproducible across engines, so the correctness gate for this
 operator is the integer count/backoff columns plus pytest parity with

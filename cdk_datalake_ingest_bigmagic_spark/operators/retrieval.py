@@ -21,6 +21,11 @@ Scale shape — the two-phase split is the whole point:
   document, and takes the global top-k with ``orderBy().limit(k)`` —
   Spark's distributed TakeOrdered, never a single-partition window.
 
+Reference parity: the reference engine has no retrieval tier (its
+query surface is generated SQL over JDBC extractions,
+utils/extract_data_v2); this module is part of the beyond-parity
+LLM-pipeline tier the build brief asks for.
+
 Cross-engine determinism: IEEE basic ops (+,-,*,/) are correctly
 rounded and bit-reproducible across engines, but ``ln`` is not. The
 default ``idf='lucene'`` uses the standard log idf (property-tested

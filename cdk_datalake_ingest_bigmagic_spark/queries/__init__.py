@@ -97,15 +97,25 @@ from cdk_datalake_ingest_bigmagic_spark.queries import events  # noqa: E402,F401
 #       dedup_incremental_novelty and contamination_ngram_overlap;
 #       events_user_similarity rides the similarity module's SRP
 #       path.
-#   (4) early rotation of 3 round-4 greens (cheap relational ones) so
-#       round 7's obligation is 33 r4 re-gates, not 36 — the window
-#       math the r5 tripwire failure taught (five early slots were
-#       given back to the second-wave new queries).
-#   Out of window: 51 queries, every one an unchanged green from
+#   (4) the three early-rotation slots originally given to cheap
+#       round-4 relational greens were handed to the second-wave
+#       line/retrieval queries instead (see below), so those three
+#       r4 greens rejoin the r4 re-gate obligation.
+#   Out of window: 54 queries, every one an unchanged green from
 #   round 4 or 5 (ceiling: current-2 = 4) — enforced by
 #   tests/test_gate_rotation.py, whose current-round computation now
 #   tolerates the driver dropping CORRECTNESS_r06 after the final
 #   commit.
+#
+#   ROUND-7 WINDOW MATH (pre-computed so round 7 starts solved):
+#   obligation = 36 re-gates whose newest green will be r4
+#   (scan_projection, synthetic_id, filter_month_window + the 33
+#   r4-only greens) + new registrations for the round-6 pytest-only
+#   operators (snapshot_diff and lm_surprisal have deterministic
+#   integer/md5 gate columns; stream_term_index is streaming-only and
+#   stays pytest) + riders of whatever round 7 touches. 36 + 2 = 38
+#   fixed slots → at most 12 rider/new slots: keep round-7 operator
+#   changes in NEW modules unless their riders are already in the 36.
 _GATE_FRONT: list[str] = [
     # (1) red last round (oracle type artifact, CAST landed) / new
     "pack_sequences",

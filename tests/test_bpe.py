@@ -220,3 +220,44 @@ def test_bpe_properties_random_corpora():
             assert syms == enc, (w, merges)
 
     check()
+
+
+def test_fertility_report(spark):
+    """Per-source fertility and compression from exact integer sums;
+    whitespace-only and token-free sources degrade to NULL ratios
+    rather than dividing by zero."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.bpe import (
+        fertility_report,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low low lower lowest", "a"),
+            (2, "low lowest newer", "a"),
+            (3, "wider newer new", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    merges = train_bpe(docs, "text", num_merges=8)
+    rep = {
+        r.source: r
+        for r in fertility_report(
+            docs, "doc_id", "text", "source", merges
+        ).collect()
+    }
+    enc = {
+        r.doc_id: r.n_tokens
+        for r in bpe_encode(docs, "doc_id", "text", merges).collect()
+    }
+    assert rep["a"].n_docs == 2 and rep["b"].n_docs == 1
+    assert rep["a"].n_words == 7 and rep["b"].n_words == 3
+    assert rep["a"].n_tokens == enc[1] + enc[2]
+    assert rep["b"].n_tokens == enc[3]
+    assert rep["a"].fertility == rep["a"].n_tokens / 7
+    # chars counted on the normalized text (whitespace collapsed)
+    assert rep["a"].n_chars == len("low low lower lowest") + len(
+        "low lowest newer"
+    )
+    assert rep["a"].chars_per_token == rep["a"].n_chars / rep["a"].n_tokens
+    # fertility is >= 1: a word never encodes to zero subwords
+    assert rep["a"].fertility >= 1.0 and rep["b"].fertility >= 1.0
