@@ -57,3 +57,87 @@ def snapshot_diff(
         "old_digest",
         "new_digest",
     )
+
+
+def carry_forward_decisions(
+    diff: DataFrame,
+    prior: DataFrame,
+    id_col: str,
+    decision_col: str = "keep",
+) -> DataFrame:
+    """Reuse the previous run's curation decisions across a re-land.
+
+    ``diff`` is ``snapshot_diff``'s output; ``prior`` carries the last
+    run's per-document decision (keep flags, cluster labels, quality
+    scores — any column named ``decision_col``). Unchanged documents
+    inherit their prior decision without re-running dedup/curation —
+    at 100 TB that is the overwhelming majority of every snapshot, so
+    this join IS the cost model that makes nightly re-curation
+    feasible. Changed and added documents come back with a NULL
+    decision (``needs_decision`` true) for the incremental path
+    (``dedup_incremental_novelty`` / the streaming clean) to fill;
+    removed documents are dropped here — they have no row in the new
+    snapshot to decide about.
+
+    One equi-join on the document key, decision payload only (the
+    digests are already in ``diff``).
+    """
+    j = diff.filter(F.col("status") != "removed").join(
+        prior.select(F.col(id_col), F.col(decision_col)),
+        id_col,
+        "left",
+    )
+    carried = F.when(F.col("status") == "unchanged", F.col(decision_col))
+    return j.select(
+        F.col(id_col),
+        F.col("status"),
+        carried.alias(decision_col),
+        carried.isNull().alias("needs_decision"),
+    )
+
+
+def drift_report(
+    old: DataFrame,
+    new: DataFrame,
+    source_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-source corpus drift between two snapshots — the report that
+    catches a crawler regression (a source silently shrinking,
+    ballooning, or changing shape) before a training run consumes it.
+
+    Two small per-source aggregations (map-side combinable) full-outer
+    joined on the source key; the corpus is never shuffled, only its
+    per-source summaries. Returns counts, token mass, and mean doc
+    length for both sides plus deltas; a vanished or newborn source
+    shows a NULL side rather than being dropped. All columns are
+    integers or single IEEE divisions of integers (cross-engine
+    gate-able).
+    """
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        words = F.split(F.trim(F.col(text_col)), r"\s+")
+        n_words = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(
+            F.size(words)
+        )
+        return df.groupBy(F.col(source_col).alias("source")).agg(
+            F.count(F.lit(1)).alias(f"{tag}_docs"),
+            F.sum(n_words.cast("long")).alias(f"{tag}_words"),
+        )
+
+    j = side(old, "old").join(side(new, "new"), "source", "full_outer")
+    return j.select(
+        "source",
+        "old_docs",
+        "new_docs",
+        "old_words",
+        "new_words",
+        (F.coalesce(F.col("new_docs"), F.lit(0))
+         - F.coalesce(F.col("old_docs"), F.lit(0))).alias("docs_delta"),
+        (F.coalesce(F.col("new_words"), F.lit(0))
+         - F.coalesce(F.col("old_words"), F.lit(0))).alias("words_delta"),
+        (F.col("old_words").cast("double") / F.col("old_docs").cast("double"))
+        .alias("old_mean_words"),
+        (F.col("new_words").cast("double") / F.col("new_docs").cast("double"))
+        .alias("new_mean_words"),
+    )

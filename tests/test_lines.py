@@ -189,3 +189,52 @@ def test_snapshot_diff_shuffles_digests_not_text(spark):
     )
     assert exchange_inputs, plan
     assert all("text#" not in inp for inp in exchange_inputs), exchange_inputs
+
+
+def test_carry_forward_decisions(spark):
+    from cdk_datalake_ingest_bigmagic_spark.operators.snapshot import (
+        carry_forward_decisions,
+    )
+
+    old = _docs(spark, [(1, "same"), (2, "will change"), (3, "goes away")])
+    new = _docs(spark, [(1, "same"), (2, "changed now"), (4, "brand new")])
+    diff = snapshot_diff(old, new, "doc_id", "text")
+    prior = spark.createDataFrame(
+        [(1, True), (2, False), (3, True)], "doc_id long, keep boolean"
+    )
+    out = {
+        r.doc_id: r
+        for r in carry_forward_decisions(diff, prior, "doc_id").collect()
+    }
+    # unchanged: inherits; changed/added: needs a fresh decision
+    assert out[1].keep is True and not out[1].needs_decision
+    assert out[2].keep is None and out[2].needs_decision
+    assert out[4].keep is None and out[4].needs_decision
+    # removed documents have nothing to decide
+    assert 3 not in out
+
+
+def test_drift_report(spark):
+    from cdk_datalake_ingest_bigmagic_spark.operators.snapshot import (
+        drift_report,
+    )
+
+    schema = "doc_id long, text string, source string"
+    old = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "d e", "s1"), (3, "f g h i", "gone")],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [(1, "a b c", "s1"), (4, "j k l m n o", "born")], schema
+    )
+    out = {
+        r.source: r
+        for r in drift_report(old, new, "source", "text").collect()
+    }
+    assert out["s1"].old_docs == 2 and out["s1"].new_docs == 1
+    assert out["s1"].docs_delta == -1 and out["s1"].words_delta == 3 - 5
+    assert out["s1"].old_mean_words == 2.5 and out["s1"].new_mean_words == 3.0
+    # vanished / newborn sources keep their NULL side
+    assert out["gone"].new_docs is None and out["gone"].docs_delta == -1
+    assert out["born"].old_docs is None and out["born"].docs_delta == 1
+    assert out["born"].new_words == 6
