@@ -238,3 +238,40 @@ def test_drift_report(spark):
     assert out["gone"].new_docs is None and out["gone"].docs_delta == -1
     assert out["born"].old_docs is None and out["born"].docs_delta == 1
     assert out["born"].new_words == 6
+
+
+def test_dedup_lines_randomized_vs_python_reference(spark):
+    """Randomized corpora against an independent keep-first reference:
+    for every (doc, line) the Spark flag equals the reference's, under
+    heavy duplication and mixed short/long lines."""
+    import random
+
+    vocab = ["alpha", "beta", "gamma", "delta", "x"]
+    for seed in (7, 23, 91):
+        rng = random.Random(seed)
+        pool = [
+            " ".join(rng.choices(vocab, k=rng.randint(1, 6)))
+            for _ in range(12)
+        ]
+        rows = []
+        for d in range(10):
+            for ln_no in range(rng.randint(1, 8)):
+                rows.append((d, ln_no, rng.choice(pool)))
+        first: dict[str, tuple[int, int]] = {}
+        for d, n, line in sorted(rows):
+            if len(line) >= 10 and line not in first:
+                first[line] = (d, n)
+        want = {
+            (d, n): (len(line) < 10 or first[line] == (d, n))
+            for d, n, line in rows
+        }
+        df = spark.createDataFrame(
+            rows, "doc_id long, line_no long, line string"
+        )
+        got = {
+            (r.doc_id, r.line_no): r.line_kept
+            for r in ln.dedup_lines(
+                df, "doc_id", "line_no", "line", min_chars=10
+            ).collect()
+        }
+        assert got == want, f"seed {seed}"

@@ -150,3 +150,36 @@ def test_surprisal_plan_shape(docs, model):
     import re
 
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 5
+
+
+def test_ccnet_style_perplexity_gate_composition(spark, docs, model):
+    """The CCNet move: keep each source's most-fluent fraction by LM
+    surprisal. surprisal_score plugs straight into percentile_gate
+    as the score column (negated: low surprisal = keep)."""
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_bigmagic_spark.operators.sampling import (
+        percentile_gate,
+    )
+
+    scored = lm_ops.surprisal_score(docs, "doc_id", "text", model).join(
+        docs.select("doc_id"), "doc_id"
+    ).withColumn("fluency", -F.col("mean_surprisal")).withColumn(
+        "src", F.lit("all")
+    )
+    kept = percentile_gate(scored, "doc_id", "fluency", "src", 0.5)
+    kept_ids = {r.doc_id for r in kept.collect()}
+    all_scores = {
+        r.doc_id: r.mean_surprisal
+        for r in lm_ops.surprisal_score(docs, "doc_id", "text", model).collect()
+    }
+    # exactly the lowest-surprisal half survives
+    want = set(
+        sorted(all_scores, key=lambda d: (all_scores[d], d))[
+            : len(kept_ids)
+        ]
+    )
+    assert kept_ids == want
+    assert len(kept_ids) == 2  # ceil/floor per the gate's rule on 4 docs
+    # the gibberish doc is gone
+    assert 4 not in kept_ids

@@ -125,3 +125,54 @@ def test_bm25_plan_shape(docs):
     assert "BroadcastExchange" in plan  # the tiny per-term df table
     assert plan.count("Exchange hashpartitioning") <= 3
     assert "TakeOrderedAndProject" in plan  # distributed top-k, no window
+
+
+@pytest.mark.parametrize("seed", [3, 41])
+def test_bm25_randomized_vs_python_reference(spark, seed):
+    """Randomized corpora: scores and ranking match the row-at-a-time
+    reference for both idf variants, including docs with zero hits
+    and repeated terms."""
+    import math
+    import random
+
+    rng = random.Random(seed)
+    vocab = ["spark", "join", "window", "stream", "table", "row", "agg"]
+    corpus = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(1, 12))))
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    terms = ["spark", "window"]
+    toks = {d: t.split() for d, t in corpus}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    dfreq = {q: sum(1 for t in toks.values() if q in t) for q in terms}
+
+    for idf in ("lucene", "rational"):
+        want = {}
+        for d, t in toks.items():
+            s = 0.0
+            for q in terms:
+                tf = t.count(q)
+                if tf == 0 or dfreq[q] == 0:
+                    continue
+                if idf == "lucene":
+                    w = math.log(1.0 + (n - dfreq[q] + 0.5) / (dfreq[q] + 0.5))
+                else:
+                    w = (2.0 * n - 2.0 * dfreq[q] + 1.0) / (
+                        2.0 * dfreq[q] + 1.0
+                    )
+                s += w * (tf * 2.2) / (
+                    tf + 1.2 * (0.25 + 0.75 * len(t) / avgdl)
+                )
+            if s > 0.0:
+                want[d] = s
+        got = {
+            r.doc_id: r.score
+            for r in rt.bm25_search(
+                docs, "doc_id", "text", terms, k=50, idf=idf
+            ).collect()
+        }
+        assert set(got) == set(want), (seed, idf)
+        for d in want:
+            assert got[d] == pytest.approx(want[d], rel=1e-12), (seed, idf, d)
