@@ -1,0 +1,145 @@
+"""Single-pass data-quality expectations: the corpus-scale
+generalization of the reference's count guards.
+
+The reference branches on record counts before landing a table
+(light_transform.py:1442-1462 count guards; SURVEY §2.4 A3). A
+100-TB ingest wants the same idea widened: before a training run (or
+a stage MERGE) consumes a table, assert the invariants that make it
+usable — row-count bounds, null ratios, key uniqueness, value
+ranges, regex conformance — and get ONE tidy report back.
+
+Design (the Deequ idea, expressed as plain DataFrame ops):
+
+- every check compiles to an aggregate expression over the SAME
+  single aggregation — validating 20 checks costs one corpus pass,
+  not 20 (map-side-combinable; no shuffle beyond the one 1-row agg);
+- the report is data, not exceptions: (check, column, metric, value,
+  threshold, passed) rows a pipeline can land next to its manifest,
+  alert on, or gate a downstream step with;
+- ``referential_orphans`` is the one check that cannot ride the
+  single pass (it needs a second relation): a left-anti join counting
+  child keys with no parent — the FK guard for documents↔embeddings
+  or fact↔dim consistency.
+
+Everything is codegen Column arithmetic on integer counts (single
+IEEE divisions for the ratios), so the report is deterministic
+cross-engine and gate-able.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    """One expectation. ``kind`` decides the metric; ``passed`` is
+    metric ``op`` threshold with op fixed per kind (documented on
+    ``validate``)."""
+
+    kind: str  # row_count_min | row_count_max | null_ratio_max |
+    #            unique_ratio_min | min_value_at_least |
+    #            max_value_at_most | regex_match_ratio_min
+    column: str | None = None
+    threshold: float = 0.0
+    pattern: str | None = None  # regex kinds only
+
+    @property
+    def name(self) -> str:
+        col = self.column or "*"
+        return f"{self.kind}({col})"
+
+
+def _metric(c: Check) -> Column:
+    n = F.count(F.lit(1)).cast("double")
+    if c.kind in ("row_count_min", "row_count_max"):
+        return n
+    col = F.col(c.column)
+    if c.kind == "null_ratio_max":
+        return F.sum(col.isNull().cast("long")).cast("double") / n
+    if c.kind == "unique_ratio_min":
+        return F.count_distinct(col).cast("double") / n
+    if c.kind == "min_value_at_least":
+        return F.min(col).cast("double")
+    if c.kind == "max_value_at_most":
+        return F.max(col).cast("double")
+    if c.kind == "regex_match_ratio_min":
+        return (
+            F.sum(col.rlike(c.pattern).cast("long")).cast("double") / n
+        )
+    raise ValueError(f"unknown check kind: {c.kind}")
+
+
+_PASS_OP = {
+    "row_count_min": ">=",
+    "row_count_max": "<=",
+    "null_ratio_max": "<=",
+    "unique_ratio_min": ">=",
+    "min_value_at_least": ">=",
+    "max_value_at_most": "<=",
+    "regex_match_ratio_min": ">=",
+}
+
+
+def validate(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """Run every check in ONE aggregation pass over ``df``.
+
+    Returns (check, column, metric_value, threshold, passed) — one
+    row per check. ``*_min`` kinds pass when metric >= threshold,
+    ``*_max`` kinds when metric <= threshold. An empty input yields
+    metric NULL for column checks (ratios are 0/0) and the check
+    fails closed — an empty table never validates a non-trivial
+    expectation silently.
+    """
+    if not checks:
+        raise ValueError("validate() needs at least one check")
+    agg = df.agg(
+        *[_metric(c).alias(f"__m{i}") for i, c in enumerate(checks)]
+    )
+    rows = []
+    for i, c in enumerate(checks):
+        m = F.col(f"__m{i}")
+        op = _PASS_OP[c.kind]
+        passed = (m >= F.lit(float(c.threshold))) if op == ">=" else (
+            m <= F.lit(float(c.threshold))
+        )
+        rows.append(
+            F.struct(
+                F.lit(c.name).alias("check"),
+                F.lit(c.column or "*").alias("column"),
+                m.alias("metric_value"),
+                F.lit(float(c.threshold)).alias("threshold"),
+                F.coalesce(passed, F.lit(False)).alias("passed"),
+            )
+        )
+    return (
+        agg.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.*")
+    )
+
+
+def referential_orphans(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str | None = None,
+) -> DataFrame:
+    """Count child rows whose key has no parent — the FK guard.
+
+    One left-anti join on the key (both sides projected to the key
+    column only, so the shuffle carries keys, not rows) plus a 1-row
+    count. Returns (orphan_rows, orphan_keys).
+    """
+    pk = parent_key or child_key
+    orphans = child.select(F.col(child_key)).join(
+        parent.select(F.col(pk).alias(child_key)).distinct(),
+        child_key,
+        "left_anti",
+    )
+    return orphans.agg(
+        F.count(F.lit(1)).alias("orphan_rows"),
+        F.count_distinct(F.col(child_key)).alias("orphan_keys"),
+    )

@@ -1,0 +1,129 @@
+"""Data-quality expectations (operators/expectations.py): single-pass
+semantics, fail-closed empty input, FK orphan guard, plan shape."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from cdk_datalake_ingest_bigmagic_spark.operators.expectations import (
+    Check,
+    referential_orphans,
+    validate,
+)
+
+
+def _plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def tbl(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alice@example.org", 10.0),
+            (2, "bob@example.org", 55.0),
+            (3, None, 70.0),
+            (4, "not-an-email", -2.0),
+            (4, "dup@example.org", 5.0),
+        ],
+        "id long, email string, score double",
+    )
+
+
+def test_validate_metrics_and_verdicts(tbl):
+    checks = [
+        Check("row_count_min", threshold=3),
+        Check("row_count_max", threshold=4),  # fails: 5 rows
+        Check("null_ratio_max", "email", 0.25),
+        Check("unique_ratio_min", "id", 0.9),  # fails: 4/5 distinct
+        Check("min_value_at_least", "score", 0.0),  # fails: -2
+        Check("max_value_at_most", "score", 100.0),
+        Check(
+            "regex_match_ratio_min", "email", 0.5,
+            pattern=r"^[^@\s]+@[^@\s]+$",
+        ),
+    ]
+    out = {r.check: r for r in validate(tbl, checks).collect()}
+    assert len(out) == len(checks)
+    assert out["row_count_min(*)"].passed
+    assert out["row_count_min(*)"].metric_value == 5.0
+    assert not out["row_count_max(*)"].passed
+    assert out["null_ratio_max(email)"].passed
+    assert out["null_ratio_max(email)"].metric_value == 0.2
+    assert not out["unique_ratio_min(id)"].passed
+    assert out["unique_ratio_min(id)"].metric_value == 0.8
+    assert not out["min_value_at_least(score)"].passed
+    assert out["max_value_at_most(score)"].passed
+    # 3 of 5 match the email regex (NULL does not match)
+    assert out["regex_match_ratio_min(email)"].metric_value == 0.6
+    assert out["regex_match_ratio_min(email)"].passed
+
+
+def test_validate_is_single_pass(tbl):
+    """20 checks = one aggregation over the input: exactly one
+    aggregate subtree, no join, no second scan of the relation."""
+    checks = [Check("null_ratio_max", "email", 0.5)] * 10 + [
+        Check("row_count_min", threshold=1)
+    ] * 10
+    plan = _plan_of(validate(tbl, checks))
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan ExistingRDD", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_validate_empty_input_fails_closed(spark):
+    empty = spark.createDataFrame([], "id long, email string")
+    out = {
+        r.check: r
+        for r in validate(
+            empty,
+            [
+                Check("null_ratio_max", "email", 1.0),
+                Check("row_count_max", threshold=100),
+            ],
+        ).collect()
+    }
+    # the ratio is NULL on zero rows -> fails closed
+    assert not out["null_ratio_max(email)"].passed
+    assert out["null_ratio_max(email)"].metric_value is None
+    # pure row-count checks still evaluate (0 <= 100)
+    assert out["row_count_max(*)"].passed
+
+
+def test_validate_rejects_empty_and_unknown(tbl):
+    with pytest.raises(ValueError):
+        validate(tbl, [])
+    with pytest.raises(ValueError):
+        validate(tbl, [Check("bogus_kind", "id", 1)]).collect()
+
+
+def test_referential_orphans(spark):
+    parent = spark.createDataFrame([(1,), (2,)], "k long")
+    child = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (3, "c"), (3, "d"), (4, "e")],
+        "k long, payload string",
+    )
+    row = referential_orphans(child, parent, "k").first()
+    assert row.orphan_rows == 3 and row.orphan_keys == 2
+    # keys, not rows, cross the shuffle: payload is pruned before
+    # every exchange
+    import re
+
+    plan = _plan_of(referential_orphans(child, parent, "k"))
+    inputs = re.findall(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan
+    )
+    assert all("payload" not in i for i in inputs)
+
+
+def test_referential_orphans_clean(spark, tbl):
+    parent = spark.createDataFrame([(i,) for i in range(1, 5)], "id long")
+    row = referential_orphans(tbl, parent, "id").first()
+    assert row.orphan_rows == 0 and row.orphan_keys == 0
