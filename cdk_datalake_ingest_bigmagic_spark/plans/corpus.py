@@ -57,6 +57,16 @@ class CorpusPipelineConfig:
     #: applied to every split.
     bpe_merges: int = 0
     bpe_max_words: int = 100_000
+    #: optional post-shard data-quality gate: tuples of
+    #: (kind, column, threshold[, pattern]) compiled to
+    #: ``operators.expectations.Check`` and run as ONE aggregation
+    #: pass over the final shard artifact. The report lands as
+    #: ``_EXPECTATIONS.json`` beside the training manifest; with
+    #: ``expectations_strict`` a failed check raises so the nightly
+    #: job fails loudly INSTEAD of publishing a manifest a trainer
+    #: would consume.
+    expectations: tuple = ()
+    expectations_strict: bool = True
 
     def fingerprint(self) -> str:
         blob = json.dumps(
@@ -335,8 +345,44 @@ class CorpusPipeline:
                         {"merges": merges, "vocab": bpe_vocab(merges)}, f
                     )
                 self.results["tokenize"] = res
+        if cfg.expectations:
+            self._validate_expectations(shard)
         self._write_training_manifest(shard, self.results.get("tokenize"))
         return dict(self.results)
+
+    def _validate_expectations(self, shard: StepResult) -> None:
+        """Run the configured checks over the final shard artifact
+        (one aggregation pass), land ``_EXPECTATIONS.json``, and —
+        strict mode — raise on any failure BEFORE the training
+        manifest is (re)written: a failed gate must not publish an
+        index a trainer would pick up."""
+        from cdk_datalake_ingest_bigmagic_spark.operators.expectations import (
+            Check,
+            validate,
+        )
+
+        checks = [
+            Check(
+                kind=e[0],
+                column=e[1],
+                threshold=e[2],
+                pattern=e[3] if len(e) > 3 else None,
+            )
+            for e in self.config.expectations
+        ]
+        report = [
+            r.asDict() for r in validate(self.read("shard"), checks).collect()
+        ]
+        with open(f"{self.work_dir}/_EXPECTATIONS.json", "w") as f:
+            json.dump(
+                {"fingerprint": shard.fingerprint, "checks": report}, f
+            )
+        failed = [r["check"] for r in report if not r["passed"]]
+        if failed and self.config.expectations_strict:
+            raise ValueError(
+                f"corpus expectations failed: {failed} "
+                f"(report at {self.work_dir}/_EXPECTATIONS.json)"
+            )
 
     def _write_training_manifest(
         self, shard: StepResult, tokenize: StepResult | None = None

@@ -244,3 +244,43 @@ def test_pipeline_tokenize_step(spark, corpus, tmp_path_factory):
     tm2 = _json.loads(open(f"{work2}/_TRAINING_MANIFEST.json").read())
     assert "total_tokens" not in tm2
     assert all("tokens" not in e for e in tm2["shards"])
+
+
+def test_pipeline_expectations_gate(spark, corpus, tmp_path_factory):
+    """The post-shard quality gate: a passing run lands the report; a
+    failing strict run raises BEFORE publishing the training
+    manifest; strict=False records the failure and continues."""
+    from cdk_datalake_ingest_bigmagic_spark.plans.corpus import (
+        TRAINING_MANIFEST,
+    )
+
+    work = str(tmp_path_factory.mktemp("pipe_exp"))
+    ok = CorpusPipelineConfig(
+        expectations=(
+            ("row_count_min", None, 10),
+            ("null_ratio_max", "text", 0.0),
+            ("unique_ratio_min", "doc_id", 1.0),
+        )
+    )
+    CorpusPipeline(spark, work, ok).run(corpus)
+    rep = json.loads(open(f"{work}/_EXPECTATIONS.json").read())
+    assert len(rep["checks"]) == 3
+    assert all(c["passed"] for c in rep["checks"])
+    assert os.path.exists(f"{work}/{TRAINING_MANIFEST}")
+
+    work2 = str(tmp_path_factory.mktemp("pipe_exp_fail"))
+    bad = CorpusPipelineConfig(
+        expectations=(("row_count_min", None, 10**9),)
+    )
+    with pytest.raises(ValueError, match="row_count_min"):
+        CorpusPipeline(spark, work2, bad).run(corpus)
+    # the gate fired before the manifest was published
+    assert not os.path.exists(f"{work2}/{TRAINING_MANIFEST}")
+    # ...but the report is on disk for the operator to read
+    rep = json.loads(open(f"{work2}/_EXPECTATIONS.json").read())
+    assert not rep["checks"][0]["passed"]
+
+    lax = dataclasses.replace(bad, expectations_strict=False)
+    work3 = str(tmp_path_factory.mktemp("pipe_exp_lax"))
+    CorpusPipeline(spark, work3, lax).run(corpus)
+    assert os.path.exists(f"{work3}/{TRAINING_MANIFEST}")
