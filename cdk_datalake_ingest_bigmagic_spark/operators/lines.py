@@ -74,6 +74,7 @@ def line_quality_flags(
     line_col: str = "line",
     min_words: int = 5,
     blocklist: tuple[str, ...] = DEFAULT_BLOCKLIST,
+    require_terminal_punct: bool = True,
 ) -> DataFrame:
     """C4-style per-line quality flags, one boolean column per rule.
 
@@ -82,6 +83,9 @@ def line_quality_flags(
     ``has_brace`` (contains ``{`` or ``}`` — C4's code heuristic),
     ``has_blocklist`` (case-insensitive substring match against
     ``blocklist``), and ``line_kept`` (none of the above fired).
+    ``require_terminal_punct=False`` pins ``is_no_punct`` false — the
+    C4 rule assumes prose; on code, logs, or transcripts it would
+    delete the corpus wholesale.
 
     All codegen Column expressions — zero shuffle, zero UDF; at
     100 TB this runs fused into whatever scan feeds it.
@@ -93,7 +97,11 @@ def line_quality_flags(
         F.size(F.split(trimmed, r"\s+"))
     )
     is_short = n_words < min_words
-    is_no_punct = ~F.substring(trimmed, -1, 1).isin(*TERMINAL_PUNCT)
+    is_no_punct = (
+        ~F.substring(trimmed, -1, 1).isin(*TERMINAL_PUNCT)
+        if require_terminal_punct
+        else F.lit(False)
+    )
     has_brace = line.contains("{") | line.contains("}")
     has_block = F.lit(False)
     for phrase in blocklist:

@@ -57,6 +57,19 @@ class CorpusPipelineConfig:
     #: applied to every split.
     bpe_merges: int = 0
     bpe_max_words: int = 100_000
+    #: enables the optional ``lines`` step BEFORE ``clean``: split
+    #: documents on ``line_sep``, drop lines failing the C4-style
+    #: quality rules, globally dedup duplicated lines (first
+    #: occurrence wins, short lines exempt), and rebuild documents —
+    #: the RefinedWeb order (line-level scrub, then document-level
+    #: gates). Documents whose every line is dropped leave the corpus.
+    line_filter: bool = False
+    line_sep: str = "\n"
+    line_min_words: int = 5
+    line_dedup_min_chars: int = 20
+    #: C4's terminal-punctuation rule assumes prose; disable for
+    #: code/log/transcript corpora (see line_quality_flags)
+    line_require_punct: bool = True
     #: optional post-shard data-quality gate: tuples of
     #: (kind, column, threshold[, pattern]) compiled to
     #: ``operators.expectations.Check`` and run as ONE aggregation
@@ -110,6 +123,8 @@ class CorpusPipeline:
     #: step while a jaccard_threshold change cascades from dedup down
     #: (upstream fingerprints chain into downstream ones).
     _STEP_FIELDS = {
+        "lines": ("id_col", "text_col", "line_sep", "line_min_words",
+                  "line_dedup_min_chars", "line_require_punct"),
         "clean": ("id_col", "text_col"),
         "dedup": ("id_col", "text_col", "shingle_n", "jaccard_threshold"),
         "split": ("id_col", "splits", "seed"),
@@ -233,17 +248,52 @@ class CorpusPipeline:
         # invocations (pinned by test_pipeline_leaves_no_cached_rdds)
         scope = CacheScope()
 
+        clean_input, clean_upstream_fp = docs, ""
+        if cfg.line_filter:
+            from cdk_datalake_ingest_bigmagic_spark.operators import (
+                lines as ln,
+            )
+
+            def build_lines():
+                other = [c for c in docs.columns if c not in (ic, tc)]
+                split = ln.split_lines(docs, ic, tc, sep=cfg.line_sep)
+                flagged = (
+                    ln.line_quality_flags(
+                        split, "line", min_words=cfg.line_min_words,
+                        require_terminal_punct=cfg.line_require_punct,
+                    )
+                    .filter("line_kept")
+                    .select(ic, "line_no", "line")
+                )
+                deduped = ln.dedup_lines(
+                    flagged, ic, "line_no", "line",
+                    min_chars=cfg.line_dedup_min_chars,
+                )
+                rebuilt = ln.rebuild_documents(
+                    deduped, ic, sep=cfg.line_sep
+                ).filter(F.col("n_kept") > 0)
+                out = rebuilt.select(ic, F.col("text").alias(tc))
+                if other:
+                    # non-text columns ride back via one id-key join
+                    out = out.join(docs.select(ic, *other), ic)
+                return out
+
+            line_res = self._step("lines", "", build_lines)
+            clean_input = self.read("lines")
+            clean_upstream_fp = line_res.fingerprint
+
         def build_clean():
             # both gates are projections — passthrough keeps the
             # document riding along, so the whole clean step is
             # scan → filter → filter → scrub with ZERO joins/shuffles
-            other = [c for c in docs.columns if c != ic]
+            src = clean_input
+            other = [c for c in src.columns if c != ic]
             rep_cols = [
                 "n_words", "dup_word_ratio", "dup_bigram_ratio",
                 "top_bigram_ratio", "passes_repetition_filter",
             ]
             gated = (
-                tx.repetition_features(docs, ic, tc, passthrough=other)
+                tx.repetition_features(src, ic, tc, passthrough=other)
                 .filter(F.col("passes_repetition_filter"))
                 .drop(*rep_cols)
             )
@@ -254,7 +304,7 @@ class CorpusPipeline:
                 .withColumn(tc, tx.scrub_pii(F.col(tc)))
             )
 
-        clean = self._step("clean", "", build_clean)
+        clean = self._step("clean", clean_upstream_fp, build_clean)
 
         def build_dedup():
             cdf = self.read("clean")

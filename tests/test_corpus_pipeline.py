@@ -284,3 +284,46 @@ def test_pipeline_expectations_gate(spark, corpus, tmp_path_factory):
     work3 = str(tmp_path_factory.mktemp("pipe_exp_lax"))
     CorpusPipeline(spark, work3, lax).run(corpus)
     assert os.path.exists(f"{work3}/{TRAINING_MANIFEST}")
+
+
+def test_pipeline_line_filter_step(spark, tmp_path_factory):
+    """The optional RefinedWeb-order lines step: boilerplate lines are
+    globally deduped (first occurrence wins) and junk lines dropped
+    BEFORE document-level gates; disabling the step leaves the clean
+    fingerprint chain exactly as before (resume compatibility)."""
+    boiler = "please subscribe to our newsletter for weekly updates now."
+    rows = []
+    for i in range(40):
+        body = (
+            f"document number {i} carries a real and useful prose "
+            f"sentence about the query engine internals today."
+        )
+        rows.append((i, f"{boiler}\n{body}\nx y", f"src{i % 2}"))
+    docs = spark.createDataFrame(
+        rows, "doc_id: long, text: string, source: string"
+    )
+
+    work = str(tmp_path_factory.mktemp("pipe_lines"))
+    cfg = CorpusPipelineConfig(line_filter=True)
+    pipe = CorpusPipeline(spark, work, cfg)
+    pipe.run(docs)
+    lined = {r.doc_id: r.text for r in pipe.read("lines").collect()}
+    # doc 0 keeps its boilerplate copy (first occurrence); the rest
+    # lose it; the too-short "x y" line dies in the quality rules
+    assert lined[0].startswith(boiler)
+    assert all(boiler not in t for d, t in lined.items() if d != 0)
+    assert all("x y" not in t for t in lined.values())
+    assert all(f"document number {d}" in t for d, t in lined.items())
+    # and the non-text columns rode through
+    assert "source" in pipe.read("lines").columns
+
+    # fingerprint chain: without the step, clean hashes upstream ""
+    work2 = str(tmp_path_factory.mktemp("pipe_nolines"))
+    p2 = CorpusPipeline(spark, work2, CorpusPipelineConfig())
+    p2.run(docs)
+    assert "lines" not in p2.results
+    fp_plain = p2.results["clean"].fingerprint
+    p3 = CorpusPipeline(spark, work2, CorpusPipelineConfig())
+    p3.run(docs)
+    assert p3.results["clean"].skipped
+    assert p3.results["clean"].fingerprint == fp_plain

@@ -275,3 +275,14 @@ def test_dedup_lines_randomized_vs_python_reference(spark):
             ).collect()
         }
         assert got == want, f"seed {seed}"
+
+
+def test_line_quality_punct_rule_toggle(spark):
+    df = spark.createDataFrame(
+        [(1, 0, "a log line with plenty of words but no punctuation")],
+        "doc_id long, line_no long, line string",
+    )
+    strict = ln.line_quality_flags(df).collect()[0]
+    lax = ln.line_quality_flags(df, require_terminal_punct=False).collect()[0]
+    assert strict.is_no_punct and not strict.line_kept
+    assert not lax.is_no_punct and lax.line_kept
