@@ -160,7 +160,12 @@ def dedup_lines(
         (F.col(f"__first.{id_col}") == F.col(id_col))
         & (F.col(f"__first.{line_no_col}") == F.col(line_no_col))
     )
-    return joined.withColumn("line_kept", kept).drop("__digest", "__first")
+    # a NULL line makes every leg of the predicate NULL — coalesce so
+    # the flag is deterministic (a NULL line is not meaningful text:
+    # drop it rather than propagate three-valued logic downstream)
+    return joined.withColumn(
+        "line_kept", F.coalesce(kept, F.lit(False))
+    ).drop("__digest", "__first")
 
 
 def rebuild_documents(

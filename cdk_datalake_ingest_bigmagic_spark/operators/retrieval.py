@@ -111,6 +111,8 @@ def bm25_topk(
     """
     if idf not in ("lucene", "rational"):
         raise ValueError(f"unknown idf variant: {idf}")
+    if not terms:
+        raise ValueError("bm25_topk needs at least one query term")
     hits = index.filter(F.col("term").isin(terms))
     dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = hits.join(F.broadcast(dfreq), "term")

@@ -286,3 +286,16 @@ def test_line_quality_punct_rule_toggle(spark):
     lax = ln.line_quality_flags(df, require_terminal_punct=False).collect()[0]
     assert strict.is_no_punct and not strict.line_kept
     assert not lax.is_no_punct and lax.line_kept
+
+
+def test_dedup_lines_null_line_fails_closed(spark):
+    df = spark.createDataFrame(
+        [(1, 0, None), (1, 1, "a perfectly fine long line here")],
+        "doc_id long, line_no long, line string",
+    )
+    kept = {
+        (r.doc_id, r.line_no): r.line_kept
+        for r in ln.dedup_lines(df, "doc_id", "line_no", "line").collect()
+    }
+    assert kept[(1, 0)] is False  # deterministic, not NULL
+    assert kept[(1, 1)] is True

@@ -176,3 +176,9 @@ def test_bm25_randomized_vs_python_reference(spark, seed):
         assert set(got) == set(want), (seed, idf)
         for d in want:
             assert got[d] == pytest.approx(want[d], rel=1e-12), (seed, idf, d)
+
+
+def test_bm25_rejects_empty_terms(docs):
+    idx = rt.term_index(docs, "doc_id", "text")
+    with pytest.raises(ValueError, match="at least one"):
+        rt.bm25_topk(idx, "doc_id", [], 5, 5, 26)
