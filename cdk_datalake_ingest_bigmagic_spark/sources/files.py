@@ -239,3 +239,35 @@ def format_partition_path(template: str, when: dt.datetime) -> str:
     out = out.replace("{WEEK}", f"{when.isocalendar()[1]:02d}")
     out = out.replace("{QUARTER}", str((when.month - 1) // 3 + 1))
     return out
+
+
+def read_text_corpus(
+    spark: SparkSession,
+    path: str,
+    id_from: str = "content",
+):
+    """Whole-file text ingestion: one document per file (books, code
+    files, exported articles) → the standard ``documents`` shape
+    (doc_id, text, path).
+
+    Uses the text source's ``wholetext`` mode — each file becomes one
+    row read by ordinary Spark tasks (no driver-side listing loop, no
+    ``wholeTextFiles`` RDD byte-array materialization), so a
+    million-file corpus parallelizes like any other scan. ``doc_id``
+    is content-addressed by default (first 15 md5 hex digits → a
+    60-bit non-negative long — re-ingesting an unchanged file yields
+    the same id, so incremental dedup sees it as already landed);
+    ``id_from='path'`` hashes the file path instead, for corpora
+    where distinct files legitimately carry identical bytes.
+    """
+    if id_from not in ("content", "path"):
+        raise ValueError(
+            f"id_from must be 'content' or 'path', got {id_from!r}"
+        )
+    raw = spark.read.text(path, wholetext=True).select(
+        F.col("value").alias("text"),
+        F.input_file_name().alias("path"),
+    )
+    key = F.col("text") if id_from == "content" else F.col("path")
+    doc_id = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    return raw.select(doc_id.alias("doc_id"), "text", "path")

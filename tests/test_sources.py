@@ -564,3 +564,43 @@ def test_target_partitions_for_sizing(spark, tmp_path):
 
     with pytest.raises(ValueError):
         target_partitions_for(spark, path, target_bytes=0)
+
+
+def test_read_text_corpus_whole_files(spark, tmp_path):
+    """One file = one document; ids content-addressed and stable
+    across re-ingestion; path mode differs for identical bytes."""
+    from cdk_datalake_ingest_bigmagic_spark.sources.files import (
+        read_text_corpus,
+    )
+
+    d = tmp_path / "books"
+    d.mkdir()
+    (d / "a.txt").write_text("first document\nwith two lines")
+    (d / "b.txt").write_text("second document")
+    (d / "c.txt").write_text("second document")  # byte-identical to b
+
+    docs = read_text_corpus(spark, str(d)).collect()
+    by_path = {r.path.rsplit("/", 1)[-1]: r for r in docs}
+    assert len(docs) == 3
+    assert by_path["a.txt"].text == "first document\nwith two lines"
+    # content-addressed: identical bytes -> identical id
+    assert by_path["b.txt"].doc_id == by_path["c.txt"].doc_id
+    assert by_path["a.txt"].doc_id != by_path["b.txt"].doc_id
+    assert all(r.doc_id >= 0 for r in docs)
+
+    # stability across re-ingestion
+    again = {r.path.rsplit("/", 1)[-1]: r.doc_id for r in
+             read_text_corpus(spark, str(d)).collect()}
+    assert again == {k: v.doc_id for k, v in by_path.items()}
+
+    # path mode: identical bytes get distinct ids
+    by_path2 = {
+        r.path.rsplit("/", 1)[-1]: r.doc_id
+        for r in read_text_corpus(spark, str(d), id_from="path").collect()
+    }
+    assert by_path2["b.txt"] != by_path2["c.txt"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_text_corpus(spark, str(d), id_from="nope")
