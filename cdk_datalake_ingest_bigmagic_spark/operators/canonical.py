@@ -1,0 +1,73 @@
+"""Quality-ranked canonical selection for near-dup clusters.
+
+The default keep-list (``operators.dedup.attach_keep_flags``) keeps
+each cluster's smallest id — deterministic and cheap, but blind: when
+a crawl carries a truncated copy, a boilerplate-wrapped copy, and the
+clean original of the same article, the min id is whichever landed
+first. Production curation (FineWeb keeps the longest copy; quality-
+classifier stacks keep the highest-scoring) picks the BEST member.
+This module generalizes the decision: any score column — document
+length, the linear quality logit, an LM fluency, a reward-model
+output — decides the cluster's canonical document.
+
+Shape: one map-side-combinable ``max_by``-style aggregation over the
+cluster label (the winner struct is (score, tie-break id), so the
+choice is total and deterministic even under score ties), then one
+equi-join back — the same agg+join-not-window pattern as
+``operators.lines.dedup_lines``, and skew-safe for the same reason:
+a million-member cluster collapses map-side instead of landing in a
+single window sort task.
+
+Reference parity: none (beyond-parity tier); composes with
+``operators.graph.connected_components`` labels and any scorer in
+``operators.text`` / ``operators.lm``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pick_canonical(
+    df: DataFrame,
+    id_col: str,
+    label_col: str,
+    score_col: str,
+    prefer: str = "max",
+) -> DataFrame:
+    """Flag each cluster's best-scoring member as canonical.
+
+    ``prefer='max'`` keeps the highest score (quality logits,
+    lengths); ``'min'`` keeps the lowest (perplexity/surprisal,
+    error counts). Ties break on the smaller id, so the decision is
+    deterministic. Rows with a NULL label are singletons — their own
+    canonical by definition. Rows with a NULL score lose to any
+    scored member (and fall back to the id tie-break when the whole
+    cluster is unscored) — a cluster never ends up canonical-less.
+
+    Returns the input plus ``keep`` (no rows dropped; callers filter
+    or count).
+    """
+    if prefer not in ("max", "min"):
+        raise ValueError(f"prefer must be 'max' or 'min', got {prefer!r}")
+    label = F.coalesce(F.col(label_col), F.col(id_col))
+    score = F.col(score_col).cast("double")
+    # total order even with NULL scores: scored beats unscored, then
+    # score direction, then smaller id. Encoded as a sortable struct
+    # (all ascending), taking the struct MIN:
+    #   (score IS NULL, ±score, id)
+    direction = -score if prefer == "max" else score
+    cand = F.struct(
+        score.isNull().alias("u"),
+        F.coalesce(direction, F.lit(0.0)).alias("s"),
+        F.col(id_col).alias("i"),
+    )
+    labeled = df.withColumn("__label", label)
+    winners = labeled.groupBy("__label").agg(
+        F.min(cand).alias("__best")
+    )
+    out = labeled.join(winners, "__label")
+    return out.withColumn(
+        "keep", F.col(f"__best.i") == F.col(id_col)
+    ).drop("__label", "__best")

@@ -1,0 +1,100 @@
+"""Quality-ranked canonical selection (operators/canonical.py)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.operators.canonical import (
+    pick_canonical,
+)
+
+
+def _plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, component long, score double"
+    )
+
+
+def test_best_scoring_member_wins(spark):
+    rows = [
+        (1, 10, 0.2),
+        (2, 10, 0.9),  # best of cluster 10
+        (3, 10, 0.9),  # tie -> smaller id (2) wins
+        (4, 20, 0.1),  # singleton cluster
+        (5, None, 0.0),  # NULL label: own cluster
+    ]
+    out = {
+        r.doc_id: r.keep
+        for r in pick_canonical(
+            _df(spark, rows), "doc_id", "component", "score"
+        ).collect()
+    }
+    assert out == {1: False, 2: True, 3: False, 4: True, 5: True}
+
+
+def test_prefer_min_for_perplexity_like_scores(spark):
+    rows = [(1, 10, 5.0), (2, 10, 3.2), (3, 10, 9.9)]
+    out = {
+        r.doc_id: r.keep
+        for r in pick_canonical(
+            _df(spark, rows), "doc_id", "component", "score", prefer="min"
+        ).collect()
+    }
+    assert out == {1: False, 2: True, 3: False}
+
+
+def test_null_scores_lose_but_cluster_keeps_one(spark):
+    rows = [(1, 10, None), (2, 10, 0.1), (7, 30, None), (9, 30, None)]
+    out = {
+        r.doc_id: r.keep
+        for r in pick_canonical(
+            _df(spark, rows), "doc_id", "component", "score"
+        ).collect()
+    }
+    # scored member beats unscored; all-unscored cluster falls back
+    # to the id tie-break — never canonical-less
+    assert out == {1: False, 2: True, 7: True, 9: False}
+
+
+def test_every_cluster_has_exactly_one_canonical(spark):
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (i, rng.randint(0, 20), rng.choice([None, rng.random()]))
+        for i in range(200)
+    ]
+    out = pick_canonical(_df(spark, rows), "doc_id", "component", "score")
+    per = (
+        out.groupBy("component")
+        .agg(F.sum(F.col("keep").cast("long")).alias("n"))
+        .collect()
+    )
+    assert all(r.n == 1 for r in per)
+    assert out.count() == 200  # no rows dropped
+
+
+def test_plan_is_agg_join_not_window(spark):
+    df = _df(spark, [(1, 10, 0.5)])
+    plan = _plan_of(pick_canonical(df, "doc_id", "component", "score"))
+    assert "Window" not in plan
+    assert "partial_min" in plan  # map-side combine absorbs hot clusters
+
+
+def test_rejects_unknown_prefer(spark):
+    with pytest.raises(ValueError):
+        pick_canonical(
+            _df(spark, [(1, 1, 1.0)]), "doc_id", "component", "score",
+            prefer="median",
+        )
