@@ -110,12 +110,18 @@ from cdk_datalake_ingest_bigmagic_spark.queries import events  # noqa: E402,F401
 #   ROUND-7 WINDOW MATH (pre-computed so round 7 starts solved):
 #   obligation = 36 re-gates whose newest green will be r4
 #   (scan_projection, synthetic_id, filter_month_window + the 33
-#   r4-only greens) + new registrations for the round-6 pytest-only
-#   operators (snapshot_diff and lm_surprisal have deterministic
-#   integer/md5 gate columns; stream_term_index is streaming-only and
-#   stays pytest) + riders of whatever round 7 touches. 36 + 2 = 38
-#   fixed slots → at most 12 rider/new slots: keep round-7 operator
-#   changes in NEW modules unless their riders are already in the 36.
+#   r4-only greens) + new registrations + riders of whatever round 7
+#   touches. 36 fixed slots → at most 14 rider/new slots: keep
+#   round-7 operator changes in NEW modules unless their riders are
+#   already in the 36. Gate-able round-6 pytest-only operators, in
+#   suggested registration order (each costs a slot; register what
+#   fits, carry the rest): snapshot_diff + carry_forward_decisions
+#   (md5/status columns), drift_report (integer deltas + single
+#   divisions), pick_canonical (integer keep flags), lm_surprisal's
+#   integer core (n_transitions/n_backoff — leave the log-float
+#   column out of the oracle projection), expectations validate()
+#   (count/ratio report), bpe fertility_report (integer sums +
+#   single divisions). stream_term_index stays pytest (streaming).
 _GATE_FRONT: list[str] = [
     # (1) red last round (oracle type artifact, CAST landed) / new
     "pack_sequences",

@@ -414,7 +414,26 @@ def main() -> None:
         # ~linearly with N, stressing the bigram cap + unigram
         # backoff joins exactly as a growing real corpus would
         "lm_surprisal": (n_docs, lambda: _lm_surprisal(docs)),
+        # quality-ranked canonical under a pathological cluster: 90%
+        # of the corpus shares ONE label — the regime where a window
+        # shape would put the whole corpus in one sort task; the
+        # agg+join shape must collapse it map-side
+        "canonical_hot": (n_docs, lambda: _canonical_hot(docs)),
     }
+
+    def _canonical_hot(d):
+        from cdk_datalake_ingest_bigmagic_spark.operators.canonical import (
+            pick_canonical,
+        )
+
+        members = d.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("doc_id"))
+            .alias("component"),
+            (F.xxhash64("text") % 1000).cast("double").alias("score"),
+        )
+        return pick_canonical(members, "doc_id", "component", "score")
 
     def _lm_surprisal(d):
         from cdk_datalake_ingest_bigmagic_spark.operators import lm as lm_ops
