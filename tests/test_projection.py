@@ -1,0 +1,111 @@
+"""JL random projection (operators/projection.py): determinism,
+distance preservation, degenerate inputs, plan shape."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import math
+import random
+
+import pytest
+
+from cdk_datalake_ingest_bigmagic_spark.operators.projection import (
+    _sign_matrix,
+    random_project,
+)
+
+
+def _plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.gauss(0.0, 1.0) for _ in range(64)]) for i in range(80)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_projection_matches_numpy_and_is_deterministic(spark, emb):
+    import numpy as np
+
+    out1 = {
+        r.vec_id: r.embedding
+        for r in random_project(emb, "vec_id", "embedding", k=16).collect()
+    }
+    out2 = {
+        r.vec_id: r.embedding
+        for r in random_project(emb, "vec_id", "embedding", k=16).collect()
+    }
+    assert out1 == out2  # bit-deterministic across runs
+    m = _sign_matrix(16, 64, "jl")
+    src = {r.vec_id: np.asarray(r.embedding) for r in emb.collect()}
+    for i, v in src.items():
+        assert np.allclose(out1[i], m @ v), i
+    assert all(len(v) == 16 for v in out1.values())
+
+
+def test_distance_preservation(spark, emb):
+    """The JL guarantee, checked statistically: pairwise squared
+    distances are preserved within a generous epsilon at k=32 for 80
+    points."""
+    import numpy as np
+
+    src = {r.vec_id: np.asarray(r.embedding) for r in emb.collect()}
+    proj = {
+        r.vec_id: np.asarray(r.embedding)
+        for r in random_project(emb, "vec_id", "embedding", k=32).collect()
+    }
+    rng = random.Random(3)
+    ids = sorted(src)
+    ratios = []
+    for _ in range(200):
+        a, b = rng.sample(ids, 2)
+        d0 = float(np.sum((src[a] - src[b]) ** 2))
+        d1 = float(np.sum((proj[a] - proj[b]) ** 2))
+        ratios.append(d1 / d0)
+    mean = sum(ratios) / len(ratios)
+    assert math.isclose(mean, 1.0, rel_tol=0.15)
+    assert all(0.3 < r < 2.5 for r in ratios)
+
+
+def test_null_and_mismatched_vectors_dropped(spark):
+    rows = [
+        (1, [1.0, 2.0, 3.0, 4.0]),
+        (2, None),
+        (3, []),
+        (4, [1.0, 2.0]),  # wrong dimensionality vs first row
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id for r in random_project(df, "vec_id", "embedding", 2).collect()}
+    assert got == {1}
+
+
+def test_empty_input_yields_typed_empty(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = random_project(df, "vec_id", "embedding", 4)
+    assert out.count() == 0
+    assert dict(out.dtypes)["embedding"] == "array<double>"
+
+
+def test_rejects_bad_k(spark, emb):
+    with pytest.raises(ValueError):
+        random_project(emb, "vec_id", "embedding", 0)
+
+
+def test_projection_plan_zero_shuffle(spark, emb):
+    plan = _plan_of(random_project(emb, "vec_id", "embedding", 8))
+    # one Arrow stage over the scan; the only exchange permitted is
+    # fan_out's small-input repartition
+    import re
+
+    assert "MapInPandas" in plan
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) <= 1
+    assert "Join" not in plan
