@@ -419,7 +419,17 @@ def main() -> None:
         # shape would put the whole corpus in one sort task; the
         # agg+join shape must collapse it map-side
         "canonical_hot": (n_docs, lambda: _canonical_hot(docs)),
+        # JL projection: one broadcast matmul stage — wall must track
+        # the corpus linearly with zero shuffle
+        "jl_project": (n_vecs, lambda: _jl_project(emb)),
     }
+
+    def _jl_project(e):
+        from cdk_datalake_ingest_bigmagic_spark.operators.projection import (
+            random_project,
+        )
+
+        return random_project(e, "vec_id", "embedding", k=16)
 
     def _canonical_hot(d):
         from cdk_datalake_ingest_bigmagic_spark.operators.canonical import (
@@ -591,6 +601,10 @@ def main() -> None:
                          # mean_surprisal is an agg projection a bare
                          # count() would prune
                          "lm_surprisal",
+                         # the projected vectors ARE the output —
+                         # force them so the measurement bills the
+                         # full Arrow round-trip, not just the stage
+                         "jl_project",
                          "span_trim", "repetition_filter",
                          "training_prep",
                          # shard positions are a window PROJECTION (an
