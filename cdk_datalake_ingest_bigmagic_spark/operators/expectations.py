@@ -41,8 +41,9 @@ class Check:
     ``validate``)."""
 
     kind: str  # row_count_min | row_count_max | null_ratio_max |
-    #            unique_ratio_min | min_value_at_least |
-    #            max_value_at_most | regex_match_ratio_min
+    #            unique_ratio_min | approx_unique_ratio_min |
+    #            min_value_at_least | max_value_at_most |
+    #            regex_match_ratio_min
     column: str | None = None
     threshold: float = 0.0
     pattern: str | None = None  # regex kinds only
@@ -62,6 +63,12 @@ def _metric(c: Check) -> Column:
         return F.sum(col.isNull().cast("long")).cast("double") / n
     if c.kind == "unique_ratio_min":
         return F.count_distinct(col).cast("double") / n
+    if c.kind == "approx_unique_ratio_min":
+        # HLL++ (~2% default error): the 100-TB tier — exact distinct
+        # is a full dedup of the column; approx rides the single pass
+        # with constant memory. Set the threshold with the error
+        # margin in mind (e.g. 0.97, not 1.0).
+        return F.approx_count_distinct(col).cast("double") / n
     if c.kind == "min_value_at_least":
         return F.min(col).cast("double")
     if c.kind == "max_value_at_most":
@@ -78,6 +85,7 @@ _PASS_OP = {
     "row_count_max": "<=",
     "null_ratio_max": "<=",
     "unique_ratio_min": ">=",
+    "approx_unique_ratio_min": ">=",
     "min_value_at_least": ">=",
     "max_value_at_most": "<=",
     "regex_match_ratio_min": ">=",

@@ -127,3 +127,26 @@ def test_referential_orphans_clean(spark, tbl):
     parent = spark.createDataFrame([(i,) for i in range(1, 5)], "id long")
     row = referential_orphans(tbl, parent, "id").first()
     assert row.orphan_rows == 0 and row.orphan_keys == 0
+
+
+def test_approx_unique_ratio_tier(spark):
+    """The 100-TB distinctness tier: HLL++ rides the same single
+    pass; on small exact-representable cardinalities it agrees with
+    the exact tier."""
+    df = spark.createDataFrame(
+        [(i % 50,) for i in range(100)], "id long"
+    )
+    out = {
+        r.check: r
+        for r in validate(
+            df,
+            [
+                Check("unique_ratio_min", "id", 0.4),
+                Check("approx_unique_ratio_min", "id", 0.4),
+            ],
+        ).collect()
+    }
+    assert out["unique_ratio_min(id)"].metric_value == 0.5
+    approx = out["approx_unique_ratio_min(id)"].metric_value
+    assert abs(approx - 0.5) < 0.05
+    assert out["approx_unique_ratio_min(id)"].passed
