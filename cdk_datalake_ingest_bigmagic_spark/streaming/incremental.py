@@ -175,3 +175,97 @@ def stream_term_index(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_ivf_assign(
+    spark: SparkSession,
+    vecs_path: str,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 64,
+    centroids: str = "first-ids",
+    available_now: bool = True,
+):
+    """Incremental IVF inverted-list maintenance — the streaming twin
+    of ``operators.similarity.ann_ivf_pairs``' assignment stage.
+
+    IVF lists are additive once the coarse quantizer is FROZEN: a new
+    vector's (id, list_id, embedding) row touches no existing row, so
+    each micro-batch appends its assignments. The centroid matrix is
+    the frozen artifact: computed from the corpus snapshot on the
+    FIRST run, persisted as ``_CENTROIDS.json`` under the index path,
+    and loaded verbatim on every later run — a restart or new batch
+    must never re-derive (different) centroids, or list membership
+    stops being comparable across runs. Re-clustering is a full
+    rebuild by design (delete the index dir), the same policy as the
+    BM25 index above.
+
+    Query-time consumers read the accumulated index and run the
+    per-list verify; at 100 TB, write the index partitioned by
+    ``list_id`` so a probe prunes to its lists.
+    """
+    import json as _json
+
+    import numpy as np
+
+    from cdk_datalake_ingest_bigmagic_spark.operators import fan_out
+    from cdk_datalake_ingest_bigmagic_spark.operators.similarity import (
+        _ivf_centroids,
+    )
+
+    # The centroid artifact uses local file APIs like the corpus
+    # pipeline's manifests (plans/corpus.py documents the same choice:
+    # a cluster deployment swaps these for Hadoop FS calls; the
+    # parquet I/O already goes through Spark and needs no change).
+    import os as _os
+
+    cpath = f"{index_path}/_CENTROIDS.json"
+    if _os.path.exists(cpath):
+        C = np.asarray(_json.loads(open(cpath).read()), dtype="float64")
+    else:
+        snapshot = spark.read.parquet(vecs_path)
+        C = _ivf_centroids(snapshot, id_col, vec_col, n_lists, centroids)
+        _os.makedirs(index_path, exist_ok=True)
+        with open(cpath, "w") as f:
+            f.write(_json.dumps(C.tolist()))
+    Cn = C / np.maximum(np.sqrt((C * C).sum(axis=1))[:, None], 1e-12)
+    bc = spark.sparkContext.broadcast(Cn)
+
+    schema = spark.read.parquet(vecs_path).schema
+    stream = spark.readStream.schema(schema).parquet(vecs_path)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+
+        def assign(batches):
+            import pandas as pd
+
+            Cb = bc.value
+            for pdf in batches:
+                V = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+                Vn = V / np.maximum(
+                    np.sqrt((V * V).sum(axis=1))[:, None], 1e-12
+                )
+                S = Vn @ Cb.T
+                order = np.argsort(-S, axis=1, kind="stable")
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "list_id": order[:, 0].astype("int32"),
+                        vec_col: pdf[vec_col],
+                    }
+                )
+
+        fan_out(batch_df.select(id_col, vec_col)).mapInPandas(
+            assign, f"{id_col} long, list_id int, {vec_col} array<float>"
+        ).write.mode("append").parquet(f"{index_path}/lists")
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -183,3 +183,62 @@ def test_stream_term_index_incremental(spark, tmp_path):
         spark.read.parquet(index), "doc_id", ["spark"], 3, n, total
     ).collect()
     assert [r.doc_id for r in top] == [1, 3]
+
+
+def test_stream_ivf_assign_incremental(spark, tmp_path):
+    """Incremental IVF maintenance: centroids freeze on first run and
+    later batches assign against the SAME quantizer; accumulated
+    assignments match a from-scratch batch assignment under those
+    centroids; exactly-once across ticks."""
+    import json
+    import random
+
+    import numpy as np
+
+    from cdk_datalake_ingest_bigmagic_spark.streaming.incremental import (
+        stream_ivf_assign,
+    )
+
+    rng = random.Random(9)
+    vecs = str(tmp_path / "vecs")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "vec_id long, embedding array<float>"
+
+    def batch(ids):
+        return spark.createDataFrame(
+            [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in ids], schema
+        )
+
+    batch(range(40)).write.parquet(vecs)
+    stream_ivf_assign(
+        spark, vecs, index, ckpt, n_lists=4
+    ).awaitTermination()
+    C = np.asarray(json.loads(open(f"{index}/_CENTROIDS.json").read()))
+    assert C.shape == (4, 16)
+
+    batch(range(100, 120)).write.mode("append").parquet(vecs)
+    stream_ivf_assign(
+        spark, vecs, index, ckpt, n_lists=4
+    ).awaitTermination()
+    # centroids did NOT change on the second run
+    assert np.array_equal(
+        C, np.asarray(json.loads(open(f"{index}/_CENTROIDS.json").read()))
+    )
+
+    got = {
+        r.vec_id: r.list_id
+        for r in spark.read.parquet(f"{index}/lists").collect()
+    }
+    assert set(got) == set(range(40)) | set(range(100, 120))  # exactly once
+
+    # reference assignment under the frozen centroids
+    Cn = C / np.maximum(np.sqrt((C * C).sum(axis=1))[:, None], 1e-12)
+    src = {
+        r.vec_id: np.asarray(r.embedding, dtype="float64")
+        for r in spark.read.parquet(vecs).collect()
+    }
+    for i, v in src.items():
+        vn = v / max(float(np.sqrt((v * v).sum())), 1e-12)
+        want = int(np.argsort(-(vn @ Cn.T), kind="stable")[0])
+        assert got[i] == want, i
