@@ -1,0 +1,65 @@
+"""Dedup/similarity evaluation: precision/recall of a predicted pair
+set against labeled truth.
+
+Tuning a near-dup stack (shingle size, Jaccard threshold, LSH bands,
+SemDeDup epsilon) needs a feedback number, not eyeballing: run the
+candidate operator at a config, compare its pair set to a labeled
+sample, read precision/recall. The labeled side is typically small
+(human-labeled or exact-verified on a sample), the predicted side can
+be huge — so the shape is two canonicalizing projections and two
+key-only joins, never a materialized cross product.
+
+Both sides are canonicalized to (min(id), max(id)) and deduplicated,
+so direction and duplicates in either input cannot skew the counts.
+All metrics are single IEEE divisions of exact counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon(df: DataFrame, a: str, b: str) -> DataFrame:
+    lo = F.least(F.col(a), F.col(b))
+    hi = F.greatest(F.col(a), F.col(b))
+    return (
+        df.filter(F.col(a) != F.col(b))
+        .select(lo.alias("id_a"), hi.alias("id_b"))
+        .distinct()
+    )
+
+
+def pair_metrics(
+    predicted: DataFrame,
+    truth: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """One-row report: tp, fp, fn, precision, recall, f1.
+
+    ``predicted`` and ``truth`` carry pair columns (any direction,
+    duplicates tolerated; self-pairs dropped). Empty sides degrade to
+    NULL ratios rather than dividing by zero — an empty truth set
+    yields NULL recall, not a crash or a fake 1.0.
+    """
+    p = _canon(predicted, a_col, b_col)
+    t = _canon(truth, a_col, b_col)
+    tp = p.join(t, ["id_a", "id_b"], "left_semi").count()
+    n_pred = p.count()
+    n_true = t.count()
+    fp = n_pred - tp
+    fn = n_true - tp
+    prec = tp / n_pred if n_pred else None
+    rec = tp / n_true if n_true else None
+    f1 = (
+        2 * prec * rec / (prec + rec)
+        if prec is not None and rec is not None and (prec + rec) > 0
+        else None
+    )
+    spark = predicted.sparkSession
+    return spark.createDataFrame(
+        [(tp, fp, fn, prec, rec, f1)],
+        "tp long, fp long, fn long, precision double, recall double, "
+        "f1 double",
+    )

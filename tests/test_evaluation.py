@@ -1,0 +1,64 @@
+"""Pair-set evaluation (operators/evaluation.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from cdk_datalake_ingest_bigmagic_spark.operators.evaluation import (
+    pair_metrics,
+)
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "id_a long, id_b long")
+
+
+def test_metrics_basic(spark):
+    pred = _pairs(spark, [(1, 2), (3, 4), (5, 6)])
+    truth = _pairs(spark, [(1, 2), (3, 4), (7, 8)])
+    r = pair_metrics(pred, truth).first()
+    assert (r.tp, r.fp, r.fn) == (2, 1, 1)
+    assert r.precision == pytest.approx(2 / 3)
+    assert r.recall == pytest.approx(2 / 3)
+    assert r.f1 == pytest.approx(2 / 3)
+
+
+def test_direction_duplicates_and_self_pairs_canonicalized(spark):
+    pred = _pairs(spark, [(2, 1), (1, 2), (4, 3), (9, 9)])
+    truth = _pairs(spark, [(1, 2), (3, 4)])
+    r = pair_metrics(pred, truth).first()
+    # (2,1)==(1,2) collapse, self-pair dropped -> perfect score
+    assert (r.tp, r.fp, r.fn) == (2, 0, 0)
+    assert r.precision == 1.0 and r.recall == 1.0 and r.f1 == 1.0
+
+
+def test_empty_sides_degrade_to_null(spark):
+    empty = _pairs(spark, [])
+    some = _pairs(spark, [(1, 2)])
+    r = pair_metrics(empty, some).first()
+    assert r.precision is None and r.recall == 0.0 and r.f1 is None
+    r2 = pair_metrics(some, empty).first()
+    assert r2.recall is None and r2.precision == 0.0
+
+
+def test_end_to_end_with_jaccard_operator(spark):
+    """The intended loop: measure a Jaccard config against exact
+    duplicate truth on a small labeled corpus."""
+    from cdk_datalake_ingest_bigmagic_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "the quick brown fox jumps over the lazy cat"),
+            (4, "completely different text about query engines"),
+        ],
+        "doc_id long, text string",
+    )
+    pred = dd.jaccard_pairs_rows(
+        dd.shingles_exploded(docs, "doc_id", "text", 3), "doc_id", 0.5
+    ).select("id_a", "id_b")
+    truth = _pairs(spark, [(1, 2), (1, 3), (2, 3)])
+    r = pair_metrics(pred, truth).first()
+    assert r.recall == 1.0  # near-dups at 0.5 catch all labeled pairs
+    assert r.precision == 1.0  # and nothing spurious on this corpus
