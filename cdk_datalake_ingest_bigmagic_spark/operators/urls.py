@@ -1,0 +1,74 @@
+"""URL/domain filtering for crawled corpora.
+
+Every web-corpus recipe starts with a domain blocklist (adult/spam/
+SEO farms) and often a quality allowlist; at crawl scale the list has
+millions of entries, so "host LIKE '%.domain'" per entry is a
+non-starter. The scalable shape: derive each URL's candidate match
+keys — the host plus every dot-suffix of it (bounded: a host has
+≤ ~6 labels) — with one in-row explode over an (id, key) projection,
+then ONE semi-join against the (possibly huge) domain list, and one
+id-key semi/anti join back. A 10M-entry blocklist is just a join
+side; a small list broadcasts via AQE. Row payloads never enter the
+matching shuffles — only ids and short keys.
+
+Suffix semantics: an entry ``example.com`` matches ``example.com``
+and any subdomain (``a.b.example.com``); an entry ``com`` would
+match everything under ``.com`` — list hygiene is the caller's job
+(a public-suffix list is an external artifact this container lacks;
+the suffix-key mechanics are PSL-compatible — swap the key
+derivation if label-boundary rules must follow the PSL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def host_of(url) -> F.Column:
+    """Lowercased host of a URL Column (codegen ``parse_url``), with
+    a leading ``www.`` stripped — the conventional crawl
+    canonicalization."""
+    col = F.col(url) if isinstance(url, str) else url
+    host = F.lower(F.parse_url(col, F.lit("HOST")))
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+#: host plus every dot-suffix with >= 1 label kept:
+#: a.b.example.com -> [a.b.example.com, b.example.com, example.com,
+#: com]; single-label hosts yield themselves.
+_SUFFIX_EXPR = (
+    "transform(sequence(1, size(__labels)), "
+    "i -> array_join(slice(__labels, i, size(__labels) - i + 1), '.'))"
+)
+
+
+def filter_domains(
+    df: DataFrame,
+    id_col: str,
+    url_col: str,
+    domains: DataFrame,
+    mode: str = "block",
+) -> DataFrame:
+    """Drop (``mode='block'``) or keep (``'allow'``) rows whose URL
+    host equals any listed domain or is a subdomain of one.
+
+    ``domains`` is a one-column DataFrame (column ``domain``,
+    case-insensitive). Rows with an unparseable/NULL host never
+    match: blocked mode keeps them (a blocklist should not eat rows
+    it could not read), allow mode drops them (an allowlist that
+    cannot read the host has no business keeping the row).
+    """
+    if mode not in ("block", "allow"):
+        raise ValueError(f"mode must be 'block' or 'allow', got {mode!r}")
+    keys = (
+        df.select(F.col(id_col), host_of(url_col).alias("__host"))
+        .withColumn("__labels", F.split(F.col("__host"), r"\."))
+        .select(F.col(id_col), F.explode(F.expr(_SUFFIX_EXPR)).alias("__key"))
+    )
+    dlist = domains.select(
+        F.lower(F.col("domain")).alias("__key")
+    ).distinct()
+    matched = keys.join(dlist, "__key", "left_semi").select(id_col).distinct()
+    how = "left_anti" if mode == "block" else "left_semi"
+    return df.join(matched, id_col, how)

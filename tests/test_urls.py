@@ -1,0 +1,79 @@
+"""URL/domain filtering (operators/urls.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from cdk_datalake_ingest_bigmagic_spark.operators.urls import (
+    filter_domains,
+    host_of,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "https://www.example.com/page?q=1"),
+            (2, "http://sub.spam.net/x"),
+            (3, "https://spam.net/"),
+            (4, "https://notspam.net/clean"),
+            (5, "https://deep.a.b.example.com/y"),
+            (6, "not a url at all"),
+            (7, None),
+        ],
+        "doc_id long, url string",
+    )
+
+
+def _domains(spark, *ds):
+    return spark.createDataFrame([(d,) for d in ds], "domain string")
+
+
+def test_host_of(spark):
+    df = _docs(spark).select("doc_id", host_of("url").alias("h"))
+    got = {r.doc_id: r.h for r in df.collect()}
+    assert got[1] == "example.com"  # www. stripped, lowercased
+    assert got[2] == "sub.spam.net"
+    assert got[7] is None
+
+
+def test_blocklist_drops_domain_and_subdomains(spark):
+    out = filter_domains(
+        _docs(spark), "doc_id", "url", _domains(spark, "spam.net", "EXAMPLE.com")
+    )
+    kept = {r.doc_id for r in out.collect()}
+    # spam.net + subdomain and example.com + deep subdomain gone;
+    # notspam.net is NOT a suffix-label match; unparseable rows kept
+    assert kept == {4, 6, 7}
+
+
+def test_allowlist_keeps_only_matches(spark):
+    out = filter_domains(
+        _docs(spark), "doc_id", "url", _domains(spark, "example.com"),
+        mode="allow",
+    )
+    assert {r.doc_id for r in out.collect()} == {1, 5}
+
+
+def test_rejects_unknown_mode(spark):
+    with pytest.raises(ValueError):
+        filter_domains(
+            _docs(spark), "doc_id", "url", _domains(spark, "x.com"),
+            mode="maybe",
+        )
+
+
+def test_blocklist_is_a_join_not_a_scan_per_entry(spark):
+    import contextlib
+    import io
+
+    df = filter_domains(
+        _docs(spark), "doc_id", "url", _domains(spark, "spam.net")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # two joins total (key match + id anti), no per-entry LIKE chain
+    assert plan.count("Join") >= 2
+    assert "RLIKE" not in plan and "Contains" not in plan.split("parse_url")[0]
