@@ -121,7 +121,11 @@ from cdk_datalake_ingest_bigmagic_spark.queries import events  # noqa: E402,F401
 #   integer core (n_transitions/n_backoff — leave the log-float
 #   column out of the oracle projection), expectations validate()
 #   (count/ratio report), bpe fertility_report (integer sums +
-#   single divisions). stream_term_index stays pytest (streaming).
+#   single divisions), filter_domains (deterministic suffix logic),
+#   pair_metrics (over a deterministic predicted set, e.g. exact
+#   Jaccard). Stays pytest: stream_term_index / stream_ivf_assign
+#   (streaming), random_project (numpy matmul summation order is not
+#   DuckDB-reproducible; its determinism is pinned in pytest).
 _GATE_FRONT: list[str] = [
     # (1) red last round (oracle type artifact, CAST landed) / new
     "pack_sequences",
