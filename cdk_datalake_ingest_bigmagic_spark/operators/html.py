@@ -1,0 +1,86 @@
+"""HTML → text extraction as codegen Column expressions.
+
+The step between WARC ingestion (``sources/warc.py``) and line-level
+curation (``operators/lines.py``): crawled payloads are HTML, the
+pipeline wants text. Full DOM parsing (trafilatura/lxml-style main-
+content extraction) needs native libraries this container does not
+ship — and at 100 TB the hot path should be JVM regex codegen
+anyway, not a per-row Python parser. This module implements the
+regex tier every crawl pipeline runs first: drop non-content
+elements wholesale (script/style/head/comments), strip tags, decode
+the common entities, normalize whitespace. The DOM tier, if ever
+needed, slots in as an Arrow ``mapInPandas`` stage with the same
+(id, html) → (id, text) shape — the module boundary is designed for
+that swap.
+
+Caveats (documented, not hidden): regexes do not parse HTML — a
+``<script>`` containing the literal string ``</script>`` inside a
+JS string, or attributes containing ``>``, can mis-split. For
+curation (feature extraction, dedup, quality gates) this tier is the
+standard trade; it is not an HTML sanitizer and MUST NOT be used as
+a security boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: elements whose CONTENT is dropped wholesale (non-prose)
+_DROP_CONTENT = ("script", "style", "head", "noscript", "template", "svg")
+
+#: the entities worth decoding without an entity table
+_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+)
+
+#: block-level boundaries that become newlines so line-level curation
+#: sees the document's visual line structure
+_BLOCK_BREAK = (
+    r"(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|section|article|"
+    r"header|footer|blockquote)[^>]*>"
+)
+
+
+def strip_html(html) -> Column:
+    """Visible text of an HTML Column: non-content elements removed,
+    block boundaries turned into newlines, tags stripped, common
+    entities decoded, whitespace normalized (spaces collapsed within
+    lines, blank lines dropped)."""
+    col = F.col(html) if isinstance(html, str) else html
+    out = col
+    for tag in _DROP_CONTENT:
+        out = F.regexp_replace(
+            out, f"(?is)<{tag}\\b[^>]*>.*?</{tag}>", " "
+        )
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, _BLOCK_BREAK, "\n")
+    out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
+    for ent, rep in _ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    # collapse horizontal whitespace, trim line edges, drop blanks;
+    # an inline tag stripped mid-sentence leaves " ." — re-attach
+    # sentence punctuation to the preceding word
+    out = F.regexp_replace(out, r"[ \t\x0b\f\r]+", " ")
+    out = F.regexp_replace(out, r" +([.,;:!?])", "$1")
+    out = F.regexp_replace(out, r" ?\n ?", "\n")
+    out = F.regexp_replace(out, r"\n{2,}", "\n")
+    return F.regexp_replace(F.trim(out), r"^\n+|\n+$", "")
+
+
+def extract_title(html) -> Column:
+    """The <title> text (first match), entity-decoded and trimmed;
+    NULL when absent."""
+    col = F.col(html) if isinstance(html, str) else html
+    raw = F.regexp_extract(col, r"(?is)<title[^>]*>(.*?)</title>", 1)
+    out = raw
+    for ent, rep in _ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return F.when(out != "", out)

@@ -1,0 +1,80 @@
+"""HTML text extraction (operators/html.py)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.operators.html import (
+    extract_title,
+    strip_html,
+)
+
+PAGE = """<!DOCTYPE html>
+<html><head><title>My &amp; Your  Page</title>
+<style>body { color: red; }</style>
+<script>var x = "<p>not text</p>";</script></head>
+<body>
+<!-- a comment with words -->
+<h1>Heading here</h1>
+<p>First paragraph with <b>bold</b> and a <a href="/x">link</a>.</p>
+<p>Second&nbsp;paragraph &lt;escaped&gt;.</p>
+<ul><li>item one</li><li>item two</li></ul>
+</body></html>"""
+
+
+def _one(spark, html):
+    df = spark.createDataFrame([(1, html)], "id long, html string")
+    return df.select(
+        strip_html("html").alias("text"), extract_title("html").alias("t")
+    ).first()
+
+
+def test_strip_html_page(spark):
+    r = _one(spark, PAGE)
+    lines = r.text.split("\n")
+    assert "Heading here" in lines
+    assert "First paragraph with bold and a link." in lines
+    # entity decode + nbsp
+    assert "Second paragraph <escaped>." in lines
+    assert "item one" in lines and "item two" in lines
+    # script/style/comment content gone
+    assert "color" not in r.text and "var x" not in r.text
+    assert "comment with words" not in r.text
+    assert r.t == "My & Your Page"
+
+
+def test_title_absent_is_null(spark):
+    r = _one(spark, "<p>no title here</p>")
+    assert r.t is None
+    assert r.text == "no title here"
+
+
+def test_plain_text_passthrough(spark):
+    r = _one(spark, "just ordinary text, no markup")
+    assert r.text == "just ordinary text, no markup"
+
+
+def test_compose_with_line_curation(spark):
+    """The intended pipeline: strip_html feeds split_lines — block
+    boundaries became newlines, so line-level rules see the page's
+    visual structure."""
+    from cdk_datalake_ingest_bigmagic_spark.operators import lines as ln
+
+    df = spark.createDataFrame([(1, PAGE)], "doc_id long, html string")
+    text = df.select("doc_id", strip_html("html").alias("text"))
+    split = ln.split_lines(text, "doc_id", "text")
+    got = [r.line for r in split.orderBy("line_no").collect()]
+    assert "Heading here" in got
+    assert "First paragraph with bold and a link." in got
+
+
+def test_zero_shuffle_plan(spark):
+    df = spark.createDataFrame([(1, PAGE)], "id long, html string")
+    out = df.select(strip_html("html").alias("text"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    assert "Exchange" not in buf.getvalue()
