@@ -29,15 +29,19 @@ from pyspark.sql import functions as F
 #: elements whose CONTENT is dropped wholesale (non-prose)
 _DROP_CONTENT = ("script", "style", "head", "noscript", "template", "svg")
 
-#: the entities worth decoding without an entity table
+#: the entities worth decoding without an entity table. ``&amp;``
+#: decodes LAST (the standard order): otherwise an escaped entity
+#: reference like ``&amp;lt;`` would double-decode to a literal ``<``,
+#: reintroducing angle brackets after tag stripping — decoded last it
+#: correctly yields the literal text ``&lt;``.
 _ENTITIES = (
     ("&nbsp;", " "),
-    ("&amp;", "&"),
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
     ("&#39;", "'"),
     ("&apos;", "'"),
+    ("&amp;", "&"),
 )
 
 #: block-level boundaries that become newlines so line-level curation

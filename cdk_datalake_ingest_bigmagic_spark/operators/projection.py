@@ -60,22 +60,27 @@ def random_project(
 ) -> DataFrame:
     """Project ``vec_col`` (array<float/double>) to ``k`` dimensions.
 
-    Returns (id, ``vec_col`` as array<double> of length k). Vectors
-    must share one dimensionality (taken from the first row — a
-    bounded 1-row peek); NULL/empty vectors are dropped (they carry
-    no geometry to preserve).
+    Returns (id, ``vec_col`` as array<double> of length k); the id
+    column keeps its input type (string keys project as well as
+    longs). Vectors must share one dimensionality (taken from the
+    first row — a bounded 1-row peek); NULL/empty vectors are dropped
+    (they carry no geometry to preserve), and so is any vector whose
+    dimensionality differs from the corpus's — a mixed-dims input is a
+    schema bug upstream, and projecting it through a d-col matrix
+    would be silently wrong, so those rows are excluded rather than
+    mis-projected (count in/out to detect them).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, {vec_col} array<double>"
     first = (
         df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
         .select(F.size(vec_col).alias("d"))
         .first()
     )
     if first is None:
-        return df.sparkSession.createDataFrame(
-            [], f"{id_col} long, {vec_col} array<double>"
-        )
+        return df.sparkSession.createDataFrame([], out_schema)
     dims = int(first["d"])
     sc = df.sparkSession.sparkContext
     mat_b = sc.broadcast(_sign_matrix(k, dims, seed))
@@ -96,6 +101,4 @@ def random_project(
     src = df.filter(
         F.col(vec_col).isNotNull() & (F.size(vec_col) == dims)
     ).select(id_col, vec_col)
-    return fan_out(src).mapInPandas(
-        run, f"{id_col} long, {vec_col} array<double>"
-    )
+    return fan_out(src).mapInPandas(run, out_schema)

@@ -429,6 +429,14 @@ class CorpusPipeline:
             )
         failed = [r["check"] for r in report if not r["passed"]]
         if failed and self.config.expectations_strict:
+            # fail CLOSED on re-runs too: by this point the shard step
+            # has already overwritten the data directories, so a
+            # training manifest published by a previous successful run
+            # now indexes data that failed this gate — retire it
+            # (rename, keeping it for forensics) before raising
+            mpath = f"{self.work_dir}/{TRAINING_MANIFEST}"
+            if os.path.exists(mpath):
+                os.replace(mpath, f"{mpath}.failed")
             raise ValueError(
                 f"corpus expectations failed: {failed} "
                 f"(report at {self.work_dir}/_EXPECTATIONS.json)"

@@ -132,6 +132,23 @@ def stream_corpus_clean(
     return writer.start()
 
 
+def _index_batch(
+    batch_df, index_path: str, batch_id: int, id_col: str, text_col: str
+) -> None:
+    """One micro-batch's sink write, as its own function so the
+    replay-idempotence contract is directly testable: the batch owns
+    its ``batch_id=N`` partition directory and writes it with
+    overwrite, so running the same (batch, id) twice — exactly what a
+    checkpoint recovery does after a crash between the sink write and
+    the commit — replaces the first attempt's output instead of
+    appending a second copy."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.retrieval import term_index
+
+    term_index(batch_df, id_col, text_col).write.mode("overwrite").parquet(
+        f"{index_path}/batch_id={batch_id}"
+    )
+
+
 def stream_term_index(
     spark: SparkSession,
     docs_path: str,
@@ -146,28 +163,30 @@ def stream_term_index(
 
     The term index is ADDITIVE under new-document appends: a new doc
     contributes its own (id, term, tf, dl) postings and touches no
-    existing row, so each micro-batch simply appends its batch-local
+    existing row, so each micro-batch simply lands its batch-local
     index (one tokenize + one map-side-combinable aggregation over
     the batch — never a read-modify-write of the accumulated index).
-    The checkpointed file log guarantees each document file is indexed
-    exactly once across runs; ``operators.retrieval.bm25_topk`` reads
-    the accumulated directory directly. Deletions/updates are the
+    Exactly-once needs BOTH ends: the checkpointed file log replays a
+    failed batch with the same ``batch_id``, and the sink writes each
+    batch into its own ``batch_id=N`` partition directory with
+    overwrite — a replay replaces its own partial output instead of
+    appending a second copy (a blind directory append would be
+    at-least-once and silently inflate tf/df on recovery).
+    ``operators.retrieval.bm25_topk`` reads the accumulated directory
+    directly (the discovered ``batch_id`` partition column is inert
+    payload). Deletions/updates are the
     snapshot-diff path: re-land the affected ids via
     ``operators.snapshot.snapshot_diff`` and rebuild their postings —
     at 100 TB the continuous case is append-dominated and this stream
     keeps the index warm between full rebuilds.
     """
-    from cdk_datalake_ingest_bigmagic_spark.operators.retrieval import term_index
-
     schema = spark.read.parquet(docs_path).schema
     stream = spark.readStream.schema(schema).parquet(docs_path)
 
     def process_batch(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        term_index(batch_df, id_col, text_col).write.mode("append").parquet(
-            index_path
-        )
+        _index_batch(batch_df, index_path, batch_id, id_col, text_col)
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint
@@ -193,7 +212,9 @@ def stream_ivf_assign(
 
     IVF lists are additive once the coarse quantizer is FROZEN: a new
     vector's (id, list_id, embedding) row touches no existing row, so
-    each micro-batch appends its assignments. The centroid matrix is
+    each micro-batch lands its assignments in its own ``batch_id=N``
+    partition with overwrite (idempotent under checkpoint replay —
+    the same sink contract as ``stream_term_index``). The centroid matrix is
     the frozen artifact: computed from the corpus snapshot on the
     FIRST run, persisted as ``_CENTROIDS.json`` under the index path,
     and loaded verbatim on every later run — a restart or new batch
@@ -259,9 +280,15 @@ def stream_ivf_assign(
                     }
                 )
 
+        # idempotent sink (same contract as stream_term_index): the
+        # batch owns its partition directory, so a checkpoint replay
+        # overwrites its own partial output instead of duplicating
+        # assignments
         fan_out(batch_df.select(id_col, vec_col)).mapInPandas(
             assign, f"{id_col} long, list_id int, {vec_col} array<float>"
-        ).write.mode("append").parquet(f"{index_path}/lists")
+        ).write.mode("overwrite").parquet(
+            f"{index_path}/lists/batch_id={batch_id}"
+        )
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint

@@ -327,3 +327,29 @@ def test_pipeline_line_filter_step(spark, tmp_path_factory):
     p3.run(docs)
     assert p3.results["clean"].skipped
     assert p3.results["clean"].fingerprint == fp_plain
+
+
+def test_failed_gate_retires_stale_manifest(spark, corpus, tmp_path_factory):
+    """A strict gate failure on a RE-RUN must not leave the previous
+    successful run's training manifest on disk: the shard step has
+    already overwritten the data directories, so a stale manifest
+    would index data that failed the gate. It is retired to
+    .failed (kept for forensics) before the raise."""
+    from cdk_datalake_ingest_bigmagic_spark.plans.corpus import (
+        TRAINING_MANIFEST,
+    )
+
+    work = str(tmp_path_factory.mktemp("pipe_exp_rerun"))
+    ok = CorpusPipelineConfig(
+        expectations=(("row_count_min", None, 10),)
+    )
+    CorpusPipeline(spark, work, ok).run(corpus)
+    assert os.path.exists(f"{work}/{TRAINING_MANIFEST}")
+
+    bad = CorpusPipelineConfig(
+        expectations=(("row_count_min", None, 10**9),)
+    )
+    with pytest.raises(ValueError, match="row_count_min"):
+        CorpusPipeline(spark, work, bad).run(corpus)
+    assert not os.path.exists(f"{work}/{TRAINING_MANIFEST}")
+    assert os.path.exists(f"{work}/{TRAINING_MANIFEST}.failed")

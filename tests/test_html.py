@@ -78,3 +78,11 @@ def test_zero_shuffle_plan(spark):
     with contextlib.redirect_stdout(buf):
         out.explain("formatted")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_escaped_entity_references_do_not_double_decode(spark):
+    """'&amp;lt;' is the literal text '&lt;' — decoding &amp; before
+    the bracket entities would turn it into a real '<'. Standard
+    order (&amp; last) keeps it literal."""
+    r = _one(spark, "<p>use &amp;lt;b&amp;gt; to write &lt;b&gt;</p>")
+    assert r.text == "use &lt;b&gt; to write <b>"

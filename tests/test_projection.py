@@ -109,3 +109,20 @@ def test_projection_plan_zero_shuffle(spark, emb):
     exchanges = re.findall(r"\(\d+\) Exchange", plan)
     assert len(exchanges) <= 1
     assert "Join" not in plan
+
+
+def test_string_ids_keep_their_type(spark):
+    """The output schema derives the id field from the input schema —
+    string document keys project as well as longs."""
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0, 2.0]), ("b", [0.0, 1.0, 1.0])],
+        "doc_id string, embedding array<double>",
+    )
+    out = random_project(df, "doc_id", "embedding", 2)
+    assert dict(out.dtypes)["doc_id"] == "string"
+    assert {r.doc_id for r in out.collect()} == {"a", "b"}
+
+    empty = spark.createDataFrame([], "doc_id string, embedding array<double>")
+    out2 = random_project(empty, "doc_id", "embedding", 2)
+    assert out2.count() == 0
+    assert dict(out2.dtypes)["doc_id"] == "string"

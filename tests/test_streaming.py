@@ -242,3 +242,49 @@ def test_stream_ivf_assign_incremental(spark, tmp_path):
         vn = v / max(float(np.sqrt((v * v).sum())), 1e-12)
         want = int(np.argsort(-(vn @ Cn.T), kind="stable")[0])
         assert got[i] == want, i
+
+
+def test_stream_term_index_replay_is_idempotent(spark, tmp_path):
+    """Failure recovery: structured streaming re-executes a batch
+    whose offsets were logged but whose commit never landed (the
+    crash-mid-batch case), calling the sink again with the SAME
+    batch_id. The sink writes each batch into its own batch_id
+    partition with overwrite, so the replay REPLACES the partial
+    first attempt — postings are never doubled."""
+    from cdk_datalake_ingest_bigmagic_spark.operators import retrieval as rt
+    from cdk_datalake_ingest_bigmagic_spark.streaming.incremental import (
+        _index_batch,
+        stream_term_index,
+    )
+
+    docs = str(tmp_path / "docs")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+    batch1 = spark.createDataFrame(
+        [(1, "spark join spark window"), (2, "join stream table")], schema
+    )
+    batch1.write.parquet(docs)
+    stream_term_index(spark, docs, index, ckpt).awaitTermination()
+    want = {
+        (r.doc_id, r.term): (r.tf, r.dl)
+        for r in spark.read.parquet(index).collect()
+    }
+
+    # replay batch 0 the way a post-crash restart does: same data,
+    # same batch_id, sink already holds the first attempt's output
+    _index_batch(batch1, index, 0, "doc_id", "text")
+    got = {
+        (r.doc_id, r.term): (r.tf, r.dl)
+        for r in spark.read.parquet(index).collect()
+    }
+    assert got == want  # replaced, not appended
+
+    # the accumulated index still serves BM25 directly (the
+    # discovered batch_id partition column is inert payload)
+    all_docs = spark.read.parquet(docs)
+    n, total = rt.corpus_stats(all_docs, "text")
+    top = rt.bm25_topk(
+        spark.read.parquet(index), "doc_id", ["spark"], 3, n, total
+    ).collect()
+    assert [r.doc_id for r in top] == [1]
