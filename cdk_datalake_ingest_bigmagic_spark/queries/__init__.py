@@ -54,6 +54,7 @@ from cdk_datalake_ingest_bigmagic_spark.queries import relational  # noqa: E402,
 from cdk_datalake_ingest_bigmagic_spark.queries import dsl_demo  # noqa: E402,F401
 from cdk_datalake_ingest_bigmagic_spark.queries import llmdata  # noqa: E402,F401
 from cdk_datalake_ingest_bigmagic_spark.queries import events  # noqa: E402,F401
+from cdk_datalake_ingest_bigmagic_spark.queries import curation  # noqa: E402,F401
 
 # The external correctness gate checks the first 50 registered queries.
 # With 104 registered (round 6 added text_bpe_encode,
@@ -75,7 +76,41 @@ from cdk_datalake_ingest_bigmagic_spark.queries import events  # noqa: E402,F401
 #   tests/test_gate_rotation.py, which cross-checks the out-of-window
 #   set against green rows in the recorded CORRECTNESS_r*.json files.
 #
-# Round 6 front:
+# Round 7 front (the pre-computed window math from round 6, executed):
+#   (1) new registrations: the 10 queries of queries/curation.py —
+#       the round-6 pytest-only operators promoted to oracle gates
+#       (snapshot_diff_docs, snapshot_carry_forward,
+#       corpus_drift_report, canonical_pick_best, lm_surprisal_counts,
+#       expectations_report, tokenizer_fertility, filter_domains_block,
+#       eval_pair_metrics, html_extract_text).
+#   (2) the 35-query re-gate obligation: every query whose newest
+#       green is r4 (the freshness ceiling at round 7 is r5) —
+#       scan_projection, synthetic_id, filter_month_window, the
+#       events/windows/set-ops families, the r4 DSL and agg rows.
+#   (3) changed-file riders: operators/retrieval.py (materialized-
+#       index path added) → retrieval_bm25_topk. operators/html.py
+#       (entity order fix + DOM tier) and operators/urls.py (PSL
+#       support) have their gate queries in (1); no other gated query
+#       imports them. plans/corpus.py (manifest fail-closed),
+#       operators/projection.py, and streaming/incremental.py changed
+#       but back no gated query (pytest covers them).
+#   (4) remaining 4 slots: early r5 re-gates, oldest-first, to
+#       flatten round 8's obligation (dsl_case_multicolumn,
+#       dsl_misc_functions, join_config_multitable,
+#       join_shipping_priority).
+#   Out of window: 63 queries, every one an unchanged green from
+#   round 5 or 6 (ceiling: current-2 = 5) — enforced by
+#   tests/test_gate_rotation.py.
+#
+#   ROUND-8 WINDOW MATH (pre-computed): obligation = the 15 r5-only
+#   greens left after (4) above (agg_sketch_error_bounds, the
+#   dedup_* r5 family, events_asof_join, join_market_share,
+#   text_chunk_windows, text_duplicate_spans, text_span_trim,
+#   window_yearly_growth, ...) — everything else in this round-7
+#   window greens at r7 and every out-of-window query is r5/r6;
+#   ~35 free slots for round-8 registrations and riders.
+#
+# Round 6 front (kept for the audit trail):
 #   (1) never green / red last round: pack_sequences +
 #       corpus_training_prep (r5 hash_match false — the DuckDB
 #       HUGEINT pack_id oracle artifact, CAST fixed this round) and
@@ -127,6 +162,64 @@ from cdk_datalake_ingest_bigmagic_spark.queries import events  # noqa: E402,F401
 #   (streaming), random_project (numpy matmul summation order is not
 #   DuckDB-reproducible; its determinism is pinned in pytest).
 _GATE_FRONT: list[str] = [
+    # (1) new registrations (queries/curation.py) — never gated
+    "snapshot_diff_docs",
+    "snapshot_carry_forward",
+    "corpus_drift_report",
+    "canonical_pick_best",
+    "lm_surprisal_counts",
+    "expectations_report",
+    "tokenizer_fertility",
+    "filter_domains_block",
+    "eval_pair_metrics",
+    "html_extract_text",
+    # (2) the 35 r4-green re-gates (freshness ceiling at r7 is r5)
+    "agg_above_customer_average",
+    "agg_count_guards",
+    "agg_cube_counts",
+    "agg_minmax_probe",
+    "agg_pricing_summary",
+    "agg_rollup_pricing",
+    "agg_watermark_running_max",
+    "dedup_exact_rows",
+    "dsl_clearstring",
+    "dsl_concatenate",
+    "dsl_datemagic_roundtrip",
+    "dsl_datetimemagic_roundtrip",
+    "dsl_numeric_decimal",
+    "events_cohort_retention",
+    "events_funnel_steps",
+    "events_json_props",
+    "events_pivot_counts",
+    "events_sessionization",
+    "events_sliding_counts",
+    "events_tumbling_hourly",
+    "events_zorder_key",
+    "filter_antijoin_no_orders",
+    "filter_dual_column_window",
+    "filter_explicit_range",
+    "filter_month_window",
+    "filter_semijoin_subquery",
+    "filter_watermark",
+    "multimodal_binary_stats",
+    "order_by_topk",
+    "scan_projection",
+    "set_ops_segments",
+    "synthetic_id",
+    "window_dedup_latest",
+    "window_running_sum",
+    "window_topk_per_group",
+    # (3) operators/retrieval.py rider (materialized-index path)
+    "retrieval_bm25_topk",
+    # (4) early r5 re-gates to flatten round 8
+    "dsl_case_multicolumn",
+    "dsl_misc_functions",
+    "join_config_multitable",
+    "join_shipping_priority",
+]
+
+#: the round-6 front, kept for the audit trail (not used at runtime)
+_GATE_FRONT_R6: list[str] = [
     # (1) red last round (oracle type artifact, CAST landed) / new
     "pack_sequences",
     "corpus_training_prep",

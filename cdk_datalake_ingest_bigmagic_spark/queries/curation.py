@@ -1,0 +1,607 @@
+"""Round-7 gate queries for the curation/observability operators that
+shipped in round 6 with pytest-only coverage: snapshot diff /
+carry-forward / drift, canonical selection, the bigram-LM integer
+core, single-pass expectations, tokenizer fertility, URL/domain
+filtering, pair-set evaluation, and HTML extraction.
+
+Gate-prep conventions (same as queries/llmdata.py): where an operator
+needs inputs the synthetic corpus lacks (two snapshots, duplicate
+pairs, URLs, HTML), both engines synthesize them with the SAME
+deterministic arithmetic on ``doc_id``/``source`` — the operator under
+test is general; only the prep is synthetic. All ratios are single
+IEEE divisions of exact integer counts; all digests are md5 hex.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.queries import load, register
+from cdk_datalake_ingest_bigmagic_spark.queries.llmdata import (
+    _BPE_GATE_MERGES,
+    _BPE_ORACLE_TOKENS,
+)
+
+# ---------------------------------------------------------------------------
+# snapshot diff / carry-forward / drift (operators/snapshot.py)
+# ---------------------------------------------------------------------------
+#
+# Two synthetic snapshots of the documents table:
+#   old = doc_id % 7 != 0          (the %7 rows will appear "added")
+#   new = doc_id % 5 != 0          (the %5 rows appear "removed")
+#   and every doc_id % 3 == 0 row changes content in the new snapshot.
+
+
+def _snapshots(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    d = load(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 7 != 0)
+    new = d.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" updated"))
+        ).otherwise(F.col("text")),
+    )
+    return old, new
+
+
+_SNAP_SQL = """
+    old AS (
+      SELECT doc_id, source, text FROM documents WHERE doc_id % 7 <> 0
+    ), new AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 3 = 0 THEN text || ' updated'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 5 <> 0
+    )
+"""
+
+
+@register(
+    "snapshot_diff_docs",
+    oracle=f"""
+    WITH {_SNAP_SQL},
+    o AS (SELECT doc_id, md5(text) AS old_digest FROM old),
+    n AS (SELECT doc_id, md5(text) AS new_digest FROM new)
+    SELECT doc_id,
+           CASE WHEN o.old_digest IS NULL THEN 'added'
+                WHEN n.new_digest IS NULL THEN 'removed'
+                WHEN o.old_digest <> n.new_digest THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           o.old_digest, n.new_digest
+    FROM o FULL OUTER JOIN n USING (doc_id)
+    """,
+)
+def snapshot_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What changed between two corpus snapshots: added/removed/
+    changed/unchanged by content digest — the pre-curation question an
+    incremental 100-TB re-land answers before touching anything. The
+    join carries 32-hex digests, never document bodies."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.snapshot import snapshot_diff
+
+    old, new = _snapshots(spark, sf_dir)
+    return snapshot_diff(old, new, "doc_id", "text")
+
+
+@register(
+    "snapshot_carry_forward",
+    oracle=f"""
+    WITH {_SNAP_SQL},
+    o AS (SELECT doc_id, md5(text) AS old_digest FROM old),
+    n AS (SELECT doc_id, md5(text) AS new_digest FROM new),
+    diff AS (
+      SELECT doc_id,
+             CASE WHEN o.old_digest IS NULL THEN 'added'
+                  WHEN n.new_digest IS NULL THEN 'removed'
+                  WHEN o.old_digest <> n.new_digest THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM o FULL OUTER JOIN n USING (doc_id)
+    ),
+    prior AS (
+      SELECT doc_id, (n_chars % 2 = 0) AS keep
+      FROM documents WHERE doc_id % 7 <> 0
+    ),
+    j AS (
+      SELECT d.doc_id, d.status,
+             CASE WHEN d.status = 'unchanged' THEN p.keep END AS keep
+      FROM diff d LEFT JOIN prior p USING (doc_id)
+      WHERE d.status <> 'removed'
+    )
+    SELECT doc_id, status, keep, (keep IS NULL) AS needs_decision FROM j
+    """,
+)
+def snapshot_carry_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reuse the previous run's curation decisions across a re-land:
+    unchanged docs inherit their prior keep flag; added/changed docs
+    come back flagged ``needs_decision`` for the incremental path.
+    The join that makes nightly re-curation affordable — the unchanged
+    majority never re-enters dedup."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.snapshot import (
+        carry_forward_decisions,
+        snapshot_diff,
+    )
+
+    old, new = _snapshots(spark, sf_dir)
+    diff = snapshot_diff(old, new, "doc_id", "text")
+    prior = old.select("doc_id", (F.col("n_chars") % 2 == 0).alias("keep"))
+    return carry_forward_decisions(diff, prior, "doc_id", "keep").select(
+        "doc_id", "status", "keep", "needs_decision"
+    )
+
+
+@register(
+    "corpus_drift_report",
+    oracle=f"""
+    WITH {_SNAP_SQL},
+    so AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS old_docs,
+             CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END)
+               AS BIGINT) AS old_words
+      FROM old GROUP BY source
+    ), sn AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS new_docs,
+             CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END)
+               AS BIGINT) AS new_words
+      FROM new GROUP BY source
+    )
+    SELECT source, old_docs, new_docs, old_words, new_words,
+           (coalesce(new_docs, 0) - coalesce(old_docs, 0)) AS docs_delta,
+           (coalesce(new_words, 0) - coalesce(old_words, 0)) AS words_delta,
+           CAST(old_words AS DOUBLE) / CAST(old_docs AS DOUBLE)
+             AS old_mean_words,
+           CAST(new_words AS DOUBLE) / CAST(new_docs AS DOUBLE)
+             AS new_mean_words
+    FROM so FULL OUTER JOIN sn USING (source)
+    """,
+)
+def corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source drift between two snapshots (docs/words/deltas/mean
+    lengths) — the report that catches a crawler regression before a
+    training run consumes it. Only per-source summaries are joined;
+    the corpus itself is never shuffled."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.snapshot import drift_report
+
+    old, new = _snapshots(spark, sf_dir)
+    return drift_report(old, new, "source", "text")
+
+
+# ---------------------------------------------------------------------------
+# quality-ranked canonical selection (operators/canonical.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "canonical_pick_best",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN NULL
+                  ELSE doc_id % 40 END AS cluster,
+             CASE WHEN doc_id % 13 = 0 THEN NULL
+                  ELSE n_chars END AS score
+      FROM documents
+    ), lab AS (
+      SELECT *, coalesce(cluster, doc_id) AS lbl FROM b
+    ), r AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY lbl
+               ORDER BY (score IS NULL),
+                        coalesce(-CAST(score AS DOUBLE), 0.0),
+                        doc_id
+             ) AS rn
+      FROM lab
+    ), w AS (
+      SELECT lbl, doc_id AS winner FROM r WHERE rn = 1
+    )
+    SELECT lab.doc_id, lab.cluster, lab.score,
+           (lab.doc_id = w.winner) AS keep
+    FROM lab JOIN w USING (lbl)
+    """,
+)
+def canonical_pick_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked canonical selection: each cluster keeps its
+    best-scoring member (here: longest doc wins, ties to the smaller
+    id). NULL labels are singletons; NULL scores lose to any scored
+    member — both exercised via %-derived gaps. Map-side struct-MIN
+    agg + one equi-join, never a window over the corpus."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.canonical import pick_canonical
+
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 != 0, F.col("doc_id") % 40).alias("cluster"),
+        F.when(F.col("doc_id") % 13 != 0, F.col("n_chars")).alias("score"),
+    )
+    return pick_canonical(base, "doc_id", "cluster", "score", prefer="max")
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM integer core (operators/lm.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lm_surprisal_counts",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      FROM documents WHERE trim(text) <> ''
+    ), pairs AS (
+      SELECT doc_id, ws[i + 1] AS w1, ws[i + 2] AS w2
+      FROM base, UNNEST(range(0, len(ws) - 1)) AS t(i)
+      WHERE len(ws) >= 2
+    ), big AS (
+      SELECT w1, w2, 1 AS hit FROM (
+        SELECT w1, w2, count(*) AS c FROM pairs GROUP BY w1, w2
+        ORDER BY c DESC, w1, w2 LIMIT 500
+      )
+    )
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           CAST(sum(CASE WHEN b.hit IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_backoff
+    FROM pairs p LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+    GROUP BY p.doc_id
+    """,
+)
+def lm_surprisal_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bigram-LM scorer's cross-engine-checkable integer core:
+    per-document transition count and backoff count under a 500-pair
+    capped model trained on the same corpus (cap tie-broken lexically,
+    so the model is deterministic on any partitioning). The log-float
+    surprisal column stays out of the gate (pytest pins it against a
+    pure-Python reference in tests/test_lm.py)."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.lm import (
+        surprisal_score,
+        train_bigram_lm,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    lm = train_bigram_lm(d, "text", max_bigrams=500)
+    return surprisal_score(d, "doc_id", "text", lm).select(
+        "doc_id", "n_transitions", "n_backoff"
+    )
+
+
+# ---------------------------------------------------------------------------
+# single-pass expectations (operators/expectations.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "expectations_report",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS null_text,
+             CAST(count(DISTINCT doc_id) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS uniq_id,
+             CAST(min(n_chars) AS DOUBLE) AS min_chars,
+             CAST(sum(CASE WHEN regexp_matches(lang, '^[a-z][a-z]$')
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS lang_ok
+      FROM documents
+    )
+    SELECT 'row_count_min(*)' AS "check", '*' AS "column",
+           n AS metric_value, 100.0 AS threshold, n >= 100.0 AS passed
+    FROM m
+    UNION ALL SELECT 'row_count_max(*)', '*', n, 100.0, n <= 100.0 FROM m
+    UNION ALL SELECT 'null_ratio_max(text)', 'text', null_text, 0.0,
+                     null_text <= 0.0 FROM m
+    UNION ALL SELECT 'unique_ratio_min(doc_id)', 'doc_id', uniq_id, 1.0,
+                     uniq_id >= 1.0 FROM m
+    UNION ALL SELECT 'min_value_at_least(n_chars)', 'n_chars', min_chars,
+                     1.0, min_chars >= 1.0 FROM m
+    UNION ALL SELECT 'regex_match_ratio_min(lang)', 'lang', lang_ok, 0.9,
+                     lang_ok >= 0.9 FROM m
+    """,
+)
+def expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality expectations: six checks (count
+    bounds, null ratio, key uniqueness, value range, regex
+    conformance) compiled into ONE aggregation pass, reported as
+    data. One check (row_count_max at 100) fails by construction so
+    the report's failure path is part of the gate."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.expectations import (
+        Check,
+        validate,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    checks = [
+        Check(kind="row_count_min", threshold=100),
+        Check(kind="row_count_max", threshold=100),
+        Check(kind="null_ratio_max", column="text", threshold=0.0),
+        Check(kind="unique_ratio_min", column="doc_id", threshold=1.0),
+        Check(kind="min_value_at_least", column="n_chars", threshold=1.0),
+        Check(
+            kind="regex_match_ratio_min",
+            column="lang",
+            threshold=0.9,
+            pattern="^[a-z][a-z]$",
+        ),
+    ]
+    return validate(d, checks)
+
+
+# ---------------------------------------------------------------------------
+# tokenizer fertility (operators/bpe.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tokenizer_fertility",
+    oracle=rf"""
+    WITH base AS (
+      SELECT doc_id, source,
+             trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'))
+               AS norm
+      FROM documents
+    ), words AS (
+      SELECT b.doc_id, u.word
+      FROM (SELECT doc_id, string_split_regex(norm, '\s+') AS ws
+            FROM base WHERE norm <> '') b,
+           UNNEST(b.ws) AS u(word)
+      WHERE u.word <> ''
+    ), enc AS (
+      SELECT doc_id,
+             CAST(sum(len(regexp_extract_all(
+               {_BPE_ORACLE_TOKENS}, '<([^>]*)>', 1))) AS BIGINT)
+               AS n_tokens
+      FROM words GROUP BY doc_id
+    ), per_doc AS (
+      SELECT b.doc_id, b.source,
+             CASE WHEN b.norm = '' THEN 0
+                  ELSE len(string_split_regex(b.norm, '\s+')) END AS w,
+             length(b.norm) AS c,
+             e.n_tokens
+      FROM base b LEFT JOIN enc e USING (doc_id)
+    ), agg AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(w) AS BIGINT) AS n_words,
+             CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens,
+             CAST(sum(c) AS BIGINT) AS n_chars
+      FROM per_doc GROUP BY source
+    )
+    SELECT source, n_docs, n_words, n_tokens, n_chars,
+           CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE) AS fertility,
+           CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             AS chars_per_token
+    FROM agg
+    """,
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer fertility under the fixed gate merge
+    table: subword tokens per word and chars per token — the report
+    that decides whether a tokenizer fits a corpus before a training
+    run commits to it. One encode pass + one join + one small
+    aggregation; both ratios are single divisions of exact sums."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.bpe import fertility_report
+
+    d = load(spark, sf_dir, "documents")
+    return fertility_report(
+        d, "doc_id", "text", "source", _BPE_GATE_MERGES, tier="expression"
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL/domain filtering (operators/urls.py)
+# ---------------------------------------------------------------------------
+#
+# The documents table carries no URLs, so both engines derive one per
+# document with the same arithmetic: hosts under
+# sub{0..2}.{source}.example.com, every 9th doc on {source}.example.org,
+# every 4th prefixed www. (the operator strips it), every 17th
+# unparseable (NULL host ⇒ kept by a blocklist).
+
+_URL_HOST_SQL = """
+      CASE WHEN doc_id % 17 = 0 THEN NULL
+           WHEN doc_id % 9 = 0 THEN source || '.example.org'
+           ELSE 'sub' || CAST(doc_id % 3 AS VARCHAR) || '.' || source
+                || '.example.com' END
+"""
+
+
+@register(
+    "filter_domains_block",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 17 = 0 THEN 'not a url'
+                  ELSE 'https://'
+                       || CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END
+                       || CASE WHEN doc_id % 9 = 0
+                               THEN source || '.example.org'
+                               ELSE 'sub' || CAST(doc_id % 3 AS VARCHAR)
+                                    || '.' || source || '.example.com' END
+                       || '/p/' || CAST(doc_id AS VARCHAR) END AS url,
+             {_URL_HOST_SQL} AS host
+      FROM documents
+    ), dl AS (
+      SELECT * FROM (VALUES ('src3.example.com'), ('example.org'),
+                            ('sub1.src5.example.com')) t(domain)
+    ), matched AS (
+      SELECT DISTINCT doc_id FROM u JOIN dl
+      ON u.host = dl.domain OR u.host LIKE '%.' || dl.domain
+    )
+    SELECT u.doc_id, u.url FROM u
+    LEFT JOIN matched m USING (doc_id) WHERE m.doc_id IS NULL
+    """,
+)
+def filter_domains_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist filtering: suffix-key explode + ONE semi-join
+    (a 10M-entry list is a join side, never a LIKE chain). Exercises
+    exact match, subdomain match, www-stripping, and the
+    unparseable-host-is-kept rule."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.urls import filter_domains
+
+    d = load(spark, sf_dir, "documents")
+    www = F.when(F.col("doc_id") % 4 == 0, F.lit("www.")).otherwise(F.lit(""))
+    host_core = F.when(
+        F.col("doc_id") % 9 == 0, F.concat(F.col("source"), F.lit(".example.org"))
+    ).otherwise(
+        F.concat(
+            F.lit("sub"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit("."),
+            F.col("source"),
+            F.lit(".example.com"),
+        )
+    )
+    url = F.when(F.col("doc_id") % 17 == 0, F.lit("not a url")).otherwise(
+        F.concat(
+            F.lit("https://"),
+            www,
+            host_core,
+            F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    docs = d.select("doc_id", url.alias("url"))
+    domains = spark.createDataFrame(
+        [("src3.example.com",), ("example.org",), ("sub1.src5.example.com",)],
+        "domain string",
+    )
+    return filter_domains(docs, "doc_id", "url", domains, mode="block")
+
+
+# ---------------------------------------------------------------------------
+# pair-set evaluation (operators/evaluation.py)
+# ---------------------------------------------------------------------------
+#
+# The sf corpora carry no exact duplicates, so both engines synthesize
+# them: a shifted copy of every document (doc_id + 1,000,000), exact
+# for doc_id % 3 == 0, else with ' x' appended. Truth = same-text
+# pairs; predicted = same-40-char-prefix pairs (a deliberately lossy
+# "cheap hash" predictor, so precision < 1 while recall = 1).
+
+
+@register(
+    "eval_pair_metrics",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             CASE WHEN doc_id % 3 = 0 THEN text ELSE text || ' x' END
+      FROM documents
+    ), pk AS (
+      SELECT doc_id, md5(substr(text, 1, 40)) AS k FROM corpus
+    ), p AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM pk a JOIN pk b ON a.k = b.k AND a.doc_id < b.doc_id
+    ), tk AS (
+      SELECT doc_id, md5(text) AS k FROM corpus
+    ), t AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM tk a JOIN tk b ON a.k = b.k AND a.doc_id < b.doc_id
+    ), c AS (
+      SELECT (SELECT count(*) FROM p JOIN t USING (id_a, id_b)) AS tp,
+             (SELECT count(*) FROM p) AS np,
+             (SELECT count(*) FROM t) AS nt
+    )
+    SELECT CAST(tp AS BIGINT) AS tp,
+           CAST(np - tp AS BIGINT) AS fp,
+           CAST(nt - tp AS BIGINT) AS fn,
+           CAST(tp AS DOUBLE) / CAST(np AS DOUBLE) AS precision,
+           CAST(tp AS DOUBLE) / CAST(nt AS DOUBLE) AS recall,
+           ((2.0 * (CAST(tp AS DOUBLE) / CAST(np AS DOUBLE)))
+            * (CAST(tp AS DOUBLE) / CAST(nt AS DOUBLE)))
+           / ((CAST(tp AS DOUBLE) / CAST(np AS DOUBLE))
+              + (CAST(tp AS DOUBLE) / CAST(nt AS DOUBLE))) AS f1
+    FROM c
+    """,
+)
+def eval_pair_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-predictor evaluation: precision/recall/F1 of a cheap
+    prefix-digest pair predictor against exact-duplicate truth — the
+    feedback number a near-dup stack is tuned with. Canonicalized
+    key-only joins; metrics are single divisions of exact counts."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.evaluation import pair_metrics
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    copy = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" x")))
+        .alias("text"),
+    )
+    corpus = d.unionByName(copy)
+    pk = corpus.select(
+        "doc_id", F.md5(F.substring("text", 1, 40)).alias("k")
+    )
+    predicted = (
+        pk.alias("a")
+        .join(pk.alias("b"), "k")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+    )
+    tk = corpus.select("doc_id", F.md5("text").alias("k"))
+    truth = (
+        tk.alias("a")
+        .join(tk.alias("b"), "k")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+    )
+    return pair_metrics(predicted, truth)
+
+
+# ---------------------------------------------------------------------------
+# HTML extraction (operators/html.py)
+# ---------------------------------------------------------------------------
+#
+# Documents become pages with the same concatenation in both engines;
+# the testdata text is single-spaced printable ASCII with no <>&
+# (probed at gate-design time), so the oracle can state the EXPECTED
+# extraction from first principles — a stronger differential than
+# mirroring the regex chain, because the two engines derive the answer
+# along independent routes.
+
+
+@register(
+    "html_extract_text",
+    oracle="""
+    SELECT doc_id,
+           'Doc ' || CAST(doc_id AS VARCHAR) || ' & ' || source AS title,
+           source || chr(10) || text AS text
+    FROM documents
+    """,
+)
+def html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction: build a page around each document
+    (head/title with an escaped entity, style block, h1, paragraph,
+    comment), then recover the title and visible text. The oracle
+    states the expected output from the construction; the Spark side
+    must strip head/style wholesale, decode &amp; without
+    double-decoding, break blocks into lines, and normalize
+    whitespace to match."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.html import (
+        extract_title,
+        strip_html,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" &amp; "),
+        F.col("source"),
+        F.lit("</title><style>p {color: red}</style></head><body><h1>"),
+        F.col("source"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><!-- footer note --></body></html>"),
+    )
+    pages = d.select("doc_id", page.alias("html"))
+    return pages.select(
+        "doc_id",
+        extract_title("html").alias("title"),
+        strip_html("html").alias("text"),
+    )
