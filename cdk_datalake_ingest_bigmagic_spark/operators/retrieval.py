@@ -157,6 +157,46 @@ def bm25_topk(
     )
 
 
+def materialize_index(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    table: str,
+    n_buckets: int = 64,
+) -> None:
+    """Build the inverted index ONCE and land it as a bucketed-sorted
+    table — the production shape ``term_index``'s docstring
+    prescribes, wired end-to-end.
+
+    Bucketed AND sorted by ``term``: bucketing pre-shuffles the index
+    so query-time per-term aggregations (``dfreq``) and term joins
+    read co-located data without an exchange; sorting within buckets
+    clusters each term's postings into contiguous runs, so the parquet
+    row-group min/max statistics prune a term lookup to the few
+    row groups that actually hold it. A query then touches only its
+    terms' postings — never the corpus, and never the full index.
+    """
+    from cdk_datalake_ingest_bigmagic_spark.storage.bucketing import (
+        write_bucketed,
+    )
+
+    idx = term_index(docs, id_col, text_col)
+    write_bucketed(idx, table, ["term"], n_buckets, sort_cols=["term"])
+
+
+def index_corpus_stats(index: DataFrame, id_col: str) -> tuple[int, int]:
+    """(n_docs, total_tokens) recovered from a materialized index —
+    so query time never touches the corpus. ``dl`` repeats on every
+    posting of a document; one per-document MAX then one 1-row sum,
+    both index-sized (not corpus-sized). Bounded driver collect: one
+    row."""
+    per_doc = index.groupBy(id_col).agg(F.max("dl").alias("dl"))
+    row = per_doc.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total")
+    ).first()
+    return int(row["n"]), int(row["total"] or 0)
+
+
 def bm25_search(
     docs: DataFrame,
     id_col: str,

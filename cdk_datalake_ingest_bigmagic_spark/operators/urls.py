@@ -12,11 +12,16 @@ side; a small list broadcasts via AQE. Row payloads never enter the
 matching shuffles — only ids and short keys.
 
 Suffix semantics: an entry ``example.com`` matches ``example.com``
-and any subdomain (``a.b.example.com``); an entry ``com`` would
-match everything under ``.com`` — list hygiene is the caller's job
-(a public-suffix list is an external artifact this container lacks;
-the suffix-key mechanics are PSL-compatible — swap the key
-derivation if label-boundary rules must follow the PSL).
+and any subdomain (``a.b.example.com``). Without a public-suffix
+table, an entry ``com`` would match everything under ``.com`` — list
+hygiene is the caller's job. Pass ``public_suffixes`` (the PSL file
+itself is an external artifact this container lacks, so it is a
+caller-supplied one-column DataFrame) and matching becomes
+registrable-domain-correct: candidate keys that ARE public suffixes
+(``com``, ``co.uk``) are dropped before matching, so a list entry at
+or above the suffix boundary can never block the whole TLD, while
+``example.co.uk``-style entries still match themselves and their
+subdomains.
 """
 
 from __future__ import annotations
@@ -49,6 +54,7 @@ def filter_domains(
     url_col: str,
     domains: DataFrame,
     mode: str = "block",
+    public_suffixes: DataFrame | None = None,
 ) -> DataFrame:
     """Drop (``mode='block'``) or keep (``'allow'``) rows whose URL
     host equals any listed domain or is a subdomain of one.
@@ -58,6 +64,13 @@ def filter_domains(
     match: blocked mode keeps them (a blocklist should not eat rows
     it could not read), allow mode drops them (an allowlist that
     cannot read the host has no business keeping the row).
+
+    ``public_suffixes`` (optional, column ``suffix``) makes matching
+    PSL-aware: a candidate key that is itself a public suffix is
+    dropped before the match join, so list entries at or above the
+    suffix boundary (``com``, ``co.uk``) never match — only entries
+    at the registrable domain or deeper do. One extra key-only
+    left-anti join; a full PSL (~10k rows) broadcasts via AQE.
     """
     if mode not in ("block", "allow"):
         raise ValueError(f"mode must be 'block' or 'allow', got {mode!r}")
@@ -66,6 +79,11 @@ def filter_domains(
         .withColumn("__labels", F.split(F.col("__host"), r"\."))
         .select(F.col(id_col), F.explode(F.expr(_SUFFIX_EXPR)).alias("__key"))
     )
+    if public_suffixes is not None:
+        psl = public_suffixes.select(
+            F.lower(F.col("suffix")).alias("__key")
+        ).distinct()
+        keys = keys.join(psl, "__key", "left_anti")
     dlist = domains.select(
         F.lower(F.col("domain")).alias("__key")
     ).distinct()

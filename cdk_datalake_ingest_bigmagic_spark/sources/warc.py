@@ -34,9 +34,13 @@ from pyspark.sql import functions as F
 #: splits there — the true record is truncated at that line and the
 #: fragment becomes a candidate row. The fragment is dropped by the
 #: mandatory-header validation in :func:`read_warc` unless it quotes a
-#: full header block. Exact framing needs Content-Length byte
-#: accounting, which a splittable declarative scan cannot do; crawls
-#: where that matters should pre-segment with a record-aware tool.
+#: FULL well-formed header block — and that last case is caught by the
+#: Content-Length consistency check (``validate_length``): the quoted
+#: header's declared length describes the quoted record, not the
+#: fragment, so the fragment flags inconsistent (and ``'strict'``
+#: drops it). Exact framing needs Content-Length byte accounting,
+#: which a splittable declarative scan cannot do; crawls where that
+#: matters should pre-segment with a record-aware tool.
 WARC_DELIM = "\r\nWARC/1."
 
 
@@ -46,19 +50,39 @@ def _header(block: F.Column, name: str) -> F.Column:
     return F.regexp_extract(block, rf"(?m)^{name}:\s*([^\r\n]+)", 1)
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+def read_warc(
+    spark: SparkSession, path: str, validate_length: str = "flag"
+) -> DataFrame:
     """Read WARC (1.0 / 1.1) files into
     (warc_type, target_uri, warc_date, record_id, content_length,
-    content) — one row per WARC record, response/conversion payloads
-    carried as text.
+    content, length_consistent) — one row per WARC record,
+    response/conversion payloads carried as text.
 
     Rows missing the mandatory ``WARC-Type`` + ``WARC-Record-ID``
     headers are dropped: they are either split fragments (see
-    ``WARC_DELIM``) or not WARC records at all. ``content_length`` is
-    the declared header value (useful for integrity checks against
-    ``length(content)`` — the text-mode read can differ when
-    multi-byte sequences were replaced).
+    ``WARC_DELIM``) or not WARC records at all.
+
+    ``validate_length`` closes the remaining spoof: a payload that
+    embeds a FULL well-formed fake WARC header block passes the
+    mandatory-header filter, but its declared ``Content-Length``
+    describes the record it quotes, not the fragment it accidentally
+    frames — and the truncated true record is likewise far shorter
+    than ITS declared length. ``length_consistent`` is false when the
+    payload's byte length disagrees with the declared Content-Length
+    by more than max(8 bytes, 5%) (the slack absorbs trailer-CRLF
+    trimming and text-mode replacement-character shrinkage), NULL
+    when no length was declared. Modes: ``'flag'`` (default) emits
+    every record with the column; ``'strict'`` drops the inconsistent
+    ones — both halves of a false split go, so a spoofing payload
+    subtracts its own record rather than adding a bogus one;
+    ``'off'`` skips the check (column still present, all NULL/true
+    semantics preserved for schema stability).
     """
+    if validate_length not in ("flag", "strict", "off"):
+        raise ValueError(
+            f"validate_length must be 'flag', 'strict', or 'off', "
+            f"got {validate_length!r}"
+        )
     raw = (
         spark.read.option("lineSep", WARC_DELIM)
         .text(path)
@@ -75,7 +99,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     header_block = F.regexp_extract(rec, r"(?s)\A(.*?)(?:\r?\n\r?\n|\Z)", 1)
     # \A-anchored, so at most one match — safe with replace-all
     payload = F.regexp_replace(rec, r"(?s)\A.*?\r?\n\r?\n", "")
-    return (
+    out = (
         raw.select(
             _header(header_block, "WARC-Type").alias("warc_type"),
             _header(header_block, "WARC-Target-URI").alias("target_uri"),
@@ -92,6 +116,24 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         # mandatory-header validation: regexp_extract misses → ''
         .filter((F.col("warc_type") != "") & (F.col("record_id") != ""))
     )
+    if validate_length == "off":
+        consistent = F.lit(None).cast("boolean")
+    else:
+        declared = F.col("content_length").cast("double")
+        slack = F.greatest(F.lit(8.0), declared * F.lit(0.05))
+        consistent = F.when(
+            F.col("content_length").isNotNull(),
+            F.abs(F.octet_length("content").cast("double") - declared)
+            <= slack,
+        )
+    out = out.withColumn("length_consistent", consistent)
+    if validate_length == "strict":
+        # keep true AND undeclared (nothing to check) — drop only
+        # demonstrable split artifacts / spoofed fragments
+        out = out.filter(
+            F.col("length_consistent").isNull() | F.col("length_consistent")
+        )
+    return out
 
 
 def warc_responses_as_documents(
@@ -101,8 +143,10 @@ def warc_responses_as_documents(
     ``documents``-shaped table (doc_id, url, fetched_at, text) ready
     for the curation operators. doc_id is the content-addressed
     64-bit xxhash of (record_id, uri) — deterministic, join-stable,
-    no monotonically_increasing_id partition coupling."""
-    recs = read_warc(spark, path).filter(
+    no monotonically_increasing_id partition coupling. Reads with
+    ``validate_length='strict'`` — a corpus should contain neither
+    spoofed fragments nor demonstrably truncated records."""
+    recs = read_warc(spark, path, validate_length="strict").filter(
         F.col("warc_type").isin("response", "conversion")
     )
     return recs.filter(F.length("content") >= min_chars).select(

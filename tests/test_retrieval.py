@@ -182,3 +182,44 @@ def test_bm25_rejects_empty_terms(docs):
     idx = rt.term_index(docs, "doc_id", "text")
     with pytest.raises(ValueError, match="at least one"):
         rt.bm25_topk(idx, "doc_id", [], 5, 5, 26)
+
+
+def test_materialized_index_end_to_end(spark, docs):
+    """The production path: materialize the index bucketed+sorted by
+    term, recover corpus stats from the index alone (never the
+    corpus), search the read-back table, and match the in-flight
+    search exactly. The scan must prune to the query's terms (pushed
+    term filter) and read only the index columns."""
+    spark.sql("DROP TABLE IF EXISTS bm25_idx")
+    try:
+        rt.materialize_index(docs, "doc_id", "text", "bm25_idx", n_buckets=4)
+        idx = spark.table("bm25_idx")
+
+        # corpus stats recovered from the index == computed on docs
+        assert rt.index_corpus_stats(idx, "doc_id") == rt.corpus_stats(
+            docs, "text"
+        )
+
+        n, total = rt.index_corpus_stats(idx, "doc_id")
+        got = rt.bm25_topk(
+            idx, "doc_id", ["spark", "join"], 5, n, total
+        ).collect()
+        want = rt.bm25_search(
+            docs, "doc_id", "text", ["spark", "join"], k=5
+        ).collect()
+        assert [(r.doc_id, r.score) for r in got] == [
+            (r.doc_id, r.score) for r in want
+        ]
+
+        # plan: the term IN-filter reaches the file scan, and only the
+        # index columns are read (no corpus text in sight)
+        plan = _plan_of(
+            rt.bm25_topk(idx, "doc_id", ["spark", "join"], 5, n, total)
+        )
+        assert "PushedFilters: [In(term, [join,spark])" in plan
+        assert "text" not in plan.split("ReadSchema")[1].splitlines()[0]
+        # bucketing by term: the per-term df aggregation needs no
+        # exchange beyond the final pivot/topk shuffles
+        assert plan.count("Exchange hashpartitioning") <= 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bm25_idx")

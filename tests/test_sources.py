@@ -604,3 +604,72 @@ def test_read_text_corpus_whole_files(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         read_text_corpus(spark, str(d), id_from="nope")
+
+
+def test_read_warc_spoofed_full_header_block(spark, tmp_path):
+    """A payload embedding a FULL well-formed fake WARC header block
+    passes the mandatory-header filter — the Content-Length
+    consistency check is what catches it: the fake header's declared
+    length describes the quoted record, not the fragment, and the
+    truncated true record is far shorter than ITS declared length.
+    Strict mode emits the correct record set; flag mode (default)
+    emits everything with length_consistent marking both halves of
+    the false split."""
+    from cdk_datalake_ingest_bigmagic_spark.sources.warc import read_warc
+
+    good_payload = "an ordinary page body with enough text to measure.\n"
+    spoof_payload = (
+        "tutorial: a raw WARC record looks like this\r\n"
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        "WARC-Target-URI: http://evil.example/fake\r\n"
+        "WARC-Record-ID: <urn:uuid:fake-1>\r\n"
+        "Content-Length: 5000\r\n"
+        "\r\n"
+        "and that is how records are framed.\n"
+    )
+    rec = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        "WARC-Target-URI: http://example.com/good\r\n"
+        "WARC-Date: 2024-06-01T01:00:00Z\r\n"
+        "WARC-Record-ID: <urn:uuid:good-1>\r\n"
+        f"Content-Length: {len(good_payload)}\r\n"
+        "\r\n"
+        f"{good_payload}"
+        "\r\n"
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        "WARC-Target-URI: http://example.com/spoofer\r\n"
+        "WARC-Date: 2024-06-01T02:00:00Z\r\n"
+        "WARC-Record-ID: <urn:uuid:spoof-1>\r\n"
+        f"Content-Length: {len(spoof_payload)}\r\n"
+        "\r\n"
+        f"{spoof_payload}"
+        "\r\n"
+    )
+    p = str(tmp_path / "spoof.warc")
+    with open(p, "w", newline="") as f:
+        f.write(rec)
+
+    strict = {
+        r["record_id"]: r for r in read_warc(spark, p, "strict").collect()
+    }
+    # correct record count: the intact record survives; neither the
+    # truncated spoofer nor the fake fragment is emitted
+    assert set(strict) == {"<urn:uuid:good-1>"}
+    assert strict["<urn:uuid:good-1>"]["length_consistent"] is True
+
+    flagged = {
+        r["record_id"]: r for r in read_warc(spark, p).collect()
+    }
+    assert set(flagged) == {
+        "<urn:uuid:good-1>", "<urn:uuid:spoof-1>", "<urn:uuid:fake-1>"
+    }
+    assert flagged["<urn:uuid:spoof-1>"]["length_consistent"] is False
+    assert flagged["<urn:uuid:fake-1>"]["length_consistent"] is False
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="validate_length"):
+        read_warc(spark, p, "bogus")

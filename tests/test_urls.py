@@ -77,3 +77,45 @@ def test_blocklist_is_a_join_not_a_scan_per_entry(spark):
     # two joins total (key match + id anti), no per-entry LIKE chain
     assert plan.count("Join") >= 2
     assert "RLIKE" not in plan and "Contains" not in plan.split("parse_url")[0]
+
+
+def test_psl_aware_matching(spark):
+    """With a public-suffix table, entries at or above the suffix
+    boundary never match (no accidental TLD-wide blocks), while
+    registrable-domain entries still match themselves and their
+    subdomains — including multi-label suffixes like co.uk."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.urls import filter_domains
+
+    rows = [
+        (1, "https://a.example.co.uk/x"),     # sub of example.co.uk
+        (2, "https://example.co.uk/x"),       # the registrable domain
+        (3, "https://other.co.uk/x"),         # sibling under co.uk
+        (4, "https://shop.example.com/x"),    # .com world
+        (5, "https://unrelated.net/x"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    psl = spark.createDataFrame(
+        [("com",), ("net",), ("uk",), ("co.uk",)], "suffix string"
+    )
+    # a hostile/dirty blocklist: bare TLD + public suffix + one real
+    # registrable domain
+    domains = spark.createDataFrame(
+        [("com",), ("co.uk",), ("example.co.uk",)], "domain string"
+    )
+    got = {
+        r.id
+        for r in filter_domains(
+            df, "id", "url", domains, mode="block", public_suffixes=psl
+        ).collect()
+    }
+    # only example.co.uk and its subdomain are blocked; the 'com' and
+    # 'co.uk' entries are inert under the PSL
+    assert got == {3, 4, 5}
+
+    # without the PSL the same list nukes .com and all of co.uk —
+    # the documented hygiene hazard the PSL closes
+    got_raw = {
+        r.id
+        for r in filter_domains(df, "id", "url", domains, mode="block").collect()
+    }
+    assert got_raw == {5}
