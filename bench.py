@@ -91,6 +91,21 @@ HEADLINE = [
     "corpus_line_dedup",
     "text_line_quality",
     "retrieval_bm25_topk",
+    # round-7 additions: the promoted curation/observability tier —
+    # snapshot diff/carry/drift (incremental re-land planning),
+    # canonical selection, the LM integer core, single-pass
+    # expectations, tokenizer fertility, domain filtering, pair-set
+    # evaluation, and HTML extraction
+    "snapshot_diff_docs",
+    "snapshot_carry_forward",
+    "corpus_drift_report",
+    "canonical_pick_best",
+    "lm_surprisal_counts",
+    "expectations_report",
+    "tokenizer_fertility",
+    "filter_domains_block",
+    "eval_pair_metrics",
+    "html_extract_text",
 ]
 
 

@@ -111,33 +111,49 @@ def train_bpe(
     return merges
 
 
-def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
-    """Reference rank-dict BPE encode for one word (pandas tier)."""
-    syms = list(word)
-    while len(syms) > 1:
-        best_rank = None
-        best_i = -1
-        for i, pair in enumerate(zip(syms, syms[1:])):
-            r = ranks.get(pair)
-            if r is not None and (best_rank is None or r < best_rank):
-                best_rank, best_i = r, i
-        if best_rank is None:
-            break
-        a = syms[best_i]
-        # merge ALL occurrences of the best pair left-to-right — the
-        # same scan order as one replace pass in the expression tier
-        b = syms[best_i + 1]
-        out: list[str] = []
-        i = 0
-        while i < len(syms):
-            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
-                out.append(a + b)
-                i += 2
-            else:
-                out.append(syms[i])
-                i += 1
-        syms = out
-    return syms
+def _make_encode_word():
+    """Factory so ``_encode_word`` is a closure: cloudpickle ships
+    closures by value, keeping the Arrow tier self-contained on
+    executors that never installed this package (a module-level
+    function would pickle by reference and demand the import on every
+    Python worker)."""
+
+    def _encode_word(
+        word: str, ranks: dict[tuple[str, str], int]
+    ) -> list[str]:
+        """Reference rank-dict BPE encode for one word (pandas tier)."""
+        syms = list(word)
+        while len(syms) > 1:
+            best_rank = None
+            best_i = -1
+            for i, pair in enumerate(zip(syms, syms[1:])):
+                r = ranks.get(pair)
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            a = syms[best_i]
+            # merge ALL occurrences of the best pair left-to-right — the
+            # same scan order as one replace pass in the expression tier
+            b = syms[best_i + 1]
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    return _encode_word
+
+
+#: importable instance (pytest pins it); the Arrow tier captures it
+#: by value through the factory closure
+_encode_word = _make_encode_word()
 
 
 def bpe_encode(

@@ -2,16 +2,24 @@
 
 The step between WARC ingestion (``sources/warc.py``) and line-level
 curation (``operators/lines.py``): crawled payloads are HTML, the
-pipeline wants text. Full DOM parsing (trafilatura/lxml-style main-
-content extraction) needs native libraries this container does not
-ship — and at 100 TB the hot path should be JVM regex codegen
-anyway, not a per-row Python parser. This module implements the
-regex tier every crawl pipeline runs first: drop non-content
-elements wholesale (script/style/head/comments), strip tags, decode
-the common entities, normalize whitespace. The DOM tier, if ever
-needed, slots in as an Arrow ``mapInPandas`` stage with the same
-(id, html) → (id, text) shape — the module boundary is designed for
-that swap.
+pipeline wants text. Two tiers, same (id, html) → (id, text) shape:
+
+- **regex tier** (``strip_html``): pure JVM codegen — drop
+  non-content elements wholesale (script/style/head/comments), strip
+  tags, decode the common entities, normalize whitespace. The 100-TB
+  hot path: zero Python, zero shuffle.
+- **DOM tier** (``dom_blocks`` / ``strip_html_dom``): a real parse
+  (stdlib ``html.parser`` — no native libraries needed) over Arrow
+  ``mapInPandas``, emitting block-level text WITH the structural
+  signals main-content extraction needs (per-block link density, tag
+  — the trafilatura/jusText family's inputs, Barbaresi 2021 /
+  Pomikálek 2011). Attribute-aware (a quoted ``>`` inside an
+  attribute value cannot mis-split a tag, unlike the regex tier's
+  ``<[^>]+>``), and the feed for
+  ``lines.line_quality_flags``-style block curation. Still
+  zero shuffle — documents never leave their partition; the cost is
+  the Python parse, so this tier is for the curation passes that
+  need structure, not the bulk strip.
 
 Caveats (documented, not hidden): regexes do not parse HTML — a
 ``<script>`` containing the literal string ``</script>`` inside a
@@ -88,3 +96,175 @@ def extract_title(html) -> Column:
         out = F.replace(out, F.lit(ent), F.lit(rep))
     out = F.trim(F.regexp_replace(out, r"\s+", " "))
     return F.when(out != "", out)
+
+
+#: block-level element names (the same boundary set the regex tier's
+#: _BLOCK_BREAK encodes) — opening or closing one flushes the current
+#: text block
+_BLOCK_TAGS = frozenset(
+    "p div br li ul ol h1 h2 h3 h4 h5 h6 tr table section article "
+    "header footer blockquote".split()
+)
+
+
+def _make_parse_blocks():
+    """Build the per-document block parser as a CLOSURE, not a plain
+    module-level function: cloudpickle ships closures by value, so the
+    Arrow stages below stay self-contained — an executor that never
+    installed this package (driver-side sys.path edits do not reach
+    Python workers on a real cluster) can still run them. A bare
+    module-level function would pickle by reference and demand the
+    import on every worker."""
+
+    drop_content = frozenset(_DROP_CONTENT)
+    block_tags = _BLOCK_TAGS
+
+    def _parse_blocks(html: str) -> list[tuple[int, str, str, int, int]]:
+        """Parse one document into block-level segments.
+
+        Returns [(block_no, tag, text, n_chars, n_link_chars)]:
+        ``tag`` is the block element that opened the segment (``''``
+        for top-level text), ``n_link_chars`` counts characters that
+        sat inside <a> elements — link_density = n_link_chars /
+        n_chars is the classic boilerplate signal (nav bars and
+        footers are link-dense, prose is not). Pure function so
+        pytest can pin it without Spark."""
+        from html.parser import HTMLParser
+
+        class _Extractor(HTMLParser):
+            def __init__(self) -> None:
+                super().__init__(convert_charrefs=True)
+                self.blocks: list[tuple[int, str, str, int, int]] = []
+                self._parts: list[str] = []
+                self._link_parts: list[str] = []
+                self._skip = 0
+                self._link = 0
+                self._tag = ""
+
+            def _flush(self) -> None:
+                text = " ".join("".join(self._parts).split())
+                if text:
+                    link_chars = len(" ".join("".join(self._link_parts).split()))
+                    self.blocks.append(
+                        (len(self.blocks), self._tag, text, len(text), link_chars)
+                    )
+                self._parts = []
+                self._link_parts = []
+
+            def handle_starttag(self, tag, attrs):
+                if tag in drop_content:
+                    self._skip += 1
+                    return
+                if self._skip:
+                    return
+                if tag == "a":
+                    self._link += 1
+                if tag in block_tags:
+                    self._flush()
+                    self._tag = tag
+
+            def handle_endtag(self, tag):
+                if tag in drop_content:
+                    self._skip = max(0, self._skip - 1)
+                    return
+                if self._skip:
+                    return
+                if tag == "a":
+                    self._link = max(0, self._link - 1)
+                if tag in block_tags:
+                    self._flush()
+                    self._tag = ""
+
+            def handle_data(self, data):
+                if self._skip:
+                    return
+                self._parts.append(data)
+                if self._link:
+                    self._link_parts.append(data)
+
+        p = _Extractor()
+        p.feed(html or "")
+        p.close()
+        p._flush()
+        return p.blocks
+
+    return _parse_blocks
+
+
+#: importable instance (pytest pins it); Arrow stages capture it by
+#: value through the factory closure
+_parse_blocks = _make_parse_blocks()
+
+
+def dom_blocks(df, id_col: str, html_col: str):
+    """DOM-tier block extraction: (id, block_no, tag, text, n_chars,
+    n_link_chars, link_density) — one row per non-empty block-level
+    segment.
+
+    Arrow ``mapInPandas``, one Python parse per document, rows
+    emitted in-place (a document's blocks never cross partitions —
+    zero shuffle). The id column keeps its input type."""
+    from cdk_datalake_ingest_bigmagic_spark.operators import fan_out
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = (
+        f"{id_col} {id_type}, block_no int, tag string, text string, "
+        "n_chars long, n_link_chars long, link_density double"
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                id_col: [], "block_no": [], "tag": [], "text": [],
+                "n_chars": [], "n_link_chars": [], "link_density": [],
+            }
+            for rid, html in zip(pdf[id_col], pdf[html_col]):
+                for no, tag, text, n, nl in _parse_blocks(html):
+                    out[id_col].append(rid)
+                    out["block_no"].append(no)
+                    out["tag"].append(tag)
+                    out["text"].append(text)
+                    out["n_chars"].append(n)
+                    out["n_link_chars"].append(nl)
+                    out["link_density"].append(nl / n if n else 0.0)
+            yield pd.DataFrame(out)
+
+    return fan_out(df.select(id_col, html_col)).mapInPandas(run, schema)
+
+
+def strip_html_dom(df, id_col: str, html_col: str,
+                   max_link_density: float | None = None):
+    """DOM-tier document extraction: (id, text) with blocks joined by
+    newlines — the same output shape as the regex tier's
+    ``strip_html``, assembled from a real parse.
+
+    ``max_link_density`` drops blocks above the threshold before
+    assembly (the jusText-style boilerplate cut: navigation and
+    footer blocks are link-dense, prose is not); None keeps every
+    block. Documents whose every block is dropped (or that contain no
+    text) yield an empty-string text, so the row set matches the
+    input — the same contract as ``strip_html``. Zero shuffle: each
+    document is parsed and assembled inside its own Arrow batch."""
+    from cdk_datalake_ingest_bigmagic_spark.operators import fan_out
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, text string"
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            texts = []
+            for html in pdf[html_col]:
+                blocks = _parse_blocks(html)
+                if max_link_density is not None:
+                    blocks = [
+                        b for b in blocks
+                        if (b[4] / b[3] if b[3] else 0.0) <= max_link_density
+                    ]
+                texts.append("\n".join(b[2] for b in blocks))
+            yield pd.DataFrame({id_col: pdf[id_col], "text": texts})
+
+    return fan_out(df.select(id_col, html_col)).mapInPandas(run, schema)

@@ -65,14 +65,28 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:  # pragma: n
     raise NotImplementedError("image resizing requires a codec library")
 
 
-def _fake_feature(payload: bytes, dims: int = 8) -> list[float]:
-    """Deterministic stand-in for a decoded-media feature vector: bytes
-    of the payload digest scaled to [0,1). Lets the distributed plumbing
-    be exercised end-to-end without codecs."""
-    import hashlib
+def _make_fake_feature():
+    """Factory so ``_fake_feature`` is a closure: cloudpickle ships
+    closures by value, keeping the Arrow stage self-contained on
+    executors that never installed this package (a module-level
+    function would pickle by reference and demand the import on every
+    Python worker)."""
 
-    digest = hashlib.md5(payload or b"").digest()
-    return [b / 255.0 for b in digest[:dims]]
+    def _fake_feature(payload: bytes, dims: int = 8) -> list[float]:
+        """Deterministic stand-in for a decoded-media feature vector:
+        bytes of the payload digest scaled to [0,1). Lets the
+        distributed plumbing be exercised end-to-end without codecs."""
+        import hashlib
+
+        digest = hashlib.md5(payload or b"").digest()
+        return [b / 255.0 for b in digest[:dims]]
+
+    return _fake_feature
+
+
+#: importable instance (pytest pins it); the Arrow stage captures it
+#: by value through the factory closure
+_fake_feature = _make_fake_feature()
 
 
 def extract_features(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:

@@ -86,3 +86,114 @@ def test_escaped_entity_references_do_not_double_decode(spark):
     order (&amp; last) keeps it literal."""
     r = _one(spark, "<p>use &amp;lt;b&amp;gt; to write &lt;b&gt;</p>")
     assert r.text == "use &lt;b&gt; to write <b>"
+
+
+# ---------------------------------------------------------------------------
+# DOM tier (dom_blocks / strip_html_dom)
+# ---------------------------------------------------------------------------
+
+
+def test_dom_blocks_structure_and_link_density(spark):
+    from cdk_datalake_ingest_bigmagic_spark.operators.html import dom_blocks
+
+    html = (
+        '<body><h1>Heading here</h1>'
+        '<p>Prose with a single <a href="/x">link</a> inside.</p>'
+        '<div><a href="/a">home</a> <a href="/b">about</a> '
+        '<a href="/c">contact</a></div></body>'
+    )
+    df = spark.createDataFrame([(1, html)], "id long, html string")
+    rows = {r.block_no: r for r in dom_blocks(df, "id", "html").collect()}
+    assert rows[0].tag == "h1" and rows[0].text == "Heading here"
+    assert rows[0].link_density == 0.0
+    assert rows[1].tag == "p"
+    assert rows[1].text == "Prose with a single link inside."
+    assert 0.0 < rows[1].link_density < 0.3
+    # the nav div is almost pure links (the separators between <a>
+    # elements are the only non-link chars) — the boilerplate signal
+    # fires well above any prose block
+    assert rows[2].tag == "div"
+    assert rows[2].link_density > 0.8
+
+
+def test_strip_html_dom_matches_regex_tier_on_pages(spark):
+    """The two tiers agree on well-formed pages: the handcrafted
+    fixture AND 500 real documents wrapped into pages (same
+    construction as the html_extract_text gate query)."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.html import strip_html_dom
+
+    df = spark.createDataFrame([(1, PAGE)], "doc_id long, html string")
+    dom = strip_html_dom(df, "doc_id", "html").first().text
+    regex = df.select(strip_html("html").alias("t")).first().t
+    assert dom == regex
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</title><style>p {color: red}</style></head><body><h1>"),
+            F.col("source"),
+            F.lit("</h1><p>"),
+            F.col("text"),
+            F.lit("</p><!-- note --></body></html>"),
+        ).alias("html"),
+    )
+    dom_out = strip_html_dom(pages, "doc_id", "html")
+    regex_out = pages.select("doc_id", strip_html("html").alias("text"))
+    diff = (
+        dom_out.alias("d")
+        .join(regex_out.alias("r"), "doc_id")
+        .filter(F.col("d.text") != F.col("r.text"))
+        .count()
+    )
+    assert dom_out.count() == 500
+    assert diff == 0
+
+
+def test_strip_html_dom_attribute_with_gt(spark):
+    """A quoted '>' inside an attribute value: the DOM tier parses it
+    correctly (the regex tier's documented mis-split case)."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.html import strip_html_dom
+
+    html = '<p><span data-rule="a > b">threshold text</span> tail</p>'
+    df = spark.createDataFrame([(1, html)], "id long, html string")
+    assert strip_html_dom(df, "id", "html").first().text == "threshold text tail"
+
+
+def test_strip_html_dom_link_density_cut(spark):
+    """max_link_density drops boilerplate blocks before assembly —
+    the jusText-style cut feeding line-level curation."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.html import strip_html_dom
+
+    html = (
+        "<div><a href=a>home</a> <a href=b>about</a></div>"
+        "<p>Real prose paragraph here.</p>"
+        "<footer><a href=c>privacy</a> <a href=d>terms</a></footer>"
+    )
+    df = spark.createDataFrame([(1, html)], "id long, html string")
+    kept = strip_html_dom(df, "id", "html", max_link_density=0.5).first().text
+    assert kept == "Real prose paragraph here."
+    # empty after the cut still yields a row (contract: row set matches)
+    allnav = spark.createDataFrame(
+        [(2, "<div><a href=a>x</a></div>")], "id long, html string"
+    )
+    r = strip_html_dom(allnav, "id", "html", max_link_density=0.5).collect()
+    assert len(r) == 1 and r[0].text == ""
+
+
+def test_dom_blocks_zero_shuffle_plan(spark):
+    import re
+
+    from cdk_datalake_ingest_bigmagic_spark.operators.html import dom_blocks
+
+    df = spark.createDataFrame([(1, PAGE)], "id long, html string")
+    out = dom_blocks(df, "id", "html")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "MapInPandas" in plan
+    # only fan_out's small-input repartition is permitted
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1

@@ -1,0 +1,86 @@
+"""Isolated A/B noise control for the per-round bench tail.
+
+Standing finding (rounds 3-6): per-query deltas in the driver's
+BENCH_r{N}.json on this shared box are dominated by host load — e.g.
+BENCH_r06 recorded dedup_connected_components at 9.75 s where an
+isolated re-measurement gave 4.12 s with the code diff-verified
+unchanged. Adjudicating those deltas by hand costs time every round;
+this tool records the isolated measurement the same way each time so
+a bench-tail regression can be checked in one command.
+
+Methodology (the round-5 protocol, frozen here): ONE fresh session,
+the same warmup bench.py runs (JVM codegen + Python worker pool +
+one warm pass of each probed query at sf0.001), then best-of-3 per
+query with cache clearing between runs and full-column forcing
+(bench.force — a bare count() lets column pruning delete the work).
+Best-of-N is the right-skew-robust estimator: background load and GC
+only ever ADD time.
+
+Usage:
+    python tools/ab_bench.py [sf_dir] query [query ...]
+    python tools/ab_bench.py                      # full headline set
+
+Prints one JSON line {"sf": ..., "runs": 3, "queries": {name: sec}}.
+Interpretation rule: if the isolated number matches the prior round's
+bench (and the implementation is diff-verified unchanged), the driver
+delta is host noise, not a plan change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RUNS = 3
+
+
+def main() -> None:
+    import bench
+    from cdk_datalake_ingest_bigmagic_spark import get_spark
+    from cdk_datalake_ingest_bigmagic_spark.queries import all_queries
+
+    args = sys.argv[1:]
+    sf_dir = "/root/testdata/sf0.1"
+    if args and os.path.isdir(args[0]):
+        sf_dir = args[0]
+        args = args[1:]
+    names = args or bench.HEADLINE
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    spark = get_spark(app_name="ab-bench")
+    queries = all_queries()
+    unknown = [n for n in names if n not in queries]
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}")
+
+    # identical warmup to bench.py, restricted to the probed set
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.range(64).repartition(8).mapInPandas(lambda it: it, "id long").count()
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in names:
+        try:
+            bench.force(queries[name](spark, warm_dir))
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    for name in names:
+        best = float("inf")
+        for _ in range(RUNS):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            bench.force(queries[name](spark, sf_dir))
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+
+    print(json.dumps({"sf": sf, "runs": RUNS, "queries": timings}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""Materialized-BM25 scaling probe: query wall vs corpus size at
+FIXED postings.
+
+The claim the materialized index makes (operators/retrieval.py): a
+query touches only its terms' postings, so query time is independent
+of corpus size — the corpus can grow 10× and a query whose terms'
+posting lists did not grow should cost the same. This probe measures
+exactly that: corpus B = corpus A + N× filler documents whose every
+word is suffixed (textually disjoint from the query terms, so the
+query's posting lists are IDENTICAL in both indices, while the index
+itself is ~(N+1)× larger). Both indices are materialized
+bucketed+sorted by term; the probe times bm25_topk on each.
+
+Usage: python tools/bm25_scale_probe.py [N_filler_replicas]
+Prints one JSON line with wall times and index row counts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1/documents.parquet"
+TERMS = ["spark", "join", "window", "stream"]
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_bigmagic_spark import get_spark
+    from cdk_datalake_ingest_bigmagic_spark.operators import retrieval as rt
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 9
+    spark = get_spark(app_name="bm25-scale-probe")
+    docs = spark.read.parquet(SRC).select("doc_id", "text")
+
+    # filler: every word suffixed -> textually disjoint from TERMS
+    fillers = [
+        docs.select(
+            (F.col("doc_id") + F.lit((i + 1) * 10_000_000)).alias("doc_id"),
+            F.regexp_replace(F.col("text"), r"(\S+)", f"$1zz{i}").alias("text"),
+        )
+        for i in range(n)
+    ]
+    big = docs
+    for f in fillers:
+        big = big.unionByName(f)
+
+    out = {}
+    for label, corpus in (("base", docs), ("scaled", big)):
+        table = f"bm25_probe_{label}"
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        rt.materialize_index(corpus, "doc_id", "text", table, n_buckets=16)
+        idx = spark.table(table)
+        stats = rt.index_corpus_stats(idx, "doc_id")
+        # warm once (codegen), then best-of-3
+        rt.bm25_topk(idx, "doc_id", TERMS, 25, *stats).collect()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            rt.bm25_topk(idx, "doc_id", TERMS, 25, *stats).collect()
+            best = min(best, time.time() - t0)
+        out[label] = {
+            "index_rows": idx.count(),
+            "n_docs": stats[0],
+            "query_sec": round(best, 3),
+        }
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+    out["filler_replicas"] = n
+    out["ratio"] = round(
+        out["scaled"]["query_sec"] / out["base"]["query_sec"], 2
+    )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
