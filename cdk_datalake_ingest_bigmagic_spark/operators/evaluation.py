@@ -43,11 +43,26 @@ def pair_metrics(
     NULL ratios rather than dividing by zero — an empty truth set
     yields NULL recall, not a crash or a fake 1.0.
     """
-    p = _canon(predicted, a_col, b_col)
-    t = _canon(truth, a_col, b_col)
-    tp = p.join(t, ["id_a", "id_b"], "left_semi").count()
-    n_pred = p.count()
-    n_true = t.count()
+    p = _canon(predicted, a_col, b_col).withColumn("__p", F.lit(1))
+    t = _canon(truth, a_col, b_col).withColumn("__t", F.lit(1))
+    # one full-outer key join + one aggregation = ONE job for all
+    # three counts (tp / |pred| / |truth|) — three separate count
+    # actions would scan and canonicalize both sides three times
+    row = (
+        p.join(t, ["id_a", "id_b"], "full_outer")
+        .agg(
+            F.sum(
+                (F.col("__p").isNotNull() & F.col("__t").isNotNull())
+                .cast("long")
+            ).alias("tp"),
+            F.sum(F.col("__p").isNotNull().cast("long")).alias("np"),
+            F.sum(F.col("__t").isNotNull().cast("long")).alias("nt"),
+        )
+        .first()
+    )
+    tp = int(row["tp"] or 0)
+    n_pred = int(row["np"] or 0)
+    n_true = int(row["nt"] or 0)
     fp = n_pred - tp
     fn = n_true - tp
     prec = tp / n_pred if n_pred else None

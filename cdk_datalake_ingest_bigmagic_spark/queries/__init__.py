@@ -88,27 +88,32 @@ from cdk_datalake_ingest_bigmagic_spark.queries import curation  # noqa: E402,F4
 #       scan_projection, synthetic_id, filter_month_window, the
 #       events/windows/set-ops families, the r4 DSL and agg rows.
 #   (3) changed-file riders: operators/retrieval.py (materialized-
-#       index path added) → retrieval_bm25_topk. operators/html.py
-#       (entity order fix + DOM tier) and operators/urls.py (PSL
-#       support) have their gate queries in (1); no other gated query
-#       imports them. plans/corpus.py (manifest fail-closed),
+#       index path added) → retrieval_bm25_topk; operators/bpe.py +
+#       operators/multimodal.py (Arrow helpers became by-value
+#       closure factories) → text_bpe_encode, multimodal_audio_
+#       windows, multimodal_frame_sample (their other riders —
+#       tokenizer_fertility, multimodal_binary_stats — are already
+#       in (1)/(2)). operators/html.py (entity order fix + DOM
+#       tier) and operators/urls.py (PSL support) have their gate
+#       queries in (1); no other gated query imports them.
+#       plans/corpus.py (manifest fail-closed),
 #       operators/projection.py, and streaming/incremental.py changed
 #       but back no gated query (pytest covers them).
-#   (4) remaining 4 slots: early r5 re-gates, oldest-first, to
-#       flatten round 8's obligation (dsl_case_multicolumn,
-#       dsl_misc_functions, join_config_multitable,
-#       join_shipping_priority).
+#   (4) remaining 1 slot: the oldest-registered r5 re-gate
+#       (join_shipping_priority) to shave round 8's obligation; the
+#       other three planned luxury fill-ins went to the rider set.
 #   Out of window: 63 queries, every one an unchanged green from
 #   round 5 or 6 (ceiling: current-2 = 5) — enforced by
 #   tests/test_gate_rotation.py.
 #
-#   ROUND-8 WINDOW MATH (pre-computed): obligation = the 15 r5-only
+#   ROUND-8 WINDOW MATH (pre-computed): obligation = the 18 r5-only
 #   greens left after (4) above (agg_sketch_error_bounds, the
-#   dedup_* r5 family, events_asof_join, join_market_share,
+#   dedup_* r5 family, dsl_case_multicolumn, dsl_misc_functions,
+#   events_asof_join, join_config_multitable, join_market_share,
 #   text_chunk_windows, text_duplicate_spans, text_span_trim,
 #   window_yearly_growth, ...) — everything else in this round-7
 #   window greens at r7 and every out-of-window query is r5/r6;
-#   ~35 free slots for round-8 registrations and riders.
+#   ~32 free slots for round-8 registrations and riders.
 #
 # Round 6 front (kept for the audit trail):
 #   (1) never green / red last round: pack_sequences +
@@ -209,12 +214,17 @@ _GATE_FRONT: list[str] = [
     "window_dedup_latest",
     "window_running_sum",
     "window_topk_per_group",
-    # (3) operators/retrieval.py rider (materialized-index path)
+    # (3) changed-module riders: operators/retrieval.py (materialized-
+    # index path) and the by-value closure factories in operators/
+    # bpe.py + operators/multimodal.py (tokenizer_fertility and
+    # multimodal_binary_stats already sit in (1)/(2) above)
     "retrieval_bm25_topk",
-    # (4) early r5 re-gates to flatten round 8
-    "dsl_case_multicolumn",
-    "dsl_misc_functions",
-    "join_config_multitable",
+    "text_bpe_encode",
+    "multimodal_audio_windows",
+    "multimodal_frame_sample",
+    # (4) the one remaining slot: an early r5 re-gate to shave round
+    # 8's obligation (the other three luxury fill-ins planned for this
+    # round were given back to the bpe/multimodal riders above)
     "join_shipping_priority",
 ]
 
