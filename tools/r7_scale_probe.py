@@ -1,0 +1,154 @@
+"""Round-7 scale probes: the new curation operators at Nx, each in
+the regime where it could plausibly break at 100 TB.
+
+- lm_surprisal on the ZIPF-SKEW corpus (tools/scale_probe.py's
+  boilerplate head): the scorer joins doc bigrams on w1, and in
+  natural language w1 is Zipf-distributed — 'the' sits in a huge
+  fraction of pairs. Below the broadcast cap the join is a broadcast
+  (no shuffle to skew); this probe also forces the SHUFFLE path
+  (broadcast_row_limit=0) to show AQE's skew-join handles the hot
+  key, because at a 100-TB vocabulary the model won't broadcast.
+- snapshot_diff at Nx: one digest-only full-outer join — expectation
+  linear, shuffle bytes ~50/doc regardless of doc size.
+- filter_domains with a HOT entry matching ~half the corpus: the
+  matched-id set is ~N/2 rows; expectation linear (the suffix keys
+  per host are bounded, the match join carries ids only).
+- strip_html_dom at Nx: Python-parse throughput — expectation linear
+  in bytes; reports docs/sec so the cluster sizing math is explicit.
+
+Usage: python tools/r7_scale_probe.py [N] [probe ...]
+Prints one JSON line per probe: base (1x) vs scaled (Nx) wall and the
+ratio to compare against N.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1/documents.parquet"
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_bigmagic_spark import get_spark
+    import tools.scale_probe as sp
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = set(sys.argv[2:])
+    skew_out = f"/tmp/documents_skew_x{n}.parquet"
+    if not os.path.exists(skew_out):
+        sp.build_skew_replica(n, skew_out)
+
+    spark = get_spark(app_name="r7-scale-probe")
+    base = spark.read.parquet(SRC)
+    scaled = spark.read.parquet(skew_out)
+
+    def timed(fn) -> float:
+        spark.catalog.clearCache()
+        t0 = time.time()
+        fn()
+        return round(time.time() - t0, 2)
+
+    def probe_lm(d, forced_shuffle: bool):
+        from cdk_datalake_ingest_bigmagic_spark.operators.lm import (
+            surprisal_score,
+            train_bigram_lm,
+        )
+
+        lm = train_bigram_lm(d, "text", max_bigrams=100_000)
+        limit = 0 if forced_shuffle else 4_000_000
+        out = surprisal_score(d, "doc_id", "text", lm, broadcast_row_limit=limit)
+        out.agg(
+            F.count(F.lit(1)), F.sum("n_backoff"), F.sum(F.col("mean_surprisal"))
+        ).collect()
+
+    def probe_snapshot(d):
+        from cdk_datalake_ingest_bigmagic_spark.operators.snapshot import (
+            snapshot_diff,
+        )
+
+        old = d.filter(F.col("doc_id") % 7 != 0)
+        new = d.filter(F.col("doc_id") % 5 != 0).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.col("text"), F.lit(" updated")),
+            ).otherwise(F.col("text")),
+        )
+        snapshot_diff(old, new, "doc_id", "text").groupBy("status").count().collect()
+
+    def probe_domains(d):
+        from cdk_datalake_ingest_bigmagic_spark.operators.urls import (
+            filter_domains,
+        )
+
+        # hot entry: every even doc lands on hot.example.com
+        url = F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("hot.example.com")).otherwise(
+                F.concat(
+                    F.lit("cold"),
+                    (F.col("doc_id") % 997).cast("string"),
+                    F.lit(".example.net"),
+                )
+            ),
+            F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+        )
+        docs = d.select("doc_id", url.alias("url"))
+        domains = spark.createDataFrame(
+            [("hot.example.com",), ("cold13.example.net",)], "domain string"
+        )
+        filter_domains(docs, "doc_id", "url", domains, mode="block").count()
+
+    def probe_dom(d):
+        from cdk_datalake_ingest_bigmagic_spark.operators.html import (
+            strip_html_dom,
+        )
+
+        pages = d.select(
+            "doc_id",
+            F.concat(
+                F.lit("<html><body><h1>t</h1><p>"),
+                F.col("text"),
+                F.lit("</p><div><a href=x>nav</a></div></body></html>"),
+            ).alias("html"),
+        )
+        strip_html_dom(pages, "doc_id", "html").agg(
+            F.sum(F.length("text"))
+        ).collect()
+
+    probes = {
+        "lm_surprisal_broadcast": lambda d: probe_lm(d, False),
+        "lm_surprisal_forced_shuffle": lambda d: probe_lm(d, True),
+        "snapshot_diff": probe_snapshot,
+        "filter_domains_hot": probe_domains,
+        "strip_html_dom": probe_dom,
+    }
+    n_base, n_scaled = base.count(), scaled.count()
+    for name, fn in probes.items():
+        if only and name not in only:
+            continue
+        fn(base)  # warm codegen/worker pool
+        b = timed(lambda: fn(base))
+        s = timed(lambda: fn(scaled))
+        rec = {
+            "probe": name,
+            "replicas": n,
+            "rows": [n_base, n_scaled],
+            "sec": [b, s],
+            "ratio": round(s / b, 2) if b else None,
+        }
+        if name == "strip_html_dom":
+            rec["docs_per_sec_scaled"] = round(n_scaled / s, 0) if s else None
+        print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()
