@@ -1,0 +1,162 @@
+"""Trained quality classifier: the model-based tier above the
+heuristic quality gates.
+
+The heuristic ratios (``operators.text.quality_features``) and the
+corpus-relative LM (``operators.lm``) order documents without any
+labels; the next tier every production pipeline adds is a TRAINED
+classifier: label a slice (or weak-label it: a trusted corpus as
+positives, raw crawl as negatives — the CCNet/GPT-3 data-filtering
+recipe, Wenzek et al. 2020 / Brown et al. 2020; FineWeb-Edu scales
+the same shape with LLM-graded labels, Penedo et al. 2024), train a
+linear model over hashed token counts, score the whole corpus, keep
+the top slice.
+
+Spark-first shape — this is deliberately ``pyspark.ml``, not a
+hand-rolled loop:
+
+- **hashing trick, no vocabulary state**: ``HashingTF`` maps tokens
+  straight to a fixed-width sparse vector, so there is no
+  driver-held vocabulary to build, cap, or broadcast — feature
+  extraction is a stateless per-row transform at any corpus size
+  (the fastText/VW design, Weinberger et al. 2009).
+- **distributed training**: ``LogisticRegression`` optimizes with
+  L-BFGS over executor-parallel gradient aggregation — the training
+  set can be cluster-sized; nothing is collected to the driver.
+- **JVM scoring**: the fitted pipeline's ``transform`` runs as JVM
+  expressions/UDFs inside the plan — scoring 100 TB costs one pass
+  with no Python workers in the loop (asserted by plan in tests).
+
+Numeric side-features (the heuristic ratios) ride along through
+``VectorAssembler`` — the model sees both the lexical surface and
+the shape statistics, which is what separates boilerplate that
+reads like prose from prose.
+
+Reference parity: none (beyond-parity tier per the build brief).
+Float probabilities are not bit-reproducible cross-engine, so this
+operator is pytest-verified (accuracy on held-out synthetic data +
+plan shape), not oracle-gated — the same policy as random_project.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: the heuristic ratio features assembled next to the hashed tokens
+_RATIO_COLS = ("alpha_ratio", "punct_ratio", "stopword_ratio")
+
+
+def _with_ratios(df: DataFrame, text_col: str) -> DataFrame:
+    """Append the ratio features as codegen Columns in ONE projection
+    — no join, the corpus is scanned once for tokenize + ratios."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.text import (
+        alpha_ratio,
+        punct_ratio,
+        stopword_ratio,
+    )
+
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "alpha_ratio": F.round(alpha_ratio(t), 6),
+            "punct_ratio": F.round(punct_ratio(t), 6),
+            "stopword_ratio": F.round(stopword_ratio(t, "en"), 6),
+        }
+    )
+
+
+def weak_label_frame(
+    positives: DataFrame,
+    negatives: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Build a weak-supervision training frame: a trusted corpus as
+    label 1.0, a raw/rejected corpus as label 0.0. The standard
+    bootstrap when no human labels exist; the classifier then ranks
+    the raw corpus by how much it resembles the trusted one."""
+    pos = positives.select(
+        F.col(id_col), F.col(text_col), F.lit(1.0).alias("label")
+    )
+    neg = negatives.select(
+        F.col(id_col), F.col(text_col), F.lit(0.0).alias("label")
+    )
+    return pos.unionByName(neg)
+
+
+def train_quality_classifier(
+    labeled: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str = "label",
+    num_features: int = 1 << 18,
+    max_iter: int = 50,
+    reg_param: float = 1e-4,
+):
+    """Fit the hashed-token + ratio-feature logistic pipeline.
+
+    Returns a fitted ``pyspark.ml.PipelineModel``. ``num_features``
+    is the hashing width — 2^18 keeps single-feature collision rates
+    negligible for natural-language vocabularies while the weight
+    vector stays ~2 MB (broadcast-friendly at scoring time).
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import (
+        HashingTF,
+        RegexTokenizer,
+        VectorAssembler,
+    )
+
+    train = _with_ratios(labeled, text_col)
+    pipeline = Pipeline(
+        stages=[
+            RegexTokenizer(
+                inputCol=text_col,
+                outputCol="__toks",
+                pattern=r"[^a-z0-9]+",
+                toLowercase=True,
+            ),
+            HashingTF(
+                inputCol="__toks",
+                outputCol="__tf",
+                numFeatures=num_features,
+            ),
+            VectorAssembler(
+                inputCols=["__tf", *_RATIO_COLS], outputCol="__features"
+            ),
+            LogisticRegression(
+                featuresCol="__features",
+                labelCol=label_col,
+                maxIter=max_iter,
+                regParam=reg_param,
+                standardization=False,
+            ),
+        ]
+    )
+    return pipeline.fit(train)
+
+
+def score_quality(
+    model,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Score a corpus: (id, quality_prob, quality_pred).
+
+    ``quality_prob`` is P(label=1) — the column a percentile gate
+    (``sampling.percentile_gate``) or a canonical selector
+    (``canonical.pick_canonical``) consumes. One pass, JVM-side; the
+    ratio features are recomputed inline (codegen Columns), so the
+    corpus is scanned once.
+    """
+    from pyspark.ml.functions import vector_to_array
+
+    base = _with_ratios(df.select(id_col, text_col), text_col)
+    scored = model.transform(base)
+    return scored.select(
+        F.col(id_col),
+        vector_to_array(F.col("probability"))[1].alias("quality_prob"),
+        F.col("prediction").alias("quality_pred"),
+    )

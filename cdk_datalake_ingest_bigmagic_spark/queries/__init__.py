@@ -165,7 +165,10 @@ from cdk_datalake_ingest_bigmagic_spark.queries import curation  # noqa: E402,F4
 #   pair_metrics (over a deterministic predicted set, e.g. exact
 #   Jaccard). Stays pytest: stream_term_index / stream_ivf_assign
 #   (streaming), random_project (numpy matmul summation order is not
-#   DuckDB-reproducible; its determinism is pinned in pytest).
+#   DuckDB-reproducible; its determinism is pinned in pytest),
+#   train_quality_classifier/score_quality (L-BFGS floats are not
+#   cross-engine; held-out accuracy + plan shape pinned in
+#   tests/test_classifier.py).
 _GATE_FRONT: list[str] = [
     # (1) new registrations (queries/curation.py) — never gated
     "snapshot_diff_docs",
