@@ -217,3 +217,130 @@ def bm25_search(
     return bm25_topk(
         idx, id_col, terms, k, n, total, k1=k1, b=b, idf=idf
     )
+
+
+def bm25_decontaminate(
+    index: DataFrame,
+    id_col: str,
+    prompts: DataFrame,
+    n_docs: int,
+    total_tokens: int,
+    min_score: float,
+    prompt_id_col: str = "query_id",
+    prompt_text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_prompts: int = 100_000,
+) -> DataFrame:
+    """Decontamination-by-query: flag every corpus document that
+    SCORES like an eval prompt — the retrieval-level complement of
+    exact n-gram matching (``text.contamination_ngram_overlap``
+    catches verbatim leakage; this catches paraphrases and partial
+    inclusions that share the prompt's rare vocabulary).
+
+    Returns (``prompt_id_col``, ``id_col``, score) for every
+    (prompt, document) pair with BM25 score >= ``min_score`` —
+    thresholding, not top-k, is the scale shape: the output is a
+    filter (codegen, no per-prompt sort), every shuffle is keyed on
+    (term) or (prompt, doc), and a prompt with a million look-alikes
+    surfaces all of them instead of an arbitrary k. Calibrate
+    ``min_score`` on a held-out sample (e.g. the 99.9th percentile of
+    scores between prompts and KNOWN-clean documents).
+
+    The prompt set is an eval suite — small by nature — so its
+    (prompt, term) table is counted against ``max_prompts`` (the
+    package-wide counted-cap-or-fail rule) and broadcast; the corpus
+    side streams through its postings. Document frequencies come
+    from the CORPUS index (the statistics BM25 is defined over), not
+    the prompt set.
+    """
+    n_prompts = prompts.count()
+    if n_prompts > max_prompts:
+        raise ValueError(
+            f"prompt set has {n_prompts} rows > max_prompts="
+            f"{max_prompts}; decontamination prompts are an eval "
+            "suite — sample or raise the cap explicitly"
+        )
+    words = F.split(F.trim(F.col(prompt_text_col)), r"\s+")
+    # distinct (prompt, term): BM25 query-side term multiplicity is
+    # conventionally ignored (qtf ~ 1 for prompts)
+    pterms = (
+        prompts.filter(F.trim(F.col(prompt_text_col)) != "")
+        .select(F.col(prompt_id_col), F.explode(words).alias("term"))
+        .distinct()
+    )
+
+    terms_only = pterms.select("term").distinct()
+    hits = index.join(F.broadcast(terms_only), "term")
+    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    n = float(n_docs)
+    dfd = F.col("df").cast("double")
+    idf_expr = F.log(
+        F.lit(1.0) + ((F.lit(n) - dfd) + F.lit(0.5)) / (dfd + F.lit(0.5))
+    )
+    tfd = F.col("tf").cast("double")
+    rel_dl = (F.col("dl").cast("double") * F.lit(n)) / F.lit(
+        float(total_tokens)
+    )
+    tf_part = (tfd * F.lit(k1 + 1.0)) / (
+        tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * rel_dl)
+    )
+    weighted = hits.join(F.broadcast(dfreq), "term").withColumn(
+        "__w", idf_expr * tf_part
+    )
+    # fan each posting out to the prompts containing its term
+    # (broadcast prompt-term table), then one (prompt, doc) agg
+    scored = (
+        weighted.join(F.broadcast(pterms), "term")
+        .groupBy(prompt_id_col, id_col)
+        .agg(F.sum("__w").alias("score"))
+    )
+    return scored.filter(F.col("score") >= F.lit(float(min_score)))
+
+
+def bm25_contamination_report(
+    index: DataFrame,
+    id_col: str,
+    prompts: DataFrame,
+    n_docs: int,
+    total_tokens: int,
+    k: int,
+    prompt_id_col: str = "query_id",
+    prompt_text_col: str = "text",
+    max_report_prompts: int = 500,
+) -> DataFrame:
+    """Human-review companion to ``bm25_decontaminate``: the top-k
+    corpus documents per prompt, as one DataFrame.
+
+    One distributed TakeOrdered PER PROMPT (prompt count is
+    driver-bounded by ``max_report_prompts`` — this is a review
+    report, not the filter); each job touches only that prompt's
+    terms' postings. For the corpus-scale flagging pass use
+    ``bm25_decontaminate``.
+    """
+    rows = prompts.select(prompt_id_col, prompt_text_col).limit(
+        max_report_prompts + 1
+    ).collect()
+    if len(rows) > max_report_prompts:
+        raise ValueError(
+            f"prompt set exceeds max_report_prompts={max_report_prompts}; "
+            "use bm25_decontaminate for corpus-scale flagging"
+        )
+    out = None
+    for r in rows:
+        terms = [t for t in (r[prompt_text_col] or "").split() if t]
+        if not terms:
+            continue
+        top = bm25_topk(
+            index, id_col, list(dict.fromkeys(terms)), k, n_docs,
+            total_tokens,
+        ).select(
+            F.lit(r[prompt_id_col]).alias(prompt_id_col),
+            F.col(id_col),
+            "score",
+        )
+        out = top if out is None else out.unionByName(top)
+    if out is None:
+        raise ValueError("no non-empty prompts to report on")
+    return out

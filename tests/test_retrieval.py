@@ -223,3 +223,83 @@ def test_materialized_index_end_to_end(spark, docs):
         assert plan.count("Exchange hashpartitioning") <= 2
     finally:
         spark.sql("DROP TABLE IF EXISTS bm25_idx")
+
+
+def test_bm25_decontaminate_flags_lookalikes(spark, docs):
+    """Threshold flagging: a prompt sharing rare vocabulary with a
+    document flags it; unrelated documents stay clean; scores agree
+    with bm25_topk run on the same terms."""
+    idx = rt.term_index(docs, "doc_id", "text")
+    n, total = rt.corpus_stats(docs, "text")
+    prompts = spark.createDataFrame(
+        [(100, "spark stream"), (200, "nothing here")],
+        "query_id long, text string",
+    )
+    flagged = rt.bm25_decontaminate(
+        idx, "doc_id", prompts, n, total, min_score=0.0
+    )
+    got = {(r.query_id, r.doc_id): r.score for r in flagged.collect()}
+    # agreement with the single-query scorer
+    want = {
+        r.doc_id: r.score
+        for r in rt.bm25_topk(
+            idx, "doc_id", ["spark", "stream"], 10, n, total
+        ).collect()
+    }
+    assert {d: s for (q, d), s in got.items() if q == 100} == want
+    # doc 5 (spark stream spark stream...) dominates for prompt 100
+    top100 = max((s, d) for (q, d), s in got.items() if q == 100)[1]
+    assert top100 == 5
+    # the threshold actually filters: only prompt 100's best doc
+    # survives for prompt 100 (prompt 200's rare terms legitimately
+    # flag its own look-alike, doc 4, independently)
+    hi = rt.bm25_decontaminate(
+        idx, "doc_id", prompts, n, total, min_score=max(want.values()) - 1e-9
+    )
+    assert {r.doc_id for r in hi.collect() if r.query_id == 100} == {5}
+
+
+def test_bm25_decontaminate_prompt_cap(spark, docs):
+    idx = rt.term_index(docs, "doc_id", "text")
+    n, total = rt.corpus_stats(docs, "text")
+    prompts = spark.createDataFrame(
+        [(i, "x") for i in range(5)], "query_id long, text string"
+    )
+    with pytest.raises(ValueError, match="max_prompts"):
+        rt.bm25_decontaminate(
+            idx, "doc_id", prompts, n, total, 0.0, max_prompts=3
+        )
+
+
+def test_bm25_contamination_report(spark, docs):
+    idx = rt.term_index(docs, "doc_id", "text")
+    n, total = rt.corpus_stats(docs, "text")
+    prompts = spark.createDataFrame(
+        [(1, "spark stream"), (2, "window")], "query_id long, text string"
+    )
+    rep = rt.bm25_contamination_report(
+        idx, "doc_id", prompts, n, total, k=2
+    )
+    got = {(r.query_id, r.doc_id) for r in rep.collect()}
+    assert (1, 5) in got and (2, 3) in got
+    assert len([1 for q, _ in got if q == 1]) == 2
+
+    with pytest.raises(ValueError, match="max_report_prompts"):
+        rt.bm25_contamination_report(
+            idx, "doc_id", prompts, n, total, k=2, max_report_prompts=1
+        )
+
+
+def test_bm25_decontaminate_plan_shape(spark, docs):
+    """The flagging pass must stay a filter, not a sort: broadcast
+    joins for the prompt/df sides, no window, no per-prompt sort."""
+    idx = rt.term_index(docs, "doc_id", "text")
+    n, total = rt.corpus_stats(docs, "text")
+    prompts = spark.createDataFrame(
+        [(1, "spark stream")], "query_id long, text string"
+    )
+    out = rt.bm25_decontaminate(idx, "doc_id", prompts, n, total, 0.5)
+    plan = _plan_of(out)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
