@@ -296,3 +296,117 @@ def stream_ivf_assign(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_near_dup(
+    spark: SparkSession,
+    docs_path: str,
+    store_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_bands: int = 8,
+    rows_per_band: int = 4,
+    threshold: float = 0.8,
+    available_now: bool = True,
+):
+    """Incremental NEAR-duplicate maintenance — the MinHash-LSH twin
+    of ``stream_corpus_clean``'s exact-fingerprint dedup: each new
+    document is checked against everything already accepted, and only
+    novel documents enter the accumulated index.
+
+    Per micro-batch: in-row shingle arrays + banded signatures for
+    the batch (zero shuffle), LSH band-key candidate joins within the
+    batch AND against the accumulated band table, exact-Jaccard
+    verification of the candidates only (the accumulated shingle
+    arrays are read semi-joined to the candidate ids — the store is
+    never scanned in full for verification, only its band-key index
+    is). First occurrence wins: a batch document near-matching an
+    accepted document (or a smaller-id batch sibling) is recorded as
+    a duplicate and its signatures never enter the store, so the
+    store grows with the NOVEL corpus, not the crawl volume.
+
+    Store layout (all sinks idempotent per-batch-partition overwrite,
+    the module's replay contract): ``{store}/bands`` (the LSH index),
+    ``{store}/arrays`` (verification shingle sets, novel docs only),
+    ``{store}/decisions`` (doc_id, novel, dup_of — ``dup_of`` is the
+    smallest matched id, not necessarily the cluster canonical).
+    Ordering contract: "first" means smallest id within a batch and
+    store-before-batch across batches — append ids monotone with
+    arrival for strict first-occurrence semantics.
+    """
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_bigmagic_spark.operators import dedup as dd
+
+    key_cols = [f"k{k + 1}" for k in range((rows_per_band + 1) // 2)]
+    schema = spark.read.parquet(docs_path).schema
+    stream = spark.readStream.schema(schema).parquet(docs_path)
+    jpath_cls = spark._jvm.org.apache.hadoop.fs.Path
+
+    def _exists(p: str) -> bool:
+        jp = jpath_cls(p)
+        return jp.getFileSystem(spark._jsc.hadoopConfiguration()).exists(jp)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        arrays = dd.shingle_hash_arrays(
+            batch_df, id_col, text_col, n
+        ).cache()
+        sig = dd.minhash_signatures(arrays, id_col, num_bands, rows_per_band)
+        left = sig.select(F.col(id_col).alias("id_a"), "band", *key_cols)
+        right = sig.select(F.col(id_col).alias("id_b"), "band", *key_cols)
+        cands = (
+            left.join(right, ["band", *key_cols])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        all_arrays = arrays.select(id_col, "hs")
+        if _exists(f"{store_path}/bands"):
+            old_sig = spark.read.parquet(f"{store_path}/bands")
+            cross = (
+                old_sig.select(F.col(id_col).alias("id_a"), "band", *key_cols)
+                .join(right, ["band", *key_cols])
+                .select("id_a", "id_b")
+            )
+            old_ids = cross.select(F.col("id_a").alias(id_col)).distinct()
+            old_arrays = (
+                spark.read.parquet(f"{store_path}/arrays")
+                .select(id_col, "hs")
+                .join(old_ids, id_col, "left_semi")
+            )
+            all_arrays = all_arrays.unionByName(old_arrays)
+            cands = cands.unionByName(cross)
+        pairs = dd.verify_jaccard(
+            cands.distinct(), all_arrays, id_col, threshold
+        )
+        dup = pairs.groupBy("id_b").agg(F.min("id_a").alias("dup_of"))
+        decisions = (
+            batch_df.select(id_col)
+            .join(dup.withColumnRenamed("id_b", id_col), id_col, "left")
+            .select(
+                F.col(id_col),
+                F.col("dup_of").isNull().alias("novel"),
+                "dup_of",
+            )
+        )
+        novel = decisions.filter("novel").select(id_col)
+        decisions.write.mode("overwrite").parquet(
+            f"{store_path}/decisions/batch_id={batch_id}"
+        )
+        arrays.select(id_col, "hs").join(novel, id_col, "left_semi").write.mode(
+            "overwrite"
+        ).parquet(f"{store_path}/arrays/batch_id={batch_id}")
+        sig.join(novel, id_col, "left_semi").write.mode("overwrite").parquet(
+            f"{store_path}/bands/batch_id={batch_id}"
+        )
+        arrays.unpersist()
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

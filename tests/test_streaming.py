@@ -288,3 +288,79 @@ def test_stream_term_index_replay_is_idempotent(spark, tmp_path):
         spark.read.parquet(index), "doc_id", ["spark"], 3, n, total
     ).collect()
     assert [r.doc_id for r in top] == [1]
+
+
+def test_stream_near_dup_incremental(spark, tmp_path):
+    """Streaming MinHash-LSH novelty: cross-batch near-dups are
+    caught against the accumulated store, first occurrence wins, the
+    store holds only novel documents, and the decisions match a
+    from-scratch batch LSH over the full corpus."""
+    from cdk_datalake_ingest_bigmagic_spark.operators import dedup as dd
+    from cdk_datalake_ingest_bigmagic_spark.streaming.incremental import (
+        stream_near_dup,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the wide "
+        "river bank today while birds sing in the old oak tree"
+    )
+    variant = base.replace("today", "tonight")  # near-dup of base
+    other = (
+        "completely different subject matter about database engines "
+        "query planners and distributed shuffle execution strategies"
+    )
+    docs = str(tmp_path / "docs")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    batch1 = spark.createDataFrame(
+        [(1, base), (2, other), (3, base + " extra")], schema
+    )
+    batch1.write.parquet(docs)
+    stream_near_dup(
+        spark, docs, store, ckpt, threshold=0.6
+    ).awaitTermination()
+    d1 = {
+        r.doc_id: (r.novel, r.dup_of)
+        for r in spark.read.parquet(f"{store}/decisions").collect()
+    }
+    assert d1[1] == (True, None) and d1[2] == (True, None)
+    assert d1[3] == (False, 1)  # within-batch near-dup, smallest id wins
+
+    # batch 2: one near-dup of an ACCEPTED doc, one novel
+    batch2 = spark.createDataFrame(
+        [(10, variant), (11, "yet another unrelated corpus entry about "
+                            "tokenizers vocabularies and merges")],
+        schema,
+    )
+    batch2.write.mode("append").parquet(docs)
+    stream_near_dup(
+        spark, docs, store, ckpt, threshold=0.6
+    ).awaitTermination()
+    d2 = {
+        r.doc_id: (r.novel, r.dup_of)
+        for r in spark.read.parquet(f"{store}/decisions").collect()
+    }
+    assert d2[10] == (False, 1)  # caught against the accumulated store
+    assert d2[11] == (True, None)
+
+    # the store holds only novel docs' signatures
+    stored = {
+        r.doc_id
+        for r in spark.read.parquet(f"{store}/arrays").collect()
+    }
+    assert stored == {1, 2, 11}
+
+    # from-scratch equivalence: batch LSH over the full corpus with
+    # first-wins keep flags agrees on who is a duplicate
+    full = batch1.unionByName(batch2)
+    pairs = dd.minhash_lsh_pairs(full, "doc_id", "text", threshold=0.6)
+    dup_ids = {r.id_b for r in pairs.collect()}
+    assert {i for i, (nov, _) in d2.items() if not nov} | {3} == dup_ids | {3}
+
+    # a third run with nothing new writes no new decisions
+    stream_near_dup(
+        spark, docs, store, ckpt, threshold=0.6
+    ).awaitTermination()
+    assert spark.read.parquet(f"{store}/decisions").count() == 5
