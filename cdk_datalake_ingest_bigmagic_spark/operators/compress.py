@@ -1,0 +1,109 @@
+"""Compression-ratio quality signal: DEFLATE as a universal
+repetition/entropy detector.
+
+A classic corpus-quality axis (used alongside the Gopher rules, Rae
+et al. 2021, and in C4-descendant pipelines): compress each document
+and read the ratio. Highly repetitive text (templated boilerplate,
+keyword stuffing, scraped navigation) compresses far below prose;
+random or garbled bytes (encoding damage, minified blobs, base64)
+compress near or above 1.0. Natural-language prose sits in a band
+(~0.3-0.6 at zlib level 6), so BOTH tails are drop candidates — the
+signal catches repetition the word-level rules miss (long-range
+template repeats) and garbage the ratio heuristics miss.
+
+Shape: one Arrow ``mapInPandas`` stage — zlib is C-speed and the
+bytes never leave their row, so the pass is zero-shuffle and scales
+like the DOM tier (linear in corpus bytes; see SCALE.md round-7
+probes for the Python-stage sizing math). The kernel is a by-value
+closure (the package need not be installed on executors — the
+``arrow-closure-by-value`` rule every Arrow helper here follows).
+
+zlib output is deterministic for a fixed level and library version,
+but not specified cross-engine/cross-library — so this operator is
+pytest-verified (band assertions on constructed corpora), not
+DuckDB-oracle-gated, the same policy as random_project.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def compression_signal(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    level: int = 6,
+) -> DataFrame:
+    """(id, raw_bytes, compressed_bytes, compression_ratio) per
+    document; NULL text yields a row with zero bytes and NULL ratio
+    (nothing to measure — callers decide, the operator does not
+    silently drop)."""
+    if not 1 <= level <= 9:
+        raise ValueError(f"zlib level must be in 1..9, got {level}")
+
+    from cdk_datalake_ingest_bigmagic_spark.operators import fan_out
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = (
+        f"{id_col} {id_type}, raw_bytes long, compressed_bytes long, "
+        "compression_ratio double"
+    )
+
+    def run(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw, comp, ratio = [], [], []
+            for text in pdf[text_col]:
+                if text is None:
+                    raw.append(0)
+                    comp.append(0)
+                    ratio.append(None)
+                    continue
+                b = text.encode("utf-8", errors="replace")
+                c = len(zlib.compress(b, level))
+                raw.append(len(b))
+                comp.append(c)
+                ratio.append(c / len(b) if b else None)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "raw_bytes": raw,
+                    "compressed_bytes": comp,
+                    "compression_ratio": ratio,
+                }
+            )
+
+    return fan_out(df.select(id_col, text_col)).mapInPandas(run, schema)
+
+
+def compression_band_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_ratio: float = 0.25,
+    max_ratio: float = 0.95,
+    level: int = 6,
+) -> DataFrame:
+    """The gate form: (id, compression_ratio, too_repetitive,
+    too_random, passes_compression_band). Empty/NULL text fails the
+    band (nothing measurable never passes a quality gate silently).
+    Band defaults suit prose corpora; code/log corpora legitimately
+    compress harder — tune per source."""
+    from pyspark.sql import functions as F
+
+    sig = compression_signal(df, id_col, text_col, level)
+    low = F.col("compression_ratio") < F.lit(min_ratio)
+    high = F.col("compression_ratio") > F.lit(max_ratio)
+    return sig.select(
+        F.col(id_col),
+        "compression_ratio",
+        F.coalesce(low, F.lit(False)).alias("too_repetitive"),
+        F.coalesce(high, F.lit(False)).alias("too_random"),
+        F.coalesce(~low & ~high, F.lit(False)).alias(
+            "passes_compression_band"
+        ),
+    )

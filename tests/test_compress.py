@@ -1,0 +1,94 @@
+"""Compression-ratio quality signal (operators/compress.py)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import random
+import string
+import zlib
+
+import pytest
+
+from cdk_datalake_ingest_bigmagic_spark.operators.compress import (
+    compression_band_flags,
+    compression_signal,
+)
+
+PROSE = (
+    "the river bends east of the old mill where the road crosses and "
+    "the morning market fills the square with carts fruit and voices "
+    "of traders who arrived before dawn from the villages nearby"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = random.Random(11)
+    garble = "".join(rng.choice(string.ascii_letters + string.digits) for _ in range(600))
+    rows = [
+        (1, PROSE),
+        (2, "buy now " * 80),          # extreme repetition
+        (3, garble),                    # near-random
+        (4, None),                      # nothing to measure
+        (5, ""),                        # empty
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_signal_values_match_zlib(spark, corpus):
+    rows = {r.doc_id: r for r in compression_signal(corpus, "doc_id", "text").collect()}
+    b = PROSE.encode()
+    assert rows[1].raw_bytes == len(b)
+    assert rows[1].compressed_bytes == len(zlib.compress(b, 6))
+    assert abs(rows[1].compression_ratio - len(zlib.compress(b, 6)) / len(b)) < 1e-12
+    assert rows[4].raw_bytes == 0 and rows[4].compression_ratio is None
+    assert rows[5].compression_ratio is None
+
+
+def test_band_separates_the_three_regimes(spark, corpus):
+    """Fixed-seed ratios: prose 0.674, repetition 0.034, alnum garble
+    0.802 — a 0.75 ceiling splits prose from garble (the default 0.95
+    ceiling targets binary-grade entropy, which a 62-symbol alphabet
+    never reaches: Huffman alone gets it to ~0.8)."""
+    flags = {
+        r.doc_id: r
+        for r in compression_band_flags(
+            corpus, "doc_id", "text", max_ratio=0.75
+        ).collect()
+    }
+    assert flags[1].passes_compression_band
+    assert flags[2].too_repetitive and not flags[2].passes_compression_band
+    assert flags[3].too_random and not flags[3].passes_compression_band
+    # unmeasurable never passes silently
+    assert not flags[4].passes_compression_band
+    assert not flags[5].passes_compression_band
+
+
+def test_rejects_bad_level(spark, corpus):
+    with pytest.raises(ValueError, match="level"):
+        compression_signal(corpus, "doc_id", "text", level=0)
+
+
+def test_zero_shuffle_plan(spark, corpus):
+    import re
+
+    out = compression_signal(corpus, "doc_id", "text")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "MapInPandas" in plan
+    # only fan_out's small-input repartition permitted
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1
+
+
+def test_string_ids_and_closure_self_containment(spark):
+    """String ids keep their type, and the kernel is a by-value
+    closure (no package import required to unpickle)."""
+    import cloudpickle
+
+    df = spark.createDataFrame([("a", PROSE)], "k string, text string")
+    out = compression_signal(df, "k", "text")
+    assert dict(out.dtypes)["k"] == "string"
+    assert out.count() == 1
