@@ -1,0 +1,93 @@
+"""Streaming near-dup long-run probe: does per-batch cost stay flat
+as the store accumulates, and does the novelty invariant keep hot
+boilerplate buckets bounded?
+
+The risk regime for stream_near_dup at 100 TB is a boilerplate-heavy
+crawl: if every batch carried the same near-identical template, a
+naive accumulated index would collect every copy and the band-key
+candidate join would go quadratic in copies. The store's novelty
+invariant is the designed defense — only FIRST occurrences enter the
+band index, so a boilerplate family contributes ~one stored doc no
+matter how many copies stream past, and candidate fan-out per batch
+doc stays O(stored-novel matches), not O(all prior copies).
+
+This probe streams B batches where 80% of each batch is a near-copy
+of batch 0's template family and 20% is genuinely novel, then
+reports per-batch wall (should be ~flat), store size (should grow
+~20% of corpus), and decision correctness.
+
+Usage: python tools/stream_near_dup_probe.py [batches] [docs_per_batch]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    from cdk_datalake_ingest_bigmagic_spark import get_spark
+    from cdk_datalake_ingest_bigmagic_spark.streaming.incremental import (
+        stream_near_dup,
+    )
+
+    batches = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    per = int(sys.argv[2]) if len(sys.argv) > 2 else 500
+    base = "/tmp/snd_probe"
+    shutil.rmtree(base, ignore_errors=True)
+    docs, store, ckpt = f"{base}/d", f"{base}/s", f"{base}/c"
+
+    spark = get_spark(app_name="snd-probe")
+    template = (
+        "please subscribe to our newsletter for weekly updates and "
+        "exclusive offers terms of service apply to all content on "
+        "this page all rights reserved by the publisher"
+    )
+
+    def batch_df(b: int):
+        rows = []
+        for i in range(per):
+            doc_id = b * per + i
+            if i % 5 != 0:  # 80%: near-copy of the template family
+                rows.append((doc_id, template + f" ref {i % 7}"))
+            else:  # 20%: novel
+                rows.append(
+                    (doc_id,
+                     f"unique subject {b} {i} covering topic {doc_id} with "
+                     f"distinct vocabulary item{doc_id} and term{i}x{b}")
+                )
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    walls = []
+    for b in range(batches):
+        mode = "overwrite" if b == 0 else "append"
+        batch_df(b).write.mode(mode).parquet(docs)
+        t0 = time.time()
+        stream_near_dup(
+            spark, docs, store, ckpt, threshold=0.6
+        ).awaitTermination()
+        walls.append(round(time.time() - t0, 2))
+
+    dec = spark.read.parquet(f"{store}/decisions")
+    stored = spark.read.parquet(f"{store}/bands").select("doc_id").distinct().count()
+    novel = dec.filter("novel").count()
+    total = dec.count()
+    print(json.dumps({
+        "batches": batches,
+        "docs_per_batch": per,
+        "per_batch_sec": walls,
+        "flat_ratio_last_vs_second": round(walls[-1] / walls[1], 2),
+        "total_docs": total,
+        "novel_accepted": novel,
+        "stored_band_docs": stored,
+    }))
+
+
+if __name__ == "__main__":
+    main()
