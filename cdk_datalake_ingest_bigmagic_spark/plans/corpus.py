@@ -80,6 +80,15 @@ class CorpusPipelineConfig:
     #: would consume.
     expectations: tuple = ()
     expectations_strict: bool = True
+    #: enables the compression-ratio band inside the ``clean`` step
+    #: (``operators.compress``): drops documents whose DEFLATE ratio
+    #: falls outside [min, max] — long-range template repetition the
+    #: word-level Gopher rules miss (low tail) and binary-grade
+    #: garble (high tail). Off by default: it adds one Arrow stage +
+    #: one id semi-join to an otherwise zero-shuffle step.
+    compression_band: bool = False
+    compression_min_ratio: float = 0.25
+    compression_max_ratio: float = 0.95
 
     def fingerprint(self) -> str:
         blob = json.dumps(
@@ -125,7 +134,8 @@ class CorpusPipeline:
     _STEP_FIELDS = {
         "lines": ("id_col", "text_col", "line_sep", "line_min_words",
                   "line_dedup_min_chars", "line_require_punct"),
-        "clean": ("id_col", "text_col"),
+        "clean": ("id_col", "text_col", "compression_band",
+                  "compression_min_ratio", "compression_max_ratio"),
         "dedup": ("id_col", "text_col", "shingle_n", "jaccard_threshold"),
         "split": ("id_col", "splits", "seed"),
         "shard": ("id_col", "n_shards", "seed"),
@@ -297,12 +307,28 @@ class CorpusPipeline:
                 .filter(F.col("passes_repetition_filter"))
                 .drop(*rep_cols)
             )
-            return (
+            out = (
                 tx.quality_score(gated, ic, tc, passthrough=other)
                 .filter(F.col("passes_quality"))
                 .drop("quality_logit", "passes_quality")
                 .withColumn(tc, tx.scrub_pii(F.col(tc)))
             )
+            if cfg.compression_band:
+                from cdk_datalake_ingest_bigmagic_spark.operators.compress import (
+                    compression_band_flags,
+                )
+
+                ok = (
+                    compression_band_flags(
+                        out, ic, tc,
+                        min_ratio=cfg.compression_min_ratio,
+                        max_ratio=cfg.compression_max_ratio,
+                    )
+                    .filter("passes_compression_band")
+                    .select(ic)
+                )
+                out = out.join(ok, ic, "left_semi")
+            return out
 
         clean = self._step("clean", clean_upstream_fp, build_clean)
 

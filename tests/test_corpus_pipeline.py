@@ -353,3 +353,50 @@ def test_failed_gate_retires_stale_manifest(spark, corpus, tmp_path_factory):
         CorpusPipeline(spark, work, bad).run(corpus)
     assert not os.path.exists(f"{work}/{TRAINING_MANIFEST}")
     assert os.path.exists(f"{work}/{TRAINING_MANIFEST}.failed")
+
+
+def test_pipeline_compression_band_step(spark, tmp_path_factory):
+    """The optional compression gate inside clean: a template-repeat
+    document that PASSES the word-level Gopher rules (its repeating
+    unit carries distinct ids, so dup-word ratios stay low) is caught
+    only by the DEFLATE band; prose survives both configurations."""
+    unit = "record {i:04d} delivered status green checksum c{i}f{i} verified today"
+    log_doc = "\n".join(unit.format(i=i) for i in range(60))
+    rows = [(0, log_doc, "logs")]
+    for i in range(1, 40):
+        rows.append(
+            (i,
+             f"the analysis in chapter {i} discusses how the harvest "
+             f"changed the village economy and what the traders near "
+             f"river {i} made of the new roads that season in detail.",
+             "prose")
+        )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    off = CorpusPipelineConfig()
+    work1 = str(tmp_path_factory.mktemp("pipe_nocomp"))
+    CorpusPipeline(spark, work1, off).run(docs)
+    kept_off = {
+        r.doc_id
+        for r in spark.read.parquet(f"{work1}/clean").select("doc_id").collect()
+    }
+    assert 0 in kept_off  # word-level rules do NOT catch it
+
+    on = CorpusPipelineConfig(compression_band=True)
+    work2 = str(tmp_path_factory.mktemp("pipe_comp"))
+    CorpusPipeline(spark, work2, on).run(docs)
+    kept_on = {
+        r.doc_id
+        for r in spark.read.parquet(f"{work2}/clean").select("doc_id").collect()
+    }
+    assert 0 not in kept_on          # the band catches the template repeat
+    assert kept_on == kept_off - {0}  # prose untouched
+
+    # the band config participates in the clean fingerprint: re-running
+    # with a different max_ratio recomputes clean (and downstream)
+    import dataclasses as _dc
+
+    retuned = CorpusPipeline(
+        spark, work2, _dc.replace(on, compression_max_ratio=0.9)
+    ).run(docs)
+    assert not retuned["clean"].skipped
