@@ -57,12 +57,12 @@ from cdk_datalake_ingest_bigmagic_spark.queries import events  # noqa: E402,F401
 from cdk_datalake_ingest_bigmagic_spark.queries import curation  # noqa: E402,F401
 
 # The external correctness gate checks the first 50 registered queries.
-# With 104 registered (round 6 added text_bpe_encode,
-# multimodal_audio_windows, corpus_mix_budget, text_oov_rate,
-# corpus_quality_percentile, text_winnow_fingerprints,
-# text_winnow_matches, corpus_line_dedup, text_line_quality,
-# retrieval_bm25_topk), 54 sit outside the window each round, so the
-# window is ROTATED via _GATE_FRONT.
+# With 114 registered (round 7 added the ten queries/curation.py
+# gates; round 6 added text_bpe_encode, multimodal_audio_windows,
+# corpus_mix_budget, text_oov_rate, corpus_quality_percentile,
+# text_winnow_fingerprints, text_winnow_matches, corpus_line_dedup,
+# text_line_quality, retrieval_bm25_topk), 64 sit outside the window
+# each round, so the window is ROTATED via _GATE_FRONT.
 #
 # ROTATION RULE (invariant, every round — do not regress this):
 #   front = (1) every query whose implementation OR any shared operator

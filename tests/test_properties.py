@@ -200,3 +200,51 @@ def test_sanitize_cell_unwraps_quoted(s):
     """A cell wrapped in one pair of quotes loses exactly that pair."""
     assert _sanitize_cell(f'"{s}"') == s
     assert _sanitize_cell(s) == s
+
+
+# ------------------------------------------------------- DOM block parser
+
+from cdk_datalake_ingest_bigmagic_spark.operators.html import _parse_blocks
+
+_words = st.lists(
+    st.text(alphabet="abcdefghij", min_size=1, max_size=6),
+    min_size=1, max_size=4,
+).map(" ".join)
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=200)
+def test_parse_blocks_never_crashes(s):
+    """Arbitrary input (broken tags, stray <, entities, NULs) must
+    parse to SOME block list with consistent counters."""
+    for no, tag, text, n_chars, n_link in _parse_blocks(s):
+        assert n_chars == len(text) > 0
+        assert 0 <= n_link <= n_chars
+
+
+@given(_words)
+def test_parse_blocks_plain_text_single_block(text):
+    blocks = _parse_blocks(text)
+    assert len(blocks) == 1
+    assert blocks[0][2] == " ".join(text.split())
+    assert blocks[0][1] == "" and blocks[0][4] == 0
+
+
+@given(st.lists(_words, min_size=1, max_size=5), _words, _words)
+@settings(max_examples=100)
+def test_parse_blocks_structure_invariants(paras, script_body, link_text):
+    """Structured pages: one block per paragraph in order, script
+    payload never leaks, block_no dense from 0, link chars bounded by
+    the link text."""
+    html = f"<script>SENTINEL {script_body}</script>"
+    html += "".join(f"<p>{p}</p>" for p in paras)
+    html += f"<p>intro <a href=x>{link_text}</a> outro</p>"
+    blocks = _parse_blocks(html)
+    texts = [b[2] for b in blocks]
+    assert [b[0] for b in blocks] == list(range(len(blocks)))
+    assert all("SENTINEL" not in t for t in texts)
+    norm = [" ".join(p.split()) for p in paras]
+    assert texts[: len(norm)] == norm
+    last = blocks[-1]
+    assert last[2] == " ".join(f"intro {link_text} outro".split())
+    assert last[4] == len(" ".join(link_text.split()))
