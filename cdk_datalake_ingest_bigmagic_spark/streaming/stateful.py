@@ -92,3 +92,78 @@ def running_totals_stream(
             timeoutConf=timeout,
         )
     )
+
+
+def running_totals_stream_v2(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Per-key running (sum, count) on the Spark 4 ``transformWithState``
+    API — the successor to ``applyInPandasWithState`` and the shape new
+    stateful operators should take:
+
+    - typed state primitives (here one ``ValueState``) instead of a
+      single packed tuple — a processor can hold several independently
+      typed states (value/list/map) per key;
+    - per-state TTL (``state_ttl_ms``) instead of processor-wide
+      timeouts: idle keys expire without the query scheduling empty
+      batches, so it composes with ``AvailableNow`` drain-and-stop runs
+      (the documented conflict in ``running_totals_stream``);
+    - requires the RocksDB state store provider (disk-backed, bounded
+      memory): at 100-TB key cardinalities the HDFS-backed in-memory
+      store is the bottleneck, so the new API's provider requirement is
+      the scale-correct default anyway.
+
+    Semantics are identical to ``running_totals_stream``; the
+    processor class is defined inside this function so it pickles BY
+    VALUE (the ``arrow-closure-by-value`` rule — executors need no
+    package import).
+
+    ENVIRONMENT BLOCKER (same class as the Delta-native leg,
+    SCALE.md "Delta backend status"): the transformWithState Python
+    runtime requires ``google.protobuf`` for its state-server
+    protocol (``pyspark/sql/streaming/proto/StateMessage_pb2``),
+    which this container does not ship and cannot install — query
+    START fails with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE.
+    The construction path (plan building, processor pickling) is
+    tested; the execution leg auto-skips until protobuf is present.
+    ``running_totals_stream`` (applyInPandasWithState, no protobuf
+    dependency) is the executable path in this environment.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    ttl = state_ttl_ms
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            schema = "total double, n bigint"
+            if ttl is not None:
+                self._state = handle.getValueState("totals", schema, ttl)
+            else:
+                self._state = handle.getValueState("totals", schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                total, n = self._state.get()
+            else:
+                total, n = 0.0, 0
+            for pdf in rows:
+                total += float(pdf[value_col].sum())
+                n += int(len(pdf))
+            self._state.update((total, n))
+            yield pd.DataFrame({"key": [key[0]], "total": [total], "n": [n]})
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_RunningTotals(),
+        outputStructType=_TOTAL_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
