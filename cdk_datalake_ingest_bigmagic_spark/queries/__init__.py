@@ -102,9 +102,12 @@ from cdk_datalake_ingest_bigmagic_spark.queries import curation  # noqa: E402,F4
 #   (4) remaining 1 slot: the oldest-registered r5 re-gate
 #       (join_shipping_priority) to shave round 8's obligation; the
 #       other three planned luxury fill-ins went to the rider set.
-#   Out of window: 63 queries, every one an unchanged green from
+#   Out of window: 64 queries, every one an unchanged green from
 #   round 5 or 6 (ceiling: current-2 = 5) — enforced by
-#   tests/test_gate_rotation.py.
+#   tests/test_gate_rotation.py, and additionally RE-MEASURED this
+#   round: the full 114-query registry was run against DuckDB at
+#   sf0.01 (0 failures) and the 50-query window at sf0.1 (0
+#   failures) — see SCALE.md round-7 notes.
 #
 #   ROUND-8 WINDOW MATH (pre-computed): obligation = the 18 r5-only
 #   greens left after (4) above (agg_sketch_error_bounds, the
