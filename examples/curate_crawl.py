@@ -1,0 +1,142 @@
+"""End-to-end crawl curation: WARC file(s) → training-ready shards.
+
+The full beyond-parity path in one runnable script, each stage an
+operator documented in SURVEY.md §8:
+
+  1. WARC ingestion (strict Content-Length validation),
+  2. URL canonicalization + domain blocklist,
+  3. HTML → text (regex tier; swap strip_html_dom for the DOM tier
+     when per-block link-density curation is needed),
+  4. CorpusPipeline: line-level curation → quality gates (+ optional
+     compression band) → near-dup dedup → leakage-safe split →
+     shards → BPE tokenize, all manifest-resumable,
+  5. a BM25 decontamination pass against eval prompts,
+  6. the training manifest a data loader consumes.
+
+Run: python examples/curate_crawl.py [work_dir]
+(Builds a small synthetic WARC if none is supplied — the point is the
+wiring; swap the input path for a real crawl prefix.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_demo_warc(path: str) -> None:
+    """A tiny two-page crawl so the script runs self-contained."""
+    pages = [
+        ("http://site-a.example.com/article",
+         "<html><head><title>Rivers</title></head><body><h1>Rivers</h1>"
+         "<p>The river bends east of the old mill where the road "
+         "crosses and the morning market fills the square with carts "
+         "fruit and voices of traders arriving before dawn.</p>"
+         "<div><a href=/x>home</a> <a href=/y>about</a></div>"
+         "</body></html>"),
+        ("http://blocked.spamfarm.net/offer",
+         "<html><body><p>buy now click here free offer winner cash "
+         "prize deal discount subscribe exclusive limited</p></body>"
+         "</html>"),
+        ("http://site-b.example.org/story",
+         "<html><body><h1>Harvest</h1><p>The analysis discusses how "
+         "the harvest changed the village economy and what the "
+         "traders near the river made of the new roads that season "
+         "in considerable detail for readers.</p></body></html>"),
+    ]
+    recs = []
+    for i, (uri, html) in enumerate(pages):
+        payload = html + "\n"
+        recs.append(
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            f"WARC-Date: 2024-06-01T0{i}:00:00Z\r\n"
+            f"WARC-Record-ID: <urn:uuid:demo-{i}>\r\n"
+            f"Content-Length: {len(payload.encode())}\r\n"
+            "\r\n"
+            f"{payload}"
+            "\r\n"
+        )
+    with open(path, "w", newline="") as f:
+        f.write("".join(recs))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_bigmagic_spark import get_spark
+    from cdk_datalake_ingest_bigmagic_spark.operators import retrieval as rt
+    from cdk_datalake_ingest_bigmagic_spark.operators.html import strip_html
+    from cdk_datalake_ingest_bigmagic_spark.operators.urls import filter_domains
+    from cdk_datalake_ingest_bigmagic_spark.plans.corpus import (
+        TRAINING_MANIFEST,
+        CorpusPipeline,
+        CorpusPipelineConfig,
+    )
+    from cdk_datalake_ingest_bigmagic_spark.sources.warc import (
+        canonicalize_url,
+        url_domain,
+        warc_responses_as_documents,
+    )
+
+    work = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="curate_")
+    os.makedirs(work, exist_ok=True)
+    warc = f"{work}/crawl.warc"
+    if not os.path.exists(warc):
+        make_demo_warc(warc)
+
+    spark = get_spark(app_name="curate-crawl")
+
+    # 1. ingest (strict length validation drops spoofed/truncated records)
+    docs = warc_responses_as_documents(spark, warc)
+
+    # 2. canonical URLs + domain blocklist + per-domain source key
+    docs = docs.withColumn("url", canonicalize_url(F.col("url")))
+    blocklist = spark.createDataFrame([("spamfarm.net",)], "domain string")
+    docs = filter_domains(docs, "doc_id", "url", blocklist, mode="block")
+    docs = docs.withColumn("source", url_domain(F.col("url")))
+
+    # 3. HTML → text (block boundaries become newlines for the lines step)
+    docs = docs.withColumn("text", strip_html(F.col("text")))
+
+    # 4. resumable curation pipeline
+    cfg = CorpusPipelineConfig(
+        line_filter=True,
+        line_min_words=3,
+        compression_band=True,
+        splits=(("train", 0.8), ("val", 0.2)),
+        n_shards=2,
+        bpe_merges=16,
+    )
+    pipe = CorpusPipeline(spark, f"{work}/pipeline", cfg)
+    results = pipe.run(docs.select("doc_id", "text", "source"))
+
+    # 5. decontamination: flag anything scoring like an eval prompt
+    shard = pipe.read("shard")
+    idx = rt.term_index(shard, "doc_id", "text")
+    n, total = rt.index_corpus_stats(idx, "doc_id")
+    prompts = spark.createDataFrame(
+        [(1, "village harvest economy")], "query_id long, text string"
+    )
+    flagged = rt.bm25_decontaminate(
+        idx, "doc_id", prompts, n, total, min_score=1.0
+    )
+
+    print(json.dumps({
+        "work_dir": work,
+        "steps": {k: v.rows for k, v in results.items()},
+        "decontamination_flags": flagged.count(),
+        "training_manifest": f"{work}/pipeline/{TRAINING_MANIFEST}",
+        "manifest_exists": os.path.exists(
+            f"{work}/pipeline/{TRAINING_MANIFEST}"
+        ),
+    }))
+
+
+if __name__ == "__main__":
+    main()

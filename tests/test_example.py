@@ -1,0 +1,28 @@
+"""The examples/ scripts must stay runnable — they are the
+switch-from-the-reference story and rot silently otherwise."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_curate_crawl_example(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, f"{repo}/examples/curate_crawl.py", str(tmp_path)],
+        capture_output=True,
+        text=True,
+        timeout=240,
+        cwd=repo,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    # the spam page was domain-blocked; both real pages survive the
+    # full pipeline into the training manifest
+    assert rec["steps"]["clean"] == 2
+    assert rec["steps"]["shard"] == 2
+    assert rec["manifest_exists"] is True
+    assert rec["decontamination_flags"] >= 1  # the planted eval prompt hits
