@@ -1,0 +1,282 @@
+"""Web link graph + domain authority: the crawl-level quality signal.
+
+Large-scale corpus curation ranks DOMAINS before it ranks documents —
+Common Crawl publishes host/domain-level rank tables (harmonic
+centrality / PageRank) precisely because link authority is the
+cheapest strong prior on page quality, and the C4/RefinedWeb-style
+pipelines consume it as a filter or mixing weight. This module builds
+that signal from the crawl itself:
+
+  1. ``extract_links``: ``<a href>`` targets per page — pure codegen
+     ``regexp_extract_all`` + one explode, zero Python, zero shuffle.
+  2. ``host_graph``: collapse page→URL links to a host→host edge
+     relation with link counts. This is the scale cliff and the
+     design center: 100 TB of pages is ~10^11 page→page links but
+     only ~10^8 hosts, and the groupBy collapses map-side (partial
+     aggregation) before the one shuffle, so the graph that iterative
+     ranking runs on is ~three orders of magnitude smaller than the
+     corpus.
+  3. ``pagerank``: damped PageRank over the host graph — per
+     iteration ONE join (ranks ⋈ edges, both hash-partitioned on the
+     same key so AQE reuses the exchange) + ONE aggregation, dangling
+     mass folded in analytically. Lineage is cut per round with the
+     same ``_LineageCutter`` the connected-components operators use
+     (localCheckpoint by default, durable ``checkpoint_dir=`` for
+     multi-hour jobs).
+  4. ``degree_stats`` / ``authority_quality``: the integer degree
+     core (cross-engine deterministic, hence oracle-gateable) and the
+     join that lands the rank on documents as a quality feature.
+
+PageRank floats are NOT oracle-gated (iterative double sums are not
+bit-reproducible across engines — same call as ``random_project``);
+``tests/test_linkgraph.py`` pins them against an independent
+pure-Python power iteration instead. ``degree_stats`` is the
+gate-able core (round-8 window candidate).
+
+No reference counterpart (beyond-parity operator); the algorithm is
+Page et al. 1999, the dangling-mass treatment is the standard
+stochastic-matrix completion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.operators.graph import _lineage_cutter
+
+# href value up to a quote/space/angle terminator; both quoted and bare
+# attribute forms. Group 1 is the target. Case-insensitive, tolerant of
+# whitespace around '=' — crawl HTML is not clean HTML.
+_HREF_PATTERN = r"""(?i)<a\s[^>]*?href\s*=\s*["']?([^"'\s>]+)"""
+
+
+def extract_links(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
+    """(id, href): one row per ``<a href>`` occurrence in the raw HTML.
+
+    Codegen ``regexp_extract_all`` + ``explode`` — the only data
+    movement is the explode's in-partition fan-out. Pages with no
+    links yield no rows; fragment-only (``#...``), ``javascript:`` and
+    ``mailto:`` targets are dropped in-row (navigation chrome, not
+    graph edges).
+    """
+    hrefs = F.regexp_extract_all(F.col(html_col), F.lit(_HREF_PATTERN), 1)
+    return (
+        df.select(F.col(id_col), F.explode(hrefs).alias("href"))
+        .filter(~F.col("href").rlike(r"(?i)^(#|javascript:|mailto:|tel:|data:)"))
+    )
+
+
+def link_host(href, base_host=None):
+    """Column: target host of a link. Absolute http(s) URLs yield
+    their lowercased host (port stripped); protocol-relative ``//h/p``
+    likewise; anything else (relative path) resolves to ``base_host``
+    when given, else NULL. Pure codegen."""
+    absolute = F.lower(
+        F.regexp_extract(href, r"^(?:[hH][tT][tT][pP][sS]?:)?//([^/:?#]+)", 1)
+    )
+    out = F.when(absolute != "", absolute)
+    if base_host is not None:
+        # scheme'd non-http links (ftp:, custom:) are NOT relative —
+        # they must not inherit the page host
+        out = out.when(~href.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*:"), base_host)
+    return out.otherwise(F.lit(None))
+
+
+def host_graph(
+    links: DataFrame,
+    src_host_col: str,
+    href_col: str = "href",
+    count_pages: bool = False,
+    id_col: str | None = None,
+    drop_self: bool = True,
+) -> DataFrame:
+    """(src, dst, n_links) host-level edge relation from per-page link
+    rows carrying the page's own host in ``src_host_col``.
+
+    The aggregation collapses the page-level link fan (the 100-TB-side
+    relation) down to host pairs map-side before its single shuffle.
+    ``count_pages=True`` counts distinct linking pages (requires
+    ``id_col``) instead of raw link occurrences — the spam-resistant
+    variant (one page repeating a link 10^4 times still counts once).
+    Self-edges (intra-host navigation — typically >80% of raw links)
+    are dropped by default: they carry no authority signal and would
+    otherwise dominate the damping loop.
+    """
+    dst = link_host(F.col(href_col), base_host=None)
+    rows = links.select(
+        F.col(src_host_col).alias("src"),
+        dst.alias("dst"),
+        *([F.col(id_col)] if count_pages else []),
+    ).filter(F.col("dst").isNotNull() & (F.col("dst") != ""))
+    if drop_self:
+        rows = rows.filter(F.col("src") != F.col("dst"))
+    if count_pages:
+        if id_col is None:
+            raise ValueError("count_pages=True requires id_col")
+        agg = F.count_distinct(F.col(id_col))
+    else:
+        agg = F.count(F.lit(1))
+    return rows.groupBy("src", "dst").agg(agg.cast("long").alias("n_links"))
+
+
+def degree_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """(host, out_degree, in_degree, out_links, in_links) — the
+    integer structural core of the graph (deterministic cross-engine;
+    the oracle-gateable projection of this module). Degrees count
+    distinct neighbor hosts; ``*_links`` sum the edge weights.
+    One aggregation per direction + one full-outer join on host.
+    """
+    w = F.col("n_links") if "n_links" in edges.columns else F.lit(1)
+    out_side = (
+        edges.groupBy(F.col(src).alias("host"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("out_degree"),
+            F.sum(w).cast("long").alias("out_links"),
+        )
+    )
+    in_side = (
+        edges.groupBy(F.col(dst).alias("host"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("in_degree"),
+            F.sum(w).cast("long").alias("in_links"),
+        )
+    )
+    return (
+        out_side.join(in_side, "host", "full_outer")
+        .select(
+            "host",
+            *[
+                F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+                for c in ("out_degree", "in_degree", "out_links", "in_links")
+            ],
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iterations: int = 20,
+    damping: float = 0.85,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(host, rank) — damped PageRank over a (weighted) edge relation;
+    ranks sum to 1.0 (stochastic-matrix completion: dangling mass and
+    the teleport term are redistributed uniformly each step).
+
+    Fixed ``iterations`` (no convergence collect per round — at host
+    scale 20 iterations is the published operating point and a fixed
+    count keeps every round a single job). Per iteration:
+
+      contribs = ranks ⋈ out-normalized edges  (one hash shuffle; the
+                 edge side is normalized ONCE up front and
+                 checkpointed, so each round shuffles only the rank
+                 table — |hosts| rows, not |edges|)
+      new_rank = (1-d)/N + d·(dangling/N) + d·Σ contribs
+                 (one aggregation; dangling = 1 - Σ ranks-with-outlinks,
+                 computed from the same aggregate — the only driver
+                 scalar per round, one row)
+
+    Lineage is cut each round (``_LineageCutter``: localCheckpoint by
+    default; pass ``checkpoint_dir`` for durable checkpoints on long
+    jobs). Nodes with no out-edges still appear in the output (they
+    receive rank; their mass teleports).
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    cut = _lineage_cutter(edges, checkpoint_dir)
+    try:
+        raw = cut(
+            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"), w.alias("w"))
+        )
+        # out-strength per source, then per-edge transition probability
+        out_w = raw.groupBy("u").agg(F.sum("w").alias("out_w"))
+        trans = cut(
+            raw.join(out_w, "u").select(
+                "u", "v", (F.col("w") / F.col("out_w")).alias("p")
+            ),
+            lazy=True,
+        )
+        # host set WITH out-edges (for the per-round dangling-mass
+        # aggregate) — checkpointed so releasing `raw` is safe in
+        # reliable mode
+        linked = cut(out_w.select(F.col("u").alias("host")), lazy=True)
+        nodes = cut(
+            raw.select(F.col("u").alias("host"))
+            .union(raw.select(F.col("v").alias("host")))
+            .distinct(),
+            lazy=True,
+        )
+        n = nodes.count()  # one scalar, fixed for the whole run
+        if n == 0:
+            return nodes.withColumn("rank", F.lit(0.0))
+        ranks = cut(nodes.withColumn("rank", F.lit(1.0 / n)), lazy=True)
+        cut.release(raw)  # trans/linked/nodes are materialized; raw is dead
+        for _ in range(iterations):
+            contribs = (
+                ranks.join(trans, ranks.host == trans.u)
+                .groupBy(F.col("v").alias("host"))
+                .agg(F.sum(F.col("rank") * F.col("p")).alias("contrib"))
+            )
+            # dangling mass = rank NOT held by nodes with out-edges;
+            # one small aggregate over the |hosts|-row rank table —
+            # the round's only driver scalar (one row), same per-round
+            # collect budget as connected_components' convergence agg.
+            linked_mass = (
+                ranks.join(linked, "host", "left_semi")
+                .agg(F.sum("rank"))
+                .first()[0]
+                or 0.0
+            )
+            base = (1.0 - damping) / n + damping * (1.0 - linked_mass) / n
+            prev = ranks
+            ranks = cut(
+                nodes.join(contribs, "host", "left").select(
+                    "host",
+                    (
+                        F.lit(base)
+                        + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                    ).alias("rank"),
+                ),
+                lazy=True,
+            )
+            cut.release(prev)
+        # materialize the final state inside the guarded region so a
+        # failure-path destroy() can never strand the caller's result
+        return cut(ranks)
+    except BaseException:
+        cut.destroy()  # no result escapes a failed run — reclaim it all
+        raise
+    finally:
+        cut.restore_dir()
+
+
+def authority_quality(
+    docs: DataFrame,
+    ranks: DataFrame,
+    host_col: str,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Attach the host's authority percentile to each document:
+    adds ``authority_rank`` (the raw score) and ``authority_pct``
+    (percent_rank over hosts, 0..1 — scale-free, so thresholds
+    survive re-crawls).
+
+    The percentile window runs over the RANK table (|hosts| rows),
+    never over the corpus; the corpus side is one equi-join on host —
+    broadcast when the rank table is small enough for AQE to notice.
+    """
+    from pyspark.sql import Window
+
+    pct = ranks.select(
+        F.col("host").alias(host_col),
+        F.col(rank_col).alias("authority_rank"),
+        F.percent_rank()
+        .over(Window.orderBy(F.col(rank_col), F.col("host")))
+        .alias("authority_pct"),
+    )
+    return docs.join(pct, host_col, "left")

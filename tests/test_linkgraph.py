@@ -1,0 +1,245 @@
+"""Link graph + domain authority (operators/linkgraph.py): href
+extraction, host-graph collapse, PageRank vs an independent
+pure-Python power iteration, and the oracle-gateable degree core."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.operators import linkgraph as lg
+
+
+def _plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# extract_links / link_host
+# ---------------------------------------------------------------------------
+
+
+def test_extract_links_messy_html(spark):
+    html = (
+        '<p><A HREF="https://other.example.com/a">x</a>'
+        "<a href='/rel/path'>y</a>"
+        "<a href = bare.html>z</a>"
+        '<a class="nav" href="#frag">skip</a>'
+        '<a href="javascript:void(0)">skip</a>'
+        '<a href="mailto:a@b.c">skip</a>'
+        '<a name="anchor-no-href">skip</a></p>'
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    got = sorted(r.href for r in lg.extract_links(df, "doc_id", "html").collect())
+    assert got == ["/rel/path", "bare.html", "https://other.example.com/a"]
+
+
+def test_extract_links_no_links_and_plan_is_shuffle_free(spark):
+    df = spark.createDataFrame(
+        [(1, "<p>no anchors here</p>"), (2, None)], "doc_id long, html string"
+    )
+    out = lg.extract_links(df, "doc_id", "html")
+    assert out.count() == 0
+    assert "Exchange" not in _plan_of(out)
+
+
+def test_link_host_resolution(spark):
+    rows = [
+        ("HTTPS://WWW.Example.COM:443/p", "www.example.com"),
+        ("http://h.example.org/x?y#z", "h.example.org"),
+        ("//proto.example.net/asset", "proto.example.net"),
+        ("/relative/path", "base.example.com"),
+        ("page.html", "base.example.com"),
+        ("ftp://files.example.com/f", None),  # scheme'd non-http: not relative
+        ("custom-scheme:payload", None),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in rows], "href string")
+    got = df.select(
+        lg.link_host(F.col("href"), base_host=F.lit("base.example.com")).alias("h")
+    ).collect()
+    assert [r.h for r in got] == [want for _, want in rows]
+
+
+# ---------------------------------------------------------------------------
+# host_graph
+# ---------------------------------------------------------------------------
+
+
+def _links(spark):
+    # page 10 on a.com links b.com twice + itself; page 11 on a.com
+    # links b.com; page 20 on b.com links a.com
+    rows = [
+        (10, "a.com", "http://b.com/x"),
+        (10, "a.com", "http://b.com/y"),
+        (10, "a.com", "http://a.com/self"),
+        (11, "a.com", "https://b.com/z"),
+        (20, "b.com", "http://a.com/home"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, src_host string, href string")
+
+
+def test_host_graph_counts_links_and_drops_self(spark):
+    got = {
+        (r.src, r.dst): r.n_links
+        for r in lg.host_graph(_links(spark), "src_host").collect()
+    }
+    assert got == {("a.com", "b.com"): 3, ("b.com", "a.com"): 1}
+
+
+def test_host_graph_count_pages_is_spam_resistant(spark):
+    got = {
+        (r.src, r.dst): r.n_links
+        for r in lg.host_graph(
+            _links(spark), "src_host", count_pages=True, id_col="doc_id"
+        ).collect()
+    }
+    # page 10's two b.com links count once
+    assert got == {("a.com", "b.com"): 2, ("b.com", "a.com"): 1}
+
+
+def test_host_graph_partial_aggregation(spark):
+    # the collapse must happen map-side: a HashAggregate below the
+    # exchange (partial) and one above (final)
+    plan = _plan_of(lg.host_graph(_links(spark), "src_host"))
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+# ---------------------------------------------------------------------------
+# degree_stats (the oracle-gateable integer core)
+# ---------------------------------------------------------------------------
+
+
+def test_degree_stats(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 1), ("b", "a", 2)],
+        "src string, dst string, n_links long",
+    )
+    got = {r.host: r for r in lg.degree_stats(edges).collect()}
+    assert (got["a"].out_degree, got["a"].in_degree) == (2, 1)
+    assert (got["a"].out_links, got["a"].in_links) == (4, 2)
+    assert (got["b"].out_degree, got["b"].in_degree) == (1, 1)
+    assert (got["c"].out_degree, got["c"].in_degree, got["c"].in_links) == (0, 1, 1)
+
+
+def test_degree_stats_unweighted_edges(spark):
+    edges = spark.createDataFrame([("a", "b"), ("c", "b")], "src string, dst string")
+    got = {r.host: r for r in lg.degree_stats(edges).collect()}
+    assert got["b"].in_degree == 2 and got["b"].in_links == 2
+
+
+# ---------------------------------------------------------------------------
+# pagerank vs independent power iteration
+# ---------------------------------------------------------------------------
+
+
+def _py_pagerank(edges, iterations, damping=0.85, weights=None):
+    """Pure-Python reference: same fixed-iteration damped PageRank
+    with uniform dangling/teleport redistribution."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    w = {}
+    for i, (u, v) in enumerate(edges):
+        w[(u, v)] = w.get((u, v), 0.0) + (weights[i] if weights else 1.0)
+    out_w = {}
+    for (u, _), x in w.items():
+        out_w[u] = out_w.get(u, 0.0) + x
+    rank = {h: 1.0 / n for h in nodes}
+    for _ in range(iterations):
+        linked_mass = sum(rank[h] for h in nodes if h in out_w)
+        base = (1.0 - damping) / n + damping * (1.0 - linked_mass) / n
+        new = {h: base for h in nodes}
+        for (u, v), x in w.items():
+            new[v] += damping * rank[u] * (x / out_w[u])
+        rank = new
+    return rank
+
+
+def _assert_close(spark_ranks, py_ranks, tol=1e-9):
+    got = {r.host: r.rank for r in spark_ranks.collect()}
+    assert set(got) == set(py_ranks)
+    for h, want in py_ranks.items():
+        assert got[h] == pytest.approx(want, abs=tol), h
+
+
+def test_pagerank_star_graph(spark):
+    # hub ← 3 spokes; spokes are dangling-free only via hub backlink
+    edges = [("s1", "hub"), ("s2", "hub"), ("s3", "hub"), ("hub", "s1")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    _assert_close(lg.pagerank(df, iterations=15), _py_pagerank(edges, 15))
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    # 'sink' has no out-edges: its mass must teleport, and ranks must
+    # still sum to 1
+    edges = [("a", "sink"), ("b", "sink"), ("a", "b")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    ranks = lg.pagerank(df, iterations=10)
+    _assert_close(ranks, _py_pagerank(edges, 10))
+    total = ranks.agg(F.sum("rank")).first()[0]
+    assert total == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_weighted(spark):
+    edges = [("a", "b"), ("a", "c"), ("b", "a")]
+    weights = [9.0, 1.0, 1.0]
+    df = spark.createDataFrame(
+        [(u, v, w) for (u, v), w in zip(edges, weights)],
+        "src string, dst string, n_links double",
+    )
+    ranks = lg.pagerank(df, weight="n_links", iterations=12)
+    _assert_close(ranks, _py_pagerank(edges, 12, weights=weights))
+    got = {r.host: r.rank for r in ranks.collect()}
+    assert got["b"] > got["c"]  # 9× the link weight → more authority
+
+
+def test_pagerank_empty_and_bad_args(spark):
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert lg.pagerank(empty, iterations=3).count() == 0
+    with pytest.raises(ValueError):
+        lg.pagerank(empty, iterations=0)
+
+
+def test_pagerank_end_to_end_from_html(spark):
+    pages = [
+        (1, "a.com", '<a href="http://b.com/1">b</a><a href="http://c.com/1">c</a>'),
+        (2, "b.com", '<a href="http://c.com/2">c</a>'),
+        (3, "c.com", '<a href="http://a.com/2">a</a>'),
+    ]
+    docs = spark.createDataFrame(pages, "doc_id long, host string, html string")
+    links = lg.extract_links(docs, "doc_id", "html").join(
+        docs.select("doc_id", "host"), "doc_id"
+    )
+    graph = lg.host_graph(links, "host")
+    ranks = lg.pagerank(graph, weight="n_links", iterations=10)
+    edges = [(r.src, r.dst) for r in graph.collect()]
+    weights = None  # all collapsed weights are 1 here
+    _assert_close(ranks, _py_pagerank(edges, 10, weights=weights))
+
+
+# ---------------------------------------------------------------------------
+# authority_quality
+# ---------------------------------------------------------------------------
+
+
+def test_authority_quality_join(spark):
+    docs = spark.createDataFrame(
+        [(1, "lo.com"), (2, "hi.com"), (3, "unknown.com")],
+        "doc_id long, host string",
+    )
+    ranks = spark.createDataFrame(
+        [("lo.com", 0.2), ("hi.com", 0.8)], "host string, rank double"
+    )
+    got = {
+        r.doc_id: (r.authority_rank, r.authority_pct)
+        for r in lg.authority_quality(docs, ranks, "host").collect()
+    }
+    assert got[1] == (0.2, 0.0)
+    assert got[2] == (0.8, 1.0)
+    assert got[3] == (None, None)  # host never seen in the graph
