@@ -1,0 +1,192 @@
+"""Encoding repair (mojibake) for crawled text.
+
+Web crawls are full of UTF-8 text that was decoded as Windows-1252 /
+Latin-1 somewhere upstream ("Ã©" for "é", "â€™" for "'"): classic
+mojibake. Left unrepaired it poisons tokenizers (every curly quote
+becomes three junk tokens) and splits near-dup clusters. This module
+follows the ftfy family's core insight (Speer, ftfy — public
+algorithm, independently implemented): mojibake is the *invertible*
+composition encode(cp1252) ∘ decode(utf-8) applied backwards, so the
+repair is to re-encode as cp1252 and re-decode as utf-8, repeated
+until it no longer applies.
+
+Two tiers, mirroring operators/html.py's design:
+
+- **Codegen tier** (`fix_mojibake_column`, `mojibake_score`): a
+  bounded chain of literal replacements for the most common mojibake
+  digraphs/trigraphs plus a regexp detector. Pure whole-stage-codegen
+  Columns — zero Python, zero shuffle; DuckDB-expressible (replace
+  chains), so gate-able (round-8 window candidate).
+- **Kernel tier** (`repair_encoding`): the full iterative
+  cp1252→utf-8 round-trip as an Arrow `mapInPandas` kernel. The
+  100-TB shape: rows are FIRST screened with the codegen detector so
+  the Python kernel only ever sees the (typically <1%) flagged rows;
+  clean rows ride the JVM path untouched. The kernel function is a
+  factory-built closure (pickled by value — executors need no
+  importable package; see the Arrow-closure note in html.py).
+
+Determinism: both tiers are pure functions of the input string; the
+kernel uses Python's built-in codecs (bit-stable across platforms).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Most common cp1252-mojibake spellings, longest first so trigraph
+#: repairs run before their digraph prefixes. Each entry is the
+#: mojibake spelling of one codepoint's UTF-8 bytes read as cp1252.
+MOJIBAKE_REPLACEMENTS: tuple[tuple[str, str], ...] = (
+    # U+2018/2019/201C/201D quotes, U+2013/2014 dashes, U+2026 ellipsis
+    ("â€™", "’"),  # â€™ -> ’
+    ("â€˜", "‘"),  # â€˜ -> ‘
+    ("â€œ", "“"),  # â€œ -> “
+    ("â€“", "–"),  # â€“ -> –
+    ("â€”", "—"),  # â€” -> —
+    ("â€¦", "…"),  # â€¦ -> …
+    ("â€¢", "•"),  # â€¢ -> •
+    ("â„¢", "™"),  # â„¢ -> ™
+    ("â‚¬", "€"),  # â‚¬ -> €
+    # U+201D's third byte 0x9D is a cp1252 hole: WHATWG-style decoders
+    # pass it through as the C1 control U+009D, strict ones drop it.
+    # Both spellings handled; the bare digraph MUST come after every
+    # longer entry that starts with it.
+    ("â€\u009d", "”"),  # escaped: no raw C1 in source
+    ("â€", "”"),
+    # Latin-1 supplement letters: Ã + x  ->  U+00C0+ (x - 0x80)
+    ("Ã ", "à"),  # Ã  -> à
+    ("Ã¡", "á"),  # Ã¡ -> á
+    ("Ã¢", "â"),  # Ã¢ -> â
+    ("Ã¤", "ä"),  # Ã¤ -> ä
+    ("Ã§", "ç"),  # Ã§ -> ç
+    ("Ã¨", "è"),  # Ã¨ -> è
+    ("Ã©", "é"),  # Ã© -> é
+    ("Ãª", "ê"),  # Ãª -> ê
+    ("Ã«", "ë"),  # Ã« -> ë
+    ("Ã­", "í"),  # Ã­ -> í
+    ("Ã®", "î"),  # Ã® -> î
+    ("Ã±", "ñ"),  # Ã± -> ñ
+    ("Ã³", "ó"),  # Ã³ -> ó
+    ("Ã´", "ô"),  # Ã´ -> ô
+    ("Ã¶", "ö"),  # Ã¶ -> ö
+    ("Ã¹", "ù"),  # Ã¹ -> ù
+    ("Ãº", "ú"),  # Ãº -> ú
+    ("Ã»", "û"),  # Ã» -> û
+    ("Ã¼", "ü"),  # Ã¼ -> ü
+    ("Ã£", "ã"),  # Ã£ -> ã
+    ("Ã¥", "å"),  # Ã¥ -> å
+    ("Ã¦", "æ"),  # Ã¦ -> æ
+    ("Ã¬", "ì"),  # Ã¬ -> ì
+    ("Ã¯", "ï"),  # Ã¯ -> ï
+    ("Ã²", "ò"),  # Ã² -> ò
+    ("Ãµ", "õ"),  # Ãµ -> õ
+    ("Ã¸", "ø"),  # Ã¸ -> ø
+    ("Ã½", "ý"),  # Ã½ -> ý
+    ("ÃŸ", "ß"),  # ÃŸ -> ß
+    ("Â ", " "),  # Â  -> nbsp
+    ("Â«", "«"),  # Â« -> «
+    ("Â»", "»"),  # Â» -> »
+    ("Â°", "°"),  # Â° -> °
+    ("Â©", "©"),  # Â© -> ©
+    ("Â®", "®"),  # Â® -> ®
+)
+
+#: Detector: the two-byte lead patterns above almost never occur in
+#: intentional text — "Ã" followed by a low-Latin-1 continuation,
+#: "â€" (the U+20AC mis-read of 0x80), or "Â" before punctuation.
+_MOJIBAKE_PATTERN = (
+    "Ã[ -¿Ÿ]|â€|â„¢"
+    "|â‚¬|Â[ «»°©®]"
+)
+
+
+def mojibake_score(text) -> Column:
+    """Count of mojibake lead sequences in a string Column — 0 for
+    clean text. Pure ``regexp_count`` codegen; use as the kernel-tier
+    pre-screen and as a corpus health metric."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(col, F.lit(_MOJIBAKE_PATTERN))
+
+
+def fix_mojibake_column(text) -> Column:
+    """Codegen repair of the common mojibake table: a bounded
+    ``replace`` chain (longest spelling first). Handles one level of
+    mis-decoding for the high-frequency codepoints; text mangled
+    twice (or rarer codepoints) needs :func:`repair_encoding`."""
+    col = F.col(text) if isinstance(text, str) else text
+    for bad, good in MOJIBAKE_REPLACEMENTS:
+        col = F.replace(col, F.lit(bad), F.lit(good))
+    return col
+
+
+def _make_repair_kernel(text_col: str, max_passes: int):
+    """Factory for the Arrow kernel (by-value pickling — the nested
+    qualname keeps executors independent of driver sys.path)."""
+
+    def sloppy_cp1252_bytes(s):
+        # cp1252 with its five holes mapped back to raw C1 bytes —
+        # WHATWG windows-1252 decoders emit U+0081/8D/8F/90/9D for
+        # them, so inverting must accept those controls (the ftfy
+        # "sloppy-windows-1252" trick). Codepoints 0xA0-0xFF agree
+        # with latin-1, so this one encoder also inverts latin-1
+        # mis-decodes.
+        out = bytearray()
+        for ch in s:
+            o = ord(ch)
+            if 0x80 <= o <= 0x9F:
+                out.append(o)
+            else:
+                out += ch.encode("cp1252")  # raises on non-1252 text
+        return bytes(out)
+
+    def repair_one(s):
+        if s is None:
+            return s
+        for _ in range(max_passes):
+            try:
+                fixed = sloppy_cp1252_bytes(s).decode("utf-8")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                return s
+            if fixed == s:
+                return s
+            s = fixed
+        return s
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf[text_col] = pdf[text_col].map(repair_one)
+            yield pdf
+
+    return kernel
+
+
+def repair_encoding(
+    df: DataFrame, text_col: str, max_passes: int = 3
+) -> DataFrame:
+    """Repair mojibake in ``text_col`` with the full iterative
+    cp1252/latin-1 → utf-8 round-trip, applied ONLY to rows the
+    codegen detector flags.
+
+    The split-union shape is the scale story: the detector is a
+    codegen filter riding the scan, so at 100 TB the Arrow kernel
+    processes just the flagged sliver (typically well under 1% of a
+    modern crawl) while clean rows never leave the JVM. No shuffle is
+    introduced — both legs keep their partitioning and the union is a
+    plan-level concatenation.
+
+    ``max_passes`` bounds repeated mis-decodings (ftfy's default
+    regime); a pass that changes nothing stops early. A string that
+    stops round-tripping cleanly is returned as-is — repair must
+    never corrupt text it cannot prove mangled.
+    """
+    is_flagged = F.coalesce(mojibake_score(text_col) > 0, F.lit(False))
+    flagged = df.where(is_flagged)
+    clean = df.where(~is_flagged)  # NULL text scores NULL -> clean leg
+    repaired = flagged.mapInPandas(
+        _make_repair_kernel(text_col, max_passes), schema=df.schema
+    )
+    return clean.unionByName(repaired)

@@ -1,0 +1,194 @@
+"""URL canonicalization for crawled corpora.
+
+The same page is crawled under dozens of URL spellings — scheme/host
+case, default ports, tracking query parameters, param order,
+fragments, trailing slashes. Canonicalizing BEFORE url-level dedup
+collapses those spellings so one cheap exact groupBy replaces a
+near-dup pass; the reference pipeline has no crawl leg, so this is a
+beyond-parity operator in the C4/CCNet tradition (Raffel et al. 2020;
+Wenzek et al. 2020 dedup by normalized URL before content dedup).
+
+Scale shape: every step is a codegen Column expression over the row's
+own URL (``parse_url`` + higher-order array functions) — zero shuffle,
+zero Python. ``dedup_by_url`` then needs exactly ONE map-side-combined
+aggregation on the canonical key. At 100 TB the canonicalization is
+free (it rides the scan) and the dedup is a single key shuffle of
+(key, id, quality) triples, never row payloads.
+
+Determinism: pure string algebra — same input, same output in any
+engine; the query-param sort uses ``array_sort`` (lexicographic,
+engine-independent). Gate-able with a DuckDB regexp oracle (round-8
+window candidate; see queries/__init__.py ROUND-8 WINDOW MATH).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Query parameters that never change page content — analytics and
+#: click-attribution noise. Prefix families are matched with LIKE.
+TRACKING_PARAM_PREFIXES = ("utm_", "uta_", "mc_", "pk_", "piwik_")
+TRACKING_PARAMS = (
+    "fbclid",
+    "gclid",
+    "gclsrc",
+    "dclid",
+    "msclkid",
+    "igshid",
+    "twclid",
+    "yclid",
+    "wbraid",
+    "gbraid",
+    "ref",
+    "ref_src",
+    "referrer",
+    "spm",
+    "cmpid",
+    "campaign_id",
+    "affiliate_id",
+    "session_id",
+    "sessionid",
+    "sid",
+    "phpsessid",
+    "jsessionid",
+)
+
+_DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21"}
+
+
+def canonicalize_url(
+    url,
+    strip_www: bool = True,
+    tracking_params: tuple[str, ...] = TRACKING_PARAMS,
+    tracking_prefixes: tuple[str, ...] = TRACKING_PARAM_PREFIXES,
+) -> Column:
+    """Canonical spelling of a URL Column, entirely in codegen.
+
+    Normalizations applied (each conventional for crawl dedup keys):
+    scheme and host lowercased; trailing host dot and (optionally)
+    leading ``www.`` stripped; default scheme ports (``:80`` http,
+    ``:443`` https, ``:21`` ftp) dropped, other ports kept; fragment
+    removed; duplicate path slashes collapsed and a trailing slash
+    trimmed (root path becomes ``/``); tracking query parameters
+    removed (case-insensitive key match against ``tracking_params``
+    plus ``tracking_prefixes`` families) and surviving parameters
+    sorted lexicographically. Unparseable URLs (no scheme/host) → NULL.
+
+    Percent-escape hex case (``%2f`` vs ``%2F``) is NOT normalized —
+    regexp replacement cannot case-fold capture groups in codegen; a
+    row that needs it is rare enough to leave to content dedup.
+    """
+    col = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.parse_url(col, F.lit("PROTOCOL")))
+    authority = F.parse_url(col, F.lit("AUTHORITY"))
+    # host sans port/userinfo, lowercased; parse_url's HOST keeps a
+    # trailing root-dot ("example.com.") — strip it.
+    host = F.lower(F.parse_url(col, F.lit("HOST")))
+    host = F.regexp_replace(host, r"\.$", "")
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    port = F.regexp_extract(authority, r":(\d+)$", 1)
+    default_port = (
+        F.when(scheme == "http", F.lit("80"))
+        .when(scheme == "https", F.lit("443"))
+        .when(scheme == "ftp", F.lit("21"))
+        .otherwise(F.lit(""))
+    )
+    port_part = F.when(
+        (port == "") | (port == default_port), F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+
+    path = F.coalesce(F.parse_url(col, F.lit("PATH")), F.lit(""))
+    path = F.regexp_replace(path, r"/{2,}", "/")
+    path = F.regexp_replace(path, r"(.)/$", "$1")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+
+    raw_query = F.coalesce(F.parse_url(col, F.lit("QUERY")), F.lit(""))
+    query_norm = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(raw_query, "&"),
+                _keep_param_column(tracking_params, tracking_prefixes),
+            )
+        ),
+        "&",
+    )
+    query_part = F.when(query_norm == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), query_norm)
+    )
+    out = F.concat(scheme, F.lit("://"), host, port_part, path, query_part)
+    return F.when(
+        scheme.isNull() | host.isNull() | (host == ""), F.lit(None).cast("string")
+    ).otherwise(out)
+
+
+def _keep_param_column(params: tuple[str, ...], prefixes: tuple[str, ...]):
+    """Column-lambda twin of :func:`_keep_param_predicate` for the
+    pythonic HOF API."""
+    drop = [p.lower() for p in params]
+
+    def keep(p: Column) -> Column:
+        key = F.lower(F.element_at(F.split(p, "="), 1))
+        cond = (p != "") & ~key.isin(drop)
+        for pref in prefixes:
+            cond = cond & ~key.startswith(pref.lower())
+        return cond
+
+    return keep
+
+
+def url_key(url, **kwargs) -> Column:
+    """md5 of the canonical URL — the exact-dedup grouping key.
+    md5 hex is engine-identical (oracle-determinism rule)."""
+    return F.md5(canonicalize_url(url, **kwargs))
+
+
+def dedup_by_url(
+    df: DataFrame,
+    url_col: str,
+    quality_col: str | None = None,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Keep one row per canonical URL: the highest ``quality_col``
+    (ties broken by smallest ``tie_col``, else by smallest
+    ``url_col`` so the winner is deterministic).
+
+    One map-side-combined ``max_by``-style aggregation on the md5
+    key — a single shuffle of (key, quality, tie) triples followed by
+    an id semi-join; no window sort, so a hot canonical URL (a
+    redirect target crawled millions of times) collapses map-side
+    instead of serializing through one task.
+
+    Rows with an unparseable URL (NULL canonical key) are kept
+    untouched — dedup must not eat what it cannot read.
+    """
+    tie = tie_col or url_col
+    qual = (
+        F.col(quality_col).cast("double") if quality_col else F.lit(0.0)
+    )
+    keyed = df.withColumn("__ukey", url_key(url_col))
+    best = (
+        keyed.where(F.col("__ukey").isNotNull())
+        .groupBy("__ukey")
+        .agg(
+            F.min(
+                F.struct(
+                    (-qual).alias("__negq"),
+                    F.col(tie).cast("string").alias("__tie"),
+                )
+            ).alias("__best")
+        )
+        .select(
+            F.col("__ukey"),
+            F.col("__best.__negq").alias("__negq"),
+            F.col("__best.__tie").alias("__tie"),
+        )
+    )
+    kept = keyed.join(best, on="__ukey", how="inner").where(
+        ((-qual) == F.col("__negq")) & (F.col(tie).cast("string") == F.col("__tie"))
+    )
+    unparseable = keyed.where(F.col("__ukey").isNull())
+    return kept.unionByName(unparseable, allowMissingColumns=True).drop(
+        "__ukey", "__negq", "__tie"
+    )

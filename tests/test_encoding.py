@@ -1,0 +1,122 @@
+"""Mojibake detection and repair: codegen tier vs kernel tier, the
+split-union shape, and do-no-harm guarantees."""
+
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.operators.encoding import (
+    MOJIBAKE_REPLACEMENTS,
+    fix_mojibake_column,
+    mojibake_score,
+    repair_encoding,
+)
+
+CLEAN = [
+    "plain ascii text",
+    "accented é è ü ñ ç text that is already correct",
+    "curly quotes “fine” and ’fine’ and dashes – —",
+    "",
+]
+
+
+def _mangle(s: str) -> str:
+    """Apply the mojibake transform: utf-8 bytes read as WHATWG
+    windows-1252 (cp1252 with its five holes passed through as C1
+    controls — what real browsers and lenient decoders emit)."""
+    out = []
+    for b in s.encode("utf-8"):
+        try:
+            out.append(bytes([b]).decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(chr(b))
+    return "".join(out)
+
+
+def test_mangle_roundtrip_examples():
+    assert _mangle("é") == "Ã©"
+    assert _mangle("’") == "â€™"
+
+
+def test_score_zero_on_clean(spark):
+    df = spark.createDataFrame([(t,) for t in CLEAN], "text string")
+    scores = [r["s"] for r in df.select(mojibake_score("text").alias("s")).collect()]
+    assert scores == [0, 0, 0, 0]
+
+
+def test_score_positive_on_mangled(spark):
+    mangled = [_mangle(t) for t in CLEAN[1:3]]
+    df = spark.createDataFrame([(t,) for t in mangled], "text string")
+    scores = [r["s"] for r in df.select(mojibake_score("text").alias("s")).collect()]
+    assert all(s > 0 for s in scores)
+
+
+def test_codegen_tier_repairs_common_table(spark):
+    originals = [
+        "café résumé naïve",
+        "it’s “quoted” – done…",
+        "90° © 2024 «ok»",
+    ]
+    df = spark.createDataFrame([(_mangle(t),) for t in originals], "text string")
+    out = [
+        r["f"] for r in df.select(fix_mojibake_column("text").alias("f")).collect()
+    ]
+    assert out == originals
+
+
+def test_codegen_tier_is_codegen_only(spark):
+    df = spark.createDataFrame([("x",)], "text string")
+    plan = (
+        df.select(fix_mojibake_column("text").alias("f"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kernel_repairs_everything_in_table(spark):
+    # every mojibake spelling in the table, repaired by the generic kernel
+    originals = [good for _, good in MOJIBAKE_REPLACEMENTS]
+    rows = [(i, _mangle(t)) for i, t in enumerate(originals)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        r["id"]: r["text"] for r in repair_encoding(df, "text").collect()
+    }
+    assert [out[i] for i in range(len(originals))] == originals
+
+
+def test_kernel_repairs_double_mangling(spark):
+    s = "l’été"
+    twice = _mangle(_mangle(s))
+    df = spark.createDataFrame([(twice,)], "text string")
+    assert repair_encoding(df, "text").collect()[0]["text"] == s
+
+
+def test_kernel_leaves_clean_and_unfixable_alone(spark):
+    unfixable = "Ã© 日本語 mixed with CJK cannot round-trip"
+    rows = [(i, t) for i, t in enumerate(CLEAN + [unfixable, None])]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r["text"] for r in repair_encoding(df, "text").collect()}
+    assert len(out) == len(rows)  # nothing dropped, NULL row included
+    for i, t in enumerate(CLEAN):
+        assert out[i] == t
+    assert out[len(CLEAN)] == unfixable
+    assert out[len(CLEAN) + 1] is None
+
+
+def test_clean_rows_never_enter_python(spark):
+    # the split-union plan: the clean leg must carry no Arrow eval node
+    df = spark.createDataFrame([(t,) for t in CLEAN], "text string")
+    clean_leg = df.where(
+        ~F.coalesce(mojibake_score("text") > 0, F.lit(False))
+    )
+    plan = clean_leg._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_score_is_corpus_metric(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    agg = docs.agg(
+        F.sum(mojibake_score("text")).alias("hits"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    assert agg["n"] > 0 and agg["hits"] is not None

@@ -1,0 +1,102 @@
+"""URL canonicalization: spelling collapse, tracking-param removal,
+port/fragment/slash rules, and the dedup-by-url keep semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.operators.urlnorm import (
+    canonicalize_url,
+    dedup_by_url,
+    url_key,
+)
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [
+        r["c"] for r in df.select(canonicalize_url("url").alias("c")).collect()
+    ]
+
+
+CASES = [
+    # scheme/host case, default port, fragment
+    ("HTTP://Example.COM:80/a#frag", "http://example.com/a"),
+    ("https://example.com:443/a", "https://example.com/a"),
+    # non-default port survives
+    ("https://example.com:8443/a", "https://example.com:8443/a"),
+    # www and trailing host dot stripped
+    ("https://www.example.com./a", "https://example.com/a"),
+    # empty path -> /, trailing slash trimmed, duplicate slashes collapsed
+    ("https://example.com", "https://example.com/"),
+    ("https://example.com/a/", "https://example.com/a"),
+    ("https://example.com//a///b", "https://example.com/a/b"),
+    # tracking params dropped (any case), survivors sorted
+    (
+        "https://example.com/a?z=1&utm_source=x&a=2&FBCLID=zz",
+        "https://example.com/a?a=2&z=1",
+    ),
+    # all params tracking -> no query part at all
+    ("https://example.com/a?utm_medium=m&gclid=g", "https://example.com/a"),
+    # valueless and repeated params survive, sorted
+    ("https://example.com/a?b&a=1&a=0", "https://example.com/a?a=0&a=1&b"),
+]
+
+
+@pytest.mark.parametrize("raw,expected", CASES)
+def test_canonicalize_cases(spark, raw, expected):
+    assert _canon(spark, [raw]) == [expected]
+
+
+def test_unparseable_is_null(spark):
+    out = _canon(spark, ["not a url", "mailto:x@y.z", None])
+    assert out == [None, None, None]
+
+
+def test_spellings_collapse_to_one_key(spark):
+    spellings = [
+        "http://Example.com:80/page?utm_source=tw&id=7#top",
+        "http://www.example.com/page/?id=7",
+        "http://example.com//page?id=7&fbclid=abc",
+    ]
+    df = spark.createDataFrame([(u,) for u in spellings], "url string")
+    keys = df.select(url_key("url").alias("k")).distinct().collect()
+    assert len(keys) == 1 and keys[0]["k"] is not None
+
+
+def test_dedup_by_url_keeps_best_quality(spark):
+    rows = [
+        (1, "http://example.com/a?utm_source=x", 0.2),
+        (2, "http://www.example.com/a", 0.9),
+        (3, "http://example.com/a/", 0.5),
+        (4, "http://other.com/b", 0.1),
+        (5, "%%%", 0.0),  # unparseable: must be kept untouched
+    ]
+    df = spark.createDataFrame(rows, "id long, url string, q double")
+    out = dedup_by_url(df, "url", quality_col="q", tie_col="id")
+    kept = sorted(r["id"] for r in out.collect())
+    assert kept == [2, 4, 5]
+
+
+def test_dedup_by_url_deterministic_tie(spark):
+    rows = [(i, f"http://example.com/x?utm_campaign={i}", 1.0) for i in range(6)]
+    df = spark.createDataFrame(rows, "id long, url string, q double")
+    out = dedup_by_url(df, "url", quality_col="q", tie_col="id")
+    assert [r["id"] for r in out.collect()] == [0]
+
+
+def test_canonicalize_is_codegen_only(spark):
+    df = spark.createDataFrame([("http://a.com/x",)], "url string")
+    plan = (
+        df.select(canonicalize_url("url").alias("c"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_idempotent(spark):
+    raws = [c[0] for c in CASES]
+    once = _canon(spark, raws)
+    twice = _canon(spark, once)
+    assert once == twice
