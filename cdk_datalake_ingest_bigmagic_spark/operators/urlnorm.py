@@ -19,6 +19,12 @@ Determinism: pure string algebra — same input, same output in any
 engine; the query-param sort uses ``array_sort`` (lexicographic,
 engine-independent). Gate-able with a DuckDB regexp oracle (round-8
 window candidate; see queries/__init__.py ROUND-8 WINDOW MATH).
+
+Relationship to ``sources/warc.py::canonicalize_url``: that one is
+the cheap regexp tier applied inline at ingest; this module is the
+full canonicalizer (param sorting, www/trailing-dot strip, duplicate
+slashes, the larger tracking table) plus the dedup operator, for the
+curation stage proper.
 """
 
 from __future__ import annotations

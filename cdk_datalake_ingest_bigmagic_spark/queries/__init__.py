@@ -117,6 +117,15 @@ from cdk_datalake_ingest_bigmagic_spark.queries import curation  # noqa: E402,F4
 #   window_yearly_growth, ...) — everything else in this round-7
 #   window greens at r7 and every out-of-window query is r5/r6;
 #   ~32 free slots for round-8 registrations and riders.
+#   Gate-able round-7 pytest-only operators (registration candidates
+#   for those slots, all deterministic string/integer algebra):
+#   linkgraph degree_stats (operators/linkgraph.py — integer
+#   degrees; pagerank itself stays pytest, float iteration),
+#   canonicalize_url / url_key / dedup_by_url
+#   (operators/urlnorm.py — pure string algebra + md5; DuckDB
+#   oracle via regexp), mojibake_score + fix_mojibake_column
+#   (operators/encoding.py codegen tier — replace chains;
+#   repair_encoding's Python-codec kernel stays pytest).
 #
 # Round 6 front (kept for the audit trail):
 #   (1) never green / red last round: pack_sequences +

@@ -167,6 +167,11 @@ def canonicalize_url(url: F.Column) -> F.Column:
     lowercase scheme+host → drop fragment → drop default port → strip
     tracking params (utm_*, gclid, fbclid, ref) → drop an emptied
     query → collapse a bare trailing slash on the path.
+
+    This is the cheap ingest-inline tier; for the full-strength
+    canonicalizer (www/trailing-dot strip, duplicate-slash collapse,
+    query-param SORT, the larger tracking-param table, and
+    dedup-by-key) use ``operators/urlnorm.py`` downstream.
     """
     # lowercase the scheme://host[:port] prefix only (paths are
     # case-sensitive)
