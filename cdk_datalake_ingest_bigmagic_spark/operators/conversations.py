@@ -1,0 +1,283 @@
+"""Conversation (chat/SFT) training-data preparation.
+
+Instruction-tuning corpora arrive as conversations — an ordered list
+of (role, content) turns — and need their own curation pass before
+they can feed the text operators: structural validation (roles in
+order, nothing empty), turn-level access for PII/dedup/quality
+scoring, rendering to a single training string under a chat template,
+and loss-mask span computation so only assistant turns train. The
+reference pipeline has no chat leg; this follows the public SFT data
+recipes (alternating-role validation as in the OpenAssistant/UltraChat
+releases, template rendering as in chat-markup formats).
+
+Data model: a conversation column of type
+``array<struct<role:string, content:string>>`` — the portable JSON
+chat shape — alongside a document id.
+
+Scale shape: validation, rendering, and mask computation are in-row
+higher-order-function Column expressions (zero shuffle, zero Python —
+they ride the scan at 100 TB). ``flatten_turns`` is an in-row
+posexplode; only ``rebuild_conversations`` shuffles (one groupBy on
+the doc id, the same shape as line-rebuild in operators/lines.py).
+
+Determinism: pure string/integer algebra; every flag and span is a
+function of the row alone. Gate-able once a deterministic
+conversation constructor over the ``documents`` table is registered
+(round-8 candidate; see queries/__init__.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Default role vocabulary and the marker strings of the default
+#: template. Markers are arbitrary; swap per tokenizer family.
+DEFAULT_ROLES = ("system", "user", "assistant")
+DEFAULT_TEMPLATE = {
+    "system": ("<|system|>\n", "\n"),
+    "user": ("<|user|>\n", "\n"),
+    "assistant": ("<|assistant|>\n", "\n"),
+}
+
+
+def _conv(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def conversation_flags(conv, roles: tuple[str, ...] = DEFAULT_ROLES) -> Column:
+    """Structural validity flags for a conversation Column, as a
+    struct of booleans — keep the flags separate so a curation report
+    can say WHY conversations fail, not just how many.
+
+    - ``known_roles``: every turn's role is in ``roles``;
+    - ``starts_ok``: first turn is ``system`` or ``user``;
+    - ``single_system``: at most one system turn, and only at index 0;
+    - ``alternates``: after an optional leading system turn, roles
+      strictly alternate user/assistant starting at user;
+    - ``nonempty``: no turn has NULL/whitespace-only content;
+    - ``ends_assistant``: the last turn is an assistant turn (a
+      trailing user turn trains nothing);
+    - ``valid``: all of the above and ≥ 2 turns.
+
+    Pure in-row HOFs — zero shuffle. NULL conversations yield
+    ``valid = false`` with every component false.
+    """
+    c = _conv(conv)
+    body = F.when(
+        F.element_at(c, 1)["role"] == "system", F.slice(c, 2, F.size(c) - 1)
+    ).otherwise(c)
+    adjacent_distinct = F.zip_with(
+        F.slice(body, 1, F.greatest(F.size(body) - 1, F.lit(0))),
+        F.slice(body, 2, F.greatest(F.size(body) - 1, F.lit(0))),
+        lambda a, b: a["role"] != b["role"],
+    )
+    known = F.forall(c, lambda t: t["role"].isin(list(roles)))
+    starts = F.element_at(c, 1)["role"].isin(["system", "user"])
+    single_system = (
+        F.size(F.filter(c, lambda t: t["role"] == "system")) <= 1
+    ) & F.forall(
+        F.zip_with(
+            c,
+            F.sequence(F.lit(1), F.size(c)),
+            lambda t, i: (t["role"] != "system") | (i == 1),
+        ),
+        lambda ok: ok,
+    )
+    alternates = (
+        (F.size(body) >= 1)
+        & (F.element_at(body, 1)["role"] == "user")
+        & F.forall(adjacent_distinct, lambda ok: ok)
+        & F.forall(body, lambda t: t["role"].isin(["user", "assistant"]))
+    )
+    nonempty = F.forall(
+        c, lambda t: t["content"].isNotNull() & (F.trim(t["content"]) != "")
+    )
+    ends = F.element_at(c, -1)["role"] == "assistant"
+    flags = F.struct(
+        F.coalesce(known, F.lit(False)).alias("known_roles"),
+        F.coalesce(starts, F.lit(False)).alias("starts_ok"),
+        F.coalesce(single_system, F.lit(False)).alias("single_system"),
+        F.coalesce(alternates, F.lit(False)).alias("alternates"),
+        F.coalesce(nonempty, F.lit(False)).alias("nonempty"),
+        F.coalesce(ends, F.lit(False)).alias("ends_assistant"),
+    )
+    valid = (
+        flags["known_roles"]
+        & flags["starts_ok"]
+        & flags["single_system"]
+        & flags["alternates"]
+        & flags["nonempty"]
+        & flags["ends_assistant"]
+        & F.coalesce(F.size(c) >= 2, F.lit(False))
+    )
+    return F.struct(
+        flags["known_roles"].alias("known_roles"),
+        flags["starts_ok"].alias("starts_ok"),
+        flags["single_system"].alias("single_system"),
+        flags["alternates"].alias("alternates"),
+        flags["nonempty"].alias("nonempty"),
+        flags["ends_assistant"].alias("ends_assistant"),
+        valid.alias("valid"),
+    )
+
+
+def flatten_turns(df: DataFrame, id_col: str, conv_col: str) -> DataFrame:
+    """(id, turn_idx, role, content) rows — the shape every text
+    operator (PII scrub, quality, turn-level dedup) already consumes.
+    In-row posexplode: no shuffle, ordering carried explicitly in
+    ``turn_idx`` (0-based)."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(_conv(conv_col)).alias("turn_idx", "__t"),
+    ).select(
+        id_col,
+        "turn_idx",
+        F.col("__t")["role"].alias("role"),
+        F.col("__t")["content"].alias("content"),
+    )
+
+
+def rebuild_conversations(
+    turns: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Inverse of :func:`flatten_turns` after turn-level edits:
+    ONE groupBy on the id, order restored in-row by sorting the
+    collected (turn_idx, …) structs — same shape as the document
+    rebuild in operators/lines.py (no window sort; a long
+    conversation is still one group, and conversations are bounded)."""
+    return (
+        turns.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("turn_idx", "role", "content"))
+            ).alias("__sorted")
+        )
+        .select(
+            id_col,
+            F.transform(
+                "__sorted",
+                lambda t: F.struct(
+                    t["role"].alias("role"), t["content"].alias("content")
+                ),
+            ).alias("conversation"),
+        )
+    )
+
+
+def render_chat(
+    conv,
+    template: dict[str, tuple[str, str]] = DEFAULT_TEMPLATE,
+    eos: str = "",
+) -> Column:
+    """Render a conversation to ONE training string: each turn becomes
+    ``prefix + content + suffix`` per its role's template entry
+    (unknown roles render with empty markers), ``eos`` appended after
+    assistant turns. In-row transform + concat — zero Python, and the
+    template is inlined into codegen as literals."""
+    c = _conv(conv)
+
+    def render_turn(t: Column) -> Column:
+        expr = None
+        for role, (pre, suf) in template.items():
+            piece = F.concat(F.lit(pre), t["content"], F.lit(suf))
+            if role == "assistant" and eos:
+                piece = F.concat(piece, F.lit(eos))
+            expr = (
+                F.when(t["role"] == role, piece)
+                if expr is None
+                else expr.when(t["role"] == role, piece)
+            )
+        return expr.otherwise(t["content"])
+
+    return F.array_join(F.transform(c, render_turn), "")
+
+
+def assistant_spans(
+    conv,
+    template: dict[str, tuple[str, str]] = DEFAULT_TEMPLATE,
+    eos: str = "",
+) -> Column:
+    """Character spans of the rendered string that should receive
+    loss: one ``struct<start:int, end:int>`` (0-based, end-exclusive)
+    per assistant turn's content+suffix+eos, matching
+    :func:`render_chat`'s layout exactly. Computed with one in-row
+    ``aggregate`` carrying a running offset — zero shuffle.
+
+    Masking the role MARKER of assistant turns out of the loss (and
+    every non-assistant turn entirely) is the standard SFT recipe;
+    train code turns char spans into token spans after tokenization.
+    """
+    c = _conv(conv)
+
+    def piece_len(t: Column) -> Column:
+        expr = None
+        for role, (pre, suf) in template.items():
+            pre_l = F.lit(len(pre))
+            body_l = F.length(t["content"]) + F.lit(len(suf)) + (
+                F.lit(len(eos)) if role == "assistant" and eos else F.lit(0)
+            )
+            entry = F.struct(
+                pre_l.alias("pre"),
+                body_l.alias("body"),
+                (t["role"] == "assistant").alias("train"),
+            )
+            expr = (
+                F.when(t["role"] == role, entry)
+                if expr is None
+                else expr.when(t["role"] == role, entry)
+            )
+        return expr.otherwise(
+            F.struct(
+                F.lit(0).alias("pre"),
+                F.length(t["content"]).alias("body"),
+                F.lit(False).alias("train"),
+            )
+        )
+
+    zero = F.struct(
+        F.lit(0).cast("int").alias("off"),
+        F.array().cast("array<struct<start:int,end:int>>").alias("spans"),
+    )
+    def step(a: Column, t: Column) -> Column:
+        p = piece_len(t)
+        start = (a["off"] + p["pre"]).cast("int")
+        end = (a["off"] + p["pre"] + p["body"]).cast("int")
+        return F.struct(
+            end.alias("off"),
+            F.when(
+                p["train"],
+                F.concat(
+                    a["spans"],
+                    F.array(F.struct(start.alias("start"), end.alias("end"))),
+                ),
+            )
+            .otherwise(a["spans"])
+            .alias("spans"),
+        )
+
+    return F.aggregate(c, zero, step)["spans"]
+
+
+def conversation_key(conv) -> Column:
+    """Content-addressed md5 of the normalized conversation (roles +
+    whitespace-trimmed contents) - the exact-dedup key; md5 hex is
+    engine-identical. Template-independent, so the same dialogue
+    rendered two ways still collapses. Each turn serializes as
+    ``role:length:content`` (the length prefix keeps role/content
+    boundaries unambiguous) joined by newlines."""
+    c = _conv(conv)
+    return F.md5(
+        F.array_join(
+            F.transform(
+                c,
+                lambda t: F.concat_ws(
+                    ":",
+                    t["role"],
+                    F.length(F.trim(t["content"])).cast("string"),
+                    F.trim(t["content"]),
+                ),
+            ),
+            "\n",
+        )
+    )

@@ -1,0 +1,135 @@
+"""Conversation/SFT prep: structural flags, flatten/rebuild
+round-trip, template rendering, loss-mask spans, dedup key."""
+
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.operators.conversations import (
+    assistant_spans,
+    conversation_flags,
+    conversation_key,
+    flatten_turns,
+    rebuild_conversations,
+    render_chat,
+)
+
+SCHEMA = "id long, conv array<struct<role:string, content:string>>"
+
+
+def _mk(spark, convs):
+    return spark.createDataFrame(
+        [(i, [(r, c) for r, c in conv] if conv is not None else None)
+         for i, conv in enumerate(convs)],
+        SCHEMA,
+    )
+
+
+def _flags(spark, convs):
+    df = _mk(spark, convs).select(
+        "id", conversation_flags("conv").alias("f")
+    )
+    return {r["id"]: r["f"].asDict() for r in df.collect()}
+
+
+def test_valid_conversations(spark):
+    out = _flags(
+        spark,
+        [
+            [("system", "be nice"), ("user", "hi"), ("assistant", "hello")],
+            [("user", "q"), ("assistant", "a"), ("user", "q2"), ("assistant", "a2")],
+        ],
+    )
+    assert out[0]["valid"] and out[1]["valid"]
+
+
+def test_invalid_conversations_with_reasons(spark):
+    out = _flags(
+        spark,
+        [
+            [("assistant", "hi"), ("user", "q")],          # 0 starts wrong
+            [("user", "q"), ("user", "q2"), ("assistant", "a")],  # 1 double user
+            [("user", "q"), ("assistant", "  ")],          # 2 empty content
+            [("user", "q"), ("system", "mid"), ("assistant", "a")],  # 3 system mid
+            [("user", "q"), ("assistant", "a"), ("user", "dangling")],  # 4 ends user
+            [("user", "only")],                            # 5 single turn
+            [("user", "q"), ("robot", "a")],               # 6 unknown role
+            None,                                          # 7 NULL conv
+            [],                                            # 8 empty conv
+        ],
+    )
+    assert not any(out[i]["valid"] for i in out)
+    assert not out[0]["starts_ok"]
+    assert not out[1]["alternates"]
+    assert not out[2]["nonempty"]
+    assert not out[3]["single_system"]
+    assert not out[4]["ends_assistant"]
+    assert out[5]["starts_ok"] and out[5]["ends_assistant"] is False
+    assert not out[6]["known_roles"]
+    assert not out[7]["valid"] and not out[8]["valid"]
+
+
+def test_flatten_rebuild_roundtrip(spark):
+    convs = [
+        [("system", "s"), ("user", "u1"), ("assistant", "a1")],
+        [("user", "x"), ("assistant", "y")],
+    ]
+    df = _mk(spark, convs)
+    rebuilt = rebuild_conversations(flatten_turns(df, "id", "conv"), "id")
+    got = {
+        r["id"]: [(t["role"], t["content"]) for t in r["conversation"]]
+        for r in rebuilt.collect()
+    }
+    assert got == {0: convs[0], 1: convs[1]}
+
+
+def test_render_chat_exact(spark):
+    df = _mk(spark, [[("user", "hi"), ("assistant", "hello")]])
+    out = df.select(
+        render_chat("conv", eos="</s>").alias("text")
+    ).collect()[0]["text"]
+    assert out == "<|user|>\nhi\n<|assistant|>\nhello\n</s>"
+
+
+def test_assistant_spans_match_rendered(spark):
+    convs = [
+        [("system", "sys"), ("user", "hi"), ("assistant", "hello"),
+         ("user", "more?"), ("assistant", "yes")],
+        [("user", "q"), ("assistant", "a")],
+    ]
+    df = _mk(spark, convs)
+    rows = df.select(
+        "id",
+        render_chat("conv", eos="</s>").alias("text"),
+        assistant_spans("conv", eos="</s>").alias("spans"),
+    ).collect()
+    for r in rows:
+        conv = convs[r["id"]]
+        expect = [t[1] + "\n</s>" for t in conv if t[0] == "assistant"]
+        got = [r["text"][s["start"]:s["end"]] for s in r["spans"]]
+        assert got == expect
+        # nothing outside the spans contains assistant content markers
+        assert len(r["spans"]) == len(expect)
+
+
+def test_conversation_key_normalization(spark):
+    a = [("user", "  hi "), ("assistant", "yo")]
+    b = [("user", "hi"), ("assistant", "yo")]
+    c = [("assistant", "hi"), ("user", "yo")]  # roles swapped: different
+    df = _mk(spark, [a, b, c])
+    keys = [
+        r["k"]
+        for r in df.orderBy("id").select(conversation_key("conv").alias("k")).collect()
+    ]
+    assert keys[0] == keys[1] != keys[2]
+
+
+def test_all_in_row_ops_are_codegen(spark):
+    df = _mk(spark, [[("user", "hi"), ("assistant", "ok")]])
+    sel = df.select(
+        conversation_flags("conv").alias("f"),
+        render_chat("conv").alias("t"),
+        assistant_spans("conv").alias("s"),
+        conversation_key("conv").alias("k"),
+    )
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # zero shuffle: rides the scan
