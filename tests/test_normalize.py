@@ -1,0 +1,98 @@
+"""Text normalization: codegen cleanup rules and the NFC/NFKC
+split-union kernel."""
+
+import unicodedata
+
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.operators.normalize import (
+    clean_text_column,
+    needs_composition,
+    normalize_unicode,
+)
+
+
+def _clean(spark, texts, **kw):
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    return [
+        r["c"]
+        for r in df.select(clean_text_column("text", **kw).alias("c")).collect()
+    ]
+
+
+def test_control_chars_stripped_tabs_newlines_kept(spark):
+    out = _clean(spark, ["a\x00b\x1fc\x7fd", "keep\nnewline", "tab\tok"],
+                 collapse_spaces=False)
+    assert out == ["abcd", "keep\nnewline", "tab\tok"]
+
+
+def test_crlf_and_cr_become_lf(spark):
+    assert _clean(spark, ["a\r\nb\rc"]) == ["a\nb\nc"]
+
+
+def test_invisibles_and_spaces(spark):
+    s = "zero​width ﻿bom soft­hyphen nb sp wide　space"
+    assert _clean(spark, [s]) == [
+        "zerowidth bom softhyphen nb sp wide space"
+    ]
+
+
+def test_collapse_and_trim_per_line(spark):
+    assert _clean(spark, ["  a   b  \n\t c \t"]) == ["a b\nc"]
+
+
+def test_nfc_kernel_composes_only_flagged(spark):
+    decomposed = "Cafe\u0301 au lait"  # e + combining acute
+    composed = unicodedata.normalize("NFC", decomposed)
+    assert decomposed != composed
+    rows = [(1, decomposed), (2, "plain"), (3, "pr\u00e9compos\u00e9"), (4, None)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r["text"] for r in normalize_unicode(df, "text").collect()}
+    assert out[1] == composed
+    assert out[2] == "plain" and out[3] == "pr\u00e9compos\u00e9" and out[4] is None
+
+
+def test_nfkc_folds_compatibility(spark):
+    s = "\ufb01le \uff21 \u00b2"
+    df = spark.createDataFrame([(s,)], "text string")
+    got = normalize_unicode(df, "text", form="NFKC").collect()[0]["text"]
+    assert got == unicodedata.normalize("NFKC", s) == "file A 2"
+
+
+def test_detector_true_only_on_decomposed(spark):
+    df = spark.createDataFrame(
+        [("e\u0301",), ("\u00e9",), ("ascii",), (None,)], "text string"
+    )
+    flags = [
+        r["f"] for r in df.select(needs_composition("text").alias("f")).collect()
+    ]
+    assert flags == [True, False, False, None]
+
+
+def test_clean_leg_stays_jvm_side(spark):
+    df = spark.createDataFrame([("plain",)], "text string")
+    clean_leg = df.where(~F.coalesce(needs_composition("text"), F.lit(False)))
+    plan = clean_leg._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_codegen_tier_is_codegen(spark):
+    df = spark.createDataFrame([("x",)], "text string")
+    plan = (
+        df.select(clean_text_column("text").alias("c"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_idempotent_on_testdata(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    once = docs.select(
+        "doc_id", clean_text_column("text").alias("text")
+    )
+    twice = once.select("doc_id", clean_text_column("text").alias("text"))
+    a = {r["doc_id"]: r["text"] for r in once.collect()}
+    b = {r["doc_id"]: r["text"] for r in twice.collect()}
+    assert a == b
