@@ -181,7 +181,7 @@ def dedup_by_url(
             F.min(
                 F.struct(
                     (-qual).alias("__negq"),
-                    F.col(tie).cast("string").alias("__tie"),
+                    F.col(tie).alias("__tie"),
                 )
             ).alias("__best")
         )
@@ -192,7 +192,7 @@ def dedup_by_url(
         )
     )
     kept = keyed.join(best, on="__ukey", how="inner").where(
-        ((-qual) == F.col("__negq")) & (F.col(tie).cast("string") == F.col("__tie"))
+        ((-qual) == F.col("__negq")) & (F.col(tie) == F.col("__tie"))
     )
     unparseable = keyed.where(F.col("__ukey").isNull())
     return kept.unionByName(unparseable, allowMissingColumns=True).drop(

@@ -89,6 +89,20 @@ class CorpusPipelineConfig:
     compression_band: bool = False
     compression_min_ratio: float = 0.25
     compression_max_ratio: float = 0.95
+    #: enables the text-repair pass BEFORE every other step: codegen
+    #: control/invisible/whitespace cleanup (operators.normalize),
+    #: detector-screened mojibake repair (operators.encoding), and
+    #: detector-screened NFC composition. All three ride the first
+    #: scan — clean rows never leave the JVM — and run before line
+    #: split so line digests/dedup keys see canonical text.
+    fix_text: bool = False
+    #: enables URL-level dedup BEFORE everything (operators.urlnorm):
+    #: canonicalize ``url_col`` spellings and keep one row per
+    #: canonical URL (deterministic lowest-id winner). The cheapest
+    #: row reduction a crawl corpus gets — one key-only shuffle —
+    #: so it runs first. Ignored if ``url_col`` is absent.
+    url_dedup: bool = False
+    url_col: str = "url"
 
     def fingerprint(self) -> str:
         blob = json.dumps(
@@ -132,10 +146,16 @@ class CorpusPipeline:
     #: step while a jaccard_threshold change cascades from dedup down
     #: (upstream fingerprints chain into downstream ones).
     _STEP_FIELDS = {
+        # fix_text/url_dedup transform the INPUT of whichever
+        # materialized step runs first, so they participate in both
+        # the lines and clean fingerprints (clean chains through
+        # lines' fingerprint when the line step is on).
         "lines": ("id_col", "text_col", "line_sep", "line_min_words",
-                  "line_dedup_min_chars", "line_require_punct"),
+                  "line_dedup_min_chars", "line_require_punct",
+                  "fix_text", "url_dedup", "url_col"),
         "clean": ("id_col", "text_col", "compression_band",
-                  "compression_min_ratio", "compression_max_ratio"),
+                  "compression_min_ratio", "compression_max_ratio",
+                  "fix_text", "url_dedup", "url_col"),
         "dedup": ("id_col", "text_col", "shingle_n", "jaccard_threshold"),
         "split": ("id_col", "splits", "seed"),
         "shard": ("id_col", "n_shards", "seed"),
@@ -257,6 +277,24 @@ class CorpusPipeline:
         # repeatedly must not accumulate CacheManager entries across
         # invocations (pinned by test_pipeline_leaves_no_cached_rdds)
         scope = CacheScope()
+
+        if cfg.url_dedup and cfg.url_col in docs.columns:
+            from cdk_datalake_ingest_bigmagic_spark.operators.urlnorm import (
+                dedup_by_url,
+            )
+
+            docs = dedup_by_url(docs, cfg.url_col, tie_col=ic)
+        if cfg.fix_text:
+            from cdk_datalake_ingest_bigmagic_spark.operators.encoding import (
+                repair_encoding,
+            )
+            from cdk_datalake_ingest_bigmagic_spark.operators.normalize import (
+                clean_text_column,
+                normalize_unicode,
+            )
+
+            docs = docs.withColumn(tc, clean_text_column(tc))
+            docs = normalize_unicode(repair_encoding(docs, tc), tc)
 
         clean_input, clean_upstream_fp = docs, ""
         if cfg.line_filter:

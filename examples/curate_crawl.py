@@ -7,7 +7,8 @@ operator documented in SURVEY.md §8:
   2. URL canonicalization + domain blocklist,
   3. HTML → text (regex tier; swap strip_html_dom for the DOM tier
      when per-block link-density curation is needed),
-  4. CorpusPipeline: line-level curation → quality gates (+ optional
+  4. CorpusPipeline: URL-level dedup + text repair (mojibake/NFC)
+     pre-steps → line-level curation → quality gates (+ optional
      compression band) → near-dup dedup → leakage-safe split →
      shards → BPE tokenize, all manifest-resumable,
   5. a BM25 decontamination pass against eval prompts,
@@ -106,6 +107,8 @@ def main() -> None:
 
     # 4. resumable curation pipeline
     cfg = CorpusPipelineConfig(
+        fix_text=True,       # mojibake repair + NFC + control strip
+        url_dedup=True,      # collapse recrawled URL spellings first
         line_filter=True,
         line_min_words=3,
         compression_band=True,
@@ -114,7 +117,7 @@ def main() -> None:
         bpe_merges=16,
     )
     pipe = CorpusPipeline(spark, f"{work}/pipeline", cfg)
-    results = pipe.run(docs.select("doc_id", "text", "source"))
+    results = pipe.run(docs.select("doc_id", "text", "source", "url"))
 
     # 5. decontamination: flag anything scoring like an eval prompt
     shard = pipe.read("shard")

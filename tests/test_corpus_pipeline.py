@@ -400,3 +400,41 @@ def test_pipeline_compression_band_step(spark, tmp_path_factory):
         spark, work2, _dc.replace(on, compression_max_ratio=0.9)
     ).run(docs)
     assert not retuned["clean"].skipped
+
+
+def test_pipeline_fix_text_and_url_dedup(spark, tmp_path_factory):
+    """The optional pre-steps: URL-level dedup collapses recrawled
+    spellings before anything else runs, and the text-repair pass
+    fixes mojibake/decomposed accents before line digests and dedup
+    keys are computed."""
+    base = ("the report describes how the village economy changed after "
+            "the new roads arrived and what the {} traders made of it")
+    mangled = "cafÃ© " + base.format("mangled")  # "cafÃ©" = mojibake é
+    decomposed = "café " + base.format("composed")   # e + combining acute
+    rows = [
+        (0, mangled, "s0", "http://www.example.com/a?utm_source=x"),
+        (1, base.format("dup"), "s0", "http://example.com/a/"),  # same canon URL
+        (2, decomposed, "s1", "http://example.com/b"),
+        (3, base.format("plain"), "s1", "http://example.com/c"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, url string"
+    )
+
+    cfg = CorpusPipelineConfig(fix_text=True, url_dedup=True)
+    work = str(tmp_path_factory.mktemp("pipe_fix"))
+    CorpusPipeline(spark, work, cfg).run(docs)
+    clean = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{work}/clean").collect()
+    }
+    assert 1 not in clean                      # url dup of doc 0 collapsed
+    assert clean[0].startswith("café ")   # mojibake repaired
+    assert clean[2].startswith("café ")   # NFC composed
+    # config participates in fingerprints: flipping the flags re-runs
+    import dataclasses as _dc
+
+    rerun = CorpusPipeline(
+        spark, work, _dc.replace(cfg, fix_text=False)
+    ).run(docs)
+    assert not rerun["clean"].skipped
