@@ -1,0 +1,89 @@
+"""Unicode-script profiling: per-script counts, dominant-script
+routing, and the mixed-script homoglyph flag."""
+
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.operators.scripts import (
+    script_counts,
+    script_profile,
+)
+
+RU = "привет мир " * 8   # привет мир
+AR = "مرحبا بك " * 8               # مرحبا بك
+ZH = "你好世界" * 10                                   # 你好世界
+HI = "नमस्ते " * 8                       # नमस्ते
+EN = "the quick brown fox jumps over the lazy dog " * 3
+
+
+def _profile(spark, texts, **kw):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    return {
+        r["id"]: r.asDict() for r in script_profile(df, "id", "text", **kw).collect()
+    }
+
+
+def test_dominant_script_routing(spark):
+    out = _profile(spark, [EN, RU, AR, ZH, HI])
+    doms = [out[i]["dominant_script"] for i in range(5)]
+    assert doms == ["latin", "cyrillic", "arabic", "cjk", "devanagari"]
+    assert all(out[i]["dominant_ratio"] > 0.9 for i in range(5))
+
+
+def test_short_text_unknown(spark):
+    out = _profile(spark, ["hi", ""])
+    assert out[0]["dominant_script"] == "unknown"
+    assert out[0]["dominant_ratio"] is None
+    assert out[1]["dominant_script"] == "unknown"
+
+
+def test_mixed_script_homoglyph_flag(spark):
+    # Latin text with Cyrillic homoglyphs sprinkled in (spam trick):
+    # "о" (U+043E) and "а" (U+0430) replacing o/a in ~15% of letters
+    spoofed = EN.replace("o", "о").replace("a", "а")
+    out = _profile(spark, [EN, spoofed, RU])
+    assert out[0]["mixed_script"] is False
+    assert out[1]["mixed_script"] is True
+    # pure Russian is NOT mixed; latin minority is exempt
+    assert out[2]["mixed_script"] is False
+
+
+def test_latin_minority_is_exempt(spark):
+    # Russian prose quoting an English brand/URL — normal, not spam
+    out = _profile(spark, [RU + " visit example dot com today"])
+    assert out[0]["dominant_script"] == "cyrillic"
+    assert out[0]["mixed_script"] is False
+
+
+def test_counts_struct_and_codegen(spark):
+    df = spark.createDataFrame([(EN + RU,)], "text string")
+    row = df.select(script_counts("text").alias("c")).collect()[0]["c"]
+    assert row["latin"] > 0 and row["cyrillic"] > 0
+    assert row["n_letters"] == sum(
+        row[k] for k in row.asDict() if k != "n_letters"
+    )
+    plan = (
+        df.select(script_counts("text").alias("c"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_profile_zero_shuffle(spark):
+    df = spark.createDataFrame([(1, EN)], "id long, text string")
+    plan = (
+        script_profile(df, "id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_multiplication_sign_not_latin(spark):
+    df = spark.createDataFrame([("3 × 4 ÷ 2",)], "text string")
+    row = df.select(script_counts("text").alias("c")).collect()[0]["c"]
+    assert row["latin"] == 0

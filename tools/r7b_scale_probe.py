@@ -1,0 +1,185 @@
+"""Second-wave round-7 scale probes: the text-repair and URL-dedup
+operators at Nx, each in its plausible 100-TB failure regime.
+
+- repair_encoding with a ~6% mangled sliver: the split-union design
+  claims the Arrow kernel only sees flagged rows — so wall should
+  track the CLEAN corpus scan, not Python throughput. Also probed
+  with 0% mangled (detector-only pass: the kernel leg is an empty
+  scan) and 100% mangled (worst case: pure kernel throughput,
+  reported as docs/sec for cluster sizing).
+- normalize_unicode with a decomposed sliver: same shape, NFC kernel.
+- dedup_by_url with a HOT canonical URL (half the corpus is one
+  redirect target): the struct-min agg must collapse map-side — no
+  single-reducer straggler at any N.
+- conversations render+flags+spans: pure in-row codegen over
+  documents wrapped as 2-turn chats; expectation scan-bound linear.
+
+Usage: python tools/r7b_scale_probe.py [N] [probe ...]
+One JSON line per probe: 1x vs Nx wall and the ratio to compare
+against N (ratio ≈ N ⇒ linear; ratio >> N ⇒ a super-linear cliff).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1/documents.parquet"
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_bigmagic_spark import get_spark
+    import tools.scale_probe as sp
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = set(sys.argv[2:])
+    replica = f"/tmp/documents_x{n}.parquet"
+    if not os.path.exists(replica):
+        sp.build_replica(n, replica)
+
+    spark = get_spark(app_name="r7b-scale-probe")
+    base = spark.read.parquet(SRC)
+    scaled = spark.read.parquet(replica)
+
+    def timed(fn) -> float:
+        spark.catalog.clearCache()
+        t0 = time.time()
+        fn()
+        return round(time.time() - t0, 2)
+
+    def mangle_fraction(d, denom: int):
+        """Deterministically mis-encode ~1/denom of documents the way
+        a cp1252 mis-decode does for the common accents (é -> Ã©) —
+        codegen replace, so building the fixture costs no Python."""
+        mangled = F.replace(
+            F.replace(F.col("text"), F.lit("e"), F.lit("é")),
+            F.lit("é"),
+            F.lit("Ã©"),
+        )
+        if denom <= 1:
+            return d.withColumn("text", mangled)
+        return d.withColumn(
+            "text",
+            F.when(F.col("doc_id") % denom == 0, mangled).otherwise(
+                F.col("text")
+            ),
+        )
+
+    def probe_repair(d, denom: int):
+        from cdk_datalake_ingest_bigmagic_spark.operators.encoding import (
+            repair_encoding,
+        )
+
+        docs = mangle_fraction(d, denom)
+        repair_encoding(docs, "text").agg(
+            F.count(F.lit(1)), F.sum(F.length("text"))
+        ).collect()
+
+    def probe_normalize(d):
+        from cdk_datalake_ingest_bigmagic_spark.operators.normalize import (
+            normalize_unicode,
+        )
+
+        # ~6% of docs get decomposed accents (e + combining acute)
+        docs = d.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 16 == 0,
+                F.replace(F.col("text"), F.lit("e"), F.lit("é")),
+            ).otherwise(F.col("text")),
+        )
+        normalize_unicode(docs, "text").agg(
+            F.count(F.lit(1)), F.sum(F.length("text"))
+        ).collect()
+
+    def probe_url_dedup(d):
+        from cdk_datalake_ingest_bigmagic_spark.operators.urlnorm import (
+            dedup_by_url,
+        )
+
+        # half the corpus is ONE canonical URL spelled three ways
+        spelling = (F.col("doc_id") % 3).cast("string")
+        hot = F.concat(
+            F.when(spelling == "0", F.lit("https://www.hub.example.com/landing"))
+            .when(spelling == "1", F.lit("https://hub.example.com/landing/"))
+            .otherwise(
+                F.lit("https://hub.example.com/landing?utm_source=feed")
+            )
+        )
+        cold = F.concat(
+            F.lit("https://d"),
+            (F.col("doc_id") % 9973).cast("string"),
+            F.lit(".example.net/p/"),
+            F.col("doc_id").cast("string"),
+        )
+        docs = d.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 2 == 0, hot).otherwise(cold).alias("url"),
+            F.length("text").alias("quality"),
+        )
+        dedup_by_url(docs, "url", quality_col="quality", tie_col="doc_id").agg(
+            F.count(F.lit(1))
+        ).collect()
+
+    def probe_conversations(d):
+        from cdk_datalake_ingest_bigmagic_spark.operators.conversations import (
+            assistant_spans,
+            conversation_flags,
+            render_chat,
+        )
+
+        conv = F.array(
+            F.struct(
+                F.lit("user").alias("role"),
+                F.concat(F.lit("summarize: "), F.substring("text", 1, 200)).alias(
+                    "content"
+                ),
+            ),
+            F.struct(
+                F.lit("assistant").alias("role"), F.col("text").alias("content")
+            ),
+        )
+        docs = d.select("doc_id", conv.alias("conv"))
+        docs.select(
+            conversation_flags("conv")["valid"].alias("valid"),
+            F.length(render_chat("conv", eos="</s>")).alias("len"),
+            F.size(assistant_spans("conv")).alias("n_spans"),
+        ).agg(
+            F.sum(F.col("valid").cast("int")), F.sum("len"), F.sum("n_spans")
+        ).collect()
+
+    probes = {
+        "repair_encoding_6pct": lambda d: probe_repair(d, 16),
+        "repair_encoding_clean": lambda d: probe_repair(d, 10**9),
+        "repair_encoding_all": lambda d: probe_repair(d, 1),
+        "normalize_nfc_6pct": probe_normalize,
+        "dedup_by_url_hot": probe_url_dedup,
+        "conversations_codegen": probe_conversations,
+    }
+    n_base, n_scaled = base.count(), scaled.count()
+    for name, fn in probes.items():
+        if only and name not in only:
+            continue
+        fn(base)  # warm codegen/worker pool
+        b = timed(lambda: fn(base))
+        s = timed(lambda: fn(scaled))
+        rec = {
+            "probe": name,
+            "replicas": n,
+            "rows": [n_base, n_scaled],
+            "sec": [b, s],
+            "ratio": round(s / b, 2) if b else None,
+        }
+        if name == "repair_encoding_all":
+            rec["docs_per_sec_scaled"] = round(n_scaled / s, 0) if s else None
+        print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()
