@@ -281,3 +281,28 @@ def conversation_key(conv) -> Column:
             "\n",
         )
     )
+
+
+CONVERSATION_SCHEMA = "array<struct<role:string, content:string>>"
+
+
+def parse_conversations(
+    df: DataFrame, json_col: str, out_col: str = "conversation"
+) -> DataFrame:
+    """Parse a JSON chat column (``[{"role": ..., "content": ...},
+    ...]`` — the universal interchange shape) into the typed
+    conversation column. ``from_json`` is codegen; malformed JSON
+    parses to NULL, which :func:`conversation_flags` then reports as
+    invalid — the quarantine decision stays with the caller instead
+    of an ingest-time crash. Extra keys per turn are ignored by the
+    schema projection."""
+    return df.withColumn(
+        out_col, F.from_json(F.col(json_col), CONVERSATION_SCHEMA)
+    )
+
+
+def conversations_to_json(conv) -> Column:
+    """Serialize the typed conversation back to the JSON interchange
+    string (for JSONL sinks feeding trainers that tokenize
+    themselves). Codegen ``to_json``."""
+    return F.to_json(_conv(conv))

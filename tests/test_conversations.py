@@ -133,3 +133,40 @@ def test_all_in_row_ops_are_codegen(spark):
     plan = sel._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan  # zero shuffle: rides the scan
+
+
+def test_json_roundtrip_and_malformed(spark):
+    rows = [
+        (0, '[{"role": "user", "content": "hi"}, '
+            '{"role": "assistant", "content": "yo", "extra": 1}]'),
+        (1, "not json at all"),
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, raw string")
+    from cdk_datalake_ingest_bigmagic_spark.operators.conversations import (
+        conversations_to_json,
+        parse_conversations,
+    )
+
+    parsed = parse_conversations(df, "raw")
+    got = {r["id"]: r["conversation"] for r in parsed.collect()}
+    assert [(t["role"], t["content"]) for t in got[0]] == [
+        ("user", "hi"), ("assistant", "yo")
+    ]
+    assert got[1] is None and got[2] is None
+    # invalid rows route through the flags, not a crash
+    flags = parsed.select(
+        "id", conversation_flags("conversation")["valid"].alias("v")
+    )
+    vals = {r["id"]: r["v"] for r in flags.collect()}
+    assert vals == {0: True, 1: False, 2: False}
+    # round-trip: typed -> json -> typed is identity
+    back = parse_conversations(
+        parsed.where("id = 0").select(
+            "id", conversations_to_json("conversation").alias("raw")
+        ),
+        "raw",
+    ).collect()[0]["conversation"]
+    assert [(t["role"], t["content"]) for t in back] == [
+        ("user", "hi"), ("assistant", "yo")
+    ]
