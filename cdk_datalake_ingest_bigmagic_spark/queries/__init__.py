@@ -117,15 +117,21 @@ from cdk_datalake_ingest_bigmagic_spark.queries import curation  # noqa: E402,F4
 #   window_yearly_growth, ...) — everything else in this round-7
 #   window greens at r7 and every out-of-window query is r5/r6;
 #   ~32 free slots for round-8 registrations and riders.
-#   Gate-able round-7 pytest-only operators (registration candidates
-#   for those slots, all deterministic string/integer algebra):
-#   linkgraph degree_stats (operators/linkgraph.py — integer
-#   degrees; pagerank itself stays pytest, float iteration),
-#   canonicalize_url / url_key / dedup_by_url
-#   (operators/urlnorm.py — pure string algebra + md5; DuckDB
-#   oracle via regexp), mojibake_score + fix_mojibake_column
-#   (operators/encoding.py codegen tier — replace chains;
-#   repair_encoding's Python-codec kernel stays pytest).
+#   Round-8 registrations are PRE-WRITTEN AND PRE-VALIDATED in
+#   queries/curation2.py (not imported here — a registered query
+#   outside the window would violate the rotation invariant):
+#   url_canonicalize_spellings, url_dedup_best_spelling,
+#   text_fix_mojibake, text_clean_controls, text_script_counts,
+#   conversations_structural, linkgraph_degree_stats — all seven
+#   validated against DuckDB at sf0.01 AND sf0.1 this round
+#   (tools/validate_curation2.py, 0 failures both). Round 8: add
+#   `from ... import curation2` below and put the seven names plus
+#   the 18-query obligation in _GATE_FRONT (~25 slots used).
+#   Stays pytest by design: repair_encoding / normalize_unicode
+#   (Python-codec kernels), pagerank (iterative floats),
+#   script_profile's argmax layer (pure projection of the gated
+#   counts), parse_conversations (to_json formatting is
+#   engine-specific).
 #
 # Round 6 front (kept for the audit trail):
 #   (1) never green / red last round: pack_sequences +

@@ -1,0 +1,417 @@
+"""Round-8 gate queries for the round-7 pytest-only operators:
+URL canonicalization/dedup (operators/urlnorm.py), mojibake repair
+codegen tier (operators/encoding.py), text cleanup
+(operators/normalize.py), script counting (operators/scripts.py),
+conversation prep (operators/conversations.py), and the link-graph
+degree core (operators/linkgraph.py).
+
+NOT imported by queries/__init__.py in round 7 — the 50-slot gate
+window is full and a registered-but-never-gated query would violate
+the rotation invariant. Round 8 activates this module by adding the
+import and placing these names in its ``_GATE_FRONT`` (the window
+math comment reserves the slots). The oracles are validated ahead of
+registration by ``tools/validate_curation2.py``.
+
+Gate-prep conventions (same as queries/curation.py): inputs the
+synthetic corpus lacks (URL spellings, mangled encodings, injected
+scripts, chat turns, link edges) are synthesized with the SAME
+deterministic arithmetic on ``doc_id`` in both engines; the operator
+under test is general — only the prep is synthetic. All results are
+integers, strings, or md5 hex; no floats cross engines except single
+IEEE divisions of exact integers (none here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.queries import load, register
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + dedup (operators/urlnorm.py)
+# ---------------------------------------------------------------------------
+#
+# Three spellings of the same page URL (page = doc_id div 3, spelling
+# = doc_id % 3): scheme/host case + default port + tracking params +
+# fragment; www + trailing slash; duplicate slashes + fbclid. All
+# three canonicalize to https://example.com/page/<page>?a=1&z=9 — the
+# oracle states the expected string directly, the Spark side runs the
+# real operator on the messy spellings.
+
+
+def _spelled_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    page = F.expr("doc_id div 3").cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("HTTPS://Example.COM:443/page/"),
+                page,
+                F.lit("?utm_campaign=x&z=9&a=1#top"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("https://www.example.com/page/"), page, F.lit("/?z=9&a=1")
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://example.com//page//"),
+                page,
+                F.lit("?a=1&fbclid=q&z=9"),
+            )
+        )
+    )
+    return d.select("doc_id", "n_chars", url.alias("url"))
+
+
+@register(
+    "url_canonicalize_spellings",
+    oracle="""
+    SELECT doc_id,
+           'https://example.com/page/' || (doc_id // 3) || '?a=1&z=9'
+             AS canonical_url
+    FROM documents
+    """,
+)
+def url_canonicalize_spellings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """canonicalize_url collapses scheme/host case, default ports,
+    fragments, www, trailing + duplicate slashes, and tracking params
+    (sorting the survivors) — three hostile spellings, one canonical
+    string, all codegen."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.urlnorm import (
+        canonicalize_url,
+    )
+
+    return _spelled_urls(spark, sf_dir).select(
+        "doc_id", canonicalize_url("url").alias("canonical_url")
+    )
+
+
+@register(
+    "url_dedup_best_spelling",
+    oracle="""
+    SELECT doc_id
+    FROM (
+      SELECT doc_id, n_chars, doc_id // 3 AS page,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id // 3
+               ORDER BY n_chars DESC, doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def url_dedup_best_spelling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_by_url keeps exactly one row per canonical URL — the
+    highest-quality spelling, ties to the smallest id — via ONE
+    map-side-combined struct-min aggregation (no window sort). The
+    oracle states the same keep rule as a window over the page key
+    the spellings were built from."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.urlnorm import (
+        dedup_by_url,
+    )
+
+    urls = _spelled_urls(spark, sf_dir)
+    return dedup_by_url(
+        urls, "url", quality_col="n_chars", tie_col="doc_id"
+    ).select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Mojibake repair, codegen tier (operators/encoding.py)
+# ---------------------------------------------------------------------------
+#
+# Mangle deterministically: every 'e' becomes the cp1252 mojibake of
+# 'é'. The operator's replace table must map it back, the detector
+# must count every occurrence before and none after.
+
+
+@register(
+    "text_fix_mojibake",
+    oracle="""
+    SELECT doc_id,
+           md5(replace(text, 'e', 'é')) AS fixed_md5,
+           length(text) - length(replace(text, 'e', '')) AS score_before,
+           0 AS score_after
+    FROM documents
+    """,
+)
+def text_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fix_mojibake_column inverts the common cp1252 mis-decode table
+    and mojibake_score counts lead sequences — mangled text scores
+    exactly its accent count before repair and zero after."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.encoding import (
+        fix_mojibake_column,
+        mojibake_score,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    mangled = F.replace(F.col("text"), F.lit("e"), F.lit("Ã©"))
+    fixed = fix_mojibake_column(mangled)
+    return d.select(
+        "doc_id",
+        F.md5(fixed).alias("fixed_md5"),
+        mojibake_score(mangled).cast("long").alias("score_before"),
+        mojibake_score(fixed).cast("long").alias("score_after"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text cleanup, codegen tier (operators/normalize.py)
+# ---------------------------------------------------------------------------
+#
+# Inject a leading tab+space, a trailing run with nbsp and a
+# zero-width space, and a CRLF; the oracle replicates the exact
+# regexp chain (RE2 spells Java's \\uXXXX as \\x{XXXX}).
+
+
+@register(
+    "text_clean_controls",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id,
+             chr(9) || ' ' || text || ' ' || chr(160) || 'x'
+               || chr(8203) || chr(13) || chr(10) || 'tail'
+               AS s
+      FROM documents
+    ), steps AS (
+      SELECT doc_id,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(s, '\r\n?', chr(10), 'g'),
+                  '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f\x{0080}-\x{009f}]', '', 'g'),
+                '[\x{200b}-\x{200f}\x{2028}\x{2029}\x{202a}-\x{202e}\x{2060}\x{feff}\x{00ad}]', '', 'g'),
+              '[\x{00a0}\x{1680}\x{2000}-\x{200a}\x{202f}\x{205f}\x{3000}]', ' ', 'g'),
+            '[ \t]{2,}', ' ', 'g'),
+          '(?m)^[ \t]+|[ \t]+$', '', 'g') AS cleaned
+      FROM aug
+    )
+    SELECT doc_id, md5(cleaned) AS cleaned_md5 FROM steps
+    """,
+)
+def text_clean_controls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clean_text_column drops controls/invisibles, folds exotic
+    spaces, collapses runs, and trims line edges — the oracle runs
+    the identical regexp chain in RE2 over identically augmented
+    text."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.normalize import (
+        clean_text_column,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.lit("\t "),
+        F.col("text"),
+        F.lit("  x​\r\ntail"),
+    )
+    return d.select(
+        "doc_id", F.md5(clean_text_column(aug)).alias("cleaned_md5")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Script counting (operators/scripts.py)
+# ---------------------------------------------------------------------------
+#
+# Inject Cyrillic / CJK tails on a doc_id schedule; the oracle counts
+# by the length-difference trick (every class matches single chars).
+
+
+@register(
+    "text_script_counts",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || CASE doc_id % 4
+               WHEN 0 THEN ' привет мир'
+               WHEN 1 THEN ' 你好世界'
+               ELSE '' END AS s
+      FROM documents
+    )
+    SELECT doc_id,
+      length(s) - length(regexp_replace(s,
+        '[A-Za-z\\x{00c0}-\\x{00d6}\\x{00d8}-\\x{00f6}\\x{00f8}-\\x{024f}]',
+        '', 'g')) AS n_latin,
+      length(s) - length(regexp_replace(s, '[\\x{0400}-\\x{04ff}]', '', 'g'))
+        AS n_cyrillic,
+      length(s) - length(regexp_replace(s,
+        '[\\x{4e00}-\\x{9fff}\\x{3400}-\\x{4dbf}]', '', 'g')) AS n_cjk
+    FROM aug
+    """,
+)
+def text_script_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """script_counts' integer core: per-block character counts that
+    route documents by writing system. Latin/Cyrillic/CJK gated; the
+    argmax/mixed-script layer stays pytest (pure projection of these
+    counts)."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.scripts import (
+        script_counts,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(" привет мир"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(" 你好世界"))
+        .otherwise(F.lit("")),
+    )
+    c = script_counts(aug)
+    return d.select(
+        "doc_id",
+        c["latin"].cast("long").alias("n_latin"),
+        c["cyrillic"].cast("long").alias("n_cyrillic"),
+        c["cjk"].cast("long").alias("n_cjk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conversation prep (operators/conversations.py)
+# ---------------------------------------------------------------------------
+#
+# Chat turns cut from document text (c1 = chars 1-40, c2 = 41-100),
+# three structural shapes by doc_id % 3: valid two-turn, wrong-start,
+# broken alternation. Flags/render/spans/key are pure arithmetic the
+# oracle can state per shape. Default template markers: <|user|>\n
+# (9 chars), <|assistant|>\n (14), every suffix \n (1).
+
+
+@register(
+    "conversations_structural",
+    oracle=r"""
+    WITH conv AS (
+      SELECT doc_id,
+             trim(substr(text, 1, 40)) AS c1,
+             trim(substr(text, 41, 60)) AS c2,
+             doc_id % 3 AS shape
+      FROM documents
+    )
+    SELECT doc_id,
+      (shape = 0 AND length(c1) > 0 AND length(c2) > 0) AS valid,
+      CASE shape
+        WHEN 2 THEN 35 + 2 * length(c1) + length(c2)
+        ELSE 25 + length(c1) + length(c2) END AS render_len,
+      1 AS n_spans,
+      CASE shape
+        WHEN 0 THEN 24 + length(c1)
+        WHEN 1 THEN 14
+        ELSE 34 + length(c1) + length(c2) END AS span_start,
+      CASE shape
+        WHEN 0 THEN 25 + length(c1) + length(c2)
+        WHEN 1 THEN 15 + length(c1)
+        ELSE 35 + 2 * length(c1) + length(c2) END AS span_end,
+      md5(CASE shape
+        WHEN 0 THEN 'user:' || length(c1) || ':' || c1 || chr(10)
+                 || 'assistant:' || length(c2) || ':' || c2
+        WHEN 1 THEN 'assistant:' || length(c1) || ':' || c1 || chr(10)
+                 || 'user:' || length(c2) || ':' || c2
+        ELSE 'user:' || length(c1) || ':' || c1 || chr(10)
+          || 'user:' || length(c2) || ':' || c2 || chr(10)
+          || 'assistant:' || length(c1) || ':' || c1 END) AS conv_key
+    FROM conv
+    """,
+)
+def conversations_structural(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conversation operators' deterministic core over synthetic
+    chats: validity flag, rendered-string length, loss-span count and
+    first-span offsets, and the template-independent dedup key — all
+    in-row codegen, stated arithmetically by the oracle per shape."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.conversations import (
+        assistant_spans,
+        conversation_flags,
+        conversation_key,
+        render_chat,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    c1 = F.trim(F.substring("text", 1, 40))
+    c2 = F.trim(F.substring("text", 41, 60))
+    shape = F.col("doc_id") % 3
+    turn = lambda role, content: F.struct(  # noqa: E731
+        F.lit(role).alias("role"), content.alias("content")
+    )
+    conv = (
+        F.when(shape == 0, F.array(turn("user", c1), turn("assistant", c2)))
+        .when(shape == 1, F.array(turn("assistant", c1), turn("user", c2)))
+        .otherwise(
+            F.array(turn("user", c1), turn("user", c2), turn("assistant", c1))
+        )
+    )
+    base = d.select("doc_id", conv.alias("conv"))
+    spans = assistant_spans("conv")
+    return base.select(
+        "doc_id",
+        conversation_flags("conv")["valid"].alias("valid"),
+        F.length(render_chat("conv")).cast("long").alias("render_len"),
+        F.size(spans).cast("long").alias("n_spans"),
+        F.element_at(spans, 1)["start"].cast("long").alias("span_start"),
+        F.element_at(spans, 1)["end"].cast("long").alias("span_end"),
+        conversation_key("conv").alias("conv_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Link-graph degree core (operators/linkgraph.py)
+# ---------------------------------------------------------------------------
+#
+# Synthetic host edges: every document links host h<doc_id%97> ->
+# h<doc_id%89>; self-loops dropped, multi-links collapse with counts.
+
+
+@register(
+    "linkgraph_degree_stats",
+    oracle="""
+    WITH edges AS (
+      SELECT 'h' || (doc_id % 97) AS src, 'h' || (doc_id % 89) AS dst,
+             count(*) AS n_links
+      FROM documents
+      WHERE 'h' || (doc_id % 97) <> 'h' || (doc_id % 89)
+      GROUP BY 1, 2
+    ),
+    outs AS (
+      SELECT src AS host, count(*) AS out_degree, sum(n_links) AS out_links
+      FROM edges GROUP BY 1
+    ),
+    ins AS (
+      SELECT dst AS host, count(*) AS in_degree, sum(n_links) AS in_links
+      FROM edges GROUP BY 1
+    )
+    SELECT host,
+           coalesce(out_degree, 0) AS out_degree,
+           coalesce(in_degree, 0) AS in_degree,
+           coalesce(out_links, 0) AS out_links,
+           coalesce(in_links, 0) AS in_links
+    FROM outs FULL OUTER JOIN ins USING (host)
+    """,
+)
+def linkgraph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """degree_stats — the link graph's integer structural core
+    (distinct-neighbor degrees + link-weight sums, one agg per
+    direction + one full-outer join) over a synthetic host relation
+    both engines derive identically."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.linkgraph import (
+        degree_stats,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    edges = (
+        d.select(
+            F.concat(F.lit("h"), (F.col("doc_id") % 97).cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("h"), (F.col("doc_id") % 89).cast("string")).alias(
+                "dst"
+            ),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+    return degree_stats(edges)

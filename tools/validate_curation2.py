@@ -1,0 +1,37 @@
+"""Pre-validate the round-8 gate module (queries/curation2.py) ahead
+of its registration: import it (which registers its queries/oracles)
+and delegate to the standard correctness checker restricted to its
+names. Round 8 activates the module in queries/__init__.py; until
+then the driver never sees these queries, but their oracles are
+already proven against DuckDB.
+
+Usage: python tools/validate_curation2.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main() -> int:
+    import cdk_datalake_ingest_bigmagic_spark.queries.curation2 as c2  # noqa: F401
+    from cdk_datalake_ingest_bigmagic_spark.queries import ORACLES, QUERIES
+
+    import tools.check_correctness as cc
+
+    names = [
+        n
+        for n in QUERIES
+        if QUERIES[n].__module__.endswith("curation2")
+    ]
+    print(f"validating {len(names)} curation2 queries: {names}")
+    assert all(n in ORACLES for n in names), "every query needs an oracle"
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sys.argv = [sys.argv[0], sf] + names
+    return cc.main()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
