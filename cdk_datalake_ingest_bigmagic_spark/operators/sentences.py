@@ -1,0 +1,166 @@
+"""Sentence segmentation and sentence-boundary chunking.
+
+Token-window chunking (operators/chunking.py) cuts mid-sentence;
+embedding and SFT prep usually wants chunks that END at sentence
+boundaries — retrieval passages read whole, and a chunk's last
+sentence is not half a thought. This module segments with a
+punctuation/capitalization heuristic (the Moses/spaCy-rule family —
+public heuristics, independently implemented) and greedily packs
+whole sentences into token-budgeted chunks.
+
+Everything is in-row: segmentation is one codegen ``split`` on a
+boundary regexp; packing is one ``aggregate`` scan over the sentence
+array carrying (current-chunk, token-count) state. Zero shuffle, zero
+Python — both ride the scan at 100 TB, and a chunk explosion is the
+same in-partition ``posexplode`` the token chunker uses.
+
+Honestly scoped: the boundary rule is curation-grade — it knows
+terminal punctuation, closing quotes, and a stock abbreviation list,
+not a trained segmenter. Java regex lookbehind is not available in
+RE2, so the segmentation core is pytest-verified; the integer
+sentence COUNTS (no lookbehind needed) are oracle-gateable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Abbreviations whose trailing period must not split (stock list —
+#: extend per corpus). Matched case-sensitively as whole words.
+ABBREVIATIONS = (
+    "Mr", "Mrs", "Ms", "Dr", "Prof", "Sr", "Jr", "St", "vs", "etc",
+    "e.g", "i.e", "cf", "al", "Inc", "Ltd", "Co", "Corp", "No", "Vol",
+    "pp", "Fig", "Jan", "Feb", "Mar", "Apr", "Jun", "Jul", "Aug",
+    "Sep", "Sept", "Oct", "Nov", "Dec",
+)
+
+#: Split AFTER terminal punctuation (+ optional closing quote/paren),
+#: BEFORE whitespace + an upper-case/quote/digit opener. Lookbehind
+#: keeps the punctuation attached to its sentence.
+_BOUNDARY = r"""(?<=[.!?][\"'”’)\]]?)\s+(?=[A-Z0-9\"'“‘(\[])"""
+
+
+def _protect_abbreviations(col: Column) -> tuple[Column, Column]:
+    """Swap abbreviation periods for a sentinel before splitting and
+    return (protected, restore) — restore maps the sentinel back."""
+    sentinel = "\x01"  # control sentinel: stripped by clean_text_column, never in content
+    protected = col
+    for abbr in ABBREVIATIONS:
+        pat = r"\b" + abbr.replace(".", r"\.") + r"\."
+        protected = F.regexp_replace(
+            protected, pat, abbr.replace(".", sentinel) + sentinel
+        )
+    return protected, F.lit(sentinel)
+
+
+def split_sentences_column(text) -> Column:
+    """Array of sentences from a text Column — codegen split on the
+    boundary regexp with abbreviation periods protected through the
+    split and restored after. Empty/whitespace members dropped;
+    NULL text yields NULL."""
+    col = F.col(text) if isinstance(text, str) else text
+    protected, sentinel = _protect_abbreviations(col)
+    parts = F.split(protected, _BOUNDARY)
+    return F.filter(
+        F.transform(
+            parts, lambda s: F.trim(F.regexp_replace(s, sentinel, "."))
+        ),
+        lambda s: s != "",
+    )
+
+
+def split_sentences(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, sentence_no, sentence) rows — in-row posexplode of the
+    sentence array; ordering carried explicitly (0-based)."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(split_sentences_column(text_col)).alias(
+            "sentence_no", "sentence"
+        ),
+    )
+
+
+def sentence_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document sentence statistics: ``n_sentences``,
+    ``n_words``, ``mean_sentence_words`` (single IEEE division of the
+    two exact integers) and ``frac_short`` (sentences under 4 words —
+    the fragment/boilerplate signal). One projection, zero shuffle."""
+    sents = split_sentences_column(text_col)
+    wc = lambda s: F.size(F.split(F.trim(s), r"\s+"))  # noqa: E731
+    n = F.size(sents)
+    words = F.aggregate(
+        sents, F.lit(0), lambda a, s: a + wc(s)
+    )
+    short = F.size(F.filter(sents, lambda s: wc(s) < 4))
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_sentences"),
+        words.cast("long").alias("n_words"),
+        F.when(n > 0, words.cast("double") / n.cast("double"))
+        .otherwise(F.lit(None))
+        .alias("mean_sentence_words"),
+        F.when(n > 0, short.cast("double") / n.cast("double"))
+        .otherwise(F.lit(None))
+        .alias("frac_short"),
+    )
+
+
+def chunk_by_sentences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_tokens: int = 256,
+) -> DataFrame:
+    """(id, chunk_no, chunk, n_tokens): greedy first-fit packing of
+    whole sentences into chunks of at most ``max_tokens`` whitespace
+    tokens — a sentence longer than the budget becomes its own
+    (oversized) chunk rather than being split mid-thought.
+
+    One in-row ``aggregate`` scan carries (finished chunks, current
+    chunk, current count); the only data movement is the final
+    in-partition posexplode. Deterministic: same text, same chunks.
+    """
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+    sents = split_sentences_column(text_col)
+    wc = lambda s: F.size(F.split(F.trim(s), r"\s+"))  # noqa: E731
+    zero = F.struct(
+        F.array().cast("array<array<string>>").alias("done"),
+        F.array().cast("array<string>").alias("cur"),
+        F.lit(0).alias("cur_tokens"),
+    )
+
+    def step(a: Column, s: Column) -> Column:
+        sl = wc(s)
+        overflow = (a["cur_tokens"] + sl > F.lit(max_tokens)) & (
+            F.size(a["cur"]) > 0
+        )
+        return F.struct(
+            F.when(overflow, F.concat(a["done"], F.array(a["cur"])))
+            .otherwise(a["done"])
+            .alias("done"),
+            F.when(overflow, F.array(s))
+            .otherwise(F.concat(a["cur"], F.array(s)))
+            .alias("cur"),
+            F.when(overflow, sl).otherwise(a["cur_tokens"] + sl).alias(
+                "cur_tokens"
+            ),
+        )
+
+    def finish(a: Column) -> Column:
+        return F.when(
+            F.size(a["cur"]) > 0, F.concat(a["done"], F.array(a["cur"]))
+        ).otherwise(a["done"])
+
+    chunks = F.transform(
+        F.aggregate(sents, zero, step, finish),
+        lambda c: F.array_join(c, " "),
+    )
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_no", "chunk"),
+    )
+    return exploded.withColumn(
+        "n_tokens", F.size(F.split(F.trim("chunk"), r"\s+")).cast("long")
+    )

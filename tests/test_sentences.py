@@ -1,0 +1,120 @@
+"""Sentence segmentation and sentence-boundary chunking."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.operators.sentences import (
+    chunk_by_sentences,
+    sentence_stats,
+    split_sentences,
+    split_sentences_column,
+)
+
+
+def _split(spark, text):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(split_sentences_column("text").alias("s")).collect()[0]["s"]
+
+
+def test_basic_split(spark):
+    got = _split(spark, "Hello world. How are you? Fine! Done.")
+    assert got == ["Hello world.", "How are you?", "Fine!", "Done."]
+
+
+def test_abbreviations_protected(spark):
+    got = _split(spark, "Dr. Smith arrived at 9. He sat down. See e.g. Fig. 3 now.")
+    assert got[0] == "Dr. Smith arrived at 9."
+    assert got[1] == "He sat down."
+    assert got[2] == "See e.g. Fig. 3 now."
+
+
+def test_decimals_and_lowercase_no_split(spark):
+    got = _split(spark, "Pi is 3.14 roughly. the lowercase opener stays attached.")
+    assert len(got) == 1  # lowercase after period: no boundary
+
+
+def test_quotes_and_parens(spark):
+    got = _split(spark, '"Go home!" she said. Then (quietly) left. "Why?" Nobody knew.')
+    assert got == [
+        '"Go home!" she said.',
+        "Then (quietly) left.",
+        '"Why?"',
+        "Nobody knew.",
+    ]
+
+
+def test_null_and_empty(spark):
+    df = spark.createDataFrame([(1, None), (2, "   ")], "id long, text string")
+    rows = split_sentences(df, "id", "text").collect()
+    assert rows == []  # explode drops NULL/empty arrays
+
+
+def test_sentence_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "One two three four five. Short one. Yes now.")],
+        "id long, text string",
+    )
+    r = sentence_stats(df, "id", "text").collect()[0]
+    assert r["n_sentences"] == 3 and r["n_words"] == 5 + 2 + 2
+    assert r["mean_sentence_words"] == 9 / 3
+    assert r["frac_short"] == 2 / 3
+
+
+def test_chunking_matches_python_greedy(spark):
+    sents = [f"Sentence number {i} has exactly six words." for i in range(30)]
+    text = " ".join(sents)
+    df = spark.createDataFrame([(1, text)], "id long, text string")
+    for budget in (7, 14, 20, 1000):
+        got = (
+            chunk_by_sentences(df, "id", "text", max_tokens=budget)
+            .orderBy("chunk_no")
+            .collect()
+        )
+        # python reference greedy
+        chunks, cur, cur_n = [], [], 0
+        for s in sents:
+            n = len(s.split())
+            if cur and cur_n + n > budget:
+                chunks.append(" ".join(cur))
+                cur, cur_n = [s], n
+            else:
+                cur.append(s)
+                cur_n += n
+        if cur:
+            chunks.append(" ".join(cur))
+        assert [r["chunk"] for r in got] == chunks, budget
+        assert all(
+            r["n_tokens"] <= budget or r["chunk"].count(" ") + 1 > budget
+            for r in got
+        )
+
+
+def test_oversized_sentence_is_own_chunk(spark):
+    df = spark.createDataFrame(
+        [(1, "Tiny one. Word " + " ".join(["word"] * 49) + " end. Tiny two.")],
+        "id long, text string",
+    )
+    rows = (
+        chunk_by_sentences(df, "id", "text", max_tokens=10)
+        .orderBy("chunk_no")
+        .collect()
+    )
+    assert len(rows) == 3
+    assert rows[1]["n_tokens"] == 51  # the long sentence, unsplit
+
+
+def test_bad_budget_raises(spark):
+    df = spark.createDataFrame([(1, "A b.")], "id long, text string")
+    with pytest.raises(ValueError):
+        chunk_by_sentences(df, "id", "text", max_tokens=0)
+
+
+def test_all_codegen_zero_shuffle(spark):
+    df = spark.createDataFrame([(1, "A b. C d.")], "id long, text string")
+    for out in (
+        sentence_stats(df, "id", "text"),
+        chunk_by_sentences(df, "id", "text", max_tokens=4),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "Exchange" not in plan
