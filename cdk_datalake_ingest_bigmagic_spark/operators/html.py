@@ -268,3 +268,50 @@ def strip_html_dom(df, id_col: str, html_col: str,
             yield pd.DataFrame({id_col: pdf[id_col], "text": texts})
 
     return fan_out(df.select(id_col, html_col)).mapInPandas(run, schema)
+
+
+def _attr_pair_extract(html: Column, tag: str, key_attr: str, key_val: str,
+                       want_attr: str) -> Column:
+    """First value of ``want_attr`` on a ``<tag>`` whose ``key_attr``
+    equals ``key_val`` — both attribute orders matched (crawl HTML
+    puts href/content on either side of rel/name). Codegen regexp."""
+    common = rf"(?i)<{tag}\s[^>]*"
+    key = rf"""{key_attr}\s*=\s*["']?{key_val}["'\s>]"""
+    want = rf"""{want_attr}\s*=\s*["']?([^"'\s>]+)"""
+    forward = F.regexp_extract(html, common + key + r"[^>]*" + want, 1)
+    backward = F.regexp_extract(html, common + want + r"[^>]*" + key, 1)
+    return F.when(forward != "", forward).otherwise(
+        F.when(backward != "", backward).otherwise(F.lit(None))
+    )
+
+
+def extract_canonical_url(html) -> Column:
+    """The page's ``<link rel="canonical" href=...>`` target, NULL if
+    absent. The publisher's own dedup key — when present it beats any
+    URL-spelling canonicalization (operators/urlnorm.py), so crawl
+    dedup coalesces this first: ``coalesce(canonical, url_key(url))``.
+    Pure codegen."""
+    col = F.col(html) if isinstance(html, str) else html
+    return _attr_pair_extract(col, "link", "rel", "canonical", "href")
+
+
+def robots_directives(html) -> Column:
+    """Struct of ``noindex``/``nofollow``/``noarchive`` booleans from
+    ``<meta name="robots" content=...>`` (false when the tag is
+    absent — the directives are opt-out). A compliance-minded corpus
+    drops ``noindex`` pages at ingest; pure codegen."""
+    col = F.col(html) if isinstance(html, str) else html
+    # content values contain commas/spaces, so the value class here
+    # stops only at quote/angle — wider than the href class above
+    common = r"(?i)<meta\s[^>]*"
+    key = r"""name\s*=\s*["']?robots["'\s>]"""
+    want = r"""content\s*=\s*["']?([^"'>]+)"""
+    fwd = F.regexp_extract(col, common + key + r"[^>]*" + want, 1)
+    bwd = F.regexp_extract(col, common + want + r"[^>]*" + key, 1)
+    content = F.lower(F.when(fwd != "", fwd).otherwise(bwd))
+    flag = lambda d: content.rlike(rf"(^|[\s,]){d}([\s,]|$)")  # noqa: E731
+    return F.struct(
+        flag("noindex").alias("noindex"),
+        flag("nofollow").alias("nofollow"),
+        flag("noarchive").alias("noarchive"),
+    )

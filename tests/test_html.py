@@ -197,3 +197,55 @@ def test_dom_blocks_zero_shuffle_plan(spark):
     assert "MapInPandas" in plan
     # only fan_out's small-input repartition is permitted
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1
+
+
+def test_extract_canonical_url_both_attr_orders(spark):
+    from cdk_datalake_ingest_bigmagic_spark.operators.html import (
+        extract_canonical_url,
+    )
+
+    rows = [
+        (0, '<html><head><link rel="canonical" '
+            'href="https://ex.com/a"/></head><body>x</body></html>'),
+        (1, "<html><head><link href='https://ex.com/b' "
+            "rel='canonical'></head></html>"),
+        (2, '<html><head><link rel="stylesheet" href="/s.css">'
+            "</head></html>"),
+        (3, "<html><body>no links</body></html>"),
+    ]
+    df = spark.createDataFrame(rows, "id long, html string")
+    out = {
+        r["id"]: r["c"]
+        for r in df.select(
+            "id", extract_canonical_url("html").alias("c")
+        ).collect()
+    }
+    assert out[0] == "https://ex.com/a"
+    assert out[1] == "https://ex.com/b"
+    assert out[2] is None and out[3] is None
+
+
+def test_robots_directives(spark):
+    from cdk_datalake_ingest_bigmagic_spark.operators.html import (
+        robots_directives,
+    )
+
+    rows = [
+        (0, '<meta name="robots" content="noindex, nofollow">'),
+        (1, "<meta content='NOARCHIVE' name='robots'>"),
+        (2, '<meta name="robots" content="index, follow">'),
+        (3, '<meta name="viewport" content="noindex">'),  # wrong tag name
+        (4, "<p>no meta at all</p>"),
+    ]
+    df = spark.createDataFrame(rows, "id long, html string")
+    out = {
+        r["id"]: r["f"].asDict()
+        for r in df.select(
+            "id", robots_directives("html").alias("f")
+        ).collect()
+    }
+    assert out[0] == {"noindex": True, "nofollow": True, "noarchive": False}
+    assert out[1] == {"noindex": False, "nofollow": False, "noarchive": True}
+    assert out[2] == {"noindex": False, "nofollow": False, "noarchive": False}
+    assert out[3]["noindex"] is False
+    assert out[4] == {"noindex": False, "nofollow": False, "noarchive": False}
