@@ -1,0 +1,96 @@
+"""tf-idf keyword extraction — per-document topic signatures.
+
+Corpus curation wants a cheap "what is this document about" signal:
+domain-mix dashboards, topic-stratified sampling, and near-dup
+triage all start from the top-k distinctive terms. tf-idf over the
+corpus' own document frequencies is the classical answer (Sparck
+Jones 1972); this is its distributed integer core.
+
+Scale shape: ONE shuffle builds the (doc, token, tf) relation
+(explode collapses map-side into the groupBy), ONE token-keyed
+aggregation derives document frequencies from that same relation
+(no second corpus pass), one join lands df back on the terms, and
+the per-document top-k is a window over per-doc vocabularies —
+bounded by document length, so no hot-key regime exists (a document
+cannot have more distinct tokens than words). The df relation is
+Heaps-law sized, far smaller than the corpus.
+
+Determinism: integer tf/df; the score is one multiplication and one
+division per term ((N+1)/(df+1) rational idf — log-free, same
+cross-engine trick as BM25's rational gate); ties break on the token
+string. Gate-able (queries/curation2.py::text_tfidf_keywords).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Stock English stopword head — enough to keep "the" out of every
+#: keyword list; callers with a real list pass their own.
+DEFAULT_STOPWORDS = (
+    "the a an and or but if then else of to in on at by for with "
+    "from as is are was were be been it its this that these those"
+).split()
+
+
+def term_frequencies(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_token_len: int = 2,
+    stopwords: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """(id, token, tf): lowercased ``\\W+``-tokenized term counts per
+    document. The explode's groupBy collapses map-side; stopwords and
+    short tokens drop in-row before the shuffle."""
+    tokens = F.split(F.lower(F.col(text_col)), r"\W+")
+    rows = df.select(F.col(id_col), F.explode(tokens).alias("token")).filter(
+        (F.length("token") >= min_token_len)
+        & ~F.col("token").isin(list(stopwords))
+    )
+    return rows.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 10,
+    min_token_len: int = 2,
+    min_df: int = 1,
+    stopwords: tuple[str, ...] | list[str] = DEFAULT_STOPWORDS,
+) -> DataFrame:
+    """(id, rank, token, tf, df, score): each document's top-``k``
+    tf-idf terms, rank 1 highest. ``score = tf * (N+1)/(df+1)`` with
+    N the corpus document count — rational idf, engine-exact.
+    ``min_df`` drops hapax noise (OCR junk, ids) before ranking.
+
+    The window partitions by document over its own vocabulary —
+    bounded by document length, hence skew-free by construction.
+    """
+    tf = term_frequencies(df, id_col, text_col, min_token_len, stopwords)
+    docfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    n_docs = df.count()  # one scalar to the driver; inlined as a literal
+    scored = (
+        tf.join(docfreq, "token")
+        .filter(F.col("df") >= min_df)
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1)).cast("double")),
+        )
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy(F.col("score").desc(), F.col("token").asc())
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "token", "tf", "df", "score")
+    )

@@ -415,3 +415,56 @@ def linkgraph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_links"))
     )
     return degree_stats(edges)
+
+
+# ---------------------------------------------------------------------------
+# tf-idf keywords (operators/keywords.py)
+# ---------------------------------------------------------------------------
+
+from cdk_datalake_ingest_bigmagic_spark.operators.keywords import (  # noqa: E402
+    DEFAULT_STOPWORDS,
+)
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in DEFAULT_STOPWORDS)
+
+
+@register(
+    "text_tfidf_keywords",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, tok AS token, count(*) AS tf
+      FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\W+')) AS tok
+        FROM documents
+      )
+      WHERE length(tok) >= 2 AND tok NOT IN ({_STOP_SQL})
+      GROUP BY 1, 2
+    ),
+    docfreq AS (SELECT token, count(*) AS df FROM toks GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.token, t.tf, d.df,
+             CAST(t.tf AS DOUBLE) *
+               (CAST(n_docs + 1 AS DOUBLE) / CAST(d.df + 1 AS DOUBLE))
+               AS score
+      FROM toks t JOIN docfreq d USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, rank, token, tf, df, score FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, token
+      ) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 tf-idf keywords with rational idf
+    ((N+1)/(df+1), log-free so cross-engine-exact): one shuffle for
+    term counts, df derived from that same relation, per-doc window
+    bounded by document vocabulary."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.keywords import (
+        tfidf_keywords,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return tfidf_keywords(d, "doc_id", "text", k=5)

@@ -1,0 +1,82 @@
+"""tf-idf keyword extraction: counts, ranking, determinism."""
+
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.operators.keywords import (
+    term_frequencies,
+    tfidf_keywords,
+)
+
+DOCS = [
+    (0, "Solar panels convert sunlight. Solar adoption is growing fast."),
+    (1, "The harvest festival brought the village together for dancing."),
+    (2, "Panels and inverters need maintenance; solar panels degrade."),
+    (3, "Dancing lessons every week in the village hall."),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_term_frequencies(spark):
+    tf = term_frequencies(_df(spark), "doc_id", "text")
+    got = {
+        (r["doc_id"], r["token"]): r["tf"]
+        for r in tf.filter(F.col("token") == "solar").collect()
+    }
+    assert got == {(0, "solar"): 2, (2, "solar"): 1}
+
+
+def test_stopwords_and_short_tokens_dropped(spark):
+    tf = term_frequencies(
+        _df(spark), "doc_id", "text", stopwords=("the", "and", "is", "for")
+    )
+    tokens = {r["token"] for r in tf.collect()}
+    assert "the" not in tokens and "is" not in tokens
+    assert not any(len(t) < 2 for t in tokens)
+
+
+def test_topk_ranks_distinctive_terms(spark):
+    out = tfidf_keywords(_df(spark), "doc_id", "text", k=3)
+    top = {
+        r["doc_id"]: r["token"]
+        for r in out.filter(F.col("rank") == 1).collect()
+    }
+    # doc 0's most distinctive term is 'solar' (tf=2, df=2) over
+    # corpus-common words; doc 1/3 share 'village' (df=2) but their
+    # top is their tf=1 rarest alphabetically-first df=1 term
+    assert top[0] == "solar"
+    out0 = [r["token"] for r in out.filter("doc_id = 0").orderBy("rank").collect()]
+    assert "solar" in out0 and len(out0) == 3
+
+
+def test_scores_and_df_values(spark):
+    out = tfidf_keywords(_df(spark), "doc_id", "text", k=50)
+    r = out.filter("doc_id = 0 and token = 'solar'").collect()[0]
+    assert r["tf"] == 2 and r["df"] == 2
+    assert r["score"] == 2.0 * (5.0 / 3.0)  # tf * (N+1)/(df+1), N=4
+
+
+def test_min_df_drops_hapax(spark):
+    out = tfidf_keywords(_df(spark), "doc_id", "text", k=50, min_df=2)
+    dfs = {r["df"] for r in out.collect()}
+    assert min(dfs) >= 2
+
+
+def test_deterministic_ties(spark):
+    a = tfidf_keywords(_df(spark), "doc_id", "text", k=5).collect()
+    b = tfidf_keywords(_df(spark), "doc_id", "text", k=5).collect()
+    key = lambda rows: sorted(  # noqa: E731
+        (r["doc_id"], r["rank"], r["token"]) for r in rows
+    )
+    assert key(a) == key(b)
+
+
+def test_rank_dense_per_doc(spark):
+    out = tfidf_keywords(_df(spark), "doc_id", "text", k=4)
+    for doc in range(4):
+        ranks = sorted(
+            r["rank"] for r in out.filter(F.col("doc_id") == doc).collect()
+        )
+        assert ranks == list(range(1, len(ranks) + 1))
