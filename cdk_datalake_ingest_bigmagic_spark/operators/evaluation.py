@@ -78,3 +78,50 @@ def pair_metrics(
         "tp long, fp long, fn long, precision double, recall double, "
         "f1 double",
     )
+
+
+def cluster_report(labels, id_col: str, cluster_col: str):
+    """Cluster-size histogram for a near-dup labeling: one row per
+    cluster SIZE with the number of clusters of that size and the
+    documents they hold — the dedup observability a 100-TB run reads
+    before trusting a keep-list (a sudden mass of giant clusters
+    means a boilerplate family or a broken threshold, not real dups).
+
+    Two map-side-combinable aggregations (id→cluster sizes, then
+    size→counts); the corpus itself is never re-shuffled. Integer
+    counts only — oracle-gateable.
+    """
+    from pyspark.sql import functions as F
+
+    sizes = labels.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .withColumn(
+            "n_docs", (F.col("cluster_size") * F.col("n_clusters")).cast("long")
+        )
+    )
+
+
+def dedup_savings(labels, id_col: str, cluster_col: str):
+    """One-row summary a curation dashboard plots over time:
+    ``n_docs``, ``n_clusters`` (= docs surviving canonical dedup),
+    ``n_removed``, and ``frac_removed`` (single IEEE division of the
+    two exact longs)."""
+    from pyspark.sql import functions as F
+
+    return (
+        labels.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct(F.col(cluster_col)).cast("long").alias(
+                "n_clusters"
+            ),
+        )
+        .withColumn("n_removed", F.col("n_docs") - F.col("n_clusters"))
+        .withColumn(
+            "frac_removed",
+            F.col("n_removed").cast("double") / F.col("n_docs").cast("double"),
+        )
+    )

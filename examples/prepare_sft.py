@@ -1,0 +1,134 @@
+"""End-to-end SFT (chat) data preparation: JSONL chats → validated,
+scrubbed, deduplicated, rendered training records with loss-mask
+spans.
+
+The conversation leg of the engine in one runnable script:
+
+  1. JSONL ingestion → typed conversations (malformed rows become
+     NULL, quarantined by the validity flags — never an ingest crash),
+  2. structural validation (role order, empty turns, dangling user),
+  3. turn-level PII scrub through flatten → scrub → rebuild,
+  4. exact dedup on the template-independent conversation key,
+  5. chat-template rendering + assistant-only loss-mask char spans,
+  6. shard assignment for the training loader.
+
+Run: python examples/prepare_sft.py [work_dir]
+Prints one JSON summary line (consumed by tests/test_example.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEMO_CHATS = [
+    # valid
+    {"conv": [
+        {"role": "system", "content": "You are a helpful geography tutor."},
+        {"role": "user", "content": "Which river passes the old mill?"},
+        {"role": "assistant", "content": "The east river, past the market square."},
+    ]},
+    # duplicate of the first (whitespace differences only) — must dedup
+    {"conv": [
+        {"role": "system", "content": "  You are a helpful geography tutor. "},
+        {"role": "user", "content": "Which river passes the old mill?  "},
+        {"role": "assistant", "content": " The east river, past the market square."},
+    ]},
+    # valid, carries an email the scrub must remove
+    {"conv": [
+        {"role": "user", "content": "Mail the harvest report to clerk@example.com please."},
+        {"role": "assistant", "content": "Sent. The traders will read it before dawn."},
+    ]},
+    # invalid: starts with assistant
+    {"conv": [
+        {"role": "assistant", "content": "Unprompted answer."},
+        {"role": "user", "content": "Nobody asked."},
+    ]},
+    # invalid: dangling user turn
+    {"conv": [
+        {"role": "user", "content": "Hello?"},
+    ]},
+]
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_bigmagic_spark import get_spark
+    from cdk_datalake_ingest_bigmagic_spark.operators.conversations import (
+        assistant_spans,
+        conversation_flags,
+        conversation_key,
+        flatten_turns,
+        parse_conversations,
+        rebuild_conversations,
+        render_chat,
+    )
+    from cdk_datalake_ingest_bigmagic_spark.operators.sampling import shard_assign
+    from cdk_datalake_ingest_bigmagic_spark.operators.text import scrub_pii
+
+    work = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="sft_")
+    os.makedirs(work, exist_ok=True)
+    raw_path = f"{work}/chats.jsonl"
+    with open(raw_path, "w") as f:
+        for rec in DEMO_CHATS:
+            f.write(json.dumps(rec["conv"]) + "\n")
+
+    spark = get_spark(app_name="sft-prep", shuffle_partitions=4)
+
+    # 1. ingest: one JSON array per line -> typed conversations
+    raw = (
+        spark.read.text(raw_path)
+        .withColumn("chat_id", F.monotonically_increasing_id())
+    )
+    parsed = parse_conversations(raw, "value").drop("value")
+
+    # 2. structural validation: keep valid, count the quarantine
+    flagged = parsed.withColumn("flags", conversation_flags("conversation"))
+    n_total = flagged.count()
+    valid = flagged.filter(F.col("flags")["valid"]).drop("flags")
+    n_valid = valid.count()
+
+    # 3. turn-level PII scrub (flatten -> existing text operator -> rebuild)
+    turns = flatten_turns(valid, "chat_id", "conversation")
+    scrubbed = turns.withColumn("content", scrub_pii(F.col("content")))
+    rebuilt = rebuild_conversations(scrubbed, "chat_id")
+
+    # 4. exact dedup on the normalized conversation key
+    keyed = rebuilt.withColumn("key", conversation_key("conversation"))
+    deduped = (
+        keyed.groupBy("key")
+        .agg(F.min("chat_id").alias("chat_id"))
+        .join(keyed, ["key", "chat_id"])
+    )
+    n_deduped = deduped.count()
+
+    # 5. render + loss spans, 6. shard for the loader
+    rendered = deduped.select(
+        "chat_id",
+        render_chat("conversation", eos="</s>").alias("text"),
+        assistant_spans("conversation", eos="</s>").alias("loss_spans"),
+    )
+    sharded = shard_assign(rendered, "chat_id", n_shards=2, seed="sft-demo")
+    out_dir = f"{work}/sft_shards"
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+
+    back = spark.read.parquet(out_dir)
+    no_pii = back.filter(F.col("text").contains("example.com")).count()
+    print(json.dumps({
+        "work_dir": work,
+        "n_total": n_total,
+        "n_valid": n_valid,
+        "n_deduped": n_deduped,
+        "n_sharded": back.count(),
+        "pii_leaks": no_pii,
+        "spans_nonempty": back.filter(F.size("loss_spans") > 0).count(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -62,3 +62,27 @@ def test_end_to_end_with_jaccard_operator(spark):
     r = pair_metrics(pred, truth).first()
     assert r.recall == 1.0  # near-dups at 0.5 catch all labeled pairs
     assert r.precision == 1.0  # and nothing spurious on this corpus
+
+
+def test_cluster_report_and_savings(spark):
+    from cdk_datalake_ingest_bigmagic_spark.operators.evaluation import (
+        cluster_report,
+        dedup_savings,
+    )
+    from pyspark.sql import functions as F
+
+    # 10 clusters of size 1, 5 of size 2, 1 of size 10
+    rows = (
+        [(i, f"s{i}") for i in range(10)]
+        + [(100 + i, f"d{i // 2}") for i in range(10)]
+        + [(200 + i, "big") for i in range(10)]
+    )
+    labels = spark.createDataFrame(rows, "doc_id long, cluster string")
+    hist = {
+        r["cluster_size"]: (r["n_clusters"], r["n_docs"])
+        for r in cluster_report(labels, "doc_id", "cluster").collect()
+    }
+    assert hist == {1: (10, 10), 2: (5, 10), 10: (1, 10)}
+    s = dedup_savings(labels, "doc_id", "cluster").collect()[0]
+    assert s["n_docs"] == 30 and s["n_clusters"] == 16
+    assert s["n_removed"] == 14 and s["frac_removed"] == 14 / 30

@@ -26,3 +26,21 @@ def test_curate_crawl_example(tmp_path):
     assert rec["steps"]["shard"] == 2
     assert rec["manifest_exists"] is True
     assert rec["decontamination_flags"] >= 1  # the planted eval prompt hits
+
+
+def test_prepare_sft_example(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, f"{repo}/examples/prepare_sft.py", str(tmp_path)],
+        capture_output=True,
+        text=True,
+        timeout=240,
+        cwd=repo,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    # 5 raw chats: 2 invalid quarantined, 2 whitespace-dups collapse
+    assert rec["n_total"] == 5 and rec["n_valid"] == 3
+    assert rec["n_deduped"] == 2 and rec["n_sharded"] == 2
+    assert rec["pii_leaks"] == 0
+    assert rec["spans_nonempty"] == 2
