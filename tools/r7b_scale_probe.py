@@ -155,6 +155,7 @@ def main() -> None:
         ).collect()
 
     probes = {
+        **extend_probes(spark, F),
         "repair_encoding_6pct": lambda d: probe_repair(d, 16),
         "repair_encoding_clean": lambda d: probe_repair(d, 10**9),
         "repair_encoding_all": lambda d: probe_repair(d, 1),
@@ -179,6 +180,35 @@ def main() -> None:
         if name == "repair_encoding_all":
             rec["docs_per_sec_scaled"] = round(n_scaled / s, 0) if s else None
         print(json.dumps(rec), flush=True)
+
+
+
+
+def extend_probes(spark, F):
+    """Second batch: sentence chunking and tf-idf keywords."""
+
+    def probe_sentences(d):
+        from cdk_datalake_ingest_bigmagic_spark.operators.sentences import (
+            chunk_by_sentences,
+        )
+
+        chunk_by_sentences(d, "doc_id", "text", max_tokens=64).agg(
+            F.count(F.lit(1)), F.sum("n_tokens")
+        ).collect()
+
+    def probe_keywords(d):
+        from cdk_datalake_ingest_bigmagic_spark.operators.keywords import (
+            tfidf_keywords,
+        )
+
+        tfidf_keywords(d, "doc_id", "text", k=5).agg(
+            F.count(F.lit(1)), F.sum("tf")
+        ).collect()
+
+    return {
+        "sentence_chunking": probe_sentences,
+        "tfidf_keywords": probe_keywords,
+    }
 
 
 if __name__ == "__main__":
