@@ -1,0 +1,82 @@
+"""Property tests for the mojibake repair kernel: the cp1252
+round-trip is the inverse of WHATWG-style mis-decoding on any text it
+can apply to. The kernel is exercised directly as a pandas generator
+(no SparkSession — the factory returns a plain function), so
+hypothesis can run hundreds of examples in ms."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cdk_datalake_ingest_bigmagic_spark.operators.encoding import (
+    _make_repair_kernel,
+)
+
+
+def _repair(texts: list[str | None], passes: int = 3) -> list[str | None]:
+    kernel = _make_repair_kernel("text", passes)
+    out = list(kernel(iter([pd.DataFrame({"text": texts})])))
+    return list(out[0]["text"])
+
+
+def _mangle(s: str) -> str:
+    """UTF-8 bytes read back as WHATWG windows-1252 (cp1252 holes
+    pass through as C1 controls)."""
+    out = []
+    for b in s.encode("utf-8"):
+        try:
+            out.append(bytes([b]).decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(chr(b))
+    return "".join(out)
+
+
+# Text the repair must invert exactly: printable ASCII + the Latin-1
+# letters + curly punctuation, excluding the mojibake lead letters
+# (Ã Â â) whose INTENTIONAL use is indistinguishable from damage —
+# the documented do-no-harm boundary.
+_safe_chars = st.characters(
+    codec="utf-8",
+    categories=("L", "N", "P", "Zs"),
+    max_codepoint=0x2122,
+    exclude_characters="ÃÂâ",
+)
+_safe_text = st.text(alphabet=_safe_chars, min_size=0, max_size=60)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_safe_text)
+def test_repair_inverts_mangle(s):
+    # repair may need < max_passes; it must stop exactly at s
+    assert _repair([_mangle(s)]) == [s]
+
+
+@settings(max_examples=300, deadline=None)
+@given(_safe_text)
+def test_repair_is_idempotent_after_fix(s):
+    fixed = _repair([_mangle(s)])[0]
+    assert _repair([fixed]) == [fixed]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.characters(codec="ascii", min_codepoint=32), max_size=60))
+def test_ascii_is_untouched(s):
+    assert _repair([s]) == [s]
+
+
+@settings(max_examples=100, deadline=None)
+@given(_safe_text)
+def test_double_mangle_double_repair(s):
+    assert _repair([_mangle(_mangle(s))]) == [s]
+
+
+def test_none_passthrough():
+    assert _repair([None, "x"]) == [None, "x"]
+
+
+def test_cjk_mixed_is_left_alone():
+    # CJK cannot round-trip through cp1252: do-no-harm returns as-is
+    s = "Ã© 日本語"
+    assert _repair([s]) == [s]

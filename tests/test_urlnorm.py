@@ -100,3 +100,32 @@ def test_idempotent(spark):
     once = _canon(spark, raws)
     twice = _canon(spark, once)
     assert once == twice
+
+
+def test_randomized_idempotence_sweep(spark):
+    """300 structurally random URLs, one Spark job: canonicalization
+    must be idempotent (canon(canon(u)) == canon(u)) and never yield
+    an empty string — the invariants that make url_key a safe dedup
+    key across recrawls."""
+    import random
+
+    rng = random.Random(20260814)
+    schemes = ["http", "HTTP", "https", "HTTPS"]
+    hosts = ["Example.COM", "www.site.org", "a.b.example.net.", "X.Y"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "//a", "/a/b/", "/a//b//c", "/p%20q"]
+    queries = ["", "?a=1", "?utm_source=x", "?b=2&a=1&a=0", "?z&utm_a=1&y=3"]
+    frags = ["", "#f", "#a/b?c"]
+    urls = [
+        rng.choice(schemes) + "://" + rng.choice(hosts) + rng.choice(ports)
+        + rng.choice(paths) + rng.choice(queries) + rng.choice(frags)
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(
+        canonicalize_url("url").alias("c1"),
+        canonicalize_url(canonicalize_url("url")).alias("c2"),
+    ).collect()
+    for r in rows:
+        assert r["c1"] == r["c2"], r
+        assert r["c1"] is None or r["c1"] != ""
