@@ -77,6 +77,18 @@ def script_profile(
 
     One projection, zero shuffle.
     """
+    cols = script_profile_columns(text_col, min_letters, mixed_threshold)
+    return df.select(F.col(id_col), *[c.alias(n) for n, c in cols.items()])
+
+
+def script_profile_columns(
+    text_col,
+    min_letters: int = 20,
+    mixed_threshold: float = 0.10,
+) -> dict[str, Column]:
+    """The profile as named Columns — the composable form
+    (plans/scorecard.py fuses these into its one-scan projection);
+    :func:`script_profile` is the DataFrame convenience wrapper."""
     counts = script_counts(text_col)
     entries = F.array(
         *[
@@ -103,10 +115,9 @@ def script_profile(
         & ((-e["neg"]).cast("double") > mixed_threshold * n_letters.cast("double")),
     )
     mixed = (n_letters >= min_letters) & (F.size(non_latin_minority) > 0)
-    return df.select(
-        F.col(id_col),
-        dominant.alias("dominant_script"),
-        dominant_ratio.alias("dominant_ratio"),
-        n_letters.alias("n_script_chars"),
-        mixed.alias("mixed_script"),
-    )
+    return {
+        "dominant_script": dominant,
+        "dominant_ratio": dominant_ratio,
+        "n_script_chars": n_letters,
+        "mixed_script": mixed,
+    }

@@ -81,11 +81,9 @@ def split_sentences(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def sentence_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Per-document sentence statistics: ``n_sentences``,
-    ``n_words``, ``mean_sentence_words`` (single IEEE division of the
-    two exact integers) and ``frac_short`` (sentences under 4 words —
-    the fragment/boilerplate signal). One projection, zero shuffle."""
+def sentence_stats_columns(text_col) -> dict[str, Column]:
+    """The stats as named Columns — the composable form
+    (plans/scorecard.py fuses these into its one-scan projection)."""
     sents = split_sentences_column(text_col)
     wc = lambda s: F.size(F.split(F.trim(s), r"\s+"))  # noqa: E731
     n = F.size(sents)
@@ -93,16 +91,26 @@ def sentence_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         sents, F.lit(0), lambda a, s: a + wc(s)
     )
     short = F.size(F.filter(sents, lambda s: wc(s) < 4))
+    return {
+        "n_sentences": n.cast("long"),
+        "n_words": words.cast("long"),
+        "mean_sentence_words": F.when(
+            n > 0, words.cast("double") / n.cast("double")
+        ).otherwise(F.lit(None)),
+        "frac_short": F.when(
+            n > 0, short.cast("double") / n.cast("double")
+        ).otherwise(F.lit(None)),
+    }
+
+
+def sentence_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document sentence statistics: ``n_sentences``,
+    ``n_words``, ``mean_sentence_words`` (single IEEE division of the
+    two exact integers) and ``frac_short`` (sentences under 4 words —
+    the fragment/boilerplate signal). One projection, zero shuffle."""
+    cols = sentence_stats_columns(text_col)
     return df.select(
-        F.col(id_col),
-        n.cast("long").alias("n_sentences"),
-        words.cast("long").alias("n_words"),
-        F.when(n > 0, words.cast("double") / n.cast("double"))
-        .otherwise(F.lit(None))
-        .alias("mean_sentence_words"),
-        F.when(n > 0, short.cast("double") / n.cast("double"))
-        .otherwise(F.lit(None))
-        .alias("frac_short"),
+        F.col(id_col), *[c.alias(name) for name, c in cols.items()]
     )
 
 

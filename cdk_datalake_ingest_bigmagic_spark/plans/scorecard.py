@@ -1,0 +1,131 @@
+"""Document score card: every per-document quality signal in ONE
+corpus pass.
+
+A nightly curation job wants all its signals at once — re-scanning
+100 TB per signal is the difference between one 2-hour pass and a
+day of cluster time. Every signal here is either a pure Column
+expression or a projection-with-passthrough, so Catalyst fuses the
+whole card into a single scan → project plan: zero shuffles, zero
+Python (pinned by the no-Exchange plan test).
+
+Signals (all codegen):
+- heuristic quality logit + keep flag (operators/text.quality_score),
+- Gopher-style repetition ratios + keep flag (repetition_features),
+- PII counts (emails/phones/ip addresses),
+- mojibake score + NFC-composition flag (encoding/normalize),
+- Unicode-script profile incl. the homoglyph flag (scripts),
+- sentence stats (sentences),
+- raw size counters.
+
+Deliberately NOT here: language_id (one explode+agg shuffle — join
+it on id if needed), LM surprisal / trained classifier / compression
+band (model broadcasts or Arrow stages — each documents its own
+cost). The card is the free tier; the expensive signals join onto it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Names the card computes — colliding input columns are superseded.
+_CARD_COLUMNS = frozenset(
+    {
+        "n_words", "quality_logit", "passes_quality", "dup_word_ratio",
+        "dup_bigram_ratio", "top_bigram_ratio", "passes_repetition_filter",
+        "n_chars", "mojibake_hits", "needs_nfc", "dominant_script",
+        "dominant_ratio", "n_script_chars", "mixed_script", "n_sentences",
+        "mean_sentence_words", "frac_short", "n_emails", "n_phones", "n_ips",
+    }
+)
+
+
+def score_card(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_text: bool = False,
+) -> DataFrame:
+    """One row per document with every codegen quality signal; see
+    module docstring. ``keep_text=False`` drops the document body so
+    the card lands as a narrow table (a few hundred bytes/doc — a
+    100 TB corpus yields a card measured in tens of GB)."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.encoding import (
+        mojibake_score,
+    )
+    from cdk_datalake_ingest_bigmagic_spark.operators.normalize import (
+        needs_composition,
+    )
+    from cdk_datalake_ingest_bigmagic_spark.operators.scripts import (
+        script_profile_columns,
+    )
+    from cdk_datalake_ingest_bigmagic_spark.operators.sentences import (
+        sentence_stats_columns,
+    )
+    from cdk_datalake_ingest_bigmagic_spark.operators.text import (
+        EMAIL_PATTERN,
+        IPV4_PATTERN,
+        PHONE_PATTERN,
+        quality_score,
+        repetition_features,
+    )
+
+    # input metadata columns whose names collide with computed card
+    # columns are superseded (the card's value wins — e.g. a stale
+    # n_chars from ingest)
+    other = [
+        c
+        for c in df.columns
+        if c not in (id_col, text_col) and c not in _CARD_COLUMNS
+    ]
+    # projection-with-passthrough stages: Catalyst collapses these
+    # into the final select — still one scan. repetition's n_words
+    # rides under a temp name because quality_score computes its own
+    # internally (same value, whitespace tokens).
+    rep = repetition_features(
+        df, id_col, text_col, passthrough=other + [text_col]
+    ).withColumnRenamed("n_words", "__n_words")
+    rep_cols = [
+        "dup_word_ratio", "dup_bigram_ratio",
+        "top_bigram_ratio", "passes_repetition_filter",
+    ]
+    scored = quality_score(
+        rep,
+        id_col,
+        text_col,
+        passthrough=other + [text_col, "__n_words"] + rep_cols,
+    )
+
+    t = F.col(text_col)
+    script_cols = script_profile_columns(t)
+    sent_cols = sentence_stats_columns(t)
+    # quality_score's n_words (whitespace tokens) is the one kept;
+    # the sentence-sum variant would collide
+    sent_cols.pop("n_words", None)
+    out = scored.select(
+        F.col(id_col),
+        *[F.col(c) for c in other],
+        *([t] if keep_text else []),
+        # quality + repetition (already columns on `scored`)
+        F.col("__n_words").alias("n_words"),
+        F.col("quality_logit"),
+        F.col("passes_quality"),
+        *[F.col(c) for c in rep_cols],
+        # size
+        F.length(t).cast("long").alias("n_chars"),
+        # encoding health
+        mojibake_score(t).cast("long").alias("mojibake_hits"),
+        F.coalesce(needs_composition(t), F.lit(False)).alias(
+            "needs_nfc"
+        ),
+        # scripts
+        *[c.alias(name) for name, c in script_cols.items()],
+        # sentences
+        *[c.alias(name) for name, c in sent_cols.items()],
+        # pii exposure counts (codegen regexp_count on the shared
+        # Java∩RE2-safe patterns)
+        F.regexp_count(t, F.lit(EMAIL_PATTERN)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_PATTERN)).cast("long").alias("n_phones"),
+        F.regexp_count(t, F.lit(IPV4_PATTERN)).cast("long").alias("n_ips"),
+    )
+    return out

@@ -1,0 +1,87 @@
+"""Document score card: one-scan fusion, value agreement with the
+individual operators, and the narrow-output contract."""
+
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.plans.scorecard import score_card
+
+
+def _docs(spark):
+    rows = [
+        (1, "The analysis discusses how the harvest changed the village "
+            "economy. The traders near the river liked the new roads. "
+            "Write to clerk@example.com for the ledger.", "s0"),
+        (2, "spam spam spam spam spam spam spam spam spam spam spam", "s0"),
+        (3, "cafÃ© talk with mojibake and an address 10.0.0.1 inside, "
+            "plus enough ordinary words to pass the length gates easily "
+            "for the quality scorer today.", "s1"),
+        (4, None, "s1"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_columns_and_values(spark):
+    card = score_card(_docs(spark), "doc_id", "text")
+    rows = {r["doc_id"]: r for r in card.collect()}
+    assert len(rows) == 4  # NULL-text docs keep a row
+    expected_cols = {
+        "doc_id", "source", "n_words", "quality_logit", "passes_quality",
+        "dup_word_ratio", "dup_bigram_ratio", "top_bigram_ratio",
+        "passes_repetition_filter", "n_chars", "mojibake_hits", "needs_nfc",
+        "dominant_script", "dominant_ratio", "n_script_chars", "mixed_script",
+        "n_sentences", "mean_sentence_words", "frac_short",
+        "n_emails", "n_phones", "n_ips",
+    }
+    assert expected_cols == set(card.columns)
+    assert "text" not in card.columns  # narrow by default
+    r1 = rows[1]
+    assert r1["n_emails"] == 1 and r1["n_ips"] == 0
+    assert r1["n_sentences"] == 3
+    assert r1["passes_repetition_filter"] is True
+    assert rows[2]["passes_repetition_filter"] is False
+    assert rows[3]["mojibake_hits"] > 0 and rows[3]["n_ips"] == 1
+    assert rows[1]["dominant_script"] == "latin"
+
+
+def test_agrees_with_individual_operators(spark):
+    from cdk_datalake_ingest_bigmagic_spark.operators.scripts import (
+        script_profile,
+    )
+    from cdk_datalake_ingest_bigmagic_spark.operators.sentences import (
+        sentence_stats,
+    )
+
+    docs = _docs(spark).where("text is not null")
+    card = {r["doc_id"]: r for r in score_card(docs, "doc_id", "text").collect()}
+    for r in script_profile(docs, "doc_id", "text").collect():
+        assert card[r["doc_id"]]["dominant_script"] == r["dominant_script"]
+        assert card[r["doc_id"]]["n_script_chars"] == r["n_script_chars"]
+    for r in sentence_stats(docs, "doc_id", "text").collect():
+        assert card[r["doc_id"]]["n_sentences"] == r["n_sentences"]
+        assert card[r["doc_id"]]["frac_short"] == r["frac_short"]
+
+
+def test_single_scan_zero_shuffle_zero_python(spark):
+    card = score_card(_docs(spark), "doc_id", "text")
+    plan = card._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # exactly one scan of the source
+    assert plan.count("Scan ExistingRDD") + plan.count("FileScan") <= 1
+
+
+def test_keep_text_flag(spark):
+    card = score_card(_docs(spark), "doc_id", "text", keep_text=True)
+    assert "text" in card.columns
+
+
+def test_on_real_testdata_one_pass(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    card = score_card(docs, "doc_id", "text")
+    plan = card._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    agg = card.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("passes_quality").cast("int")).alias("q"),
+    ).collect()[0]
+    assert agg["n"] == docs.count() and agg["q"] > 0
