@@ -1,0 +1,148 @@
+"""WebDataset-style tar shard sink and reader.
+
+Multimodal training loaders (the WebDataset convention: tar archives
+whose members group by key — ``{key}.txt``, ``{key}.json``,
+``{key}.jpg`` — read sequentially at full disk bandwidth) consume tar
+shards, not parquet. This sink turns a prepared DataFrame into such
+shards; the reader inverts it for round-trips and inspection.
+
+Scale shape: one ``repartition(n_shards, shard_col)`` is the only
+shuffle; each task then streams ITS rows into ITS tar file — shards
+write in parallel across executors, memory per task is one row at a
+time (tarfile streams), and shard count = file count is explicit.
+This is deliberately an IO adapter at the partition boundary
+(``mapPartitions`` territory, like WARC framing) — the data paths
+stay DataFrame-side; only serialization runs per-partition Python.
+
+Caveats, stated honestly: members are written to ``out_dir`` by
+EXECUTORS, so the directory must be writable from every executor
+(local FS here; a cluster points at a mounted/object-store path
+via its own committer discipline). Writes are not transactional —
+re-running overwrites shard files whole, and a killed task leaves a
+``.tmp`` never renamed, so readers must ignore ``*.tmp`` (ours does).
+Determinism: rows are sorted by key within each shard, so the same
+input produces byte-stable member ordering.
+"""
+
+from __future__ import annotations
+
+import glob
+import io
+import json
+import os
+import tarfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_webdataset(
+    df: DataFrame,
+    out_dir: str,
+    key_col: str,
+    text_col: str | None = None,
+    binary_col: str | None = None,
+    binary_ext: str = "bin",
+    meta_cols: tuple[str, ...] = (),
+    n_shards: int = 8,
+) -> list[str]:
+    """Write ``df`` as ``shard-%05d.tar`` files under ``out_dir``.
+
+    Per row: ``{key}.txt`` (``text_col``, utf-8), ``{key}.{binary_ext}``
+    (``binary_col``, raw bytes), and ``{key}.json`` (``meta_cols`` as
+    a JSON object) — whichever are configured. Returns the shard file
+    paths. Shard routing hashes the key (stable across runs); rows
+    sort by key inside each shard.
+    """
+    if text_col is None and binary_col is None and not meta_cols:
+        raise ValueError("nothing to write: configure text/binary/meta")
+    os.makedirs(out_dir, exist_ok=True)
+    cols = [F.col(key_col).cast("string").alias("__key")]
+    if text_col is not None:
+        cols.append(F.col(text_col).alias("__text"))
+    if binary_col is not None:
+        cols.append(F.col(binary_col).alias("__bin"))
+    cols += [F.col(c) for c in meta_cols]
+    shard = F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_shards))
+    prepared = (
+        df.select(*cols, shard.alias("__shard"))
+        .repartition(n_shards, "__shard")
+        .sortWithinPartitions("__shard", "__key")
+    )
+    meta_list = list(meta_cols)
+    has_text, has_bin = text_col is not None, binary_col is not None
+
+    def write_partition(rows):
+        tf, cur_shard, path = None, None, None
+
+        def close():
+            nonlocal tf
+            if tf is not None:
+                tf.close()
+                os.replace(path + ".tmp", path)
+                tf = None
+
+        for row in rows:
+            s = row["__shard"]
+            if s != cur_shard:
+                close()
+                cur_shard = s
+                path = os.path.join(out_dir, f"shard-{s:05d}.tar")
+                tf = tarfile.open(path + ".tmp", "w")
+            key = row["__key"]
+
+            def add(name: str, data: bytes):
+                info = tarfile.TarInfo(name)
+                info.size = len(data)
+                info.mtime = 0  # byte-stable archives
+                tf.addfile(info, io.BytesIO(data))
+
+            if has_text and row["__text"] is not None:
+                add(f"{key}.txt", row["__text"].encode("utf-8"))
+            if has_bin and row["__bin"] is not None:
+                add(f"{key}.{binary_ext}", bytes(row["__bin"]))
+            if meta_list:
+                meta = {c: row[c] for c in meta_list}
+                add(
+                    f"{key}.json",
+                    json.dumps(meta, sort_keys=True, default=str).encode(),
+                )
+        close()
+        return iter(())
+
+    # the one per-partition Python stage: serialization at the sink
+    # boundary (same category as WARC framing)
+    prepared.rdd.mapPartitions(write_partition).count()
+    return sorted(glob.glob(os.path.join(out_dir, "shard-*.tar")))
+
+
+def read_webdataset(
+    spark: SparkSession, in_dir: str
+) -> DataFrame:
+    """Invert the sink: (key, member_ext, content binary) rows from
+    every non-``.tmp`` shard under ``in_dir``. Driver enumerates shard
+    FILES (bounded: one path per shard), executors each untar their
+    own shards in parallel."""
+    shards = sorted(
+        p
+        for p in glob.glob(os.path.join(in_dir, "shard-*.tar"))
+        if not p.endswith(".tmp")
+    )
+    if not shards:
+        return spark.createDataFrame(
+            [], "key string, member_ext string, content binary"
+        )
+
+    def read_shard(paths):
+        for p in paths:
+            with tarfile.open(p) as tf:
+                for m in tf.getmembers():
+                    key, _, ext = m.name.rpartition(".")
+                    yield key, ext, bytearray(tf.extractfile(m).read())
+
+    rdd = spark.sparkContext.parallelize(shards, len(shards)).mapPartitions(
+        read_shard
+    )
+    return spark.createDataFrame(
+        rdd, "key string, member_ext string, content binary"
+    )

@@ -1,0 +1,103 @@
+"""WebDataset tar shard sink/reader: round-trip, member grouping,
+determinism, and the ignore-partial contract."""
+
+import json
+import os
+import tarfile
+
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.sources.webdataset import (
+    read_webdataset,
+    write_webdataset,
+)
+
+
+def _docs(spark, n=20):
+    rows = [
+        (f"doc{i:03d}", f"text number {i}", bytes([i % 256, 255 - i % 256]),
+         f"src{i % 3}", i)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "key string, text string, payload binary, source string, seq long"
+    )
+
+
+def test_roundtrip_all_member_kinds(spark, tmp_path):
+    out = str(tmp_path / "wds")
+    paths = write_webdataset(
+        _docs(spark), out, "key",
+        text_col="text", binary_col="payload", binary_ext="img",
+        meta_cols=("source", "seq"), n_shards=4,
+    )
+    assert len(paths) == 4 and all(p.endswith(".tar") for p in paths)
+    back = read_webdataset(spark, out)
+    rows = back.collect()
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r["member_ext"], {})[r["key"]] = bytes(r["content"])
+    assert set(by_kind) == {"txt", "img", "json"}
+    assert len(by_kind["txt"]) == 20
+    assert by_kind["txt"]["doc007"] == b"text number 7"
+    assert by_kind["img"]["doc007"] == bytes([7, 248])
+    meta = json.loads(by_kind["json"]["doc007"])
+    assert meta == {"source": "src1", "seq": 7}
+
+
+def test_members_group_by_key_within_shard(spark, tmp_path):
+    out = str(tmp_path / "wds2")
+    paths = write_webdataset(
+        _docs(spark), out, "key", text_col="text",
+        meta_cols=("source",), n_shards=2,
+    )
+    for p in paths:
+        with tarfile.open(p) as tf:
+            names = tf.getnames()
+        keys = [n.rsplit(".", 1)[0] for n in names]
+        # each key's members are adjacent, keys ascend (sorted write)
+        seen = []
+        for k in keys:
+            if not seen or seen[-1] != k:
+                seen.append(k)
+        assert seen == sorted(set(seen))
+
+
+def test_byte_stable_across_runs(spark, tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    for out in (a, b):
+        write_webdataset(
+            _docs(spark), out, "key", text_col="text", n_shards=3
+        )
+    for pa, pb in zip(
+        sorted(os.listdir(a)), sorted(os.listdir(b)), strict=True
+    ):
+        assert open(f"{a}/{pa}", "rb").read() == open(f"{b}/{pb}", "rb").read()
+
+
+def test_reader_ignores_partial_tmp(spark, tmp_path):
+    out = str(tmp_path / "wds3")
+    write_webdataset(_docs(spark, 6), out, "key", text_col="text", n_shards=1)
+    with open(os.path.join(out, "shard-99999.tar.tmp"), "wb") as f:
+        f.write(b"partial garbage")
+    back = read_webdataset(spark, out)
+    assert back.filter(F.col("member_ext") == "txt").count() == 6
+
+
+def test_empty_dir_and_bad_config(spark, tmp_path):
+    import pytest
+
+    empty = read_webdataset(spark, str(tmp_path / "nope"))
+    assert empty.count() == 0
+    with pytest.raises(ValueError):
+        write_webdataset(_docs(spark), str(tmp_path / "x"), "key")
+
+
+def test_null_members_skipped(spark, tmp_path):
+    rows = [("a", None), ("b", "has text")]
+    df = spark.createDataFrame(rows, "key string, text string")
+    out = str(tmp_path / "wds4")
+    write_webdataset(df, out, "key", text_col="text", n_shards=1)
+    back = read_webdataset(spark, out)
+    keys = {r["key"] for r in back.collect()}
+    assert keys == {"b"}
