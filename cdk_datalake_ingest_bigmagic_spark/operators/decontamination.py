@@ -1,0 +1,133 @@
+"""Embedding-based benchmark decontamination.
+
+N-gram overlap (operators/text.py) catches verbatim leakage and BM25
+scoring (operators/retrieval.py) catches lexical paraphrase; the
+remaining gap is SEMANTIC leakage — an eval item rephrased beyond
+token overlap. The standard closer (the GPT-3/Llama decontamination
+appendices describe the family) is embedding cosine against the eval
+set. This module is that pass, shaped for 100 TB:
+
+- The EVAL side is small by nature (benchmarks are 10^2–10^5 items),
+  so it broadcasts as a normalized float32 matrix — with the same
+  counted-cap guard the similarity index uses (fail loud, never
+  collect an unbounded side).
+- The CORPUS side streams through ONE Arrow batch matmul per task:
+  per document, the max cosine against every eval item and the
+  argmax eval id. Zero shuffles; the corpus×eval similarity space is
+  scanned but never materialized.
+- Kernel is a factory closure (by-value pickling — see the Arrow
+  note in operators/html.py).
+
+Float cosines are not cross-engine-reproducible (BLAS summation
+order), so like random_project/classifier this is pytest-verified:
+numpy parity on the same vectors, flag monotonicity, and plan shape.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Same driver-memory guard rationale as similarity.DEFAULT_MAX_INDEX_ROWS;
+#: eval sets are small, so the default is deliberately tight — raising
+#: it is an explicit decision.
+DEFAULT_MAX_EVAL_ROWS = 500_000
+
+
+def _collect_eval_matrix(
+    eval_df: DataFrame, id_col: str, vec_col: str, max_rows: int
+) -> tuple[np.ndarray, np.ndarray]:
+    n = eval_df.count()
+    if n == 0:
+        raise ValueError("empty eval set")
+    if n > max_rows:
+        raise ValueError(
+            f"eval set has {n} rows > max_eval_rows={max_rows}; "
+            "raise the cap explicitly if the driver can hold it"
+        )
+    rows = eval_df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([r[1] for r in rows], dtype=np.float32)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return ids, mat / norms
+
+
+def _make_scan_kernel(id_col: str, vec_col: str, eval_ids, eval_mat):
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.array(list(pdf[vec_col]), dtype=np.float32)
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (vecs / norms) @ eval_mat.T  # (batch, n_eval)
+            best = sims.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "max_cosine": sims[np.arange(len(pdf)), best].astype(
+                        "float64"
+                    ),
+                    "nearest_eval_id": eval_ids[best],
+                }
+            )
+
+    return kernel
+
+
+def embedding_decontaminate(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    eval_df: DataFrame,
+    eval_id_col: str,
+    eval_vec_col: str,
+    min_cosine: float = 0.95,
+    max_eval_rows: int = DEFAULT_MAX_EVAL_ROWS,
+) -> DataFrame:
+    """(id, max_cosine, nearest_eval_id, flagged): every corpus
+    document's strongest semantic match in the eval set, flagged at
+    ``min_cosine``. Filter on ``flagged`` to quarantine, or keep the
+    whole frame as the audit table."""
+    eval_ids, eval_mat = _collect_eval_matrix(
+        eval_df, eval_id_col, eval_vec_col, max_eval_rows
+    )
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    eval_id_type = eval_df.schema[eval_id_col].dataType.simpleString()
+    schema = (
+        f"{id_col} {id_type}, max_cosine double, "
+        f"nearest_eval_id {eval_id_type}"
+    )
+    from cdk_datalake_ingest_bigmagic_spark.operators import fan_out
+
+    scanned = fan_out(corpus.select(id_col, vec_col)).mapInPandas(
+        _make_scan_kernel(id_col, vec_col, eval_ids, eval_mat), schema
+    )
+    return scanned.withColumn(
+        "flagged", F.col("max_cosine") >= F.lit(float(min_cosine))
+    )
+
+
+def decontamination_review(
+    flags: DataFrame, id_col: str, k_per_eval: int = 5
+) -> DataFrame:
+    """Reviewer table: the top-``k_per_eval`` closest corpus
+    documents per eval item, from the audit frame
+    :func:`embedding_decontaminate` returns. One window over
+    (eval item) groups — group count = eval size, driver-bounded by
+    construction."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("nearest_eval_id").orderBy(
+        F.col("max_cosine").desc(), F.col(id_col)
+    )
+    return (
+        flags.withColumn("review_rank", F.row_number().over(w))
+        .filter(F.col("review_rank") <= k_per_eval)
+        .select("nearest_eval_id", "review_rank", id_col, "max_cosine")
+    )

@@ -1,0 +1,126 @@
+"""Embedding decontamination: numpy parity, flag semantics, caps,
+and plan shape."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.operators.decontamination import (
+    decontamination_review,
+    embedding_decontaminate,
+)
+
+
+def _corpus(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "doc_id long, emb array<float>",
+    )
+
+
+def _eval(spark, vecs, start=100):
+    return spark.createDataFrame(
+        [(start + i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "eval_id long, emb array<float>",
+    )
+
+
+def test_flags_semantic_match(spark):
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(6, 8))
+    # corpus doc 0 is a near-copy of eval item 0; the rest are random
+    corpus_vecs = [base[0] + 0.01 * rng.normal(size=8)] + list(base[1:4])
+    eval_vecs = [base[0], base[4], base[5]]
+    out = embedding_decontaminate(
+        _corpus(spark, corpus_vecs), "doc_id", "emb",
+        _eval(spark, eval_vecs), "eval_id", "emb",
+        min_cosine=0.95,
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[0]["flagged"] is True
+    assert rows[0]["nearest_eval_id"] == 100
+    assert all(not rows[i]["flagged"] for i in (1, 2, 3))
+
+
+def test_numpy_parity(spark):
+    rng = np.random.default_rng(11)
+    c, e = rng.normal(size=(20, 16)), rng.normal(size=(5, 16))
+    out = embedding_decontaminate(
+        _corpus(spark, c), "doc_id", "emb",
+        _eval(spark, e), "eval_id", "emb",
+    ).collect()
+    cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+    en = e / np.linalg.norm(e, axis=1, keepdims=True)
+    sims = cn.astype(np.float32) @ en.astype(np.float32).T
+    for r in out:
+        expect = sims[r["doc_id"]].max()
+        assert abs(r["max_cosine"] - expect) < 1e-5
+        assert r["nearest_eval_id"] == 100 + sims[r["doc_id"]].argmax()
+
+
+def test_eval_cap_and_empty(spark):
+    rng = np.random.default_rng(3)
+    c = _corpus(spark, rng.normal(size=(4, 4)))
+    with pytest.raises(ValueError, match="max_eval_rows"):
+        embedding_decontaminate(
+            c, "doc_id", "emb",
+            _eval(spark, rng.normal(size=(5, 4))), "eval_id", "emb",
+            max_eval_rows=3,
+        )
+    with pytest.raises(ValueError, match="empty"):
+        embedding_decontaminate(
+            c, "doc_id", "emb",
+            _eval(spark, np.zeros((0, 4))), "eval_id", "emb",
+        )
+
+
+def test_review_table(spark):
+    rng = np.random.default_rng(5)
+    e = rng.normal(size=(2, 8))
+    # 6 corpus docs: 3 drift around each eval item
+    c = [e[i % 2] + 0.1 * rng.normal(size=8) for i in range(6)]
+    flags = embedding_decontaminate(
+        _corpus(spark, c), "doc_id", "emb",
+        _eval(spark, e), "eval_id", "emb", min_cosine=0.8,
+    )
+    review = decontamination_review(flags, "doc_id", k_per_eval=2)
+    rows = review.collect()
+    by_eval = {}
+    for r in rows:
+        by_eval.setdefault(r["nearest_eval_id"], []).append(r)
+    for eid, grp in by_eval.items():
+        ranks = sorted(r["review_rank"] for r in grp)
+        assert ranks == list(range(1, len(grp) + 1)) and len(grp) <= 2
+        sims = [r["max_cosine"] for r in sorted(grp, key=lambda r: r["review_rank"])]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_no_corpus_shuffle(spark):
+    rng = np.random.default_rng(9)
+    flags = embedding_decontaminate(
+        _corpus(spark, rng.normal(size=(10, 4))), "doc_id", "emb",
+        _eval(spark, rng.normal(size=(3, 4))), "eval_id", "emb",
+    )
+    plan = flags._jdf.queryExecution().executedPlan().toString()
+    # the only allowed movement is the under-partitioned-input fan_out
+    # repartition (a local small-file artifact, no-op at scale)
+    assert plan.count("Exchange") <= 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_works_on_real_embeddings(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cols = emb.columns
+    vec = "embedding" if "embedding" in cols else cols[1]
+    idc = cols[0]
+    evals = emb.limit(3).select(
+        F.col(idc).alias("eval_id"), F.col(vec).alias("emb")
+    )
+    out = embedding_decontaminate(
+        emb.select(F.col(idc), F.col(vec)), idc, vec,
+        evals, "eval_id", "emb", min_cosine=0.999,
+    )
+    # the 3 eval rows exist verbatim in the corpus: all must flag
+    flagged_ids = {r[idc] for r in out.where("flagged").collect()}
+    eval_ids = {r["eval_id"] for r in evals.collect()}
+    assert eval_ids <= flagged_ids
