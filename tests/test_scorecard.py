@@ -85,3 +85,30 @@ def test_on_real_testdata_one_pass(spark, sf_dir):
         F.sum(F.col("passes_quality").cast("int")).alias("q"),
     ).collect()[0]
     assert agg["n"] == docs.count() and agg["q"] > 0
+
+
+def test_streaming_safe(spark, tmp_path):
+    """Every card signal is a projection, so the same plan runs
+    unchanged under Structured Streaming — the batch ≡ streaming
+    contract the window operators already keep."""
+    src = str(tmp_path / "src")
+    _docs(spark).where("text is not null").write.parquet(src)
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    card = score_card(stream, "doc_id", "text")
+    q = (
+        card.writeStream.format("memory")
+        .queryName("card_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        r["doc_id"]: r["n_sentences"]
+        for r in spark.sql("select * from card_stream").collect()
+    }
+    want = {
+        r["doc_id"]: r["n_sentences"]
+        for r in score_card(static, "doc_id", "text").collect()
+    }
+    assert got == want and len(got) == 3
