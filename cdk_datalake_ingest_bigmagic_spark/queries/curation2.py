@@ -468,3 +468,53 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return tfidf_keywords(d, "doc_id", "text", k=5)
+
+
+# ---------------------------------------------------------------------------
+# Dedup observability (operators/evaluation.py)
+# ---------------------------------------------------------------------------
+#
+# Synthetic near-dup labeling: cluster = doc_id div k with k varying
+# by residue, so the histogram has several size classes.
+
+
+@register(
+    "dedup_cluster_histogram",
+    oracle="""
+    WITH labels AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 < 6 THEN 'u' || doc_id
+                  WHEN doc_id % 10 < 9 THEN 'p' || (doc_id // 20)
+                  ELSE 'big' END AS cluster
+      FROM documents
+    ),
+    sizes AS (
+      SELECT cluster, count(*) AS cluster_size FROM labels GROUP BY 1
+    )
+    SELECT cluster_size, count(*) AS n_clusters,
+           cluster_size * count(*) AS n_docs
+    FROM sizes GROUP BY 1
+    """,
+)
+def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cluster_report's size histogram over a labeling both engines
+    derive identically (singletons, small pairs-ish clusters, one
+    giant boilerplate cluster) — the dedup sanity table."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.evaluation import (
+        cluster_report,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    cluster = (
+        F.when(
+            F.col("doc_id") % 10 < 6,
+            F.concat(F.lit("u"), F.col("doc_id").cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 10 < 9,
+            F.concat(F.lit("p"), F.expr("doc_id div 20").cast("string")),
+        )
+        .otherwise(F.lit("big"))
+    )
+    labels = d.select("doc_id", cluster.alias("cluster"))
+    return cluster_report(labels, "doc_id", "cluster")
