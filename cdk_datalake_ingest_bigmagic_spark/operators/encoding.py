@@ -182,6 +182,13 @@ def repair_encoding(
     regime); a pass that changes nothing stops early. A string that
     stops round-tripping cleanly is returned as-is — repair must
     never corrupt text it cannot prove mangled.
+
+    Known boundary (property-tested): intentional text that is
+    byte-identical to VALID mojibake of something else (``"Ä\\xa0"``
+    is exactly the mis-decode of ``"Ġ"``) is indistinguishable from
+    damage at the string level and gets peeled one level further.
+    Real prose never round-trips cleanly, so the ambiguity is
+    confined to short symbol runs.
     """
     is_flagged = F.coalesce(mojibake_score(text_col) > 0, F.lit(False))
     flagged = df.where(is_flagged)

@@ -7,7 +7,7 @@ hypothesis can run hundreds of examples in ms."""
 from __future__ import annotations
 
 import pandas as pd
-from hypothesis import given, settings
+from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
 from cdk_datalake_ingest_bigmagic_spark.operators.encoding import (
@@ -46,9 +46,19 @@ _safe_chars = st.characters(
 _safe_text = st.text(alphabet=_safe_chars, min_size=0, max_size=60)
 
 
+def _is_repair_fixed_point(s: str) -> bool:
+    """True when repair leaves s alone — excludes the inherently
+    ambiguous strings that are themselves byte-identical to the
+    mojibake of something else (e.g. 'Ä\\xa0' IS the mis-decode of
+    'Ġ'); at the string level that ambiguity is unresolvable, and
+    repair documents that it peels such text further."""
+    return _repair([s]) == [s]
+
+
 @settings(max_examples=300, deadline=None)
 @given(_safe_text)
 def test_repair_inverts_mangle(s):
+    assume(_is_repair_fixed_point(s))
     # repair may need < max_passes; it must stop exactly at s
     assert _repair([_mangle(s)]) == [s]
 
@@ -69,7 +79,15 @@ def test_ascii_is_untouched(s):
 @settings(max_examples=100, deadline=None)
 @given(_safe_text)
 def test_double_mangle_double_repair(s):
+    assume(_is_repair_fixed_point(s))
     assert _repair([_mangle(_mangle(s))]) == [s]
+
+
+def test_ambiguous_lookalike_is_peeled():
+    # the documented boundary hypothesis found: text byte-identical
+    # to valid mojibake is repaired "past" itself — unavoidable at
+    # the string level, stated here as intended behavior
+    assert _repair(["Ä\xa0"]) == ["Ġ"]
 
 
 def test_none_passthrough():
