@@ -1,0 +1,119 @@
+"""Trained character-n-gram language identification (tier 2).
+
+Stopword voting (operators/text.py::language_id) needs a curated word
+list per language; the char-n-gram profile approach (Cavnar & Trenkle
+1994 — the textcat/CLD lineage) trains itself from any labeled seed
+corpus and handles languages the word lists never covered. This is
+its distributed, determinism-first core:
+
+- **Train**: one pass over a labeled seed — explode char trigrams,
+  count per (lang, gram), keep each language's top-K by (count desc,
+  gram asc) — a driver-bounded model (langs × K rows) with the same
+  counted-cap discipline as the BPE trainer.
+- **Classify**: the model becomes per-language literal ARRAYS inlined
+  into codegen; each document's distinct trigram array intersects
+  each language's profile in-row (``array_intersect``), and the
+  argmax vote (ties: lexicographic language order) is a deterministic
+  integer decision — zero shuffle, zero Python, rides the scan.
+
+Integer votes make the classifier oracle-gateable (no log-prob
+floats); accuracy is the train corpus's concern, determinism is
+ours. K×|langs| literal arrays stay small (default 200×n) — far
+under codegen limits; a 10k-gram profile would move the model to a
+broadcast join instead (documented cliff).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def char_ngrams(text, n: int = 3) -> Column:
+    """Distinct lowercased char n-grams of a string Column, computed
+    in-row (sequence → transform → substring); whitespace runs are
+    collapsed to single spaces first so layout doesn't shape the
+    profile."""
+    col = F.col(text) if isinstance(text, str) else text
+    norm = F.regexp_replace(F.lower(col), r"\s+", " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.filter(
+            F.transform(idx, lambda i: norm.substr(i, F.lit(n))),
+            lambda g: F.length(g) == n,  # drops sub-n tails of short text
+        )
+    )
+
+
+def train_char_ngram_profiles(
+    seed: DataFrame,
+    lang_col: str,
+    text_col: str,
+    n: int = 3,
+    top_k: int = 200,
+) -> dict[str, list[str]]:
+    """Per-language top-K char n-gram profiles from a labeled seed
+    corpus. One explode + one (lang, gram) aggregation + a bounded
+    per-language TakeOrdered; the result is a plain dict (langs × K
+    strings) — the model artifact, JSON-serializable for reuse.
+    Deterministic: ties break on the gram string."""
+    from pyspark.sql import Window
+
+    grams = seed.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(char_ngrams(text_col, n)).alias("gram"),
+    )
+    counts = grams.groupBy("lang", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("cnt").desc(), F.col("gram").asc()
+    )
+    top = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("lang", "gram", "rank")
+        .collect()  # bounded: langs × top_k rows
+    )
+    profiles: dict[str, list[str]] = {}
+    for r in sorted(top, key=lambda r: (r["lang"], r["rank"])):
+        profiles.setdefault(r["lang"], []).append(r["gram"])
+    return profiles
+
+
+def classify_language(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    profiles: dict[str, list[str]],
+    n: int = 3,
+    min_votes: int = 3,
+) -> DataFrame:
+    """(id, lang_pred, votes): argmax of per-language profile
+    overlaps, inlined into one codegen projection. Documents whose
+    best overlap is under ``min_votes`` (too short / out-of-model
+    script) get ``'und'``. Ties break on lexicographic language
+    order — deterministic cross-engine."""
+    if not profiles:
+        raise ValueError("empty profiles")
+    doc_grams = char_ngrams(text_col, n)
+    langs = sorted(profiles)
+    votes = {
+        lang: F.size(
+            F.array_intersect(
+                doc_grams, F.array(*[F.lit(g) for g in profiles[lang]])
+            )
+        )
+        for lang in langs
+    }
+    best = F.greatest(*votes.values()) if len(langs) > 1 else votes[langs[0]]
+    guess = F.lit("und")
+    for lang in reversed(langs):  # earlier languages win ties
+        guess = F.when(
+            (votes[lang] == best) & (best >= min_votes), F.lit(lang)
+        ).otherwise(guess)
+    return df.select(
+        F.col(id_col),
+        guess.alias("lang_pred"),
+        F.greatest(best, F.lit(0)).cast("long").alias("votes"),
+    )
