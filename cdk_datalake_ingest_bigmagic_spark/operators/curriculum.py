@@ -1,0 +1,60 @@
+"""Curriculum ordering for training shards.
+
+Curriculum training reads data quality-first (or easy-first); the
+loader consumes shards sequentially, so the ORDER WITHIN each shard
+is where a curriculum lives. This operator assigns within-shard
+positions by (quality bucket, content hash): coarse buckets carry
+the curriculum, the hash keeps each bucket internally shuffled so
+the loader never sees a sorted-by-anything-semantic run (the same
+reproducible-pseudo-randomness contract as
+operators/sampling.py::shard_assign).
+
+Scale shape: ONE window per shard. Shards are content-hash balanced
+by construction (that is what shard_assign is for), so the window's
+partitions are uniform — no hot-key regime. Deterministic: same
+rows, same positions, any cluster layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def curriculum_order(
+    df: DataFrame,
+    id_col: str,
+    shard_col: str,
+    quality_col: str,
+    n_buckets: int = 10,
+    best_first: bool = True,
+    seed: str = "curriculum",
+) -> DataFrame:
+    """Add ``quality_bucket`` and a within-shard ``position`` ordered
+    by bucket (best first by default) then content hash. Bucketing
+    uses ``ntile`` over the GLOBAL quality order so bucket boundaries
+    are corpus-wide quantiles, not per-shard artifacts.
+
+    Two windows: the global ntile (one total-order sort — the same
+    cost class as any global quantile; use coarse ``n_buckets``) and
+    the per-shard position. A quality column that is already a bucket
+    (integers) can skip the first by passing ``n_buckets=0``.
+    """
+    if n_buckets > 0:
+        gw = Window.orderBy(F.col(quality_col).asc(), F.col(id_col).asc())
+        bucket = F.ntile(n_buckets).over(gw)
+    else:
+        bucket = F.col(quality_col).cast("int")
+    out = df.withColumn("quality_bucket", bucket)
+    order_bucket = (
+        F.col("quality_bucket").desc()
+        if best_first
+        else F.col("quality_bucket").asc()
+    )
+    mix = F.md5(
+        F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    pw = Window.partitionBy(shard_col).orderBy(order_bucket, mix.asc())
+    return out.withColumn(
+        "position", (F.row_number().over(pw) - 1).cast("long")
+    )

@@ -1,0 +1,67 @@
+"""Curriculum shard ordering: bucket monotonicity, within-bucket
+mixing, determinism."""
+
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.operators.curriculum import (
+    curriculum_order,
+)
+
+
+def _df(spark, n=60):
+    rows = [(i, f"s{i % 3}", float(i % 20)) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, shard string, q double")
+
+
+def test_best_first_monotone_buckets(spark):
+    out = curriculum_order(_df(spark), "doc_id", "shard", "q", n_buckets=5)
+    for shard in ("s0", "s1", "s2"):
+        rows = (
+            out.filter(F.col("shard") == shard)
+            .orderBy("position")
+            .select("quality_bucket")
+            .collect()
+        )
+        buckets = [r["quality_bucket"] for r in rows]
+        assert buckets == sorted(buckets, reverse=True)
+
+
+def test_positions_are_dense_per_shard(spark):
+    out = curriculum_order(_df(spark), "doc_id", "shard", "q")
+    for shard in ("s0", "s1", "s2"):
+        pos = sorted(
+            r["position"]
+            for r in out.filter(F.col("shard") == shard).collect()
+        )
+        assert pos == list(range(len(pos)))
+
+
+def test_within_bucket_is_hash_mixed_not_id_sorted(spark):
+    out = curriculum_order(
+        _df(spark, 200), "doc_id", "shard", "q", n_buckets=2
+    )
+    rows = (
+        out.filter((F.col("shard") == "s0") & (F.col("quality_bucket") == 2))
+        .orderBy("position")
+        .select("doc_id")
+        .collect()
+    )
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) > 5 and ids != sorted(ids)  # mixed, not id order
+
+
+def test_deterministic(spark):
+    a = curriculum_order(_df(spark), "doc_id", "shard", "q").collect()
+    b = curriculum_order(_df(spark), "doc_id", "shard", "q").collect()
+    key = lambda rows: sorted(  # noqa: E731
+        (r["doc_id"], r["position"], r["quality_bucket"]) for r in rows
+    )
+    assert key(a) == key(b)
+
+
+def test_prebucketed_skips_global_sort(spark):
+    df = _df(spark).withColumn("qb", (F.col("q") >= 10).cast("int"))
+    out = curriculum_order(df, "doc_id", "shard", "qb", n_buckets=0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # no global ntile window: only the per-shard hash-partitioned sort
+    assert plan.count("Window") == 1
