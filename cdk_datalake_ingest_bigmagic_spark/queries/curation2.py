@@ -518,3 +518,109 @@ def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = d.select("doc_id", cluster.alias("cluster"))
     return cluster_report(labels, "doc_id", "cluster")
+
+
+# ---------------------------------------------------------------------------
+# Trained char-n-gram language ID (operators/langid2.py)
+# ---------------------------------------------------------------------------
+#
+# Self-training gate: synthetic language labels by doc_id % 3 with
+# script tails appended ('aa' Cyrillic, 'bb' CJK, 'cc' none); train
+# profiles on the augmented corpus, classify the same corpus. The
+# gate needs cross-engine EQUALITY of the deterministic train +
+# classify pipeline, not linguistic accuracy — the oracle replicates
+# document-frequency counting, (count desc, gram asc) top-K ranking,
+# distinct-gram voting, and the lexicographic tie-break exactly.
+
+_LANGID_TOPK = 120
+_LANGID_MINV = 3
+
+_LANGID_AUG_SQL = """
+    aug AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'aa' WHEN 1 THEN 'bb'
+                  ELSE 'cc' END AS lang,
+             regexp_replace(lower(
+               text || CASE doc_id % 3
+                 WHEN 0 THEN ' привет мир всем'
+                 WHEN 1 THEN ' 你好世界朋友'
+                 ELSE '' END), '\\s+', ' ', 'g') AS s
+      FROM documents
+    ),
+    doc_grams AS (
+      SELECT DISTINCT doc_id, lang, substr(s, CAST(i AS INTEGER), 3) AS gram
+      FROM aug, unnest(range(1, greatest(length(s) - 2, 0) + 1)) AS t(i)
+      WHERE length(substr(s, CAST(i AS INTEGER), 3)) = 3
+    )
+"""
+
+
+@register(
+    "langid_train_classify",
+    oracle=f"""
+    WITH {_LANGID_AUG_SQL},
+    counts AS (
+      SELECT lang, gram, count(*) AS cnt FROM doc_grams GROUP BY 1, 2
+    ),
+    profile AS (
+      SELECT lang, gram FROM (
+        SELECT lang, gram,
+               ROW_NUMBER() OVER (
+                 PARTITION BY lang ORDER BY cnt DESC, gram ASC
+               ) AS rank
+        FROM counts
+      ) WHERE rank <= {_LANGID_TOPK}
+    ),
+    votes AS (
+      SELECT g.doc_id, p.lang, count(*) AS v
+      FROM (SELECT DISTINCT doc_id, gram FROM doc_grams) g
+      JOIN profile p USING (gram)
+      GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT doc_id, lang, v,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY v DESC, lang ASC
+             ) AS rn
+      FROM votes
+    )
+    SELECT d.doc_id,
+           CASE WHEN b.v >= {_LANGID_MINV} THEN b.lang
+                ELSE 'und' END AS lang_pred,
+           coalesce(b.v, 0) AS votes
+    FROM documents d
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+    """,
+)
+def langid_train_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end trained-model gate: profile training (document-
+    frequency top-K per language) and codegen classification votes
+    must agree with the oracle's SQL replication bit for bit —
+    integer votes and string argmax, no floats anywhere."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.langid2 import (
+        classify_language,
+        train_char_ngram_profiles,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    tail = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" привет мир всем"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(" 你好世界朋友"))
+        .otherwise(F.lit(""))
+    )
+    label = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("aa"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("bb"))
+        .otherwise(F.lit("cc"))
+    )
+    aug = d.select(
+        "doc_id",
+        label.alias("lang"),
+        F.concat(F.col("text"), tail).alias("text"),
+    )
+    profiles = train_char_ngram_profiles(
+        aug, "lang", "text", top_k=_LANGID_TOPK
+    )
+    return classify_language(
+        aug, "doc_id", "text", profiles, min_votes=_LANGID_MINV
+    )
