@@ -117,3 +117,83 @@ def classify_language(
         guess.alias("lang_pred"),
         F.greatest(best, F.lit(0)).cast("long").alias("votes"),
     )
+
+
+def classify_language_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    profiles: dict[str, list[str]],
+    n: int = 3,
+    min_votes: int = 3,
+) -> DataFrame:
+    """Join-tier classification, same semantics as
+    :func:`classify_language`: explode each document's distinct
+    grams, broadcast-hash-join the (gram, lang) profile relation,
+    count votes per (doc, lang), argmax with the same lexicographic
+    tie-break. One map-side-combined shuffle on the doc id.
+
+    Gram generation here deliberately AVOIDS the in-row array the
+    inline tier builds (``transform``/``array_distinct`` run
+    interpreted and dominate the inline tier's wall — measured, see
+    SCALE.md round-7 third batch): it explodes an integer sequence
+    and cuts each gram with codegen ``substring`` over the
+    pre-normalized text, then dedups (doc, gram) map-side. This is
+    also the only option once profiles outgrow literal inlining
+    (10k+ grams).
+    """
+    if not profiles:
+        raise ValueError("empty profiles")
+    spark = df.sparkSession
+    prof = spark.createDataFrame(
+        [(lang, g) for lang in sorted(profiles) for g in profiles[lang]],
+        "lang string, gram string",
+    )
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    normed = df.select(F.col(id_col), norm.alias("__s"))
+    grams = (
+        normed.select(
+            F.col(id_col),
+            F.col("__s"),
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length("__s") - (n - 1), F.lit(1)),
+                )
+            ).alias("__i"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__s").substr(F.col("__i"), F.lit(n)).alias("gram"),
+        )
+        .where(F.length("gram") == n)
+        .distinct()
+    )
+    votes = (
+        grams.join(F.broadcast(prof), "gram")
+        .groupBy(id_col, "lang")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("v").desc(), F.col("lang"))
+    best = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            id_col,
+            F.when(F.col("v") >= min_votes, F.col("lang"))
+            .otherwise(F.lit("und"))
+            .alias("lang_pred"),
+            F.col("v").cast("long").alias("votes"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("lang_pred"), F.lit("und")).alias("lang_pred"),
+            F.coalesce(F.col("votes"), F.lit(0)).cast("long").alias("votes"),
+        )
+    )

@@ -99,3 +99,31 @@ def test_mechanics_on_real_testdata(spark, sf_dir):
         docs.where(F.length("text") > 100).select("doc_id"), "doc_id"
     )
     assert long_docs.where(F.col("votes") <= 0).count() == 0
+
+
+def test_join_tier_equivalent_to_inline(spark):
+    from cdk_datalake_ingest_bigmagic_spark.operators.langid2 import (
+        classify_language_join,
+    )
+
+    profiles = train_char_ngram_profiles(_seed(spark), "lang", "text", top_k=80)
+    held_out = spark.createDataFrame(
+        [
+            (1, "the dog and the fox walked over the bridge together"),
+            (2, "el perro y el zorro caminaron juntos sobre el puente"),
+            (3, "zz"),
+            (4, None),
+        ],
+        "id long, text string",
+    )
+    inline = {
+        r["id"]: (r["lang_pred"], r["votes"])
+        for r in classify_language(held_out, "id", "text", profiles).collect()
+    }
+    joined = {
+        r["id"]: (r["lang_pred"], r["votes"])
+        for r in classify_language_join(
+            held_out, "id", "text", profiles
+        ).collect()
+    }
+    assert inline == joined

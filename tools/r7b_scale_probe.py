@@ -156,6 +156,7 @@ def main() -> None:
 
     probes = {
         **extend_probes(spark, F),
+        **extend_probes_2(spark, F),
         "repair_encoding_6pct": lambda d: probe_repair(d, 16),
         "repair_encoding_clean": lambda d: probe_repair(d, 10**9),
         "repair_encoding_all": lambda d: probe_repair(d, 1),
@@ -208,6 +209,57 @@ def extend_probes(spark, F):
     return {
         "sentence_chunking": probe_sentences,
         "tfidf_keywords": probe_keywords,
+    }
+
+
+
+
+def extend_probes_2(spark, F):
+    """Third batch: the fused score card and langid classification."""
+
+    def probe_scorecard(d):
+        from cdk_datalake_ingest_bigmagic_spark.plans.scorecard import (
+            score_card,
+        )
+
+        score_card(d, "doc_id", "text").agg(
+            F.count(F.lit(1)),
+            F.sum(F.col("passes_quality").cast("int")),
+            F.sum("n_sentences"),
+        ).collect()
+
+    def probe_langid(d):
+        from cdk_datalake_ingest_bigmagic_spark.operators.langid2 import (
+            classify_language,
+            train_char_ngram_profiles,
+        )
+
+        # train once on the 1x corpus shape; classification is the
+        # per-row cost under test
+        seed = d.limit(2000).select(
+            F.col("lang"), F.col("text")
+        )
+        profiles = train_char_ngram_profiles(seed, "lang", "text", top_k=120)
+        classify_language(d, "doc_id", "text", profiles).agg(
+            F.count(F.lit(1)), F.sum("votes")
+        ).collect()
+
+    def probe_langid_join(d):
+        from cdk_datalake_ingest_bigmagic_spark.operators.langid2 import (
+            classify_language_join,
+            train_char_ngram_profiles,
+        )
+
+        seed = d.limit(2000).select(F.col("lang"), F.col("text"))
+        profiles = train_char_ngram_profiles(seed, "lang", "text", top_k=120)
+        classify_language_join(d, "doc_id", "text", profiles).agg(
+            F.count(F.lit(1)), F.sum("votes")
+        ).collect()
+
+    return {
+        "scorecard_one_pass": probe_scorecard,
+        "langid_classify": probe_langid,
+        "langid_classify_join": probe_langid_join,
     }
 
 
