@@ -59,9 +59,34 @@ def train_char_ngram_profiles(
     Deterministic: ties break on the gram string."""
     from pyspark.sql import Window
 
-    grams = seed.select(
+    # same codegen gram cutting as classify_language_join (the in-row
+    # HOF array is the measured cost, not the aggregation); distinct
+    # per (doc, gram) first so cnt is document frequency
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    normed = seed.select(
         F.col(lang_col).alias("lang"),
-        F.explode(char_ngrams(text_col, n)).alias("gram"),
+        F.monotonically_increasing_id().alias("__doc"),
+        norm.alias("__s"),
+    )
+    grams = (
+        normed.select(
+            "lang",
+            "__doc",
+            "__s",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length("__s") - (n - 1), F.lit(1)),
+                )
+            ).alias("__i"),
+        )
+        .select(
+            "lang",
+            "__doc",
+            F.col("__s").substr(F.col("__i"), F.lit(n)).alias("gram"),
+        )
+        .where(F.length("gram") == n)
+        .distinct()
     )
     counts = grams.groupBy("lang", "gram").agg(
         F.count(F.lit(1)).alias("cnt")
