@@ -1,0 +1,115 @@
+"""Corpus datasheet: the dataset-card numbers, from one pass.
+
+Publishing a training corpus comes with a datasheet ("Datasheets for
+Datasets", Gebru et al. 2021): how many documents and tokens, from
+which sources, in which languages/scripts, at what quality, with how
+much duplication. Every number here derives from the one-pass
+score card (plans/scorecard.py) plus bounded aggregations — computing
+a datasheet costs ONE corpus scan plus a handful of small-output
+group-bys, never a second pass per statistic.
+
+``corpus_datasheet`` returns DataFrames (cluster-scale artifacts you
+can land as tables); ``datasheet_json`` collects them into a plain
+dict — every frame's output is aggregate-bounded (one row, or one
+row per source/script/bucket), so the collect is driver-safe by
+construction.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def corpus_datasheet(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str | None = "source",
+    cluster_col: str | None = None,
+) -> dict[str, DataFrame]:
+    """Datasheet frames from one score-card pass:
+
+    - ``overview``: documents, words, chars, quality/repetition pass
+      rates, PII exposure counts, mojibake incidence — one row;
+    - ``by_source``: the same per source (when ``source_col``);
+    - ``script_mix``: documents per dominant script;
+    - ``quality_histogram``: documents per unit logit bucket;
+    - ``dedup``: cluster count + removal fraction (when
+      ``cluster_col`` labels are provided, e.g. from the keep-list).
+
+    Persist the card yourself if you want the aggregations to share
+    the scan physically (``score_card(...).persist()``); unpersisted,
+    Spark still runs each aggregation as one narrow pass.
+    """
+    from cdk_datalake_ingest_bigmagic_spark.plans.scorecard import score_card
+
+    keep = [source_col] if source_col else []
+    card = score_card(
+        docs.select(id_col, text_col, *keep), id_col, text_col
+    )
+
+    def aggs():
+        return [
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.sum(F.col("passes_quality").cast("int")).cast("long").alias(
+                "n_pass_quality"
+            ),
+            F.sum(F.col("passes_repetition_filter").cast("int"))
+            .cast("long")
+            .alias("n_pass_repetition"),
+            F.sum("n_emails").cast("long").alias("n_emails"),
+            F.sum("n_phones").cast("long").alias("n_phones"),
+            F.sum("n_ips").cast("long").alias("n_ips"),
+            F.sum((F.col("mojibake_hits") > 0).cast("int"))
+            .cast("long")
+            .alias("n_mojibake_docs"),
+            F.sum(F.col("mixed_script").cast("int")).cast("long").alias(
+                "n_mixed_script_docs"
+            ),
+        ]
+
+    frames: dict[str, DataFrame] = {"overview": card.agg(*aggs())}
+    if source_col:
+        frames["by_source"] = card.groupBy(source_col).agg(*aggs())
+    frames["script_mix"] = card.groupBy("dominant_script").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    frames["quality_histogram"] = (
+        card.withColumn(
+            "logit_bucket", F.floor(F.col("quality_logit")).cast("long")
+        )
+        .groupBy("logit_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    if cluster_col:
+        from cdk_datalake_ingest_bigmagic_spark.operators.evaluation import (
+            dedup_savings,
+        )
+
+        frames["dedup"] = dedup_savings(
+            docs.select(id_col, cluster_col), id_col, cluster_col
+        )
+    return frames
+
+
+def datasheet_json(frames: dict[str, DataFrame]) -> str:
+    """Collect the (aggregate-bounded) frames into one JSON document
+    — the file that ships next to the corpus. Deterministic key
+    order; multi-row frames become lists sorted by their first
+    column."""
+    out: dict = {}
+    for name in sorted(frames):
+        rows = [r.asDict() for r in frames[name].collect()]
+        if name in ("overview", "dedup"):
+            out[name] = rows[0] if rows else {}
+        else:
+            first = list(rows[0])[0] if rows else None
+            out[name] = sorted(
+                rows, key=lambda r: (r[first] is None, str(r[first]))
+            )
+    return json.dumps(out, indent=2, sort_keys=True, default=str)

@@ -1,0 +1,76 @@
+"""Corpus datasheet: frame contents, per-source split, JSON shape."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.plans.datasheet import (
+    corpus_datasheet,
+    datasheet_json,
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, "The harvest changed the village economy. Traders liked the "
+            "roads. Email clerk@example.com for more details about it.",
+         "web", "c1"),
+        (2, "spam spam spam spam spam spam spam spam spam spam", "web", "c2"),
+        (3, "Ordinary prose about rivers and markets with enough words to "
+            "pass every quality gate in the heuristic set today.", "books",
+         "c1"),
+        (4, "Короткий русский текст про рынок и дорогу в деревне сегодня "
+            "вечером после дождя на площади у реки снова.", "web", "c3"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string, cluster string"
+    )
+
+
+def test_overview_and_sources(spark):
+    frames = corpus_datasheet(_docs(spark), cluster_col="cluster")
+    ov = frames["overview"].collect()[0]
+    assert ov["n_docs"] == 4
+    assert ov["n_emails"] == 1
+    assert ov["n_pass_repetition"] == 3  # the spam doc fails
+    by_src = {r["source"]: r for r in frames["by_source"].collect()}
+    assert by_src["web"]["n_docs"] == 3 and by_src["books"]["n_docs"] == 1
+    scripts = {
+        r["dominant_script"]: r["n_docs"]
+        for r in frames["script_mix"].collect()
+    }
+    assert scripts.get("latin", 0) == 3 and scripts.get("cyrillic", 0) == 1
+    dd = frames["dedup"].collect()[0]
+    assert dd["n_docs"] == 4 and dd["n_clusters"] == 3
+    assert dd["frac_removed"] == 1 / 4
+
+
+def test_json_document(spark):
+    frames = corpus_datasheet(_docs(spark), cluster_col="cluster")
+    doc = json.loads(datasheet_json(frames))
+    assert set(doc) == {
+        "overview", "by_source", "script_mix", "quality_histogram", "dedup"
+    }
+    assert doc["overview"]["n_docs"] == 4
+    assert isinstance(doc["by_source"], list)
+    a = datasheet_json(frames)
+    b = datasheet_json(corpus_datasheet(_docs(spark), cluster_col="cluster"))
+    assert a == b  # deterministic document
+
+
+def test_without_source_or_clusters(spark):
+    frames = corpus_datasheet(
+        _docs(spark).drop("source", "cluster"), source_col=None
+    )
+    assert "by_source" not in frames and "dedup" not in frames
+    assert frames["overview"].collect()[0]["n_docs"] == 4
+
+
+def test_on_testdata_bounded_outputs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    frames = corpus_datasheet(docs)
+    assert frames["overview"].count() == 1
+    n_sources = docs.select("source").distinct().count()
+    assert frames["by_source"].count() == n_sources
+    doc = json.loads(datasheet_json(frames))
+    assert doc["overview"]["n_docs"] == docs.count()
