@@ -130,9 +130,18 @@ def main() -> None:
         idx, "doc_id", prompts, n, total, min_score=1.0
     )
 
+    # 7. the datasheet that ships beside the corpus
+    from cdk_datalake_ingest_bigmagic_spark.plans.datasheet import (
+        corpus_datasheet, datasheet_json,
+    )
+
+    sheet = json.loads(datasheet_json(corpus_datasheet(pipe.read("clean"))))
+
     print(json.dumps({
         "work_dir": work,
         "steps": {k: v.rows for k, v in results.items()},
+        "datasheet_docs": sheet["overview"]["n_docs"],
+        "datasheet_sources": len(sheet["by_source"]),
         "decontamination_flags": flagged.count(),
         "training_manifest": f"{work}/pipeline/{TRAINING_MANIFEST}",
         "manifest_exists": os.path.exists(

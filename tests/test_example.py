@@ -44,3 +44,15 @@ def test_prepare_sft_example(tmp_path):
     assert rec["n_deduped"] == 2 and rec["n_sharded"] == 2
     assert rec["pii_leaks"] == 0
     assert rec["spans_nonempty"] == 2
+
+
+def test_crawl_example_datasheet_fields(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, f"{repo}/examples/curate_crawl.py", str(tmp_path)],
+        capture_output=True, text=True, timeout=240, cwd=repo,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["datasheet_docs"] == rec["steps"]["clean"]
+    assert rec["datasheet_sources"] >= 1
