@@ -11,8 +11,9 @@ operator documented in SURVEY.md §8:
      pre-steps → line-level curation → quality gates (+ optional
      compression band) → near-dup dedup → leakage-safe split →
      shards → BPE tokenize, all manifest-resumable,
-  5. a BM25 decontamination pass against eval prompts,
-  6. the training manifest a data loader consumes.
+  5. robots-meta compliance filtering (noindex opt-outs dropped),
+  6. a BM25 decontamination pass against eval prompts,
+  7. the training manifest a data loader consumes + the datasheet.
 
 Run: python examples/curate_crawl.py [work_dir]
 (Builds a small synthetic WARC if none is supplied — the point is the
@@ -48,6 +49,11 @@ def make_demo_warc(path: str) -> None:
          "the harvest changed the village economy and what the "
          "traders near the river made of the new roads that season "
          "in considerable detail for readers.</p></body></html>"),
+        ("http://site-c.example.org/private",
+         "<html><head><meta name=\"robots\" content=\"noindex\">"
+         "</head><body><p>This page opted out of indexing and a "
+         "compliance-minded corpus drops it at ingest before any "
+         "content processing happens at all.</p></body></html>"),
     ]
     recs = []
     for i, (uri, html) in enumerate(pages):
@@ -102,10 +108,17 @@ def main() -> None:
     docs = filter_domains(docs, "doc_id", "url", blocklist, mode="block")
     docs = docs.withColumn("source", url_domain(F.col("url")))
 
-    # 3. HTML → text (block boundaries become newlines for the lines step)
+    # 3. robots compliance: drop pages that opted out via meta noindex
+    from cdk_datalake_ingest_bigmagic_spark.operators.html import (
+        robots_directives,
+    )
+
+    docs = docs.where(~robots_directives(F.col("text"))["noindex"])
+
+    # 4. HTML → text (block boundaries become newlines for the lines step)
     docs = docs.withColumn("text", strip_html(F.col("text")))
 
-    # 4. resumable curation pipeline
+    # 5. resumable curation pipeline
     cfg = CorpusPipelineConfig(
         fix_text=True,       # mojibake repair + NFC + control strip
         url_dedup=True,      # collapse recrawled URL spellings first
@@ -119,7 +132,7 @@ def main() -> None:
     pipe = CorpusPipeline(spark, f"{work}/pipeline", cfg)
     results = pipe.run(docs.select("doc_id", "text", "source", "url"))
 
-    # 5. decontamination: flag anything scoring like an eval prompt
+    # 6. decontamination: flag anything scoring like an eval prompt
     shard = pipe.read("shard")
     idx = rt.term_index(shard, "doc_id", "text")
     n, total = rt.index_corpus_stats(idx, "doc_id")
