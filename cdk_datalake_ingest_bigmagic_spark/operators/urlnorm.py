@@ -130,8 +130,9 @@ def canonicalize_url(
 
 
 def _keep_param_column(params: tuple[str, ...], prefixes: tuple[str, ...]):
-    """Column-lambda twin of :func:`_keep_param_predicate` for the
-    pythonic HOF API."""
+    """Per-``k=v``-token keep predicate for the query-param filter:
+    non-empty, key not in the drop list, key not under a drop
+    prefix; keys compare case-insensitively."""
     drop = [p.lower() for p in params]
 
     def keep(p: Column) -> Column:
@@ -198,3 +199,33 @@ def dedup_by_url(
     return kept.unionByName(unparseable, allowMissingColumns=True).drop(
         "__ukey", "__negq", "__tie"
     )
+
+
+def url_novelty(
+    batch: DataFrame,
+    url_col: str,
+    seen: DataFrame | None,
+    seen_key_col: str = "url_key",
+    **canon_kwargs,
+) -> DataFrame:
+    """Continuous-crawl novelty: keep only rows whose canonical URL
+    key has NOT been fetched before, plus the key column
+    (``url_key``) the caller appends to its seen-set sink.
+
+    Same shape as operators/dedup.py's incremental novelty, applied
+    before fetch/content processing — the cheapest possible skip in a
+    recurring crawl. One key-only LEFT ANTI join against the seen
+    set (ids and 32-hex keys cross the shuffle, never payloads;
+    AQE broadcasts a small seen side). ``seen=None`` means a first
+    run: everything is novel. Unparseable URLs (NULL key) are always
+    kept — novelty must not eat what it cannot read.
+    """
+    keyed = batch.withColumn("url_key", url_key(url_col, **canon_kwargs))
+    if seen is None:
+        return keyed
+    seen_keys = seen.select(F.col(seen_key_col).alias("url_key")).distinct()
+    novel = keyed.where(F.col("url_key").isNotNull()).join(
+        seen_keys, "url_key", "left_anti"
+    )
+    unparseable = keyed.where(F.col("url_key").isNull())
+    return novel.unionByName(unparseable)

@@ -129,3 +129,28 @@ def test_randomized_idempotence_sweep(spark):
     for r in rows:
         assert r["c1"] == r["c2"], r
         assert r["c1"] is None or r["c1"] != ""
+
+
+def test_url_novelty_incremental(spark):
+    from cdk_datalake_ingest_bigmagic_spark.operators.urlnorm import (
+        url_novelty,
+    )
+
+    run1 = spark.createDataFrame(
+        [(1, "http://a.com/x"), (2, "http://b.com/y"), (3, "%%%")],
+        "id long, url string",
+    )
+    first = url_novelty(run1, "url", seen=None)
+    assert first.count() == 3
+    seen = first.where(F.col("url_key").isNotNull()).select("url_key")
+    run2 = spark.createDataFrame(
+        [
+            (4, "http://A.com/x?utm_source=s"),  # spelling of seen 1
+            (5, "http://c.com/new"),
+            (6, "%%%"),                          # unparseable: kept
+        ],
+        "id long, url string",
+    )
+    out = url_novelty(run2, "url", seen)
+    kept = sorted(r["id"] for r in out.collect())
+    assert kept == [5, 6]
