@@ -106,6 +106,10 @@ HEADLINE = [
     "filter_domains_block",
     "eval_pair_metrics",
     "html_extract_text",
+    # ROUND 8: after queries/curation2.py is imported by the registry
+    # (see its module docstring), append its ten names here so the
+    # second-wave operators (urlnorm/encoding/normalize/scripts/
+    # conversations/linkgraph/keywords/langid) join the headline set.
 ]
 
 
