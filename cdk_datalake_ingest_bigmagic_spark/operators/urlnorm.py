@@ -168,11 +168,19 @@ def dedup_by_url(
     instead of serializing through one task.
 
     Rows with an unparseable URL (NULL canonical key) are kept
-    untouched — dedup must not eat what it cannot read.
+    untouched — dedup must not eat what it cannot read. NULL quality
+    sorts WORST (coalesced to -inf), so a scored spelling always
+    beats an unscored one and a NULL can never poison the struct-min
+    (a bare NULL would win the min and then match nothing in the
+    join-back, silently dropping the whole group).
     """
     tie = tie_col or url_col
     qual = (
-        F.col(quality_col).cast("double") if quality_col else F.lit(0.0)
+        F.coalesce(
+            F.col(quality_col).cast("double"), F.lit(float("-inf"))
+        )
+        if quality_col
+        else F.lit(0.0)
     )
     keyed = df.withColumn("__ukey", url_key(url_col))
     best = (

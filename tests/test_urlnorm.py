@@ -154,3 +154,16 @@ def test_url_novelty_incremental(spark):
     out = url_novelty(run2, "url", seen)
     kept = sorted(r["id"] for r in out.collect())
     assert kept == [5, 6]
+
+
+def test_dedup_null_quality_never_drops_group(spark):
+    rows = [
+        (1, "http://example.com/a", None),     # unscored spelling
+        (2, "http://www.example.com/a", 0.4),  # scored: must win
+        (3, "http://only-nulls.com/b", None),
+        (4, "http://only-nulls.com/b/", None),  # all-NULL group: keep one
+    ]
+    df = spark.createDataFrame(rows, "id long, url string, q double")
+    out = dedup_by_url(df, "url", quality_col="q", tie_col="id")
+    kept = sorted(r["id"] for r in out.collect())
+    assert kept == [2, 3]
