@@ -56,3 +56,18 @@ def test_crawl_example_datasheet_fields(tmp_path):
     rec = json.loads(out.stdout.strip().splitlines()[-1])
     assert rec["datasheet_docs"] == rec["steps"]["clean"]
     assert rec["datasheet_sources"] >= 1
+
+
+def test_prepare_multimodal_example(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, f"{repo}/examples/prepare_multimodal.py", str(tmp_path)],
+        capture_output=True, text=True, timeout=240, cwd=repo,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["n_media"] == 30
+    assert rec["n_deduped"] == 29          # the byte-identical dup collapses
+    assert rec["n_shards"] == 4
+    assert rec["members_bin"] == 29 and rec["members_json"] == 29
+    assert rec["n_frames"] > 0
