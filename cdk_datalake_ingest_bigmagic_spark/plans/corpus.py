@@ -103,6 +103,13 @@ class CorpusPipelineConfig:
     #: so it runs first. Ignored if ``url_col`` is absent.
     url_dedup: bool = False
     url_col: str = "url"
+    #: materializes the one-pass document score card
+    #: (plans/scorecard.py) as a manifest-tracked step beside the
+    #: pipeline artifacts — the narrow per-document quality table
+    #: dashboards and datasheets read without rescanning the corpus.
+    #: Computed from the clean step's output, so it reflects the
+    #: documents that actually continue downstream.
+    score_card: bool = False
 
     def fingerprint(self) -> str:
         blob = json.dumps(
@@ -157,6 +164,7 @@ class CorpusPipeline:
                   "compression_min_ratio", "compression_max_ratio",
                   "fix_text", "url_dedup", "url_col"),
         "dedup": ("id_col", "text_col", "shingle_n", "jaccard_threshold"),
+        "scorecard": ("id_col", "text_col", "score_card"),
         "split": ("id_col", "splits", "seed"),
         "shard": ("id_col", "n_shards", "seed"),
         "tokenize": ("id_col", "text_col", "splits", "bpe_merges",
@@ -369,6 +377,16 @@ class CorpusPipeline:
             return out
 
         clean = self._step("clean", clean_upstream_fp, build_clean)
+
+        if cfg.score_card:
+            from cdk_datalake_ingest_bigmagic_spark.plans.scorecard import (
+                score_card,
+            )
+
+            def build_card():
+                return score_card(self.read("clean"), ic, tc)
+
+            self._step("scorecard", clean.fingerprint, build_card)
 
         def build_dedup():
             cdf = self.read("clean")

@@ -438,3 +438,17 @@ def test_pipeline_fix_text_and_url_dedup(spark, tmp_path_factory):
         spark, work, _dc.replace(cfg, fix_text=False)
     ).run(docs)
     assert not rerun["clean"].skipped
+
+
+def test_pipeline_scorecard_step(spark, corpus, tmp_path_factory):
+    work = str(tmp_path_factory.mktemp("pipe_card"))
+    cfg = CorpusPipelineConfig(score_card=True)
+    pipe = CorpusPipeline(spark, work, cfg)
+    results = pipe.run(corpus)
+    assert "scorecard" in results
+    card = pipe.read("scorecard")
+    assert card.count() == results["clean"].rows
+    assert "quality_logit" in card.columns and "text" not in card.columns
+    # resume skips it; flipping the flag invalidates it
+    rerun = CorpusPipeline(spark, work, cfg).run(corpus)
+    assert rerun["scorecard"].skipped
