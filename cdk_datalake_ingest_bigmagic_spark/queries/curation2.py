@@ -624,3 +624,48 @@ def langid_train_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classify_language(
         aug, "doc_id", "text", profiles, min_votes=_LANGID_MINV
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering (operators/curriculum.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curriculum_shard_order",
+    oracle="""
+    WITH bucketed AS (
+      SELECT doc_id, doc_id % 4 AS shard,
+             NTILE(5) OVER (ORDER BY n_chars ASC, doc_id ASC)
+               AS quality_bucket
+      FROM documents
+    )
+    SELECT doc_id, shard, quality_bucket,
+           ROW_NUMBER() OVER (
+             PARTITION BY shard
+             ORDER BY quality_bucket DESC,
+                      md5('curriculum:' || doc_id) ASC
+           ) - 1 AS position
+    FROM bucketed
+    """,
+)
+def curriculum_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curriculum_order's full decision — corpus-quantile buckets,
+    best-first within-shard positions, md5 mixing — replicated as
+    window algebra in the oracle; every column integer/string."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.curriculum import (
+        curriculum_order,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 4).alias("shard"), "n_chars"
+    )
+    out = curriculum_order(
+        d, "doc_id", "shard", "n_chars", n_buckets=5, seed="curriculum"
+    )
+    return out.select(
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        F.col("quality_bucket").cast("long").alias("quality_bucket"),
+        "position",
+    )
