@@ -133,3 +133,40 @@ def test_out_of_window_greens_are_fresh():
         f"out-of-window queries with a green older than round "
         f"{current - 2}: {stale} — rotate them back into _GATE_FRONT"
     )
+
+
+def test_window_math_tool_report_shape():
+    """tools/window_math.py computes the rotation inputs from the
+    recorded gate files; pin the report shape and its agreement with
+    the recorded greens."""
+    import json as _json
+    import os as _os
+    import subprocess as _sp
+    import sys as _sys
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    out = _sp.run(
+        [_sys.executable, "tools/window_math.py", "8",
+         "cdk_datalake_ingest_bigmagic_spark/operators/html.py"],
+        capture_output=True, text=True, cwd=repo, timeout=120,
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    rep = _json.loads(out.stdout)
+    assert rep["registered"] >= 114
+    assert rep["freshness_ceiling"] == 6
+    # html.py's gate query must appear as a rider
+    assert "html_extract_text" in rep["riders"]
+    assert len(rep["suggested_front"]) <= 50
+    # every obligation entry is genuinely below the ceiling in the
+    # recorded files
+    greens = {}
+    import glob as _glob
+    import re as _re
+
+    for path in sorted(_glob.glob(f"{repo}/CORRECTNESS_r*.json")):
+        rnd = int(_re.search(r"r(\d+)", path).group(1))
+        for name, row in _json.load(open(path)).items():
+            if row.get("rows_match") and not row.get("err"):
+                greens[name] = max(greens.get(name, 0), rnd)
+    for q in rep["obligation"]:
+        assert greens.get(q, 0) < rep["freshness_ceiling"]

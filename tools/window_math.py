@@ -1,0 +1,121 @@
+"""Gate-window rotation math, computed instead of hand-derived.
+
+The external gate checks the FIRST 50 registered queries; the
+rotation invariant (queries/__init__.py) demands that each round's
+window contain (1) never-green queries, (2) queries whose newest
+green hits the freshness ceiling (current_round - 2), and (3) riders
+of modules changed in the round. This tool computes all three from
+the recorded CORRECTNESS_r*.json files, the registry, and an
+optional list of changed modules — the pre-computed WINDOW MATH
+comments become a cross-check instead of the only source of truth.
+
+Usage:
+  python tools/window_math.py NEXT_ROUND [changed_module ...]
+e.g.
+  python tools/window_math.py 8 operators/html.py operators/urls.py
+
+Prints a JSON report: never_green, obligation (greens at the
+ceiling), riders (gated queries whose query-module source imports a
+changed module), free_slots, and a suggested front ordering.
+
+Run at ROUND START, after the driver has recorded the previous
+round's CORRECTNESS_r{N}.json — the math is only as fresh as the
+newest recorded gate file (mid-round, the current round's pending
+greens are invisible by design).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+WINDOW = 50
+
+
+def newest_greens() -> dict[str, int]:
+    """query -> newest round with a fully green row."""
+    greens: dict[str, int] = {}
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", path).group(1))
+        data = json.load(open(path))
+        for name, row in data.items():
+            ok = (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and (row.get("hash_match") is not False)
+                and not row.get("err")
+            )
+            if ok:
+                greens[name] = max(greens.get(name, 0), rnd)
+    return greens
+
+
+def rider_queries(changed: list[str]) -> dict[str, list[str]]:
+    """gated query -> changed modules its defining query module
+    imports (textual import scan over queries/*.py — conservative:
+    a module mentioned anywhere in the file counts)."""
+    from cdk_datalake_ingest_bigmagic_spark.queries import QUERIES
+
+    stems = [
+        c.replace("cdk_datalake_ingest_bigmagic_spark/", "")
+        .replace("/", ".")
+        .removesuffix(".py")
+        for c in changed
+    ]
+    out: dict[str, list[str]] = {}
+    srcs: dict[str, str] = {}
+    for name, fn in QUERIES.items():
+        mod = fn.__module__
+        path = mod.replace(".", "/") + ".py"
+        if path not in srcs and os.path.exists(path):
+            srcs[path] = open(path).read()
+        body = srcs.get(path, "")
+        hits = [s for s in stems if s in body]
+        if hits:
+            out[name] = hits
+    return out
+
+
+def main() -> int:
+    from cdk_datalake_ingest_bigmagic_spark.queries import QUERIES
+
+    next_round = int(sys.argv[1]) if len(sys.argv) > 1 else None
+    changed = sys.argv[2:]
+    if next_round is None:
+        print("usage: window_math.py NEXT_ROUND [changed_module ...]")
+        return 2
+    greens = newest_greens()
+    registered = list(QUERIES)
+    ceiling = next_round - 2
+    never = [q for q in registered if q not in greens]
+    obligation = sorted(
+        q for q, r in greens.items() if q in registered and r < ceiling
+    )
+    riders = rider_queries(changed) if changed else {}
+    front = (
+        never
+        + obligation
+        + [q for q in sorted(riders) if q not in never and q not in obligation]
+    )
+    report = {
+        "next_round": next_round,
+        "registered": len(registered),
+        "freshness_ceiling": ceiling,
+        "never_green": never,
+        "obligation": obligation,
+        "riders": riders,
+        "suggested_front": front[:WINDOW],
+        "front_overflow": max(0, len(front) - WINDOW),
+        "free_slots": max(0, WINDOW - len(front)),
+    }
+    print(json.dumps(report, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
