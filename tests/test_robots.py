@@ -1,0 +1,132 @@
+"""robots.txt parsing + URL permission matching (RFC 9309 common
+subset): group selection, longest-match, allow-on-tie, corpus
+filtering."""
+
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.operators.robots import (
+    apply_robots,
+    parse_robots,
+    robots_allowed,
+)
+
+ROBOTS_A = """# site A policy
+User-agent: *
+Disallow: /private/
+Allow: /private/press/
+Disallow: /tmp
+
+User-agent: megabot
+Disallow: /
+"""
+
+ROBOTS_B = """User-agent: nicebot
+User-agent: otherbot
+Disallow: /only-for-named/
+
+User-agent: *
+Disallow:
+"""
+
+
+def _rules(spark, body, agent="*"):
+    df = spark.createDataFrame([("h", body)], "host string, body string")
+    return parse_robots(df, "host", "body", agent).collect()[0]["rules"]
+
+
+def test_group_selection_star(spark):
+    rules = _rules(spark, ROBOTS_A, agent="*")
+    got = [(r["allow"], r["prefix"]) for r in rules]
+    assert got == [
+        (False, "/private/"),
+        (True, "/private/press/"),
+        (False, "/tmp"),
+    ]
+
+
+def test_group_selection_exact_beats_star(spark):
+    rules = _rules(spark, ROBOTS_A, agent="megabot")
+    assert [(r["allow"], r["prefix"]) for r in rules] == [(False, "/")]
+
+
+def test_multi_ua_group_and_empty_disallow(spark):
+    rules = _rules(spark, ROBOTS_B, agent="otherbot")
+    assert [(r["allow"], r["prefix"]) for r in rules] == [
+        (False, "/only-for-named/")
+    ]
+    # * group has only an EMPTY Disallow (allow everything): no rules
+    assert _rules(spark, ROBOTS_B, agent="*") == []
+
+
+def test_longest_match_and_allow_tie(spark):
+    df = spark.createDataFrame([("h", ROBOTS_A)], "host string, body string")
+    rules = parse_robots(df, "host", "body").select("rules")
+    paths = spark.createDataFrame(
+        [
+            ("/private/doc",),        # blocked
+            ("/private/press/x",),    # allow overrides: longer match
+            ("/tmpfile",),            # prefix match blocks
+            ("/public/x",),           # no rule: allowed
+        ],
+        "path string",
+    ).crossJoin(rules)
+    out = [
+        r["ok"]
+        for r in paths.select(
+            robots_allowed(F.col("path"), F.col("rules")).alias("ok")
+        ).collect()
+    ]
+    assert out == [False, True, False, True]
+
+
+def test_apply_robots_corpus(spark):
+    robots = parse_robots(
+        spark.createDataFrame(
+            [("site-a.com", ROBOTS_A)], "host string, body string"
+        ),
+        "host", "body",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "http://site-a.com/private/doc"),
+            (2, "http://site-a.com/private/press/release"),
+            (3, "http://site-a.com/welcome"),
+            (4, "http://no-robots.org/anything"),
+            (5, "%%%"),  # unparseable host: allowed (no rules to apply)
+        ],
+        "id long, url string",
+    )
+    kept = sorted(
+        r["id"] for r in apply_robots(docs, "id", "url", robots).collect()
+    )
+    assert kept == [2, 3, 4, 5]
+    annotated = apply_robots(docs, "id", "url", robots, mode="annotate")
+    flags = {r["id"]: r["robots_allowed"] for r in annotated.collect()}
+    assert flags[1] is False and flags[2] is True
+
+
+def test_wildcard_prefix_subset(spark):
+    body = "User-agent: *\nDisallow: /search*\n"
+    robots = parse_robots(
+        spark.createDataFrame([("h.com", body)], "host string, body string"),
+        "host", "body",
+    )
+    docs = spark.createDataFrame(
+        [(1, "http://h.com/search?q=x"), (2, "http://h.com/sea")],
+        "id long, url string",
+    )
+    kept = sorted(
+        r["id"] for r in apply_robots(docs, "id", "url", robots).collect()
+    )
+    assert kept == [2]
+
+
+def test_parse_is_codegen(spark):
+    df = spark.createDataFrame([("h", ROBOTS_A)], "host string, body string")
+    plan = (
+        parse_robots(df, "host", "body")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
