@@ -180,3 +180,29 @@ def apply_robots(
     if mode == "annotate":
         return decided
     return decided.where(F.col("robots_allowed")).drop("robots_allowed")
+
+
+def robots_from_documents(
+    docs: DataFrame, url_col: str, body_col: str, agent: str = "*"
+) -> DataFrame:
+    """Build the (host, rules) relation straight from a crawled
+    corpus: rows whose URL path is ``/robots.txt`` are the policy
+    bodies (a crawl fetches them like any other URL — e.g. via
+    sources/warc.py). When a host was fetched twice, the LONGEST body
+    wins deterministically (ties: lexicographically greatest), via
+    the same struct-min agg shape as dedup_by_url. Compose:
+    ``apply_robots(docs, ..., robots_from_documents(docs, ...))``."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.urls import host_of
+
+    path = F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit(""))
+    bodies = docs.where(path == "/robots.txt").select(
+        host_of(url_col).alias("host"), F.col(body_col).alias("body")
+    )
+    best = bodies.groupBy("host").agg(
+        F.max(
+            F.struct(
+                F.length("body").alias("__len"), F.col("body").alias("body")
+            )
+        )["body"].alias("body")
+    )
+    return parse_robots(best, "host", "body", agent)

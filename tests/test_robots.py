@@ -130,3 +130,27 @@ def test_parse_is_codegen(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_robots_from_documents(spark):
+    from cdk_datalake_ingest_bigmagic_spark.operators.robots import (
+        robots_from_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "http://site-a.com/robots.txt", ROBOTS_A),
+            (2, "http://site-a.com/robots.txt", "User-agent: *\n"),  # shorter dup
+            (3, "http://site-a.com/private/doc", "page text"),
+            (4, "http://open.org/page", "more text"),
+        ],
+        "id long, url string, text string",
+    )
+    robots = robots_from_documents(docs, "url", "text")
+    kept = sorted(
+        r["id"]
+        for r in apply_robots(docs, "id", "url", robots).collect()
+    )
+    # doc 3 is under the longest body's Disallow; robots.txt rows
+    # themselves are fetchable, open.org has no policy
+    assert kept == [1, 2, 4]
