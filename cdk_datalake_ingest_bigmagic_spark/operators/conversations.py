@@ -306,3 +306,20 @@ def conversations_to_json(conv) -> Column:
     string (for JSONL sinks feeding trainers that tokenize
     themselves). Codegen ``to_json``."""
     return F.to_json(_conv(conv))
+
+
+def ensure_system(conv, content: str) -> Column:
+    """Prepend a system turn when the conversation lacks one — the
+    standard normalization before template rendering (trainers want
+    every record to carry the same system contract). Conversations
+    already starting with a system turn are untouched; NULL
+    conversations stay NULL (the flags quarantine them). In-row
+    concat, codegen."""
+    c = _conv(conv)
+    sys_turn = F.struct(
+        F.lit("system").alias("role"), F.lit(content).alias("content")
+    )
+    has_system = F.element_at(c, 1)["role"] == "system"
+    return F.when(c.isNull(), F.lit(None).cast(CONVERSATION_SCHEMA)).otherwise(
+        F.when(has_system, c).otherwise(F.concat(F.array(sys_turn), c))
+    )

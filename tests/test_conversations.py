@@ -170,3 +170,33 @@ def test_json_roundtrip_and_malformed(spark):
     assert [(t["role"], t["content"]) for t in back] == [
         ("user", "hi"), ("assistant", "yo")
     ]
+
+
+def test_ensure_system(spark):
+    from cdk_datalake_ingest_bigmagic_spark.operators.conversations import (
+        ensure_system,
+    )
+
+    df = _mk(
+        spark,
+        [
+            [("user", "hi"), ("assistant", "yo")],
+            [("system", "keep me"), ("user", "q"), ("assistant", "a")],
+            None,
+            [],
+        ],
+    )
+    out = {
+        r["id"]: r["c"]
+        for r in df.select(
+            "id", ensure_system("conv", "be helpful").alias("c")
+        ).collect()
+    }
+    assert [(t["role"], t["content"]) for t in out[0]] == [
+        ("system", "be helpful"), ("user", "hi"), ("assistant", "yo")
+    ]
+    assert out[1][0]["content"] == "keep me" and len(out[1]) == 3
+    assert out[2] is None
+    assert [(t["role"], t["content"]) for t in out[3]] == [
+        ("system", "be helpful")
+    ]
