@@ -10,7 +10,8 @@ The conversation leg of the engine in one runnable script:
   3. turn-level PII scrub through flatten → scrub → rebuild,
   4. exact dedup on the template-independent conversation key,
   5. chat-template rendering + assistant-only loss-mask char spans,
-  6. shard assignment for the training loader.
+  6. shard assignment + a short-first curriculum order for the
+     training loader.
 
 Run: python examples/prepare_sft.py [work_dir]
 Prints one JSON summary line (consumed by tests/test_example.py).
@@ -114,6 +115,16 @@ def main() -> None:
         assistant_spans("conversation", eos="</s>").alias("loss_spans"),
     )
     sharded = shard_assign(rendered, "chat_id", n_shards=2, seed="sft-demo")
+    # short-first curriculum within each shard (rendered length as the
+    # difficulty proxy; buckets are corpus-wide quantiles)
+    from cdk_datalake_ingest_bigmagic_spark.operators.curriculum import (
+        curriculum_order,
+    )
+
+    sharded = curriculum_order(
+        sharded.withColumn("render_len", F.length("text")).drop("position"),
+        "chat_id", "shard", "render_len", n_buckets=2, best_first=False,
+    )
     out_dir = f"{work}/sft_shards"
     sharded.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
 
