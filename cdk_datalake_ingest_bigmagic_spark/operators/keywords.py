@@ -94,3 +94,34 @@ def tfidf_keywords(
         .filter(F.col("rank") <= k)
         .select(id_col, "rank", "token", "tf", "df", "score")
     )
+
+
+def induce_stopwords(
+    df: DataFrame,
+    text_col: str,
+    top_k: int = 50,
+    min_token_len: int = 1,
+) -> list[str]:
+    """Corpus-induced stopword list: the ``top_k`` tokens by DOCUMENT
+    frequency (Luhn's observation — the df head of any language is
+    its function words). Feeds the stopword-voting language ID and
+    the quality ratios for languages nobody curated a list for.
+
+    One tf pass (reused relation) + one df aggregation + a bounded
+    TakeOrdered; deterministic (ties break on the token). Returns a
+    plain list — the model artifact, JSON-serializable."""
+    tmp_id = "__sw_doc"
+    with_id = df.select(
+        F.monotonically_increasing_id().alias(tmp_id), F.col(text_col)
+    )
+    tf = term_frequencies(
+        with_id, tmp_id, text_col, min_token_len=min_token_len
+    )
+    top = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("token").asc())
+        .limit(top_k)
+        .collect()
+    )
+    return [r["token"] for r in top]

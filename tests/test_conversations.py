@@ -200,3 +200,40 @@ def test_ensure_system(spark):
     assert [(t["role"], t["content"]) for t in out[3]] == [
         ("system", "be helpful")
     ]
+
+
+def test_streaming_parse_and_validate(spark, tmp_path):
+    """Conversation parsing/validation are projections — the same
+    plan runs under Structured Streaming (the SFT ingest is usually a
+    stream of chat logs)."""
+    import json as _json
+
+    src = str(tmp_path / "chats")
+    convs = [
+        [{"role": "user", "content": "q"}, {"role": "assistant", "content": "a"}],
+        [{"role": "assistant", "content": "bad"}],
+    ]
+    df = spark.createDataFrame(
+        [(i, _json.dumps(c)) for i, c in enumerate(convs)],
+        "id long, raw string",
+    )
+    df.write.parquet(src)
+    from cdk_datalake_ingest_bigmagic_spark.operators.conversations import (
+        parse_conversations,
+    )
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = parse_conversations(stream, "raw").select(
+        "id", conversation_flags("conversation")["valid"].alias("v")
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("conv_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        r["id"]: r["v"] for r in spark.sql("select * from conv_stream").collect()
+    }
+    assert got == {0: True, 1: False}

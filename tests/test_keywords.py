@@ -80,3 +80,18 @@ def test_rank_dense_per_doc(spark):
             r["rank"] for r in out.filter(F.col("doc_id") == doc).collect()
         )
         assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_induce_stopwords(spark):
+    from cdk_datalake_ingest_bigmagic_spark.operators.keywords import (
+        induce_stopwords,
+    )
+
+    rows = [(f"el rio y el puente y la plaza numero {i}",) for i in range(20)]
+    df = spark.createDataFrame(rows, "text string")
+    sw = induce_stopwords(df, "text", top_k=7)
+    # all seven function/common words share df=20; ties are alphabetical
+    assert set(sw) == {"el", "la", "y", "rio", "puente", "plaza", "numero"}
+    assert sw == induce_stopwords(df, "text", top_k=7)  # deterministic
+    # the numbered tail (df=1) only appears beyond the head
+    assert "3" not in sw
