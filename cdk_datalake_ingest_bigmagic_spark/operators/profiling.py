@@ -1,0 +1,127 @@
+"""Column profiling: the data-profile report beside the checks.
+
+operators/expectations.py answers "does this table satisfy my
+thresholds"; profiling answers the prior question — "what is in this
+table" — per column: counts, null ratio, approximate distinct,
+min/max, mean/stddev for numerics, and mean length for strings. The
+Deequ/ydata-profiling family, reduced to its distributed core.
+
+Scale shape: ALL scalar statistics for ALL profiled columns compile
+into ONE aggregation pass over the table (the same fused-agg
+discipline as expectations — N columns is wider aggregation state,
+not N scans). ``frequent_values`` is the one per-column extra: a
+bounded groupBy-TakeOrdered per requested column, each touching only
+that column's bytes (column pruning), explicitly opt-in.
+
+Determinism: counts/min/max/top-k are exact with deterministic ties;
+``approx_distinct`` is HLL++ (stable for a fixed input but not
+cross-engine) and mean/stddev are float sums — the profile is an
+observability artifact, pytest-verified, not oracle-gated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+_ORDERABLE_EXTRA = (T.StringType, T.DateType, T.TimestampType, T.BooleanType)
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """One row per profiled column: ``column, dtype, n_rows, n_null,
+    null_ratio, approx_distinct, min_value, max_value, mean, stddev,
+    mean_length`` (inapplicable cells NULL; min/max stringified so
+    one report schema covers every column type).
+
+    Exactly ONE aggregation job regardless of column count.
+    """
+    cols = columns or df.columns
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"unknown columns: {missing}")
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for c in cols:
+        dt = df.schema[c].dataType
+        col = F.col(c)
+        aggs.append(
+            F.sum(col.isNull().cast("int")).cast("long").alias(f"__null_{c}")
+        )
+        aggs.append(F.approx_count_distinct(col).alias(f"__dist_{c}"))
+        orderable = isinstance(dt, _NUMERIC + _ORDERABLE_EXTRA)
+        aggs.append(
+            (F.min(col) if orderable else F.lit(None))
+            .cast("string")
+            .alias(f"__min_{c}")
+        )
+        aggs.append(
+            (F.max(col) if orderable else F.lit(None))
+            .cast("string")
+            .alias(f"__max_{c}")
+        )
+        numeric = isinstance(dt, _NUMERIC)
+        aggs.append(
+            (F.avg(col.cast("double")) if numeric else F.lit(None))
+            .cast("double")
+            .alias(f"__mean_{c}")
+        )
+        aggs.append(
+            (F.stddev(col.cast("double")) if numeric else F.lit(None))
+            .cast("double")
+            .alias(f"__std_{c}")
+        )
+        is_str = isinstance(dt, T.StringType)
+        aggs.append(
+            (F.avg(F.length(col)) if is_str else F.lit(None))
+            .cast("double")
+            .alias(f"__len_{c}")
+        )
+    wide = df.agg(*aggs)
+    # pivot the single wide row into one tidy row per column — the
+    # wide row is driver-bounded (a few cells per column)
+    per_col = []
+    for c in cols:
+        dt = df.schema[c].dataType.simpleString()
+        per_col.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(dt).alias("dtype"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__null_{c}").alias("n_null"),
+                F.when(
+                    F.col("__n") > 0,
+                    F.col(f"__null_{c}").cast("double")
+                    / F.col("__n").cast("double"),
+                )
+                .otherwise(F.lit(None))
+                .alias("null_ratio"),
+                F.col(f"__dist_{c}").cast("long").alias("approx_distinct"),
+                F.col(f"__min_{c}").alias("min_value"),
+                F.col(f"__max_{c}").alias("max_value"),
+                F.col(f"__mean_{c}").alias("mean"),
+                F.col(f"__std_{c}").alias("stddev"),
+                F.col(f"__len_{c}").alias("mean_length"),
+            )
+        )
+    return wide.select(
+        F.explode(F.array(*per_col)).alias("p")
+    ).select("p.*")
+
+
+def frequent_values(
+    df: DataFrame, column: str, k: int = 5
+) -> DataFrame:
+    """(value, n) — the column's top-``k`` values by count, ties
+    broken on the stringified value. One pruned-scan groupBy +
+    distributed TakeOrdered; NULL counts as a value (its absence
+    from a profile hides real skew)."""
+    return (
+        df.groupBy(F.col(column).cast("string").alias("value"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("value").asc_nulls_last())
+        .limit(k)
+    )

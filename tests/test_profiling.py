@@ -1,0 +1,70 @@
+"""Table profiling: one-pass stats, per-type applicability, frequent
+values, and the single-job contract."""
+
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.operators.profiling import (
+    frequent_values,
+    profile_table,
+)
+
+
+def _df(spark):
+    rows = [
+        (1, "alpha", 10.0, None),
+        (2, "beta", 20.0, "x"),
+        (3, None, 30.0, "x"),
+        (4, "alpha", None, "y"),
+    ]
+    return spark.createDataFrame(
+        rows, "id long, name string, score double, tag string"
+    )
+
+
+def test_profile_values(spark):
+    prof = {r["column"]: r for r in profile_table(_df(spark)).collect()}
+    assert set(prof) == {"id", "name", "score", "tag"}
+    assert prof["id"]["n_rows"] == 4 and prof["id"]["n_null"] == 0
+    assert prof["id"]["min_value"] == "1" and prof["id"]["max_value"] == "4"
+    assert prof["name"]["n_null"] == 1 and prof["name"]["null_ratio"] == 0.25
+    assert prof["name"]["mean_length"] == (5 + 4 + 5) / 3
+    assert prof["name"]["mean"] is None  # not numeric
+    assert prof["score"]["mean"] == 20.0
+    assert prof["score"]["stddev"] is not None
+    assert prof["tag"]["approx_distinct"] >= 2
+
+
+def test_profile_subset_and_unknown(spark):
+    import pytest
+
+    prof = profile_table(_df(spark), ["id"]).collect()
+    assert len(prof) == 1 and prof[0]["column"] == "id"
+    with pytest.raises(ValueError, match="unknown"):
+        profile_table(_df(spark), ["nope"])
+
+
+def test_single_aggregation_job(spark):
+    plan = (
+        profile_table(_df(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one aggregate over the source: a single pair of partial/final
+    # HashAggregate (or SortAggregate for the stddev path)
+    assert plan.count("Scan") <= 1
+
+
+def test_frequent_values(spark):
+    top = frequent_values(_df(spark), "tag", k=2).collect()
+    assert [(r["value"], r["n"]) for r in top] == [("x", 2), ("y", 1)]
+    top3 = frequent_values(_df(spark), "tag", k=3).collect()
+    assert (None, 1) in [(r["value"], r["n"]) for r in top3]  # NULL is counted
+
+
+def test_profile_on_testdata(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prof = {r["column"]: r for r in profile_table(docs).collect()}
+    assert prof["doc_id"]["n_rows"] == docs.count()
+    assert prof["doc_id"]["n_null"] == 0
+    assert prof["text"]["mean_length"] > 0
