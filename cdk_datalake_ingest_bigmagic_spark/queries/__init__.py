@@ -124,11 +124,12 @@ from cdk_datalake_ingest_bigmagic_spark.queries import curation  # noqa: E402,F4
 #   text_fix_mojibake, text_clean_controls, text_script_counts,
 #   conversations_structural, linkgraph_degree_stats,
 #   text_tfidf_keywords, dedup_cluster_histogram,
-#   langid_train_classify, curriculum_shard_order — all ELEVEN
+#   langid_train_classify, curriculum_shard_order,
+#   profile_exact_core, profile_frequent_sources — all THIRTEEN
 #   validated against DuckDB at sf0.01 AND sf0.1 this round
 #   (tools/validate_curation2.py, 0 failures both). Round 8: add
-#   `from ... import curation2` below and put the eleven names plus
-#   the 18-query obligation in _GATE_FRONT (~29 slots used).
+#   `from ... import curation2` below and put the thirteen names
+#   plus the 18-query obligation in _GATE_FRONT (~31 slots used).
 #   Stays pytest by design: repair_encoding / normalize_unicode
 #   (Python-codec kernels), pagerank (iterative floats),
 #   script_profile's argmax layer (pure projection of the gated

@@ -669,3 +669,69 @@ def curriculum_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("quality_bucket").cast("long").alias("quality_bucket"),
         "position",
     )
+
+
+# ---------------------------------------------------------------------------
+# Table profiling, exact core (operators/profiling.py)
+# ---------------------------------------------------------------------------
+#
+# The profile's deterministic projection: counts, nulls, stringified
+# min/max. HLL distinct and float mean/stddev stay pytest (approx /
+# summation order — same policy as random_project).
+
+
+@register(
+    "profile_exact_core",
+    oracle="""
+    WITH n AS (SELECT count(*) AS n_rows FROM documents)
+    SELECT 'doc_id' AS column, n_rows,
+           (SELECT count(*) FROM documents WHERE doc_id IS NULL) AS n_null,
+           CAST((SELECT min(doc_id) FROM documents) AS VARCHAR) AS min_value,
+           CAST((SELECT max(doc_id) FROM documents) AS VARCHAR) AS max_value
+    FROM n
+    UNION ALL
+    SELECT 'source', n_rows,
+           (SELECT count(*) FROM documents WHERE source IS NULL),
+           CAST((SELECT min(source) FROM documents) AS VARCHAR),
+           CAST((SELECT max(source) FROM documents) AS VARCHAR)
+    FROM n
+    UNION ALL
+    SELECT 'n_chars', n_rows,
+           (SELECT count(*) FROM documents WHERE n_chars IS NULL),
+           CAST((SELECT min(n_chars) FROM documents) AS VARCHAR),
+           CAST((SELECT max(n_chars) FROM documents) AS VARCHAR)
+    FROM n
+    """,
+)
+def profile_exact_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """profile_table's exact columns over three documents columns —
+    one fused aggregation pass on the Spark side, stated per column
+    by the oracle."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.profiling import (
+        profile_table,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return profile_table(d, ["doc_id", "source", "n_chars"]).select(
+        "column", "n_rows", "n_null", "min_value", "max_value"
+    )
+
+
+@register(
+    "profile_frequent_sources",
+    oracle="""
+    SELECT CAST(source AS VARCHAR) AS value, count(*) AS n
+    FROM documents GROUP BY 1
+    ORDER BY n DESC, value ASC NULLS LAST
+    LIMIT 3
+    """,
+)
+def profile_frequent_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """frequent_values' exact top-k with the deterministic
+    (count desc, value asc, nulls last) tie order."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.profiling import (
+        frequent_values,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return frequent_values(d, "source", k=3)
