@@ -1,0 +1,130 @@
+"""Randomized differential sweeps for the round-7 in-row operators:
+seeded random inputs, ONE Spark job per sweep, compared element-wise
+against independent pure-Python references (the strategy the DSL
+compiler and line-dedup suites already use)."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.operators.conversations import (
+    DEFAULT_TEMPLATE,
+    assistant_spans,
+    render_chat,
+)
+from cdk_datalake_ingest_bigmagic_spark.operators.robots import (
+    parse_robots,
+    robots_allowed,
+)
+
+CONV_SCHEMA = "id long, conv array<struct<role:string, content:string>>"
+
+
+def _py_render(conv, eos):
+    out = []
+    for role, content in conv:
+        pre, suf = DEFAULT_TEMPLATE.get(role, ("", ""))
+        piece = pre + content + suf if role in DEFAULT_TEMPLATE else content
+        if role == "assistant" and eos:
+            piece += eos
+        out.append(piece)
+    return "".join(out)
+
+
+def _py_spans(conv, eos):
+    spans, off = [], 0
+    for role, content in conv:
+        pre, suf = DEFAULT_TEMPLATE.get(role, ("", ""))
+        if role not in DEFAULT_TEMPLATE:
+            pre, suf = "", ""
+        body = len(content) + len(suf) + (len(eos) if role == "assistant" else 0)
+        if role == "assistant":
+            spans.append((off + len(pre), off + len(pre) + body))
+        off += len(pre) + body
+    return spans
+
+
+def test_render_and_spans_random_sweep(spark):
+    rng = random.Random(20260815)
+    words = "river mill trade road market dawn harvest square".split()
+    convs = []
+    for i in range(150):
+        n_turns = rng.randint(1, 6)
+        conv = []
+        for t in range(n_turns):
+            role = rng.choice(["system", "user", "assistant", "tool"])
+            content = " ".join(
+                rng.choice(words) for _ in range(rng.randint(0, 6))
+            )
+            conv.append((role, content))
+        convs.append((i, conv))
+    df = spark.createDataFrame(convs, CONV_SCHEMA)
+    rows = df.select(
+        "id",
+        render_chat("conv", eos="</s>").alias("text"),
+        assistant_spans("conv", eos="</s>").alias("spans"),
+    ).collect()
+    by_id = {r["id"]: r for r in rows}
+    for i, conv in convs:
+        r = by_id[i]
+        assert r["text"] == _py_render(conv, "</s>"), (i, conv)
+        got = [(s["start"], s["end"]) for s in r["spans"]]
+        assert got == _py_spans(conv, "</s>"), (i, conv)
+        # spans slice exactly the assistant payloads
+        for (a, b), (role, content) in zip(
+            got, [t for t in conv if t[0] == "assistant"]
+        ):
+            assert r["text"][a:b] == content + "\n</s>"
+
+
+def _py_allowed(path, rules):
+    matched = [
+        (len(pref.split("*")[0]), allow)
+        for allow, pref in rules
+        if path.startswith(pref.split("*")[0])
+    ]
+    if not matched:
+        return True
+    best_len = max(m[0] for m in matched)
+    at_best = [allow for ln, allow in matched if ln == best_len]
+    return any(at_best)  # allow wins ties
+
+
+def test_robots_longest_match_random_sweep(spark):
+    rng = random.Random(99)
+    segs = ["a", "b", "c", "press", "tmp", "private"]
+    cases = []
+    for i in range(120):
+        n_rules = rng.randint(0, 6)
+        rules = []
+        lines = ["User-agent: *"]
+        for _ in range(n_rules):
+            allow = rng.random() < 0.4
+            depth = rng.randint(1, 3)
+            pref = "/" + "/".join(rng.choice(segs) for _ in range(depth))
+            if rng.random() < 0.2:
+                pref += "*"
+            rules.append((allow, pref))
+            lines.append(("Allow: " if allow else "Disallow: ") + pref)
+        path = "/" + "/".join(
+            rng.choice(segs) for _ in range(rng.randint(1, 4))
+        )
+        cases.append((i, "\n".join(lines), path, rules))
+    robots_df = spark.createDataFrame(
+        [(i, body) for i, body, _, _ in cases], "id long, body string"
+    )
+    parsed = parse_robots(
+        robots_df.withColumn("host", F.col("id").cast("string")),
+        "host", "body",
+    ).withColumnRenamed("host", "rid")
+    paths = spark.createDataFrame(
+        [(str(i), p) for i, _, p, _ in cases], "rid string, path string"
+    )
+    out = {
+        int(r["rid"]): r["ok"]
+        for r in paths.join(parsed, "rid").select(
+            "rid", robots_allowed(F.col("path"), F.col("rules")).alias("ok")
+        ).collect()
+    }
+    for i, _, path, rules in cases:
+        assert out[i] == _py_allowed(path, rules), (i, path, rules)
