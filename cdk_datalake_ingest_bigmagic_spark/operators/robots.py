@@ -46,11 +46,22 @@ _ACC_SCHEMA = (
 )
 
 
+#: Parse at most this many lines per robots.txt (RFC 9309 lets
+#: crawlers cap parsing — 500 KiB is the reference bound; a hostile
+#: multi-MB "robots.txt" must cost O(cap), not O(payload)).
+MAX_ROBOTS_LINES = 5000
+
+
 def _parse_rules_column(body, agent: str) -> Column:
     """Array of (allow, prefix, exact_group) rules applicable to
     ``agent`` from a robots.txt body Column."""
     agent_lc = agent.lower()
-    lines = F.split(F.coalesce(body, F.lit("")), "\n")
+    all_lines = F.split(F.coalesce(body, F.lit("")), "\n")
+    lines = F.slice(
+        all_lines,
+        1,
+        F.least(F.size(all_lines), F.lit(MAX_ROBOTS_LINES)),
+    )
     # normalize: strip comments and whitespace, lowercase the field name
     def norm(line: Column) -> Column:
         no_comment = F.regexp_replace(line, "#.*$", "")

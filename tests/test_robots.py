@@ -154,3 +154,28 @@ def test_robots_from_documents(spark):
     # doc 3 is under the longest body's Disallow; robots.txt rows
     # themselves are fetchable, open.org has no policy
     assert kept == [1, 2, 4]
+
+
+def test_hostile_giant_robots_capped(spark):
+    from cdk_datalake_ingest_bigmagic_spark.operators.robots import (
+        MAX_ROBOTS_LINES,
+    )
+
+    # a rule beyond the cap must NOT take effect; one before it must
+    body = (
+        "User-agent: *\nDisallow: /early/\n"
+        + "# filler\n" * (MAX_ROBOTS_LINES + 100)
+        + "Disallow: /late/\n"
+    )
+    robots = parse_robots(
+        spark.createDataFrame([("h.com", body)], "host string, body string"),
+        "host", "body",
+    )
+    docs = spark.createDataFrame(
+        [(1, "http://h.com/early/x"), (2, "http://h.com/late/x")],
+        "id long, url string",
+    )
+    kept = sorted(
+        r["id"] for r in apply_robots(docs, "id", "url", robots).collect()
+    )
+    assert kept == [2]
