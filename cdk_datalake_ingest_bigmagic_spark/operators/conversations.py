@@ -323,3 +323,39 @@ def ensure_system(conv, content: str) -> Column:
     return F.when(c.isNull(), F.lit(None).cast(CONVERSATION_SCHEMA)).otherwise(
         F.when(has_system, c).otherwise(F.concat(F.array(sys_turn), c))
     )
+
+
+def conversation_report(
+    df: DataFrame, conv_col: str, strata_col: str
+) -> DataFrame:
+    """Per-stratum SFT corpus health: conversation counts, validity
+    rate,每 failure-reason rates, and mean turn count — the nightly
+    table that catches a chat-log format regression at one source
+    before it poisons a training mix (the conversation twin of
+    operators/text.py::gate_report).
+
+    The flags are one in-row projection riding the scan; ONE
+    map-side-combined aggregation per stratum follows. Ratios are
+    single IEEE divisions of exact longs.
+    """
+    flags = conversation_flags(conv_col)
+    base = df.select(
+        F.col(strata_col).alias("stratum"),
+        flags.alias("__f"),
+        F.size(_conv(conv_col)).alias("__turns"),
+    )
+    n = F.count(F.lit(1)).cast("long")
+    rate = lambda c: (  # noqa: E731
+        F.sum(F.col("__f")[c].cast("int")).cast("double") / n.cast("double")
+    )
+    return base.groupBy("stratum").agg(
+        n.alias("n_conversations"),
+        rate("valid").alias("valid_rate"),
+        rate("starts_ok").alias("starts_ok_rate"),
+        rate("alternates").alias("alternates_rate"),
+        rate("nonempty").alias("nonempty_rate"),
+        rate("ends_assistant").alias("ends_assistant_rate"),
+        F.avg(F.when(F.col("__turns") >= 0, F.col("__turns"))).alias(
+            "mean_turns"
+        ),
+    )

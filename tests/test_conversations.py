@@ -237,3 +237,30 @@ def test_streaming_parse_and_validate(spark, tmp_path):
         r["id"]: r["v"] for r in spark.sql("select * from conv_stream").collect()
     }
     assert got == {0: True, 1: False}
+
+
+def test_conversation_report(spark):
+    from cdk_datalake_ingest_bigmagic_spark.operators.conversations import (
+        conversation_report,
+    )
+
+    rows = [
+        (1, "web", [("user", "q"), ("assistant", "a")]),
+        (2, "web", [("assistant", "bad"), ("user", "q")]),
+        (3, "web", [("user", "q"), ("assistant", "a"), ("user", "d")]),
+        (4, "books", [("system", "s"), ("user", "q"), ("assistant", "a")]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id long, source string, conv array<struct<role:string, content:string>>",
+    )
+    rep = {
+        r["stratum"]: r
+        for r in conversation_report(df, "conv", "source").collect()
+    }
+    assert rep["web"]["n_conversations"] == 3
+    assert rep["web"]["valid_rate"] == 1 / 3
+    assert rep["web"]["starts_ok_rate"] == 2 / 3
+    assert rep["web"]["ends_assistant_rate"] == 1 / 3
+    assert rep["books"]["valid_rate"] == 1.0
+    assert rep["books"]["mean_turns"] == 3.0
