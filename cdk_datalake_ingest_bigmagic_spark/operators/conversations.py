@@ -329,7 +329,7 @@ def conversation_report(
     df: DataFrame, conv_col: str, strata_col: str
 ) -> DataFrame:
     """Per-stratum SFT corpus health: conversation counts, validity
-    rate,每 failure-reason rates, and mean turn count — the nightly
+    rate, per-failure-reason rates, and mean turn count — the nightly
     table that catches a chat-log format regression at one source
     before it poisons a training mix (the conversation twin of
     operators/text.py::gate_report).
