@@ -1,0 +1,112 @@
+"""Fixed-width text ingestion.
+
+ERP-adjacent systems (the reference's Visual-FoxPro-era world) export
+fixed-width files long before they export CSV: every record is one
+line, every field a byte-column range, padding spaces, no delimiters.
+This reader turns such files into typed DataFrames with pure codegen
+``substring`` slicing — the whole parse rides the line scan, zero
+Python, splittable like any text source.
+
+Column specs are (name, start, length, dtype) with 1-based inclusive
+starts (the convention in COBOL copybooks and every fixed-width
+spec sheet). Values are right-trimmed; configurable NULL markers
+(blank field, a literal like ``NULL`` or ``***``) become real NULLs
+BEFORE the cast, so a blank numeric field is NULL, not a cast error.
+Non-UTF-8 encodings (latin-1 is the genre's default) decode via the
+text source's ``encoding`` option.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _read_lines(spark: SparkSession, path: str, encoding: str) -> DataFrame:
+    """One line per row as column ``value``. The text source is
+    UTF-8-only (its encoding option is ignored), so non-UTF-8 files
+    read through the CSV reader — which honors ``encoding`` — with
+    the delimiter/quote machinery disabled (a \\x01 separator and
+    \\x00 quote never occur in fixed-width exports)."""
+    if encoding.upper() in ("UTF-8", "UTF8"):
+        return spark.read.text(path)
+    return (
+        spark.read.option("encoding", encoding)
+        .option("sep", "\x01")
+        .option("quote", "\x00")
+        .option("header", "false")
+        .csv(path)
+        .withColumnRenamed("_c0", "value")
+    )
+
+
+@dataclass(frozen=True)
+class FixedWidthField:
+    name: str
+    start: int  # 1-based, inclusive (copybook convention)
+    length: int
+    dtype: str = "string"
+
+
+def read_fixed_width(
+    spark: SparkSession,
+    path: str,
+    fields: list[FixedWidthField] | list[tuple],
+    encoding: str = "UTF-8",
+    null_markers: tuple[str, ...] = ("",),
+    skip_header_lines: int = 0,
+    strict_length: bool = False,
+) -> DataFrame:
+    """Read fixed-width files at ``path`` into a typed DataFrame.
+
+    ``fields`` accepts FixedWidthField or plain (name, start, length
+    [, dtype]) tuples. Lines shorter than a field's range yield NULL
+    for that field (trailing-space-stripped exports are common);
+    ``strict_length=True`` instead adds a ``_malformed`` flag column
+    (quarantine is the caller's policy, same stance as the JSONL
+    source's corrupt-record split). ``skip_header_lines`` drops the
+    first N PHYSICAL lines per FILE (not per partition) — implemented
+    with the per-file line number, not ``zipWithIndex``.
+    """
+    specs = [
+        f if isinstance(f, FixedWidthField) else FixedWidthField(*f)
+        for f in fields
+    ]
+    if not specs:
+        raise ValueError("no fields")
+    for s in specs:
+        if s.start < 1 or s.length < 1:
+            raise ValueError(f"bad range for {s.name}: {s.start}+{s.length}")
+    raw = _read_lines(spark, path, encoding)
+    if skip_header_lines > 0:
+        # per-file physical line number: partition by file, order by
+        # the within-file block offsets the text source preserves via
+        # monotonically_increasing_id within a split — use the
+        # file+offset-safe construction instead: number lines per file
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy(F.col("_metadata.file_path"))
+            .orderBy(F.monotonically_increasing_id())
+        )
+        raw = (
+            _read_lines(spark, path, encoding)
+            .select("value", "_metadata.file_path")
+            .withColumn("__line_no", F.row_number().over(w))
+            .where(F.col("__line_no") > skip_header_lines)
+            .select("value")
+        )
+    line = F.col("value")
+    cols = []
+    min_len = max(s.start + s.length - 1 for s in specs)
+    for s in specs:
+        piece = F.rtrim(F.substring(line, s.start, s.length))
+        for marker in null_markers:
+            piece = F.when(piece == marker, F.lit(None)).otherwise(piece)
+        cols.append(piece.cast(s.dtype).alias(s.name))
+    out = raw.select(*cols, F.length(line).alias("__len"))
+    if strict_length:
+        out = out.withColumn("_malformed", F.col("__len") < min_len)
+    return out.drop("__len")

@@ -1,0 +1,114 @@
+"""Fixed-width source: typed slicing, NULL markers, encodings,
+header skip, and the malformed flag."""
+
+import pytest
+
+from cdk_datalake_ingest_bigmagic_spark.sources.fixedwidth import (
+    FixedWidthField,
+    read_fixed_width,
+)
+
+FIELDS = [
+    ("item_id", 1, 6, "long"),
+    ("name", 7, 10),
+    ("qty", 17, 5, "int"),
+    ("price", 22, 8, "decimal(8,2)"),
+]
+
+
+def _write(tmp_path, lines, name="data.txt", encoding="utf-8"):
+    p = tmp_path / name
+    p.write_bytes(("\n".join(lines) + "\n").encode(encoding))
+    return str(p)
+
+
+def _line(item_id, name, qty, price):
+    """Compose an exact-width record so the test can't miscount."""
+    return f"{item_id:06d}{name:<10}{qty:>5}{price:>8}"
+
+
+def test_basic_typed_parse(spark, tmp_path):
+    lines = [_line(123, "widget", 42, "199.50"), _line(124, "gadget", 7, "25.00")]
+    path = _write(tmp_path, lines)
+    rows = sorted(
+        read_fixed_width(spark, path, FIELDS).collect(),
+        key=lambda r: r["item_id"],
+    )
+    assert rows[0]["item_id"] == 123 and rows[0]["name"] == "widget"
+    assert rows[0]["qty"] == 42 and float(rows[0]["price"]) == 199.50
+    assert rows[1]["qty"] == 7
+
+
+def test_null_markers_and_short_lines(spark, tmp_path):
+    lines = [
+        _line(125, "", 42, "199.50"),      # blank name -> NULL
+        "000126thing     ",                # short line: qty/price NULL
+    ]
+    path = _write(tmp_path, lines)
+    rows = {
+        r["item_id"]: r
+        for r in read_fixed_width(spark, path, FIELDS).collect()
+    }
+    assert rows[125]["name"] is None
+    assert rows[126]["qty"] is None and rows[126]["price"] is None
+
+
+def test_custom_null_marker(spark, tmp_path):
+    lines = [_line(127, "***", 99, "10.00")]
+    path = _write(tmp_path, lines)
+    r = read_fixed_width(
+        spark, path, FIELDS, null_markers=("", "***")
+    ).collect()[0]
+    assert r["name"] is None and r["qty"] == 99
+
+
+def test_latin1_encoding(spark, tmp_path):
+    line = _line(128, "caf\xe9 bar", 3, "9.99")
+    p = tmp_path / "latin.txt"
+    p.write_bytes((line + "\n").encode("latin-1"))
+    r = read_fixed_width(
+        spark, str(p), FIELDS, encoding="ISO-8859-1"
+    ).collect()[0]
+    assert r["name"] == "café bar"
+
+
+def test_header_skip_and_strict_flag(spark, tmp_path):
+    lines = [
+        "ITEM  NAME      QTY  PRICE   ",
+        _line(129, "widget", 10, "5.00"),
+        "000130shortline",
+    ]
+    path = _write(tmp_path, lines)
+    out = read_fixed_width(
+        spark, path, FIELDS, skip_header_lines=1, strict_length=True
+    )
+    rows = {r["item_id"]: r for r in out.collect()}
+    assert set(rows) == {129, 130}
+    assert rows[129]["_malformed"] is False
+    assert rows[130]["_malformed"] is True
+
+
+def test_bad_spec(spark, tmp_path):
+    path = _write(tmp_path, ["x"])
+    with pytest.raises(ValueError):
+        read_fixed_width(spark, path, [("a", 0, 3)])
+    with pytest.raises(ValueError):
+        read_fixed_width(spark, path, [])
+
+
+def test_codegen_only(spark, tmp_path):
+    path = _write(tmp_path, [_line(131, "abc", 1, "1.00")])
+    plan = (
+        read_fixed_width(spark, path, FIELDS)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_fields_dataclass_form(spark, tmp_path):
+    path = _write(tmp_path, [_line(132, "abc", 1, "1.00")])
+    fields = [FixedWidthField("item_id", 1, 6, "long")]
+    r = read_fixed_width(spark, path, fields).collect()[0]
+    assert r["item_id"] == 132
