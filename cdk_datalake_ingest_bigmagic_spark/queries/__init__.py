@@ -55,6 +55,7 @@ from cdk_datalake_ingest_bigmagic_spark.queries import dsl_demo  # noqa: E402,F4
 from cdk_datalake_ingest_bigmagic_spark.queries import llmdata  # noqa: E402,F401
 from cdk_datalake_ingest_bigmagic_spark.queries import events  # noqa: E402,F401
 from cdk_datalake_ingest_bigmagic_spark.queries import curation  # noqa: E402,F401
+from cdk_datalake_ingest_bigmagic_spark.queries import curation2  # noqa: E402,F401
 
 # The external correctness gate checks the first 50 registered queries.
 # With 114 registered (round 7 added the ten queries/curation.py
@@ -190,7 +191,96 @@ from cdk_datalake_ingest_bigmagic_spark.queries import curation  # noqa: E402,F4
 #   train_quality_classifier/score_quality (L-BFGS floats are not
 #   cross-engine; held-out accuracy + plan shape pinned in
 #   tests/test_classifier.py).
+# Round-8 front (executes the ROUND-8 WINDOW MATH above):
+#   (1) the 13 new registrations of queries/curation2.py (pre-written
+#       and pre-validated in round 7: tools/validate_curation2.py, 0
+#       failures at sf0.01 and sf0.1) — never gated, must be in-window.
+#   (2) the 18-query obligation: every query whose newest green is r5
+#       (freshness ceiling at round 8 is r6), from tools/window_math.py.
+#   (3) changed-module riders this round: the curation2 names already
+#       cover operators/urlnorm.py (tie null-safety fix),
+#       operators/normalize.py, operators/scripts.py,
+#       operators/conversations.py; plans/corpus.py (fix_text order),
+#       streaming/incremental.py (near-dup replay idempotency),
+#       operators/decontamination.py (vector pre-filter),
+#       operators/robots.py (full wildcard matching),
+#       operators/classifier.py (calibration report) and
+#       sources/fixedwidth.py back no previously-gated query (pytest
+#       covers them); fixedwidth/sentences/conversation-report gain
+#       NEW gates in queries/curation3.py this round (in (1b) below).
+#   (1b) new round-8 registrations (queries/curation3.py):
+#       fixedwidth_typed_parse, sentence_stats, conversation_report.
+#   (4) the remaining slots go to r6-green pre-gates to shave round
+#       9's obligation: round 9's obligation would otherwise be all 46
+#       r6-only greens (> window − new registrations − riders), so the
+#       cycle-closure arithmetic VERDICT r7 item 8 asks for REQUIRES
+#       pre-gating now. 16 of the 46 rejoin this window; round 9's
+#       obligation becomes the remaining 30.
+#   CYCLE ARITHMETIC (registry 130 after (1b)): each query must
+#   re-gate every 3 rounds → capacity 150/cycle vs 130 registered +
+#   ~12 rider slots/cycle ≈ 142 < 150: the cycle still closes, with
+#   ~8 slots/cycle of slack for new registrations. Beyond ~140
+#   registered, start retiring redundant early demo gates.
 _GATE_FRONT: list[str] = [
+    # (2) the 18 r5-green re-gates (freshness ceiling at r8 is r6)
+    "agg_sketch_error_bounds",
+    "dedup_connected_components",
+    "dedup_connected_components_twophase",
+    "dedup_containment",
+    "dedup_exact",
+    "dedup_keep_list",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dsl_case_multicolumn",
+    "dsl_misc_functions",
+    "events_asof_join",
+    "join_config_multitable",
+    "join_market_share",
+    "text_chunk_windows",
+    "text_duplicate_spans",
+    "text_span_trim",
+    "window_yearly_growth",
+    # (1) the 13 queries/curation2.py registrations
+    "url_canonicalize_spellings",
+    "url_dedup_best_spelling",
+    "text_fix_mojibake",
+    "text_clean_controls",
+    "text_script_counts",
+    "conversations_structural",
+    "linkgraph_degree_stats",
+    "text_tfidf_keywords",
+    "dedup_cluster_histogram",
+    "langid_train_classify",
+    "curriculum_shard_order",
+    "profile_exact_core",
+    "profile_frequent_sources",
+    # (4) 19 r6-green pre-gates (round-9 obligation shaved to 27);
+    # three of these slots are swapped for the (1b) curation3 gates
+    # as they land this round.
+    "dsl_bytemagic",
+    "dsl_case_mapping",
+    "dsl_periodmagic",
+    "dsl_date_to_string_nested",
+    "agg_exact_quantiles",
+    "events_lag_lead_gaps",
+    "join_part_supplier_revenue",
+    "sample_hash_fraction",
+    "text_fingerprint",
+    "text_token_stats",
+    "text_token_encode",
+    "text_language_id",
+    "text_quality_score",
+    "text_quality_features",
+    "text_pii_scrub",
+    "text_frequent_tokens",
+    "text_rare_tokens",
+    "text_repetition_filter",
+    "text_rolling_fingerprint",
+]
+
+#: the round-7 front, kept for the audit trail (not used at runtime)
+_GATE_FRONT_R7: list[str] = [
     # (1) new registrations (queries/curation.py) — never gated
     "snapshot_diff_docs",
     "snapshot_carry_forward",
