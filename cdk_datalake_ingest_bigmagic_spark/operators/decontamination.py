@@ -105,7 +105,16 @@ def embedding_decontaminate(
     )
     from cdk_datalake_ingest_bigmagic_spark.operators import fan_out
 
-    scanned = fan_out(corpus.select(id_col, vec_col)).mapInPandas(
+    # Same vector-hygiene contract as projection.random_project: a
+    # NULL / empty / wrong-dimensionality vector anywhere in a 100-TB
+    # corpus must degrade to "that row is skipped", never "the whole
+    # stage crashes in np.array". Codegen-side filter, so clean rows
+    # pay nothing.
+    dims = int(eval_mat.shape[1])
+    usable = corpus.select(id_col, vec_col).filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dims)
+    )
+    scanned = fan_out(usable).mapInPandas(
         _make_scan_kernel(id_col, vec_col, eval_ids, eval_mat), schema
     )
     return scanned.withColumn(

@@ -200,8 +200,12 @@ def dedup_by_url(
             F.col("__best.__tie").alias("__tie"),
         )
     )
+    # eqNullSafe on the tie: a NULL tie value would make the plain
+    # equality NULL and silently drop the entire URL group — the same
+    # NULL-poisoning failure the quality coalesce above guards (a
+    # caller-supplied tie_col has no NOT NULL contract).
     kept = keyed.join(best, on="__ukey", how="inner").where(
-        ((-qual) == F.col("__negq")) & (F.col(tie) == F.col("__tie"))
+        ((-qual) == F.col("__negq")) & F.col(tie).eqNullSafe(F.col("__tie"))
     )
     unparseable = keyed.where(F.col("__ukey").isNull())
     return kept.unionByName(unparseable, allowMissingColumns=True).drop(

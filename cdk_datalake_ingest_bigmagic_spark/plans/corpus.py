@@ -301,8 +301,16 @@ class CorpusPipeline:
                 normalize_unicode,
             )
 
+            # ftfy's fix-before-strip order: mojibake repair MUST run
+            # before the control strip — clean_text_column removes C1
+            # controls (U+0080–U+009F), which are exactly the WHATWG
+            # sloppy-cp1252 pass-through codepoints the repair kernel
+            # needs intact to invert a bad decode (e.g. U+201D
+            # mangles to 'â€' + U+009D; stripping the third byte
+            # first makes the whole document unrepairable).
+            docs = repair_encoding(docs, tc)
             docs = docs.withColumn(tc, clean_text_column(tc))
-            docs = normalize_unicode(repair_encoding(docs, tc), tc)
+            docs = normalize_unicode(docs, tc)
 
         clean_input, clean_upstream_fp = docs, ""
         if cfg.line_filter:

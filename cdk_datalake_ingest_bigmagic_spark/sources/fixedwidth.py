@@ -81,19 +81,26 @@ def read_fixed_width(
             raise ValueError(f"bad range for {s.name}: {s.start}+{s.length}")
     raw = _read_lines(spark, path, encoding)
     if skip_header_lines > 0:
-        # per-file physical line number: partition by file, order by
-        # the within-file block offsets the text source preserves via
-        # monotonically_increasing_id within a split — use the
-        # file+offset-safe construction instead: number lines per file
+        # Per-file physical line number. monotonically_increasing_id
+        # alone is NOT offset-ordered for a multi-split file (Spark
+        # bin-packs splits by size, so a later block can land in an
+        # earlier partition index); _metadata.file_block_start IS the
+        # byte offset of each split, and within one block rows are
+        # read start-to-finish by a single task, where the id's low
+        # bits increase in read order. Ordering by (block offset, id)
+        # therefore reconstructs physical line order for any split
+        # layout, so only true header lines are dropped.
         from pyspark.sql import Window
 
-        w = (
-            Window.partitionBy(F.col("_metadata.file_path"))
-            .orderBy(F.monotonically_increasing_id())
+        w = Window.partitionBy(F.col("_metadata.file_path")).orderBy(
+            F.col("_metadata.file_block_start"),
+            F.monotonically_increasing_id(),
         )
         raw = (
             _read_lines(spark, path, encoding)
-            .select("value", "_metadata.file_path")
+            .select(
+                "value", "_metadata.file_path", "_metadata.file_block_start"
+            )
             .withColumn("__line_no", F.row_number().over(w))
             .where(F.col("__line_no") > skip_header_lines)
             .select("value")

@@ -365,15 +365,27 @@ def stream_near_dup(
         )
         all_arrays = arrays.select(id_col, "hs")
         if _exists(f"{store_path}/bands"):
-            old_sig = spark.read.parquet(f"{store_path}/bands")
+            # Replay safety: a crash after the sink writes but before
+            # the checkpoint commit leaves THIS batch's partition in
+            # the store; on replay it must not be read back as the
+            # accumulated state (every doc would self-match at
+            # Jaccard 1.0 and then be overwritten as a duplicate —
+            # silent loss). The store reads therefore exclude the
+            # current batch's partition, and self-pairs are dropped
+            # as a belt-and-braces guard for re-crawled ids.
+            old_sig = spark.read.parquet(f"{store_path}/bands").filter(
+                F.col("batch_id") < F.lit(batch_id)
+            )
             cross = (
                 old_sig.select(F.col(id_col).alias("id_a"), "band", *key_cols)
                 .join(right, ["band", *key_cols])
+                .filter(F.col("id_a") != F.col("id_b"))
                 .select("id_a", "id_b")
             )
             old_ids = cross.select(F.col("id_a").alias(id_col)).distinct()
             old_arrays = (
                 spark.read.parquet(f"{store_path}/arrays")
+                .filter(F.col("batch_id") < F.lit(batch_id))
                 .select(id_col, "hs")
                 .join(old_ids, id_col, "left_semi")
             )

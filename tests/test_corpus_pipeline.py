@@ -411,11 +411,20 @@ def test_pipeline_fix_text_and_url_dedup(spark, tmp_path_factory):
             "the new roads arrived and what the {} traders made of it")
     mangled = "cafÃ© " + base.format("mangled")  # "cafÃ©" = mojibake é
     decomposed = "café " + base.format("composed")   # e + combining acute
+    # U+201D (\u201d) badly decoded is '\u00e2\u20ac' + U+009D \u2014 a C1
+    # control the repair kernel must see INTACT: when the control
+    # strip ran first (the round-7 order) the third byte vanished and
+    # the whole document came out unrepaired (ADVICE r7,
+    # plans/corpus.py:304).
+    c1_mojibake = (
+        "she said \u00e2\u20ac\u0153yes\u00e2\u20ac\u009d " + base.format("quoted")
+    )
     rows = [
         (0, mangled, "s0", "http://www.example.com/a?utm_source=x"),
         (1, base.format("dup"), "s0", "http://example.com/a/"),  # same canon URL
         (2, decomposed, "s1", "http://example.com/b"),
         (3, base.format("plain"), "s1", "http://example.com/c"),
+        (4, c1_mojibake, "s1", "http://example.com/d"),
     ]
     docs = spark.createDataFrame(
         rows, "doc_id long, text string, source string, url string"
@@ -431,6 +440,7 @@ def test_pipeline_fix_text_and_url_dedup(spark, tmp_path_factory):
     assert 1 not in clean                      # url dup of doc 0 collapsed
     assert clean[0].startswith("café ")   # mojibake repaired
     assert clean[2].startswith("café ")   # NFC composed
+    assert clean[4].startswith("she said \u201cyes\u201d ")  # C1 byte survived to repair
     # config participates in fingerprints: flipping the flags re-runs
     import dataclasses as _dc
 

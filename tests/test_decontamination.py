@@ -124,3 +124,32 @@ def test_works_on_real_embeddings(spark, sf_dir):
     flagged_ids = {r[idc] for r in out.where("flagged").collect()}
     eval_ids = {r["eval_id"] for r in evals.collect()}
     assert eval_ids <= flagged_ids
+
+
+def test_null_and_ragged_vectors_are_skipped(spark):
+    """NULL / wrong-dimensionality corpus vectors must degrade to
+    row-skipped, not stage-crashed (ADVICE r7,
+    operators/decontamination.py:65 — mirrors random_project)."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.decontamination import (
+        embedding_decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, None),              # NULL vector
+            (3, [1.0, 0.0]),        # wrong dims
+            (4, [0.0, 1.0, 0.0]),
+        ],
+        "doc_id long, vec array<double>",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0])], "eid long, vec array<double>"
+    )
+    out = embedding_decontaminate(
+        corpus, "doc_id", "vec", eval_df, "eid", "vec", min_cosine=0.9
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 4}      # bad rows skipped, good rows scored
+    assert rows[1]["flagged"] is True
+    assert rows[4]["flagged"] is False

@@ -112,3 +112,24 @@ def test_fields_dataclass_form(spark, tmp_path):
     fields = [FixedWidthField("item_id", 1, 6, "long")]
     r = read_fixed_width(spark, path, fields).collect()[0]
     assert r["item_id"] == 132
+
+
+def test_header_skip_survives_file_splits(spark, tmp_path):
+    """A file large enough to be SPLIT must still drop exactly the
+    header lines: split bin-packing does not preserve offset order of
+    partition indexes, so line numbering orders by
+    _metadata.file_block_start (ADVICE r7, sources/fixedwidth.py:92)."""
+    n = 400
+    lines = ["ITEM  NAME      QTY  PRICE   "] + [
+        _line(1000 + i, f"w{i:05d}", i % 97, "1.00") for i in range(n)
+    ]
+    path = _write(tmp_path, lines)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        # ~12 KB file -> ~6 splits of 2 KB
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+        out = read_fixed_width(spark, path, FIELDS, skip_header_lines=1)
+        ids = sorted(r["item_id"] for r in out.collect())
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert ids == [1000 + i for i in range(n)]  # header gone, no data lost

@@ -290,6 +290,58 @@ def test_stream_term_index_replay_is_idempotent(spark, tmp_path):
     assert [r.doc_id for r in top] == [1]
 
 
+def test_stream_near_dup_replay_is_idempotent(spark, tmp_path):
+    """Crash-mid-batch recovery: if the process dies after the
+    bands/arrays/decisions sinks land but before the checkpoint
+    commit, the batch replays with the SAME batch_id over a store
+    that already contains its own partial output. The store reads
+    exclude the current batch's partition, so the replay must not
+    see its first attempt as accumulated state (which would make
+    every document self-match at Jaccard 1.0, record it as dup_of
+    itself, and overwrite its arrays/bands partitions empty)."""
+    from cdk_datalake_ingest_bigmagic_spark.streaming.incremental import (
+        stream_near_dup,
+    )
+
+    docs = str(tmp_path / "docs")
+    store = str(tmp_path / "store")
+    schema = "doc_id long, text string"
+    batch1 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the "
+                "wide river bank today while birds sing overhead"),
+            (2, "completely different subject matter about database "
+                "engines query planners and shuffle execution"),
+        ],
+        schema,
+    )
+    batch1.write.parquet(docs)
+    stream_near_dup(
+        spark, docs, store, str(tmp_path / "ckpt1"), threshold=0.6
+    ).awaitTermination()
+    want = {
+        r.doc_id: (r.novel, r.dup_of)
+        for r in spark.read.parquet(f"{store}/decisions").collect()
+    }
+    assert want == {1: (True, None), 2: (True, None)}
+
+    # replay batch 0 the way a post-crash restart does: a fresh
+    # checkpoint re-reads the same files as batch_id=0, with the
+    # store already holding the first attempt's batch_id=0 output
+    stream_near_dup(
+        spark, docs, store, str(tmp_path / "ckpt2"), threshold=0.6
+    ).awaitTermination()
+    got = {
+        r.doc_id: (r.novel, r.dup_of)
+        for r in spark.read.parquet(f"{store}/decisions").collect()
+    }
+    assert got == want  # replaced, not self-matched
+    stored = {
+        r.doc_id for r in spark.read.parquet(f"{store}/arrays").collect()
+    }
+    assert stored == {1, 2}  # novel docs kept, not overwritten empty
+
+
 def test_stream_near_dup_incremental(spark, tmp_path):
     """Streaming MinHash-LSH novelty: cross-batch near-dups are
     caught against the accumulated store, first occurrence wins, the

@@ -167,3 +167,22 @@ def test_dedup_null_quality_never_drops_group(spark):
     out = dedup_by_url(df, "url", quality_col="q", tie_col="id")
     kept = sorted(r["id"] for r in out.collect())
     assert kept == [2, 3]
+
+def test_dedup_null_tie_never_drops_group(spark):
+    """A NULL in a caller-supplied tie column must not poison the
+    join-back (plain equality is NULL against NULL; the predicate is
+    null-safe — ADVICE r7, operators/urlnorm.py:204)."""
+    rows = [
+        (1, "http://example.com/a", 0.9, None),   # best quality, NULL tie
+        (2, "http://www.example.com/a", 0.4, "x"),
+        (3, "http://example.com/b", 0.5, None),   # whole group NULL-tied
+        (4, "http://example.com/b/", 0.5, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, url string, q double, label string"
+    )
+    out = dedup_by_url(df, "url", quality_col="q", tie_col="label")
+    kept = {r["id"] for r in out.collect()}
+    assert 1 in kept                   # NULL tie still wins on quality
+    assert kept & {3, 4}               # all-NULL-tie group keeps >= 1
+    assert 2 not in kept
