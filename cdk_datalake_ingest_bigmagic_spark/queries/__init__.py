@@ -56,6 +56,7 @@ from cdk_datalake_ingest_bigmagic_spark.queries import llmdata  # noqa: E402,F40
 from cdk_datalake_ingest_bigmagic_spark.queries import events  # noqa: E402,F401
 from cdk_datalake_ingest_bigmagic_spark.queries import curation  # noqa: E402,F401
 from cdk_datalake_ingest_bigmagic_spark.queries import curation2  # noqa: E402,F401
+from cdk_datalake_ingest_bigmagic_spark.queries import curation3  # noqa: E402,F401
 
 # The external correctness gate checks the first 50 registered queries.
 # With 114 registered (round 7 added the ten queries/curation.py
@@ -255,9 +256,17 @@ _GATE_FRONT: list[str] = [
     "curriculum_shard_order",
     "profile_exact_core",
     "profile_frequent_sources",
-    # (4) 19 r6-green pre-gates (round-9 obligation shaved to 27);
-    # three of these slots are swapped for the (1b) curation3 gates
-    # as they land this round.
+    # (1b) the 3 queries/curation3.py registrations (never gated,
+    # must be in-window): the fixed-width source, sentence stats, and
+    # the conversation health report — the round-7 pytest-only
+    # operators VERDICT r7 item 2 asked to promote.
+    "fixedwidth_typed_parse",
+    "sentence_stats",
+    "conversation_report",
+    # (4) 16 r6-green pre-gates (round-9 obligation shaved to 30);
+    # three of the originally-reserved 19 slots went to (1b) above
+    # (text_rare_tokens, text_repetition_filter,
+    # text_rolling_fingerprint stay r6-green, re-gated round 9).
     "dsl_bytemagic",
     "dsl_case_mapping",
     "dsl_periodmagic",
@@ -274,9 +283,6 @@ _GATE_FRONT: list[str] = [
     "text_quality_features",
     "text_pii_scrub",
     "text_frequent_tokens",
-    "text_rare_tokens",
-    "text_repetition_filter",
-    "text_rolling_fingerprint",
 ]
 
 #: the round-7 front, kept for the audit trail (not used at runtime)

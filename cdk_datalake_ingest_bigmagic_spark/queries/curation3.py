@@ -1,0 +1,198 @@
+"""Round-8 gate queries for the remaining round-7 pytest-only
+operators: the fixed-width source (sources/fixedwidth.py), sentence
+statistics (operators/sentences.py), and the SFT conversation health
+report (operators/conversations.py::conversation_report).
+
+Gate-prep conventions (same as queries/curation.py / curation2.py):
+inputs the synthetic corpus lacks (fixed-width export files, prose
+with a known sentence structure, chat turns) are synthesized with the
+SAME deterministic arithmetic on ``doc_id`` in both engines — the
+operator under test is general, only the prep is synthetic. Outputs
+are integers, strings, or single IEEE divisions of exact integers.
+
+The fixed-width gate is deliberately end-to-end: the Spark side
+WRITES a real fixed-width text file (format_string → one line per
+row) and parses it back through ``read_fixed_width`` — padding,
+NULL-marker, and typed-cast behavior all on the wire — while the
+oracle states the expected typed values directly from the table.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.queries import load, register
+
+# ---------------------------------------------------------------------------
+# Fixed-width source (sources/fixedwidth.py)
+# ---------------------------------------------------------------------------
+#
+# Layout (1-based copybook ranges): doc_id 1-6 zero-padded, source
+# 7-14 space-padded, lang 15-18 (BLANK — the NULL marker — when
+# doc_id % 5 = 0), n_chars 19-26 zero-padded. A header line is
+# prepended so skip_header_lines is on the wire too.
+
+
+@register(
+    "fixedwidth_typed_parse",
+    oracle="""
+    SELECT doc_id,
+           source,
+           CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END AS lang,
+           n_chars
+    FROM documents
+    """,
+)
+def fixedwidth_typed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through a real fixed-width file: compose exact-width
+    lines from the documents table, write them as text (one header
+    line + one line per row), parse back with ``read_fixed_width``
+    (typed slicing, blank→NULL, header skip) and return the typed
+    rows the oracle states directly."""
+    from cdk_datalake_ingest_bigmagic_spark.sources.fixedwidth import (
+        read_fixed_width,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    line = F.format_string(
+        "%06d%-8s%-4s%08d",
+        F.col("doc_id"),
+        F.col("source"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("")).otherwise(F.col("lang")),
+        F.col("n_chars"),
+    )
+    out_dir = os.path.join(
+        tempfile.mkdtemp(prefix="fwgate_"), "export"
+    )
+    header = spark.range(1).select(
+        F.lit("DOCID SOURCE  LANGNCHARS  ").alias("value")
+    )
+    header.unionAll(d.select(line.alias("value"))).coalesce(1).write.text(
+        out_dir
+    )
+    return read_fixed_width(
+        spark,
+        out_dir,
+        [
+            ("doc_id", 1, 6, "long"),
+            ("source", 7, 8),
+            ("lang", 15, 4),
+            ("n_chars", 19, 8, "long"),
+        ],
+        skip_header_lines=1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sentence statistics (operators/sentences.py)
+# ---------------------------------------------------------------------------
+#
+# Synthetic prose with a KNOWN sentence structure: k = doc_id % 4 + 1
+# copies of a seven-word sentence, plus (even doc_id) one trailing
+# one-word sentence — so every stat is stated arithmetically by the
+# oracle while the Spark side runs the real boundary-regexp splitter.
+
+
+@register(
+    "sentence_stats",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             doc_id % 4 + 1 AS k,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS s
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(k + s AS BIGINT) AS n_sentences,
+           CAST(7 * k + s AS BIGINT) AS n_words,
+           CAST(7 * k + s AS DOUBLE) / CAST(k + s AS DOUBLE)
+             AS mean_sentence_words,
+           CAST(s AS DOUBLE) / CAST(k + s AS DOUBLE) AS frac_short
+    FROM p
+    """,
+)
+def sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sentence_stats over deterministic prose: n_sentences/n_words
+    are exact longs; the mean and short-fraction are single IEEE
+    divisions of those longs (oracle-determinism rule)."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.sentences import (
+        sentence_stats,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    text = F.concat(
+        F.expr(
+            "repeat('The quick fox runs over the hill. ',"
+            " CAST(doc_id % 4 + 1 AS INT))"
+        ),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("Go!")).otherwise(F.lit("")),
+    )
+    return sentence_stats(d.select("doc_id", text.alias("prose")), "doc_id", "prose")
+
+
+# ---------------------------------------------------------------------------
+# Conversation health report (operators/conversations.py)
+# ---------------------------------------------------------------------------
+#
+# Same three chat shapes as curation2.conversations_structural
+# (shape = doc_id % 3: valid user/assistant pair; assistant-first;
+# non-alternating double-user), stratified by ``source`` — the oracle
+# states each shape's flag vector, the Spark side runs the real
+# one-scan report.
+
+
+@register(
+    "conversation_report",
+    oracle="""
+    WITH conv AS (
+      SELECT source AS stratum,
+             doc_id % 3 AS shape,
+             (length(trim(substr(text, 1, 40))) > 0
+              AND length(trim(substr(text, 41, 60))) > 0) AS filled
+      FROM documents
+    )
+    SELECT stratum,
+           count(*) AS n_conversations,
+           CAST(sum(CASE WHEN shape = 0 AND filled THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE) AS valid_rate,
+           CAST(sum(CASE WHEN shape IN (0, 2) THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE) AS starts_ok_rate,
+           CAST(sum(CASE WHEN shape = 0 THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE) AS alternates_rate,
+           CAST(sum(CASE WHEN filled THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE) AS nonempty_rate,
+           CAST(sum(CASE WHEN shape IN (0, 2) THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE) AS ends_assistant_rate,
+           AVG(CASE WHEN shape = 2 THEN 3 ELSE 2 END) AS mean_turns
+    FROM conv
+    GROUP BY stratum
+    """,
+)
+def conversation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """conversation_report stratified by source over the three
+    synthetic chat shapes; every rate is a single IEEE division of
+    exact longs, mean_turns an AVG of small integers."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.conversations import (
+        conversation_report,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    c1 = F.trim(F.substring("text", 1, 40))
+    c2 = F.trim(F.substring("text", 41, 60))
+    shape = F.col("doc_id") % 3
+    turn = lambda role, content: F.struct(  # noqa: E731
+        F.lit(role).alias("role"), content.alias("content")
+    )
+    conv = (
+        F.when(shape == 0, F.array(turn("user", c1), turn("assistant", c2)))
+        .when(shape == 1, F.array(turn("assistant", c1), turn("user", c2)))
+        .otherwise(
+            F.array(turn("user", c1), turn("user", c2), turn("assistant", c1))
+        )
+    )
+    base = d.select(F.col("source"), conv.alias("conv"))
+    return conversation_report(base, "conv", "source")
