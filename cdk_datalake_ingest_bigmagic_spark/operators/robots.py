@@ -23,13 +23,19 @@ filters URLs against them — this module is that pass, REP-shaped
   corpus, then the in-row longest-match. Rules per host are bounded
   (robots files are a few KB), so the rule side broadcasts.
 
-Honest scope: ``%``-escapes are compared literally, ``*`` wildcards
-inside rule paths match as a prefix up to the wildcard (the common
-subset; full wildcard semantics need a regex translation), and
-``Crawl-delay``/``Sitemap`` lines are ignored. Deterministic string
-algebra throughout; pytest-verified (the stateful parse is not
-reasonably DuckDB-expressible — recorded as a deliberate rows-only
-candidate, like the streaming operators).
+Rule paths carry FULL RFC 9309 §2.2.3 wildcard semantics: ``*``
+matches any octet sequence (anywhere in the rule, any number of
+times) and a trailing ``$`` anchors the end — implemented by
+translating the rule path to an anchored regex at match time, with
+plain prefix rules (the overwhelming majority) kept on the codegen
+``startswith`` fast path. Specificity for longest-match is the rule
+path's length as written (the Google-parser measure). Honest scope:
+``%``-escapes are compared literally and ``Crawl-delay``/``Sitemap``
+lines are ignored. Deterministic string algebra throughout;
+pytest-verified incl. a randomized differential sweep against an
+independent Python matcher (the stateful parse is not reasonably
+DuckDB-expressible — recorded as a deliberate rows-only candidate,
+like the streaming operators).
 """
 
 from __future__ import annotations
@@ -134,24 +140,52 @@ def parse_robots(
     )
 
 
+#: Java-regex metacharacters to neutralize when a rule path becomes a
+#: pattern — everything except ``*``, which is the REP wildcard.
+_RE_SPECIALS = r"([.\^\$\+\?\(\)\{\}\[\]\|\\])"
+
+
+def _rule_pattern(prefix: Column) -> Column:
+    """RFC 9309 §2.2.3 rule path → anchored Java regex: ``*`` matches
+    any octet sequence, a TRAILING ``$`` anchors the end (an inner
+    ``$`` is literal), everything else is literal."""
+    anchored = prefix.endswith("$")
+    body = F.when(
+        anchored, F.regexp_replace(prefix, r"\$$", "")
+    ).otherwise(prefix)
+    escaped = F.regexp_replace(body, _RE_SPECIALS, r"\\$1")
+    return F.concat(
+        F.lit("^"),
+        F.regexp_replace(escaped, r"\*", ".*"),
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    )
+
+
+def _rule_matches(p: Column, r: Column) -> Column:
+    """Full-wildcard match, with the regex engine reserved for rules
+    that actually use ``*``/``$`` — plain prefixes (the overwhelming
+    majority of real rules) stay a codegen ``startswith`` so the hot
+    path pays nothing for the general case."""
+    plain = ~(r["prefix"].contains("*") | r["prefix"].endswith("$"))
+    return F.when(plain, p.startswith(r["prefix"])).otherwise(
+        F.regexp_like(p, _rule_pattern(r["prefix"]))
+    )
+
+
 def robots_allowed(path, rules) -> Column:
     """Longest-match REP decision for a path Column against a rule
-    array Column: the longest matching prefix wins; at equal length
-    allow wins; no match (or no rules) means allowed. A rule prefix
-    is matched up to its first ``*`` (common-subset wildcard)."""
+    array Column: the most specific matching rule wins (specificity =
+    rule-path length, the RFC 9309 / Google-parser measure); at equal
+    length allow wins; no match (or no rules) means allowed. Rule
+    paths carry full wildcard semantics — ``*`` matches any sequence,
+    a trailing ``$`` anchors the end (RFC 9309 §2.2.3)."""
     p = F.coalesce(path, F.lit("/"))
-    matched = F.filter(
-        rules,
-        lambda r: p.startswith(
-            F.element_at(F.split(r["prefix"], r"\*"), 1)
-        ),
-    )
+    matched = F.filter(rules, lambda r: _rule_matches(p, r))
     best = F.array_min(
         F.transform(
             matched,
             lambda r: F.struct(
-                (-F.length(F.element_at(F.split(r["prefix"], r"\*"), 1)))
-                .alias("neg_len"),
+                (-F.length(r["prefix"])).alias("neg_len"),
                 (~r["allow"]).cast("int").alias("deny_rank"),
                 r["allow"].alias("allow"),
             ),

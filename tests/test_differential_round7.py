@@ -4,6 +4,7 @@ against independent pure-Python references (the strategy the DSL
 compiler and line-dedup suites already use)."""
 
 import random
+import re
 
 from pyspark.sql import functions as F
 
@@ -77,11 +78,20 @@ def test_render_and_spans_random_sweep(spark):
             assert r["text"][a:b] == content + "\n</s>"
 
 
+def _py_rule_matches(path, pref):
+    """Independent full-wildcard matcher: ``*`` = any sequence,
+    trailing ``$`` = end anchor (RFC 9309 §2.2.3)."""
+    anchored = pref.endswith("$")
+    body = pref[:-1] if anchored else pref
+    pat = ".*".join(re.escape(seg) for seg in body.split("*"))
+    return re.match("^" + pat + ("$" if anchored else ""), path) is not None
+
+
 def _py_allowed(path, rules):
     matched = [
-        (len(pref.split("*")[0]), allow)
+        (len(pref), allow)
         for allow, pref in rules
-        if path.startswith(pref.split("*")[0])
+        if _py_rule_matches(path, pref)
     ]
     if not matched:
         return True
@@ -102,8 +112,17 @@ def test_robots_longest_match_random_sweep(spark):
             allow = rng.random() < 0.4
             depth = rng.randint(1, 3)
             pref = "/" + "/".join(rng.choice(segs) for _ in range(depth))
-            if rng.random() < 0.2:
-                pref += "*"
+            r = rng.random()
+            if r < 0.15:
+                pref += "*"                      # trailing wildcard
+            elif r < 0.30:
+                # mid-path wildcard: replace one separator with /*/
+                parts = pref.split("/")
+                if len(parts) > 2:
+                    parts[1] = "*"
+                    pref = "/".join(parts)
+            elif r < 0.45:
+                pref += "$"                      # end anchor
             rules.append((allow, pref))
             lines.append(("Allow: " if allow else "Disallow: ") + pref)
         path = "/" + "/".join(

@@ -179,3 +179,62 @@ def test_hostile_giant_robots_capped(spark):
         r["id"] for r in apply_robots(docs, "id", "url", robots).collect()
     )
     assert kept == [2]
+
+
+def test_full_wildcard_semantics(spark):
+    """RFC 9309 §2.2.3: mid-path ``*``, multiple ``*``, trailing
+    ``$`` anchor, inner ``$`` literal, and regex metacharacters in
+    rule paths staying literal."""
+    body = (
+        "User-agent: *\n"
+        "Disallow: /*/private/\n"        # mid-path wildcard
+        "Disallow: /a*b*c\n"             # multiple wildcards
+        "Disallow: /exact$\n"            # end anchor
+        "Disallow: /p$q/\n"              # inner $ is literal
+        "Disallow: /dot.d/\n"            # '.' must not match 'dotXd'
+        "Allow: /*/private/ok/\n"        # longer wildcard rule wins
+    )
+    robots = parse_robots(
+        spark.createDataFrame([("h.com", body)], "host string, body string"),
+        "host", "body",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "http://h.com/x/private/doc"),       # blocked (mid-path *)
+            (2, "http://h.com/x/private/ok/doc"),    # allow overrides
+            (3, "http://h.com/a-mid-b-end-c-more"),  # blocked (a*b*c)
+            (4, "http://h.com/a-only"),              # no b/c: allowed
+            (5, "http://h.com/exact"),               # blocked ($ anchor)
+            (6, "http://h.com/exact/sub"),           # NOT anchored match
+            (7, "http://h.com/p$q/x"),               # blocked (literal $)
+            (8, "http://h.com/dotXd/y"),             # '.' literal: allowed
+            (9, "http://h.com/dot.d/y"),             # blocked
+        ],
+        "id long, url string",
+    )
+    kept = sorted(
+        r["id"] for r in apply_robots(docs, "id", "url", robots).collect()
+    )
+    assert kept == [2, 4, 6, 8]
+
+
+def test_wildcard_specificity_is_rule_length(spark):
+    """Longest-match specificity counts the rule path AS WRITTEN
+    (wildcards included), per the reference Google parser."""
+    body = (
+        "User-agent: *\n"
+        "Disallow: /shop/*/checkout\n"   # len 16, matches via *
+        "Allow: /shop/\n"                # len 6
+    )
+    robots = parse_robots(
+        spark.createDataFrame([("h.com", body)], "host string, body string"),
+        "host", "body",
+    )
+    docs = spark.createDataFrame(
+        [(1, "http://h.com/shop/x/checkout"), (2, "http://h.com/shop/x")],
+        "id long, url string",
+    )
+    kept = sorted(
+        r["id"] for r in apply_robots(docs, "id", "url", robots).collect()
+    )
+    assert kept == [2]
