@@ -160,3 +160,162 @@ def score_quality(
         vector_to_array(F.col("probability"))[1].alias("quality_prob"),
         F.col("prediction").alias("quality_pred"),
     )
+
+
+def threshold_sweep(
+    scored: DataFrame,
+    label_col: str,
+    prob_col: str = "quality_prob",
+    n_bins: int = 20,
+) -> DataFrame:
+    """PR-curve / threshold-sweep report over a labeled, scored frame:
+    one row per candidate threshold (the ``n_bins`` bin edges
+    ``i / n_bins``) with exact ``tp/fp/fn/tn`` counts for the decision
+    ``prob >= threshold``, plus ``precision``/``recall``/``f1`` and
+    ``kept_frac`` — the table that picks the classifier's operating
+    point (the classifier twin of evaluation.pair_metrics; closes the
+    "accuracy-tested but no way to choose its threshold" gap).
+
+    Counts are exact for the BINNED score distribution: a threshold
+    inside a bin reports the bin-edge decision (standard PR-curve
+    binning — raise ``n_bins`` for finer edges; the cost is unchanged).
+
+    Scale shape: ONE pass bins every row (codegen floor), ONE shuffle
+    of at most ``n_bins`` partial rows, then windows over the
+    ``n_bins``-row frame — constant-size state regardless of corpus
+    size; nothing is collected. Ratios are single IEEE divisions of
+    exact longs, NULL (not crash, not fake 1.0) on empty denominators,
+    the pair_metrics degradation policy.
+    """
+    from pyspark.sql import Window
+
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    spark = scored.sparkSession
+    bucket = F.least(
+        F.greatest(
+            F.floor(F.col(prob_col) * n_bins).cast("int"), F.lit(0)
+        ),
+        F.lit(n_bins - 1),
+    )
+    y = F.col(label_col).cast("int")
+    per_bucket = (
+        scored.select(bucket.alias("bucket"), y.alias("__y"))
+        .groupBy("bucket")
+        .agg(
+            F.sum("__y").cast("long").alias("pos"),
+            F.sum(1 - F.col("__y")).cast("long").alias("neg"),
+        )
+    )
+    # every bin edge present, even for empty bins
+    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bucket"))
+    full = bins.join(per_bucket, "bucket", "left").select(
+        "bucket",
+        F.coalesce("pos", F.lit(0)).alias("pos"),
+        F.coalesce("neg", F.lit(0)).alias("neg"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # predicted-positive at threshold i/n_bins = rows in buckets >= i
+    w_ge = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = full.select(
+        "bucket",
+        F.sum("pos").over(w_ge).alias("tp"),
+        F.sum("neg").over(w_ge).alias("fp"),
+        F.sum("pos").over(w_all).alias("__allpos"),
+        F.sum("neg").over(w_all).alias("__allneg"),
+    )
+    tp, fp = F.col("tp"), F.col("fp")
+    fn = (F.col("__allpos") - tp).alias("fn")
+    tn = (F.col("__allneg") - fp).alias("tn")
+    pred_n = tp + fp
+    total = F.col("__allpos") + F.col("__allneg")
+    precision = F.when(
+        pred_n > 0, tp.cast("double") / pred_n.cast("double")
+    )
+    recall = F.when(
+        F.col("__allpos") > 0,
+        tp.cast("double") / F.col("__allpos").cast("double"),
+    )
+    f1 = F.when(
+        (2 * tp + fp + F.col("__allpos") - tp) > 0,
+        (2 * tp).cast("double")
+        / (2 * tp + fp + (F.col("__allpos") - tp)).cast("double"),
+    )
+    kept = F.when(total > 0, pred_n.cast("double") / total.cast("double"))
+    return cum.select(
+        (F.col("bucket").cast("double") / F.lit(float(n_bins))).alias(
+            "threshold"
+        ),
+        tp,
+        fp,
+        fn,
+        tn,
+        precision.alias("precision"),
+        recall.alias("recall"),
+        f1.alias("f1"),
+        kept.alias("kept_frac"),
+    ).orderBy("threshold")
+
+
+def calibration_report(
+    scored: DataFrame,
+    label_col: str,
+    prob_col: str = "quality_prob",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram table: per probability bin, the row count,
+    mean predicted probability, and empirical positive rate — if the
+    model is calibrated the last two track each other; systematic gaps
+    say the probabilities need a recalibration layer before a
+    percentile gate treats them as comparable scores.
+
+    Same scale shape as :func:`threshold_sweep`: one binning pass, one
+    ``n_bins``-row shuffle.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    bucket = F.least(
+        F.greatest(
+            F.floor(F.col(prob_col) * n_bins).cast("int"), F.lit(0)
+        ),
+        F.lit(n_bins - 1),
+    )
+    y = F.col(label_col).cast("int")
+    n = F.count(F.lit(1)).cast("long")
+    return (
+        scored.select(
+            bucket.alias("bin"),
+            F.col(prob_col).alias("__p"),
+            y.alias("__y"),
+        )
+        .groupBy("bin")
+        .agg(
+            n.alias("n"),
+            F.avg("__p").alias("mean_prob"),
+            (
+                F.sum("__y").cast("double") / n.cast("double")
+            ).alias("frac_pos"),
+        )
+        .orderBy("bin")
+    )
+
+
+def pick_threshold(
+    sweep: DataFrame, min_precision: float
+) -> float | None:
+    """The smallest threshold whose precision meets ``min_precision``
+    with the best recall (sweep rows are monotone in recall as the
+    threshold falls, so smallest qualifying threshold = max recall).
+    Driver-side over the ≤ n_bins sweep rows — bounded by
+    construction. None when no threshold qualifies."""
+    rows = (
+        sweep.where(F.col("precision") >= F.lit(float(min_precision)))
+        .orderBy("threshold")
+        .limit(1)
+        .collect()
+    )
+    return float(rows[0]["threshold"]) if rows else None

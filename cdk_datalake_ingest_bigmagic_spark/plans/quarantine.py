@@ -1,0 +1,120 @@
+"""Per-row quarantine for strict ingest paths.
+
+The column-level T17 quarantine (plans/pipeline.py::compile_columns,
+reference ``light_transform.py:1471-1509``) degrades FAILED COLUMNS to
+typed NULLs with thresholds; this module is its ROW-level twin for
+sources that flag malformed records instead of dropping them —
+``sources/fixedwidth.py`` (``_malformed`` under ``strict_length``) and
+``sources/warc.py`` (``length_consistent``). Both leave the split to
+the caller; forgetting it silently ships malformed rows downstream.
+Here the split is one call:
+
+- ``split_quarantine``: (clean, quarantined) from named boolean rules;
+  quarantined rows gain a ``_quarantine_reason`` column listing every
+  failed rule (comma-joined, rule order), so triage can see ALL of a
+  row's problems, not just the first.
+- ``write_with_quarantine``: write clean rows to ``path`` and flagged
+  rows to ``{path}/_quarantine`` — an underscore-prefixed subdirectory,
+  which Spark/Hive readers skip when scanning ``path``, so consumers
+  see only clean rows while the quarantine travels WITH the dataset
+  (same lifecycle, same permissions, one move to reprocess).
+
+Scale shape: the reason projection is in-row codegen riding the scan.
+The two writes each filter the same plan — for file-backed sources
+that means two cheap scans of the raw input rather than caching a
+corpus-sized DataFrame; pass ``cache=True`` only when the upstream
+plan is expensive enough (a join, a repair pass) to out-cost a
+re-read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Reason column added to quarantined rows.
+REASON_COL = "_quarantine_reason"
+
+
+def quarantine_reasons(rules: dict[str, Column]) -> Column:
+    """Comma-joined names of every failed rule, NULL when none failed.
+    A rule FAILS when its condition is false or NULL (a NULL validity
+    flag means the source could not even evaluate the row — that is a
+    quarantine reason, not a pass)."""
+    if not rules:
+        raise ValueError("no quarantine rules")
+    failed = [
+        F.when(~F.coalesce(cond, F.lit(False)), F.lit(name)).otherwise(
+            F.lit(None)
+        )
+        for name, cond in rules.items()
+    ]
+    joined = F.concat_ws(",", F.filter(F.array(*failed), lambda x: x.isNotNull()))
+    return F.when(joined == "", F.lit(None)).otherwise(joined)
+
+
+def split_quarantine(
+    df: DataFrame, rules: dict[str, Column]
+) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantined): rows failing ANY rule move to the
+    quarantine frame with :data:`REASON_COL` naming every failed rule;
+    clean rows pass through without the reason column."""
+    reason = quarantine_reasons(rules)
+    tagged = df.withColumn(REASON_COL, reason)
+    clean = tagged.where(F.col(REASON_COL).isNull()).drop(REASON_COL)
+    quarantined = tagged.where(F.col(REASON_COL).isNotNull())
+    return clean, quarantined
+
+
+def write_with_quarantine(
+    df: DataFrame,
+    path: str,
+    rules: dict[str, Column],
+    fmt: str = "parquet",
+    mode: str = "error",
+    cache: bool = False,
+) -> tuple[int, int]:
+    """Write clean rows to ``path`` and flagged rows (with
+    :data:`REASON_COL`) to ``{path}/_quarantine``; returns
+    ``(n_clean, n_quarantined)`` so ingest jobs can threshold-alert
+    the way the column quarantine does. The underscore prefix hides
+    the quarantine from readers of ``path`` while keeping it inside
+    the dataset directory."""
+    clean, quarantined = split_quarantine(df, rules)
+    if cache:
+        clean = clean.persist()
+        quarantined = quarantined.persist()
+    try:
+        clean.write.format(fmt).mode(mode).save(path)
+        q_path = f"{path.rstrip('/')}/_quarantine"
+        quarantined.write.format(fmt).mode(mode).save(q_path)
+        spark = df.sparkSession
+        n_clean = spark.read.format(fmt).load(path).count()
+        n_quarantined = spark.read.format(fmt).load(q_path).count()
+    finally:
+        if cache:
+            clean.unpersist()
+            quarantined.unpersist()
+    return n_clean, n_quarantined
+
+
+def fixedwidth_rules(df: DataFrame) -> dict[str, Column]:
+    """The standard rule set for a strict fixed-width read
+    (``read_fixed_width(..., strict_length=True)``)."""
+    if "_malformed" not in df.columns:
+        raise ValueError("expected a _malformed column (strict_length=True)")
+    return {"short_line": ~F.col("_malformed")}
+
+
+def warc_rules(df: DataFrame) -> dict[str, Column]:
+    """The standard rule set for a WARC read with
+    ``drop_inconsistent=False`` (keeps the ``length_consistent``
+    flag). A NULL flag means the record declared no Content-Length —
+    nothing to be inconsistent WITH — so it passes, matching the
+    source's own drop_inconsistent filter."""
+    if "length_consistent" not in df.columns:
+        raise ValueError("expected a length_consistent column")
+    return {
+        "length_inconsistent": F.col("length_consistent").isNull()
+        | F.col("length_consistent")
+    }

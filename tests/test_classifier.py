@@ -133,3 +133,142 @@ def test_composes_with_percentile_gate(spark, corpora, model):
     ids = {r.doc_id for r in kept.collect()}
     assert len(ids) == 10
     assert all(i < 1000 for i in ids)  # the prose half survived
+
+
+def _py_sweep(pairs, n_bins):
+    """Independent reference: exact counts for prob >= i/n_bins."""
+    out = []
+    allpos = sum(y for _, y in pairs)
+    allneg = len(pairs) - allpos
+    for i in range(n_bins):
+        bucket = lambda p: min(max(int(p * n_bins), 0), n_bins - 1)
+        tp = sum(y for p, y in pairs if bucket(p) >= i and y == 1)
+        fp = sum(1 - y for p, y in pairs if bucket(p) >= i and y == 0)
+        out.append((i / n_bins, tp, fp, allpos - tp, allneg - fp))
+    return out
+
+
+def test_threshold_sweep_matches_reference(spark):
+    from cdk_datalake_ingest_bigmagic_spark.operators.classifier import (
+        threshold_sweep,
+    )
+
+    rng = random.Random(7)
+    pairs = [
+        (rng.randint(0, 99) / 100.0, rng.randint(0, 1)) for _ in range(400)
+    ]
+    df = spark.createDataFrame(pairs, "quality_prob double, label int")
+    got = {
+        round(r["threshold"], 6): (r["tp"], r["fp"], r["fn"], r["tn"])
+        for r in threshold_sweep(df, "label", n_bins=20).collect()
+    }
+    for t, tp, fp, fn, tn in _py_sweep(pairs, 20):
+        assert got[round(t, 6)] == (tp, fp, fn, tn), t
+    # ratio sanity at one threshold
+    row = [
+        r
+        for r in threshold_sweep(df, "label", n_bins=20).collect()
+        if abs(r["threshold"] - 0.5) < 1e-9
+    ][0]
+    assert row["precision"] == row["tp"] / (row["tp"] + row["fp"])
+    assert row["recall"] == row["tp"] / (row["tp"] + row["fn"])
+
+
+def test_threshold_sweep_empty_bins_and_edges(spark):
+    from cdk_datalake_ingest_bigmagic_spark.operators.classifier import (
+        threshold_sweep,
+    )
+
+    # all mass in one bin; prob 1.0 must clamp into the last bin
+    df = spark.createDataFrame(
+        [(1.0, 1), (1.0, 0), (1.0, 1)], "quality_prob double, label int"
+    )
+    rows = threshold_sweep(df, "label", n_bins=4).collect()
+    assert len(rows) == 4                      # every edge present
+    assert all(r["tp"] == 2 and r["fp"] == 1 for r in rows)
+    # precision NULL (not crash) when nothing is predicted positive
+    df2 = spark.createDataFrame(
+        [(0.0, 1)], "quality_prob double, label int"
+    )
+    top = [
+        r for r in threshold_sweep(df2, "label", n_bins=4).collect()
+        if r["threshold"] > 0.6
+    ][0]
+    assert top["tp"] == 0 and top["precision"] is None
+
+
+def test_calibration_report(spark):
+    from cdk_datalake_ingest_bigmagic_spark.operators.classifier import (
+        calibration_report,
+    )
+
+    rows = [(0.05, 0)] * 18 + [(0.05, 1)] * 2 + [(0.95, 1)] * 9 + [(0.95, 0)]
+    df = spark.createDataFrame(rows, "quality_prob double, label int")
+    got = {
+        r["bin"]: (r["n"], r["mean_prob"], r["frac_pos"])
+        for r in calibration_report(df, "label", n_bins=10).collect()
+    }
+    assert got[0] == (20, 0.05, 0.1)
+    assert got[9] == (10, 0.95, 0.9)
+
+
+def test_pick_threshold(spark):
+    from cdk_datalake_ingest_bigmagic_spark.operators.classifier import (
+        pick_threshold,
+        threshold_sweep,
+    )
+
+    # positives live above 0.6, negatives below 0.4: precision 1.0 is
+    # reachable from threshold 0.5 up
+    rows = [(0.8, 1)] * 10 + [(0.2, 0)] * 10 + [(0.45, 0)] * 2
+    df = spark.createDataFrame(rows, "quality_prob double, label int")
+    sweep = threshold_sweep(df, "label", n_bins=10)
+    t = pick_threshold(sweep, min_precision=1.0)
+    assert t == 0.5
+    assert pick_threshold(sweep.where(F.col("threshold") < 0), 0.5) is None
+
+
+def test_sweep_plan_one_corpus_shuffle(spark):
+    from cdk_datalake_ingest_bigmagic_spark.operators.classifier import (
+        threshold_sweep,
+    )
+
+    df = spark.createDataFrame(
+        [(0.5, 1)], "quality_prob double, label int"
+    )
+    plan = (
+        threshold_sweep(df, "label")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # corpus-sized data crosses ONE exchange (the n_bins-row groupBy);
+    # everything after operates on <= n_bins rows
+    before_agg = plan.split("HashAggregate")[-1]
+    assert "Exchange" in plan
+
+
+def test_sweep_composes_with_trained_model(spark, corpora, model):
+    from cdk_datalake_ingest_bigmagic_spark.operators.classifier import (
+        score_quality,
+        threshold_sweep,
+    )
+
+    pos, neg = corpora
+    held = pos.filter("doc_id >= 100").unionByName(
+        neg.filter("doc_id >= 1100")
+    )
+    scored = score_quality(model, held, "doc_id", "text").withColumn(
+        "label", (F.col("doc_id") < 1000).cast("int")
+    )
+    sweep = threshold_sweep(scored, "label", n_bins=10).collect()
+    assert len(sweep) == 10
+    # the trained model separates the synthetic classes, so some
+    # threshold achieves high precision AND recall
+    assert any(
+        r["precision"] is not None
+        and r["precision"] > 0.9
+        and r["recall"] > 0.9
+        for r in sweep
+    )

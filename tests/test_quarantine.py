@@ -1,0 +1,117 @@
+"""Row-level quarantine: reason synthesis, split, the _quarantine
+write path's reader-invisibility, and the fixedwidth/WARC rule sets."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.plans.quarantine import (
+    REASON_COL,
+    fixedwidth_rules,
+    quarantine_reasons,
+    split_quarantine,
+    warc_rules,
+    write_with_quarantine,
+)
+
+
+def test_reasons_list_every_failed_rule(spark):
+    df = spark.createDataFrame(
+        [(1, 5, "x"), (2, -1, "x"), (3, -2, None), (4, 7, None)],
+        "id long, qty int, name string",
+    )
+    rules = {
+        "neg_qty": F.col("qty") >= 0,
+        "no_name": F.col("name").isNotNull(),
+    }
+    got = {
+        r["id"]: r["why"]
+        for r in df.select(
+            "id", quarantine_reasons(rules).alias("why")
+        ).collect()
+    }
+    assert got == {1: None, 2: "neg_qty", 3: "neg_qty,no_name", 4: "no_name"}
+
+
+def test_null_rule_condition_fails_closed(spark):
+    df = spark.createDataFrame([(1, None)], "id long, ok boolean")
+    got = df.select(
+        quarantine_reasons({"flag": F.col("ok")}).alias("why")
+    ).collect()[0]["why"]
+    assert got == "flag"
+
+
+def test_split_and_write(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, 5), (2, -1), (3, 9)], "id long, qty int"
+    )
+    rules = {"neg_qty": F.col("qty") >= 0}
+    clean, quarantined = split_quarantine(df, rules)
+    assert REASON_COL not in clean.columns
+    assert {r["id"] for r in clean.collect()} == {1, 3}
+    assert [
+        (r["id"], r[REASON_COL]) for r in quarantined.collect()
+    ] == [(2, "neg_qty")]
+
+    path = str(tmp_path / "out")
+    n_clean, n_quar = write_with_quarantine(df, path, rules)
+    assert (n_clean, n_quar) == (2, 1)
+    # readers of `path` must NOT see quarantined rows (underscore dir)
+    assert spark.read.parquet(path).count() == 2
+    qrows = spark.read.parquet(f"{path}/_quarantine").collect()
+    assert [(r["id"], r[REASON_COL]) for r in qrows] == [(2, "neg_qty")]
+
+
+def test_empty_rules_rejected(spark):
+    with pytest.raises(ValueError):
+        quarantine_reasons({})
+
+
+def test_fixedwidth_strict_quarantine(spark, tmp_path):
+    from cdk_datalake_ingest_bigmagic_spark.sources.fixedwidth import (
+        read_fixed_width,
+    )
+
+    p = tmp_path / "fw.txt"
+    p.write_text(
+        "000001widget    0042\n"
+        "000002short\n"
+        "000003gadget    0007\n"
+    )
+    df = read_fixed_width(
+        spark,
+        str(p),
+        [("item_id", 1, 6, "long"), ("name", 7, 10), ("qty", 17, 4, "int")],
+        strict_length=True,
+    )
+    clean, quarantined = split_quarantine(df, fixedwidth_rules(df))
+    assert sorted(r["item_id"] for r in clean.collect()) == [1, 3]
+    q = quarantined.collect()
+    assert [(r["item_id"], r[REASON_COL]) for r in q] == [(2, "short_line")]
+
+
+def test_fixedwidth_rules_requires_strict(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError):
+        fixedwidth_rules(df)
+
+
+def test_warc_quarantine_null_length_passes(spark):
+    # shape of sources/warc.py output: NULL length_consistent = no
+    # declared Content-Length = nothing to check = clean
+    df = spark.createDataFrame(
+        [(1, True), (2, False), (3, None)],
+        "id long, length_consistent boolean",
+    )
+    clean, quarantined = split_quarantine(df, warc_rules(df))
+    assert sorted(r["id"] for r in clean.collect()) == [1, 3]
+    assert [
+        (r["id"], r[REASON_COL]) for r in quarantined.collect()
+    ] == [(2, "length_inconsistent")]
+
+
+def test_reason_projection_is_codegen(spark):
+    df = spark.createDataFrame([(1, 5)], "id long, qty int")
+    _, quarantined = split_quarantine(df, {"neg": F.col("qty") >= 0})
+    plan = quarantined._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # rides the scan, zero shuffle
