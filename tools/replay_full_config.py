@@ -1,0 +1,382 @@
+"""Full production-config replay: every active table of the
+reference's real catalog, raw -> typed -> stage, against a DuckDB
+row-count oracle.
+
+The parse-level replay (tests/test_reference_config_replay.py) proves
+the 1,826-column catalog COMPILES; this probe proves it RUNS: for each
+of the 56 active tables in the reference's ``tables.csv``
+(read-only behavioral spec, ``/root/reference/artifacts/configuration/
+csv/``), it
+
+1. derives the table's raw SOURCE schema from its declared
+   transformations (every referenced identifier, with a value
+   generator matched to the consuming DSL function — magic date
+   ordinals for DateMagic/DatetimeMagic, HHMMSS ints for the time leg,
+   T/F bytes for ByteMagic, rule keys for Case_with_default, plain
+   strings elsewhere),
+2. synthesizes an all-string raw fixture (the production raw layer is
+   all-string by design) with every ID tuple duplicated so the W1
+   latest-record dedup has real work,
+3. writes it as parquet, runs the engine's raw->typed->stage path
+   (``transform_raw_to_stage`` + ``write_stage`` — T1-T17, W1, O1,
+   S14's layout), asserting ZERO column-level quarantines, and
+4. checks the staged row count against DuckDB computing the expected
+   count from the SAME raw parquet (distinct ID tuples under dedup,
+   distinct rows without IDs), and the staged schema against the
+   catalog's declared NEW_DATA_TYPEs.
+
+Usage::
+
+    python tools/replay_full_config.py [--rows 10000] [--tables N]
+
+Prints one line per table and a final JSON summary; the wall-time
+table goes to SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+REF_CSV = "/root/reference/artifacts/configuration/csv"
+
+#: generator kinds, in priority order (a column consumed by both a
+#: magic-date leg and a bare copy must satisfy the stricter consumer)
+_PRIORITY = [
+    "magic_date",
+    "magic_time",
+    "datetime_str",
+    "month",
+    "year",
+    "byte",
+    "case",
+    "num",
+    "str",
+]
+
+
+def _split_args(s: str) -> list[str]:
+    """Top-level comma split, paren-aware (Date_to_String nests)."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
+_FN = re.compile(r"^fn_transform_(\w+)\((.*)\)$", re.S)
+
+
+def source_kinds(transformation: str) -> dict[str, str]:
+    """source column -> generator kind for one transformation."""
+    t = (transformation or "").strip()
+    if not t:
+        return {}
+    m = _FN.match(t)
+    if not m:
+        # bare column reference / rename
+        return {t: "str"} if t.isidentifier() else {}
+    fn, argstr = m.group(1), m.group(2)
+    args = _split_args(argstr) if argstr.strip() else []
+    kinds: dict[str, str] = {}
+
+    def col(a: str, kind: str) -> None:
+        if a.isidentifier():
+            kinds[a] = kind
+        elif _FN.match(a):  # nested function (Date_to_String)
+            kinds.update(source_kinds(a))
+
+    if fn in ("DateMagic", "Date"):
+        if args:
+            col(args[0], "magic_date")
+    elif fn == "DatetimeMagic":
+        if args:
+            col(args[0], "magic_date")
+        if len(args) > 1:
+            col(args[1], "magic_time")
+    elif fn == "Datetime":
+        # no-arg form is processdate (no source input); the arg form
+        # parses an extraction-computed datetime string (a select-list
+        # alias like `func_cas_todatetime(...) lastmodifydate`)
+        if args:
+            col(args[0], "datetime_str")
+    elif fn == "PeriodMagic":
+        if args:
+            col(args[0], "month")
+        if len(args) > 1:
+            col(args[1], "year")
+    elif fn == "ByteMagic":
+        if args:
+            col(args[0], "byte")
+    elif fn in ("Case", "Case_with_default"):
+        if args:
+            for c in args[0].split("&"):
+                if c.strip().isidentifier():
+                    kinds[c.strip()] = "case"
+    elif fn in ("Integer", "Double", "Boolean", "Numeric"):
+        if args:
+            col(args[0], "num")
+    elif fn == "Date_to_String":
+        if args:
+            col(args[0], "magic_date")  # bare col or nested fn
+    else:  # ClearString, Concatenate, Concatenate_ws, unknown: strings
+        for a in args:
+            col(a, "str")
+    return kinds
+
+
+def _case_key(specs, colname: str) -> str:
+    """First rule key for a case-mapped column (so generated values
+    actually hit a mapping arm)."""
+    for s in specs:
+        m = _FN.match((s.transformation or "").strip())
+        if not m or m.group(1) not in ("Case", "Case_with_default"):
+            continue
+        args = _split_args(m.group(2))
+        cols = [c.strip() for c in args[0].split("&")]
+        if colname in cols and len(args) > 1 and "->" in args[1]:
+            keys = args[1].split("->")[0].split("&")
+            return keys[cols.index(colname)].strip()
+    return "00"
+
+
+def table_generators(specs) -> dict[str, str]:
+    """Merged source-column -> kind map for a table's spec list."""
+    merged: dict[str, str] = {}
+    for s in specs:
+        for c, k in source_kinds(s.transformation).items():
+            if c not in merged or _PRIORITY.index(k) < _PRIORITY.index(merged[c]):
+                merged[c] = k
+    return merged
+
+
+def _value_col(kind: str, key: str, idx, specs):
+    """Generator as a JVM Column over the row index — the raw fixture
+    is synthesized entirely executor-side (driver-side row building
+    dominated wall time at 10k rows x 56 tables)."""
+    from pyspark.sql import functions as F
+
+    if kind == "magic_date":
+        return (F.lit(739062) - idx % 400000).cast("string")
+    if kind == "magic_time":
+        return ((idx % 9 + 1) * 10000 + idx % 60).cast("string")
+    if kind == "datetime_str":
+        return F.format_string(
+            "2024-06-%02d %02d:%02d:%02d",
+            (idx % 28 + 1).cast("int"),
+            (idx % 24).cast("int"),
+            (idx % 60).cast("int"),
+            (idx % 56).cast("int"),
+        )
+    if kind == "month":
+        return (idx % 12 + 1).cast("string")
+    if kind == "year":
+        return (idx % 5 + 2020).cast("string")
+    if kind == "byte":
+        return F.when(idx % 2 == 1, F.lit("T")).otherwise(F.lit("F"))
+    if kind == "case":
+        return F.lit(_case_key(specs, key))
+    if kind == "num":
+        return (idx % 1000).cast("string")
+    return F.concat(F.lit(key[:10] + "_"), idx.cast("string"))
+
+
+def synth_raw(spark, specs, n_rows: int, dup_factor: int = 2):
+    """All-string raw frame; ID-feeding source columns cycle through
+    ``n_rows // dup_factor`` distinct tuples so dedup has real work.
+    Returns (df, id_src_cols, src_cols)."""
+    from pyspark.sql import functions as F
+
+    kinds = table_generators(specs)
+    id_src = sorted(
+        {
+            c
+            for s in specs
+            if s.is_id
+            for c in source_kinds(s.transformation)
+        }
+    )
+    # source columns feeding IS_PARTITION specs stay LOW-cardinality
+    # (real partition keys are company codes / periods, not row ids) —
+    # a per-row-unique partition value would synthesize a pathological
+    # directory-per-row layout no production table has
+    part_src = {
+        c
+        for s in specs
+        if s.is_partition
+        for c in source_kinds(s.transformation)
+    }
+    src_cols = sorted(kinds)
+    n_unique = max(1, n_rows // dup_factor) if id_src else n_rows
+    base = spark.range(n_rows)
+    cols = []
+    for c in src_cols:
+        if c in part_src:
+            idx = F.col("id") % 8
+        elif c in id_src:
+            idx = F.col("id") % n_unique
+        else:
+            idx = F.col("id")
+        cols.append(_value_col(kinds[c], c, idx, specs).alias(c))
+    return base.select(*cols), id_src, src_cols
+
+
+def replay_table(spark, duck, tc, specs, n_rows: int, workdir: str) -> dict:
+    """One table end-to-end; returns the report row."""
+    from cdk_datalake_ingest_bigmagic_spark.functions.compiler import (
+        spark_type_for,
+    )
+    from cdk_datalake_ingest_bigmagic_spark.plans.pipeline import (
+        transform_raw_to_stage,
+        write_stage,
+    )
+
+    t0 = time.time()
+    raw, id_src, src_cols = synth_raw(spark, specs, n_rows)
+    raw_path = os.path.join(workdir, "raw", tc.stage_table_name)
+    raw.write.mode("overwrite").parquet(raw_path)
+
+    raw_back = spark.read.parquet(raw_path)
+    result = transform_raw_to_stage(raw_back, specs)
+    errors = list(result.errors)
+    stage_path = os.path.join(workdir, "stage", tc.stage_table_name)
+    write_stage(spark, result.df, stage_path, specs, tc.effective_load_type)
+    staged = spark.read.parquet(stage_path)
+    got_rows = staged.count()
+
+    # DuckDB oracle from the SAME raw parquet
+    glob = f"{raw_path}/*.parquet"
+    if id_src:
+        cols = ", ".join(f'"{c}"' for c in id_src)
+        want_rows = duck.execute(
+            f"SELECT count(*) FROM (SELECT DISTINCT {cols} "
+            f"FROM read_parquet('{glob}'))"
+        ).fetchone()[0]
+    else:
+        want_rows = duck.execute(
+            f"SELECT count(*) FROM (SELECT DISTINCT * "
+            f"FROM read_parquet('{glob}'))"
+        ).fetchone()[0]
+
+    # Declared NEW_DATA_TYPE applies to function transformations and
+    # empty transformations (typed NULL); a BARE column reference is a
+    # rename with NO cast in the reference too
+    # (light_transform.py:721: col(transformation).alias(name)), so on
+    # the all-string raw layer it stays string — exact parity.
+    def want_type(s) -> str:
+        t = (s.transformation or "").strip()
+        if t and "(" not in t:
+            return "string"
+        return spark_type_for(s.data_type).simpleString()
+
+    want_schema = [
+        (s.name, want_type(s))
+        for s in sorted(specs, key=lambda c: c.column_id)
+    ]
+    # partitioned writes move partition columns to the end; compare as sets
+    got_schema = [(f.name, f.dataType.simpleString()) for f in staged.schema]
+    return {
+        "table": tc.stage_table_name,
+        "load_type": tc.effective_load_type,
+        "n_src_cols": len(src_cols),
+        "n_specs": len(specs),
+        "quarantined_columns": errors,
+        "rows": got_rows,
+        "rows_expected": want_rows,
+        "rows_match": got_rows == want_rows,
+        "schema_match": sorted(got_schema) == sorted(want_schema),
+        "secs": round(time.time() - t0, 2),
+    }
+
+
+def run(spark, n_rows: int, workdir: str, limit: int | None = None) -> dict:
+    import duckdb
+
+    from cdk_datalake_ingest_bigmagic_spark.config.loader import load_catalog
+
+    cat = load_catalog(
+        tables_csv=f"{REF_CSV}/tables.csv", columns_csv=f"{REF_CSV}/columns.csv"
+    )
+    # the read-back check must see the WRITTEN schema: numeric-looking
+    # partition directory values (processperiod=202406) would otherwise
+    # be re-inferred as int by the parquet reader — a reader-side
+    # convenience, not an engine behavior under test (Delta-backed
+    # stages carry the schema in the log and don't infer)
+    spark.conf.set(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+    )
+    duck = duckdb.connect()
+    tables = [t for t in cat.tables.values() if t.is_active]
+    if limit:
+        tables = tables[:limit]
+    reports, t0 = [], time.time()
+    for tc in tables:
+        specs = cat.columns_for(tc.stage_table_name)
+        if not specs:
+            reports.append(
+                {"table": tc.stage_table_name, "skipped": "no column specs"}
+            )
+            continue
+        r = replay_table(spark, duck, tc, specs, n_rows, workdir)
+        reports.append(r)
+        status = "OK " if r["rows_match"] and r["schema_match"] and not r[
+            "quarantined_columns"
+        ] else "FAIL"
+        print(
+            f"{status} {r['table']:<32} rows {r['rows']}/{r['rows_expected']}"
+            f" cols {r['n_specs']:>3} [{r['secs']}s]",
+            flush=True,
+        )
+    ran = [r for r in reports if "skipped" not in r]
+    summary = {
+        "tables_ran": len(ran),
+        "tables_skipped": len(reports) - len(ran),
+        "rows_per_table": n_rows,
+        "all_rows_match": all(r["rows_match"] for r in ran),
+        "all_schemas_match": all(r["schema_match"] for r in ran),
+        "zero_quarantines": all(not r["quarantined_columns"] for r in ran),
+        "total_secs": round(time.time() - t0, 1),
+        "failures": [
+            r["table"]
+            for r in ran
+            if not (r["rows_match"] and r["schema_match"])
+            or r["quarantined_columns"]
+        ],
+    }
+    return {"summary": summary, "tables": reports}
+
+
+def main() -> int:
+    import argparse
+    import tempfile
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=10000)
+    ap.add_argument("--tables", type=int, default=None)
+    args = ap.parse_args()
+
+    from cdk_datalake_ingest_bigmagic_spark import get_spark
+
+    spark = get_spark(app_name="replay-full-config", shuffle_partitions=32)
+    workdir = tempfile.mkdtemp(prefix="cfg_replay_")
+    out = run(spark, args.rows, workdir, args.tables)
+    print(json.dumps(out["summary"]))
+    return 0 if not out["summary"]["failures"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
