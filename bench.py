@@ -106,10 +106,28 @@ HEADLINE = [
     "filter_domains_block",
     "eval_pair_metrics",
     "html_extract_text",
-    # ROUND 8: after queries/curation2.py is imported by the registry
-    # (see its module docstring), append its ten names here so the
-    # second-wave operators (urlnorm/encoding/normalize/scripts/
-    # conversations/linkgraph/keywords/langid) join the headline set.
+    # ROUND 8: queries/curation2.py is registered — the second-wave
+    # operators join the headline set (urlnorm, encoding, normalize,
+    # scripts, conversations, linkgraph, keywords, dedup histogram,
+    # langid train+classify, curriculum, profiling x2) ...
+    "url_canonicalize_spellings",
+    "url_dedup_best_spelling",
+    "text_fix_mojibake",
+    "text_clean_controls",
+    "text_script_counts",
+    "conversations_structural",
+    "linkgraph_degree_stats",
+    "text_tfidf_keywords",
+    "dedup_cluster_histogram",
+    "langid_train_classify",
+    "curriculum_shard_order",
+    "profile_exact_core",
+    "profile_frequent_sources",
+    # ... plus the round-8 curation3 gates (fixed-width file
+    # round-trip, sentence stats, conversation health report)
+    "fixedwidth_typed_parse",
+    "sentence_stats",
+    "conversation_report",
 ]
 
 

@@ -1,0 +1,164 @@
+"""Taboo-term (bad-word) filtering — the C4 "dirty, naughty …" list
+component (Raffel et al. 2020 filter #3; the LDNOOBW-style lists every
+production crawl pipeline applies).
+
+Distinct from the LINE-level boilerplate blocklist
+(operators/lines.py: substring phrases that kill a line) and the
+URL/domain blocklist (operators/urls.py): this one counts WHOLE-WORD
+occurrences of a term list over the document body and gates on count /
+ratio — a page quoting one slur in a news report survives a
+ratio-gate; a wall of them doesn't.
+
+Two tiers, same results where both apply:
+
+- **codegen tier** (``taboo_columns`` / ``flag_taboo_terms``): the
+  term list compiles into ONE case-insensitive word-boundary
+  alternation regex evaluated JVM-side — a single scan, zero shuffle,
+  zero Python; the right tier for curated lists (hundreds of terms,
+  multi-word phrases allowed).
+- **join tier** (``flag_taboo_terms_join``): for DERIVED lists too
+  large to compile into a regex (e.g. an induced list of 100k+
+  terms), tokens explode in-row and match by equi-join against the
+  term relation (AQE broadcasts a small side), then ONE map-side-
+  combined per-doc count; single-token terms only — phrase terms
+  need the codegen tier, stated loudly.
+
+Determinism: integer counts and single IEEE divisions — oracle-
+gateable (pre-written for round 9 in queries/curation4.py).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Java-regex specials to neutralize inside a term.
+_ESCAPE = re.compile(r"([.\^$+?(){}\[\]|\\*])")
+
+
+def _alternation(terms: list[str]) -> str:
+    """Case-insensitive whole-word alternation for the term list.
+    Longer terms first so a phrase wins over its own prefix word."""
+    cleaned = sorted(
+        {t.strip().lower() for t in terms if t and t.strip()},
+        key=lambda t: (-len(t), t),
+    )
+    if not cleaned:
+        raise ValueError("empty term list")
+    escaped = [_ESCAPE.sub(r"\\\1", t) for t in cleaned]
+    return r"(?i)\b(" + "|".join(escaped) + r")\b"
+
+
+def taboo_columns(text_col, terms: list[str]) -> dict[str, Column]:
+    """The signals as named Columns (composable into the one-pass
+    score card): ``taboo_count`` (whole-word occurrences, overlapping
+    terms counted once per match position) and ``taboo_ratio``
+    (count / whitespace word count, NULL on empty text)."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    pat = _alternation(terms)
+    count = F.regexp_count(col, F.lit(pat)).cast("long")
+    words = F.size(F.split(F.trim(col), r"\s+"))
+    words = F.when(F.trim(col) == "", F.lit(0)).otherwise(words)
+    ratio = F.when(
+        words > 0, count.cast("double") / words.cast("double")
+    )
+    return {"taboo_count": count, "taboo_ratio": ratio}
+
+
+def flag_taboo_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    max_count: int | None = None,
+    max_ratio: float | None = 0.0,
+) -> DataFrame:
+    """(id, taboo_count, taboo_ratio, taboo_flagged): codegen tier.
+    Default policy is C4's (ANY occurrence flags, ``max_ratio=0.0``);
+    pass ``max_ratio=0.01`` for quote-tolerant gating or ``max_count``
+    for an absolute bound (either exceeded → flagged)."""
+    cols = taboo_columns(text_col, terms)
+    flagged = F.lit(False)
+    if max_ratio is not None:
+        flagged = flagged | (
+            F.coalesce(cols["taboo_ratio"], F.lit(0.0)) > F.lit(float(max_ratio))
+        )
+    if max_count is not None:
+        flagged = flagged | (cols["taboo_count"] > F.lit(int(max_count)))
+    if max_ratio is None and max_count is None:
+        raise ValueError("set max_ratio and/or max_count")
+    return df.select(
+        F.col(id_col),
+        cols["taboo_count"].alias("taboo_count"),
+        cols["taboo_ratio"].alias("taboo_ratio"),
+        flagged.alias("taboo_flagged"),
+    )
+
+
+def flag_taboo_terms_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms_df: DataFrame,
+    term_col: str = "term",
+    max_count: int | None = None,
+    max_ratio: float | None = 0.0,
+) -> DataFrame:
+    """Join tier for derived lists too large for one regex: in-row
+    lowercase tokenization + posexplode, equi-join the term relation
+    (ids and tokens cross the shuffle, never documents), ONE
+    map-side-combined per-doc count, left-join the counts back so
+    zero-match documents keep count 0.
+
+    SINGLE-TOKEN terms only (multi-token phrases never match a token
+    equi-join — use the codegen tier for phrase lists); the guard
+    raises rather than silently under-counting."""
+    from pyspark.sql import functions as F2
+
+    phrase = terms_df.where(
+        F2.col(term_col).rlike(r"\s")
+    )
+    if phrase.limit(1).count() > 0:
+        raise ValueError(
+            "join tier matches single tokens only; the term list "
+            "contains multi-word phrases — use flag_taboo_terms"
+        )
+    terms = terms_df.select(
+        F2.lower(F2.trim(F2.col(term_col))).alias("__term")
+    ).distinct()
+    toks = df.select(
+        F2.col(id_col),
+        F2.explode(
+            F2.split(F2.lower(F2.trim(F2.col(text_col))), r"[^a-z0-9']+")
+        ).alias("__term"),
+    ).where(F2.col("__term") != "")
+    counts = (
+        toks.join(terms, "__term")
+        .groupBy(id_col)
+        .agg(F2.count(F2.lit(1)).cast("long").alias("taboo_count"))
+    )
+    words = F2.size(F2.split(F2.trim(F2.col(text_col)), r"\s+"))
+    words = F2.when(F2.trim(F2.col(text_col)) == "", F2.lit(0)).otherwise(words)
+    base = df.select(F2.col(id_col), words.alias("__words"))
+    joined = base.join(counts, id_col, "left").select(
+        F2.col(id_col),
+        F2.coalesce("taboo_count", F2.lit(0)).alias("taboo_count"),
+        F2.when(
+            F2.col("__words") > 0,
+            F2.coalesce("taboo_count", F2.lit(0)).cast("double")
+            / F2.col("__words").cast("double"),
+        ).alias("taboo_ratio"),
+    )
+    flagged = F2.lit(False)
+    if max_ratio is not None:
+        flagged = flagged | (
+            F2.coalesce(F2.col("taboo_ratio"), F2.lit(0.0))
+            > F2.lit(float(max_ratio))
+        )
+    if max_count is not None:
+        flagged = flagged | (F2.col("taboo_count") > F2.lit(int(max_count)))
+    if max_ratio is None and max_count is None:
+        raise ValueError("set max_ratio and/or max_count")
+    return joined.withColumn("taboo_flagged", flagged)

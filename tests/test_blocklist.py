@@ -1,0 +1,122 @@
+"""Taboo-term filter: whole-word matching, phrases, count/ratio
+gates, tier equivalence, plan shapes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.operators.blocklist import (
+    flag_taboo_terms,
+    flag_taboo_terms_join,
+    taboo_columns,
+)
+
+TERMS = ["badword", "verybad", "click here"]
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a clean sentence about rivers and towns"),
+            (2, "one badword inside an otherwise long quote of a report"),
+            (3, "badword verybad badword"),             # saturated
+            (4, "embedword is not badwordish at all"),  # substrings must NOT hit
+            (5, "please Click Here to continue"),       # phrase + case
+            (6, ""),                                    # empty text
+        ],
+        "id long, text string",
+    )
+
+
+def test_whole_word_counts_and_ratio(spark):
+    out = {
+        r["id"]: (r["taboo_count"], r["taboo_ratio"], r["taboo_flagged"])
+        for r in flag_taboo_terms(_docs(spark), "id", "text", TERMS).collect()
+    }
+    assert out[1] == (0, 0.0, False)
+    assert out[2][0] == 1 and out[2][2] is True       # C4 default: any hit flags
+    assert out[3] == (3, 1.0, True)
+    assert out[4] == (0, 0.0, False)                  # 'badwordish'/'embedword' miss
+    assert out[5][0] == 1                             # phrase, case-insensitive
+    assert out[6][1] is None                          # empty text: NULL ratio
+
+
+def test_ratio_gate_tolerates_quotes(spark):
+    out = {
+        r["id"]: r["taboo_flagged"]
+        for r in flag_taboo_terms(
+            _docs(spark), "id", "text", TERMS, max_ratio=0.2
+        ).collect()
+    }
+    assert out[2] is False    # 1 hit / 10 words = 0.1 <= 0.2: survives
+    assert out[3] is True     # saturated page still dies
+
+
+def test_count_gate(spark):
+    out = {
+        r["id"]: r["taboo_flagged"]
+        for r in flag_taboo_terms(
+            _docs(spark), "id", "text", TERMS, max_count=2, max_ratio=None
+        ).collect()
+    }
+    assert out[2] is False and out[3] is True
+
+
+def test_regex_metachars_in_terms_stay_literal(spark):
+    docs = spark.createDataFrame(
+        [(1, "call a.b now"), (2, "call axb now")], "id long, text string"
+    )
+    out = {
+        r["id"]: r["taboo_count"]
+        for r in flag_taboo_terms(docs, "id", "text", ["a.b"]).collect()
+    }
+    assert out == {1: 1, 2: 0}
+
+
+def test_join_tier_equivalent_on_word_lists(spark):
+    words = [t for t in TERMS if " " not in t]
+    terms_df = spark.createDataFrame([(t,) for t in words], "term string")
+    codegen = {
+        (r["id"], r["taboo_count"], r["taboo_flagged"])
+        for r in flag_taboo_terms(_docs(spark), "id", "text", words).collect()
+    }
+    joined = {
+        (r["id"], r["taboo_count"], r["taboo_flagged"])
+        for r in flag_taboo_terms_join(
+            _docs(spark), "id", "text", terms_df
+        ).collect()
+    }
+    assert codegen == joined
+
+
+def test_join_tier_rejects_phrases(spark):
+    terms_df = spark.createDataFrame([("click here",)], "term string")
+    with pytest.raises(ValueError):
+        flag_taboo_terms_join(_docs(spark), "id", "text", terms_df)
+
+
+def test_empty_terms_rejected(spark):
+    with pytest.raises(ValueError):
+        taboo_columns("text", [])
+    with pytest.raises(ValueError):
+        flag_taboo_terms(
+            _docs(spark), "id", "text", TERMS, max_ratio=None, max_count=None
+        )
+
+
+def test_codegen_tier_plan(spark):
+    plan = (
+        flag_taboo_terms(_docs(spark), "id", "text", TERMS)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # one scan, zero shuffle
+
+
+def test_composes_with_scorecard_columns(spark):
+    cols = taboo_columns("text", TERMS)
+    out = _docs(spark).select(
+        "id", *[c.alias(n) for n, c in cols.items()]
+    )
+    assert set(out.columns) == {"id", "taboo_count", "taboo_ratio"}
