@@ -155,7 +155,12 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark(app_name="bench")
+    # No console progress bar: its \r fragments interleave with stdout
+    # when the harness merges streams and corrupt the JSON lines.
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
 
     queries = all_queries()
     # Warm up the engine before timing: JVM codegen, shuffle machinery,
@@ -193,14 +198,21 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Per-query detail on its OWN line first: the driver's tail window
+    # truncates long lines from the head, and at 79+ queries the
+    # combined line outgrew it (BENCH_r08 parsed:null). The FINAL line
+    # stays compact and bounded so it always parses.
+    print(json.dumps({"metric": "per_query_wall", "queries": timings,
+                      "unit": "sec", "sf": sf_val}))
     print(
         json.dumps(
             {
                 "metric": "headline_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+                "n_queries": len(timings),
             }
         )
     )

@@ -37,18 +37,34 @@ from pyspark.sql import functions as F
 #: Java-regex specials to neutralize inside a term.
 _ESCAPE = re.compile(r"([.\^$+?(){}\[\]|\\*])")
 
+#: Java-regex word character (\w) — decides whether \b can exist at a
+#: term edge: \b only matches between a \w and a non-\w, so a term
+#: edge that is itself non-\w (e.g. the '$' in obfuscated 'a$$')
+#: would make \b unmatchable there and the term silently dead.
+_WORD_EDGE = re.compile(r"[A-Za-z0-9_]")
+
 
 def _alternation(terms: list[str]) -> str:
     """Case-insensitive whole-word alternation for the term list.
-    Longer terms first so a phrase wins over its own prefix word."""
+    Longer terms first so a phrase wins over its own prefix word.
+
+    Boundaries are per-term and conditional on edge characters: ``\\b``
+    is emitted only next to a ``\\w`` edge. A non-word edge gets no
+    boundary (none can exist there), so obfuscated entries like
+    ``a$$`` still match — at the cost of also matching when glued to
+    a word character, the standard taboo-list trade-off."""
     cleaned = sorted(
         {t.strip().lower() for t in terms if t and t.strip()},
         key=lambda t: (-len(t), t),
     )
     if not cleaned:
         raise ValueError("empty term list")
-    escaped = [_ESCAPE.sub(r"\\\1", t) for t in cleaned]
-    return r"(?i)\b(" + "|".join(escaped) + r")\b"
+    parts = []
+    for t in cleaned:
+        pre = r"\b" if _WORD_EDGE.match(t[0]) else ""
+        suf = r"\b" if _WORD_EDGE.match(t[-1]) else ""
+        parts.append(pre + _ESCAPE.sub(r"\\\1", t) + suf)
+    return r"(?i)(" + "|".join(parts) + r")"
 
 
 def taboo_columns(text_col, terms: list[str]) -> dict[str, Column]:
@@ -112,18 +128,24 @@ def flag_taboo_terms_join(
     map-side-combined per-doc count, left-join the counts back so
     zero-match documents keep count 0.
 
-    SINGLE-TOKEN terms only (multi-token phrases never match a token
-    equi-join — use the codegen tier for phrase lists); the guard
-    raises rather than silently under-counting."""
+    SINGLE-TOKEN terms only, where "token" means exactly what the
+    tokenizer below produces: a run of ``[a-z0-9']``. Any term that is
+    NOT such a run after lower/trim — phrases, but also hyphenated or
+    punctuated entries like ``e-mail`` or accented words, which the
+    tokenizer would fragment and so could never match — makes the
+    guard raise rather than silently under-count; route those through
+    the codegen tier."""
     from pyspark.sql import functions as F2
 
-    phrase = terms_df.where(
-        F2.col(term_col).rlike(r"\s")
+    unjoinable = terms_df.where(
+        ~F2.lower(F2.trim(F2.col(term_col))).rlike(r"^[a-z0-9']+$")
     )
-    if phrase.limit(1).count() > 0:
+    if unjoinable.limit(1).count() > 0:
         raise ValueError(
-            "join tier matches single tokens only; the term list "
-            "contains multi-word phrases — use flag_taboo_terms"
+            "join tier matches single [a-z0-9']-run tokens only; the "
+            "term list contains entries the tokenizer would fragment "
+            "(phrases, hyphens, punctuation, non-ASCII letters) — use "
+            "flag_taboo_terms for those"
         )
     terms = terms_df.select(
         F2.lower(F2.trim(F2.col(term_col))).alias("__term")

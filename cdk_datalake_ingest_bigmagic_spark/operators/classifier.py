@@ -186,11 +186,20 @@ def threshold_sweep(
     size; nothing is collected. Ratios are single IEEE divisions of
     exact longs, NULL (not crash, not fake 1.0) on empty denominators,
     the pair_metrics degradation policy.
+
+    Unscored (NULL probability) and unlabeled (NULL label) rows are
+    EXCLUDED before binning: ``floor(NULL)`` would otherwise land in
+    bin 0 (greatest(NULL, 0) = 0 in Spark), silently counting unscored
+    rows as confident negatives, and NULL labels would silently shrink
+    the pos/neg totals. The sweep reflects only scored, labeled rows.
     """
     from pyspark.sql import Window
 
     if n_bins < 2:
         raise ValueError("n_bins must be >= 2")
+    scored = scored.where(
+        F.col(prob_col).isNotNull() & F.col(label_col).isNotNull()
+    )
     spark = scored.sparkSession
     bucket = F.least(
         F.greatest(
@@ -274,10 +283,14 @@ def calibration_report(
     percentile gate treats them as comparable scores.
 
     Same scale shape as :func:`threshold_sweep`: one binning pass, one
-    ``n_bins``-row shuffle.
+    ``n_bins``-row shuffle. NULL probabilities / labels are excluded
+    before binning for the same reason as in :func:`threshold_sweep`.
     """
     if n_bins < 2:
         raise ValueError("n_bins must be >= 2")
+    scored = scored.where(
+        F.col(prob_col).isNotNull() & F.col(label_col).isNotNull()
+    )
     bucket = F.least(
         F.greatest(
             F.floor(F.col(prob_col) * n_bins).cast("int"), F.lit(0)

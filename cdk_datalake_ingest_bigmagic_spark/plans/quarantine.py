@@ -79,7 +79,15 @@ def write_with_quarantine(
     ``(n_clean, n_quarantined)`` so ingest jobs can threshold-alert
     the way the column quarantine does. The underscore prefix hides
     the quarantine from readers of ``path`` while keeping it inside
-    the dataset directory."""
+    the dataset directory.
+
+    The counts are THIS write's rows — the split DataFrames are
+    counted directly, never by re-reading the output paths, so with
+    ``mode='append'`` the return value is the batch's contribution,
+    not the cumulative directory size. With ``cache=False`` the count
+    is a second evaluation of the (cheap, scan-shaped) plan; pass
+    ``cache=True`` when the upstream plan is expensive or
+    non-deterministic so write and count see the same rows."""
     clean, quarantined = split_quarantine(df, rules)
     if cache:
         clean = clean.persist()
@@ -88,9 +96,8 @@ def write_with_quarantine(
         clean.write.format(fmt).mode(mode).save(path)
         q_path = f"{path.rstrip('/')}/_quarantine"
         quarantined.write.format(fmt).mode(mode).save(q_path)
-        spark = df.sparkSession
-        n_clean = spark.read.format(fmt).load(path).count()
-        n_quarantined = spark.read.format(fmt).load(q_path).count()
+        n_clean = clean.count()
+        n_quarantined = quarantined.count()
     finally:
         if cache:
             clean.unpersist()

@@ -386,8 +386,8 @@ def conversations_structural(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT host,
            coalesce(out_degree, 0) AS out_degree,
            coalesce(in_degree, 0) AS in_degree,
-           coalesce(out_links, 0) AS out_links,
-           coalesce(in_links, 0) AS in_links
+           CAST(coalesce(out_links, 0) AS BIGINT) AS out_links,
+           CAST(coalesce(in_links, 0) AS BIGINT) AS in_links
     FROM outs FULL OUTER JOIN ins USING (host)
     """,
 )
@@ -594,11 +594,16 @@ _LANGID_AUG_SQL = """
 )
 def langid_train_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end trained-model gate: profile training (document-
-    frequency top-K per language) and codegen classification votes
-    must agree with the oracle's SQL replication bit for bit —
-    integer votes and string argmax, no floats anywhere."""
+    frequency top-K per language) and classification votes must agree
+    with the oracle's SQL replication bit for bit — integer votes and
+    string argmax, no floats anywhere.
+
+    Classifies via the JOIN tier: output-equivalent to the inline
+    tier (pinned by tests/test_langid2.py) but ~3x faster — the
+    inline tier's in-row array ops run interpreted and made this the
+    bench's worst line at r8 (29.1 s; see SCALE.md)."""
     from cdk_datalake_ingest_bigmagic_spark.operators.langid2 import (
-        classify_language,
+        classify_language_join,
         train_char_ngram_profiles,
     )
 
@@ -621,7 +626,7 @@ def langid_train_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     profiles = train_char_ngram_profiles(
         aug, "lang", "text", top_k=_LANGID_TOPK
     )
-    return classify_language(
+    return classify_language_join(
         aug, "doc_id", "text", profiles, min_votes=_LANGID_MINV
     )
 
