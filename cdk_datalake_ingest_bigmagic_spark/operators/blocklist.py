@@ -23,8 +23,8 @@ Two tiers, same results where both apply:
   combined per-doc count; single-token terms only — phrase terms
   need the codegen tier, stated loudly.
 
-Determinism: integer counts and single IEEE divisions — oracle-
-gateable (pre-written for round 9 in queries/curation4.py).
+Determinism: integer counts and single IEEE divisions — oracle-gated
+by ``blocklist_taboo_counts`` in queries/curation4.py.
 """
 
 from __future__ import annotations

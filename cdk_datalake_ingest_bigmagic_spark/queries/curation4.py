@@ -1,0 +1,242 @@
+"""Round-9 gate queries for the round-8 pytest-only operators:
+the taboo-term blocklist (operators/blocklist.py), row-level
+quarantine reason synthesis (plans/quarantine.py), and the classifier
+threshold sweep / calibration integer cores (operators/classifier.py).
+
+Gate-prep conventions (same as queries/curation2.py): inputs the
+synthetic corpus lacks (labels, probabilities, NULL-able validity
+flags) are synthesized with the SAME deterministic arithmetic on
+``doc_id`` in both engines; the operator under test is general — only
+the prep is synthetic. Floats are confined to single IEEE divisions
+of exact integers (thresholds, ratios); every SUM in the oracles is
+CAST to BIGINT (DuckDB sum() yields HUGEINT, which the driver's hash
+distinguishes from long — the pack_sequences/linkgraph lesson).
+
+The classifier's MODEL floats (L-BFGS coefficients, probabilities)
+remain pytest-only by design — these gates cover the exact integer
+confusion-matrix algebra downstream of any scored frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.queries import load, register
+
+# ---------------------------------------------------------------------------
+# Taboo-term blocklist, codegen tier (operators/blocklist.py)
+# ---------------------------------------------------------------------------
+#
+# Terms picked from the corpus vocabulary so counts are non-trivial;
+# includes a two-word phrase to exercise the alternation's
+# longer-term-first ordering. Both engines scan with the same
+# word-boundary alternation semantics (leftmost, non-overlapping).
+
+_TABOO_TERMS = ["fast merge", "hash", "join"]
+
+
+@register(
+    "blocklist_taboo_counts",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(
+             lower(text), '\b(fast merge|hash|join)\b')) AS BIGINT)
+             AS taboo_count,
+           CASE WHEN trim(text) = '' THEN NULL ELSE
+             CAST(len(regexp_extract_all(
+               lower(text), '\b(fast merge|hash|join)\b')) AS DOUBLE)
+             / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+           END AS taboo_ratio,
+           CASE WHEN trim(text) = '' THEN FALSE ELSE
+             len(regexp_extract_all(
+               lower(text), '\b(fast merge|hash|join)\b')) > 0
+           END AS taboo_flagged
+    FROM documents
+    """,
+)
+def blocklist_taboo_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flag_taboo_terms' full output — whole-word occurrence counts,
+    count/word-count ratio (single IEEE division, NULL on empty
+    text), and the default C4 any-occurrence flag — against the
+    oracle's regexp_extract_all replication of the same alternation."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.blocklist import (
+        flag_taboo_terms,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return flag_taboo_terms(d, "doc_id", "text", _TABOO_TERMS)
+
+
+# ---------------------------------------------------------------------------
+# Row-level quarantine reason synthesis (plans/quarantine.py)
+# ---------------------------------------------------------------------------
+#
+# Three rules with all the interesting shapes: a plain boolean, a
+# rule that is NULL for some rows (a NULL validity flag must
+# quarantine — fail-closed), and a rule over a string column. The
+# reason column is the comma-join of every failed rule in rule
+# order — pure string algebra, exactly replicable in SQL.
+
+
+@register(
+    "quarantine_reason_rows",
+    oracle="""
+    SELECT doc_id,
+           nullif(concat_ws(',',
+             CASE WHEN NOT coalesce(n_chars >= 200, FALSE)
+                  THEN 'long_enough' END,
+             CASE WHEN NOT coalesce(
+                    CASE WHEN doc_id % 5 = 0 THEN NULL
+                         ELSE doc_id % 3 <> 0 END, FALSE)
+                  THEN 'flag_ok' END,
+             CASE WHEN NOT coalesce(lang = 'en', FALSE)
+                  THEN 'lang_en' END
+           ), '') AS _quarantine_reason,
+           nullif(concat_ws(',',
+             CASE WHEN NOT coalesce(n_chars >= 200, FALSE)
+                  THEN 'long_enough' END,
+             CASE WHEN NOT coalesce(
+                    CASE WHEN doc_id % 5 = 0 THEN NULL
+                         ELSE doc_id % 3 <> 0 END, FALSE)
+                  THEN 'flag_ok' END,
+             CASE WHEN NOT coalesce(lang = 'en', FALSE)
+                  THEN 'lang_en' END
+           ), '') IS NOT NULL AS quarantined
+    FROM documents
+    """,
+)
+def quarantine_reason_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quarantine_reasons' synthesis — every failed rule listed in
+    rule order, NULL conditions fail closed (a flag the source could
+    not evaluate is a quarantine reason, not a pass), clean rows get
+    NULL — plus the split predicate split_quarantine derives from it."""
+    from cdk_datalake_ingest_bigmagic_spark.plans.quarantine import (
+        REASON_COL,
+        quarantine_reasons,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    rules = {
+        "long_enough": F.col("n_chars") >= 200,
+        "flag_ok": F.when(F.col("doc_id") % 5 == 0, F.lit(None)).otherwise(
+            F.col("doc_id") % 3 != 0
+        ),
+        "lang_en": F.col("lang") == "en",
+    }
+    reason = quarantine_reasons(rules)
+    return d.select(
+        "doc_id",
+        reason.alias(REASON_COL),
+        reason.isNotNull().alias("quarantined"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classifier threshold sweep — exact integer core
+# (operators/classifier.py::threshold_sweep)
+# ---------------------------------------------------------------------------
+#
+# A deterministic scored frame stands in for the (ungateable,
+# L-BFGS-float) model output: prob = (doc_id % 100) / 100 with NULLs
+# at doc_id % 11 == 0, label = [doc_id % 3 == 0] with NULLs at
+# doc_id % 13 == 0 — so the gate also pins the NULL-exclusion policy.
+# Only the exact columns cross engines: threshold (one division),
+# tp/fp/fn/tn (longs); precision/recall/f1 stay out of the oracle.
+
+_SWEEP_SCORED_SQL = """
+    scored AS (
+      SELECT CAST(doc_id % 100 AS DOUBLE) / CAST(100 AS DOUBLE) AS prob,
+             CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
+      FROM documents
+      WHERE doc_id % 11 <> 0 AND doc_id % 13 <> 0
+    )
+"""
+
+
+@register(
+    "classifier_sweep_counts",
+    oracle=f"""
+    WITH {_SWEEP_SCORED_SQL},
+    binned AS (
+      SELECT least(greatest(CAST(floor(prob * 20) AS INTEGER), 0), 19)
+               AS bucket, y
+      FROM scored
+    ),
+    per AS (
+      SELECT bucket, CAST(sum(y) AS BIGINT) AS pos,
+             CAST(sum(1 - y) AS BIGINT) AS neg
+      FROM binned GROUP BY 1
+    ),
+    bins AS (SELECT CAST(range AS INTEGER) AS bucket FROM range(20)),
+    filled AS (
+      SELECT b.bucket, coalesce(pos, 0) AS pos, coalesce(neg, 0) AS neg
+      FROM bins b LEFT JOIN per USING (bucket)
+    ),
+    cum AS (
+      SELECT bucket,
+             CAST(sum(pos) OVER (ORDER BY bucket DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS tp,
+             CAST(sum(neg) OVER (ORDER BY bucket DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS fp,
+             CAST(sum(pos) OVER () AS BIGINT) AS allpos,
+             CAST(sum(neg) OVER () AS BIGINT) AS allneg
+      FROM filled
+    )
+    SELECT CAST(bucket AS DOUBLE) / CAST(20 AS DOUBLE) AS threshold,
+           tp, fp, allpos - tp AS fn, allneg - fp AS tn
+    FROM cum
+    """,
+)
+def classifier_sweep_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """threshold_sweep's exact confusion-matrix core — per bin-edge
+    threshold, tp/fp/fn/tn for the decision prob >= threshold, with
+    NULL-probability and NULL-label rows excluded before binning —
+    against the oracle's window-algebra replication."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.classifier import (
+        threshold_sweep,
+    )
+
+    scored = _sweep_scored(spark, sf_dir)
+    sweep = threshold_sweep(scored, "label", prob_col="prob", n_bins=20)
+    return sweep.select("threshold", "tp", "fp", "fn", "tn")
+
+
+def _sweep_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    prob = F.when(F.col("doc_id") % 11 == 0, F.lit(None)).otherwise(
+        (F.col("doc_id") % 100).cast("double") / F.lit(100).cast("double")
+    )
+    label = F.when(F.col("doc_id") % 13 == 0, F.lit(None)).otherwise(
+        (F.col("doc_id") % 3 == 0).cast("int")
+    )
+    return d.select(prob.alias("prob"), label.alias("label"))
+
+
+@register(
+    "classifier_calibration_bins",
+    oracle=f"""
+    WITH {_SWEEP_SCORED_SQL}
+    SELECT least(greatest(CAST(floor(prob * 10) AS INTEGER), 0), 9)
+             AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS frac_pos
+    FROM scored
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """calibration_report's exact columns — per-bin row count and
+    empirical positive rate (single IEEE division of exact longs);
+    mean_prob stays out of the oracle (a float AVG is not
+    cross-engine associative)."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.classifier import (
+        calibration_report,
+    )
+
+    scored = _sweep_scored(spark, sf_dir)
+    report = calibration_report(scored, "label", prob_col="prob", n_bins=10)
+    return report.select("bin", "n", "frac_pos")
