@@ -14,7 +14,12 @@ import tempfile
 
 import pytest
 
-from tools.replay_full_config import REF_CSV, run, source_kinds
+from tools.replay_full_config import (
+    REF_CSV,
+    run,
+    run_two_day,
+    source_kinds,
+)
 
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(REF_CSV), reason="reference config not available"
@@ -66,3 +71,31 @@ def test_all_56_tables_replay(spark):
         if "skipped" not in r and r["rows"] == 150
     ]
     assert deduped, "no table exercised the W1 dedup path"
+
+
+def test_two_day_incremental_merge_replay(spark):
+    """The reference's daily reality — the SECOND run
+    (light_transform.py:1534-1564): day-1 full load, then a day-2
+    incremental batch whose keys half-overlap day 1 and whose payload
+    values all differ, merged by the is_id columns. Per table: the
+    merged row count equals DuckDB's distinct-key union over both
+    days' raw parquet, the stage has no duplicate keys, every day-2
+    key's staged payload is the day-2 value (upsert wins, checked on
+    a bare-rename marker column), and the transactional watermark
+    advanced to the two-day running max. A sample of tables keeps the
+    suite's wall time bounded; tools/replay_full_config.py --two-day
+    runs all 56 (SCALE.md records the full run)."""
+    workdir = tempfile.mkdtemp(prefix="cfg_replay2_test_")
+    out = run_two_day(spark, n_rows=200, workdir=workdir, limit=8)
+    s = out["summary"]
+    assert s["tables_ran"] == 8
+    assert s["failures"] == []
+    assert s["all_ok"]
+    merged = [r for r in out["tables"] if r["merge_leg"]]
+    assert merged, "no table exercised the MERGE path"
+    for r in merged:
+        assert r["dup_id_groups"] == 0
+        assert r["upsert_wins"]
+        assert r["watermark_ok"]
+        # the merge really grew the table: day-2 adds new keys
+        assert r["rows"] == r["rows_expected"]

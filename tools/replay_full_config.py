@@ -195,9 +195,20 @@ def _value_col(kind: str, key: str, idx, specs):
     return F.concat(F.lit(key[:10] + "_"), idx.cast("string"))
 
 
-def synth_raw(spark, specs, n_rows: int, dup_factor: int = 2):
+def synth_raw(
+    spark,
+    specs,
+    n_rows: int,
+    dup_factor: int = 2,
+    id_shift: int = 0,
+    value_shift: int = 0,
+):
     """All-string raw frame; ID-feeding source columns cycle through
     ``n_rows // dup_factor`` distinct tuples so dedup has real work.
+    ``id_shift`` offsets the ID index space (a day-2 batch overlapping
+    half of day 1) and ``value_shift`` offsets every non-ID value index
+    (so a day-2 row carries visibly different payload values for the
+    same ID — upserts must observably change rows).
     Returns (df, id_src_cols, src_cols)."""
     from pyspark.sql import functions as F
 
@@ -228,9 +239,9 @@ def synth_raw(spark, specs, n_rows: int, dup_factor: int = 2):
         if c in part_src:
             idx = F.col("id") % 8
         elif c in id_src:
-            idx = F.col("id") % n_unique
+            idx = (F.col("id") % n_unique) + id_shift
         else:
-            idx = F.col("id")
+            idx = F.col("id") + value_shift
         cols.append(_value_col(kinds[c], c, idx, specs).alias(c))
     return base.select(*cols), id_src, src_cols
 
@@ -303,6 +314,249 @@ def replay_table(spark, duck, tc, specs, n_rows: int, workdir: str) -> dict:
     }
 
 
+#: day-2 payload index offset — far outside any day-1 index so every
+#: re-sent row carries visibly different non-ID values
+_DAY2_VALUE_SHIFT = 10_000_000
+
+
+def replay_table_day2(spark, duck, tc, specs, n_rows: int, workdir: str) -> dict:
+    """The SECOND daily run of a table (reference
+    light_transform.py:1534-1564): an incremental batch whose ID
+    tuples overlap half of day 1 and whose payload values all differ,
+    merged into the day-1 stage (INCREMENTAL -> MERGE upsert), with
+
+    - the final row count checked against DuckDB's distinct-ID-union
+      over BOTH days' raw parquet,
+    - a no-duplicate-IDs assertion on the merged stage,
+    - an upsert-wins assertion: every day-2 ID's staged payload equals
+      the day-2 value (checked on a bare-rename marker column, whose
+      staged value is the raw string verbatim in both engines),
+    - watermark progression: the first IS_FILTER_DATE column's running
+      max is saved/confirmed per day through the transactional
+      WatermarkStore and must advance to the two-day max.
+
+    Assumes :func:`replay_table` already ran (day-1 raw + stage exist
+    under ``workdir``). Only tables WITH id columns take the merge
+    path — the reference merges on is_id columns; id-less incremental
+    tables degrade to overwrite (write_stage's own policy) and are
+    reported as ``merge_leg: False``."""
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_bigmagic_spark.plans.pipeline import (
+        transform_raw_to_stage,
+        write_stage,
+    )
+    from cdk_datalake_ingest_bigmagic_spark.plans.watermarks import (
+        WatermarkStore,
+    )
+
+    t0 = time.time()
+    id_cols = [s.name for s in specs if s.is_id]
+    raw1_path = os.path.join(workdir, "raw", tc.stage_table_name)
+    stage_path = os.path.join(workdir, "stage", tc.stage_table_name)
+
+    # day-2 batch: half the day-1 unique IDs, shifted so half overlap;
+    # already key-unique (real incremental extracts dedup upstream —
+    # and MERGE rejects duplicate source keys by contract)
+    n_unique = max(1, n_rows // 2)
+    raw2, id_src, _ = synth_raw(
+        spark,
+        specs,
+        max(1, n_unique),
+        dup_factor=1,
+        id_shift=n_unique // 2,
+        value_shift=_DAY2_VALUE_SHIFT,
+    )
+    raw2_path = os.path.join(workdir, "raw_day2", tc.stage_table_name)
+    raw2.write.mode("overwrite").parquet(raw2_path)
+    raw2_back = spark.read.parquet(raw2_path)
+
+    result2 = transform_raw_to_stage(raw2_back, specs)
+    typed2 = result2.df
+    errors = list(result2.errors)
+
+    # watermark: day-1 max already confirmed by run_two_day; advance it
+    wm_col = next((s.name for s in specs if s.is_filter_date), None)
+    wm_ok = True
+    if wm_col is not None:
+        store = WatermarkStore(spark, os.path.join(workdir, "watermarks"))
+        prev = store.get("replay", tc.stage_table_name, wm_col)
+        day2_max = typed2.agg(F.max(F.col(wm_col).cast("string"))).first()[0]
+        new_wm = max(x for x in (prev, day2_max) if x is not None)
+        txn = store.save_provisional(
+            "replay", tc.stage_table_name, wm_col, new_wm
+        )
+        store.confirm(txn)
+        got = store.get("replay", tc.stage_table_name, wm_col)
+        wm_ok = got == new_wm and (prev is None or got >= prev)
+
+    write_stage(spark, typed2, stage_path, specs, "incremental")
+    staged = spark.read.parquet(stage_path)
+    got_rows = staged.count()
+
+    # DuckDB oracle: final rows = distinct ID tuples across both days
+    # (raw string space — the typed transform is injective on the
+    # generated values, the day-1 gate already rests on that)
+    merge_leg = bool(id_cols)
+    if id_src:
+        cols = ", ".join(f'"{c}"' for c in id_src)
+        want_rows = duck.execute(
+            f"SELECT count(*) FROM (SELECT DISTINCT {cols} FROM ("
+            f"SELECT {cols} FROM read_parquet('{raw1_path}/*.parquet') "
+            f"UNION ALL "
+            f"SELECT {cols} FROM read_parquet('{raw2_path}/*.parquet')))"
+        ).fetchone()[0]
+    else:
+        # no IDs: write_stage degrades incremental to overwrite —
+        # the stage is exactly day 2's distinct rows
+        want_rows = duck.execute(
+            f"SELECT count(*) FROM (SELECT DISTINCT * "
+            f"FROM read_parquet('{raw2_path}/*.parquet'))"
+        ).fetchone()[0]
+
+    dup_ids = 0
+    upsert_wins = True
+    marker = None
+    if id_cols:
+        dup_ids = (
+            staged.groupBy(*id_cols)
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        # marker: a bare-rename column (stage value = raw string
+        # verbatim, light_transform.py:721) not part of the key or
+        # the partition layout
+        id_and_part_src = set(id_src) | {
+            c
+            for s in specs
+            if s.is_partition
+            for c in source_kinds(s.transformation)
+        }
+        for s in specs:
+            t = (s.transformation or "").strip()
+            if (
+                t
+                and "(" not in t
+                and t.isidentifier()
+                and not s.is_id
+                and not s.is_partition
+                and t not in id_and_part_src
+            ):
+                marker = s.name
+                break
+        n_day2 = typed2.count()
+        matched = staged.join(typed2.select(*id_cols).distinct(), id_cols).count()
+        upsert_wins = matched == n_day2
+        if marker is not None and upsert_wins:
+            same_val = (
+                staged.alias("s")
+                .join(
+                    typed2.select(*id_cols, marker).alias("d"),
+                    on=id_cols,
+                )
+                .where(
+                    F.col(f"s.{marker}").eqNullSafe(F.col(f"d.{marker}"))
+                )
+                .count()
+            )
+            upsert_wins = same_val == n_day2
+
+    ok = (
+        got_rows == want_rows
+        and dup_ids == 0
+        and upsert_wins
+        and wm_ok
+        and not errors
+    )
+    return {
+        "table": tc.stage_table_name,
+        "merge_leg": merge_leg,
+        "rows": got_rows,
+        "rows_expected": want_rows,
+        "rows_match": got_rows == want_rows,
+        "dup_id_groups": dup_ids,
+        "upsert_wins": upsert_wins,
+        "marker_col": marker,
+        "watermark_ok": wm_ok,
+        "quarantined_columns": errors,
+        "ok": ok,
+        "secs": round(time.time() - t0, 2),
+    }
+
+
+def run_two_day(
+    spark, n_rows: int, workdir: str, limit: int | None = None
+) -> dict:
+    """Day-1 full load (replay_table) then the day-2 incremental MERGE
+    leg for every active table; per-table oracle assertions on both."""
+    import duckdb
+
+    from cdk_datalake_ingest_bigmagic_spark.config.loader import load_catalog
+    from cdk_datalake_ingest_bigmagic_spark.plans.watermarks import (
+        WatermarkStore,
+    )
+    from pyspark.sql import functions as F
+
+    cat = load_catalog(
+        tables_csv=f"{REF_CSV}/tables.csv", columns_csv=f"{REF_CSV}/columns.csv"
+    )
+    spark.conf.set(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+    )
+    duck = duckdb.connect()
+    tables = [t for t in cat.tables.values() if t.is_active]
+    if limit:
+        tables = tables[:limit]
+    store = WatermarkStore(spark, os.path.join(workdir, "watermarks"))
+    reports, t0 = [], time.time()
+    for tc in tables:
+        specs = cat.columns_for(tc.stage_table_name)
+        if not specs:
+            continue
+        day1 = replay_table(spark, duck, tc, specs, n_rows, workdir)
+        # seed the watermark from day 1's typed output so day 2 can
+        # assert progression
+        wm_col = next((s.name for s in specs if s.is_filter_date), None)
+        if wm_col is not None:
+            typed1 = spark.read.parquet(
+                os.path.join(workdir, "stage", tc.stage_table_name)
+            )
+            wm1 = typed1.agg(F.max(F.col(wm_col).cast("string"))).first()[0]
+            if wm1 is not None:
+                txn = store.save_provisional(
+                    "replay", tc.stage_table_name, wm_col, wm1
+                )
+                store.confirm(txn)
+        day2 = replay_table_day2(spark, duck, tc, specs, n_rows, workdir)
+        day2["day1_ok"] = bool(
+            day1["rows_match"]
+            and day1["schema_match"]
+            and not day1["quarantined_columns"]
+        )
+        reports.append(day2)
+        status = "OK " if day2["ok"] and day2["day1_ok"] else "FAIL"
+        print(
+            f"{status} {day2['table']:<32} merged {day2['rows']}"
+            f"/{day2['rows_expected']}"
+            f" dup_ids {day2['dup_id_groups']} upsert_wins"
+            f" {day2['upsert_wins']} wm {day2['watermark_ok']}"
+            f" [{day2['secs']}s]",
+            flush=True,
+        )
+    summary = {
+        "tables_ran": len(reports),
+        "rows_per_table_day1": n_rows,
+        "merge_leg_tables": sum(1 for r in reports if r["merge_leg"]),
+        "all_ok": all(r["ok"] and r["day1_ok"] for r in reports),
+        "total_secs": round(time.time() - t0, 1),
+        "failures": [
+            r["table"] for r in reports if not (r["ok"] and r["day1_ok"])
+        ],
+    }
+    return {"summary": summary, "tables": reports}
+
+
 def run(spark, n_rows: int, workdir: str, limit: int | None = None) -> dict:
     import duckdb
 
@@ -367,13 +621,21 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=10000)
     ap.add_argument("--tables", type=int, default=None)
+    ap.add_argument(
+        "--two-day",
+        action="store_true",
+        help="day-1 full load then a day-2 incremental MERGE with "
+        "overlapping keys, watermark progression, and upsert-wins "
+        "assertions per table",
+    )
     args = ap.parse_args()
 
     from cdk_datalake_ingest_bigmagic_spark import get_spark
 
     spark = get_spark(app_name="replay-full-config", shuffle_partitions=32)
     workdir = tempfile.mkdtemp(prefix="cfg_replay_")
-    out = run(spark, args.rows, workdir, args.tables)
+    runner = run_two_day if args.two_day else run
+    out = runner(spark, args.rows, workdir, args.tables)
     print(json.dumps(out["summary"]))
     return 0 if not out["summary"]["failures"] else 1
 
