@@ -120,3 +120,44 @@ def test_composes_with_scorecard_columns(spark):
         "id", *[c.alias(n) for n, c in cols.items()]
     )
     assert set(out.columns) == {"id", "taboo_count", "taboo_ratio"}
+
+
+def test_non_word_edged_terms_match(spark):
+    """A term whose edge is a non-word char ('a$$', '!!!') gets no \\b
+    at that edge (none can exist between two non-word chars) and must
+    still match; word-char edges keep their boundary, so 'ba$$' does
+    NOT hit the 'a$$' entry (left \\b intact)."""
+    df = spark.createDataFrame(
+        [
+            (1, "what an a$$ thing"),        # standalone -> match
+            (2, "the ba$$ player"),          # word-glued left edge -> no
+            (3, "warning !!! ahead"),        # fully non-word term
+            (4, "an a$$hole remark"),        # right edge open -> match
+        ],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: r["taboo_count"]
+        for r in flag_taboo_terms(df, "id", "text", ["a$$", "!!!"]).collect()
+    }
+    assert got == {1: 1, 2: 0, 3: 1, 4: 1}
+
+
+def test_join_tier_rejects_unjoinable_single_tokens(spark):
+    """Hyphenated/punctuated/non-ASCII single-word terms fragment
+    under the join tier's [a-z0-9'] tokenizer and could never match —
+    the guard must raise on them, not silently under-count."""
+    df = spark.createDataFrame([(1, "send an e-mail")], "id long, text string")
+    for bad in ["e-mail", "café", "a$$"]:
+        terms = spark.createDataFrame([(bad,), ("clean",)], "term string")
+        with pytest.raises(ValueError, match="fragment"):
+            flag_taboo_terms_join(df, "id", "text", terms)
+    # apostrophes are part of the token alphabet and stay legal
+    terms_ok = spark.createDataFrame([("don't",)], "term string")
+    got = flag_taboo_terms_join(
+        spark.createDataFrame([(1, "please don't shout")], "id long, text string"),
+        "id",
+        "text",
+        terms_ok,
+    ).collect()
+    assert got[0]["taboo_count"] == 1

@@ -272,3 +272,25 @@ def test_sweep_composes_with_trained_model(spark, corpora, model):
         and r["recall"] > 0.9
         for r in sweep
     )
+
+
+def test_sweep_and_calibration_exclude_null_rows(spark):
+    """floor(NULL) would land unscored rows in bin 0 (counted as
+    confident negatives) and NULL labels would silently shrink the
+    pos/neg totals — both must be excluded before binning."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.classifier import (
+        calibration_report,
+        threshold_sweep,
+    )
+
+    df = spark.createDataFrame(
+        [(0.9, 1), (0.1, 0), (None, 1), (0.8, None), (None, None), (0.95, 1)],
+        "quality_prob double, label int",
+    )
+    sweep = threshold_sweep(df, "label", n_bins=4).collect()
+    bottom = [r for r in sweep if r["threshold"] == 0.0][0]
+    # only the 3 fully-scored rows count: pos = {0.9, 0.95}, neg = {0.1}
+    assert (bottom["tp"], bottom["fp"]) == (2, 1)
+    assert all(r["tp"] + r["fn"] == 2 and r["fp"] + r["tn"] == 1 for r in sweep)
+    cal = calibration_report(df, "label", n_bins=4)
+    assert cal.agg(F.sum("n")).collect()[0][0] == 3

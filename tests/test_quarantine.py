@@ -115,3 +115,19 @@ def test_reason_projection_is_codegen(spark):
     plan = quarantined._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan  # rides the scan, zero shuffle
+
+
+def test_write_counts_are_per_batch_under_append(spark, tmp_path):
+    """write_with_quarantine counts the split DataFrames, not the
+    output directories — two appends of the same batch each report
+    (2, 1) while the directory accumulates to 4 + 2."""
+    df = spark.createDataFrame(
+        [(1, 5), (2, -1), (3, 9)], "id long, qty int"
+    )
+    rules = {"neg_qty": F.col("qty") >= 0}
+    path = str(tmp_path / "out_append")
+    first = write_with_quarantine(df, path, rules, mode="append")
+    second = write_with_quarantine(df, path, rules, mode="append")
+    assert first == (2, 1) and second == (2, 1)
+    assert spark.read.parquet(path).count() == 4
+    assert spark.read.parquet(f"{path}/_quarantine").count() == 2
