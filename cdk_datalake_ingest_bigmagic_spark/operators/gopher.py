@@ -1,0 +1,181 @@
+"""Gopher-style document quality rules (Rae et al. 2021, §A1.1 —
+the published MassiveText filter set, also the backbone of FineWeb's
+quality stage).
+
+operators/text.py covers the REPETITION half of the Gopher rules
+(duplicate word/bigram/top-bigram fractions, ``repetition_features``);
+this module is the LENGTH-AND-SHAPE half:
+
+- word-count bounds (50..100,000 words),
+- mean word length in [3, 10] characters,
+- symbol-to-word ratio ("#" and "..." occurrences) <= 0.1,
+- lines starting with a bullet <= 90%,
+- lines ending with an ellipsis <= 30%,
+- words containing at least one alphabetic character >= 80%,
+- at least 2 distinct "must-have" English stop words present
+  (the/be/to/of/and/that/have/with — Gopher's minimal-coherence
+  check).
+
+Scale shape: every signal is a ``regexp_count``/``length`` expression
+over the raw string — pure whole-stage-codegen projection riding the
+scan, ZERO array HOFs (the interpreted-HOF lesson from the repetition
+module: in-row arrays need barriers and still run interpreted; a
+regexp scan does not), zero shuffles, zero Python. Ratios are single
+IEEE divisions of exact longs, so the whole card is oracle-gateable.
+
+Thresholds are the published constants but every one is a keyword so
+corpus owners can re-tune without forking the rule card.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Gopher's minimal-coherence stop words (§A1.1: "contains at least
+#: two of the following English words: the, be, to, of, and, that,
+#: have, with").
+STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+#: Published thresholds (Rae et al. 2021, §A1.1).
+MIN_WORDS = 50
+MAX_WORDS = 100_000
+MIN_MEAN_WORD_LEN = 3.0
+MAX_MEAN_WORD_LEN = 10.0
+MAX_SYMBOL_WORD_RATIO = 0.1
+MAX_BULLET_LINE_FRAC = 0.9
+MAX_ELLIPSIS_LINE_FRAC = 0.3
+MIN_ALPHA_WORD_FRAC = 0.8
+MIN_STOP_WORD_HITS = 2
+
+
+def gopher_signal_columns(text_col) -> dict[str, Column]:
+    """The raw signals as named Columns, composable into a one-pass
+    score card. Counting conventions (mirrored exactly by the oracle
+    in queries/curation5.py):
+
+    - a *word* is a maximal non-whitespace run;
+    - ``mean_word_len`` = non-whitespace characters / words (NULL on
+      zero words);
+    - symbols are ``#`` characters and non-overlapping ``...`` runs;
+    - a *bullet line* starts with optional blanks then ``-``/``*``/
+      ``•``; an *ellipsis line* ends with ``...`` or ``…``
+      before optional trailing blanks;
+    - ``alpha_words`` counts words containing >= 1 ASCII letter;
+    - ``stop_word_hits`` counts DISTINCT stop words present as
+      lowercase whole words (0..8), not total occurrences.
+    """
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_words = F.regexp_count(t, F.lit(r"[^\s]+")).cast("long")
+    nonspace_chars = F.length(F.regexp_replace(t, r"\s", "")).cast("long")
+    mean_word_len = F.when(
+        n_words > 0, nonspace_chars.cast("double") / n_words.cast("double")
+    )
+    n_symbols = (
+        F.regexp_count(t, F.lit("#")) + F.regexp_count(t, F.lit(r"\.\.\."))
+    ).cast("long")
+    symbol_word_ratio = F.when(
+        n_words > 0, n_symbols.cast("double") / n_words.cast("double")
+    )
+    n_lines = (F.size(F.split(t, "\n"))).cast("long")
+    n_bullet_lines = F.regexp_count(
+        t, F.lit(r"(?m)^[ \t]*[-*•]")
+    ).cast("long")
+    n_ellipsis_lines = F.regexp_count(
+        t, F.lit(r"(?m)(\.\.\.|…)[ \t]*$")
+    ).cast("long")
+    bullet_line_frac = F.when(
+        n_lines > 0, n_bullet_lines.cast("double") / n_lines.cast("double")
+    )
+    ellipsis_line_frac = F.when(
+        n_lines > 0, n_ellipsis_lines.cast("double") / n_lines.cast("double")
+    )
+    alpha_words = F.regexp_count(
+        t, F.lit(r"[^\s]*[A-Za-z][^\s]*")
+    ).cast("long")
+    alpha_word_frac = F.when(
+        n_words > 0, alpha_words.cast("double") / n_words.cast("double")
+    )
+    low = F.lower(t)
+    stop_word_hits = sum(
+        (
+            low.rlike(rf"\b{w}\b").cast("int")
+            for w in STOP_WORDS
+        ),
+        F.lit(0),
+    ).cast("long")
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "symbol_word_ratio": symbol_word_ratio,
+        "bullet_line_frac": bullet_line_frac,
+        "ellipsis_line_frac": ellipsis_line_frac,
+        "alpha_word_frac": alpha_word_frac,
+        "stop_word_hits": stop_word_hits,
+    }
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = MIN_WORDS,
+    max_words: int = MAX_WORDS,
+    min_mean_word_len: float = MIN_MEAN_WORD_LEN,
+    max_mean_word_len: float = MAX_MEAN_WORD_LEN,
+    max_symbol_word_ratio: float = MAX_SYMBOL_WORD_RATIO,
+    max_bullet_line_frac: float = MAX_BULLET_LINE_FRAC,
+    max_ellipsis_line_frac: float = MAX_ELLIPSIS_LINE_FRAC,
+    min_alpha_word_frac: float = MIN_ALPHA_WORD_FRAC,
+    min_stop_word_hits: int = MIN_STOP_WORD_HITS,
+) -> DataFrame:
+    """(id, signals..., per-rule booleans, passes_gopher): the full
+    rule card in ONE codegen projection. Ratio rules follow Gopher's
+    fail-closed reading on degenerate documents: a document with zero
+    words fails the word-count rule (and therefore the card), so the
+    NULL ratios never have to decide anything — but the per-rule
+    booleans still coalesce NULL to False so each column is honest on
+    its own.
+
+    Filter with ``.where("passes_gopher")`` or keep the card for
+    observability; composes with ``repetition_features`` (the other
+    half of the published rule set) on the id column.
+    """
+    sig = gopher_signal_columns(text_col)
+
+    def ok(cond: Column) -> Column:
+        return F.coalesce(cond, F.lit(False))
+
+    rules = {
+        "rule_word_count": ok(
+            (sig["n_words"] >= min_words) & (sig["n_words"] <= max_words)
+        ),
+        "rule_mean_word_len": ok(
+            (sig["mean_word_len"] >= min_mean_word_len)
+            & (sig["mean_word_len"] <= max_mean_word_len)
+        ),
+        "rule_symbol_ratio": ok(
+            sig["symbol_word_ratio"] <= max_symbol_word_ratio
+        ),
+        "rule_bullet_lines": ok(
+            sig["bullet_line_frac"] <= max_bullet_line_frac
+        ),
+        "rule_ellipsis_lines": ok(
+            sig["ellipsis_line_frac"] <= max_ellipsis_line_frac
+        ),
+        "rule_alpha_words": ok(
+            sig["alpha_word_frac"] >= min_alpha_word_frac
+        ),
+        "rule_stop_words": ok(
+            sig["stop_word_hits"] >= min_stop_word_hits
+        ),
+    }
+    passes = None
+    for c in rules.values():
+        passes = c if passes is None else (passes & c)
+    return df.select(
+        F.col(id_col),
+        *[c.alias(n) for n, c in sig.items()],
+        *[c.alias(n) for n, c in rules.items()],
+        passes.alias("passes_gopher"),
+    )

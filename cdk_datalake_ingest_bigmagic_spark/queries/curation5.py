@@ -1,0 +1,103 @@
+"""Round-10 gate queries, pre-written and pre-validated in round 9:
+the Gopher length-and-shape quality card (operators/gopher.py).
+
+NOT imported by queries/__init__.py in round 9 — the 50-slot gate
+window is exactly full and a registered-but-never-gated query would
+violate the rotation invariant (the queries/curation2.py precedent
+from round 7). Round 10 activates this module by adding the import
+and placing the names in ``_GATE_FRONT``; the oracles are validated
+ahead of registration by ``tools/validate_module.py curation5``.
+
+Determinism: every signal is a regexp count over the raw text with
+RE2/Java-compatible patterns (no shorthand-class divergence — ``\\s``
+appears only in classes both engines read identically on this
+corpus), ratios are single IEEE divisions of exact longs, and the
+rule booleans coalesce NULL to false in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cdk_datalake_ingest_bigmagic_spark.queries import load, register
+
+# Shared DuckDB fragments — counting conventions mirror
+# operators/gopher.py::gopher_signal_columns exactly.
+_NW = r"len(regexp_extract_all(text, '[^\s]+'))"
+_NONSPACE = r"length(regexp_replace(text, '\s', '', 'g'))"
+_NSYM = (
+    r"(len(regexp_extract_all(text, '#'))"
+    r" + len(regexp_extract_all(text, '\.\.\.')))"
+)
+_NLINES = r"len(string_split(text, chr(10)))"
+_NBULLET = r"len(regexp_extract_all(text, '(?m)^[ \t]*[-*•]'))"
+_NELLIPSIS = r"len(regexp_extract_all(text, '(?m)(\.\.\.|…)[ \t]*$'))"
+_NALPHA = r"len(regexp_extract_all(text, '[^\s]*[A-Za-z][^\s]*'))"
+_STOPHITS = " + ".join(
+    rf"CAST(regexp_matches(lower(text), '\b{w}\b') AS INT)"
+    for w in ("the", "be", "to", "of", "and", "that", "have", "with")
+)
+
+
+@register(
+    "gopher_quality_card",
+    oracle=f"""
+    WITH sig AS (
+      SELECT doc_id,
+             CAST({_NW} AS BIGINT) AS n_words,
+             CASE WHEN {_NW} > 0 THEN
+               CAST({_NONSPACE} AS DOUBLE) / CAST({_NW} AS DOUBLE)
+             END AS mean_word_len,
+             CASE WHEN {_NW} > 0 THEN
+               CAST({_NSYM} AS DOUBLE) / CAST({_NW} AS DOUBLE)
+             END AS symbol_word_ratio,
+             CASE WHEN {_NLINES} > 0 THEN
+               CAST({_NBULLET} AS DOUBLE) / CAST({_NLINES} AS DOUBLE)
+             END AS bullet_line_frac,
+             CASE WHEN {_NLINES} > 0 THEN
+               CAST({_NELLIPSIS} AS DOUBLE) / CAST({_NLINES} AS DOUBLE)
+             END AS ellipsis_line_frac,
+             CASE WHEN {_NW} > 0 THEN
+               CAST({_NALPHA} AS DOUBLE) / CAST({_NW} AS DOUBLE)
+             END AS alpha_word_frac,
+             CAST({_STOPHITS} AS BIGINT) AS stop_word_hits
+      FROM documents
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+           bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+           stop_word_hits,
+           coalesce(n_words >= 50 AND n_words <= 100000, FALSE)
+             AS rule_word_count,
+           coalesce(mean_word_len >= CAST(3.0 AS DOUBLE)
+                    AND mean_word_len <= CAST(10.0 AS DOUBLE), FALSE)
+             AS rule_mean_word_len,
+           coalesce(symbol_word_ratio <= CAST(0.1 AS DOUBLE), FALSE)
+             AS rule_symbol_ratio,
+           coalesce(bullet_line_frac <= CAST(0.9 AS DOUBLE), FALSE)
+             AS rule_bullet_lines,
+           coalesce(ellipsis_line_frac <= CAST(0.3 AS DOUBLE), FALSE)
+             AS rule_ellipsis_lines,
+           coalesce(alpha_word_frac >= CAST(0.8 AS DOUBLE), FALSE)
+             AS rule_alpha_words,
+           coalesce(stop_word_hits >= 2, FALSE) AS rule_stop_words,
+           coalesce(n_words >= 50 AND n_words <= 100000, FALSE)
+           AND coalesce(mean_word_len >= CAST(3.0 AS DOUBLE)
+                        AND mean_word_len <= CAST(10.0 AS DOUBLE), FALSE)
+           AND coalesce(symbol_word_ratio <= CAST(0.1 AS DOUBLE), FALSE)
+           AND coalesce(bullet_line_frac <= CAST(0.9 AS DOUBLE), FALSE)
+           AND coalesce(ellipsis_line_frac <= CAST(0.3 AS DOUBLE), FALSE)
+           AND coalesce(alpha_word_frac >= CAST(0.8 AS DOUBLE), FALSE)
+           AND coalesce(stop_word_hits >= 2, FALSE) AS passes_gopher
+    FROM sig
+    """,
+)
+def gopher_quality_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full published Gopher §A1.1 length-and-shape rule card —
+    seven signals, seven rule booleans, and the conjunction — against
+    the oracle's regexp replication of the same counting conventions."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.gopher import (
+        gopher_quality,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return gopher_quality(d, "doc_id", "text")

@@ -1,0 +1,120 @@
+"""Gopher length-and-shape quality rules: signal math, rule
+thresholds, fail-closed degenerate docs, plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.operators.gopher import (
+    MIN_WORDS,
+    gopher_quality,
+    gopher_signal_columns,
+)
+
+
+def _card(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "id long, text string")
+    return {
+        r["id"]: r for r in gopher_quality(df, "id", "text", **kw).collect()
+    }
+
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and then runs back to "
+    "the barn where it can have a rest with all of that energy spent "
+    "on a long afternoon of chasing things around the field once more "
+    "until the sun goes down and everyone is happy to be done with it"
+)
+
+
+def test_good_prose_passes(spark):
+    got = _card(spark, [(1, GOOD)])
+    r = got[1]
+    assert r["passes_gopher"], r
+    assert r["n_words"] >= MIN_WORDS
+    assert 3.0 <= r["mean_word_len"] <= 10.0
+    assert r["stop_word_hits"] >= 2
+
+
+def test_signal_math_exact(spark):
+    # 6 words, 25 non-space chars; one '#', one '...' run; 3 lines,
+    # 1 bullet line, 1 ellipsis line; 5 words contain a letter
+    text = "- item one\nwait...\nsee #tag x9 42"
+    got = _card(spark, [(2, text)])[2]
+    assert got["n_words"] == 8
+    assert got["bullet_line_frac"] == pytest.approx(1 / 3)
+    assert got["ellipsis_line_frac"] == pytest.approx(1 / 3)
+    assert got["symbol_word_ratio"] == pytest.approx(2 / 8)
+    # words with a letter: item, one, wait..., see, #tag, x9 -> 6 of 8
+    assert got["alpha_word_frac"] == pytest.approx(6 / 8)
+
+
+def test_each_rule_fires(spark):
+    long_word = "supercalifragilistic " * 60          # mean word len > 10
+    symbols = ("ok # " * 60)                          # symbol ratio > 0.1
+    bullets = "\n".join("- point here now" for _ in range(60))
+    ellipses = "\n".join(
+        f"the sentence number {i} trails off..." for i in range(60)
+    )
+    digits = ("12345 " * 80)                          # alpha frac 0
+    no_stops = ("zebra quokka lemur okapi " * 30)     # < 2 stop words
+    rows = [
+        (1, "too short"),
+        (2, long_word),
+        (3, symbols),
+        (4, bullets),
+        (5, ellipses),
+        (6, digits),
+        (7, no_stops),
+    ]
+    got = _card(spark, rows)
+    assert not got[1]["rule_word_count"]
+    assert not got[2]["rule_mean_word_len"]
+    assert not got[3]["rule_symbol_ratio"]
+    assert not got[4]["rule_bullet_lines"]
+    assert not got[5]["rule_ellipsis_lines"]
+    assert not got[6]["rule_alpha_words"]
+    assert not got[7]["rule_stop_words"]
+    assert not any(got[i]["passes_gopher"] for i in got)
+
+
+def test_empty_doc_fails_closed(spark):
+    got = _card(spark, [(1, ""), (2, "   \n  ")])
+    for r in got.values():
+        assert r["n_words"] == 0
+        assert r["mean_word_len"] is None
+        assert not r["rule_word_count"]
+        assert not r["rule_mean_word_len"]      # NULL ratio -> False
+        assert not r["passes_gopher"]
+
+
+def test_stop_word_hits_distinct_whole_words(spark):
+    # 'the' twice still counts once; 'tothe' must not count 'to'/'the'
+    got = _card(spark, [(1, "the the tothe zebra"), (2, "to be or not")])
+    assert got[1]["stop_word_hits"] == 1
+    assert got[2]["stop_word_hits"] == 2
+
+
+def test_thresholds_are_tunable(spark):
+    got = _card(spark, [(1, "five small words right here")],
+                min_words=3, min_stop_word_hits=0)
+    assert got[1]["passes_gopher"]
+
+
+def test_plan_is_codegen_projection(spark):
+    """One projection riding the scan: no shuffle, no Python, no
+    interpreted array HOFs (regexp_count stays inside codegen)."""
+    df = spark.createDataFrame([(1, GOOD)], "id long, text string")
+    plan = gopher_quality(df, "id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    # the `*(n)` prefix is the executedPlan's codegen marker
+    assert "WholeStageCodegen" in plan or "*(1)" in plan
+
+
+def test_signal_columns_compose(spark):
+    """Signals embed into an existing score-card projection."""
+    df = spark.createDataFrame([(1, GOOD)], "id long, text string")
+    sig = gopher_signal_columns("text")
+    out = df.select("id", sig["n_words"].alias("nw"),
+                    sig["stop_word_hits"].alias("sh")).collect()[0]
+    assert out["nw"] > 0 and out["sh"] >= 2

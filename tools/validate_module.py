@@ -1,0 +1,44 @@
+"""Pre-validate an UNREGISTERED gate module ahead of its activation:
+import it by name (which registers its queries/oracles into the
+in-process registry — the driver never sees them until
+queries/__init__.py imports the module) and delegate to the standard
+correctness checker restricted to its names.
+
+This generalizes tools/validate_curation2.py (the round-7 precedent)
+so each round's pre-written gate wave validates with one command.
+
+Usage: python tools/validate_module.py <module> [sf_dir]
+       python tools/validate_module.py curation5 /root/testdata/sf0.1
+"""
+
+from __future__ import annotations
+
+import importlib
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main() -> int:
+    if len(sys.argv) < 2:
+        raise SystemExit("usage: validate_module.py <module> [sf_dir]")
+    modname = sys.argv[1]
+    importlib.import_module(
+        f"cdk_datalake_ingest_bigmagic_spark.queries.{modname}"
+    )
+    from cdk_datalake_ingest_bigmagic_spark.queries import ORACLES, QUERIES
+
+    import tools.check_correctness as cc
+
+    names = [
+        n for n in QUERIES if QUERIES[n].__module__.endswith(modname)
+    ]
+    print(f"validating {len(names)} {modname} queries: {names}")
+    assert all(n in ORACLES for n in names), "every query needs an oracle"
+    sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    sys.argv = [sys.argv[0], sf] + names
+    return cc.main()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
