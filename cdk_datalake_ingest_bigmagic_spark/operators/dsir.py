@@ -1,0 +1,199 @@
+"""DSIR-style data selection: importance resampling over hashed
+n-gram features (Xie et al. 2023, "Data Selection for Language Models
+via Importance Resampling").
+
+The published recipe: featurize every document as a bag of hashed
+word uni+bigrams over B buckets, fit bag-of-words distributions on a
+small TARGET sample (the domain you want more of) and on the RAW
+corpus, weight each raw document by its log importance ratio
+``sum_b count_b * (log p_target[b] - log p_raw[b])``, and keep the
+top documents. It is the standard "make my crawl look like
+Wikipedia/books" selection pass.
+
+Spark-first decomposition (all stages DataFrame-native):
+
+- **featurize** (:func:`hashed_ngram_counts`): explode uni+bigrams
+  with the codegen explode+substr shape (posexplode over a split
+  array; NO interpreted in-row HOF arrays), bucket via md5 (the
+  engine-portable hash rule: md5 hex is identical everywhere; the
+  low 15 hex digits fit a long exactly), ONE map-side-combined
+  (id, bucket) count shuffle.
+- **fit** (:func:`bucket_distribution`): one global bucket histogram
+  — B rows out, add-one smoothed. Exact long counts; probabilities
+  are single divisions.
+- **weight** (:func:`importance_weights`): per-bucket log-ratios are
+  a B-row broadcast; one equi-join against the per-doc counts and one
+  per-doc sum. The corpus crosses the network as (id, bucket, count)
+  triples only — never text.
+- **select** (:func:`dsir_select`): deterministic top fraction
+  (weight desc, id asc — total order, stable cut line).
+
+Scale: B is constant (10k default), so the fitted model and the
+log-ratio table are KB-sized broadcasts no matter the corpus; the
+only corpus-sized shuffles are the two (id, bucket) aggregations.
+Log-ratio floats are NOT cross-engine gateable (ln is not
+bit-reproducible) — the integer featurize/fit core is the oracle
+gate; the weight math is differential-tested against an independent
+Python implementation in tests/test_dsir.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Default feature-space size (buckets). The paper uses 10k.
+N_BUCKETS = 10_000
+
+
+def _bucket(gram: Column, n_buckets: int) -> Column:
+    """md5-based bucket id in [0, n_buckets): engine-portable (md5
+    hex is identical in Spark/DuckDB/Python) and uniform. 15 hex
+    digits = 60 bits < 2^62, exact in a long."""
+    return (
+        F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+        % n_buckets
+    ).cast("int")
+
+
+def hashed_ngram_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """(id, bucket, cnt): hashed word uni+bigram counts per document.
+
+    Tokens are maximal runs of lowercased ``[a-z0-9']``; bigrams join
+    adjacent tokens with one space. Each gram order is ONE generator
+    whose input array is evaluated once per input row (explode of the
+    token array; explode of a zip_with over its two shifted slices) —
+    never an element_at over the array per exploded row, which a
+    collapsed projection would re-evaluate per element (the measured
+    interpreted-HOF trap from the repetition module).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9']+"),
+        lambda x: x != "",
+    )
+    uni = df.select(F.col(id_col), F.explode(toks).alias("gram"))
+    pair_len = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, pair_len),
+        F.slice(toks, 2, pair_len),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bi = df.select(F.col(id_col), F.explode(bigrams).alias("gram"))
+    grams = uni.unionByName(bi)
+    return (
+        grams.select(F.col(id_col), _bucket(F.col("gram"), n_buckets).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def bucket_distribution(
+    counts: DataFrame, n_buckets: int = N_BUCKETS, smoothing: int = 1
+) -> DataFrame:
+    """(bucket, cnt, prob): the corpus-level bucket histogram with
+    add-``smoothing`` counts so no bucket has probability zero (an
+    unseen target bucket would otherwise send a weight to -inf).
+    ``cnt`` is the exact unsmoothed long; ``prob`` is one division of
+    the smoothed count by the smoothed total."""
+    if smoothing < 1:
+        raise ValueError("smoothing must be >= 1 (zero buckets break logs)")
+    spark = counts.sparkSession
+    per = counts.groupBy("bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    bins = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    full = bins.join(per, "bucket", "left").select(
+        "bucket", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt")
+    )
+    total = full.agg(
+        (F.sum("cnt") + F.lit(smoothing) * F.lit(n_buckets)).cast("long")
+    ).first()[0]
+    return full.select(
+        "bucket",
+        "cnt",
+        (
+            (F.col("cnt") + F.lit(smoothing)).cast("double")
+            / F.lit(float(total))
+        ).alias("prob"),
+    )
+
+
+def importance_weights(
+    doc_counts: DataFrame,
+    target_dist: DataFrame,
+    raw_dist: DataFrame,
+) -> DataFrame:
+    """(id, weight): per-document log importance ratio
+    ``sum_b cnt_b * (ln p_target[b] - ln p_raw[b])``. The two B-row
+    distributions join into one broadcast log-ratio table; documents
+    never leave their partitions except as (id, partial-sum) rows."""
+    ratio = (
+        target_dist.select("bucket", F.col("prob").alias("__pt"))
+        .join(
+            raw_dist.select("bucket", F.col("prob").alias("__pr")),
+            "bucket",
+        )
+        .select(
+            "bucket",
+            (F.log(F.col("__pt")) - F.log(F.col("__pr"))).alias("__lr"),
+        )
+    )
+    id_col = doc_counts.columns[0]
+    return (
+        doc_counts.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("cnt").cast("double") * F.col("__lr")).alias("weight")
+        )
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    keep_frac: float,
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """End-to-end DSIR pass: featurize both corpora, fit both bucket
+    distributions, weight every raw document, and keep the top
+    ``keep_frac`` by (weight desc, id asc) — a total order, so the cut
+    line is deterministic. Returns (id, weight, selected); filter on
+    ``selected`` to materialize the subset (keeping the full card
+    makes the selection auditable, the scorecard convention).
+
+    Documents with NO in-vocabulary grams (empty text) get weight 0
+    (an empty sum), ranked only by the id tie-break — they carry no
+    evidence either way.
+    """
+    if not (0.0 < keep_frac <= 1.0):
+        raise ValueError("keep_frac must be in (0, 1]")
+    raw_counts = hashed_ngram_counts(raw, id_col, text_col, n_buckets)
+    tgt_counts = hashed_ngram_counts(target, id_col, text_col, n_buckets)
+    raw_dist = bucket_distribution(raw_counts, n_buckets)
+    tgt_dist = bucket_distribution(tgt_counts, n_buckets)
+    weights = importance_weights(raw_counts, tgt_dist, raw_dist)
+    base = raw.select(id_col).join(weights, id_col, "left").select(
+        id_col, F.coalesce("weight", F.lit(0.0)).alias("weight")
+    )
+    n = base.count()
+    k = max(1, int(math.floor(n * keep_frac)))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("weight").desc(), F.col(id_col).asc())
+    return (
+        base.withColumn("__rank", F.row_number().over(w))
+        .select(
+            id_col,
+            "weight",
+            (F.col("__rank") <= k).alias("selected"),
+        )
+    )

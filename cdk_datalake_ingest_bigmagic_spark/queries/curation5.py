@@ -1,5 +1,8 @@
 """Round-10 gate queries, pre-written and pre-validated in round 9:
-the Gopher length-and-shape quality card (operators/gopher.py).
+the Gopher length-and-shape quality card (operators/gopher.py) and
+the DSIR featurize/fit integer cores (operators/dsir.py — the log
+importance weights themselves are floats and stay differential-tested
+in tests/test_dsir.py, the determinism rules' standing policy).
 
 NOT imported by queries/__init__.py in round 9 — the 50-slot gate
 window is exactly full and a registered-but-never-gated query would
@@ -101,3 +104,93 @@ def gopher_quality_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return gopher_quality(d, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# DSIR featurize + fit integer cores (operators/dsir.py)
+# ---------------------------------------------------------------------------
+#
+# Hashed uni+bigram bucket counts and the smoothed bucket histogram.
+# B = 64 so the synthetic vocabulary actually collides into shared
+# buckets (a collision-free gate would never catch a modulus bug).
+
+_DSIR_B = 64
+
+_DSIR_GRAMS_SQL = """
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(t) AS gram FROM toks
+      UNION ALL
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t), 1)),
+                                   i -> t[i] || ' ' || t[i + 1])) AS gram
+      FROM toks
+    ),
+    bucketed AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) % 64
+                  AS INTEGER) AS bucket
+      FROM grams
+    )
+"""
+
+
+@register(
+    "dsir_bucket_counts",
+    oracle=f"""
+    WITH {_DSIR_GRAMS_SQL}
+    SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+    FROM bucketed GROUP BY 1, 2
+    """,
+)
+def dsir_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hashed_ngram_counts' exact output — md5-bucketed word
+    uni+bigram counts per document — against the oracle's
+    list-comprehension replication of the same tokenizer, gram
+    builder, and 15-hex-digit bucket hash."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.dsir import (
+        hashed_ngram_counts,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return hashed_ngram_counts(d, "doc_id", "text", n_buckets=_DSIR_B)
+
+
+@register(
+    "dsir_bucket_distribution",
+    oracle=f"""
+    WITH {_DSIR_GRAMS_SQL},
+    per AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM bucketed GROUP BY 1
+    ),
+    bins AS (SELECT CAST(range AS INTEGER) AS bucket FROM range(64)),
+    filled AS (
+      SELECT b.bucket, coalesce(cnt, CAST(0 AS BIGINT)) AS cnt
+      FROM bins b LEFT JOIN per USING (bucket)
+    ),
+    tot AS (
+      SELECT CAST(sum(cnt) + 64 AS BIGINT) AS total FROM filled
+    )
+    SELECT bucket, CAST(cnt AS BIGINT) AS cnt,
+           CAST(cnt + 1 AS DOUBLE) / CAST(total AS DOUBLE) AS prob
+    FROM filled, tot
+    """,
+)
+def dsir_bucket_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bucket_distribution's fit — every bucket present, exact
+    unsmoothed longs, add-one-smoothed probability as ONE division of
+    exact integers (the smoothed total is a long, not a float sum)."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.dsir import (
+        bucket_distribution,
+        hashed_ngram_counts,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    counts = hashed_ngram_counts(d, "doc_id", "text", n_buckets=_DSIR_B)
+    return bucket_distribution(counts, n_buckets=_DSIR_B)

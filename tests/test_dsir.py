@@ -1,0 +1,140 @@
+"""DSIR importance resampling: featurize/fit integer cores
+(differential vs independent Python), weight math, selection
+determinism, plan shape."""
+
+import hashlib
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.operators.dsir import (
+    bucket_distribution,
+    dsir_select,
+    hashed_ngram_counts,
+    importance_weights,
+)
+
+B = 64  # small bucket space so collisions actually happen in tests
+
+
+def _py_grams(text):
+    toks = [t for t in re.split(r"[^a-z0-9']+", text.lower()) if t]
+    return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+
+def _py_bucket(gram, n_buckets=B):
+    return int(hashlib.md5(gram.encode()).hexdigest()[:15], 16) % n_buckets
+
+
+DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "stock market prices rally on earnings"),
+    (3, "the cat chased the dog around the yard"),
+    (4, ""),
+    (5, "cat cat cat"),
+]
+
+
+def test_featurize_matches_python(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["bucket"]): r["cnt"]
+        for r in hashed_ngram_counts(df, "doc_id", "text", B).collect()
+    }
+    want = {}
+    for i, text in DOCS:
+        for g in _py_grams(text):
+            k = (i, _py_bucket(g))
+            want[k] = want.get(k, 0) + 1
+    assert got == want
+
+
+def test_distribution_smoothing_and_total(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    counts = hashed_ngram_counts(df, "doc_id", "text", B)
+    dist = bucket_distribution(counts, B, smoothing=1).collect()
+    assert len(dist) == B                      # every bucket present
+    assert all(r["prob"] > 0 for r in dist)    # smoothing: no zeros
+    assert sum(r["prob"] for r in dist) == pytest.approx(1.0)
+    n_grams = sum(len(_py_grams(t)) for _, t in DOCS)
+    assert sum(r["cnt"] for r in dist) == n_grams  # cnt stays exact
+
+
+def test_weights_match_python(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(101, "the cat and the dog"), (102, "a cat sat by the dog")],
+        "doc_id long, text string",
+    )
+    raw_counts = hashed_ngram_counts(df, "doc_id", "text", B)
+    tgt_dist = bucket_distribution(
+        hashed_ngram_counts(target, "doc_id", "text", B), B
+    )
+    raw_dist = bucket_distribution(raw_counts, B)
+    got = {
+        r["doc_id"]: r["weight"]
+        for r in importance_weights(raw_counts, tgt_dist, raw_dist).collect()
+    }
+
+    def py_dist(rows):
+        c = [0] * B
+        for _, t in rows:
+            for g in _py_grams(t):
+                c[_py_bucket(g)] += 1
+        total = sum(c) + B
+        return [(x + 1) / total for x in c]
+
+    pt = py_dist([(101, "the cat and the dog"), (102, "a cat sat by the dog")])
+    pr = py_dist(DOCS)
+    for i, text in DOCS:
+        if not text:
+            assert i not in got        # no grams -> no weight row
+            continue
+        want = sum(
+            (math.log(pt[b]) - math.log(pr[b]))
+            for g in _py_grams(text)
+            for b in [_py_bucket(g)]
+        )
+        assert got[i] == pytest.approx(want, rel=1e-9), i
+
+
+def test_select_prefers_target_like_docs(spark):
+    raw = spark.createDataFrame(DOCS, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(101, "the cat and the dog played"), (102, "a cat sat near the dog")],
+        "doc_id long, text string",
+    )
+    out = dsir_select(raw, target, "doc_id", "text", keep_frac=0.4, n_buckets=B)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 5                       # full auditable card
+    assert sum(1 for r in rows.values() if r["selected"]) == 2
+    # cat documents outrank the finance document
+    kept = {i for i, r in rows.items() if r["selected"]}
+    assert 2 not in kept
+    assert rows[4]["weight"] == 0.0             # empty text: no evidence
+
+
+def test_select_is_deterministic(spark):
+    raw = spark.createDataFrame(DOCS, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(101, "the cat and the dog")], "doc_id long, text string"
+    )
+    a = dsir_select(raw, target, "doc_id", "text", 0.6, B).collect()
+    b = dsir_select(raw, target, "doc_id", "text", 0.6, B).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    with pytest.raises(ValueError):
+        dsir_select(raw, target, "doc_id", "text", 0.0, B)
+
+
+def test_weight_join_is_broadcast_and_jvm_side(spark):
+    raw = spark.createDataFrame(DOCS, "doc_id long, text string")
+    counts = hashed_ngram_counts(raw, "doc_id", "text", B)
+    dist = bucket_distribution(counts, B)
+    plan = (
+        importance_weights(counts, dist, dist)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan          # B-row ratio table
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
