@@ -128,6 +128,12 @@ HEADLINE = [
     "fixedwidth_typed_parse",
     "sentence_stats",
     "conversation_report",
+    # ROUND 9: the curation4 gates (taboo blocklist, row quarantine,
+    # classifier sweep + calibration integer cores)
+    "blocklist_taboo_counts",
+    "quarantine_reason_rows",
+    "classifier_sweep_counts",
+    "classifier_calibration_bins",
 ]
 
 

@@ -32,20 +32,32 @@ def curriculum_order(
 ) -> DataFrame:
     """Add ``quality_bucket`` and a within-shard ``position`` ordered
     by bucket (best first by default) then content hash. Bucketing
-    uses ``ntile`` over the GLOBAL quality order so bucket boundaries
-    are corpus-wide quantiles, not per-shard artifacts.
+    uses NTILE semantics over the GLOBAL quality order so bucket
+    boundaries are corpus-wide quantiles, not per-shard artifacts.
 
-    Two windows: the global ntile (one total-order sort — the same
-    cost class as any global quantile; use coarse ``n_buckets``) and
-    the per-shard position. A quality column that is already a bucket
-    (integers) can skip the first by passing ``n_buckets=0``.
+    The global ntile goes through operators/ranking.py::global_ntile
+    (range-partitioned sort + offsets, bit-identical to the window
+    NTILE) instead of ``Window.orderBy`` — the window form plans
+    Exchange SinglePartition, one task owning the whole corpus sort
+    (correct at 5k docs, dead at 100 TB). The per-shard position stays
+    a plain partitioned window. A quality column that is already a
+    bucket (integers) can skip the ntile by passing ``n_buckets=0``.
     """
     if n_buckets > 0:
-        gw = Window.orderBy(F.col(quality_col).asc(), F.col(id_col).asc())
-        bucket = F.ntile(n_buckets).over(gw)
+        from cdk_datalake_ingest_bigmagic_spark.operators.ranking import (
+            global_ntile,
+        )
+
+        out = global_ntile(
+            df,
+            [F.col(quality_col).asc(), F.col(id_col).asc()],
+            n_buckets,
+            bucket_col="quality_bucket",
+        )
     else:
-        bucket = F.col(quality_col).cast("int")
-    out = df.withColumn("quality_bucket", bucket)
+        out = df.withColumn(
+            "quality_bucket", F.col(quality_col).cast("int")
+        )
     order_bucket = (
         F.col("quality_bucket").desc()
         if best_first

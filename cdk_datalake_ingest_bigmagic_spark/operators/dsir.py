@@ -12,9 +12,9 @@ Wikipedia/books" selection pass.
 
 Spark-first decomposition (all stages DataFrame-native):
 
-- **featurize** (:func:`hashed_ngram_counts`): explode uni+bigrams
-  with the codegen explode+substr shape (posexplode over a split
-  array; NO interpreted in-row HOF arrays), bucket via md5 (the
+- **featurize** (:func:`hashed_ngram_counts`): explode uni+bigrams —
+  each gram order is one generator evaluated once per input row (no
+  per-element array re-evaluation) — and bucket via md5 (the
   engine-portable hash rule: md5 hex is identical everywhere; the
   low 15 hex digits fit a long exactly), ONE map-side-combined
   (id, bucket) count shuffle.
@@ -38,8 +38,6 @@ Python implementation in tests/test_dsir.py.
 """
 
 from __future__ import annotations
-
-import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -162,6 +160,7 @@ def dsir_select(
     text_col: str,
     keep_frac: float,
     n_buckets: int = N_BUCKETS,
+    cache: bool = True,
 ) -> DataFrame:
     """End-to-end DSIR pass: featurize both corpora, fit both bucket
     distributions, weight every raw document, and keep the top
@@ -173,10 +172,24 @@ def dsir_select(
     Documents with NO in-vocabulary grams (empty text) get weight 0
     (an empty sum), ranked only by the id tie-break — they carry no
     evidence either way.
+
+    ``cache`` (default True) persists the two intermediates smaller
+    than the corpus — the sparse (id, bucket, cnt) featurization and
+    the (id, weight) frame — because the pass is a multi-action DAG
+    (distribution totals, the selection count) that would otherwise
+    re-featurize the raw corpus per action (measured ~2x wall at
+    sf0.1). MEMORY_AND_DISK, so eviction degrades to recompute, never
+    OOM; pass ``cache=False`` to keep the plan fully lazy.
     """
+    from cdk_datalake_ingest_bigmagic_spark.operators.ranking import (
+        top_fraction,
+    )
+
     if not (0.0 < keep_frac <= 1.0):
         raise ValueError("keep_frac must be in (0, 1]")
     raw_counts = hashed_ngram_counts(raw, id_col, text_col, n_buckets)
+    if cache:
+        raw_counts = raw_counts.persist()
     tgt_counts = hashed_ngram_counts(target, id_col, text_col, n_buckets)
     raw_dist = bucket_distribution(raw_counts, n_buckets)
     tgt_dist = bucket_distribution(tgt_counts, n_buckets)
@@ -184,16 +197,15 @@ def dsir_select(
     base = raw.select(id_col).join(weights, id_col, "left").select(
         id_col, F.coalesce("weight", F.lit(0.0)).alias("weight")
     )
-    n = base.count()
-    k = max(1, int(math.floor(n * keep_frac)))
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col("weight").desc(), F.col(id_col).asc())
-    return (
-        base.withColumn("__rank", F.row_number().over(w))
-        .select(
-            id_col,
-            "weight",
-            (F.col("__rank") <= k).alias("selected"),
-        )
+    if cache:
+        base = base.persist()
+    # distributed top fraction (operators/ranking.py): the global cut
+    # is a range-partitioned sort + offsets, never Exchange
+    # SinglePartition — a 25% cut of a 100-TB corpus cannot pass
+    # through one task
+    return top_fraction(
+        base,
+        [F.col("weight").desc(), F.col(id_col).asc()],
+        keep_frac,
+        flag_col="selected",
     )

@@ -1,0 +1,159 @@
+"""Distributed global order statistics — rank / ntile / top-k over a
+TOTAL order without the single-partition sort.
+
+``Window.orderBy(...)`` with no ``partitionBy`` moves the ENTIRE
+dataset into one partition (Spark plans it as ``Exchange
+SinglePartition``) — the classic scale trap: correct at 5k rows,
+dead at 100 TB because one task owns the whole sort. The helpers here
+compute the SAME numbers from a range-partitioned sort (the terasort
+shape — every executor sorts a slice) plus per-partition offsets:
+
+1. ``repartitionByRange`` + ``sortWithinPartitions`` on the order
+   keys — ONE proportionate shuffle, the same exchange a global
+   ``orderBy`` plans;
+2. ``monotonically_increasing_id`` over the sorted partitions encodes
+   (partition, row-in-partition) — a narrow projection;
+3. per-partition row counts (a ≤ #partitions-row aggregate) turn into
+   cumulative offsets via a window over that TINY frame, broadcast
+   back;
+4. ``global_rank = offset[partition] + row-in-partition + 1``.
+
+Total cost: one range shuffle + one bounded aggregate + one broadcast
+join — no stage ever sees more than its slice. Results are exactly
+``row_number() over (order by ...)`` PROVIDED the order is total
+(include a unique tiebreak column — same requirement the
+single-partition version has for determinism; the helpers do not
+check uniqueness, they document it).
+
+``global_ntile`` derives SQL NTILE's exact bucket boundaries (the
+first ``count % n`` buckets get the extra row) from the rank by
+integer arithmetic, so callers gated against an NTILE oracle stay
+bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: monotonically_increasing_id puts the partition id in the upper
+#: bits: id = partition * 2^33 + row-in-partition.
+_MID_PARTITION_STRIDE = 1 << 33
+
+
+def global_rank(
+    df: DataFrame,
+    order: list[Column],
+    rank_col: str = "global_rank",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """All input columns plus ``rank_col`` = the 1-based position in
+    the TOTAL order given by ``order`` (a list of Column sort
+    expressions, e.g. ``[F.col("w").desc(), F.col("id").asc()]`` —
+    include a unique tiebreaker or ranks are nondeterministic, same
+    as any row_number).
+
+    Equivalent to ``row_number() over (order by ...)`` but planned as
+    a range-partitioned sort instead of ``Exchange SinglePartition``.
+    """
+    if not order:
+        raise ValueError("order must name at least one sort expression")
+    spark = df.sparkSession
+    parts = n_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    ranged = df.repartitionByRange(parts, *order).sortWithinPartitions(
+        *order
+    )
+    tagged = ranged.select(
+        "*",
+        F.spark_partition_id().alias("__pid"),
+        F.monotonically_increasing_id().alias("__mid"),
+    )
+    counts = tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
+    from pyspark.sql import Window
+
+    # cumulative offsets over a <= n_partitions-row frame: the one
+    # place a single-partition window is CORRECT (bounded input)
+    wo = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__c").over(wo), F.lit(0)).alias("__off"),
+    )
+    seq = F.col("__mid") - F.col("__pid").cast("long") * F.lit(
+        _MID_PARTITION_STRIDE
+    )
+    return (
+        tagged.join(F.broadcast(offsets), "__pid")
+        .withColumn(rank_col, (F.col("__off") + seq + 1).cast("long"))
+        .drop("__pid", "__mid", "__off")
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    order: list[Column],
+    n_buckets: int,
+    bucket_col: str = "bucket",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """All input columns plus ``bucket_col`` = SQL
+    ``NTILE(n_buckets) OVER (ORDER BY ...)``, bit-identical to the
+    window form (the first ``count % n`` buckets take the extra row),
+    computed from :func:`global_rank` — so corpus-wide quantile
+    bucketing scales past one partition.
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    ranked = global_rank(df, order, "__rank", n_partitions)
+    # the total row count joins in as a broadcast scalar (a
+    # partitionBy() window would be Exchange SinglePartition again)
+    n = ranked.sparkSession.createDataFrame(
+        [(ranked.count(),)], "__total long"
+    )
+    base = F.floor(F.col("__total") / n_buckets).cast("long")
+    rem = (F.col("__total") % n_buckets).cast("long")
+    boundary = rem * (base + 1)        # rows covered by the big buckets
+    r = F.col("__rank")
+    # NTILE: the first `rem` buckets hold base+1 rows, the rest base.
+    # base = 0 (more buckets than rows) makes boundary = count, so the
+    # big-bucket arm covers every row and the div-by-base arm is
+    # unreachable (guarded anyway).
+    bucket = F.when(
+        r <= boundary, F.floor((r - 1) / (base + 1)).cast("long")
+    ).otherwise(
+        rem
+        + F.when(
+            base > 0, F.floor((r - boundary - 1) / base).cast("long")
+        ).otherwise(F.lit(0))
+    ) + 1
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn(bucket_col, bucket.cast("int"))
+        .drop("__rank", "__total")
+    )
+
+
+def top_fraction(
+    df: DataFrame,
+    order: list[Column],
+    keep_frac: float,
+    flag_col: str = "selected",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """All input columns plus ``flag_col`` marking the first
+    ``floor(count * keep_frac)`` rows (at least 1) of the total
+    order — the deterministic global top-k as a flag, so the full
+    frame stays auditable and the caller filters when it wants the
+    subset."""
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    # count the INPUT, not the ranked frame: same number, but the
+    # count action skips the range shuffle (and hits the cache when
+    # the caller persisted df)
+    n = df.count()
+    k = max(1, int(n * keep_frac))
+    ranked = global_rank(df, order, "__rank", n_partitions)
+    return ranked.withColumn(flag_col, F.col("__rank") <= k).drop("__rank")

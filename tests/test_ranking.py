@@ -1,0 +1,113 @@
+"""Distributed global rank/ntile/top-k: bit-equality with the
+single-partition window forms, plan shape (no Exchange
+SinglePartition over the data), edge cases."""
+
+import random
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.operators.ranking import (
+    global_ntile,
+    global_rank,
+    top_fraction,
+)
+
+
+def _frame(spark, n=500, parts=7):
+    rng = random.Random(11)
+    rows = [(i, rng.random(), rng.choice("abcd")) for i in range(n)]
+    rng.shuffle(rows)
+    return spark.createDataFrame(
+        rows, "id long, score double, grp string"
+    ).repartition(parts)
+
+
+def _order():
+    return [F.col("score").desc(), F.col("id").asc()]
+
+
+def test_rank_equals_window_row_number(spark):
+    df = _frame(spark)
+    got = {
+        r["id"]: r["global_rank"]
+        for r in global_rank(df, _order(), n_partitions=5).collect()
+    }
+    w = Window.orderBy(*_order())
+    want = {
+        r["id"]: r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+def test_rank_with_heavy_ties_is_deterministic(spark):
+    # constant score: the unique-id tiebreak alone decides the order
+    df = spark.createDataFrame(
+        [(i, 1.0) for i in range(100)], "id long, score double"
+    ).repartition(9)
+    got = global_rank(
+        df, [F.col("score").desc(), F.col("id").asc()], n_partitions=4
+    )
+    assert {(r["id"], r["global_rank"]) for r in got.collect()} == {
+        (i, i + 1) for i in range(100)
+    }
+
+
+@pytest.mark.parametrize("n,buckets", [(10, 4), (100, 7), (3, 5), (500, 5)])
+def test_ntile_matches_sql_ntile(spark, n, buckets):
+    df = spark.createDataFrame(
+        [(i, float((i * 37) % 101)) for i in range(n)],
+        "id long, score double",
+    ).repartition(6)
+    order = [F.col("score").asc(), F.col("id").asc()]
+    got = {
+        r["id"]: r["bucket"]
+        for r in global_ntile(df, order, buckets, n_partitions=4).collect()
+    }
+    w = Window.orderBy(*order)
+    want = {
+        r["id"]: r["nt"]
+        for r in df.withColumn("nt", F.ntile(buckets).over(w)).collect()
+    }
+    assert got == want
+
+
+def test_top_fraction_flags_exact_prefix(spark):
+    df = _frame(spark, n=200)
+    out = top_fraction(df, _order(), 0.25, n_partitions=4)
+    kept = {r["id"] for r in out.where("selected").collect()}
+    assert len(kept) == 50
+    w = Window.orderBy(*_order())
+    want = {
+        r["id"]
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .where("rn <= 50")
+        .collect()
+    }
+    assert kept == want
+    with pytest.raises(ValueError):
+        top_fraction(df, _order(), 0.0)
+
+
+def test_no_single_partition_exchange_over_data(spark):
+    """The whole point: the data path must be range-partitioned, with
+    the only SinglePartition exchange over the bounded per-partition
+    count frame (<= n_partitions rows)."""
+    df = _frame(spark)
+    plan = (
+        global_rank(df, _order(), n_partitions=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "rangepartitioning" in plan.lower()
+    # the offsets window runs over the counts aggregate, never the data:
+    # every SinglePartition exchange must sit above a HashAggregate
+    for chunk in plan.split("Exchange SinglePartition")[1:]:
+        assert "HashAggregate" in chunk[:400], plan
+
+
+def test_rank_col_name_and_passthrough(spark):
+    df = _frame(spark, n=20)
+    out = global_rank(df, _order(), rank_col="pos", n_partitions=3)
+    assert set(out.columns) == {"id", "score", "grp", "pos"}
