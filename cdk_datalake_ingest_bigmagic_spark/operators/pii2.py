@@ -1,0 +1,147 @@
+"""Financial/identity PII with CHECKSUM validation — the tier above
+format-regex detection (operators/text.py: email/phone/IPv4).
+
+A 16-digit run that fails the Luhn check is an order id, not a card;
+scrubbing on format alone destroys training signal, and counting on
+format alone overstates leak rates. This module validates:
+
+- **credit cards**: 13–19 digit runs (spaces/dashes allowed) that
+  pass the Luhn mod-10 checksum;
+- **US SSNs**: ddd-dd-dddd format with the STRUCTURAL validity rules
+  (area not 000/666/9xx, group not 00, serial not 0000) — expressed
+  as substring checks, not lookaheads, because RE2 (the oracle
+  engine's regex) has no lookahead and the detection patterns must
+  mean the same thing in every engine.
+
+Scale shape: candidate extraction is a codegen ``regexp_extract_all``
+riding the scan; the Luhn fold and the structural checks run as
+in-row lambdas over the CANDIDATE array only — a handful of ≤ 19-char
+strings per document, so the interpreted-HOF cost is bounded by the
+(rare) match count, not by document length. Zero shuffles, zero
+Python. Counts are exact longs — oracle-gateable
+(queries/curation5.py::pii_financial_counts); DuckDB's indexed
+lambdas are 1-based where Spark's are 0-based, and the oracle
+compensates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: 13-19 digits, single space/dash separators allowed between digits.
+#: No lookaround (RE2-compatible); leftmost non-overlapping extraction
+#: is identical in Java regex and RE2.
+CC_CANDIDATE_PATTERN = r"[0-9](?:[ -]?[0-9]){12,18}"
+
+#: ddd-dd-dddd. Validity rules applied structurally on the extract.
+SSN_FORMAT_PATTERN = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+
+SCRUB_CC = "<CREDIT_CARD>"
+SCRUB_SSN = "<SSN>"
+
+
+def _digits(cand: Column) -> Column:
+    """Digit characters of a candidate, as an array, reversed (Luhn
+    walks from the check digit leftward)."""
+    return F.reverse(
+        F.split(F.regexp_replace(cand, r"[^0-9]", ""), "(?!$)")
+    )
+
+
+def luhn_valid(cand: Column) -> Column:
+    """Luhn mod-10 over a candidate string (separators ignored):
+    double every second digit from the right, subtract 9 when the
+    double exceeds 9, and the total must divide by 10."""
+    terms = F.transform(
+        _digits(cand),
+        lambda d, i: F.when(
+            i % 2 == 1,
+            F.when(d.cast("int") * 2 > 9, d.cast("int") * 2 - 9).otherwise(
+                d.cast("int") * 2
+            ),
+        ).otherwise(d.cast("int")),
+    )
+    total = F.aggregate(terms, F.lit(0), lambda a, x: a + x)
+    return (F.size(terms) >= 13) & (total % 10 == 0)
+
+
+def ssn_structurally_valid(cand: Column) -> Column:
+    """SSA's published never-issued shapes, as substring checks:
+    area 000/666/9xx, group 00, serial 0000 are invalid."""
+    area = F.substring(cand, 1, 3)
+    group = F.substring(cand, 5, 2)
+    serial = F.substring(cand, 8, 4)
+    return (
+        (area != "000")
+        & (area != "666")
+        & (F.substring(cand, 1, 1) != "9")
+        & (group != "00")
+        & (serial != "0000")
+    )
+
+
+def pii_financial_columns(text_col) -> dict[str, Column]:
+    """The signals as named Columns (composable into the one-pass
+    score card): candidate and checksum-valid credit-card counts,
+    format and structurally-valid SSN counts."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    cc = F.regexp_extract_all(t, F.lit(CC_CANDIDATE_PATTERN), 0)
+    ssn = F.regexp_extract_all(t, F.lit(SSN_FORMAT_PATTERN), 0)
+    n_cc_valid = F.aggregate(
+        F.transform(cc, lambda c: luhn_valid(c).cast("int")),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    n_ssn_valid = F.aggregate(
+        F.transform(ssn, lambda c: ssn_structurally_valid(c).cast("int")),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    return {
+        "n_cc_candidates": F.size(cc).cast("long"),
+        "n_cc_valid": n_cc_valid.cast("long"),
+        "n_ssn_format": F.size(ssn).cast("long"),
+        "n_ssn_valid": n_ssn_valid.cast("long"),
+    }
+
+
+def pii_financial_features(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, n_cc_candidates, n_cc_valid, n_ssn_format, n_ssn_valid):
+    the per-document report, one codegen-projection pass."""
+    cols = pii_financial_columns(text_col)
+    return df.select(
+        F.col(id_col), *[c.alias(n) for n, c in cols.items()]
+    )
+
+
+def scrub_financial(text_col) -> Column:
+    """Replace CHECKSUM-VALID credit cards and STRUCTURALLY-VALID
+    SSNs with placeholders, leaving invalid lookalikes (order ids,
+    fake example numbers) untouched. Valid candidates fold over the
+    text with exact-string replaces — bounded by the match count.
+    Candidates are deduplicated first so a repeated card costs one
+    replace (``replace`` already rewrites every occurrence)."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    valid_cc = F.array_distinct(
+        F.filter(
+            F.regexp_extract_all(t, F.lit(CC_CANDIDATE_PATTERN), 0),
+            luhn_valid,
+        )
+    )
+    valid_ssn = F.array_distinct(
+        F.filter(
+            F.regexp_extract_all(t, F.lit(SSN_FORMAT_PATTERN), 0),
+            ssn_structurally_valid,
+        )
+    )
+    scrubbed = F.aggregate(
+        valid_cc, t, lambda acc, c: F.replace(acc, c, F.lit(SCRUB_CC))
+    )
+    return F.aggregate(
+        valid_ssn,
+        scrubbed,
+        lambda acc, c: F.replace(acc, c, F.lit(SCRUB_SSN)),
+    )

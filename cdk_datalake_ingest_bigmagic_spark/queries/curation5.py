@@ -194,3 +194,94 @@ def dsir_bucket_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     counts = hashed_ngram_counts(d, "doc_id", "text", n_buckets=_DSIR_B)
     return bucket_distribution(counts, n_buckets=_DSIR_B)
+
+
+# ---------------------------------------------------------------------------
+# Checksum-validated financial PII (operators/pii2.py)
+# ---------------------------------------------------------------------------
+#
+# The corpus has no card numbers, so the prep appends deterministic
+# fixtures by doc_id arm: a Luhn-valid card, a Luhn-failing lookalike,
+# a valid SSN, a never-issued SSN, nothing. DuckDB replicates the
+# Luhn fold with 1-based lambda indexes (Spark's transform is
+# 0-based); every list_sum is CAST to BIGINT (HUGEINT rule).
+
+_PII_TAIL_SQL = """
+      CASE doc_id % 5
+        WHEN 0 THEN ' pay 4539 5787 6362 1486 now'
+        WHEN 1 THEN ' order 1234 5678 9012 3456'
+        WHEN 2 THEN ' ssn 123-45-6789'
+        WHEN 3 THEN ' fake 000-12-3456'
+        ELSE ''
+      END
+"""
+
+_LUHN_SQL = (
+    "(len(string_split(regexp_replace(c, '[^0-9]', '', 'g'), '')) >= 13"
+    " AND list_sum(list_transform("
+    "   string_split(regexp_replace(c, '[^0-9]', '', 'g'), ''),"
+    "   (d, i) -> CASE WHEN"
+    "     (len(regexp_replace(c, '[^0-9]', '', 'g')) - i) % 2 = 1"
+    "     THEN CASE WHEN CAST(d AS INTEGER) * 2 > 9"
+    "          THEN CAST(d AS INTEGER) * 2 - 9"
+    "          ELSE CAST(d AS INTEGER) * 2 END"
+    "     ELSE CAST(d AS INTEGER) END)) % 10 = 0)"
+)
+
+_SSN_OK_SQL = (
+    "(substr(c, 1, 3) <> '000' AND substr(c, 1, 3) <> '666'"
+    " AND substr(c, 1, 1) <> '9' AND substr(c, 5, 2) <> '00'"
+    " AND substr(c, 8, 4) <> '0000')"
+)
+
+
+@register(
+    "pii_financial_counts",
+    oracle=rf"""
+    WITH prepped AS (
+      SELECT doc_id, text || {_PII_TAIL_SQL} AS t FROM documents
+    ),
+    cands AS (
+      SELECT doc_id,
+             regexp_extract_all(t, '[0-9](?:[ -]?[0-9]){{12,18}}') AS cc,
+             regexp_extract_all(t, '\b[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}\b')
+               AS ssn
+      FROM prepped
+    )
+    SELECT doc_id,
+           CAST(len(cc) AS BIGINT) AS n_cc_candidates,
+           CAST(coalesce(list_sum(list_transform(
+             cc, c -> CAST({_LUHN_SQL} AS INT))), 0) AS BIGINT)
+             AS n_cc_valid,
+           CAST(len(ssn) AS BIGINT) AS n_ssn_format,
+           CAST(coalesce(list_sum(list_transform(
+             ssn, c -> CAST({_SSN_OK_SQL} AS INT))), 0) AS BIGINT)
+             AS n_ssn_valid
+    FROM cands
+    """,
+)
+def pii_financial_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pii_financial_features' exact counts — candidate vs
+    Luhn-valid credit cards, format vs structurally-valid SSNs — with
+    the oracle folding the same checksum over 1-based lambda indexes.
+
+    The Luhn parity is spelled relative to the digit-string LENGTH in
+    the oracle (position from the right), which is index-base-free and
+    therefore safe against the Spark-0-based / DuckDB-1-based skew."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.pii2 import (
+        pii_financial_features,
+    )
+    from pyspark.sql import functions as F
+
+    d = load(spark, sf_dir, "documents")
+    tail = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" pay 4539 5787 6362 1486 now"))
+        .when(F.col("doc_id") % 5 == 1, F.lit(" order 1234 5678 9012 3456"))
+        .when(F.col("doc_id") % 5 == 2, F.lit(" ssn 123-45-6789"))
+        .when(F.col("doc_id") % 5 == 3, F.lit(" fake 000-12-3456"))
+        .otherwise(F.lit(""))
+    )
+    prepped = d.select(
+        "doc_id", F.concat(F.col("text"), tail).alias("text")
+    )
+    return pii_financial_features(prepped, "doc_id", "text")

@@ -1,0 +1,92 @@
+"""Checksum-validated financial PII: Luhn, SSN structural rules,
+scrub-valid-only, plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.operators.pii2 import (
+    SCRUB_CC,
+    SCRUB_SSN,
+    luhn_valid,
+    pii_financial_features,
+    scrub_financial,
+    ssn_structurally_valid,
+)
+
+# canonical test numbers (public test vectors, not real PANs)
+VALID_CARDS = ["4539578763621486", "4539 5787 6362 1486", "378282246310005"]
+INVALID_CARDS = ["4539578763621487", "1234 5678 9012 3456"]
+
+
+def _vals(spark, col_fn, items):
+    df = spark.createDataFrame([(s,) for s in items], "s string")
+    return [r["v"] for r in df.select(col_fn(F.col("s")).alias("v")).collect()]
+
+
+def test_luhn(spark):
+    assert _vals(spark, luhn_valid, VALID_CARDS) == [True] * 3
+    assert _vals(spark, luhn_valid, INVALID_CARDS) == [False] * 2
+    # under 13 digits never validates, even if the checksum happens to
+    assert _vals(spark, luhn_valid, ["59", "0"]) == [False, False]
+
+
+def test_ssn_structural_rules(spark):
+    ok = ["123-45-6789", "772-34-0001"]
+    bad = ["000-45-6789", "666-45-6789", "923-45-6789",
+           "123-00-6789", "123-45-0000"]
+    assert _vals(spark, ssn_structurally_valid, ok) == [True] * 2
+    assert _vals(spark, ssn_structurally_valid, bad) == [False] * 5
+
+
+def test_features_count_valid_separately(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "pay 4539 5787 6362 1486 or 1234 5678 9012 3456 today"),
+            (2, "ssn 123-45-6789 and fake 000-45-6789"),
+            (3, "order #4539578763621487 shipped"),
+            (4, "clean text"),
+        ],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: r
+        for r in pii_financial_features(df, "id", "text").collect()
+    }
+    assert (got[1]["n_cc_candidates"], got[1]["n_cc_valid"]) == (2, 1)
+    assert (got[2]["n_ssn_format"], got[2]["n_ssn_valid"]) == (2, 1)
+    assert (got[3]["n_cc_candidates"], got[3]["n_cc_valid"]) == (1, 0)
+    assert got[4]["n_cc_candidates"] == 0 and got[4]["n_ssn_format"] == 0
+
+
+def test_scrub_only_valid(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "card 4539 5787 6362 1486 but order 1234 5678 9012 3456; "
+                "ssn 123-45-6789, fake 000-11-2222"),
+        ],
+        "id long, text string",
+    )
+    out = df.select(scrub_financial("text").alias("t")).collect()[0]["t"]
+    assert SCRUB_CC in out and SCRUB_SSN in out
+    assert "4539" not in out and "123-45-6789" not in out
+    # invalid lookalikes survive verbatim
+    assert "1234 5678 9012 3456" in out and "000-11-2222" in out
+
+
+def test_repeated_card_scrubs_everywhere(spark):
+    df = spark.createDataFrame(
+        [(1, "a 4539578763621486 b 4539578763621486 c")],
+        "id long, text string",
+    )
+    out = df.select(scrub_financial("text").alias("t")).collect()[0]["t"]
+    assert out.count(SCRUB_CC) == 2 and "4539" not in out
+
+
+def test_plan_is_jvm_side(spark):
+    df = spark.createDataFrame([(1, "x")], "id long, text string")
+    plan = (
+        pii_financial_features(df, "id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
