@@ -259,6 +259,27 @@ from cdk_datalake_ingest_bigmagic_spark.queries import curation4  # noqa: E402,F
 #   134 registered + ~12 rider slots ≈ 146 < 150 — the cycle still
 #   closes with ~4 slots/cycle of slack. At the next registration
 #   wave, start retiring redundant early demo gates as planned.
+#
+#   ROUND-10 WINDOW MATH (pre-computed so round 10 starts solved):
+#   obligation = the 34 r8-window queries NOT re-gated here (the 18
+#   r5-regates + 3 curation3 names + 16 r8 pre-gates, minus the 3
+#   re-pre-gated in (5) above — compute the exact list with
+#   `python tools/window_math.py 10` once CORRECTNESS_r09 lands).
+#   Round-10 registrations are PRE-WRITTEN AND PRE-VALIDATED in
+#   queries/curation5.py (NOT imported here — the registered-but-
+#   never-gated invariant): gopher_quality_card, dsir_bucket_counts,
+#   dsir_bucket_distribution, pii_financial_counts — all four
+#   validated against DuckDB at sf0.01 AND sf0.1 this round
+#   (tools/validate_module.py curation5, 0 failures both). Round 10:
+#   add `from ... import curation5` below and put the four names plus
+#   the 34-query obligation in _GATE_FRONT (~38 slots), leaving ~12
+#   for riders of whatever round 10 touches. Stays pytest by design:
+#   dsir importance weights + dsir_select (log floats; differential-
+#   tested), gopher threshold keywords (pure parameterization of the
+#   gated card), pii2 scrub_financial (string rewrite of the gated
+#   counts' candidates), ranking global_rank/ntile/top_fraction
+#   (window-form equality is test-pinned; curriculum_shard_order's
+#   NTILE oracle covers the ntile path end-to-end).
 _GATE_FRONT: list[str] = [
     # (1) red at r8 (oracle HUGEINT artifact, CAST landed this round)
     "linkgraph_degree_stats",
