@@ -116,12 +116,27 @@ class ParquetStageTable:
                     "(latest_record_dedup) — Delta MERGE rejects this too"
                 )
         kept = existing.join(df.select(*id_cols).distinct(), on=id_cols, how="left_anti")
-        # schema drift → take the incoming schema: a column the live
-        # table doesn't have yet reads as typed NULL for kept rows
-        for c in df.columns:
+        # schema drift, both directions (Delta MERGE semantics under
+        # schema evolution):
+        # - a source column the live table lacks reads as typed NULL
+        #   for kept rows (the table widens);
+        # - a LIVE column the source lacks is PRESERVED — UPDATE SET *
+        #   only overwrites source columns, so matched rows carry
+        #   their old values forward and inserted rows get NULL.
+        #   (The earlier emulation selected df.columns and silently
+        #   DROPPED target-only columns — data loss Delta never has.)
+        tgt_only = [c for c in existing.columns if c not in set(df.columns)]
+        if tgt_only:
+            carry = existing.select(*id_cols, *tgt_only)
+            incoming = df.join(carry, on=id_cols, how="left")
+        else:
+            incoming = df
+        for c in incoming.columns:
             if c not in kept.columns:
-                kept = kept.withColumn(c, F.lit(None).cast(df.schema[c].dataType))
-        merged = kept.select(*df.columns).unionByName(df)
+                kept = kept.withColumn(
+                    c, F.lit(None).cast(incoming.schema[c].dataType)
+                )
+        merged = kept.select(*incoming.columns).unionByName(incoming)
         self._rewrite(merged, partition_cols)
 
     def _rewrite(self, df: DataFrame, partition_cols: list[str] | None) -> None:

@@ -131,3 +131,45 @@ def test_merge_preserves_partition_layout(spark, tmp_path, backend):
         pruned = t.read().filter(F.col("grp") == 1)
         files = pruned.select(F.input_file_name()).distinct().collect()
         assert all("grp=1" in r[0] for r in files)
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_merge_widens_on_new_source_column(spark, tmp_path, backend):
+    """C7a: a source column the live table lacks widens the table;
+    kept (unmatched) rows read it as typed NULL."""
+    t = _make(spark, backend, tmp_path, "c7a")
+    t.merge(_df(spark, [(1, 0, "a"), (2, 1, "b")]), id_cols=["k"])
+    wider = spark.createDataFrame(
+        [(2, 9, "B", 7.5), (3, 1, "c", 1.0)],
+        "k long, grp int, val string, score double",
+    )
+    t.merge(wider, id_cols=["k"])
+    got = {r["k"]: r for r in t.read().collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["score"] is None            # kept row: typed NULL
+    assert got[2]["score"] == 7.5 and got[2]["val"] == "B"
+    assert dict(t.read().dtypes)["score"] == "double"
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_merge_preserves_target_only_columns(spark, tmp_path, backend):
+    """C7b: a LIVE column the source lacks is PRESERVED — UPDATE SET *
+    only overwrites source columns (matched rows carry old values
+    forward; inserted rows get NULL). The old emulation dropped the
+    column for every row — data loss Delta never has."""
+    t = _make(spark, backend, tmp_path, "c7b")
+    t.merge(
+        spark.createDataFrame(
+            [(1, 0, "a", "keep-me"), (2, 1, "b", "me-too")],
+            "k long, grp int, val string, extra string",
+        ),
+        id_cols=["k"],
+    )
+    narrower = _df(spark, [(2, 9, "B"), (3, 1, "c")])  # no 'extra'
+    t.merge(narrower, id_cols=["k"])
+    got = {r["k"]: r for r in t.read().collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["extra"] == "keep-me"       # untouched row
+    assert got[2]["extra"] == "me-too"        # matched row: carried
+    assert got[2]["val"] == "B"               # ...but source cols updated
+    assert got[3]["extra"] is None            # inserted row: NULL
