@@ -115,10 +115,8 @@ def gopher_signal_columns(text_col) -> dict[str, Column]:
     }
 
 
-def gopher_quality(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
+def gopher_rule_columns(
+    sig: dict[str, Column],
     min_words: int = MIN_WORDS,
     max_words: int = MAX_WORDS,
     min_mean_word_len: float = MIN_MEAN_WORD_LEN,
@@ -128,20 +126,11 @@ def gopher_quality(
     max_ellipsis_line_frac: float = MAX_ELLIPSIS_LINE_FRAC,
     min_alpha_word_frac: float = MIN_ALPHA_WORD_FRAC,
     min_stop_word_hits: int = MIN_STOP_WORD_HITS,
-) -> DataFrame:
-    """(id, signals..., per-rule booleans, passes_gopher): the full
-    rule card in ONE codegen projection. Ratio rules follow Gopher's
-    fail-closed reading on degenerate documents: a document with zero
-    words fails the word-count rule (and therefore the card), so the
-    NULL ratios never have to decide anything — but the per-rule
-    booleans still coalesce NULL to False so each column is honest on
-    its own.
-
-    Filter with ``.where("passes_gopher")`` or keep the card for
-    observability; composes with ``repetition_features`` (the other
-    half of the published rule set) on the id column.
-    """
-    sig = gopher_signal_columns(text_col)
+) -> dict[str, Column]:
+    """Per-rule booleans (NULL ratios coalesce to False — fail
+    closed) plus the ``passes_gopher`` conjunction, from the signal
+    Columns of :func:`gopher_signal_columns`. Shared by
+    :func:`gopher_quality` and the one-pass score card."""
 
     def ok(cond: Column) -> Column:
         return F.coalesce(cond, F.lit(False))
@@ -173,9 +162,51 @@ def gopher_quality(
     passes = None
     for c in rules.values():
         passes = c if passes is None else (passes & c)
+    rules["passes_gopher"] = passes
+    return rules
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = MIN_WORDS,
+    max_words: int = MAX_WORDS,
+    min_mean_word_len: float = MIN_MEAN_WORD_LEN,
+    max_mean_word_len: float = MAX_MEAN_WORD_LEN,
+    max_symbol_word_ratio: float = MAX_SYMBOL_WORD_RATIO,
+    max_bullet_line_frac: float = MAX_BULLET_LINE_FRAC,
+    max_ellipsis_line_frac: float = MAX_ELLIPSIS_LINE_FRAC,
+    min_alpha_word_frac: float = MIN_ALPHA_WORD_FRAC,
+    min_stop_word_hits: int = MIN_STOP_WORD_HITS,
+) -> DataFrame:
+    """(id, signals..., per-rule booleans, passes_gopher): the full
+    rule card in ONE codegen projection. Ratio rules follow Gopher's
+    fail-closed reading on degenerate documents: a document with zero
+    words fails the word-count rule (and therefore the card), so the
+    NULL ratios never have to decide anything — but the per-rule
+    booleans still coalesce NULL to False so each column is honest on
+    its own.
+
+    Filter with ``.where("passes_gopher")`` or keep the card for
+    observability; composes with ``repetition_features`` (the other
+    half of the published rule set) on the id column.
+    """
+    sig = gopher_signal_columns(text_col)
+    rules = gopher_rule_columns(
+        sig,
+        min_words=min_words,
+        max_words=max_words,
+        min_mean_word_len=min_mean_word_len,
+        max_mean_word_len=max_mean_word_len,
+        max_symbol_word_ratio=max_symbol_word_ratio,
+        max_bullet_line_frac=max_bullet_line_frac,
+        max_ellipsis_line_frac=max_ellipsis_line_frac,
+        min_alpha_word_frac=min_alpha_word_frac,
+        min_stop_word_hits=min_stop_word_hits,
+    )
     return df.select(
         F.col(id_col),
         *[c.alias(n) for n, c in sig.items()],
         *[c.alias(n) for n, c in rules.items()],
-        passes.alias("passes_gopher"),
     )

@@ -11,7 +11,13 @@ Python (pinned by the no-Exchange plan test).
 Signals (all codegen):
 - heuristic quality logit + keep flag (operators/text.quality_score),
 - Gopher-style repetition ratios + keep flag (repetition_features),
-- PII counts (emails/phones/ip addresses),
+- the Gopher length-and-shape rule card: mean word length, symbol
+  ratio, bullet/ellipsis line fractions, alpha-word fraction,
+  stop-word coherence, per-rule flags + passes_gopher
+  (operators/gopher),
+- PII counts (emails/phones/ip addresses) plus checksum-validated
+  financial PII (Luhn credit cards, structurally-valid SSNs —
+  operators/pii2),
 - mojibake score + NFC-composition flag (encoding/normalize),
 - Unicode-script profile incl. the homoglyph flag (scripts),
 - sentence stats (sentences),
@@ -36,6 +42,14 @@ _CARD_COLUMNS = frozenset(
         "n_chars", "mojibake_hits", "needs_nfc", "dominant_script",
         "dominant_ratio", "n_script_chars", "mixed_script", "n_sentences",
         "mean_sentence_words", "frac_short", "n_emails", "n_phones", "n_ips",
+        # gopher length-and-shape card (operators/gopher)
+        "mean_word_len", "symbol_word_ratio", "bullet_line_frac",
+        "ellipsis_line_frac", "alpha_word_frac", "stop_word_hits",
+        "rule_word_count", "rule_mean_word_len", "rule_symbol_ratio",
+        "rule_bullet_lines", "rule_ellipsis_lines", "rule_alpha_words",
+        "rule_stop_words", "passes_gopher",
+        # checksum-validated financial pii (operators/pii2)
+        "n_cc_candidates", "n_cc_valid", "n_ssn_format", "n_ssn_valid",
     }
 )
 
@@ -96,12 +110,25 @@ def score_card(
         passthrough=other + [text_col, "__n_words"] + rep_cols,
     )
 
+    from cdk_datalake_ingest_bigmagic_spark.operators.gopher import (
+        gopher_rule_columns,
+        gopher_signal_columns,
+    )
+    from cdk_datalake_ingest_bigmagic_spark.operators.pii2 import (
+        pii_financial_columns,
+    )
+
     t = F.col(text_col)
     script_cols = script_profile_columns(t)
     sent_cols = sentence_stats_columns(t)
     # quality_score's n_words (whitespace tokens) is the one kept;
-    # the sentence-sum variant would collide
+    # the sentence-sum variant and gopher's non-space-run variant
+    # (identical count, redundant column) would collide
     sent_cols.pop("n_words", None)
+    gopher_sig = gopher_signal_columns(t)
+    gopher_rules = gopher_rule_columns(gopher_sig)
+    gopher_sig.pop("n_words", None)
+    fin_cols = pii_financial_columns(t)
     out = scored.select(
         F.col(id_col),
         *[F.col(c) for c in other],
@@ -127,5 +154,11 @@ def score_card(
         F.regexp_count(t, F.lit(EMAIL_PATTERN)).cast("long").alias("n_emails"),
         F.regexp_count(t, F.lit(PHONE_PATTERN)).cast("long").alias("n_phones"),
         F.regexp_count(t, F.lit(IPV4_PATTERN)).cast("long").alias("n_ips"),
+        # gopher length-and-shape signals + rules (n_words dropped:
+        # identical to the quality_score count kept above)
+        *[c.alias(name) for name, c in gopher_sig.items()],
+        *[c.alias(name) for name, c in gopher_rules.items()],
+        # checksum-validated financial pii
+        *[c.alias(name) for name, c in fin_cols.items()],
     )
     return out

@@ -31,6 +31,14 @@ def test_columns_and_values(spark):
         "dominant_script", "dominant_ratio", "n_script_chars", "mixed_script",
         "n_sentences", "mean_sentence_words", "frac_short",
         "n_emails", "n_phones", "n_ips",
+        # gopher length-and-shape card
+        "mean_word_len", "symbol_word_ratio", "bullet_line_frac",
+        "ellipsis_line_frac", "alpha_word_frac", "stop_word_hits",
+        "rule_word_count", "rule_mean_word_len", "rule_symbol_ratio",
+        "rule_bullet_lines", "rule_ellipsis_lines", "rule_alpha_words",
+        "rule_stop_words", "passes_gopher",
+        # checksum-validated financial pii
+        "n_cc_candidates", "n_cc_valid", "n_ssn_format", "n_ssn_valid",
     }
     assert expected_cols == set(card.columns)
     assert "text" not in card.columns  # narrow by default
@@ -112,3 +120,41 @@ def test_streaming_safe(spark, tmp_path):
         for r in score_card(static, "doc_id", "text").collect()
     }
     assert got == want and len(got) == 3
+
+
+def test_gopher_and_financial_pii_agree_with_operators(spark):
+    """The card's gopher and financial-PII columns equal the
+    standalone operators' outputs on the same documents."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.gopher import (
+        gopher_quality,
+    )
+    from cdk_datalake_ingest_bigmagic_spark.operators.pii2 import (
+        pii_financial_features,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and the lazy dog have a rest with "
+                "all of that energy spent on a long afternoon " * 3),
+            (2, "pay 4539 5787 6362 1486 or order 1234 5678 9012 3456; "
+                "ssn 123-45-6789 and fake 000-45-6789"),
+            (3, "- bullet\n- bullet\ntrailing off..."),
+        ],
+        "doc_id long, text string",
+    )
+    card = {r["doc_id"]: r for r in score_card(docs, "doc_id", "text").collect()}
+    gq = {r["doc_id"]: r for r in gopher_quality(docs, "doc_id", "text").collect()}
+    fin = {
+        r["doc_id"]: r
+        for r in pii_financial_features(docs, "doc_id", "text").collect()
+    }
+    gcols = ["mean_word_len", "symbol_word_ratio", "bullet_line_frac",
+             "ellipsis_line_frac", "alpha_word_frac", "stop_word_hits",
+             "passes_gopher"]
+    fcols = ["n_cc_candidates", "n_cc_valid", "n_ssn_format", "n_ssn_valid"]
+    for i in (1, 2, 3):
+        for c in gcols:
+            assert card[i][c] == gq[i][c], (i, c)
+        for c in fcols:
+            assert card[i][c] == fin[i][c], (i, c)
+    assert card[2]["n_cc_valid"] == 1 and card[2]["n_ssn_valid"] == 1
