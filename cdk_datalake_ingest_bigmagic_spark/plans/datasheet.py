@@ -65,6 +65,14 @@ def corpus_datasheet(
             F.sum("n_emails").cast("long").alias("n_emails"),
             F.sum("n_phones").cast("long").alias("n_phones"),
             F.sum("n_ips").cast("long").alias("n_ips"),
+            # checksum-validated financial exposure (operators/pii2):
+            # candidates overstate risk, the validated counts are the
+            # number a datasheet should publish
+            F.sum("n_cc_valid").cast("long").alias("n_credit_cards"),
+            F.sum("n_ssn_valid").cast("long").alias("n_ssns"),
+            F.sum(F.col("passes_gopher").cast("int")).cast("long").alias(
+                "n_pass_gopher"
+            ),
             F.sum((F.col("mojibake_hits") > 0).cast("int"))
             .cast("long")
             .alias("n_mojibake_docs"),

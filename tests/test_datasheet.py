@@ -33,6 +33,8 @@ def test_overview_and_sources(spark):
     assert ov["n_docs"] == 4
     assert ov["n_emails"] == 1
     assert ov["n_pass_repetition"] == 3  # the spam doc fails
+    assert ov["n_credit_cards"] == 0 and ov["n_ssns"] == 0
+    assert ov["n_pass_gopher"] == 0     # all fixtures under 50 words
     by_src = {r["source"]: r for r in frames["by_source"].collect()}
     assert by_src["web"]["n_docs"] == 3 and by_src["books"]["n_docs"] == 1
     scripts = {
