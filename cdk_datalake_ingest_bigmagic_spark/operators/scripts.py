@@ -55,6 +55,66 @@ def script_counts(text) -> Column:
     )
 
 
+def script_entries(text) -> Column:
+    """array<struct<neg, script>> of negated per-script counts — the
+    one expression that touches the regexes. Evaluate it ONCE per row
+    (behind a barrier) and derive the profile from the materialized
+    array: the profile's argmax/ratio/minority logic references the
+    counts ~13 times, and CollapseProject + interpreted HOFs would
+    otherwise re-run all 11 class regexes per reference (measured:
+    the fused score card spent 6.7 s of its 11 s here at sf0.1)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.array(
+        *[
+            F.struct(
+                (-F.regexp_count(col, F.lit(pat))).alias("neg"),
+                F.lit(name).alias("script"),
+            )
+            for name, pat in SCRIPT_CLASSES.items()
+        ]
+    )
+
+
+def script_profile_from_entries(
+    entries: Column,
+    min_letters: int = 20,
+    mixed_threshold: float = 0.10,
+) -> dict[str, Column]:
+    """The profile outputs derived from a MATERIALIZED
+    :func:`script_entries` column (array_min and the minority filter
+    run over 11 in-memory structs — no regex re-evaluation). Callers
+    must put the entries column behind ``keep_barrier`` and wrap the
+    outputs in ``barrier_guard``; :func:`script_profile` and
+    plans/scorecard.py show the pattern."""
+    best = F.array_min(entries)
+    n_letters = -F.aggregate(
+        entries, F.lit(0), lambda a, e: a + e["neg"]
+    )
+    dominant = F.when(n_letters >= min_letters, best["script"]).otherwise(
+        F.lit("unknown")
+    )
+    dominant_ratio = F.when(
+        n_letters >= min_letters,
+        (-best["neg"]).cast("double") / n_letters.cast("double"),
+    ).otherwise(F.lit(None).cast("double"))
+    non_latin_minority = F.filter(
+        entries,
+        lambda e: (e["script"] != best["script"])
+        & (e["script"] != "latin")
+        & (
+            (-e["neg"]).cast("double")
+            > mixed_threshold * n_letters.cast("double")
+        ),
+    )
+    mixed = (n_letters >= min_letters) & (F.size(non_latin_minority) > 0)
+    return {
+        "dominant_script": dominant,
+        "dominant_ratio": dominant_ratio,
+        "n_script_chars": n_letters.cast("int"),
+        "mixed_script": mixed,
+    }
+
+
 def script_profile(
     df: DataFrame,
     id_col: str,
@@ -75,10 +135,30 @@ def script_profile(
       brand names) holds more than ``mixed_threshold`` of the
       letters while not being dominant — the homoglyph/garble flag.
 
-    One projection, zero shuffle.
+    Two chained projections (zero shuffle): the 11-regex entries
+    array materializes once behind a barrier, then the profile logic
+    reads the array — see :func:`script_entries` for the measured
+    re-evaluation trap the barrier prevents.
     """
-    cols = script_profile_columns(text_col, min_letters, mixed_threshold)
-    return df.select(F.col(id_col), *[c.alias(n) for n, c in cols.items()])
+    from cdk_datalake_ingest_bigmagic_spark.operators import (
+        BARRIER_COL,
+        barrier_guard,
+        keep_barrier,
+    )
+
+    staged = keep_barrier(
+        df.select(
+            F.col(id_col),
+            script_entries(text_col).alias("__sc_entries"),
+        )
+    )
+    cols = script_profile_from_entries(
+        F.col("__sc_entries"), min_letters, mixed_threshold
+    )
+    return staged.select(
+        F.col(id_col),
+        *[barrier_guard(c).alias(n) for n, c in cols.items()],
+    )
 
 
 def script_profile_columns(

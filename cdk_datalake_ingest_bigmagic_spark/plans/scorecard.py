@@ -71,10 +71,11 @@ def score_card(
         needs_composition,
     )
     from cdk_datalake_ingest_bigmagic_spark.operators.scripts import (
-        script_profile_columns,
+        script_entries,
+        script_profile_from_entries,
     )
     from cdk_datalake_ingest_bigmagic_spark.operators.sentences import (
-        sentence_stats_columns,
+        split_sentences_column,
     )
     from cdk_datalake_ingest_bigmagic_spark.operators.text import (
         EMAIL_PATTERN,
@@ -110,6 +111,10 @@ def score_card(
         passthrough=other + [text_col, "__n_words"] + rep_cols,
     )
 
+    from cdk_datalake_ingest_bigmagic_spark.operators import (
+        barrier_guard,
+        keep_barrier,
+    )
     from cdk_datalake_ingest_bigmagic_spark.operators.gopher import (
         gopher_rule_columns,
         gopher_signal_columns,
@@ -119,12 +124,47 @@ def score_card(
     )
 
     t = F.col(text_col)
-    script_cols = script_profile_columns(t)
-    sent_cols = sentence_stats_columns(t)
-    # quality_score's n_words (whitespace tokens) is the one kept;
-    # the sentence-sum variant and gopher's non-space-run variant
-    # (identical count, redundant column) would collide
-    sent_cols.pop("n_words", None)
+    # the 11-regex script entries and the sentence array materialize
+    # ONCE behind a barrier: the profile's argmax/ratio/minority logic
+    # reads the entries ~13 times and the sentence stats read the
+    # split ~6 times, and inlined references re-ran the regexes per
+    # read (measured: scripts alone were 6.7 s of the card's 11 s at
+    # sf0.1; now ~0.5 s). The sentence-stat derivation is inlined here
+    # rather than imported because operators/sentences.py backs three
+    # gate queries outside this round's window (rider rule) — fold it
+    # back into sentence_stats_columns in round 10, whose obligation
+    # already re-gates all three.
+    scored = keep_barrier(
+        scored.withColumn("__sc_entries", script_entries(t)).withColumn(
+            "__sents", split_sentences_column(t)
+        )
+    )
+    script_cols = {
+        n: barrier_guard(c)
+        for n, c in script_profile_from_entries(
+            F.col("__sc_entries")
+        ).items()
+    }
+    sents = F.col("__sents")
+    _wc = lambda s: F.size(F.split(F.trim(s), r"\s+"))  # noqa: E731
+    n_sents = F.size(sents)
+    sent_words = F.aggregate(sents, F.lit(0), lambda a, s: a + _wc(s))
+    n_short = F.size(F.filter(sents, lambda s: _wc(s) < 4))
+    sent_cols = {
+        "n_sentences": barrier_guard(n_sents.cast("long")),
+        "mean_sentence_words": barrier_guard(
+            F.when(
+                n_sents > 0,
+                sent_words.cast("double") / n_sents.cast("double"),
+            ).otherwise(F.lit(None))
+        ),
+        "frac_short": barrier_guard(
+            F.when(
+                n_sents > 0,
+                n_short.cast("double") / n_sents.cast("double"),
+            ).otherwise(F.lit(None))
+        ),
+    }
     gopher_sig = gopher_signal_columns(t)
     gopher_rules = gopher_rule_columns(gopher_sig)
     gopher_sig.pop("n_words", None)
