@@ -1,0 +1,159 @@
+"""End-to-end data SELECTION for a target domain: quality-gate a raw
+corpus, then pull the slice that looks like the data you want more
+of — the round-8/9 operator wave in one runnable script:
+
+  1. the one-pass document score card (Gopher length-and-shape rules,
+     repetition, checksum-validated financial PII, scripts, mojibake),
+  2. taboo-term blocklist (C4 filter #3, codegen alternation tier),
+  3. row-level quarantine: rule failures land under
+     ``{out}/_quarantine`` with per-rule reasons instead of
+     disappearing,
+  4. DSIR importance resampling toward a target sample (hashed
+     uni+bigram buckets, broadcast log-ratio weights, distributed
+     top-fraction cut),
+  5. a classifier-style operating-point sweep over the DSIR weights
+     (exact tp/fp/fn/tn per threshold) to document the cut.
+
+Run: python examples/select_and_gate.py [work_dir]
+(Synthesizes a small mixed corpus — the point is the wiring; swap the
+inputs for real tables.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from cdk_datalake_ingest_bigmagic_spark import get_spark  # noqa: E402
+from cdk_datalake_ingest_bigmagic_spark.operators.blocklist import (  # noqa: E402
+    flag_taboo_terms,
+)
+from cdk_datalake_ingest_bigmagic_spark.operators.classifier import (  # noqa: E402
+    threshold_sweep,
+)
+from cdk_datalake_ingest_bigmagic_spark.operators.dsir import (  # noqa: E402
+    dsir_select,
+)
+from cdk_datalake_ingest_bigmagic_spark.plans.quarantine import (  # noqa: E402
+    write_with_quarantine,
+)
+from cdk_datalake_ingest_bigmagic_spark.plans.scorecard import (  # noqa: E402
+    score_card,
+)
+
+
+def synth_corpus(spark):
+    """A mixed corpus: finance-flavored prose (the target domain),
+    general prose, a spammy wall, and a doc leaking a card number."""
+    prose = (
+        "the market report discusses how the quarterly earnings and "
+        "the revenue outlook changed investor sentiment this week with "
+        "analysts noting that the trading volume stayed healthy and "
+        "the guidance was conservative enough to be credible overall "
+    )
+    general = (
+        "the village harvest festival brought traders and musicians "
+        "to the river square where the children played until dusk and "
+        "the bakers sold warm bread to everyone walking past the mill "
+    )
+    rows = []
+    for i in range(60):
+        if i % 3 == 0:
+            rows.append(
+                (i, prose * 2 + f"issue number {i} of the bulletin.")
+            )
+        elif i % 3 == 1:
+            rows.append(
+                (i, general * 2 + f"chronicle entry {i} of the season.")
+            )
+        else:
+            rows.append((i, "buy now " * 40))               # fails gopher
+    rows.append((100, prose * 2 + " pay with 4539 5787 6362 1486 today."))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def main(work_dir: str) -> dict:
+    spark = get_spark(app_name="select-and-gate", shuffle_partitions=8)
+    docs = synth_corpus(spark)
+
+    # 1. one-pass score card
+    card = score_card(docs, "doc_id", "text")
+
+    # 2. taboo blocklist signals (joined onto the card by id)
+    taboo = flag_taboo_terms(
+        docs, "doc_id", "text", ["buy now"], max_ratio=0.05
+    )
+    gated = card.join(taboo, "doc_id")
+
+    # 3. quarantine: gate failures keep their reasons
+    rules = {
+        "gopher": F.col("passes_gopher"),
+        "repetition": F.col("passes_repetition_filter"),
+        "taboo": ~F.col("taboo_flagged"),
+        "no_financial_pii": (F.col("n_cc_valid") == 0)
+        & (F.col("n_ssn_valid") == 0),
+    }
+    out_path = os.path.join(work_dir, "gated_card")
+    n_clean, n_quar = write_with_quarantine(gated, out_path, rules)
+
+    # 4. DSIR toward the finance-flavored target
+    clean_ids = spark.read.parquet(out_path).select("doc_id")
+    clean_docs = docs.join(clean_ids, "doc_id")
+    target = docs.where((F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 15))
+    selected = dsir_select(
+        clean_docs, target, "doc_id", "text", keep_frac=0.5, n_buckets=1024
+    )
+
+    # 5. document the cut: sweep the weights as scores against the
+    # "is finance" label to show where the operating point sits
+    scored = selected.select(
+        # min-max squash into [0,1] for the binning sweep
+        (
+            (F.col("weight") - F.min("weight").over(_all()))
+            / F.when(
+                (F.max("weight").over(_all()) - F.min("weight").over(_all()))
+                != 0,
+                F.max("weight").over(_all()) - F.min("weight").over(_all()),
+            )
+        ).alias("quality_prob"),
+        (F.col("doc_id") % 3 == 0).cast("int").alias("label"),
+    )
+    sweep = threshold_sweep(scored, "label", n_bins=10)
+    best = (
+        sweep.where(F.col("precision") >= 0.9)
+        .orderBy("threshold")
+        .limit(1)
+        .collect()
+    )
+
+    kept = selected.where("selected")
+    report = {
+        "docs": docs.count(),
+        "clean": n_clean,
+        "quarantined": n_quar,
+        "dsir_kept": kept.count(),
+        "target_fraction_kept": kept.where(F.col("doc_id") % 3 == 0).count()
+        / max(1, kept.count()),
+        "sweep_rows": sweep.count(),
+        "first_threshold_at_p90": (
+            float(best[0]["threshold"]) if best else None
+        ),
+    }
+    print(json.dumps(report))
+    return report
+
+
+def _all():
+    from pyspark.sql import Window
+
+    return Window.partitionBy()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp("select"))

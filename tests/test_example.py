@@ -71,3 +71,23 @@ def test_prepare_multimodal_example(tmp_path):
     assert rec["n_shards"] == 4
     assert rec["members_bin"] == 29 and rec["members_json"] == 29
     assert rec["n_frames"] > 0
+
+
+def test_select_and_gate_example(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, f"{repo}/examples/select_and_gate.py", str(tmp_path)],
+        capture_output=True,
+        text=True,
+        timeout=240,
+        cwd=repo,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    # the 20 spam walls and the card-leaking doc are quarantined with
+    # reasons; DSIR's kept slice is pure target domain
+    assert rec["quarantined"] == 21
+    assert rec["clean"] == 40
+    assert rec["dsir_kept"] == 20
+    assert rec["target_fraction_kept"] == 1.0
+    assert rec["sweep_rows"] == 10
