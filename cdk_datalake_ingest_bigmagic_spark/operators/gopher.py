@@ -2,9 +2,10 @@
 the published MassiveText filter set, also the backbone of FineWeb's
 quality stage).
 
-operators/text.py covers the REPETITION half of the Gopher rules
-(duplicate word/bigram/top-bigram fractions, ``repetition_features``);
-this module is the LENGTH-AND-SHAPE half:
+operators/text.py covers the word/bigram REPETITION rules
+(``repetition_features``); this module carries the LENGTH-AND-SHAPE
+half plus the duplicate LINE/PARAGRAPH repetition rules
+(:func:`gopher_repetition`). The shape rules:
 
 - word-count bounds (50..100,000 words),
 - mean word length in [3, 10] characters,
@@ -209,4 +210,105 @@ def gopher_quality(
         F.col(id_col),
         *[c.alias(n) for n, c in sig.items()],
         *[c.alias(n) for n, c in rules.items()],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate line / paragraph fractions (Gopher §A1.1 repetition rules
+# 1-4; operators/text.py::repetition_features covers the word/bigram
+# rules 5+). Published thresholds.
+# ---------------------------------------------------------------------------
+
+MAX_DUP_LINE_FRAC = 0.30
+MAX_DUP_PARA_FRAC = 0.30
+MAX_DUP_LINE_CHAR_FRAC = 0.20
+MAX_DUP_PARA_CHAR_FRAC = 0.20
+
+
+def _dup_fractions(units: Column, prefix: str) -> dict[str, Column]:
+    """count-duplicate and char-duplicate fractions of a MATERIALIZED
+    string-array column: 1 - distinct/total and 1 - distinct-chars/
+    total-chars. References the array four times — callers put it
+    behind the barrier (see :func:`gopher_repetition`)."""
+    n = F.size(units)
+    distinct = F.array_distinct(units)
+    chars = F.aggregate(
+        units, F.lit(0), lambda a, x: a + F.length(x)
+    )
+    d_chars = F.aggregate(
+        distinct, F.lit(0), lambda a, x: a + F.length(x)
+    )
+    frac = F.when(n > 0, F.lit(1.0) - F.size(distinct).cast("double") / n.cast("double"))
+    cfrac = F.when(
+        chars > 0, F.lit(1.0) - d_chars.cast("double") / chars.cast("double")
+    )
+    return {
+        f"dup_{prefix}_frac": F.round(frac, 6),
+        f"dup_{prefix}_char_frac": F.round(cfrac, 6),
+    }
+
+
+def gopher_repetition(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dup_line_frac: float = MAX_DUP_LINE_FRAC,
+    max_dup_para_frac: float = MAX_DUP_PARA_FRAC,
+    max_dup_line_char_frac: float = MAX_DUP_LINE_CHAR_FRAC,
+    max_dup_para_char_frac: float = MAX_DUP_PARA_CHAR_FRAC,
+) -> DataFrame:
+    """(id, dup_line_frac, dup_line_char_frac, dup_para_frac,
+    dup_para_char_frac, passes_gopher_repetition): the duplicate
+    LINE/PARAGRAPH half of Gopher's repetition rules — a page whose
+    nav bar repeats on every line survives word-level rules but not
+    these. Lines split on newlines, paragraphs on blank-line runs;
+    whitespace-trimmed, empties dropped.
+
+    The two unit arrays materialize behind the standard barrier (each
+    is referenced four times by the fraction algebra — inlined, the
+    split would re-run per reference, the repetition-module trap).
+    Zero shuffle; in-row work is O(units log units) via array_distinct.
+    """
+    from cdk_datalake_ingest_bigmagic_spark.operators import (
+        barrier_guard,
+        keep_barrier,
+    )
+
+    def units(sep: str) -> Column:
+        return F.filter(
+            F.transform(
+                F.split(F.col(text_col), sep), lambda x: F.trim(x)
+            ),
+            lambda x: x != "",
+        )
+
+    staged = keep_barrier(
+        df.select(
+            F.col(id_col),
+            units(r"\n").alias("__lines"),
+            units(r"\n[ \t]*\n(\s*\n)*").alias("__paras"),
+        )
+    )
+    line_f = _dup_fractions(F.col("__lines"), "line")
+    para_f = _dup_fractions(F.col("__paras"), "para")
+    passes = (
+        (F.coalesce(line_f["dup_line_frac"], F.lit(0.0)) <= max_dup_line_frac)
+        & (
+            F.coalesce(line_f["dup_line_char_frac"], F.lit(0.0))
+            <= max_dup_line_char_frac
+        )
+        & (
+            F.coalesce(para_f["dup_para_frac"], F.lit(0.0))
+            <= max_dup_para_frac
+        )
+        & (
+            F.coalesce(para_f["dup_para_char_frac"], F.lit(0.0))
+            <= max_dup_para_char_frac
+        )
+    )
+    return staged.select(
+        F.col(id_col),
+        *[barrier_guard(c).alias(n) for n, c in line_f.items()],
+        *[barrier_guard(c).alias(n) for n, c in para_f.items()],
+        barrier_guard(passes).alias("passes_gopher_repetition"),
     )

@@ -268,12 +268,17 @@ from cdk_datalake_ingest_bigmagic_spark.queries import curation4  # noqa: E402,F
 #   Round-10 registrations are PRE-WRITTEN AND PRE-VALIDATED in
 #   queries/curation5.py (NOT imported here — the registered-but-
 #   never-gated invariant): gopher_quality_card, dsir_bucket_counts,
-#   dsir_bucket_distribution, pii_financial_counts — all four
-#   validated against DuckDB at sf0.01 AND sf0.1 this round
-#   (tools/validate_module.py curation5, 0 failures both). Round 10:
-#   add `from ... import curation5` below and put the four names plus
-#   the 34-query obligation in _GATE_FRONT (~38 slots), leaving ~12
-#   for riders of whatever round 10 touches. Stays pytest by design:
+#   dsir_bucket_distribution, pii_financial_counts,
+#   gopher_repetition_fracs — all five validated against DuckDB at
+#   sf0.01 AND sf0.1 this round (tools/validate_module.py curation5,
+#   0 failures both). Round 10: add `from ... import curation5` below
+#   and put the five names plus the 34-query obligation in
+#   _GATE_FRONT (~39 slots), leaving ~11 for riders of whatever
+#   round 10 touches. Also queued for round 10 (riders already in the
+#   34): fold the score card's local sentence-stat derivation back
+#   into operators/sentences.py behind a barrier (see scorecard.py
+#   comment), and consider the same treatment for text.py's
+#   quality_logit double-reference. Stays pytest by design:
 #   dsir importance weights + dsir_select (log floats; differential-
 #   tested), gopher threshold keywords (pure parameterization of the
 #   gated card), pii2 scrub_financial (string rewrite of the gated

@@ -285,3 +285,120 @@ def pii_financial_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.concat(F.col("text"), tail).alias("text")
     )
     return pii_financial_features(prepped, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Duplicate line/paragraph fractions (operators/gopher.py::
+# gopher_repetition — Gopher repetition rules 1-4)
+# ---------------------------------------------------------------------------
+#
+# The corpus is single-line, so the prep builds multi-line docs from
+# text slices with the SAME arithmetic in both engines: arm 0 repeats
+# a line (plus a paragraph break), arm 1 repeats a whole paragraph,
+# arm 2 stays clean.
+
+_REP_PREP_SQL = """
+      CASE doc_id % 3
+        WHEN 0 THEN substr(text, 1, 30) || chr(10) || substr(text, 31, 30)
+                    || chr(10) || substr(text, 1, 30) || chr(10) || chr(10)
+                    || substr(text, 61, 30)
+        WHEN 1 THEN substr(text, 1, 30) || chr(10) || chr(10)
+                    || substr(text, 1, 30)
+        ELSE substr(text, 1, 30) || chr(10) || substr(text, 31, 30)
+      END
+"""
+
+_UNITS_SQL = r"""
+    units AS (
+      SELECT doc_id,
+             list_filter(list_transform(
+               string_split_regex(t, '\n'), x -> trim(x)), x -> x <> '')
+               AS lines,
+             list_filter(list_transform(
+               string_split_regex(t, '\n[ \t]*\n(\s*\n)*'),
+               x -> trim(x)), x -> x <> '') AS paras
+      FROM prepped
+    )
+"""
+
+
+def _frac_sql(col: str, out: str) -> str:
+    n = f"len({col})"
+    nd = f"len(list_distinct({col}))"
+    ch = f"list_sum(list_transform({col}, x -> length(x)))"
+    chd = f"list_sum(list_transform(list_distinct({col}), x -> length(x)))"
+    return (
+        f"CASE WHEN {n} > 0 THEN round(CAST(1 AS DOUBLE)"
+        f" - CAST({nd} AS DOUBLE) / CAST({n} AS DOUBLE), 6) END"
+        f" AS dup_{out}_frac,\n"
+        f"CASE WHEN {ch} > 0 THEN round(CAST(1 AS DOUBLE)"
+        f" - CAST({chd} AS DOUBLE) / CAST({ch} AS DOUBLE), 6) END"
+        f" AS dup_{out}_char_frac"
+    )
+
+
+@register(
+    "gopher_repetition_fracs",
+    oracle=f"""
+    WITH prepped AS (
+      SELECT doc_id, {_REP_PREP_SQL} AS t FROM documents
+    ),
+    {_UNITS_SQL}
+    SELECT doc_id,
+           {_frac_sql("lines", "line")},
+           {_frac_sql("paras", "para")},
+           coalesce(
+             CASE WHEN len(lines) > 0 THEN round(CAST(1 AS DOUBLE)
+               - CAST(len(list_distinct(lines)) AS DOUBLE)
+               / CAST(len(lines) AS DOUBLE), 6) END, CAST(0 AS DOUBLE))
+             <= CAST(0.30 AS DOUBLE)
+           AND coalesce(
+             CASE WHEN list_sum(list_transform(lines, x -> length(x))) > 0
+               THEN round(CAST(1 AS DOUBLE)
+               - CAST(list_sum(list_transform(
+                   list_distinct(lines), x -> length(x))) AS DOUBLE)
+               / CAST(list_sum(list_transform(
+                   lines, x -> length(x))) AS DOUBLE), 6) END,
+             CAST(0 AS DOUBLE)) <= CAST(0.20 AS DOUBLE)
+           AND coalesce(
+             CASE WHEN len(paras) > 0 THEN round(CAST(1 AS DOUBLE)
+               - CAST(len(list_distinct(paras)) AS DOUBLE)
+               / CAST(len(paras) AS DOUBLE), 6) END, CAST(0 AS DOUBLE))
+             <= CAST(0.30 AS DOUBLE)
+           AND coalesce(
+             CASE WHEN list_sum(list_transform(paras, x -> length(x))) > 0
+               THEN round(CAST(1 AS DOUBLE)
+               - CAST(list_sum(list_transform(
+                   list_distinct(paras), x -> length(x))) AS DOUBLE)
+               / CAST(list_sum(list_transform(
+                   paras, x -> length(x))) AS DOUBLE), 6) END,
+             CAST(0 AS DOUBLE)) <= CAST(0.20 AS DOUBLE)
+             AS passes_gopher_repetition
+    FROM units
+    """,
+)
+def gopher_repetition_fracs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gopher_repetition's duplicate line/paragraph fractions (count
+    and char-weighted) plus the pass flag, over synthesized multi-line
+    documents; the pass flag compares the ROUNDED fractions in both
+    engines, matching the operator's thresholds exactly."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.gopher import (
+        gopher_repetition,
+    )
+    from pyspark.sql import functions as F
+
+    d = load(spark, sf_dir, "documents")
+    nl = F.lit("\n")
+    a = F.substring(F.col("text"), 1, 30)
+    b = F.substring(F.col("text"), 31, 30)
+    c = F.substring(F.col("text"), 61, 30)
+    t = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(a, nl, b, nl, a, nl, nl, c),
+        )
+        .when(F.col("doc_id") % 3 == 1, F.concat(a, nl, nl, a))
+        .otherwise(F.concat(a, nl, b))
+    )
+    prepped = d.select("doc_id", t.alias("text"))
+    return gopher_repetition(prepped, "doc_id", "text")

@@ -118,3 +118,54 @@ def test_signal_columns_compose(spark):
     out = df.select("id", sig["n_words"].alias("nw"),
                     sig["stop_word_hits"].alias("sh")).collect()[0]
     assert out["nw"] > 0 and out["sh"] >= 2
+
+
+def test_gopher_repetition_fractions(spark):
+    from cdk_datalake_ingest_bigmagic_spark.operators.gopher import (
+        gopher_repetition,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # 4 lines, 1 duplicate ("nav bar"); 2 paras, distinct
+            (1, "nav bar\nreal content here\nnav bar\n\nsecond paragraph"),
+            # all lines distinct
+            (2, "alpha\nbeta\ngamma"),
+            # same paragraph repeated (blank-line separated)
+            (3, "para one here\n\npara one here"),
+            (4, ""),
+        ],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: r for r in gopher_repetition(docs, "id", "text").collect()
+    }
+    assert got[1]["dup_line_frac"] == pytest.approx(1 / 4)
+    # duplicate chars: the second 7-char "nav bar" of 47 total line
+    # chars (7 + 17 + 7 + 16)
+    assert got[1]["dup_line_char_frac"] == pytest.approx(
+        round(7 / 47, 6)
+    )
+    assert got[1]["dup_para_frac"] == 0.0
+    assert got[2]["dup_line_frac"] == 0.0
+    assert got[2]["passes_gopher_repetition"]
+    assert got[3]["dup_para_frac"] == pytest.approx(0.5)
+    assert not got[3]["passes_gopher_repetition"]
+    assert got[4]["dup_line_frac"] is None      # no units: no signal
+    assert got[4]["passes_gopher_repetition"]   # and no failure
+
+
+def test_gopher_repetition_plan_is_barriered(spark):
+    from cdk_datalake_ingest_bigmagic_spark.operators.gopher import (
+        gopher_repetition,
+    )
+
+    docs = spark.createDataFrame([(1, "a\nb")], "id long, text string")
+    plan = (
+        gopher_repetition(docs, "id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    # the barrier's Generate is present and the split appears ONCE per
+    # unit kind (inlined references would repeat it per fraction)
+    assert "Generate" in plan
