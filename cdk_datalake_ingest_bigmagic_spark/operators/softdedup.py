@@ -1,0 +1,69 @@
+"""Soft deduplication: keep sqrt-many members per duplicate cluster
+instead of exactly one.
+
+Hard dedup (operators/dedup.py::attach_keep_flags — one canonical per
+cluster) treats a 10,000-copy boilerplate page and a 3-copy popular
+article identically, but duplication count carries signal: text that
+appears a few times is often GOOD (quotes, syndicated news, popular
+reference pages), and training recipes routinely keep a sublinear
+number of copies rather than one ("soft dedup" — e.g. keeping copies
+proportional to sqrt(n) so frequency still influences the training
+distribution without letting boilerplate dominate).
+
+``cluster_downsample`` keeps ``max(1, floor(sqrt(n)))`` members of
+each n-member cluster (optionally capped), chosen by a seeded md5
+order over member ids — deterministic, unbiased by ingest order, and
+identical in any engine (the gate replicates it in SQL).
+
+Scale shape: ONE hash-partition shuffle on the cluster label; the
+size count and the member rank share the single window partitioning.
+Cluster sizes are dedup-cluster sizes (bounded by the near-dup
+structure, not the corpus), and a pathologically hot cluster is the
+same regime the keep-list path already documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cluster_downsample(
+    labeled: DataFrame,
+    id_col: str = "doc_id",
+    component_col: str = "component",
+    max_keep: int | None = None,
+    seed: str = "softdedup",
+) -> DataFrame:
+    """(id, component, cluster_size, member_rank, keep) for every
+    labeled row: ``keep`` marks the first ``max(1, floor(sqrt(n)))``
+    members (capped at ``max_keep`` when given) of each cluster under
+    the seeded md5 member order. NULL components are singletons (the
+    attach_keep_flags convention): their own cluster, always kept.
+
+    ``max_keep=1`` degrades to hard dedup (one canonical per cluster,
+    md5-chosen rather than min-id); ``max_keep=None`` is the sqrt
+    policy.
+    """
+    from pyspark.sql import Window
+
+    comp = F.coalesce(F.col(component_col), F.col(id_col))
+    mix = F.md5(
+        F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(comp).orderBy(mix.asc(), F.col(id_col).asc())
+    wn = Window.partitionBy(comp)
+    n = F.count(F.lit(1)).over(wn)
+    k = F.greatest(F.lit(1), F.floor(F.sqrt(n.cast("double"))).cast("long"))
+    if max_keep is not None:
+        if max_keep < 1:
+            raise ValueError("max_keep must be >= 1")
+        k = F.least(k, F.lit(int(max_keep)))
+    rank = F.row_number().over(w)
+    return labeled.select(
+        F.col(id_col),
+        comp.alias(component_col),
+        n.cast("long").alias("cluster_size"),
+        rank.cast("long").alias("member_rank"),
+        (rank <= k).alias("keep"),
+    )

@@ -269,12 +269,12 @@ from cdk_datalake_ingest_bigmagic_spark.queries import curation4  # noqa: E402,F
 #   queries/curation5.py (NOT imported here — the registered-but-
 #   never-gated invariant): gopher_quality_card, dsir_bucket_counts,
 #   dsir_bucket_distribution, pii_financial_counts,
-#   gopher_repetition_fracs — all five validated against DuckDB at
-#   sf0.01 AND sf0.1 this round (tools/validate_module.py curation5,
-#   0 failures both). Round 10: add `from ... import curation5` below
-#   and put the five names plus the 34-query obligation in
-#   _GATE_FRONT (~39 slots), leaving ~11 for riders of whatever
-#   round 10 touches. Also queued for round 10 (riders already in the
+#   gopher_repetition_fracs, softdedup_cluster_keep — all six
+#   validated against DuckDB at sf0.01 AND sf0.1 this round
+#   (tools/validate_module.py curation5, 0 failures both). Round 10:
+#   add `from ... import curation5` below and put the six names plus
+#   the 34-query obligation in _GATE_FRONT (~40 slots), leaving ~10
+#   for riders of whatever round 10 touches. Also queued for round 10 (riders already in the
 #   34): fold the score card's local sentence-stat derivation back
 #   into operators/sentences.py behind a barrier (see scorecard.py
 #   comment), and consider the same treatment for text.py's

@@ -402,3 +402,63 @@ def gopher_repetition_fracs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prepped = d.select("doc_id", t.alias("text"))
     return gopher_repetition(prepped, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Soft dedup (operators/softdedup.py)
+# ---------------------------------------------------------------------------
+#
+# Synthetic clusters with varied sizes: doc_id % 3 == 0 rows are
+# singletons (NULL component), the rest cluster on doc_id % 40 —
+# ~2.5% of the corpus per cluster, so sqrt-keep does real work.
+# floor(sqrt(n)) is gate-safe: IEEE sqrt is CORRECTLY ROUNDED (unlike
+# ln/exp, which the determinism rules ban from gated columns), so
+# both engines agree bit-for-bit, including at perfect squares.
+
+
+@register(
+    "softdedup_cluster_keep",
+    oracle="""
+    WITH labeled AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN NULL
+                  ELSE 'c' || (doc_id % 40) END AS component
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id,
+             coalesce(component, CAST(doc_id AS VARCHAR)) AS component,
+             CAST(count(*) OVER (
+               PARTITION BY coalesce(component, CAST(doc_id AS VARCHAR))
+             ) AS BIGINT) AS cluster_size,
+             CAST(row_number() OVER (
+               PARTITION BY coalesce(component, CAST(doc_id AS VARCHAR))
+               ORDER BY md5('softdedup:' || doc_id) ASC, doc_id ASC
+             ) AS BIGINT) AS member_rank
+      FROM labeled
+    )
+    SELECT doc_id, component, cluster_size, member_rank,
+           member_rank <= greatest(
+             CAST(1 AS BIGINT),
+             CAST(floor(sqrt(CAST(cluster_size AS DOUBLE))) AS BIGINT)
+           ) AS keep
+    FROM ranked
+    """,
+)
+def softdedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cluster_downsample's full decision — per-cluster sizes, seeded
+    md5 member ranks, and the sqrt-keep flag — against the oracle's
+    window replication (singletons via NULL components included)."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.softdedup import (
+        cluster_downsample,
+    )
+    from pyspark.sql import functions as F
+
+    d = load(spark, sf_dir, "documents")
+    labeled = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.lit(None)).otherwise(
+            F.concat(F.lit("c"), (F.col("doc_id") % 40).cast("string"))
+        ).alias("component"),
+    )
+    return cluster_downsample(labeled)

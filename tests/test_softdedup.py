@@ -1,0 +1,68 @@
+"""Soft dedup: sqrt-keep policy, determinism, singleton handling."""
+
+import hashlib
+import math
+
+import pytest
+
+from cdk_datalake_ingest_bigmagic_spark.operators.softdedup import (
+    cluster_downsample,
+)
+
+
+def _labeled(spark):
+    rows = []
+    # cluster 'a': 9 members -> keep 3; 'b': 2 -> keep 1; singleton NULL
+    for i in range(9):
+        rows.append((i, "a"))
+    rows += [(20, "b"), (21, "b"), (30, None)]
+    return spark.createDataFrame(rows, "doc_id long, component string")
+
+
+def test_sqrt_keep_counts(spark):
+    out = cluster_downsample(_labeled(spark))
+    by_comp = {}
+    for r in out.collect():
+        by_comp.setdefault(r["component"], []).append(r)
+    assert sum(r["keep"] for r in by_comp["a"]) == 3     # floor(sqrt(9))
+    assert sum(r["keep"] for r in by_comp["b"]) == 1     # floor(sqrt(2))
+    assert all(r["cluster_size"] == 9 for r in by_comp["a"])
+    # NULL component -> singleton under its own id, kept
+    single = by_comp["30"]
+    assert len(single) == 1 and single[0]["keep"] is True
+    assert single[0]["cluster_size"] == 1
+
+
+def test_members_chosen_by_seeded_md5(spark):
+    out = {r["doc_id"]: r for r in cluster_downsample(_labeled(spark)).collect()}
+    order = sorted(
+        range(9),
+        key=lambda i: (hashlib.md5(f"softdedup:{i}".encode()).hexdigest(), i),
+    )
+    kept = {i for i in range(9) if out[i]["keep"]}
+    assert kept == set(order[:3])
+    # rank follows the same order
+    assert [out[i]["member_rank"] for i in order] == list(range(1, 10))
+
+
+def test_max_keep_cap_and_hard_mode(spark):
+    out = cluster_downsample(_labeled(spark), max_keep=1)
+    kept = [r for r in out.collect() if r["keep"]]
+    assert len(kept) == 3                                # one per cluster
+    with pytest.raises(ValueError):
+        cluster_downsample(_labeled(spark), max_keep=0)
+
+
+def test_deterministic_across_runs(spark):
+    a = sorted(map(tuple, cluster_downsample(_labeled(spark)).collect()))
+    b = sorted(map(tuple, cluster_downsample(_labeled(spark)).collect()))
+    assert a == b
+
+
+def test_sqrt_boundary_exact(spark):
+    # perfect squares sit exactly on the boundary: IEEE sqrt is
+    # correctly rounded, so floor(sqrt(k^2)) == k in every engine
+    rows = [(i, "c") for i in range(16)]
+    df = spark.createDataFrame(rows, "doc_id long, component string")
+    out = cluster_downsample(df)
+    assert sum(r["keep"] for r in out.collect()) == 4
