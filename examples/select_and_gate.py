@@ -111,16 +111,18 @@ def main(work_dir: str) -> dict:
     )
 
     # 5. document the cut: sweep the weights as scores against the
-    # "is finance" label to show where the operating point sits
-    scored = selected.select(
-        # min-max squash into [0,1] for the binning sweep
+    # "is finance" label to show where the operating point sits.
+    # min-max bounds join in as a broadcast scalar — an unpartitioned
+    # window here would be Exchange SinglePartition over the whole
+    # selection card (see operators/ranking.py).
+    bounds = selected.agg(
+        F.min("weight").alias("__lo"), F.max("weight").alias("__hi")
+    )
+    span = F.col("__hi") - F.col("__lo")
+    scored = selected.crossJoin(F.broadcast(bounds)).select(
         (
-            (F.col("weight") - F.min("weight").over(_all()))
-            / F.when(
-                (F.max("weight").over(_all()) - F.min("weight").over(_all()))
-                != 0,
-                F.max("weight").over(_all()) - F.min("weight").over(_all()),
-            )
+            (F.col("weight") - F.col("__lo"))
+            / F.when(span != 0, span)
         ).alias("quality_prob"),
         (F.col("doc_id") % 3 == 0).cast("int").alias("label"),
     )
@@ -147,12 +149,6 @@ def main(work_dir: str) -> dict:
     }
     print(json.dumps(report))
     return report
-
-
-def _all():
-    from pyspark.sql import Window
-
-    return Window.partitionBy()
 
 
 if __name__ == "__main__":
