@@ -46,6 +46,7 @@ def global_rank(
     order: list[Column],
     rank_col: str = "global_rank",
     n_partitions: int | None = None,
+    total_col: str | None = None,
 ) -> DataFrame:
     """All input columns plus ``rank_col`` = the 1-based position in
     the TOTAL order given by ``order`` (a list of Column sort
@@ -55,6 +56,11 @@ def global_rank(
 
     Equivalent to ``row_number() over (order by ...)`` but planned as
     a range-partitioned sort instead of ``Exchange SinglePartition``.
+
+    ``total_col`` additionally attaches the TOTAL row count to every
+    row — it rides the same bounded offsets broadcast, so consumers
+    that need count(*) alongside the rank (ntile, top-fraction)
+    avoid a second pass over the data.
     """
     if not order:
         raise ValueError("order must name at least one sort expression")
@@ -78,18 +84,24 @@ def global_rank(
     wo = Window.orderBy("__pid").rowsBetween(
         Window.unboundedPreceding, -1
     )
+    w_all = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     offsets = counts.select(
         "__pid",
         F.coalesce(F.sum("__c").over(wo), F.lit(0)).alias("__off"),
+        F.sum("__c").over(w_all).alias("__tot"),
     )
     seq = F.col("__mid") - F.col("__pid").cast("long") * F.lit(
         _MID_PARTITION_STRIDE
     )
-    return (
+    out = (
         tagged.join(F.broadcast(offsets), "__pid")
         .withColumn(rank_col, (F.col("__off") + seq + 1).cast("long"))
-        .drop("__pid", "__mid", "__off")
     )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.col("__tot").cast("long"))
+    return out.drop("__pid", "__mid", "__off", "__tot")
 
 
 def global_ntile(
@@ -107,11 +119,10 @@ def global_ntile(
     """
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
-    ranked = global_rank(df, order, "__rank", n_partitions)
-    # the total row count joins in as a broadcast scalar (a
-    # partitionBy() window would be Exchange SinglePartition again)
-    n = ranked.sparkSession.createDataFrame(
-        [(ranked.count(),)], "__total long"
+    # the total rides global_rank's offsets broadcast — no second
+    # pass over the data for count(*)
+    ranked = global_rank(
+        df, order, "__rank", n_partitions, total_col="__total"
     )
     base = F.floor(F.col("__total") / n_buckets).cast("long")
     rem = (F.col("__total") % n_buckets).cast("long")
@@ -129,10 +140,8 @@ def global_ntile(
             base > 0, F.floor((r - boundary - 1) / base).cast("long")
         ).otherwise(F.lit(0))
     ) + 1
-    return (
-        ranked.crossJoin(F.broadcast(n))
-        .withColumn(bucket_col, bucket.cast("int"))
-        .drop("__rank", "__total")
+    return ranked.withColumn(bucket_col, bucket.cast("int")).drop(
+        "__rank", "__total"
     )
 
 
@@ -150,10 +159,15 @@ def top_fraction(
     subset."""
     if not 0.0 < keep_frac <= 1.0:
         raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
-    # count the INPUT, not the ranked frame: same number, but the
-    # count action skips the range shuffle (and hits the cache when
-    # the caller persisted df)
-    n = df.count()
-    k = max(1, int(n * keep_frac))
-    ranked = global_rank(df, order, "__rank", n_partitions)
-    return ranked.withColumn(flag_col, F.col("__rank") <= k).drop("__rank")
+    # the total rides global_rank's offsets broadcast — zero extra
+    # actions, fully lazy; k = max(1, floor(total * keep_frac))
+    ranked = global_rank(
+        df, order, "__rank", n_partitions, total_col="__total"
+    )
+    k = F.greatest(
+        F.lit(1),
+        F.floor(F.col("__total") * F.lit(float(keep_frac))).cast("long"),
+    )
+    return ranked.withColumn(flag_col, F.col("__rank") <= k).drop(
+        "__rank", "__total"
+    )
