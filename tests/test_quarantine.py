@@ -131,3 +131,37 @@ def test_write_counts_are_per_batch_under_append(spark, tmp_path):
     assert first == (2, 1) and second == (2, 1)
     assert spark.read.parquet(path).count() == 4
     assert spark.read.parquet(f"{path}/_quarantine").count() == 2
+
+
+def test_quarantine_in_streaming_foreachbatch(spark, tmp_path):
+    """The split works unchanged inside a streaming foreachBatch sink:
+    per-batch clean/quarantined counts under append mode, quarantine
+    invisible to readers of the output path — the incremental-ingest
+    shape (sources/fixedwidth strict reads land this way)."""
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, False), (2, True), (3, False), (4, True)],
+        "id long, _malformed boolean",
+    ).write.parquet(src)
+    static = spark.read.parquet(src)
+    out = str(tmp_path / "out")
+    batches = []
+
+    def sink(batch_df, batch_id):
+        rules = fixedwidth_rules(batch_df)
+        batches.append(
+            write_with_quarantine(batch_df, out, rules, mode="append")
+        )
+
+    q = (
+        spark.readStream.schema(static.schema)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sum(c for c, _ in batches) == 2
+    assert sum(qn for _, qn in batches) == 2
+    assert spark.read.parquet(out).count() == 2          # readers: clean only
+    assert spark.read.parquet(f"{out}/_quarantine").count() == 2
