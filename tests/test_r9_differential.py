@@ -1,0 +1,102 @@
+"""Randomized differential sweeps for the round-9 operators whose
+edge-case space golden tests can't enumerate: the Luhn checksum
+column vs a Python reference, and the duplicate line/paragraph
+fractions vs direct computation. One seeded batch per property, one
+DataFrame round trip (the robots-module sweep pattern)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.operators.gopher import (
+    gopher_repetition,
+)
+from cdk_datalake_ingest_bigmagic_spark.operators.pii2 import luhn_valid
+
+
+def _py_luhn(s: str) -> bool:
+    d = [int(c) for c in s if c.isdigit()][::-1]
+    if len(d) < 13:
+        return False
+    tot = 0
+    for i, x in enumerate(d):
+        if i % 2 == 1:
+            x *= 2
+            if x > 9:
+                x -= 9
+        tot += x
+    return tot % 10 == 0
+
+
+def test_luhn_differential_sweep(spark):
+    rng = random.Random(42)
+    cases = []
+    for i in range(300):
+        n = rng.randint(10, 22)
+        digits = [str(rng.randint(0, 9)) for _ in range(n)]
+        # a third get separators sprinkled in
+        if i % 3 == 0:
+            s = ""
+            for j, ch in enumerate(digits):
+                s += ch
+                if j < n - 1 and rng.random() < 0.3:
+                    s += rng.choice(" -")
+            cases.append((i, s))
+        else:
+            cases.append((i, "".join(digits)))
+    # force some valid ones: fix the check digit of a random prefix
+    for i in range(300, 330):
+        n = rng.randint(13, 19)
+        body = [rng.randint(0, 9) for _ in range(n - 1)]
+        s = "".join(map(str, body))
+        for check in range(10):
+            if _py_luhn(s + str(check)):
+                cases.append((i, s + str(check)))
+                break
+    df = spark.createDataFrame(cases, "i long, s string")
+    got = {
+        r["i"]: r["v"]
+        for r in df.select("i", luhn_valid(F.col("s")).alias("v")).collect()
+    }
+    want = {i: _py_luhn(s) for i, s in cases}
+    assert got == want
+    assert sum(want.values()) >= 30          # the forced-valid tail
+
+
+def _py_fracs(units):
+    units = [u.strip() for u in units if u.strip()]
+    if not units:
+        return None, None
+    distinct = list(dict.fromkeys(units))
+    f = round(1.0 - len(distinct) / len(units), 6)
+    chars = sum(len(u) for u in units)
+    dchars = sum(len(u) for u in distinct)
+    cf = round(1.0 - dchars / chars, 6) if chars else None
+    return f, cf
+
+
+def test_repetition_fracs_differential_sweep(spark):
+    rng = random.Random(7)
+    vocab = ["alpha", "beta gamma", "  padded  ", "x", "", "repeat me"]
+    cases = []
+    for i in range(150):
+        lines = [rng.choice(vocab) for _ in range(rng.randint(0, 12))]
+        cases.append((i, "\n".join(lines), lines))
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in cases], "i long, text string"
+    )
+    got = {
+        r["i"]: (r["dup_line_frac"], r["dup_line_char_frac"])
+        for r in gopher_repetition(df, "i", "text").collect()
+    }
+    for i, _, lines in cases:
+        f, cf = _py_fracs(lines)
+        gf, gcf = got[i]
+        assert gf == pytest.approx(f) if f is not None else gf is None, i
+        if cf is None:
+            assert gcf is None, i
+        else:
+            assert gcf == pytest.approx(cf), i
