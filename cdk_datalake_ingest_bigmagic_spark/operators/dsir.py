@@ -76,15 +76,18 @@ def hashed_ngram_counts(
         F.split(F.lower(F.col(text_col)), r"[^a-z0-9']+"),
         lambda x: x != "",
     )
-    uni = df.select(F.col(id_col), F.explode(toks).alias("gram"))
     pair_len = F.greatest(F.size(toks) - 1, F.lit(0))
     bigrams = F.zip_with(
         F.slice(toks, 1, pair_len),
         F.slice(toks, 2, pair_len),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    bi = df.select(F.col(id_col), F.explode(bigrams).alias("gram"))
-    grams = uni.unionByName(bi)
+    # ONE generator emits both gram orders (array concat), so the
+    # corpus text is scanned once — a union of two selects would read
+    # every document twice
+    grams = df.select(
+        F.col(id_col), F.explode(F.concat(toks, bigrams)).alias("gram")
+    )
     return (
         grams.select(F.col(id_col), _bucket(F.col("gram"), n_buckets).alias("bucket"))
         .groupBy(id_col, "bucket")
