@@ -1,0 +1,214 @@
+"""Delta Lake transaction-log writer for the parquet stage backend.
+
+delta-spark is environment-blocked here (recorded every round in
+SCALE.md), but the Delta TRANSACTION LOG is a public, stable format
+(the delta.io PROTOCOL specification): newline-delimited JSON action
+files under ``_delta_log/%020d.json`` — ``protocol`` + ``metaData``
+on the first commit, ``add`` actions naming the live parquet files
+(with sizes and partition values), ``remove`` actions retiring
+replaced files. Writing that log alongside the parquet backend's
+files makes every stage table a READABLE DELTA TABLE for any
+external Delta reader (delta-rs, delta-spark, Trino, DuckDB's
+delta extension) — upgrading the S9 story from "parquet emulation
+with a Delta-shaped API" to "Delta-format tables, reader-verifiable
+outside this environment".
+
+Scope (deliberate): reader-protocol v1 / writer v2, full-file add/
+remove semantics — exactly what the backend's overwrite +
+copy-on-write rewrite produce. No deletion vectors, no column
+mapping, no checkpoints (readers replay JSON commits; checkpointing
+is an optimization readers don't require). The backend stays
+dependency-free: the log is plain JSON + file metadata.
+
+The ``_delta_log`` directory is underscore-prefixed, so plain
+``spark.read.parquet`` consumers never see it — the log is additive
+metadata, not a behavior change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from pathlib import Path
+from urllib.parse import unquote
+
+#: Minimum versions for plain add/remove parquet tables (PROTOCOL.md).
+READER_VERSION = 1
+WRITER_VERSION = 2
+
+
+def _log_dir(table_path: str) -> Path:
+    return Path(table_path) / "_delta_log"
+
+
+def current_version(table_path: str) -> int | None:
+    """Highest committed version, or None when no log exists."""
+    d = _log_dir(table_path)
+    if not d.is_dir():
+        return None
+    versions = [
+        int(p.stem) for p in d.glob("*.json") if p.stem.isdigit()
+    ]
+    return max(versions) if versions else None
+
+
+def live_files(table_path: str) -> dict[str, dict]:
+    """Replay the log: relative path -> its latest ``add`` action for
+    every file that has not been removed. This is exactly a Delta
+    reader's state reconstruction over JSON commits."""
+    d = _log_dir(table_path)
+    state: dict[str, dict] = {}
+    if not d.is_dir():
+        return state
+    for p in sorted(d.glob("*.json"), key=lambda p: int(p.stem)):
+        for line in p.read_text().splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "add" in action:
+                state[action["add"]["path"]] = action["add"]
+            elif "remove" in action:
+                state.pop(action["remove"]["path"], None)
+    return state
+
+
+def _scan_parquet_files(table_path: str) -> list[tuple[str, int, int]]:
+    """(relative_path, size, mtime_ms) for every data file under the
+    table, skipping underscore/dot metadata trees."""
+    root = Path(table_path)
+    out = []
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames[:] = [
+            d for d in dirnames if not d.startswith(("_", "."))
+        ]
+        for name in filenames:
+            if not name.endswith(".parquet") or name.startswith(("_", ".")):
+                continue
+            full = Path(dirpath) / name
+            rel = full.relative_to(root).as_posix()
+            st = full.stat()
+            out.append((rel, st.st_size, int(st.st_mtime * 1000)))
+    return sorted(out)
+
+
+def _partition_values(rel_path: str, partition_cols: list[str]) -> dict:
+    """Hive-style directory components -> partitionValues map; columns
+    missing from the path map to None (the spec's null)."""
+    values: dict[str, str | None] = {c: None for c in partition_cols}
+    for part in rel_path.split("/")[:-1]:
+        if "=" in part:
+            k, _, v = part.partition("=")
+            if k in values:
+                values[k] = unquote(v)
+    return values
+
+
+def _write_commit(table_path: str, version: int, actions: list[dict]) -> Path:
+    d = _log_dir(table_path)
+    d.mkdir(parents=True, exist_ok=True)
+    target = d / f"{version:020d}.json"
+    tmp = d / f".{version:020d}.json.tmp"
+    tmp.write_text("\n".join(json.dumps(a) for a in actions) + "\n")
+    # atomic publish — a concurrent reader sees the commit fully or
+    # not at all (the spec's put-if-absent contract on local FS)
+    tmp.rename(target)
+    return target
+
+
+def commit_snapshot(
+    table_path: str,
+    schema_json: str,
+    partition_cols: list[str] | None = None,
+    operation: str = "WRITE",
+) -> int:
+    """Commit the table's CURRENT on-disk parquet files as the new
+    table state: first commit carries protocol+metaData, later
+    commits remove every previously-live file the disk no longer has
+    and add the new ones (the overwrite/rewrite shape of the parquet
+    backend). Returns the committed version."""
+    partition_cols = list(partition_cols or [])
+    prev_version = current_version(table_path)
+    version = 0 if prev_version is None else prev_version + 1
+    now = int(time.time() * 1000)
+    files = _scan_parquet_files(table_path)
+    previous = live_files(table_path)
+
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now,
+                "operation": operation,
+                "operationParameters": {},
+                "engineInfo": "cdk-datalake-ingest-bigmagic-spark",
+            }
+        }
+    ]
+    if version == 0:
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": READER_VERSION,
+                    "minWriterVersion": WRITER_VERSION,
+                }
+            }
+        )
+    # metaData on v0 and whenever the schema string changes
+    meta = {
+        "id": str(uuid.uuid5(uuid.NAMESPACE_URL, table_path)),
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema_json,
+        "partitionColumns": partition_cols,
+        "configuration": {},
+        "createdTime": now,
+    }
+    if version == 0 or _schema_changed(table_path, schema_json):
+        actions.append({"metaData": meta})
+
+    current = {rel for rel, _, _ in files}
+    for rel, add in previous.items():
+        if rel not in current:
+            actions.append(
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": now,
+                        "dataChange": True,
+                    }
+                }
+            )
+    for rel, size, mtime in files:
+        prev = previous.get(rel)
+        if prev and prev.get("size") == size:
+            continue  # unchanged file stays live from its old add
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": _partition_values(
+                        rel, partition_cols
+                    ),
+                    "size": size,
+                    "modificationTime": mtime,
+                    "dataChange": True,
+                }
+            }
+        )
+    _write_commit(table_path, version, actions)
+    return version
+
+
+def _schema_changed(table_path: str, schema_json: str) -> bool:
+    d = _log_dir(table_path)
+    if not d.is_dir():
+        return True
+    last = None
+    for p in sorted(d.glob("*.json"), key=lambda p: int(p.stem)):
+        for line in p.read_text().splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "metaData" in action:
+                last = action["metaData"].get("schemaString")
+    return last != schema_json

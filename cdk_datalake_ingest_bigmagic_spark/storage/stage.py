@@ -75,10 +75,55 @@ class ParquetStageTable:
     # -- writes ------------------------------------------------------------
 
     def overwrite(self, df: DataFrame, partition_cols: list[str] | None = None) -> None:
+        # Spark's overwrite clears the directory INCLUDING _delta_log;
+        # stash the log so the overwrite commits as the next version
+        # of the same table history instead of restarting at v0
+        saved = self._stash_delta_log()
         writer = df.write.mode("overwrite")
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
         writer.parquet(self.path)
+        self._restore_delta_log(saved)
+        self._commit_delta_log(df, partition_cols, "WRITE")
+
+    def _stash_delta_log(self) -> dict[str, str] | None:
+        if not _is_local_path(self.path):  # pragma: no cover
+            return None
+        log = _local(self.path) / "_delta_log"
+        if not log.is_dir():
+            return None
+        return {p.name: p.read_text() for p in log.glob("*.json")}
+
+    def _restore_delta_log(self, saved: dict[str, str] | None) -> None:
+        if not saved:
+            return
+        log = _local(self.path) / "_delta_log"
+        log.mkdir(parents=True, exist_ok=True)
+        for name, text in saved.items():
+            (log / name).write_text(text)
+
+    def _commit_delta_log(
+        self,
+        df: DataFrame,
+        partition_cols: list[str] | None,
+        operation: str,
+    ) -> None:
+        """Publish the table state as a Delta transaction-log commit
+        (storage/deltalog.py): the parquet backend's tables become
+        spec-conformant Delta tables any external Delta reader can
+        load, without delta-spark in this environment. Local paths
+        only (the log writer walks the filesystem); object-store
+        paths keep the plain-parquet behavior."""
+        if not _is_local_path(self.path):  # pragma: no cover - object store
+            return
+        from cdk_datalake_ingest_bigmagic_spark.storage import deltalog
+
+        deltalog.commit_snapshot(
+            str(_local(self.path)),
+            df.schema.json(),
+            partition_cols,
+            operation,
+        )
 
     def merge(
         self,
@@ -137,9 +182,14 @@ class ParquetStageTable:
                     c, F.lit(None).cast(incoming.schema[c].dataType)
                 )
         merged = kept.select(*incoming.columns).unionByName(incoming)
-        self._rewrite(merged, partition_cols)
+        self._rewrite(merged, partition_cols, operation="MERGE")
 
-    def _rewrite(self, df: DataFrame, partition_cols: list[str] | None) -> None:
+    def _rewrite(
+        self,
+        df: DataFrame,
+        partition_cols: list[str] | None,
+        operation: str = "WRITE",
+    ) -> None:
         """Copy-on-write via temp dir + swap: the merged plan reads the
         live files, so write elsewhere first."""
         if _is_local_path(self.path):
@@ -151,9 +201,15 @@ class ParquetStageTable:
             live = _local(self.path)
             backup = str(live) + ".bak"
             if live.exists():
+                # carry the delta log through the swap so the rewrite
+                # commits as the NEXT version of the same table
+                prior_log = live / "_delta_log"
+                if prior_log.is_dir():
+                    shutil.move(str(prior_log), str(Path(tmp) / "_delta_log"))
                 live.rename(backup)
             Path(tmp).rename(live)
             shutil.rmtree(backup, ignore_errors=True)
+            self._commit_delta_log(df, partition_cols, operation)
         else:  # pragma: no cover - object stores: stage via checkpointed df
             materialized = df.localCheckpoint(eager=True)
             writer = materialized.write.mode("overwrite")
@@ -178,7 +234,7 @@ class ParquetStageTable:
         for c, t in (partition_types or {}).items():
             df = df.withColumn(c, F.col(c).cast(t))
         n = target_partitions or max(1, df.rdd.getNumPartitions() // 4)
-        self._rewrite(df.repartition(n), partition_cols)
+        self._rewrite(df.repartition(n), partition_cols, operation="OPTIMIZE")
 
 
 class DeltaStageTable(ParquetStageTable):  # pragma: no cover - needs delta pkg
