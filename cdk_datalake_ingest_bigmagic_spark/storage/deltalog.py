@@ -20,6 +20,15 @@ mapping, no checkpoints (readers replay JSON commits; checkpointing
 is an optimization readers don't require). The backend stays
 dependency-free: the log is plain JSON + file metadata.
 
+Honesty note on TIME TRAVEL: the parquet backend physically replaces
+files on rewrite (directory swap), so files named by a remove action
+are gone immediately — equivalent to a Delta table vacuumed at
+retention 0. The LATEST version is always consistent (every live
+``add`` names an existing file, which is what the structural tests
+pin); historical versions are recorded in the log but not
+re-materializable. The Delta-native backend keeps tombstoned files
+through its own retention window instead.
+
 The ``_delta_log`` directory is underscore-prefixed, so plain
 ``spark.read.parquet`` consumers never see it — the log is additive
 metadata, not a behavior change.
