@@ -99,3 +99,20 @@ def test_two_day_incremental_merge_replay(spark):
         assert r["watermark_ok"]
         # the merge really grew the table: day-2 adds new keys
         assert r["rows"] == r["rows_expected"]
+    # every stage table carries a Delta transaction log whose replay
+    # matches the files on disk, with the day-2 MERGE as a later
+    # version on the same history (storage/deltalog.py)
+    from pathlib import Path
+
+    from cdk_datalake_ingest_bigmagic_spark.storage import deltalog
+
+    for r in merged[:3]:
+        table_dir = Path(workdir) / "stage" / r["table"]
+        assert deltalog.current_version(str(table_dir)) >= 1
+        live = set(deltalog.live_files(str(table_dir)))
+        disk = {
+            p.relative_to(table_dir).as_posix()
+            for p in table_dir.rglob("*.parquet")
+            if "_delta_log" not in p.parts
+        }
+        assert live == disk, r["table"]
