@@ -1,0 +1,77 @@
+"""DESCRIBE HISTORY for the parquet backend's Delta logs: one line
+per commit (version, timestamp, operation, adds/removes, net bytes)
+plus the live-state summary — the operational view a table owner
+checks after a bad load.
+
+Usage: python tools/delta_history.py <table_path> [table_path ...]
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, ".")
+
+from cdk_datalake_ingest_bigmagic_spark.storage import deltalog  # noqa: E402
+
+
+def history(table_path: str) -> list[dict]:
+    rows = []
+    log = Path(table_path) / "_delta_log"
+    for p in sorted(log.glob("*.json"), key=lambda p: int(p.stem)):
+        adds = removes = bytes_added = 0
+        op = ts = None
+        for line in p.read_text().splitlines():
+            if not line.strip():
+                continue
+            a = json.loads(line)
+            if "commitInfo" in a:
+                op = a["commitInfo"].get("operation")
+                ts = a["commitInfo"].get("timestamp")
+            elif "add" in a:
+                adds += 1
+                bytes_added += a["add"].get("size", 0)
+            elif "remove" in a:
+                removes += 1
+        rows.append(
+            {
+                "version": int(p.stem),
+                "timestamp": ts,
+                "operation": op,
+                "adds": adds,
+                "removes": removes,
+                "bytes_added": bytes_added,
+            }
+        )
+    return rows
+
+
+def main() -> int:
+    if len(sys.argv) < 2:
+        raise SystemExit("usage: delta_history.py <table_path> ...")
+    for path in sys.argv[1:]:
+        print(f"== {path}")
+        for r in history(path):
+            when = (
+                dt.datetime.fromtimestamp(
+                    r["timestamp"] / 1000, dt.timezone.utc
+                ).isoformat(timespec="seconds")
+                if r["timestamp"]
+                else "?"
+            )
+            print(
+                f"  v{r['version']:<4} {when}  {r['operation'] or '?':<9}"
+                f" +{r['adds']} files -{r['removes']}"
+                f" ({r['bytes_added']:,} bytes)"
+            )
+        live = deltalog.live_files(path)
+        total = sum(a.get("size", 0) for a in live.values())
+        print(f"  live: {len(live)} files, {total:,} bytes")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
