@@ -20,6 +20,13 @@ mapping, no checkpoints (readers replay JSON commits; checkpointing
 is an optimization readers don't require). The backend stays
 dependency-free: the log is plain JSON + file metadata.
 
+Scale note: each commit replays the prior JSON log to compute
+removes — O(versions) per write, O(versions²) cumulative. Fine for
+daily batch tables (hundreds of versions); a long-running streaming
+sink that commits thousands of batches should eventually compact the
+log (the spec's parquet checkpoint) — out of scope here and flagged
+at the one call site that could reach that regime.
+
 Honesty note on TIME TRAVEL: the parquet backend physically replaces
 files on rewrite (directory swap), so files named by a remove action
 are gone immediately — equivalent to a Delta table vacuumed at
