@@ -47,6 +47,7 @@ def global_rank(
     rank_col: str = "global_rank",
     n_partitions: int | None = None,
     total_col: str | None = None,
+    scope=None,
 ) -> DataFrame:
     """All input columns plus ``rank_col`` = the 1-based position in
     the TOTAL order given by ``order`` (a list of Column sort
@@ -61,7 +62,24 @@ def global_rank(
     row — it rides the same bounded offsets broadcast, so consumers
     that need count(*) alongside the rank (ntile, top-fraction)
     avoid a second pass over the data.
+
+    The tagged sort output is CACHED (register in ``scope`` — an
+    operators.caching.CacheScope — for deterministic release; default
+    LRU-managed). This is a CORRECTNESS requirement, not a perf
+    tweak: the per-partition counts and the data both consume the
+    range exchange, and as two independently-planned exchanges
+    (column pruning defeats static exchange reuse) each would SAMPLE
+    ITS OWN range boundaries — identical on small fully-sampled
+    inputs, divergent at scale, which would misalign the offsets and
+    corrupt ranks. The cache makes both branches read one
+    InMemoryRelation over one exchange; an evicted partition
+    recomputes through the SAME bound partitioner, so boundaries stay
+    fixed.
     """
+    from cdk_datalake_ingest_bigmagic_spark.operators.caching import (
+        scoped_cache,
+    )
+
     if not order:
         raise ValueError("order must name at least one sort expression")
     spark = df.sparkSession
@@ -71,10 +89,13 @@ def global_rank(
     ranged = df.repartitionByRange(parts, *order).sortWithinPartitions(
         *order
     )
-    tagged = ranged.select(
-        "*",
-        F.spark_partition_id().alias("__pid"),
-        F.monotonically_increasing_id().alias("__mid"),
+    tagged = scoped_cache(
+        ranged.select(
+            "*",
+            F.spark_partition_id().alias("__pid"),
+            F.monotonically_increasing_id().alias("__mid"),
+        ),
+        scope,
     )
     counts = tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
     from pyspark.sql import Window
@@ -110,6 +131,7 @@ def global_ntile(
     n_buckets: int,
     bucket_col: str = "bucket",
     n_partitions: int | None = None,
+    scope=None,
 ) -> DataFrame:
     """All input columns plus ``bucket_col`` = SQL
     ``NTILE(n_buckets) OVER (ORDER BY ...)``, bit-identical to the
@@ -122,7 +144,7 @@ def global_ntile(
     # the total rides global_rank's offsets broadcast — no second
     # pass over the data for count(*)
     ranked = global_rank(
-        df, order, "__rank", n_partitions, total_col="__total"
+        df, order, "__rank", n_partitions, total_col="__total", scope=scope
     )
     base = F.floor(F.col("__total") / n_buckets).cast("long")
     rem = (F.col("__total") % n_buckets).cast("long")
@@ -151,6 +173,7 @@ def top_fraction(
     keep_frac: float,
     flag_col: str = "selected",
     n_partitions: int | None = None,
+    scope=None,
 ) -> DataFrame:
     """All input columns plus ``flag_col`` marking the first
     ``floor(count * keep_frac)`` rows (at least 1) of the total
@@ -162,7 +185,7 @@ def top_fraction(
     # the total rides global_rank's offsets broadcast — zero extra
     # actions, fully lazy; k = max(1, floor(total * keep_frac))
     ranked = global_rank(
-        df, order, "__rank", n_partitions, total_col="__total"
+        df, order, "__rank", n_partitions, total_col="__total", scope=scope
     )
     k = F.greatest(
         F.lit(1),

@@ -101,6 +101,10 @@ def test_no_single_partition_exchange_over_data(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "rangepartitioning" in plan.lower()
+    # CORRECTNESS pin: both consumers (counts, data) must read the ONE
+    # cached sort output — independently-planned range exchanges would
+    # sample their own boundaries and misalign the offsets at scale
+    assert plan.count("InMemoryTableScan") >= 2, plan
     # the offsets window runs over the counts aggregate, never the data:
     # every SinglePartition exchange must sit above a HashAggregate
     for chunk in plan.split("Exchange SinglePartition")[1:]:
