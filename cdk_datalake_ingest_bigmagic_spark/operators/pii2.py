@@ -125,16 +125,32 @@ def scrub_financial(text_col) -> Column:
     Candidates are deduplicated first so a repeated card costs one
     replace (``replace`` already rewrites every occurrence)."""
     t = F.col(text_col) if isinstance(text_col, str) else text_col
-    valid_cc = F.array_distinct(
-        F.filter(
-            F.regexp_extract_all(t, F.lit(CC_CANDIDATE_PATTERN), 0),
-            luhn_valid,
+
+    def longest_first(arr):
+        # replace longer candidates before shorter ones: a shorter
+        # valid number that happens to be a substring of a longer one
+        # elsewhere in the text would otherwise split the longer span
+        # before its own replace runs (both still get destroyed — this
+        # keeps the placeholders clean)
+        keyed = F.transform(
+            arr, lambda c: F.struct((-F.length(c)).alias("k"), c.alias("c"))
+        )
+        return F.transform(F.array_sort(keyed), lambda s: s["c"])
+
+    valid_cc = longest_first(
+        F.array_distinct(
+            F.filter(
+                F.regexp_extract_all(t, F.lit(CC_CANDIDATE_PATTERN), 0),
+                luhn_valid,
+            )
         )
     )
-    valid_ssn = F.array_distinct(
-        F.filter(
-            F.regexp_extract_all(t, F.lit(SSN_FORMAT_PATTERN), 0),
-            ssn_structurally_valid,
+    valid_ssn = longest_first(
+        F.array_distinct(
+            F.filter(
+                F.regexp_extract_all(t, F.lit(SSN_FORMAT_PATTERN), 0),
+                ssn_structurally_valid,
+            )
         )
     )
     scrubbed = F.aggregate(

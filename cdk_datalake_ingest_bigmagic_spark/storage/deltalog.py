@@ -55,6 +55,11 @@ READER_VERSION = 1
 WRITER_VERSION = 2
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed this version first (put-if-absent
+    lost) — the caller should re-read the log and retry."""
+
+
 def _log_dir(table_path: str) -> Path:
     return Path(table_path) / "_delta_log"
 
@@ -125,11 +130,20 @@ def _write_commit(table_path: str, version: int, actions: list[dict]) -> Path:
     d = _log_dir(table_path)
     d.mkdir(parents=True, exist_ok=True)
     target = d / f"{version:020d}.json"
-    tmp = d / f".{version:020d}.json.tmp"
+    tmp = d / f".{version:020d}.json.{uuid.uuid4().hex[:8]}.tmp"
     tmp.write_text("\n".join(json.dumps(a) for a in actions) + "\n")
-    # atomic publish — a concurrent reader sees the commit fully or
-    # not at all (the spec's put-if-absent contract on local FS)
-    tmp.rename(target)
+    # PUT-IF-ABSENT publish (the spec's commit contract): link() fails
+    # with EEXIST when another writer won the version — a plain
+    # rename() would silently REPLACE their commit and lose it
+    try:
+        os.link(tmp, target)
+    except FileExistsError:
+        tmp.unlink(missing_ok=True)
+        raise ConcurrentCommitError(
+            f"version {version} already committed at {target}; "
+            "re-read the log and retry at the next version"
+        )
+    tmp.unlink(missing_ok=True)
     return target
 
 

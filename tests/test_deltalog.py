@@ -119,3 +119,26 @@ def test_unchanged_schema_not_recommitted(spark, tmp_path):
     t.overwrite(wider)
     v2 = _read_log(path)[2][1]
     assert any("metaData" in a for a in v2)
+
+
+def test_commit_is_put_if_absent(spark, tmp_path):
+    """The spec's commit contract: a version file that already exists
+    must NOT be replaced — the second writer gets a typed error and
+    retries at the next version."""
+    import pytest
+
+    path = str(tmp_path / "t6")
+    t = ParquetStageTable(spark, path)
+    t.overwrite(_df(spark, [(1, 0, "a")]))
+    schema = _df(spark, [(1, 0, "a")]).schema.json()
+    # simulate a racing writer that computed the same next version
+    with pytest.raises(deltalog.ConcurrentCommitError):
+        deltalog._write_commit(path, 0, [{"commitInfo": {"timestamp": 1}}])
+    # the losing attempt leaves no temp litter and the original commit
+    # is intact
+    log_dir = Path(path, "_delta_log")
+    assert not list(log_dir.glob("*.tmp"))
+    assert deltalog.current_version(path) == 0
+    # a normal retry at the NEXT version succeeds
+    v = deltalog.commit_snapshot(path, schema)
+    assert v == 1
