@@ -269,12 +269,14 @@ from cdk_datalake_ingest_bigmagic_spark.queries import curation4  # noqa: E402,F
 #   queries/curation5.py (NOT imported here — the registered-but-
 #   never-gated invariant): gopher_quality_card, dsir_bucket_counts,
 #   dsir_bucket_distribution, pii_financial_counts,
-#   gopher_repetition_fracs, softdedup_cluster_keep — all six
-#   validated against DuckDB at sf0.01 AND sf0.1 this round
+#   gopher_repetition_fracs, softdedup_cluster_keep,
+#   ranking_global_order (the distributed rank/ntile/top-fraction vs
+#   the plain window forms as the oracle) — all seven validated
+#   against DuckDB at sf0.01 AND sf0.1 this round
 #   (tools/validate_module.py curation5, 0 failures both). Round 10:
-#   add `from ... import curation5` below and put the six names plus
-#   the 34-query obligation in _GATE_FRONT (~40 slots), leaving ~10
-#   for riders of whatever round 10 touches. Also queued for round 10 (riders already in the
+#   add `from ... import curation5` below and put the seven names
+#   plus the 34-query obligation in _GATE_FRONT (~41 slots), leaving
+#   ~9 for riders of whatever round 10 touches. Also queued for round 10 (riders already in the
 #   34): fold the score card's local sentence-stat derivation back
 #   into operators/sentences.py behind a barrier (see scorecard.py
 #   comment), and consider the same treatment for text.py's
@@ -282,11 +284,9 @@ from cdk_datalake_ingest_bigmagic_spark.queries import curation4  # noqa: E402,F
 #   dsir importance weights + dsir_select (log floats; differential-
 #   tested), gopher threshold keywords (pure parameterization of the
 #   gated card), pii2 scrub_financial (string rewrite of the gated
-#   counts' candidates), ranking global_rank/ntile/top_fraction
-#   (window-form equality is test-pinned; curriculum_shard_order's
-#   NTILE oracle covers the ntile path end-to-end).
-#   CYCLE ARITHMETIC AT 140 (post-curation5): demand 140/cycle vs
-#   capacity 150 — still closes with ~10 slack; riders are mostly
+#   counts' candidates).
+#   CYCLE ARITHMETIC AT 141 (post-curation5): demand 141/cycle vs
+#   capacity 150 — still closes with ~9 slack; riders are mostly
 #   free (a rider re-gate resets that query's freshness clock).
 #   Retirement only becomes necessary near ~148 registered; the first
 #   candidates then are the single-function DSL demos (clearstring/

@@ -462,3 +462,58 @@ def softdedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("component"),
     )
     return cluster_downsample(labeled)
+
+
+# ---------------------------------------------------------------------------
+# Distributed global order statistics (operators/ranking.py)
+# ---------------------------------------------------------------------------
+#
+# The strongest possible check for the range-partitioned rank: the
+# oracle is the PLAIN single-partition window form (row_number /
+# NTILE over the full order) — the distributed implementation must
+# reproduce it bit for bit, including NTILE's count%n big buckets
+# and the top-fraction cut line.
+
+
+@register(
+    "ranking_global_order",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (
+               ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS pos,
+             CAST(ntile(7) OVER (
+               ORDER BY n_chars DESC, doc_id ASC) AS INTEGER) AS septile,
+             CAST(count(*) OVER () AS BIGINT) AS total
+      FROM documents
+    )
+    SELECT doc_id, pos, septile,
+           pos <= greatest(CAST(1 AS BIGINT),
+                           CAST(floor(total * CAST(0.25 AS DOUBLE))
+                                AS BIGINT)) AS in_top_quarter
+    FROM ranked
+    """,
+)
+def ranking_global_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """global_rank + global_ntile + top_fraction over a total order —
+    the range-partitioned implementations against the oracle's plain
+    window forms (which a 100 TB cluster could never run: the oracle
+    IS the single-partition shape these operators exist to retire)."""
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_bigmagic_spark.operators.ranking import (
+        global_ntile,
+        global_rank,
+        top_fraction,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    order = [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    ranked = global_rank(d, order, rank_col="pos", n_partitions=8)
+    tiled = global_ntile(ranked, order, 7, bucket_col="septile",
+                         n_partitions=8)
+    flagged = top_fraction(tiled, order, 0.25, flag_col="in_top_quarter",
+                           n_partitions=8)
+    return flagged.select(
+        "doc_id", "pos", "septile", "in_top_quarter"
+    )
