@@ -134,11 +134,17 @@ def score_card(
     # gate queries outside this round's window (rider rule) — fold it
     # back into sentence_stats_columns in round 10, whose obligation
     # already re-gates all three.
-    scored = keep_barrier(
-        scored.withColumn("__sc_entries", script_entries(t)).withColumn(
-            "__sents", split_sentences_column(t)
-        )
+    gopher_sig_exprs = gopher_signal_columns(t)
+    gopher_sig_exprs.pop("n_words", None)
+    staged = scored.withColumn("__sc_entries", script_entries(t)).withColumn(
+        "__sents", split_sentences_column(t)
     )
+    # gopher signals also materialize in the barrier stage: the rule
+    # columns re-read them, and a single projection would re-run every
+    # signal regex per rule reference (same class as the scripts trap)
+    for name, c in gopher_sig_exprs.items():
+        staged = staged.withColumn(name, c)
+    scored = keep_barrier(staged)
     script_cols = {
         n: barrier_guard(c)
         for n, c in script_profile_from_entries(
@@ -165,9 +171,14 @@ def score_card(
             ).otherwise(F.lit(None))
         ),
     }
-    gopher_sig = gopher_signal_columns(t)
-    gopher_rules = gopher_rule_columns(gopher_sig)
-    gopher_sig.pop("n_words", None)
+    # rules read the BARRIER-MATERIALIZED gopher signal columns (the
+    # card's own n_words — identical count — stands in for gopher's)
+    gopher_rules = gopher_rule_columns(
+        {
+            "n_words": F.col("__n_words"),
+            **{n: F.col(n) for n in gopher_sig_exprs},
+        }
+    )
     fin_cols = pii_financial_columns(t)
     out = scored.select(
         F.col(id_col),
@@ -194,10 +205,11 @@ def score_card(
         F.regexp_count(t, F.lit(EMAIL_PATTERN)).cast("long").alias("n_emails"),
         F.regexp_count(t, F.lit(PHONE_PATTERN)).cast("long").alias("n_phones"),
         F.regexp_count(t, F.lit(IPV4_PATTERN)).cast("long").alias("n_ips"),
-        # gopher length-and-shape signals + rules (n_words dropped:
-        # identical to the quality_score count kept above)
-        *[c.alias(name) for name, c in gopher_sig.items()],
-        *[c.alias(name) for name, c in gopher_rules.items()],
+        # gopher length-and-shape signals (barrier-materialized;
+        # n_words dropped: identical to the quality_score count) +
+        # rules over the materialized columns
+        *[F.col(name) for name in gopher_sig_exprs],
+        *[barrier_guard(c).alias(name) for name, c in gopher_rules.items()],
         # checksum-validated financial pii
         *[c.alias(name) for name, c in fin_cols.items()],
     )
