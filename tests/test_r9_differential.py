@@ -100,3 +100,64 @@ def test_repetition_fracs_differential_sweep(spark):
             assert gcf is None, i
         else:
             assert gcf == pytest.approx(cf), i
+
+
+def test_softdedup_sqrt_policy_differential(spark):
+    """Random cluster-size mix vs direct computation of the sqrt-keep
+    policy (including singletons and perfect-square boundaries)."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.softdedup import (
+        cluster_downsample,
+    )
+
+    rng = random.Random(13)
+    rows, next_id = [], 0
+    sizes = {}
+    for c in range(40):
+        size = rng.choice([1, 2, 3, 4, 9, 16, 17, 25, 30])
+        sizes[f"c{c}"] = size
+        for _ in range(size):
+            rows.append((next_id, f"c{c}"))
+            next_id += 1
+    df = spark.createDataFrame(rows, "doc_id long, component string")
+    out = cluster_downsample(df).collect()
+    kept = {}
+    for r in out:
+        kept[r["component"]] = kept.get(r["component"], 0) + int(r["keep"])
+        assert r["cluster_size"] == sizes[r["component"]]
+    import math
+
+    for c, size in sizes.items():
+        assert kept[c] == max(1, math.isqrt(size)), (c, size)
+
+
+def test_global_rank_random_shapes(spark):
+    """Random input partitioning / rank partitioning / data skew vs
+    the window form — the shapes the fixed-seed unit tests miss."""
+    from pyspark.sql import Window
+
+    from cdk_datalake_ingest_bigmagic_spark.operators.ranking import (
+        global_rank,
+    )
+
+    rng = random.Random(29)
+    for trial in range(3):
+        n = rng.randint(50, 800)
+        in_parts = rng.randint(1, 16)
+        rank_parts = rng.randint(2, 12)
+        # heavy skew: most scores collide
+        rows = [(i, rng.choice([1.0, 2.0, float(rng.randint(0, 5))]))
+                for i in range(n)]
+        df = spark.createDataFrame(
+            rows, "id long, score double"
+        ).repartition(in_parts)
+        order = [F.col("score").desc(), F.col("id").asc()]
+        got = {
+            r["id"]: r["global_rank"]
+            for r in global_rank(df, order, n_partitions=rank_parts).collect()
+        }
+        w = Window.orderBy(*order)
+        want = {
+            r["id"]: r["rn"]
+            for r in df.withColumn("rn", F.row_number().over(w)).collect()
+        }
+        assert got == want, (trial, n, in_parts, rank_parts)
