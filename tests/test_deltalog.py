@@ -142,3 +142,18 @@ def test_commit_is_put_if_absent(spark, tmp_path):
     # a normal retry at the NEXT version succeeds
     v = deltalog.commit_snapshot(path, schema)
     assert v == 1
+
+
+def test_partition_values_url_decoded(spark, tmp_path):
+    """Spark hive-escapes special characters in partition directory
+    names; the add actions must carry the DECODED values."""
+    path = str(tmp_path / "t7")
+    t = ParquetStageTable(spark, path)
+    df = spark.createDataFrame(
+        [(1, "north region"), (2, "a=b:c")], "k long, zone string"
+    )
+    t.overwrite(df, partition_cols=["zone"])
+    actions = _read_log(path)[0][1]
+    adds = [a["add"] for a in actions if "add" in a]
+    got = {a["partitionValues"]["zone"] for a in adds}
+    assert got == {"north region", "a=b:c"}, got
