@@ -422,3 +422,93 @@ def stream_near_dup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Incremental DSIR raw-corpus distribution
+# ---------------------------------------------------------------------------
+
+
+def _dsir_batch(
+    batch_df, store_path: str, batch_id: int, id_col, text_col, n_buckets
+) -> None:
+    """One micro-batch's bucket histogram into its own ``batch_id=N``
+    partition with overwrite — the replay-idempotence contract the
+    term-index sink uses (a recovered batch replaces its own partial
+    output instead of double-counting)."""
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_bigmagic_spark.operators.dsir import (
+        hashed_ngram_counts,
+    )
+
+    counts = hashed_ngram_counts(batch_df, id_col, text_col, n_buckets)
+    per_bucket = counts.groupBy("bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    per_bucket.write.mode("overwrite").parquet(
+        f"{store_path}/batch_id={batch_id}"
+    )
+
+
+def stream_dsir_distribution(
+    spark: SparkSession,
+    docs_path: str,
+    store_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int | None = None,
+    available_now: bool = True,
+):
+    """Incremental maintenance of DSIR's RAW-corpus bucket histogram —
+    the streaming twin of ``operators.dsir.bucket_distribution``.
+
+    The histogram is ADDITIVE under new-document appends (a new doc
+    only adds counts), so each micro-batch lands its batch-local
+    (bucket, cnt) rows — one featurize + one bounded aggregation per
+    batch, never a read-modify-write of the accumulated store.
+    Exactly-once follows the term-index pattern: checkpointed file
+    log + per-``batch_id`` overwrite partitions. A nightly
+    ``dsir_select`` then reads the accumulated distribution via
+    :func:`accumulated_dsir_distribution` instead of re-featurizing
+    the entire raw corpus — the pass that dominates DSIR's wall at
+    scale (SCALE.md: featurize is ~all of the 500k-doc probe's 232 s).
+    """
+    from cdk_datalake_ingest_bigmagic_spark.operators.dsir import N_BUCKETS
+
+    b = n_buckets or N_BUCKETS
+    schema = spark.read.parquet(docs_path).schema
+    stream = spark.readStream.schema(schema).parquet(docs_path)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _dsir_batch(batch_df, store_path, batch_id, id_col, text_col, b)
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def accumulated_dsir_distribution(
+    spark: SparkSession,
+    store_path: str,
+    n_buckets: int | None = None,
+    smoothing: int = 1,
+):
+    """(bucket, cnt, prob) from the accumulated store — bit-identical
+    to ``bucket_distribution`` over the full corpus (the store rows
+    are partial sums and the fit only ever sums them; smoothing and
+    the single-division probability are applied once here)."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.dsir import (
+        N_BUCKETS,
+        bucket_distribution,
+    )
+
+    b = n_buckets or N_BUCKETS
+    raw = spark.read.parquet(store_path).select("bucket", "cnt")
+    return bucket_distribution(raw, b, smoothing)

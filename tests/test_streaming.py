@@ -416,3 +416,60 @@ def test_stream_near_dup_incremental(spark, tmp_path):
         spark, docs, store, ckpt, threshold=0.6
     ).awaitTermination()
     assert spark.read.parquet(f"{store}/decisions").count() == 5
+
+
+def test_stream_dsir_distribution_accumulates_and_replays(spark, tmp_path):
+    """The streaming bucket histogram equals the batch fit over ALL
+    landed documents, stays correct as new files arrive, and a
+    replayed batch (crash-before-checkpoint) cannot double-count —
+    the per-batch_id overwrite contract."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.dsir import (
+        bucket_distribution,
+        hashed_ngram_counts,
+    )
+    from cdk_datalake_ingest_bigmagic_spark.streaming.incremental import (
+        _dsir_batch,
+        accumulated_dsir_distribution,
+        stream_dsir_distribution,
+    )
+
+    B = 32
+    src = str(tmp_path / "docs")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    first = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "stock market news")],
+        "doc_id long, text string",
+    )
+    first.write.mode("append").parquet(src)
+    q = stream_dsir_distribution(spark, src, store, ckpt, n_buckets=B)
+    q.awaitTermination(120)
+    second = spark.createDataFrame(
+        [(3, "the dog ran"), (4, "cat and dog")], "doc_id long, text string"
+    )
+    second.write.mode("append").parquet(src)
+    q = stream_dsir_distribution(spark, src, store, ckpt, n_buckets=B)
+    q.awaitTermination(120)
+
+    got = {
+        r["bucket"]: (r["cnt"], r["prob"])
+        for r in accumulated_dsir_distribution(spark, store, B).collect()
+    }
+    everything = spark.read.parquet(src)
+    want = {
+        r["bucket"]: (r["cnt"], r["prob"])
+        for r in bucket_distribution(
+            hashed_ngram_counts(everything, "doc_id", "text", B), B
+        ).collect()
+    }
+    assert got == want and len(got) == B
+
+    # crash replay: re-running a batch with the same batch_id replaces
+    # its own output — accumulated state unchanged
+    replay_df = spark.read.parquet(src).where("doc_id <= 2")
+    _dsir_batch(replay_df, store, 0, "doc_id", "text", B)
+    again = {
+        r["bucket"]: (r["cnt"], r["prob"])
+        for r in accumulated_dsir_distribution(spark, store, B).collect()
+    }
+    assert again == want
