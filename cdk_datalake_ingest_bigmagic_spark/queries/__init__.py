@@ -284,7 +284,9 @@ from cdk_datalake_ingest_bigmagic_spark.queries import curation4  # noqa: E402,F
 #   dsir importance weights + dsir_select (log floats; differential-
 #   tested), gopher threshold keywords (pure parameterization of the
 #   gated card), pii2 scrub_financial (string rewrite of the gated
-#   counts' candidates).
+#   counts' candidates), stream_dsir_distribution (streaming; its
+#   accumulated fit is bit-identical to the GATED bucket_distribution
+#   by construction and replay-pinned in test_streaming.py).
 #   CYCLE ARITHMETIC AT 141 (post-curation5): demand 141/cycle vs
 #   capacity 150 — still closes with ~9 slack; riders are mostly
 #   free (a rider re-gate resets that query's freshness clock).
