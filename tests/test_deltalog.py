@@ -157,3 +157,27 @@ def test_partition_values_url_decoded(spark, tmp_path):
     adds = [a["add"] for a in actions if "add" in a]
     got = {a["partitionValues"]["zone"] for a in adds}
     assert got == {"north region", "a=b:c"}, got
+
+
+def test_operation_labels_across_lifecycle(spark, tmp_path):
+    """commitInfo carries the honest operation per write: WRITE for
+    create/overwrite, MERGE for upserts, OPTIMIZE for compaction."""
+    path = str(tmp_path / "t8")
+    t = ParquetStageTable(spark, path)
+    t.overwrite(_df(spark, [(1, 0, "a"), (2, 1, "b")]))
+    t.merge(_df(spark, [(3, 1, "c")]), id_cols=["k"])
+    t.optimize(target_partitions=1)
+    ops = [
+        next(a["commitInfo"]["operation"] for a in actions if "commitInfo" in a)
+        for _, actions in _read_log(path)
+    ]
+    assert ops == ["WRITE", "MERGE", "OPTIMIZE"]
+    # the lifecycle's final live state still replays to the disk files
+    live = set(deltalog.live_files(path))
+    disk = {
+        p.relative_to(path).as_posix()
+        for p in Path(path).rglob("*.parquet")
+        if "_delta_log" not in p.parts
+    }
+    assert live == disk
+    assert {r["k"] for r in t.read().collect()} == {1, 2, 3}
