@@ -9,7 +9,12 @@ half plus the duplicate LINE/PARAGRAPH repetition rules
 
 - word-count bounds (50..100,000 words),
 - mean word length in [3, 10] characters,
-- symbol-to-word ratio ("#" and "..." occurrences) <= 0.1,
+- symbol-to-word ratio <= 0.1 for EACH symbol ("#" and "...")
+  separately, per the published rule — the emitted
+  ``symbol_word_ratio`` is the max of the two per-symbol ratios, so
+  one threshold comparison is exactly "either symbol over 0.1 fails"
+  (round-10 fix: the first cut summed both counts against one 0.1
+  threshold, which over-filtered documents mixing both symbols),
 - lines starting with a bullet <= 90%,
 - lines ending with an ellipsis <= 30%,
 - words containing at least one alphabetic character >= 80%,
@@ -59,6 +64,8 @@ def gopher_signal_columns(text_col) -> dict[str, Column]:
     - ``mean_word_len`` = non-whitespace characters / words (NULL on
       zero words);
     - symbols are ``#`` characters and non-overlapping ``...`` runs;
+      ``symbol_word_ratio`` is the MAX of the two per-symbol ratios
+      (the published rule thresholds each symbol separately);
     - a *bullet line* starts with optional blanks then ``-``/``*``/
       ``•``; an *ellipsis line* ends with ``...`` or ``…``
       before optional trailing blanks;
@@ -72,11 +79,17 @@ def gopher_signal_columns(text_col) -> dict[str, Column]:
     mean_word_len = F.when(
         n_words > 0, nonspace_chars.cast("double") / n_words.cast("double")
     )
-    n_symbols = (
-        F.regexp_count(t, F.lit("#")) + F.regexp_count(t, F.lit(r"\.\.\."))
-    ).cast("long")
+    n_hash = F.regexp_count(t, F.lit("#")).cast("long")
+    n_ellipsis_sym = F.regexp_count(t, F.lit(r"\.\.\.")).cast("long")
+    # Rae et al. apply the 0.1 threshold to each symbol's ratio
+    # SEPARATELY; max(ratios) <= thr is equivalent to the published
+    # conjunction and keeps the card single-column.
     symbol_word_ratio = F.when(
-        n_words > 0, n_symbols.cast("double") / n_words.cast("double")
+        n_words > 0,
+        F.greatest(
+            n_hash.cast("double") / n_words.cast("double"),
+            n_ellipsis_sym.cast("double") / n_words.cast("double"),
+        ),
     )
     n_lines = (F.size(F.split(t, "\n"))).cast("long")
     n_bullet_lines = F.regexp_count(

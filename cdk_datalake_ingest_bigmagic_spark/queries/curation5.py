@@ -28,10 +28,11 @@ from cdk_datalake_ingest_bigmagic_spark.queries import load, register
 # operators/gopher.py::gopher_signal_columns exactly.
 _NW = r"len(regexp_extract_all(text, '[^\s]+'))"
 _NONSPACE = r"length(regexp_replace(text, '\s', '', 'g'))"
-_NSYM = (
-    r"(len(regexp_extract_all(text, '#'))"
-    r" + len(regexp_extract_all(text, '\.\.\.')))"
-)
+# per-symbol ratios (Rae et al. threshold each symbol separately);
+# the emitted signal is the max of the two — mirrors
+# operators/gopher.py::gopher_signal_columns exactly
+_NHASH = r"len(regexp_extract_all(text, '#'))"
+_NELLSYM = r"len(regexp_extract_all(text, '\.\.\.'))"
 _NLINES = r"len(string_split(text, chr(10)))"
 _NBULLET = r"len(regexp_extract_all(text, '(?m)^[ \t]*[-*•]'))"
 _NELLIPSIS = r"len(regexp_extract_all(text, '(?m)(\.\.\.|…)[ \t]*$'))"
@@ -52,7 +53,9 @@ _STOPHITS = " + ".join(
                CAST({_NONSPACE} AS DOUBLE) / CAST({_NW} AS DOUBLE)
              END AS mean_word_len,
              CASE WHEN {_NW} > 0 THEN
-               CAST({_NSYM} AS DOUBLE) / CAST({_NW} AS DOUBLE)
+               greatest(
+                 CAST({_NHASH} AS DOUBLE) / CAST({_NW} AS DOUBLE),
+                 CAST({_NELLSYM} AS DOUBLE) / CAST({_NW} AS DOUBLE))
              END AS symbol_word_ratio,
              CASE WHEN {_NLINES} > 0 THEN
                CAST({_NBULLET} AS DOUBLE) / CAST({_NLINES} AS DOUBLE)

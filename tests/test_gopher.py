@@ -43,7 +43,10 @@ def test_signal_math_exact(spark):
     assert got["n_words"] == 8
     assert got["bullet_line_frac"] == pytest.approx(1 / 3)
     assert got["ellipsis_line_frac"] == pytest.approx(1 / 3)
-    assert got["symbol_word_ratio"] == pytest.approx(2 / 8)
+    # per-symbol ratios: 1 '#' and 1 '...' over 8 words — the signal
+    # is the MAX of the two (published rule thresholds each symbol
+    # separately), not their sum
+    assert got["symbol_word_ratio"] == pytest.approx(1 / 8)
     # words with a letter: item, one, wait..., see, #tag, x9 -> 6 of 8
     assert got["alpha_word_frac"] == pytest.approx(6 / 8)
 
