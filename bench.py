@@ -23,8 +23,11 @@ HEADLINE = [
     "window_dedup_latest",
     "agg_rollup_pricing",
     "events_asof_join",
-    "dsl_datetimemagic_roundtrip",
-    "dsl_numeric_decimal",
+    # round-10 consolidation: the single-function DSL gates folded
+    # into dsl_misc_functions (the two retired names that sat here,
+    # dsl_datetimemagic_roundtrip + dsl_numeric_decimal, are columns
+    # of the suite now)
+    "dsl_misc_functions",
     # LLM-data operators
     "text_quality_features",
     "text_language_id",
@@ -134,6 +137,18 @@ HEADLINE = [
     "quarantine_reason_rows",
     "classifier_sweep_counts",
     "classifier_calibration_bins",
+    # ROUND 10: the curation5 activations (gopher card + repetition,
+    # DSIR integer cores, financial PII, soft dedup, distributed
+    # global ranking) and the two consolidated probe/window suites
+    "gopher_quality_card",
+    "gopher_repetition_fracs",
+    "dsir_bucket_counts",
+    "dsir_bucket_distribution",
+    "pii_financial_counts",
+    "softdedup_cluster_keep",
+    "ranking_global_order",
+    "agg_probe_suite",
+    "events_time_windows",
 ]
 
 

@@ -8,6 +8,13 @@ the compiled Column expressions, not just the golden unit tests.
 
 The magic ordinal for a date d is (d - 1900-01-01).days + 693596
 (reference light_transform.py:33-34; decode :922-935).
+
+Round-10 consolidation: the eight single-function demo gates were
+folded into ``dsl_misc_functions`` (one orders pass, one named column
+per DSL function — each still an auditable SURVEY §2 T-row anchor).
+Three gates remain: the suite, the two-column Case selector
+(``dsl_case_multicolumn``), and the nested Date_to_String production
+pattern (``dsl_date_to_string_nested``).
 """
 
 from __future__ import annotations
@@ -27,222 +34,6 @@ def _compile(df: DataFrame, pairs: list[tuple[str, str, str]]) -> DataFrame:
     compiler = DslCompiler.for_dataframe(df)
     return df.select(
         *[compiler.compile(t, dt).alias(a) for a, t, dt in pairs],
-    )
-
-
-@register(
-    "dsl_clearstring",
-    oracle="""
-    SELECT c_custkey,
-           CASE WHEN m IS NULL OR trim(m) IN ('', 'None', 'NULL', 'null')
-                THEN 'UNK' ELSE trim(m) END AS cleaned
-    FROM (
-      SELECT c_custkey,
-             CASE c_custkey % 5
-               WHEN 0 THEN NULL
-               WHEN 1 THEN '   '
-               WHEN 2 THEN 'None'
-               ELSE concat('  ', c_name, ' ') END AS m
-      FROM customer)
-    """,
-)
-def dsl_clearstring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T1 ClearString with default over messified customer names."""
-    c = load(spark, sf_dir, "customer")
-    m = (
-        F.when(F.col("c_custkey") % 5 == 0, F.lit(None))
-        .when(F.col("c_custkey") % 5 == 1, F.lit("   "))
-        .when(F.col("c_custkey") % 5 == 2, F.lit("None"))
-        .otherwise(F.concat(F.lit("  "), F.col("c_name"), F.lit(" ")))
-    )
-    messy = c.select("c_custkey", m.alias("m"))
-    compiler = DslCompiler.for_dataframe(messy)
-    return messy.select(
-        "c_custkey",
-        compiler.compile("fn_transform_ClearString(m,$UNK)", "string").alias("cleaned"),
-    )
-
-
-@register(
-    "dsl_concatenate",
-    oracle="""
-    SELECT l_orderkey, l_linenumber,
-           concat(trim(CAST(l_orderkey AS VARCHAR)), '|',
-                  trim(CAST(l_linenumber AS VARCHAR)), '|',
-                  trim(l_returnflag)) AS id_full
-    FROM lineitem
-    """,
-)
-def dsl_concatenate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T2 Concatenate: pipe-joined trimmed parts."""
-    li = load(spark, sf_dir, "lineitem")
-    compiler = DslCompiler.for_dataframe(li)
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        compiler.compile(
-            "fn_transform_Concatenate(l_orderkey,l_linenumber,l_returnflag)", "string"
-        ).alias("id_full"),
-    )
-
-
-@register(
-    "dsl_datemagic_roundtrip",
-    oracle=f"""
-    SELECT o_orderkey,
-           (DATE '1900-01-01' + CAST(ordval AS INT) - {MAGIC_OFFSET}) AS decoded
-    FROM (
-      SELECT o_orderkey,
-             CAST(datediff('day', DATE '1900-01-01', CAST(o_orderdate AS DATE))
-                  + {MAGIC_OFFSET} AS VARCHAR) AS ordval
-      FROM orders)
-    """,
-)
-def dsl_datemagic_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T5 DateMagic: encode o_orderdate to a magic ordinal string, decode
-    with the DSL — the roundtrip must reproduce the original date."""
-    o = load(spark, sf_dir, "orders")
-    ordval = (
-        F.datediff(F.col("o_orderdate").cast("date"), F.to_date(F.lit("1900-01-01")))
-        + F.lit(MAGIC_OFFSET)
-    ).cast("string")
-    enc = o.select("o_orderkey", ordval.alias("ordval"))
-    compiler = DslCompiler.for_dataframe(enc)
-    return enc.select(
-        "o_orderkey",
-        compiler.compile("fn_transform_DateMagic(ordval,yyyy-MM-dd,to_null)", "date").alias(
-            "decoded"
-        ),
-    )
-
-
-@register(
-    "dsl_datetimemagic_roundtrip",
-    oracle=f"""
-    SELECT event_id,
-           (DATE '1900-01-01' + CAST(dateval AS INT) - {MAGIC_OFFSET}
-            + make_time(CAST(lpad(timeval, 6, '0')[1:2] AS INT),
-                        CAST(lpad(timeval, 6, '0')[3:4] AS INT),
-                        CAST(lpad(timeval, 6, '0')[5:6] AS INT))) AS decoded
-    FROM (
-      SELECT event_id,
-             CAST(datediff('day', DATE '1900-01-01', CAST(ts AS DATE))
-                  + {MAGIC_OFFSET} AS VARCHAR) AS dateval,
-             CAST(hour(ts) * 10000 + minute(ts) * 100
-                  + CAST(floor(second(ts)) AS INT) AS VARCHAR) AS timeval
-      FROM events)
-    """,
-)
-def dsl_datetimemagic_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T6 DatetimeMagic: events.ts → (magic ordinal, HHMMSS int) → decode;
-    equals ts truncated to seconds."""
-    ev = load(spark, sf_dir, "events")
-    dateval = (
-        F.datediff(F.col("ts").cast("date"), F.to_date(F.lit("1900-01-01")))
-        + F.lit(MAGIC_OFFSET)
-    ).cast("string")
-    timeval = (
-        F.hour("ts") * 10000 + F.minute("ts") * 100 + F.floor(F.second("ts")).cast("int")
-    ).cast("string")
-    enc = ev.select("event_id", dateval.alias("dateval"), timeval.alias("timeval"))
-    compiler = DslCompiler.for_dataframe(enc)
-    return enc.select(
-        "event_id",
-        compiler.compile(
-            "fn_transform_DatetimeMagic(dateval,timeval,yyyy-MM-dd HH:mm:ss)",
-            "timestamp",
-        ).alias("decoded"),
-    )
-
-
-@register(
-    "dsl_periodmagic",
-    oracle="""
-    SELECT o_orderkey,
-           CASE WHEN mes IS NULL OR anyo IS NULL THEN '190001'
-                ELSE concat(anyo, lpad(mes, 2, '0')) END AS periodo
-    FROM (
-      SELECT o_orderkey,
-             CASE WHEN o_orderkey % 11 = 0 THEN NULL
-                  ELSE CAST(month(o_orderdate) AS VARCHAR) END AS mes,
-             CAST(year(o_orderdate) AS VARCHAR) AS anyo
-      FROM orders)
-    """,
-)
-def dsl_periodmagic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T11 PeriodMagic with the '190001' NULL sentinel."""
-    o = load(spark, sf_dir, "orders")
-    mes = F.when(F.col("o_orderkey") % 11 == 0, F.lit(None)).otherwise(
-        F.month("o_orderdate").cast("string")
-    )
-    enc = o.select(
-        "o_orderkey", mes.alias("mes"), F.year("o_orderdate").cast("string").alias("anyo")
-    )
-    compiler = DslCompiler.for_dataframe(enc)
-    return enc.select(
-        "o_orderkey",
-        compiler.compile("fn_transform_PeriodMagic(mes,anyo)", "string").alias("periodo"),
-    )
-
-
-@register(
-    "dsl_bytemagic",
-    oracle="""
-    SELECT event_id,
-           CASE WHEN flag IS NULL THEN 'F'
-                WHEN flag = 'T' THEN 'T' WHEN flag = 'F' THEN 'F'
-                WHEN flag = '0x54' THEN 'T' WHEN flag = '0x46' THEN 'F'
-                WHEN flag = '84' THEN 'T' WHEN flag = '70' THEN 'F'
-                ELSE 'F' END AS decoded
-    FROM (
-      SELECT event_id,
-             CASE event_id % 7
-               WHEN 0 THEN 'T' WHEN 1 THEN 'F' WHEN 2 THEN '0x54'
-               WHEN 3 THEN '0x46' WHEN 4 THEN '84' WHEN 5 THEN '70'
-               ELSE NULL END AS flag
-      FROM events)
-    """,
-)
-def dsl_bytemagic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T12 ByteMagic over all encodings of T/F."""
-    ev = load(spark, sf_dir, "events")
-    flag = (
-        F.when(F.col("event_id") % 7 == 0, "T")
-        .when(F.col("event_id") % 7 == 1, "F")
-        .when(F.col("event_id") % 7 == 2, "0x54")
-        .when(F.col("event_id") % 7 == 3, "0x46")
-        .when(F.col("event_id") % 7 == 4, "84")
-        .when(F.col("event_id") % 7 == 5, "70")
-        .otherwise(F.lit(None))
-    )
-    enc = ev.select("event_id", flag.alias("flag"))
-    compiler = DslCompiler.for_dataframe(enc)
-    return enc.select(
-        "event_id",
-        compiler.compile("fn_transform_ByteMagic(flag,$F)", "string").alias("decoded"),
-    )
-
-
-@register(
-    "dsl_case_mapping",
-    oracle="""
-    SELECT o_orderkey,
-           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'hot'
-                WHEN o_orderpriority IN ('5-LOW') THEN 'cold'
-                ELSE o_orderpriority END AS priority_class
-    FROM orders
-    """,
-)
-def dsl_case_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T13 Case: unmatched values keep the original."""
-    o = load(spark, sf_dir, "orders")
-    compiler = DslCompiler.for_dataframe(o)
-    return o.select(
-        "o_orderkey",
-        compiler.compile(
-            "fn_transform_Case(o_orderpriority,1-URGENT|2-HIGH->hot,5-LOW->cold)",
-            "string",
-        ).alias("priority_class"),
     )
 
 
@@ -268,37 +59,6 @@ def dsl_case_multicolumn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "R&F|A&F->closed_return,$other)",
             "string",
         ).alias("status_class"),
-    )
-
-
-@register(
-    "dsl_numeric_decimal",
-    oracle="""
-    SELECT l_orderkey, l_linenumber,
-           CAST(CAST(CAST(round(l_extendedprice, 2) AS VARCHAR) AS DECIMAL(13,2))
-                AS VARCHAR)
-             AS price_dec
-    FROM lineitem
-    """,
-)
-def dsl_numeric_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T10 Numeric: string → declared decimal(13,2). Pre-rounded so both
-    engines parse an exact 2-dp literal. The decimal is the *internal*
-    type (that's T10's contract); the emitted column is its canonical
-    fixed-scale string rendering, because Spark and DuckDB print equal
-    decimals differently and the driver hashes the printed value."""
-    li = load(spark, sf_dir, "lineitem")
-    enc = li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.round(F.col("l_extendedprice"), 2).cast("string").alias("price_str"),
-    )
-    compiler = DslCompiler.for_dataframe(enc)
-    price_dec = compiler.compile("fn_transform_Numeric(price_str)", "numeric(13,2)")
-    return enc.select(
-        "l_orderkey",
-        "l_linenumber",
-        price_dec.cast("string").alias("price_dec"),
     )
 
 
@@ -336,7 +96,7 @@ def dsl_date_to_string_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dsl_misc_functions",
-    oracle="""
+    oracle=f"""
     SELECT o_orderkey,
            concat(trim(seg), '#', trim(pr)) AS joined,
            try_cast(qty AS INTEGER) AS qty_int,
@@ -344,9 +104,32 @@ def dsl_date_to_string_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN flag IS NULL THEN NULL
                 ELSE try_cast(flag AS BOOLEAN) END AS flag_bool,
            coalesce(try_strptime(d, '%d/%m/%Y')::DATE, DATE '1900-01-01') AS d_date,
-           try_cast(ts AS TIMESTAMP) AS ts_parsed
+           try_cast(ts AS TIMESTAMP) AS ts_parsed,
+           CASE WHEN m IS NULL OR trim(m) IN ('', 'None', 'NULL', 'null')
+                THEN 'UNK' ELSE trim(m) END AS cleaned,
+           concat(trim(CAST(o_orderkey AS VARCHAR)), '|', trim(ostat))
+             AS id_full,
+           (DATE '1900-01-01' + CAST(ordval AS INT) - {MAGIC_OFFSET})
+             AS dm_decoded,
+           (DATE '1900-01-01' + CAST(ordval AS INT) - {MAGIC_OFFSET}
+            + make_time(CAST(lpad(timeval, 6, '0')[1:2] AS INT),
+                        CAST(lpad(timeval, 6, '0')[3:4] AS INT),
+                        CAST(lpad(timeval, 6, '0')[5:6] AS INT)))
+             AS dtm_decoded,
+           CASE WHEN mes IS NULL OR anyo IS NULL THEN '190001'
+                ELSE concat(anyo, lpad(mes, 2, '0')) END AS periodo,
+           CASE WHEN bflag IS NULL THEN 'F'
+                WHEN bflag = 'T' THEN 'T' WHEN bflag = 'F' THEN 'F'
+                WHEN bflag = '0x54' THEN 'T' WHEN bflag = '0x46' THEN 'F'
+                WHEN bflag = '84' THEN 'T' WHEN bflag = '70' THEN 'F'
+                ELSE 'F' END AS bm_decoded,
+           CASE WHEN opri IN ('1-URGENT', '2-HIGH') THEN 'hot'
+                WHEN opri IN ('5-LOW') THEN 'cold'
+                ELSE opri END AS priority_class,
+           CAST(CAST(CAST(round(o_totalprice, 2) AS VARCHAR)
+                     AS DECIMAL(13,2)) AS VARCHAR) AS price_dec
     FROM (
-      SELECT o_orderkey,
+      SELECT o_orderkey, o_totalprice,
              concat(' ', o_orderstatus, ' ') AS seg,
              concat(o_orderpriority, '  ')   AS pr,
              CASE WHEN o_orderkey % 7 = 0 THEN 'x' ELSE (o_orderkey % 100)::VARCHAR END AS qty,
@@ -354,18 +137,63 @@ def dsl_date_to_string_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE o_orderkey % 3 WHEN 0 THEN 'true' WHEN 1 THEN 'false' ELSE NULL END AS flag,
              CASE WHEN o_orderkey % 5 = 0 THEN 'junk'
                   ELSE strftime(o_orderdate, '%d/%m/%Y') END AS d,
-             strftime(o_orderdate, '%Y-%m-%d 08:30:00') AS ts
+             strftime(o_orderdate, '%Y-%m-%d 08:30:00') AS ts,
+             CASE o_orderkey % 5
+               WHEN 0 THEN NULL
+               WHEN 1 THEN '   '
+               WHEN 2 THEN 'None'
+               ELSE concat('  ', o_orderpriority, ' ') END AS m,
+             o_orderstatus AS ostat,
+             CAST(datediff('day', DATE '1900-01-01', CAST(o_orderdate AS DATE))
+                  + {MAGIC_OFFSET} AS VARCHAR) AS ordval,
+             CAST((o_orderkey % 24) * 10000 + ((o_orderkey * 7) % 60) * 100
+                  + (o_orderkey * 13) % 60 AS VARCHAR) AS timeval,
+             CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                  ELSE CAST(month(o_orderdate) AS VARCHAR) END AS mes,
+             CAST(year(o_orderdate) AS VARCHAR) AS anyo,
+             CASE o_orderkey % 7
+               WHEN 0 THEN 'T' WHEN 1 THEN 'F' WHEN 2 THEN '0x54'
+               WHEN 3 THEN '0x46' WHEN 4 THEN '84' WHEN 5 THEN '70'
+               ELSE NULL END AS bflag,
+             o_orderpriority AS opri
       FROM orders)
     """,
 )
 def dsl_misc_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T3/T4/T7/T9 in one pass: Concatenate_ws with explicit separator,
-    plain Date parse (dd/MM/yyyy + default), Datetime parse, and the
-    Integer/Double/Boolean permissive casts (bad input → NULL — ANSI
-    off, as the reference's Glue jobs ran)."""
+    """The full single-function DSL suite in ONE orders pass — every
+    per-function column is a SURVEY §2 T-row anchor:
+
+    - ``joined``        T3 Concatenate_ws (explicit separator)
+    - ``qty_int`` / ``amt_dbl`` / ``flag_bool``
+                        T9 Integer/Double/Boolean permissive casts
+                        (bad input → NULL — ANSI off, as the
+                        reference's Glue jobs ran)
+    - ``d_date``        T7 Date parse (dd/MM/yyyy + default)
+    - ``ts_parsed``     T4 Datetime parse
+    - ``cleaned``       T1 ClearString with $UNK default
+    - ``id_full``       T2 Concatenate (pipe-joined trimmed parts)
+    - ``dm_decoded``    T5 DateMagic ordinal → date roundtrip
+    - ``dtm_decoded``   T6 DatetimeMagic (ordinal, HHMMSS) → timestamp
+    - ``periodo``       T11 PeriodMagic with the '190001' sentinel
+    - ``bm_decoded``    T12 ByteMagic over all T/F encodings
+    - ``priority_class`` T13 Case (unmatched keeps the original)
+    - ``price_dec``     T10 Numeric → decimal(13,2), emitted as its
+                        canonical fixed-scale string (engines print
+                        equal decimals differently)
+
+    Consolidated in round 10 from the eight single-function demo gates
+    (dsl_clearstring, dsl_concatenate, dsl_datemagic_roundtrip,
+    dsl_datetimemagic_roundtrip, dsl_periodmagic, dsl_bytemagic,
+    dsl_case_mapping, dsl_numeric_decimal) — the retirement wave the
+    round-9 plan staged, executed when the round-10 window math left
+    no slack. Same compiled expressions, same oracle decode per
+    column; the HHMMSS time for T6 is synthesized from o_orderkey
+    (hour = key%24, minute = key*7%60, second = key*13%60) since
+    orders carries a date, not a timestamp."""
     o = load(spark, sf_dir, "orders")
     messy = o.select(
         "o_orderkey",
+        "o_totalprice",
         F.concat(F.lit(" "), F.col("o_orderstatus"), F.lit(" ")).alias("seg"),
         F.concat(F.col("o_orderpriority"), F.lit("  ")).alias("pr"),
         F.when(F.col("o_orderkey") % 7 == 0, F.lit("x"))
@@ -377,8 +205,37 @@ def dsl_misc_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_orderkey") % 5 == 0, F.lit("junk"))
         .otherwise(F.date_format("o_orderdate", "dd/MM/yyyy")).alias("d"),
         F.date_format("o_orderdate", "yyyy-MM-dd 08:30:00").alias("ts"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None))
+        .when(F.col("o_orderkey") % 5 == 1, F.lit("   "))
+        .when(F.col("o_orderkey") % 5 == 2, F.lit("None"))
+        .otherwise(F.concat(F.lit("  "), F.col("o_orderpriority"), F.lit(" ")))
+        .alias("m"),
+        F.col("o_orderstatus").alias("ostat"),
+        (
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.to_date(F.lit("1900-01-01"))
+            )
+            + F.lit(MAGIC_OFFSET)
+        ).cast("string").alias("ordval"),
+        (
+            (F.col("o_orderkey") % 24) * 10000
+            + ((F.col("o_orderkey") * 7) % 60) * 100
+            + (F.col("o_orderkey") * 13) % 60
+        ).cast("string").alias("timeval"),
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit(None))
+        .otherwise(F.month("o_orderdate").cast("string")).alias("mes"),
+        F.year("o_orderdate").cast("string").alias("anyo"),
+        F.when(F.col("o_orderkey") % 7 == 0, "T")
+        .when(F.col("o_orderkey") % 7 == 1, "F")
+        .when(F.col("o_orderkey") % 7 == 2, "0x54")
+        .when(F.col("o_orderkey") % 7 == 3, "0x46")
+        .when(F.col("o_orderkey") % 7 == 4, "84")
+        .when(F.col("o_orderkey") % 7 == 5, "70")
+        .otherwise(F.lit(None)).alias("bflag"),
+        F.col("o_orderpriority").alias("opri"),
+        F.round(F.col("o_totalprice"), 2).cast("string").alias("price_str"),
     )
-    return _compile(
+    compiled = _compile(
         messy,
         [
             ("o_orderkey", "o_orderkey", "int"),
@@ -388,5 +245,24 @@ def dsl_misc_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("flag_bool", "fn_transform_Boolean(flag)", "boolean"),
             ("d_date", "fn_transform_Date(d,dd/MM/yyyy,1900-01-01)", "date"),
             ("ts_parsed", "fn_transform_Datetime(ts)", "timestamp"),
+            ("cleaned", "fn_transform_ClearString(m,$UNK)", "string"),
+            ("id_full", "fn_transform_Concatenate(o_orderkey,ostat)", "string"),
+            ("dm_decoded", "fn_transform_DateMagic(ordval,yyyy-MM-dd,to_null)", "date"),
+            (
+                "dtm_decoded",
+                "fn_transform_DatetimeMagic(ordval,timeval,yyyy-MM-dd HH:mm:ss)",
+                "timestamp",
+            ),
+            ("periodo", "fn_transform_PeriodMagic(mes,anyo)", "string"),
+            ("bm_decoded", "fn_transform_ByteMagic(bflag,$F)", "string"),
+            (
+                "priority_class",
+                "fn_transform_Case(opri,1-URGENT|2-HIGH->hot,5-LOW->cold)",
+                "string",
+            ),
+            ("price_dec_raw", "fn_transform_Numeric(price_str)", "numeric(13,2)"),
         ],
     )
+    return compiled.withColumn(
+        "price_dec", F.col("price_dec_raw").cast("string")
+    ).drop("price_dec_raw")

@@ -23,44 +23,61 @@ from cdk_datalake_ingest_bigmagic_spark.streaming.windows import (
 
 
 @register(
-    "events_tumbling_hourly",
+    "events_time_windows",
     oracle="""
-    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+    SELECT 'tumbling_1h' AS kind,
+           time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
            time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
            event_type,
            COUNT(*) AS n_events,
            (SUM(CAST(value AS DECIMAL(18,2))))::DOUBLE AS total_value
     FROM events
-    GROUP BY 1, 2, 3
-    """,
-)
-def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hourly tumbling counts + decimal-exact value sums per type."""
-    e = load(spark, sf_dir, "events")
-    return tumbling_agg(e, "ts", "1 hour", ["event_type"], "value")
-
-
-@register(
-    "events_sliding_counts",
-    oracle="""
-    WITH b AS (
-      SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS b30 FROM events
-    ), w AS (
-      SELECT b30 AS window_start FROM b
+    GROUP BY 2, 3, 4
+    UNION ALL
+    SELECT 'sliding_1h_30m' AS kind,
+           window_start, window_start + INTERVAL 1 HOUR AS window_end,
+           CAST(NULL AS VARCHAR) AS event_type,
+           COUNT(*) AS n_events,
+           CAST(NULL AS DOUBLE) AS total_value
+    FROM (
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS window_start FROM events
       UNION ALL
-      SELECT b30 - INTERVAL 30 MINUTE AS window_start FROM b
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE
+      FROM events
     )
-    SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
-           COUNT(*) AS n_events
-    FROM w GROUP BY 1, 2
+    GROUP BY 2, 3
     """,
 )
-def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1-hour windows sliding every 30 min; each event counts in the
-    two windows covering it (fan-out happens inside the grouping
-    expression, not as an explode)."""
+def events_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling AND sliding event-time windows in one gated frame,
+    tagged by ``kind`` (round-10 consolidation of the former
+    events_tumbling_hourly / events_sliding_counts gates — same two
+    helper calls, same per-leg semantics):
+
+    - ``tumbling_1h``: hourly tumbling counts + decimal-exact value
+      sums per event type;
+    - ``sliding_1h_30m``: 1-hour windows sliding every 30 min — each
+      event counts in the two windows covering it, with the fan-out
+      inside the grouping expression, not as an explode.
+    """
     e = load(spark, sf_dir, "events")
-    return sliding_agg(e, "ts", "1 hour", "30 minutes")
+    t = tumbling_agg(e, "ts", "1 hour", ["event_type"], "value").select(
+        F.lit("tumbling_1h").alias("kind"),
+        "window_start",
+        "window_end",
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+    s = sliding_agg(e, "ts", "1 hour", "30 minutes").select(
+        F.lit("sliding_1h_30m").alias("kind"),
+        "window_start",
+        "window_end",
+        F.lit(None).cast("string").alias("event_type"),
+        "n_events",
+        F.lit(None).cast("double").alias("total_value"),
+    )
+    return t.unionByName(s)
 
 
 @register(

@@ -231,52 +231,82 @@ def join_config_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "agg_minmax_probe",
+    "agg_probe_suite",
     oracle="""
-    SELECT MIN(o_orderkey) AS min_val, MAX(o_orderkey) AS max_val
+    SELECT 'minmax' AS probe, 'min_orderkey' AS key,
+           MIN(o_orderkey) AS val_big, CAST(NULL AS TIMESTAMP) AS val_ts
     FROM orders WHERE o_orderkey <> 0
+    UNION ALL
+    SELECT 'minmax', 'max_orderkey', MAX(o_orderkey), CAST(NULL AS TIMESTAMP)
+    FROM orders WHERE o_orderkey <> 0
+    UNION ALL
+    SELECT 'watermark', 'events_ts', CAST(NULL AS BIGINT),
+           MAX(CAST(ts AS TIMESTAMP))
+    FROM events
+    UNION ALL
+    SELECT 'count_guard', 'lineitem', COUNT(*), CAST(NULL AS TIMESTAMP)
+    FROM lineitem
+    UNION ALL
+    SELECT 'count_guard', 'orders', COUNT(*), CAST(NULL AS TIMESTAMP)
+    FROM orders
+    UNION ALL
+    SELECT 'count_guard', 'events', COUNT(*), CAST(NULL AS TIMESTAMP)
+    FROM events
     """,
 )
-def agg_minmax_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1 min/max probe that seeds X1 range partitioning
-    (extract_data.py:969-995)."""
+def agg_probe_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's three scalar probe aggregates in one gated
+    frame, tagged by ``probe``/``key`` (round-10 consolidation of the
+    former agg_minmax_probe / agg_watermark_running_max /
+    agg_count_guards gates — same aggregates, same anchors):
+
+    - ``minmax``      A1 min/max probe seeding X1 range partitioning
+                      (extract_data.py:969-995);
+    - ``watermark``   A2 running max that advances the watermark
+                      (orchestrator.py:559-627);
+    - ``count_guard`` A3 count guards branching empty-table handling
+                      (light_transform.py:1442-1462).
+
+    Each leg is a 1-row scalar aggregate (map-side partial + a 1-row
+    exchange); the union is plan-trivial at any scale.
+    """
     o = load(spark, sf_dir, "orders")
-    return o.filter(F.col("o_orderkey") != 0).agg(
-        F.min("o_orderkey").alias("min_val"), F.max("o_orderkey").alias("max_val")
-    )
-
-
-@register(
-    "agg_watermark_running_max",
-    oracle="SELECT MAX(CAST(ts AS TIMESTAMP)) AS watermark FROM events",
-)
-def agg_watermark_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2 running max that advances the watermark (orchestrator.py:559-627)."""
     ev = load(spark, sf_dir, "events")
-    return ev.agg(F.max("ts").alias("watermark"))
-
-
-@register(
-    "agg_count_guards",
-    oracle="""
-    SELECT 'lineitem' AS tbl, COUNT(*) AS cnt FROM lineitem
-    UNION ALL SELECT 'orders', COUNT(*) FROM orders
-    UNION ALL SELECT 'events', COUNT(*) FROM events
-    """,
-)
-def agg_count_guards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3 count guards branching empty-table handling
-    (light_transform.py:1442-1462)."""
-    rows = []
+    nz = o.filter(F.col("o_orderkey") != 0)
+    null_big = F.lit(None).cast("long")
+    null_ts = F.lit(None).cast("timestamp")
+    legs = [
+        nz.agg(
+            F.lit("minmax").alias("probe"),
+            F.lit("min_orderkey").alias("key"),
+            F.min("o_orderkey").alias("val_big"),
+            null_ts.alias("val_ts"),
+        ),
+        nz.agg(
+            F.lit("minmax").alias("probe"),
+            F.lit("max_orderkey").alias("key"),
+            F.max("o_orderkey").alias("val_big"),
+            null_ts.alias("val_ts"),
+        ),
+        ev.agg(
+            F.lit("watermark").alias("probe"),
+            F.lit("events_ts").alias("key"),
+            null_big.alias("val_big"),
+            F.max("ts").alias("val_ts"),
+        ),
+    ]
     for t in ["lineitem", "orders", "events"]:
-        rows.append(
+        legs.append(
             load(spark, sf_dir, t).agg(
-                F.lit(t).alias("tbl"), F.count(F.lit(1)).alias("cnt")
+                F.lit("count_guard").alias("probe"),
+                F.lit(t).alias("key"),
+                F.count(F.lit(1)).alias("val_big"),
+                null_ts.alias("val_ts"),
             )
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
     return out
 
 

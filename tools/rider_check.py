@@ -1,0 +1,167 @@
+"""Function-level rider detection for the gate-rotation invariant.
+
+The rotation rule says: a gated query whose DEFINITION changed this
+round must be re-gated (fronted). Through round 9 the granularity was
+the FILE — queries/curation2.py changed, so all 13 of its gates
+re-gated. That convention breaks down the moment a consolidation
+deletes sibling gates from a module: the surviving definitions are
+byte-identical, and re-gating them would burn window slots the math
+doesn't have.
+
+This tool refines the granularity to the DEFINITION: for every query
+registered in the CURRENT working tree, it extracts the full
+``@register(...)`` block (decorators + function body — the decorator
+source includes the oracle SQL) from both the working tree and a
+prior git revision, and reports exactly which definitions changed,
+appeared, or disappeared.
+
+Two deliberate conservatisms:
+
+1. Oracles are often f-strings over module-level constants
+   (``_NW``, ``MAGIC_OFFSET``...). The decorator text doesn't change
+   when a constant does, so the tool also diffs every module-level
+   assignment; a query whose definition segment mentions a changed
+   constant's name is flagged as changed.
+2. Changes to OPERATOR modules (outside queries/) are out of scope
+   here — window_math.py's file-level import scan remains the first
+   pass for those; this tool only adjudicates sibling edits inside
+   queries/*.py.
+
+Usage:
+  python tools/rider_check.py PREV_REV
+e.g.
+  python tools/rider_check.py HEAD~4
+
+Prints a JSON report: changed (definition or referenced constant
+differs), added, removed, unchanged_in_edited_files (the sibling
+survivors whose byte-identity justifies leaving them out of the
+window).
+"""
+
+from __future__ import annotations
+
+import ast
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUERY_DIR = "cdk_datalake_ingest_bigmagic_spark/queries"
+
+
+def _git_show(rev: str, path: str) -> str | None:
+    out = subprocess.run(
+        ["git", "show", f"{rev}:{path}"], capture_output=True, text=True
+    )
+    return out.stdout if out.returncode == 0 else None
+
+
+def _definitions(src: str) -> tuple[dict[str, str], dict[str, str]]:
+    """(query name -> definition segment, const name -> source).
+
+    A definition segment spans the first decorator line through the
+    function's last line; a query is any FunctionDef decorated with a
+    ``register("name", ...)`` call whose first argument is a string
+    constant. Constants are module-level simple assignments.
+    """
+    tree = ast.parse(src)
+    lines = src.splitlines()
+    defs: dict[str, str] = {}
+    consts: dict[str, str] = {}
+    for node in tree.body:
+        if isinstance(node, (ast.Assign, ast.AnnAssign)):
+            targets = (
+                node.targets if isinstance(node, ast.Assign) else [node.target]
+            )
+            for t in targets:
+                if isinstance(t, ast.Name):
+                    consts[t.id] = "\n".join(
+                        lines[node.lineno - 1 : node.end_lineno]
+                    )
+        if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            continue
+        for deco in node.decorator_list:
+            if not (
+                isinstance(deco, ast.Call)
+                and isinstance(deco.func, ast.Name)
+                and deco.func.id == "register"
+                and deco.args
+                and isinstance(deco.args[0], ast.Constant)
+                and isinstance(deco.args[0].value, str)
+            ):
+                continue
+            start = min(d.lineno for d in node.decorator_list)
+            defs[deco.args[0].value] = "\n".join(
+                lines[start - 1 : node.end_lineno]
+            )
+    return defs, consts
+
+
+def main() -> int:
+    if len(sys.argv) < 2:
+        print("usage: rider_check.py PREV_REV")
+        return 2
+    rev = sys.argv[1]
+
+    changed: dict[str, str] = {}
+    added: list[str] = []
+    removed: list[str] = []
+    unchanged_in_edited: list[str] = []
+
+    for fname in sorted(os.listdir(QUERY_DIR)):
+        if not fname.endswith(".py"):
+            continue
+        path = f"{QUERY_DIR}/{fname}"
+        new_src = open(path).read()
+        old_src = _git_show(rev, path)
+        if old_src is None:
+            new_defs, _ = _definitions(new_src)
+            added.extend(new_defs)
+            continue
+        if old_src == new_src:
+            continue  # file untouched — nothing to adjudicate
+        new_defs, new_consts = _definitions(new_src)
+        old_defs, old_consts = _definitions(old_src)
+        changed_consts = {
+            k
+            for k in set(new_consts) | set(old_consts)
+            if new_consts.get(k) != old_consts.get(k)
+        }
+        for name, seg in new_defs.items():
+            if name not in old_defs:
+                added.append(name)
+            elif seg != old_defs[name]:
+                changed[name] = "definition"
+            elif any(c in seg for c in changed_consts):
+                changed[name] = "referenced constant: " + ", ".join(
+                    sorted(c for c in changed_consts if c in seg)
+                )
+            else:
+                unchanged_in_edited.append(name)
+        removed.extend(n for n in old_defs if n not in new_defs)
+
+    # import-time guard: every reported name should resolve against
+    # the live registry (added/changed) or be absent from it (removed)
+    from cdk_datalake_ingest_bigmagic_spark.queries import QUERIES
+
+    report = {
+        "prev_rev": rev,
+        "changed": changed,
+        "added": sorted(added),
+        "removed": sorted(removed),
+        "unchanged_in_edited_files": sorted(unchanged_in_edited),
+        "stale_removed_still_registered": sorted(
+            n for n in removed if n in QUERIES
+        ),
+        "added_not_registered": sorted(
+            n for n in added if n not in QUERIES
+        ),
+    }
+    print(json.dumps(report, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
