@@ -77,30 +77,73 @@ class ParquetStageTable:
     def overwrite(self, df: DataFrame, partition_cols: list[str] | None = None) -> None:
         # Spark's overwrite clears the directory INCLUDING _delta_log;
         # stash the log so the overwrite commits as the next version
-        # of the same table history instead of restarting at v0
-        saved = self._stash_delta_log()
-        writer = df.write.mode("overwrite")
-        if partition_cols:
-            writer = writer.partitionBy(*partition_cols)
-        writer.parquet(self.path)
-        self._restore_delta_log(saved)
+        # of the same table history instead of restarting at v0.
+        # The stash is an ON-DISK RENAME to a sibling directory, not an
+        # in-memory copy: a crash between the directory-clearing write
+        # and the restore leaves the full history in the stash, and the
+        # next overwrite/commit restores it first (idempotent recovery)
+        # — the in-memory stash this replaces silently destroyed the
+        # entire log in that window.
+        stashed = self._stash_delta_log()
+        try:
+            writer = df.write.mode("overwrite")
+            if partition_cols:
+                writer = writer.partitionBy(*partition_cols)
+            writer.parquet(self.path)
+        finally:
+            self._restore_delta_log(stashed)
         self._commit_delta_log(df, partition_cols, "WRITE")
 
-    def _stash_delta_log(self) -> dict[str, str] | None:
+    def _stash_path(self) -> Path:
+        # deterministic sibling OUTSIDE the table dir (Spark's
+        # overwrite clears the table dir itself), so crash recovery
+        # can always find it
+        p = _local(self.path)
+        return p.parent / (p.name + ".delta_log.stash")
+
+    def _recover_stashed_log(self) -> None:
+        """Crash recovery: a leftover stash means a previous overwrite
+        died between Spark's directory-clearing write and the restore.
+        Move the stash back (per-file put-if-absent when a newer log
+        already exists — never overwrite a committed version)."""
+        if not _is_local_path(self.path):  # pragma: no cover
+            return
+        stash = self._stash_path()
+        if not stash.is_dir():
+            return
+        log = _local(self.path) / "_delta_log"
+        if not log.exists():
+            _local(self.path).mkdir(parents=True, exist_ok=True)
+            stash.rename(log)
+            return
+        for f in stash.iterdir():  # pragma: no cover - double-crash tail
+            if not (log / f.name).exists():
+                f.rename(log / f.name)
+        shutil.rmtree(stash, ignore_errors=True)
+
+    def _stash_delta_log(self) -> Path | None:
         if not _is_local_path(self.path):  # pragma: no cover
             return None
+        self._recover_stashed_log()
         log = _local(self.path) / "_delta_log"
         if not log.is_dir():
             return None
-        return {p.name: p.read_text() for p in log.glob("*.json")}
+        stash = self._stash_path()
+        log.rename(stash)
+        return stash
 
-    def _restore_delta_log(self, saved: dict[str, str] | None) -> None:
-        if not saved:
+    def _restore_delta_log(self, stash: Path | None) -> None:
+        if stash is None or not stash.is_dir():
             return
         log = _local(self.path) / "_delta_log"
-        log.mkdir(parents=True, exist_ok=True)
-        for name, text in saved.items():
-            (log / name).write_text(text)
+        log.parent.mkdir(parents=True, exist_ok=True)
+        if log.exists():  # pragma: no cover - writer recreated it
+            for f in stash.iterdir():
+                if not (log / f.name).exists():
+                    f.rename(log / f.name)
+            shutil.rmtree(stash, ignore_errors=True)
+        else:
+            stash.rename(log)
 
     def _commit_delta_log(
         self,
@@ -172,7 +215,13 @@ class ParquetStageTable:
         #   DROPPED target-only columns — data loss Delta never has.)
         tgt_only = [c for c in existing.columns if c not in set(df.columns)]
         if tgt_only:
-            carry = existing.select(*id_cols, *tgt_only)
+            # the live table can hold duplicate id tuples when it was
+            # built by append/overwrite BEFORE its first merge; an
+            # un-deduplicated carry join would fan incoming rows out
+            # (row multiplication the previous emulation never had).
+            # One row per key is all UPDATE SET * semantics needs —
+            # the kept-vs-replaced decision already happened above.
+            carry = existing.select(*id_cols, *tgt_only).dropDuplicates(id_cols)
             incoming = df.join(carry, on=id_cols, how="left")
         else:
             incoming = df
@@ -193,6 +242,7 @@ class ParquetStageTable:
         """Copy-on-write via temp dir + swap: the merged plan reads the
         live files, so write elsewhere first."""
         if _is_local_path(self.path):
+            self._recover_stashed_log()
             tmp = str(_local(self.path)) + f".tmp-{uuid.uuid4().hex[:8]}"
             writer = df.write.mode("overwrite")
             if partition_cols:

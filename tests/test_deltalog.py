@@ -181,3 +181,218 @@ def test_operation_labels_across_lifecycle(spark, tmp_path):
     }
     assert live == disk
     assert {r["k"] for r in t.read().collect()} == {1, 2, 3}
+
+
+def test_add_paths_percent_encoded_for_external_readers(spark, tmp_path):
+    """PROTOCOL.md: action paths are percent-encoded relative paths.
+    The critical case is Spark's own hive-escaping: partition value
+    'a=b:c' lands on disk as 'zone=a%3Db%3Ac/...', so the RAW disk
+    name must have its '%' escaped to '%25' in the action — an
+    external reader URL-decodes the action path and must get back the
+    on-disk name, not 'zone=a=b:c/...'."""
+    from urllib.parse import unquote
+
+    path = str(tmp_path / "t9")
+    t = ParquetStageTable(spark, path)
+    df = spark.createDataFrame(
+        [(1, "a=b:c"), (2, "north region")], "k long, zone string"
+    )
+    t.overwrite(df, partition_cols=["zone"])
+    actions = _read_log(path)[0][1]
+    adds = [a["add"] for a in actions if "add" in a]
+    disk = {
+        p.relative_to(path).as_posix()
+        for p in Path(path).rglob("*.parquet")
+        if "_delta_log" not in p.parts
+    }
+    # what an external reader reconstructs (URL-decode) IS the disk name
+    assert {unquote(a["path"]) for a in adds} == disk
+    # the hive-escaped '%' really was re-encoded in the action text
+    hot = next(a for a in adds if a["partitionValues"]["zone"] == "a=b:c")
+    assert "%253D" in hot["path"], hot["path"]
+    # live_files keys are already decoded to disk names
+    assert set(deltalog.live_files(path)) == disk
+    # a rewrite removes by the same encoding (no ghost files)
+    t.merge(spark.createDataFrame([(1, "a=b:c")], "k long, zone string"),
+            id_cols=["k"], partition_cols=["zone"])
+    assert set(deltalog.live_files(path)) == {
+        p.relative_to(path).as_posix()
+        for p in Path(path).rglob("*.parquet")
+        if "_delta_log" not in p.parts
+    }
+
+
+def test_crash_between_clear_and_restore_keeps_history(spark, tmp_path):
+    """The overwrite stash is an on-disk rename: kill the writer after
+    Spark cleared the directory but BEFORE the restore, and the next
+    writer must recover the full history instead of restarting at v0
+    (the in-memory stash this replaces lost it silently)."""
+    import shutil as _sh
+
+    path = str(tmp_path / "t10")
+    t = ParquetStageTable(spark, path)
+    t.overwrite(_df(spark, [(1, 0, "a")]))
+    t.overwrite(_df(spark, [(1, 0, "b")]))
+    assert deltalog.current_version(path) == 1
+
+    # simulate the crash window: stash moved aside, table dir cleared,
+    # process dies (no restore, no commit)
+    stash = t._stash_delta_log()
+    assert stash is not None and stash.is_dir()
+    _sh.rmtree(path)
+
+    # a NEW process overwrites the table: recovery must restore the
+    # stashed log first and commit as the NEXT version
+    t2 = ParquetStageTable(spark, path)
+    t2.overwrite(_df(spark, [(2, 1, "c")]))
+    versions = [v for v, _ in _read_log(path)]
+    assert versions == [0, 1, 2], versions
+    assert not t2._stash_path().exists()
+    # the recovered log still replays consistently against the disk
+    disk = {
+        p.relative_to(path).as_posix()
+        for p in Path(path).rglob("*.parquet")
+        if "_delta_log" not in p.parts
+    }
+    assert set(deltalog.live_files(path)) == disk
+
+
+def test_write_failure_restores_log_in_finally(spark, tmp_path):
+    """An overwrite that THROWS mid-write must leave the log restored
+    (the finally path), not stranded in the stash."""
+    path = str(tmp_path / "t11")
+    t = ParquetStageTable(spark, path)
+    t.overwrite(_df(spark, [(1, 0, "a")]))
+
+    bad = spark.createDataFrame([(1,)], "k long").selectExpr(
+        "k", "raise_error('boom') AS val"
+    )
+    try:
+        t.overwrite(bad)
+    except Exception:
+        pass
+    assert not t._stash_path().exists()
+    assert deltalog.current_version(path) == 0
+    # and the table keeps working
+    t.overwrite(_df(spark, [(2, 1, "b")]))
+    assert deltalog.current_version(path) == 1
+
+
+def test_stray_json_does_not_brick_replay(spark, tmp_path):
+    """Non-numeric *.json dropped into _delta_log (crash artifact,
+    another tool) must be ignored by replay and schema tracking, as
+    current_version already does — not raise ValueError on int()."""
+    path = str(tmp_path / "t12")
+    t = ParquetStageTable(spark, path)
+    t.overwrite(_df(spark, [(1, 0, "a")]))
+    (Path(path) / "_delta_log" / "stray-tool-output.json").write_text(
+        '{"not": "a commit"}\n'
+    )
+    assert deltalog.current_version(path) == 0
+    assert len(deltalog.live_files(path)) > 0
+    t.overwrite(_df(spark, [(2, 1, "b")]))       # exercises _schema_changed
+    assert deltalog.current_version(path) == 1
+
+
+def test_merge_carry_join_does_not_fan_out_on_dup_target_keys(spark, tmp_path):
+    """A live table built by append/overwrite BEFORE its first merge
+    can hold duplicate id tuples; the target-only-column carry join
+    must not multiply incoming rows."""
+    path = str(tmp_path / "t13")
+    t = ParquetStageTable(spark, path)
+    # duplicate key 1 in the pre-merge table, with a target-only column
+    t.overwrite(_df(spark, [(1, 0, "old-a"), (1, 0, "old-a2"), (2, 1, "b")]))
+    # source lacks 'val' (target-only) and updates key 1
+    src = spark.createDataFrame([(1, 7), (3, 8)], "k long, grp int")
+    t.merge(src, id_cols=["k"])
+    rows = {tuple(r) for r in t.read().select("k", "grp").collect()}
+    ks = sorted(r["k"] for r in t.read().collect())
+    assert ks == [2, 1, 3] or ks == [1, 2, 3], ks  # exactly one row for k=1
+    assert (1, 7) in rows and (3, 8) in rows and (2, 1) in rows
+
+
+def test_checkpoint_written_every_interval_and_replay_matches(spark, tmp_path):
+    """Every CHECKPOINT_INTERVAL commits the writer emits the spec's
+    classic parquet checkpoint + _last_checkpoint, and state
+    reconstruction THROUGH the checkpoint equals a from-scratch JSON
+    replay (the external-reader contract)."""
+    path = str(tmp_path / "t14")
+    t = ParquetStageTable(spark, path)
+    t.overwrite(_df(spark, [(1, 0, "a")]))
+    for i in range(deltalog.CHECKPOINT_INTERVAL + 2):
+        t.merge(_df(spark, [(10 + i, i, f"v{i}")]), id_cols=["k"])
+    v = deltalog.current_version(path)
+    assert v == deltalog.CHECKPOINT_INTERVAL + 2
+    log_dir = Path(path) / "_delta_log"
+    cp = log_dir / f"{deltalog.CHECKPOINT_INTERVAL:020d}.checkpoint.parquet"
+    assert cp.is_file()
+    ptr = json.loads((log_dir / "_last_checkpoint").read_text())
+    assert ptr["version"] == deltalog.CHECKPOINT_INTERVAL
+    assert ptr["size"] >= 2  # protocol + metaData at minimum
+
+    # checkpoint-aware replay == pure JSON replay == disk
+    from urllib.parse import unquote
+
+    pure: dict = {}
+    for p in sorted(
+        (p for p in log_dir.glob("*.json") if p.stem.isdigit()),
+        key=lambda p: int(p.stem),
+    ):
+        for line in p.read_text().splitlines():
+            if not line.strip():
+                continue
+            a = json.loads(line)
+            if "add" in a:
+                pure[unquote(a["add"]["path"])] = a["add"]
+            elif "remove" in a:
+                pure.pop(unquote(a["remove"]["path"]), None)
+    via_checkpoint = deltalog.live_files(path)
+    assert set(via_checkpoint) == set(pure)
+    assert all(
+        via_checkpoint[k]["size"] == pure[k]["size"] for k in pure
+    )
+    disk = {
+        p.relative_to(path).as_posix()
+        for p in Path(path).rglob("*.parquet")
+        if "_delta_log" not in p.parts
+    }
+    assert set(via_checkpoint) == disk
+    # the checkpoint parquet has the spec's action columns
+    import pyarrow.parquet as pq
+
+    names = set(pq.read_schema(cp).names)
+    assert {"protocol", "metaData", "add"} <= names
+
+
+def test_corrupt_last_checkpoint_falls_back_to_json_replay(spark, tmp_path):
+    """The JSON commits are the source of truth: a broken or stale
+    _last_checkpoint degrades to full JSON replay, never to an
+    empty/incorrect state."""
+    path = str(tmp_path / "t15")
+    t = ParquetStageTable(spark, path)
+    t.overwrite(_df(spark, [(1, 0, "a")]))
+    t.merge(_df(spark, [(2, 1, "b")]), id_cols=["k"])
+    good = dict(deltalog.live_files(path))
+    log_dir = Path(path) / "_delta_log"
+    (log_dir / "_last_checkpoint").write_text('{"version": 99, "size": 1}\n')
+    assert set(deltalog.live_files(path)) == set(good)
+    (log_dir / "_last_checkpoint").write_text("not json at all")
+    assert set(deltalog.live_files(path)) == set(good)
+    # commits still work with the corrupt pointer in place
+    t.merge(_df(spark, [(3, 1, "c")]), id_cols=["k"])
+    assert deltalog.current_version(path) == 2
+
+
+def test_checkpoint_preserves_schema_tracking(spark, tmp_path):
+    """_schema_changed must see the metaData carried by the
+    checkpoint, not recommit metaData every version after one."""
+    path = str(tmp_path / "t16")
+    t = ParquetStageTable(spark, path)
+    t.overwrite(_df(spark, [(1, 0, "a")]))
+    for i in range(deltalog.CHECKPOINT_INTERVAL):
+        t.merge(_df(spark, [(10 + i, i, f"v{i}")]), id_cols=["k"])
+    # the version after the checkpoint: same schema -> no metaData
+    t.merge(_df(spark, [(99, 9, "z")]), id_cols=["k"])
+    last_v = deltalog.current_version(path)
+    actions = dict(_read_log(path))[last_v]
+    assert not any("metaData" in a for a in actions)
