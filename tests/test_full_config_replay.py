@@ -116,3 +116,66 @@ def test_two_day_incremental_merge_replay(spark):
             if "_delta_log" not in p.parts
         }
         assert live == disk, r["table"]
+
+
+def test_lifecycle_reset_and_reprocess_replay(spark):
+    """The rest of the LoadMode matrix (reference
+    extract_data.py:370-383, orchestrator.py:412-414,
+    light_transform.py:1633-1704): after the two-day state, a day-3
+    RESET destructively re-lands a fresh snapshot (nothing from days
+    1-2 survives, the Delta log continues the SAME history), and a
+    day-4 DATE_PROCESS reprocess rewrites exactly one ingest-date
+    window. A slice of full-load tables runs through run_lifecycle;
+    a time_range table exercises the merge-policy reprocess branch
+    (day-B rows byte-stable, day-A keys rewritten).
+    tools/replay_full_config.py --lifecycle runs all 56."""
+    import duckdb
+
+    from cdk_datalake_ingest_bigmagic_spark.config.loader import load_catalog
+    from tools.replay_full_config import (
+        replay_table,
+        replay_table_day2,
+        replay_table_day3_reset,
+        replay_table_day4_reprocess,
+        run_lifecycle,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="cfg_replay_lc_")
+    out = run_lifecycle(spark, n_rows=120, workdir=workdir, limit=3)
+    s = out["summary"]
+    assert s["tables_ran"] == 3
+    assert s["failures"] == []
+    assert s["all_ok"]
+    for r in out["tables"]:
+        assert r["reset"]["destructive_flag"]
+        assert r["reset"]["old_rows_surviving"] == 0
+        assert r["reset"]["log_history_ok"]
+        assert r["reprocess"]["rows_match"]
+
+    # merge-policy reprocess branch: a time_range table with id cols
+    cat = load_catalog(
+        tables_csv=f"{REF_CSV}/tables.csv", columns_csv=f"{REF_CSV}/columns.csv"
+    )
+    spark.conf.set(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+    )
+    tc = next(
+        t for t in cat.tables.values()
+        if t.is_active and t.effective_load_type in {"incremental", "time_range"}
+    )
+    specs = cat.columns_for(tc.stage_table_name)
+    duck = duckdb.connect()
+    wd2 = tempfile.mkdtemp(prefix="cfg_replay_lc_tr_")
+    d1 = replay_table(spark, duck, tc, specs, 120, wd2)
+    assert d1["rows_match"] and d1["schema_match"]
+    d2 = replay_table_day2(spark, duck, tc, specs, 120, wd2)
+    assert d2["ok"]
+    d3 = replay_table_day3_reset(spark, duck, tc, specs, 120, wd2)
+    assert d3["ok"] and d3["old_rows_surviving"] == 0
+    d4 = replay_table_day4_reprocess(spark, duck, tc, specs, 120, wd2)
+    assert d4["ok"]
+    assert d4["merge_policy"], "expected the merge-policy branch"
+    assert d4["marker_col"] is not None
+    assert d4["window_scoped"], (
+        "reprocess must rewrite ONLY the targeted window"
+    )

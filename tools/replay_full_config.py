@@ -318,6 +318,38 @@ def replay_table(spark, duck, tc, specs, n_rows: int, workdir: str) -> dict:
 #: re-sent row carries visibly different non-ID values
 _DAY2_VALUE_SHIFT = 10_000_000
 
+#: day-3 RESET snapshot: disjoint ID space AND payload space from both
+#: prior days, so any surviving old row is detectable
+_DAY3_VALUE_SHIFT = 20_000_000
+
+#: day-4 reprocess payloads (same IDs as the original landing, values
+#: visibly rewritten)
+_REPROCESS_VALUE_SHIFT = 30_000_000
+
+
+def _marker_col(specs, id_src) -> str | None:
+    """A bare-rename column (stage value = raw string verbatim,
+    light_transform.py:721) outside the key and partition layout —
+    the observable payload for upsert/reprocess assertions."""
+    id_and_part_src = set(id_src) | {
+        c
+        for s in specs
+        if s.is_partition
+        for c in source_kinds(s.transformation)
+    }
+    for s in specs:
+        t = (s.transformation or "").strip()
+        if (
+            t
+            and "(" not in t
+            and t.isidentifier()
+            and not s.is_id
+            and not s.is_partition
+            and t not in id_and_part_src
+        ):
+            return s.name
+    return None
+
 
 def replay_table_day2(spark, duck, tc, specs, n_rows: int, workdir: str) -> dict:
     """The SECOND daily run of a table (reference
@@ -424,27 +456,7 @@ def replay_table_day2(spark, duck, tc, specs, n_rows: int, workdir: str) -> dict
             .filter(F.col("count") > 1)
             .count()
         )
-        # marker: a bare-rename column (stage value = raw string
-        # verbatim, light_transform.py:721) not part of the key or
-        # the partition layout
-        id_and_part_src = set(id_src) | {
-            c
-            for s in specs
-            if s.is_partition
-            for c in source_kinds(s.transformation)
-        }
-        for s in specs:
-            t = (s.transformation or "").strip()
-            if (
-                t
-                and "(" not in t
-                and t.isidentifier()
-                and not s.is_id
-                and not s.is_partition
-                and t not in id_and_part_src
-            ):
-                marker = s.name
-                break
+        marker = _marker_col(specs, id_src)
         n_day2 = typed2.count()
         matched = staged.join(typed2.select(*id_cols).distinct(), id_cols).count()
         upsert_wins = matched == n_day2
@@ -480,6 +492,260 @@ def replay_table_day2(spark, duck, tc, specs, n_rows: int, workdir: str) -> dict
         "marker_col": marker,
         "watermark_ok": wm_ok,
         "quarantined_columns": errors,
+        "ok": ok,
+        "secs": round(time.time() - t0, 2),
+    }
+
+
+def replay_table_day3_reset(
+    spark, duck, tc, specs, n_rows: int, workdir: str
+) -> dict:
+    """Day-3 destructive re-land (LoadMode.RESET — reference
+    ``extract_data.py:370-383``, ``orchestrator.py:412-414``): a fresh
+    full snapshot with an ID space disjoint from both prior days
+    replaces the two-day merged stage COMPLETELY. Asserted per table:
+
+    - the engine's own strategy routing flags the run destructive
+      (``plan_extraction(tc, LoadMode.RESET).destructive``), which is
+      what sends the write down the overwrite path regardless of the
+      table's incremental config;
+    - staged rows == DuckDB's distinct count over the day-3 raw ONLY;
+    - zero rows from days 1-2 survive (anti-join on the day-3 keys);
+    - the Delta log records the re-land as the NEXT version of the
+      SAME history (operation WRITE) — destructive for the data,
+      non-destructive for the table's audit trail (the crash-safe
+      stash in storage/stage.py is what makes this possible).
+    """
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_bigmagic_spark.plans.pipeline import (
+        transform_raw_to_stage,
+        write_stage,
+    )
+    from cdk_datalake_ingest_bigmagic_spark.plans.strategy import (
+        LoadMode,
+        plan_extraction,
+    )
+    from cdk_datalake_ingest_bigmagic_spark.storage import deltalog
+
+    t0 = time.time()
+    stage_path = os.path.join(workdir, "stage", tc.stage_table_name)
+    plan = plan_extraction(tc, LoadMode.RESET)
+    destructive = plan.destructive
+
+    n3 = max(1, n_rows // 3)
+    raw3, id_src, _ = synth_raw(
+        spark,
+        specs,
+        n3,
+        dup_factor=1,
+        id_shift=2 * n_rows + 17,
+        value_shift=_DAY3_VALUE_SHIFT,
+    )
+    raw3_path = os.path.join(workdir, "raw_day3", tc.stage_table_name)
+    raw3.write.mode("overwrite").parquet(raw3_path)
+    typed3 = transform_raw_to_stage(
+        spark.read.parquet(raw3_path), specs
+    ).df
+
+    prev_version = deltalog.current_version(stage_path)
+    write_stage(
+        spark,
+        typed3,
+        stage_path,
+        specs,
+        "full" if destructive else tc.effective_load_type,
+    )
+    staged = spark.read.parquet(stage_path)
+    got_rows = staged.count()
+
+    glob = f"{raw3_path}/*.parquet"
+    if id_src:
+        cols = ", ".join(f'"{c}"' for c in id_src)
+        want_rows = duck.execute(
+            f"SELECT count(*) FROM (SELECT DISTINCT {cols} "
+            f"FROM read_parquet('{glob}'))"
+        ).fetchone()[0]
+    else:
+        want_rows = duck.execute(
+            f"SELECT count(*) FROM (SELECT DISTINCT * "
+            f"FROM read_parquet('{glob}'))"
+        ).fetchone()[0]
+
+    id_cols = [s.name for s in specs if s.is_id]
+    survivors = 0
+    if id_cols:
+        survivors = staged.join(
+            typed3.select(*id_cols).distinct(), on=id_cols, how="left_anti"
+        ).count()
+
+    new_version = deltalog.current_version(stage_path)
+    history_ok = (
+        new_version is not None
+        and (prev_version is None or new_version == prev_version + 1)
+    )
+
+    ok = (
+        destructive
+        and got_rows == want_rows
+        and survivors == 0
+        and history_ok
+    )
+    return {
+        "table": tc.stage_table_name,
+        "destructive_flag": destructive,
+        "rows": got_rows,
+        "rows_expected": want_rows,
+        "rows_match": got_rows == want_rows,
+        "old_rows_surviving": survivors,
+        "log_version": new_version,
+        "log_history_ok": history_ok,
+        "ok": ok,
+        "secs": round(time.time() - t0, 2),
+    }
+
+
+def replay_table_day4_reprocess(
+    spark, duck, tc, specs, n_rows: int, workdir: str
+) -> dict:
+    """DATE_PROCESS reprocess (reference
+    ``light_transform.py:1633-1704``): raw lands under ingest-date
+    partitions; re-running one date re-reads ONLY that partition
+    (pruned scan, S6/sources.files.read_raw) and re-stages it through
+    the table's own load policy. The leg uses a FRESH raw root + stage
+    so the assertions are self-contained:
+
+    - land day A then day B (disjoint key spaces) via
+      ``run_table_pipeline(ingest_date=...)``;
+    - re-land day A's raw partition with rewritten payloads and
+      reprocess ONLY that date;
+    - merge-policy tables (incremental + id columns): day-B rows are
+      untouched, every day-A key now carries the reprocessed payload
+      (checked on the bare-rename marker), total = |A| + |B|;
+    - overwrite-policy tables (full / id-less): the stage is exactly
+      the reprocessed day-A snapshot — write_stage's own policy, same
+      as the reference's full tables re-landing whole snapshots.
+    """
+    import datetime as _dt
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_bigmagic_spark.plans.pipeline import (
+        run_table_pipeline,
+        transform_raw_to_stage,
+    )
+    from cdk_datalake_ingest_bigmagic_spark.sources.files import write_raw
+
+    t0 = time.time()
+    day_a = _dt.date(2024, 3, 1)
+    day_b = _dt.date(2024, 3, 2)
+    n4 = max(2, n_rows // 4)
+    root = os.path.join(workdir, "raw4", tc.stage_table_name)
+    stage4 = os.path.join(workdir, "stage4", tc.stage_table_name)
+
+    raw_a, id_src, _ = synth_raw(spark, specs, n4, dup_factor=1, id_shift=0)
+    raw_b, _, _ = synth_raw(
+        spark, specs, n4, dup_factor=1, id_shift=n4,
+        value_shift=_DAY2_VALUE_SHIFT,
+    )
+    write_raw(raw_a, root, ingest_date=day_a)
+    write_raw(raw_b, root, ingest_date=day_b)
+    run_table_pipeline(spark, root, stage4, tc, specs, ingest_date=day_a)
+    run_table_pipeline(spark, root, stage4, tc, specs, ingest_date=day_b)
+
+    # re-land day A's raw partition with rewritten payloads
+    part_dir = os.path.join(
+        root, f"year={day_a.year:04d}", f"month={day_a.month:02d}",
+        f"day={day_a.day:02d}",
+    )
+    _sh.rmtree(part_dir, ignore_errors=True)
+    raw_a2, _, _ = synth_raw(
+        spark, specs, n4, dup_factor=1, id_shift=0,
+        value_shift=_REPROCESS_VALUE_SHIFT,
+    )
+    write_raw(raw_a2, root, ingest_date=day_a)
+    run_table_pipeline(spark, root, stage4, tc, specs, ingest_date=day_a)
+
+    staged = spark.read.parquet(stage4)
+    got_rows = staged.count()
+    id_cols = [s.name for s in specs if s.is_id]
+    merge_policy = (
+        tc.effective_load_type in {"incremental", "time_range"}
+        and bool(id_cols)
+    )
+    marker = _marker_col(specs, id_src)
+
+    def _glob(d: _dt.date) -> str:
+        return (
+            f"{root}/year={d.year:04d}/month={d.month:02d}/"
+            f"day={d.day:02d}/*.parquet"
+        )
+
+    if id_src:
+        cols = ", ".join(f'"{c}"' for c in id_src)
+        distinct_a = duck.execute(
+            f"SELECT count(*) FROM (SELECT DISTINCT {cols} "
+            f"FROM read_parquet('{_glob(day_a)}'))"
+        ).fetchone()[0]
+        distinct_ab = duck.execute(
+            f"SELECT count(*) FROM (SELECT DISTINCT {cols} FROM ("
+            f"SELECT {cols} FROM read_parquet('{_glob(day_a)}') "
+            f"UNION ALL SELECT {cols} FROM read_parquet('{_glob(day_b)}')))"
+        ).fetchone()[0]
+    else:
+        distinct_a = duck.execute(
+            f"SELECT count(*) FROM (SELECT DISTINCT * "
+            f"FROM read_parquet('{_glob(day_a)}'))"
+        ).fetchone()[0]
+        distinct_ab = None
+
+    window_scoped = True
+    if merge_policy:
+        want_rows = distinct_ab
+        typed_a2 = transform_raw_to_stage(
+            spark.read.parquet(part_dir).drop("year", "month", "day"), specs
+        ).df
+        typed_b = transform_raw_to_stage(
+            spark.read.parquet(
+                os.path.join(
+                    root, f"year={day_b.year:04d}",
+                    f"month={day_b.month:02d}", f"day={day_b.day:02d}",
+                )
+            ).drop("year", "month", "day"),
+            specs,
+        ).df
+        if marker is not None:
+            # every reprocessed key carries the NEW payload...
+            a_ok = (
+                staged.alias("s")
+                .join(typed_a2.select(*id_cols, marker).alias("a"), id_cols)
+                .where(F.col(f"s.{marker}").eqNullSafe(F.col(f"a.{marker}")))
+                .count()
+                == typed_a2.count()
+            )
+            # ...and the untouched day-B window is byte-stable
+            b_ok = (
+                staged.alias("s")
+                .join(typed_b.select(*id_cols, marker).alias("b"), id_cols)
+                .where(F.col(f"s.{marker}").eqNullSafe(F.col(f"b.{marker}")))
+                .count()
+                == typed_b.count()
+            )
+            window_scoped = a_ok and b_ok
+    else:
+        # overwrite policy: the stage IS the reprocessed day-A snapshot
+        want_rows = distinct_a
+
+    ok = got_rows == want_rows and window_scoped
+    return {
+        "table": tc.stage_table_name,
+        "merge_policy": merge_policy,
+        "marker_col": marker,
+        "rows": got_rows,
+        "rows_expected": want_rows,
+        "rows_match": got_rows == want_rows,
+        "window_scoped": window_scoped,
         "ok": ok,
         "secs": round(time.time() - t0, 2),
     }
@@ -557,6 +823,99 @@ def run_two_day(
     return {"summary": summary, "tables": reports}
 
 
+def run_lifecycle(
+    spark, n_rows: int, workdir: str, limit: int | None = None
+) -> dict:
+    """The FULL LoadMode matrix as an execution replay, per table:
+    day-1 FULL load, day-2 INCREMENTAL→MERGE, day-3 RESET (destructive
+    re-land), day-4 DATE_PROCESS REPROCESS of one ingest-date window.
+    Everything the reference's daily/exceptional operations can do to
+    a stage table, each leg with its own oracle assertions."""
+    import duckdb
+
+    from cdk_datalake_ingest_bigmagic_spark.config.loader import load_catalog
+    from cdk_datalake_ingest_bigmagic_spark.plans.watermarks import (
+        WatermarkStore,
+    )
+    from pyspark.sql import functions as F
+
+    cat = load_catalog(
+        tables_csv=f"{REF_CSV}/tables.csv", columns_csv=f"{REF_CSV}/columns.csv"
+    )
+    spark.conf.set(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+    )
+    duck = duckdb.connect()
+    tables = [t for t in cat.tables.values() if t.is_active]
+    if limit:
+        tables = tables[:limit]
+    store = WatermarkStore(spark, os.path.join(workdir, "watermarks"))
+    reports, t0 = [], time.time()
+    for tc in tables:
+        specs = cat.columns_for(tc.stage_table_name)
+        if not specs:
+            continue
+        day1 = replay_table(spark, duck, tc, specs, n_rows, workdir)
+        wm_col = next((s.name for s in specs if s.is_filter_date), None)
+        if wm_col is not None:
+            typed1 = spark.read.parquet(
+                os.path.join(workdir, "stage", tc.stage_table_name)
+            )
+            wm1 = typed1.agg(F.max(F.col(wm_col).cast("string"))).first()[0]
+            if wm1 is not None:
+                txn = store.save_provisional(
+                    "replay", tc.stage_table_name, wm_col, wm1
+                )
+                store.confirm(txn)
+        day2 = replay_table_day2(spark, duck, tc, specs, n_rows, workdir)
+        day3 = replay_table_day3_reset(spark, duck, tc, specs, n_rows, workdir)
+        day4 = replay_table_day4_reprocess(
+            spark, duck, tc, specs, n_rows, workdir
+        )
+        row = {
+            "table": tc.stage_table_name,
+            "day1_ok": bool(
+                day1["rows_match"]
+                and day1["schema_match"]
+                and not day1["quarantined_columns"]
+            ),
+            "day2_ok": day2["ok"],
+            "day3_ok": day3["ok"],
+            "day4_ok": day4["ok"],
+            "merge_leg": day2["merge_leg"],
+            "reset": day3,
+            "reprocess": day4,
+            "secs": round(
+                day1["secs"] + day2["secs"] + day3["secs"] + day4["secs"], 2
+            ),
+        }
+        row["ok"] = (
+            row["day1_ok"] and row["day2_ok"] and row["day3_ok"]
+            and row["day4_ok"]
+        )
+        reports.append(row)
+        status = "OK " if row["ok"] else "FAIL"
+        print(
+            f"{status} {row['table']:<32} d1 {row['day1_ok']}"
+            f" d2 {row['day2_ok']} d3(reset) {row['day3_ok']}"
+            f" d4(reprocess) {row['day4_ok']}"
+            f" [{row['secs']}s]",
+            flush=True,
+        )
+    summary = {
+        "tables_ran": len(reports),
+        "rows_per_table_day1": n_rows,
+        "merge_leg_tables": sum(1 for r in reports if r["merge_leg"]),
+        "reprocess_merge_tables": sum(
+            1 for r in reports if r["reprocess"]["merge_policy"]
+        ),
+        "all_ok": all(r["ok"] for r in reports),
+        "total_secs": round(time.time() - t0, 1),
+        "failures": [r["table"] for r in reports if not r["ok"]],
+    }
+    return {"summary": summary, "tables": reports}
+
+
 def run(spark, n_rows: int, workdir: str, limit: int | None = None) -> dict:
     import duckdb
 
@@ -628,13 +987,24 @@ def main() -> int:
         "overlapping keys, watermark progression, and upsert-wins "
         "assertions per table",
     )
+    ap.add_argument(
+        "--lifecycle",
+        action="store_true",
+        help="the full LoadMode matrix: day-1 FULL, day-2 "
+        "INCREMENTAL->MERGE, day-3 RESET (destructive re-land), "
+        "day-4 DATE_PROCESS reprocess of one ingest-date window",
+    )
     args = ap.parse_args()
 
     from cdk_datalake_ingest_bigmagic_spark import get_spark
 
     spark = get_spark(app_name="replay-full-config", shuffle_partitions=32)
     workdir = tempfile.mkdtemp(prefix="cfg_replay_")
-    runner = run_two_day if args.two_day else run
+    runner = (
+        run_lifecycle if args.lifecycle
+        else run_two_day if args.two_day
+        else run
+    )
     out = runner(spark, args.rows, workdir, args.tables)
     print(json.dumps(out["summary"]))
     return 0 if not out["summary"]["failures"] else 1
