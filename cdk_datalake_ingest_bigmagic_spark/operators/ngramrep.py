@@ -1,0 +1,229 @@
+"""The full Gopher n-gram repetition rule set (Rae et al. 2021,
+Table A1): top-{2,3,4}-gram character fractions and duplicate-
+{5..10}-gram character fractions, with the published thresholds.
+
+``operators/text.py::repetition_features`` carries the in-row
+word/bigram trio (dup-word, dup-bigram, top-bigram) for the
+zero-shuffle score-card path; this module computes the remaining
+NINE published signals, which need per-(document, n, gram) counts —
+in-row HOF evaluation would be O(grams²) per document and runs
+interpreted (the repetition-module lesson), so the shape here is the
+explode + map-side-combined count aggregation the DSIR featurizer
+already proved out (``operators/dsir.py``):
+
+1. ONE projection tokenizes each document and emits every n-gram for
+   every requested n as (doc, n, gram) via a flattened in-row
+   transform — one explode, no Python;
+2. ONE ``groupBy(doc, n, gram).count()`` — partial aggregation
+   collapses repeats map-side, so the shuffle carries distinct grams,
+   not raw occurrences (on repetitive documents — exactly the ones
+   these rules exist to catch — that is the whole point);
+3. ONE ``groupBy(doc, n)`` aggregate picks the top gram (max count,
+   ties broken by lexicographically smallest gram — deterministic
+   cross-engine) and sums the duplicated-gram mass;
+4. a final conditional aggregation widens the ≤9 rows per document
+   into one rule-card row.
+
+Counting conventions (mirrored exactly by the DuckDB oracle in
+queries/curation6.py — deviations from the paper's prose are
+DOCUMENTED here, not silent):
+
+- tokens are maximal runs of ``[a-z0-9']`` over the lowercased text
+  (the DSIR featurizer's convention);
+- an n-gram's character mass is ``length(gram)`` with single-space
+  joiners; a document's character denominator is the length of its
+  space-joined token string. The paper normalizes by raw document
+  characters; normalizing both sides of the ratio in the SAME token
+  space keeps the signal scale-free and the arithmetic exact-long /
+  exact-long (single IEEE division — the oracle-determinism rule).
+- the duplicate-n-gram fraction counts the mass of ALL occurrences of
+  every gram seen more than once (count >= 2), capped at 1.0. The
+  paper's reference implementations mark character POSITIONS covered
+  by a duplicated gram (overlap-free); that needs per-position
+  bookkeeping that is O(doc length) state per row on both engines.
+  The all-occurrence mass equals the coverage mass when duplicate
+  occurrences don't overlap (the common case) and EXCEEDS it exactly
+  on periodic self-overlapping text — which coverage scores ~1.0 and
+  the cap maps to 1.0, so the threshold decision agrees there too.
+  The top-n mass (count × gram length, uncapped below 1.0 by the
+  same cap) is the convention the public reproductions use verbatim.
+  This is a stated convention, not a bug.
+- a document with no n-grams of length n (fewer than n tokens) scores
+  0.0 for that n — no repetition evidence, rule passes (fail-open on
+  the SHORT side is correct here: the word-count rule, not the
+  repetition rule, owns short documents).
+
+Thresholds (Rae et al. 2021, Table A1), keyword-tunable like the
+shape card in operators/gopher.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Published maxima: top-n-gram char fraction for n=2,3,4.
+TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+
+#: Published maxima: duplicate-n-gram char fraction for n=5..10.
+DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+#: The DSIR featurizer's tokenizer (operators/dsir.py) — shared so
+#: gram spaces line up across the quality stack.
+TOKEN_SPLIT = r"[^a-z0-9']+"
+
+
+def _tokens(text_col: Column) -> Column:
+    return F.filter(
+        F.split(F.lower(text_col), TOKEN_SPLIT), lambda x: x != ""
+    )
+
+
+def ngram_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ns: tuple[int, ...] = (2, 3, 4, 5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """Exact (doc, n, gram) occurrence counts for every requested n,
+    plus the document's token-space char denominator.
+
+    One explode + one map-side-combined count shuffle; ``doc_chars``
+    rides the grouping keys (constant per document) so no join back
+    is needed.
+    """
+    per_n = [
+        F.when(
+            F.size(F.col("__t")) >= n,
+            F.expr(
+                f"transform(sequence(1, size(__t) - {n - 1}), "
+                f"i -> named_struct('n', {n}, "
+                f"'gram', concat_ws(' ', slice(__t, i, {n}))))"
+            ),
+        ).otherwise(
+            F.array().cast("array<struct<n:int,gram:string>>")
+        )
+        for n in ns
+    ]
+    from cdk_datalake_ingest_bigmagic_spark.operators import barrier
+
+    # __t is referenced by every per-n transform below; without the
+    # barrier, CollapseProject inlines the tokenization into each
+    # reference and the interpreted HOFs re-tokenize the document
+    # per n (the operators/__init__.py barrier() lesson)
+    base = barrier(
+        df.select(F.col(id_col), _tokens(F.col(text_col)).alias("__t"))
+    ).select(
+        F.col(id_col),
+        F.length(F.concat_ws(" ", F.col("__t"))).cast("long").alias(
+            "doc_chars"
+        ),
+        F.explode(F.flatten(F.array(*per_n))).alias("__g"),
+    )
+    return (
+        base.groupBy(
+            F.col(id_col),
+            F.col("doc_chars"),
+            F.col("__g.n").alias("n"),
+            F.col("__g.gram").alias("gram"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def ngram_repetition(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_max: dict[int, float] | None = None,
+    dup_max: dict[int, float] | None = None,
+) -> DataFrame:
+    """Per-document rule card for the nine published n-gram
+    repetition rules: ``top{2,3,4}_char_frac``, ``dup{5..10}_char_
+    frac``, one rule boolean per signal, and the
+    ``passes_ngram_repetition`` conjunction.
+    """
+    top_max = dict(TOP_NGRAM_MAX if top_max is None else top_max)
+    dup_max = dict(DUP_NGRAM_MAX if dup_max is None else dup_max)
+    ns = tuple(sorted(set(top_max) | set(dup_max)))
+    counts = ngram_counts(df, id_col, text_col, ns=ns)
+
+    mass = F.col("cnt") * F.length(F.col("gram")).cast("long")
+    per_doc_n = counts.groupBy(id_col, "doc_chars", "n").agg(
+        # top gram: max count, ties to the lexicographically smallest
+        # gram — cross-engine deterministic. min_by/max_by on a struct
+        # orders by the struct fields in sequence; negating the count
+        # makes one min_by do (count DESC, gram ASC).
+        F.min_by(
+            mass, F.struct((-F.col("cnt")).alias("nc"), F.col("gram"))
+        ).alias("top_mass"),
+        F.sum(F.when(F.col("cnt") >= 2, mass).otherwise(F.lit(0))).alias(
+            "dup_mass"
+        ),
+    )
+
+    def frac(mass_col: Column) -> Column:
+        # single IEEE division of exact longs, then the 1.0 coverage
+        # cap (overlapping occurrences can push raw mass past the
+        # document's char count — see the module convention note)
+        return F.when(
+            F.col("doc_chars") > 0,
+            F.least(
+                F.lit(1.0),
+                mass_col.cast("double") / F.col("doc_chars").cast("double"),
+            ),
+        ).otherwise(F.lit(0.0))
+
+    wide_cols: list[Column] = []
+    for n in sorted(top_max):
+        wide_cols.append(
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, frac(F.col("top_mass")))),
+                F.lit(0.0),
+            ).alias(f"top{n}_char_frac")
+        )
+    for n in sorted(dup_max):
+        wide_cols.append(
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, frac(F.col("dup_mass")))),
+                F.lit(0.0),
+            ).alias(f"dup{n}_char_frac")
+        )
+    # documents whose tokenization is empty never reach the explode;
+    # re-attach them with all-zero signals via a left join from the
+    # id spine (cheap: the spine is the input's key column)
+    spine = df.select(F.col(id_col)).distinct()
+    card = spine.join(
+        per_doc_n.groupBy(id_col).agg(*wide_cols), on=id_col, how="left"
+    )
+    rules = []
+    passes: Column | None = None
+    for n, thr in sorted(top_max.items()):
+        sig = F.coalesce(F.col(f"top{n}_char_frac"), F.lit(0.0))
+        rule = (sig <= F.lit(thr)).alias(f"rule_top{n}_gram")
+        rules.append(rule)
+        cond = sig <= F.lit(thr)
+        passes = cond if passes is None else (passes & cond)
+    for n, thr in sorted(dup_max.items()):
+        sig = F.coalesce(F.col(f"dup{n}_char_frac"), F.lit(0.0))
+        rule = (sig <= F.lit(thr)).alias(f"rule_dup{n}_gram")
+        rules.append(rule)
+        cond = sig <= F.lit(thr)
+        passes = cond if passes is None else (passes & cond)
+    sig_cols = [
+        F.coalesce(F.col(f"top{n}_char_frac"), F.lit(0.0)).alias(
+            f"top{n}_char_frac"
+        )
+        for n in sorted(top_max)
+    ] + [
+        F.coalesce(F.col(f"dup{n}_char_frac"), F.lit(0.0)).alias(
+            f"dup{n}_char_frac"
+        )
+        for n in sorted(dup_max)
+    ]
+    return card.select(
+        F.col(id_col),
+        *sig_cols,
+        *rules,
+        passes.alias("passes_ngram_repetition"),
+    )
