@@ -227,3 +227,33 @@ def ngram_repetition(
         *rules,
         passes.alias("passes_ngram_repetition"),
     )
+
+
+def full_repetition_card(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """The COMPLETE published Gopher repetition rule card (Rae et al.
+    2021, Table A1): the duplicate line/paragraph quartet
+    (operators/gopher.py::gopher_repetition — zero-shuffle in-row)
+    joined with the nine n-gram signals from this module, plus the
+    overall ``passes_repetition`` conjunction. Both halves gate
+    independently (`gopher_repetition_fracs`, `ngram_repetition_card`);
+    this composition is the user-facing full card.
+
+    The join is id-to-id on two children of the same input — at scale
+    both sides partition on the id, and the n-gram side's final
+    aggregate already hash-partitions by id, so the join adds one
+    shuffle of the 5-column line/para card, not of the text.
+    """
+    from cdk_datalake_ingest_bigmagic_spark.operators.gopher import (
+        gopher_repetition,
+    )
+
+    line_para = gopher_repetition(df, id_col, text_col)
+    ngram = ngram_repetition(df, id_col, text_col)
+    joined = ngram.join(line_para, on=id_col, how="inner")
+    return joined.withColumn(
+        "passes_repetition",
+        F.col("passes_ngram_repetition")
+        & F.col("passes_gopher_repetition"),
+    )

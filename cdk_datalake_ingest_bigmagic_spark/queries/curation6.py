@@ -1,0 +1,183 @@
+"""Round-11 gate queries: the full Gopher n-gram repetition rule set
+(operators/ngramrep.py — Rae et al. 2021, Table A1: top-{2,3,4}-gram
+and duplicate-{5..10}-gram character fractions).
+
+These are the oracles operators/ngramrep.py's docstring promises; the
+counting conventions (token space normalization, all-occurrence
+duplicate mass capped at 1.0, fail-open short docs, top-gram ties to
+the lexicographically smallest gram) are documented THERE and
+mirrored here exactly.
+
+Determinism notes (the standing cross-engine rules):
+- both engines tokenize with the same regex split + empty filter (the
+  DSIR convention, already gate-proven in queries/curation5.py);
+- every fraction is ONE IEEE division of exact longs, then a
+  least(1.0, ·) cap — no accumulation-order sensitivity;
+- the top-gram pick is deterministic on both sides: count DESC, gram
+  ASC (Spark: min_by over struct(-cnt, gram); DuckDB: row_number
+  window — DuckDB's min_by has no struct-key overload);
+- threshold literals are CAST to DOUBLE in the oracle (DuckDB parses
+  bare 0.20 as DECIMAL, which would compare differently from Spark's
+  double literal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cdk_datalake_ingest_bigmagic_spark.queries import load, register
+
+# Shared DuckDB fragments — conventions mirror operators/ngramrep.py.
+# range(1, len-n+2) is end-EXCLUSIVE (Spark's sequence(1, len-n+1) is
+# end-inclusive — same gram starts); t[i : i+n-1] is a 1-based
+# inclusive slice of n tokens.
+_TOKS_SQL = """
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    chars AS (
+      SELECT doc_id, t,
+             CAST(length(array_to_string(t, ' ')) AS BIGINT) AS doc_chars
+      FROM toks
+    )
+"""
+
+
+def _exploded_sql(ns: tuple[int, ...]) -> str:
+    return f"""
+    exploded AS (
+      SELECT doc_id, doc_chars, ns.n AS n,
+             unnest(list_transform(
+               range(1, len(t) - ns.n + 2),
+               i -> array_to_string(t[i : i + ns.n - 1], ' '))) AS gram
+      FROM chars, (SELECT unnest([{", ".join(map(str, ns))}]) AS n) ns
+      WHERE len(t) >= ns.n
+    ),
+    per_gram AS (
+      SELECT doc_id, doc_chars, n, gram,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM exploded GROUP BY 1, 2, 3, 4
+    )
+"""
+
+
+@register(
+    "ngram_rep_counts",
+    oracle=f"""
+    WITH {_TOKS_SQL},
+    {_exploded_sql((2, 3))}
+    SELECT doc_id, doc_chars, n, gram, cnt FROM per_gram
+    """,
+)
+def ngram_rep_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ngram_counts' exact output restricted to n∈{2,3} — the (doc,
+    n, gram) occurrence counts plus the token-space char denominator
+    — against the oracle's list-comprehension replication of the same
+    tokenizer, gram builder, and joiner. n is capped at 3 here to
+    bound the gate's row count; the card gate below exercises all
+    nine n values end-to-end."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.ngramrep import (
+        ngram_counts,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return ngram_counts(d, "doc_id", "text", ns=(2, 3))
+
+
+# The published thresholds, restated for the oracle (keep in sync
+# with operators/ngramrep.py — the pytest differential asserts the
+# module constants equal these).
+_TOP_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+_DUP_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def _card_sql() -> str:
+    ns = tuple(sorted(set(_TOP_MAX) | set(_DUP_MAX)))
+    frac = (
+        "CASE WHEN doc_chars > 0 THEN least(CAST(1.0 AS DOUBLE), "
+        "CAST({m} AS DOUBLE) / CAST(doc_chars AS DOUBLE)) "
+        "ELSE CAST(0.0 AS DOUBLE) END"
+    )
+    sig_cols = []
+    for n in sorted(_TOP_MAX):
+        sig_cols.append(
+            f"coalesce(max(CASE WHEN n = {n} THEN "
+            f"{frac.format(m='top_mass')} END), CAST(0.0 AS DOUBLE)) "
+            f"AS top{n}_char_frac"
+        )
+    for n in sorted(_DUP_MAX):
+        sig_cols.append(
+            f"coalesce(max(CASE WHEN n = {n} THEN "
+            f"{frac.format(m='dup_mass')} END), CAST(0.0 AS DOUBLE)) "
+            f"AS dup{n}_char_frac"
+        )
+    rules = []
+    passes = []
+    for n, thr in sorted(_TOP_MAX.items()):
+        cond = (
+            f"coalesce(top{n}_char_frac, CAST(0.0 AS DOUBLE)) "
+            f"<= CAST({thr} AS DOUBLE)"
+        )
+        rules.append(f"{cond} AS rule_top{n}_gram")
+        passes.append(f"({cond})")
+    for n, thr in sorted(_DUP_MAX.items()):
+        cond = (
+            f"coalesce(dup{n}_char_frac, CAST(0.0 AS DOUBLE)) "
+            f"<= CAST({thr} AS DOUBLE)"
+        )
+        rules.append(f"{cond} AS rule_dup{n}_gram")
+        passes.append(f"({cond})")
+    return f"""
+    WITH {_TOKS_SQL},
+    {_exploded_sql(ns)},
+    ranked AS (
+      SELECT doc_id, doc_chars, n, gram, cnt,
+             row_number() OVER (
+               PARTITION BY doc_id, n ORDER BY cnt DESC, gram ASC
+             ) AS rk
+      FROM per_gram
+    ),
+    per_doc_n AS (
+      SELECT doc_id, doc_chars, n,
+             max(CASE WHEN rk = 1 THEN
+               cnt * CAST(length(gram) AS BIGINT) END) AS top_mass,
+             sum(CASE WHEN cnt >= 2 THEN
+               cnt * CAST(length(gram) AS BIGINT) ELSE 0 END) AS dup_mass
+      FROM ranked GROUP BY 1, 2, 3
+    ),
+    wide AS (
+      SELECT doc_id, {", ".join(sig_cols)}
+      FROM per_doc_n GROUP BY doc_id
+    ),
+    spine AS (SELECT DISTINCT doc_id FROM documents)
+    SELECT s.doc_id,
+           {", ".join(
+        f"coalesce(top{n}_char_frac, CAST(0.0 AS DOUBLE)) "
+        f"AS top{n}_char_frac" for n in sorted(_TOP_MAX)
+    )},
+           {", ".join(
+        f"coalesce(dup{n}_char_frac, CAST(0.0 AS DOUBLE)) "
+        f"AS dup{n}_char_frac" for n in sorted(_DUP_MAX)
+    )},
+           {", ".join(rules)},
+           {" AND ".join(passes)} AS passes_ngram_repetition
+    FROM spine s LEFT JOIN wide USING (doc_id)
+    """
+
+
+@register("ngram_repetition_card", oracle=_card_sql())
+def ngram_repetition_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full nine-signal n-gram repetition rule card — top-2/3/4
+    char fractions, dup-5..10 char fractions, one rule boolean per
+    signal, and the conjunction — against the oracle's window-ranked
+    replication. Completes the published Gopher repetition stack
+    (reference quality card parity: Rae et al. 2021 Table A1)."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.ngramrep import (
+        ngram_repetition,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return ngram_repetition(d, "doc_id", "text")

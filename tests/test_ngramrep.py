@@ -1,0 +1,213 @@
+"""Differential tests for operators/ngramrep.py: seeded random
+repetitive / periodic / short documents, ONE Spark job per sweep,
+compared against an independent pure-Python reference implementing
+the module's documented counting conventions (token-space
+normalization, all-occurrence duplicate mass capped at 1.0, top-gram
+ties to the lexicographically smallest gram, fail-open short docs)."""
+
+import math
+import random
+import re
+from collections import Counter
+
+import pytest
+
+from cdk_datalake_ingest_bigmagic_spark.operators.ngramrep import (
+    DUP_NGRAM_MAX,
+    TOP_NGRAM_MAX,
+    ngram_counts,
+    ngram_repetition,
+)
+
+NS = tuple(sorted(set(TOP_NGRAM_MAX) | set(DUP_NGRAM_MAX)))
+
+
+def _py_tokens(text):
+    return [t for t in re.split(r"[^a-z0-9']+", text.lower()) if t]
+
+
+def _py_counts(text, n):
+    toks = _py_tokens(text)
+    grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    return Counter(grams)
+
+
+def _py_card(text):
+    toks = _py_tokens(text)
+    doc_chars = len(" ".join(toks))
+    out = {}
+    for n in sorted(TOP_NGRAM_MAX):
+        c = _py_counts(text, n)
+        if not c or doc_chars == 0:
+            out[f"top{n}_char_frac"] = 0.0
+            continue
+        # max count, ties to lexicographically smallest gram
+        top = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        out[f"top{n}_char_frac"] = min(
+            1.0, (top[1] * len(top[0])) / doc_chars
+        )
+    for n in sorted(DUP_NGRAM_MAX):
+        c = _py_counts(text, n)
+        if not c or doc_chars == 0:
+            out[f"dup{n}_char_frac"] = 0.0
+            continue
+        mass = sum(cnt * len(g) for g, cnt in c.items() if cnt >= 2)
+        out[f"dup{n}_char_frac"] = min(1.0, mass / doc_chars)
+    for n, thr in TOP_NGRAM_MAX.items():
+        out[f"rule_top{n}_gram"] = out[f"top{n}_char_frac"] <= thr
+    for n, thr in DUP_NGRAM_MAX.items():
+        out[f"rule_dup{n}_gram"] = out[f"dup{n}_char_frac"] <= thr
+    out["passes_ngram_repetition"] = all(
+        out[k] for k in out if k.startswith("rule_")
+    )
+    return out
+
+
+def _docs():
+    rng = random.Random(20260815)
+    vocab = "the cat sat on a mat and then ran to town 42 o'clock".split()
+    docs = []
+    i = 0
+
+    def add(text):
+        nonlocal i
+        docs.append((i, text))
+        i += 1
+
+    # random prose
+    for _ in range(40):
+        add(" ".join(rng.choice(vocab) for _ in range(rng.randint(0, 60))))
+    # periodic (self-overlapping — exercises the 1.0 cap)
+    for period in (1, 2, 3, 5, 7):
+        unit = " ".join(rng.choice(vocab) for _ in range(period))
+        add(" ".join([unit] * rng.randint(3, 12)))
+    # repeated phrase embedded in prose
+    for _ in range(10):
+        phrase = " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 10)))
+        filler = lambda: " ".join(
+            rng.choice(vocab) for _ in range(rng.randint(0, 8))
+        )
+        add(f"{filler()} {phrase} {filler()} {phrase} {filler()}")
+    # short / degenerate: empty, punctuation-only, < n tokens
+    add("")
+    add("!!! ??? ...")
+    add("one")
+    add("two words")
+    for k in range(3, 11):
+        add(" ".join(vocab[:k]))
+    # mixed case + punctuation noise (tokenizer normalization)
+    add("The CAT, the cat; THE cat! the-cat the_cat")
+    return docs
+
+
+def test_thresholds_match_oracle_constants():
+    """queries/curation6.py restates the thresholds for the oracle
+    SQL; this pins the module constants to the same values."""
+    from cdk_datalake_ingest_bigmagic_spark.queries import curation6
+
+    assert curation6._TOP_MAX == TOP_NGRAM_MAX
+    assert curation6._DUP_MAX == DUP_NGRAM_MAX
+
+
+def test_ngram_counts_random_sweep(spark):
+    docs = _docs()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = ngram_counts(df, "doc_id", "text", ns=(2, 5)).collect()
+    got = {}
+    chars = {}
+    for r in rows:
+        got[(r["doc_id"], r["n"], r["gram"])] = r["cnt"]
+        chars[r["doc_id"]] = r["doc_chars"]
+    want = {}
+    for i, text in docs:
+        for n in (2, 5):
+            for g, c in _py_counts(text, n).items():
+                want[(i, n, g)] = c
+    assert got == want
+    for i, text in docs:
+        toks = _py_tokens(text)
+        if any(k[0] == i for k in want):
+            assert chars[i] == len(" ".join(toks)), (i, text)
+
+
+def test_ngram_repetition_card_random_sweep(spark):
+    docs = _docs()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = ngram_repetition(df, "doc_id", "text").collect()
+    assert len(rows) == len(docs)  # spine re-attaches empty docs
+    by_id = {r["doc_id"]: r.asDict() for r in rows}
+    for i, text in docs:
+        want = _py_card(text)
+        got = by_id[i]
+        for k, v in want.items():
+            if isinstance(v, float):
+                assert math.isclose(
+                    got[k], v, rel_tol=1e-12, abs_tol=1e-12
+                ), (i, k, got[k], v, text)
+            else:
+                assert got[k] == v, (i, k, text)
+
+
+def test_periodic_doc_hits_cap(spark):
+    """A unit repeated many times must cap dup fractions at exactly
+    1.0 (all-occurrence mass exceeds coverage on periodic text) and
+    fail the rule card."""
+    df = spark.createDataFrame(
+        [(0, " ".join(["spam"] * 40))], "doc_id long, text string"
+    )
+    r = ngram_repetition(df, "doc_id", "text").collect()[0]
+    for n in DUP_NGRAM_MAX:
+        assert r[f"dup{n}_char_frac"] == 1.0
+        assert not r[f"rule_dup{n}_gram"]
+    assert not r["passes_ngram_repetition"]
+
+
+def test_short_docs_fail_open(spark):
+    """Documents with fewer than n tokens score 0.0 for that n and
+    pass every rule (the word-count rule owns short docs)."""
+    df = spark.createDataFrame(
+        [(0, ""), (1, "one"), (2, "a b c")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in ngram_repetition(df, "doc_id", "text").collect()}
+    for i in (0, 1):
+        assert rows[i]["passes_ngram_repetition"]
+        for n in TOP_NGRAM_MAX:
+            assert rows[i][f"top{n}_char_frac"] == 0.0
+    # "a b c" has 2- and 3-grams but each occurs once → dup mass 0;
+    # top2 mass = 3 chars / 5 chars = 0.6 > 0.20 → rule_top2 fails
+    assert rows[2]["top2_char_frac"] == pytest.approx(3 / 5)
+    assert not rows[2]["rule_top2_gram"]
+    assert rows[2]["dup5_char_frac"] == 0.0
+
+
+def test_full_repetition_card_composes(spark):
+    """full_repetition_card joins the line/para quartet with the nine
+    n-gram signals; the conjunction ANDs both halves."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.ngramrep import (
+        full_repetition_card,
+    )
+
+    docs = [
+        (0, " ".join(f"w{i}" for i in range(120))),  # all-unique tokens
+        (1, " ".join(["spam"] * 40)),          # fails n-gram rules
+        (2, "nav bar\n" * 20 + "unique tail"),  # fails line rules
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in full_repetition_card(df, "doc_id", "text").collect()}
+    assert len(rows) == 3
+    cols = set(rows[0].asDict())
+    # all 13 published signals present
+    assert {"dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+            "dup_para_char_frac"} <= cols
+    assert {f"top{n}_char_frac" for n in (2, 3, 4)} <= cols
+    assert {f"dup{n}_char_frac" for n in range(5, 11)} <= cols
+    assert rows[0]["passes_repetition"]
+    assert not rows[1]["passes_ngram_repetition"]
+    assert not rows[1]["passes_repetition"]
+    assert not rows[2]["passes_gopher_repetition"]
+    assert not rows[2]["passes_repetition"]
+    for i in (0, 1, 2):
+        assert rows[i]["passes_repetition"] == (
+            rows[i]["passes_ngram_repetition"]
+            and rows[i]["passes_gopher_repetition"]
+        )
