@@ -29,9 +29,18 @@ reader's) starts from the newest checkpoint instead of JSON version
 of O(all versions): the streaming sinks that commit per micro-batch
 (the regime the pre-checkpoint writer flagged) now hold a bounded
 replay cost at thousands of batches. A missing/corrupt checkpoint
-degrades gracefully to full JSON replay — the JSON commits remain
-the source of truth and are never deleted here (log retention is the
-Delta-native backend's job).
+degrades gracefully to full JSON replay.
+
+Log retention (round-11 upgrade): after each checkpoint the writer
+runs the spec's metadata cleanup (:func:`trim_log` — delta-spark's
+``delta.logRetentionDuration`` behavior): JSON commits and stale
+checkpoints STRICTLY BELOW the newest READABLE checkpoint are
+deleted once older than :data:`LOG_RETENTION_MS` (default 30 days).
+Thousand-batch streaming sinks therefore bound DISK, not just replay
+time. Cleanup never runs unless the checkpoint parquet actually
+parses, never touches the checkpoint version or anything after it,
+and a trimmed log replays identically (the checkpoint carries the
+whole pre-trim state).
 
 Honesty note on TIME TRAVEL: the parquet backend physically replaces
 files on rewrite (directory swap), so files named by a remove action
@@ -71,6 +80,10 @@ WRITER_VERSION = 2
 
 #: Commits between parquet checkpoints (delta-spark's default cadence).
 CHECKPOINT_INTERVAL = 10
+
+#: Default metadata-cleanup window, matching delta-spark's
+#: ``delta.logRetentionDuration`` default of 30 days.
+LOG_RETENTION_MS = 30 * 24 * 3600 * 1000
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -337,7 +350,54 @@ def commit_snapshot(
     _write_commit(table_path, version, actions)
     if version > 0 and version % CHECKPOINT_INTERVAL == 0:
         write_checkpoint(table_path, version)
+        trim_log(table_path)
     return version
+
+
+def trim_log(
+    table_path: str,
+    retention_ms: int = LOG_RETENTION_MS,
+    now_ms: int | None = None,
+) -> list[str]:
+    """The spec's metadata cleanup: delete JSON commits and stale
+    checkpoint files STRICTLY BELOW the newest readable checkpoint
+    once their modification time falls outside the retention window
+    (delta-spark's ``MetadataCleanup`` contract — version < newest
+    checkpoint AND mtime < now - retention). Returns the deleted file
+    names.
+
+    Safety: nothing is deleted unless ``_last_checkpoint`` points at
+    a checkpoint that actually PARSES (``_checkpoint_base`` re-reads
+    it); the checkpoint version itself, its JSON commit, and every
+    later commit always survive, so ``current_version`` and replay
+    are unaffected — structurally pinned by
+    tests/test_deltalog.py::test_trim_log_*."""
+    base = _checkpoint_base(table_path)
+    if base is None:
+        return []
+    cp_version = base[0]
+    now = int(time.time() * 1000) if now_ms is None else now_ms
+    cutoff = now - retention_ms
+    d = _log_dir(table_path)
+    removed: list[str] = []
+    for p in sorted(d.glob("*.json")):
+        if not p.stem.isdigit():
+            continue
+        if int(p.stem) >= cp_version:
+            continue
+        if int(p.stat().st_mtime * 1000) >= cutoff:
+            continue
+        p.unlink()
+        removed.append(p.name)
+    for p in sorted(d.glob("*.checkpoint.parquet")):
+        stem = p.name.split(".", 1)[0]
+        if not stem.isdigit() or int(stem) >= cp_version:
+            continue
+        if int(p.stat().st_mtime * 1000) >= cutoff:
+            continue
+        p.unlink()
+        removed.append(p.name)
+    return removed
 
 
 def _schema_changed(table_path: str, schema_json: str) -> bool:
@@ -426,22 +486,21 @@ def write_checkpoint(table_path: str, version: int | None = None) -> Path:
         }
         rows.append({"protocol": None, "metaData": meta_row, "add": None})
     for add in adds.values():
-        rows.append(
-            {
-                "protocol": None,
-                "metaData": None,
-                "add": {
-                    k: add.get(k)
-                    for k in (
-                        "path",
-                        "partitionValues",
-                        "size",
-                        "modificationTime",
-                        "dataChange",
-                    )
-                },
-            }
-        )
+        row = {
+            k: add.get(k)
+            for k in (
+                "path",
+                "partitionValues",
+                "size",
+                "modificationTime",
+            )
+        }
+        # delta-spark and delta-rs normalize dataChange to false in
+        # checkpoint add rows (the checkpoint is a snapshot, not fresh
+        # changes); copying true from the JSON commit would make
+        # streaming/CDC readers misclassify the whole snapshot.
+        row["dataChange"] = False
+        rows.append({"protocol": None, "metaData": None, "add": row})
     table = pa.Table.from_pylist(rows, schema=schema)
     d = _log_dir(table_path)
     target = d / f"{version:020d}.checkpoint.parquet"

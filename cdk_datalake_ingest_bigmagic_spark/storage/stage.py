@@ -7,8 +7,18 @@ OPTIMIZE/VACUUM. Here the same API is exposed behind a backend switch:
 - **DeltaBackend** — used when the ``delta`` package is importable
   (production path; identical semantics to the reference).
 - **ParquetBackend** — dependency-free fallback with the same observable
-  semantics. ``merge`` is copy-on-write: existing rows whose key matches
-  an incoming row are replaced (anti-join), then the union is written.
+  semantics, with ONE documented divergence: when the live table holds
+  DUPLICATE id tuples (only possible if it was built by append/overwrite
+  before its first merge) and the incoming batch lacks some live columns,
+  Delta's ``whenMatchedUpdateAll`` updates EVERY matched duplicate row
+  (the table keeps N rows per key), while this backend collapses matched
+  keys to the ONE incoming row and carries the target-only columns from a
+  deterministic pick (max over the struct of target-only values — not an
+  arbitrary ``dropDuplicates`` survivor). Tables that reach merge through
+  this package's own pipelines are keyed-unique, so the divergence is
+  unobservable there. ``merge`` is copy-on-write: existing rows whose key
+  matches an incoming row are replaced (anti-join), then the union is
+  written.
 
 Scale notes (100 TB):
 - Delta MERGE rewrites only matched files and uses AQE'd shuffles, so
@@ -221,7 +231,21 @@ class ParquetStageTable:
             # (row multiplication the previous emulation never had).
             # One row per key is all UPDATE SET * semantics needs —
             # the kept-vs-replaced decision already happened above.
-            carry = existing.select(*id_cols, *tgt_only).dropDuplicates(id_cols)
+            # The pick among duplicates is DETERMINISTIC: max over the
+            # struct of target-only values (lexicographic; stable
+            # across runs and partitionings), unlike dropDuplicates'
+            # arbitrary first-seen row. Real Delta instead updates
+            # every matched duplicate row — see the module docstring
+            # for the documented divergence.
+            carry = (
+                existing.select(*id_cols, *tgt_only)
+                .groupBy(*id_cols)
+                .agg(F.max(F.struct(*tgt_only)).alias("__carry"))
+                .select(
+                    *id_cols,
+                    *[F.col(f"__carry.{c}").alias(c) for c in tgt_only],
+                )
+            )
             incoming = df.join(carry, on=id_cols, how="left")
         else:
             incoming = df

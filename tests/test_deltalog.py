@@ -396,3 +396,96 @@ def test_checkpoint_preserves_schema_tracking(spark, tmp_path):
     last_v = deltalog.current_version(path)
     actions = dict(_read_log(path))[last_v]
     assert not any("metaData" in a for a in actions)
+
+
+def test_checkpoint_add_rows_normalize_datachange_false(spark, tmp_path):
+    """delta-spark/delta-rs write dataChange=false into checkpoint add
+    rows (a checkpoint is a snapshot, not fresh changes); streaming/
+    CDC readers would misclassify copied-through true values."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "t17")
+    t = ParquetStageTable(spark, path)
+    t.overwrite(_df(spark, [(1, 0, "a")]))
+    cp = deltalog.write_checkpoint(path)
+    rows = pq.read_table(cp).to_pylist()
+    adds = [r["add"] for r in rows if r.get("add")]
+    assert adds
+    assert all(a["dataChange"] is False for a in adds)
+    # the JSON commit itself still says dataChange=true
+    actions = dict(_read_log(path))[0]
+    json_adds = [a["add"] for a in actions if "add" in a]
+    assert all(a["dataChange"] is True for a in json_adds)
+
+
+def test_trim_log_removes_covered_commits_replay_unaffected(spark, tmp_path):
+    """Commits strictly below the newest checkpoint are deleted once
+    past retention; live state, current_version, and replay are
+    byte-identical before/after (the checkpoint carries the state)."""
+    path = str(tmp_path / "t18")
+    t = ParquetStageTable(spark, path)
+    t.overwrite(_df(spark, [(1, 0, "a")]))
+    for i in range(deltalog.CHECKPOINT_INTERVAL + 2):
+        t.merge(_df(spark, [(10 + i, i, f"v{i}")]), id_cols=["k"])
+    before = deltalog.live_files(path)
+    v_before = deltalog.current_version(path)
+    cp_v = deltalog.CHECKPOINT_INTERVAL
+    # inside the retention window: no-op
+    assert deltalog.trim_log(path) == []
+    # retention 0 with a future "now": everything below the checkpoint goes
+    removed = deltalog.trim_log(path, retention_ms=0)
+    assert removed == [f"{v:020d}.json" for v in range(cp_v)]
+    log_dir = Path(path) / "_delta_log"
+    assert not (log_dir / f"{0:020d}.json").exists()
+    assert (log_dir / f"{cp_v:020d}.json").exists()  # checkpoint version kept
+    assert deltalog.current_version(path) == v_before
+    assert deltalog.live_files(path) == before
+    # commits continue normally on the trimmed log
+    t.merge(_df(spark, [(99, 9, "z")]), id_cols=["k"])
+    assert deltalog.current_version(path) == v_before + 1
+
+
+def test_trim_log_refuses_without_readable_checkpoint(spark, tmp_path):
+    """No readable checkpoint -> nothing is ever deleted (the JSON
+    commits are the only source of truth then)."""
+    path = str(tmp_path / "t19")
+    t = ParquetStageTable(spark, path)
+    t.overwrite(_df(spark, [(1, 0, "a")]))
+    t.merge(_df(spark, [(2, 1, "b")]), id_cols=["k"])
+    assert deltalog.trim_log(path, retention_ms=0) == []
+    # corrupt pointer: still refuses
+    log_dir = Path(path) / "_delta_log"
+    (log_dir / "_last_checkpoint").write_text('{"version": 1}')
+    assert deltalog.trim_log(path, retention_ms=0) == []
+    assert (log_dir / f"{0:020d}.json").exists()
+
+
+def test_trim_log_removes_stale_checkpoints(spark, tmp_path):
+    """Older checkpoint parquets below the newest one are cleaned up
+    too; the newest checkpoint always survives."""
+    path = str(tmp_path / "t20")
+    t = ParquetStageTable(spark, path)
+    t.overwrite(_df(spark, [(1, 0, "a")]))
+    t.merge(_df(spark, [(2, 1, "b")]), id_cols=["k"])
+    deltalog.write_checkpoint(path, 1)
+    t.merge(_df(spark, [(3, 2, "c")]), id_cols=["k"])
+    deltalog.write_checkpoint(path, 2)
+    removed = deltalog.trim_log(path, retention_ms=0)
+    log_dir = Path(path) / "_delta_log"
+    assert f"{1:020d}.checkpoint.parquet" in removed
+    assert (log_dir / f"{2:020d}.checkpoint.parquet").exists()
+    assert deltalog.live_files(path)
+
+
+def test_merge_carry_pick_is_deterministic(spark, tmp_path):
+    """Duplicate target keys with a target-only column: the carried
+    value is the struct-max of the duplicates (deterministic), not an
+    arbitrary dropDuplicates survivor."""
+    path = str(tmp_path / "t21")
+    t = ParquetStageTable(spark, path)
+    t.overwrite(_df(spark, [(1, 0, "zzz"), (1, 0, "aaa"), (2, 1, "b")]))
+    src = spark.createDataFrame([(1, 7)], "k long, grp int")
+    t.merge(src, id_cols=["k"])
+    row = {r["k"]: r for r in t.read().collect()}
+    assert row[1]["val"] == "zzz"  # max of ("zzz", "aaa")
+    assert row[1]["grp"] == 7
