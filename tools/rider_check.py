@@ -18,10 +18,13 @@ appeared, or disappeared.
 Two deliberate conservatisms:
 
 1. Oracles are often f-strings over module-level constants
-   (``_NW``, ``MAGIC_OFFSET``...). The decorator text doesn't change
-   when a constant does, so the tool also diffs every module-level
-   assignment; a query whose definition segment mentions a changed
-   constant's name is flagged as changed.
+   (``_NW``, ``MAGIC_OFFSET``...) or built by module-level HELPER
+   FUNCTIONS (``_frac_sql``, ``_card_sql``...). The decorator text
+   doesn't change when either does, so the tool also diffs every
+   module-level assignment AND every module-level non-query function,
+   closes the changed set transitively (a helper that references a
+   changed helper/constant counts as changed), and flags any query
+   whose definition segment mentions a changed name.
 2. Changes to OPERATOR modules (outside queries/) are out of scope
    here — window_math.py's file-level import scan remains the first
    pass for those; this tool only adjudicates sibling edits inside
@@ -59,12 +62,14 @@ def _git_show(rev: str, path: str) -> str | None:
 
 
 def _definitions(src: str) -> tuple[dict[str, str], dict[str, str]]:
-    """(query name -> definition segment, const name -> source).
+    """(query name -> definition segment, dependency name -> source).
 
     A definition segment spans the first decorator line through the
     function's last line; a query is any FunctionDef decorated with a
     ``register("name", ...)`` call whose first argument is a string
-    constant. Constants are module-level simple assignments.
+    constant. Dependencies are module-level simple assignments AND
+    module-level helper functions (FunctionDefs that are not
+    registered queries — they commonly build oracle SQL).
     """
     tree = ast.parse(src)
     lines = src.splitlines()
@@ -81,6 +86,18 @@ def _definitions(src: str) -> tuple[dict[str, str], dict[str, str]]:
                         lines[node.lineno - 1 : node.end_lineno]
                     )
         if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            continue
+        if not any(
+            isinstance(d, ast.Call)
+            and isinstance(d.func, ast.Name)
+            and d.func.id == "register"
+            for d in node.decorator_list
+        ):
+            # module-level helper function — a dependency, not a query
+            start = node.lineno
+            if node.decorator_list:
+                start = min(d.lineno for d in node.decorator_list)
+            consts[node.name] = "\n".join(lines[start - 1 : node.end_lineno])
             continue
         for deco in node.decorator_list:
             if not (
@@ -129,6 +146,19 @@ def main() -> int:
             for k in set(new_consts) | set(old_consts)
             if new_consts.get(k) != old_consts.get(k)
         }
+        # transitive closure: a helper/constant whose source references
+        # a changed name is itself changed (oracle-builder helpers can
+        # nest — _card_sql calling _exploded_sql calling a constant)
+        while True:
+            spread = {
+                k
+                for k, src_k in new_consts.items()
+                if k not in changed_consts
+                and any(c in src_k for c in changed_consts)
+            }
+            if not spread:
+                break
+            changed_consts |= spread
         for name, seg in new_defs.items():
             if name not in old_defs:
                 added.append(name)
