@@ -81,10 +81,15 @@ def split_sentences(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def sentence_stats_columns(text_col) -> dict[str, Column]:
-    """The stats as named Columns — the composable form
-    (plans/scorecard.py fuses these into its one-scan projection)."""
-    sents = split_sentences_column(text_col)
+def sentence_stats_from_array(sents: Column) -> dict[str, Column]:
+    """The stat derivation over an ALREADY-MATERIALIZED sentence-array
+    column — the ONE home for this algebra (plans/scorecard.py's
+    inline copy folded back here, round 11). The array is referenced
+    ~6 times below and array HOFs run interpreted with no
+    common-subexpression elimination, so callers must stage the array
+    behind a barrier first (operators/__init__.py::barrier) or the
+    whole split re-runs per reference — :func:`sentence_stats` does
+    this; plans/scorecard.py passes its own barrier-staged column."""
     wc = lambda s: F.size(F.split(F.trim(s), r"\s+"))  # noqa: E731
     n = F.size(sents)
     words = F.aggregate(
@@ -103,14 +108,39 @@ def sentence_stats_columns(text_col) -> dict[str, Column]:
     }
 
 
+def sentence_stats_columns(text_col) -> dict[str, Column]:
+    """The stats as named Columns over raw text — the composable form
+    when the caller has no barrier of its own. NOTE: these Columns
+    re-split per stat reference when used directly in one projection
+    (interpreted HOFs); prefer :func:`sentence_stats` (which stages
+    the array) or :func:`sentence_stats_from_array` over a
+    barrier-materialized array."""
+    return sentence_stats_from_array(split_sentences_column(text_col))
+
+
 def sentence_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document sentence statistics: ``n_sentences``,
     ``n_words``, ``mean_sentence_words`` (single IEEE division of the
     two exact integers) and ``frac_short`` (sentences under 4 words —
-    the fragment/boilerplate signal). One projection, zero shuffle."""
-    cols = sentence_stats_columns(text_col)
-    return df.select(
-        F.col(id_col), *[c.alias(name) for name, c in cols.items()]
+    the fragment/boilerplate signal). One projection, zero shuffle;
+    the sentence array materializes ONCE behind the standard barrier
+    (it is read ~6 times by the stat algebra — inlined, the split
+    re-ran per reference)."""
+    from cdk_datalake_ingest_bigmagic_spark.operators import (
+        barrier_guard,
+        keep_barrier,
+    )
+
+    staged = keep_barrier(
+        df.select(
+            F.col(id_col),
+            split_sentences_column(text_col).alias("__sents"),
+        )
+    )
+    cols = sentence_stats_from_array(F.col("__sents"))
+    return staged.select(
+        F.col(id_col),
+        *[barrier_guard(c).alias(name) for name, c in cols.items()],
     )
 
 

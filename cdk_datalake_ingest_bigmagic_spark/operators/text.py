@@ -533,6 +533,20 @@ def quality_score(
     # the keep decision uses the ROUNDED logit so the boundary window
     # [-5e-7, 0) decides identically on any engine (same rounding-
     # boundary care as the Jaccard candidate epsilon)
+    #
+    # DOUBLE-REFERENCE AUDIT (round 11, the r9 advice item): `rounded`
+    # appears twice below (quality_logit + passes_quality), each
+    # referencing the three ratio aliases — but NO barrier is needed
+    # here: CollapseProject refuses to collapse a projection whose
+    # non-cheap aliases are referenced more than once, so the feats
+    # projection stays materialized and each ratio (including the
+    # interpreted stopword HOF) evaluates ONCE per row. Pinned by
+    # tests/test_scorecard.py::test_quality_score_ratios_evaluate_once
+    # against the optimized plan. Callers that FILTER on
+    # passes_quality get the predicate pushed below the projection
+    # (one extra evaluation for the filter pass) — that is standard
+    # filter-early behavior, bounded at 2×, not the O(n²) inlining
+    # trap the barrier exists for.
     rounded = F.round(logit, 6)
     return feats.select(
         F.col(id_col),

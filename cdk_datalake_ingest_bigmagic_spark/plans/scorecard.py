@@ -129,11 +129,10 @@ def score_card(
     # reads the entries ~13 times and the sentence stats read the
     # split ~6 times, and inlined references re-ran the regexes per
     # read (measured: scripts alone were 6.7 s of the card's 11 s at
-    # sf0.1; now ~0.5 s). The sentence-stat derivation is inlined here
-    # rather than imported because operators/sentences.py backs three
-    # gate queries outside this round's window (rider rule) — fold it
-    # back into sentence_stats_columns in round 10, whose obligation
-    # already re-gates all three.
+    # sf0.1; now ~0.5 s). The sentence-stat derivation is imported
+    # from operators/sentences.py::sentence_stats_from_array (folded
+    # back in round 11, when the rotation obligation re-gated all
+    # three of its dependent gates).
     gopher_sig_exprs = gopher_signal_columns(t)
     gopher_sig_exprs.pop("n_words", None)
     staged = scored.withColumn("__sc_entries", script_entries(t)).withColumn(
@@ -151,25 +150,18 @@ def score_card(
             F.col("__sc_entries")
         ).items()
     }
-    sents = F.col("__sents")
-    _wc = lambda s: F.size(F.split(F.trim(s), r"\s+"))  # noqa: E731
-    n_sents = F.size(sents)
-    sent_words = F.aggregate(sents, F.lit(0), lambda a, s: a + _wc(s))
-    n_short = F.size(F.filter(sents, lambda s: _wc(s) < 4))
+    from cdk_datalake_ingest_bigmagic_spark.operators.sentences import (
+        sentence_stats_from_array,
+    )
+
+    # the derivation lives in operators/sentences.py (folded back in
+    # round 11 when the rotation obligation re-gated all three of its
+    # dependent gates); the card's own n_words stands in for the
+    # sentence-space word count, so that stat is dropped here
+    sent_stat_exprs = sentence_stats_from_array(F.col("__sents"))
+    sent_stat_exprs.pop("n_words")
     sent_cols = {
-        "n_sentences": barrier_guard(n_sents.cast("long")),
-        "mean_sentence_words": barrier_guard(
-            F.when(
-                n_sents > 0,
-                sent_words.cast("double") / n_sents.cast("double"),
-            ).otherwise(F.lit(None))
-        ),
-        "frac_short": barrier_guard(
-            F.when(
-                n_sents > 0,
-                n_short.cast("double") / n_sents.cast("double"),
-            ).otherwise(F.lit(None))
-        ),
+        name: barrier_guard(c) for name, c in sent_stat_exprs.items()
     }
     # rules read the BARRIER-MATERIALIZED gopher signal columns (the
     # card's own n_words — identical count — stands in for gopher's)

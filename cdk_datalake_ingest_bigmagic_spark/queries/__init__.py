@@ -371,6 +371,14 @@ _GATE_FRONT: list[str] = [
     # (1) the 2 queries/curation6.py registrations (never gated)
     "ngram_rep_counts",
     "ngram_repetition_card",
+    # (1b) riders of the round-11 barrier consolidations:
+    # operators/sentences.py (sentence_stats now stages its array
+    # behind the standard barrier) and operators/text.py
+    # (quality_score double-reference audit note) — their other
+    # gated dependents (sentence_stats, text_quality_score,
+    # conversation_report) are already in the obligation below;
+    # corpus_quality_percentile is the one dependent that wasn't.
+    "corpus_quality_percentile",
     # (2) the 31-query obligation: every survivor of the r8-green
     # cohort (newest green r8 = the freshness ceiling at round 11)
     "agg_exact_quantiles",

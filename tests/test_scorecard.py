@@ -158,3 +158,40 @@ def test_gopher_and_financial_pii_agree_with_operators(spark):
         for c in fcols:
             assert card[i][c] == fin[i][c], (i, c)
     assert card[2]["n_cc_valid"] == 1 and card[2]["n_ssn_valid"] == 1
+
+
+def test_quality_score_ratios_evaluate_once(spark):
+    """The r9-advice double-reference audit, pinned: quality_logit and
+    passes_quality both reference the ratio aliases, but
+    CollapseProject's multi-reference guard keeps the feature
+    projection materialized — each ratio expression (including the
+    interpreted stopword HOF) appears exactly once in the optimized
+    plan."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.text import (
+        quality_score,
+    )
+
+    d = spark.createDataFrame([(1, "the cat sat")], "doc_id long, text string")
+    plan = (
+        quality_score(d, "doc_id", "text")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("lambdafunction") == 1      # stopword HOF once
+    assert plan.count("regexp_replace") == 2      # alpha + punct, once each
+    # the signal columns land as attribute references in the consumer,
+    # not re-inlined expressions
+    assert plan.count("AS alpha_ratio") == 1
+    assert plan.count("AS stopword_ratio") == 1
+
+
+def test_scorecard_sentence_signals_evaluate_once(spark):
+    """The sentence split (folded back into operators/sentences.py in
+    round 11) must materialize ONCE behind the card's barrier — the
+    boundary regexp appears exactly once in the card's optimized
+    plan even though three stats read the array."""
+    card = score_card(_docs(spark), "doc_id", "text")
+    plan = card._jdf.queryExecution().optimizedPlan().toString()
+    # the sentence boundary regexp is unique to split_sentences_column
+    assert plan.count("(?<=[.!?]") == 1
