@@ -149,6 +149,10 @@ HEADLINE = [
     "ranking_global_order",
     "agg_probe_suite",
     "events_time_windows",
+    # ROUND 11: the curation6 gates (full Gopher n-gram repetition —
+    # the explode + map-side-combined count shape at n=2..10)
+    "ngram_rep_counts",
+    "ngram_repetition_card",
 ]
 
 
