@@ -150,7 +150,7 @@ HEADLINE = [
     "agg_probe_suite",
     "events_time_windows",
     # ROUND 11: the curation6 gates (full Gopher n-gram repetition —
-    # the explode + map-side-combined count shape at n=2..10)
+    # window-lead codegen gram cutting + one count shuffle, n=2..10)
     "ngram_rep_counts",
     "ngram_repetition_card",
 ]

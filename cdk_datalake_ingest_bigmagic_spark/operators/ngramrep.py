@@ -11,9 +11,12 @@ interpreted (the repetition-module lesson), so the shape here is the
 explode + map-side-combined count aggregation the DSIR featurizer
 already proved out (``operators/dsir.py``):
 
-1. ONE projection tokenizes each document and emits every n-gram for
-   every requested n as (doc, n, gram) via a flattened in-row
-   transform — one explode, no Python;
+1. tokens posexplode to (doc, pos, token); ONE window over (doc,
+   pos) carries lead(token, k) and every n-gram is a CODEGEN
+   ``concat_ws`` over the lead columns — no Python, and no in-row
+   gram lambdas (the round-11 rewrite: a ``transform``/``slice``
+   variant ran interpreted per gram and measured 4× slower; see
+   :func:`ngram_counts`);
 2. ONE ``groupBy(doc, n, gram).count()`` — partial aggregation
    collapses repeats map-side, so the shuffle carries distinct grams,
    not raw occurrences (on repetitive documents — exactly the ones
@@ -88,29 +91,28 @@ def ngram_counts(
     """Exact (doc, n, gram) occurrence counts for every requested n,
     plus the document's token-space char denominator.
 
-    One explode + one map-side-combined count shuffle; ``doc_chars``
-    rides the grouping keys (constant per document) so no join back
-    is needed.
+    Shape (round-11 rewrite, the langid2 join-tier lesson): tokens
+    posexplode to (doc, pos, token) rows, ONE window over (doc, pos)
+    carries lead(token, 1..max(n)-1), and every n-gram is a CODEGEN
+    ``concat_ws`` over those window columns — an in-row variant that
+    built per-n gram arrays with ``transform``/``slice`` lambdas ran
+    interpreted per gram and measured 4× slower at sf0.1 (21.3 s vs
+    5.3 s for the full n=2..10 sweep, value-identical). Cost: one
+    token shuffle for the window + one map-side-combined count
+    shuffle (partial aggregation collapses repeats, so distinct grams
+    travel, not occurrences — on the repetitive documents these rules
+    exist to catch, that is the whole point). ``doc_chars`` rides the
+    grouping keys (constant per document) so no join back is needed.
+    Window skew is bounded by single-document token counts — the same
+    per-doc bound every in-row operator already has.
     """
-    per_n = [
-        F.when(
-            F.size(F.col("__t")) >= n,
-            F.expr(
-                f"transform(sequence(1, size(__t) - {n - 1}), "
-                f"i -> named_struct('n', {n}, "
-                f"'gram', concat_ws(' ', slice(__t, i, {n}))))"
-            ),
-        ).otherwise(
-            F.array().cast("array<struct<n:int,gram:string>>")
-        )
-        for n in ns
-    ]
+    from pyspark.sql import Window
+
     from cdk_datalake_ingest_bigmagic_spark.operators import barrier
 
-    # __t is referenced by every per-n transform below; without the
-    # barrier, CollapseProject inlines the tokenization into each
-    # reference and the interpreted HOFs re-tokenize the document
-    # per n (the operators/__init__.py barrier() lesson)
+    # __t is referenced twice below (doc_chars + posexplode); the
+    # barrier materializes the tokenization once
+    # (the operators/__init__.py barrier() lesson)
     base = barrier(
         df.select(F.col(id_col), _tokens(F.col(text_col)).alias("__t"))
     ).select(
@@ -118,10 +120,34 @@ def ngram_counts(
         F.length(F.concat_ws(" ", F.col("__t"))).cast("long").alias(
             "doc_chars"
         ),
-        F.explode(F.flatten(F.array(*per_n))).alias("__g"),
+        F.posexplode(F.col("__t")).alias("__pos", "__tok"),
     )
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    max_n = max(ns)
+    leads = base
+    for k in range(1, max_n):
+        leads = leads.withColumn(f"__l{k}", F.lead("__tok", k).over(w))
+    gram_structs = []
+    for n in ns:
+        parts = [F.col("__tok")] + [F.col(f"__l{k}") for k in range(1, n)]
+        # lead(k) NULL ⟹ lead(k+1) NULL, so guarding the LAST part
+        # drops exactly the positions whose n-gram runs off the end
+        gram_structs.append(
+            F.when(
+                parts[-1].isNotNull(),
+                F.struct(
+                    F.lit(n).alias("n"),
+                    F.concat_ws(" ", *parts).alias("gram"),
+                ),
+            )
+        )
+    exploded = leads.select(
+        F.col(id_col),
+        F.col("doc_chars"),
+        F.explode(F.array(*gram_structs)).alias("__g"),
+    ).filter(F.col("__g").isNotNull())
     return (
-        base.groupBy(
+        exploded.groupBy(
             F.col(id_col),
             F.col("doc_chars"),
             F.col("__g.n").alias("n"),
