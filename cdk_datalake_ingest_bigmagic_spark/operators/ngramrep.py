@@ -108,13 +108,16 @@ def ngram_counts(
     """
     from pyspark.sql import Window
 
-    from cdk_datalake_ingest_bigmagic_spark.operators import barrier
+    from cdk_datalake_ingest_bigmagic_spark.operators import barrier, fan_out
 
     # __t is referenced twice below (doc_chars + posexplode); the
     # barrier materializes the tokenization once
-    # (the operators/__init__.py barrier() lesson)
+    # (the operators/__init__.py barrier() lesson). fan_out raises
+    # map-side parallelism on under-partitioned inputs — the probe
+    # showed a single-file corpus capping the tokenize/explode/window
+    # map work at its row-group count (3 tasks for 100k docs)
     base = barrier(
-        df.select(F.col(id_col), _tokens(F.col(text_col)).alias("__t"))
+        fan_out(df.select(F.col(id_col), _tokens(F.col(text_col)).alias("__t")))
     ).select(
         F.col(id_col),
         F.length(F.concat_ws(" ", F.col("__t"))).cast("long").alias(
