@@ -151,8 +151,13 @@ HEADLINE = [
     "events_time_windows",
     # ROUND 11: the curation6 gates (full Gopher n-gram repetition —
     # window-lead codegen gram cutting + one count shuffle, n=2..10)
+    # and the curation7 gates (secret/credential exposure + scrub,
+    # Flesch readability — single-projection regexp cards)
     "ngram_rep_counts",
     "ngram_repetition_card",
+    "secrets_exposure_counts",
+    "secrets_scrubbed_docs",
+    "readability_scores",
 ]
 
 

@@ -1,0 +1,98 @@
+"""Readability scoring (Flesch Reading Ease / Flesch-Kincaid grade).
+
+The classic readability formulas (Flesch 1948; Kincaid et al. 1975 —
+published constants) are standard quality-band signals in corpus
+curation: very low readability flags run-on boilerplate and OCR
+noise, implausibly high flags fragment lists. Both formulas need
+exactly three integer counts:
+
+- words: whitespace token count (text.py's convention);
+- sentences: runs of terminal punctuation ``[.!?]+`` (a cheap
+  published proxy for sentence count — NOT the full segmenter in
+  operators/sentences.py, deliberately: the formula's own literature
+  uses punctuation counting, and an integer count keeps the whole
+  card oracle-exact);
+- syllables: the vowel-group heuristic — maximal runs of
+  ``[aeiouyAEIOUY]`` approximate syllable nuclei (the standard
+  public approximation). Runs cannot span whitespace, so one
+  text-wide ``regexp_count`` equals the per-word sum.
+
+Scores are fixed-order double arithmetic over the exact longs with
+literal constants, mirrored exactly by the DuckDB oracle
+(queries/curation7.py) — same expression order, single division per
+ratio. Empty text (0 words or 0 sentences) scores NULL, never a
+division error.
+
+Execution: the whole card is ONE codegen projection (three
+regexp_count + arithmetic), zero shuffle, zero Python — the
+Gopher-card shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Published Flesch Reading Ease constants (Flesch 1948).
+FRE_BASE, FRE_WPS, FRE_SPW = 206.835, 1.015, 84.6
+#: Published Flesch-Kincaid grade-level constants (Kincaid 1975).
+FKG_WPS, FKG_SPW, FKG_BASE = 0.39, 11.8, 15.59
+
+#: Default keep band on Reading Ease: prose-like English scores
+#: roughly 0-100; heavy boilerplate/OCR noise lands far negative.
+#: Keyword-tunable like the Gopher thresholds.
+FRE_MIN, FRE_MAX = -30.0, 121.22  # 121.22 = FRE of "one-syllable word" text
+
+
+def readability_columns(text_col: Column) -> dict[str, Column]:
+    """The counts and scores as named Columns — composable into any
+    one-pass card projection."""
+    n_words = F.regexp_count(text_col, F.lit(r"\S+")).cast("long")
+    n_sents = F.regexp_count(text_col, F.lit(r"[.!?]+")).cast("long")
+    n_syll = F.regexp_count(text_col, F.lit(r"[aeiouyAEIOUY]+")).cast(
+        "long"
+    )
+    wps = n_words.cast("double") / n_sents.cast("double")
+    spw = n_syll.cast("double") / n_words.cast("double")
+    valid = (n_words > 0) & (n_sents > 0)
+    fre = F.when(
+        valid,
+        F.lit(FRE_BASE) - F.lit(FRE_WPS) * wps - F.lit(FRE_SPW) * spw,
+    )
+    fkg = F.when(
+        valid,
+        F.lit(FKG_WPS) * wps + F.lit(FKG_SPW) * spw - F.lit(FKG_BASE),
+    )
+    return {
+        "n_words": n_words,
+        "n_sentences": n_sents,
+        "n_syllables": n_syll,
+        "flesch_reading_ease": fre,
+        "fk_grade": fkg,
+    }
+
+
+def readability(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    fre_min: float = FRE_MIN,
+    fre_max: float = FRE_MAX,
+) -> DataFrame:
+    """(id, n_words, n_sentences, n_syllables, flesch_reading_ease,
+    fk_grade, passes_readability): the per-document readability card.
+    ``passes_readability`` coalesces NULL scores to False (no
+    sentences = no readable prose — fail closed, unlike the
+    repetition rules' fail-open: here the ABSENCE of structure is
+    itself the negative signal)."""
+    cols = readability_columns(F.col(text_col))
+    passes = F.coalesce(
+        (cols["flesch_reading_ease"] >= F.lit(fre_min))
+        & (cols["flesch_reading_ease"] <= F.lit(fre_max)),
+        F.lit(False),
+    )
+    return df.select(
+        F.col(id_col),
+        *[c.alias(name) for name, c in cols.items()],
+        passes.alias("passes_readability"),
+    )

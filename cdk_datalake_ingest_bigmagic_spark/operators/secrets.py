@@ -1,0 +1,94 @@
+"""Credential/secret exposure scanning for training corpora.
+
+Code-adjacent web text leaks credentials — AWS keys, GitHub/Slack
+tokens, JWTs, private-key PEM blocks — and a model trained on them
+can regurgitate working secrets. Public scrubbing pipelines run a
+rule-set scan (the gitleaks/trufflehog PUBLISHED pattern family —
+independently re-implemented here from the vendors' documented
+formats, e.g. AWS's `AKIA…` key-id prefixes, GitHub's `ghp_…` token
+scheme, Slack's `xox?-` prefixes, the JWT three-dot-segment shape)
+and either drop the document or replace the spans.
+
+Execution: every signal is ONE codegen ``regexp_count`` over the raw
+text — the whole card is a single projection riding the scan, zero
+shuffles, zero Python (the Gopher-card shape). Scrubbing is the same
+patterns through ``regexp_replace``. Patterns are RE2∩Java-safe (no
+lookaround, no backreferences) so the DuckDB oracle counts
+identically — the same determinism contract as text.py's PII
+patterns.
+
+Deliberately integer-only: entropy-based generic-secret detection
+needs log() floats and a tuned threshold, so the generic tier here
+is structural instead — long unbroken hex (>=32) and base64 (>=40)
+runs, the carrier shape high-entropy blobs actually take in text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: (signal name, pattern) — RE2- and Java-compatible, no lookaround.
+#: Sources: the providers' published token formats (AWS key-id
+#: prefixes, GitHub token scheme announcement, Slack token docs,
+#: RFC 7519 JWT structure, PEM RFC 7468 headers).
+SECRET_PATTERNS: dict[str, str] = {
+    # AWS access key id: documented 4-char prefix + 16 uppercase
+    # base-32 chars
+    "aws_key_id": r"\b(A3T[A-Z0-9]|AKIA|AGPA|AIDA|AROA|AIPA|ANPA|ANVA|ASIA)[A-Z0-9]{16}\b",
+    # GitHub fine/classic tokens: ghp_/gho_/ghu_/ghs_/ghr_ + 36+
+    "github_token": r"\bgh[pousr]_[A-Za-z0-9]{36,}\b",
+    # Slack tokens: xoxb-/xoxa-/xoxp-/xoxr-/xoxs- + body
+    "slack_token": r"\bxox[baprs]-[A-Za-z0-9-]{10,}\b",
+    # JWT: three dot-separated base64url segments, header starts eyJ
+    "jwt": r"\beyJ[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{5,}",
+    # PEM private-key block header
+    "private_key_block": r"-----BEGIN [A-Z ]*PRIVATE KEY-----",
+    # structural generic tiers: long unbroken hex / base64 runs
+    "long_hex_run": r"\b[0-9a-f]{32,}\b",
+    "long_base64_run": r"[A-Za-z0-9+/]{40,}={0,2}",
+}
+
+#: Replacement marker, one per signal so downstream audits can tell
+#: WHAT was scrubbed.
+SCRUB_MARKER = "[SECRET:{name}]"
+
+
+def secret_count_columns(text_col: Column) -> dict[str, Column]:
+    """One ``n_<signal>`` long per pattern — composable card columns
+    (all codegen regexp_count; fuse into any one-pass projection)."""
+    return {
+        f"n_{name}": F.regexp_count(text_col, F.lit(pat)).cast("long")
+        for name, pat in SECRET_PATTERNS.items()
+    }
+
+
+def secret_exposure(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, n_<signal>..., n_secret_hits, passes_secret_scan): the
+    per-document secret-exposure card. ``passes_secret_scan`` is the
+    zero-tolerance default (any hit fails — the drop-or-scrub
+    decision belongs to the caller). ONE projection, zero shuffle."""
+    t = F.col(text_col)
+    counts = secret_count_columns(t)
+    total = None
+    for c in counts.values():
+        total = c if total is None else (total + c)
+    return df.select(
+        F.col(id_col),
+        *[c.alias(name) for name, c in counts.items()],
+        total.alias("n_secret_hits"),
+        (total == 0).alias("passes_secret_scan"),
+    )
+
+
+def scrub_secrets(text_col: Column) -> Column:
+    """Replace every matched secret span with its per-signal marker —
+    a chain of codegen regexp_replace, applied in SECRET_PATTERNS
+    order (specific providers first, generic runs last, so a provider
+    token is labeled by its provider, not as a base64 run)."""
+    out = text_col
+    for name, pat in SECRET_PATTERNS.items():
+        out = F.regexp_replace(out, pat, SCRUB_MARKER.format(name=name))
+    return out

@@ -60,6 +60,7 @@ from cdk_datalake_ingest_bigmagic_spark.queries import curation3  # noqa: E402,F
 from cdk_datalake_ingest_bigmagic_spark.queries import curation4  # noqa: E402,F401
 from cdk_datalake_ingest_bigmagic_spark.queries import curation5  # noqa: E402,F401
 from cdk_datalake_ingest_bigmagic_spark.queries import curation6  # noqa: E402,F401
+from cdk_datalake_ingest_bigmagic_spark.queries import curation7  # noqa: E402,F401
 
 # The external correctness gate checks the first 50 registered queries.
 # With 114 registered (round 7 added the ten queries/curation.py
@@ -355,15 +356,19 @@ from cdk_datalake_ingest_bigmagic_spark.queries import curation6  # noqa: E402,F
 # same change — the curation6 wave lands staged AND activated in one
 # round (the curation5 two-round pattern cost a round of
 # driver-invisibility; 19 free slots made the one-round landing
-# safe). 33 used → 17 free slots for riders of whatever round 11
-# touches (rider_check.py proves sibling definitions unchanged).
-# Registry: 130 + 2 = 132. Out-of-window: 82 = 50 r10 greens + 32
-# r9 greens — every one fresh at the round-11 ceiling (>= r9),
-# enforced by test_gate_rotation.
+# safe). The second wave (queries/curation7.py: secrets exposure/
+# scrub + readability) landed the same way — operators + gates +
+# differential pytest + both-SF validation in one round. Front: 2
+# curation6 + 3 curation7 + 1 rider (corpus_quality_percentile) +
+# 31 obligation = 37 used → 13 free (rider_check.py proves sibling
+# definitions unchanged). Registry: 130 + 2 + 3 = 135.
+# Out-of-window: 82 = 50 r10 greens + 32 r9 greens — every one
+# fresh at the round-11 ceiling (>= r9), enforced by
+# test_gate_rotation.
 # ROUND-12 WINDOW MATH (pre-computed): obligation = the 32 r9 greens
 # (confirm with `python tools/window_math.py 12` once
-# CORRECTNESS_r11 lands) → ~18 free slots. CYCLE ARITHMETIC AT 132:
-# demand 132/cycle + ~12 riders vs capacity 150 — closes with ~6
+# CORRECTNESS_r11 lands) → ~18 free slots. CYCLE ARITHMETIC AT 135:
+# demand 135/cycle + ~12 riders vs capacity 150 — closes with ~3
 # slack; next retirement candidates (if growth resumes toward ~145)
 # are the snapshot pair and the three multimodal cards, same fold
 # pattern.
@@ -371,6 +376,14 @@ _GATE_FRONT: list[str] = [
     # (1) the 2 queries/curation6.py registrations (never gated)
     "ngram_rep_counts",
     "ngram_repetition_card",
+    # (1a) the 3 queries/curation7.py registrations (never gated;
+    # secrets exposure/scrub + Flesch readability — landed staged AND
+    # activated in one round, pre-validated at sf0.01 AND sf0.1 via
+    # tools/validate_module.py curation7, 0 failures both, with the
+    # differential pytest in the same change)
+    "secrets_exposure_counts",
+    "secrets_scrubbed_docs",
+    "readability_scores",
     # (1b) riders of the round-11 barrier consolidations:
     # operators/sentences.py (sentence_stats now stages its array
     # behind the standard barrier) and operators/text.py
