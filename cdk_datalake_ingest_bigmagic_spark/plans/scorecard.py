@@ -18,6 +18,10 @@ Signals (all codegen):
 - PII counts (emails/phones/ip addresses) plus checksum-validated
   financial PII (Luhn credit cards, structurally-valid SSNs —
   operators/pii2),
+- secret/credential exposure counts + zero-tolerance flag
+  (operators/secrets — round 11),
+- Flesch readability scores + band flag (operators/readability —
+  round 11),
 - mojibake score + NFC-composition flag (encoding/normalize),
 - Unicode-script profile incl. the homoglyph flag (scripts),
 - sentence stats (sentences),
@@ -50,6 +54,14 @@ _CARD_COLUMNS = frozenset(
         "rule_stop_words", "passes_gopher",
         # checksum-validated financial pii (operators/pii2)
         "n_cc_candidates", "n_cc_valid", "n_ssn_format", "n_ssn_valid",
+        # secret/credential exposure (operators/secrets)
+        "n_aws_key_id", "n_github_token", "n_slack_token", "n_jwt",
+        "n_private_key_block", "n_long_hex_run", "n_long_base64_run",
+        "n_secret_hits", "passes_secret_scan",
+        # readability (operators/readability; n_words/n_sentences are
+        # the card's own counts — only the NEW columns land)
+        "n_syllables", "flesch_reading_ease", "fk_grade",
+        "passes_readability",
     }
 )
 
@@ -172,6 +184,27 @@ def score_card(
         }
     )
     fin_cols = pii_financial_columns(t)
+    from cdk_datalake_ingest_bigmagic_spark.operators.readability import (
+        FRE_MAX,
+        FRE_MIN,
+        readability_columns,
+    )
+    from cdk_datalake_ingest_bigmagic_spark.operators.secrets import (
+        secret_count_columns,
+    )
+
+    sec_cols = secret_count_columns(t)
+    sec_total = None
+    for c in sec_cols.values():
+        sec_total = c if sec_total is None else (sec_total + c)
+    # readability keeps ITS OWN conventions internally (\S+ words,
+    # terminal-punctuation sentences — the published formulas' own
+    # counting); only the NEW columns land on the card, so the card's
+    # n_words (whitespace tokens) and n_sentences (the real segmenter)
+    # are not overwritten
+    read_cols = readability_columns(t)
+    read_cols.pop("n_words")
+    read_cols.pop("n_sentences")
     out = scored.select(
         F.col(id_col),
         *[F.col(c) for c in other],
@@ -204,5 +237,16 @@ def score_card(
         *[barrier_guard(c).alias(name) for name, c in gopher_rules.items()],
         # checksum-validated financial pii
         *[c.alias(name) for name, c in fin_cols.items()],
+        # secret/credential exposure (round 11)
+        *[c.alias(name) for name, c in sec_cols.items()],
+        sec_total.alias("n_secret_hits"),
+        (sec_total == 0).alias("passes_secret_scan"),
+        # readability (round 11; formula-convention counts internal)
+        *[c.alias(name) for name, c in read_cols.items()],
+        F.coalesce(
+            (read_cols["flesch_reading_ease"] >= F.lit(FRE_MIN))
+            & (read_cols["flesch_reading_ease"] <= F.lit(FRE_MAX)),
+            F.lit(False),
+        ).alias("passes_readability"),
     )
     return out

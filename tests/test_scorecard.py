@@ -37,6 +37,12 @@ def test_columns_and_values(spark):
         "rule_word_count", "rule_mean_word_len", "rule_symbol_ratio",
         "rule_bullet_lines", "rule_ellipsis_lines", "rule_alpha_words",
         "rule_stop_words", "passes_gopher",
+        # secret exposure + readability (round 11)
+        "n_aws_key_id", "n_github_token", "n_slack_token", "n_jwt",
+        "n_private_key_block", "n_long_hex_run", "n_long_base64_run",
+        "n_secret_hits", "passes_secret_scan",
+        "n_syllables", "flesch_reading_ease", "fk_grade",
+        "passes_readability",
         # checksum-validated financial pii
         "n_cc_candidates", "n_cc_valid", "n_ssn_format", "n_ssn_valid",
     }
@@ -195,3 +201,22 @@ def test_scorecard_sentence_signals_evaluate_once(spark):
     plan = card._jdf.queryExecution().optimizedPlan().toString()
     # the sentence boundary regexp is unique to split_sentences_column
     assert plan.count("(?<=[.!?]") == 1
+
+
+def test_secret_and_readability_agree_with_operators(spark):
+    from cdk_datalake_ingest_bigmagic_spark.operators.readability import (
+        readability,
+    )
+    from cdk_datalake_ingest_bigmagic_spark.operators.secrets import (
+        secret_exposure,
+    )
+
+    docs = _docs(spark).where("text is not null")
+    card = {r["doc_id"]: r for r in score_card(docs, "doc_id", "text").collect()}
+    for r in secret_exposure(docs, "doc_id", "text").collect():
+        assert card[r["doc_id"]]["n_secret_hits"] == r["n_secret_hits"]
+        assert card[r["doc_id"]]["passes_secret_scan"] == r["passes_secret_scan"]
+    for r in readability(docs, "doc_id", "text").collect():
+        assert card[r["doc_id"]]["flesch_reading_ease"] == r["flesch_reading_ease"]
+        assert card[r["doc_id"]]["n_syllables"] == r["n_syllables"]
+        assert card[r["doc_id"]]["passes_readability"] == r["passes_readability"]
