@@ -103,6 +103,14 @@ class CorpusPipelineConfig:
     #: so it runs first. Ignored if ``url_col`` is absent.
     url_dedup: bool = False
     url_col: str = "url"
+    #: enables secret/credential scrubbing inside the ``clean`` step
+    #: (operators.secrets): provider-format credentials (AWS/GitHub/
+    #: Slack tokens, JWTs, PEM blocks, long hex/base64 runs) are
+    #: replaced with per-signal markers, the same codegen
+    #: regexp_replace chain shape as the PII scrub it runs beside.
+    #: Off by default: web prose rarely carries credentials, but any
+    #: code-adjacent corpus should turn it on.
+    scrub_secrets: bool = False
     #: materializes the one-pass document score card
     #: (plans/scorecard.py) as a manifest-tracked step beside the
     #: pipeline artifacts — the narrow per-document quality table
@@ -162,7 +170,7 @@ class CorpusPipeline:
                   "fix_text", "url_dedup", "url_col"),
         "clean": ("id_col", "text_col", "compression_band",
                   "compression_min_ratio", "compression_max_ratio",
-                  "fix_text", "url_dedup", "url_col"),
+                  "fix_text", "url_dedup", "url_col", "scrub_secrets"),
         "dedup": ("id_col", "text_col", "shingle_n", "jaccard_threshold"),
         "scorecard": ("id_col", "text_col", "score_card"),
         "split": ("id_col", "splits", "seed"),
@@ -367,6 +375,12 @@ class CorpusPipeline:
                 .drop("quality_logit", "passes_quality")
                 .withColumn(tc, tx.scrub_pii(F.col(tc)))
             )
+            if cfg.scrub_secrets:
+                from cdk_datalake_ingest_bigmagic_spark.operators.secrets import (
+                    scrub_secrets,
+                )
+
+                out = out.withColumn(tc, scrub_secrets(F.col(tc)))
             if cfg.compression_band:
                 from cdk_datalake_ingest_bigmagic_spark.operators.compress import (
                     compression_band_flags,
