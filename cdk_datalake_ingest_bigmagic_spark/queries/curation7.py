@@ -150,18 +150,40 @@ def secrets_scrubbed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+# The synthetic documents carry NO terminal punctuation, so raw text
+# would score NULL everywhere (fail-closed — correct but degenerate
+# as a gate). Deterministic doc_id-keyed punctuation tails give every
+# residue class a different sentence count, so scores are non-NULL
+# and vary with each document's own word/syllable counts; one class
+# stays punctuation-free to keep the NULL/fail-closed leg exercised.
+_READ_TAILS = [
+    ". Clear enough",
+    ". Read it! Twice",
+    ". Was it clear? Yes! Done",
+    "",  # stays NULL-scored (no sentence structure)
+]
+
+_READ_TAIL_SQL = "CASE " + " ".join(
+    f"WHEN doc_id % {len(_READ_TAILS)} = {i} THEN {_sql_str(t)}"
+    for i, t in enumerate(_READ_TAILS[:-1])
+) + " ELSE '' END"
+
+
 @register(
     "readability_scores",
     oracle=f"""
-    WITH c AS (
+    WITH prepped AS (
+      SELECT doc_id, text || {_READ_TAIL_SQL} AS t FROM documents
+    ),
+    c AS (
       SELECT doc_id,
-             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+             CAST(len(regexp_extract_all(t, '\\S+')) AS BIGINT)
                AS n_words,
-             CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+             CAST(len(regexp_extract_all(t, '[.!?]+')) AS BIGINT)
                AS n_sentences,
-             CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT)
+             CAST(len(regexp_extract_all(t, '[aeiouyAEIOUY]+')) AS BIGINT)
                AS n_syllables
-      FROM documents
+      FROM prepped
     ),
     scored AS (
       SELECT doc_id, n_words, n_sentences, n_syllables,
@@ -193,10 +215,20 @@ def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Flesch Reading Ease / Flesch-Kincaid card — exact integer
     counts (words, terminal-punctuation sentences, vowel-group
     syllables) and the published-constant scores in pinned evaluation
-    order — against the oracle's identical arithmetic."""
+    order — against the oracle's identical arithmetic, over documents
+    with doc_id-keyed punctuation tails (one residue class tail-free
+    to keep the NULL fail-closed leg exercised)."""
     from cdk_datalake_ingest_bigmagic_spark.operators.readability import (
         readability,
     )
 
     d = load(spark, sf_dir, "documents")
-    return readability(d, "doc_id", "text")
+    tail = F.lit(_READ_TAILS[-1])
+    for i in range(len(_READ_TAILS) - 2, -1, -1):
+        tail = F.when(
+            F.col("doc_id") % len(_READ_TAILS) == i, F.lit(_READ_TAILS[i])
+        ).otherwise(tail)
+    prepped = d.select(
+        "doc_id", F.concat(F.col("text"), tail).alias("text")
+    )
+    return readability(prepped, "doc_id", "text")
