@@ -33,7 +33,8 @@ def corpus_datasheet(
     """Datasheet frames from one score-card pass:
 
     - ``overview``: documents, words, chars, quality/repetition pass
-      rates, PII exposure counts, mojibake incidence — one row;
+      rates, PII + secret-credential exposure counts, mojibake
+      incidence — one row;
     - ``by_source``: the same per source (when ``source_col``);
     - ``script_mix``: documents per dominant script;
     - ``quality_histogram``: documents per unit logit bucket;
@@ -70,6 +71,12 @@ def corpus_datasheet(
             # number a datasheet should publish
             F.sum("n_cc_valid").cast("long").alias("n_credit_cards"),
             F.sum("n_ssn_valid").cast("long").alias("n_ssns"),
+            # secret/credential exposure (operators/secrets, round 11):
+            # total hits and how many documents carry at least one
+            F.sum("n_secret_hits").cast("long").alias("n_secret_hits"),
+            F.sum((F.col("n_secret_hits") > 0).cast("int"))
+            .cast("long")
+            .alias("n_secret_docs"),
             F.sum(F.col("passes_gopher").cast("int")).cast("long").alias(
                 "n_pass_gopher"
             ),
