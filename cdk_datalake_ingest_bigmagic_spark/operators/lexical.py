@@ -1,0 +1,111 @@
+"""Lexical-diversity profiling: type/token counts, hapax fraction,
+top-k token-mass concentration.
+
+Low lexical diversity (few distinct tokens, mass concentrated in the
+head) flags template/boilerplate text that passes length and
+repetition gates — the classic type-token-ratio (TTR) and
+hapax-legomenon signals from corpus linguistics, used as quality
+features in public curation stacks beside the Gopher rules.
+
+Execution (the DSIR shuffle shape): tokens explode to (doc, token),
+ONE ``groupBy(doc, token).count()`` whose partial aggregation
+collapses repeats map-side (distinct types travel, not occurrences),
+then one per-doc aggregate. The top-k mass sorts each document's
+count list in-row (``sort_array`` over a ``collect_list`` bounded by
+the document's own vocabulary — the same per-doc bound tf-idf's
+window already has) and sums the first k; the result depends only on
+count VALUES, so no tie-breaking is needed and the unordered
+collect_list is safe.
+
+Conventions (mirrored exactly by the DuckDB oracle in
+queries/curation8.py):
+- tokens are maximal ``[a-z0-9']`` runs over the lowercased text (the
+  DSIR/ngramrep tokenizer — gram spaces line up across the stack);
+- every ratio is ONE IEEE division of exact longs;
+- a document with no tokens keeps its row (spine left join) with
+  zero counts and NULL ratios.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = r"[^a-z0-9']+"
+
+
+def _tokens(text_col: Column) -> Column:
+    return F.filter(
+        F.split(F.lower(text_col), TOKEN_SPLIT), lambda x: x != ""
+    )
+
+
+def token_type_counts(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Exact (doc, token, cnt) occurrence counts — one explode + one
+    map-side-combined count shuffle."""
+    from cdk_datalake_ingest_bigmagic_spark.operators import fan_out
+
+    base = fan_out(
+        df.select(F.col(id_col), _tokens(F.col(text_col)).alias("__t"))
+    ).select(F.col(id_col), F.explode(F.col("__t")).alias("token"))
+    return base.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def lexical_diversity(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """(id, n_tokens, n_types, n_hapax, type_token_ratio,
+    hapax_frac, top1_mass_frac, top{k}_mass_frac): the per-document
+    lexical-diversity card."""
+    counts = token_type_counts(df, id_col, text_col)
+    sorted_cnts = F.sort_array(F.collect_list("cnt"), asc=False)
+    per = counts.groupBy(id_col).agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum((F.col("cnt") == 1).cast("long")).cast("long").alias(
+            "n_hapax"
+        ),
+        F.aggregate(
+            F.slice(sorted_cnts, 1, 1), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("__top1_mass"),
+        F.aggregate(
+            F.slice(sorted_cnts, 1, top_k),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("__topk_mass"),
+    )
+    spine = df.select(F.col(id_col)).distinct()
+    joined = spine.join(per, on=id_col, how="left")
+    n_tok = F.coalesce(F.col("n_tokens"), F.lit(0).cast("long"))
+    n_typ = F.coalesce(F.col("n_types"), F.lit(0).cast("long"))
+
+    def ratio(num: Column, den: Column) -> Column:
+        return F.when(
+            den > 0, num.cast("double") / den.cast("double")
+        )
+
+    return joined.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_typ.alias("n_types"),
+        F.coalesce(F.col("n_hapax"), F.lit(0).cast("long")).alias(
+            "n_hapax"
+        ),
+        ratio(n_typ, n_tok).alias("type_token_ratio"),
+        ratio(F.coalesce(F.col("n_hapax"), F.lit(0)), n_typ).alias(
+            "hapax_frac"
+        ),
+        ratio(F.coalesce(F.col("__top1_mass"), F.lit(0)), n_tok).alias(
+            "top1_mass_frac"
+        ),
+        ratio(F.coalesce(F.col("__topk_mass"), F.lit(0)), n_tok).alias(
+            f"top{top_k}_mass_frac"
+        ),
+    )

@@ -1,0 +1,107 @@
+"""Round-12 gate queries, pre-written and pre-validated in round 11:
+the lexical-diversity card (operators/lexical.py — type/token counts,
+hapax fraction, top-k token-mass concentration).
+
+NOT imported by queries/__init__.py in round 11 — the window math
+front is at 37/50 and the cycle arithmetic at 135 registered leaves
+~3 slack per cycle, so this wave waits for round 12's 18 free slots
+(the queries/curation5.py precedent: registered-but-never-gated
+queries violate the rotation invariant). Round 12 activates it by
+adding the import and placing the names in ``_GATE_FRONT``; the
+oracles validate ahead of registration via
+``tools/validate_module.py curation8``.
+
+Determinism: the tokenizer is the DSIR/ngramrep convention (gate-
+proven twice); every ratio is one IEEE division of exact longs; the
+top-k mass depends only on count VALUES (sum of the k largest), so
+no tie-breaking is needed on either engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cdk_datalake_ingest_bigmagic_spark.queries import load, register
+
+_TOKS_SQL = """
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest(t) AS gram FROM toks)
+      GROUP BY 1, 2
+    )
+"""
+
+
+@register(
+    "lexical_type_counts",
+    oracle=f"""
+    WITH {_TOKS_SQL}
+    SELECT doc_id, gram AS token, c AS cnt FROM counts
+    """,
+)
+def lexical_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token_type_counts' exact (doc, token, cnt) output — the
+    map-side-combined core the diversity card aggregates — against
+    the oracle's unnest/group replication of the same tokenizer."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.lexical import (
+        token_type_counts,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return token_type_counts(d, "doc_id", "text")
+
+
+@register(
+    "lexical_diversity_card",
+    oracle=f"""
+    WITH {_TOKS_SQL},
+    per AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+             CAST(coalesce(list_sum(
+               (list_sort(list(c), 'DESC'))[1:1]), 0) AS BIGINT)
+               AS top1_mass,
+             CAST(coalesce(list_sum(
+               (list_sort(list(c), 'DESC'))[1:10]), 0) AS BIGINT)
+               AS topk_mass
+      FROM counts GROUP BY doc_id
+    ),
+    spine AS (SELECT DISTINCT doc_id FROM documents)
+    SELECT s.doc_id,
+           coalesce(n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+           coalesce(n_types, CAST(0 AS BIGINT)) AS n_types,
+           coalesce(n_hapax, CAST(0 AS BIGINT)) AS n_hapax,
+           CASE WHEN coalesce(n_tokens, 0) > 0 THEN
+             CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+           END AS type_token_ratio,
+           CASE WHEN coalesce(n_types, 0) > 0 THEN
+             CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE)
+           END AS hapax_frac,
+           CASE WHEN coalesce(n_tokens, 0) > 0 THEN
+             CAST(top1_mass AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+           END AS top1_mass_frac,
+           CASE WHEN coalesce(n_tokens, 0) > 0 THEN
+             CAST(topk_mass AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+           END AS top10_mass_frac
+    FROM spine s LEFT JOIN per USING (doc_id)
+    """,
+)
+def lexical_diversity_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full diversity card — TTR, hapax fraction, top-1/top-10
+    token-mass concentration — against the oracle's list-sort
+    replication (count values only, tie-break-free)."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.lexical import (
+        lexical_diversity,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return lexical_diversity(d, "doc_id", "text", top_k=10)

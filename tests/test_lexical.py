@@ -1,0 +1,78 @@
+"""Differential tests for operators/lexical.py: seeded random and
+degenerate documents vs a pure-Python Counter reference."""
+
+import math
+import random
+import re
+from collections import Counter
+
+from cdk_datalake_ingest_bigmagic_spark.operators.lexical import (
+    lexical_diversity,
+    token_type_counts,
+)
+
+
+def _py_counts(text):
+    return Counter(
+        t for t in re.split(r"[^a-z0-9']+", text.lower()) if t
+    )
+
+
+def _docs():
+    rng = random.Random(20260815)
+    vocab = "the cat sat mat ran town 42 o'clock river mill".split()
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 50))))
+        for i in range(40)
+    ]
+    docs += [
+        (40, ""),                       # empty -> zero counts, NULL ratios
+        (41, "!!! ???"),                # punctuation only
+        (42, "spam " * 30),             # one type, top1 mass = 1.0
+        (43, " ".join(f"w{i}" for i in range(25))),  # all hapax
+    ]
+    return docs
+
+
+def test_type_counts_random_sweep(spark):
+    docs = _docs()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["token"]): r["cnt"]
+        for r in token_type_counts(df, "doc_id", "text").collect()
+    }
+    want = {
+        (i, tok): c
+        for i, text in docs
+        for tok, c in _py_counts(text).items()
+    }
+    assert got == want
+
+
+def test_diversity_card_random_sweep(spark):
+    docs = _docs()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in lexical_diversity(df, "doc_id", "text", top_k=10).collect()
+    }
+    assert len(rows) == len(docs)  # spine keeps empty docs
+    for i, text in docs:
+        c = _py_counts(text)
+        n_tok, n_typ = sum(c.values()), len(c)
+        hapax = sum(1 for v in c.values() if v == 1)
+        top = sorted(c.values(), reverse=True)
+        r = rows[i]
+        assert r["n_tokens"] == n_tok and r["n_types"] == n_typ
+        assert r["n_hapax"] == hapax
+        if n_tok:
+            assert math.isclose(r["type_token_ratio"], n_typ / n_tok)
+            assert math.isclose(r["top1_mass_frac"], top[0] / n_tok)
+            assert math.isclose(
+                r["top10_mass_frac"], sum(top[:10]) / n_tok
+            )
+        else:
+            assert r["type_token_ratio"] is None
+            assert r["top10_mass_frac"] is None
+    assert rows[42]["top1_mass_frac"] == 1.0
+    assert rows[43]["hapax_frac"] == 1.0
