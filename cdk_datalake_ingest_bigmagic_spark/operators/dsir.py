@@ -65,27 +65,39 @@ def hashed_ngram_counts(
     """(id, bucket, cnt): hashed word uni+bigram counts per document.
 
     Tokens are maximal runs of lowercased ``[a-z0-9']``; bigrams join
-    adjacent tokens with one space. Each gram order is ONE generator
-    whose input array is evaluated once per input row (explode of the
-    token array; explode of a zip_with over its two shifted slices) —
-    never an element_at over the array per exploded row, which a
-    collapsed projection would re-evaluate per element (the measured
-    interpreted-HOF trap from the repetition module).
+    adjacent tokens with one space. The token array materializes ONCE
+    behind the standard barrier (round-11 fix: the single-projection
+    expression tree references it FOUR times — concat, two shifted
+    slices, size — and interpreted HOFs get no common-subexpression
+    elimination, so the tokenization re-ran per reference; measured
+    2.6× at sf0.1, value-identical). Then ONE generator emits both
+    gram orders (array concat of the tokens with a zip_with over the
+    two shifted slices), so the corpus text is scanned once — never
+    an element_at over the array per exploded row (the repetition-
+    module trap), and never a union of two selects reading every
+    document twice. fan_out raises map parallelism on
+    under-partitioned single-file inputs, a no-op at corpus scale.
     """
-    toks = F.filter(
+    from cdk_datalake_ingest_bigmagic_spark.operators import (
+        barrier,
+        fan_out,
+    )
+
+    toks0 = F.filter(
         F.split(F.lower(F.col(text_col)), r"[^a-z0-9']+"),
         lambda x: x != "",
     )
+    staged = barrier(
+        fan_out(df.select(F.col(id_col), toks0.alias("__t")))
+    )
+    toks = F.col("__t")
     pair_len = F.greatest(F.size(toks) - 1, F.lit(0))
     bigrams = F.zip_with(
         F.slice(toks, 1, pair_len),
         F.slice(toks, 2, pair_len),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    # ONE generator emits both gram orders (array concat), so the
-    # corpus text is scanned once — a union of two selects would read
-    # every document twice
-    grams = df.select(
+    grams = staged.select(
         F.col(id_col), F.explode(F.concat(toks, bigrams)).alias("gram")
     )
     return (

@@ -65,20 +65,26 @@ def lexical_diversity(
     hapax_frac, top1_mass_frac, top{k}_mass_frac): the per-document
     lexical-diversity card."""
     counts = token_type_counts(df, id_col, text_col)
-    sorted_cnts = F.sort_array(F.collect_list("cnt"), asc=False)
+    # ONE collect_list buffer per group (two separate aggregates would
+    # double the buffer and sort work); the head/top-k masses project
+    # from the aggregate's output attribute, which CollapseProject
+    # cannot inline back into the Aggregate
     per = counts.groupBy(id_col).agg(
         F.sum("cnt").cast("long").alias("n_tokens"),
         F.count(F.lit(1)).cast("long").alias("n_types"),
         F.sum((F.col("cnt") == 1).cast("long")).cast("long").alias(
             "n_hapax"
         ),
+        F.slice(F.sort_array(F.collect_list("cnt"), asc=False), 1, top_k)
+        .alias("__top"),
+    ).select(
+        F.col(id_col),
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.element_at(F.col("__top"), 1).cast("long").alias("__top1_mass"),
         F.aggregate(
-            F.slice(sorted_cnts, 1, 1), F.lit(0).cast("long"), lambda a, x: a + x
-        ).alias("__top1_mass"),
-        F.aggregate(
-            F.slice(sorted_cnts, 1, top_k),
-            F.lit(0).cast("long"),
-            lambda a, x: a + x,
+            F.col("__top"), F.lit(0).cast("long"), lambda a, x: a + x
         ).alias("__topk_mass"),
     )
     spine = df.select(F.col(id_col)).distinct()

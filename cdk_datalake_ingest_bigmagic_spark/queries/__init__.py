@@ -388,6 +388,11 @@ _GATE_FRONT: list[str] = [
     "secrets_exposure_counts",
     "secrets_scrubbed_docs",
     "readability_scores",
+    # (1b2) riders of the round-11 DSIR featurizer barrier fix
+    # (operators/dsir.py: token array materialized once — 2.6×):
+    # both its gates were r10 greens outside the obligation
+    "dsir_bucket_counts",
+    "dsir_bucket_distribution",
     # (1b) riders of the round-11 barrier consolidations:
     # operators/sentences.py (sentence_stats now stages its array
     # behind the standard barrier) and operators/text.py
