@@ -67,13 +67,16 @@ def stream_corpus_clean(
     id_col: str = "doc_id",
     text_col: str = "text",
     available_now: bool = True,
+    scrub_secrets: bool = False,
 ):
     """Incremental corpus cleaning — the continuous-crawl version of
     ``corpus_clean_pipeline``. Each run drains exactly the document
     files not yet seen (checkpointed file log), then per micro-batch:
 
     1. repetition gate (Gopher-style rules; zero-shuffle projection),
-    2. PII scrub (codegen ``regexp_replace``),
+    2. PII scrub (codegen ``regexp_replace``) — plus the credential
+       scrub (operators/secrets) when ``scrub_secrets=True``, the same
+       flag CorpusPipeline's batch clean step takes,
     3. exact dedup WITHIN the batch (min id per content fingerprint),
     4. exact dedup AGAINST everything already landed (anti-join on the
        sink's fingerprint column — at 100 TB this reads one pruned
@@ -101,10 +104,17 @@ def stream_corpus_clean(
             .filter(F.col("passes_repetition_filter"))
             .select(id_col)
         )
-        cleaned = (
-            batch_df.join(passing, id_col)
-            .withColumn(text_col, tx.scrub_pii(F.col(text_col)))
-            .withColumn("fingerprint", tx.fingerprint(F.col(text_col)))
+        cleaned = batch_df.join(passing, id_col).withColumn(
+            text_col, tx.scrub_pii(F.col(text_col))
+        )
+        if scrub_secrets:
+            from cdk_datalake_ingest_bigmagic_spark.operators.secrets import (
+                scrub_secrets as _scrub,
+            )
+
+            cleaned = cleaned.withColumn(text_col, _scrub(F.col(text_col)))
+        cleaned = cleaned.withColumn(
+            "fingerprint", tx.fingerprint(F.col(text_col))
         )
         w = Window.partitionBy("fingerprint").orderBy(id_col)
         cleaned = (
