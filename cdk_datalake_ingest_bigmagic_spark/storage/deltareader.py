@@ -1,0 +1,103 @@
+"""Log-honoring Delta table READER — no delta-spark required.
+
+The write side (storage/deltalog.py) makes every parquet stage table
+a spec-conformant Delta table; this is the matching read side: replay
+the transaction log (checkpoint-aware, via the same ``_replay`` the
+writer uses) and read EXACTLY the live files it names. A plain
+``spark.read.parquet(path)`` reads whatever is on disk — on a real
+Delta table that silently includes un-vacuumed tombstones, aborted
+writers' orphan files, and files added by in-flight commits; honoring
+the log is what makes Delta reads consistent. With this module the
+emulation is bidirectional: tables written by delta-rs/delta-spark
+(classic checkpoints, reader protocol v1) are readable here, and the
+structural tests can assert log-vs-disk divergence handling instead
+of assuming it.
+
+Scope (stated, like the writer's): reader protocol v1 — no deletion
+vectors, no column mapping, no v2 reader features; a table that
+requires them raises instead of returning wrong rows. Partition
+values come from the hive-style paths Spark's parquet reader already
+understands (``basePath`` keeps partition-column inference rooted at
+the table, even when we enumerate leaf files); the spec also allows
+non-hive layouts whose partition values live only in the log — those
+raise with a clear message rather than silently dropping columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cdk_datalake_ingest_bigmagic_spark.storage import deltalog
+
+
+class DeltaReadError(RuntimeError):
+    pass
+
+
+def read_delta(spark: SparkSession, table_path: str) -> DataFrame:
+    """DataFrame over the table's CURRENT Delta version: exactly the
+    files the replayed log marks live, none of the stragglers a
+    directory listing would also sweep in."""
+    state, meta, proto = deltalog._replay(table_path)
+    if proto is None and meta is None and not state:
+        raise DeltaReadError(
+            f"{table_path}: no _delta_log — not a Delta table "
+            "(use spark.read.parquet for plain directories)"
+        )
+    if proto is not None:
+        min_reader = proto.get("minReaderVersion", 1)
+        if min_reader > deltalog.READER_VERSION:
+            raise DeltaReadError(
+                f"{table_path}: requires reader protocol v{min_reader} "
+                f"(deletion vectors / column mapping); this reader "
+                f"implements v{deltalog.READER_VERSION}"
+            )
+    partition_cols = list((meta or {}).get("partitionColumns") or [])
+    files = []
+    for rel, add in state.items():
+        if partition_cols:
+            # hive-layout check: every partition column must be
+            # recoverable from the path, else the values live only in
+            # the log and path-based inference would silently NULL them
+            from_path = deltalog._partition_values(rel, partition_cols)
+            logged = add.get("partitionValues") or {}
+            for c in partition_cols:
+                if from_path.get(c) != (logged.get(c) or from_path.get(c)):
+                    raise DeltaReadError(
+                        f"{table_path}: non-hive partition layout for "
+                        f"{rel!r} (column {c!r} differs from the log); "
+                        "log-only partition values are out of scope"
+                    )
+                if from_path.get(c) is None and logged.get(c) is not None:
+                    raise DeltaReadError(
+                        f"{table_path}: partition column {c!r} for "
+                        f"{rel!r} exists only in the log; log-only "
+                        "partition values are out of scope"
+                    )
+        files.append(f"{table_path}/{rel}")
+    if not files:
+        # valid empty table: materialize the schema from metaData
+        if meta and meta.get("schemaString"):
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame(
+                [], StructType.fromJson(__import__("json").loads(meta["schemaString"]))
+            )
+        raise DeltaReadError(f"{table_path}: empty table with no schema")
+    reader = spark.read.option("basePath", table_path)
+    return reader.parquet(*files)
+
+
+def snapshot_info(table_path: str) -> dict:
+    """(version, n_live_files, total_bytes, partition_columns) — the
+    cheap table-status probe dashboards poll; pure log replay, no
+    Spark job."""
+    state, meta, _ = deltalog._replay(table_path)
+    return {
+        "version": deltalog.current_version(table_path),
+        "n_live_files": len(state),
+        "total_bytes": sum(a.get("size") or 0 for a in state.values()),
+        "partition_columns": list(
+            (meta or {}).get("partitionColumns") or []
+        ),
+    }

@@ -489,3 +489,86 @@ def test_merge_carry_pick_is_deterministic(spark, tmp_path):
     row = {r["k"]: r for r in t.read().collect()}
     assert row[1]["val"] == "zzz"  # max of ("zzz", "aaa")
     assert row[1]["grp"] == 7
+
+
+def test_read_delta_honors_log_not_directory(spark, tmp_path):
+    """The log-honoring reader returns exactly the live files: an
+    orphan parquet dropped into the table directory (an aborted
+    writer / un-vacuumed straggler) is invisible to read_delta while
+    plain spark.read.parquet sweeps it in."""
+    from cdk_datalake_ingest_bigmagic_spark.storage.deltareader import (
+        read_delta,
+    )
+
+    path = str(tmp_path / "t22")
+    t = ParquetStageTable(spark, path)
+    t.overwrite(_df(spark, [(1, 0, "a"), (2, 1, "b")]))
+    # plant an orphan data file the log never saw
+    orphan = _df(spark, [(99, 9, "ghost")])
+    orphan.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "o"))
+    src = next(Path(tmp_path / "o").glob("*.parquet"))
+    (Path(path) / "part-orphan.parquet").write_bytes(src.read_bytes())
+
+    plain = spark.read.parquet(path)
+    assert plain.count() == 3  # directory listing sees the ghost
+    logged = read_delta(spark, path)
+    assert sorted(r["k"] for r in logged.collect()) == [1, 2]
+
+
+def test_read_delta_partitioned_and_info(spark, tmp_path):
+    from cdk_datalake_ingest_bigmagic_spark.storage.deltareader import (
+        read_delta,
+        snapshot_info,
+    )
+
+    path = str(tmp_path / "t23")
+    t = ParquetStageTable(spark, path)
+    t.overwrite(
+        _df(spark, [(1, 0, "a"), (2, 1, "b"), (3, 1, "c")]),
+        partition_cols=["grp"],
+    )
+    t.merge(_df(spark, [(4, 0, "d")]), id_cols=["k"], partition_cols=["grp"])
+    out = read_delta(spark, path)
+    assert "grp" in out.columns  # partition column inferred via basePath
+    assert sorted(r["k"] for r in out.collect()) == [1, 2, 3, 4]
+    info = snapshot_info(path)
+    assert info["version"] == 1
+    assert info["n_live_files"] == len(deltalog.live_files(path))
+    assert info["partition_columns"] == ["grp"]
+    assert info["total_bytes"] > 0
+
+
+def test_read_delta_rejects_higher_reader_protocol(spark, tmp_path):
+    import pytest
+
+    from cdk_datalake_ingest_bigmagic_spark.storage.deltareader import (
+        DeltaReadError,
+        read_delta,
+    )
+
+    path = str(tmp_path / "t24")
+    t = ParquetStageTable(spark, path)
+    t.overwrite(_df(spark, [(1, 0, "a")]))
+    # upgrade the protocol as a v3 writer would
+    log_dir = Path(path) / "_delta_log"
+    v = deltalog.current_version(path) + 1
+    (log_dir / f"{v:020d}.json").write_text(
+        json.dumps({"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}})
+        + "\n"
+    )
+    with pytest.raises(DeltaReadError, match="reader protocol v3"):
+        read_delta(spark, path)
+
+
+def test_read_delta_not_a_delta_table(spark, tmp_path):
+    import pytest
+
+    from cdk_datalake_ingest_bigmagic_spark.storage.deltareader import (
+        DeltaReadError,
+        read_delta,
+    )
+
+    p = str(tmp_path / "plain")
+    _df(spark, [(1, 0, "a")]).write.parquet(p)
+    with pytest.raises(DeltaReadError, match="not a Delta table"):
+        read_delta(spark, p)
