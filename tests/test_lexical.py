@@ -76,3 +76,53 @@ def test_diversity_card_random_sweep(spark):
             assert r["top10_mass_frac"] is None
     assert rows[42]["top1_mass_frac"] == 1.0
     assert rows[43]["hapax_frac"] == 1.0
+
+
+def test_iban_validation_differential(spark):
+    """IBAN mod-97 + length validation vs a pure-Python ISO 13616
+    reference over known-valid IBANs, corrupted check digits, and
+    format-only lookalikes."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.iban import (
+        IBAN_LENGTHS,
+        iban_features,
+        scrub_iban,
+    )
+    from pyspark.sql import functions as F
+
+    valid = [
+        "GB82WEST12345698765432",
+        "DE89370400440532013000",
+        "FR1420041010050500013M02606",
+        "ES9121000418450200051332",
+        "NL91ABNA0417164300",
+    ]
+
+    def py_valid(iban):
+        cc = iban[:2]
+        if IBAN_LENGTHS.get(cc) != len(iban):
+            return False
+        r = iban[4:] + iban[:4]
+        n = "".join(str(int(ch, 36)) for ch in r)
+        return int(n) % 97 == 1
+
+    docs = []
+    for i, v in enumerate(valid):
+        docs.append((i * 3, f"pay {v} now", 1, 1))
+        bad = v[:-1] + ("1" if v[-1] != "1" else "2")
+        docs.append((i * 3 + 1, f"ref {bad} x", 1, int(py_valid(bad))))
+        docs.append((i * 3 + 2, f"zz {v[2:]}QQ", 0, 0))  # no CC prefix shape
+    for v in valid:
+        assert py_valid(v), v
+    df = spark.createDataFrame(
+        [(d[0], d[1]) for d in docs], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r for r in iban_features(df, "doc_id", "text").collect()
+    }
+    for doc_id, text, n_cand, n_valid in docs:
+        assert got[doc_id]["n_iban_candidates"] >= n_cand or n_cand == 0
+        assert got[doc_id]["n_iban_valid"] == n_valid, (doc_id, text)
+    scrubbed = df.select(scrub_iban("text").alias("t")).collect()
+    for r, (_, text, n_cand, _) in zip(scrubbed, docs):
+        if n_cand:
+            assert "<IBAN>" in r["t"], text
