@@ -222,3 +222,85 @@ def classify_language_join(
             F.coalesce(F.col("votes"), F.lit(0)).cast("long").alias("votes"),
         )
     )
+
+
+def classify_language_margin(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    profiles: dict[str, list[str]],
+    n: int = 3,
+    min_votes: int = 3,
+) -> DataFrame:
+    """:func:`classify_language_join` plus the CONFIDENCE MARGIN: the
+    vote gap between the winning language and the runner-up
+    (``margin = v1 - v2``, 0-vote runner-up when only one language
+    scored). Margin thresholds are how production langid routes
+    low-confidence documents to 'und'/human review instead of
+    trusting a 1-vote win — the integer twin of a probability gap, so
+    the whole card stays oracle-exact.
+
+    Same execution shape as the join tier (codegen substring gram
+    cutting, map-side-combined (doc, gram) distinct, broadcast
+    profile join, one vote shuffle); the only addition is keeping
+    window rows rn <= 2 instead of rn == 1.
+    """
+    if not profiles:
+        raise ValueError("empty profiles")
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    prof = spark.createDataFrame(
+        [(lang, g) for lang in sorted(profiles) for g in profiles[lang]],
+        "lang string, gram string",
+    )
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    normed = df.select(F.col(id_col), norm.alias("__s"))
+    grams = (
+        normed.select(
+            F.col(id_col),
+            F.col("__s"),
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length("__s") - (n - 1), F.lit(1)),
+                )
+            ).alias("__i"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__s").substr(F.col("__i"), F.lit(n)).alias("gram"),
+        )
+        .where(F.length("gram") == n)
+        .distinct()
+    )
+    votes = (
+        grams.join(F.broadcast(prof), "gram")
+        .groupBy(id_col, "lang")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("v").desc(), F.col("lang"))
+    ranked = votes.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 2
+    )
+    two = ranked.groupBy(id_col).agg(
+        F.max(F.when(F.col("rn") == 1, F.col("lang"))).alias("__l1"),
+        F.max(F.when(F.col("rn") == 1, F.col("v"))).alias("__v1"),
+        F.max(F.when(F.col("rn") == 2, F.col("v"))).alias("__v2"),
+    )
+    return (
+        df.select(id_col)
+        .join(two, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(
+                F.when(F.col("__v1") >= min_votes, F.col("__l1")),
+                F.lit("und"),
+            ).alias("lang_pred"),
+            F.coalesce(F.col("__v1"), F.lit(0)).cast("long").alias("votes"),
+            (
+                F.coalesce(F.col("__v1"), F.lit(0))
+                - F.coalesce(F.col("__v2"), F.lit(0))
+            ).cast("long").alias("margin"),
+        )
+    )

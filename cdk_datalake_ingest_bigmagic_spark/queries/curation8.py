@@ -2,7 +2,9 @@
 the lexical-diversity card (operators/lexical.py — type/token counts,
 hapax fraction, top-k token-mass concentration) and IBAN exposure
 with ISO 13616 mod-97 checksum validation (operators/iban.py — the
-international sibling of the Luhn/SSN tier).
+international sibling of the Luhn/SSN tier) and the language-ID
+confidence margin (operators/langid2.py::classify_language_margin
+— the integer top-2 vote gap that routes 1-vote wins to 'und').
 
 NOT imported by queries/__init__.py in round 11 — the window math
 front is at 37/50 and the cycle arithmetic at 135 registered leaves
@@ -202,3 +204,96 @@ def pii_iban_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.concat(F.col("text"), tail).alias("text")
     )
     return iban_features(prepped, "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# Language-ID confidence margin (operators/langid2.py) — same aug
+# corpus convention as curation2's langid_train_classify gate
+# --------------------------------------------------------------------------
+
+from cdk_datalake_ingest_bigmagic_spark.queries.curation2 import (  # noqa: E402
+    _LANGID_AUG_SQL,
+    _LANGID_MINV,
+    _LANGID_TOPK,
+)
+
+
+@register(
+    "langid_confidence_margin",
+    oracle=f"""
+    WITH {_LANGID_AUG_SQL},
+    counts AS (
+      SELECT lang, gram, count(*) AS cnt FROM doc_grams GROUP BY 1, 2
+    ),
+    profile AS (
+      SELECT lang, gram FROM (
+        SELECT lang, gram,
+               ROW_NUMBER() OVER (
+                 PARTITION BY lang ORDER BY cnt DESC, gram ASC
+               ) AS rank
+        FROM counts
+      ) WHERE rank <= {_LANGID_TOPK}
+    ),
+    votes AS (
+      SELECT g.doc_id, p.lang, count(*) AS v
+      FROM (SELECT DISTINCT doc_id, gram FROM doc_grams) g
+      JOIN profile p USING (gram)
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT doc_id, lang, v,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY v DESC, lang ASC
+             ) AS rn
+      FROM votes
+    ),
+    two AS (
+      SELECT doc_id,
+             max(CASE WHEN rn = 1 THEN lang END) AS l1,
+             max(CASE WHEN rn = 1 THEN v END) AS v1,
+             max(CASE WHEN rn = 2 THEN v END) AS v2
+      FROM ranked WHERE rn <= 2 GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(CASE WHEN t.v1 >= {_LANGID_MINV} THEN t.l1 END, 'und')
+             AS lang_pred,
+           CAST(coalesce(t.v1, 0) AS BIGINT) AS votes,
+           CAST(coalesce(t.v1, 0) - coalesce(t.v2, 0) AS BIGINT) AS margin
+    FROM documents d LEFT JOIN two t USING (doc_id)
+    """,
+)
+def langid_confidence_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """classify_language_margin end-to-end — winner, votes, and the
+    top-2 vote gap (the integer confidence signal that routes 1-vote
+    wins to 'und'/review) — against the oracle's two-row window
+    replication, on the same augmented trilingual corpus as the
+    langid_train_classify gate."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.langid2 import (
+        classify_language_margin,
+        train_char_ngram_profiles,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    # same trilingual augmentation as langid_train_classify
+    # (queries/curation2.py) — the SQL twin is _LANGID_AUG_SQL
+    tail = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" привет мир всем"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(" 你好世界朋友"))
+        .otherwise(F.lit(""))
+    )
+    label = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("aa"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("bb"))
+        .otherwise(F.lit("cc"))
+    )
+    aug = d.select(
+        "doc_id",
+        label.alias("lang"),
+        F.concat(F.col("text"), tail).alias("text"),
+    )
+    profiles = train_char_ngram_profiles(
+        aug, "lang", "text", top_k=_LANGID_TOPK
+    )
+    return classify_language_margin(
+        aug, "doc_id", "text", profiles, min_votes=_LANGID_MINV
+    )

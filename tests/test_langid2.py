@@ -127,3 +127,49 @@ def test_join_tier_equivalent_to_inline(spark):
         ).collect()
     }
     assert inline == joined
+
+
+def test_margin_tier_consistent_with_join_tier(spark):
+    """classify_language_margin agrees with classify_language_join on
+    (lang_pred, votes) and adds the exact top-2 vote gap."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.langid2 import (
+        classify_language_join,
+        classify_language_margin,
+        train_char_ngram_profiles,
+    )
+
+    seed = spark.createDataFrame(
+        [
+            (0, "en", "the quick brown fox jumps over the lazy dog again"),
+            (1, "en", "there is the thing that the other thing wants"),
+            (2, "es", "el rapido zorro marron salta sobre el perro"),
+            (3, "es", "la cosa que la otra cosa quiere alli esta"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    profiles = train_char_ngram_profiles(seed, "lang", "text", top_k=80)
+    docs = spark.createDataFrame(
+        [
+            (10, "the dog jumps over the thing there again and again"),
+            (11, "el perro salta sobre la cosa alli otra vez"),
+            (12, "zzz qqq xxx"),  # matches nothing -> und, margin 0
+        ],
+        "doc_id long, text string",
+    )
+    join_rows = {
+        r["doc_id"]: r
+        for r in classify_language_join(docs, "doc_id", "text", profiles).collect()
+    }
+    margin_rows = {
+        r["doc_id"]: r
+        for r in classify_language_margin(docs, "doc_id", "text", profiles).collect()
+    }
+    assert set(join_rows) == set(margin_rows) == {10, 11, 12}
+    for k in (10, 11, 12):
+        assert margin_rows[k]["lang_pred"] == join_rows[k]["lang_pred"]
+        assert margin_rows[k]["votes"] == join_rows[k]["votes"]
+        assert 0 <= margin_rows[k]["margin"] <= margin_rows[k]["votes"]
+    assert margin_rows[10]["lang_pred"] == "en"
+    assert margin_rows[11]["lang_pred"] == "es"
+    assert margin_rows[12]["lang_pred"] == "und"
+    assert margin_rows[12]["votes"] == 0 and margin_rows[12]["margin"] == 0
