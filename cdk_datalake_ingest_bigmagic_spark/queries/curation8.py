@@ -7,8 +7,9 @@ confidence margin (operators/langid2.py::classify_language_margin
 — the integer top-2 vote gap that routes 1-vote wins to 'und').
 
 NOT imported by queries/__init__.py in round 11 — the window math
-front is at 37/50 and the cycle arithmetic at 135 registered leaves
-~3 slack per cycle, so this wave waits for round 12's 18 free slots
+front closed at 39/50 and the cycle arithmetic at 135 registered
+leaves ~3 slack per cycle, so this wave waits for round 12's ~18
+free slots
 (the queries/curation5.py precedent: registered-but-never-gated
 queries violate the rotation invariant). Round 12 activates it by
 adding the import and placing the names in ``_GATE_FRONT``; the
