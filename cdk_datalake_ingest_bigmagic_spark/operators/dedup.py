@@ -914,3 +914,68 @@ def attach_keep_flags(
             (comp == F.col(id_col)).alias("keep"),
         )
     )
+
+
+def cross_corpus_near_dup(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_bands: int = 8,
+    rows_per_band: int = 4,
+    threshold: float = 0.8,
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs BETWEEN two corpora — "is anything
+    in my training corpus a near-copy of this held-out/benchmark/
+    licensed corpus?" — the cross twin of :func:`minhash_lsh_pairs`.
+    Self-pairs within either corpus are never formed (the band join is
+    strictly A×B), so the candidate space is |A∩B-ish|, not
+    |A∪B|² — at 100 TB vs a small reference corpus the reference side
+    broadcasts and the training corpus streams through.
+
+    Same machinery end-to-end: shared shingle-hash arrays, banded
+    signatures (pure projections), ONE band-key bucket join across the
+    corpora, exact-Jaccard verification on the candidates alone. Both
+    sides keep their own ids; output (id_a from ``df_a``, id_b from
+    ``df_b``, jaccard ≥ threshold).
+    """
+    arrays_a = scoped_cache(
+        shingle_hash_arrays(df_a, id_col, text_col, n), scope
+    )
+    arrays_b = scoped_cache(
+        shingle_hash_arrays(df_b, id_col, text_col, n), scope
+    )
+    sig_a = minhash_signatures(arrays_a, id_col, num_bands, rows_per_band)
+    sig_b = minhash_signatures(arrays_b, id_col, num_bands, rows_per_band)
+    key_cols = [f"k{k + 1}" for k in range((rows_per_band + 1) // 2)]
+    left = sig_a.select(F.col(id_col).alias("id_a"), "band", *key_cols)
+    right = sig_b.select(F.col(id_col).alias("id_b"), "band", *key_cols)
+    candidates = (
+        left.join(right, ["band", *key_cols])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = arrays_a.select(
+        F.col(id_col).alias("id_a"), F.col("hs").alias("__hs_a")
+    )
+    b = arrays_b.select(
+        F.col(id_col).alias("id_b"), F.col("hs").alias("__hs_b")
+    )
+    n_inter = F.size(F.array_intersect(F.col("__hs_a"), F.col("__hs_b")))
+    jac = n_inter.cast("double") / (
+        F.size("__hs_a") + F.size("__hs_b") - n_inter
+    ).cast("double")
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            n_inter.alias("__ni"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter((F.col("jaccard") >= threshold) & (F.col("__ni") > 0))
+        .drop("__ni")
+    )

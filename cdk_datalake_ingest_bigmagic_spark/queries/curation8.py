@@ -298,3 +298,118 @@ def langid_confidence_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classify_language_margin(
         aug, "doc_id", "text", profiles, min_votes=_LANGID_MINV
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-corpus near-dup (operators/dedup.py::cross_corpus_near_dup)
+# --------------------------------------------------------------------------
+#
+# Corpus B is derived deterministically from the documents table:
+# every doc_id % 7 in (0, 3) re-keyed (+1000000); the %7==0 copies are
+# byte-identical (jaccard 1.0), the %7==3 copies get a three-token
+# tail (high-but-below-1 jaccard — whether a given doc clears 0.8
+# depends on its own shingle count, exercising both sides of the
+# threshold). The oracle rebuilds the SAME tagged union and mirrors
+# the minhash gate's CTE chain with the band join restricted to A×B.
+
+from cdk_datalake_ingest_bigmagic_spark.operators import dedup as _dd  # noqa: E402
+
+_X_WIDE_MINS = ",\n             ".join(
+    f"MIN(({a} * h + {b}) % {_dd.MINHASH_PRIME}) AS h{i}"
+    for i, (a, b) in enumerate(_dd.minhash_hash_params(32))
+)
+_X_BAND_UNION = "\n      UNION ALL ".join(
+    f"SELECT side, doc_id, {b} AS band, "
+    f"h{b * 4} * {_dd.MINHASH_PRIME} + h{b * 4 + 1} AS k1, "
+    f"h{b * 4 + 2} * {_dd.MINHASH_PRIME} + h{b * 4 + 3} AS k2 FROM wide"
+    for b in range(8)
+)
+
+
+@register(
+    "dedup_cross_corpus",
+    oracle=rf"""
+    WITH corpus AS (
+      SELECT doc_id, text, 'a' AS side FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             CASE WHEN doc_id % 7 = 0 THEN text
+                  ELSE text || ' extra tail tokens' END,
+             'b'
+      FROM documents WHERE doc_id % 7 IN (0, 3)
+    ),
+    norm AS (
+      SELECT side, doc_id,
+             list_transform(
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+               x -> ('0x' || substr(md5(x), 1, 7))::BIGINT
+             ) AS wh
+      FROM corpus
+    ),
+    sh AS (
+      SELECT DISTINCT side, doc_id,
+             ((wh[i.i] * {_dd.WORDHASH_BASE} % {_dd.SHINGLE_MOD} + wh[i.i + 1])
+               * {_dd.WORDHASH_BASE} % {_dd.SHINGLE_MOD} + wh[i.i + 2])
+               % {_dd.SHINGLE_MOD} AS h
+      FROM norm, LATERAL (SELECT unnest(range(1, len(wh) - 1)) AS i) i
+      WHERE len(wh) >= 3
+    ),
+    sizes AS (SELECT side, doc_id, COUNT(*) AS n FROM sh GROUP BY 1, 2),
+    wide AS (
+      SELECT side, doc_id,
+             {_X_WIDE_MINS}
+      FROM sh GROUP BY 1, 2
+    ),
+    sig AS (
+      {_X_BAND_UNION}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+       AND a.side = 'a' AND b.side = 'b'
+    ),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b
+        ON a.h = b.h AND a.side = 'a' AND b.side = 'b'
+      GROUP BY 1, 2
+    ),
+    verified AS (
+      SELECT i.id_a, i.id_b,
+             round(n_inter::DOUBLE / (sa.n + sb.n - n_inter)::DOUBLE, 6)
+               AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a AND sa.side = 'a'
+      JOIN sizes sb ON sb.doc_id = i.id_b AND sb.side = 'b'
+      JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.8
+    """,
+)
+def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cross_corpus_near_dup end-to-end: training corpus A vs a
+    derived reference corpus B (identical + lightly-mutated copies),
+    strictly-A×B band join, exact verify — against the oracle's
+    side-tagged replication of the minhash gate's CTE chain."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.dedup import (
+        cross_corpus_near_dup,
+    )
+
+    a = load(spark, sf_dir, "documents")
+    b = (
+        a.filter(F.col("doc_id") % 7 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        .unionByName(
+            a.filter(F.col("doc_id") % 7 == 3).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" extra tail tokens")).alias(
+                    "text"
+                ),
+            )
+        )
+    )
+    return cross_corpus_near_dup(
+        a, b, "doc_id", "text", n=3, num_bands=8, rows_per_band=4,
+        threshold=0.8,
+    )

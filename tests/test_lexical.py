@@ -126,3 +126,37 @@ def test_iban_validation_differential(spark):
     for r, (_, text, n_cand, _) in zip(scrubbed, docs):
         if n_cand:
             assert "<IBAN>" in r["t"], text
+
+
+def test_cross_corpus_near_dup(spark):
+    """Strictly-A×B pairs: identical cross-copies score 1.0, unrelated
+    docs never pair, and no within-corpus pair is ever formed."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.dedup import (
+        cross_corpus_near_dup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river mill"
+    a = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # within-A duplicate pair must NOT be emitted
+            (3, "completely different words about trade routes and stone"),
+        ],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [
+            (101, base),                     # near-copy of A:1 and A:2
+            (102, "unrelated benchmark prose with its own vocabulary set"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = cross_corpus_near_dup(
+        a, b, "doc_id", "text", threshold=0.8
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows}
+    assert (1, 101) in pairs and pairs[(1, 101)] == 1.0
+    assert (2, 101) in pairs
+    assert all(id_b >= 101 for (_, id_b) in pairs)  # right side is B only
+    assert all(id_a <= 3 for (id_a, _) in pairs)    # left side is A only
+    assert (1, 2) not in pairs and (3, 102) not in pairs
