@@ -370,7 +370,8 @@ from cdk_datalake_ingest_bigmagic_spark.queries import curation7  # noqa: E402,F
 # CORRECTNESS_r11 lands) → ~18 free slots, of which 2 go to the
 # queries/curation8.py activations (lexical_type_counts,
 # lexical_diversity_card, pii_iban_counts,
-# langid_confidence_margin — pre-validated both SFs
+# langid_confidence_margin, dedup_cross_corpus — pre-validated
+# both SFs
 # in round 11, see SCALE.md; add the import below + front the
 # names). CYCLE
 # ARITHMETIC AT 135:
