@@ -56,9 +56,15 @@ SCRUB_MARKER = "[SECRET:{name}]"
 
 def secret_count_columns(text_col: Column) -> dict[str, Column]:
     """One ``n_<signal>`` long per pattern — composable card columns
-    (all codegen regexp_count; fuse into any one-pass projection)."""
+    (all codegen regexp_count; fuse into any one-pass projection).
+    NULL text counts as 0 hits (round-12 fix): without the coalesce a
+    null-text document propagated NULL into ``n_secret_hits`` and
+    ``passes_secret_scan``, so it was neither passed nor failed and
+    silently dropped out of any filter on the flag."""
     return {
-        f"n_{name}": F.regexp_count(text_col, F.lit(pat)).cast("long")
+        f"n_{name}": F.coalesce(
+            F.regexp_count(text_col, F.lit(pat)), F.lit(0)
+        ).cast("long")
         for name, pat in SECRET_PATTERNS.items()
     }
 

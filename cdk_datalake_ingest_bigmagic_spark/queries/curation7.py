@@ -77,8 +77,10 @@ _TAIL_SQL = "CASE " + " ".join(
     for i, t in enumerate(_TAILS[:-1])
 ) + " ELSE '' END"
 
+# COALESCE mirrors the operator's null-text-counts-as-0 contract
 _COUNT_COLS_SQL = ",\n           ".join(
-    f"CAST(len(regexp_extract_all(t, {_sql_str(pat)})) AS BIGINT) AS n_{name}"
+    f"CAST(COALESCE(len(regexp_extract_all(t, {_sql_str(pat)})), 0)"
+    f" AS BIGINT) AS n_{name}"
     for name, pat in SECRET_PATTERNS.items()
 )
 _TOTAL_SQL = " + ".join(f"n_{name}" for name in SECRET_PATTERNS)

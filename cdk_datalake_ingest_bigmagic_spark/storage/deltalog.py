@@ -29,7 +29,11 @@ reader's) starts from the newest checkpoint instead of JSON version
 of O(all versions): the streaming sinks that commit per micro-batch
 (the regime the pre-checkpoint writer flagged) now hold a bounded
 replay cost at thousands of batches. A missing/corrupt checkpoint
-degrades gracefully to full JSON replay.
+degrades gracefully to full JSON replay ONLY while the commits are
+still contiguous from version 0; once :func:`trim_log` has deleted
+the pre-checkpoint commits, an unreadable checkpoint raises
+:class:`NonContiguousLogError` instead (round-12 fix — the silent
+suffix-only replay would reconstruct a wrong, near-empty table).
 
 Log retention (round-11 upgrade): after each checkpoint the writer
 runs the spec's metadata cleanup (:func:`trim_log` — delta-spark's
@@ -89,6 +93,13 @@ LOG_RETENTION_MS = 30 * 24 * 3600 * 1000
 class ConcurrentCommitError(RuntimeError):
     """Another writer committed this version first (put-if-absent
     lost) — the caller should re-read the log and retry."""
+
+
+class NonContiguousLogError(RuntimeError):
+    """The log's JSON commits start above version 0 but no checkpoint
+    is readable — replaying only the surviving suffix would silently
+    reconstruct a near-empty table. delta-spark fails loudly on the
+    same state; so do we."""
 
 
 def _encode_path(rel: str) -> str:
@@ -188,10 +199,23 @@ def _replay(
     if base is not None:
         base_version, state, meta, proto = base
         state = dict(state)
-    for p in sorted(
+    commits = sorted(
         (p for p in d.glob("*.json") if p.stem.isdigit()),
         key=lambda p: int(p.stem),
-    ):
+    )
+    # Post-trim (or torn-_last_checkpoint) guard: once trim_log has
+    # deleted commits below a checkpoint, a failed checkpoint read MUST
+    # NOT degrade to JSON-only replay — the surviving suffix starts
+    # above 0 and replaying it alone reconstructs a silently wrong,
+    # near-empty table. Readable-checkpoint-or-contiguous-from-0 is the
+    # invariant; anything else raises (delta-spark's behavior).
+    if base is None and commits and int(commits[0].stem) > 0:
+        raise NonContiguousLogError(
+            f"{table_path}: no readable checkpoint and the oldest JSON "
+            f"commit is version {int(commits[0].stem)} (> 0); the log "
+            "has been trimmed below an unreadable checkpoint"
+        )
+    for p in commits:
         if int(p.stem) <= base_version:
             continue
         for line in p.read_text().splitlines():
@@ -238,13 +262,19 @@ def _scan_parquet_files(table_path: str) -> list[tuple[str, int, int]]:
 
 def _partition_values(rel_path: str, partition_cols: list[str]) -> dict:
     """Hive-style directory components -> partitionValues map; columns
-    missing from the path map to None (the spec's null)."""
+    missing from the path map to None (the spec's null), and Spark's
+    ``__HIVE_DEFAULT_PARTITION__`` null marker is decoded back to None
+    (round-12 fix: logging the marker STRING made external readers see
+    a literal partition value where the table has a null)."""
     values: dict[str, str | None] = {c: None for c in partition_cols}
     for part in rel_path.split("/")[:-1]:
         if "=" in part:
             k, _, v = part.partition("=")
             if k in values:
-                values[k] = unquote(v)
+                decoded = unquote(v)
+                values[k] = (
+                    None if decoded == "__HIVE_DEFAULT_PARTITION__" else decoded
+                )
     return values
 
 
@@ -507,7 +537,11 @@ def write_checkpoint(table_path: str, version: int | None = None) -> Path:
     tmp = d / f".{target.name}.{uuid.uuid4().hex[:8]}.tmp"
     pq.write_table(table, tmp)
     os.replace(tmp, target)  # checkpoints are derived state: last wins
-    (d / "_last_checkpoint").write_text(
-        json.dumps({"version": version, "size": len(rows)}) + "\n"
-    )
+    # _last_checkpoint must be atomic too: a torn read during a
+    # concurrent checkpoint makes _checkpoint_base return None, which
+    # post-trim is a hard error (NonContiguousLogError), not a fallback
+    ptr = d / "_last_checkpoint"
+    ptr_tmp = d / f"._last_checkpoint.{uuid.uuid4().hex[:8]}.tmp"
+    ptr_tmp.write_text(json.dumps({"version": version, "size": len(rows)}) + "\n")
+    os.replace(ptr_tmp, ptr)
     return target

@@ -15,19 +15,28 @@ of assuming it.
 
 Scope (stated, like the writer's): reader protocol v1 — no deletion
 vectors, no column mapping, no v2 reader features; a table that
-requires them raises instead of returning wrong rows. Partition
-values come from the hive-style paths Spark's parquet reader already
-understands (``basePath`` keeps partition-column inference rooted at
-the table, even when we enumerate leaf files); the spec also allows
-non-hive layouts whose partition values live only in the log — those
-raise with a clear message rather than silently dropping columns.
+requires them raises instead of returning wrong rows. The read SCHEMA
+comes from the log's ``metaData.schemaString`` (so schema evolution —
+old files missing newer columns — reads as typed NULLs, and partition
+columns get their DECLARED types instead of path inference); partition
+VALUES still come from the hive-style paths Spark's parquet reader
+already understands (``basePath`` keeps partition-column resolution
+rooted at the table, even when we enumerate leaf files). The spec also
+allows non-hive layouts whose partition values live only in the log —
+those raise with a clear message rather than silently dropping
+columns, with null/empty spellings normalized on both sides first.
 """
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession
 
 from cdk_datalake_ingest_bigmagic_spark.storage import deltalog
+
+#: hive paths spell a null/empty partition value as this marker
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
 class DeltaReadError(RuntimeError):
@@ -58,33 +67,59 @@ def read_delta(spark: SparkSession, table_path: str) -> DataFrame:
         if partition_cols:
             # hive-layout check: every partition column must be
             # recoverable from the path, else the values live only in
-            # the log and path-based inference would silently NULL them
+            # the log and path-based inference would silently NULL
+            # them. Null/empty spellings are normalized on BOTH sides
+            # before comparing (hive: __HIVE_DEFAULT_PARTITION__;
+            # Delta log: JSON null or "") so an empty-string logged
+            # value neither skips the check nor false-positives.
             from_path = deltalog._partition_values(rel, partition_cols)
             logged = add.get("partitionValues") or {}
             for c in partition_cols:
-                if from_path.get(c) != (logged.get(c) or from_path.get(c)):
-                    raise DeltaReadError(
-                        f"{table_path}: non-hive partition layout for "
-                        f"{rel!r} (column {c!r} differs from the log); "
-                        "log-only partition values are out of scope"
-                    )
-                if from_path.get(c) is None and logged.get(c) is not None:
+                path_v = from_path.get(c)
+                if path_v == _HIVE_NULL:
+                    path_v = None
+                if c not in logged:
+                    # spec requires the key; a writer that omits it
+                    # leaves the path as the only authority
+                    continue
+                logged_v = logged[c]
+                if logged_v in ("", _HIVE_NULL):
+                    # spec spells null as JSON null (or "" from some
+                    # writers); logs written before the round-12 writer
+                    # fix carried the hive marker string itself
+                    logged_v = None
+                if logged_v is None and path_v is None:
+                    continue
+                if path_v is None:
                     raise DeltaReadError(
                         f"{table_path}: partition column {c!r} for "
                         f"{rel!r} exists only in the log; log-only "
                         "partition values are out of scope"
                     )
+                if logged_v != path_v:
+                    raise DeltaReadError(
+                        f"{table_path}: non-hive partition layout for "
+                        f"{rel!r} (column {c!r} differs from the log); "
+                        "log-only partition values are out of scope"
+                    )
         files.append(f"{table_path}/{rel}")
+    # schema comes from the LOG, not parquet footers: schema evolution
+    # (old files missing newer columns) and declared partition-column
+    # types only round-trip through metaData.schemaString — a real
+    # Delta reader never trusts footer/path inference (round-12 fix)
+    schema = None
+    if meta and meta.get("schemaString"):
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
     if not files:
         # valid empty table: materialize the schema from metaData
-        if meta and meta.get("schemaString"):
-            from pyspark.sql.types import StructType
-
-            return spark.createDataFrame(
-                [], StructType.fromJson(__import__("json").loads(meta["schemaString"]))
-            )
+        if schema is not None:
+            return spark.createDataFrame([], schema)
         raise DeltaReadError(f"{table_path}: empty table with no schema")
     reader = spark.read.option("basePath", table_path)
+    if schema is not None:
+        reader = reader.schema(schema)
     return reader.parquet(*files)
 
 

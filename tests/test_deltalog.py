@@ -620,3 +620,111 @@ def test_random_lifecycle_log_invariants(spark, tmp_path):
         got = {tuple(r) for r in read_delta(spark, path).collect()}
         want = {tuple(r) for r in t.read().collect()}
         assert got == want, (step, op)
+
+
+def test_replay_raises_on_trimmed_noncontiguous_log(spark, tmp_path):
+    """Round-12 ADVICE fix: once trim_log has deleted commits below a
+    checkpoint, an unreadable checkpoint must RAISE, not silently
+    replay the surviving suffix into a near-empty table."""
+    import pytest
+
+    path = str(tmp_path / "t26")
+    t = ParquetStageTable(spark, path)
+    t.overwrite(_df(spark, [(1, 0, "a")]))
+    t.overwrite(_df(spark, [(1, 0, "a"), (2, 1, "b")]))
+    t.overwrite(_df(spark, [(1, 0, "a"), (2, 1, "b"), (3, 1, "c")]))
+    deltalog.write_checkpoint(path, 2)
+    removed = deltalog.trim_log(path, retention_ms=0)
+    assert "00000000000000000000.json" in removed
+    # contiguous-from-checkpoint: still replays fine
+    assert len(deltalog.live_files(path))
+    # now break the checkpoint parquet: the fallback MUST NOT be a
+    # suffix-only JSON replay
+    log_dir = Path(path) / "_delta_log"
+    cp = log_dir / "00000000000000000002.checkpoint.parquet"
+    cp.write_bytes(b"not parquet")
+    with pytest.raises(deltalog.NonContiguousLogError):
+        deltalog.live_files(path)
+    # a torn/corrupt _last_checkpoint in the same post-trim state is
+    # the same hard error
+    cp.unlink()
+    (log_dir / "_last_checkpoint").write_text("torn{")
+    with pytest.raises(deltalog.NonContiguousLogError):
+        deltalog.live_files(path)
+
+
+def test_read_delta_schema_from_log_evolution(spark, tmp_path):
+    """read_delta derives the schema from metaData.schemaString: after
+    a column is added, OLD files (written without it) read back with
+    typed NULLs instead of failing or dropping the column."""
+    from cdk_datalake_ingest_bigmagic_spark.storage.deltareader import (
+        read_delta,
+    )
+
+    path = str(tmp_path / "t27")
+    t = ParquetStageTable(spark, path)
+    t.overwrite(_df(spark, [(1, 0, "a"), (2, 1, "b")]))
+    # evolve: a NEW file carries an extra column; commit with the
+    # widened schema (the old file stays live)
+    wide = spark.createDataFrame(
+        [(3, 2, "c", 7.5)], "k long, grp int, val string, extra double"
+    )
+    wide.coalesce(1).write.parquet(str(tmp_path / "w"))
+    src = next(Path(tmp_path / "w").glob("*.parquet"))
+    (Path(path) / "part-evolved.parquet").write_bytes(src.read_bytes())
+    deltalog.commit_snapshot(path, wide.schema.json())
+    out = read_delta(spark, path)
+    assert out.columns == ["k", "grp", "val", "extra"]
+    rows = {r["k"]: r for r in out.collect()}
+    assert rows[1]["extra"] is None and rows[2]["extra"] is None
+    assert rows[3]["extra"] == 7.5
+
+
+def test_read_delta_partition_type_declared_not_inferred(spark, tmp_path):
+    """Partition columns keep their DECLARED type: numeric-looking
+    string partition values must come back string (path inference
+    alone would make them ints)."""
+    from cdk_datalake_ingest_bigmagic_spark.storage.deltareader import (
+        read_delta,
+    )
+
+    path = str(tmp_path / "t28")
+    df = spark.createDataFrame(
+        [(1, "01", "a"), (2, "2", "b")], "k long, grp string, val string"
+    )
+    t = ParquetStageTable(spark, path)
+    t.overwrite(df, partition_cols=["grp"])
+    out = read_delta(spark, path)
+    assert dict(out.dtypes)["grp"] == "string"
+    assert sorted(r["grp"] for r in out.collect()) == ["01", "2"]
+
+
+def test_null_partition_value_logged_as_null_and_readable(spark, tmp_path):
+    """A null partition value lands on disk as Spark's
+    __HIVE_DEFAULT_PARTITION__ directory; the log must carry the
+    spec's JSON null (not the marker string), and read_delta must
+    accept the pairing without a false non-hive-layout error."""
+    from cdk_datalake_ingest_bigmagic_spark.storage.deltareader import (
+        read_delta,
+    )
+
+    path = str(tmp_path / "t29")
+    df = spark.createDataFrame(
+        [(1, "x", "a"), (2, None, "b")], "k long, grp string, val string"
+    )
+    t = ParquetStageTable(spark, path)
+    t.overwrite(df, partition_cols=["grp"])
+    adds = [
+        a["add"]
+        for _, actions in _read_log(path)
+        for a in actions
+        if "add" in a
+    ]
+    null_adds = [
+        a for a in adds if "__HIVE_DEFAULT_PARTITION__" in a["path"]
+    ]
+    assert null_adds, "expected a null-partition file"
+    assert all(a["partitionValues"]["grp"] is None for a in null_adds)
+    out = read_delta(spark, path)
+    rows = {r["k"]: r["grp"] for r in out.collect()}
+    assert rows == {1: "x", 2: None}
