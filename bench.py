@@ -37,7 +37,9 @@ HEADLINE = [
     "embedding_similarity_pairs",
     "embedding_ann_ivf",
     "events_funnel_steps",
-    "corpus_mix_weighted",
+    # round-12 consolidation: the three corpus_mix gates folded into
+    # corpus_mix_suite (leg-tagged union; same operators)
+    "corpus_mix_suite",
     # round-3 additions (keep appended so cross-round per-query
     # comparisons on the common prefix stay aligned)
     "text_repetition_filter",
@@ -56,14 +58,15 @@ HEADLINE = [
     # and tokenizer sharding) and the token-rarity quality pass
     "text_chunk_windows",
     "pack_sequences",
-    "text_rare_tokens",
+    # round-12 consolidation: rolling fingerprint + token rarity +
+    # span trim folded into one per-document card
+    "text_doc_signals_suite",
     # round-5 additions (second wave): substring-level dedup
     # detection, the incremental novelty decision, and the multi-join
     # market-share analytics path
     "text_duplicate_spans",
     "dedup_incremental_novelty",
     "join_market_share",
-    "text_span_trim",
     "dedup_containment",
     "embedding_scalar_quantize",
     "corpus_training_prep",
@@ -72,7 +75,6 @@ HEADLINE = [
     # upsampling epoch mix
     "dedup_semantic_keep",
     "corpus_shard_shuffle",
-    "corpus_mix_epochs",
     "text_token_encode",
     "text_quality_score",
     "corpus_leakage_safe_split",
@@ -83,7 +85,6 @@ HEADLINE = [
     # and the per-source OOV-rate report
     "text_bpe_encode",
     "multimodal_audio_windows",
-    "corpus_mix_budget",
     "text_oov_rate",
     "corpus_quality_percentile",
     "text_winnow_fingerprints",
@@ -113,11 +114,12 @@ HEADLINE = [
     # operators join the headline set (urlnorm, encoding, normalize,
     # scripts, conversations, linkgraph, keywords, dedup histogram,
     # langid train+classify, curriculum, profiling x2) ...
-    "url_canonicalize_spellings",
-    "url_dedup_best_spelling",
-    "text_fix_mojibake",
-    "text_clean_controls",
-    "text_script_counts",
+    # round-12 consolidation: canonicalization + best-spelling dedup
+    # folded into one frame (canonical_url + kept_best)
+    "url_spelling_suite",
+    # round-12 consolidation: mojibake + control cleanup + script
+    # counts folded into one single-projection card
+    "text_cleanup_suite",
     "conversations_structural",
     "linkgraph_degree_stats",
     "text_tfidf_keywords",
@@ -158,6 +160,15 @@ HEADLINE = [
     "secrets_exposure_counts",
     "secrets_scrubbed_docs",
     "readability_scores",
+    # ROUND 12: the curation8 activations (lexical diversity card,
+    # IBAN mod-97, langid confidence margin, cross-corpus near-dup)
+    # and the Delta round-trip gate
+    "lexical_type_counts",
+    "lexical_diversity_card",
+    "pii_iban_counts",
+    "langid_confidence_margin",
+    "dedup_cross_corpus",
+    "delta_roundtrip",
 ]
 
 

@@ -1,0 +1,287 @@
+"""Paragraph-level deduplication — the sub-document tier.
+
+Public-stack grounding: CCNet (Wenzek et al., 2020) deduplicates web
+text at paragraph granularity before LM filtering; MassiveText/Gopher
+(Rae et al., 2021) gate on repeated paragraphs; RefinedWeb (Penedo et
+al., 2023) removes exact-duplicate lines/spans corpus-wide after
+fuzzy document dedup. The reference pipeline dedups whole rows only
+(`light_transform.py` latest-record/window dedup — SURVEY §2.5 W1/O3);
+boilerplate that repeats INSIDE otherwise-distinct documents (cookie
+banners, nav blocks, subscribe footers) survives it, and at training
+time those paragraphs dominate the gradient. This module is that
+missing tier, composed from the proven machinery:
+
+- :func:`split_paragraphs` — codegen split + posexplode, zero shuffle;
+- :func:`paragraph_exact_groups` — ONE map-side-combined aggregation
+  on the normalized-paragraph fingerprint (the dedup_exact /
+  url-struct-min shape; no window sort);
+- :func:`strip_duplicate_paragraphs` — corpus-wide exact paragraph
+  dedup: every non-canonical occurrence removed, documents rebuilt in
+  original paragraph order (RefinedWeb's line-dedup rule at paragraph
+  granularity);
+- :func:`paragraph_jaccard_pairs` — exact near-dup pairs at paragraph
+  granularity via the prefix-filtered SSJoin path (lossless → DuckDB
+  oracle-able);
+- :func:`paragraph_minhash_pairs` — the 100-TB scale path: MinHash-LSH
+  banding over paragraphs (candidates bound the exact verify;
+  differential-tested against the exact path).
+
+Paragraph identity for the pair operators is a PACKED long
+``pid = id * 2**idx_bits + para_idx`` so the document-level dedup
+machinery applies unchanged; callers pick ``idx_bits`` to fit their
+longest document (default 8 → 256 paragraphs; ids must be
+non-negative and < 2**(63-idx_bits), enforced with assert_true inside
+the pid projection so a violating corpus fails the job instead of
+silently aliasing two paragraphs).
+
+Scale shape: splitting is in-row; the exact-groups aggregation moves
+(hash, id, idx) triples once; strip's rebuild is one groupBy(id); the
+pair operators inherit the audited shuffle inventories of
+jaccard_pairs_rows / minhash_lsh_pairs with paragraphs as the unit —
+smaller units, tighter shingle sets, same bounded-candidate property.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.operators import dedup as dd
+from cdk_datalake_ingest_bigmagic_spark.operators.text import fingerprint
+
+#: paragraph boundary: one blank line or more (greedy, so a run of
+#: blank lines is ONE separator — same semantics in Java regex and
+#: RE2/DuckDB)
+PARA_SEP = r"\n{2,}"
+
+
+def split_paragraphs(
+    df: DataFrame, id_col: str, text_col: str, sep: str = PARA_SEP
+) -> DataFrame:
+    """(id, para_idx, paragraph): split on the separator regex,
+    posexplode, whitespace-trim, drop empty segments. ``para_idx``
+    keeps the PRE-FILTER split position so canonical picks and
+    rebuild order are stable under empty-segment noise. NULL-text
+    rows produce no paragraphs (explode semantics). Codegen split +
+    generator — zero shuffle."""
+    parts = F.split(F.col(text_col), sep)
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(parts).alias("para_idx", "paragraph"),
+        )
+        .select(
+            F.col(id_col),
+            "para_idx",
+            F.trim(F.col("paragraph")).alias("paragraph"),
+        )
+        .filter(F.col("paragraph") != "")
+    )
+
+
+def paragraph_exact_groups(paras: DataFrame, id_col: str) -> DataFrame:
+    """(para_hash, n_occurrences, n_docs, canonical_id, canonical_idx)
+    per distinct normalized paragraph: the corpus boilerplate census.
+    ``para_hash`` is the text fingerprint (lower + whitespace collapse
+    + md5 — the text_fingerprint convention); the canonical occurrence
+    is the (id, idx)-minimal one, picked with ONE struct-min inside
+    the same map-side-combined aggregation (no window sort)."""
+    keyed = paras.select(
+        F.col(id_col),
+        "para_idx",
+        fingerprint(F.col("paragraph")).alias("para_hash"),
+    )
+    return (
+        keyed.groupBy("para_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+            F.min(F.struct(F.col(id_col), F.col("para_idx"))).alias("__c"),
+        )
+        .select(
+            "para_hash",
+            "n_occurrences",
+            "n_docs",
+            F.col(f"__c.{id_col}").alias("canonical_id"),
+            F.col("__c.para_idx").alias("canonical_idx"),
+        )
+    )
+
+
+def strip_duplicate_paragraphs(
+    df: DataFrame, id_col: str, text_col: str, sep: str = "\n\n"
+) -> DataFrame:
+    """(id, text) with every NON-CANONICAL occurrence of a repeated
+    paragraph removed corpus-wide (a paragraph that appears once is
+    its own canonical and survives). Documents are rebuilt from their
+    surviving paragraphs in original order, joined with ``sep``
+    (duplicate-run separators and edge whitespace are normalized away
+    by the split — the same normalization the hash saw). NULL text
+    stays NULL; a document whose every paragraph was removed or empty
+    comes back ''."""
+    paras = split_paragraphs(df, id_col, text_col)
+    keyed = paras.select(
+        F.col(id_col),
+        "para_idx",
+        "paragraph",
+        fingerprint(F.col("paragraph")).alias("para_hash"),
+    )
+    canon = keyed.groupBy("para_hash").agg(
+        F.min(F.struct(F.col(id_col), F.col("para_idx"))).alias("__c")
+    )
+    kept = (
+        keyed.join(canon, "para_hash")
+        .filter(
+            (F.col(id_col) == F.col(f"__c.{id_col}"))
+            & (F.col("para_idx") == F.col("__c.para_idx"))
+        )
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("para_idx", "paragraph"))
+                    ),
+                    lambda it: it["paragraph"],
+                ),
+                sep,
+            ).alias("__kept")
+        )
+    )
+    base = df.select(F.col(id_col), F.col(text_col).alias("__orig"))
+    return base.join(kept, id_col, "left").select(
+        F.col(id_col),
+        F.when(F.col("__orig").isNull(), F.lit(None).cast("string"))
+        .otherwise(F.coalesce(F.col("__kept"), F.lit("")))
+        .alias(text_col),
+    )
+
+
+def unique_paragraphs(paras: DataFrame, id_col: str) -> DataFrame:
+    """One CANONICAL occurrence per distinct normalized paragraph —
+    discharges the dedup module's run-exact-dedup-first precondition
+    for the pair operators: an N-occurrence boilerplate cluster
+    otherwise contributes O(N²) true near-dup pairs that no candidate
+    filter can (or should) bound — measured 124,988 pairs over 500
+    prepped docs vs 36 after this reduction. Struct-min on (id, idx,
+    paragraph) inside ONE map-side-combined aggregation; (id, idx) is
+    unique, so the min is total and the carried paragraph text is the
+    canonical occurrence's."""
+    keyed = paras.select(
+        F.col(id_col),
+        "para_idx",
+        "paragraph",
+        fingerprint(F.col("paragraph")).alias("para_hash"),
+    )
+    return (
+        keyed.groupBy("para_hash")
+        .agg(
+            F.min(
+                F.struct(F.col(id_col), F.col("para_idx"), F.col("paragraph"))
+            ).alias("__c")
+        )
+        .select(
+            F.col(f"__c.{id_col}").alias(id_col),
+            F.col("__c.para_idx").alias("para_idx"),
+            F.col("__c.paragraph").alias("paragraph"),
+        )
+    )
+
+
+def _pid(id_col: str, idx_bits: int):
+    """Packed paragraph id with an in-plan guard: a para_idx at or
+    above 2**idx_bits would alias another paragraph's pid, so the job
+    fails loudly instead."""
+    cap = 1 << idx_bits
+    guard = F.assert_true(
+        (F.col("para_idx") < F.lit(cap)) & (F.col(id_col) >= 0),
+        F.lit(f"para_idx >= 2**{idx_bits} or negative id; raise idx_bits"),
+    )
+    return (
+        F.col(id_col).cast("long") * F.lit(cap)
+        + F.col("para_idx")
+        + F.when(guard.isNull(), F.lit(0))
+    ).alias("pid")
+
+
+def _unpack_pairs(pairs: DataFrame, idx_bits: int, cross_doc_only: bool) -> DataFrame:
+    cap = 1 << idx_bits
+    out = pairs.select(
+        F.expr(f"id_a div {cap}").alias("id_a"),
+        (F.col("id_a") % cap).cast("int").alias("idx_a"),
+        F.expr(f"id_b div {cap}").alias("id_b"),
+        (F.col("id_b") % cap).cast("int").alias("idx_b"),
+        "jaccard",
+    )
+    if cross_doc_only:
+        out = out.filter(F.col("id_a") != F.col("id_b"))
+    return out
+
+
+def paragraph_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = 1000,
+    idx_bits: int = 8,
+    cross_doc_only: bool = True,
+    unique: bool = True,
+) -> DataFrame:
+    """(id_a, idx_a, id_b, idx_b, jaccard): all paragraph pairs with
+    word-n-gram-shingle Jaccard >= threshold — EXACT values via the
+    prefix-filtered SSJoin path (lossless candidates, in-row verify),
+    so a SQL oracle can state the result. Pair order follows packed
+    pid order, i.e. (id, idx)-lexicographic; ``cross_doc_only`` drops
+    same-document pairs (the boilerplate question is cross-document);
+    ``unique`` (default, keep it) first collapses exact repeats to
+    their canonical occurrence — see :func:`unique_paragraphs`.
+    Paragraphs shorter than n words have no shingles and never pair."""
+    paras = split_paragraphs(df, id_col, text_col)
+    if unique:
+        paras = unique_paragraphs(paras, id_col)
+    rows = paras.select(_pid(id_col, idx_bits), "paragraph")
+    shingles = dd.shingles_exploded(rows, "pid", "paragraph", n=n)
+    pairs = dd.jaccard_pairs_rows(
+        shingles, "pid", threshold=threshold, max_df=max_df
+    )
+    return _unpack_pairs(pairs, idx_bits, cross_doc_only)
+
+
+def paragraph_minhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_bands: int = 8,
+    rows_per_band: int = 4,
+    threshold: float = 0.8,
+    idx_bits: int = 8,
+    cross_doc_only: bool = True,
+    unique: bool = True,
+) -> DataFrame:
+    """The scale path: MinHash-LSH banding at paragraph granularity —
+    same output shape as :func:`paragraph_jaccard_pairs`, candidates
+    bounded by band collisions instead of prefix-index collisions
+    (b=8/r=4 S-curve: j=0.8 pairs caught w.p. ~0.99). Verified
+    Jaccards are exact on the candidate set; recall is probabilistic,
+    which is why the exact path is the gate and this is the
+    100-TB path (differential-tested against the exact path).
+    ``unique`` collapses exact repeats first (see
+    :func:`unique_paragraphs`) — at scale this is what keeps the
+    band-bucket lists bounded under boilerplate."""
+    paras = split_paragraphs(df, id_col, text_col)
+    if unique:
+        paras = unique_paragraphs(paras, id_col)
+    rows = paras.select(_pid(id_col, idx_bits), "paragraph")
+    pairs = dd.minhash_lsh_pairs(
+        rows,
+        "pid",
+        "paragraph",
+        n=n,
+        num_bands=num_bands,
+        rows_per_band=rows_per_band,
+        threshold=threshold,
+    )
+    return _unpack_pairs(pairs, idx_bits, cross_doc_only)

@@ -61,6 +61,8 @@ from cdk_datalake_ingest_bigmagic_spark.queries import curation4  # noqa: E402,F
 from cdk_datalake_ingest_bigmagic_spark.queries import curation5  # noqa: E402,F401
 from cdk_datalake_ingest_bigmagic_spark.queries import curation6  # noqa: E402,F401
 from cdk_datalake_ingest_bigmagic_spark.queries import curation7  # noqa: E402,F401
+from cdk_datalake_ingest_bigmagic_spark.queries import curation8  # noqa: E402,F401
+from cdk_datalake_ingest_bigmagic_spark.queries import deltagate  # noqa: E402,F401
 
 # The external correctness gate checks the first 50 registered queries.
 # With 114 registered (round 7 added the ten queries/curation.py
@@ -365,21 +367,142 @@ from cdk_datalake_ingest_bigmagic_spark.queries import curation7  # noqa: E402,F
 # Out-of-window: 82 = 50 r10 greens + 32 r9 greens — every one
 # fresh at the round-11 ceiling (>= r9), enforced by
 # test_gate_rotation.
-# ROUND-12 WINDOW MATH (pre-computed): obligation = the 32 r9 greens
-# (confirm with `python tools/window_math.py 12` once
-# CORRECTNESS_r11 lands) → ~18 free slots, of which 2 go to the
-# queries/curation8.py activations (lexical_type_counts,
-# lexical_diversity_card, pii_iban_counts,
-# langid_confidence_margin, dedup_cross_corpus — pre-validated
-# both SFs
-# in round 11, see SCALE.md; add the import below + front the
-# names). CYCLE
-# ARITHMETIC AT 135:
-# demand 135/cycle + ~12 riders vs capacity 150 — closes with ~3
-# slack; next retirement candidates (if growth resumes toward ~145)
-# are the snapshot pair and the three multimodal cards, same fold
-# pattern.
+# ROUND-12 WINDOW MATH (computed at round start — and CORRECTING the
+# round-11 pre-computation above, which guessed "obligation = the 32
+# r9 greens → ~18 free slots"; `python tools/window_math.py 12`
+# against the recorded CORRECTNESS files says the true obligation is
+# **48** — the ENTIRE r9-green cohort hits the ceiling, the same
+# lumpy-cohort trap as round 10 — leaving free_slots=2, far short of
+# the 5 never-green curation8 activations + 2 secrets riders + the
+# new delta_roundtrip gate; VERDICT r11 item 1 flagged exactly this
+# overflow). Demand 48 + 5 + 2 + 1 = 56 > 50, so the round-10
+# retirement pattern executes again, 4 folds freeing 7 slots:
+#   - corpus_mix_weighted + corpus_mix_epochs + corpus_mix_budget
+#     (all obligation) fold into corpus_mix_suite (one union frame,
+#     leg-tagged, every column preserved under its tag);
+#   - text_rolling_fingerprint + text_rare_tokens + text_span_trim
+#     (all obligation) fold into text_doc_signals_suite (one row per
+#     document, left joins from the all-docs fingerprint leg);
+#   - text_fix_mojibake + text_clean_controls + text_script_counts
+#     (all obligation) fold into text_cleanup_suite (ONE projection,
+#     zero shuffle, per-signal named columns);
+#   - url_canonicalize_spellings + url_dedup_best_spelling (both
+#     obligation) fold into url_spelling_suite (canonical string +
+#     keep flag).
+# All four suites pre-validated at sf0.01 AND sf0.1 via
+# tools/check_correctness.py (0 failures both) BEFORE this front was
+# written. Demand: 37 remaining obligation + 4 consolidated suites +
+# 5 curation8 activations (lexical_type_counts,
+# lexical_diversity_card, pii_iban_counts, langid_confidence_margin,
+# dedup_cross_corpus — pre-validated both SFs in round 11 AND
+# re-validated this round) + 1 delta_roundtrip (the S9 read-side gate
+# VERDICT r11 item 5 asked for) + 2 riders of the operators/secrets.py
+# null-text coalesce fix (secrets_exposure_counts +
+# secrets_scrubbed_docs; readability_scores shares the module but its
+# definition and operators are untouched — rider_check proves it) =
+# 49 used, 1 free.
+# Registry: 135 - 11 retired + 4 suites + 5 curation8 + 1 delta = 134.
+#
+# REGISTRY SUSTAINABILITY POLICY (standing rule, VERDICT r11 item 4):
+# at N registered with the 3-round freshness cycle, steady-state
+# obligation ≈ N/3 per round, but COHORTS ARE LUMPY — rounds 10 and
+# 12 both hit a full-cohort (≈50) obligation that a hand-estimate
+# missed. The rules:
+#   1. run `python tools/window_math.py <round>` at ROUND START;
+#      never trust a prior round's hand-projection (twice wrong now).
+#   2. CONSOLIDATION TRIGGER: when free_slots < (planned activations
+#      + expected riders), fold single-signal gates that share an
+#      operator module into a suite (dsl_misc_functions /
+#      agg_probe_suite / corpus_mix_suite pattern) until
+#      front_overflow = 0 with >= 1 slot spare; prefer folding gates
+#      already IN the obligation (each k-gate fold then frees k-1
+#      slots this round).
+#   3. ACTIVATION SIZING: a new family of g gates costs ~g/3 slots
+#      every round forever; at 134 registered the cycle has ~16
+#      slots/cycle of slack (150 capacity - 134), so waves should
+#      stay <= 5 gates unless a retirement lands first.
+#   4. REMAINING FOLD CANDIDATES (next trigger): the snapshot pair
+#      (snapshot_diff_docs + snapshot_carry_forward + corpus_drift
+#      _report), the three multimodal cards, and the two-gate
+#      profile_* pair — ~7 reclaimable slots, machinery proven.
+# Round-13/14 projection (window_math arithmetic on the recorded
+# greens, assuming this 49-front goes green in r12): r13 obligation =
+# the r10-green cohort not re-gated since (50 r10 greens minus the
+# ~13 re-gated in r11/r12 fronts) ≈ 37-40, leaving ~10-13 free slots
+# BEFORE riders/activations — enough for a <=5-gate curation9 wave
+# plus riders without a new fold; r14 obligation = the r11 cohort
+# (~50 again, minus r12/r13 re-gates) — another tight round, so any
+# round-13 registration beyond ~5 gates must be paired with a fold
+# from the candidates in rule 4. Verify both with window_math at the
+# respective round starts (rule 1).
 _GATE_FRONT: list[str] = [
+    # (1) the 4 round-12 consolidation suites (changed definitions
+    # => in-window; each preserves its members' SURVEY/operator
+    # anchors as named columns or leg tags)
+    "corpus_mix_suite",
+    "text_doc_signals_suite",
+    "text_cleanup_suite",
+    "url_spelling_suite",
+    # (2) the 5 queries/curation8.py activations (never gated;
+    # pre-validated at sf0.01 AND sf0.1 in round 11 and re-validated
+    # at activation)
+    "lexical_type_counts",
+    "lexical_diversity_card",
+    "pii_iban_counts",
+    "langid_confidence_margin",
+    "dedup_cross_corpus",
+    # (3) the S9 read-side gate (never gated): stage-table write ->
+    # Delta log -> log-honoring read with a planted orphan file
+    "delta_roundtrip",
+    # (4) riders of the operators/secrets.py null-text coalesce fix
+    # (readability_scores shares the module file but not the changed
+    # function; rider_check proves its definition byte-identical)
+    "secrets_exposure_counts",
+    "secrets_scrubbed_docs",
+    # (5) the 37-query obligation: every survivor of the r9-green
+    # cohort (newest green r9 = the freshness ceiling at round 12)
+    # after the 11 fold-retirements above
+    "blocklist_taboo_counts",
+    "classifier_calibration_bins",
+    "classifier_sweep_counts",
+    "contamination_ngram_overlap",
+    "conversations_structural",
+    "corpus_clean_pipeline",
+    "corpus_domain_cap",
+    "corpus_leakage_safe_split",
+    "corpus_line_dedup",
+    "corpus_shard_shuffle",
+    "corpus_source_stats",
+    "corpus_training_prep",
+    "curriculum_shard_order",
+    "dedup_cluster_histogram",
+    "dedup_embedding_cosine",
+    "dedup_incremental_novelty",
+    "dedup_semantic_keep",
+    "dsl_case_multicolumn",
+    "embedding_ann_ivf",
+    "embedding_ann_lsh",
+    "embedding_pq_codes",
+    "embedding_scalar_quantize",
+    "embedding_similarity_pairs",
+    "embedding_topk",
+    "events_user_similarity",
+    "langid_train_classify",
+    "linkgraph_degree_stats",
+    "pack_sequences",
+    "profile_exact_core",
+    "profile_frequent_sources",
+    "quarantine_reason_rows",
+    "text_line_quality",
+    "text_oov_rate",
+    "text_repetition_filter",
+    "text_tfidf_keywords",
+    "text_winnow_fingerprints",
+    "text_winnow_matches",
+]
+
+#: the round-11 front, kept for the audit trail (not used at runtime)
+_GATE_FRONT_R11: list[str] = [
     # (1) the 2 queries/curation6.py registrations (never gated)
     "ngram_rep_counts",
     "ngram_repetition_card",

@@ -70,56 +70,54 @@ def _spelled_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "url_canonicalize_spellings",
+    "url_spelling_suite",
     oracle="""
     SELECT doc_id,
            'https://example.com/page/' || (doc_id // 3) || '?a=1&z=9'
-             AS canonical_url
+             AS canonical_url,
+           (ROW_NUMBER() OVER (
+              PARTITION BY doc_id // 3
+              ORDER BY n_chars DESC, doc_id
+            )) = 1 AS kept_best
     FROM documents
     """,
 )
-def url_canonicalize_spellings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """canonicalize_url collapses scheme/host case, default ports,
-    fragments, www, trailing + duplicate slashes, and tracking params
-    (sorting the survivors) — three hostile spellings, one canonical
-    string, all codegen."""
+def url_spelling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + canonical-URL dedup in one gated frame
+    (round-12 consolidation of the former url_canonicalize_spellings /
+    url_dedup_best_spelling gates — same operators, same anchors):
+
+    - ``canonical_url``  canonicalize_url collapses scheme/host case,
+                         default ports, fragments, www, trailing +
+                         duplicate slashes, and tracking params
+                         (sorting the survivors) — three hostile
+                         spellings, one canonical string, all codegen;
+    - ``kept_best``      dedup_by_url's keep decision — exactly one
+                         row per canonical URL (highest quality, ties
+                         to the smallest id) via ONE map-side-combined
+                         struct-min aggregation (no window sort); the
+                         oracle states the same rule as a window over
+                         the page key the spellings were built from.
+    """
     from cdk_datalake_ingest_bigmagic_spark.operators.urlnorm import (
         canonicalize_url,
-    )
-
-    return _spelled_urls(spark, sf_dir).select(
-        "doc_id", canonicalize_url("url").alias("canonical_url")
-    )
-
-
-@register(
-    "url_dedup_best_spelling",
-    oracle="""
-    SELECT doc_id
-    FROM (
-      SELECT doc_id, n_chars, doc_id // 3 AS page,
-             ROW_NUMBER() OVER (
-               PARTITION BY doc_id // 3
-               ORDER BY n_chars DESC, doc_id
-             ) AS rn
-      FROM documents
-    ) WHERE rn = 1
-    """,
-)
-def url_dedup_best_spelling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dedup_by_url keeps exactly one row per canonical URL — the
-    highest-quality spelling, ties to the smallest id — via ONE
-    map-side-combined struct-min aggregation (no window sort). The
-    oracle states the same keep rule as a window over the page key
-    the spellings were built from."""
-    from cdk_datalake_ingest_bigmagic_spark.operators.urlnorm import (
         dedup_by_url,
     )
 
     urls = _spelled_urls(spark, sf_dir)
-    return dedup_by_url(
+    canon = urls.select(
+        "doc_id", canonicalize_url("url").alias("canonical_url")
+    )
+    kept = dedup_by_url(
         urls, "url", quality_col="n_chars", tie_col="doc_id"
-    ).select("doc_id")
+    ).select(F.col("doc_id").alias("kept_id"))
+    return canon.join(
+        kept, canon.doc_id == kept.kept_id, "left"
+    ).select(
+        "doc_id",
+        "canonical_url",
+        F.col("kept_id").isNotNull().alias("kept_best"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -132,144 +130,117 @@ def url_dedup_best_spelling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "text_fix_mojibake",
-    oracle="""
-    SELECT doc_id,
-           md5(replace(text, 'e', 'é')) AS fixed_md5,
-           length(text) - length(replace(text, 'e', '')) AS score_before,
-           0 AS score_after
-    FROM documents
-    """,
-)
-def text_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """fix_mojibake_column inverts the common cp1252 mis-decode table
-    and mojibake_score counts lead sequences — mangled text scores
-    exactly its accent count before repair and zero after."""
-    from cdk_datalake_ingest_bigmagic_spark.operators.encoding import (
-        fix_mojibake_column,
-        mojibake_score,
-    )
-
-    d = load(spark, sf_dir, "documents")
-    mangled = F.replace(F.col("text"), F.lit("e"), F.lit("Ã©"))
-    fixed = fix_mojibake_column(mangled)
-    return d.select(
-        "doc_id",
-        F.md5(fixed).alias("fixed_md5"),
-        mojibake_score(mangled).cast("long").alias("score_before"),
-        mojibake_score(fixed).cast("long").alias("score_after"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Text cleanup, codegen tier (operators/normalize.py)
-# ---------------------------------------------------------------------------
-#
-# Inject a leading tab+space, a trailing run with nbsp and a
-# zero-width space, and a CRLF; the oracle replicates the exact
-# regexp chain (RE2 spells Java's \\uXXXX as \\x{XXXX}).
-
-
-@register(
-    "text_clean_controls",
+    "text_cleanup_suite",
     oracle=r"""
-    WITH aug AS (
+    WITH moji AS (
+      SELECT doc_id,
+             md5(replace(text, 'e', 'é')) AS fixed_md5,
+             length(text) - length(replace(text, 'e', '')) AS score_before,
+             0 AS score_after
+      FROM documents
+    ), aug AS (
       SELECT doc_id,
              chr(9) || ' ' || text || ' ' || chr(160) || 'x'
                || chr(8203) || chr(13) || chr(10) || 'tail'
                AS s
       FROM documents
-    ), steps AS (
+    ), cleaned AS (
       SELECT doc_id,
-        regexp_replace(
+        md5(
           regexp_replace(
             regexp_replace(
               regexp_replace(
                 regexp_replace(
-                  regexp_replace(s, '\r\n?', chr(10), 'g'),
-                  '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f\x{0080}-\x{009f}]', '', 'g'),
-                '[\x{200b}-\x{200f}\x{2028}\x{2029}\x{202a}-\x{202e}\x{2060}\x{feff}\x{00ad}]', '', 'g'),
-              '[\x{00a0}\x{1680}\x{2000}-\x{200a}\x{202f}\x{205f}\x{3000}]', ' ', 'g'),
-            '[ \t]{2,}', ' ', 'g'),
-          '(?m)^[ \t]+|[ \t]+$', '', 'g') AS cleaned
+                  regexp_replace(
+                    regexp_replace(s, '\r\n?', chr(10), 'g'),
+                    '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f\x{0080}-\x{009f}]', '', 'g'),
+                  '[\x{200b}-\x{200f}\x{2028}\x{2029}\x{202a}-\x{202e}\x{2060}\x{feff}\x{00ad}]', '', 'g'),
+                '[\x{00a0}\x{1680}\x{2000}-\x{200a}\x{202f}\x{205f}\x{3000}]', ' ', 'g'),
+              '[ \t]{2,}', ' ', 'g'),
+            '(?m)^[ \t]+|[ \t]+$', '', 'g')) AS cleaned_md5
       FROM aug
-    )
-    SELECT doc_id, md5(cleaned) AS cleaned_md5 FROM steps
-    """,
-)
-def text_clean_controls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """clean_text_column drops controls/invisibles, folds exotic
-    spaces, collapses runs, and trims line edges — the oracle runs
-    the identical regexp chain in RE2 over identically augmented
-    text."""
-    from cdk_datalake_ingest_bigmagic_spark.operators.normalize import (
-        clean_text_column,
-    )
-
-    d = load(spark, sf_dir, "documents")
-    aug = F.concat(
-        F.lit("\t "),
-        F.col("text"),
-        F.lit("  x​\r\ntail"),
-    )
-    return d.select(
-        "doc_id", F.md5(clean_text_column(aug)).alias("cleaned_md5")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Script counting (operators/scripts.py)
-# ---------------------------------------------------------------------------
-#
-# Inject Cyrillic / CJK tails on a doc_id schedule; the oracle counts
-# by the length-difference trick (every class matches single chars).
-
-
-@register(
-    "text_script_counts",
-    oracle="""
-    WITH aug AS (
+    ), saug AS (
       SELECT doc_id,
              text || CASE doc_id % 4
                WHEN 0 THEN ' привет мир'
                WHEN 1 THEN ' 你好世界'
                ELSE '' END AS s
       FROM documents
+    ), scripts AS (
+      SELECT doc_id,
+        length(s) - length(regexp_replace(s,
+          '[A-Za-z\x{00c0}-\x{00d6}\x{00d8}-\x{00f6}\x{00f8}-\x{024f}]',
+          '', 'g')) AS n_latin,
+        length(s) - length(regexp_replace(s, '[\x{0400}-\x{04ff}]', '', 'g'))
+          AS n_cyrillic,
+        length(s) - length(regexp_replace(s,
+          '[\x{4e00}-\x{9fff}\x{3400}-\x{4dbf}]', '', 'g')) AS n_cjk
+      FROM saug
     )
-    SELECT doc_id,
-      length(s) - length(regexp_replace(s,
-        '[A-Za-z\\x{00c0}-\\x{00d6}\\x{00d8}-\\x{00f6}\\x{00f8}-\\x{024f}]',
-        '', 'g')) AS n_latin,
-      length(s) - length(regexp_replace(s, '[\\x{0400}-\\x{04ff}]', '', 'g'))
-        AS n_cyrillic,
-      length(s) - length(regexp_replace(s,
-        '[\\x{4e00}-\\x{9fff}\\x{3400}-\\x{4dbf}]', '', 'g')) AS n_cjk
-    FROM aug
+    SELECT m.doc_id, m.fixed_md5, m.score_before, m.score_after,
+           c.cleaned_md5, sc.n_latin, sc.n_cyrillic, sc.n_cjk
+    FROM moji m
+    JOIN cleaned c USING (doc_id)
+    JOIN scripts sc USING (doc_id)
     """,
 )
-def text_script_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """script_counts' integer core: per-block character counts that
-    route documents by writing system. Latin/Cyrillic/CJK gated; the
-    argmax/mixed-script layer stays pytest (pure projection of these
-    counts)."""
+def text_cleanup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codegen text-cleanup card (round-12 consolidation of the former
+    text_fix_mojibake / text_clean_controls / text_script_counts gates
+    — same operators, same anchors, each signal a named column, ONE
+    projection over documents, zero shuffle):
+
+    - ``fixed_md5`` / ``score_before`` / ``score_after``
+        fix_mojibake_column inverts the common cp1252 mis-decode table
+        and mojibake_score counts lead sequences — mangled text scores
+        exactly its accent count before repair and zero after;
+    - ``cleaned_md5``
+        clean_text_column drops controls/invisibles, folds exotic
+        spaces, collapses runs, and trims line edges — the oracle runs
+        the identical regexp chain in RE2 over identically augmented
+        text;
+    - ``n_latin`` / ``n_cyrillic`` / ``n_cjk``
+        script_counts' integer core: per-block character counts that
+        route documents by writing system (the argmax/mixed-script
+        layer stays pytest — a pure projection of these counts).
+    """
+    from cdk_datalake_ingest_bigmagic_spark.operators.encoding import (
+        fix_mojibake_column,
+        mojibake_score,
+    )
+    from cdk_datalake_ingest_bigmagic_spark.operators.normalize import (
+        clean_text_column,
+    )
     from cdk_datalake_ingest_bigmagic_spark.operators.scripts import (
         script_counts,
     )
 
     d = load(spark, sf_dir, "documents")
-    aug = F.concat(
+    mangled = F.replace(F.col("text"), F.lit("e"), F.lit("Ã©"))
+    fixed = fix_mojibake_column(mangled)
+    clean_aug = F.concat(
+        F.lit("\t "),
+        F.col("text"),
+        F.lit("  x​\r\ntail"),
+    )
+    script_aug = F.concat(
         F.col("text"),
         F.when(F.col("doc_id") % 4 == 0, F.lit(" привет мир"))
         .when(F.col("doc_id") % 4 == 1, F.lit(" 你好世界"))
         .otherwise(F.lit("")),
     )
-    c = script_counts(aug)
+    c = script_counts(script_aug)
     return d.select(
         "doc_id",
+        F.md5(fixed).alias("fixed_md5"),
+        mojibake_score(mangled).cast("long").alias("score_before"),
+        mojibake_score(fixed).cast("long").alias("score_after"),
+        F.md5(clean_text_column(clean_aug)).alias("cleaned_md5"),
         c["latin"].cast("long").alias("n_latin"),
         c["cyrillic"].cast("long").alias("n_cyrillic"),
         c["cjk"].cast("long").alias("n_cjk"),
     )
+
 
 
 # ---------------------------------------------------------------------------

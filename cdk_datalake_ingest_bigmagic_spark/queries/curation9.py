@@ -1,0 +1,235 @@
+"""Round-13 gate queries, pre-written and pre-validated in round 12:
+paragraph-level deduplication (operators/paragraphs.py — the CCNet/
+RefinedWeb sub-document tier: exact paragraph census, corpus-wide
+non-canonical-occurrence strip, exact near-dup paragraph pairs).
+
+NOT imported by queries/__init__.py in round 12 — the round-12 front
+closed at 49/50 after the four-suite consolidation (see the ROUND-12
+WINDOW MATH comment), and the sustainability policy's rule 3 sizes
+new waves to the NEXT round's projected headroom (r13 ≈ 10-13 free
+slots). Round 13 activates this module by adding the import and
+placing the three names in ``_GATE_FRONT``; the oracles validate
+ahead of registration via ``tools/check_correctness.py``.
+
+Gate-prep conventions (curation2/3/7 precedent): the synthetic corpus
+has no paragraph structure, so each document is rebuilt as
+deterministic paragraphs — a unique intro slice, a corpus-wide
+boilerplate paragraph in 7 exact variants (the duplication signal), a
+NEAR-duplicate ticker paragraph on the doc_id % 11 == 0 schedule
+(13 words, one trailing word varying on doc_id % 3: 3-shingle
+Jaccard 10/12 ≈ 0.833 within a variant, ~0.57 across variants — so
+the 0.8 threshold is exercised from both sides), and a body slice.
+The operators under test are general; only the prep is synthetic.
+All values are md5 hex, exact longs, or single IEEE divisions of
+exact longs (the jaccard), rounded to 6 decimals on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.queries import load, register
+
+_BOILER = (
+    "subscribe to the newsletter and follow our channel today please variant "
+)
+_NEAR = "breaking news ticker section for region group edition media slot "
+
+
+def _prepped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    k7 = (F.col("doc_id") % 7).cast("string")
+    k5 = (F.col("doc_id") % 5).cast("string")
+    k3 = (F.col("doc_id") % 3).cast("string")
+    near = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(F.lit(_NEAR), k5, F.lit(" tail "), k3),
+    ).otherwise(F.lit(""))
+    s = F.concat(
+        F.lit("intro "),
+        F.substring(F.col("text"), 1, 60),
+        F.lit("\n\n"),
+        F.lit(_BOILER),
+        k7,
+        F.lit("\n\n"),
+        near,
+        F.lit("\n\n"),
+        F.lit("body "),
+        F.substring(F.col("text"), 61, 1000000),
+    )
+    return d.select("doc_id", s.alias("text"))
+
+
+_PREP_SQL = f"""
+    prep AS (
+      SELECT doc_id,
+             'intro ' || substr(text, 1, 60)
+             || chr(10) || chr(10)
+             || '{_BOILER}' || (doc_id % 7)
+             || chr(10) || chr(10)
+             || CASE WHEN doc_id % 11 = 0
+                     THEN '{_NEAR}' || (doc_id % 5) || ' tail ' || (doc_id % 3)
+                     ELSE '' END
+             || chr(10) || chr(10)
+             || 'body ' || substr(text, 61, 1000000) AS s
+      FROM documents
+    ),
+    paras AS (
+      SELECT doc_id, CAST(i.i AS INT) AS para_idx, trim(segs[i.i + 1]) AS para
+      FROM (SELECT doc_id, string_split_regex(s, '\\n{{2,}}') AS segs
+            FROM prep) t,
+           LATERAL (SELECT unnest(range(len(segs))) AS i) i
+      WHERE trim(segs[i.i + 1]) <> ''
+    ),
+    hashed AS (
+      SELECT doc_id, para_idx, para,
+             md5(trim(regexp_replace(lower(para), '\\s+', ' ', 'g')))
+               AS para_hash
+      FROM paras
+    )
+"""
+
+
+@register(
+    "paragraph_exact_core",
+    oracle=f"""
+    WITH {_PREP_SQL},
+    stats AS (
+      SELECT para_hash,
+             CAST(count(*) AS BIGINT) AS n_occurrences,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM hashed GROUP BY para_hash
+    ),
+    ranked AS (
+      SELECT para_hash, doc_id, para_idx,
+             row_number() OVER (
+               PARTITION BY para_hash ORDER BY doc_id, para_idx
+             ) AS rn
+      FROM hashed
+    )
+    SELECT s.para_hash, s.n_occurrences, s.n_docs,
+           r.doc_id AS canonical_id, r.para_idx AS canonical_idx
+    FROM stats s JOIN ranked r ON r.para_hash = s.para_hash AND r.rn = 1
+    WHERE s.n_occurrences >= 2
+    """,
+)
+def paragraph_exact_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """paragraph_exact_groups' repeated-paragraph census (the corpus
+    boilerplate report): every paragraph fingerprint occurring >= 2
+    times with its occurrence/document counts and the (doc,
+    idx)-minimal canonical occurrence — ONE map-side-combined
+    aggregation, no window sort, against the oracle's window-rank
+    statement of the same pick."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.paragraphs import (
+        paragraph_exact_groups,
+        split_paragraphs,
+    )
+
+    p = _prepped(spark, sf_dir)
+    paras = split_paragraphs(p, "doc_id", "text")
+    groups = paragraph_exact_groups(paras, "doc_id")
+    return groups.filter(F.col("n_occurrences") >= 2)
+
+
+@register(
+    "paragraph_strip_rewrite",
+    oracle=f"""
+    WITH {_PREP_SQL},
+    ranked AS (
+      SELECT doc_id, para_idx, para,
+             row_number() OVER (
+               PARTITION BY para_hash ORDER BY doc_id, para_idx
+             ) AS rn
+      FROM hashed
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             string_agg(para, chr(10) || chr(10) ORDER BY para_idx) AS t
+      FROM ranked WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(r.t, '') AS text
+    FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def paragraph_strip_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """strip_duplicate_paragraphs end-to-end: the full corpus with
+    every non-canonical occurrence of a repeated paragraph removed
+    and documents rebuilt in original paragraph order (RefinedWeb's
+    line-dedup rule at paragraph granularity — exactly one copy of
+    each boilerplate variant survives corpus-wide, in the
+    (doc, idx)-minimal document)."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.paragraphs import (
+        strip_duplicate_paragraphs,
+    )
+
+    p = _prepped(spark, sf_dir)
+    return strip_duplicate_paragraphs(p, "doc_id", "text")
+
+
+@register(
+    "paragraph_near_dup_pairs",
+    oracle=f"""
+    WITH {_PREP_SQL},
+    canon AS (
+      SELECT doc_id, para_idx, para
+      FROM (
+        SELECT doc_id, para_idx, para,
+               row_number() OVER (
+                 PARTITION BY para_hash ORDER BY doc_id, para_idx
+               ) AS rn
+        FROM hashed
+      ) WHERE rn = 1
+    ),
+    norm AS (
+      SELECT doc_id, para_idx,
+             string_split(trim(regexp_replace(lower(para), '\\s+', ' ', 'g')), ' ')
+               AS w
+      FROM canon
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, para_idx,
+             array_to_string(w[i.i:i.i+2], ' ') AS shingle
+      FROM norm, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) i
+      WHERE len(w) >= 3
+    ),
+    sizes AS (
+      SELECT doc_id, para_idx, COUNT(*) AS n FROM sh GROUP BY 1, 2
+    ),
+    inter AS (
+      SELECT a.doc_id AS id_a, a.para_idx AS idx_a,
+             b.doc_id AS id_b, b.para_idx AS idx_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, idx_a, id_b, idx_b,
+           round(n_inter::DOUBLE / (sa.n + sb.n - n_inter)::DOUBLE, 6)
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a AND sa.para_idx = idx_a
+    JOIN sizes sb ON sb.doc_id = id_b AND sb.para_idx = idx_b
+    WHERE round(n_inter::DOUBLE / (sa.n + sb.n - n_inter)::DOUBLE, 6) >= 0.8
+    """,
+)
+def paragraph_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """paragraph_jaccard_pairs (exact, prefix-filtered SSJoin path,
+    cross-document only, unique=True): near-dup pairs among DISTINCT
+    paragraphs — exact repeats collapse to their canonical occurrence
+    first (the module's run-exact-dedup-first precondition; without
+    it the 7-variant boilerplate cluster alone is ~125k true pairs at
+    sf0.01). Survivors: the 7 boiler variants pair across variants
+    (J = 10/12-word overlap ≈ 0.818) and the ticker variants pair
+    across tails within a variant (≈ 0.833), never across variants
+    (≈ 0.57) — the 0.8 threshold exercised from both sides. The
+    LOSSLESS exact path is the gate; the MinHash-banded scale path
+    (paragraph_minhash_pairs) is differential-tested against it in
+    tests/test_paragraphs.py."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.paragraphs import (
+        paragraph_jaccard_pairs,
+    )
+
+    p = _prepped(spark, sf_dir)
+    return paragraph_jaccard_pairs(
+        p, "doc_id", "text", n=3, threshold=0.8, cross_doc_only=True
+    )

@@ -1,0 +1,81 @@
+"""Round-12 gate for the Delta-log round trip (storage/deltalog.py +
+storage/deltareader.py): the write side emits the public delta.io
+PROTOCOL transaction log next to the parquet stage backend's files,
+and the read side replays that log and reads EXACTLY the live files
+it names. This gate proves the pairing cross-engine end-to-end — the
+one S9 leg the environment blocker (delta-spark uninstallable,
+re-probed and recorded every round in SCALE.md) left pytest-only.
+
+Shape (the fixedwidth-gate pattern: synthesize a real file artifact
+inside the query, run the real operator over it, oracle the result
+arithmetically):
+
+1. overwrite the stage table with the doc_id % 3 == 0 rows (Delta
+   version 0);
+2. overwrite again with the doc_id % 3 != 0 rows (version 1 — every
+   v0 file is retired by a ``remove`` action);
+3. plant an ORPHAN parquet in the table directory that the log never
+   saw (an aborted writer / un-vacuumed straggler: it duplicates the
+   v0 rows, so sweeping it in is VISIBLE in the result);
+4. read back through ``read_delta`` — the oracle states the v1 rows
+   directly. A plain ``spark.read.parquet`` of the same directory
+   would return the orphan's rows too (structurally pinned in
+   tests/test_deltalog.py); the gate passing means the reader honors
+   the log, not the directory listing.
+
+Partitioned by ``source`` so the read exercises hive partition
+resolution with the DECLARED schema types from metaData.schemaString
+(the round-12 reader fix), not path inference.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.queries import load, register
+
+
+@register(
+    "delta_roundtrip",
+    oracle="""
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, source
+    FROM documents
+    WHERE doc_id % 3 <> 0
+    """,
+)
+def delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Delta commits + one orphan file, read back through the
+    log-honoring reader; survivors are exactly the second commit's
+    rows (reference: the stage/merge lifecycle of
+    light_transform.py:1363-1409, re-expressed on the public Delta
+    log format instead of a Delta runtime)."""
+    from cdk_datalake_ingest_bigmagic_spark.storage.deltareader import (
+        read_delta,
+    )
+    from cdk_datalake_ingest_bigmagic_spark.storage.stage import (
+        ParquetStageTable,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars"), "source"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="deltagate_"), "t")
+    t = ParquetStageTable(spark, path)
+    # v0: the rows that must NOT survive
+    t.overwrite(d.filter(F.col("doc_id") % 3 == 0), partition_cols=["source"])
+    # v1: full rewrite — v0's files are retired by remove actions
+    t.overwrite(d.filter(F.col("doc_id") % 3 != 0), partition_cols=["source"])
+    # orphan: duplicate the v0 rows OUTSIDE the log; a directory
+    # listing would sweep them back in, the log replay must not
+    orphan_src = os.path.join(tempfile.mkdtemp(prefix="deltagate_"), "o")
+    d.filter(F.col("doc_id") % 3 == 0).coalesce(1).write.parquet(orphan_src)
+    import glob
+    import shutil
+
+    src = glob.glob(os.path.join(orphan_src, "*.parquet"))[0]
+    shutil.copyfile(src, os.path.join(path, "part-orphan.parquet"))
+    return read_delta(spark, path)

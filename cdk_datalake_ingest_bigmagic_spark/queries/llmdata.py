@@ -155,29 +155,6 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "text_rolling_fingerprint",
-    oracle=r"""
-    SELECT doc_id,
-           list_reduce(
-             list_prepend(0::BIGINT,
-               list_transform(
-                 list_filter(
-                   string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
-                   t -> t <> ''),
-                 t -> ('0x' || substr(md5(t), 1, 7))::BIGINT)),
-             (acc, x) -> (acc * 1000003 + x) % 2147483647
-           ) AS rolling_fp
-    FROM documents
-    """,
-)
-def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-sensitive polynomial rolling hash per document (incremental
-    fingerprint form; same fold order in both engines → bit-identical)."""
-    d = load(spark, sf_dir, "documents")
-    return d.select("doc_id", tx.rolling_fingerprint(F.col("text")).alias("rolling_fp"))
-
-
-@register(
     "text_frequent_tokens",
     oracle=r"""
     SELECT t AS tok, COUNT(*) AS n
@@ -977,29 +954,6 @@ _mix_cases = " ".join(
 
 
 @register(
-    "corpus_mix_weighted",
-    oracle=f"""
-    SELECT doc_id, source
-    FROM documents
-    WHERE {_BUCKET_SQL.format(seed='mix')}
-          < (CASE {_mix_cases} ELSE {int(_MIX_DEFAULT * 10000)} END)
-    """,
-)
-def corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus mixing: per-source deterministic sampling rates via a
-    broadcast-joined rates table (keep all of src1, half of src2, ...,
-    5% of everything else)."""
-    from cdk_datalake_ingest_bigmagic_spark.operators.sampling import (
-        stratified_hash_sample,
-    )
-
-    d = load(spark, sf_dir, "documents")
-    return stratified_hash_sample(
-        d, "doc_id", "source", _MIX_RATES, default_rate=_MIX_DEFAULT, seed="mix"
-    ).select("doc_id", "source")
-
-
-@register(
     "corpus_shard_shuffle",
     oracle="""
     WITH h AS (
@@ -1041,10 +995,21 @@ _epoch_frac_cases = " ".join(
 )
 
 
+#: token-budget mixture parameters (the former corpus_mix_budget gate;
+#: weights are exact binary fractions so the Σw double is bit-identical
+#: in both engines)
+_BUDGET_TOKENS = 3000
+_BUDGET_WEIGHTS = {"src0": 3.0, "src1": 1.0, "src2": 1.0}
+_BUDGET_DEFAULT_W = 0.25
+_budget_w_cases = " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in sorted(_BUDGET_WEIGHTS.items())
+)
+
+
 @register(
-    "corpus_mix_epochs",
+    "corpus_mix_suite",
     oracle=f"""
-    WITH r AS (
+    WITH er AS (
       SELECT doc_id, source,
              (CASE {_epoch_full_cases} ELSE {int(_EPOCH_DEFAULT)} END)
              + (CASE WHEN {_BUCKET_SQL.format(seed='epochs')}
@@ -1052,27 +1017,109 @@ _epoch_frac_cases = " ".join(
                         ELSE {round((_EPOCH_DEFAULT - int(_EPOCH_DEFAULT)) * 10000)} END)
                 THEN 1 ELSE 0 END) AS total
       FROM documents
+    ), toks AS (
+      SELECT doc_id, source,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END
+               AS n_tokens,
+             CASE source {_budget_w_cases} ELSE {_BUDGET_DEFAULT_W} END AS w
+      FROM documents
+    ), totals AS (
+      SELECT source, sum(n_tokens) AS s_tokens, any_value(w) AS w
+      FROM toks GROUP BY source
+    ), tw AS (
+      SELECT sum(w) AS total_w FROM totals
+    ), rates AS (
+      SELECT source,
+             CASE WHEN s_tokens = 0 OR w <= 0 THEN 0
+                  ELSE floor(least(1.0, ({_BUDGET_TOKENS} * w / total_w) / s_tokens)
+                             * 10000) END AS thr
+      FROM totals, tw
     )
-    SELECT doc_id, source, e.epoch::INT AS epoch
-    FROM r, LATERAL (SELECT unnest(range(0, total)) AS epoch) e
+    SELECT 'weighted' AS leg, doc_id, source,
+           CAST(NULL AS INT) AS epoch, CAST(NULL AS BIGINT) AS n_tokens
+    FROM documents
+    WHERE {_BUCKET_SQL.format(seed='mix')}
+          < (CASE {_mix_cases} ELSE {int(_MIX_DEFAULT * 10000)} END)
+    UNION ALL
+    SELECT 'epochs', doc_id, source, e.epoch::INT, CAST(NULL AS BIGINT)
+    FROM er, LATERAL (SELECT unnest(range(0, total)) AS epoch) e
+    UNION ALL
+    SELECT 'budget', t.doc_id, t.source, CAST(NULL AS INT),
+           CAST(t.n_tokens AS BIGINT)
+    FROM toks t JOIN rates r USING (source)
+    WHERE ('0x' || substr(md5('budget|' || t.doc_id), 1, 7))::BIGINT % 10000
+          < r.thr
     """,
 )
-def corpus_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Epoch-weighted training mix with upsampling: src1 contributes
-    2.5 epochs (every doc twice + a deterministic half again), src2
-    exactly once, src3 a quarter, everything else a tenth. Broadcast
-    rates + in-row sequence explode — zero shuffle."""
-    from cdk_datalake_ingest_bigmagic_spark.operators.sampling import epoch_mix
+def corpus_mix_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three corpus-mixing strategies in one gated frame, tagged by
+    ``leg`` (round-12 consolidation of the former corpus_mix_weighted /
+    corpus_mix_epochs / corpus_mix_budget gates — same operators, same
+    anchors, each leg's columns preserved under its tag):
+
+    - ``weighted``  per-source deterministic sampling rates via a
+                    broadcast rates table (all of src1, half of src2,
+                    ..., 5% default);
+    - ``epochs``    epoch-weighted mix with upsampling (src1 2.5
+                    epochs, src2 once, src3 a quarter, 0.1 default) —
+                    broadcast rates + in-row sequence explode, zero
+                    shuffle;
+    - ``budget``    token-budget planning: measure each source's token
+                    mass, derive its rate against a 3000-token budget
+                    split 3:1:1, emit the deterministic sample.
+
+    Every leg is the same hash-bucket determinism contract
+    (md5-prefixed doc_id buckets), so the union stays engine-portable.
+    """
+    from cdk_datalake_ingest_bigmagic_spark.operators.sampling import (
+        epoch_mix,
+        mix_to_budget,
+        stratified_hash_sample,
+    )
 
     d = load(spark, sf_dir, "documents")
-    return epoch_mix(
+    ni = F.lit(None).cast("int")
+    nb = F.lit(None).cast("long")
+    weighted = stratified_hash_sample(
+        d, "doc_id", "source", _MIX_RATES, default_rate=_MIX_DEFAULT, seed="mix"
+    ).select(
+        F.lit("weighted").alias("leg"),
+        "doc_id",
+        "source",
+        ni.alias("epoch"),
+        nb.alias("n_tokens"),
+    )
+    epochs = epoch_mix(
         d,
         "doc_id",
         "source",
         _EPOCH_RATES,
         default_epochs=_EPOCH_DEFAULT,
         seed="epochs",
-    ).select("doc_id", "source", F.col("epoch").cast("int").alias("epoch"))
+    ).select(
+        F.lit("epochs").alias("leg"),
+        "doc_id",
+        "source",
+        F.col("epoch").cast("int").alias("epoch"),
+        nb.alias("n_tokens"),
+    )
+    budget = mix_to_budget(
+        d,
+        "doc_id",
+        "source",
+        "text",
+        budget_tokens=_BUDGET_TOKENS,
+        weights=_BUDGET_WEIGHTS,
+        default_weight=_BUDGET_DEFAULT_W,
+    ).select(
+        F.lit("budget").alias("leg"),
+        "doc_id",
+        "source",
+        ni.alias("epoch"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+    return weighted.unionByName(epochs).unionByName(budget)
 
 
 # ---------------------------------------------------------------------------
@@ -1305,36 +1352,6 @@ def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_rare_tokens",
-    oracle=r"""
-    WITH occ AS (
-      SELECT doc_id,
-             unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
-      FROM documents WHERE trim(text) <> ''
-    ), cf AS (
-      SELECT token, count(*) AS c FROM occ GROUP BY token
-    )
-    SELECT o.doc_id,
-           count(*) AS n_tokens,
-           CAST(sum(CASE WHEN cf.c < 3 THEN 1 ELSE 0 END) AS BIGINT)
-             AS rare_tokens,
-           min(cf.c) AS min_token_cf,
-           max(cf.c) AS max_token_cf,
-           CAST(sum(CASE WHEN cf.c < 3 THEN 1 ELSE 0 END) AS DOUBLE)
-             / CAST(count(*) AS DOUBLE) AS rare_ratio
-    FROM occ o JOIN cf USING (token)
-    GROUP BY o.doc_id
-    """,
-)
-def text_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-relative token rarity per document (integer-exact core
-    of a unigram-LM quality score): corpus token counts, occurrence
-    join, per-doc rare-token profile."""
-    d = load(spark, sf_dir, "documents")
-    return tx.token_rarity_features(d, "doc_id", "text", rare_below=3)
-
-
 # vocab_size 16 < the corpus's distinct-token count, so the encoding
 # exercises real OOV (id 0) alongside in-vocab ids
 @register(
@@ -1487,9 +1504,38 @@ def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "text_span_trim",
+    "text_doc_signals_suite",
     oracle=r"""
-    WITH w AS (
+    WITH rolling AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(0::BIGINT,
+                 list_transform(
+                   list_filter(
+                     string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                     t -> t <> ''),
+                   t -> ('0x' || substr(md5(t), 1, 7))::BIGINT)),
+               (acc, x) -> (acc * 1000003 + x) % 2147483647
+             ) AS rolling_fp
+      FROM documents
+    ), rocc AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      FROM documents WHERE trim(text) <> ''
+    ), cf AS (
+      SELECT token, count(*) AS c FROM rocc GROUP BY token
+    ), rare AS (
+      SELECT o.doc_id,
+             count(*) AS n_tokens,
+             CAST(sum(CASE WHEN cf.c < 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS rare_tokens,
+             min(cf.c) AS min_token_cf,
+             max(cf.c) AS max_token_cf,
+             CAST(sum(CASE WHEN cf.c < 3 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS rare_ratio
+      FROM rocc o JOIN cf USING (token)
+      GROUP BY o.doc_id
+    ), w AS (
       SELECT doc_id,
              string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
                AS words
@@ -1515,31 +1561,66 @@ def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS covered
       FROM ranked WHERE rn > 1 GROUP BY doc_id
     )
-    SELECT w.doc_id,
-           -- array_to_string([]) is NULL in DuckDB but concat_ws of an
-           -- empty row is '' in Spark: coalesce the fully-trimmed case,
-           -- keep NULL-text documents NULL
-           CASE WHEN words IS NULL THEN NULL
-                ELSE coalesce(
-                  array_to_string(
-                    list_transform(
-                      list_filter(range(0, len(words)),
-                                  i -> NOT list_contains(
-                                         coalesce(cov.covered, []::BIGINT[]), i)),
-                      i -> words[i + 1]),
-                    ' '), '') END AS text
-    FROM w LEFT JOIN cov USING (doc_id)
+    , trimmed AS (
+      SELECT w.doc_id,
+             -- array_to_string([]) is NULL in DuckDB but concat_ws of
+             -- an empty row is '' in Spark: coalesce the fully-trimmed
+             -- case, keep NULL-text documents NULL
+             CASE WHEN words IS NULL THEN NULL
+                  ELSE coalesce(
+                    array_to_string(
+                      list_transform(
+                        list_filter(range(0, len(words)),
+                                    i -> NOT list_contains(
+                                           coalesce(cov.covered, []::BIGINT[]), i)),
+                        i -> words[i + 1]),
+                      ' '), '') END AS trimmed_text
+      FROM w LEFT JOIN cov USING (doc_id)
+    )
+    SELECT r.doc_id, r.rolling_fp,
+           ra.n_tokens, ra.rare_tokens, ra.min_token_cf, ra.max_token_cf,
+           ra.rare_ratio, t.trimmed_text
+    FROM rolling r
+    LEFT JOIN rare ra USING (doc_id)
+    LEFT JOIN trimmed t USING (doc_id)
     """,
 )
-def text_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end substring-level dedup: detect cross-document 8-token
-    spans (stride 2) and trim every non-canonical occurrence, keeping
-    one copy corpus-wide. Composes ``duplicate_spans`` +
-    ``trim_duplicate_spans``; output is the full corpus with
-    normalized, trimmed text."""
+def text_doc_signals_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text-signal card (round-12 consolidation of the
+    former text_rolling_fingerprint / text_rare_tokens / text_span_trim
+    gates — same operators, same anchors, each signal preserved as a
+    named column):
+
+    - ``rolling_fp``    order-sensitive polynomial rolling hash
+                        (incremental fingerprint form; same fold order
+                        in both engines → bit-identical);
+    - ``n_tokens`` / ``rare_tokens`` / ``min_token_cf`` /
+      ``max_token_cf`` / ``rare_ratio``
+                        corpus-relative token rarity (integer-exact
+                        core of a unigram-LM quality score) — NULL for
+                        empty/whitespace-only documents, exactly the
+                        rows the rarity join never sees;
+    - ``trimmed_text``  end-to-end substring-level dedup: detect
+                        cross-document 8-token spans (stride 2) and
+                        trim every non-canonical occurrence, keeping
+                        one copy corpus-wide (``duplicate_spans`` +
+                        ``trim_duplicate_spans``).
+
+    One row per document (left joins from the all-docs fingerprint
+    leg). The rarity leg keeps its (token-cf shuffle + doc re-agg)
+    shape and the span leg its bucketed collision join — consolidation
+    changes the GATE, not the plans.
+    """
     d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", tx.rolling_fingerprint(F.col("text")).alias("rolling_fp")
+    )
+    rare = tx.token_rarity_features(d, "doc_id", "text", rare_below=3)
     spans = dd.duplicate_spans(d, "doc_id", "text", n=8, stride=2)
-    return dd.trim_duplicate_spans(d, "doc_id", "text", spans, n=8)
+    trimmed = dd.trim_duplicate_spans(d, "doc_id", "text", spans, n=8).select(
+        "doc_id", F.col("text").alias("trimmed_text")
+    )
+    return base.join(rare, "doc_id", "left").join(trimmed, "doc_id", "left")
 
 
 @register(
@@ -1802,53 +1883,6 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wins = window_audio_df(media, window_ms=50, hop_ms=30)
     return wins.select("media_id", "window_idx", "start_ms", "window_md5")
-
-
-@register(
-    "corpus_mix_budget",
-    oracle=r"""
-    WITH toks AS (
-      SELECT doc_id, source,
-             CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(string_split_regex(trim(text), '\s+')) END
-               AS n_tokens,
-             CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 1.0
-                         WHEN 'src2' THEN 1.0 ELSE 0.25 END AS w
-      FROM documents
-    ), totals AS (
-      SELECT source, sum(n_tokens) AS s_tokens, any_value(w) AS w
-      FROM toks GROUP BY source
-    ), tw AS (
-      SELECT sum(w) AS total_w FROM totals
-    ), rates AS (
-      SELECT source,
-             CASE WHEN s_tokens = 0 OR w <= 0 THEN 0
-                  ELSE floor(least(1.0, (3000 * w / total_w) / s_tokens)
-                             * 10000) END AS thr
-      FROM totals, tw
-    )
-    SELECT t.doc_id, t.source, CAST(t.n_tokens AS BIGINT) AS n_tokens
-    FROM toks t JOIN rates r USING (source)
-    WHERE ('0x' || substr(md5('budget|' || t.doc_id), 1, 7))::BIGINT % 10000
-          < r.thr
-    """,
-)
-def corpus_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budget mixture planning: a 3000-token budget split
-    3:1:1 across the first three sources with a 0.25 default — the
-    operator measures each source's token mass, derives its sampling
-    rate, and emits the deterministic sample. Weights are exact binary
-    fractions so the Σw double is bit-identical in both engines."""
-    from cdk_datalake_ingest_bigmagic_spark.operators.sampling import (
-        mix_to_budget,
-    )
-
-    d = load(spark, sf_dir, "documents")
-    return mix_to_budget(
-        d, "doc_id", "source", "text", budget_tokens=3000,
-        weights={"src0": 3.0, "src1": 1.0, "src2": 1.0},
-        default_weight=0.25,
-    ).select("doc_id", "source", "n_tokens")
 
 
 @register(

@@ -1,0 +1,235 @@
+"""Differential + structural tests for operators/paragraphs.py:
+seeded random documents with planted exact-duplicate and
+near-duplicate paragraphs; a pure-Python reference implements the
+documented semantics (blank-line split with pre-filter indices,
+normalized-fingerprint identity, (doc, idx)-minimal canonical,
+RefinedWeb-style strip); the MinHash scale path is differential-
+tested against the lossless exact path on the same corpus."""
+
+import random
+import re
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.operators.paragraphs import (
+    paragraph_exact_groups,
+    paragraph_jaccard_pairs,
+    paragraph_minhash_pairs,
+    split_paragraphs,
+    strip_duplicate_paragraphs,
+    unique_paragraphs,
+)
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+         "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omicron"]
+
+
+def _corpus(seed=20260816, n_docs=40):
+    """Docs with 1-4 paragraphs; ~1/3 of paragraphs drawn from a small
+    boilerplate pool (exact repeats), the rest random; a few docs get
+    blank-line runs and edge whitespace."""
+    rng = random.Random(seed)
+    pool = [
+        " ".join(rng.choices(WORDS, k=rng.randint(4, 10))) for _ in range(5)
+    ]
+    rows = []
+    for i in range(n_docs):
+        paras = []
+        for _ in range(rng.randint(1, 4)):
+            if rng.random() < 0.33:
+                paras.append(rng.choice(pool))
+            else:
+                paras.append(" ".join(rng.choices(WORDS, k=rng.randint(3, 12))))
+        sep = "\n\n\n" if rng.random() < 0.2 else "\n\n"
+        text = sep.join(paras)
+        if rng.random() < 0.2:
+            text = "  " + text + "\n\n"  # trailing separator noise
+        rows.append((i, text))
+    rows.append((n_docs, None))  # NULL text
+    rows.append((n_docs + 1, ""))  # empty text
+    return rows
+
+
+def _py_split(text):
+    if text is None:
+        return []
+    out = []
+    for idx, seg in enumerate(re.split(r"\n{2,}", text)):
+        seg = seg.strip()
+        if seg:
+            out.append((idx, seg))
+    return out
+
+
+def _norm(p):
+    return re.sub(r"\s+", " ", p.lower()).strip()
+
+
+def test_split_paragraphs_matches_python(spark):
+    rows = _corpus()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["para_idx"], r["paragraph"])
+        for r in split_paragraphs(df, "doc_id", "text").collect()
+    }
+    want = {
+        (i, idx, seg) for i, t in rows for idx, seg in _py_split(t)
+    }
+    assert got == want
+
+
+def test_exact_groups_census_and_canonical(spark):
+    rows = _corpus()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    occ = defaultdict(list)
+    for i, t in rows:
+        for idx, seg in _py_split(t):
+            occ[_norm(seg)].append((i, idx))
+    got = {
+        r["para_hash"]: r
+        for r in paragraph_exact_groups(
+            split_paragraphs(df, "doc_id", "text"), "doc_id"
+        ).collect()
+    }
+    assert len(got) == len(occ)
+    for key, places in occ.items():
+        # find the row by canonical occurrence (hash is md5 of key)
+        cid, cidx = min(places)
+        match = [
+            r for r in got.values()
+            if (r["canonical_id"], r["canonical_idx"]) == (cid, cidx)
+        ]
+        assert len(match) == 1
+        r = match[0]
+        assert r["n_occurrences"] == len(places)
+        assert r["n_docs"] == len({d for d, _ in places})
+
+
+def test_strip_keeps_exactly_one_copy_in_order(spark):
+    rows = _corpus()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    canonical = {}
+    for i, t in rows:
+        for idx, seg in _py_split(t):
+            k = _norm(seg)
+            if k not in canonical or (i, idx) < canonical[k]:
+                canonical[k] = (i, idx)
+    want = {}
+    for i, t in rows:
+        if t is None:
+            want[i] = None
+            continue
+        kept = [
+            seg for idx, seg in _py_split(t)
+            if canonical[_norm(seg)] == (i, idx)
+        ]
+        want[i] = "\n\n".join(kept)
+    got = {
+        r["doc_id"]: r["text"]
+        for r in strip_duplicate_paragraphs(df, "doc_id", "text").collect()
+    }
+    assert got == want
+    # corpus-wide: every normalized paragraph survives exactly once
+    survivors = [
+        _norm(seg)
+        for t in got.values() if t
+        for _, seg in _py_split(t)
+    ]
+    assert len(survivors) == len(set(survivors))
+    assert set(survivors) == set(canonical)
+
+
+def test_unique_paragraphs_one_canonical_each(spark):
+    rows = _corpus()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    paras = split_paragraphs(df, "doc_id", "text")
+    uniq = unique_paragraphs(paras, "doc_id").collect()
+    keys = [_norm(r["paragraph"]) for r in uniq]
+    assert len(keys) == len(set(keys))
+    places = defaultdict(list)
+    for i, t in rows:
+        for idx, seg in _py_split(t):
+            places[_norm(seg)].append((i, idx))
+    for r in uniq:
+        assert (r["doc_id"], r["para_idx"]) == min(places[_norm(r["paragraph"])])
+
+
+def _near_dup_corpus(seed=7, n_docs=30):
+    """Paragraphs with controlled overlap: per variant v in 0..3, docs
+    carry a 12-word base with one trailing word varying — J >= 0.8
+    within a variant, < 0.8 across."""
+    rng = random.Random(seed)
+    bases = {
+        v: " ".join(rng.choices(WORDS, k=11)) + f" base{v}" for v in range(4)
+    }
+    rows = []
+    for i in range(n_docs):
+        v = i % 4
+        para = bases[v] + f" tail{i % 3}"
+        filler = " ".join(rng.choices(WORDS, k=rng.randint(6, 12)))
+        rows.append((i, filler + "\n\n" + para))
+    return rows
+
+
+def test_minhash_pairs_match_exact_path(spark):
+    rows = _near_dup_corpus()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r["id_a"], r["idx_a"], r["id_b"], r["idx_b"]): r["jaccard"]
+        for r in paragraph_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    assert exact, "prep must produce near-dup pairs"
+    approx = {
+        (r["id_a"], r["idx_a"], r["id_b"], r["idx_b"]): r["jaccard"]
+        for r in paragraph_minhash_pairs(
+            df, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    # verified jaccards are exact on both paths; minhash recall is
+    # probabilistic but b=8/r=4 at j>=0.8 catches ~0.99 — demand full
+    # recall on this tiny deterministic corpus
+    assert approx == exact
+    # and every reported pair is genuinely above threshold
+    assert all(j >= 0.8 for j in exact.values())
+
+
+def test_pair_values_are_plan_level_cross_doc_only(spark):
+    """Same-document near-dup paragraphs are excluded by
+    cross_doc_only and returned with it off."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta\n\n"
+             "alpha beta gamma delta epsilon zeta theta")],
+        "doc_id long, text string",
+    )
+    on = paragraph_jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    assert on == []
+    off = paragraph_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.5, cross_doc_only=False
+    ).collect()
+    assert len(off) == 1 and off[0]["id_a"] == 1 and off[0]["id_b"] == 1
+    assert off[0]["idx_a"] == 0 and off[0]["idx_b"] == 1
+
+
+def test_null_and_empty_text_handling(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "only para")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"]
+           for r in strip_duplicate_paragraphs(df, "doc_id", "text").collect()}
+    assert out == {1: None, 2: "", 3: "only para"}
+
+
+def test_exact_groups_single_shuffle_no_window(spark):
+    """Plan shape: the census is ONE hash aggregate — no Window node,
+    no extra Exchange beyond the group-by."""
+    df = spark.createDataFrame(
+        [(1, "a\n\nb"), (2, "a\n\nc")], "doc_id long, text string"
+    )
+    plan = paragraph_exact_groups(
+        split_paragraphs(df, "doc_id", "text"), "doc_id"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
