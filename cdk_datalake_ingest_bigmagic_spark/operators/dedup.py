@@ -926,6 +926,7 @@ def cross_corpus_near_dup(
     rows_per_band: int = 4,
     threshold: float = 0.8,
     scope: CacheScope | None = None,
+    broadcast_reference: bool = True,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs BETWEEN two corpora — "is anything
     in my training corpus a near-copy of this held-out/benchmark/
@@ -934,6 +935,17 @@ def cross_corpus_near_dup(
     strictly A×B), so the candidate space is |A∩B-ish|, not
     |A∪B|² — at 100 TB vs a small reference corpus the reference side
     broadcasts and the training corpus streams through.
+
+    ``broadcast_reference`` (default True) pins the broadcast with an
+    explicit hint rather than trusting AQE: the 500k-doc probe
+    (tools/crosscorpus_probe.py) caught AQE planning the band join as
+    a SortMergeJoin — every band-side shuffle partition of the small
+    reference is non-empty, so AQE's broadcast demotion kicks in and
+    the 100×-bigger training side gets hash-shuffled on the band keys
+    for nothing. The hint holds for the documented corpus-vs-benchmark
+    shape (|B| bounded, band rows = |B|·num_bands); pass False only
+    when BOTH corpora are large, where a shuffle join is the right
+    plan.
 
     Same machinery end-to-end: shared shingle-hash arrays, banded
     signatures (pure projections), ONE band-key bucket join across the
@@ -952,17 +964,32 @@ def cross_corpus_near_dup(
     key_cols = [f"k{k + 1}" for k in range((rows_per_band + 1) // 2)]
     left = sig_a.select(F.col(id_col).alias("id_a"), "band", *key_cols)
     right = sig_b.select(F.col(id_col).alias("id_b"), "band", *key_cols)
+    if broadcast_reference:
+        right = F.broadcast(right)
     candidates = (
         left.join(right, ["band", *key_cols])
         .select("id_a", "id_b")
         .distinct()
     )
+    if broadcast_reference:
+        # candidates ⊆ A×B band collisions ≈ the contamination set —
+        # broadcast-sized under the same assumption as the reference
+        # itself. Without this the verify join hash-shuffles EVERY
+        # training document's shingle-hash array to meet a few hundred
+        # candidate rows (measured at A=500k: the id_a SortMergeJoin
+        # dominated; with the hint arrays_a streams with zero shuffle).
+        candidates = F.broadcast(candidates)
     a = arrays_a.select(
         F.col(id_col).alias("id_a"), F.col("hs").alias("__hs_a")
     )
     b = arrays_b.select(
         F.col(id_col).alias("id_b"), F.col("hs").alias("__hs_b")
     )
+    if broadcast_reference:
+        # same bound as the band join: the verify side of B carries
+        # |B| rows of shingle-hash arrays — broadcast-sized whenever
+        # the reference corpus itself is
+        b = F.broadcast(b)
     n_inter = F.size(F.array_intersect(F.col("__hs_a"), F.col("__hs_b")))
     jac = n_inter.cast("double") / (
         F.size("__hs_a") + F.size("__hs_b") - n_inter

@@ -160,3 +160,37 @@ def test_cross_corpus_near_dup(spark):
     assert all(id_b >= 101 for (_, id_b) in pairs)  # right side is B only
     assert all(id_a <= 3 for (id_a, _) in pairs)    # left side is A only
     assert (1, 2) not in pairs and (3, 102) not in pairs
+
+def test_cross_corpus_band_join_broadcasts_reference(spark):
+    """Plan pin for the round-12 probe finding: AQE demotes the
+    reference-side broadcast of the band join (every shuffle partition
+    of the small side is non-empty), leaving the 100x-bigger training
+    side hash-shuffled on the band keys. The explicit hint must hold —
+    and must be absent when ``broadcast_reference=False`` (the
+    two-large-corpora shape, where shuffling is correct)."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.dedup import (
+        cross_corpus_near_dup,
+    )
+
+    a = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta doc {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta doc 7")],
+        "doc_id long, text string",
+    )
+    hinted = cross_corpus_near_dup(a, b, "doc_id", "text")
+    hinted.collect()
+    plan = hinted._jdf.queryExecution().executedPlan().toString()
+    # every bounded side is hinted (band bucket join, id_b verify join,
+    # the candidate set itself) — the big corpus side must stream with
+    # zero join-side shuffle
+    assert "SortMergeJoin" not in plan
+    unhinted = cross_corpus_near_dup(
+        a, b, "doc_id", "text", broadcast_reference=False
+    )
+    optimized = (
+        unhinted._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "ResolvedHint" not in optimized  # no stray hint when opted out

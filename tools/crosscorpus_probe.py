@@ -1,0 +1,131 @@
+"""Scale probe for cross_corpus_near_dup (the round-12 item): the
+benchmark-contamination shape — A = a 500k-doc training corpus (the
+standard 100x word-suffixed disjoint replica of sf0.1 documents, the
+same corpus every sibling probe uses), B = a 5k-doc reference corpus
+in which every 10th document is a NEAR-copy of A's replica-0 copy of
+the same document (words suffixed ``_0``, last word dropped: 3-shingle
+Jaccard = (w-3)/(w-2) for a w-word doc, well above the 0.8 threshold)
+and the remaining 90% is ``_ref``-suffixed, textually disjoint from
+every A replica.
+
+Checks the three shapes that matter at 100 TB:
+
+- the reference (B) side of the band join BROADCASTS — the training
+  corpus must stream through while the small reference side ships to
+  every task; a sort-merge here would shuffle 500k x 8 band rows of
+  the big side for no reason. Asserted from the post-AQE executed
+  plan, not the static estimate.
+- candidate count tracks band collisions: ~= the planted pair count
+  (each planted near-copy collides with its one replica-0 source in
+  ~all 8 bands but contributes ONE distinct candidate), plus a small
+  random-collision tail — not a quadratic blow-up.
+- wall-clock at A=500k, comparable with the sibling 500k records
+  (ngramrep 279 s, DSIR 202 s, secrets 7.6 s).
+
+Usage: python tools/crosscorpus_probe.py [N_replicas]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.scale_probe import SRC, build_replica  # noqa: E402
+
+
+def build_reference(out: str) -> int:
+    """5k reference docs: 1-in-10 a last-word-dropped replica-0
+    near-copy (the contamination), 9-in-10 ``_ref``-suffix disjoint."""
+    import duckdb
+
+    duckdb.sql(
+        rf"""
+        COPY (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 10 = 0 THEN
+                   regexp_replace(
+                     regexp_replace(text, '(\S+)', '\1_0', 'g'),
+                     '\s*\S+$', '')
+                 ELSE regexp_replace(text, '(\S+)', '\1_ref', 'g')
+                 END AS text,
+                 lang, source, n_chars
+          FROM '{SRC}'
+        ) TO '{out}' (FORMAT PARQUET)
+        """
+    )
+    return duckdb.sql(f"SELECT count(*) FROM '{out}'").fetchone()[0]
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    a_out = f"/tmp/documents_x{n}.parquet"
+    b_out = "/tmp/documents_reference_5k.parquet"
+    if not os.path.exists(a_out):
+        build_replica(n, a_out)
+    if not os.path.exists(b_out):
+        build_reference(b_out)
+
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_bigmagic_spark import get_spark
+    from cdk_datalake_ingest_bigmagic_spark.operators import dedup as dd
+
+    spark = get_spark(app_name="crosscorpus-probe")
+    a = spark.read.parquet(a_out)
+    b = spark.read.parquet(b_out)
+    n_a, n_b = a.count(), b.count()
+    planted = b.filter(F.col("doc_id") % 10 == 0).count()
+
+    # --- band-collision candidate count (the operator's internal
+    # candidate step, reproduced via the same public helpers) -------
+    sig_a = dd.minhash_signatures(
+        dd.shingle_hash_arrays(a, "doc_id", "text", 3), "doc_id", 8, 4
+    )
+    sig_b = dd.minhash_signatures(
+        dd.shingle_hash_arrays(b, "doc_id", "text", 3), "doc_id", 8, 4
+    )
+    keys = ["band", "k1", "k2"]
+    t0 = time.time()
+    n_candidates = (
+        sig_a.select(F.col("doc_id").alias("id_a"), *keys)
+        .join(sig_b.select(F.col("doc_id").alias("id_b"), *keys), keys)
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
+    candidates_sec = round(time.time() - t0, 1)
+
+    # --- the operator end-to-end ------------------------------------
+    t0 = time.time()
+    pairs = dd.cross_corpus_near_dup(a, b, "doc_id", "text", 3, 8, 4, 0.8)
+    n_pairs = pairs.count()
+    sec = round(time.time() - t0, 1)
+
+    executed = pairs._jdf.queryExecution().executedPlan().toString()
+    n_bhj = executed.count("BroadcastHashJoin")
+    n_smj = executed.count("SortMergeJoin")
+    self_pairs = pairs.filter(F.col("id_a") == F.col("id_b")).count()
+
+    print(json.dumps({
+        "probe": "cross_corpus_near_dup",
+        "n_a": n_a,
+        "n_b": n_b,
+        "planted": planted,
+        "candidates": n_candidates,
+        "candidates_sec": candidates_sec,
+        "pairs": n_pairs,
+        "sec": sec,
+        "broadcast_hash_joins": n_bhj,
+        "sort_merge_joins": n_smj,
+        "same_id_pairs": self_pairs,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
