@@ -315,3 +315,276 @@ def robots_directives(html) -> Column:
         flag("nofollow").alias("nofollow"),
         flag("noarchive").alias("noarchive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Codegen block-census tier (round 12): the jusText/trafilatura block
+# CLASSIFIER as pure Column expressions — where the DOM tier above
+# pays a Python parse per document to get structure, this tier gets
+# the same boilerplate decision (link density + stopword density +
+# length, Pomikálek 2011's verdict set) from one split and a handful
+# of codegen regexps, which is the 100-TB bulk-classification shape.
+# Use dom_blocks when attribute-correct structure matters; use this
+# tier to score and strip boilerplate across a whole crawl.
+# ---------------------------------------------------------------------------
+
+#: Small fixed function-word list for stopword density. jusText uses
+#: a full per-language list with a ~0.30 threshold; with this 10-word
+#: list the equivalent English-text operating point is ~0.05.
+STOPWORDS: tuple[str, ...] = (
+    "a", "the", "of", "to", "and", "in", "is", "for", "on", "with",
+)
+
+#: Census-tier block boundaries: the _BLOCK_BREAK set plus the
+#: remaining structural tags (nav/aside/main/td/th/figure/dl/dt/dd).
+#: A SEPARATE constant on purpose — _BLOCK_BREAK is part of the gated
+#: strip_html definition and must not drift under it.
+BLOCK_SPLIT_RE = (
+    r"(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|section|article|"
+    r"header|footer|blockquote|nav|aside|main|td|th|figure|dl|dt|dd)"
+    r"[^>]*>"
+)
+
+_LINK_RE = r"(?is)<a[^>]*>(.*?)</a>"
+
+
+def _remove_noncontent(col: Column) -> Column:
+    """The strip_html pre-clean, factored for the census tier: drop
+    non-prose subtrees wholesale, then comments."""
+    out = col
+    for tag in _DROP_CONTENT:
+        out = F.regexp_replace(out, f"(?is)<{tag}\\b[^>]*>.*?</{tag}>", " ")
+    return F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+
+
+def _block_norm(col: Column) -> Column:
+    """Markup → single-spaced text for ONE block fragment: strip tags,
+    decode entities (same table and order as strip_html), collapse
+    whitespace."""
+    out = F.regexp_replace(col, r"(?s)<[^>]+>", " ")
+    for ent, rep in _ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def _census_link_chars(block: Column) -> Column:
+    """Visible characters inside <a>…</a> of one raw block fragment
+    (inner markup stripped the same way as block text)."""
+    links = F.regexp_extract_all(block, F.lit(_LINK_RE), 1)
+    return F.aggregate(
+        links, F.lit(0), lambda acc, x: acc + F.length(_block_norm(x))
+    )
+
+
+def _census_stopword_count(words: Column) -> Column:
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    return F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+
+
+def _census_verdict(
+    link_density: Column,
+    text_chars: Column,
+    stopword_density: Column,
+    link_density_max: float,
+    min_chars: int,
+    min_stopword_density: float,
+) -> Column:
+    """The deterministic 4-way jusText-style verdict. CASE order is
+    part of the contract (mirrored verbatim by oracles):
+    boilerplate (link-dominated) → short → good → low_stopword."""
+    return (
+        F.when(link_density > F.lit(link_density_max), F.lit("boilerplate"))
+        .when(text_chars < F.lit(min_chars), F.lit("short"))
+        .when(stopword_density >= F.lit(min_stopword_density), F.lit("good"))
+        .otherwise(F.lit("low_stopword"))
+    )
+
+
+def codegen_blocks(
+    df,
+    id_col: str,
+    html_col: str,
+    link_density_max: float = 0.35,
+    min_chars: int = 25,
+    min_stopword_density: float = 0.05,
+):
+    """Codegen block census: one row per non-empty block with every
+    signal the classifier consumes — ``(id, block_idx, text, n_links,
+    link_chars, text_chars, n_words, n_stopwords, link_density,
+    stopword_density, block_class)``.
+
+    ``block_idx`` is the block's position among the page's raw split
+    segments (empty segments keep their index but are not emitted),
+    so a downstream rebuild preserves document order. One posexplode
+    of one split — codegen end to end, zero shuffle (plan-pinned in
+    tests/test_html.py). Densities are single IEEE divisions of exact
+    longs rounded to 6 decimals, reproducible bit-for-bit by a SQL
+    oracle."""
+    from cdk_datalake_ingest_bigmagic_spark.operators import barrier
+
+    blocks = F.split(_remove_noncontent(F.col(html_col)), BLOCK_SPLIT_RE)
+    exploded = df.select(
+        F.col(id_col), F.posexplode(blocks).alias("block_idx", "__b")
+    )
+    staged = barrier(
+        exploded.select(
+            id_col,
+            "block_idx",
+            _block_norm(F.col("__b")).alias("text"),
+            F.size(
+                F.regexp_extract_all(F.col("__b"), F.lit(_LINK_RE), 1)
+            ).alias("n_links"),
+            _census_link_chars(F.col("__b")).alias("link_chars"),
+        )
+    ).filter(F.length("text") > 0)
+    words = F.split(F.col("text"), " ")
+    staged = barrier(
+        staged.select(
+            id_col,
+            "block_idx",
+            "text",
+            "n_links",
+            "link_chars",
+            F.length("text").alias("text_chars"),
+            F.size(words).alias("n_words"),
+            _census_stopword_count(words).alias("n_stopwords"),
+        )
+    )
+    link_density = F.round(
+        F.col("link_chars").cast("double") / F.col("text_chars").cast("double"),
+        6,
+    )
+    stopword_density = F.round(
+        F.col("n_stopwords").cast("double") / F.col("n_words").cast("double"),
+        6,
+    )
+    return staged.select(
+        id_col,
+        "block_idx",
+        "text",
+        "n_links",
+        "link_chars",
+        "text_chars",
+        "n_words",
+        "n_stopwords",
+        link_density.alias("link_density"),
+        stopword_density.alias("stopword_density"),
+        _census_verdict(
+            link_density,
+            F.col("text_chars"),
+            stopword_density,
+            link_density_max,
+            min_chars,
+            min_stopword_density,
+        ).alias("block_class"),
+    )
+
+
+def boilerplate_profile(blocks, id_col: str):
+    """Per-document observability over a :func:`codegen_blocks` frame:
+    block counts by verdict plus the page-level link load — the report
+    a crawl-curation job reads before choosing thresholds. One
+    map-side-combinable aggregation."""
+    cls = F.col("block_class")
+    return blocks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(F.when(cls == "good", 1).otherwise(0)).alias("n_good"),
+        F.sum(F.when(cls == "boilerplate", 1).otherwise(0)).alias(
+            "n_boilerplate"
+        ),
+        F.sum(F.when(cls == "short", 1).otherwise(0)).alias("n_short"),
+        F.sum(F.when(cls == "low_stopword", 1).otherwise(0)).alias(
+            "n_low_stopword"
+        ),
+        F.sum("n_links").alias("total_links"),
+        F.round(
+            F.sum("link_chars").cast("double")
+            / F.sum("text_chars").cast("double"),
+            6,
+        ).alias("page_link_density"),
+    )
+
+
+def extract_main_text(
+    df,
+    id_col: str,
+    html_col: str,
+    link_density_max: float = 0.35,
+    min_chars: int = 25,
+    min_stopword_density: float = 0.05,
+    keep_classes: tuple[str, ...] = ("good", "low_stopword"),
+    joiner: str = "\n\n",
+):
+    """Page → main text with the FULL verdict (where strip_html_dom
+    cuts on link density alone), entirely in-row: score every block
+    with the SAME signals as :func:`codegen_blocks`, keep
+    ``keep_classes``, and re-join survivors in page order —
+    ``(id, text, n_blocks_kept, n_blocks_dropped)``. No explode, no
+    shuffle: the page never leaves its row, which is the shape a
+    100 TB linearization pass needs (the census path exists for
+    analysis; this one for the pipeline). Differential-tested against
+    census-then-regroup in tests/test_html.py.
+
+    A page with no qualifying blocks yields ``text = ''`` (defined
+    verdict); NULL html stays NULL across all three output columns."""
+    from cdk_datalake_ingest_bigmagic_spark.operators import barrier
+
+    blocks = F.split(_remove_noncontent(F.col(html_col)), BLOCK_SPLIT_RE)
+    others = [c for c in df.columns if c != html_col]
+    staged = barrier(
+        df.select(
+            *others,
+            F.col(html_col).isNull().alias("__null"),
+            blocks.alias("__blocks"),
+        )
+    )
+    others = [*others, "__null"]
+
+    def _score(b: Column) -> Column:
+        text = _block_norm(b)
+        words = F.split(text, " ")
+        return F.struct(
+            text.alias("t"),
+            F.length(text).alias("tc"),
+            _census_link_chars(b).alias("lc"),
+            F.size(words).alias("nw"),
+            _census_stopword_count(words).alias("ns"),
+        )
+
+    scored = F.filter(
+        F.transform(F.col("__blocks"), _score), lambda s: s["tc"] > 0
+    )
+    staged = barrier(staged.select(*others, scored.alias("__scored")))
+
+    def _verdict(s: Column) -> Column:
+        ld = F.round(s["lc"].cast("double") / s["tc"].cast("double"), 6)
+        sd = F.round(s["ns"].cast("double") / s["nw"].cast("double"), 6)
+        return _census_verdict(
+            ld, s["tc"], sd, link_density_max, min_chars,
+            min_stopword_density,
+        )
+
+    keep = F.array(*[F.lit(k) for k in keep_classes])
+    kept = F.filter(
+        F.col("__scored"), lambda s: F.array_contains(keep, _verdict(s))
+    )
+    staged = barrier(
+        staged.select(
+            *others,
+            F.size("__scored").alias("__n_blocks"),
+            F.transform(kept, lambda s: s["t"]).alias("__kept"),
+        )
+    )
+    null = F.col("__null")
+    return staged.select(
+        *[c for c in others if c != "__null"],
+        F.when(null, F.lit(None).cast("string"))
+        .otherwise(F.concat_ws(joiner, F.col("__kept")))
+        .alias("text"),
+        F.when(null, F.lit(None).cast("int"))
+        .otherwise(F.size("__kept"))
+        .alias("n_blocks_kept"),
+        F.when(null, F.lit(None).cast("int"))
+        .otherwise(F.col("__n_blocks") - F.size("__kept"))
+        .alias("n_blocks_dropped"),
+    )

@@ -1,0 +1,262 @@
+"""Round-13/14 gate queries, pre-written and pre-validated in round
+12: the codegen block-census tier of operators/html.py (the jusText/
+trafilatura block CLASSIFIER as pure Column expressions — block
+census with link/stopword densities and the 4-way verdict, the
+per-document boilerplate profile, and in-row main-text extraction).
+
+The module's other tiers are already gated/tested (`html_extract_text`
+covers strip_html/extract_title; dom_blocks is pytest-pinned — a
+Python parse has no SQL oracle); these three gates cover the NEW
+classification layer.
+
+NOT imported by queries/__init__.py in round 12 — the round-12 front
+closed at 49/50; per the sustainability policy (rule 3) this wave is
+sized for the ~10-13 free slots the r13 projection shows (curation9's
+three paragraph gates have first claim; these three activate in r13
+if the slots hold, else r14). Activation = add the import + the three
+names to ``_GATE_FRONT``; the oracles validate ahead of registration
+via ``tools/validate_module.py curation10``.
+
+Gate-prep conventions (curation9 precedent): the synthetic corpus has
+no markup, so each document is wrapped in a deterministic page — head
+with title + a script containing a stray ``<`` and quotes (the
+classic tag-stripper trap), a pure-link nav, an h1, the document text
+as two paragraph blocks, an ad block on the doc_id % 5 == 0 schedule,
+and a link-heavy footer. The operators under test are general; only
+the prep is synthetic. Densities are single IEEE divisions of exact
+longs rounded to 6 decimals on both engines; the oracle mirrors the
+operator's pre-clean chain (_DROP_CONTENT subtrees, comments), the
+census split set, the entity table WITH its order, and the verdict
+CASE order verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.operators.html import (
+    STOPWORDS,
+    boilerplate_profile,
+    codegen_blocks,
+    extract_main_text,
+)
+from cdk_datalake_ingest_bigmagic_spark.queries import load, register
+
+
+def _prepped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ad = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.lit('<div class="ad"><a href="/buy">buy now</a> '
+                  '<a href="/deal">deal '),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("</a></div>"),
+        ),
+    ).otherwise(F.lit(""))
+    page = F.concat(
+        F.lit("<html><head><title>doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(' &amp; co</title><script>var a = 1 < 2; t("x");</script>'
+              "</head><body>"
+              '<nav><a href="/">home</a> <a href="/s'),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit('">sec</a></nav><h1>doc '),
+        F.col("doc_id").cast("string"),
+        F.lit(" heading</h1><p>"),
+        F.substring(F.col("text"), 1, 80),
+        F.lit("</p><p>"),
+        F.substring(F.col("text"), 81, 1000000),
+        F.lit("</p>"),
+        ad,
+        F.lit('<footer>copyright <a href="/tos">terms</a> '
+              '<a href="/p">privacy</a></footer></body></html>'),
+    )
+    return d.select("doc_id", page.alias("html"))
+
+
+# The oracle-side mirror of the operator chain, shared by all three
+# gates. _NORM(x) = tags stripped, entities decoded in table order
+# (&amp; last), whitespace collapsed — EXACTLY html._block_norm.
+_NORM = (
+    "trim(regexp_replace("
+    "replace(replace(replace(replace(replace(replace(replace("
+    "regexp_replace({x}, '(?s)<[^>]+>', ' ', 'g'),"
+    "'&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),"
+    "'&quot;', '\"'), '&#39;', chr(39)), '&apos;', chr(39)),"
+    "'&amp;', chr(38)),"
+    " '\\s+', ' ', 'g'))"
+)
+
+_STOPLIST = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+# html._remove_noncontent: the _DROP_CONTENT subtree sweep (script,
+# style, head, noscript, template, svg — same order) then comments.
+_CLEAN = "html"
+for _tag in ("script", "style", "head", "noscript", "template", "svg"):
+    _CLEAN = (
+        f"regexp_replace({_CLEAN}, "
+        f"'(?is)<{_tag}\\b[^>]*>.*?</{_tag}>', ' ', 'g')"
+    )
+_CLEAN = f"regexp_replace({_CLEAN}, '(?s)<!--.*?-->', ' ', 'g')"
+
+# html.BLOCK_SPLIT_RE, verbatim.
+_BLOCK_SPLIT_SQL = (
+    "(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|section|article|"
+    "header|footer|blockquote|nav|aside|main|td|th|figure|dl|dt|dd)"
+    "[^>]*>"
+)
+
+_PREP_SQL = f"""
+    prep AS (
+      SELECT doc_id,
+             '<html><head><title>doc ' || doc_id
+             || ' &amp; co</title><script>var a = 1 < 2; t("x");</script>'
+             || '</head><body>'
+             || '<nav><a href="/">home</a> <a href="/s' || (doc_id % 3)
+             || '">sec</a></nav><h1>doc ' || doc_id || ' heading</h1><p>'
+             || substr(text, 1, 80) || '</p><p>'
+             || substr(text, 81, 1000000) || '</p>'
+             || CASE WHEN doc_id % 5 = 0
+                     THEN '<div class="ad"><a href="/buy">buy now</a> '
+                          || '<a href="/deal">deal ' || (doc_id % 7)
+                          || '</a></div>'
+                     ELSE '' END
+             || '<footer>copyright <a href="/tos">terms</a> '
+             || '<a href="/p">privacy</a></footer></body></html>' AS html
+      FROM documents
+    ),
+    cleaned AS (
+      SELECT doc_id, {_CLEAN} AS s FROM prep
+    ),
+    rawblocks AS (
+      SELECT doc_id, CAST(i.i AS INT) AS block_idx, segs[i.i + 1] AS b
+      FROM (SELECT doc_id,
+                   string_split_regex(s, '{_BLOCK_SPLIT_SQL}') AS segs
+            FROM cleaned) t,
+           LATERAL (SELECT unnest(range(len(segs))) AS i) i
+    ),
+    sig AS (
+      SELECT doc_id, block_idx,
+             {_NORM.format(x='b')} AS text,
+             regexp_extract_all(b, '(?is)<a[^>]*>(.*?)</a>', 1) AS links
+      FROM rawblocks
+    ),
+    counted AS (
+      SELECT doc_id, block_idx, text,
+             CAST(len(links) AS INT) AS n_links,
+             CAST(coalesce(list_sum(list_transform(
+               links, x -> length({_NORM.format(x='x')}))), 0) AS INT)
+               AS link_chars,
+             CAST(length(text) AS INT) AS text_chars,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+             CAST(len(list_filter(string_split(text, ' '),
+               w -> list_contains({_STOPLIST}, w))) AS INT) AS n_stopwords
+      FROM sig
+      WHERE length(text) > 0
+    ),
+    census AS (
+      SELECT doc_id, block_idx, text, n_links, link_chars, text_chars,
+             n_words, n_stopwords,
+             round(link_chars::DOUBLE / text_chars::DOUBLE, 6)
+               AS link_density,
+             round(n_stopwords::DOUBLE / n_words::DOUBLE, 6)
+               AS stopword_density,
+             CASE
+               WHEN round(link_chars::DOUBLE / text_chars::DOUBLE, 6) > 0.35
+                 THEN 'boilerplate'
+               WHEN text_chars < 25 THEN 'short'
+               WHEN round(n_stopwords::DOUBLE / n_words::DOUBLE, 6) >= 0.05
+                 THEN 'good'
+               ELSE 'low_stopword'
+             END AS block_class
+      FROM counted
+    )
+"""
+
+
+@register(
+    "html_block_census",
+    oracle=f"""
+    WITH {_PREP_SQL}
+    SELECT * FROM census
+    """,
+)
+def html_block_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """codegen_blocks over the wrapped corpus: one row per non-empty
+    block with every classifier signal (link/stopword densities as
+    rounded exact-long divisions) and the 4-way verdict. posexplode +
+    codegen regexps, zero shuffle (plan-pinned in tests/test_html.py).
+    The nav/footer land 'boilerplate', the h1 'short', the two text
+    paragraphs split 'good'/'low_stopword' on their a/the density —
+    every verdict leg populated at sf0.01."""
+    p = _prepped(spark, sf_dir)
+    b = codegen_blocks(p, "doc_id", "html")
+    for c in ("n_links", "link_chars", "text_chars", "n_words",
+              "n_stopwords"):
+        b = b.withColumn(c, F.col(c).cast("int"))
+    return b
+
+
+@register(
+    "html_boilerplate_profile",
+    oracle=f"""
+    WITH {_PREP_SQL}
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(CASE WHEN block_class = 'good' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_good,
+           CAST(sum(CASE WHEN block_class = 'boilerplate' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_boilerplate,
+           CAST(sum(CASE WHEN block_class = 'short' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_short,
+           CAST(sum(CASE WHEN block_class = 'low_stopword' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_low_stopword,
+           CAST(sum(n_links) AS BIGINT) AS total_links,
+           round(sum(link_chars)::DOUBLE / sum(text_chars)::DOUBLE, 6)
+             AS page_link_density
+    FROM census
+    GROUP BY doc_id
+    """,
+)
+def html_boilerplate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """boilerplate_profile: the per-document curation report (verdict
+    counts + page link load) — ONE map-side-combinable aggregation
+    over the census."""
+    p = _prepped(spark, sf_dir)
+    return boilerplate_profile(codegen_blocks(p, "doc_id", "html"), "doc_id")
+
+
+@register(
+    "html_extract_main_text",
+    oracle=f"""
+    WITH {_PREP_SQL},
+    kept AS (
+      SELECT doc_id,
+             string_agg(text, chr(10) || chr(10) ORDER BY block_idx) AS t,
+             CAST(count(*) AS INT) AS n_kept
+      FROM census
+      WHERE block_class IN ('good', 'low_stopword')
+      GROUP BY doc_id
+    ),
+    totals AS (
+      SELECT doc_id, CAST(count(*) AS INT) AS n_blocks FROM census
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(k.t, '') AS text,
+           coalesce(k.n_kept, 0) AS n_blocks_kept,
+           t.n_blocks - coalesce(k.n_kept, 0) AS n_blocks_dropped
+    FROM documents d
+    JOIN totals t USING (doc_id)
+    LEFT JOIN kept k USING (doc_id)
+    """,
+)
+def html_extract_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract_main_text end-to-end: page → main text with the content
+    blocks re-joined in page order, fully in-row (no explode, no
+    shuffle — the 100 TB linearization shape; the oracle states the
+    same result relationally via the census + regroup)."""
+    p = _prepped(spark, sf_dir)
+    return extract_main_text(p, "doc_id", "html")

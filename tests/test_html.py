@@ -249,3 +249,199 @@ def test_robots_directives(spark):
     assert out[2] == {"noindex": False, "nofollow": False, "noarchive": False}
     assert out[3]["noindex"] is False
     assert out[4] == {"noindex": False, "nofollow": False, "noarchive": False}
+
+
+# ---------------------------------------------------------------------------
+# Codegen block-census tier (codegen_blocks / boilerplate_profile /
+# extract_main_text) — round 12
+# ---------------------------------------------------------------------------
+
+import pytest
+import re as _re
+
+from cdk_datalake_ingest_bigmagic_spark.operators.html import (
+    BLOCK_SPLIT_RE,
+    STOPWORDS,
+    boilerplate_profile,
+    codegen_blocks,
+    extract_main_text,
+)
+
+
+def _py_census(page: str):
+    """Pure-Python mirror of the census signal chain."""
+    s = page
+    for tag in ("script", "style", "head", "noscript", "template", "svg"):
+        s = _re.sub(rf"(?is)<{tag}\b[^>]*>.*?</{tag}>", " ", s)
+    s = _re.sub(r"(?s)<!--.*?-->", " ", s)
+
+    def norm(fragment: str) -> str:
+        t = _re.sub(r"(?s)<[^>]+>", " ", fragment)
+        for src, dst in (
+            ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+            ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+            ("&amp;", "&"),
+        ):
+            t = t.replace(src, dst)
+        return _re.sub(r"\s+", " ", t).strip()
+
+    out = []
+    # re.split returns CAPTURED separators as items; Spark's split and
+    # DuckDB's string_split_regex do not — neutralize the group
+    split_re = BLOCK_SPLIT_RE.replace("</?(", "</?(?:")
+    for idx, b in enumerate(_re.split(split_re, s)):
+        text = norm(b)
+        if not text:
+            continue
+        links = _re.findall(r"(?is)<a[^>]*>(.*?)</a>", b)
+        link_chars = sum(len(norm(x)) for x in links)
+        words = text.split(" ")
+        n_stop = sum(1 for w in words if w in STOPWORDS)
+        ld = round(link_chars / len(text), 6)
+        sd = round(n_stop / len(words), 6)
+        if ld > 0.35:
+            cls = "boilerplate"
+        elif len(text) < 25:
+            cls = "short"
+        elif sd >= 0.05:
+            cls = "good"
+        else:
+            cls = "low_stopword"
+        out.append(
+            dict(block_idx=idx, text=text, n_links=len(links),
+                 link_chars=link_chars, text_chars=len(text),
+                 n_words=len(words), n_stopwords=n_stop,
+                 link_density=ld, stopword_density=sd, block_class=cls)
+        )
+    return out
+
+
+CENSUS_PAGES = [
+    # the full shape: head+script (with a stray '<' and a literal
+    # '</head>' inside script text — script removal runs FIRST), nav,
+    # heading, prose, tiny block, ad, footer, entities
+    (1, '<html><head><title>t &amp; u</title>'
+        '<script>var a = 1 < 2; go("</head>");</script>'
+        '<style>b{color:red}</style></head><body>'
+        '<nav><a href="/">home</a> <a href="/n">news</a></nav>'
+        '<h1>a heading here</h1>'
+        '<p>the quick brown fox is a friend of the lazy dog and it '
+        'runs to the mill with joy for everyone involved today</p>'
+        '<p>tiny</p>'
+        '<div class="ad"><a href="/buy">buy now</a> offer '
+        '<a href="/deal">deal</a></div>'
+        '<footer>copyright <a href="/tos">terms</a></footer>'
+        '</body></html>'),
+    # no markup at all: one block, the whole text
+    (2, 'the plain text of a page with no tags at all but plenty of '
+        'the usual words in a long enough run to be kept for sure'),
+    # link-only page: everything boilerplate, extraction yields ''
+    (3, '<div><a href="/a">one</a> <a href="/b">two</a></div>'
+        '<div><a href="/c">three</a></div>'),
+    # entities + <header> content survives (<head> must not eat it
+    # because its regex has \b)
+    (4, '<header>the header words of the page stay in as content '
+        'here</header><p>5 &lt; 7 &amp;&amp; 9 &gt; 2 is a fact of '
+        'the arithmetic on this page for all of the readers</p>'),
+    # empty + comment-only page: zero blocks
+    (5, '<!-- nothing here --> <p>  </p>'),
+]
+
+
+@pytest.fixture(scope="module")
+def census_pages_df(spark):
+    return spark.createDataFrame(CENSUS_PAGES, "doc_id long, html string")
+
+
+def test_codegen_blocks_differential(spark, census_pages_df):
+    got = {
+        (r["doc_id"], r["block_idx"]): r.asDict()
+        for r in codegen_blocks(census_pages_df, "doc_id", "html").collect()
+    }
+    n_expected = 0
+    for doc_id, page in CENSUS_PAGES:
+        for exp in _py_census(page):
+            n_expected += 1
+            row = got[(doc_id, exp["block_idx"])]
+            for k, v in exp.items():
+                assert row[k] == v, (doc_id, exp["block_idx"], k, row, exp)
+    assert len(got) == n_expected
+
+
+def test_extract_matches_census_regroup(spark, census_pages_df):
+    """The zero-explode in-row path must equal census-then-regroup."""
+    census = codegen_blocks(census_pages_df, "doc_id", "html")
+    regrouped = {
+        r["doc_id"]: r
+        for r in census.filter(
+            F.col("block_class").isin("good", "low_stopword")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "\n\n",
+                F.array_sort(F.collect_list(F.struct("block_idx", "text")))
+                .getField("text"),
+            ).alias("text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .collect()
+    }
+    for r in extract_main_text(census_pages_df, "doc_id", "html").collect():
+        exp = regrouped.get(r["doc_id"])
+        assert r["text"] == (exp["text"] if exp else "")
+        assert r["n_blocks_kept"] == (exp["n_kept"] if exp else 0)
+
+
+def test_extract_null_and_empty_verdicts(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "<!-- x -->"), (3, "<div><a href='/'>zz</a></div>")],
+        "doc_id long, html string",
+    )
+    got = {r["doc_id"]: r for r in
+           extract_main_text(df, "doc_id", "html").collect()}
+    assert got[1]["text"] is None and got[1]["n_blocks_kept"] is None
+    assert got[2]["text"] == "" and got[2]["n_blocks_kept"] == 0
+    assert got[3]["text"] == "" and got[3]["n_blocks_dropped"] == 1
+
+
+def test_boilerplate_profile(spark, census_pages_df):
+    prof = {
+        r["doc_id"]: r
+        for r in boilerplate_profile(
+            codegen_blocks(census_pages_df, "doc_id", "html"), "doc_id"
+        ).collect()
+    }
+    for doc_id, page in CENSUS_PAGES:
+        blocks = _py_census(page)
+        if not blocks:
+            assert doc_id not in prof
+            continue
+        r = prof[doc_id]
+        assert r["n_blocks"] == len(blocks)
+        for cls, col in (
+            ("good", "n_good"), ("boilerplate", "n_boilerplate"),
+            ("short", "n_short"), ("low_stopword", "n_low_stopword"),
+        ):
+            assert r[col] == sum(1 for b in blocks if b["block_class"] == cls)
+        assert r["total_links"] == sum(b["n_links"] for b in blocks)
+        assert r["page_link_density"] == round(
+            sum(b["link_chars"] for b in blocks)
+            / sum(b["text_chars"] for b in blocks), 6
+        )
+
+
+def test_census_and_extract_plans_are_shuffle_free(spark, census_pages_df):
+    """Census = split + posexplode + projections; extract = in-row
+    HOFs. Any Exchange is a regression (both must stay scan-bound at
+    100 TB)."""
+    census_exec = (
+        codegen_blocks(census_pages_df, "doc_id", "html")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in census_exec, census_exec
+    extract_exec = (
+        extract_main_text(census_pages_df, "doc_id", "html")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in extract_exec, extract_exec
