@@ -1,0 +1,122 @@
+"""Scale probe for the HTML codegen block-census tier
+(operators/html.py round-12 additions, staged curation10 gates): the
+gate prep shape at 500k documents — every doc wrapped in a page
+(head+script trap, link-only nav, h1, two paragraph blocks, scheduled
+ad block, link-heavy footer).
+
+Shapes watched: census and extract are pure per-row projections —
+wall must track the corpus linearly and the executed plans must stay
+Exchange-free (the census's posexplode and the extract's in-row HOFs
+never move a byte between partitions); the profile adds ONE
+map-side-combinable aggregation. Sibling records at 500k: secrets
+7.6 s, cross-corpus 15.6 s, paragraph census 12.8 s.
+
+Usage: python tools/html_probe.py [N_replicas]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.scale_probe import build_replica  # noqa: E402
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    a_out = f"/tmp/documents_x{n}.parquet"
+    if not os.path.exists(a_out):
+        build_replica(n, a_out)
+
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_bigmagic_spark import get_spark
+    from cdk_datalake_ingest_bigmagic_spark.operators.html import (
+        boilerplate_profile,
+        codegen_blocks,
+        extract_main_text,
+    )
+
+    spark = get_spark(app_name="html-probe")
+    docs = spark.read.parquet(a_out)
+    n_docs = docs.count()
+
+    ad = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.lit('<div class="ad"><a href="/buy">buy now</a> '
+                  '<a href="/deal">deal '),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("</a></div>"),
+        ),
+    ).otherwise(F.lit(""))
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>doc "),
+            F.col("doc_id").cast("string"),
+            F.lit(' &amp; co</title><script>var a = 1 < 2; t("x");</script>'
+                  '</head><body><nav><a href="/">home</a> <a href="/s'),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit('">sec</a></nav><h1>doc '),
+            F.col("doc_id").cast("string"),
+            F.lit(" heading</h1><p>"),
+            F.substring("text", 1, 80),
+            F.lit("</p><p>"),
+            F.substring("text", 81, 1000000),
+            F.lit("</p>"),
+            ad,
+            F.lit('<footer>copyright <a href="/tos">terms</a> '
+                  '<a href="/p">privacy</a></footer></body></html>'),
+        ).alias("html"),
+    )
+
+    out: dict = {"probe": "html_census_tier", "n_docs": n_docs}
+
+    census = codegen_blocks(pages, "doc_id", "html")
+    t0 = time.time()
+    n_blocks = census.count()
+    out["census_blocks"] = n_blocks
+    out["census_sec"] = round(time.time() - t0, 1)
+    out["census_exchanges"] = (
+        census._jdf.queryExecution().executedPlan().toString()
+    ).count("Exchange")
+
+    t0 = time.time()
+    prof = boilerplate_profile(
+        codegen_blocks(pages, "doc_id", "html"), "doc_id"
+    )
+    agg = prof.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_boilerplate").alias("boiler"),
+        F.sum("n_good").alias("good"),
+    ).collect()[0]
+    out["profile_docs"] = agg["docs"]
+    out["profile_boilerplate_blocks"] = int(agg["boiler"])
+    out["profile_good_blocks"] = int(agg["good"])
+    out["profile_sec"] = round(time.time() - t0, 1)
+
+    extracted = extract_main_text(pages, "doc_id", "html")
+    t0 = time.time()
+    kept = extracted.agg(
+        F.sum("n_blocks_kept").alias("k"),
+        F.sum("n_blocks_dropped").alias("d"),
+    ).collect()[0]
+    out["extract_blocks_kept"] = int(kept["k"])
+    out["extract_blocks_dropped"] = int(kept["d"])
+    out["extract_sec"] = round(time.time() - t0, 1)
+    out["extract_exchanges"] = (
+        extracted._jdf.queryExecution().executedPlan().toString()
+    ).count("Exchange")
+
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

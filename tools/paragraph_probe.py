@@ -1,0 +1,119 @@
+"""Scale probe for the paragraph-dedup family (operators/paragraphs.py,
+staged round-13 gates): the curation9 prep shape at 500k documents.
+
+Corpus: the standard 100× disjoint replica of sf0.1 documents, rebuilt
+into paragraphs the way the gates do — a unique intro slice, a
+corpus-wide boilerplate paragraph in 7 exact variants (the duplication
+signal a real crawl has: half a million occurrences collapse to 7
+winners), a near-duplicate ticker on the doc_id % 11 == 0 schedule,
+and a unique body slice. Replica word-suffixing keeps intro/body
+paragraphs textually disjoint across replicas; the boilerplate and
+ticker are NOT suffixed, so their occurrence sets grow linearly with
+N — the exact regime the census/strip shuffles must absorb.
+
+Shapes watched (the sibling records: secrets 7.6 s, DSIR 202 s,
+ngramrep 279 s, cross-corpus 15.6 s at 500k):
+
+- census: ONE map-side-combined aggregation — the 3.5M paragraph
+  occurrences of the 7 boilerplate variants must combine map-side,
+  not travel;
+- strip: census + one hash join back on para_hash + per-doc rebuild;
+- near-dup pairs (MinHash tier): unique_paragraphs first (the
+  documented precondition) — candidates stay ~|distinct paras that
+  repeat|, not |occurrences|².
+
+Usage: python tools/paragraph_probe.py [N_replicas]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.scale_probe import build_replica  # noqa: E402
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    a_out = f"/tmp/documents_x{n}.parquet"
+    if not os.path.exists(a_out):
+        build_replica(n, a_out)
+
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_bigmagic_spark import get_spark
+    from cdk_datalake_ingest_bigmagic_spark.operators import paragraphs as pg
+
+    spark = get_spark(app_name="paragraph-probe")
+    docs = spark.read.parquet(a_out)
+    n_docs = docs.count()
+
+    # the curation9 prep, replica-scale (boiler/ticker NOT suffixed)
+    boiler = "subscribe to the newsletter and follow our channel today please variant "
+    near = "breaking news ticker section for region group edition media slot "
+    k7 = (F.col("doc_id") % 7).cast("string")
+    k5 = (F.col("doc_id") % 5).cast("string")
+    k3 = (F.col("doc_id") % 3).cast("string")
+    ticker = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(F.lit(near), k5, F.lit(" tail "), k3),
+    ).otherwise(F.lit(""))
+    prepped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("intro "), F.substring("text", 1, 60), F.lit("\n\n"),
+            F.lit(boiler), k7, F.lit("\n\n"),
+            ticker, F.lit("\n\n"),
+            F.lit("body "), F.substring("text", 61, 1000000),
+        ).alias("text"),
+    )
+
+    out: dict = {"probe": "paragraph_family", "n_docs": n_docs}
+
+    paras = pg.split_paragraphs(prepped, "doc_id", "text")
+    t0 = time.time()
+    n_paras = paras.count()
+    out["n_paragraphs"] = n_paras
+    out["split_sec"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    groups = pg.paragraph_exact_groups(
+        pg.split_paragraphs(prepped, "doc_id", "text"), "doc_id"
+    ).filter(F.col("n_occurrences") >= 2)
+    n_groups = groups.count()
+    top = groups.orderBy(F.desc("n_occurrences")).limit(1).collect()[0]
+    out["census_repeated_groups"] = n_groups
+    out["census_top_occurrences"] = top["n_occurrences"]
+    out["census_sec"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    stripped = pg.strip_duplicate_paragraphs(prepped, "doc_id", "text")
+    n_stripped = stripped.count()
+    survivors = stripped.select(
+        F.sum(
+            F.size(F.split(F.col("text"), r"\n{2,}"))
+        ).alias("s")
+    ).collect()[0]["s"]
+    out["strip_docs"] = n_stripped
+    out["strip_surviving_paragraph_slots"] = int(survivors)
+    out["strip_sec"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    pairs = pg.paragraph_minhash_pairs(
+        prepped, "doc_id", "text", n=3, threshold=0.8
+    )
+    n_pairs = pairs.count()
+    out["minhash_pairs"] = n_pairs
+    out["minhash_sec"] = round(time.time() - t0, 1)
+
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
