@@ -103,6 +103,24 @@ class CorpusPipelineConfig:
     #: so it runs first. Ignored if ``url_col`` is absent.
     url_dedup: bool = False
     url_col: str = "url"
+    #: enables HTML linearization BEFORE every text step (operators/
+    #: html.py codegen census tier): ``html_col`` pages are scored
+    #: block by block (link density + stopword density, jusText-style
+    #: verdict) and the content blocks re-joined into ``text_col`` —
+    #: the raw-crawl entry point. Pure per-row projection (no explode,
+    #: no shuffle). Ignored if ``html_col`` is absent; rows whose page
+    #: linearizes to nothing (NULL html, all-boilerplate pages) leave
+    #: the corpus — fail-closed, like the line step's empty documents.
+    html_extract: bool = False
+    html_col: str = "html"
+    #: enables corpus-wide paragraph dedup between the line step and
+    #: the clean gates (operators/paragraphs.py): every non-canonical
+    #: occurrence of a repeated paragraph is removed and documents are
+    #: rebuilt in paragraph order (RefinedWeb's dedup rule at
+    #: paragraph granularity); documents whose every paragraph is
+    #: stripped leave the corpus. One census aggregation + one
+    #: para_hash join ahead of the otherwise zero-shuffle clean scan.
+    paragraph_dedup: bool = False
     #: enables secret/credential scrubbing inside the ``clean`` step
     #: (operators.secrets): provider-format credentials (AWS/GitHub/
     #: Slack tokens, JWTs, PEM blocks, long hex/base64 runs) are
@@ -167,10 +185,12 @@ class CorpusPipeline:
         # lines' fingerprint when the line step is on).
         "lines": ("id_col", "text_col", "line_sep", "line_min_words",
                   "line_dedup_min_chars", "line_require_punct",
-                  "fix_text", "url_dedup", "url_col"),
+                  "fix_text", "url_dedup", "url_col",
+                  "html_extract", "html_col"),
         "clean": ("id_col", "text_col", "compression_band",
                   "compression_min_ratio", "compression_max_ratio",
-                  "fix_text", "url_dedup", "url_col", "scrub_secrets"),
+                  "fix_text", "url_dedup", "url_col", "scrub_secrets",
+                  "html_extract", "html_col", "paragraph_dedup"),
         "dedup": ("id_col", "text_col", "shingle_n", "jaccard_threshold"),
         "scorecard": ("id_col", "text_col", "score_card"),
         "split": ("id_col", "splits", "seed"),
@@ -300,6 +320,23 @@ class CorpusPipeline:
             )
 
             docs = dedup_by_url(docs, cfg.url_col, tie_col=ic)
+        if cfg.html_extract and cfg.html_col in docs.columns:
+            from cdk_datalake_ingest_bigmagic_spark.operators.html import (
+                extract_main_text,
+            )
+
+            # linearize BEFORE fix_text so the repair passes see the
+            # extracted prose, not markup; the extractor emits 'text'
+            # plus block counters — align to text_col and drop the
+            # counters, and drop rows with nothing left (NULL html or
+            # an all-boilerplate page)
+            src = docs.drop(tc) if tc in docs.columns else docs
+            docs = extract_main_text(src, ic, cfg.html_col)
+            if tc != "text":
+                docs = docs.withColumnRenamed("text", tc)
+            docs = docs.drop("n_blocks_kept", "n_blocks_dropped").filter(
+                F.length(tc) > 0
+            )
         if cfg.fix_text:
             from cdk_datalake_ingest_bigmagic_spark.operators.encoding import (
                 repair_encoding,
@@ -353,6 +390,26 @@ class CorpusPipeline:
             line_res = self._step("lines", "", build_lines)
             clean_input = self.read("lines")
             clean_upstream_fp = line_res.fingerprint
+
+        if cfg.paragraph_dedup:
+            from cdk_datalake_ingest_bigmagic_spark.operators.paragraphs import (
+                strip_duplicate_paragraphs,
+            )
+
+            # corpus-wide paragraph strip feeds the clean step's input
+            # (the RefinedWeb order: sub-document dedup before the
+            # document-level gates); non-text columns ride back via
+            # one id-key join, empty documents leave the corpus
+            src = clean_input
+            other = [c for c in src.columns if c not in (ic, tc)]
+            stripped = strip_duplicate_paragraphs(
+                src.select(ic, tc), ic, tc
+            ).filter(F.length(tc) > 0)
+            clean_input = (
+                stripped.join(src.select(ic, *other), ic)
+                if other
+                else stripped
+            )
 
         def build_clean():
             # both gates are projections — passthrough keeps the

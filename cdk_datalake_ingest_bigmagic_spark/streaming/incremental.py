@@ -68,11 +68,19 @@ def stream_corpus_clean(
     text_col: str = "text",
     available_now: bool = True,
     scrub_secrets: bool = False,
+    html_extract: bool = False,
+    html_col: str = "html",
 ):
     """Incremental corpus cleaning — the continuous-crawl version of
     ``corpus_clean_pipeline``. Each run drains exactly the document
     files not yet seen (checkpointed file log), then per micro-batch:
 
+    0. (``html_extract=True``) HTML linearization: ``html_col`` pages
+       are block-scored and re-joined into ``text_col`` by the codegen
+       census tier (operators/html.py) — a pure per-row projection, so
+       it is streaming-safe with no state; rows whose page linearizes
+       to nothing are dropped (the same flag + fail-closed rule as
+       CorpusPipeline's batch entry step),
     1. repetition gate (Gopher-style rules; zero-shuffle projection),
     2. PII scrub (codegen ``regexp_replace``) — plus the credential
        scrub (operators/secrets) when ``scrub_secrets=True``, the same
@@ -99,6 +107,22 @@ def stream_corpus_clean(
     def process_batch(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if html_extract and html_col in batch_df.columns:
+            from cdk_datalake_ingest_bigmagic_spark.operators.html import (
+                extract_main_text,
+            )
+
+            src = (
+                batch_df.drop(text_col)
+                if text_col in batch_df.columns
+                else batch_df
+            )
+            batch_df = extract_main_text(src, id_col, html_col)
+            if text_col != "text":
+                batch_df = batch_df.withColumnRenamed("text", text_col)
+            batch_df = batch_df.drop(
+                "n_blocks_kept", "n_blocks_dropped"
+            ).filter(F.length(text_col) > 0)
         passing = (
             tx.repetition_features(batch_df, id_col, text_col)
             .filter(F.col("passes_repetition_filter"))

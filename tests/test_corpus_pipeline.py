@@ -496,3 +496,74 @@ def test_pipeline_scrub_secrets_step(spark, tmp_path):
         spark, str(tmp_path / "art"), CorpusPipelineConfig()
     ).run(docs)
     assert not rerun["clean"].skipped
+
+
+def test_pipeline_html_extract_step(spark, tmp_path):
+    """html_extract=True linearizes html_col into text before every
+    text step: boilerplate blocks are gone from the clean output, a
+    NULL-html row leaves the corpus, and the flag participates in the
+    clean fingerprint."""
+    from cdk_datalake_ingest_bigmagic_spark.plans.corpus import (
+        CorpusPipeline,
+        CorpusPipelineConfig,
+    )
+
+    prose = ("the quick brown fox jumps over a lazy dog with many of "
+             "the usual ordinary words running along for quality and "
+             "the gates to pass in a long enough stretch of text today")
+    docs = spark.createDataFrame(
+        [
+            (1, '<html><head><title>t</title></head><body>'
+                '<nav><a href="/">home</a> <a href="/n">news</a></nav>'
+                f'<p>{prose}</p>'
+                '<footer>copyright <a href="/t">terms</a></footer>'
+                '</body></html>', "s0"),
+            (2, None, "s0"),
+        ],
+        "doc_id long, html string, source string",
+    )
+    cfg = CorpusPipelineConfig(html_extract=True)
+    pipe = CorpusPipeline(spark, str(tmp_path / "art"), cfg)
+    results = pipe.run(docs)
+    out = {r["doc_id"]: r for r in pipe.read("clean").collect()}
+    assert list(out) == [1]  # the NULL-html row left the corpus
+    assert out[1]["text"] == prose
+    assert "home" not in out[1]["text"]  # nav boilerplate stripped
+    assert results["clean"].rows == 1
+    # flag participates in the clean fingerprint
+    rerun = CorpusPipeline(
+        spark, str(tmp_path / "art2"), CorpusPipelineConfig(html_extract=True)
+    ).run(docs)
+    assert not rerun["clean"].skipped
+
+
+def test_pipeline_paragraph_dedup_step(spark, tmp_path):
+    """paragraph_dedup=True strips non-canonical repeated paragraphs
+    corpus-wide before the clean gates; the canonical occurrence
+    survives and source columns ride through."""
+    from cdk_datalake_ingest_bigmagic_spark.plans.corpus import (
+        CorpusPipeline,
+        CorpusPipelineConfig,
+    )
+
+    boiler = ("subscribe to the newsletter for more of the updates and "
+              "offers every single week from all of us here")
+    u1 = ("a first unique paragraph with plenty of the plain ordinary "
+          "words to keep the quality gates happy and satisfied today")
+    u2 = ("a second unique paragraph that likewise runs long enough "
+          "for the scorer and the repetition rules to wave it through")
+    docs = spark.createDataFrame(
+        [
+            (1, f"{u1}\n\n{boiler}", "s0"),
+            (2, f"{boiler}\n\n{u2}", "s1"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    cfg = CorpusPipelineConfig(paragraph_dedup=True)
+    pipe = CorpusPipeline(spark, str(tmp_path / "art"), cfg)
+    pipe.run(docs)
+    out = {r["doc_id"]: r for r in pipe.read("clean").collect()}
+    # canonical occurrence = (doc,idx)-minimal → doc 1 keeps it
+    assert out[1]["text"] == f"{u1}\n\n{boiler}"
+    assert out[2]["text"] == u2
+    assert out[2]["source"] == "s1"  # non-text columns ride back

@@ -500,3 +500,34 @@ def test_stream_corpus_clean_scrub_secrets(spark, tmp_path):
     assert len(rows) == 1
     assert "AKIA" not in rows[0]["text"]
     assert "[SECRET:aws_key_id]" in rows[0]["text"]
+
+
+def test_streaming_corpus_clean_html_extract(spark, tmp_path):
+    """html_extract=True linearizes crawled pages inside the streaming
+    cleaner (per-row projection — no stream state): boilerplate blocks
+    never reach the sink, NULL-html rows are dropped, and the
+    downstream gates/scrub/dedup run on the extracted text."""
+    from cdk_datalake_ingest_bigmagic_spark.streaming.incremental import (
+        stream_corpus_clean,
+    )
+
+    docs = str(tmp_path / "docs")
+    out = str(tmp_path / "clean")
+    ckpt = str(tmp_path / "ckpt")
+    prose = ("good crawled document with mail alice@example.org and "
+             "plenty of the plain ordinary words to pass the gates")
+    page = ('<html><head><title>t</title></head><body>'
+            '<nav><a href="/">home</a> <a href="/n">news</a></nav>'
+            f'<p>{prose}</p>'
+            '<footer>copyright <a href="/t">terms</a></footer>'
+            '</body></html>')
+    spark.createDataFrame(
+        [(1, page), (2, None)], "doc_id long, html string"
+    ).write.parquet(docs)
+    stream_corpus_clean(
+        spark, docs, out, ckpt, html_extract=True
+    ).awaitTermination()
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert set(got) == {1}
+    assert "home" not in got[1] and "copyright" not in got[1]
+    assert "<EMAIL>" in got[1] and "@" not in got[1]
