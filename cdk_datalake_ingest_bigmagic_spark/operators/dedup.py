@@ -256,6 +256,114 @@ def trim_duplicate_spans(
     )
 
 
+def duplicate_intervals(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    stride: int = 4,
+    min_docs: int = 2,
+    min_tokens: int = 0,
+) -> DataFrame:
+    """MAXIMAL cross-document duplicated intervals — the interval view
+    the published exact-substring rule needs (Lee et al. 2022 drop
+    shared runs of ≥ 50 tokens; a fixed-width span hit cannot say how
+    LONG the shared run is). Merges :func:`duplicate_spans` hits per
+    document: a new interval starts where the position gap exceeds
+    ``n`` (a gap the span width cannot bridge — with ``stride ≤ n``
+    every contiguous duplicated region yields hits at most ``stride``
+    apart, so maximal runs merge exactly); spans of DIFFERENT hashes
+    merge too, which is what turns a 200-token shared run of many
+    distinct 8-token windows into one interval.
+
+    Returns (id, start_token, end_token, n_tokens) in the normalized
+    0-based token coordinates of the span index, ``end`` exclusive,
+    filtered to ``n_tokens >= min_tokens``.
+
+    Scale shape: the detection relation holds only duplicated-span
+    occurrences (the exception in a curated corpus); the merge is one
+    hash shuffle on the document id + a partition-local ordered
+    window + one map-side-combinable aggregation — per-document skew
+    bounded by doc length / stride.
+    """
+    spans = duplicate_spans(
+        df, id_col, text_col, n=n, stride=stride, min_docs=min_docs
+    )
+    w = Window.partitionBy(id_col).orderBy("span_pos")
+    gap = F.col("span_pos") - F.lag("span_pos").over(w)
+    seg = spans.withColumn(
+        "__brk", F.when(gap.isNull() | (gap > n), 1).otherwise(0)
+    ).withColumn(
+        "__seg",
+        F.sum("__brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    out = (
+        seg.groupBy(id_col, "__seg")
+        .agg(
+            F.min("span_pos").alias("start_token"),
+            (F.max("span_pos") + n).alias("end_token"),
+        )
+        .select(
+            id_col,
+            "start_token",
+            "end_token",
+            (F.col("end_token") - F.col("start_token")).alias("n_tokens"),
+        )
+    )
+    if min_tokens > 0:
+        out = out.filter(F.col("n_tokens") >= min_tokens)
+    return out
+
+
+def duplicated_run_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    stride: int = 4,
+    min_docs: int = 2,
+    min_tokens: int = 0,
+) -> DataFrame:
+    """Per-document memorization-risk report over
+    :func:`duplicate_intervals`: how much of each document sits inside
+    long cross-document shared runs — ``(id, n_tokens_total,
+    n_intervals, dup_run_tokens, longest_run, dup_run_fraction)``.
+    Every document gets a row (zeros when nothing is shared); the
+    fraction is a single IEEE division of exact longs rounded to 6
+    decimals. One aggregation over the interval relation + one left
+    join back to a token-count projection."""
+    intervals = duplicate_intervals(
+        df, id_col, text_col, n=n, stride=stride,
+        min_docs=min_docs, min_tokens=min_tokens,
+    )
+    per_doc = intervals.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("n_tokens").alias("dup_run_tokens"),
+        F.max("n_tokens").alias("longest_run"),
+    )
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    base = df.select(
+        F.col(id_col), F.size(words).cast("long").alias("n_tokens_total")
+    )
+    joined = base.join(per_doc, id_col, "left")
+    return joined.select(
+        id_col,
+        "n_tokens_total",
+        F.coalesce("n_intervals", F.lit(0)).cast("long").alias("n_intervals"),
+        F.coalesce("dup_run_tokens", F.lit(0)).cast("long").alias(
+            "dup_run_tokens"
+        ),
+        F.coalesce("longest_run", F.lit(0)).cast("long").alias("longest_run"),
+        F.round(
+            F.coalesce("dup_run_tokens", F.lit(0)).cast("double")
+            / F.col("n_tokens_total").cast("double"),
+            6,
+        ).alias("dup_run_fraction"),
+    )
+
+
 def jaccard_pairs_rows(
     shingle_rows: DataFrame,
     id_col: str,

@@ -1,0 +1,128 @@
+"""Round-14+ gate queries, pre-written and pre-validated in round 12:
+maximal duplicate-interval merge (operators/dedup.py::
+duplicate_intervals / duplicated_run_profile — the interval view of
+exact-substring dedup: Lee et al. 2022 drop cross-document shared
+runs of >= 50 tokens, which needs run LENGTH, not fixed-width span
+hits).
+
+NOT imported by queries/__init__.py in round 12 — the activation
+queue per the sustainability policy is curation9 (3 gates, r13) then
+curation10 (3 gates, r13 if slots hold else r14) then this pair;
+each wave validates ahead of registration via
+``tools/validate_module.py curation11``.
+
+No synthetic prep needed: the sf corpora carry genuine cross-document
+duplicated spans (the text_duplicate_spans gate has gated them since
+round 5), so these two gates run the operators on the raw documents
+table — the merge window and the profile division are mirrored
+mechanically (same span SQL as the text_duplicate_spans oracle, plus
+the lag-gap segment merge and the rounded exact-long division).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cdk_datalake_ingest_bigmagic_spark.operators.dedup import (
+    duplicate_intervals,
+    duplicated_run_profile,
+)
+from cdk_datalake_ingest_bigmagic_spark.queries import load, register
+
+# the text_duplicate_spans oracle's detection (n=8, stride=2),
+# then the gap-merge: a new segment where the position gap > n.
+_SPANS_SQL = r"""
+    w AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+               AS words
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id,
+             CAST(s - 1 AS BIGINT) AS span_pos,
+             md5(array_to_string(list_slice(words, s, s + 7), ' ')) AS span_hash
+      FROM w, UNNEST(range(1, len(words) - 8 + 2, 2)) AS t(s)
+      WHERE len(words) >= 8
+    ),
+    dup AS (
+      SELECT span_hash FROM occ
+      GROUP BY span_hash HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+      SELECT doc_id, span_pos FROM occ JOIN dup USING (span_hash)
+    ),
+    seg AS (
+      SELECT doc_id, span_pos,
+             CASE WHEN lag(span_pos) OVER
+                    (PARTITION BY doc_id ORDER BY span_pos) IS NULL
+                  OR span_pos - lag(span_pos) OVER
+                    (PARTITION BY doc_id ORDER BY span_pos) > 8
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits
+    ),
+    segid AS (
+      SELECT doc_id, span_pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY span_pos
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM seg
+    ),
+    intervals AS (
+      SELECT doc_id,
+             CAST(min(span_pos) AS BIGINT) AS start_token,
+             CAST(max(span_pos) + 8 AS BIGINT) AS end_token,
+             CAST(max(span_pos) + 8 - min(span_pos) AS BIGINT) AS n_tokens
+      FROM segid GROUP BY doc_id, sid
+    )
+"""
+
+
+@register(
+    "text_duplicate_intervals",
+    oracle=f"""
+    WITH {_SPANS_SQL}
+    SELECT doc_id, start_token, end_token, n_tokens FROM intervals
+    """,
+)
+def text_duplicate_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """duplicate_intervals (n=8, stride=2 — the text_duplicate_spans
+    detection): maximal cross-document duplicated runs per document,
+    spans of DIFFERENT hashes gap-merged (> n breaks) into
+    (start_token, end_token, n_tokens) in normalized 0-based token
+    coordinates. One doc-id window shuffle + one map-side-combinable
+    aggregation on top of the span detection (plan-pinned in
+    tests/test_intervals.py)."""
+    d = load(spark, sf_dir, "documents")
+    return duplicate_intervals(d, "doc_id", "text", n=8, stride=2)
+
+
+@register(
+    "text_dup_run_profile",
+    oracle=f"""
+    WITH {_SPANS_SQL},
+    per_doc AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_intervals,
+             CAST(sum(n_tokens) AS BIGINT) AS dup_run_tokens,
+             CAST(max(n_tokens) AS BIGINT) AS longest_run
+      FROM intervals GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(len(w.words) AS BIGINT) AS n_tokens_total,
+           coalesce(p.n_intervals, 0) AS n_intervals,
+           coalesce(p.dup_run_tokens, 0) AS dup_run_tokens,
+           coalesce(p.longest_run, 0) AS longest_run,
+           round(coalesce(p.dup_run_tokens, 0)::DOUBLE
+                 / len(w.words)::DOUBLE, 6) AS dup_run_fraction
+    FROM w LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def text_dup_run_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """duplicated_run_profile: the per-document memorization-risk
+    report — how much of each document sits inside cross-document
+    shared runs (interval count, token mass, longest run, fraction of
+    the normalized token stream). Every document gets a row; the
+    fraction is a single IEEE division of exact longs rounded to 6
+    decimals on both engines."""
+    d = load(spark, sf_dir, "documents")
+    return duplicated_run_profile(d, "doc_id", "text", n=8, stride=2)

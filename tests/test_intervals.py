@@ -1,0 +1,159 @@
+"""Maximal duplicate-interval merge (operators/dedup.py::
+duplicate_intervals / duplicated_run_profile).
+
+Differential strategy: a pure-Python re-implementation of the whole
+chain (strided span index → cross-doc flagging → gap-merge) checks
+the Spark output on corpora with planted shared runs — a long run
+(many distinct span hashes merging into ONE interval), two runs
+separated by a gap wider than n (must NOT merge), a run at the
+document edge, and documents with nothing shared (absent from the
+interval relation, zero row in the profile).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.operators.dedup import (
+    duplicate_intervals,
+    duplicated_run_profile,
+)
+
+
+def _py_intervals(docs, n=8, stride=2, min_docs=2):
+    """Brute-force mirror: strided n-token spans, cross-doc flagged,
+    per-doc gap-merge (gap > n starts a new interval)."""
+    toks = {
+        i: re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+        for i, t in docs
+    }
+    occ = {}  # span text -> set of doc ids
+    hits = {}  # doc -> sorted positions
+    for i, w in toks.items():
+        if len(w) < n:
+            continue
+        for s in range(0, len(w) - n + 1, stride):
+            key = " ".join(w[s:s + n])
+            occ.setdefault(key, set()).add(i)
+    for i, w in toks.items():
+        if len(w) < n:
+            continue
+        pos = [
+            s for s in range(0, len(w) - n + 1, stride)
+            if len(occ[" ".join(w[s:s + n])]) >= min_docs
+        ]
+        if pos:
+            hits[i] = pos
+    out = {}
+    for i, pos in hits.items():
+        ivals = []
+        start = prev = pos[0]
+        for p in pos[1:]:
+            if p - prev > n:
+                ivals.append((start, prev + n))
+                start = p
+            prev = p
+        ivals.append((start, prev + n))
+        out[i] = ivals
+    return toks, out
+
+
+# words chosen so spans never collide accidentally. Stride parity
+# matters: with stride 2, a run is detected only where the two
+# documents index the SAME in-run window starts — run offsets here
+# are chosen parity-aligned (doc 2's second run starts at token 41,
+# doc 3's at token 7: both odd, so the strided global-even positions
+# hit the same in-run offsets). A 12-token run with mismatched parity
+# is the documented stride/granularity miss — not fixture material.
+RUN = " ".join(f"shared{i}" for i in range(30))          # 30-token run
+RUN2 = " ".join(f"other{i}" for i in range(20))          # 20-token run
+DOCS = [
+    # doc 1: long shared run mid-document
+    (1, "alpha bravo charlie delta " + RUN + " echo foxtrot golf hotel"),
+    # doc 2: the same run at the document START (edge case) plus a
+    # second shared run separated by an 11-token unique gap (> n=8)
+    (2, RUN + " uniq1 uniq2 uniq3 uniq4 uniq5 uniq6 uniq7 uniq8 uniq9 "
+        "uniq10 uniq11 " + RUN2),
+    # doc 3: carries the second run only, at the END (7 lead words →
+    # run start 7, parity-matched to doc 2's 41)
+    (3, "india juliet kilo lima mike november oscar " + RUN2),
+    # doc 4: nothing shared
+    (4, "quebec romeo sierra tango uniform victor whiskey xray yankee "
+        "zulu one two three four five six seven eight nine ten"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_duplicate_intervals_differential(spark, docs_df):
+    got = {}
+    rows = duplicate_intervals(
+        docs_df, "doc_id", "text", n=8, stride=2
+    ).collect()
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append(
+            (r["start_token"], r["end_token"])
+        )
+        assert r["n_tokens"] == r["end_token"] - r["start_token"]
+    got = {k: sorted(v) for k, v in got.items()}
+    _, exp = _py_intervals(DOCS, n=8, stride=2)
+    assert got == {k: sorted(v) for k, v in exp.items()}
+    # the 30-token run merged into ONE interval per carrying doc
+    assert len(got[1]) == 1
+    # doc 2 keeps its two runs apart (gap 11 > n 8)
+    assert len(got[2]) == 2
+
+
+def test_min_tokens_filter(spark, docs_df):
+    rows = duplicate_intervals(
+        docs_df, "doc_id", "text", n=8, stride=2, min_tokens=20
+    ).collect()
+    # only the 30-token run survives a 20-token floor
+    assert {r["doc_id"] for r in rows} == {1, 2}
+    assert all(r["n_tokens"] >= 20 for r in rows)
+
+
+def test_duplicated_run_profile(spark, docs_df):
+    toks, exp = _py_intervals(DOCS, n=8, stride=2)
+    prof = {
+        r["doc_id"]: r
+        for r in duplicated_run_profile(
+            docs_df, "doc_id", "text", n=8, stride=2
+        ).collect()
+    }
+    assert set(prof) == {1, 2, 3, 4}  # every document gets a row
+    for i, _ in DOCS:
+        r = prof[i]
+        ivals = exp.get(i, [])
+        dup = sum(e - s for s, e in ivals)
+        assert r["n_tokens_total"] == len(toks[i])
+        assert r["n_intervals"] == len(ivals)
+        assert r["dup_run_tokens"] == dup
+        assert r["longest_run"] == (max((e - s for s, e in ivals), default=0))
+        assert r["dup_run_fraction"] == round(dup / len(toks[i]), 6)
+
+
+def test_interval_plan_single_window_shuffle(spark, docs_df):
+    """The merge adds exactly one doc-id exchange + window on top of
+    the span detection — no join back to the corpus, no cartesian."""
+    plan = (
+        duplicate_intervals(docs_df, "doc_id", "text", n=8, stride=2)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # the detection's flagged-key join is expected; what must NOT
+    # appear is a second corpus-wide join for the merge itself
+    assert plan.count("Join Inner") == 1, plan
+    # lag + running-sum are two Window nodes over the SAME
+    # (doc_id, span_pos) spec — Catalyst plans them back-to-back with
+    # one partitioning, i.e. one shuffle, no extra exchange between
+    windows = [
+        ln for ln in plan.splitlines() if ln.lstrip().startswith("+- Window")
+    ]
+    assert len(windows) == 2, plan
+    assert all("doc_id" in w for w in windows)

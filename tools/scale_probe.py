@@ -299,6 +299,16 @@ def main() -> None:
             dd.duplicate_spans(docs, "doc_id", "text", n=8, stride=4),
             n=8,
         )),
+        # maximal-interval merge over the span hits (round 12): adds
+        # one doc-id window shuffle on the duplicated-hit relation —
+        # wall must track dup_spans, not the corpus
+        "dup_intervals": (n_docs, lambda: dd.duplicate_intervals(
+            docs, "doc_id", "text", n=8, stride=4
+        )),
+        # the per-document memorization-risk report on top
+        "dup_run_profile": (n_docs, lambda: dd.duplicated_run_profile(
+            docs, "doc_id", "text", n=8, stride=4
+        )),
         # asymmetric containment: A-prefix vs full-B index — the
         # one-sided shape whose candidate growth this probe watches
         "containment": (n_docs, lambda: dd.containment_pairs_rows(
@@ -623,7 +633,13 @@ def main() -> None:
                          # the 20-row OOV report's aggregates would be
                          # pruned under a bare count
                          "mix_budget", "oov_rate", "winnow",
-                         "gate_report"}
+                         "gate_report",
+                         # a bare count ELIMINATES the profile's
+                         # aggregate-keyed left join (row-preserving →
+                         # Catalyst join elimination) and would time a
+                         # token-count projection; interval columns
+                         # must hash too
+                         "dup_intervals", "dup_run_profile"}
 
     def run_probe(name: str, fn):
         df = fn()
