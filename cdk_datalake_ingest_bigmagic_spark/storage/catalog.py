@@ -35,6 +35,17 @@ def register_stage_table(
     rewrite. Partition columns are discovered from the layout on first
     read; ``MSCK``/``recoverPartitions`` is unnecessary for
     path-discovered parquet and Delta self-describes.
+
+    Copy-on-write caveat (round 12): the parquet stage writer retains
+    superseded files as tombstones until ``vacuum()``. A ``USING
+    parquet`` registration is a directory table, so SQL queries see
+    those tombstones after a rewrite — the same reason a real Delta
+    table must be registered ``USING delta``, not parquet. For
+    rewritten tables either vacuum before registering or read through
+    ``storage.deltareader.read_delta`` / ``ParquetStageTable.read()``
+    (the log-honoring paths); fresh never-rewritten tables (the
+    nightly register-after-land flow, reference crawler shape) are
+    exact as-is.
     """
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {_quote(database)}")
     spark.sql(

@@ -102,6 +102,13 @@ class NonContiguousLogError(RuntimeError):
     same state; so do we."""
 
 
+class VersionNotFoundError(RuntimeError):
+    """Time travel asked for a version the log cannot reconstruct —
+    either above the table's current version, or below the oldest
+    surviving log entry after retention trimming (delta-spark's
+    VersionNotFoundError, same two cases)."""
+
+
 def _encode_path(rel: str) -> str:
     """PROTOCOL.md: an action's ``path`` is the file's relative path,
     percent-encoded (RFC 2396). The critical case is Spark's own
@@ -181,6 +188,7 @@ def _checkpoint_base(table_path: str) -> tuple[int, dict, dict | None, dict | No
 
 def _replay(
     table_path: str,
+    as_of: int | None = None,
 ) -> tuple[dict[str, dict], dict | None, dict | None]:
     """State reconstruction exactly as a Delta reader does it: start
     from the newest parquet checkpoint (when present), then apply the
@@ -188,7 +196,15 @@ def _replay(
     latest metaData, protocol). Non-numeric ``*.json`` strays (crash
     artifacts, other tools' files) are skipped, same as
     :func:`current_version` — without the filter one stray file
-    bricks every read and commit."""
+    bricks every read and commit.
+
+    ``as_of`` is TIME TRAVEL: reconstruct the state AS OF that commit
+    version (inclusive) — the checkpoint seeds the replay only when
+    its version is <= ``as_of``; otherwise the JSON commits must be
+    contiguous from 0 (a retention-trimmed log raises — delta-spark's
+    VersionNotFoundError cases: above current, or below the oldest
+    surviving entry). metaData/protocol come back as of the same
+    version, so historical schema evolution reads correctly."""
     d = _log_dir(table_path)
     state: dict[str, dict] = {}
     meta = proto = None
@@ -196,6 +212,8 @@ def _replay(
     if not d.is_dir():
         return state, meta, proto
     base = _checkpoint_base(table_path)
+    if base is not None and as_of is not None and base[0] > as_of:
+        base = None  # checkpoint is newer than the asked version
     if base is not None:
         base_version, state, meta, proto = base
         state = dict(state)
@@ -203,6 +221,22 @@ def _replay(
         (p for p in d.glob("*.json") if p.stem.isdigit()),
         key=lambda p: int(p.stem),
     )
+    if as_of is not None:
+        newest = max(
+            [int(p.stem) for p in commits] + [base_version], default=-1
+        )
+        if as_of > newest:
+            raise VersionNotFoundError(
+                f"{table_path}: version {as_of} is above the table's "
+                f"current version {newest}"
+            )
+        if base is None and commits and int(commits[0].stem) > 0:
+            raise VersionNotFoundError(
+                f"{table_path}: version {as_of} predates the oldest "
+                f"surviving log entry (version {int(commits[0].stem)}) — "
+                "commits below the newest checkpoint were trimmed by "
+                "log retention"
+            )
     # Post-trim (or torn-_last_checkpoint) guard: once trim_log has
     # deleted commits below a checkpoint, a failed checkpoint read MUST
     # NOT degrade to JSON-only replay — the surviving suffix starts
@@ -218,6 +252,8 @@ def _replay(
     for p in commits:
         if int(p.stem) <= base_version:
             continue
+        if as_of is not None and int(p.stem) > as_of:
+            break
         for line in p.read_text().splitlines():
             if not line.strip():
                 continue
@@ -299,23 +335,28 @@ def _write_commit(table_path: str, version: int, actions: list[dict]) -> Path:
     return target
 
 
-def commit_snapshot(
+def commit_change(
     table_path: str,
     schema_json: str,
+    adds: list[tuple[str, int, int]],
+    removes: list[str],
     partition_cols: list[str] | None = None,
     operation: str = "WRITE",
+    data_change: bool = True,
 ) -> int:
-    """Commit the table's CURRENT on-disk parquet files as the new
-    table state: first commit carries protocol+metaData, later
-    commits remove every previously-live file the disk no longer has
-    and add the new ones (the overwrite/rewrite shape of the parquet
-    backend). Returns the committed version."""
+    """Commit an EXPLICIT file change-set: ``adds`` are
+    (relative_path, size, mtime_ms) of newly written files, ``removes``
+    the relative paths leaving the live set. This is the primitive a
+    COPY-ON-WRITE backend needs — it retains superseded files on disk
+    as tombstones until VACUUM, so :func:`commit_snapshot`'s
+    disk-scan diff would wrongly resurrect them as live.
+    ``data_change=False`` marks rearrangement-only commits (OPTIMIZE)
+    the way the spec does, so streaming readers can skip them.
+    Returns the committed version."""
     partition_cols = list(partition_cols or [])
     prev_version = current_version(table_path)
     version = 0 if prev_version is None else prev_version + 1
     now = int(time.time() * 1000)
-    files = _scan_parquet_files(table_path)
-    previous = live_files(table_path)
 
     actions: list[dict] = [
         {
@@ -348,22 +389,17 @@ def commit_snapshot(
     if version == 0 or _schema_changed(table_path, schema_json):
         actions.append({"metaData": meta})
 
-    current = {rel for rel, _, _ in files}
-    for rel, add in previous.items():
-        if rel not in current:
-            actions.append(
-                {
-                    "remove": {
-                        "path": _encode_path(rel),
-                        "deletionTimestamp": now,
-                        "dataChange": True,
-                    }
+    for rel in removes:
+        actions.append(
+            {
+                "remove": {
+                    "path": _encode_path(rel),
+                    "deletionTimestamp": now,
+                    "dataChange": data_change,
                 }
-            )
-    for rel, size, mtime in files:
-        prev = previous.get(rel)
-        if prev and prev.get("size") == size:
-            continue  # unchanged file stays live from its old add
+            }
+        )
+    for rel, size, mtime in adds:
         actions.append(
             {
                 "add": {
@@ -373,7 +409,7 @@ def commit_snapshot(
                     ),
                     "size": size,
                     "modificationTime": mtime,
-                    "dataChange": True,
+                    "dataChange": data_change,
                 }
             }
         )
@@ -382,6 +418,34 @@ def commit_snapshot(
         write_checkpoint(table_path, version)
         trim_log(table_path)
     return version
+
+
+def commit_snapshot(
+    table_path: str,
+    schema_json: str,
+    partition_cols: list[str] | None = None,
+    operation: str = "WRITE",
+) -> int:
+    """Commit the table's CURRENT on-disk parquet files as the new
+    table state: later commits remove every previously-live file the
+    disk no longer has and add the new ones — the directory-swap
+    shape. Correct ONLY for backends whose disk holds exactly the
+    live files; a copy-on-write backend with retained tombstones must
+    use :func:`commit_change`. Returns the committed version."""
+    files = _scan_parquet_files(table_path)
+    previous = live_files(table_path)
+    current = {rel for rel, _, _ in files}
+    removes = [rel for rel in previous if rel not in current]
+    adds = [
+        (rel, size, mtime)
+        for rel, size, mtime in files
+        if not (
+            previous.get(rel) and previous[rel].get("size") == size
+        )  # unchanged file stays live from its old add
+    ]
+    return commit_change(
+        table_path, schema_json, adds, removes, partition_cols, operation
+    )
 
 
 def trim_log(

@@ -43,11 +43,44 @@ class DeltaReadError(RuntimeError):
     pass
 
 
-def read_delta(spark: SparkSession, table_path: str) -> DataFrame:
-    """DataFrame over the table's CURRENT Delta version: exactly the
-    files the replayed log marks live, none of the stragglers a
-    directory listing would also sweep in."""
-    state, meta, proto = deltalog._replay(table_path)
+def read_delta(
+    spark: SparkSession,
+    table_path: str,
+    version_as_of: int | None = None,
+) -> DataFrame:
+    """DataFrame over the table's CURRENT Delta version (or, with
+    ``version_as_of``, TIME TRAVEL to that commit): exactly the files
+    the replayed log marks live at that version, none of the
+    stragglers a directory listing would also sweep in. Historical
+    reads use the metaData as of the same version, so a schema that
+    evolved later does not leak backwards; a version above the
+    table's current, or below the oldest log entry surviving
+    retention trim, raises ``deltalog.VersionNotFoundError`` — the
+    same two loud-failure cases as delta-spark's ``versionAsOf``.
+
+    Time travel also needs the version's DATA files to still exist.
+    The parquet stage writer is copy-on-write with retention (like
+    real Delta: superseded files stay on disk as tombstones until
+    ``vacuum()``), so the whole retained history reads; versions
+    whose files a vacuum swept raise ``VersionNotFoundError`` up
+    front (delta-spark surfaces the same horizon as a scan-time
+    FileNotFoundException)."""
+    state, meta, proto = deltalog._replay(table_path, as_of=version_as_of)
+    if version_as_of is not None and state:
+        import os
+
+        missing = [
+            rel
+            for rel in state
+            if not os.path.exists(f"{table_path}/{rel}")
+        ]
+        if missing:
+            raise deltalog.VersionNotFoundError(
+                f"{table_path}: version {version_as_of} references "
+                f"{len(missing)} data file(s) no longer on disk (e.g. "
+                f"{missing[0]!r}) — removed by a physical overwrite or "
+                "vacuum; the version is unreadable"
+            )
     if proto is None and meta is None and not state:
         raise DeltaReadError(
             f"{table_path}: no _delta_log — not a Delta table "
@@ -123,13 +156,17 @@ def read_delta(spark: SparkSession, table_path: str) -> DataFrame:
     return reader.parquet(*files)
 
 
-def snapshot_info(table_path: str) -> dict:
+def snapshot_info(table_path: str, version_as_of: int | None = None) -> dict:
     """(version, n_live_files, total_bytes, partition_columns) — the
     cheap table-status probe dashboards poll; pure log replay, no
-    Spark job."""
-    state, meta, _ = deltalog._replay(table_path)
+    Spark job. ``version_as_of`` reports a historical snapshot."""
+    state, meta, _ = deltalog._replay(table_path, as_of=version_as_of)
     return {
-        "version": deltalog.current_version(table_path),
+        "version": (
+            version_as_of
+            if version_as_of is not None
+            else deltalog.current_version(table_path)
+        ),
         "n_live_files": len(state),
         "total_bytes": sum(a.get("size") or 0 for a in state.values()),
         "partition_columns": list(

@@ -35,6 +35,7 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import shutil
+import time
 import uuid
 from pathlib import Path
 
@@ -80,29 +81,43 @@ class ParquetStageTable:
             return False
 
     def read(self) -> DataFrame:
+        # log-honoring read whenever a transaction log exists: with
+        # copy-on-write retention, superseded files (tombstones) and
+        # crash-orphaned uncommitted files sit beside the live ones on
+        # disk — exactly as on a real Delta table — and a directory
+        # listing would sweep them in
+        if _is_local_path(self.path) and (
+            _local(self.path) / "_delta_log"
+        ).is_dir():
+            from cdk_datalake_ingest_bigmagic_spark.storage.deltareader import (
+                read_delta,
+            )
+
+            return read_delta(self.spark, self.path)
         return self.spark.read.parquet(self.path)
 
     # -- writes ------------------------------------------------------------
 
     def overwrite(self, df: DataFrame, partition_cols: list[str] | None = None) -> None:
-        # Spark's overwrite clears the directory INCLUDING _delta_log;
-        # stash the log so the overwrite commits as the next version
-        # of the same table history instead of restarting at v0.
-        # The stash is an ON-DISK RENAME to a sibling directory, not an
-        # in-memory copy: a crash between the directory-clearing write
-        # and the restore leaves the full history in the stash, and the
-        # next overwrite/commit restores it first (idempotent recovery)
-        # — the in-memory stash this replaces silently destroyed the
-        # entire log in that window.
-        stashed = self._stash_delta_log()
-        try:
+        if not _is_local_path(self.path):  # pragma: no cover - object store
             writer = df.write.mode("overwrite")
             if partition_cols:
                 writer = writer.partitionBy(*partition_cols)
             writer.parquet(self.path)
-        finally:
-            self._restore_delta_log(stashed)
-        self._commit_delta_log(df, partition_cols, "WRITE")
+            return
+        self._recover_stashed_log()
+        live = _local(self.path)
+        if (
+            live.exists()
+            and any(live.rglob("*.parquet"))
+            and not (live / "_delta_log").is_dir()
+        ):
+            # foreign / pre-log parquet dir: clear it once so the
+            # first logged commit starts from a clean directory (those
+            # files predate the log and the log-honoring read would
+            # never see them — they'd only waste disk forever)
+            shutil.rmtree(live)
+        self._write_cow(df, partition_cols, "WRITE")
 
     def _stash_path(self) -> Path:
         # deterministic sibling OUTSIDE the table dir (Spark's
@@ -257,39 +272,119 @@ class ParquetStageTable:
         merged = kept.select(*incoming.columns).unionByName(incoming)
         self._rewrite(merged, partition_cols, operation="MERGE")
 
+    def _write_cow(
+        self,
+        df: DataFrame,
+        partition_cols: list[str] | None,
+        operation: str = "WRITE",
+    ) -> None:
+        """Copy-on-write in Delta's own model: the new part files land
+        BESIDE the old ones under fresh names (Spark part names carry
+        a per-job UUID — no collisions), then one commit's add/remove
+        actions flip which set is live. Superseded files stay on disk
+        as tombstones until :meth:`vacuum` — which is what makes time
+        travel (deltareader ``version_as_of``) actually readable — and
+        a crash between the file moves and the commit leaves only
+        uncommitted orphans the log-honoring ``read()`` never sees
+        (Delta's crash contract). No directory swap, no backup window,
+        and a concurrent reader's file list stays valid throughout.
+
+        The plan may READ the live files (merge does), so the job
+        writes to a sibling tmp dir first; the subsequent renames are
+        metadata-only moves on the same filesystem."""
+        from cdk_datalake_ingest_bigmagic_spark.storage import deltalog
+
+        live = _local(self.path)
+        tmp = Path(str(live) + f".tmp-{uuid.uuid4().hex[:8]}")
+        writer = df.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(str(tmp))
+        prior = (
+            deltalog.live_files(str(live))
+            if (live / "_delta_log").is_dir()
+            else {}
+        )
+        adds: list[tuple[str, int, int]] = []
+        for p in sorted(tmp.rglob("*.parquet")):
+            rel = p.relative_to(tmp)
+            dest = live / rel
+            dest.parent.mkdir(parents=True, exist_ok=True)
+            p.rename(dest)
+            st = dest.stat()
+            adds.append((str(rel), st.st_size, int(st.st_mtime * 1000)))
+        shutil.rmtree(tmp, ignore_errors=True)
+        deltalog.commit_change(
+            str(live),
+            df.schema.json(),
+            adds,
+            sorted(prior),
+            partition_cols,
+            operation,
+            data_change=(operation != "OPTIMIZE"),
+        )
+
     def _rewrite(
         self,
         df: DataFrame,
         partition_cols: list[str] | None,
         operation: str = "WRITE",
     ) -> None:
-        """Copy-on-write via temp dir + swap: the merged plan reads the
-        live files, so write elsewhere first."""
         if _is_local_path(self.path):
             self._recover_stashed_log()
-            tmp = str(_local(self.path)) + f".tmp-{uuid.uuid4().hex[:8]}"
-            writer = df.write.mode("overwrite")
-            if partition_cols:
-                writer = writer.partitionBy(*partition_cols)
-            writer.parquet(tmp)
-            live = _local(self.path)
-            backup = str(live) + ".bak"
-            if live.exists():
-                # carry the delta log through the swap so the rewrite
-                # commits as the NEXT version of the same table
-                prior_log = live / "_delta_log"
-                if prior_log.is_dir():
-                    shutil.move(str(prior_log), str(Path(tmp) / "_delta_log"))
-                live.rename(backup)
-            Path(tmp).rename(live)
-            shutil.rmtree(backup, ignore_errors=True)
-            self._commit_delta_log(df, partition_cols, operation)
+            self._write_cow(df, partition_cols, operation)
         else:  # pragma: no cover - object stores: stage via checkpointed df
             materialized = df.localCheckpoint(eager=True)
             writer = materialized.write.mode("overwrite")
             if partition_cols:
                 writer = writer.partitionBy(*partition_cols)
             writer.parquet(self.path)
+
+    def vacuum(
+        self,
+        retention_hours: float = 168.0,
+        now_ms: int | None = None,
+    ) -> list[str]:
+        """Delta VACUUM: delete data files that are NOT in the live
+        set and whose modification time falls outside the retention
+        window (default 7 days, delta-spark's default; the mtime is
+        this emulation's documented approximation of the remove
+        action's deletionTimestamp). Also sweeps crash-orphaned
+        ``*.tmp-*`` write directories past the window. After a
+        vacuum, time travel to versions whose files were swept raises
+        ``deltalog.VersionNotFoundError`` — the same horizon real
+        Delta has. Returns the deleted paths (table-relative)."""
+        if not _is_local_path(self.path):  # pragma: no cover
+            return []
+        from cdk_datalake_ingest_bigmagic_spark.storage import deltalog
+
+        live_dir = _local(self.path)
+        if not (live_dir / "_delta_log").is_dir():
+            return []
+        live = set(deltalog.live_files(str(live_dir)))
+        now = int(time.time() * 1000) if now_ms is None else now_ms
+        cutoff = now - int(retention_hours * 3600 * 1000)
+        removed: list[str] = []
+        for p in sorted(live_dir.rglob("*.parquet")):
+            rel = p.relative_to(live_dir)
+            if rel.parts and rel.parts[0] == "_delta_log":
+                continue  # checkpoints are log files, not data
+            if str(rel) in live:
+                continue
+            if int(p.stat().st_mtime * 1000) >= cutoff:
+                continue
+            p.unlink()
+            removed.append(str(rel))
+        # partition directories emptied by swept tombstones
+        for d in sorted(
+            (q for q in live_dir.rglob("*") if q.is_dir()), reverse=True
+        ):
+            if d.name != "_delta_log" and not any(d.iterdir()):
+                d.rmdir()
+        for stray in live_dir.parent.glob(live_dir.name + ".tmp-*"):
+            if int(stray.stat().st_mtime * 1000) < cutoff:
+                shutil.rmtree(stray, ignore_errors=True)
+        return removed
 
     def optimize(
         self,
@@ -419,7 +514,17 @@ def target_partitions_for(
     """
     if target_bytes < 1:
         raise ValueError(f"target_bytes must be >= 1, got {target_bytes}")
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    size = fs.getContentSummary(jpath).getLength()
+    if _is_local_path(path) and (_local(path) / "_delta_log").is_dir():
+        # copy-on-write table: size the LIVE set from the log —
+        # retained tombstones would inflate a directory summary and
+        # oversize the compaction
+        from cdk_datalake_ingest_bigmagic_spark.storage import deltalog
+
+        size = sum(
+            a.get("size") or 0 for a in deltalog.live_files(path).values()
+        )
+    else:
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        size = fs.getContentSummary(jpath).getLength()
     return max(1, -(-size // target_bytes))  # ceil division

@@ -6,6 +6,7 @@ parquet consumers. A Delta READER cannot run in this environment
 the public protocol's action shapes."""
 
 import json
+import pytest
 from pathlib import Path
 
 from cdk_datalake_ingest_bigmagic_spark.storage import deltalog
@@ -67,7 +68,8 @@ def test_merge_commits_next_version_with_removes(spark, tmp_path):
         for p in Path(path).rglob("*.parquet")
         if "_delta_log" not in p.parts
     }
-    assert live == disk
+    assert live <= disk                            # tombstones retained
+    assert v0_adds <= disk                         # retired files still on disk
     assert {r["k"] for r in t.read().collect()} == {1, 2, 3}
 
 
@@ -83,7 +85,9 @@ def test_overwrite_continues_history(spark, tmp_path):
         for p in Path(path).rglob("*.parquet")
         if "_delta_log" not in p.parts
     }
-    assert live == disk
+    assert live <= disk                            # v0 retained as tombstones
+    assert disk - live                             # the retired files exist
+    assert [r["k"] for r in t.read().collect()] == [2]
 
 
 def test_partition_values_in_adds(spark, tmp_path):
@@ -179,7 +183,7 @@ def test_operation_labels_across_lifecycle(spark, tmp_path):
         for p in Path(path).rglob("*.parquet")
         if "_delta_log" not in p.parts
     }
-    assert live == disk
+    assert live <= disk                            # compaction retains inputs
     assert {r["k"] for r in t.read().collect()} == {1, 2, 3}
 
 
@@ -215,11 +219,16 @@ def test_add_paths_percent_encoded_for_external_readers(spark, tmp_path):
     # a rewrite removes by the same encoding (no ghost files)
     t.merge(spark.createDataFrame([(1, "a=b:c")], "k long, zone string"),
             id_cols=["k"], partition_cols=["zone"])
-    assert set(deltalog.live_files(path)) == {
+    # the rewrite's removes reference the REAL prior files by the same
+    # encoding: every live path and every retained tombstone is a disk
+    # name (a mis-encoded remove would leave a ghost LIVE entry)
+    disk2 = {
         p.relative_to(path).as_posix()
         for p in Path(path).rglob("*.parquet")
         if "_delta_log" not in p.parts
     }
+    assert set(deltalog.live_files(path)) <= disk2
+    assert disk <= disk2                           # v0 files retained
 
 
 def test_crash_between_clear_and_restore_keeps_history(spark, tmp_path):
@@ -356,7 +365,7 @@ def test_checkpoint_written_every_interval_and_replay_matches(spark, tmp_path):
         for p in Path(path).rglob("*.parquet")
         if "_delta_log" not in p.parts
     }
-    assert set(via_checkpoint) == disk
+    assert set(via_checkpoint) <= disk            # tombstones retained
     # the checkpoint parquet has the spec's action columns
     import pyarrow.parquet as pq
 
@@ -616,7 +625,7 @@ def test_random_lifecycle_log_invariants(spark, tmp_path):
         assert deltalog.current_version(path) == expect_version, (step, op)
         live = deltalog.live_files(path)
         on_disk = {rel for rel, _, _ in deltalog._scan_parquet_files(path)}
-        assert set(live) == on_disk, (step, op)
+        assert set(live) <= on_disk, (step, op)   # tombstones retained
         got = {tuple(r) for r in read_delta(spark, path).collect()}
         want = {tuple(r) for r in t.read().collect()}
         assert got == want, (step, op)
@@ -728,3 +737,130 @@ def test_null_partition_value_logged_as_null_and_readable(spark, tmp_path):
     out = read_delta(spark, path)
     rows = {r["k"]: r["grp"] for r in out.collect()}
     assert rows == {1: "x", 2: None}
+
+
+# ---------------------------------------------------------------------------
+# Time travel (versionAsOf) — round 12
+# ---------------------------------------------------------------------------
+
+
+def test_time_travel_across_merge_history(spark, tmp_path):
+    """read_delta(version_as_of=v) reconstructs each historical
+    version exactly across an append/merge history (the writer keeps
+    data files on merge, so every version's files still exist)."""
+    from cdk_datalake_ingest_bigmagic_spark.storage.deltareader import (
+        read_delta,
+        snapshot_info,
+    )
+
+    path = str(tmp_path / "tt1")
+    t = ParquetStageTable(spark, path)
+    t.overwrite(_df(spark, [(1, 0, "a"), (2, 1, "b")]))          # v0
+    t.merge(_df(spark, [(3, 0, "c")]), id_cols=["k"])            # v1
+    t.merge(_df(spark, [(2, 1, "B2"), (4, 1, "d")]), id_cols=["k"])  # v2
+
+    assert sorted(r["k"] for r in read_delta(spark, path, version_as_of=0).collect()) == [1, 2]
+    v1 = {r["k"]: r["val"] for r in read_delta(spark, path, version_as_of=1).collect()}
+    assert v1 == {1: "a", 2: "b", 3: "c"}
+    v2 = {r["k"]: r["val"] for r in read_delta(spark, path, version_as_of=2).collect()}
+    assert v2 == {1: "a", 2: "B2", 3: "c", 4: "d"}
+    # current read == latest as-of
+    cur = {r["k"]: r["val"] for r in read_delta(spark, path).collect()}
+    assert cur == v2
+    info0 = snapshot_info(path, version_as_of=0)
+    assert info0["version"] == 0
+    assert info0["n_live_files"] <= snapshot_info(path)["n_live_files"]
+
+
+def test_time_travel_above_current_raises(spark, tmp_path):
+    from cdk_datalake_ingest_bigmagic_spark.storage.deltareader import (
+        read_delta,
+    )
+
+    path = str(tmp_path / "tt2")
+    t = ParquetStageTable(spark, path)
+    t.overwrite(_df(spark, [(1, 0, "a")]))  # v0
+    with pytest.raises(deltalog.VersionNotFoundError, match="above"):
+        read_delta(spark, path, version_as_of=5)
+
+
+def test_time_travel_below_trimmed_log_raises(spark, tmp_path):
+    """After retention trim deletes JSON commits below the newest
+    checkpoint, a version below the checkpoint is unreconstructable
+    and must fail loudly (delta-spark's VersionNotFoundError), while
+    the checkpoint version itself still reads."""
+    from cdk_datalake_ingest_bigmagic_spark.storage.deltareader import (
+        read_delta,
+    )
+
+    path = str(tmp_path / "tt3")
+    t = ParquetStageTable(spark, path)
+    t.overwrite(_df(spark, [(1, 0, "a")]))
+    for i in range(deltalog.CHECKPOINT_INTERVAL):
+        t.merge(_df(spark, [(10 + i, i, f"v{i}")]), id_cols=["k"])
+    cp_v = deltalog.CHECKPOINT_INTERVAL
+    deltalog.trim_log(path, retention_ms=0, now_ms=_future_ms())
+    # a version at/above the checkpoint reconstructs
+    assert read_delta(spark, path, version_as_of=cp_v).count() > 0
+    # one below it cannot
+    with pytest.raises(deltalog.VersionNotFoundError, match="predates"):
+        read_delta(spark, path, version_as_of=cp_v - 1)
+
+
+def test_time_travel_overwrite_retained_until_vacuum(spark, tmp_path):
+    """OVERWRITE is copy-on-write with retention: the superseded
+    version still time-travels (its files are tombstones, not gone),
+    the log-honoring read() sees only the new rows, and vacuum()
+    past the retention window removes the horizon — after which the
+    old version raises up front."""
+    from cdk_datalake_ingest_bigmagic_spark.storage.deltareader import (
+        read_delta,
+    )
+
+    path = str(tmp_path / "tt4")
+    t = ParquetStageTable(spark, path)
+    t.overwrite(_df(spark, [(1, 0, "a")]))          # v0
+    t.overwrite(_df(spark, [(9, 9, "z")]))          # v1 (v0 retained)
+    assert [r["k"] for r in t.read().collect()] == [9]
+    assert [r["k"] for r in read_delta(spark, path, version_as_of=0).collect()] == [1]
+    # a zero-retention vacuum sweeps the tombstones...
+    swept = t.vacuum(retention_hours=0, now_ms=_future_ms())
+    assert swept  # v0's files went
+    assert [r["k"] for r in t.read().collect()] == [9]  # live unaffected
+    with pytest.raises(deltalog.VersionNotFoundError, match="no longer on disk"):
+        read_delta(spark, path, version_as_of=0)
+
+
+def _future_ms():
+    import time as _t
+
+    return int(_t.time() * 1000) + 10_000
+
+
+def test_vacuum_spares_recent_and_live_files(spark, tmp_path):
+    """Default-retention vacuum never touches fresh tombstones (the
+    7-day window) nor live files nor the log."""
+    path = str(tmp_path / "tt6")
+    t = ParquetStageTable(spark, path)
+    t.overwrite(_df(spark, [(1, 0, "a")]))
+    t.overwrite(_df(spark, [(2, 0, "b")]))
+    assert t.vacuum() == []  # everything is seconds old
+    assert [r["k"] for r in t.read().collect()] == [2]
+
+
+def test_time_travel_historical_schema(spark, tmp_path):
+    """Schema evolution does not leak backwards: a column added at a
+    later version is absent when reading as of an earlier one."""
+    from cdk_datalake_ingest_bigmagic_spark.storage.deltareader import (
+        read_delta,
+    )
+
+    path = str(tmp_path / "tt5")
+    t = ParquetStageTable(spark, path)
+    t.overwrite(_df(spark, [(1, 0, "a")]))  # v0: (k, grp, val)
+    wide = spark.createDataFrame(
+        [(5, 2, "w", 1.5)], "k long, grp int, val string, score double"
+    )
+    t.merge(wide, id_cols=["k"])  # v1 evolves the schema
+    assert "score" in read_delta(spark, path, version_as_of=1).columns
+    assert "score" not in read_delta(spark, path, version_as_of=0).columns

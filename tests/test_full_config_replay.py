@@ -99,9 +99,10 @@ def test_two_day_incremental_merge_replay(spark):
         assert r["watermark_ok"]
         # the merge really grew the table: day-2 adds new keys
         assert r["rows"] == r["rows_expected"]
-    # every stage table carries a Delta transaction log whose replay
-    # matches the files on disk, with the day-2 MERGE as a later
-    # version on the same history (storage/deltalog.py)
+    # every stage table carries a Delta transaction log whose live set
+    # is a SUBSET of the files on disk (copy-on-write retention: the
+    # day-1 files the MERGE retired remain as tombstones until vacuum),
+    # with the day-2 MERGE as a later version on the same history
     from pathlib import Path
 
     from cdk_datalake_ingest_bigmagic_spark.storage import deltalog
@@ -115,7 +116,8 @@ def test_two_day_incremental_merge_replay(spark):
             for p in table_dir.rglob("*.parquet")
             if "_delta_log" not in p.parts
         }
-        assert live == disk, r["table"]
+        assert live <= disk, r["table"]
+        assert disk - live, r["table"]  # the retired v0 files retained
 
 
 def test_lifecycle_reset_and_reprocess_replay(spark):

@@ -75,6 +75,16 @@ def source_provider_for(spark):
     return provider
 
 
+def _read_stage(spark, path):
+    """Stage tables are copy-on-write with retention (round 12): raw
+    directory reads would sweep in superseded tombstone files."""
+    from cdk_datalake_ingest_bigmagic_spark.storage.deltareader import (
+        read_delta,
+    )
+
+    return read_delta(spark, str(path))
+
+
 def test_parse_process_date_formats():
     d = dt.date(2024, 6, 15)
     for s in ("2024-06-15", "20240615", "15/06/2024", "15-06-2024",
@@ -103,7 +113,7 @@ def test_run_process_end_to_end(spark, tmp_path):
     assert ok.status == "SUCCESS"
     assert ok.rows == 2  # X9 filtered out by FILTER_EXP
 
-    stage = spark.read.parquet(str(tmp_path / "stage/orders_stage"))
+    stage = _read_stage(spark, (tmp_path / "stage/orders_stage"))
     got = {r["order_id"]: float(r["amount"]) for r in stage.collect()}
     assert got == {"A1": 10.50, "A2": 20.00}
 
@@ -269,7 +279,7 @@ def test_warning_band_status(spark, tmp_path):
     runs = runner.run_process("P1", source_provider=lambda tc: src)
     assert runs[0].status == "WARNING"
     assert runs[0].n_errors == 1
-    stage = spark.read.parquet(str(tmp_path / "stage/warn_stage"))
+    stage = _read_stage(spark, (tmp_path / "stage/warn_stage"))
     row = stage.collect()[0]
     assert row["a"] == "A" and row["bad"] is None  # quarantined to NULL
 
@@ -290,5 +300,5 @@ def test_notify_and_optimize_hooks(spark, tmp_path):
     # only the failure is notified; the success is not
     assert [n.table for n in notified] == ["broken_stage"]
     # compaction ran and the table still reads
-    stage = spark.read.parquet(str(tmp_path / "stage/orders_stage"))
+    stage = _read_stage(spark, (tmp_path / "stage/orders_stage"))
     assert stage.count() == 2

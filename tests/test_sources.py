@@ -141,11 +141,19 @@ def test_stage_optimize_compacts_files(spark, tmp_path):
     df = spark.range(0, 1000).selectExpr("id", "id * 2 AS v").repartition(16)
     table = stage_table(spark, path)
     table.overwrite(df)
-    before = len(_glob.glob(f"{path}/part-*.parquet"))
+    from cdk_datalake_ingest_bigmagic_spark.storage import deltalog
+
+    before = len(deltalog.live_files(path))
     assert before >= 16
     table.optimize(target_partitions=2)
-    after = len(_glob.glob(f"{path}/part-*.parquet"))
+    after = len(deltalog.live_files(path))
     assert after <= 2
+    # the compaction inputs are RETAINED tombstones until vacuum
+    assert len(_glob.glob(f"{path}/part-*.parquet")) >= before + after
+    import time as _time
+
+    table.vacuum(retention_hours=0, now_ms=int(_time.time() * 1000) + 10_000)
+    assert len(_glob.glob(f"{path}/part-*.parquet")) <= 2
     assert table.read().count() == 1000
 
 
@@ -558,8 +566,9 @@ def test_target_partitions_for_sizing(spark, tmp_path):
     small = target_partitions_for(spark, path, target_bytes=64 * 1024)
     assert small > 1
     table.optimize(target_partitions=target_partitions_for(spark, path))
-    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
-    assert len(files) == 1
+    from cdk_datalake_ingest_bigmagic_spark.storage import deltalog as _dl
+
+    assert len(_dl.live_files(path)) == 1  # disk keeps tombstones until vacuum
     assert table.read().count() == 20000
 
     with pytest.raises(ValueError):

@@ -23,6 +23,16 @@ SPECS = [
 RAW_SCHEMA = "id string, val string, mod_ts string"
 
 
+def _read_stage(spark, path):
+    """Stage tables are copy-on-write with retention (round 12): a raw
+    directory read would sweep in the superseded tombstone files."""
+    from cdk_datalake_ingest_bigmagic_spark.storage.deltareader import (
+        read_delta,
+    )
+
+    return read_delta(spark, path)
+
+
 def run_stream(spark, raw_path, stage_path, checkpoint):
     q = stream_raw_to_stage(
         spark, raw_path, stage_path, TABLE, SPECS, checkpoint
@@ -41,7 +51,7 @@ def test_streaming_incremental_merge(spark, tmp_path):
     )
     write_raw(batch1, raw, ingest_date=dt.date(2024, 6, 1))
     run_stream(spark, raw, stage, ckpt)
-    got = {r["k"]: r["v"] for r in spark.read.parquet(stage).collect()}
+    got = {r["k"]: r["v"] for r in _read_stage(spark, stage).collect()}
     assert got == {"A": 1, "B": 2}
 
     # batch 2: A updated (later modify ts), C new — only the NEW files
@@ -53,7 +63,7 @@ def test_streaming_incremental_merge(spark, tmp_path):
     )
     write_raw(batch2, raw, ingest_date=dt.date(2024, 6, 2))
     run_stream(spark, raw, stage, ckpt)
-    got = {r["k"]: r["v"] for r in spark.read.parquet(stage).collect()}
+    got = {r["k"]: r["v"] for r in _read_stage(spark, stage).collect()}
     assert got == {"A": 10, "B": 2, "C": 3}
 
 

@@ -246,6 +246,17 @@ def synth_raw(
     return base.select(*cols), id_src, src_cols
 
 
+def _read_stage(spark, path):
+    """Log-honoring stage read: the stage writer is copy-on-write with
+    retention (round 12), so superseded files sit beside the live ones
+    as tombstones — a raw directory read would double-count them."""
+    from cdk_datalake_ingest_bigmagic_spark.storage.deltareader import (
+        read_delta,
+    )
+
+    return read_delta(spark, path)
+
+
 def replay_table(spark, duck, tc, specs, n_rows: int, workdir: str) -> dict:
     """One table end-to-end; returns the report row."""
     from cdk_datalake_ingest_bigmagic_spark.functions.compiler import (
@@ -266,7 +277,7 @@ def replay_table(spark, duck, tc, specs, n_rows: int, workdir: str) -> dict:
     errors = list(result.errors)
     stage_path = os.path.join(workdir, "stage", tc.stage_table_name)
     write_stage(spark, result.df, stage_path, specs, tc.effective_load_type)
-    staged = spark.read.parquet(stage_path)
+    staged = _read_stage(spark, stage_path)
     got_rows = staged.count()
 
     # DuckDB oracle from the SAME raw parquet
@@ -423,7 +434,7 @@ def replay_table_day2(spark, duck, tc, specs, n_rows: int, workdir: str) -> dict
         wm_ok = got == new_wm and (prev is None or got >= prev)
 
     write_stage(spark, typed2, stage_path, specs, "incremental")
-    staged = spark.read.parquet(stage_path)
+    staged = _read_stage(spark, stage_path)
     got_rows = staged.count()
 
     # DuckDB oracle: final rows = distinct ID tuples across both days
@@ -556,7 +567,7 @@ def replay_table_day3_reset(
         specs,
         "full" if destructive else tc.effective_load_type,
     )
-    staged = spark.read.parquet(stage_path)
+    staged = _read_stage(spark, stage_path)
     got_rows = staged.count()
 
     glob = f"{raw3_path}/*.parquet"
@@ -667,7 +678,7 @@ def replay_table_day4_reprocess(
     write_raw(raw_a2, root, ingest_date=day_a)
     run_table_pipeline(spark, root, stage4, tc, specs, ingest_date=day_a)
 
-    staged = spark.read.parquet(stage4)
+    staged = _read_stage(spark, stage4)
     got_rows = staged.count()
     id_cols = [s.name for s in specs if s.is_id]
     merge_policy = (
