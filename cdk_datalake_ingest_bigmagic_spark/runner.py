@@ -110,8 +110,14 @@ class ProcessRunner:
     max_concurrency: int = EXTRACT_CONCURRENCY
     clock: Callable[[], dt.datetime] = lima_now
     # post-load small-file compaction (reference OPTIMIZE/VACUUM after
-    # each stage write, light_transform.py:1394-1409)
+    # each stage write, light_transform.py:1394-1409). The paired
+    # VACUUM matters doubly under the copy-on-write stage writer
+    # (round 12): every rewrite retains the superseded files as
+    # tombstones, so a nightly merge without vacuum grows table disk
+    # without bound. ``vacuum_retention_hours`` matches the
+    # reference's ``VACUUM 168h``.
     optimize_after_write: bool = False
+    vacuum_retention_hours: float = 168.0
     # notification slot for FAILED/WARNING runs (the reference's SNS
     # publish, extract_data.py:313-368); exceptions in the hook are
     # swallowed — a broken notifier must not fail the pipeline
@@ -228,7 +234,8 @@ class ProcessRunner:
                 )
 
                 pcols = [s.name for s in specs if s.is_partition]
-                stage_table(self.spark, self.stage_path(table)).optimize(
+                st = stage_table(self.spark, self.stage_path(table))
+                st.optimize(
                     partition_cols=pcols or None,
                     partition_types={
                         s.name: spark_type_for(s.data_type)
@@ -237,6 +244,8 @@ class ProcessRunner:
                     }
                     or None,
                 )
+                if hasattr(st, "vacuum"):
+                    st.vacuum(retention_hours=self.vacuum_retention_hours)
         except TransformFailure as e:
             run.status = "FAILED"
             run.n_errors = len(e.errors)

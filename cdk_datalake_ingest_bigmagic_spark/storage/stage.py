@@ -460,6 +460,17 @@ class DeltaStageTable(ParquetStageTable):  # pragma: no cover - needs delta pkg
         self.spark.sql(f"OPTIMIZE delta.`{self.path}`")
         self.spark.sql(f"VACUUM delta.`{self.path}` RETAIN 168 HOURS")
 
+    def vacuum(
+        self,
+        retention_hours: float = 168.0,
+        now_ms: int | None = None,
+    ) -> list[str]:
+        # native VACUUM; Delta does not report the swept paths
+        self.spark.sql(
+            f"VACUUM delta.`{self.path}` RETAIN {int(retention_hours)} HOURS"
+        )
+        return []
+
 
 def stage_table(spark: SparkSession, path: str) -> ParquetStageTable:
     """Pick the best available backend for a stage table path."""

@@ -302,3 +302,32 @@ def test_notify_and_optimize_hooks(spark, tmp_path):
     # compaction ran and the table still reads
     stage = _read_stage(spark, (tmp_path / "stage/orders_stage"))
     assert stage.count() == 2
+
+
+def test_optimize_hook_vacuums_tombstones(spark, tmp_path):
+    """The reference pairs OPTIMIZE with VACUUM 168h; under the
+    copy-on-write stage writer the pairing is what bounds disk — with
+    a zero retention the post-load maintenance leaves exactly the
+    live files on disk, and the table still reads."""
+    import glob as _glob
+
+    from cdk_datalake_ingest_bigmagic_spark.storage import deltalog
+
+    runner = ProcessRunner(
+        spark=spark, catalog=make_catalog(),
+        raw_root=str(tmp_path / "raw"), stage_root=str(tmp_path / "stage"),
+        clock=fixed_clock,
+        optimize_after_write=True,
+        vacuum_retention_hours=0.0,
+    )
+    runs = runner.run_process("P1", source_provider=source_provider_for(spark))
+    assert {r.table: r.status for r in runs}["orders_stage"] == "SUCCESS"
+    path = str(tmp_path / "stage/orders_stage")
+    live = set(deltalog.live_files(path))
+    disk = {
+        p.split(path + "/")[-1]
+        for p in _glob.glob(f"{path}/**/*.parquet", recursive=True)
+        if "_delta_log" not in p
+    }
+    assert disk == live          # zero-retention vacuum swept the rest
+    assert _read_stage(spark, path).count() == 2
