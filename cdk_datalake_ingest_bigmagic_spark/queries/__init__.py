@@ -429,12 +429,12 @@ from cdk_datalake_ingest_bigmagic_spark.queries import deltagate  # noqa: E402,F
 # greens, assuming this 49-front goes green in r12): r13 obligation =
 # the r10-green cohort not re-gated since (50 r10 greens minus the
 # ~13 re-gated in r11/r12 fronts) ≈ 37-40, leaving ~10-13 free slots
-# BEFORE riders/activations. THREE waves are staged and pre-validated
+# BEFORE riders/activations. FOUR waves are staged and pre-validated
 # at both SFs, activation queue in this order: curation9 (3
 # paragraph-dedup gates, first claim on the r13 slots), curation10
 # (3 HTML codegen-census gates, r13 if the measured free_slots cover
 # 6 + riders, else r14), curation11 (2 duplicate-interval gates,
-# r14+). r14 obligation = the r11 cohort (~50 again, minus r12/r13
+# r14+), deltagate2 (1 time-travel gate, r14+). r14 obligation = the r11 cohort (~50 again, minus r12/r13
 # re-gates) — another tight round, so any round-13 registration
 # beyond ~6 gates must be paired with a fold from the candidates in
 # rule 4. Verify both with window_math at the respective round

@@ -1,0 +1,78 @@
+"""Round-13/14 staged gate for Delta TIME TRAVEL (the round-12
+copy-on-write storage upgrade: storage/stage.py retains superseded
+files as tombstones, storage/deltareader.py gains ``version_as_of``).
+
+NOT imported by queries/__init__.py in round 12 — activation queue
+position 4, after curation9/curation10/curation11 (see the registry
+sustainability comment). Validates ahead of registration via
+``tools/validate_module.py deltagate2``.
+
+Shape (the deltagate pattern: synthesize a real table lifecycle
+inside the query, run the real reader over it, oracle the result from
+the construction): three commits — FULL write, keyed MERGE of
+disjoint keys, destructive OVERWRITE — then read each version back
+through ``read_delta(version_as_of=...)`` and union the three
+snapshots under a version tag. Every historical read crosses a
+physical rewrite, which only works because the writer retains the
+superseded files (pre-round-12 swap semantics would have deleted
+them); the oracle states each snapshot from the construction alone.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.queries import load, register
+
+
+@register(
+    "delta_time_travel",
+    oracle="""
+    SELECT 0 AS version, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT 1 AS version, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id % 3 IN (0, 1)
+    UNION ALL
+    SELECT 2 AS version, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id % 3 = 2
+    """,
+)
+def delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL → MERGE → destructive OVERWRITE, then every version read
+    back via ``version_as_of``: v0 is the initial third, v1 the merge
+    union (disjoint keys — pure inserts), v2 only the final rewrite.
+    The v0/v1 reads cross TWO physical rewrites and still reconstruct
+    exactly, proving the retained-tombstone contract cross-engine
+    (reference: the Delta history a
+    ``light_transform.py:1363-1409`` stage table accumulates, read
+    with delta-spark's ``versionAsOf``)."""
+    from cdk_datalake_ingest_bigmagic_spark.storage.deltareader import (
+        read_delta,
+    )
+    from cdk_datalake_ingest_bigmagic_spark.storage.stage import (
+        ParquetStageTable,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="deltagate2_"), "t")
+    t = ParquetStageTable(spark, path)
+    t.overwrite(d.filter(F.col("doc_id") % 3 == 0))                  # v0
+    t.merge(d.filter(F.col("doc_id") % 3 == 1), id_cols=["doc_id"])  # v1
+    t.overwrite(d.filter(F.col("doc_id") % 3 == 2))                  # v2
+    snaps = [
+        read_delta(spark, path, version_as_of=v).select(
+            F.lit(v).cast("int").alias("version"), "doc_id", "n_chars"
+        )
+        for v in (0, 1, 2)
+    ]
+    out = snaps[0]
+    for s in snaps[1:]:
+        out = out.unionByName(s)
+    return out
