@@ -157,3 +157,47 @@ def test_interval_plan_single_window_shuffle(spark, docs_df):
     ]
     assert len(windows) == 2, plan
     assert all("doc_id" in w for w in windows)
+
+
+def test_duplicate_intervals_randomized_differential(spark):
+    """Seeded-random differential, one Spark pass: 30 corpora with
+    random doc counts, random shared runs (length, carriers, offsets)
+    and unique filler, vocabulary-disjoint across corpora (every word
+    carries its corpus id) so one combined DataFrame checks all 30
+    against the pure-Python mirror at once — the hypothesis-style
+    sweep without a Spark job per example."""
+    import random
+
+    rng = random.Random(42)
+    all_rows = []
+    expected = {}
+    for c in range(30):
+        n_docs = rng.randint(2, 5)
+        uniq = 0
+        docs = []
+        for d in range(n_docs):
+            n_fill = rng.randint(0, 40)
+            words = [f"c{c}u{uniq + i}" for i in range(n_fill)]
+            uniq += n_fill
+            docs.append(words)
+        # 1-3 shared runs planted into >=2 docs each, at random slots
+        for r in range(rng.randint(1, 3)):
+            run_len = rng.randint(4, 30)  # below n=8 must stay invisible
+            run = [f"c{c}r{r}w{i}" for i in range(run_len)]
+            for d in rng.sample(range(n_docs), rng.randint(2, n_docs)):
+                pos = rng.randint(0, len(docs[d]))
+                docs[d] = docs[d][:pos] + run + docs[d][pos:]
+        corpus = [(c * 100 + d, " ".join(w)) for d, w in enumerate(docs) if w]
+        all_rows.extend(corpus)
+        _, exp = _py_intervals(corpus, n=8, stride=2)
+        expected.update(exp)
+
+    df = spark.createDataFrame(all_rows, "doc_id long, text string")
+    got = {}
+    for r in duplicate_intervals(df, "doc_id", "text", n=8, stride=2).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["start_token"], r["end_token"])
+        )
+    assert {k: sorted(v) for k, v in got.items()} == {
+        k: sorted(v) for k, v in expected.items()
+    }
