@@ -864,3 +864,26 @@ def test_time_travel_historical_schema(spark, tmp_path):
     t.merge(wide, id_cols=["k"])  # v1 evolves the schema
     assert "score" in read_delta(spark, path, version_as_of=1).columns
     assert "score" not in read_delta(spark, path, version_as_of=0).columns
+
+
+def test_vacuum_sweeps_stale_crashed_tmp_dirs(spark, tmp_path):
+    """A writer that crashed during the tmp-dir write leaves a
+    sibling ``<table>.tmp-*`` directory; vacuum removes it once it is
+    older than the retention window, and never touches a FRESH one
+    (an in-flight writer)."""
+    path = str(tmp_path / "tt7")
+    t = ParquetStageTable(spark, path)
+    t.overwrite(_df(spark, [(1, 0, "a")]))
+    stale = Path(path + ".tmp-deadbeef")
+    stale.mkdir()
+    (stale / "part-x.parquet").write_bytes(b"junk")
+    import os
+
+    old = (_future_ms() - 100 * 3600 * 1000) / 1000  # ~100h ago
+    os.utime(stale, (old, old))
+    fresh = Path(path + ".tmp-cafebabe")
+    fresh.mkdir()
+    t.vacuum(retention_hours=1, now_ms=_future_ms())
+    assert not stale.exists()
+    assert fresh.exists()  # inside the window: an in-flight writer
+    assert [r["k"] for r in t.read().collect()] == [1]
