@@ -339,10 +339,17 @@ STOPWORDS: tuple[str, ...] = (
 #: remaining structural tags (nav/aside/main/td/th/figure/dl/dt/dd).
 #: A SEPARATE constant on purpose — _BLOCK_BREAK is part of the gated
 #: strip_html definition and must not drift under it.
+#: The ``(?:[\s/][^>]*)?>`` tail is the tag-name BOUNDARY: after the
+#: alternation the tag must end (``>``) or continue with
+#: whitespace/``/`` + attributes — otherwise non-listed tags
+#: prefix-match and fragment content (``<pre>`` via ``p``, ``<thead>``
+#: via ``th``, ``<track>`` via ``tr``, ``<link>`` via ``li``). Written
+#: without lookahead so the SAME pattern runs under RE2 (the DuckDB
+#: oracle) and Java regex (Spark).
 BLOCK_SPLIT_RE = (
-    r"(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|section|article|"
+    r"(?i)</?(?:p|div|br|li|ul|ol|h[1-6]|tr|table|section|article|"
     r"header|footer|blockquote|nav|aside|main|td|th|figure|dl|dt|dd)"
-    r"[^>]*>"
+    r"(?:[\s/][^>]*)?>"
 )
 
 _LINK_RE = r"(?is)<a[^>]*>(.*?)</a>"
@@ -377,8 +384,10 @@ def _census_link_chars(block: Column) -> Column:
 
 
 def _census_stopword_count(words: Column) -> Column:
+    """Case-insensitive (jusText lowercases before matching):
+    sentence-initial 'The'/'In'/'A' must count toward the density."""
     sw = F.array(*[F.lit(s) for s in STOPWORDS])
-    return F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+    return F.size(F.filter(words, lambda w: F.array_contains(sw, F.lower(w))))
 
 
 def _census_verdict(

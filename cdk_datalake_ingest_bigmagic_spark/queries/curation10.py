@@ -101,11 +101,12 @@ for _tag in ("script", "style", "head", "noscript", "template", "svg"):
     )
 _CLEAN = f"regexp_replace({_CLEAN}, '(?s)<!--.*?-->', ' ', 'g')"
 
-# html.BLOCK_SPLIT_RE, verbatim.
+# html.BLOCK_SPLIT_RE, verbatim (incl. the r13 tag-name boundary —
+# lookahead-free so RE2 runs it identically).
 _BLOCK_SPLIT_SQL = (
-    "(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|section|article|"
+    "(?i)</?(?:p|div|br|li|ul|ol|h[1-6]|tr|table|section|article|"
     "header|footer|blockquote|nav|aside|main|td|th|figure|dl|dt|dd)"
-    "[^>]*>"
+    "(?:[\\s/][^>]*)?>"
 )
 
 _PREP_SQL = f"""
@@ -152,7 +153,8 @@ _PREP_SQL = f"""
              CAST(length(text) AS INT) AS text_chars,
              CAST(len(string_split(text, ' ')) AS INT) AS n_words,
              CAST(len(list_filter(string_split(text, ' '),
-               w -> list_contains({_STOPLIST}, w))) AS INT) AS n_stopwords
+               w -> list_contains({_STOPLIST}, lower(w)))) AS INT)
+               AS n_stopwords
       FROM sig
       WHERE length(text) > 0
     ),

@@ -411,5 +411,5 @@ def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cross_corpus_near_dup(
         a, b, "doc_id", "text", n=3, num_bands=8, rows_per_band=4,
-        threshold=0.8,
+        threshold=0.8, broadcast_reference=True,  # B is |docs|/7·2 — bounded
     )

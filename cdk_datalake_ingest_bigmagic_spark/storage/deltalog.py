@@ -212,6 +212,7 @@ def _replay(
     if not d.is_dir():
         return state, meta, proto
     base = _checkpoint_base(table_path)
+    ckpt_version = base[0] if base is not None else -1
     if base is not None and as_of is not None and base[0] > as_of:
         base = None  # checkpoint is newer than the asked version
     if base is not None:
@@ -222,18 +223,28 @@ def _replay(
         key=lambda p: int(p.stem),
     )
     if as_of is not None:
+        # newest includes the UNDEMOTED checkpoint version: when the
+        # checkpoint is above as_of and retention trim left no JSON
+        # commits, the table's current version is the checkpoint's,
+        # not -1 — the error below must report the predates-oldest
+        # case, not a bogus "above current version -1".
         newest = max(
-            [int(p.stem) for p in commits] + [base_version], default=-1
+            [int(p.stem) for p in commits] + [base_version, ckpt_version],
+            default=-1,
         )
         if as_of > newest:
             raise VersionNotFoundError(
                 f"{table_path}: version {as_of} is above the table's "
                 f"current version {newest}"
             )
-        if base is None and commits and int(commits[0].stem) > 0:
+        if base is None and (
+            (commits and int(commits[0].stem) > 0)
+            or (not commits and ckpt_version >= 0)
+        ):
+            oldest = int(commits[0].stem) if commits else ckpt_version
             raise VersionNotFoundError(
                 f"{table_path}: version {as_of} predates the oldest "
-                f"surviving log entry (version {int(commits[0].stem)}) — "
+                f"surviving log entry (version {oldest}) — "
                 "commits below the newest checkpoint were trimmed by "
                 "log retention"
             )
@@ -275,6 +286,43 @@ def live_files(table_path: str) -> dict[str, dict]:
     percent-DECODED so callers compare directly against the
     filesystem."""
     return _replay(table_path)[0]
+
+
+def removal_timestamps(table_path: str) -> dict[str, int]:
+    """Decoded relative path -> ``deletionTimestamp`` (ms) of its
+    LATEST ``remove`` action, for every file whose most recent log
+    action is a remove. This is VACUUM's retention clock (the Delta
+    PROTOCOL measures retention from when a file was SUPERSEDED, not
+    when it was written): a file created long ago but tombstoned
+    seconds ago must survive a vacuum, or time travel to the
+    immediately-preceding version breaks and concurrent readers of
+    the prior snapshot lose files mid-query. Files re-added after a
+    remove are dropped from the map (governed by the newer add);
+    removes without a recorded timestamp clear any earlier entry so
+    callers fall back to mtime."""
+    d = _log_dir(table_path)
+    out: dict[str, int] = {}
+    if not d.is_dir():
+        return out
+    commits = sorted(
+        (p for p in d.glob("*.json") if p.stem.isdigit()),
+        key=lambda p: int(p.stem),
+    )
+    for p in commits:
+        for line in p.read_text().splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "remove" in action:
+                rel = _decode_path(action["remove"]["path"])
+                ts = action["remove"].get("deletionTimestamp")
+                if ts is not None:
+                    out[rel] = int(ts)
+                else:
+                    out.pop(rel, None)
+            elif "add" in action:
+                out.pop(_decode_path(action["add"]["path"]), None)
+    return out
 
 
 def _scan_parquet_files(table_path: str) -> list[tuple[str, int, int]]:

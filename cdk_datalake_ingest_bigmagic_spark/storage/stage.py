@@ -346,12 +346,17 @@ class ParquetStageTable:
         now_ms: int | None = None,
     ) -> list[str]:
         """Delta VACUUM: delete data files that are NOT in the live
-        set and whose modification time falls outside the retention
-        window (default 7 days, delta-spark's default; the mtime is
-        this emulation's documented approximation of the remove
-        action's deletionTimestamp). Also sweeps crash-orphaned
-        ``*.tmp-*`` write directories past the window. After a
-        vacuum, time travel to versions whose files were swept raises
+        set and whose retention clock falls outside the window
+        (default 7 days, delta-spark's default). The clock is the
+        remove action's ``deletionTimestamp`` replayed from the log —
+        when the file was SUPERSEDED, not when it was written — so a
+        file created long ago but tombstoned seconds ago survives
+        (the PROTOCOL semantics; a concurrent reader of the prior
+        snapshot keeps its files for the full window). File mtime is
+        the fallback only for UNLOGGED orphans (crash debris with no
+        remove action). Also sweeps crash-orphaned ``*.tmp-*`` write
+        directories past the window. After a vacuum, time travel to
+        versions whose files were swept raises
         ``deltalog.VersionNotFoundError`` — the same horizon real
         Delta has. Returns the deleted paths (table-relative)."""
         if not _is_local_path(self.path):  # pragma: no cover
@@ -362,6 +367,7 @@ class ParquetStageTable:
         if not (live_dir / "_delta_log").is_dir():
             return []
         live = set(deltalog.live_files(str(live_dir)))
+        removals = deltalog.removal_timestamps(str(live_dir))
         now = int(time.time() * 1000) if now_ms is None else now_ms
         cutoff = now - int(retention_hours * 3600 * 1000)
         removed: list[str] = []
@@ -371,7 +377,10 @@ class ParquetStageTable:
                 continue  # checkpoints are log files, not data
             if str(rel) in live:
                 continue
-            if int(p.stat().st_mtime * 1000) >= cutoff:
+            clock = removals.get(
+                str(rel), int(p.stat().st_mtime * 1000)
+            )
+            if clock >= cutoff:
                 continue
             p.unlink()
             removed.append(str(rel))

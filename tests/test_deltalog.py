@@ -887,3 +887,72 @@ def test_vacuum_sweeps_stale_crashed_tmp_dirs(spark, tmp_path):
     assert not stale.exists()
     assert fresh.exists()  # inside the window: an in-flight writer
     assert [r["k"] for r in t.read().collect()] == [1]
+
+
+def test_vacuum_clock_is_deletion_timestamp_not_mtime(spark, tmp_path):
+    """VACUUM's retention clock is the remove action's
+    deletionTimestamp (when the file was SUPERSEDED), not the file's
+    creation mtime: a file written 30 days ago but tombstoned seconds
+    ago must survive a 7-day vacuum (a reader of the prior snapshot
+    keeps its files for the full window), while an UNLOGGED orphan
+    with the same old mtime — crash debris with no remove action —
+    falls back to mtime and is swept."""
+    import os
+    import time as _t
+
+    path = str(tmp_path / "tt8")
+    t = ParquetStageTable(spark, path)
+    t.overwrite(_df(spark, [(1, 0, "a")]))          # v0
+    root = Path(path)
+    old = _t.time() - 30 * 24 * 3600
+    v0_files = [
+        p for p in root.rglob("*.parquet") if "_delta_log" not in p.parts
+    ]
+    for p in v0_files:
+        os.utime(p, (old, old))                     # "written 30d ago"
+    orphan = root / "part-orphan-never-logged.parquet"
+    orphan.write_bytes(b"junk")
+    os.utime(orphan, (old, old))
+    t.overwrite(_df(spark, [(9, 9, "z")]))          # v1 tombstones v0 NOW
+    swept = t.vacuum(retention_hours=168.0)
+    assert str(orphan.relative_to(root)) in swept   # mtime fallback
+    for p in v0_files:
+        assert p.exists(), "fresh tombstone swept on creation mtime"
+    from cdk_datalake_ingest_bigmagic_spark.storage.deltareader import (
+        read_delta,
+    )
+
+    assert [r["k"] for r in read_delta(spark, path, version_as_of=0).collect()] == [1]
+    # once the DELETION is outside the window, the tombstones go
+    assert t.vacuum(retention_hours=168.0, now_ms=_future_ms() + 200 * 3600 * 1000)
+    with pytest.raises(deltalog.VersionNotFoundError):
+        read_delta(spark, path, version_as_of=0)
+
+
+def test_time_travel_below_demoted_checkpoint_reports_predates(spark, tmp_path):
+    """When the only surviving log entry is a checkpoint NEWER than
+    the asked version (external cleanup deleted every JSON commit),
+    the error is the predates-oldest-surviving-entry case — not a
+    bogus 'above the table's current version -1' from the demoted
+    base."""
+    from cdk_datalake_ingest_bigmagic_spark.storage.deltareader import (
+        read_delta,
+    )
+
+    path = str(tmp_path / "tt9")
+    t = ParquetStageTable(spark, path)
+    t.overwrite(_df(spark, [(1, 0, "a")]))
+    for i in range(deltalog.CHECKPOINT_INTERVAL):
+        t.merge(_df(spark, [(10 + i, i, f"v{i}")]), id_cols=["k"])
+    cp_v = deltalog.CHECKPOINT_INTERVAL
+    for p in Path(path, "_delta_log").glob("*.json"):
+        if p.stem.isdigit():
+            p.unlink()
+    # the checkpoint version itself still reads
+    assert read_delta(spark, path, version_as_of=cp_v).count() > 0
+    with pytest.raises(deltalog.VersionNotFoundError, match="predates"):
+        read_delta(spark, path, version_as_of=cp_v - 1)
+    with pytest.raises(
+        deltalog.VersionNotFoundError, match=f"current version {cp_v}"
+    ):
+        read_delta(spark, path, version_as_of=cp_v + 5)

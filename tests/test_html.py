@@ -286,17 +286,17 @@ def _py_census(page: str):
         return _re.sub(r"\s+", " ", t).strip()
 
     out = []
-    # re.split returns CAPTURED separators as items; Spark's split and
-    # DuckDB's string_split_regex do not — neutralize the group
-    split_re = BLOCK_SPLIT_RE.replace("</?(", "</?(?:")
-    for idx, b in enumerate(_re.split(split_re, s)):
+    # BLOCK_SPLIT_RE uses only non-capturing groups, so re.split
+    # returns no separator items (same as Spark's split / DuckDB's
+    # string_split_regex)
+    for idx, b in enumerate(_re.split(BLOCK_SPLIT_RE, s)):
         text = norm(b)
         if not text:
             continue
         links = _re.findall(r"(?is)<a[^>]*>(.*?)</a>", b)
         link_chars = sum(len(norm(x)) for x in links)
         words = text.split(" ")
-        n_stop = sum(1 for w in words if w in STOPWORDS)
+        n_stop = sum(1 for w in words if w.lower() in STOPWORDS)
         ld = round(link_chars / len(text), 6)
         sd = round(n_stop / len(words), 6)
         if ld > 0.35:

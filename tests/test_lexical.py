@@ -165,9 +165,11 @@ def test_cross_corpus_band_join_broadcasts_reference(spark):
     """Plan pin for the round-12 probe finding: AQE demotes the
     reference-side broadcast of the band join (every shuffle partition
     of the small side is non-empty), leaving the 100x-bigger training
-    side hash-shuffled on the band keys. The explicit hint must hold —
-    and must be absent when ``broadcast_reference=False`` (the
-    two-large-corpora shape, where shuffling is correct)."""
+    side hash-shuffled on the band keys. The explicit hint must hold
+    when opted in — and must be ABSENT by default (broadcast_reference
+    is opt-in since round 13: unhinted callers with a large second
+    corpus must get the shuffle join, not an OOM-prone forced
+    broadcast)."""
     from cdk_datalake_ingest_bigmagic_spark.operators.dedup import (
         cross_corpus_near_dup,
     )
@@ -180,16 +182,16 @@ def test_cross_corpus_band_join_broadcasts_reference(spark):
         [(100, "alpha beta gamma delta epsilon zeta doc 7")],
         "doc_id long, text string",
     )
-    hinted = cross_corpus_near_dup(a, b, "doc_id", "text")
+    hinted = cross_corpus_near_dup(
+        a, b, "doc_id", "text", broadcast_reference=True
+    )
     hinted.collect()
     plan = hinted._jdf.queryExecution().executedPlan().toString()
     # every bounded side is hinted (band bucket join, id_b verify join,
     # the candidate set itself) — the big corpus side must stream with
     # zero join-side shuffle
     assert "SortMergeJoin" not in plan
-    unhinted = cross_corpus_near_dup(
-        a, b, "doc_id", "text", broadcast_reference=False
-    )
+    unhinted = cross_corpus_near_dup(a, b, "doc_id", "text")
     optimized = (
         unhinted._jdf.queryExecution().optimizedPlan().toString()
     )

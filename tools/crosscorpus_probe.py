@@ -102,7 +102,9 @@ def main() -> None:
 
     # --- the operator end-to-end ------------------------------------
     t0 = time.time()
-    pairs = dd.cross_corpus_near_dup(a, b, "doc_id", "text", 3, 8, 4, 0.8)
+    pairs = dd.cross_corpus_near_dup(
+        a, b, "doc_id", "text", 3, 8, 4, 0.8, broadcast_reference=True
+    )
     n_pairs = pairs.count()
     sec = round(time.time() - t0, 1)
 
