@@ -63,6 +63,11 @@ from cdk_datalake_ingest_bigmagic_spark.queries import curation6  # noqa: E402,F
 from cdk_datalake_ingest_bigmagic_spark.queries import curation7  # noqa: E402,F401
 from cdk_datalake_ingest_bigmagic_spark.queries import curation8  # noqa: E402,F401
 from cdk_datalake_ingest_bigmagic_spark.queries import deltagate  # noqa: E402,F401
+from cdk_datalake_ingest_bigmagic_spark.queries import suites13  # noqa: E402,F401
+from cdk_datalake_ingest_bigmagic_spark.queries import curation9  # noqa: E402,F401
+from cdk_datalake_ingest_bigmagic_spark.queries import curation10  # noqa: E402,F401
+from cdk_datalake_ingest_bigmagic_spark.queries import curation11  # noqa: E402,F401
+from cdk_datalake_ingest_bigmagic_spark.queries import deltagate2  # noqa: E402,F401
 
 # The external correctness gate checks the first 50 registered queries.
 # With 114 registered (round 7 added the ten queries/curation.py
@@ -439,7 +444,111 @@ from cdk_datalake_ingest_bigmagic_spark.queries import deltagate  # noqa: E402,F
 # beyond ~6 gates must be paired with a fold from the candidates in
 # rule 4. Verify both with window_math at the respective round
 # starts (rule 1).
+# ROUND-13 WINDOW MATH (computed at round start per policy rule 1:
+# `python tools/window_math.py 13` → obligation 37, free_slots 13,
+# front_overflow 0, never_green []). Demand WITHOUT consolidation
+# would have been 37 + 9 activations (curation9×3 + curation10×3 +
+# curation11×2 + deltagate2×1) + 2 riders + 2 new gates = 50 exactly,
+# with r14 then hitting its lumpy 47-query r11 cohort + riders > 50
+# (VERDICT r12 item 2 told us to pre-solve that NOW). So rule-2/4
+# consolidation executes in r13, sized for BOTH rounds: 15 gates fold
+# into 5 leg-tagged suites (queries/suites13.py):
+#   - snapshot_diff_docs + snapshot_carry_forward + corpus_drift_
+#     report (all r13 obligation) → snapshot_suite          (−2 now)
+#   - multimodal_binary_stats + multimodal_frame_sample +
+#     multimodal_audio_windows (all r13 obligation) → multimodal_
+#     suite                                                 (−2 now)
+#   - profile_exact_core + profile_frequent_sources (r12 greens,
+#     rule-4 candidates) → profile_suite                    (+1 now,
+#     −2 registry)
+#   - filter_semijoin_subquery + filter_month_window + filter_dual_
+#     column_window + filter_watermark + filter_explicit_range (all
+#     r11 greens = the r14 obligation cohort; P3–P7 anchors kept as
+#     legs) → filter_window_suite                 (+1 now, −5 in r14)
+#   - dsir_bucket_counts + dsir_bucket_distribution (r11 greens) →
+#     dsir_suite                                  (+1 now, −2 in r14)
+# Post-fold demand: 31 remaining obligation + 5 suites + 9
+# activations (curation11 + deltagate2 pulled FORWARD from the r14
+# queue — r13 has the slots, r14 doesn't) + 2 riders (dedup_cross_
+# corpus: cross_corpus_near_dup broadcast default flip + gate opt-in;
+# delta_roundtrip: vacuum deletionTimestamp clock + _replay error
+# path) + 2 new registrations (corpus_clean_full: the flags-ON
+# pipeline-composition gate VERDICT item 3 asked for; quality_
+# ensemble_card: the calibrated composite scorer VERDICT item 7
+# chose) = 49, 1 slot spare (held for a late rider; if unused, slot
+# 50 falls to the first out-of-front registrant, an unchanged green).
+# r14 projection AFTER this front: obligation = 47 r11 greens − 5
+# (filter members retired) − 2 (dsir members retired) = 40, zero
+# queued activations, ~3-5 riders → fits with slack; next fold
+# candidates if r15 (the ~48 r12-green cohort) needs them: the
+# text_token/quality septet (operators/text.py), the embedding six
+# (operators/similarity.py), the dedup method quartet
+# (operators/dedup.py).
 _GATE_FRONT: list[str] = [
+    # (1) the 5 round-13 consolidation suites (new definitions)
+    "snapshot_suite",
+    "multimodal_suite",
+    "profile_suite",
+    "filter_window_suite",
+    "dsir_suite",
+    # (2) the 9 staged-wave activations (never gated; all
+    # pre-validated at both SFs in round 12, re-validated at
+    # activation)
+    "paragraph_exact_core",
+    "paragraph_strip_rewrite",
+    "paragraph_near_dup_pairs",
+    "html_block_census",
+    "html_boilerplate_profile",
+    "html_extract_main_text",
+    "text_duplicate_intervals",
+    "text_dup_run_profile",
+    "delta_time_travel",
+    # (3) riders of this round's fixes (ADVICE r12): operators/
+    # dedup.py broadcast_reference flip → dedup_cross_corpus;
+    # storage/stage.py + storage/deltalog.py vacuum/replay fixes →
+    # delta_roundtrip (delta_time_travel is in (2))
+    "dedup_cross_corpus",
+    "delta_roundtrip",
+    # (4) the 2 round-13 registrations
+    "corpus_clean_full",
+    "quality_ensemble_card",
+    # (5) the 31-query obligation: the r10-green cohort at the
+    # freshness ceiling, minus the 6 members folded into (1)
+    "agg_above_customer_average",
+    "agg_cube_counts",
+    "agg_rollup_pricing",
+    "canonical_pick_best",
+    "dedup_exact_rows",
+    "dsl_misc_functions",
+    "eval_pair_metrics",
+    "events_cohort_retention",
+    "events_funnel_steps",
+    "events_json_props",
+    "events_pivot_counts",
+    "events_sessionization",
+    "events_time_windows",
+    "events_zorder_key",
+    "expectations_report",
+    "filter_antijoin_no_orders",
+    "filter_domains_block",
+    "gopher_quality_card",
+    "gopher_repetition_fracs",
+    "html_extract_text",
+    "join_shipping_priority",
+    "lm_surprisal_counts",
+    "pii_financial_counts",
+    "ranking_global_order",
+    "retrieval_bm25_topk",
+    "set_ops_segments",
+    "softdedup_cluster_keep",
+    "text_bpe_encode",
+    "tokenizer_fertility",
+    "window_running_sum",
+    "window_topk_per_group",
+]
+
+#: the round-12 front, kept for the audit trail (not used at runtime)
+_GATE_FRONT_R12: list[str] = [
     # (1) the 4 round-12 consolidation suites (changed definitions
     # => in-window; each preserves its members' SURVEY/operator
     # anchors as named columns or leg tags)

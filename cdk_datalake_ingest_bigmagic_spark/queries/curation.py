@@ -57,9 +57,7 @@ _SNAP_SQL = """
 """
 
 
-@register(
-    "snapshot_diff_docs",
-    oracle=f"""
+ORACLE_SNAPSHOT_DIFF = f"""
     WITH {_SNAP_SQL},
     o AS (SELECT doc_id, md5(text) AS old_digest FROM old),
     n AS (SELECT doc_id, md5(text) AS new_digest FROM new)
@@ -70,8 +68,9 @@ _SNAP_SQL = """
                 ELSE 'unchanged' END AS status,
            o.old_digest, n.new_digest
     FROM o FULL OUTER JOIN n USING (doc_id)
-    """,
-)
+    """
+
+
 def snapshot_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """What changed between two corpus snapshots: added/removed/
     changed/unchanged by content digest — the pre-curation question an
@@ -83,9 +82,7 @@ def snapshot_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new, "doc_id", "text")
 
 
-@register(
-    "snapshot_carry_forward",
-    oracle=f"""
+ORACLE_SNAPSHOT_CARRY = f"""
     WITH {_SNAP_SQL},
     o AS (SELECT doc_id, md5(text) AS old_digest FROM old),
     n AS (SELECT doc_id, md5(text) AS new_digest FROM new),
@@ -108,8 +105,9 @@ def snapshot_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE d.status <> 'removed'
     )
     SELECT doc_id, status, keep, (keep IS NULL) AS needs_decision FROM j
-    """,
-)
+    """
+
+
 def snapshot_carry_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reuse the previous run's curation decisions across a re-land:
     unchanged docs inherit their prior keep flag; added/changed docs
@@ -129,9 +127,7 @@ def snapshot_carry_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "corpus_drift_report",
-    oracle=f"""
+ORACLE_DRIFT_REPORT = f"""
     WITH {_SNAP_SQL},
     so AS (
       SELECT source, CAST(count(*) AS BIGINT) AS old_docs,
@@ -154,8 +150,9 @@ def snapshot_carry_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(new_words AS DOUBLE) / CAST(new_docs AS DOUBLE)
              AS new_mean_words
     FROM so FULL OUTER JOIN sn USING (source)
-    """,
-)
+    """
+
+
 def corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source drift between two snapshots (docs/words/deltas/mean
     lengths) — the report that catches a crawler regression before a

@@ -109,25 +109,10 @@ _BLOCK_SPLIT_SQL = (
     "(?:[\\s/][^>]*)?>"
 )
 
-_PREP_SQL = f"""
-    prep AS (
-      SELECT doc_id,
-             '<html><head><title>doc ' || doc_id
-             || ' &amp; co</title><script>var a = 1 < 2; t("x");</script>'
-             || '</head><body>'
-             || '<nav><a href="/">home</a> <a href="/s' || (doc_id % 3)
-             || '">sec</a></nav><h1>doc ' || doc_id || ' heading</h1><p>'
-             || substr(text, 1, 80) || '</p><p>'
-             || substr(text, 81, 1000000) || '</p>'
-             || CASE WHEN doc_id % 5 = 0
-                     THEN '<div class="ad"><a href="/buy">buy now</a> '
-                          || '<a href="/deal">deal ' || (doc_id % 7)
-                          || '</a></div>'
-                     ELSE '' END
-             || '<footer>copyright <a href="/tos">terms</a> '
-             || '<a href="/p">privacy</a></footer></body></html>' AS html
-      FROM documents
-    ),
+# The census chain alone, parameterized only by a ``prep(doc_id,
+# html)`` CTE the caller supplies — corpus_clean_full (llmdata.py)
+# reuses it over its own page shape.
+_CENSUS_SQL = f"""
     cleaned AS (
       SELECT doc_id, {_CLEAN} AS s FROM prep
     ),
@@ -175,6 +160,28 @@ _PREP_SQL = f"""
              END AS block_class
       FROM counted
     )
+"""
+
+_PREP_SQL = f"""
+    prep AS (
+      SELECT doc_id,
+             '<html><head><title>doc ' || doc_id
+             || ' &amp; co</title><script>var a = 1 < 2; t("x");</script>'
+             || '</head><body>'
+             || '<nav><a href="/">home</a> <a href="/s' || (doc_id % 3)
+             || '">sec</a></nav><h1>doc ' || doc_id || ' heading</h1><p>'
+             || substr(text, 1, 80) || '</p><p>'
+             || substr(text, 81, 1000000) || '</p>'
+             || CASE WHEN doc_id % 5 = 0
+                     THEN '<div class="ad"><a href="/buy">buy now</a> '
+                          || '<a href="/deal">deal ' || (doc_id % 7)
+                          || '</a></div>'
+                     ELSE '' END
+             || '<footer>copyright <a href="/tos">terms</a> '
+             || '<a href="/p">privacy</a></footer></body></html>' AS html
+      FROM documents
+    ),
+    {_CENSUS_SQL}
 """
 
 

@@ -656,9 +656,7 @@ def curriculum_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 # summation order — same policy as random_project).
 
 
-@register(
-    "profile_exact_core",
-    oracle="""
+ORACLE_PROFILE_CORE = """
     WITH n AS (SELECT count(*) AS n_rows FROM documents)
     SELECT 'doc_id' AS column, n_rows,
            (SELECT count(*) FROM documents WHERE doc_id IS NULL) AS n_null,
@@ -677,8 +675,9 @@ def curriculum_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((SELECT min(n_chars) FROM documents) AS VARCHAR),
            CAST((SELECT max(n_chars) FROM documents) AS VARCHAR)
     FROM n
-    """,
-)
+    """
+
+
 def profile_exact_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """profile_table's exact columns over three documents columns —
     one fused aggregation pass on the Spark side, stated per column
@@ -693,15 +692,14 @@ def profile_exact_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "profile_frequent_sources",
-    oracle="""
+ORACLE_PROFILE_FREQ = """
     SELECT CAST(source AS VARCHAR) AS value, count(*) AS n
     FROM documents GROUP BY 1
     ORDER BY n DESC, value ASC NULLS LAST
     LIMIT 3
-    """,
-)
+    """
+
+
 def profile_frequent_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """frequent_values' exact top-k with the deterministic
     (count desc, value asc, nulls last) tie order."""

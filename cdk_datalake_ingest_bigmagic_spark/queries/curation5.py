@@ -143,14 +143,13 @@ _DSIR_GRAMS_SQL = """
 """
 
 
-@register(
-    "dsir_bucket_counts",
-    oracle=f"""
+ORACLE_DSIR_COUNTS = f"""
     WITH {_DSIR_GRAMS_SQL}
     SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
     FROM bucketed GROUP BY 1, 2
-    """,
-)
+    """
+
+
 def dsir_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hashed_ngram_counts' exact output — md5-bucketed word
     uni+bigram counts per document — against the oracle's
@@ -164,9 +163,7 @@ def dsir_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_ngram_counts(d, "doc_id", "text", n_buckets=_DSIR_B)
 
 
-@register(
-    "dsir_bucket_distribution",
-    oracle=f"""
+ORACLE_DSIR_DIST = f"""
     WITH {_DSIR_GRAMS_SQL},
     per AS (
       SELECT bucket, CAST(count(*) AS BIGINT) AS cnt
@@ -183,8 +180,9 @@ def dsir_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT bucket, CAST(cnt AS BIGINT) AS cnt,
            CAST(cnt + 1 AS DOUBLE) / CAST(total AS DOUBLE) AS prob
     FROM filled, tot
-    """,
-)
+    """
+
+
 def dsir_bucket_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """bucket_distribution's fit — every bucket present, exact
     unsmoothed longs, add-one-smoothed probability as ONE division of

@@ -608,6 +608,210 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The shared-paragraph injection for corpus_clean_full: every page
+#: embeds one of 7 boilerplate variants, so the paragraph-strip stage
+#: has real corpus-wide work to do (not a no-op pass-through).
+_FULL_BOILER = (
+    "subscribe to our weekly digest and share this story with friends "
+    "today edition "
+)
+
+_FULL_PREP_SQL = f"""
+    prep AS (
+      SELECT doc_id,
+             '<html><head><title>doc ' || doc_id
+             || '</title><script>var a = 1 < 2; t("x");</script>'
+             || '</head><body>'
+             || '<nav><a href="/">home</a> <a href="/n">news</a></nav>'
+             || '<h1>doc ' || doc_id || ' heading</h1>'
+             || '<p>intro ' || substr(text, 1, 60) || '</p>'
+             || '<p>{_FULL_BOILER}' || (doc_id % 7) || '</p>'
+             || '<p>body ' || substr(text, 61, 1000000) || '</p>'
+             || '<footer>copyright <a href="/tos">terms</a> '
+             || '<a href="/p">privacy</a></footer></body></html>' AS html
+      FROM documents
+    )
+"""
+
+
+def _register_corpus_clean_full():
+    # curation10's census chain is reused verbatim over the page CTE
+    # above; imported lazily at registration so the module order in
+    # queries/__init__.py stays the declaration, not a side effect.
+    from cdk_datalake_ingest_bigmagic_spark.queries.curation10 import (
+        _CENSUS_SQL,
+    )
+
+    oracle = f"""
+    WITH {_FULL_PREP_SQL},
+    {_CENSUS_SQL},
+    extracted AS (
+      SELECT doc_id,
+             string_agg(text, chr(10) || chr(10) ORDER BY block_idx) AS t
+      FROM census
+      WHERE block_class IN ('good', 'low_stopword')
+      GROUP BY doc_id
+    ),
+    paras AS (
+      SELECT doc_id, CAST(i.i AS INT) AS para_idx, trim(segs[i.i + 1]) AS para
+      FROM (SELECT doc_id, string_split_regex(t, '\\n{{2,}}') AS segs
+            FROM extracted) x,
+           LATERAL (SELECT unnest(range(len(segs))) AS i) i
+      WHERE trim(segs[i.i + 1]) <> ''
+    ),
+    hashed AS (
+      SELECT doc_id, para_idx, para,
+             md5(trim(regexp_replace(lower(para), '\\s+', ' ', 'g')))
+               AS para_hash
+      FROM paras
+    ),
+    ranked AS (
+      SELECT doc_id, para_idx, para,
+             row_number() OVER (
+               PARTITION BY para_hash ORDER BY doc_id, para_idx
+             ) AS rn
+      FROM hashed
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             string_agg(para, chr(10) || chr(10) ORDER BY para_idx) AS text
+      FROM ranked WHERE rn = 1 GROUP BY doc_id
+    ),
+    featured AS (
+      SELECT doc_id, text,
+             length(text) AS n_chars,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END
+               AS n_words,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS fingerprint
+      FROM rebuilt
+    ),
+    quality AS (
+      SELECT * FROM featured WHERE n_words >= 5 AND n_chars >= 20
+    ),
+    unrepetitive AS (
+      SELECT q.* FROM quality q
+      JOIN (
+        SELECT doc_id,
+               list_filter(
+                 string_split(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                 x -> x <> ''
+               ) AS w
+        FROM rebuilt
+      ) n USING (doc_id)
+      WHERE len(n.w) = 0
+         OR 1.0 - len(list_distinct(n.w))::DOUBLE / len(n.w)::DOUBLE <= 0.8
+    ),
+    lang AS (
+      SELECT q.*,
+        (SELECT COUNT(*)
+         FROM unnest(string_split_regex(lower(q.text), '[^a-z]+')) AS u(t)
+         WHERE t IN ('the','a','of','and','to','in','is','it','that','for'))
+          AS hits_en
+      FROM unrepetitive q
+    ),
+    english AS (SELECT * FROM lang WHERE hits_en >= 2)
+    SELECT fingerprint, MIN(doc_id) AS canonical_id, COUNT(*) AS n_dups
+    FROM english
+    GROUP BY fingerprint
+    """
+
+    @register("corpus_clean_full", oracle=oracle)
+    def corpus_clean_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The CorpusPipeline flags-ON composition end-to-end (VERDICT
+        r12 item 3): HTML linearization (``html_extract``) → corpus-wide
+        paragraph strip (``paragraph_dedup``) → the document-level clean
+        gates → exact dedup — the RefinedWeb ordering as ONE lazy plan,
+        stage boundaries and drop rules exactly as plans/corpus.py
+        wires them (extract drops its counters and empty documents;
+        strip drops emptied documents; clean gates then see rebuilt
+        text only). Pages embed a shared boilerplate paragraph (7
+        variants) so the strip stage performs real corpus-wide dedup
+        before the per-document gates run.
+
+        Scale shape: extraction is in-row (no explode), the strip is
+        the one paragraph-hash window, the clean gates are projections,
+        and the final fingerprint census is a map-side-combinable
+        aggregation — adding the flags costs the pipeline one shuffle,
+        not one pass per flag."""
+        from cdk_datalake_ingest_bigmagic_spark.operators.html import (
+            extract_main_text,
+        )
+        from cdk_datalake_ingest_bigmagic_spark.operators.paragraphs import (
+            strip_duplicate_paragraphs,
+        )
+
+        d = load(spark, sf_dir, "documents")
+        page = F.concat(
+            F.lit("<html><head><title>doc "),
+            F.col("doc_id").cast("string"),
+            F.lit('</title><script>var a = 1 < 2; t("x");</script>'
+                  "</head><body>"
+                  '<nav><a href="/">home</a> <a href="/n">news</a></nav>'
+                  "<h1>doc "),
+            F.col("doc_id").cast("string"),
+            F.lit(" heading</h1><p>intro "),
+            F.substring(F.col("text"), 1, 60),
+            F.lit("</p><p>" + _FULL_BOILER),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("</p><p>body "),
+            F.substring(F.col("text"), 61, 1000000),
+            F.lit('</p><footer>copyright <a href="/tos">terms</a> '
+                  '<a href="/p">privacy</a></footer></body></html>'),
+        )
+        docs = d.select("doc_id", page.alias("html"))
+        # stage 1: html_extract (pipeline drop rules)
+        ext = (
+            extract_main_text(docs, "doc_id", "html")
+            .drop("n_blocks_kept", "n_blocks_dropped")
+            .filter(F.length("text") > 0)
+        )
+        # stage 2: paragraph_dedup
+        stripped = strip_duplicate_paragraphs(ext, "doc_id", "text").filter(
+            F.length("text") > 0
+        )
+        # stage 3: the document-level clean gates (corpus_clean_pipeline
+        # tail, unchanged) over the rebuilt text
+        t = F.col("text")
+        featured = stripped.select(
+            "doc_id",
+            "text",
+            tx.char_count(t).alias("n_chars"),
+            tx.word_count(t).alias("n_words"),
+            tx.fingerprint(t).alias("fingerprint"),
+        )
+        quality = featured.filter(
+            (F.col("n_words") >= 5) & (F.col("n_chars") >= 20)
+        )
+        words = F.filter(
+            F.split(tx.normalize_text(t), " "), lambda x: x != ""
+        )
+        dup_word = F.lit(1.0) - F.size(F.array_distinct(words)).cast(
+            "double"
+        ) / F.size(words).cast("double")
+        quality = quality.filter(
+            (F.size(words) == 0) | (dup_word <= tx.DUP_WORD_MAX)
+        )
+        toks = F.split(F.lower(t), r"[^a-z]+")
+        hits_en = F.size(
+            F.filter(toks, lambda x: x.isin(tx.LANG_STOPWORDS["en"]))
+        )
+        english = quality.withColumn("hits_en", hits_en).filter(
+            F.col("hits_en") >= 2
+        )
+        return english.groupBy("fingerprint").agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+
+    return corpus_clean_full
+
+
+corpus_clean_full = _register_corpus_clean_full()
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -854,9 +1058,7 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "multimodal_frame_sample",
-    oracle="""
+ORACLE_MM_FRAMES = """
     -- testdata text is pure ASCII (asserted in tests), so character
     -- slicing here equals the Spark side's byte slicing. Frames are
     -- hex-encoded: the gate's pandas canonicalizer can't sort raw
@@ -867,8 +1069,9 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents,
          LATERAL (SELECT unnest(range(0, (length(text) + 63) // 64)) AS i) i
     WHERE i.i % 2 = 0
-    """,
-)
+    """
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling plumbing: payload → every 2nd 64-byte
     frame via the Arrow mapInPandas decode stage (slicing stands in for
@@ -894,15 +1097,14 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "multimodal_binary_stats",
-    oracle="""
+ORACLE_MM_STATS = """
     SELECT doc_id AS media_id,
            octet_length(encode(text)) AS byte_len,
            md5(text) AS payload_md5
     FROM documents
-    """,
-)
+    """
+
+
 def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column stats through the Arrow mapInPandas feature stage
     (payload = UTF-8 bytes of the text; md5 over the same bytes)."""
@@ -1833,9 +2035,7 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(d, "doc_id", "text", _BPE_GATE_MERGES, tier="expression")
 
 
-@register(
-    "multimodal_audio_windows",
-    oracle="""
+ORACLE_MM_AUDIO = """
     -- testdata text is pure ASCII (asserted in tests), so character
     -- slicing equals the operator's byte slicing; md5 of the slice is
     -- byte-identical evidence without sorting raw binary in the gate.
@@ -1855,8 +2055,9 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
            md5(substr(text, CAST(t.off AS INT) + 1, CAST(win_b AS INT)))
              AS window_md5
     FROM w, UNNEST(range(0, octet_length(encode(text)), hop_b)) AS t(off)
-    """,
-)
+    """
+
+
 def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-driven audio windowing over a MIXED-format media
     corpus: half the rows carry 8 kHz × 1-byte metadata, half

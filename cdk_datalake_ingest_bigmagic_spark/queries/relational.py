@@ -70,15 +70,14 @@ def synthetic_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "filter_semijoin_subquery",
-    oracle="""
+ORACLE_FILTER_SEMIJOIN = """
     SELECT l_orderkey, l_partkey, l_quantity
     FROM lineitem
     WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                          WHERE o_orderpriority = '1-URGENT')
-    """,
-)
+    """
+
+
 def filter_semijoin_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3/J2: FILTER_EXP IN-subquery (tables.csv:2 ``compania in
     (select ...)``) → left-semi join, broadcast when small."""
@@ -93,15 +92,14 @@ def filter_semijoin_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_partkey", "l_quantity")
 
 
-@register(
-    "filter_month_window",
-    oracle="""
+ORACLE_FILTER_MONTH = """
     SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
     FROM events
     WHERE CAST(ts AS TIMESTAMP) BETWEEN TIMESTAMP '2024-01-05 00:00:00'
                                     AND TIMESTAMP '2024-01-20 23:59:59'
-    """,
-)
+    """
+
+
 def filter_month_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4 incremental date window: DELAY-computed limits instantiated
     into a between filter (extract_data.py:397-428). Window literals
@@ -112,9 +110,7 @@ def filter_month_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "event_type", "ts")
 
 
-@register(
-    "filter_dual_column_window",
-    oracle="""
+ORACLE_FILTER_DUAL = """
     SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate, o.o_orderdate
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE (l.l_shipdate IS NOT NULL AND
@@ -123,8 +119,9 @@ def filter_month_window(spark: SparkSession, sf_dir: str) -> DataFrame:
        OR (o.o_orderdate IS NOT NULL AND
            o.o_orderdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
                              AND TIMESTAMP '1997-03-31 23:59:59')
-    """,
-)
+    """
+
+
 def filter_dual_column_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5 dual-column OR-window: FILTER_COLUMN="colA,colB"
     (extract_data.py:1035-1043)."""
@@ -145,14 +142,13 @@ def filter_dual_column_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "filter_watermark",
-    oracle="""
+ORACLE_FILTER_WATERMARK = """
     SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
     FROM events
     WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '2024-01-25 12:00:00'
-    """,
-)
+    """
+
+
 def filter_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 watermark bookmark filter: col > last_value
     (incremental.py:257-344)."""
@@ -162,14 +158,13 @@ def filter_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "filter_explicit_range",
-    oracle="""
+ORACLE_FILTER_RANGE = """
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders
     WHERE o_orderkey BETWEEN 100 AND 500
-    """,
-)
+    """
+
+
 def filter_explicit_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7 explicit START/END range (time_range.py:274-293)."""
     o = load(spark, sf_dir, "orders")

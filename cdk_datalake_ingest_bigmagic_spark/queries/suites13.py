@@ -1,0 +1,385 @@
+"""Round-13 consolidation suites (sustainability-policy rule 2/4).
+
+Five single-signal gate families fold into leg-tagged union frames —
+the corpus_mix_suite pattern from round 12: each member keeps its
+operator call and its oracle SQL verbatim (hoisted to module
+constants in the source modules), the suite unions the legs with a
+``leg`` tag and typed-NULL padding for the columns the other legs
+don't produce. Every SURVEY §2 anchor a member carried survives as a
+named leg; nothing about any member's plan changes — a union of
+independent legs adds no cross-leg shuffle, each leg keeps the
+physical plan it had as a standalone gate, and Spark runs the legs'
+stages independently (the union is a plan-level concatenation, not a
+barrier).
+
+Folds (15 gates → 5 suites, −10 registry slots):
+- ``snapshot_suite``       ← snapshot_diff_docs + snapshot_carry_forward
+                             + corpus_drift_report   (queries/curation.py)
+- ``multimodal_suite``     ← multimodal_binary_stats + multimodal_frame_sample
+                             + multimodal_audio_windows (queries/llmdata.py)
+- ``profile_suite``        ← profile_exact_core + profile_frequent_sources
+                             (queries/curation2.py)
+- ``filter_window_suite``  ← filter_semijoin_subquery + filter_month_window
+                             + filter_dual_column_window + filter_watermark
+                             + filter_explicit_range (queries/relational.py;
+                             SURVEY §2.2 P3–P7 anchors, one leg each)
+- ``dsir_suite``           ← dsir_bucket_counts + dsir_bucket_distribution
+                             (queries/curation5.py)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.queries import register
+
+#: (column, spark_type, duckdb_type) triples per suite — the union
+#: schema. Int-width differences collapse in the driver's hash
+#: (calibrated in tools/check_correctness.py), but both sides cast
+#: explicitly anyway so the schema is pinned, not inherited.
+_SNAPSHOT_COLS = [
+    ("doc_id", "long", "BIGINT"),
+    ("status", "string", "VARCHAR"),
+    ("old_digest", "string", "VARCHAR"),
+    ("new_digest", "string", "VARCHAR"),
+    ("keep", "boolean", "BOOLEAN"),
+    ("needs_decision", "boolean", "BOOLEAN"),
+    ("source", "string", "VARCHAR"),
+    ("old_docs", "long", "BIGINT"),
+    ("new_docs", "long", "BIGINT"),
+    ("old_words", "long", "BIGINT"),
+    ("new_words", "long", "BIGINT"),
+    ("docs_delta", "long", "BIGINT"),
+    ("words_delta", "long", "BIGINT"),
+    ("old_mean_words", "double", "DOUBLE"),
+    ("new_mean_words", "double", "DOUBLE"),
+]
+
+_MULTIMODAL_COLS = [
+    ("media_id", "long", "BIGINT"),
+    ("byte_len", "long", "BIGINT"),
+    ("payload_md5", "string", "VARCHAR"),
+    ("frame_idx", "int", "INTEGER"),
+    ("frame_hex", "string", "VARCHAR"),
+    ("frame_md5", "string", "VARCHAR"),
+    ("window_idx", "int", "INTEGER"),
+    ("start_ms", "long", "BIGINT"),
+    ("window_md5", "string", "VARCHAR"),
+]
+
+_PROFILE_COLS = [
+    ("column", "string", "VARCHAR"),
+    ("n_rows", "long", "BIGINT"),
+    ("n_null", "long", "BIGINT"),
+    ("min_value", "string", "VARCHAR"),
+    ("max_value", "string", "VARCHAR"),
+    ("value", "string", "VARCHAR"),
+    ("n", "long", "BIGINT"),
+]
+
+_FILTER_COLS = [
+    ("event_id", "long", "BIGINT"),
+    ("user_id", "long", "BIGINT"),
+    ("event_type", "string", "VARCHAR"),
+    ("ts", "timestamp", "TIMESTAMP"),
+    ("l_orderkey", "long", "BIGINT"),
+    ("l_partkey", "long", "BIGINT"),
+    ("l_quantity", "double", "DOUBLE"),
+    ("l_linenumber", "int", "INTEGER"),
+    ("l_shipdate", "timestamp", "TIMESTAMP"),
+    ("o_orderdate", "timestamp", "TIMESTAMP"),
+    ("o_orderkey", "long", "BIGINT"),
+    ("o_custkey", "long", "BIGINT"),
+    ("o_totalprice", "double", "DOUBLE"),
+]
+
+_DSIR_COLS = [
+    ("doc_id", "long", "BIGINT"),
+    ("bucket", "int", "INTEGER"),
+    ("cnt", "long", "BIGINT"),
+    ("prob", "double", "DOUBLE"),
+]
+
+
+def _leg(df: DataFrame, leg: str, cols) -> DataFrame:
+    """One suite leg: tag + the union schema, typed NULLs for the
+    columns this member doesn't produce. Pure projection — the
+    member's plan is untouched."""
+    have = set(df.columns)
+    sel = [F.lit(leg).alias("leg")]
+    for c, spark_t, _ in cols:
+        src = F.col(c) if c in have else F.lit(None)
+        sel.append(src.cast(spark_t).alias(c))
+    return df.select(*sel)
+
+
+def _sql_leg(leg: str, inner_sql: str, have: set[str], cols) -> str:
+    fields = ", ".join(
+        f'"{c}"' if c in have else f'CAST(NULL AS {duck_t}) AS "{c}"'
+        for c, _, duck_t in cols
+    )
+    return f"SELECT '{leg}' AS leg, {fields} FROM ({inner_sql})"
+
+
+def _union_sql(legs, cols) -> str:
+    return "\nUNION ALL\n".join(
+        _sql_leg(leg, sql, have, cols) for leg, sql, have in legs
+    )
+
+
+# ---------------------------------------------------------------------------
+# snapshot_suite
+# ---------------------------------------------------------------------------
+
+from cdk_datalake_ingest_bigmagic_spark.queries.curation import (  # noqa: E402
+    ORACLE_DRIFT_REPORT,
+    ORACLE_SNAPSHOT_CARRY,
+    ORACLE_SNAPSHOT_DIFF,
+    corpus_drift_report,
+    snapshot_carry_forward,
+    snapshot_diff_docs,
+)
+
+
+@register(
+    "snapshot_suite",
+    oracle=_union_sql(
+        [
+            ("diff", ORACLE_SNAPSHOT_DIFF,
+             {"doc_id", "status", "old_digest", "new_digest"}),
+            ("carry", ORACLE_SNAPSHOT_CARRY,
+             {"doc_id", "status", "keep", "needs_decision"}),
+            ("drift", ORACLE_DRIFT_REPORT,
+             {"source", "old_docs", "new_docs", "old_words", "new_words",
+              "docs_delta", "words_delta", "old_mean_words",
+              "new_mean_words"}),
+        ],
+        _SNAPSHOT_COLS,
+    ),
+)
+def snapshot_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three snapshot/incremental-re-land gates in one leg-tagged
+    frame (round-13 consolidation; members unchanged, oracles reused
+    verbatim per leg):
+
+    - ``diff``   added/removed/changed/unchanged by content digest
+                 (snapshot_diff_docs);
+    - ``carry``  prior keep decisions carried across a re-land, added/
+                 changed rows flagged needs_decision
+                 (snapshot_carry_forward);
+    - ``drift``  per-source docs/words/mean-length drift report
+                 (corpus_drift_report).
+    """
+    return (
+        _leg(snapshot_diff_docs(spark, sf_dir), "diff", _SNAPSHOT_COLS)
+        .unionByName(_leg(
+            snapshot_carry_forward(spark, sf_dir), "carry", _SNAPSHOT_COLS
+        ))
+        .unionByName(_leg(
+            corpus_drift_report(spark, sf_dir), "drift", _SNAPSHOT_COLS
+        ))
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_suite
+# ---------------------------------------------------------------------------
+
+from cdk_datalake_ingest_bigmagic_spark.queries.llmdata import (  # noqa: E402
+    ORACLE_MM_AUDIO,
+    ORACLE_MM_FRAMES,
+    ORACLE_MM_STATS,
+    multimodal_audio_windows,
+    multimodal_binary_stats,
+    multimodal_frame_sample,
+)
+
+
+@register(
+    "multimodal_suite",
+    oracle=_union_sql(
+        [
+            ("stats", ORACLE_MM_STATS,
+             {"media_id", "byte_len", "payload_md5"}),
+            ("frames", ORACLE_MM_FRAMES,
+             {"media_id", "frame_idx", "frame_hex", "frame_md5"}),
+            ("audio", ORACLE_MM_AUDIO,
+             {"media_id", "window_idx", "start_ms", "window_md5"}),
+        ],
+        _MULTIMODAL_COLS,
+    ),
+)
+def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three multimodal-plumbing gates in one leg-tagged frame
+    (round-13 consolidation; the Arrow mapInPandas stages and their
+    oracles are unchanged per leg):
+
+    - ``stats``   binary payload stats through the feature stage
+                  (multimodal_binary_stats);
+    - ``frames``  every-2nd 64-byte frame sample, hex + md5 evidence
+                  (multimodal_frame_sample);
+    - ``audio``   metadata-driven 50 ms/30 ms windowing over a
+                  mixed-rate corpus (multimodal_audio_windows).
+    """
+    return (
+        _leg(multimodal_binary_stats(spark, sf_dir), "stats",
+             _MULTIMODAL_COLS)
+        .unionByName(_leg(
+            multimodal_frame_sample(spark, sf_dir), "frames",
+            _MULTIMODAL_COLS,
+        ))
+        .unionByName(_leg(
+            multimodal_audio_windows(spark, sf_dir), "audio",
+            _MULTIMODAL_COLS,
+        ))
+    )
+
+
+# ---------------------------------------------------------------------------
+# profile_suite
+# ---------------------------------------------------------------------------
+
+from cdk_datalake_ingest_bigmagic_spark.queries.curation2 import (  # noqa: E402
+    ORACLE_PROFILE_CORE,
+    ORACLE_PROFILE_FREQ,
+    profile_exact_core,
+    profile_frequent_sources,
+)
+
+
+@register(
+    "profile_suite",
+    oracle=_union_sql(
+        [
+            ("core", ORACLE_PROFILE_CORE,
+             {"column", "n_rows", "n_null", "min_value", "max_value"}),
+            ("frequent", ORACLE_PROFILE_FREQ, {"value", "n"}),
+        ],
+        _PROFILE_COLS,
+    ),
+)
+def profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling in one leg-tagged frame (round-13
+    consolidation):
+
+    - ``core``      profile_table's exact per-column counts/nulls/
+                    min/max (profile_exact_core);
+    - ``frequent``  frequent_values' deterministic top-k
+                    (profile_frequent_sources).
+    """
+    return _leg(
+        profile_exact_core(spark, sf_dir), "core", _PROFILE_COLS
+    ).unionByName(
+        _leg(profile_frequent_sources(spark, sf_dir), "frequent",
+             _PROFILE_COLS)
+    )
+
+
+# ---------------------------------------------------------------------------
+# filter_window_suite (SURVEY §2.2 P3-P7 anchors, one leg each)
+# ---------------------------------------------------------------------------
+
+from cdk_datalake_ingest_bigmagic_spark.queries.relational import (  # noqa: E402
+    ORACLE_FILTER_DUAL,
+    ORACLE_FILTER_MONTH,
+    ORACLE_FILTER_RANGE,
+    ORACLE_FILTER_SEMIJOIN,
+    ORACLE_FILTER_WATERMARK,
+    filter_dual_column_window,
+    filter_explicit_range,
+    filter_month_window,
+    filter_semijoin_subquery,
+    filter_watermark,
+)
+
+
+@register(
+    "filter_window_suite",
+    oracle=_union_sql(
+        [
+            ("p3_semijoin", ORACLE_FILTER_SEMIJOIN,
+             {"l_orderkey", "l_partkey", "l_quantity"}),
+            ("p4_month", ORACLE_FILTER_MONTH,
+             {"event_id", "user_id", "event_type", "ts"}),
+            ("p5_dual", ORACLE_FILTER_DUAL,
+             {"l_orderkey", "l_linenumber", "l_shipdate", "o_orderdate"}),
+            ("p6_watermark", ORACLE_FILTER_WATERMARK,
+             {"event_id", "user_id", "ts"}),
+            ("p7_range", ORACLE_FILTER_RANGE,
+             {"o_orderkey", "o_custkey", "o_totalprice"}),
+        ],
+        _FILTER_COLS,
+    ),
+)
+def filter_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The five reference filter strategies (SURVEY §2.2 P3–P7) in one
+    leg-tagged frame — round-13 consolidation of the standalone gates;
+    each leg is the member's exact plan (filters still reach the scan:
+    the union concatenates independent leg plans, it does not merge
+    their predicates):
+
+    - ``p3_semijoin``   FILTER_EXP IN-subquery → broadcast left-semi
+                        (filter_semijoin_subquery);
+    - ``p4_month``      incremental month window between-filter
+                        (filter_month_window);
+    - ``p5_dual``       dual-column OR-window across a join
+                        (filter_dual_column_window);
+    - ``p6_watermark``  watermark bookmark col > last_value
+                        (filter_watermark);
+    - ``p7_range``      explicit START/END key range
+                        (filter_explicit_range).
+    """
+    legs = [
+        _leg(filter_semijoin_subquery(spark, sf_dir), "p3_semijoin",
+             _FILTER_COLS),
+        _leg(filter_month_window(spark, sf_dir), "p4_month", _FILTER_COLS),
+        _leg(filter_dual_column_window(spark, sf_dir), "p5_dual",
+             _FILTER_COLS),
+        _leg(filter_watermark(spark, sf_dir), "p6_watermark", _FILTER_COLS),
+        _leg(filter_explicit_range(spark, sf_dir), "p7_range",
+             _FILTER_COLS),
+    ]
+    out = legs[0]
+    for df in legs[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# dsir_suite
+# ---------------------------------------------------------------------------
+
+from cdk_datalake_ingest_bigmagic_spark.queries.curation5 import (  # noqa: E402
+    ORACLE_DSIR_COUNTS,
+    ORACLE_DSIR_DIST,
+    dsir_bucket_counts,
+    dsir_bucket_distribution,
+)
+
+
+@register(
+    "dsir_suite",
+    oracle=_union_sql(
+        [
+            ("counts", ORACLE_DSIR_COUNTS, {"doc_id", "bucket", "cnt"}),
+            ("distribution", ORACLE_DSIR_DIST, {"bucket", "cnt", "prob"}),
+        ],
+        _DSIR_COLS,
+    ),
+)
+def dsir_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR featurize + fit in one leg-tagged frame (round-13
+    consolidation):
+
+    - ``counts``        hashed uni+bigram bucket counts per document
+                        (dsir_bucket_counts);
+    - ``distribution``  the add-one-smoothed 64-bucket histogram
+                        (dsir_bucket_distribution).
+    """
+    return _leg(
+        dsir_bucket_counts(spark, sf_dir), "counts", _DSIR_COLS
+    ).unionByName(
+        _leg(dsir_bucket_distribution(spark, sf_dir), "distribution",
+             _DSIR_COLS)
+    )
