@@ -1,0 +1,208 @@
+"""Calibrated quality-signal ensemble — the FineWeb-Edu-style
+composite scorer (VERDICT r12 growth pick).
+
+Heterogeneous raw quality signals (length, token stats, classifier
+logits, LM surprisal, Gopher rule counts, readability — anything
+numeric) are NOT comparable: their ranges and label relationships
+differ, so a weighted sum of raw values is meaningless. The published
+recipe (FineWeb-Edu's scorer; Platt/isotonic-style binning) maps each
+signal through an equal-frequency CALIBRATION fit against a binary
+quality label on a held-in split — per rank-bin P(label) — and then
+combines the calibrated probabilities with fixed weights into one
+composite score, whose operating threshold is chosen by a sweep on
+the held-OUT split.
+
+Everything is exact and engine-portable by construction:
+
+- calibration bins are standard ``NTILE`` buckets over the
+  deterministic ``(signal, id)`` order (ties broken by the unique
+  id), per-bucket ``p`` is ONE IEEE division of exact longs;
+- bucket application is "first bucket whose upper edge >= signal"
+  (chained codegen CASE on the Spark side, ``min(bucket)`` lookup in
+  SQL) — a signal past the last edge takes the last bucket;
+- the composite is a fixed left-associated weighted average, rounded
+  to 6 decimals (the repo's cross-engine float policy);
+- the sweep is one fused aggregation pass producing every
+  threshold's exact tp/fp/fn/tn, stacked to rows from a single
+  aggregated row; precision/recall are single divisions and f1 is
+  computed as ``2*tp / (2*tp + fp + fn)`` (one division of exact
+  longs, never a compound of two rounded floats).
+
+100-TB shape: the calibration FIT runs on the bounded held-in
+split/sample (its global NTILE sort is a single-partition window —
+the documented contract is the same as every trainer in this repo:
+fit on a bounded sample, apply everywhere). Application is purely
+in-row: the fitted bins are a driver-bounded pull (``n_bins`` rows
+per signal, counted and capped) turned into literal CASE edges, so
+scoring 100 TB is a codegen projection with ZERO joins and ZERO
+shuffles. The sweep is one map-side-combinable aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: hard cap on the bins-per-signal driver pull — calibration tables
+#: are meant to be tiny; anything bigger is a caller bug, refused
+#: before a single row is collected.
+MAX_BINS = 64
+
+
+class CalibrationTooLargeError(ValueError):
+    pass
+
+
+def signal_calibration(
+    train: DataFrame,
+    signal_col: str,
+    label_col: str,
+    id_col: str,
+    n_bins: int = 8,
+) -> DataFrame:
+    """Equal-frequency calibration of ONE raw signal against a binary
+    label: ``(bucket, hi, n, n_pos, p)`` with ``bucket`` the NTILE
+    rank bin over the deterministic ``(signal, id)`` order, ``hi``
+    the bucket's upper signal edge, and ``p`` the bucket's empirical
+    P(label) as one exact-count division.
+
+    ``train`` must be the bounded held-in split/sample — the global
+    NTILE window is a single-partition sort by design (fit-on-sample
+    contract; the unbounded corpus never enters this function)."""
+    if not 2 <= n_bins <= MAX_BINS:
+        raise CalibrationTooLargeError(
+            f"n_bins must be in [2, {MAX_BINS}], got {n_bins}"
+        )
+    w = Window.orderBy(F.col(signal_col).cast("double"), F.col(id_col))
+    rows = train.where(
+        F.col(signal_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(signal_col).cast("double").alias("__s"),
+        F.col(label_col).cast("int").alias("__y"),
+        F.ntile(n_bins).over(w).alias("bucket"),
+    )
+    n = F.count(F.lit(1)).cast("long")
+    return rows.groupBy("bucket").agg(
+        F.max("__s").alias("hi"),
+        n.alias("n"),
+        F.sum("__y").cast("long").alias("n_pos"),
+        (F.sum("__y").cast("double") / n.cast("double")).alias("p"),
+    )
+
+
+def collect_bins(bins: DataFrame) -> list[tuple[float, float]]:
+    """Driver-bounded pull of a fitted calibration table:
+    ``[(hi, p), ...]`` in bucket order. Counted against
+    :data:`MAX_BINS` BEFORE collecting (the counted-cap pattern from
+    operators/similarity.py)."""
+    k = bins.limit(MAX_BINS + 1).count()
+    if k > MAX_BINS:
+        raise CalibrationTooLargeError(
+            f"calibration table has more than {MAX_BINS} buckets"
+        )
+    out = [
+        (float(r["hi"]), float(r["p"]))
+        for r in bins.orderBy("bucket").collect()
+    ]
+    if not out:
+        raise CalibrationTooLargeError("calibration table is empty")
+    return out
+
+
+def calibrated_prob(signal: Column, edges: list[tuple[float, float]]) -> Column:
+    """In-row bucket lookup: the FIRST bucket whose upper edge is
+    >= the signal takes it; past the last edge, the last bucket.
+    NULL signal stays NULL (fail-defined, not silently last-bucket).
+    Pure chained CASE — codegen, no join."""
+    expr = None
+    for hi, p in edges[:-1]:
+        cond = signal <= F.lit(hi)
+        expr = F.when(cond, F.lit(p)) if expr is None else expr.when(
+            cond, F.lit(p)
+        )
+    last = F.lit(edges[-1][1])
+    body = last if expr is None else expr.otherwise(last)
+    return F.when(signal.isNull(), F.lit(None).cast("double")).otherwise(body)
+
+
+def ensemble_score(
+    df: DataFrame,
+    specs: list[tuple[str, list[tuple[float, float]], float]],
+    out_col: str = "quality_score",
+) -> DataFrame:
+    """Weighted average of the calibrated signals:
+    ``specs = [(signal_col, edges, weight), ...]``. The sum is built
+    left-associated in spec order and rounded to 6 decimals, so both
+    engines evaluate the identical IEEE expression tree."""
+    if not specs:
+        raise ValueError("specs must be non-empty")
+    total_w = 0.0
+    acc: Column | None = None
+    for signal_col, edges, weight in specs:
+        term = calibrated_prob(F.col(signal_col).cast("double"), edges) * F.lit(
+            float(weight)
+        )
+        acc = term if acc is None else acc + term
+        total_w += float(weight)
+    if total_w <= 0:
+        raise ValueError("ensemble weights must sum to a positive value")
+    return df.withColumn(out_col, F.round(acc / F.lit(total_w), 6))
+
+
+def ensemble_sweep(
+    held: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds: list[float],
+) -> DataFrame:
+    """Held-out operating-point sweep for the composite: one fused
+    aggregation computes every threshold's exact ``tp/fp/fn/tn`` in a
+    single pass (no per-threshold re-scan, no row explosion), then the
+    one aggregated row is stacked to ``len(thresholds)`` rows.
+    ``precision``/``recall``/``f1`` are each ONE division of exact
+    longs (``f1 = 2*tp / (2*tp + fp + fn)``); empty denominators give
+    NULL, the repo's degradation policy. NULL scores/labels are
+    excluded up front (the threshold_sweep rationale)."""
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    rows = held.where(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(score_col).alias("__sc"),
+        F.col(label_col).cast("int").alias("__y"),
+    )
+    aggs = []
+    for i, thr in enumerate(thresholds):
+        pred = F.col("__sc") >= F.lit(float(thr))
+        y = F.col("__y") == 1
+        aggs += [
+            F.sum(F.when(pred & y, 1).otherwise(0)).cast("long").alias(f"tp{i}"),
+            F.sum(F.when(pred & ~y, 1).otherwise(0)).cast("long").alias(f"fp{i}"),
+            F.sum(F.when(~pred & y, 1).otherwise(0)).cast("long").alias(f"fn{i}"),
+            F.sum(F.when(~pred & ~y, 1).otherwise(0)).cast("long").alias(f"tn{i}"),
+        ]
+    counts = rows.groupBy().agg(*aggs)
+    stack = F.expr(
+        "stack({n}, {args})".format(
+            n=len(thresholds),
+            args=", ".join(
+                f"double('{float(thr)}'), tp{i}, fp{i}, fn{i}, tn{i}"
+                for i, thr in enumerate(thresholds)
+            ),
+        )
+    ).alias("threshold", "tp", "fp", "fn", "tn")
+    stacked = counts.select(stack)
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    div = lambda a, b: F.when(  # noqa: E731
+        b > 0, a.cast("double") / b.cast("double")
+    )
+    return stacked.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(div(tp, tp + fp), 6).alias("precision"),
+        F.round(div(tp, tp + fn), 6).alias("recall"),
+        F.round(div(F.lit(2) * tp, F.lit(2) * tp + fp + fn), 6).alias("f1"),
+    )

@@ -68,6 +68,7 @@ from cdk_datalake_ingest_bigmagic_spark.queries import curation9  # noqa: E402,F
 from cdk_datalake_ingest_bigmagic_spark.queries import curation10  # noqa: E402,F401
 from cdk_datalake_ingest_bigmagic_spark.queries import curation11  # noqa: E402,F401
 from cdk_datalake_ingest_bigmagic_spark.queries import deltagate2  # noqa: E402,F401
+from cdk_datalake_ingest_bigmagic_spark.queries import curation12  # noqa: E402,F401
 
 # The external correctness gate checks the first 50 registered queries.
 # With 114 registered (round 7 added the ten queries/curation.py

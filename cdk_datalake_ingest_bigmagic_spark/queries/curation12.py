@@ -1,0 +1,250 @@
+"""Round-13 growth gate: the calibrated quality-signal ensemble
+(operators/ensemble.py — the FineWeb-Edu-style composite scorer,
+VERDICT r12 item 7's pick).
+
+One gate, two legs:
+
+- ``calibration``  the fitted per-signal equal-frequency bins
+                   (train split): bucket, upper signal edge, exact
+                   counts, empirical P(label);
+- ``sweep``        the held-out operating-point sweep of the weighted
+                   composite: per threshold, exact tp/fp/fn/tn and
+                   single-division precision/recall/f1.
+
+Determinism contract (same as the rest of the registry): NTILE over
+the unique-id-tie-broken order, probabilities as single IEEE
+divisions of exact longs, the composite a fixed left-associated
+weighted average rounded to 6 decimals, f1 as ``2tp/(2tp+fp+fn)``.
+The oracle replays the identical arithmetic: NTILE + min_by bucket
+lookup + the same expression tree.
+
+Signals are three deterministic text statistics (length, word count,
+type-token ratio) against the ``lang = 'en'`` label — the ensemble
+MACHINERY is general (any numeric signal column: classifier logit,
+LM surprisal, Gopher rule count, readability), the gate's signals are
+chosen for cross-engine exactness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.queries import load, register
+
+_N_BINS = 8
+_WEIGHTS = [("s_len", 1.0), ("s_words", 1.0), ("s_ttr", 2.0)]
+_THRESHOLDS = [0.25, 0.4, 0.5, 0.6, 0.75]
+
+_FEATS_SQL = r"""
+    feats AS (
+      SELECT doc_id,
+             CAST(n_chars AS DOUBLE) AS s_len,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END
+               AS DOUBLE) AS s_words,
+             CASE WHEN len(w) = 0 THEN CAST(0.0 AS DOUBLE)
+                  ELSE len(list_distinct(w))::DOUBLE / len(w)::DOUBLE
+             END AS s_ttr,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM (SELECT *,
+                   list_filter(
+                     string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS w
+            FROM documents)
+    ),
+    train AS (SELECT * FROM feats WHERE doc_id % 2 = 0),
+    held  AS (SELECT * FROM feats WHERE doc_id % 2 = 1)
+"""
+
+
+def _bins_sql(sig: str) -> str:
+    return f"""
+    b_{sig} AS (
+      SELECT bucket, max({sig}) AS hi,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             sum(y)::DOUBLE / count(*)::DOUBLE AS p
+      FROM (SELECT {sig}, y, doc_id,
+                   NTILE({_N_BINS}) OVER (ORDER BY {sig}, doc_id) AS bucket
+            FROM train)
+      GROUP BY bucket
+    )"""
+
+
+def _lookup_sql(sig: str) -> str:
+    # first bucket whose upper edge covers the signal; past the last
+    # edge, the last bucket — EXACTLY ensemble.calibrated_prob
+    return (
+        f"coalesce((SELECT min_by(p, bucket) FROM b_{sig} "
+        f"WHERE h.{sig} <= hi), (SELECT max_by(p, bucket) FROM b_{sig}))"
+    )
+
+
+def _ensemble_oracle() -> str:
+    num = " + ".join(
+        f"(p_{sig.split('_', 1)[1]} * {w!r})" for sig, w in _WEIGHTS
+    )
+    total_w = sum(w for _, w in _WEIGHTS)
+    count_cols = []
+    sweep_rows = []
+    for i, thr in enumerate(_THRESHOLDS):
+        for name, pred, ycond in (
+            ("tp", ">=", "= 1"), ("fp", ">=", "= 0"),
+            ("fn", "<", "= 1"), ("tn", "<", "= 0"),
+        ):
+            count_cols.append(
+                f"CAST(sum(CASE WHEN score {pred} {float(thr)!r} "
+                f"AND y {ycond} THEN 1 ELSE 0 END) AS BIGINT) AS {name}{i}"
+            )
+        sweep_rows.append(
+            f"SELECT CAST({float(thr)!r} AS DOUBLE) AS threshold, "
+            f"tp{i} AS tp, fp{i} AS fp, fn{i} AS fn, tn{i} AS tn FROM counts"
+        )
+    null_cal = (
+        "CAST(NULL AS DOUBLE) AS threshold, CAST(NULL AS BIGINT) AS tp, "
+        "CAST(NULL AS BIGINT) AS fp, CAST(NULL AS BIGINT) AS fn, "
+        "CAST(NULL AS BIGINT) AS tn, CAST(NULL AS DOUBLE) AS precision, "
+        "CAST(NULL AS DOUBLE) AS recall, CAST(NULL AS DOUBLE) AS f1"
+    )
+    cal_legs = "\nUNION ALL\n".join(
+        f"SELECT 'calibration' AS leg, '{sig}' AS signal, "
+        f"CAST(bucket AS INTEGER) AS bucket, hi, n, n_pos, p, {null_cal} "
+        f"FROM b_{sig}"
+        for sig, _ in _WEIGHTS
+    )
+    return f"""
+    WITH {_FEATS_SQL},
+    {",".join(_bins_sql(s) for s, _ in _WEIGHTS)},
+    scored AS (
+      SELECT y, round(({num}) / {float(total_w)!r}, 6) AS score
+      FROM (SELECT h.doc_id, h.y,
+                   {_lookup_sql('s_len')} AS p_len,
+                   {_lookup_sql('s_words')} AS p_words,
+                   {_lookup_sql('s_ttr')} AS p_ttr
+            FROM held h)
+    ),
+    counts AS (SELECT {", ".join(count_cols)} FROM scored),
+    sweep AS ({" UNION ALL ".join(sweep_rows)})
+    {cal_legs}
+    UNION ALL
+    SELECT 'sweep' AS leg, CAST(NULL AS VARCHAR) AS signal,
+           CAST(NULL AS INTEGER) AS bucket, CAST(NULL AS DOUBLE) AS hi,
+           CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS n_pos,
+           CAST(NULL AS DOUBLE) AS p,
+           threshold, tp, fp, fn, tn,
+           CASE WHEN tp + fp > 0
+                THEN round(tp::DOUBLE / (tp + fp)::DOUBLE, 6) END
+             AS precision,
+           CASE WHEN tp + fn > 0
+                THEN round(tp::DOUBLE / (tp + fn)::DOUBLE, 6) END
+             AS recall,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN round((2 * tp)::DOUBLE / (2 * tp + fp + fn)::DOUBLE, 6)
+           END AS f1
+    FROM sweep
+    """
+
+
+def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    words = F.filter(
+        F.split(F.lower(F.trim(t)), r"\s+"), lambda x: x != ""
+    )
+    s_words = F.when(F.trim(t) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(t), r"\s+"))
+    )
+    s_ttr = F.when(F.size(words) == 0, F.lit(0.0)).otherwise(
+        F.size(F.array_distinct(words)).cast("double")
+        / F.size(words).cast("double")
+    )
+    return d.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("s_len"),
+        s_words.cast("double").alias("s_words"),
+        s_ttr.alias("s_ttr"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+
+
+@register("quality_ensemble_card", oracle=_ensemble_oracle())
+def quality_ensemble_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signal_calibration + ensemble_score + ensemble_sweep end-to-end
+    over the documents corpus: fit three signal calibrations on the
+    even-id train split, score the odd-id held-out split with the
+    1:1:2-weighted composite, sweep five thresholds. Card output:
+    3×8 calibration rows + 5 sweep rows.
+
+    Scale shape: the fit's NTILE sort runs on the bounded train split
+    (fit-on-sample contract), the fitted bins come back as a counted
+    driver-bounded pull (≤ 8 rows/signal) and scoring is a pure
+    codegen CASE projection — zero joins, zero shuffles on the score
+    path; the sweep is ONE fused map-side-combinable aggregation."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.ensemble import (
+        collect_bins,
+        ensemble_score,
+        ensemble_sweep,
+        signal_calibration,
+    )
+
+    feats = _features(spark, sf_dir)
+    train = feats.filter(F.col("doc_id") % 2 == 0)
+    held = feats.filter(F.col("doc_id") % 2 == 1)
+
+    cal_frames = {}
+    edges = {}
+    for sig, _w in _WEIGHTS:
+        bins = signal_calibration(train, sig, "y", "doc_id", _N_BINS)
+        cal_frames[sig] = bins
+        edges[sig] = collect_bins(bins)
+
+    scored = ensemble_score(
+        held, [(sig, edges[sig], w) for sig, w in _WEIGHTS], "score"
+    )
+    sweep = ensemble_sweep(scored, "score", "y", _THRESHOLDS)
+
+    ni, nl, nd = (
+        F.lit(None).cast("int"),
+        F.lit(None).cast("long"),
+        F.lit(None).cast("double"),
+    )
+    ns = F.lit(None).cast("string")
+    cal_legs = None
+    for sig, _w in _WEIGHTS:
+        leg = cal_frames[sig].select(
+            F.lit("calibration").alias("leg"),
+            F.lit(sig).alias("signal"),
+            F.col("bucket").cast("int").alias("bucket"),
+            "hi",
+            "n",
+            "n_pos",
+            "p",
+            nd.alias("threshold"),
+            nl.alias("tp"),
+            nl.alias("fp"),
+            nl.alias("fn"),
+            nl.alias("tn"),
+            nd.alias("precision"),
+            nd.alias("recall"),
+            nd.alias("f1"),
+        )
+        cal_legs = leg if cal_legs is None else cal_legs.unionByName(leg)
+    sweep_leg = sweep.select(
+        F.lit("sweep").alias("leg"),
+        ns.alias("signal"),
+        ni.alias("bucket"),
+        nd.alias("hi"),
+        nl.alias("n"),
+        nl.alias("n_pos"),
+        nd.alias("p"),
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        "precision",
+        "recall",
+        "f1",
+    )
+    return cal_legs.unionByName(sweep_leg)

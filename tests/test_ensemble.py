@@ -1,0 +1,177 @@
+"""operators/ensemble.py — calibrated quality-signal ensemble.
+
+Differential tests against a pure-Python mirror of the whole chain
+(NTILE binning, first-covering-bucket lookup, left-associated
+weighted average, fused sweep counts), plus the bounded-pull guard,
+NULL policy, and the zero-shuffle plan pin on the score path.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.operators.ensemble import (
+    MAX_BINS,
+    CalibrationTooLargeError,
+    calibrated_prob,
+    collect_bins,
+    ensemble_score,
+    ensemble_sweep,
+    signal_calibration,
+)
+
+
+def _py_ntile(rows, n_bins):
+    """Standard NTILE: first (n % bins) buckets get the extra row."""
+    rows = sorted(rows, key=lambda r: (r[1], r[0]))  # (id, signal, y)
+    n = len(rows)
+    out = []
+    start = 0
+    for b in range(1, n_bins + 1):
+        size = n // n_bins + (1 if b <= n % n_bins else 0)
+        for r in rows[start:start + size]:
+            out.append((b, r))
+        start += size
+    return out
+
+
+def _py_bins(rows, n_bins):
+    binned = _py_ntile(rows, n_bins)
+    out = {}
+    for b, (_, s, y) in binned:
+        hi, n, np_ = out.get(b, (-math.inf, 0, 0))
+        out[b] = (max(hi, s), n + 1, np_ + y)
+    return [
+        (b, hi, n, np_, np_ / n) for b, (hi, n, np_) in sorted(out.items())
+    ]
+
+
+def _py_prob(x, edges):
+    for hi, p in edges[:-1]:
+        if x <= hi:
+            return p
+    return edges[-1][1]
+
+
+def _mkdf(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, s double, y int")
+
+
+def _train_rows():
+    # duplicate signal values on purpose: ties must break by id and
+    # equal values may span bucket boundaries
+    return [
+        (i, float(v), y)
+        for i, (v, y) in enumerate(
+            [(10, 0), (10, 0), (20, 0), (20, 1), (30, 0), (30, 1),
+             (40, 1), (40, 1), (55, 1), (55, 1), (70, 1), (5, 0),
+             (90, 1), (15, 0), (60, 1), (25, 0), (35, 1), (45, 1),
+             (50, 0), (80, 1)]
+        )
+    ]
+
+
+def test_signal_calibration_matches_python_ntile(spark):
+    rows = _train_rows()
+    got = sorted(
+        (r["bucket"], r["hi"], r["n"], r["n_pos"], r["p"])
+        for r in signal_calibration(
+            _mkdf(spark, rows), "s", "y", "doc_id", 4
+        ).collect()
+    )
+    assert got == _py_bins(rows, 4)
+
+
+def test_calibrated_prob_first_covering_bucket(spark):
+    rows = _train_rows()
+    edges = collect_bins(
+        signal_calibration(_mkdf(spark, rows), "s", "y", "doc_id", 4)
+    )
+    probe = [0.0, 5.0, 14.9, 15.0, 37.0, 90.0, 1e9, None]
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(probe)], "i long, x double"
+    )
+    got = {
+        r["i"]: r["p"]
+        for r in df.select(
+            "i", calibrated_prob(F.col("x"), edges).alias("p")
+        ).collect()
+    }
+    for i, x in enumerate(probe):
+        if x is None:
+            assert got[i] is None  # NULL signal stays NULL
+        else:
+            assert got[i] == _py_prob(x, edges)
+
+
+def test_collect_bins_counted_cap(spark):
+    df = spark.range(200).select(
+        F.col("id").alias("bucket"), F.lit(1.0).alias("hi"),
+        F.lit(1).alias("n"), F.lit(1).alias("n_pos"),
+        F.lit(1.0).alias("p"),
+    )
+    with pytest.raises(CalibrationTooLargeError):
+        collect_bins(df)
+    with pytest.raises(CalibrationTooLargeError):
+        signal_calibration(
+            _mkdf(spark, _train_rows()), "s", "y", "doc_id", MAX_BINS + 1
+        )
+
+
+def test_ensemble_score_and_sweep_differential(spark):
+    rows = _train_rows()
+    edges = collect_bins(
+        signal_calibration(_mkdf(spark, rows), "s", "y", "doc_id", 4)
+    )
+    held = [(100 + i, float(v), y) for i, (v, y) in enumerate(
+        [(12, 0), (33, 1), (47, 1), (8, 0), (95, 1), (52, 0)]
+    )]
+    hdf = _mkdf(spark, held)
+    scored = ensemble_score(hdf, [("s", edges, 1.0), ("s", edges, 3.0)])
+    got = {r["doc_id"]: r["quality_score"] for r in scored.collect()}
+    for i, v, _y in held:
+        p = _py_prob(v, edges)
+        assert got[i] == round(((p * 1.0) + (p * 3.0)) / 4.0, 6)
+
+    sweep = ensemble_sweep(
+        scored, "quality_score", "y", [0.3, 0.6]
+    ).collect()
+    by_thr = {r["threshold"]: r for r in sweep}
+    for thr in (0.3, 0.6):
+        tp = sum(1 for i, v, y in held if got[i] >= thr and y == 1)
+        fp = sum(1 for i, v, y in held if got[i] >= thr and y == 0)
+        fn = sum(1 for i, v, y in held if got[i] < thr and y == 1)
+        tn = sum(1 for i, v, y in held if got[i] < thr and y == 0)
+        r = by_thr[thr]
+        assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (tp, fp, fn, tn)
+        assert r["f1"] == (
+            round(2 * tp / (2 * tp + fp + fn), 6)
+            if 2 * tp + fp + fn else None
+        )
+
+
+def test_score_path_has_no_exchange(spark):
+    """The 100-TB claim: once the bins are fitted, scoring is a pure
+    codegen projection — the held-out score plan must contain no
+    Exchange (no join, no shuffle)."""
+    rows = _train_rows()
+    edges = collect_bins(
+        signal_calibration(_mkdf(spark, rows), "s", "y", "doc_id", 4)
+    )
+    held = _mkdf(spark, [(1000 + i, float(i), i % 2) for i in range(50)])
+    scored = ensemble_score(held, [("s", edges, 2.0)])
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_ensemble_rejects_bad_specs(spark):
+    df = _mkdf(spark, [(1, 1.0, 1)])
+    with pytest.raises(ValueError):
+        ensemble_score(df, [])
+    with pytest.raises(ValueError):
+        ensemble_score(df, [("s", [(1.0, 0.5)], 0.0)])
+    with pytest.raises(ValueError):
+        ensemble_sweep(df.withColumn("sc", F.lit(0.5)), "sc", "y", [])

@@ -1,0 +1,113 @@
+"""Scale probe for the calibrated quality ensemble
+(operators/ensemble.py, round-13 gate quality_ensemble_card): the
+fit/score/sweep chain at 500k documents.
+
+The shapes under test (the 100-TB contract stated in the operator
+docstrings):
+
+- FIT: signal_calibration's NTILE is a single-partition global sort —
+  legitimate ONLY because it runs on the bounded held-in sample. The
+  probe fits on a hash-bounded ~5k-row sample of the 500k corpus (the
+  fit-on-sample contract), NOT the full corpus, and times it.
+- SCORE: ensemble_score over ALL 500k rows must be a pure codegen
+  CASE projection — the probe asserts ZERO Exchange in the executed
+  score plan (no join, no shuffle; the bins ride as literals).
+- SWEEP: one fused map-side-combinable aggregation; the probe times
+  tp/fp/fn/tn for 5 thresholds in a single pass.
+
+Usage: python tools/ensemble_probe.py [N_replicas]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.scale_probe import build_replica  # noqa: E402
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    a_out = f"/tmp/documents_x{n}.parquet"
+    if not os.path.exists(a_out):
+        build_replica(n, a_out)
+
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_bigmagic_spark import get_spark
+    from cdk_datalake_ingest_bigmagic_spark.operators.ensemble import (
+        collect_bins,
+        ensemble_score,
+        ensemble_sweep,
+        signal_calibration,
+    )
+
+    spark = get_spark(app_name="ensemble-probe")
+    docs = spark.read.parquet(a_out)
+    n_docs = docs.count()
+
+    t = F.col("text")
+    words = F.filter(F.split(F.lower(F.trim(t)), r"\s+"), lambda x: x != "")
+    feats = docs.select(
+        "doc_id",
+        F.length(t).cast("double").alias("s_len"),
+        F.size(words).cast("double").alias("s_words"),
+        F.when(F.size(words) == 0, 0.0)
+        .otherwise(
+            F.size(F.array_distinct(words)).cast("double")
+            / F.size(words).cast("double")
+        )
+        .alias("s_ttr"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+
+    # FIT on the bounded sample (~1% via md5 hash bucket — the same
+    # deterministic-sample contract as operators/sampling.py)
+    bucket = F.conv(F.substring(F.md5(F.concat(F.lit("fit|"),
+             F.col("doc_id").cast("string"))), 1, 7), 16, 10).cast("long")
+    sample = feats.where(bucket % 100 == 0)
+    t0 = time.time()
+    specs = []
+    for sig, w in (("s_len", 1.0), ("s_words", 1.0), ("s_ttr", 2.0)):
+        specs.append(
+            (sig, collect_bins(
+                signal_calibration(sample, sig, "y", "doc_id", 8)
+            ), w)
+        )
+    fit_s = time.time() - t0
+
+    # SCORE every row — must stay Exchange-free
+    scored = ensemble_score(feats, specs, "score")
+    t0 = time.time()
+    n_scored = scored.where(F.col("score").isNotNull()).count()
+    score_s = time.time() - t0
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    exchanges = plan.count("Exchange")
+
+    # SWEEP in one fused pass
+    t0 = time.time()
+    sweep = ensemble_sweep(
+        scored, "score", "y", [0.25, 0.4, 0.5, 0.6, 0.75]
+    ).collect()
+    sweep_s = time.time() - t0
+
+    print(json.dumps({
+        "probe": "quality_ensemble",
+        "n_docs": n_docs,
+        "fit_sample_rows": sample.count(),
+        "fit_s": round(fit_s, 1),
+        "score_s": round(score_s, 1),
+        "sweep_s": round(sweep_s, 1),
+        "n_scored": n_scored,
+        "score_plan_exchanges": exchanges,
+        "sweep_rows": len(sweep),
+    }))
+
+
+if __name__ == "__main__":
+    main()
