@@ -17,7 +17,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     # reference-surface operators
     "scan_projection",
-    "filter_semijoin_subquery",
+    # round-13 consolidation: the five P3-P7 filter gates folded into
+    # one leg-tagged suite (filter_semijoin_subquery et al. are legs)
+    "filter_window_suite",
     "join_config_multitable",
     "agg_pricing_summary",
     "window_dedup_latest",
@@ -84,7 +86,9 @@ HEADLINE = [
     # metadata-driven audio windowing, token-budget mixture planning,
     # and the per-source OOV-rate report
     "text_bpe_encode",
-    "multimodal_audio_windows",
+    # round-13 consolidation: the three multimodal gates folded into
+    # multimodal_suite (stats / frames / audio legs)
+    "multimodal_suite",
     "text_oov_rate",
     "corpus_quality_percentile",
     "text_winnow_fingerprints",
@@ -100,9 +104,9 @@ HEADLINE = [
     # canonical selection, the LM integer core, single-pass
     # expectations, tokenizer fertility, domain filtering, pair-set
     # evaluation, and HTML extraction
-    "snapshot_diff_docs",
-    "snapshot_carry_forward",
-    "corpus_drift_report",
+    # round-13 consolidation: diff + carry + drift are legs of
+    # snapshot_suite
+    "snapshot_suite",
     "canonical_pick_best",
     "lm_surprisal_counts",
     "expectations_report",
@@ -126,8 +130,9 @@ HEADLINE = [
     "dedup_cluster_histogram",
     "langid_train_classify",
     "curriculum_shard_order",
-    "profile_exact_core",
-    "profile_frequent_sources",
+    # round-13 consolidation: the profiling pair folded into
+    # profile_suite (core / frequent legs)
+    "profile_suite",
     # ... plus the round-8 curation3 gates (fixed-width file
     # round-trip, sentence stats, conversation health report)
     "fixedwidth_typed_parse",
@@ -144,8 +149,9 @@ HEADLINE = [
     # global ranking) and the two consolidated probe/window suites
     "gopher_quality_card",
     "gopher_repetition_fracs",
-    "dsir_bucket_counts",
-    "dsir_bucket_distribution",
+    # round-13 consolidation: the DSIR pair folded into dsir_suite
+    # (counts / distribution legs)
+    "dsir_suite",
     "pii_financial_counts",
     "softdedup_cluster_keep",
     "ranking_global_order",
@@ -169,6 +175,21 @@ HEADLINE = [
     "langid_confidence_margin",
     "dedup_cross_corpus",
     "delta_roundtrip",
+    # ROUND 13: the curation9-11 + deltagate2 activations (paragraph
+    # dedup family, HTML block-census codegen tier, duplicate-interval
+    # merge, Delta time travel), the flags-ON pipeline composition,
+    # and the calibrated quality ensemble
+    "paragraph_exact_core",
+    "paragraph_strip_rewrite",
+    "paragraph_near_dup_pairs",
+    "html_block_census",
+    "html_boilerplate_profile",
+    "html_extract_main_text",
+    "text_duplicate_intervals",
+    "text_dup_run_profile",
+    "delta_time_travel",
+    "corpus_clean_full",
+    "quality_ensemble_card",
 ]
 
 
