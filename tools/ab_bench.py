@@ -18,6 +18,7 @@ only ever ADD time.
 
 Usage:
     python tools/ab_bench.py [sf_dir] query [query ...]
+    python tools/ab_bench.py canary               # the frozen canary set
     python tools/ab_bench.py                      # full headline set
 
 Prints one JSON line {"sf": ..., "runs": 3, "queries": {name: sec}}.
@@ -37,6 +38,29 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 RUNS = 3
 
+#: The FROZEN canary set (VERDICT r12 item 4): the recurring
+#: host-noise suspects plus the round's heaviest additions. Run
+#: `python tools/ab_bench.py canary` in the SAME session as every
+#: full bench run and record the line under a "### Round-N bench
+#: brackets" heading in SCALE.md — BENCH_rN then ships with its floor
+#: evidence instead of the adjudication being reconstructed ad hoc.
+#: Append new heavyweights; never remove (cross-round comparability).
+CANARY = [
+    "text_winnow_matches",
+    "text_winnow_fingerprints",
+    "corpus_leakage_safe_split",
+    "corpus_line_dedup",
+    "dedup_semantic_keep",
+    "text_line_quality",
+    "langid_train_classify",
+    "langid_confidence_margin",
+    "ngram_repetition_card",
+    "dedup_cross_corpus",
+    # round-13 additions
+    "corpus_clean_full",
+    "quality_ensemble_card",
+]
+
 
 def main() -> None:
     import bench
@@ -49,6 +73,8 @@ def main() -> None:
         sf_dir = args[0]
         args = args[1:]
     names = args or bench.HEADLINE
+    if names == ["canary"]:
+        names = CANARY
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     spark = get_spark(app_name="ab-bench")
