@@ -480,11 +480,17 @@ from cdk_datalake_ingest_bigmagic_spark.queries import curation12  # noqa: E402,
 # 50 falls to the first out-of-front registrant, an unchanged green).
 # r14 projection AFTER this front: obligation = 47 r11 greens − 5
 # (filter members retired) − 2 (dsir members retired) = 40, zero
-# queued activations, ~3-5 riders → fits with slack; next fold
-# candidates if r15 (the ~48 r12-green cohort) needs them: the
-# text_token/quality septet (operators/text.py), the embedding six
-# (operators/similarity.py), the dedup method quartet
-# (operators/dedup.py).
+# queued activations, ~3-5 riders → fits with slack. AND the r14/r15
+# folds are ALREADY STAGED: queries/suites14.py (pre-validated at
+# sf0.001 + sf0.01, tests/test_suites14_staging.py) folds the text
+# septet + dedup quartet (11 members, ALL in the r14 obligation:
+# 40 → 29 + 2 suites) and the embedding six (r12 greens: r15
+# obligation −6 + 2 suites). r14 activation = ONE import line at the
+# end of this block + the 4 suite names in the r14 front; the module
+# retires its members from the registry itself. Post-activation
+# registry: 135 − 17 + 4 = 122, steady-state cohort ≈ 41 — the first
+# round since r10 with structural slack instead of a consolidation
+# scramble.
 _GATE_FRONT: list[str] = [
     # (1) the 5 round-13 consolidation suites (new definitions)
     "snapshot_suite",

@@ -1,0 +1,193 @@
+"""Round-14 consolidation suites, STAGED in round 13 (policy rules
+2/4: stage the folds for a tight round BEFORE it starts — r14's
+obligation is the ~40-query r11 cohort, r15's the ~44-query r12
+cohort; these folds shrink both).
+
+NOT imported by queries/__init__.py in round 13 — the round-13 front
+closed at 49 named + 1 floating slot. Pre-validation runs via
+``tools/validate_module.py suites14`` (the curation9/10 precedent).
+ACTIVATION (round 14) = add the import to queries/__init__.py (after
+every member module, so the registry lookups resolve) and put the
+four suite names in the front; this module then registers the suites
+AND retires its members from the registry itself (the ``_RETIRE``
+block below), so activation is one import line + the front edit.
+
+Unlike queries/suites13.py (which hoisted member oracles to module
+constants), these suites read the member callables and oracle SQL
+FROM THE LIVE REGISTRY at import time — zero duplication, and any
+drift in a member definition flows into the suite automatically.
+
+Folds (17 gates → 4 suites, −13 registry slots when activated):
+- ``text_base_suite``       ← text_token_encode + text_token_stats +
+                              text_language_id + text_quality_features
+                              + text_quality_score + text_fingerprint
+                              + text_frequent_tokens (operators/text.py
+                              family; all r11 greens = r14 obligation)
+- ``dedup_methods_suite``   ← dedup_minhash_lsh + dedup_simhash +
+                              dedup_ngram_jaccard + dedup_containment
+                              (the pairwise near-dup methods; r11
+                              greens = r14 obligation)
+- ``embedding_pairs_suite`` ← embedding_similarity_pairs +
+                              embedding_topk + embedding_ann_ivf +
+                              embedding_ann_lsh (r12 greens = r15
+                              obligation relief)
+- ``embedding_quant_suite`` ← embedding_scalar_quantize +
+                              embedding_pq_codes (r12 greens)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cdk_datalake_ingest_bigmagic_spark.queries import (
+    ORACLES,
+    QUERIES,
+    register,
+)
+from cdk_datalake_ingest_bigmagic_spark.queries.suites13 import (
+    _leg,
+    _union_sql,
+)
+
+_TEXT_COLS = [
+    ("doc_id", "long", "BIGINT"),
+    ("n_chars", "int", "INTEGER"),
+    ("n_words", "int", "INTEGER"),
+    ("n_tokens", "long", "BIGINT"),
+    ("n_oov", "long", "BIGINT"),
+    ("ids_csv", "string", "VARCHAR"),
+    ("lang_pred", "string", "VARCHAR"),
+    ("alpha_ratio", "double", "DOUBLE"),
+    ("punct_ratio", "double", "DOUBLE"),
+    ("stopword_ratio", "double", "DOUBLE"),
+    ("quality_logit", "double", "DOUBLE"),
+    ("passes_quality", "boolean", "BOOLEAN"),
+    ("fingerprint", "string", "VARCHAR"),
+    ("tok", "string", "VARCHAR"),
+    ("n", "long", "BIGINT"),
+]
+
+_DEDUP_COLS = [
+    ("id_a", "long", "BIGINT"),
+    ("id_b", "long", "BIGINT"),
+    ("jaccard", "double", "DOUBLE"),
+    ("hamming", "int", "INTEGER"),
+    ("id_contained", "long", "BIGINT"),
+    ("id_container", "long", "BIGINT"),
+    ("containment", "double", "DOUBLE"),
+]
+
+_EPAIR_COLS = [
+    ("id_a", "long", "BIGINT"),
+    ("id_b", "long", "BIGINT"),
+    ("vec_id", "long", "BIGINT"),
+    ("cosine_sim", "double", "DOUBLE"),
+]
+
+_EQUANT_COLS = [
+    ("vec_id", "long", "BIGINT"),
+    ("codes", "string", "VARCHAR"),
+    ("codes_csv", "string", "VARCHAR"),
+]
+
+#: suite -> (union cols, [(leg, member gate, member's columns)])
+_FOLDS: dict[str, tuple[list, list[tuple[str, str, set[str]]]]] = {
+    "text_base_suite": (
+        _TEXT_COLS,
+        [
+            ("encode", "text_token_encode",
+             {"doc_id", "n_tokens", "n_oov", "ids_csv"}),
+            ("stats", "text_token_stats",
+             {"doc_id", "n_chars", "n_words", "n_tokens"}),
+            ("langid", "text_language_id", {"doc_id", "lang_pred"}),
+            ("features", "text_quality_features",
+             {"doc_id", "n_chars", "n_words", "n_tokens", "alpha_ratio",
+              "punct_ratio", "stopword_ratio"}),
+            ("score", "text_quality_score",
+             {"doc_id", "quality_logit", "passes_quality"}),
+            ("fingerprint", "text_fingerprint", {"doc_id", "fingerprint"}),
+            ("frequent", "text_frequent_tokens", {"tok", "n"}),
+        ],
+    ),
+    "dedup_methods_suite": (
+        _DEDUP_COLS,
+        [
+            ("minhash", "dedup_minhash_lsh", {"id_a", "id_b", "jaccard"}),
+            ("simhash", "dedup_simhash", {"id_a", "id_b", "hamming"}),
+            ("ngram", "dedup_ngram_jaccard", {"id_a", "id_b", "jaccard"}),
+            ("containment", "dedup_containment",
+             {"id_contained", "id_container", "containment"}),
+        ],
+    ),
+    "embedding_pairs_suite": (
+        _EPAIR_COLS,
+        [
+            ("pairs", "embedding_similarity_pairs",
+             {"id_a", "id_b", "cosine_sim"}),
+            ("topk", "embedding_topk", {"vec_id", "cosine_sim"}),
+            ("ivf", "embedding_ann_ivf", {"id_a", "id_b", "cosine_sim"}),
+            ("lsh", "embedding_ann_lsh", {"id_a", "id_b", "cosine_sim"}),
+        ],
+    ),
+    "embedding_quant_suite": (
+        _EQUANT_COLS,
+        [
+            ("int8", "embedding_scalar_quantize", {"vec_id", "codes"}),
+            ("pq", "embedding_pq_codes", {"vec_id", "codes_csv"}),
+        ],
+    ),
+}
+
+_DOCS = {
+    "text_base_suite": """The operators/text.py base family in one
+    leg-tagged frame (round-14 consolidation, staged r13): vocabulary
+    encode, token stats, heuristic language-ID, quality features, the
+    quality logit gate, content fingerprint, and the corpus frequent-
+    token table — each leg the member's exact standalone plan.""",
+    "dedup_methods_suite": """The four pairwise near-dup methods in one
+    leg-tagged frame (round-14 consolidation, staged r13): MinHash-LSH
+    band join, SimHash pigeonhole blocking, prefix-filtered exact
+    n-gram Jaccard, and asymmetric containment — the method-comparison
+    surface of operators/dedup.py, one leg each.""",
+    "embedding_pairs_suite": """The embedding pair/top-k searches in
+    one leg-tagged frame (round-14 consolidation, staged r13): exact
+    cosine pairs, brute-force top-k, IVF probe search, SRP-LSH bucket
+    search — operators/similarity.py's search surface.""",
+    "embedding_quant_suite": """The embedding quantizers in one
+    leg-tagged frame (round-14 consolidation, staged r13): int8
+    scalar quantization and product-quantization codes.""",
+}
+
+
+def _build(suite_name: str) -> None:
+    cols, legs = _FOLDS[suite_name]
+    fns = {m: QUERIES[m] for _, m, _ in legs}
+    oracle = _union_sql(
+        [(leg, ORACLES[m], have) for leg, m, have in legs], cols
+    )
+
+    def suite(spark: SparkSession, sf_dir: str, _fns=fns, _legs=legs,
+              _cols=cols) -> DataFrame:
+        out = None
+        for leg, member, _have in _legs:
+            part = _leg(_fns[member](spark, sf_dir), leg, _cols)
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    suite.__name__ = suite_name
+    suite.__qualname__ = suite_name
+    suite.__doc__ = _DOCS[suite_name]
+    register(suite_name, oracle=oracle)(suite)
+
+
+for _name in _FOLDS:
+    _build(_name)
+
+#: Activation-time retirement: once queries/__init__.py imports this
+#: module (round 14), the members leave the registry — the suites
+#: carry their correctness signal. Until then this module is unloaded
+#: and the members stay standalone gates.
+_RETIRE = [m for _, (_, legs) in sorted(_FOLDS.items()) for _, m, _ in legs]
+for _m in _RETIRE:
+    QUERIES.pop(_m, None)
+    ORACLES.pop(_m, None)

@@ -1,0 +1,62 @@
+"""Staging invariants for queries/suites14.py (the round-14 fold
+suites, staged r13).
+
+The module is NOT imported by queries/__init__.py yet; importing it
+registers the 4 suites and RETIRES their 17 members from the
+registry. That retirement is exactly why these tests run the import
+in a SUBPROCESS — an in-process import would pull the members out
+from under every other test in this session.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+_PROBE = """
+import json, sys
+sys.path.insert(0, {repo!r})
+from cdk_datalake_ingest_bigmagic_spark.queries import QUERIES, ORACLES
+before = set(QUERIES)
+import cdk_datalake_ingest_bigmagic_spark.queries.suites14 as s14
+after = set(QUERIES)
+print(json.dumps({{
+    "suites": sorted(after - before),
+    "retired_gone": sorted(m for m in s14._RETIRE if m not in QUERIES),
+    "retire_count": len(s14._RETIRE),
+    "oracles_ok": all(n in ORACLES for n in (after - before)),
+    "not_imported_by_default": "suites14" not in open(
+        {repo!r} + "/cdk_datalake_ingest_bigmagic_spark/queries/__init__.py"
+    ).read(),
+}}))
+"""
+
+
+def test_suites14_registers_and_retires_in_isolation():
+    out = subprocess.run(
+        [sys.executable, "-c", _PROBE.format(repo=str(REPO))],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    rep = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["suites"] == [
+        "dedup_methods_suite", "embedding_pairs_suite",
+        "embedding_quant_suite", "text_base_suite",
+    ]
+    # every member left the registry, none dangling
+    assert rep["retire_count"] == 17
+    assert len(rep["retired_gone"]) == 17
+    assert rep["oracles_ok"]
+    # staged means staged: activation is a conscious __init__ edit
+    assert rep["not_imported_by_default"]
+
+
+def test_suites14_not_in_live_registry():
+    from cdk_datalake_ingest_bigmagic_spark.queries import QUERIES
+
+    assert "text_base_suite" not in QUERIES
+    assert "text_token_encode" in QUERIES  # members still standalone
