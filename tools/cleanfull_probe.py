@@ -1,0 +1,113 @@
+"""Scale probe for the flags-ON pipeline composition (the
+corpus_clean_full gate shape, round 13): HTML linearization →
+corpus-wide paragraph strip → document clean gates → fingerprint
+census, as ONE lazy plan over 500k wrapped pages.
+
+The component tiers have their own probes (html census 11.8 s / 2.6M
+blocks; paragraph census/strip; see SCALE.md round 12) — this probe
+times the COMPOSITION, which is the thing corpus_clean_full gates:
+the stages must fuse into one plan whose only shuffles are the
+paragraph-hash window + join-back and the final census aggregation
+(the extraction itself is in-row).
+
+Usage: python tools/cleanfull_probe.py [N_replicas]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.scale_probe import build_replica  # noqa: E402
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    a_out = f"/tmp/documents_x{n}.parquet"
+    if not os.path.exists(a_out):
+        build_replica(n, a_out)
+
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_bigmagic_spark import get_spark
+    from cdk_datalake_ingest_bigmagic_spark.operators import text as tx
+    from cdk_datalake_ingest_bigmagic_spark.operators.html import (
+        extract_main_text,
+    )
+    from cdk_datalake_ingest_bigmagic_spark.operators.paragraphs import (
+        strip_duplicate_paragraphs,
+    )
+
+    spark = get_spark(app_name="cleanfull-probe")
+    docs = spark.read.parquet(a_out)
+    n_docs = docs.count()
+
+    # the gate's page wrap: nav/h1/footer boilerplate + a shared
+    # paragraph in 7 variants (NOT replica-suffixed, so its occurrence
+    # set grows linearly with N — the strip stage's adversarial regime)
+    boiler = ("subscribe to our weekly digest and share this story "
+              "with friends today edition ")
+    page = F.concat(
+        F.lit("<html><head><title>d</title><script>var a = 1 < 2;"
+              '</script></head><body><nav><a href="/">home</a> '
+              '<a href="/n">news</a></nav><h1>doc heading</h1><p>intro '),
+        F.substring(F.col("text"), 1, 60),
+        F.lit("</p><p>" + boiler),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("</p><p>body "),
+        F.substring(F.col("text"), 61, 1000000),
+        F.lit('</p><footer>copyright <a href="/t">terms</a>'
+              "</footer></body></html>"),
+    )
+    pages = docs.select("doc_id", page.alias("html"))
+
+    ext = (
+        extract_main_text(pages, "doc_id", "html")
+        .drop("n_blocks_kept", "n_blocks_dropped")
+        .filter(F.length("text") > 0)
+    )
+    stripped = strip_duplicate_paragraphs(ext, "doc_id", "text").filter(
+        F.length("text") > 0
+    )
+    t = F.col("text")
+    featured = stripped.select(
+        "doc_id", "text",
+        tx.char_count(t).alias("n_chars"),
+        tx.word_count(t).alias("n_words"),
+        tx.fingerprint(t).alias("fingerprint"),
+    ).filter((F.col("n_words") >= 5) & (F.col("n_chars") >= 20))
+    words = F.filter(F.split(tx.normalize_text(t), " "), lambda x: x != "")
+    dup_word = F.lit(1.0) - F.size(F.array_distinct(words)).cast(
+        "double"
+    ) / F.size(words).cast("double")
+    featured = featured.filter((F.size(words) == 0) | (dup_word <= tx.DUP_WORD_MAX))
+    census = featured.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+    t0 = time.time()
+    row = census.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("fingerprint", "canonical_id", "n_dups")).alias("sig"),
+    ).collect()[0]
+    wall = time.time() - t0
+    plan = census._jdf.queryExecution().executedPlan().toString()
+
+    print(json.dumps({
+        "probe": "corpus_clean_full",
+        "n_docs": n_docs,
+        "wall_s": round(wall, 1),
+        "out_fingerprints": row["n"],
+        "plan_exchanges": plan.count("Exchange"),
+        "plan_smj": plan.count("SortMergeJoin"),
+    }))
+
+
+if __name__ == "__main__":
+    main()
