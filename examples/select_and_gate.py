@@ -12,7 +12,10 @@ of — the round-8/9 operator wave in one runnable script:
      uni+bigram buckets, broadcast log-ratio weights, distributed
      top-fraction cut),
   5. a classifier-style operating-point sweep over the DSIR weights
-     (exact tp/fp/fn/tn per threshold) to document the cut.
+     (exact tp/fp/fn/tn per threshold) to document the cut,
+  6. the round-13 calibrated ensemble: per-signal equal-frequency
+     calibration (DSIR weight + card stats) fit on one half, the
+     weighted composite swept on the held-out half.
 
 Run: python examples/select_and_gate.py [work_dir]
 (Synthesizes a small mixed corpus — the point is the wiring; swap the
@@ -39,6 +42,12 @@ from cdk_datalake_ingest_bigmagic_spark.operators.classifier import (  # noqa: E
 )
 from cdk_datalake_ingest_bigmagic_spark.operators.dsir import (  # noqa: E402
     dsir_select,
+)
+from cdk_datalake_ingest_bigmagic_spark.operators.ensemble import (  # noqa: E402
+    collect_bins,
+    ensemble_score,
+    ensemble_sweep,
+    signal_calibration,
 )
 from cdk_datalake_ingest_bigmagic_spark.plans.quarantine import (  # noqa: E402
     write_with_quarantine,
@@ -134,6 +143,35 @@ def main(work_dir: str) -> dict:
         .collect()
     )
 
+    # 6. calibrated ensemble (round-13 operator, the FineWeb-Edu-style
+    # composite): fuse the heterogeneous signals already computed —
+    # the DSIR weight, the card's length, and its duplicate-word
+    # ratio — through per-signal equal-frequency calibration on the
+    # even-id half, then sweep the weighted composite on the held-out
+    # half. The fitted bins come back as a bounded pull and scoring is
+    # a pure codegen projection (zero joins/shuffles at corpus scale).
+    sig = selected.join(
+        card.select("doc_id", "n_words", "dup_word_ratio"), "doc_id"
+    ).select(
+        "doc_id", "weight", "n_words", "dup_word_ratio",
+        (F.col("doc_id") % 3 == 0).cast("int").alias("label"),
+    )
+    train = sig.where(F.col("doc_id") % 2 == 0)
+    heldout = sig.where(F.col("doc_id") % 2 == 1)
+    specs = [
+        (s, collect_bins(signal_calibration(train, s, "label", "doc_id",
+                                            n_bins=4)), w)
+        for s, w in (("weight", 2.0), ("n_words", 1.0),
+                     ("dup_word_ratio", 1.0))
+    ]
+    composite = ensemble_score(heldout, specs, "score")
+    esweep = ensemble_sweep(composite, "score", "label", [0.3, 0.5, 0.7])
+    best_row = (
+        esweep.orderBy(F.desc_nulls_last("f1"), "threshold")
+        .limit(1)
+        .collect()[0]
+    )
+
     kept = selected.where("selected")
     report = {
         "docs": docs.count(),
@@ -145,6 +183,10 @@ def main(work_dir: str) -> dict:
         "sweep_rows": sweep.count(),
         "first_threshold_at_p90": (
             float(best[0]["threshold"]) if best else None
+        ),
+        "ensemble_best_threshold": float(best_row["threshold"]),
+        "ensemble_best_f1": (
+            float(best_row["f1"]) if best_row["f1"] is not None else None
         ),
     }
     print(json.dumps(report))
