@@ -29,7 +29,7 @@ print(json.dumps({{
     "retired_gone": sorted(m for m in s14._RETIRE if m not in QUERIES),
     "retire_count": len(s14._RETIRE),
     "oracles_ok": all(n in ORACLES for n in (after - before)),
-    "not_imported_by_default": "suites14" not in open(
+    "not_imported_by_default": "import suites14" not in open(
         {repo!r} + "/cdk_datalake_ingest_bigmagic_spark/queries/__init__.py"
     ).read(),
 }}))
