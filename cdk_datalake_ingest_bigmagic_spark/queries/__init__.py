@@ -484,13 +484,15 @@ from cdk_datalake_ingest_bigmagic_spark.queries import curation12  # noqa: E402,
 # folds are ALREADY STAGED: queries/suites14.py (pre-validated at
 # sf0.001 + sf0.01, tests/test_suites14_staging.py) folds the text
 # septet + dedup quartet (11 members, ALL in the r14 obligation:
-# 40 → 29 + 2 suites) and the embedding six (r12 greens: r15
-# obligation −6 + 2 suites). r14 activation = ONE import line at the
-# end of this block + the 4 suite names in the r14 front; the module
-# retires its members from the registry itself. Post-activation
-# registry: 135 − 17 + 4 = 122, steady-state cohort ≈ 41 — the first
-# round since r10 with structural slack instead of a consolidation
-# scramble.
+# 40 → 29) and the embedding six (r12 greens: r15 obligation −6).
+# r14 activation = ONE import line at the end of this block + the 4
+# suite names in the r14 front; the module retires its members from
+# the registry itself. Simulated at round-13 end on the recorded
+# greens (assuming this front goes green): r14 registry 122, demand
+# 29 obligation + 4 never-green suites = 33 → 17 free slots before
+# riders; r15 obligation 39 → 11 free. The consolidation-scramble
+# era (r10/r12/r13 all hit full-cohort windows) ends here; verify
+# with window_math at both round starts anyway (rule 1).
 _GATE_FRONT: list[str] = [
     # (1) the 5 round-13 consolidation suites (new definitions)
     "snapshot_suite",
