@@ -175,3 +175,43 @@ def test_ensemble_rejects_bad_specs(spark):
         ensemble_score(df, [("s", [(1.0, 0.5)], 0.0)])
     with pytest.raises(ValueError):
         ensemble_sweep(df.withColumn("sc", F.lit(0.5)), "sc", "y", [])
+
+
+def test_randomized_calibration_differential(spark):
+    """Seeded randomized sweep (the paragraph-suite precedent): random
+    signal distributions (with deliberate duplicate values), random
+    labels, random bin counts — Spark chain == pure-Python mirror on
+    every corpus, including the score of every probe point."""
+    import random
+
+    rng = random.Random(13)
+    for trial in range(12):
+        n = rng.randint(5, 60)
+        n_bins = rng.choice([2, 3, 5, 8])
+        # draw from a small value pool so duplicates span buckets
+        pool = [round(rng.uniform(-50, 50), 1) for _ in range(max(3, n // 3))]
+        rows = [
+            (i, rng.choice(pool), rng.randint(0, 1)) for i in range(n)
+        ]
+        edges = collect_bins(
+            signal_calibration(_mkdf(spark, rows), "s", "y", "doc_id",
+                               n_bins)
+        )
+        assert edges == [
+            (hi, p) for _, hi, _, _, p in _py_bins(rows, n_bins)
+        ], f"trial {trial}: bins diverge"
+        probes = [rng.uniform(-60, 60) for _ in range(8)] + [
+            edges[0][0], edges[-1][0]
+        ]
+        df = spark.createDataFrame(
+            [(i, float(x)) for i, x in enumerate(probes)],
+            "i long, x double",
+        )
+        got = {
+            r["i"]: r["p"]
+            for r in df.select(
+                "i", calibrated_prob(F.col("x"), edges).alias("p")
+            ).collect()
+        }
+        for i, x in enumerate(probes):
+            assert got[i] == _py_prob(x, edges), f"trial {trial} probe {x}"
