@@ -118,42 +118,82 @@ def strip_duplicate_paragraphs(
     (duplicate-run separators and edge whitespace are normalized away
     by the split — the same normalization the hash saw). NULL text
     stays NULL; a document whose every paragraph was removed or empty
-    comes back ''."""
-    paras = split_paragraphs(df, id_col, text_col)
-    keyed = paras.select(
+    comes back ''.
+
+    SINGLE-TRAVERSAL shape (round-13 rewrite): the input subtree is
+    referenced exactly ONCE. The original form (min-agg canonical +
+    self-join + base join) referenced it three times, and Spark does
+    not de-duplicate a subtree across join branches — invisible when
+    the input is a bare table scan, but composed after HTML
+    linearization (CorpusPipeline's flag order, corpus_clean_full)
+    every reference re-ran the extraction regexes. Measured at sf0.1:
+    extract+strip 8.6 s (three references) → 7.5 s (window canonical,
+    two references) → 4.9 s in this form (one reference; the extract
+    cost plus the two unavoidable shuffles). Mechanics: one
+    ``posexplode_outer`` keeps a row for every document (NULL-text
+    and no-paragraph documents included, so no base join is needed to
+    restore them); empty segments normalize to NULL paragraphs that
+    carry doc identity but never enter the hash; the canonical pick
+    is a ``row_number`` window whose partition key falls back to a
+    per-row unique key for the NULL rows (no skew partition of empty
+    documents); the rebuild collects only canonical paragraphs via a
+    conditional ``collect_list``."""
+    from pyspark.sql import Window
+
+    parts = F.split(F.col(text_col), PARA_SEP)
+    rows = df.select(
         F.col(id_col),
+        F.col(text_col).isNull().alias("__isnull"),
+        F.posexplode_outer(parts).alias("para_idx", "paragraph"),
+    )
+    para = F.trim(F.col("paragraph"))
+    para = F.when(para != "", para)  # empty segment -> NULL, row kept
+    hashed = rows.select(
+        F.col(id_col),
+        "__isnull",
+        "para_idx",
+        para.alias("paragraph"),
+        F.when(para.isNotNull(), fingerprint(para)).alias("para_hash"),
+    )
+    pkey = F.coalesce(
+        F.col("para_hash"),
+        F.concat_ws("|", F.lit("\x00d"), F.col(id_col).cast("string"),
+                    F.col("para_idx").cast("string")),
+    )
+    w_canon = Window.partitionBy(pkey).orderBy(id_col, "para_idx")
+    ranked = hashed.select(
+        F.col(id_col),
+        "__isnull",
         "para_idx",
         "paragraph",
-        fingerprint(F.col("paragraph")).alias("para_hash"),
+        F.row_number().over(w_canon).alias("__rn"),
     )
-    canon = keyed.groupBy("para_hash").agg(
-        F.min(F.struct(F.col(id_col), F.col("para_idx"))).alias("__c")
-    )
-    kept = (
-        keyed.join(canon, "para_hash")
-        .filter(
-            (F.col(id_col) == F.col(f"__c.{id_col}"))
-            & (F.col("para_idx") == F.col("__c.para_idx"))
-        )
-        .groupBy(id_col)
+    canonical = F.col("paragraph").isNotNull() & (F.col("__rn") == 1)
+    return (
+        ranked.groupBy(id_col)
         .agg(
             F.array_join(
                 F.transform(
                     F.array_sort(
-                        F.collect_list(F.struct("para_idx", "paragraph"))
+                        F.collect_list(
+                            F.when(
+                                canonical,
+                                F.struct("para_idx", "paragraph"),
+                            )
+                        )
                     ),
                     lambda it: it["paragraph"],
                 ),
                 sep,
-            ).alias("__kept")
+            ).alias("__kept"),
+            F.max("__isnull").alias("__isnull"),
         )
-    )
-    base = df.select(F.col(id_col), F.col(text_col).alias("__orig"))
-    return base.join(kept, id_col, "left").select(
-        F.col(id_col),
-        F.when(F.col("__orig").isNull(), F.lit(None).cast("string"))
-        .otherwise(F.coalesce(F.col("__kept"), F.lit("")))
-        .alias(text_col),
+        .select(
+            F.col(id_col),
+            F.when(F.col("__isnull"), F.lit(None).cast("string"))
+            .otherwise(F.col("__kept"))
+            .alias(text_col),
+        )
     )
 
 
