@@ -109,16 +109,28 @@ def paragraph_exact_groups(paras: DataFrame, id_col: str) -> DataFrame:
 
 
 def strip_duplicate_paragraphs(
-    df: DataFrame, id_col: str, text_col: str, sep: str = "\n\n"
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n\n",
+    passthrough: tuple[str, ...] | list[str] = (),
 ) -> DataFrame:
-    """(id, text) with every NON-CANONICAL occurrence of a repeated
-    paragraph removed corpus-wide (a paragraph that appears once is
-    its own canonical and survives). Documents are rebuilt from their
-    surviving paragraphs in original order, joined with ``sep``
-    (duplicate-run separators and edge whitespace are normalized away
-    by the split — the same normalization the hash saw). NULL text
-    stays NULL; a document whose every paragraph was removed or empty
-    comes back ''.
+    """(id, text[, passthrough...]) with every NON-CANONICAL
+    occurrence of a repeated paragraph removed corpus-wide (a
+    paragraph that appears once is its own canonical and survives).
+    Documents are rebuilt from their surviving paragraphs in original
+    order, joined with ``sep`` (duplicate-run separators and edge
+    whitespace are normalized away by the split — the same
+    normalization the hash saw). NULL text stays NULL; a document
+    whose every paragraph was removed or empty comes back ''.
+
+    ``passthrough`` columns ride the pipeline inside the same single
+    traversal (duplicated per paragraph row through the two shuffles,
+    re-assembled with ``first`` in the rebuild) — for an expensive
+    upstream (the pipeline's post-extraction shape) that is far
+    cheaper than the id-key join back to the input the caller would
+    otherwise need, which re-executes the whole upstream subtree for
+    a few small columns.
 
     SINGLE-TRAVERSAL shape (round-13 rewrite): the input subtree is
     referenced exactly ONCE. The original form (min-agg canonical +
@@ -151,10 +163,12 @@ def strip_duplicate_paragraphs(
     one row) or running the strip on a pre-materialized split."""
     from pyspark.sql import Window
 
+    extra = list(passthrough)
     parts = F.split(F.col(text_col), PARA_SEP)
     rows = df.select(
         F.col(id_col),
         F.col(text_col).isNull().alias("__isnull"),
+        *extra,
         F.posexplode_outer(parts).alias("para_idx", "paragraph"),
     )
     para = F.trim(F.col("paragraph"))
@@ -162,6 +176,7 @@ def strip_duplicate_paragraphs(
     hashed = rows.select(
         F.col(id_col),
         "__isnull",
+        *extra,
         "para_idx",
         para.alias("paragraph"),
         F.when(para.isNotNull(), fingerprint(para)).alias("para_hash"),
@@ -175,6 +190,7 @@ def strip_duplicate_paragraphs(
     ranked = hashed.select(
         F.col(id_col),
         "__isnull",
+        *extra,
         "para_idx",
         "paragraph",
         F.row_number().over(w_canon).alias("__rn"),
@@ -198,12 +214,14 @@ def strip_duplicate_paragraphs(
                 sep,
             ).alias("__kept"),
             F.max("__isnull").alias("__isnull"),
+            *[F.first(c).alias(c) for c in extra],
         )
         .select(
             F.col(id_col),
             F.when(F.col("__isnull"), F.lit(None).cast("string"))
             .otherwise(F.col("__kept"))
             .alias(text_col),
+            *extra,
         )
     )
 

@@ -398,18 +398,16 @@ class CorpusPipeline:
 
             # corpus-wide paragraph strip feeds the clean step's input
             # (the RefinedWeb order: sub-document dedup before the
-            # document-level gates); non-text columns ride back via
-            # one id-key join, empty documents leave the corpus
+            # document-level gates); non-text columns ride THROUGH the
+            # strip (passthrough) — an id-key join back to src would
+            # re-execute the whole upstream subtree (html_extract /
+            # fix_text when the lines step didn't materialize) for a
+            # few small columns; empty documents leave the corpus
             src = clean_input
             other = [c for c in src.columns if c not in (ic, tc)]
-            stripped = strip_duplicate_paragraphs(
-                src.select(ic, tc), ic, tc
+            clean_input = strip_duplicate_paragraphs(
+                src, ic, tc, passthrough=other
             ).filter(F.length(tc) > 0)
-            clean_input = (
-                stripped.join(src.select(ic, *other), ic)
-                if other
-                else stripped
-            )
 
         def build_clean():
             # both gates are projections — passthrough keeps the
