@@ -482,7 +482,7 @@ from cdk_datalake_ingest_bigmagic_spark.queries import curation12  # noqa: E402,
 # (filter members retired) − 2 (dsir members retired) = 40, zero
 # queued activations, ~3-5 riders → fits with slack. AND the r14/r15
 # folds are ALREADY STAGED: queries/suites14.py (pre-validated at
-# sf0.001 + sf0.01, tests/test_suites14_staging.py) folds the text
+# sf0.001 + sf0.01 + sf0.1, tests/test_suites14_staging.py) folds the text
 # septet + dedup quartet (11 members, ALL in the r14 obligation:
 # 40 → 29) and the embedding six (r12 greens: r15 obligation −6).
 # r14 activation = ONE import line at the end of this block + the 4
