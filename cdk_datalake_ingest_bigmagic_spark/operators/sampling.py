@@ -43,6 +43,100 @@ def hash_sample(
     return df.filter(sample_bucket(F.col(id_col), seed) < F.lit(threshold))
 
 
+#: hard cap on the strata table driver pull in temperature_mix_rates —
+#: mixing strata are sources/languages/domains-ish (dozens to a few
+#: thousand); anything bigger is a caller bug, refused before collect.
+MAX_MIX_STRATA = 4096
+
+
+class StrataTooLargeError(ValueError):
+    pass
+
+
+def temperature_mix_rates(
+    df: DataFrame,
+    strata_col: str,
+    temperature: float = 2.0,
+    target_frac: float = 0.5,
+) -> dict[str, float]:
+    """Temperature-scaled mixture rates (the published LM data-mixing
+    rule — T5 / PaLM / XLM-R: sample stratum ``i`` with probability
+    ``p_i ∝ n_i^(1/T)``, which up-weights tail strata as T grows;
+    T=1 is proportional sampling, T→∞ uniform across strata). Returns
+    ``{stratum: rate}`` where ``rate_i = min(1, p_i · B / n_i)`` and
+    ``B = round(target_frac · N)`` is the target corpus size — feed
+    it straight to :func:`stratified_hash_sample`.
+
+    Determinism contract: the per-stratum counts are ONE map-side
+    aggregation pulled to the driver (counted against
+    :data:`MAX_MIX_STRATA` first), and every float op happens
+    driver-side in sorted-stratum order — the weight sum is a fixed
+    left fold, so an engine-portable oracle can replay the identical
+    IEEE sequence. ``T=2`` uses ``math.sqrt`` (correctly rounded in
+    every IEEE implementation, exactly mirroring SQL ``sqrt``); other
+    temperatures go through ``pow``, whose last-ulp behavior is
+    implementation-defined — fine for production mixing, but gates
+    that hash-compare against a SQL oracle should stick to T=2.
+
+    100-TB shape: one tiny counts aggregation; application (via
+    stratified_hash_sample) is a broadcast lookup + in-row hash
+    filter — no corpus shuffle anywhere."""
+    import math
+
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    if not 0.0 < target_frac <= 1.0:
+        raise ValueError(
+            f"target_frac must be in (0, 1], got {target_frac}"
+        )
+    # NULL-stratum rows are excluded from the mix (they would need a
+    # policy decision, not a silent weight; stratified_hash_sample's
+    # default_rate=0 then drops them in application too)
+    counts_df = (
+        df.where(F.col(strata_col).isNotNull())
+        .groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    if counts_df.limit(MAX_MIX_STRATA + 1).count() > MAX_MIX_STRATA:
+        raise StrataTooLargeError(
+            f"more than {MAX_MIX_STRATA} strata in {strata_col!r}"
+        )
+    rows = sorted((r[strata_col], int(r["__n"])) for r in counts_df.collect())
+    if not rows:
+        return {}
+    if temperature == 2.0:
+        weights = [(k, math.sqrt(n)) for k, n in rows]
+    else:
+        weights = [(k, n ** (1.0 / temperature)) for k, n in rows]
+    total_w = 0.0
+    for _, w in weights:
+        total_w += w
+    n_total = sum(n for _, n in rows)
+    budget = float(round(target_frac * n_total))
+    return {
+        k: min(1.0, (w / total_w) * budget / n)
+        for (k, n), (_, w) in zip(rows, weights)
+    }
+
+
+def temperature_mix(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    temperature: float = 2.0,
+    target_frac: float = 0.5,
+    seed: str = "tmix",
+) -> DataFrame:
+    """Deterministic temperature-scaled corpus mix: derive the rates
+    (:func:`temperature_mix_rates`) and apply them with the
+    content-addressed stratified sampler. One tiny counts agg + one
+    broadcast-lookup filter."""
+    rates = temperature_mix_rates(df, strata_col, temperature, target_frac)
+    return stratified_hash_sample(
+        df, id_col, strata_col, rates, default_rate=0.0, seed=seed
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     id_col: str,

@@ -493,6 +493,13 @@ from cdk_datalake_ingest_bigmagic_spark.queries import curation12  # noqa: E402,
 # riders; r15 obligation 39 → 11 free. The consolidation-scramble
 # era (r10/r12/r13 all hit full-cohort windows) ends here; verify
 # with window_math at both round starts anyway (rule 1).
+# ALSO STAGED for r14 (growth, queue position after the suites):
+# queries/curation13.py — corpus_mix_temperature (the T5/PaLM
+# temperature-scaled mixing rule over the skewed lang strata;
+# operators/sampling.py::temperature_mix), pre-validated at sf0.001
+# + sf0.01 + sf0.1 (0 failures), pytest differential in
+# test_llm_operators.py. Activation = import + 1 front slot
+# (registry 122 → 123).
 _GATE_FRONT: list[str] = [
     # (1) the 5 round-13 consolidation suites (new definitions)
     "snapshot_suite",

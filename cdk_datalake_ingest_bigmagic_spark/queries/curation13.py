@@ -1,0 +1,139 @@
+"""Round-14 growth gate, STAGED in round 13: temperature-scaled
+mixture sampling (operators/sampling.py::temperature_mix — the
+T5/PaLM/XLM-R data-mixing rule, ``p_i ∝ n_i^(1/T)``).
+
+NOT imported by queries/__init__.py in round 13 (the front closed);
+pre-validate via ``tools/validate_module.py curation13``; r14
+activation = the import line + the gate name in the r14 front (the
+simulated r14 window has ~17 free slots — see the front plan).
+
+One gate, two legs over the documents table's SKEWED ``lang`` strata
+(en 218 / zh 75 / es 73 / de 70 / fr 64 at sf0.01 — uniform
+``source`` strata would make the temperature a no-op):
+
+- ``rates``   per stratum: exact count, sqrt weight, the derived
+              sampling rate, and the integer bucket threshold;
+- ``sample``  the selected documents under the md5 bucket rule.
+
+Cross-engine exactness: T is fixed at 2 so the weight is ``sqrt``
+(correctly rounded per IEEE in both engines, unlike general ``pow``);
+the weight sum is a FIXED left fold in sorted-stratum order
+(DuckDB: ``list_sum(list(w ORDER BY lang))``; driver: the same
+sequence in Python); every other op (/ * min round) is
+IEEE-exact-given-identical-inputs. Output doubles rounded to 6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.queries import load, register
+
+_TARGET_FRAC = 0.5
+_SEED = "tmix"
+
+_ORACLE = f"""
+    WITH counts AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n
+      FROM documents WHERE lang IS NOT NULL GROUP BY lang
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM counts),
+    w AS (SELECT lang, n, sqrt(n::DOUBLE) AS weight FROM counts),
+    wsum AS (
+      SELECT list_sum(list(weight ORDER BY lang)) AS total_w FROM w
+    ),
+    rates AS (
+      SELECT lang, n, weight,
+             least(1.0,
+                   (weight / total_w)
+                   * round({_TARGET_FRAC} * n_total)::DOUBLE
+                   / n::DOUBLE) AS rate
+      FROM w, wsum, tot
+    ),
+    thr AS (
+      SELECT lang, n, weight, rate,
+             CAST(round(rate * 10000, 0) AS INT) AS threshold
+      FROM rates
+    )
+    SELECT 'rates' AS leg, lang,
+           n AS n_docs,
+           round(weight, 6) AS weight,
+           round(rate, 6) AS rate,
+           threshold,
+           CAST(NULL AS BIGINT) AS doc_id
+    FROM thr
+    UNION ALL
+    SELECT 'sample', d.lang,
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER),
+           d.doc_id
+    FROM documents d JOIN thr t USING (lang)
+    WHERE ('0x' || substr(md5('{_SEED}|' || d.doc_id), 1, 7))::BIGINT
+          % 10000 < t.threshold
+    """
+
+
+@register("corpus_mix_temperature", oracle=_ORACLE)
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """temperature_mix end-to-end at T=2 over the skewed ``lang``
+    strata: the derived rate table (head language down-sampled, tail
+    languages up-weighted toward the sqrt distribution) plus the
+    deterministic document selection under those rates.
+
+    Scale shape: ONE tiny counts aggregation, a counted driver pull
+    (≤ MAX_MIX_STRATA), and the application is a broadcast lookup +
+    in-row md5 bucket filter — the corpus itself never shuffles."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.sampling import (
+        SAMPLE_BUCKETS,
+        stratified_hash_sample,
+        temperature_mix_rates,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    rates = temperature_mix_rates(
+        d, "lang", temperature=2.0, target_frac=_TARGET_FRAC
+    )
+    import math
+
+    counts = {
+        r["lang"]: r["n"]
+        for r in d.where(F.col("lang").isNotNull())
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    nl, nd, ni = (
+        F.lit(None).cast("long"),
+        F.lit(None).cast("double"),
+        F.lit(None).cast("int"),
+    )
+    rate_rows = [
+        (
+            "rates",
+            lang,
+            int(counts[lang]),
+            round(math.sqrt(counts[lang]), 6),
+            round(rate, 6),
+            int(round(rate * SAMPLE_BUCKETS)),
+            None,
+        )
+        for lang, rate in sorted(rates.items())
+    ]
+    rates_leg = spark.createDataFrame(
+        rate_rows,
+        "leg string, lang string, n_docs long, weight double, "
+        "rate double, threshold int, doc_id long",
+    )
+    sample_leg = stratified_hash_sample(
+        d, "doc_id", "lang", rates, default_rate=0.0, seed=_SEED
+    ).select(
+        F.lit("sample").alias("leg"),
+        "lang",
+        nl.alias("n_docs"),
+        nd.alias("weight"),
+        nd.alias("rate"),
+        ni.alias("threshold"),
+        "doc_id",
+    )
+    return rates_leg.unionByName(sample_leg)

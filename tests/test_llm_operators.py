@@ -1736,3 +1736,74 @@ def test_winnow_matches_scores_and_df_cap(spark):
     out2 = {(r["id_a"], r["id_b"])
             for r in winnow_matches(df, "doc_id", "text", max_df=10).collect()}
     assert (10, 11) in out2
+
+
+def test_temperature_mix_rates_differential(spark):
+    """temperature_mix_rates == the pure-Python published rule on a
+    skewed strata distribution: T=1 proportional, T=2 sqrt-scaled
+    (tail up-weighted), T huge ~uniform; NULL strata excluded; rate
+    capped at 1; cap guard fires."""
+    import math
+
+    import pytest as _pytest
+
+    from cdk_datalake_ingest_bigmagic_spark.operators.sampling import (
+        StrataTooLargeError,
+        temperature_mix,
+        temperature_mix_rates,
+    )
+
+    counts = {"a": 160, "b": 40, "c": 10}
+    rows, i = [], 0
+    for k, n in counts.items():
+        for _ in range(n):
+            rows.append((i, k)); i += 1
+    rows.append((i, None))  # NULL stratum: excluded
+    df = spark.createDataFrame(rows, "doc_id long, s string")
+
+    def py_rates(T, frac):
+        ks = sorted(counts)
+        w = {k: math.sqrt(counts[k]) if T == 2.0 else counts[k] ** (1.0 / T)
+             for k in ks}
+        tot_w = 0.0
+        for k in ks:
+            tot_w += w[k]
+        budget = float(round(frac * sum(counts.values())))
+        return {k: min(1.0, (w[k] / tot_w) * budget / counts[k]) for k in ks}
+
+    for T in (1.0, 2.0, 100.0):
+        got = temperature_mix_rates(df, "s", temperature=T, target_frac=0.5)
+        assert got == py_rates(T, 0.5), T
+    # T=1: every stratum sampled at the same rate (proportional)
+    r1 = temperature_mix_rates(df, "s", 1.0, 0.5)
+    assert len({round(v, 9) for v in r1.values()}) == 1
+    # T=2: the tail stratum's rate strictly exceeds the head's
+    r2 = temperature_mix_rates(df, "s", 2.0, 0.5)
+    assert r2["c"] > r2["b"] > r2["a"]
+    # application: selected ids are exactly the bucket rule's
+    from cdk_datalake_ingest_bigmagic_spark.operators.sampling import (
+        SAMPLE_BUCKETS,
+        sample_bucket,
+    )
+    from pyspark.sql import functions as F
+
+    picked = {r["doc_id"] for r in
+              temperature_mix(df, "doc_id", "s", 2.0, 0.5).collect()}
+    thr = {k: round(v * SAMPLE_BUCKETS) for k, v in r2.items()}
+    expect = {
+        r["doc_id"]
+        for r in df.select(
+            "doc_id", "s", sample_bucket(F.col("doc_id"), "tmix").alias("b")
+        ).collect()
+        if r["s"] is not None and r["b"] < thr[r["s"]]
+    }
+    assert picked == expect and all(i in range(210) for i in picked)
+    with _pytest.raises(StrataTooLargeError):
+        big = spark.range(5000).select(
+            F.col("id").alias("doc_id"), F.col("id").cast("string").alias("s")
+        )
+        temperature_mix_rates(big, "s")
+    with _pytest.raises(ValueError):
+        temperature_mix_rates(df, "s", temperature=0)
+    with _pytest.raises(ValueError):
+        temperature_mix_rates(df, "s", target_frac=0.0)
