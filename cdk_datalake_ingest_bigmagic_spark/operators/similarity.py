@@ -991,3 +991,76 @@ def pq_topk_batch(
             F.round("adc_dist", 6).alias("adc_dist"),
         )
     )
+
+
+def semdedup_keep_best(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    quality_col: str,
+    n_lists: int = 16,
+    threshold: float = 0.48,
+    centroids: str = "first-ids",
+    max_list_size: int = 16384,
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """SemDeDup with the paper's keep-BEST rule (Abbas et al. 2023,
+    arXiv:2303.09540, public): cluster-level semantic dedup over the
+    IVF lists, keeping each near-duplicate neighborhood's best-quality
+    member instead of :func:`semantic_dedup`'s lowest-id member.
+
+    Production curation keeps the best copy of a semantic duplicate
+    set (FineWeb keeps the longest; classifier stacks keep the
+    highest-scoring); the id rule is a determinism fallback, not what
+    you'd ship. This operator composes three gated parts end to end:
+
+    1. **centroid-local pairs** — :func:`ann_ivf_pairs` at
+       ``n_probe=1``, so a pair forms iff both vectors land in the
+       SAME inverted list (no cross-list pair is ever formed — the
+       paper's locality contract, and what keeps the pair space
+       Σ|list|² instead of N²; the hot-list sub-bucket guard carries
+       over unchanged);
+    2. **neighborhoods** — ``operators.graph.connected_components``
+       over the within-list pair graph (bounded label-propagation
+       rounds; dup neighborhoods are tiny by construction);
+    3. **the keep decision** — ``operators.canonical.pick_canonical``
+       on the component label with ``prefer='max'`` over
+       ``quality_col`` (map-side-combinable max_by agg + equi-join,
+       skew-safe for million-member clusters; ties break on the
+       smaller id, so the decision is total and deterministic).
+
+    ``df`` must carry ``quality_col`` (callers join their scorer's
+    output first — length, quality logit, LM fluency, reward model).
+    Returns one row per input row: (id, component, quality, keep),
+    where ``component`` is the neighborhood's smallest member id and
+    singletons are their own canonical.
+    """
+    from cdk_datalake_ingest_bigmagic_spark.operators.canonical import (
+        pick_canonical,
+    )
+    from cdk_datalake_ingest_bigmagic_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = ann_ivf_pairs(
+        df.select(id_col, vec_col),
+        id_col,
+        vec_col,
+        n_lists=n_lists,
+        n_probe=1,
+        threshold=threshold,
+        centroids=centroids,
+        max_list_size=max_list_size,
+        scope=scope,
+    )
+    comp = connected_components(pairs, "id_a", "id_b").withColumnRenamed(
+        "id", id_col
+    )
+    labeled = (
+        df.select(id_col, quality_col)
+        .join(comp, id_col, "left")
+        .withColumn("component", F.coalesce(F.col("component"), F.col(id_col)))
+    )
+    return pick_canonical(
+        labeled, id_col, "component", quality_col, prefer="max"
+    ).select(id_col, "component", quality_col, "keep")

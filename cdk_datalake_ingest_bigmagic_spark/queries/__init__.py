@@ -69,6 +69,13 @@ from cdk_datalake_ingest_bigmagic_spark.queries import curation10  # noqa: E402,
 from cdk_datalake_ingest_bigmagic_spark.queries import curation11  # noqa: E402,F401
 from cdk_datalake_ingest_bigmagic_spark.queries import deltagate2  # noqa: E402,F401
 from cdk_datalake_ingest_bigmagic_spark.queries import curation12  # noqa: E402,F401
+# round-14 activations (staged + pre-validated in round 13): the four
+# fold suites (which retire their 17 members from the registry at
+# import time) and the temperature-scaled mixture gate.
+from cdk_datalake_ingest_bigmagic_spark.queries import suites14  # noqa: E402,F401
+from cdk_datalake_ingest_bigmagic_spark.queries import curation13  # noqa: E402,F401
+# round-14 growth registration: SemDeDup keep-best over the IVF lists
+from cdk_datalake_ingest_bigmagic_spark.queries import curation14  # noqa: E402,F401
 
 # The external correctness gate checks the first 50 registered queries.
 # With 114 registered (round 7 added the ten queries/curation.py
@@ -501,6 +508,64 @@ from cdk_datalake_ingest_bigmagic_spark.queries import curation12  # noqa: E402,
 # test_llm_operators.py. Activation = import + 1 front slot
 # (registry 122 → 123).
 _GATE_FRONT: list[str] = [
+    # (1) the 4 round-14 fold-suite activations (never gated; staged +
+    # pre-validated at 3 SFs in round 13, re-validated at activation;
+    # each retires its members — 17 gates leave the registry, 11 of
+    # them straight out of this round's obligation)
+    "text_base_suite",
+    "dedup_methods_suite",
+    "embedding_pairs_suite",
+    "embedding_quant_suite",
+    # (2) the queries/curation13.py activation (never gated; staged
+    # r13): temperature-scaled mixture sampling, now also wired into
+    # CorpusPipeline as the `mix` step (VERDICT r13 item 3)
+    "corpus_mix_temperature",
+    # (3) the round-14 growth registration (VERDICT r13 item 4):
+    # SemDeDup cluster-level semantic dedup over the IVF lists
+    # (Abbas et al. 2023) — centroid-local cosine pairs within each
+    # IVF list, keep-best by quality; no cross-list pair ever formed
+    "dedup_semdedup_ivf",
+    # (4) riders of this round's changes: plans/corpus.py grew the
+    # `mix` pipeline step (temperature/budget modes), so the flags-ON
+    # composition gate re-gates with it
+    "corpus_clean_full",
+    # (5) the 29-query obligation: the r11-green cohort at the
+    # freshness ceiling (window_math 14 post-activation: obligation
+    # 29, free_slots 16, overflow 0), minus the 11 members retired
+    # into (1)
+    "agg_exact_quantiles",
+    "agg_pricing_summary",
+    "agg_probe_suite",
+    "agg_sketch_error_bounds",
+    "conversation_report",
+    "corpus_quality_percentile",
+    "dedup_connected_components",
+    "dedup_connected_components_twophase",
+    "dedup_exact",
+    "dedup_keep_list",
+    "dsl_date_to_string_nested",
+    "events_asof_join",
+    "events_lag_lead_gaps",
+    "fixedwidth_typed_parse",
+    "join_config_multitable",
+    "join_market_share",
+    "join_part_supplier_revenue",
+    "ngram_rep_counts",
+    "ngram_repetition_card",
+    "order_by_topk",
+    "readability_scores",
+    "sample_hash_fraction",
+    "sentence_stats",
+    "synthetic_id",
+    "text_chunk_windows",
+    "text_duplicate_spans",
+    "text_pii_scrub",
+    "window_dedup_latest",
+    "window_yearly_growth",
+]
+
+#: the round-13 front, kept for the audit trail (not used at runtime)
+_GATE_FRONT_R13: list[str] = [
     # (1) the 5 round-13 consolidation suites (new definitions)
     "snapshot_suite",
     "multimodal_suite",

@@ -1,0 +1,128 @@
+"""Round-14 growth gate: SemDeDup cluster-level semantic dedup over
+the IVF lists with the paper's keep-BEST rule
+(operators/similarity.py::semdedup_keep_best; Abbas et al. 2023,
+arXiv:2303.09540, public).
+
+The r12/r13 VERDICTs picked this as the growth family: the existing
+``dedup_semantic_keep`` gate proves the lowest-id determinism
+fallback; THIS gate proves what production curation actually ships —
+each near-duplicate neighborhood keeps its best-quality member
+(FineWeb keeps the longest copy; quality-classifier stacks keep the
+highest-scoring). Quality here is document length (``n_chars``), the
+FineWeb rule, joined from the documents table on the vec_id ≡ doc_id
+testdata alignment.
+
+Composition — three already-gated parts, one lazy plan:
+- centroid-local pairs: ``ann_ivf_pairs`` at ``n_probe=1`` (pairs
+  form only INSIDE an inverted list; no cross-list pair is ever
+  formed — the published 100-TB locality contract);
+- neighborhoods: ``connected_components`` over the within-list pair
+  graph (bounded label-propagation rounds);
+- decision: ``pick_canonical(prefer='max')`` — a map-side-combinable
+  max_by agg + equi-join, skew-safe for giant clusters.
+
+Cross-engine exactness: deterministic first-ids centroids, the stable
+(sim DESC, list_idx) assignment ranking, cosine rounded to 4 before
+the threshold (the ann_ivf/semantic_keep acceptance), integer-valued
+length quality (no float compare ambiguity), ties on the smaller id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.queries import load, register
+from cdk_datalake_ingest_bigmagic_spark.queries.llmdata import _COS
+
+_ORACLE = f"""
+    WITH RECURSIVE cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_idx,
+             embedding::DOUBLE[] AS cvec
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    ranked AS (
+      SELECT e.vec_id, c.list_idx,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cvec)
+                        / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                           * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+                        c.list_idx
+             ) AS rk
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assigned AS (SELECT vec_id, list_idx FROM ranked WHERE rk = 1),
+    edges AS (
+      SELECT lo.vec_id AS ea, hi.vec_id AS eb
+      FROM assigned lo
+      JOIN assigned hi
+        ON lo.list_idx = hi.list_idx AND lo.vec_id < hi.vec_id
+      JOIN embeddings a ON a.vec_id = lo.vec_id
+      JOIN embeddings b ON b.vec_id = hi.vec_id
+      WHERE round({_COS}, 4) >= 0.48
+    ),
+    sym AS (
+      SELECT ea AS a, eb AS b FROM edges
+      UNION SELECT eb, ea FROM edges
+    ),
+    reach AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    comp AS (
+      SELECT a AS vec_id, LEAST(a, MIN(b)) AS component
+      FROM reach GROUP BY a
+    ),
+    scored AS (
+      SELECT e.vec_id,
+             coalesce(c.component, e.vec_id) AS component,
+             d.n_chars::DOUBLE AS quality
+      FROM embeddings e
+      JOIN documents d ON d.doc_id = e.vec_id
+      LEFT JOIN comp c ON c.vec_id = e.vec_id
+    ),
+    winners AS (
+      SELECT component, vec_id AS best_id
+      FROM (
+        SELECT component, vec_id,
+               row_number() OVER (
+                 PARTITION BY component ORDER BY quality DESC, vec_id
+               ) AS rk
+        FROM scored
+      ) WHERE rk = 1
+    )
+    SELECT s.vec_id, s.component, s.quality,
+           (s.vec_id = w.best_id) AS keep
+    FROM scored s JOIN winners w USING (component)
+    """
+
+
+@register("dedup_semdedup_ivf", oracle=_ORACLE)
+def dedup_semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep-best end to end: IVF-local cosine-0.48 pairs →
+    connected neighborhoods → keep the longest member (n_chars
+    quality, id tie-break). One output row per embedding:
+    (vec_id, component, quality, keep).
+
+    Scale shape: the pair stage is ann_ivf_pairs' Σ|list|·1-probe
+    candidate space with the hot-list sub-bucket guard; components are
+    bounded propagation rounds over the (tiny) dup-pair graph; the
+    decision is one map-side-combinable max_by agg + equi-join — the
+    corpus-wide row set shuffles exactly once (the component join)."""
+    from cdk_datalake_ingest_bigmagic_spark.operators import similarity as sim
+
+    e = load(spark, sf_dir, "embeddings")
+    q = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("n_chars").cast("double").alias("quality"),
+    )
+    return sim.semdedup_keep_best(
+        e.join(q, "vec_id"),
+        "vec_id",
+        "embedding",
+        "quality",
+        n_lists=16,
+        threshold=0.48,
+    )

@@ -1807,3 +1807,78 @@ def test_temperature_mix_rates_differential(spark):
         temperature_mix_rates(df, "s", temperature=0)
     with _pytest.raises(ValueError):
         temperature_mix_rates(df, "s", target_frac=0.0)
+
+
+def test_semdedup_keep_best_matches_brute_force(spark, sf_dir):
+    """Differential check of the keep-BEST composition (round 14)
+    against a driver-side numpy re-derivation: first-ids assignment,
+    within-list rounded-cosine pairs, union-find neighborhoods, and
+    the (quality DESC, id ASC) winner per neighborhood. Threshold
+    0.30 (looser than the gate's 0.48) so sf0.001 exercises drops."""
+    import numpy as np
+
+    from cdk_datalake_ingest_bigmagic_spark.queries import load
+
+    e = load(spark, sf_dir, "embeddings")
+    q = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("n_chars").cast("double").alias("quality"),
+    )
+    out = sim.semdedup_keep_best(
+        e.join(q, "vec_id"), "vec_id", "embedding", "quality",
+        n_lists=16, threshold=0.30,
+    )
+    got = {
+        r["vec_id"]: (r["component"], r["keep"]) for r in out.collect()
+    }
+
+    rows = sorted(
+        (r["vec_id"], np.asarray(r["embedding"], dtype="float64"))
+        for r in e.select("vec_id", "embedding").collect()
+    )
+    ids = np.array([r[0] for r in rows])
+    V = np.vstack([r[1] for r in rows])
+    Vn = V / np.maximum(np.sqrt((V * V).sum(axis=1))[:, None], 1e-12)
+    C = Vn[:16]
+    assign = np.argsort(-(Vn @ C.T), axis=1, kind="stable")[:, 0]
+    quality = {
+        r["vec_id"]: r["quality"] for r in q.collect()
+    }
+
+    # union-find over within-list pairs
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    n_edges = 0
+    for lst in range(16):
+        members = np.where(assign == lst)[0]
+        S = np.round(Vn[members] @ Vn[members].T, 4)
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                if S[i, j] >= 0.30:
+                    n_edges += 1
+                    ra, rb = find(int(ids[members[i]])), find(int(ids[members[j]]))
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    assert n_edges, "testdata has no semantic dups — threshold drifted"
+
+    comps: dict[int, list[int]] = {}
+    for vid in map(int, ids):
+        comps.setdefault(find(vid), []).append(vid)
+    assert len(got) == len(ids)  # one decision per corpus row
+    for root, members in comps.items():
+        best = min(members, key=lambda v: (-quality[v], v))
+        for vid in members:
+            comp, keep = got[vid]
+            assert comp == root, f"vec {vid}: component {comp} != {root}"
+            assert keep == (vid == best), f"vec {vid}: keep flipped"
+    # the quality rule genuinely diverges from the id rule somewhere
+    assert any(
+        min(m, key=lambda v: (-quality[v], v)) != min(m)
+        for m in comps.values() if len(m) > 1
+    ), "every winner is also the min id — quality rule untested"

@@ -1,62 +1,58 @@
-"""Staging invariants for queries/suites14.py (the round-14 fold
-suites, staged r13).
+"""Activation invariants for queries/suites14.py (the round-14 fold
+suites — STAGED in round 13, ACTIVATED in round 14).
 
-The module is NOT imported by queries/__init__.py yet; importing it
-registers the 4 suites and RETIRES their 17 members from the
-registry. That retirement is exactly why these tests run the import
-in a SUBPROCESS — an in-process import would pull the members out
-from under every other test in this session.
+Staging-era version of this file asserted the inverse (module NOT
+imported, members still standalone); activation flips the contract:
+queries/__init__.py imports the module, the 4 suites are live
+registry gates, and all 17 members are retired (the suites carry
+their correctness signal — the rotation invariant's rule 4).
 """
 
 from __future__ import annotations
 
-import json
-import subprocess
-import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 
-_PROBE = """
-import json, sys
-sys.path.insert(0, {repo!r})
-from cdk_datalake_ingest_bigmagic_spark.queries import QUERIES, ORACLES
-before = set(QUERIES)
-import cdk_datalake_ingest_bigmagic_spark.queries.suites14 as s14
-after = set(QUERIES)
-print(json.dumps({{
-    "suites": sorted(after - before),
-    "retired_gone": sorted(m for m in s14._RETIRE if m not in QUERIES),
-    "retire_count": len(s14._RETIRE),
-    "oracles_ok": all(n in ORACLES for n in (after - before)),
-    "not_imported_by_default": "import suites14" not in open(
-        {repo!r} + "/cdk_datalake_ingest_bigmagic_spark/queries/__init__.py"
-    ).read(),
-}}))
-"""
+_SUITES = [
+    "dedup_methods_suite",
+    "embedding_pairs_suite",
+    "embedding_quant_suite",
+    "text_base_suite",
+]
 
 
-def test_suites14_registers_and_retires_in_isolation():
-    out = subprocess.run(
-        [sys.executable, "-c", _PROBE.format(repo=str(REPO))],
-        capture_output=True, text=True, timeout=120,
-    )
-    assert out.returncode == 0, out.stderr[-1500:]
-    rep = json.loads(out.stdout.strip().splitlines()[-1])
-    assert rep["suites"] == [
-        "dedup_methods_suite", "embedding_pairs_suite",
-        "embedding_quant_suite", "text_base_suite",
-    ]
-    # every member left the registry, none dangling
-    assert rep["retire_count"] == 17
-    assert len(rep["retired_gone"]) == 17
-    assert rep["oracles_ok"]
-    # staged means staged: activation is a conscious __init__ edit
-    assert rep["not_imported_by_default"]
+def test_suites14_active_in_live_registry():
+    from cdk_datalake_ingest_bigmagic_spark.queries import ORACLES, QUERIES
+
+    for s in _SUITES:
+        assert s in QUERIES, f"activated suite missing: {s}"
+        assert s in ORACLES, f"activated suite has no oracle: {s}"
+    src = (
+        REPO / "cdk_datalake_ingest_bigmagic_spark/queries/__init__.py"
+    ).read_text()
+    assert "import suites14" in src, "activation = the __init__ import"
 
 
-def test_suites14_not_in_live_registry():
-    from cdk_datalake_ingest_bigmagic_spark.queries import QUERIES
+def test_suites14_members_retired():
+    from cdk_datalake_ingest_bigmagic_spark.queries import ORACLES, QUERIES
+    from cdk_datalake_ingest_bigmagic_spark.queries.suites14 import _RETIRE
 
-    assert "text_base_suite" not in QUERIES
-    assert "text_token_encode" in QUERIES  # members still standalone
+    assert len(_RETIRE) == 17
+    dangling = [m for m in _RETIRE if m in QUERIES or m in ORACLES]
+    assert dangling == [], f"retired members still registered: {dangling}"
+
+
+def test_suites14_legs_read_live_registry():
+    """The suites read member callables/oracles from the registry at
+    import time (zero duplication) — every leg's member must therefore
+    have been a registered gate when suites14 imported, and each
+    suite's leg set must match its fold plan."""
+    from cdk_datalake_ingest_bigmagic_spark.queries.suites14 import _FOLDS
+
+    assert sorted(_FOLDS) == sorted(_SUITES)
+    legs = {s: [m for _, m, _ in f[1]] for s, f in _FOLDS.items()}
+    assert len(legs["text_base_suite"]) == 7
+    assert len(legs["dedup_methods_suite"]) == 4
+    assert len(legs["embedding_pairs_suite"]) == 4
+    assert len(legs["embedding_quant_suite"]) == 2
