@@ -129,6 +129,28 @@ class CorpusPipelineConfig:
     #: Off by default: web prose rarely carries credentials, but any
     #: code-adjacent corpus should turn it on.
     scrub_secrets: bool = False
+    #: enables the ``mix`` step between ``split`` and ``shard``: the
+    #: TRAIN split is re-mixed across ``mix_strata_col`` strata
+    #: (default: ``source_col``) while val/test ride through intact —
+    #: evaluation splits must reflect the raw distribution, not the
+    #: training recipe. Two modes, both deterministic content-
+    #: addressed samplers (operators/sampling.py):
+    #: - ``"temperature"``: the published T5/PaLM/XLM-R rule
+    #:   ``p_i ∝ n_i^(1/T)`` via ``temperature_mix`` — one tiny
+    #:   counts agg + a broadcast-lookup md5-bucket filter, zero
+    #:   corpus shuffle;
+    #: - ``"budget"``: token-budget planning via ``mix_to_budget`` —
+    #:   per-stratum token masses (one map-side-combined agg) turn
+    #:   ``mix_budget_tokens`` × ``mix_weights`` into rates, same
+    #:   zero-shuffle application.
+    #: A missing strata column raises (a silently skipped mix would
+    #: publish a corpus with the wrong training ratios).
+    mix_mode: str = ""
+    mix_strata_col: str = ""
+    mix_temperature: float = 2.0
+    mix_target_frac: float = 0.5
+    mix_budget_tokens: int = 0
+    mix_weights: tuple = ()
     #: materializes the one-pass document score card
     #: (plans/scorecard.py) as a manifest-tracked step beside the
     #: pipeline artifacts — the narrow per-document quality table
@@ -194,6 +216,9 @@ class CorpusPipeline:
         "dedup": ("id_col", "text_col", "shingle_n", "jaccard_threshold"),
         "scorecard": ("id_col", "text_col", "score_card"),
         "split": ("id_col", "splits", "seed"),
+        "mix": ("id_col", "text_col", "source_col", "splits", "seed",
+                "mix_mode", "mix_strata_col", "mix_temperature",
+                "mix_target_frac", "mix_budget_tokens", "mix_weights"),
         "shard": ("id_col", "n_shards", "seed"),
         "tokenize": ("id_col", "text_col", "splits", "bpe_merges",
                      "bpe_max_words"),
@@ -500,15 +525,58 @@ class CorpusPipeline:
 
         split = self._step("split", dedup.fingerprint, build_split)
 
+        shard_input, shard_upstream = "split", split.fingerprint
+        if cfg.mix_mode:
+            if cfg.mix_mode not in ("temperature", "budget"):
+                raise ValueError(
+                    "mix_mode must be '', 'temperature' or 'budget', "
+                    f"got {cfg.mix_mode!r}"
+                )
+            from cdk_datalake_ingest_bigmagic_spark.operators.sampling import (
+                mix_to_budget,
+                temperature_mix,
+            )
+
+            strata = cfg.mix_strata_col or cfg.source_col
+
+            def build_mix():
+                sdf = self.read("split")
+                if strata not in sdf.columns:
+                    raise ValueError(
+                        f"mix step needs strata column {strata!r}; "
+                        f"split artifact has {sdf.columns}"
+                    )
+                train = cfg.splits[0][0]
+                tr = sdf.filter(F.col("split") == train)
+                rest = sdf.filter(F.col("split") != train)
+                if cfg.mix_mode == "temperature":
+                    mixed = temperature_mix(
+                        tr, ic, strata,
+                        temperature=cfg.mix_temperature,
+                        target_frac=cfg.mix_target_frac,
+                        seed=f"{cfg.seed}-mix",
+                    )
+                else:
+                    mixed = mix_to_budget(
+                        tr, ic, strata, tc, cfg.mix_budget_tokens,
+                        dict(cfg.mix_weights), seed=f"{cfg.seed}-mix",
+                    ).drop("n_tokens")
+                # one artifact, stable schema: the re-mixed train
+                # split plus the untouched eval splits
+                return mixed.unionByName(rest)
+
+            mix = self._step("mix", split.fingerprint, build_mix)
+            shard_input, shard_upstream = "mix", mix.fingerprint
+
         def build_shard():
-            sdf = self.read("split")
+            sdf = self.read(shard_input)
             return shard_assign(
                 sdf, ic, cfg.n_shards, seed=f"{cfg.seed}-shard",
                 within=["split"],
             )
 
         shard = self._step(
-            "shard", split.fingerprint, build_shard, partition_by=["split", "shard"]
+            "shard", shard_upstream, build_shard, partition_by=["split", "shard"]
         )
 
         if cfg.bpe_merges > 0:

@@ -567,3 +567,97 @@ def test_pipeline_paragraph_dedup_step(spark, tmp_path):
     assert out[1]["text"] == f"{u1}\n\n{boiler}"
     assert out[2]["text"] == u2
     assert out[2]["source"] == "s1"  # non-text columns ride back
+
+
+def test_pipeline_mix_step_temperature(spark, corpus, tmp_path_factory):
+    """mix_mode='temperature' re-mixes the TRAIN split across source
+    strata with the T5/PaLM rule while val/test ride through intact;
+    the kept id set must equal temperature_mix applied directly to the
+    split artifact (same seed), and shard consumes the mix artifact."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    work = str(tmp_path_factory.mktemp("corpus_mix_t"))
+    pipe = CorpusPipeline(
+        spark,
+        work,
+        CorpusPipelineConfig(
+            mix_mode="temperature", mix_temperature=2.0, mix_target_frac=0.5
+        ),
+    )
+    results = pipe.run(corpus)
+    assert set(results) == {"clean", "dedup", "split", "mix", "shard"}
+
+    split = pipe.read("split")
+    mixed = pipe.read("mix")
+    # eval splits untouched
+    for s in ("val", "test"):
+        a = {r["doc_id"] for r in split.filter(F.col("split") == s).collect()}
+        b = {r["doc_id"] for r in mixed.filter(F.col("split") == s).collect()}
+        assert a == b, f"{s} split must ride through the mix unchanged"
+    # train leg = the operator applied at the same seam + seed
+    expect = {
+        r["doc_id"]
+        for r in temperature_mix(
+            split.filter(F.col("split") == "train"),
+            "doc_id", "source", temperature=2.0, target_frac=0.5,
+            seed="corpus-mix",
+        ).collect()
+    }
+    got = {
+        r["doc_id"] for r in mixed.filter(F.col("split") == "train").collect()
+    }
+    assert got == expect and len(got) < split.filter("split = 'train'").count()
+    # shard rides on the mix artifact, schema unchanged
+    assert results["shard"].rows == results["mix"].rows
+    assert set(mixed.columns) == set(split.columns)
+
+
+def test_pipeline_mix_step_budget_and_validation(spark, corpus, tmp_path_factory):
+    from cdk_datalake_ingest_bigmagic_spark.operators.sampling import (
+        mix_to_budget,
+    )
+
+    work = str(tmp_path_factory.mktemp("corpus_mix_b"))
+    weights = (("src0", 1.0), ("src1", 1.0), ("src2", 2.0))
+    pipe = CorpusPipeline(
+        spark,
+        work,
+        CorpusPipelineConfig(
+            mix_mode="budget", mix_budget_tokens=300, mix_weights=weights
+        ),
+    )
+    results = pipe.run(corpus)
+    split = pipe.read("split")
+    mixed = pipe.read("mix")
+    expect = {
+        r["doc_id"]
+        for r in mix_to_budget(
+            split.filter(F.col("split") == "train"),
+            "doc_id", "source", "text", 300, dict(weights),
+            seed="corpus-mix",
+        ).collect()
+    }
+    got = {
+        r["doc_id"] for r in mixed.filter(F.col("split") == "train").collect()
+    }
+    assert got == expect and got
+    # n_tokens is mix_to_budget's working column, not a corpus column
+    assert "n_tokens" not in mixed.columns
+    assert results["shard"].rows == results["mix"].rows
+
+    # unknown mode fails before any work
+    with pytest.raises(ValueError, match="mix_mode"):
+        CorpusPipeline(
+            spark, work, CorpusPipelineConfig(mix_mode="bogus")
+        ).run(corpus)
+    # a missing strata column fails loudly, not silently unmixed
+    with pytest.raises(ValueError, match="strata column"):
+        CorpusPipeline(
+            spark,
+            str(tmp_path_factory.mktemp("corpus_mix_bad")),
+            CorpusPipelineConfig(
+                mix_mode="temperature", mix_strata_col="nope"
+            ),
+        ).run(corpus)
