@@ -1020,9 +1020,15 @@ def semdedup_keep_best(
        paper's locality contract, and what keeps the pair space
        Σ|list|² instead of N²; the hot-list sub-bucket guard carries
        over unchanged);
-    2. **neighborhoods** — ``operators.graph.connected_components``
-       over the within-list pair graph (bounded label-propagation
-       rounds; dup neighborhoods are tiny by construction);
+    2. **neighborhoods** — ``operators.graph.
+       connected_components_twophase`` over the within-list pair
+       graph: the large-star/small-star algorithm converges in
+       O(log²) rounds on ANY graph, where plain min-label propagation
+       needs O(diameter) rounds — and a replicated boilerplate corpus
+       genuinely produces chain-shaped neighborhoods that blow the
+       propagation round budget (measured: the 500k semdedup_probe's
+       uniform leg failed propagation's 20-round guard; two-phase
+       converges, identical output by contract);
     3. **the keep decision** — ``operators.canonical.pick_canonical``
        on the component label with ``prefer='max'`` over
        ``quality_col`` (map-side-combinable max_by agg + equi-join,
@@ -1039,7 +1045,7 @@ def semdedup_keep_best(
         pick_canonical,
     )
     from cdk_datalake_ingest_bigmagic_spark.operators.graph import (
-        connected_components,
+        connected_components_twophase,
     )
 
     pairs = ann_ivf_pairs(
@@ -1053,9 +1059,9 @@ def semdedup_keep_best(
         max_list_size=max_list_size,
         scope=scope,
     )
-    comp = connected_components(pairs, "id_a", "id_b").withColumnRenamed(
-        "id", id_col
-    )
+    comp = connected_components_twophase(
+        pairs, "id_a", "id_b"
+    ).withColumnRenamed("id", id_col)
     labeled = (
         df.select(id_col, quality_col)
         .join(comp, id_col, "left")

@@ -1,0 +1,114 @@
+"""Scale probe for SemDeDup keep-best over IVF lists
+(operators/similarity.py::semdedup_keep_best, round-14 gate
+dedup_semdedup_ivf): the composed pair→components→canonical chain at
+500k vectors, plus the hot-centroid skew leg.
+
+The shapes under test (the 100-TB contract in the docstring):
+
+- PAIRS: ann_ivf_pairs at n_probe=1 — candidate space Σ|list|², never
+  N²; lists above max_list_size split into id-hashed sub-buckets so a
+  skewed quantizer can't hand one task a quadratic block.
+- COMPONENTS: bounded label-propagation rounds over the (tiny)
+  dup-pair graph only.
+- DECISION: pick_canonical's map-side-combinable max_by agg +
+  equi-join — no window sort; a million-member cluster collapses
+  map-side.
+- CONTRACT: exactly one output row per input row, on both the uniform
+  and the hot-centroid corpus.
+
+Usage: python tools/semdedup_probe.py [N_replicas] [N_hot_replicas]
+(defaults 250 ⇒ 500k uniform vectors, 50 ⇒ 100k hot vectors).
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.scale_probe import (  # noqa: E402
+    build_embedding_replica,
+    build_hot_embedding_replica,
+)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 250
+    n_hot = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    emb_out = f"/tmp/embeddings_x{n}.parquet"
+    hot_out = f"/tmp/embeddings_hot_x{n_hot}.parquet"
+    if not os.path.exists(emb_out):
+        build_embedding_replica(n, emb_out)
+    if not os.path.exists(hot_out):
+        build_hot_embedding_replica(n_hot, hot_out)
+
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_bigmagic_spark import get_spark
+    from cdk_datalake_ingest_bigmagic_spark.operators.similarity import (
+        semdedup_keep_best,
+    )
+
+    spark = get_spark(app_name="semdedup-probe")
+
+    def run(path: str, n_lists: int, max_list_size: int):
+        e = spark.read.parquet(path)
+        # deterministic synthetic quality (no documents join needed at
+        # probe scale; the gate proves the joined path)
+        withq = e.select(
+            "vec_id",
+            "embedding",
+            F.pmod(F.xxhash64("vec_id"), F.lit(1000))
+            .cast("double")
+            .alias("quality"),
+        )
+        n_in = e.count()
+        t0 = time.time()
+        out = semdedup_keep_best(
+            withq, "vec_id", "embedding", "quality",
+            n_lists=n_lists, threshold=0.48,
+            max_list_size=max_list_size,
+        )
+        agg = out.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col("keep").cast("long")).alias("kept"),
+            F.countDistinct("component").alias("components"),
+        ).collect()[0]
+        wall = time.time() - t0
+        return n_in, agg, wall
+
+    # uniform leg: 64 lists ⇒ expected |list| ≈ n_in/64 (~8k at 500k),
+    # under max_list_size so the common no-split path is timed
+    n_in, agg, wall = run(emb_out, n_lists=64, max_list_size=16384)
+    # hot leg: half the corpus collapses onto one centroid — the
+    # sub-bucket guard (max_list_size 8192 forces splits), a giant
+    # connected component through CC, and the agg-side canonical pick
+    hn_in, hagg, hwall = run(hot_out, n_lists=16, max_list_size=8192)
+
+    assert agg["rows"] == n_in, "row conservation broken (uniform)"
+    assert hagg["rows"] == hn_in, "row conservation broken (hot)"
+    assert hagg["kept"] < hn_in, "hot corpus produced no drops"
+
+    print(json.dumps({
+        "probe": "semdedup_keep_best",
+        "uniform": {
+            "n_vectors": n_in,
+            "wall_s": round(wall, 1),
+            "kept": int(agg["kept"]),
+            "components": int(agg["components"]),
+        },
+        "hot_centroid": {
+            "n_vectors": hn_in,
+            "wall_s": round(hwall, 1),
+            "kept": int(hagg["kept"]),
+            "components": int(hagg["components"]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
