@@ -20,6 +20,7 @@ from __future__ import annotations
 import calendar
 import datetime as dt
 import enum
+import re
 from dataclasses import dataclass, field
 from typing import Callable
 from zoneinfo import ZoneInfo
@@ -38,6 +39,34 @@ Clock = Callable[[], dt.datetime]
 
 def lima_now() -> dt.datetime:
     return dt.datetime.now(TZ_LIMA)
+
+
+#: The reference's generated extraction SQL aliases its FROM tables as
+#: ``t``/``t2`` (query_builder JOIN_EXPR carries the aliases), and the
+#: production catalog's PARTITION_COLUMN / FILTER_EXP fields reference
+#: columns through them (``t.fecha``, ``t2.compania in (...)``). On
+#: the JDBC path those qualifiers stay verbatim — the source SQL's
+#: FROM clause defines them. On the DATAFRAME path the extraction
+#: result is a single frame with unqualified columns, so the
+#: qualifiers are syntactic residue and must be stripped before
+#: building Column filters. The pattern matches ONLY the reference's
+#: extraction-relation aliases (``t`` + optional digits): subquery
+#: aliases (``b.flgbi``) and schema qualifiers (``dbo.mcompa1f``)
+#: pass through untouched.
+_SOURCE_ALIAS_RE = re.compile(r"\bt\d*\.(?=[A-Za-z_])")
+
+
+def strip_source_alias(name: str) -> str:
+    """Unqualify a config column name for DataFrame use:
+    ``t.fecha`` → ``fecha``; names without a t/tN qualifier pass
+    through."""
+    return _SOURCE_ALIAS_RE.sub("", name.strip())
+
+
+def strip_source_aliases(expr: str) -> str:
+    """Unqualify every t/tN reference inside a FILTER_EXP string for
+    DataFrame use (subquery and schema qualifiers survive)."""
+    return _SOURCE_ALIAS_RE.sub("", expr)
 
 
 class LoadStrategy(str, enum.Enum):
@@ -94,7 +123,7 @@ def window_filter(
     - a column list: ``"colA,colB"`` → dual-column OR-window (P5,
       extract_data.py:1035-1043).
     """
-    fc = filter_column.strip()
+    fc = strip_source_aliases(filter_column.strip())
     if "{0}" in fc or "{1}" in fc:
         return F.expr(fc.format(lower, upper))
     cols = [c.strip() for c in fc.split(",") if c.strip()]
@@ -110,12 +139,12 @@ def window_filter(
 
 def watermark_filter(column: str, last_value) -> Column:
     """P6: strictly-greater-than bookmark filter."""
-    return F.col(column) > F.lit(last_value)
+    return F.col(strip_source_alias(column)) > F.lit(last_value)
 
 
 def range_filter(column: str, start, end) -> Column:
     """P7: explicit BETWEEN."""
-    return F.col(column).between(F.lit(start), F.lit(end))
+    return F.col(strip_source_alias(column)).between(F.lit(start), F.lit(end))
 
 
 @dataclass
@@ -166,7 +195,7 @@ def plan_extraction(
     window: tuple[str, str] | None = None
 
     if table.filter_exp.strip():
-        filters.append(F.expr(table.filter_exp))
+        filters.append(F.expr(strip_source_aliases(table.filter_exp)))
 
     full_reland = mode in (LoadMode.INITIAL, LoadMode.RESET)
 

@@ -527,8 +527,13 @@ _GATE_FRONT: list[str] = [
     "dedup_semdedup_ivf",
     # (4) riders of this round's changes: plans/corpus.py grew the
     # `mix` pipeline step (temperature/budget modes), so the flags-ON
-    # composition gate re-gates with it
+    # composition gate re-gates with it; plans/strategy.py's filter
+    # builders learned to strip the reference-SQL t/tN alias
+    # qualifiers (the 3 production tables with PARTITION_COLUMN
+    # 't.fecha' now run on the DataFrame path — found by the new
+    # X3/X4 runner replay leg), so the P3–P7 suite re-gates with them
     "corpus_clean_full",
+    "filter_window_suite",
     # (5) the 29-query obligation: the r11-green cohort at the
     # freshness ceiling (window_math 14 post-activation: obligation
     # 29, free_slots 16, overflow 0), minus the 11 members retired

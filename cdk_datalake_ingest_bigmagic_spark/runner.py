@@ -175,7 +175,15 @@ class ProcessRunner:
             # twice (the reference tracks the running max during its
             # single pass for the same reason, orchestrator.py:559-627)
             df = df.cache()
-            new_max = df.agg(F.max(table.partition_column)).first()[0]
+            # strip the reference-SQL table alias (t.fecha) — the
+            # extraction frame's columns are unqualified
+            from cdk_datalake_ingest_bigmagic_spark.plans.strategy import (
+                strip_source_alias,
+            )
+
+            new_max = df.agg(
+                F.max(strip_source_alias(table.partition_column))
+            ).first()[0]
             if new_max is not None:
                 txn_id = self.watermarks.save_provisional(
                     self.project, table.stage_table_name,

@@ -181,3 +181,22 @@ def test_lifecycle_reset_and_reprocess_replay(spark):
     assert d4["window_scoped"], (
         "reprocess must rewrite ONLY the targeted window"
     )
+
+
+def test_runner_concurrency_and_partition_paths_replay(spark):
+    """X3/X4 ride the 56-table replay certification: the catalog runs
+    through ProcessRunner's bounded pool (not the per-table loop), the
+    run log proves the in-flight bound held AND that real overlap
+    happened, and every raw landing sits in the format_partition_path
+    layout for the runner's clock."""
+    from tools.replay_full_config import run_runner_leg
+
+    workdir = tempfile.mkdtemp(prefix="cfg_replay_runner_")
+    out = run_runner_leg(spark, workdir, n_rows=40, max_concurrency=8)
+    assert out["tables_ran"] == 56
+    assert out["failures"] == []
+    # X3: bounded, and genuinely parallel
+    assert 1 < out["peak_in_flight"] <= out["max_concurrency"], out
+    # X4: formatter output == landing layout, for every table
+    assert out["partition_dir"] == "year=2024/month=06/day=25"
+    assert out["bad_partition_paths"] == []
