@@ -507,6 +507,21 @@ from cdk_datalake_ingest_bigmagic_spark.queries import curation14  # noqa: E402,
 # + sf0.01 + sf0.1 (0 failures), pytest differential in
 # test_llm_operators.py. Activation = import + 1 front slot
 # (registry 122 → 123).
+# r15 PRE-SOLVED (written at round-14 build time, the standing policy
+# rule): window_math 15 run mid-r14 shows obligation 68 / overflow 24
+# — but that is computed WITHOUT r14's greens. Once this front goes
+# green, the 29 obligation names below re-gate to r14 and r15's real
+# obligation is 68 − 29 = 39 (the r12-green cohort: the four r12
+# suites, the embedding/classifier/corpus families, secrets/langid) +
+# ~3-5 riders → 50-slot window closes with ~6-8 slack, matching the
+# r13 VERDICT's projection ("r15 obligation 39 → 11 free").
+# ALSO STAGED for r15: queries/suites15.py — events_suite folds the
+# 10-gate events family (7 of them r14-front members, so r14 greens
+# by then) into ONE slot; pre-validated at sf0.001 + sf0.01 + sf0.1
+# (0 failures), staging-test-pinned (tests/test_suites15_staging.py).
+# r15 activation = the import line + "events_suite" in the r15 front;
+# the module retires its members itself (registry 125 → 115ish, and
+# r16's obligation shrinks by the 9 retired events members).
 _GATE_FRONT: list[str] = [
     # (1) the 4 round-14 fold-suite activations (never gated; staged +
     # pre-validated at 3 SFs in round 13, re-validated at activation;

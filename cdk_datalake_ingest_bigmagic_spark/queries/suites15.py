@@ -1,0 +1,136 @@
+"""Round-15 consolidation suite, STAGED in round 14 (policy rules
+2/4: stage the folds for the next round BEFORE it starts). r15's
+post-r14 obligation is the ~39-query r12-green cohort; this fold
+retires the 10-gate events family (7 of which land in r14's front, so
+by r15 they are r14 greens — the fold then carries the whole family's
+signal in ONE slot and shrinks the r16 window too).
+
+NOT imported by queries/__init__.py in round 14 — the round-14 front
+closed at 36 named slots. Pre-validation runs via
+``tools/validate_module.py suites15`` (the suites14 precedent).
+ACTIVATION (round 15) = add the import to queries/__init__.py (after
+queries/events.py, so the registry lookups resolve) and put
+``events_suite`` in the r15 front; this module then registers the
+suite AND retires its members from the registry itself (``_RETIRE``).
+
+Like queries/suites14.py, the suite reads the member callables and
+oracle SQL FROM THE LIVE REGISTRY at import time — zero duplication,
+and any drift in a member definition flows into the suite
+automatically.
+
+Fold (10 gates → 1 suite, −9 registry slots when activated):
+``events_suite`` ← events_time_windows + events_sessionization +
+events_asof_join + events_json_props + events_pivot_counts +
+events_user_similarity + events_lag_lead_gaps + events_funnel_steps +
+events_cohort_retention + events_zorder_key (the operators/asof.py /
+events-analytics family over the events table; each leg keeps the
+member's exact standalone plan — unions add no cross-leg shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cdk_datalake_ingest_bigmagic_spark.queries import (
+    ORACLES,
+    QUERIES,
+    register,
+)
+from cdk_datalake_ingest_bigmagic_spark.queries.suites13 import (
+    _leg,
+    _union_sql,
+)
+
+#: union schema: every member column, types verified against the live
+#: member outputs at staging time (timestamp_ntz for the event-time
+#: columns; asof's matched_ts keeps its session-tz timestamp type)
+_EVENTS_COLS = [
+    ("kind", "string", "VARCHAR"),
+    ("window_start", "timestamp_ntz", "TIMESTAMP"),
+    ("window_end", "timestamp_ntz", "TIMESTAMP"),
+    ("event_type", "string", "VARCHAR"),
+    ("n_events", "long", "BIGINT"),
+    ("total_value", "double", "DOUBLE"),
+    ("user_id", "long", "BIGINT"),
+    ("session_start", "timestamp_ntz", "TIMESTAMP"),
+    ("session_end", "timestamp_ntz", "TIMESTAMP"),
+    ("event_id", "long", "BIGINT"),
+    ("ts", "timestamp_ntz", "TIMESTAMP"),
+    ("matched_ts", "timestamp", "TIMESTAMP"),
+    ("last_click_value", "double", "DOUBLE"),
+    ("k", "int", "INTEGER"),
+    ("click", "long", "BIGINT"),
+    ("error", "long", "BIGINT"),
+    ("purchase", "long", "BIGINT"),
+    ("signup", "long", "BIGINT"),
+    ("view", "long", "BIGINT"),
+    ("user_a", "long", "BIGINT"),
+    ("user_b", "long", "BIGINT"),
+    ("cosine_sim", "double", "DOUBLE"),
+    ("us_since_prev", "long", "BIGINT"),
+    ("us_to_next", "long", "BIGINT"),
+    ("n_signup", "long", "BIGINT"),
+    ("n_click_after", "long", "BIGINT"),
+    ("n_purchase_after", "long", "BIGINT"),
+    ("cohort_week", "date", "DATE"),
+    ("week_n", "int", "INTEGER"),
+    ("n_users", "long", "BIGINT"),
+    ("zkey", "long", "BIGINT"),
+]
+
+#: (leg tag, member gate, member's output columns)
+_LEGS: list[tuple[str, str, set[str]]] = [
+    ("time_windows", "events_time_windows",
+     {"kind", "window_start", "window_end", "event_type", "n_events",
+      "total_value"}),
+    ("sessionization", "events_sessionization",
+     {"user_id", "session_start", "session_end", "n_events"}),
+    ("asof", "events_asof_join",
+     {"event_id", "user_id", "ts", "matched_ts", "last_click_value"}),
+    ("json_props", "events_json_props", {"event_id", "event_type", "k"}),
+    ("pivot", "events_pivot_counts",
+     {"user_id", "click", "error", "purchase", "signup", "view"}),
+    ("user_similarity", "events_user_similarity",
+     {"user_a", "user_b", "cosine_sim"}),
+    ("lag_lead", "events_lag_lead_gaps",
+     {"event_id", "user_id", "us_since_prev", "us_to_next"}),
+    ("funnel", "events_funnel_steps",
+     {"n_signup", "n_click_after", "n_purchase_after"}),
+    ("cohort", "events_cohort_retention",
+     {"cohort_week", "week_n", "n_users"}),
+    ("zorder", "events_zorder_key", {"event_id", "zkey"}),
+]
+
+
+def _build() -> None:
+    fns = {m: QUERIES[m] for _, m, _ in _LEGS}
+    oracle = _union_sql(
+        [(leg, ORACLES[m], have) for leg, m, have in _LEGS], _EVENTS_COLS
+    )
+
+    def events_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The events-analytics family in one leg-tagged frame
+        (round-15 consolidation, staged r14): tumbling/sliding/session
+        windows, as-of join, JSON property explode, pivot counts,
+        user-vector cosine, lag/lead gaps, funnel, weekly cohort
+        retention, and the Z-order locality key — each leg the
+        member's exact standalone plan."""
+        out = None
+        for leg, member, _have in _LEGS:
+            part = _leg(fns[member](spark, sf_dir), leg, _EVENTS_COLS)
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    register("events_suite", oracle=oracle)(events_suite)
+
+
+_build()
+
+#: Activation-time retirement (round 15): once queries/__init__.py
+#: imports this module, the members leave the registry — the suite
+#: carries their correctness signal. Until then this module is
+#: unloaded and the members stay standalone gates.
+_RETIRE = [m for _, m, _ in _LEGS]
+for _m in _RETIRE:
+    QUERIES.pop(_m, None)
+    ORACLES.pop(_m, None)

@@ -1,0 +1,61 @@
+"""Staging invariants for queries/suites15.py (the round-15 events
+fold, staged r14).
+
+The module is NOT imported by queries/__init__.py yet; importing it
+registers events_suite and RETIRES its 10 members from the registry.
+That retirement is exactly why these tests run the import in a
+SUBPROCESS — an in-process import would pull the members out from
+under every other test in this session. (When round 15 activates the
+module, rewrite this file to the activation-invariant form, the
+test_suites14_staging.py precedent.)
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+_PROBE = """
+import json, sys
+sys.path.insert(0, {repo!r})
+from cdk_datalake_ingest_bigmagic_spark.queries import QUERIES, ORACLES
+before = set(QUERIES)
+import cdk_datalake_ingest_bigmagic_spark.queries.suites15 as s15
+after = set(QUERIES)
+print(json.dumps({{
+    "suites": sorted(after - before),
+    "retired_gone": sorted(m for m in s15._RETIRE if m not in QUERIES),
+    "retire_count": len(s15._RETIRE),
+    "oracles_ok": all(n in ORACLES for n in (after - before)),
+    "not_imported_by_default": "import suites15" not in open(
+        {repo!r} + "/cdk_datalake_ingest_bigmagic_spark/queries/__init__.py"
+    ).read(),
+}}))
+"""
+
+
+def test_suites15_registers_and_retires_in_isolation():
+    out = subprocess.run(
+        [sys.executable, "-c", _PROBE.format(repo=str(REPO))],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    rep = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["suites"] == ["events_suite"]
+    # every member left the registry, none dangling
+    assert rep["retire_count"] == 10
+    assert len(rep["retired_gone"]) == 10
+    assert rep["oracles_ok"]
+    # staged means staged: activation is a conscious __init__ edit
+    assert rep["not_imported_by_default"]
+
+
+def test_suites15_not_in_live_registry():
+    from cdk_datalake_ingest_bigmagic_spark.queries import QUERIES
+
+    assert "events_suite" not in QUERIES
+    assert "events_asof_join" in QUERIES  # members still standalone
