@@ -129,6 +129,20 @@ class CorpusPipelineConfig:
     #: Off by default: web prose rarely carries credentials, but any
     #: code-adjacent corpus should turn it on.
     scrub_secrets: bool = False
+    #: enables the ``semdedup`` step AFTER the syntactic dedup step:
+    #: SemDeDup cluster-level semantic dedup (Abbas et al. 2023) over
+    #: ``embedding_col`` (array<float>, must ride the corpus through
+    #: clean/dedup — a missing column raises, like the mix step).
+    #: IVF-local cosine pairs → connected neighborhoods → keep the
+    #: longest member (the FineWeb keep-best rule, id tie-break);
+    #: non-canonical members leave the corpus before the split. The
+    #: syntactic dedup catches copies with shared shingles; this tier
+    #: catches rewordings/translations sharing an embedding
+    #: neighborhood. operators/similarity.py::semdedup_keep_best.
+    semantic_dedup: bool = False
+    embedding_col: str = "embedding"
+    semantic_threshold: float = 0.48
+    semantic_n_lists: int = 16
     #: enables the ``mix`` step between ``split`` and ``shard``: the
     #: TRAIN split is re-mixed across ``mix_strata_col`` strata
     #: (default: ``source_col``) while val/test ride through intact —
@@ -214,6 +228,9 @@ class CorpusPipeline:
                   "fix_text", "url_dedup", "url_col", "scrub_secrets",
                   "html_extract", "html_col", "paragraph_dedup"),
         "dedup": ("id_col", "text_col", "shingle_n", "jaccard_threshold"),
+        "semdedup": ("id_col", "text_col", "embedding_col",
+                     "semantic_dedup", "semantic_threshold",
+                     "semantic_n_lists"),
         "scorecard": ("id_col", "text_col", "score_card"),
         "split": ("id_col", "splits", "seed"),
         "mix": ("id_col", "text_col", "source_col", "splits", "seed",
@@ -513,9 +530,57 @@ class CorpusPipeline:
             # the operator caches before the downstream steps
             scope.release()
 
+        split_input, split_upstream = "dedup", dedup.fingerprint
+        if cfg.semantic_dedup:
+            from cdk_datalake_ingest_bigmagic_spark.operators.similarity import (
+                semdedup_keep_best,
+            )
+
+            def build_semdedup():
+                # the syntactic cluster label is spent once its keep
+                # flag is applied — drop it so the semantic
+                # neighborhood label takes the `component` slot
+                ddf = (
+                    self.read("dedup")
+                    .filter(F.col("keep"))
+                    .drop("keep", "component")
+                )
+                if cfg.embedding_col not in ddf.columns:
+                    raise ValueError(
+                        f"semdedup step needs embedding column "
+                        f"{cfg.embedding_col!r}; dedup artifact has "
+                        f"{ddf.columns}"
+                    )
+                dec = semdedup_keep_best(
+                    ddf.withColumn(
+                        "__q", F.length(F.col(tc)).cast("double")
+                    ),
+                    ic,
+                    cfg.embedding_col,
+                    "__q",
+                    n_lists=cfg.semantic_n_lists,
+                    threshold=cfg.semantic_threshold,
+                )
+                # one equi-join back: the artifact carries the
+                # surviving DOCUMENTS plus their neighborhood label
+                # (keep already applied — downstream reads winners
+                # only, like the split step's keep filter)
+                return ddf.join(
+                    dec.filter(F.col("keep")).select(ic, "component"), ic
+                )
+
+            sem = self._step("semdedup", dedup.fingerprint, build_semdedup)
+            split_input, split_upstream = "semdedup", sem.fingerprint
+
         def build_split():
-            ddf = self.read("dedup")
-            kept = ddf.filter(F.col("keep")).drop("keep")
+            ddf = self.read(split_input)
+            if split_input == "semdedup":
+                # keep already applied; the semantic neighborhood
+                # label rides as `component` into the leakage-safe
+                # bucketing below
+                kept = ddf
+            else:
+                kept = ddf.filter(F.col("keep")).drop("keep")
             # the cluster labels ride along from the dedup step — the
             # split buckets hash them directly (labels=None: pure
             # projection, no second CC run, no self-join)
@@ -523,7 +588,7 @@ class CorpusPipeline:
                 kept, ic, None, dict(cfg.splits), seed=f"{cfg.seed}-split"
             )
 
-        split = self._step("split", dedup.fingerprint, build_split)
+        split = self._step("split", split_upstream, build_split)
 
         shard_input, shard_upstream = "split", split.fingerprint
         if cfg.mix_mode:

@@ -661,3 +661,67 @@ def test_pipeline_mix_step_budget_and_validation(spark, corpus, tmp_path_factory
                 mix_mode="temperature", mix_strata_col="nope"
             ),
         ).run(corpus)
+
+
+def test_pipeline_semdedup_step(spark, tmp_path_factory):
+    """semantic_dedup=True inserts the SemDeDup keep-best step after
+    the syntactic dedup: embedding near-neighbors collapse to their
+    longest member even when their TEXT shares no shingles (the tier
+    the Jaccard dedup cannot catch), and split chains on the winners."""
+    import math
+
+    # 24 docs with distinct prose; two embedding "neighborhoods" of 3
+    # near-identical vectors each (cosine ~1), the rest orthogonal-ish
+    rows = []
+    for i in range(24):
+        text = (
+            f"document {i} covers a unique subject number {i} with "
+            f"plenty of ordinary descriptive words about topic {i}"
+        )
+        if i in (3, 7, 11):          # neighborhood A (reworded copies)
+            vec = [1.0, 0.0, 0.0, 0.001 * i]
+            text += " extra" * (i % 5)   # 3 gets 3 repeats -> longest
+        elif i in (4, 8):            # neighborhood B
+            vec = [0.0, 1.0, 0.0, 0.001 * i]
+            text += " extra" * (i % 7)   # 4 gets 4 repeats -> longest
+        else:
+            a = 2.0 * math.pi * (i / 24.0)
+            vec = [0.0, 0.0, math.cos(a), math.sin(a)]
+        rows.append((i, text, "src", [float(v) for v in vec]))
+    corpus = spark.createDataFrame(
+        rows,
+        "doc_id: long, text: string, source: string, "
+        "embedding: array<float>",
+    )
+
+    work = str(tmp_path_factory.mktemp("corpus_semdedup"))
+    pipe = CorpusPipeline(
+        spark,
+        work,
+        # n_lists=4 so the neighborhoods co-locate (with 16 lists the
+        # first-ids quantizer makes docs 3/7/11 their own centroids)
+        CorpusPipelineConfig(
+            semantic_dedup=True, semantic_threshold=0.9,
+            semantic_n_lists=4,
+        ),
+    )
+    results = pipe.run(corpus)
+    assert "semdedup" in results
+
+    sem = pipe.read("semdedup")
+    ids = {r["doc_id"] for r in sem.select("doc_id").collect()}
+    # each neighborhood keeps ONLY its longest member
+    assert 3 in ids and not {7, 11} & ids
+    assert 4 in ids and 8 not in ids
+    comp = {r["doc_id"]: r["component"] for r in sem.collect()}
+    assert comp[3] == 3 and comp[4] == 4  # label = min member id
+    # split consumes the semantic winners
+    assert results["split"].rows == results["semdedup"].rows
+
+    # a corpus without the embedding column fails loudly
+    with pytest.raises(Exception, match="embedding column"):
+        CorpusPipeline(
+            spark,
+            str(tmp_path_factory.mktemp("corpus_semdedup_bad")),
+            CorpusPipelineConfig(semantic_dedup=True),
+        ).run(corpus.drop("embedding"))
