@@ -30,14 +30,18 @@ HEADLINE = [
     # dsl_datetimemagic_roundtrip + dsl_numeric_decimal, are columns
     # of the suite now)
     "dsl_misc_functions",
-    # LLM-data operators
-    "text_quality_features",
-    "text_language_id",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
+    # LLM-data operators — round-14 consolidation: the text base
+    # family (7 gates incl. text_quality_features/text_language_id/
+    # text_token_encode/text_quality_score) folded into
+    # text_base_suite; the four pairwise near-dup methods
+    # (minhash/simhash/ngram-jaccard/containment) into
+    # dedup_methods_suite; the embedding searches into
+    # embedding_pairs_suite and the quantizers into
+    # embedding_quant_suite (leg-tagged unions; same operators)
+    "text_base_suite",
+    "dedup_methods_suite",
     "dedup_connected_components",
-    "embedding_similarity_pairs",
-    "embedding_ann_ivf",
+    "embedding_pairs_suite",
     "events_funnel_steps",
     # round-12 consolidation: the three corpus_mix gates folded into
     # corpus_mix_suite (leg-tagged union; same operators)
@@ -47,9 +51,6 @@ HEADLINE = [
     "text_repetition_filter",
     "text_pii_scrub",
     "contamination_ngram_overlap",
-    # round-4 addition: the prefix-filtered exact-Jaccard path (also
-    # the edge pipeline inside dedup_connected_components above)
-    "dedup_ngram_jaccard",
     # round-5 additions: the composed paths a nightly 100-TB job
     # actually schedules — the unknown-diameter CC variant, the
     # end-to-end keep/drop decision, and per-source corpus stats
@@ -69,18 +70,15 @@ HEADLINE = [
     "text_duplicate_spans",
     "dedup_incremental_novelty",
     "join_market_share",
-    "dedup_containment",
-    "embedding_scalar_quantize",
     "corpus_training_prep",
     # round-5 additions (third wave): the clustered semantic-dedup
     # decision, deterministic training-shard serialization, and the
     # upsampling epoch mix
     "dedup_semantic_keep",
+    # round-14 consolidation remainder: the quantizer suite
+    "embedding_quant_suite",
     "corpus_shard_shuffle",
-    "text_token_encode",
-    "text_quality_score",
     "corpus_leakage_safe_split",
-    "embedding_pq_codes",
     "join_shipping_priority",
     # round-6 additions: BPE subword encoding (expression tier),
     # metadata-driven audio windowing, token-budget mixture planning,
@@ -190,6 +188,10 @@ HEADLINE = [
     "delta_time_travel",
     "corpus_clean_full",
     "quality_ensemble_card",
+    # round-14 additions: temperature-scaled mixing and the SemDeDup
+    # keep-best decision over the IVF lists
+    "corpus_mix_temperature",
+    "dedup_semdedup_ivf",
 ]
 
 

@@ -59,6 +59,8 @@ CANARY = [
     # round-13 additions
     "corpus_clean_full",
     "quality_ensemble_card",
+    # round-14 addition (the round's heaviest new gate)
+    "dedup_semdedup_ivf",
 ]
 
 
