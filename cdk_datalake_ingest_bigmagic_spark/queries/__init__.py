@@ -515,13 +515,16 @@ from cdk_datalake_ingest_bigmagic_spark.queries import curation14  # noqa: E402,
 # suites, the embedding/classifier/corpus families, secrets/langid) +
 # ~3-5 riders → 50-slot window closes with ~6-8 slack, matching the
 # r13 VERDICT's projection ("r15 obligation 39 → 11 free").
-# ALSO STAGED for r15: queries/suites15.py — events_suite folds the
-# 10-gate events family (7 of them r14-front members, so r14 greens
-# by then) into ONE slot; pre-validated at sf0.001 + sf0.01 + sf0.1
-# (0 failures), staging-test-pinned (tests/test_suites15_staging.py).
-# r15 activation = the import line + "events_suite" in the r15 front;
-# the module retires its members itself (registry 125 → 115ish, and
-# r16's obligation shrinks by the 9 retired events members).
+# ALSO STAGED for r15: queries/suites15.py — TWO folds, 17 gates:
+# events_suite folds the 10-gate events family (7 of them r14-front
+# members, so r14 greens by then) and corpus_ops_suite folds the
+# 7-gate corpus-mechanics family (ALL seven in r15's obligation:
+# 39 → 32). Pre-validated at sf0.001 + sf0.01 + sf0.1 (0 failures
+# each), staging-test-pinned (tests/test_suites15_staging.py).
+# r15 activation = the import line + the two suite names in the r15
+# front; the module retires its members itself (registry 124 →
+# 109, r15 demand ≈ 32 obligation + 2 never-green suites + riders,
+# and r16's obligation shrinks by the 15 retired members).
 _GATE_FRONT: list[str] = [
     # (1) the 4 round-14 fold-suite activations (never gated; staged +
     # pre-validated at 3 SFs in round 13, re-validated at activation;

@@ -18,13 +18,21 @@ oracle SQL FROM THE LIVE REGISTRY at import time — zero duplication,
 and any drift in a member definition flows into the suite
 automatically.
 
-Fold (10 gates → 1 suite, −9 registry slots when activated):
-``events_suite`` ← events_time_windows + events_sessionization +
-events_asof_join + events_json_props + events_pivot_counts +
-events_user_similarity + events_lag_lead_gaps + events_funnel_steps +
-events_cohort_retention + events_zorder_key (the operators/asof.py /
-events-analytics family over the events table; each leg keeps the
-member's exact standalone plan — unions add no cross-leg shuffle).
+Folds (17 gates → 2 suites, −15 registry slots when activated):
+- ``events_suite``     ← events_time_windows + events_sessionization
+  + events_asof_join + events_json_props + events_pivot_counts +
+  events_user_similarity + events_lag_lead_gaps + events_funnel_steps
+  + events_cohort_retention + events_zorder_key (the operators/
+  asof.py / events-analytics family over the events table);
+- ``corpus_ops_suite`` ← corpus_clean_pipeline + corpus_domain_cap +
+  corpus_leakage_safe_split + corpus_line_dedup + corpus_shard_shuffle
+  + corpus_source_stats + corpus_training_prep (the corpus-mechanics
+  family, ALL seven in r15's r12-green obligation cohort — the fold
+  shrinks that obligation 39 → 32). corpus_mix_suite stays standalone:
+  it is itself a leg-tagged suite and already carries a ``leg``
+  column.
+Each leg keeps the member's exact standalone plan — unions add no
+cross-leg shuffle.
 """
 
 from __future__ import annotations
@@ -102,35 +110,102 @@ _LEGS: list[tuple[str, str, set[str]]] = [
 ]
 
 
-def _build() -> None:
-    fns = {m: QUERIES[m] for _, m, _ in _LEGS}
+#: corpus_ops_suite union schema (same verification regime)
+_CORPUS_COLS = [
+    ("fingerprint", "string", "VARCHAR"),
+    ("canonical_id", "long", "BIGINT"),
+    ("n_dups", "long", "BIGINT"),
+    ("doc_id", "long", "BIGINT"),
+    ("source", "string", "VARCHAR"),
+    ("domain_rank", "long", "BIGINT"),
+    ("component", "long", "BIGINT"),
+    ("split", "string", "VARCHAR"),
+    ("doc_md5", "string", "VARCHAR"),
+    ("n_lines", "long", "BIGINT"),
+    ("n_kept", "long", "BIGINT"),
+    ("n_dropped", "long", "BIGINT"),
+    ("shard", "int", "INTEGER"),
+    ("position", "long", "BIGINT"),
+    ("n_docs", "long", "BIGINT"),
+    ("total_chars", "long", "BIGINT"),
+    ("total_words", "long", "BIGINT"),
+    ("n_unique_texts", "long", "BIGINT"),
+    ("n_langs", "long", "BIGINT"),
+    ("chunk_key", "string", "VARCHAR"),
+    ("bucket", "long", "BIGINT"),
+    ("pack_id", "long", "BIGINT"),
+    ("pack_tokens", "long", "BIGINT"),
+]
+
+_CORPUS_LEGS: list[tuple[str, str, set[str]]] = [
+    ("clean_pipeline", "corpus_clean_pipeline",
+     {"fingerprint", "canonical_id", "n_dups"}),
+    ("domain_cap", "corpus_domain_cap",
+     {"doc_id", "source", "domain_rank"}),
+    ("leakage_split", "corpus_leakage_safe_split",
+     {"doc_id", "component", "split"}),
+    ("line_dedup", "corpus_line_dedup",
+     {"doc_id", "doc_md5", "n_lines", "n_kept", "n_dropped"}),
+    ("shard_shuffle", "corpus_shard_shuffle",
+     {"doc_id", "shard", "position"}),
+    ("source_stats", "corpus_source_stats",
+     {"source", "n_docs", "total_chars", "total_words",
+      "n_unique_texts", "n_langs"}),
+    ("training_prep", "corpus_training_prep",
+     {"chunk_key", "bucket", "pack_id", "pack_tokens"}),
+]
+
+_DOCS = {
+    "events_suite": """The events-analytics family in one leg-tagged
+    frame (round-15 consolidation, staged r14): tumbling/sliding/
+    session windows, as-of join, JSON property explode, pivot counts,
+    user-vector cosine, lag/lead gaps, funnel, weekly cohort
+    retention, and the Z-order locality key — each leg the member's
+    exact standalone plan.""",
+    "corpus_ops_suite": """The corpus-mechanics family in one
+    leg-tagged frame (round-15 consolidation, staged r14): the
+    composed clean pipeline, domain capping, leakage-safe splitting,
+    line-level dedup, deterministic shard shuffle, per-source stats,
+    and chunk/pack training prep — each leg the member's exact
+    standalone plan.""",
+}
+
+#: suite -> (union cols, legs)
+_FOLDS: dict[str, tuple[list, list[tuple[str, str, set[str]]]]] = {
+    "events_suite": (_EVENTS_COLS, _LEGS),
+    "corpus_ops_suite": (_CORPUS_COLS, _CORPUS_LEGS),
+}
+
+
+def _build(suite_name: str) -> None:
+    cols, legs = _FOLDS[suite_name]
+    fns = {m: QUERIES[m] for _, m, _ in legs}
     oracle = _union_sql(
-        [(leg, ORACLES[m], have) for leg, m, have in _LEGS], _EVENTS_COLS
+        [(leg, ORACLES[m], have) for leg, m, have in legs], cols
     )
 
-    def events_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """The events-analytics family in one leg-tagged frame
-        (round-15 consolidation, staged r14): tumbling/sliding/session
-        windows, as-of join, JSON property explode, pivot counts,
-        user-vector cosine, lag/lead gaps, funnel, weekly cohort
-        retention, and the Z-order locality key — each leg the
-        member's exact standalone plan."""
+    def suite(spark: SparkSession, sf_dir: str, _fns=fns, _legs=legs,
+              _cols=cols) -> DataFrame:
         out = None
-        for leg, member, _have in _LEGS:
-            part = _leg(fns[member](spark, sf_dir), leg, _EVENTS_COLS)
+        for leg, member, _have in _legs:
+            part = _leg(_fns[member](spark, sf_dir), leg, _cols)
             out = part if out is None else out.unionByName(part)
         return out
 
-    register("events_suite", oracle=oracle)(events_suite)
+    suite.__name__ = suite_name
+    suite.__qualname__ = suite_name
+    suite.__doc__ = _DOCS[suite_name]
+    register(suite_name, oracle=oracle)(suite)
 
 
-_build()
+for _name in _FOLDS:
+    _build(_name)
 
 #: Activation-time retirement (round 15): once queries/__init__.py
-#: imports this module, the members leave the registry — the suite
-#: carries their correctness signal. Until then this module is
+#: imports this module, the members leave the registry — the suites
+#: carry their correctness signal. Until then this module is
 #: unloaded and the members stay standalone gates.
-_RETIRE = [m for _, m, _ in _LEGS]
+_RETIRE = [m for _, (_, legs) in sorted(_FOLDS.items()) for _, m, _ in legs]
 for _m in _RETIRE:
     QUERIES.pop(_m, None)
     ORACLES.pop(_m, None)

@@ -2,7 +2,8 @@
 fold, staged r14).
 
 The module is NOT imported by queries/__init__.py yet; importing it
-registers events_suite and RETIRES its 10 members from the registry.
+registers events_suite + corpus_ops_suite and RETIRES their 17
+members from the registry.
 That retirement is exactly why these tests run the import in a
 SUBPROCESS — an in-process import would pull the members out from
 under every other test in this session. (When round 15 activates the
@@ -45,10 +46,10 @@ def test_suites15_registers_and_retires_in_isolation():
     )
     assert out.returncode == 0, out.stderr[-1500:]
     rep = json.loads(out.stdout.strip().splitlines()[-1])
-    assert rep["suites"] == ["events_suite"]
+    assert rep["suites"] == ["corpus_ops_suite", "events_suite"]
     # every member left the registry, none dangling
-    assert rep["retire_count"] == 10
-    assert len(rep["retired_gone"]) == 10
+    assert rep["retire_count"] == 17
+    assert len(rep["retired_gone"]) == 17
     assert rep["oracles_ok"]
     # staged means staged: activation is a conscious __init__ edit
     assert rep["not_imported_by_default"]
@@ -58,4 +59,6 @@ def test_suites15_not_in_live_registry():
     from cdk_datalake_ingest_bigmagic_spark.queries import QUERIES
 
     assert "events_suite" not in QUERIES
+    assert "corpus_ops_suite" not in QUERIES
     assert "events_asof_join" in QUERIES  # members still standalone
+    assert "corpus_source_stats" in QUERIES
