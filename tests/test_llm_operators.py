@@ -1882,3 +1882,94 @@ def test_semdedup_keep_best_matches_brute_force(spark, sf_dir):
         min(m, key=lambda v: (-quality[v], v)) != min(m)
         for m in comps.values() if len(m) > 1
     ), "every winner is also the min id — quality rule untested"
+
+
+def test_semdedup_keep_best_randomized_differential(spark):
+    """Seeded-random sweep of the keep-best composition: 10 corpora
+    with random sizes, dims, list counts and thresholds — including
+    planted duplicate vectors (forced neighborhoods), quality ties
+    (id tie-break) and NULL qualities (scored beats unscored, the
+    pick_canonical contract) — each checked against a pure-Python
+    mirror (first-ids assignment, rounded-cosine pairs, union-find,
+    (quality-missing, -quality, id) winner key)."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(1234)
+    for case in range(10):
+        n = rng.randint(6, 28)
+        dims = rng.choice([4, 6, 8])
+        n_lists = rng.choice([2, 4, 8])
+        threshold = rng.choice([0.3, 0.6, 0.9])
+        V = np.array(
+            [[rng.uniform(-1, 1) for _ in range(dims)] for _ in range(n)]
+        )
+        V[np.abs(V).sum(axis=1) < 1e-6] += 0.5  # no zero vectors
+        # plant 1-3 duplicate pairs (forced neighborhoods)
+        for _ in range(rng.randint(1, 3)):
+            a, b = rng.sample(range(n), 2)
+            V[b] = V[a] * rng.uniform(0.5, 2.0)  # same direction
+        quality = [
+            None if rng.random() < 0.15 else float(rng.randint(0, 5))
+            for _ in range(n)
+        ]
+        rows = [
+            (i, [float(x) for x in V[i]], quality[i]) for i in range(n)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id: long, embedding: array<double>, quality: double"
+        )
+        got = {
+            r["vec_id"]: (r["component"], r["keep"])
+            for r in sim.semdedup_keep_best(
+                df, "vec_id", "embedding", "quality",
+                n_lists=n_lists, threshold=threshold,
+            ).collect()
+        }
+        assert len(got) == n, f"case {case}: row conservation broken"
+
+        # pure-Python mirror
+        Vn = V / np.maximum(
+            np.sqrt((V * V).sum(axis=1))[:, None], 1e-12
+        )
+        C = Vn[: min(n_lists, n)]
+        assign = np.argsort(-(Vn @ C.T), axis=1, kind="stable")[:, 0]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for lst in range(C.shape[0]):
+            members = np.where(assign == lst)[0]
+            S = np.round(Vn[members] @ Vn[members].T, 4)
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    if S[i, j] >= threshold:
+                        ra, rb = find(int(members[i])), find(int(members[j]))
+                        if ra != rb:
+                            parent[max(ra, rb)] = min(ra, rb)
+        comps: dict[int, list[int]] = {}
+        for vid in range(n):
+            comps.setdefault(find(vid), []).append(vid)
+        for root, members in comps.items():
+            best = min(
+                members,
+                key=lambda v: (
+                    quality[v] is None,
+                    -(quality[v] if quality[v] is not None else 0.0),
+                    v,
+                ),
+            )
+            for vid in members:
+                comp, keep = got[vid]
+                assert comp == root, (
+                    f"case {case} vec {vid}: component {comp} != {root}"
+                )
+                assert keep == (vid == best), (
+                    f"case {case} vec {vid}: keep flipped "
+                    f"(quality {quality[vid]}, best {best})"
+                )

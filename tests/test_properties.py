@@ -248,3 +248,47 @@ def test_parse_blocks_structure_invariants(paras, script_body, link_text):
     last = blocks[-1]
     assert last[2] == " ".join(f"intro {link_text} outro".split())
     assert last[4] == len(" ".join(link_text.split()))
+
+
+# ---------------------------------------------------------------------------
+# strategy alias stripping (round 14): the t/tN qualifier rewrite
+# ---------------------------------------------------------------------------
+
+_ident = st.from_regex(r"[a-z][a-z0-9_]{0,11}", fullmatch=True)
+
+
+@given(_ident)
+def test_strip_source_alias_properties(col):
+    from cdk_datalake_ingest_bigmagic_spark.plans.strategy import (
+        strip_source_alias,
+    )
+
+    # unqualified names pass through; t/tN qualifiers strip; the
+    # rewrite is idempotent
+    assert strip_source_alias(col) == col
+    assert strip_source_alias(f"t.{col}") == col
+    assert strip_source_alias(f"t2.{col}") == col
+    assert strip_source_alias(f"t17.{col}") == col
+    assert strip_source_alias(strip_source_alias(f"t.{col}")) == col
+
+
+@given(_ident, _ident)
+def test_strip_source_aliases_preserves_foreign_qualifiers(col, col2):
+    from cdk_datalake_ingest_bigmagic_spark.plans.strategy import (
+        strip_source_aliases,
+    )
+
+    # subquery aliases (b.) and schema qualifiers (dbo.) survive; only
+    # the extraction-relation t/tN prefixes strip — including mixed
+    # expressions, and tokens merely CONTAINING 't.' mid-word stay put
+    exp = (
+        f"t2.{col} in (select {col} from dbo.mcompa1f b "
+        f"where b.{col2} = 'a') and t.{col2} > 0"
+    )
+    out = strip_source_aliases(exp)
+    assert out == (
+        f"{col} in (select {col} from dbo.mcompa1f b "
+        f"where b.{col2} = 'a') and {col2} > 0"
+    )
+    assert strip_source_aliases(f"cat.{col}") == f"cat.{col}"
+    assert strip_source_aliases(out) == out  # idempotent
