@@ -188,10 +188,12 @@ HEADLINE = [
     "delta_time_travel",
     "corpus_clean_full",
     "quality_ensemble_card",
-    # round-14 additions: temperature-scaled mixing and the SemDeDup
-    # keep-best decision over the IVF lists
+    # round-14 additions: temperature-scaled mixing, the SemDeDup
+    # keep-best decision over the IVF lists, and the split->mix
+    # composition (the CorpusPipeline mix step's wired-path gate)
     "corpus_mix_temperature",
     "dedup_semdedup_ivf",
+    "corpus_split_mix_full",
 ]
 
 

@@ -15,10 +15,23 @@ The per-stratum variant broadcasts a rates table so corpus mixing
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SAMPLE_BUCKETS = 10_000  # rate resolution: 0.01%
+
+
+def round_half_away(x: float) -> int:
+    """Engine-portable round: half AWAY from zero for non-negative x,
+    matching SQL ``round()`` (DuckDB, Spark). Python's built-in round
+    is banker's (half-to-even) — on an exact .5 boundary the two
+    diverge (round(196.5): Python 196, SQL 197), and every threshold/
+    budget in this module feeds a cross-engine oracle comparison
+    (found by the round-14 corpus_split_mix_full gate, whose
+    train-split budget landed exactly on 196.5 at sf0.001)."""
+    return math.floor(x + 0.5)
 
 
 def sample_bucket(id_col, seed: str = "sample"):
@@ -39,7 +52,7 @@ def hash_sample(
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
     # round, don't truncate: 0.043*10000 is 429.999... in binary float
-    threshold = round(rate * SAMPLE_BUCKETS)
+    threshold = round_half_away(rate * SAMPLE_BUCKETS)
     return df.filter(sample_bucket(F.col(id_col), seed) < F.lit(threshold))
 
 
@@ -64,7 +77,7 @@ def temperature_mix_rates(
     ``p_i ∝ n_i^(1/T)``, which up-weights tail strata as T grows;
     T=1 is proportional sampling, T→∞ uniform across strata). Returns
     ``{stratum: rate}`` where ``rate_i = min(1, p_i · B / n_i)`` and
-    ``B = round(target_frac · N)`` is the target corpus size — feed
+    ``B = round_half_away(target_frac · N)`` is the target corpus size — feed
     it straight to :func:`stratified_hash_sample`.
 
     Determinism contract: the per-stratum counts are ONE map-side
@@ -112,7 +125,7 @@ def temperature_mix_rates(
     for _, w in weights:
         total_w += w
     n_total = sum(n for _, n in rows)
-    budget = float(round(target_frac * n_total))
+    budget = float(round_half_away(target_frac * n_total))
     return {
         k: min(1.0, (w / total_w) * budget / n)
         for (k, n), (_, w) in zip(rows, weights)
@@ -154,10 +167,10 @@ def stratified_hash_sample(
     """
     spark = df.sparkSession
     lookup = spark.createDataFrame(
-        [(k, round(v * SAMPLE_BUCKETS)) for k, v in sorted(rates.items())],
+        [(k, round_half_away(v * SAMPLE_BUCKETS)) for k, v in sorted(rates.items())],
         f"{strata_col}: string, __threshold: int",
     )
-    default_threshold = round(default_rate * SAMPLE_BUCKETS)
+    default_threshold = round_half_away(default_rate * SAMPLE_BUCKETS)
     return (
         df.join(F.broadcast(lookup), strata_col, "left")
         .filter(
@@ -245,7 +258,7 @@ def epoch_mix(
 
     spark = df.sparkSession
     rows = [
-        (k, math.floor(v), round((v - math.floor(v)) * SAMPLE_BUCKETS))
+        (k, math.floor(v), round_half_away((v - math.floor(v)) * SAMPLE_BUCKETS))
         for k, v in sorted(epochs.items())
     ]
     for k, v in epochs.items():
@@ -257,7 +270,7 @@ def epoch_mix(
         rows, f"{strata_col}: string, __full: int, __fth: int"
     )
     d_full = math.floor(default_epochs)
-    d_fth = round((default_epochs - d_full) * SAMPLE_BUCKETS)
+    d_fth = round_half_away((default_epochs - d_full) * SAMPLE_BUCKETS)
     total = (
         F.coalesce(F.col("__full"), F.lit(d_full))
         + (
@@ -521,7 +534,7 @@ def leakage_safe_split(
     expr = None
     for name in names[:-1]:
         cum += splits[name]
-        cond = bucket < F.lit(round(cum * SAMPLE_BUCKETS))
+        cond = bucket < F.lit(round_half_away(cum * SAMPLE_BUCKETS))
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     last = F.lit(names[-1])
     return joined.withColumn(

@@ -538,11 +538,14 @@ _GATE_FRONT: list[str] = [
     # r13): temperature-scaled mixture sampling, now also wired into
     # CorpusPipeline as the `mix` step (VERDICT r13 item 3)
     "corpus_mix_temperature",
-    # (3) the round-14 growth registration (VERDICT r13 item 4):
-    # SemDeDup cluster-level semantic dedup over the IVF lists
-    # (Abbas et al. 2023) — centroid-local cosine pairs within each
-    # IVF list, keep-best by quality; no cross-list pair ever formed
+    # (3) the round-14 growth registrations: SemDeDup cluster-level
+    # semantic dedup over the IVF lists (VERDICT r13 item 4 — Abbas
+    # et al. 2023; centroid-local pairs, keep-best by quality, no
+    # cross-list pair ever formed), and the split→mix composition
+    # gate (the wired-path evidence for the new CorpusPipeline mix
+    # step: rates derived on the TRAIN SPLIT counts, eval untouched)
     "dedup_semdedup_ivf",
+    "corpus_split_mix_full",
     # (4) riders of this round's changes: plans/corpus.py grew the
     # `mix` pipeline step (temperature/budget modes), so the flags-ON
     # composition gate re-gates with it; plans/strategy.py's filter
@@ -552,6 +555,15 @@ _GATE_FRONT: list[str] = [
     # X3/X4 runner replay leg), so the P3–P7 suite re-gates with them
     "corpus_clean_full",
     "filter_window_suite",
+    # ... and operators/sampling.py's rounding became engine-portable
+    # half-away (a real cross-engine bug the new composition gate
+    # caught: Python banker's round(196.5)=196 vs SQL 197 on the
+    # train-split budget), so every gate calling the changed
+    # functions re-gates: hash_sample → sample_hash_fraction (in the
+    # obligation below), leakage_safe_split → corpus_leakage_safe_
+    # split, epoch_mix/mix_to_budget → corpus_mix_suite
+    "corpus_leakage_safe_split",
+    "corpus_mix_suite",
     # (5) the 29-query obligation: the r11-green cohort at the
     # freshness ceiling (window_math 14 post-activation: obligation
     # 29, free_slots 16, overflow 0), minus the 11 members retired

@@ -86,6 +86,7 @@ def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-row md5 bucket filter — the corpus itself never shuffles."""
     from cdk_datalake_ingest_bigmagic_spark.operators.sampling import (
         SAMPLE_BUCKETS,
+        round_half_away,
         stratified_hash_sample,
         temperature_mix_rates,
     )
@@ -115,7 +116,7 @@ def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             int(counts[lang]),
             round(math.sqrt(counts[lang]), 6),
             round(rate, 6),
-            int(round(rate * SAMPLE_BUCKETS)),
+            round_half_away(rate * SAMPLE_BUCKETS),
             None,
         )
         for lang, rate in sorted(rates.items())

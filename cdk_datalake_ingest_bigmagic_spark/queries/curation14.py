@@ -126,3 +126,143 @@ def dedup_semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_lists=16,
         threshold=0.48,
     )
+
+
+# ---------------------------------------------------------------------------
+# the split → mix composition gate: CorpusPipeline's mix step wiring
+# (round 14) exercised end to end — rates derived on the TRAIN SPLIT
+# counts (not the corpus), eval splits untouched
+# ---------------------------------------------------------------------------
+
+_MIX_SEED = "fullmix"
+_SPLIT_SEED = "fullmix-split"
+_MIX_TARGET = 0.5
+
+_SPLIT_CASE = f"""CASE WHEN (('0x' || substr(md5('{_SPLIT_SEED}|' || doc_id), 1, 7))::BIGINT
+                      % 10000) < 8000 THEN 'train'
+                WHEN (('0x' || substr(md5('{_SPLIT_SEED}|' || doc_id), 1, 7))::BIGINT
+                      % 10000) < 9000 THEN 'val'
+                ELSE 'test' END"""
+
+_MIX_ORACLE = f"""
+    WITH sp AS (
+      SELECT doc_id, lang, {_SPLIT_CASE} AS split FROM documents
+    ),
+    counts AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n
+      FROM sp WHERE split = 'train' AND lang IS NOT NULL GROUP BY lang
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM counts),
+    w AS (SELECT lang, n, sqrt(n::DOUBLE) AS weight FROM counts),
+    wsum AS (
+      SELECT list_sum(list(weight ORDER BY lang)) AS total_w FROM w
+    ),
+    thr AS (
+      SELECT lang, n, weight,
+             least(1.0,
+                   (weight / total_w)
+                   * round({_MIX_TARGET} * n_total)::DOUBLE
+                   / n::DOUBLE) AS rate,
+             CAST(round(least(1.0,
+                   (weight / total_w)
+                   * round({_MIX_TARGET} * n_total)::DOUBLE
+                   / n::DOUBLE) * 10000, 0) AS INT) AS threshold
+      FROM w, wsum, tot
+    )
+    SELECT 'rates' AS leg, lang, CAST(NULL AS VARCHAR) AS split,
+           n AS n_docs, round(weight, 6) AS weight,
+           round(rate, 6) AS rate, threshold,
+           CAST(NULL AS BIGINT) AS doc_id
+    FROM thr
+    UNION ALL
+    SELECT 'train', s.lang, s.split,
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER), s.doc_id
+    FROM sp s JOIN thr t USING (lang)
+    WHERE s.split = 'train'
+      AND ('0x' || substr(md5('{_MIX_SEED}|' || s.doc_id), 1, 7))::BIGINT
+          % 10000 < t.threshold
+    UNION ALL
+    SELECT 'eval', lang, split,
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER), doc_id
+    FROM sp WHERE split <> 'train'
+    """
+
+
+@register("corpus_split_mix_full", oracle=_MIX_ORACLE)
+def corpus_split_mix_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The split → mix seam of CorpusPipeline's round-14 mix step,
+    composed end to end as ONE lazy plan: leakage-safe 80/10/10
+    split (singleton component labels — the pipeline state when
+    dedup found nothing; the CC-labeled hash rule is pinned by
+    corpus_leakage_safe_split) → temperature-mix rates derived from
+    the TRAIN SPLIT's per-lang counts (T=2, target 0.5 — the seam
+    this gate exists for: rates must reflect the post-split corpus,
+    not the raw one) → the deterministic md5-bucket application to
+    train only, with val/test riding through intact, exactly as
+    plans/corpus.py wires it.
+
+    Scale shape: split = pure projection (md5 bucket on the label),
+    rates = one tiny counts agg + capped driver pull, application =
+    broadcast lookup + in-row bucket filter. Zero corpus shuffles in
+    the whole composition."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.sampling import (
+        SAMPLE_BUCKETS,
+        leakage_safe_split,
+        round_half_away,
+        stratified_hash_sample,
+        temperature_mix_rates,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    labeled = d.withColumn("component", F.col("doc_id"))
+    sp = leakage_safe_split(
+        labeled, "doc_id", None,
+        {"train": 0.8, "val": 0.1, "test": 0.1}, seed=_SPLIT_SEED,
+    ).drop("component")
+    train = sp.filter(F.col("split") == "train")
+    rates = temperature_mix_rates(
+        train, "lang", temperature=2.0, target_frac=_MIX_TARGET
+    )
+
+    import math
+
+    counts = {
+        r["lang"]: r["n"]
+        for r in train.where(F.col("lang").isNotNull())
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    ns, nl, nd, ni = (
+        F.lit(None).cast("string"),
+        F.lit(None).cast("long"),
+        F.lit(None).cast("double"),
+        F.lit(None).cast("int"),
+    )
+    rates_leg = spark.createDataFrame(
+        [
+            (
+                "rates", lang, None, int(counts[lang]),
+                round(math.sqrt(counts[lang]), 6), round(rate, 6),
+                round_half_away(rate * SAMPLE_BUCKETS), None,
+            )
+            for lang, rate in sorted(rates.items())
+        ],
+        "leg string, lang string, split string, n_docs long, "
+        "weight double, rate double, threshold int, doc_id long",
+    )
+    train_leg = stratified_hash_sample(
+        train, "doc_id", "lang", rates, default_rate=0.0, seed=_MIX_SEED
+    ).select(
+        F.lit("train").alias("leg"), "lang", "split",
+        nl.alias("n_docs"), nd.alias("weight"), nd.alias("rate"),
+        ni.alias("threshold"), "doc_id",
+    )
+    eval_leg = sp.filter(F.col("split") != "train").select(
+        F.lit("eval").alias("leg"), "lang", "split",
+        nl.alias("n_docs"), nd.alias("weight"), nd.alias("rate"),
+        ni.alias("threshold"), "doc_id",
+    )
+    return rates_leg.unionByName(train_leg).unionByName(eval_leg)
