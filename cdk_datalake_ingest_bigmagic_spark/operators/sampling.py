@@ -30,8 +30,15 @@ def round_half_away(x: float) -> int:
     diverge (round(196.5): Python 196, SQL 197), and every threshold/
     budget in this module feeds a cross-engine oracle comparison
     (found by the round-14 corpus_split_mix_full gate, whose
-    train-split budget landed exactly on 196.5 at sf0.001)."""
-    return math.floor(x + 0.5)
+    train-split budget landed exactly on 196.5 at sf0.001).
+
+    Computed as floor + explicit fraction test, NOT ``floor(x + 0.5)``:
+    for a double within half an ulp below an exact .5 boundary the
+    addition itself rounds up in binary (e.g. ``0.49999999999999994 +
+    0.5 == 1.0``) and the floor form overshoots SQL round-half-away
+    by 1 — a residual cross-engine divergence (round-14 ADVICE)."""
+    f = math.floor(x)
+    return f + 1 if x - f >= 0.5 else f
 
 
 def sample_bucket(id_col, seed: str = "sample"):

@@ -110,11 +110,14 @@ def write_stage(
     path: str,
     specs: list[ColumnSpec],
     load_type: str = "full",
+    clock_ms=None,
 ) -> None:
     """Stage write policy (light_transform.py:1534-1564): merge when the
     table exists and the load is incremental-like, else partitioned
-    overwrite. Dedup-by-key MUST have run first (MERGE multi-match)."""
-    table = stage_table(spark, path)
+    overwrite. Dedup-by-key MUST have run first (MERGE multi-match).
+    ``clock_ms`` injects the commit clock so tombstone
+    ``deletionTimestamp``s and a later VACUUM agree (SURVEY §7.3)."""
+    table = stage_table(spark, path, clock_ms=clock_ms)
     id_cols = [s.name for s in specs if s.is_id]
     partition_cols = [s.name for s in specs if s.is_partition]
     incremental = load_type in {"incremental", "time_range"}
@@ -144,6 +147,7 @@ def run_table_pipeline(
     table: TableConfig,
     specs: list[ColumnSpec],
     ingest_date=None,
+    clock_ms=None,
 ) -> TransformResult:
     """Full raw→stage for one table: read, transform, dedup, write.
 
@@ -169,5 +173,8 @@ def run_table_pipeline(
             return result
     else:
         result = transform_raw_to_stage(raw_df, specs)
-    write_stage(spark, result.df, stage_path, specs, table.effective_load_type)
+    write_stage(
+        spark, result.df, stage_path, specs, table.effective_load_type,
+        clock_ms=clock_ms,
+    )
     return result

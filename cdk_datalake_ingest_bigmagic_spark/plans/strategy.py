@@ -63,10 +63,27 @@ def strip_source_alias(name: str) -> str:
     return _SOURCE_ALIAS_RE.sub("", name.strip())
 
 
+#: a FILTER_EXP tokenized into alternating unquoted / single-quoted
+#: segments; SQL escapes an embedded quote by doubling it (''), which
+#: this pattern keeps inside one literal token
+_SQL_LITERAL_RE = re.compile(r"'(?:[^']|'')*'")
+
+
 def strip_source_aliases(expr: str) -> str:
     """Unqualify every t/tN reference inside a FILTER_EXP string for
-    DataFrame use (subquery and schema qualifiers survive)."""
-    return _SOURCE_ALIAS_RE.sub("", expr)
+    DataFrame use (subquery and schema qualifiers survive). String
+    literals are left verbatim: a predicate like ``col = 't2.abc'``
+    must keep its value — the rewrite applies only to the unquoted
+    segments between literals (round-14 ADVICE; the ''-escape form
+    stays one literal)."""
+    out: list[str] = []
+    pos = 0
+    for m in _SQL_LITERAL_RE.finditer(expr):
+        out.append(_SOURCE_ALIAS_RE.sub("", expr[pos:m.start()]))
+        out.append(m.group(0))
+        pos = m.end()
+    out.append(_SOURCE_ALIAS_RE.sub("", expr[pos:]))
+    return "".join(out)
 
 
 class LoadStrategy(str, enum.Enum):

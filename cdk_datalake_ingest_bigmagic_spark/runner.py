@@ -130,6 +130,13 @@ class ProcessRunner:
     def stage_path(self, table: TableConfig) -> str:
         return f"{self.stage_root}/{table.stage_table_name.lower()}"
 
+    def _clock_ms(self) -> int:
+        """The injectable ``clock`` as epoch milliseconds, threaded
+        into stage commits AND the OPTIMIZE→VACUUM hook so tombstone
+        ``deletionTimestamp``s and the retention cutoff read the same
+        clock (the r14 ms-boundary flake; SURVEY §7.3)."""
+        return int(self.clock().timestamp() * 1000)
+
     # -- single table ------------------------------------------------------
 
     def extract_table(
@@ -227,6 +234,7 @@ class ProcessRunner:
                 table,
                 specs,
                 ingest_date=process_date,
+                clock_ms=self._clock_ms,
             )
             run.rows = result.df.count()
             run.n_errors = len(result.errors)
@@ -242,7 +250,10 @@ class ProcessRunner:
                 )
 
                 pcols = [s.name for s in specs if s.is_partition]
-                st = stage_table(self.spark, self.stage_path(table))
+                st = stage_table(
+                    self.spark, self.stage_path(table),
+                    clock_ms=self._clock_ms,
+                )
                 st.optimize(
                     partition_cols=pcols or None,
                     partition_types={

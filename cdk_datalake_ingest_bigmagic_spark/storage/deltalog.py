@@ -391,6 +391,7 @@ def commit_change(
     partition_cols: list[str] | None = None,
     operation: str = "WRITE",
     data_change: bool = True,
+    now_ms: int | None = None,
 ) -> int:
     """Commit an EXPLICIT file change-set: ``adds`` are
     (relative_path, size, mtime_ms) of newly written files, ``removes``
@@ -404,7 +405,11 @@ def commit_change(
     partition_cols = list(partition_cols or [])
     prev_version = current_version(table_path)
     version = 0 if prev_version is None else prev_version + 1
-    now = int(time.time() * 1000)
+    # ``now_ms`` lets the caller inject a clock (SURVEY §7.3) so the
+    # remove actions' ``deletionTimestamp`` and a later VACUUM read the
+    # SAME clock — with two clocks a zero-retention sweep races on the
+    # millisecond boundary (the r14 flaky-certification defect).
+    now = int(time.time() * 1000) if now_ms is None else now_ms
 
     actions: list[dict] = [
         {

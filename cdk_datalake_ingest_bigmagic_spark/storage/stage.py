@@ -37,6 +37,7 @@ from __future__ import annotations
 import shutil
 import time
 import uuid
+from collections.abc import Callable
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -64,9 +65,22 @@ class ParquetStageTable:
 
     format = "parquet"
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        clock_ms: Callable[[], int] | None = None,
+    ):
         self.spark = spark
         self.path = path
+        # injectable millisecond clock (SURVEY §7.3 "inject a clock"):
+        # commit deletionTimestamps and the VACUUM retention cutoff
+        # must read the SAME clock or a zero-retention sweep races on
+        # the ms boundary (the r14 flake). None = wall clock.
+        self._clock_ms = clock_ms
+
+    def _now_ms(self) -> int:
+        return int(time.time() * 1000) if self._clock_ms is None else self._clock_ms()
 
     # -- inspection --------------------------------------------------------
 
@@ -322,6 +336,7 @@ class ParquetStageTable:
             partition_cols,
             operation,
             data_change=(operation != "OPTIMIZE"),
+            now_ms=self._now_ms(),
         )
 
     def _rewrite(
@@ -368,7 +383,7 @@ class ParquetStageTable:
             return []
         live = set(deltalog.live_files(str(live_dir)))
         removals = deltalog.removal_timestamps(str(live_dir))
-        now = int(time.time() * 1000) if now_ms is None else now_ms
+        now = self._now_ms() if now_ms is None else now_ms
         cutoff = now - int(retention_hours * 3600 * 1000)
         removed: list[str] = []
         for p in sorted(live_dir.rglob("*.parquet")):
@@ -481,11 +496,17 @@ class DeltaStageTable(ParquetStageTable):  # pragma: no cover - needs delta pkg
         return []
 
 
-def stage_table(spark: SparkSession, path: str) -> ParquetStageTable:
-    """Pick the best available backend for a stage table path."""
+def stage_table(
+    spark: SparkSession,
+    path: str,
+    clock_ms: Callable[[], int] | None = None,
+) -> ParquetStageTable:
+    """Pick the best available backend for a stage table path.
+    ``clock_ms`` injects the commit/vacuum clock (parquet backend;
+    real Delta runs its own wall clock and ignores it)."""
     if HAVE_DELTA:
-        return DeltaStageTable(spark, path)
-    return ParquetStageTable(spark, path)
+        return DeltaStageTable(spark, path, clock_ms)
+    return ParquetStageTable(spark, path, clock_ms)
 
 
 def latest_record_dedup(

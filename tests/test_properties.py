@@ -292,3 +292,36 @@ def test_strip_source_aliases_preserves_foreign_qualifiers(col, col2):
     )
     assert strip_source_aliases(f"cat.{col}") == f"cat.{col}"
     assert strip_source_aliases(out) == out  # idempotent
+
+
+@given(_ident, _ident)
+def test_strip_source_aliases_leaves_string_literals_verbatim(col, col2):
+    from cdk_datalake_ingest_bigmagic_spark.plans.strategy import (
+        strip_source_aliases,
+    )
+
+    # a t/tN-shaped token INSIDE a quoted literal is data, not a
+    # qualifier — the rewrite must not change the compared value
+    # (round-14 ADVICE); ''-escaped quotes stay one literal
+    exp = f"t.{col} = 't2.{col2}' and t2.{col2} <> 'it''s t.{col}'"
+    out = strip_source_aliases(exp)
+    assert out == f"{col} = 't2.{col2}' and {col2} <> 'it''s t.{col}'"
+    assert strip_source_aliases(out) == out  # idempotent
+
+
+def test_round_half_away_boundaries():
+    from cdk_datalake_ingest_bigmagic_spark.operators.sampling import (
+        round_half_away,
+    )
+
+    # exact .5 rounds away (SQL semantics, both engines)
+    assert round_half_away(196.5) == 197
+    assert round_half_away(0.5) == 1
+    assert round_half_away(2.5) == 3  # banker's would give 2
+    # the largest double BELOW 0.5: floor(x + 0.5) overshoots to 1
+    # because the addition rounds to exactly 1.0 in binary; SQL
+    # round() gives 0 (round-14 ADVICE)
+    assert round_half_away(0.49999999999999994) == 0
+    assert round_half_away(1.4999999999999998) == 1
+    assert round_half_away(7.0) == 7
+    assert round_half_away(0.0) == 0

@@ -304,11 +304,31 @@ def test_notify_and_optimize_hooks(spark, tmp_path):
     assert stage.count() == 2
 
 
+def ticking_clock():
+    """A deterministic clock that advances 1 s per call: the commit
+    that tombstones a file and the VACUUM that sweeps it happen on
+    DIFFERENT clock reads, just like wall time — but injected, so the
+    test cannot race on the millisecond boundary the way the r14
+    wall-clock version did (the ``>=`` keep-if-within-window boundary
+    means a tombstone stamped in the SAME ms as a zero-retention
+    vacuum survives — correct Delta semantics, flaky certification)."""
+    state = {"t": dt.datetime(2024, 6, 15, 12, 0, 0)}
+
+    def clock():
+        state["t"] += dt.timedelta(seconds=1)
+        return state["t"]
+
+    return clock
+
+
 def test_optimize_hook_vacuums_tombstones(spark, tmp_path):
     """The reference pairs OPTIMIZE with VACUUM 168h; under the
     copy-on-write stage writer the pairing is what bounds disk — with
     a zero retention the post-load maintenance leaves exactly the
-    live files on disk, and the table still reads."""
+    live files on disk, and the table still reads. The runner threads
+    its injectable clock into BOTH the stage commits (tombstone
+    deletionTimestamps) and the vacuum cutoff, so this is
+    deterministic under any host load."""
     import glob as _glob
 
     from cdk_datalake_ingest_bigmagic_spark.storage import deltalog
@@ -316,7 +336,7 @@ def test_optimize_hook_vacuums_tombstones(spark, tmp_path):
     runner = ProcessRunner(
         spark=spark, catalog=make_catalog(),
         raw_root=str(tmp_path / "raw"), stage_root=str(tmp_path / "stage"),
-        clock=fixed_clock,
+        clock=ticking_clock(),
         optimize_after_write=True,
         vacuum_retention_hours=0.0,
     )
