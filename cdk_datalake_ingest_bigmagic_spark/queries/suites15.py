@@ -1,17 +1,16 @@
-"""Round-15 consolidation suite, STAGED in round 14 (policy rules
-2/4: stage the folds for the next round BEFORE it starts). r15's
-post-r14 obligation is the ~39-query r12-green cohort; this fold
-retires the 10-gate events family (7 of which land in r14's front, so
-by r15 they are r14 greens — the fold then carries the whole family's
-signal in ONE slot and shrinks the r16 window too).
+"""Round-15 consolidation suites (STAGED round 14, ACTIVATED round
+15). r15's post-r14 obligation is the 37-query r12-green cohort; this
+fold retires the 10-gate events family (7 of them r14-front members,
+so r14 greens at activation — the fold carries the whole family's
+signal in ONE slot and shrinks the r16 window too) and the 7-gate
+corpus-mechanics family (6 of them straight out of the r15
+obligation).
 
-NOT imported by queries/__init__.py in round 14 — the round-14 front
-closed at 36 named slots. Pre-validation runs via
-``tools/validate_module.py suites15`` (the suites14 precedent).
-ACTIVATION (round 15) = add the import to queries/__init__.py (after
-queries/events.py, so the registry lookups resolve) and put
-``events_suite`` in the r15 front; this module then registers the
-suite AND retires its members from the registry itself (``_RETIRE``).
+ACTIVATION is an explicit ``activate()`` call from
+queries/__init__.py (after queries/events.py, so the registry lookups
+resolve) — NOT an import side effect (round-14 ADVICE: an incidental
+import must never retire live gates). ``activate()`` registers the
+two suites and retires their members (``_RETIRE``); idempotent.
 
 Like queries/suites14.py, the suite reads the member callables and
 oracle SQL FROM THE LIVE REGISTRY at import time — zero duplication,
@@ -198,14 +197,28 @@ def _build(suite_name: str) -> None:
     register(suite_name, oracle=oracle)(suite)
 
 
-for _name in _FOLDS:
-    _build(_name)
-
-#: Activation-time retirement (round 15): once queries/__init__.py
-#: imports this module, the members leave the registry — the suites
-#: carry their correctness signal. Until then this module is
-#: unloaded and the members stay standalone gates.
+#: the 17 member gates the fold retires (the suites carry their
+#: correctness signal — rotation-invariant rule 4)
 _RETIRE = [m for _, (_, legs) in sorted(_FOLDS.items()) for _, m, _ in legs]
-for _m in _RETIRE:
-    QUERIES.pop(_m, None)
-    ORACLES.pop(_m, None)
+
+_ACTIVATED = False
+
+
+def activate() -> None:
+    """Register the two suites and retire their 17 members from the
+    live registry. EXPLICIT by design (round-14 ADVICE): an import
+    alone must never mutate the shared registry — an incidental
+    import (module walker, pkgutil discovery, IDE tooling) would
+    silently retire standalone gates mid-session. queries/__init__.py
+    calls this at round-15 activation; idempotent."""
+    global _ACTIVATED
+    if _ACTIVATED:
+        return
+    # build BEFORE retiring: the suites capture the member callables
+    # and oracles from the live registry
+    for _name in _FOLDS:
+        _build(_name)
+    for _m in _RETIRE:
+        QUERIES.pop(_m, None)
+        ORACLES.pop(_m, None)
+    _ACTIVATED = True

@@ -541,3 +541,184 @@ def test_streaming_corpus_clean_html_extract(spark, tmp_path):
     assert set(got) == {1}
     assert "home" not in got[1] and "copyright" not in got[1]
     assert "<EMAIL>" in got[1] and "@" not in got[1]
+
+
+# ---------------------------------------------------------------------------
+# streaming SemDeDup (round-15 growth family)
+# ---------------------------------------------------------------------------
+
+def _unit(vals):
+    import math
+
+    n = math.sqrt(sum(v * v for v in vals)) or 1.0
+    return [float(v / n) for v in vals]
+
+
+def _jitter(vals, eps, at):
+    out = list(vals)
+    out[at] += eps
+    return _unit(out)
+
+
+_VEC_SCHEMA = "vec_id long, embedding array<float>"
+
+#: two clique-shaped semantic clusters + singletons in 4-d space:
+#: cluster A around e0 (ids 1, 3, 10 — pairwise cosine ≈ 1),
+#: cluster B around e1 (id 2), a genuinely novel direction (id 11)
+_A = _unit([1.0, 0.0, 0.0, 0.0])
+_B = _unit([0.0, 1.0, 0.0, 0.0])
+_C = _unit([0.0, 0.0, 1.0, 0.0])
+
+
+def test_stream_semantic_novelty_replay_is_idempotent(spark, tmp_path):
+    """Crash-mid-batch recovery, the module's replay contract: the
+    store reads exclude the current batch's partition, so a replayed
+    batch must not see its first attempt as accumulated state (every
+    vector would self-match at cosine 1.0 and be dropped as a dup of
+    itself)."""
+    from cdk_datalake_ingest_bigmagic_spark.streaming.incremental import (
+        stream_semantic_novelty,
+    )
+
+    vecs = str(tmp_path / "vecs")
+    store = str(tmp_path / "store")
+    spark.createDataFrame(
+        [(1, _A), (2, _B)], _VEC_SCHEMA
+    ).write.parquet(vecs)
+    stream_semantic_novelty(
+        spark, vecs, store, str(tmp_path / "ckpt1"),
+        n_lists=2, threshold=0.9,
+    ).awaitTermination()
+    want = {
+        r.vec_id: (r.novel, r.dup_of)
+        for r in spark.read.parquet(f"{store}/decisions").collect()
+    }
+    assert want == {1: (True, None), 2: (True, None)}
+
+    # replay batch 0 the way a post-crash restart does: a fresh
+    # checkpoint re-reads the same files as batch_id=0 with the store
+    # already holding the first attempt's batch_id=0 output
+    stream_semantic_novelty(
+        spark, vecs, store, str(tmp_path / "ckpt2"),
+        n_lists=2, threshold=0.9,
+    ).awaitTermination()
+    got = {
+        r.vec_id: (r.novel, r.dup_of)
+        for r in spark.read.parquet(f"{store}/decisions").collect()
+    }
+    assert got == want  # replaced, not self-matched
+    stored = {r.vec_id for r in spark.read.parquet(f"{store}/vecs").collect()}
+    assert stored == {1, 2}  # novel vectors kept, not overwritten empty
+
+
+def test_stream_semantic_novelty_incremental(spark, tmp_path):
+    """Cross-batch semantic novelty: a later near-copy of an ACCEPTED
+    vector is caught against the accumulated store, first occurrence
+    wins within a batch, the store holds only novel vectors, and the
+    frozen quantizer assigns batch-2 vectors with batch-1's
+    centroids."""
+    import json
+
+    from cdk_datalake_ingest_bigmagic_spark.streaming.incremental import (
+        stream_semantic_novelty,
+    )
+
+    vecs = str(tmp_path / "vecs")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1 = spark.createDataFrame(
+        [(1, _A), (2, _B), (3, _jitter(_A, 0.02, 1))], _VEC_SCHEMA
+    )
+    batch1.write.parquet(vecs)
+    stream_semantic_novelty(
+        spark, vecs, store, ckpt, n_lists=2, threshold=0.9
+    ).awaitTermination()
+    d1 = {
+        r.vec_id: (r.novel, r.dup_of)
+        for r in spark.read.parquet(f"{store}/decisions").collect()
+    }
+    assert d1[1] == (True, None) and d1[2] == (True, None)
+    assert d1[3] == (False, 1)  # within-batch near-dup, smallest id wins
+
+    # the quantizer froze on batch 1 (2 centroids from first-ids)
+    C = json.loads(open(f"{store}/_CENTROIDS.json").read())
+    assert len(C) == 2
+
+    # batch 2: one near-copy of an ACCEPTED vector, one novel
+    # direction (assigned to SOME frozen list, fails the verify)
+    batch2 = spark.createDataFrame(
+        [(10, _jitter(_A, 0.03, 2)), (11, _C)], _VEC_SCHEMA
+    )
+    batch2.write.mode("append").parquet(vecs)
+    stream_semantic_novelty(
+        spark, vecs, store, ckpt, n_lists=2, threshold=0.9
+    ).awaitTermination()
+    d2 = {
+        r.vec_id: (r.novel, r.dup_of)
+        for r in spark.read.parquet(f"{store}/decisions").collect()
+    }
+    assert d2[10] == (False, 1)  # caught against the accumulated store
+    assert d2[11] == (True, None)
+
+    # the store holds only the novel vectors
+    stored = {r.vec_id for r in spark.read.parquet(f"{store}/vecs").collect()}
+    assert stored == {1, 2, 11}
+
+    # a third run with nothing new writes no new decisions
+    stream_semantic_novelty(
+        spark, vecs, store, ckpt, n_lists=2, threshold=0.9
+    ).awaitTermination()
+    assert spark.read.parquet(f"{store}/decisions").count() == 5
+
+
+def test_stream_semantic_novelty_matches_batch_semdedup(spark, tmp_path):
+    """Batch-equivalence pin: one micro-batch over the whole corpus
+    (frozen snapshot = full corpus, so the quantizer is identical)
+    with clique-shaped neighborhoods and arrival-order quality keeps
+    EXACTLY the rows semdedup_keep_best keeps — constant quality makes
+    the batch keep-best tie-break to the smallest id, which IS the
+    stream's first-occurrence rule."""
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_bigmagic_spark.operators.similarity import (
+        semdedup_keep_best,
+    )
+    from cdk_datalake_ingest_bigmagic_spark.streaming.incremental import (
+        stream_semantic_novelty,
+    )
+
+    rows = [
+        (1, _A), (2, _B), (3, _jitter(_A, 0.02, 1)),
+        (4, _jitter(_B, 0.02, 2)), (5, _jitter(_A, 0.02, 3)),
+    ]
+    vecs = str(tmp_path / "vecs")
+    store = str(tmp_path / "store")
+    spark.createDataFrame(rows, _VEC_SCHEMA).write.parquet(vecs)
+    stream_semantic_novelty(
+        spark, vecs, store, str(tmp_path / "ckpt"),
+        n_lists=2, threshold=0.9,
+    ).awaitTermination()
+    stream_keep = {
+        r.vec_id
+        for r in spark.read.parquet(f"{store}/decisions")
+        .filter("novel").collect()
+    }
+
+    batch = semdedup_keep_best(
+        spark.createDataFrame(rows, _VEC_SCHEMA).withColumn(
+            "quality", F.lit(1.0)
+        ),
+        "vec_id", "embedding", "quality",
+        n_lists=2, threshold=0.9,
+    )
+    batch_keep = {r.vec_id for r in batch.filter("keep").collect()}
+    assert stream_keep == batch_keep == {1, 2}
+
+    # and the duplicate attributions point INTO the kept set
+    dup_of = {
+        r.vec_id: r.dup_of
+        for r in spark.read.parquet(f"{store}/decisions")
+        .filter("NOT novel").collect()
+    }
+    assert dup_of == {3: 1, 5: 1, 4: 2}
