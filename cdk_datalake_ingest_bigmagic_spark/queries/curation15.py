@@ -1,0 +1,214 @@
+"""Round-15 growth gate: the clean → syntactic dedup → SemDeDup →
+leakage-safe split composition as ONE lazy plan
+(``corpus_semdedup_full``).
+
+VERDICT r14 item 5: the CorpusPipeline semdedup step re-uses the
+``component`` slot — the syntactic cluster label is dropped once its
+keep flag is applied, and the SEMANTIC neighborhood label takes the
+slot before the split step buckets on it (plans/corpus.py:539-572).
+A silent mislabel there (splitting on the syntactic label, or on the
+raw id) would leak semantic near-dups across train/eval. This gate
+pins the wired order end to end against an independent recursive-CTE
+oracle (the curation14 pattern): if the split buckets hash anything
+but the SEMANTIC component, the value hash diverges.
+
+The corpus is documents ⋈ embeddings plus two injected duplicate
+tiers (the ``corpus_clean_full`` injection precedent — the testdata
+has no exact text dups):
+- EXACT clones (id+100000, identical text): must die in the
+  syntactic stage and never reach semdedup;
+- NEAR clones (id+200000, text + ' copy', SAME embedding, n_chars+5):
+  must SURVIVE the syntactic stage, join their original's semantic
+  neighborhood at cosine 1.0, and then WIN the keep-best decision
+  (higher n_chars quality) — so the kept member is the injected
+  clone while the component label stays the original's id, exactly
+  the slot-reuse seam under test.
+
+Cross-engine exactness: deterministic first-ids centroids over the
+SURVIVOR frame, the stable (sim DESC, list_idx) assignment ranking,
+cosine rounded to 4 before the threshold, integer-valued n_chars
+quality, ties on the smaller id, md5 split buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.queries import load, register
+from cdk_datalake_ingest_bigmagic_spark.queries.llmdata import _COS
+
+_SEED = "semfull-split"
+_THRESHOLD = 0.48
+_N_LISTS = 16
+
+_SPLIT_CASE = f"""CASE WHEN (('0x' || substr(md5('{_SEED}|' || component), 1, 7))::BIGINT
+                      % 10000) < 8000 THEN 'train'
+                WHEN (('0x' || substr(md5('{_SEED}|' || component), 1, 7))::BIGINT
+                      % 10000) < 9000 THEN 'val'
+                ELSE 'test' END"""
+
+_ORACLE = f"""
+    WITH RECURSIVE clean0 AS (
+      SELECT d.doc_id, d.text, d.n_chars, e.embedding
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+      WHERE d.n_chars >= 50 AND d.lang IS NOT NULL
+    ),
+    corpus AS (
+      SELECT doc_id, text, n_chars, embedding FROM clean0
+      UNION ALL
+      SELECT doc_id + 100000, text, n_chars, embedding
+      FROM clean0 WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 200000, text || ' copy', n_chars + 5, embedding
+      FROM clean0 WHERE doc_id % 7 = 3
+    ),
+    survivors AS (
+      SELECT doc_id, text, n_chars, embedding FROM (
+        SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS syn_c
+        FROM corpus
+      ) WHERE doc_id = syn_c
+    ),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY doc_id) - 1 AS list_idx,
+             embedding::DOUBLE[] AS cvec
+      FROM (SELECT * FROM survivors ORDER BY doc_id LIMIT {_N_LISTS})
+    ),
+    ranked AS (
+      SELECT s.doc_id, c.list_idx,
+             row_number() OVER (
+               PARTITION BY s.doc_id
+               ORDER BY list_dot_product(s.embedding::DOUBLE[], c.cvec)
+                        / (sqrt(list_dot_product(s.embedding::DOUBLE[], s.embedding::DOUBLE[]))
+                           * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+                        c.list_idx
+             ) AS rk
+      FROM survivors s CROSS JOIN cent c
+    ),
+    assigned AS (SELECT doc_id, list_idx FROM ranked WHERE rk = 1),
+    edges AS (
+      SELECT lo.doc_id AS ea, hi.doc_id AS eb
+      FROM assigned lo
+      JOIN assigned hi
+        ON lo.list_idx = hi.list_idx AND lo.doc_id < hi.doc_id
+      JOIN survivors a ON a.doc_id = lo.doc_id
+      JOIN survivors b ON b.doc_id = hi.doc_id
+      WHERE round({_COS}, 4) >= {_THRESHOLD}
+    ),
+    sym AS (
+      SELECT ea AS a, eb AS b FROM edges
+      UNION SELECT eb, ea FROM edges
+    ),
+    reach AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+      FROM reach GROUP BY a
+    ),
+    scored AS (
+      SELECT s.doc_id,
+             coalesce(c.component, s.doc_id) AS component,
+             s.n_chars::DOUBLE AS quality
+      FROM survivors s LEFT JOIN comp c ON c.doc_id = s.doc_id
+    ),
+    winners AS (
+      SELECT component, doc_id AS best_id
+      FROM (
+        SELECT component, doc_id,
+               row_number() OVER (
+                 PARTITION BY component ORDER BY quality DESC, doc_id
+               ) AS rk
+        FROM scored
+      ) WHERE rk = 1
+    )
+    SELECT doc_id, component, quality, {_SPLIT_CASE} AS split
+    FROM (
+      SELECT s.doc_id, s.component, s.quality
+      FROM scored s JOIN winners w
+        ON s.component = w.component AND s.doc_id = w.best_id
+    )
+    """
+
+
+@register("corpus_semdedup_full", oracle=_ORACLE)
+def corpus_semdedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clean → exact dedup → SemDeDup keep-best → leakage-safe split,
+    composed exactly as plans/corpus.py wires them (the ``component``
+    slot-reuse seam): the syntactic label is spent once its keep flag
+    is applied, the SEMANTIC neighborhood label takes the slot, and
+    the split buckets hash THAT label. One output row per kept
+    document: (doc_id, component, quality, split).
+
+    Scale shape: clean is a codegen filter on the scan; the syntactic
+    stage shuffles 16-byte digests (groupBy md5 + equi-join back);
+    semdedup is the gated IVF-local pair space + two-phase CC +
+    map-side max_by; the split is a pure projection (md5 bucket on
+    the component label). The corpus-wide row set shuffles for the
+    digest agg, the component join, and nothing else."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+    from cdk_datalake_ingest_bigmagic_spark.operators.similarity import (
+        semdedup_keep_best,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    base = d.join(e, d["doc_id"] == e["vec_id"]).select(
+        "doc_id", "text", "lang", "n_chars", "embedding"
+    )
+    # the clean stage (the pipeline's flags-ON filters are gated by
+    # corpus_clean_full; a representative subset keeps this gate's
+    # focus on the dedup→split seam)
+    clean0 = base.filter(
+        (F.col("n_chars") >= 50) & F.col("lang").isNotNull()
+    ).select("doc_id", "text", "n_chars", "embedding")
+    corpus = (
+        clean0.unionByName(
+            clean0.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                "text", "n_chars", "embedding",
+            )
+        ).unionByName(
+            clean0.filter(F.col("doc_id") % 7 == 3).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" copy")).alias("text"),
+                (F.col("n_chars") + 5).alias("n_chars"),
+                "embedding",
+            )
+        )
+    )
+    # syntactic stage: exact-fingerprint dedup, canonical = smallest
+    # id per digest group (digest-only shuffle, never documents)
+    fp = corpus.withColumn("__fp", F.md5("text"))
+    syn = fp.groupBy("__fp").agg(F.min("doc_id").alias("__syn_c"))
+    survivors = (
+        fp.join(syn, "__fp")
+        .filter(F.col("doc_id") == F.col("__syn_c"))
+        .drop("__fp", "__syn_c")
+    )
+    # semantic stage over the survivors (the pipeline drops the spent
+    # syntactic label here; this frame never carried one)
+    dec = semdedup_keep_best(
+        survivors.withColumn(
+            "quality", F.col("n_chars").cast("double")
+        ),
+        "doc_id",
+        "embedding",
+        "quality",
+        n_lists=_N_LISTS,
+        threshold=_THRESHOLD,
+    )
+    # the wired join-back: winners only, the SEMANTIC label rides as
+    # `component` into the split (plans/corpus.py:565-570)
+    winners = survivors.join(
+        dec.filter(F.col("keep")).select("doc_id", "component", "quality"),
+        "doc_id",
+    )
+    return leakage_safe_split(
+        winners, "doc_id", None,
+        {"train": 0.8, "val": 0.1, "test": 0.1}, seed=_SEED,
+    ).select("doc_id", "component", "quality", "split")
