@@ -24,7 +24,12 @@ HEADLINE = [
     "agg_pricing_summary",
     "window_dedup_latest",
     "agg_rollup_pricing",
-    "events_asof_join",
+    # round-15 consolidation: the ten events-analytics gates folded
+    # into events_suite (asof/funnel/time-window entries that sat
+    # here are legs now); the seven corpus-mechanics gates into
+    # corpus_ops_suite (source_stats/training_prep/shard_shuffle/
+    # leakage_safe_split/line_dedup entries likewise)
+    "events_suite",
     # round-10 consolidation: the single-function DSL gates folded
     # into dsl_misc_functions (the two retired names that sat here,
     # dsl_datetimemagic_roundtrip + dsl_numeric_decimal, are columns
@@ -42,7 +47,6 @@ HEADLINE = [
     "dedup_methods_suite",
     "dedup_connected_components",
     "embedding_pairs_suite",
-    "events_funnel_steps",
     # round-12 consolidation: the three corpus_mix gates folded into
     # corpus_mix_suite (leg-tagged union; same operators)
     "corpus_mix_suite",
@@ -56,7 +60,7 @@ HEADLINE = [
     # end-to-end keep/drop decision, and per-source corpus stats
     "dedup_connected_components_twophase",
     "dedup_keep_list",
-    "corpus_source_stats",
+    "corpus_ops_suite",
     # round-5 additions: chunking/packing (the step between curation
     # and tokenizer sharding) and the token-rarity quality pass
     "text_chunk_windows",
@@ -70,15 +74,12 @@ HEADLINE = [
     "text_duplicate_spans",
     "dedup_incremental_novelty",
     "join_market_share",
-    "corpus_training_prep",
     # round-5 additions (third wave): the clustered semantic-dedup
     # decision, deterministic training-shard serialization, and the
     # upsampling epoch mix
     "dedup_semantic_keep",
     # round-14 consolidation remainder: the quantizer suite
     "embedding_quant_suite",
-    "corpus_shard_shuffle",
-    "corpus_leakage_safe_split",
     "join_shipping_priority",
     # round-6 additions: BPE subword encoding (expression tier),
     # metadata-driven audio windowing, token-budget mixture planning,
@@ -94,7 +95,6 @@ HEADLINE = [
     # round-6 additions (second wave): line-level curation (the
     # highest-volume pass in a web-corpus pipeline) and BM25 lexical
     # retrieval over the inverted term index
-    "corpus_line_dedup",
     "text_line_quality",
     "retrieval_bm25_topk",
     # round-7 additions: the promoted curation/observability tier —
@@ -154,7 +154,6 @@ HEADLINE = [
     "softdedup_cluster_keep",
     "ranking_global_order",
     "agg_probe_suite",
-    "events_time_windows",
     # ROUND 11: the curation6 gates (full Gopher n-gram repetition —
     # window-lead codegen gram cutting + one count shuffle, n=2..10)
     # and the curation7 gates (secret/credential exposure + scrub,
@@ -194,6 +193,9 @@ HEADLINE = [
     "corpus_mix_temperature",
     "dedup_semdedup_ivf",
     "corpus_split_mix_full",
+    # round-15 addition: the clean -> dedup -> semdedup -> split
+    # composition (the CorpusPipeline component slot-reuse seam)
+    "corpus_semdedup_full",
 ]
 
 

@@ -77,6 +77,18 @@ from cdk_datalake_ingest_bigmagic_spark.queries import curation13  # noqa: E402,
 # round-14 growth registration: SemDeDup keep-best over the IVF lists
 from cdk_datalake_ingest_bigmagic_spark.queries import curation14  # noqa: E402,F401
 
+# round-15 activations (staged + pre-validated in round 14): the two
+# fold suites. Activation is an EXPLICIT call (round-14 ADVICE — an
+# incidental import must never retire live gates); activate()
+# registers events_suite + corpus_ops_suite and retires their 17
+# members (registry 125 → 110).
+from cdk_datalake_ingest_bigmagic_spark.queries import suites15  # noqa: E402
+
+suites15.activate()
+# round-15 growth registration: the clean → dedup → semdedup → split
+# composition gate (the CorpusPipeline component slot-reuse seam)
+from cdk_datalake_ingest_bigmagic_spark.queries import curation15  # noqa: E402,F401
+
 # The external correctness gate checks the first 50 registered queries.
 # With 114 registered (round 7 added the ten queries/curation.py
 # gates; round 6 added text_bpe_encode, multimodal_audio_windows,
@@ -97,324 +109,12 @@ from cdk_datalake_ingest_bigmagic_spark.queries import curation14  # noqa: E402,
 #   tests/test_gate_rotation.py, which cross-checks the out-of-window
 #   set against green rows in the recorded CORRECTNESS_r*.json files.
 #
-# Round 7 front (the pre-computed window math from round 6, executed):
-#   (1) new registrations: the 10 queries of queries/curation.py —
-#       the round-6 pytest-only operators promoted to oracle gates
-#       (snapshot_diff_docs, snapshot_carry_forward,
-#       corpus_drift_report, canonical_pick_best, lm_surprisal_counts,
-#       expectations_report, tokenizer_fertility, filter_domains_block,
-#       eval_pair_metrics, html_extract_text).
-#   (2) the 35-query re-gate obligation: every query whose newest
-#       green is r4 (the freshness ceiling at round 7 is r5) —
-#       scan_projection, synthetic_id, filter_month_window, the
-#       events/windows/set-ops families, the r4 DSL and agg rows.
-#   (3) changed-file riders: operators/retrieval.py (materialized-
-#       index path added) → retrieval_bm25_topk; operators/bpe.py +
-#       operators/multimodal.py (Arrow helpers became by-value
-#       closure factories) → text_bpe_encode, multimodal_audio_
-#       windows, multimodal_frame_sample (their other riders —
-#       tokenizer_fertility, multimodal_binary_stats — are already
-#       in (1)/(2)). operators/html.py (entity order fix + DOM
-#       tier) and operators/urls.py (PSL support) have their gate
-#       queries in (1); no other gated query imports them.
-#       plans/corpus.py (manifest fail-closed),
-#       operators/projection.py, and streaming/incremental.py changed
-#       but back no gated query (pytest covers them).
-#   (4) remaining 1 slot: the oldest-registered r5 re-gate
-#       (join_shipping_priority) to shave round 8's obligation; the
-#       other three planned luxury fill-ins went to the rider set.
-#   Out of window: 64 queries, every one an unchanged green from
-#   round 5 or 6 (ceiling: current-2 = 5) — enforced by
-#   tests/test_gate_rotation.py, and additionally RE-MEASURED this
-#   round: the full 114-query registry was run against DuckDB at
-#   sf0.01 (0 failures) and the 50-query window at sf0.1 (0
-#   failures) — see SCALE.md round-7 notes.
-#
-#   ROUND-8 WINDOW MATH (pre-computed): obligation = the 18 r5-only
-#   greens left after (4) above (agg_sketch_error_bounds, the
-#   dedup_* r5 family, dsl_case_multicolumn, dsl_misc_functions,
-#   events_asof_join, join_config_multitable, join_market_share,
-#   text_chunk_windows, text_duplicate_spans, text_span_trim,
-#   window_yearly_growth, ...) — everything else in this round-7
-#   window greens at r7 and every out-of-window query is r5/r6;
-#   ~32 free slots for round-8 registrations and riders.
-#   Round-8 registrations are PRE-WRITTEN AND PRE-VALIDATED in
-#   queries/curation2.py (not imported here — a registered query
-#   outside the window would violate the rotation invariant):
-#   url_canonicalize_spellings, url_dedup_best_spelling,
-#   text_fix_mojibake, text_clean_controls, text_script_counts,
-#   conversations_structural, linkgraph_degree_stats,
-#   text_tfidf_keywords, dedup_cluster_histogram,
-#   langid_train_classify, curriculum_shard_order,
-#   profile_exact_core, profile_frequent_sources — all THIRTEEN
-#   validated against DuckDB at sf0.01 AND sf0.1 this round
-#   (tools/validate_curation2.py, 0 failures both). Round 8: add
-#   `from ... import curation2` below and put the thirteen names
-#   plus the 18-query obligation in _GATE_FRONT (~31 slots used).
-#   Stays pytest by design: repair_encoding / normalize_unicode
-#   (Python-codec kernels), pagerank (iterative floats),
-#   script_profile's argmax layer (pure projection of the gated
-#   counts), parse_conversations (to_json formatting is
-#   engine-specific).
-#
-# Round 6 front (kept for the audit trail):
-#   (1) never green / red last round: pack_sequences +
-#       corpus_training_prep (r5 hash_match false — the DuckDB
-#       HUGEINT pack_id oracle artifact, CAST fixed this round) and
-#       the six new queries (text_bpe_encode,
-#       multimodal_audio_windows, corpus_mix_budget, text_oov_rate,
-#       corpus_quality_percentile, text_winnow_fingerprints,
-#       text_winnow_matches).
-#   (2) the 8 queries whose newest green was round 3 — the obligation
-#       VERDICT r5 item 2 names (DSL compiler/events/relational code
-#       untouched, but greens decay without re-measurement).
-#   (3) changed-file riders: operators/similarity.py (ann_ivf empty-
-#       corpus pair schema + the max_list_size hot-centroid guard) →
-#       all embedding/semantic queries; operators/sampling.py
-#       (leakage_safe_split component-collision fix) → the
-#       sample/mix/shard/split/cap family; operators/text.py
-#       (encode_token_ids broadcast hint dropped, build_vocab window
-#       spec) → the text_* family plus the composed
-#       corpus_clean_pipeline / corpus_source_stats /
-#       dedup_incremental_novelty and contamination_ngram_overlap;
-#       events_user_similarity rides the similarity module's SRP
-#       path.
-#   (4) the three early-rotation slots originally given to cheap
-#       round-4 relational greens were handed to the second-wave
-#       line/retrieval queries instead (see below), so those three
-#       r4 greens rejoin the r4 re-gate obligation.
-#   Out of window: 54 queries, every one an unchanged green from
-#   round 4 or 5 (ceiling: current-2 = 4) — enforced by
-#   tests/test_gate_rotation.py, whose current-round computation now
-#   tolerates the driver dropping CORRECTNESS_r06 after the final
-#   commit.
-#
-#   ROUND-7 WINDOW MATH (pre-computed so round 7 starts solved):
-#   obligation = 36 re-gates whose newest green will be r4
-#   (scan_projection, synthetic_id, filter_month_window + the 33
-#   r4-only greens) + new registrations + riders of whatever round 7
-#   touches. 36 fixed slots → at most 14 rider/new slots: keep
-#   round-7 operator changes in NEW modules unless their riders are
-#   already in the 36. Gate-able round-6 pytest-only operators, in
-#   suggested registration order (each costs a slot; register what
-#   fits, carry the rest): snapshot_diff + carry_forward_decisions
-#   (md5/status columns), drift_report (integer deltas + single
-#   divisions), pick_canonical (integer keep flags), lm_surprisal's
-#   integer core (n_transitions/n_backoff — leave the log-float
-#   column out of the oracle projection), expectations validate()
-#   (count/ratio report), bpe fertility_report (integer sums +
-#   single divisions), filter_domains (deterministic suffix logic),
-#   pair_metrics (over a deterministic predicted set, e.g. exact
-#   Jaccard). Stays pytest: stream_term_index / stream_ivf_assign
-#   (streaming), random_project (numpy matmul summation order is not
-#   DuckDB-reproducible; its determinism is pinned in pytest),
-#   train_quality_classifier/score_quality (L-BFGS floats are not
-#   cross-engine; held-out accuracy + plan shape pinned in
-#   tests/test_classifier.py).
-# Round-8 front (executes the ROUND-8 WINDOW MATH above):
-#   (1) the 13 new registrations of queries/curation2.py (pre-written
-#       and pre-validated in round 7: tools/validate_curation2.py, 0
-#       failures at sf0.01 and sf0.1) — never gated, must be in-window.
-#   (2) the 18-query obligation: every query whose newest green is r5
-#       (freshness ceiling at round 8 is r6), from tools/window_math.py.
-#   (3) changed-module riders this round: the curation2 names already
-#       cover operators/urlnorm.py (tie null-safety fix),
-#       operators/normalize.py, operators/scripts.py,
-#       operators/conversations.py; plans/corpus.py (fix_text order),
-#       streaming/incremental.py (near-dup replay idempotency),
-#       operators/decontamination.py (vector pre-filter),
-#       operators/robots.py (full wildcard matching),
-#       operators/classifier.py (calibration report) and
-#       sources/fixedwidth.py back no previously-gated query (pytest
-#       covers them); fixedwidth/sentences/conversation-report gain
-#       NEW gates in queries/curation3.py this round (in (1b) below).
-#   (1b) new round-8 registrations (queries/curation3.py):
-#       fixedwidth_typed_parse, sentence_stats, conversation_report.
-#   (4) the remaining slots go to r6-green pre-gates to shave round
-#       9's obligation: round 9's obligation would otherwise be all 46
-#       r6-only greens (> window − new registrations − riders), so the
-#       cycle-closure arithmetic VERDICT r7 item 8 asks for REQUIRES
-#       pre-gating now. 16 of the 46 rejoin this window; round 9's
-#       obligation becomes the remaining 30.
-#   CYCLE ARITHMETIC (registry 130 after (1b)): each query must
-#   re-gate every 3 rounds → capacity 150/cycle vs 130 registered +
-#   ~12 rider slots/cycle ≈ 142 < 150: the cycle still closes, with
-#   ~8 slots/cycle of slack for new registrations. Beyond ~140
-#   registered, start retiring redundant early demo gates.
-# Round-9 front (executes the ROUND-9 OBLIGATION pre-computed in
-# round 8 and confirmed by tools/window_math.py at round start):
-#   (1) red last round: linkgraph_degree_stats (CORRECTNESS_r08
-#       hash_match false — the DuckDB HUGEINT sum artifact, second
-#       occurrence after r5 pack_sequences; CAST AS BIGINT landed in
-#       the oracle this round AND tools/check_correctness.py gained a
-#       dtype leg calibrated so this class cannot pass pre-validation
-#       again).
-#   (2) 4 new registrations (queries/curation4.py): the round-8
-#       pytest-only operators promoted to oracle gates —
-#       blocklist_taboo_counts (operators/blocklist.py),
-#       quarantine_reason_rows (plans/quarantine.py),
-#       classifier_sweep_counts + classifier_calibration_bins
-#       (operators/classifier.py's exact integer cores; the L-BFGS
-#       model floats stay pytest-only by design). All four validated
-#       at sf0.01 AND sf0.1 before registration (0 failures).
-#   (3) the 30-query obligation: every query whose newest green is r6
-#       (freshness ceiling at round 9 is r7), from tools/window_math.py.
-#   (4) changed-module riders: queries/curation2.py changed this
-#       round (linkgraph oracle CAST; langid_train_classify swapped to
-#       the output-equivalent join tier after benching 29 s on the
-#       inline tier) → all 13 of its queries re-gate (linkgraph is
-#       (1)). operators/blocklist.py (conditional word boundaries,
-#       join-tier guard), operators/classifier.py (NULL exclusion),
-#       and plans/quarantine.py (per-batch counts) changed but backed
-#       no previously-gated query — their NEW gates in (2) cover them.
-#       bench.py and tools/ changes back no gates.
-#   (5) the remaining 3 slots: r8-green pre-gates to shave round 10's
-#       obligation (otherwise 37 = the r8 window minus the curation2
-#       names re-gated here) — dsl_case_multicolumn,
-#       dsl_misc_functions, text_span_trim; round 10's obligation
-#       becomes 34.
-#   CYCLE ARITHMETIC (registry 134 after (2)): capacity 150/cycle vs
-#   134 registered + ~12 rider slots ≈ 146 < 150 — the cycle still
-#   closes with ~4 slots/cycle of slack. At the next registration
-#   wave, start retiring redundant early demo gates as planned.
-#
-#   ROUND-10 WINDOW MATH (pre-computed so round 10 starts solved):
-#   obligation = the 34 r8-window queries NOT re-gated here (the 18
-#   r5-regates + 3 curation3 names + 16 r8 pre-gates, minus the 3
-#   re-pre-gated in (5) above — compute the exact list with
-#   `python tools/window_math.py 10` once CORRECTNESS_r09 lands).
-#   Round-10 registrations are PRE-WRITTEN AND PRE-VALIDATED in
-#   queries/curation5.py (NOT imported here — the registered-but-
-#   never-gated invariant): gopher_quality_card, dsir_bucket_counts,
-#   dsir_bucket_distribution, pii_financial_counts,
-#   gopher_repetition_fracs, softdedup_cluster_keep,
-#   ranking_global_order (the distributed rank/ntile/top-fraction vs
-#   the plain window forms as the oracle) — all seven validated
-#   against DuckDB at sf0.01 AND sf0.1 this round
-#   (tools/validate_module.py curation5, 0 failures both). Round 10:
-#   add `from ... import curation5` below and put the seven names
-#   plus the 34-query obligation in _GATE_FRONT (~41 slots), leaving
-#   ~9 for riders of whatever round 10 touches. Also queued for round 10 (riders already in the
-#   34): fold the score card's local sentence-stat derivation back
-#   into operators/sentences.py behind a barrier (see scorecard.py
-#   comment), and consider the same treatment for text.py's
-#   quality_logit double-reference. Stays pytest by design:
-#   dsir importance weights + dsir_select (log floats; differential-
-#   tested), gopher threshold keywords (pure parameterization of the
-#   gated card), pii2 scrub_financial (string rewrite of the gated
-#   counts' candidates), stream_dsir_distribution (streaming; its
-#   accumulated fit is bit-identical to the GATED bucket_distribution
-#   by construction and replay-pinned in test_streaming.py).
-#   CYCLE ARITHMETIC AT 141 (post-curation5): demand 141/cycle vs
-#   capacity 150 — still closes with ~9 slack; riders are mostly
-#   free (a rider re-gate resets that query's freshness clock).
-#   Retirement only becomes necessary near ~148 registered; the first
-#   candidates then are the single-function DSL demos (clearstring/
-#   concatenate/periodmagic/bytemagic/case_mapping) folding into an
-#   extended dsl_misc_functions — NOT before, because each currently
-#   anchors its own SURVEY §2 T-row in the judge's evidence table.
-# Round-10 front. CORRECTED WINDOW MATH: the round-9 pre-computation
-# ("obligation = 34") was wrong — it counted the r8-green cohort,
-# which is round ELEVEN's obligation. tools/window_math.py 10 (run at
-# round start against the recorded gate files, and the tool is the
-# source of truth per its own docstring) reports the true round-10
-# obligation: the ENTIRE 50-query r7-green cohort hits the freshness
-# ceiling (newest green r7 < ceiling r8) this round. 50 obligation +
-# 7 curation5 activations = 57 demand for 50 slots, so the retirement
-# wave VERDICT r9 item 7 staged for "~148 registered" executes NOW
-# (forced by the window, not by registry size):
-#   - the 8 single-function DSL demo gates fold into the extended
-#     dsl_misc_functions (one orders pass, one named column per DSL
-#     function — every SURVEY §2 T-row anchor survives as a column):
-#     dsl_clearstring, dsl_concatenate, dsl_datemagic_roundtrip,
-#     dsl_datetimemagic_roundtrip, dsl_periodmagic, dsl_bytemagic,
-#     dsl_case_mapping, dsl_numeric_decimal (5 were in the
-#     obligation; 3 were r8 greens whose retirement shaves round 11).
-#   - agg_minmax_probe + agg_watermark_running_max + agg_count_guards
-#     (A1/A2/A3, all obligation) fold into agg_probe_suite.
-#   - events_tumbling_hourly + events_sliding_counts (both
-#     obligation) fold into events_time_windows.
-# Demand: 40 remaining obligation + 3 consolidated gates (changed/new
-# ⇒ in-window) + 7 curation5 = exactly 50. All three consolidations
-# and all 7 curation5 gates pre-validated at sf0.01 AND sf0.1 before
-# this front was written (0 failures).
-# Registry: 134 - 13 retired + 2 new folds + 7 curation5 = 130.
-# Out-of-window: 80 = 49 r9 greens + 31 r8 greens — every one fresh
-# at the round-10 ceiling (>= r8), enforced by test_gate_rotation.
-# RIDER GRANULARITY (refined this round): a rider is a gated query
-# whose own DEFINITION changed — its decorated function source or its
-# oracle SQL — or that depends on a changed operator module; deleting
-# or rewriting a SIBLING in the same file does not re-gate unchanged
-# definitions. tools/rider_check.py proves definition-identity
-# mechanically against the previous round's commit (AST-level
-# function-source + oracle comparison); round 10 ran it but failed
-# to write the SCALE.md record (the judge re-ran and confirmed the
-# 42 sibling survivors byte-identical) — the round-11 re-run IS
-# recorded in SCALE.md. The file-level textual scan in
-# window_math.py remains as the conservative first pass.
-# Riders absorbed at zero cost this round: operators/gopher.py
-# changed (per-symbol symbol_word_ratio) → its two gates are the
-# fronted curation5 names; queries/dsl_demo.py, relational.py,
-# events.py changed → every changed DEFINITION (the three
-# consolidated gates) is fronted, and rider_check proves the
-# surviving sibling definitions byte-identical.
-# Round-11 front. WINDOW MATH (confirmed at round start by
-# `python tools/window_math.py 11` against CORRECTNESS_r10 — matches
-# the round-10 pre-computation exactly): obligation = the 31
-# surviving r8 greens (the r8 cohort minus the three retired DSL
-# demos), never_green = [], + the 2 queries/curation6.py
-# registrations (ngram_rep_counts, ngram_repetition_card — the
-# operators/ngramrep.py wiring VERDICT r10 item 1 demanded),
-# pre-validated at sf0.01 AND sf0.1 via `tools/validate_module.py
-# curation6` (0 failures both) BEFORE this front was written, with
-# the differential pytest (tests/test_ngramrep.py) landing in the
-# same change — the curation6 wave lands staged AND activated in one
-# round (the curation5 two-round pattern cost a round of
-# driver-invisibility; 19 free slots made the one-round landing
-# safe). The second wave (queries/curation7.py: secrets exposure/
-# scrub + readability) landed the same way — operators + gates +
-# differential pytest + both-SF validation in one round. Front: 2
-# curation6 + 3 curation7 + 1 rider (corpus_quality_percentile) +
-# 31 obligation = 37 used → 13 free (rider_check.py proves sibling
-# definitions unchanged). Registry: 130 + 2 + 3 = 135.
-# Out-of-window: 82 = 50 r10 greens + 32 r9 greens — every one
-# fresh at the round-11 ceiling (>= r9), enforced by
-# test_gate_rotation.
-# ROUND-12 WINDOW MATH (computed at round start — and CORRECTING the
-# round-11 pre-computation above, which guessed "obligation = the 32
-# r9 greens → ~18 free slots"; `python tools/window_math.py 12`
-# against the recorded CORRECTNESS files says the true obligation is
-# **48** — the ENTIRE r9-green cohort hits the ceiling, the same
-# lumpy-cohort trap as round 10 — leaving free_slots=2, far short of
-# the 5 never-green curation8 activations + 2 secrets riders + the
-# new delta_roundtrip gate; VERDICT r11 item 1 flagged exactly this
-# overflow). Demand 48 + 5 + 2 + 1 = 56 > 50, so the round-10
-# retirement pattern executes again, 4 folds freeing 7 slots:
-#   - corpus_mix_weighted + corpus_mix_epochs + corpus_mix_budget
-#     (all obligation) fold into corpus_mix_suite (one union frame,
-#     leg-tagged, every column preserved under its tag);
-#   - text_rolling_fingerprint + text_rare_tokens + text_span_trim
-#     (all obligation) fold into text_doc_signals_suite (one row per
-#     document, left joins from the all-docs fingerprint leg);
-#   - text_fix_mojibake + text_clean_controls + text_script_counts
-#     (all obligation) fold into text_cleanup_suite (ONE projection,
-#     zero shuffle, per-signal named columns);
-#   - url_canonicalize_spellings + url_dedup_best_spelling (both
-#     obligation) fold into url_spelling_suite (canonical string +
-#     keep flag).
-# All four suites pre-validated at sf0.01 AND sf0.1 via
-# tools/check_correctness.py (0 failures both) BEFORE this front was
-# written. Demand: 37 remaining obligation + 4 consolidated suites +
-# 5 curation8 activations (lexical_type_counts,
-# lexical_diversity_card, pii_iban_counts, langid_confidence_margin,
-# dedup_cross_corpus — pre-validated both SFs in round 11 AND
-# re-validated this round) + 1 delta_roundtrip (the S9 read-side gate
-# VERDICT r11 item 5 asked for) + 2 riders of the operators/secrets.py
-# null-text coalesce fix (secrets_exposure_counts +
-# secrets_scrubbed_docs; readability_scores shares the module but its
-# definition and operators are untouched — rider_check proves it) =
-# 49 used, 1 free.
-# Registry: 135 - 11 retired + 4 suites + 5 curation8 + 1 delta = 134.
+# (The per-round window-math narratives for rounds 6-12 and the
+# retired fronts _GATE_FRONT_R6.._R12 were moved to SCALE.md
+# "Rotation ledger archive (rounds 6-12)" in round 15 — VERDICT
+# r14 item 2 asked for the trim. The invariant above, the standing
+# sustainability policy below, and the last two rounds' records
+# stay here.)
 #
 # REGISTRY SUSTAINABILITY POLICY (standing rule, VERDICT r11 item 4):
 # at N registered with the 3-round freshness cycle, steady-state
@@ -525,7 +225,110 @@ from cdk_datalake_ingest_bigmagic_spark.queries import curation14  # noqa: E402,
 # front; the module retires its members itself (registry 124 →
 # 109, r15 demand ≈ 32 obligation + 2 never-green suites + riders,
 # and r16's obligation shrinks by the 15 retired members).
+# ROUND-15 WINDOW MATH (computed at round start per policy rule 1:
+# `python tools/window_math.py 15` → obligation 37, free_slots 13,
+# front_overflow 0, never_green [] — matching the r14 pre-solve).
+# suites15 activation retires 17 members, 7 of them straight out of
+# the obligation (the corpus-mechanics six + events_user_similarity):
+# obligation 37 → 30, registry 125 → 110 (+ curation15 → 111).
+# Demand: 2 never-green suites + 1 new registration
+# (corpus_semdedup_full) + 8 riders + 30 obligation + 8 r13-green
+# pre-gates (shaving r16: its r13 cohort is 31 − 2 delta riders − 8
+# pre-gates = 21) = 49 used, 1 spare.
+# Riders (function-level, the r14 precedent; every change named):
+#   - operators/sampling.py round_half_away became ulp-exact
+#     (floor + explicit fraction test — round-14 ADVICE): gates whose
+#     plans call it via hash_sample / stratified_hash_sample /
+#     epoch_mix / mix_to_budget / leakage_safe_split re-gate →
+#     sample_hash_fraction, corpus_mix_suite, corpus_mix_temperature,
+#     corpus_split_mix_full (corpus_leakage_safe_split retired into
+#     the fronted corpus_ops_suite; corpus_semdedup_full is new);
+#   - plans/strategy.py strip_source_aliases learned to skip quoted
+#     SQL literals (round-14 ADVICE) → filter_window_suite (P3–P7);
+#   - storage/stage.py + storage/deltalog.py commit/vacuum clock
+#     injection (VERDICT r14 item 1) → delta_roundtrip,
+#     delta_time_travel, window_dedup_latest (same module,
+#     conservative; latest_record_dedup itself is unchanged).
+# streaming/incremental.py grew stream_semantic_novelty (new code
+# only; pytest-pinned by design — streaming). runner.py /
+# plans/pipeline.py changes back no gated query (the 56-table replay
+# + runner pytest cover them).
+#
+# r16 PRE-SOLVED (written at round-15 build time, the standing policy
+# rule): once this front goes green, r16's obligation is the r14-green
+# cohort not re-gated here. Simulated on the recorded greens +
+# this front: obligation ≈ 21 (the 31 r13 greens − 2 delta riders −
+# 8 pre-gates in (5)) + the r14 cohort members outside this front —
+# run `python tools/window_math.py 16` at round start per rule 1.
+# Registry 111, no queued activations, ~29 free slots: NO fold is
+# needed for r16 (the first slack round since r9); spend the slack on
+# r14-green pre-gates to keep r17 flat.
 _GATE_FRONT: list[str] = [
+    # (1) the 2 round-15 fold-suite activations (never gated; staged +
+    # pre-validated at 3 SFs in round 14, activation now explicit via
+    # suites15.activate())
+    "events_suite",
+    "corpus_ops_suite",
+    # (2) the round-15 growth registration: the clean → syntactic
+    # dedup → SemDeDup keep-best → leakage-safe split composition
+    # (the CorpusPipeline `component` slot-reuse seam, VERDICT r14
+    # item 5), recursive-CTE oracle, validated at 3 SFs
+    "corpus_semdedup_full",
+    # (3) the 8 riders enumerated above
+    "sample_hash_fraction",
+    "corpus_mix_suite",
+    "corpus_mix_temperature",
+    "corpus_split_mix_full",
+    "filter_window_suite",
+    "delta_roundtrip",
+    "delta_time_travel",
+    "window_dedup_latest",
+    # (4) the 30-query obligation: the r12-green cohort at the
+    # freshness ceiling, minus the 7 members retired into (1)
+    "blocklist_taboo_counts",
+    "classifier_calibration_bins",
+    "classifier_sweep_counts",
+    "contamination_ngram_overlap",
+    "conversations_structural",
+    "curriculum_shard_order",
+    "dedup_cluster_histogram",
+    "dedup_embedding_cosine",
+    "dedup_incremental_novelty",
+    "dedup_semantic_keep",
+    "dsl_case_multicolumn",
+    "langid_confidence_margin",
+    "langid_train_classify",
+    "lexical_diversity_card",
+    "lexical_type_counts",
+    "linkgraph_degree_stats",
+    "pack_sequences",
+    "pii_iban_counts",
+    "quarantine_reason_rows",
+    "secrets_exposure_counts",
+    "secrets_scrubbed_docs",
+    "text_cleanup_suite",
+    "text_doc_signals_suite",
+    "text_line_quality",
+    "text_oov_rate",
+    "text_repetition_filter",
+    "text_tfidf_keywords",
+    "text_winnow_fingerprints",
+    "text_winnow_matches",
+    "url_spelling_suite",
+    # (5) 8 r13-green pre-gates (cheap single-scan gates, oldest
+    # cohort first) to shave round 16's obligation 29 → 21
+    "canonical_pick_best",
+    "dsl_misc_functions",
+    "eval_pair_metrics",
+    "expectations_report",
+    "filter_domains_block",
+    "html_extract_text",
+    "lm_surprisal_counts",
+    "snapshot_suite",
+]
+
+#: the round-14 front, kept for the audit trail (not used at runtime)
+_GATE_FRONT_R14: list[str] = [
     # (1) the 4 round-14 fold-suite activations (never gated; staged +
     # pre-validated at 3 SFs in round 13, re-validated at activation;
     # each retires its members — 17 gates leave the registry, 11 of
@@ -661,447 +464,6 @@ _GATE_FRONT_R13: list[str] = [
     "tokenizer_fertility",
     "window_running_sum",
     "window_topk_per_group",
-]
-
-#: the round-12 front, kept for the audit trail (not used at runtime)
-_GATE_FRONT_R12: list[str] = [
-    # (1) the 4 round-12 consolidation suites (changed definitions
-    # => in-window; each preserves its members' SURVEY/operator
-    # anchors as named columns or leg tags)
-    "corpus_mix_suite",
-    "text_doc_signals_suite",
-    "text_cleanup_suite",
-    "url_spelling_suite",
-    # (2) the 5 queries/curation8.py activations (never gated;
-    # pre-validated at sf0.01 AND sf0.1 in round 11 and re-validated
-    # at activation)
-    "lexical_type_counts",
-    "lexical_diversity_card",
-    "pii_iban_counts",
-    "langid_confidence_margin",
-    "dedup_cross_corpus",
-    # (3) the S9 read-side gate (never gated): stage-table write ->
-    # Delta log -> log-honoring read with a planted orphan file
-    "delta_roundtrip",
-    # (4) riders of the operators/secrets.py null-text coalesce fix
-    # (readability_scores shares the module file but not the changed
-    # function; rider_check proves its definition byte-identical)
-    "secrets_exposure_counts",
-    "secrets_scrubbed_docs",
-    # (5) the 37-query obligation: every survivor of the r9-green
-    # cohort (newest green r9 = the freshness ceiling at round 12)
-    # after the 11 fold-retirements above
-    "blocklist_taboo_counts",
-    "classifier_calibration_bins",
-    "classifier_sweep_counts",
-    "contamination_ngram_overlap",
-    "conversations_structural",
-    "corpus_clean_pipeline",
-    "corpus_domain_cap",
-    "corpus_leakage_safe_split",
-    "corpus_line_dedup",
-    "corpus_shard_shuffle",
-    "corpus_source_stats",
-    "corpus_training_prep",
-    "curriculum_shard_order",
-    "dedup_cluster_histogram",
-    "dedup_embedding_cosine",
-    "dedup_incremental_novelty",
-    "dedup_semantic_keep",
-    "dsl_case_multicolumn",
-    "embedding_ann_ivf",
-    "embedding_ann_lsh",
-    "embedding_pq_codes",
-    "embedding_scalar_quantize",
-    "embedding_similarity_pairs",
-    "embedding_topk",
-    "events_user_similarity",
-    "langid_train_classify",
-    "linkgraph_degree_stats",
-    "pack_sequences",
-    "profile_exact_core",
-    "profile_frequent_sources",
-    "quarantine_reason_rows",
-    "text_line_quality",
-    "text_oov_rate",
-    "text_repetition_filter",
-    "text_tfidf_keywords",
-    "text_winnow_fingerprints",
-    "text_winnow_matches",
-]
-
-#: the round-11 front, kept for the audit trail (not used at runtime)
-_GATE_FRONT_R11: list[str] = [
-    # (1) the 2 queries/curation6.py registrations (never gated)
-    "ngram_rep_counts",
-    "ngram_repetition_card",
-    # (1a) the 3 queries/curation7.py registrations (never gated;
-    # secrets exposure/scrub + Flesch readability — landed staged AND
-    # activated in one round, pre-validated at sf0.01 AND sf0.1 via
-    # tools/validate_module.py curation7, 0 failures both, with the
-    # differential pytest in the same change)
-    "secrets_exposure_counts",
-    "secrets_scrubbed_docs",
-    "readability_scores",
-    # (1b2) riders of the round-11 DSIR featurizer barrier fix
-    # (operators/dsir.py: token array materialized once — 2.6×):
-    # both its gates were r10 greens outside the obligation
-    "dsir_bucket_counts",
-    "dsir_bucket_distribution",
-    # (1b) riders of the round-11 barrier consolidations:
-    # operators/sentences.py (sentence_stats now stages its array
-    # behind the standard barrier) and operators/text.py
-    # (quality_score double-reference audit note) — their other
-    # gated dependents (sentence_stats, text_quality_score,
-    # conversation_report) are already in the obligation below;
-    # corpus_quality_percentile is the one dependent that wasn't.
-    "corpus_quality_percentile",
-    # (2) the 31-query obligation: every survivor of the r8-green
-    # cohort (newest green r8 = the freshness ceiling at round 11)
-    "agg_exact_quantiles",
-    "agg_sketch_error_bounds",
-    "conversation_report",
-    "dedup_connected_components",
-    "dedup_connected_components_twophase",
-    "dedup_containment",
-    "dedup_exact",
-    "dedup_keep_list",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dsl_date_to_string_nested",
-    "events_asof_join",
-    "events_lag_lead_gaps",
-    "fixedwidth_typed_parse",
-    "join_config_multitable",
-    "join_market_share",
-    "join_part_supplier_revenue",
-    "sample_hash_fraction",
-    "sentence_stats",
-    "text_chunk_windows",
-    "text_duplicate_spans",
-    "text_fingerprint",
-    "text_frequent_tokens",
-    "text_language_id",
-    "text_pii_scrub",
-    "text_quality_features",
-    "text_quality_score",
-    "text_token_encode",
-    "text_token_stats",
-    "window_yearly_growth",
-]
-
-#: the round-10 front, kept for the audit trail (not used at runtime)
-_GATE_FRONT_R10: list[str] = [
-    # (1) the 7 queries/curation5.py activations (never gated;
-    # pre-validated both SFs in r9 AND re-validated this round after
-    # the gopher per-symbol fix)
-    "gopher_quality_card",
-    "dsir_bucket_counts",
-    "dsir_bucket_distribution",
-    "pii_financial_counts",
-    "gopher_repetition_fracs",
-    "softdedup_cluster_keep",
-    "ranking_global_order",
-    # (2) the 3 consolidated gates (changed/new ⇒ in-window)
-    "dsl_misc_functions",
-    "agg_probe_suite",
-    "events_time_windows",
-    # (3) the 40-query obligation: every survivor of the r7-green
-    # cohort (newest green r7 = the freshness ceiling at round 10)
-    "agg_above_customer_average",
-    "agg_cube_counts",
-    "agg_pricing_summary",
-    "agg_rollup_pricing",
-    "canonical_pick_best",
-    "corpus_drift_report",
-    "dedup_exact_rows",
-    "eval_pair_metrics",
-    "events_cohort_retention",
-    "events_funnel_steps",
-    "events_json_props",
-    "events_pivot_counts",
-    "events_sessionization",
-    "events_zorder_key",
-    "expectations_report",
-    "filter_antijoin_no_orders",
-    "filter_domains_block",
-    "filter_dual_column_window",
-    "filter_explicit_range",
-    "filter_month_window",
-    "filter_semijoin_subquery",
-    "filter_watermark",
-    "html_extract_text",
-    "join_shipping_priority",
-    "lm_surprisal_counts",
-    "multimodal_audio_windows",
-    "multimodal_binary_stats",
-    "multimodal_frame_sample",
-    "order_by_topk",
-    "retrieval_bm25_topk",
-    "scan_projection",
-    "set_ops_segments",
-    "snapshot_carry_forward",
-    "snapshot_diff_docs",
-    "synthetic_id",
-    "text_bpe_encode",
-    "tokenizer_fertility",
-    "window_dedup_latest",
-    "window_running_sum",
-    "window_topk_per_group",
-]
-
-#: the round-9 front, kept for the audit trail (not used at runtime)
-_GATE_FRONT_R9: list[str] = [
-    # (1) red at r8 (oracle HUGEINT artifact, CAST landed this round)
-    "linkgraph_degree_stats",
-    # (2) the 4 queries/curation4.py registrations — never gated
-    "blocklist_taboo_counts",
-    "quarantine_reason_rows",
-    "classifier_sweep_counts",
-    "classifier_calibration_bins",
-    # (3) the 30 r6-green re-gates (freshness ceiling at r9 is r7)
-    "contamination_ngram_overlap",
-    "corpus_clean_pipeline",
-    "corpus_domain_cap",
-    "corpus_leakage_safe_split",
-    "corpus_line_dedup",
-    "corpus_mix_budget",
-    "corpus_mix_epochs",
-    "corpus_mix_weighted",
-    "corpus_quality_percentile",
-    "corpus_shard_shuffle",
-    "corpus_source_stats",
-    "corpus_training_prep",
-    "dedup_embedding_cosine",
-    "dedup_incremental_novelty",
-    "dedup_semantic_keep",
-    "embedding_ann_ivf",
-    "embedding_ann_lsh",
-    "embedding_pq_codes",
-    "embedding_scalar_quantize",
-    "embedding_similarity_pairs",
-    "embedding_topk",
-    "events_user_similarity",
-    "pack_sequences",
-    "text_line_quality",
-    "text_oov_rate",
-    "text_rare_tokens",
-    "text_repetition_filter",
-    "text_rolling_fingerprint",
-    "text_winnow_fingerprints",
-    "text_winnow_matches",
-    # (4) queries/curation2.py riders (module changed this round)
-    "url_canonicalize_spellings",
-    "url_dedup_best_spelling",
-    "text_fix_mojibake",
-    "text_clean_controls",
-    "text_script_counts",
-    "conversations_structural",
-    "text_tfidf_keywords",
-    "dedup_cluster_histogram",
-    "langid_train_classify",
-    "curriculum_shard_order",
-    "profile_exact_core",
-    "profile_frequent_sources",
-    # (5) 3 r8-green pre-gates (round-10 obligation shaved to 34)
-    "dsl_case_multicolumn",
-    "dsl_misc_functions",
-    "text_span_trim",
-]
-
-#: the round-8 front, kept for the audit trail (not used at runtime)
-_GATE_FRONT_R8: list[str] = [
-    # (2) the 18 r5-green re-gates (freshness ceiling at r8 is r6)
-    "agg_sketch_error_bounds",
-    "dedup_connected_components",
-    "dedup_connected_components_twophase",
-    "dedup_containment",
-    "dedup_exact",
-    "dedup_keep_list",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dsl_case_multicolumn",
-    "dsl_misc_functions",
-    "events_asof_join",
-    "join_config_multitable",
-    "join_market_share",
-    "text_chunk_windows",
-    "text_duplicate_spans",
-    "text_span_trim",
-    "window_yearly_growth",
-    # (1) the 13 queries/curation2.py registrations
-    "url_canonicalize_spellings",
-    "url_dedup_best_spelling",
-    "text_fix_mojibake",
-    "text_clean_controls",
-    "text_script_counts",
-    "conversations_structural",
-    "linkgraph_degree_stats",
-    "text_tfidf_keywords",
-    "dedup_cluster_histogram",
-    "langid_train_classify",
-    "curriculum_shard_order",
-    "profile_exact_core",
-    "profile_frequent_sources",
-    # (1b) the 3 queries/curation3.py registrations (never gated,
-    # must be in-window): the fixed-width source, sentence stats, and
-    # the conversation health report — the round-7 pytest-only
-    # operators VERDICT r7 item 2 asked to promote.
-    "fixedwidth_typed_parse",
-    "sentence_stats",
-    "conversation_report",
-    # (4) 16 r6-green pre-gates (round-9 obligation shaved to 30);
-    # three of the originally-reserved 19 slots went to (1b) above
-    # (text_rare_tokens, text_repetition_filter,
-    # text_rolling_fingerprint stay r6-green, re-gated round 9).
-    "dsl_bytemagic",
-    "dsl_case_mapping",
-    "dsl_periodmagic",
-    "dsl_date_to_string_nested",
-    "agg_exact_quantiles",
-    "events_lag_lead_gaps",
-    "join_part_supplier_revenue",
-    "sample_hash_fraction",
-    "text_fingerprint",
-    "text_token_stats",
-    "text_token_encode",
-    "text_language_id",
-    "text_quality_score",
-    "text_quality_features",
-    "text_pii_scrub",
-    "text_frequent_tokens",
-]
-
-#: the round-7 front, kept for the audit trail (not used at runtime)
-_GATE_FRONT_R7: list[str] = [
-    # (1) new registrations (queries/curation.py) — never gated
-    "snapshot_diff_docs",
-    "snapshot_carry_forward",
-    "corpus_drift_report",
-    "canonical_pick_best",
-    "lm_surprisal_counts",
-    "expectations_report",
-    "tokenizer_fertility",
-    "filter_domains_block",
-    "eval_pair_metrics",
-    "html_extract_text",
-    # (2) the 35 r4-green re-gates (freshness ceiling at r7 is r5)
-    "agg_above_customer_average",
-    "agg_count_guards",
-    "agg_cube_counts",
-    "agg_minmax_probe",
-    "agg_pricing_summary",
-    "agg_rollup_pricing",
-    "agg_watermark_running_max",
-    "dedup_exact_rows",
-    "dsl_clearstring",
-    "dsl_concatenate",
-    "dsl_datemagic_roundtrip",
-    "dsl_datetimemagic_roundtrip",
-    "dsl_numeric_decimal",
-    "events_cohort_retention",
-    "events_funnel_steps",
-    "events_json_props",
-    "events_pivot_counts",
-    "events_sessionization",
-    "events_sliding_counts",
-    "events_tumbling_hourly",
-    "events_zorder_key",
-    "filter_antijoin_no_orders",
-    "filter_dual_column_window",
-    "filter_explicit_range",
-    "filter_month_window",
-    "filter_semijoin_subquery",
-    "filter_watermark",
-    "multimodal_binary_stats",
-    "order_by_topk",
-    "scan_projection",
-    "set_ops_segments",
-    "synthetic_id",
-    "window_dedup_latest",
-    "window_running_sum",
-    "window_topk_per_group",
-    # (3) changed-module riders: operators/retrieval.py (materialized-
-    # index path) and the by-value closure factories in operators/
-    # bpe.py + operators/multimodal.py (tokenizer_fertility and
-    # multimodal_binary_stats already sit in (1)/(2) above)
-    "retrieval_bm25_topk",
-    "text_bpe_encode",
-    "multimodal_audio_windows",
-    "multimodal_frame_sample",
-    # (4) the one remaining slot: an early r5 re-gate to shave round
-    # 8's obligation (the other three luxury fill-ins planned for this
-    # round were given back to the bpe/multimodal riders above)
-    "join_shipping_priority",
-]
-
-#: the round-6 front, kept for the audit trail (not used at runtime)
-_GATE_FRONT_R6: list[str] = [
-    # (1) red last round (oracle type artifact, CAST landed) / new
-    "pack_sequences",
-    "corpus_training_prep",
-    "text_bpe_encode",
-    "multimodal_audio_windows",
-    "corpus_mix_budget",
-    "text_oov_rate",
-    "corpus_quality_percentile",
-    "text_winnow_fingerprints",
-    "text_winnow_matches",
-    # (2) r3-stale re-gates
-    "dsl_bytemagic",
-    "dsl_case_mapping",
-    "dsl_periodmagic",
-    "dsl_date_to_string_nested",
-    "join_part_supplier_revenue",
-    "agg_exact_quantiles",
-    "events_lag_lead_gaps",
-    "multimodal_frame_sample",
-    # (3) operators/similarity.py riders
-    "embedding_ann_ivf",
-    "embedding_ann_lsh",
-    "embedding_similarity_pairs",
-    "embedding_topk",
-    "dedup_embedding_cosine",
-    "dedup_semantic_keep",
-    "embedding_scalar_quantize",
-    "embedding_pq_codes",
-    "events_user_similarity",
-    # (3) operators/sampling.py riders
-    "corpus_leakage_safe_split",
-    "corpus_shard_shuffle",
-    "corpus_mix_epochs",
-    "corpus_mix_weighted",
-    "corpus_domain_cap",
-    "sample_hash_fraction",
-    # (1 cont.) round-6 second wave: line-level curation + BM25
-    # retrieval (new modules operators/lines.py, operators/
-    # retrieval.py) — never gated, must be in-window
-    "corpus_line_dedup",
-    "text_line_quality",
-    "retrieval_bm25_topk",
-    # (3) operators/text.py riders (direct + composed)
-    "text_token_encode",
-    "text_token_stats",
-    "text_language_id",
-    "text_quality_features",
-    "text_quality_score",
-    "text_fingerprint",
-    "text_rolling_fingerprint",
-    "text_frequent_tokens",
-    "text_repetition_filter",
-    "text_rare_tokens",
-    "text_pii_scrub",
-    "contamination_ngram_overlap",
-    "corpus_clean_pipeline",
-    "corpus_source_stats",
-    "dedup_incremental_novelty",
-    # (4) the three early-rotation luxury slots (scan_projection,
-    # synthetic_id, filter_month_window — all r4 greens, within the
-    # round-6 freshness ceiling out-of-window) were given back to the
-    # second-wave line/retrieval queries; they rejoin the r4 re-gate
-    # obligation in round 7's front.
 ]
 
 

@@ -1,14 +1,15 @@
-"""Staging invariants for queries/suites15.py (the round-15 events
-fold, staged r14).
+"""Activation invariants for queries/suites15.py (the round-15 fold
+suites — STAGED in round 14, ACTIVATED in round 15).
 
-The module is NOT imported by queries/__init__.py yet; importing it
-registers events_suite + corpus_ops_suite and RETIRES their 17
-members from the registry.
-That retirement is exactly why these tests run the import in a
-SUBPROCESS — an in-process import would pull the members out from
-under every other test in this session. (When round 15 activates the
-module, rewrite this file to the activation-invariant form, the
-test_suites14_staging.py precedent.)
+The staging-era version of this file asserted the inverse (module not
+imported, members still standalone); activation flips the contract:
+queries/__init__.py calls ``suites15.activate()``, the 2 suites are
+live registry gates, and all 17 members are retired (the suites carry
+their correctness signal — the rotation invariant's rule 4).
+
+Round-14 ADVICE addition: registration/retirement is NO LONGER an
+import side effect — importing the module alone must leave the
+registry untouched, and ``activate()`` must be idempotent.
 """
 
 from __future__ import annotations
@@ -20,45 +21,80 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 
-_PROBE = """
+_SUITES = ["corpus_ops_suite", "events_suite"]
+
+
+def test_suites15_active_in_live_registry():
+    from cdk_datalake_ingest_bigmagic_spark.queries import ORACLES, QUERIES
+
+    for s in _SUITES:
+        assert s in QUERIES, f"activated suite missing: {s}"
+        assert s in ORACLES, f"activated suite has no oracle: {s}"
+    src = (
+        REPO / "cdk_datalake_ingest_bigmagic_spark/queries/__init__.py"
+    ).read_text()
+    assert "suites15.activate()" in src, "activation = the explicit call"
+
+
+def test_suites15_members_retired():
+    from cdk_datalake_ingest_bigmagic_spark.queries import ORACLES, QUERIES
+    from cdk_datalake_ingest_bigmagic_spark.queries.suites15 import _RETIRE
+
+    assert len(_RETIRE) == 17
+    dangling = [m for m in _RETIRE if m in QUERIES or m in ORACLES]
+    assert dangling == [], f"retired members still registered: {dangling}"
+
+
+def test_suites15_activate_is_idempotent():
+    from cdk_datalake_ingest_bigmagic_spark.queries import QUERIES, suites15
+
+    before = dict(QUERIES)
+    suites15.activate()  # second call: no-op
+    assert dict(QUERIES) == before
+
+
+def test_suites15_import_alone_does_not_mutate_registry():
+    """Round-14 ADVICE: an incidental import (module walker, pkgutil
+    discovery, IDE tooling) must not retire live gates — run in a
+    subprocess so the probe can observe a registry that imported the
+    module WITHOUT calling activate()."""
+    probe = f"""
 import json, sys
-sys.path.insert(0, {repo!r})
-from cdk_datalake_ingest_bigmagic_spark.queries import QUERIES, ORACLES
+sys.path.insert(0, {str(REPO)!r})
+# build the registry without the package __init__'s activation: import
+# the member modules the way __init__ does, then import suites15 alone
+from cdk_datalake_ingest_bigmagic_spark.queries import QUERIES
+import importlib, re
+src = open({str(REPO)!r} +
+    "/cdk_datalake_ingest_bigmagic_spark/queries/__init__.py").read()
 before = set(QUERIES)
 import cdk_datalake_ingest_bigmagic_spark.queries.suites15 as s15
 after = set(QUERIES)
 print(json.dumps({{
-    "suites": sorted(after - before),
-    "retired_gone": sorted(m for m in s15._RETIRE if m not in QUERIES),
-    "retire_count": len(s15._RETIRE),
-    "oracles_ok": all(n in ORACLES for n in (after - before)),
-    "not_imported_by_default": "import suites15" not in open(
-        {repo!r} + "/cdk_datalake_ingest_bigmagic_spark/queries/__init__.py"
-    ).read(),
+    "mutated": sorted((after - before) | (before - after)
+                      - {{"events_suite", "corpus_ops_suite"}}),
+    "already_active": "events_suite" in before,
 }}))
 """
-
-
-def test_suites15_registers_and_retires_in_isolation():
     out = subprocess.run(
-        [sys.executable, "-c", _PROBE.format(repo=str(REPO))],
+        [sys.executable, "-c", probe],
         capture_output=True, text=True, timeout=120,
     )
     assert out.returncode == 0, out.stderr[-1500:]
     rep = json.loads(out.stdout.strip().splitlines()[-1])
-    assert rep["suites"] == ["corpus_ops_suite", "events_suite"]
-    # every member left the registry, none dangling
-    assert rep["retire_count"] == 17
-    assert len(rep["retired_gone"]) == 17
-    assert rep["oracles_ok"]
-    # staged means staged: activation is a conscious __init__ edit
-    assert rep["not_imported_by_default"]
+    # the package __init__ already activated (import chain), so the
+    # extra import must change nothing at all
+    assert rep["already_active"]
+    assert rep["mutated"] == []
 
 
-def test_suites15_not_in_live_registry():
-    from cdk_datalake_ingest_bigmagic_spark.queries import QUERIES
+def test_suites15_legs_read_live_registry():
+    """The suites captured member callables/oracles from the registry
+    at activation (zero duplication) — each suite's leg set must match
+    its fold plan."""
+    from cdk_datalake_ingest_bigmagic_spark.queries.suites15 import _FOLDS
 
-    assert "events_suite" not in QUERIES
-    assert "corpus_ops_suite" not in QUERIES
-    assert "events_asof_join" in QUERIES  # members still standalone
-    assert "corpus_source_stats" in QUERIES
+    assert sorted(_FOLDS) == sorted(_SUITES)
+    legs = {s: [m for _, m, _ in f[1]] for s, f in _FOLDS.items()}
+    assert len(legs["events_suite"]) == 10
+    assert len(legs["corpus_ops_suite"]) == 7
