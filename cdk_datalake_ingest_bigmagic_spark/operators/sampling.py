@@ -139,6 +139,110 @@ def temperature_mix_rates(
     }
 
 
+def unimax_mix_rates(
+    df: DataFrame,
+    strata_col: str,
+    budget_frac: float = 0.5,
+    epoch_cap: float = 1.0,
+) -> dict[str, float]:
+    """UniMax mixture rates (Chung et al., "UniMax: Fairer and More
+    Effective Language Sampling for Large-Scale Multilingual
+    Pretraining", ICLR 2023 — public): spread a total budget
+    ``B = round_half_away(budget_frac · N)`` as UNIFORMLY as possible
+    across strata, except no stratum repeats more than ``epoch_cap``
+    epochs — the published fix for temperature sampling's twin
+    failure modes (head languages still dominating at low T; tail
+    languages over-epoched into memorization at high T).
+
+    Closed-form waterfill, NOT the sequential allocation loop: sort
+    strata ascending by capacity ``c_l = epoch_cap · n_l``; stratum
+    ``i`` (1-based rank, prefix sum ``cum_i``) is CAPPED iff
+    ``cum_i + c_i · (L − i) ≤ B`` (its full capacity plus at least as
+    much for everyone after it still fits); the ``k`` capped strata
+    take ``c_l`` and the rest take the waterline
+    ``(B − cum_k) / (L − k)``. The sequential loop computes the same
+    reals but DIFFERENT floats (each step's division changes the
+    rounding sequence) — the closed form is one division, so a SQL
+    oracle replays the identical IEEE sequence: window prefix-sum in
+    the same (c, stratum) order, the same capped predicate, one
+    division.
+
+    Returns ``{stratum: rate}`` with ``rate_l = min(1, alloc_l /
+    n_l)`` — feed to :func:`stratified_hash_sample`. Rates are
+    clamped at 1.0: an ``epoch_cap > 1`` upsampling mix composes via
+    :func:`epoch_mix` instead (a hash filter cannot repeat rows).
+    If ``B ≥ Σ c_l`` every stratum caps and the leftover budget is
+    deliberately unspent (the paper's semantics: epochs bound data
+    reuse, the budget does not override them).
+
+    Determinism/scale contract: same as
+    :func:`temperature_mix_rates` — one tiny counts aggregation,
+    driver pull counted against :data:`MAX_MIX_STRATA`, every float
+    op in sorted-stratum order; application is a broadcast lookup +
+    in-row hash filter, zero corpus shuffle."""
+    if not 0.0 < budget_frac <= 1.0:
+        raise ValueError(
+            f"budget_frac must be in (0, 1], got {budget_frac}"
+        )
+    if epoch_cap <= 0:
+        raise ValueError(f"epoch_cap must be > 0, got {epoch_cap}")
+    counts_df = (
+        df.where(F.col(strata_col).isNotNull())
+        .groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    if counts_df.limit(MAX_MIX_STRATA + 1).count() > MAX_MIX_STRATA:
+        raise StrataTooLargeError(
+            f"more than {MAX_MIX_STRATA} strata in {strata_col!r}"
+        )
+    rows = sorted((r[strata_col], int(r["__n"])) for r in counts_df.collect())
+    if not rows:
+        return {}
+    n_total = sum(n for _, n in rows)
+    budget = float(round_half_away(budget_frac * n_total))
+    # ascending capacity, stratum name as the total tie-break — the
+    # oracle's ORDER BY (c, stratum)
+    caps = sorted(
+        ((epoch_cap * float(n), k, n) for k, n in rows),
+        key=lambda t: (t[0], t[1]),
+    )
+    L = len(caps)
+    cum = 0.0
+    flagged = []
+    for i, (c, k, n) in enumerate(caps, start=1):
+        cum += c
+        flagged.append((k, n, c, cum, cum + c * float(L - i) <= budget))
+    n_capped = sum(1 for f in flagged if f[4])
+    cum_capped = max((f[3] for f in flagged if f[4]), default=0.0)
+    water = (
+        (budget - cum_capped) / float(L - n_capped)
+        if n_capped < L
+        else 0.0
+    )
+    return {
+        k: min(1.0, (c if capped else water) / float(n))
+        for k, n, c, _, capped in flagged
+    }
+
+
+def unimax_mix(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    budget_frac: float = 0.5,
+    epoch_cap: float = 1.0,
+    seed: str = "unimax",
+) -> DataFrame:
+    """Deterministic UniMax corpus mix: derive the waterfill rates
+    (:func:`unimax_mix_rates`) and apply them with the
+    content-addressed stratified sampler. One tiny counts agg + one
+    broadcast-lookup filter."""
+    rates = unimax_mix_rates(df, strata_col, budget_frac, epoch_cap)
+    return stratified_hash_sample(
+        df, id_col, strata_col, rates, default_rate=0.0, seed=seed
+    )
+
+
 def temperature_mix(
     df: DataFrame,
     id_col: str,

@@ -260,9 +260,18 @@ from cdk_datalake_ingest_bigmagic_spark.queries import curation15  # noqa: E402,
 # this front: obligation ≈ 21 (the 31 r13 greens − 2 delta riders −
 # 8 pre-gates in (5)) + the r14 cohort members outside this front —
 # run `python tools/window_math.py 16` at round start per rule 1.
-# Registry 111, no queued activations, ~29 free slots: NO fold is
-# needed for r16 (the first slack round since r9); spend the slack on
-# r14-green pre-gates to keep r17 flat.
+# Registry 111, ~29 free slots: NO fold is needed for r16 (the first
+# slack round since r9); spend the slack on r14-green pre-gates to
+# keep r17 flat.
+# ALSO STAGED for r16 (growth, queue position after the obligation):
+# queries/curation16.py — corpus_mix_unimax (the UniMax budget-capped
+# waterfill mixing rule, Chung et al. ICLR 2023;
+# operators/sampling.py::unimax_mix, closed-form waterfill so the SQL
+# oracle replays the identical IEEE sequence), pre-validated at
+# sf0.001 + sf0.01 + sf0.1 (0 failures each), differential pytest in
+# test_llm_operators.py, staging-test-pinned
+# (tests/test_curation16_staging.py). Activation = import + 1 front
+# slot (registry 111 → 112).
 _GATE_FRONT: list[str] = [
     # (1) the 2 round-15 fold-suite activations (never gated; staged +
     # pre-validated at 3 SFs in round 14, activation now explicit via

@@ -1,0 +1,183 @@
+"""Round-16 growth gate, STAGED in round 15: UniMax budget-capped
+mixture sampling (operators/sampling.py::unimax_mix — Chung et al.,
+"UniMax: Fairer and More Effective Language Sampling for Large-Scale
+Multilingual Pretraining", ICLR 2023, public).
+
+NOT imported by queries/__init__.py in round 15 (the front closed at
+49 named slots); pre-validate via ``tools/validate_module.py
+curation16``; r16 activation = the import line + the gate name in the
+r16 front (the r16 pre-solve projects ~29 free slots — see the front
+plan in queries/__init__.py).
+
+One gate, two legs over the documents table's SKEWED ``lang`` strata,
+at budget_frac=0.5 / epoch_cap=0.6 — parameters chosen so BOTH
+waterfill branches are live at every SF (the four tail languages hit
+the 0.6-epoch cap; the head language takes the waterline):
+
+- ``rates``   per stratum: exact count, capacity, capped flag, the
+              waterfill rate, and the integer bucket threshold;
+- ``sample``  the selected documents under the md5 bucket rule.
+
+Cross-engine exactness: the waterfill is CLOSED FORM (see the
+operator docstring — the sequential loop computes different floats),
+so both engines run the identical IEEE sequence: one prefix sum in
+(capacity, stratum) order, one capped predicate, one division.
+Output doubles rounded to 6; thresholds via half-away rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.queries import load, register
+
+_FRAC = 0.5
+_CAP = 0.6
+_SEED = "unimax"
+
+_ORACLE = f"""
+    WITH counts AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n
+      FROM documents WHERE lang IS NOT NULL GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n_total,
+             CAST(count(*) AS BIGINT) AS L
+      FROM counts
+    ),
+    ordered AS (
+      SELECT lang, n, {_CAP} * n::DOUBLE AS c,
+             row_number() OVER (ORDER BY {_CAP} * n::DOUBLE, lang) AS rk,
+             sum({_CAP} * n::DOUBLE) OVER (
+               ORDER BY {_CAP} * n::DOUBLE, lang
+               ROWS UNBOUNDED PRECEDING
+             ) AS cum
+      FROM counts
+    ),
+    flagged AS (
+      SELECT o.lang, o.n, o.c, o.cum, t.L,
+             round({_FRAC} * t.n_total)::DOUBLE AS B,
+             (o.cum + o.c * (t.L - o.rk)::DOUBLE
+              <= round({_FRAC} * t.n_total)::DOUBLE) AS capped
+      FROM ordered o, tot t
+    ),
+    wl AS (
+      SELECT CAST(count(*) FILTER (WHERE capped) AS BIGINT) AS k,
+             coalesce(max(cum) FILTER (WHERE capped), 0.0) AS cumk
+      FROM flagged
+    ),
+    rates AS (
+      SELECT f.lang, f.n, f.c, f.capped,
+             least(1.0,
+                   (CASE WHEN f.capped THEN f.c
+                         WHEN f.L > w.k
+                           THEN (f.B - w.cumk) / (f.L - w.k)::DOUBLE
+                         ELSE 0.0 END) / f.n::DOUBLE) AS rate
+      FROM flagged f, wl w
+    ),
+    thr AS (
+      SELECT lang, n, c, capped, rate,
+             CAST(round(rate * 10000, 0) AS INT) AS threshold
+      FROM rates
+    )
+    SELECT 'rates' AS leg, lang,
+           n AS n_docs,
+           round(c, 6) AS capacity,
+           capped,
+           round(rate, 6) AS rate,
+           threshold,
+           CAST(NULL AS BIGINT) AS doc_id
+    FROM thr
+    UNION ALL
+    SELECT 'sample', d.lang,
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS BOOLEAN), CAST(NULL AS DOUBLE),
+           CAST(NULL AS INTEGER), d.doc_id
+    FROM documents d JOIN thr t USING (lang)
+    WHERE ('0x' || substr(md5('{_SEED}|' || d.doc_id), 1, 7))::BIGINT
+          % 10000 < t.threshold
+    """
+
+
+@register("corpus_mix_unimax", oracle=_ORACLE)
+def corpus_mix_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unimax_mix end-to-end at budget 0.5 / epoch cap 0.6 over the
+    skewed ``lang`` strata: the derived waterfill table (tail
+    languages pinned at their 0.6-epoch capacity, the head language
+    down-sampled to the waterline) plus the deterministic document
+    selection under those rates.
+
+    Scale shape: ONE tiny counts aggregation, a counted driver pull
+    (≤ MAX_MIX_STRATA), and the application is a broadcast lookup +
+    in-row md5 bucket filter — the corpus itself never shuffles."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.sampling import (
+        SAMPLE_BUCKETS,
+        round_half_away,
+        stratified_hash_sample,
+        unimax_mix_rates,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    rates = unimax_mix_rates(
+        d, "lang", budget_frac=_FRAC, epoch_cap=_CAP
+    )
+    # replay the closed form's intermediates for the rates leg (the
+    # same IEEE sequence the operator ran; counts re-pulled the same
+    # capped way)
+    counts = {
+        r["lang"]: int(r["n"])
+        for r in d.where(F.col("lang").isNotNull())
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_total = sum(counts.values())
+    budget = float(round_half_away(_FRAC * n_total))
+    caps = sorted(
+        ((_CAP * float(n), k, n) for k, n in counts.items()),
+        key=lambda t: (t[0], t[1]),
+    )
+    L = len(caps)
+    cum = 0.0
+    capped_of = {}
+    for i, (c, k, n) in enumerate(caps, start=1):
+        cum += c
+        capped_of[k] = cum + c * float(L - i) <= budget
+    nl, nd, ni, nb = (
+        F.lit(None).cast("long"),
+        F.lit(None).cast("double"),
+        F.lit(None).cast("int"),
+        F.lit(None).cast("boolean"),
+    )
+    rate_rows = [
+        (
+            "rates",
+            lang,
+            counts[lang],
+            round(_CAP * float(counts[lang]), 6),
+            capped_of[lang],
+            round(rate, 6),
+            round_half_away(rate * SAMPLE_BUCKETS),
+            None,
+        )
+        for lang, rate in sorted(rates.items())
+    ]
+    rates_leg = spark.createDataFrame(
+        rate_rows,
+        "leg string, lang string, n_docs long, capacity double, "
+        "capped boolean, rate double, threshold int, doc_id long",
+    )
+    sample_leg = stratified_hash_sample(
+        d, "doc_id", "lang", rates, default_rate=0.0, seed=_SEED
+    ).select(
+        F.lit("sample").alias("leg"),
+        "lang",
+        nl.alias("n_docs"),
+        nd.alias("capacity"),
+        nb.alias("capped"),
+        nd.alias("rate"),
+        ni.alias("threshold"),
+        "doc_id",
+    )
+    return rates_leg.unionByName(sample_leg)

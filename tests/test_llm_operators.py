@@ -1973,3 +1973,96 @@ def test_semdedup_keep_best_randomized_differential(spark):
                     f"case {case} vec {vid}: keep flipped "
                     f"(quality {quality[vid]}, best {best})"
                 )
+
+
+def test_unimax_mix_rates_differential(spark):
+    """unimax_mix_rates == a brute-force sequential waterfill (within
+    float dust) on skewed strata: tail strata pin at the epoch cap,
+    the head takes the waterline, the spent budget is exactly B when
+    any stratum is uncapped; B >= sum(caps) caps everything and
+    leaves the remainder deliberately unspent; application follows
+    the md5 bucket rule; guards fire."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_bigmagic_spark.operators.sampling import (
+        SAMPLE_BUCKETS,
+        StrataTooLargeError,
+        round_half_away,
+        sample_bucket,
+        unimax_mix,
+        unimax_mix_rates,
+    )
+
+    counts = {"a": 160, "b": 40, "c": 10}
+    rows, i = [], 0
+    for k, n in counts.items():
+        for _ in range(n):
+            rows.append((i, k)); i += 1
+    rows.append((i, None))  # NULL stratum: excluded
+    df = spark.createDataFrame(rows, "doc_id long, s string")
+
+    def py_waterfill(frac, cap):
+        # the sequential reference: repeatedly give everyone an equal
+        # share, capped — converges to the same reals as the closed
+        # form (different floats, hence the tolerance)
+        budget = float(round_half_away(frac * sum(counts.values())))
+        alloc = {k: 0.0 for k in counts}
+        live = set(counts)
+        remaining = budget
+        while live and remaining > 1e-12:
+            share = remaining / len(live)
+            progressed = False
+            for k in sorted(live):
+                room = cap * counts[k] - alloc[k]
+                take = min(room, share)
+                if take > 0:
+                    alloc[k] += take
+                    remaining -= take
+                    progressed = True
+                if alloc[k] >= cap * counts[k] - 1e-12:
+                    live.discard(k)
+            if not progressed:
+                break
+        return {k: min(1.0, alloc[k] / counts[k]) for k in counts}
+
+    for frac, cap in ((0.5, 0.6), (0.3, 1.0), (0.9, 0.5), (1.0, 2.0)):
+        got = unimax_mix_rates(df, "s", budget_frac=frac, epoch_cap=cap)
+        want = py_waterfill(frac, cap)
+        assert got.keys() == want.keys()
+        for k in got:
+            assert abs(got[k] - want[k]) < 1e-9, (frac, cap, k)
+
+    # budget 0.5 / cap 0.6: tails pinned at the cap, head at the line
+    r = unimax_mix_rates(df, "s", budget_frac=0.5, epoch_cap=0.6)
+    assert abs(r["b"] - 0.6) < 1e-12 and abs(r["c"] - 0.6) < 1e-12
+    assert r["a"] < 0.6
+    # the budget is exactly spent (an uncapped stratum exists)
+    spent = sum(r[k] * counts[k] for k in counts)
+    assert abs(spent - round_half_away(0.5 * sum(counts.values()))) < 1e-6
+    # B >= sum(caps): everything pinned, remainder unspent
+    r_all = unimax_mix_rates(df, "s", budget_frac=1.0, epoch_cap=0.5)
+    assert all(abs(v - 0.5) < 1e-12 for v in r_all.values())
+
+    # application: selected ids are exactly the bucket rule's
+    picked = {r2["doc_id"] for r2 in
+              unimax_mix(df, "doc_id", "s", 0.5, 0.6).collect()}
+    thr = {k: round_half_away(v * SAMPLE_BUCKETS) for k, v in r.items()}
+    expect = {
+        r2["doc_id"]
+        for r2 in df.select(
+            "doc_id", "s", sample_bucket(F.col("doc_id"), "unimax").alias("b")
+        ).collect()
+        if r2["s"] is not None and r2["b"] < thr[r2["s"]]
+    }
+    assert picked == expect
+
+    with _pytest.raises(StrataTooLargeError):
+        big = spark.range(5000).select(
+            F.col("id").alias("doc_id"), F.col("id").cast("string").alias("s")
+        )
+        unimax_mix_rates(big, "s")
+    with _pytest.raises(ValueError):
+        unimax_mix_rates(df, "s", budget_frac=0.0)
+    with _pytest.raises(ValueError):
+        unimax_mix_rates(df, "s", epoch_cap=0)
