@@ -677,13 +677,15 @@ def test_dedup_zero_shuffle_plan_shape(spark):
 
 
 def test_user_similarity_plan_is_bucketed(spark, sf_dir):
-    """The REGISTERED user-similarity query must be the scale plan:
+    """The REGISTERED user-similarity plan must be the scale plan:
     SRP-bucketed equi-join, never a broadcast-nested-loop over all user
     pairs (which is what a bare `a.join(b, user_a < user_b)` compiles
-    to)."""
+    to). Since round 15 the gate is the ``user_similarity`` leg of
+    events_suite (suites15 fold) — legs keep the member's exact
+    standalone plan, so the assertion runs on the suite."""
     from cdk_datalake_ingest_bigmagic_spark.queries import all_queries
 
-    df = all_queries()["events_user_similarity"](spark, sf_dir)
+    df = all_queries()["events_suite"](spark, sf_dir)
     plan = _plan_of(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
