@@ -156,7 +156,12 @@ class CorpusPipelineConfig:
     #: - ``"budget"``: token-budget planning via ``mix_to_budget`` —
     #:   per-stratum token masses (one map-side-combined agg) turn
     #:   ``mix_budget_tokens`` × ``mix_weights`` into rates, same
-    #:   zero-shuffle application.
+    #:   zero-shuffle application;
+    #: - ``"unimax"`` (round 15): the UniMax budget-capped waterfill
+    #:   (Chung et al. ICLR 2023) via ``unimax_mix`` —
+    #:   ``mix_target_frac`` is the document budget, ``mix_epoch_cap``
+    #:   bounds per-stratum reuse; closed-form waterfill, same tiny
+    #:   counts agg + zero-shuffle application.
     #: A missing strata column raises (a silently skipped mix would
     #: publish a corpus with the wrong training ratios).
     mix_mode: str = ""
@@ -165,6 +170,7 @@ class CorpusPipelineConfig:
     mix_target_frac: float = 0.5
     mix_budget_tokens: int = 0
     mix_weights: tuple = ()
+    mix_epoch_cap: float = 1.0
     #: materializes the one-pass document score card
     #: (plans/scorecard.py) as a manifest-tracked step beside the
     #: pipeline artifacts — the narrow per-document quality table
@@ -235,7 +241,8 @@ class CorpusPipeline:
         "split": ("id_col", "splits", "seed"),
         "mix": ("id_col", "text_col", "source_col", "splits", "seed",
                 "mix_mode", "mix_strata_col", "mix_temperature",
-                "mix_target_frac", "mix_budget_tokens", "mix_weights"),
+                "mix_target_frac", "mix_budget_tokens", "mix_weights",
+                "mix_epoch_cap"),
         "shard": ("id_col", "n_shards", "seed"),
         "tokenize": ("id_col", "text_col", "splits", "bpe_merges",
                      "bpe_max_words"),
@@ -592,14 +599,15 @@ class CorpusPipeline:
 
         shard_input, shard_upstream = "split", split.fingerprint
         if cfg.mix_mode:
-            if cfg.mix_mode not in ("temperature", "budget"):
+            if cfg.mix_mode not in ("temperature", "budget", "unimax"):
                 raise ValueError(
-                    "mix_mode must be '', 'temperature' or 'budget', "
-                    f"got {cfg.mix_mode!r}"
+                    "mix_mode must be '', 'temperature', 'budget' or "
+                    f"'unimax', got {cfg.mix_mode!r}"
                 )
             from cdk_datalake_ingest_bigmagic_spark.operators.sampling import (
                 mix_to_budget,
                 temperature_mix,
+                unimax_mix,
             )
 
             strata = cfg.mix_strata_col or cfg.source_col
@@ -619,6 +627,13 @@ class CorpusPipeline:
                         tr, ic, strata,
                         temperature=cfg.mix_temperature,
                         target_frac=cfg.mix_target_frac,
+                        seed=f"{cfg.seed}-mix",
+                    )
+                elif cfg.mix_mode == "unimax":
+                    mixed = unimax_mix(
+                        tr, ic, strata,
+                        budget_frac=cfg.mix_target_frac,
+                        epoch_cap=cfg.mix_epoch_cap,
                         seed=f"{cfg.seed}-mix",
                     )
                 else:

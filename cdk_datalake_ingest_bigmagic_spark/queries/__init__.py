@@ -252,7 +252,11 @@ from cdk_datalake_ingest_bigmagic_spark.queries import curation15  # noqa: E402,
 # streaming/incremental.py grew stream_semantic_novelty (new code
 # only; pytest-pinned by design — streaming). runner.py /
 # plans/pipeline.py changes back no gated query (the 56-table replay
-# + runner pytest cover them).
+# + runner pytest cover them). plans/corpus.py gained the 'unimax'
+# mix mode (additive branch; its gated riders corpus_clean_full +
+# corpus_split_mix_full are already fronted below — zero extra
+# slots; the new mode itself is pytest-pinned until the r16
+# corpus_mix_unimax activation).
 #
 # r16 PRE-SOLVED (written at round-15 build time, the standing policy
 # rule): once this front goes green, r16's obligation is the r14-green

@@ -663,6 +663,50 @@ def test_pipeline_mix_step_budget_and_validation(spark, corpus, tmp_path_factory
         ).run(corpus)
 
 
+def test_pipeline_mix_step_unimax(spark, corpus, tmp_path_factory):
+    """mix_mode='unimax' (round 15) re-mixes the TRAIN split with the
+    budget-capped waterfill while val/test ride through intact; the
+    kept id set must equal unimax_mix applied directly to the split
+    artifact (same seam + seed), and shard consumes the mix
+    artifact."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.sampling import (
+        unimax_mix,
+    )
+
+    work = str(tmp_path_factory.mktemp("corpus_mix_u"))
+    pipe = CorpusPipeline(
+        spark,
+        work,
+        CorpusPipelineConfig(
+            mix_mode="unimax", mix_target_frac=0.5, mix_epoch_cap=0.7
+        ),
+    )
+    results = pipe.run(corpus)
+    assert set(results) == {"clean", "dedup", "split", "mix", "shard"}
+
+    split = pipe.read("split")
+    mixed = pipe.read("mix")
+    for s in ("val", "test"):
+        a = {r["doc_id"] for r in split.filter(F.col("split") == s).collect()}
+        b = {r["doc_id"] for r in mixed.filter(F.col("split") == s).collect()}
+        assert a == b, f"{s} split must ride through the mix unchanged"
+    expect = {
+        r["doc_id"]
+        for r in unimax_mix(
+            split.filter(F.col("split") == "train"),
+            "doc_id", "source", budget_frac=0.5, epoch_cap=0.7,
+            seed="corpus-mix",
+        ).collect()
+    }
+    got = {
+        r["doc_id"] for r in mixed.filter(F.col("split") == "train").collect()
+    }
+    assert got == expect and got
+    assert len(got) < split.filter("split = 'train'").count()
+    assert results["shard"].rows == results["mix"].rows
+    assert set(mixed.columns) == set(split.columns)
+
+
 def test_pipeline_semdedup_step(spark, tmp_path_factory):
     """semantic_dedup=True inserts the SemDeDup keep-best step after
     the syntactic dedup: embedding near-neighbors collapse to their
