@@ -1,0 +1,99 @@
+"""Streaming SemDeDup long-run probe: does per-batch cost stay flat
+as the accepted-vector store accumulates, and does the novelty
+invariant keep hot semantic clusters bounded?
+
+The risk regime for stream_semantic_novelty at 100 TB is a
+boilerplate-embedding crawl: if every batch carried vectors from the
+same few semantic clusters, a naive accumulated store would collect
+every copy and the within-list candidate join would go quadratic in
+copies. The designed defenses are (a) the novelty invariant — only
+FIRST occurrences enter the store, so a semantic cluster contributes
+~one stored vector no matter how many near-copies stream past — and
+(b) the frozen-quantizer list locality — a batch vector is only ever
+compared against store vectors in ITS inverted list.
+
+This probe streams B batches where 80% of each batch is a jittered
+copy of a small set of base directions (hot clusters) and 20% is a
+genuinely novel random direction, then reports per-batch wall
+(should be ~flat), store size (should grow ~20% of corpus + the base
+families), and decision counts.
+
+Usage: python tools/stream_semdedup_probe.py [batches] [vecs_per_batch] [dims]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import numpy as np
+
+    from cdk_datalake_ingest_bigmagic_spark import get_spark
+    from cdk_datalake_ingest_bigmagic_spark.streaming.incremental import (
+        stream_semantic_novelty,
+    )
+
+    batches = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    per = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
+    dims = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+    base = "/tmp/ssn_probe"
+    shutil.rmtree(base, ignore_errors=True)
+    vecs, store, ckpt = f"{base}/v", f"{base}/s", f"{base}/c"
+
+    spark = get_spark(app_name="ssn-probe")
+    rng = np.random.default_rng(7)
+    n_hot = 16
+    hot = rng.standard_normal((n_hot, dims))
+    hot /= np.sqrt((hot * hot).sum(axis=1))[:, None]
+
+    def batch_rows(b: int):
+        rows = []
+        for i in range(per):
+            vec_id = b * per + i
+            if i % 5 != 0:  # 80%: jittered copy of a hot direction
+                v = hot[i % n_hot] + 0.01 * rng.standard_normal(dims)
+            else:  # 20%: novel direction
+                v = rng.standard_normal(dims)
+            v = v / np.sqrt((v * v).sum())
+            rows.append((vec_id, [float(x) for x in v]))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    walls = []
+    for b in range(batches):
+        mode = "overwrite" if b == 0 else "append"
+        batch_rows(b).write.mode(mode).parquet(vecs)
+        t0 = time.time()
+        stream_semantic_novelty(
+            spark, vecs, store, ckpt, n_lists=64, threshold=0.9
+        ).awaitTermination()
+        walls.append(round(time.time() - t0, 2))
+
+    dec = spark.read.parquet(f"{store}/decisions")
+    stored = spark.read.parquet(f"{store}/vecs").count()
+    novel = dec.filter("novel").count()
+    total = dec.count()
+    print(json.dumps({
+        "batches": batches,
+        "vecs_per_batch": per,
+        "dims": dims,
+        "per_batch_sec": walls,
+        "flat_ratio_last_vs_second": round(walls[-1] / walls[1], 2),
+        "total_vecs": total,
+        "novel_accepted": novel,
+        "stored_vecs": stored,
+        "hot_copies_rejected": total - novel,
+    }))
+
+
+if __name__ == "__main__":
+    main()
