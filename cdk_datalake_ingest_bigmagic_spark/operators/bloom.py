@@ -1,0 +1,126 @@
+"""Bloom-filter benchmark decontamination — the bounded-broadcast tier.
+
+The exact n-gram tier (operators/text.py::contamination_overlap)
+broadcasts the benchmark's DISTINCT shingle set; that is the right
+plan while benchmarks are small, but a 100-TB curation run screens
+against aggregated eval suites plus their paraphrase expansions —
+shingle sets that outgrow a comfortable broadcast. The classical
+answer (Bloom 1970; the CCNet/RefinedWeb pipelines use the same
+trick for URL and document blocklists) is a Bloom filter: ``m`` bits,
+``k`` hash functions, membership = all ``k`` bits set, false-positive
+rate ≈ (1 − e^(−k·n/m))^k and NO false negatives — so the filter is a
+safe PRE-SCREEN (a flagged document goes to the exact tier; an
+unflagged one is provably clean).
+
+Engine-portable construction (the repo's md5 determinism contract —
+no engine-specific hash seeds):
+
+- bit position ``i`` of shingle ``s`` = first 8 hex chars of
+  ``md5(f"{i}|{s}")`` as an integer, mod ``m`` — the same expression
+  in Spark (``conv(substring(md5(...), 1, 8), 16, 10) % m``) and any
+  SQL oracle;
+- the filter itself is a length-``m`` '0'/'1' string literal: the
+  set-bit POSITIONS are collected driver-side (≤ m values — a
+  bounded pull however large the benchmark is, which is the entire
+  point), and the membership check compiles to ``k`` substring
+  probes inside WholeStageCodegen — zero joins, zero shuffles on the
+  corpus side; the only corpus shuffle is the final per-document
+  aggregation.
+
+Memory shape: the literal costs m bytes in the plan (broadcast once
+per executor). m up to a few tens of millions is a normal broadcast;
+beyond that, shard the filter by ``pos % n_shards`` into several
+literals and OR the probes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bloom_position(shingle: Column, i: int, m: int) -> Column:
+    """Bit position of hash function ``i`` for a shingle — the
+    md5-slice rule both engines can evaluate identically."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{i}|"), shingle)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(m)
+    )
+
+
+def bloom_bits(
+    benchmark_shingles: DataFrame, m: int = 65536, k: int = 3
+) -> str:
+    """Build the filter over the benchmark's shingle set and return it
+    as a length-``m`` '0'/'1' string. The driver pull is the DISTINCT
+    set-bit positions — at most ``m`` values regardless of benchmark
+    size (the bounded-broadcast contract)."""
+    if m <= 0 or k <= 0:
+        raise ValueError(f"need m > 0 and k > 0, got m={m} k={k}")
+    sh = benchmark_shingles.select("shingle").distinct()
+    pos = None
+    for i in range(k):
+        p = sh.select(bloom_position(F.col("shingle"), i, m).alias("pos"))
+        pos = p if pos is None else pos.unionByName(p)
+    bits = bytearray(b"0") * m
+    for r in pos.distinct().collect():
+        bits[int(r["pos"])] = ord("1")
+    return bits.decode("ascii")
+
+
+def bloom_flag(
+    corpus_shingles: DataFrame,
+    bits: str,
+    id_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """(id, n_flagged): per document, how many DISTINCT shingles the
+    filter reports as benchmark members (a SUPERSET of the exact
+    ``n_overlap`` — false positives at the published rate, never
+    false negatives). Only flagged documents come back (inner
+    semantics, like the exact tier).
+
+    Plan shape: ``k`` substring probes on a literal — all inside
+    WholeStageCodegen, no join against the benchmark anywhere — then
+    ONE shuffle for the per-document distinct count."""
+    m = len(bits)
+    shingle = F.col("shingle")
+    bits_col = F.col("__bloom_bits")
+    member = None
+    for i in range(k):
+        hit = (
+            F.substr(
+                bits_col,
+                (bloom_position(shingle, i, m) + F.lit(1)).cast("int"),
+                F.lit(1),
+            )
+            == F.lit("1")
+        )
+        member = hit if member is None else (member & hit)
+    return (
+        corpus_shingles.withColumn("__bloom_bits", F.lit(bits))
+        .filter(member)
+        .groupBy(id_col)
+        .agg(F.count_distinct(shingle).alias("n_flagged"))
+    )
+
+
+def bloom_contamination(
+    corpus_shingles: DataFrame,
+    benchmark_shingles: DataFrame,
+    id_col: str,
+    m: int = 65536,
+    k: int = 3,
+) -> DataFrame:
+    """The composed pre-screen: build the filter from the benchmark
+    side, probe every corpus shingle in-row. Same row contract as
+    ``contamination_overlap`` with ``n_flagged ≥ n_overlap``;
+    downstream routes flagged documents to the exact tier."""
+    bits = bloom_bits(benchmark_shingles, m, k)
+    return bloom_flag(corpus_shingles, bits, id_col, k)

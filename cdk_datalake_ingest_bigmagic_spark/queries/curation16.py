@@ -1,13 +1,18 @@
-"""Round-16 growth gate, STAGED in round 15: UniMax budget-capped
-mixture sampling (operators/sampling.py::unimax_mix — Chung et al.,
-"UniMax: Fairer and More Effective Language Sampling for Large-Scale
-Multilingual Pretraining", ICLR 2023, public).
+"""Round-16 growth gates, STAGED in round 15:
+
+- ``corpus_mix_unimax`` — UniMax budget-capped mixture sampling
+  (operators/sampling.py::unimax_mix — Chung et al., "UniMax: Fairer
+  and More Effective Language Sampling for Large-Scale Multilingual
+  Pretraining", ICLR 2023, public);
+- ``contamination_bloom_counts`` — the Bloom-filter decontamination
+  pre-screen (operators/bloom.py — bounded-broadcast membership; the
+  tier below the exact shingle join).
 
 NOT imported by queries/__init__.py in round 15 (the front closed at
 49 named slots); pre-validate via ``tools/validate_module.py
-curation16``; r16 activation = the import line + the gate name in the
-r16 front (the r16 pre-solve projects ~29 free slots — see the front
-plan in queries/__init__.py).
+curation16``; r16 activation = the import line + the two gate names
+in the r16 front (the r16 pre-solve projects ~29 free slots — see the
+front plan in queries/__init__.py).
 
 One gate, two legs over the documents table's SKEWED ``lang`` strata,
 at budget_frac=0.5 / epoch_cap=0.6 — parameters chosen so BOTH
@@ -181,3 +186,84 @@ def corpus_mix_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
     )
     return rates_leg.unionByName(sample_leg)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination pre-screen (second staged r16 gate)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 4096
+_BLOOM_K = 3
+
+#: md5-slice bit position — the same expression bloom_position compiles
+_POS = ("('0x' || substr(md5({i} || '|' || {s}), 1, 8))::BIGINT"
+        f" % {_BLOOM_M}")
+
+_SHINGLE_CTE = r"""
+    norm AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+2], ' ') AS shingle
+      FROM norm, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) i
+      WHERE len(w) >= 3
+    )
+"""
+
+_BLOOM_ORACLE = f"""
+    WITH {_SHINGLE_CTE},
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+    hashes AS (SELECT unnest(range(0, {_BLOOM_K})) AS i),
+    setpos AS (
+      SELECT DISTINCT {_POS.format(i="h.i::VARCHAR", s="b.shingle")} AS pos
+      FROM bench b, hashes h
+    ),
+    cand AS (
+      SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0
+    ),
+    checks AS (
+      SELECT c.doc_id, c.shingle,
+             count(p.pos) AS n_hit
+      FROM cand c
+      CROSS JOIN hashes h
+      LEFT JOIN setpos p
+        ON p.pos = {_POS.format(i="h.i::VARCHAR", s="c.shingle")}
+      GROUP BY c.doc_id, c.shingle
+    )
+    SELECT doc_id, COUNT(*)::BIGINT AS n_flagged
+    FROM checks WHERE n_hit = {_BLOOM_K}
+    GROUP BY doc_id
+    """
+
+
+@register("contamination_bloom_counts", oracle=_BLOOM_ORACLE)
+def contamination_bloom_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination pre-screen (operators/bloom.py):
+    the benchmark stand-in (docs with ``doc_id % 50 == 0``) builds an
+    m=4096 / k=3 filter; every other document reports how many of its
+    distinct shingles the filter flags. Superset-of-exact semantics:
+    ``n_flagged ≥ contamination_ngram_overlap.n_overlap`` per doc,
+    with false positives at the published (1−e^(−kn/m))^k rate and NO
+    false negatives — the deliberately small m makes the FP branch
+    live at every SF, and the oracle replays the identical md5-slice
+    positions, so the hash compare covers both branches.
+
+    Scale shape: the filter is ≤ m set-bit positions collected once
+    (bounded however large the benchmark grows — the tier's reason to
+    exist); the corpus side is k codegen substring probes on a
+    literal, zero joins, and the one shuffle is the per-document
+    distinct count."""
+    from cdk_datalake_ingest_bigmagic_spark.operators import dedup as dd
+    from cdk_datalake_ingest_bigmagic_spark.operators.bloom import (
+        bloom_contamination,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    sh = dd.shingles_exploded(d, "doc_id", "text", n=3)
+    bench = sh.filter(F.col("doc_id") % 50 == 0)
+    corpus = sh.filter(F.col("doc_id") % 50 != 0)
+    return bloom_contamination(
+        corpus, bench, "doc_id", m=_BLOOM_M, k=_BLOOM_K
+    )

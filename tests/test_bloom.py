@@ -1,0 +1,137 @@
+"""Bloom-filter decontamination tier (operators/bloom.py).
+
+Contracts pinned here:
+- NO false negatives: every document the exact tier flags, the Bloom
+  tier flags, with n_flagged >= n_overlap per document;
+- false positives exist but are bounded: at the test's (m, k, n) the
+  published rate is tiny, so a generously-sized filter flags EXACTLY
+  the exact tier's set;
+- a deliberately tiny filter (high FPR) over-flags — the superset
+  direction, proving the probes actually consult the bits;
+- plan shape: the corpus side has NO join (the filter rides as a
+  literal; probes are codegen substring tests) and exactly the final
+  per-document aggregation shuffles;
+- determinism: the bit string is a pure function of the benchmark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _shingles(spark, rows):
+    from cdk_datalake_ingest_bigmagic_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return dd.shingles_exploded(df, "doc_id", "text", 3)
+
+
+_BENCH_TEXT = (
+    "the quick brown fox jumps over the lazy dog near the wide river"
+)
+_CLEAN_TEXT = (
+    "completely different subject matter about database engines query "
+    "planners and distributed shuffle execution strategies today"
+)
+
+
+def test_bloom_superset_of_exact_and_exact_at_low_fpr(spark):
+    from cdk_datalake_ingest_bigmagic_spark.operators.bloom import (
+        bloom_contamination,
+    )
+    from cdk_datalake_ingest_bigmagic_spark.operators.text import (
+        contamination_overlap,
+    )
+
+    corpus = _shingles(
+        spark,
+        [
+            (1, _BENCH_TEXT + " extra trailing words beyond the suite"),
+            (2, _CLEAN_TEXT),
+            (3, "fox jumps over the lazy dog " + _CLEAN_TEXT),
+        ],
+    )
+    bench = _shingles(spark, [(100, _BENCH_TEXT)])
+
+    exact = {
+        r["doc_id"]: r["n_overlap"]
+        for r in contamination_overlap(corpus, bench, "doc_id").collect()
+    }
+    flagged = {
+        r["doc_id"]: r["n_flagged"]
+        for r in bloom_contamination(
+            corpus, bench, "doc_id", m=65536, k=3
+        ).collect()
+    }
+    # no false negatives, per-document superset
+    for doc, n in exact.items():
+        assert flagged.get(doc, 0) >= n
+    # at m=65536 / k=3 / ~a dozen benchmark shingles the FPR is ~1e-11:
+    # the two tiers agree exactly
+    assert flagged == exact
+    assert 1 in exact and 3 in exact and 2 not in flagged
+
+
+def test_bloom_tiny_filter_overflags_never_underflags(spark):
+    from cdk_datalake_ingest_bigmagic_spark.operators.bloom import (
+        bloom_contamination,
+    )
+    from cdk_datalake_ingest_bigmagic_spark.operators.text import (
+        contamination_overlap,
+    )
+
+    corpus = _shingles(
+        spark,
+        [(1, _BENCH_TEXT), (2, _CLEAN_TEXT + " more unrelated words here")],
+    )
+    bench = _shingles(spark, [(100, _BENCH_TEXT)])
+    exact = {
+        r["doc_id"]: r["n_overlap"]
+        for r in contamination_overlap(corpus, bench, "doc_id").collect()
+    }
+    # 16 bits, 3 hashes: nearly every probe hits a set bit
+    flagged = {
+        r["doc_id"]: r["n_flagged"]
+        for r in bloom_contamination(corpus, bench, "doc_id", m=16, k=3).collect()
+    }
+    for doc, n in exact.items():
+        assert flagged.get(doc, 0) >= n
+    # the clean doc now over-flags (false positives) — the probes
+    # really consult the bits
+    assert flagged.get(2, 0) > 0
+
+
+def test_bloom_bits_deterministic_and_plan_joinless(spark):
+    from cdk_datalake_ingest_bigmagic_spark.operators.bloom import (
+        bloom_bits,
+        bloom_flag,
+    )
+
+    bench = _shingles(spark, [(100, _BENCH_TEXT)])
+    bits1 = bloom_bits(bench, m=4096, k=3)
+    bits2 = bloom_bits(bench, m=4096, k=3)
+    assert bits1 == bits2 and len(bits1) == 4096
+    assert bits1.count("1") > 0
+
+    corpus = _shingles(spark, [(1, _BENCH_TEXT), (2, _CLEAN_TEXT)])
+    out = bloom_flag(corpus, bits1, "doc_id", k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # the filter rides as a literal
+    # only the per-document distinct count shuffles — Spark compiles
+    # count_distinct to its standard two-stage plan ((id, shingle)
+    # dedup with map-side partial, then the id agg); both exchanges
+    # belong to that aggregation, none to the membership test
+    assert plan.count("Exchange") <= 2
+    assert {r["doc_id"] for r in out.collect()} == {1}
+
+
+def test_bloom_guards(spark):
+    import pytest
+
+    from cdk_datalake_ingest_bigmagic_spark.operators.bloom import bloom_bits
+
+    bench = _shingles(spark, [(100, _BENCH_TEXT)])
+    with pytest.raises(ValueError):
+        bloom_bits(bench, m=0)
+    with pytest.raises(ValueError):
+        bloom_bits(bench, m=64, k=0)

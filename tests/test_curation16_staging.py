@@ -42,7 +42,9 @@ def test_curation16_registers_in_isolation():
     )
     assert out.returncode == 0, out.stderr[-1500:]
     rep = json.loads(out.stdout.strip().splitlines()[-1])
-    assert rep["added"] == ["corpus_mix_unimax"]
+    assert rep["added"] == [
+        "contamination_bloom_counts", "corpus_mix_unimax",
+    ]
     assert rep["oracles_ok"]
     # staged means staged: activation is a conscious __init__ edit
     assert rep["not_imported_by_default"]
@@ -52,3 +54,4 @@ def test_curation16_not_in_live_registry():
     from cdk_datalake_ingest_bigmagic_spark.queries import QUERIES
 
     assert "corpus_mix_unimax" not in QUERIES
+    assert "contamination_bloom_counts" not in QUERIES
