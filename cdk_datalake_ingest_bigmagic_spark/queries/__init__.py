@@ -259,11 +259,21 @@ from cdk_datalake_ingest_bigmagic_spark.queries import curation15  # noqa: E402,
 # corpus_mix_unimax activation).
 #
 # r16 PRE-SOLVED (written at round-15 build time, the standing policy
-# rule): once this front goes green, r16's obligation is the r14-green
-# cohort not re-gated here. Simulated on the recorded greens +
-# this front: obligation ≈ 21 (the 31 r13 greens − 2 delta riders −
-# 8 pre-gates in (5)) + the r14 cohort members outside this front —
-# run `python tools/window_math.py 16` at round start per rule 1.
+# rule): once this front goes green, r16's obligation — simulated
+# mechanically on the recorded greens + this front — is exactly 21
+# (the r13-green cohort minus the 2 delta riders and 8 pre-gates
+# re-gated here): dedup_cross_corpus, dsir_suite,
+# gopher_quality_card, gopher_repetition_fracs, html_block_census,
+# html_boilerplate_profile, html_extract_main_text, multimodal_suite,
+# paragraph_exact_core, paragraph_near_dup_pairs,
+# paragraph_strip_rewrite, pii_financial_counts, profile_suite,
+# quality_ensemble_card, ranking_global_order, retrieval_bm25_topk,
+# softdedup_cluster_keep, text_bpe_encode, text_dup_run_profile,
+# text_duplicate_intervals, tokenizer_fertility.
+# Demand: 21 obligation + 2 curation16 activations + riders → ~25,
+# leaving ~25 slots for r14-green pre-gates (keep r17 flat).
+# Confirm with `python tools/window_math.py 16` at round start per
+# rule 1 — never trust this hand-projection alone.
 # Registry 111, ~29 free slots: NO fold is needed for r16 (the first
 # slack round since r9); spend the slack on r14-green pre-gates to
 # keep r17 flat.
