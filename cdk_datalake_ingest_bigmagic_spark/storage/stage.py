@@ -184,29 +184,6 @@ class ParquetStageTable:
         else:
             stash.rename(log)
 
-    def _commit_delta_log(
-        self,
-        df: DataFrame,
-        partition_cols: list[str] | None,
-        operation: str,
-    ) -> None:
-        """Publish the table state as a Delta transaction-log commit
-        (storage/deltalog.py): the parquet backend's tables become
-        spec-conformant Delta tables any external Delta reader can
-        load, without delta-spark in this environment. Local paths
-        only (the log writer walks the filesystem); object-store
-        paths keep the plain-parquet behavior."""
-        if not _is_local_path(self.path):  # pragma: no cover - object store
-            return
-        from cdk_datalake_ingest_bigmagic_spark.storage import deltalog
-
-        deltalog.commit_snapshot(
-            str(_local(self.path)),
-            df.schema.json(),
-            partition_cols,
-            operation,
-        )
-
     def merge(
         self,
         df: DataFrame,
