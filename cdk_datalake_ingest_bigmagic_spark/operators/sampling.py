@@ -196,14 +196,25 @@ def unimax_mix_rates(
             f"more than {MAX_MIX_STRATA} strata in {strata_col!r}"
         )
     rows = sorted((r[strata_col], int(r["__n"])) for r in counts_df.collect())
-    if not rows:
+    return unimax_waterfill(dict(rows), budget_frac, epoch_cap)
+
+
+def unimax_waterfill(
+    counts: dict, budget_frac: float, epoch_cap: float
+) -> dict[str, float]:
+    """The pure closed-form waterfill over per-stratum counts — the
+    driver-side core of :func:`unimax_mix_rates`, factored out so its
+    invariants are property-testable without a SparkSession. Every
+    float op runs in sorted-(capacity, stratum) order; see the caller
+    for the IEEE-portability contract."""
+    if not counts:
         return {}
-    n_total = sum(n for _, n in rows)
+    n_total = sum(counts.values())
     budget = float(round_half_away(budget_frac * n_total))
     # ascending capacity, stratum name as the total tie-break — the
     # oracle's ORDER BY (c, stratum)
     caps = sorted(
-        ((epoch_cap * float(n), k, n) for k, n in rows),
+        ((epoch_cap * float(n), k, n) for k, n in counts.items()),
         key=lambda t: (t[0], t[1]),
     )
     L = len(caps)

@@ -325,3 +325,53 @@ def test_round_half_away_boundaries():
     assert round_half_away(1.4999999999999998) == 1
     assert round_half_away(7.0) == 7
     assert round_half_away(0.0) == 0
+
+
+@given(
+    st.dictionaries(
+        st.from_regex(r"[a-z]{1,6}", fullmatch=True),
+        st.integers(min_value=1, max_value=100_000),
+        min_size=1,
+        max_size=12,
+    ),
+    st.floats(min_value=0.01, max_value=1.0),
+    st.floats(min_value=0.05, max_value=3.0),
+)
+@settings(max_examples=200)
+def test_unimax_waterfill_invariants(counts, budget_frac, epoch_cap):
+    from cdk_datalake_ingest_bigmagic_spark.operators.sampling import (
+        round_half_away,
+        unimax_waterfill,
+    )
+
+    rates = unimax_waterfill(counts, budget_frac, epoch_cap)
+    assert rates.keys() == counts.keys()
+    n_total = sum(counts.values())
+    budget = round_half_away(budget_frac * n_total)
+    eps = 1e-9 * max(1.0, float(n_total))
+    for k, r in rates.items():
+        # a rate never exceeds 1 epoch of hash-filter selection nor
+        # the epoch cap (plus float dust)
+        assert 0.0 <= r <= 1.0 + 1e-12
+        assert r <= min(1.0, epoch_cap) + 1e-9
+    spent = sum(rates[k] * counts[k] for k in counts)
+    # the waterfill's capacities are epoch_cap·n UNCLAMPED; the final
+    # rate clamp to 1 happens after allocation
+    cap_total = sum(epoch_cap * float(n) for n in counts.values())
+    if budget >= cap_total - eps:
+        # budget beyond the true caps: everything pins at the cap
+        # (then clamps to 1) and the remainder is deliberately unspent
+        for k, r in rates.items():
+            assert abs(r - min(1.0, epoch_cap)) < 1e-9
+    else:
+        # otherwise the waterline spends the budget exactly (within
+        # accumulated float dust), except when min(1, ·) clamps an
+        # uncapped stratum's rate at 1 (epoch_cap > 1 upsampling
+        # territory — the hash filter can't repeat rows)
+        clamped = any(
+            rates[k] >= 1.0 - 1e-12 and epoch_cap > 1.0 for k in rates
+        )
+        if not clamped:
+            assert abs(spent - budget) < max(eps, 1e-6 * budget + 1e-9)
+    # determinism: same inputs, same floats
+    assert unimax_waterfill(counts, budget_frac, epoch_cap) == rates
