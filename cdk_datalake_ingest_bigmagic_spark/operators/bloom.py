@@ -63,15 +63,29 @@ def bloom_bits(
     size (the bounded-broadcast contract)."""
     if m <= 0 or k <= 0:
         raise ValueError(f"need m > 0 and k > 0, got m={m} k={k}")
-    sh = benchmark_shingles.select("shingle").distinct()
-    pos = None
-    for i in range(k):
-        p = sh.select(bloom_position(F.col("shingle"), i, m).alias("pos"))
-        pos = p if pos is None else pos.unionByName(p)
-    bits = bytearray(b"0") * m
-    for r in pos.distinct().collect():
-        bits[int(r["pos"])] = ord("1")
-    return bits.decode("ascii")
+    # One scan: all k positions as an array, exploded, distinct — not a
+    # k-way union of scans. The pull rides Arrow (toPandas), not
+    # row-at-a-time collect: at m in the tens of millions the distinct
+    # position set is millions of longs, and py4j row decode was the
+    # measured bottleneck (16M-bit probe: pull minutes -> seconds).
+    pos = (
+        benchmark_shingles.select("shingle")
+        .distinct()
+        .select(
+            F.explode(
+                F.array(
+                    *[bloom_position(F.col("shingle"), i, m) for i in range(k)]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    import numpy as np
+
+    idx = pos.toPandas()["pos"].to_numpy(dtype="int64")
+    bits = np.full(m, ord("0"), dtype=np.uint8)
+    bits[idx] = ord("1")
+    return bits.tobytes().decode("ascii")
 
 
 def bloom_flag(
@@ -88,15 +102,21 @@ def bloom_flag(
 
     Plan shape: ``k`` substring probes on a literal — all inside
     WholeStageCodegen, no join against the benchmark anywhere — then
-    ONE shuffle for the per-document distinct count."""
+    ONE shuffle for the per-document distinct count.
+
+    The literal stays INSIDE the filter expression and is never
+    projected as a column: a ``withColumn`` of the filter string
+    materializes it into every UnsafeRow (measured: a 200k-shingle
+    probe at m=16M went 391 s -> ~2 s when the per-row copy was
+    removed — the filter itself is O(k) per row regardless of m)."""
     m = len(bits)
     shingle = F.col("shingle")
-    bits_col = F.col("__bloom_bits")
+    lit_bits = F.lit(bits)
     member = None
     for i in range(k):
         hit = (
             F.substr(
-                bits_col,
+                lit_bits,
                 (bloom_position(shingle, i, m) + F.lit(1)).cast("int"),
                 F.lit(1),
             )
@@ -104,8 +124,7 @@ def bloom_flag(
         )
         member = hit if member is None else (member & hit)
     return (
-        corpus_shingles.withColumn("__bloom_bits", F.lit(bits))
-        .filter(member)
+        corpus_shingles.filter(member)
         .groupBy(id_col)
         .agg(F.count_distinct(shingle).alias("n_flagged"))
     )

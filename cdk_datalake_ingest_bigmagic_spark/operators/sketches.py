@@ -1,0 +1,289 @@
+"""Deterministic distributed sketches — the profiling primitives a
+100-TB curation run uses to SIZE itself before it runs: cardinality
+estimates pick ``n_lists``/``numPartitions``, heavy hitters predict
+skew keys, quantiles place bucket boundaries. The reference exposes
+only exact MIN/MAX/COUNT probes (``sql_server_extractor.py`` A1/A3);
+these are the scale-era generalization of that probe family.
+
+Three classical sketches, each engine-portable (the repo's md5
+determinism contract — a SQL oracle replays the IDENTICAL result,
+bit for bit, unlike ``approx_count_distinct``'s engine-private HLL):
+
+- **KMV** (k minimum values; Bar-Yossef et al., "Counting distinct
+  elements in a data stream", RANDOM 2002): keep the ``k`` smallest
+  distinct 52-bit md5 hashes; ``E[distinct] = (k-1) / u_k`` with
+  ``u_k`` the k-th smallest hash normalized to [0, 1).
+- **count-min** (Cormode & Muthukrishnan, J. Algorithms 2005): a
+  ``depth x width`` counter table; ``est(v) = min_j T[j][h_j(v)]``,
+  an overestimate, never an undercount.
+- **md5-order sample quantiles**: the ``n`` rows with the smallest
+  keyed md5 form a deterministic uniform sample; discrete quantiles
+  are read off the sorted sample at explicit integer ranks.
+
+Mergeability IS the scale story: a KMV sketch of a union is the
+top-k of the unioned sketches, and a count-min table of a union is
+the cell-wise sum — which is exactly Spark's map-side partial
+aggregation, so every sketch here reduces each task's shuffle output
+to a bounded set (``shards*k`` rows / ``depth*width`` cells) no
+matter how many rows the task scanned.
+
+Hash widths are chosen for cross-engine exactness: 13 hex chars =
+52 bits, so the hash-to-double conversion is EXACT in IEEE binary64
+on both engines (14+ hex chars would round, and round identically,
+but exactness is cheaper to reason about than matched rounding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: 16**13 == 2**52 — the hash space size; exact as a double.
+HASH52_SPACE = 1 << 52
+
+
+def hash52(col: Column, seed: str) -> Column:
+    """52-bit uniform hash: first 13 hex chars of ``md5(seed|value)``
+    as a bigint — exactly representable as a double, identical in any
+    engine with md5."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}|"), col)), 1, 13), 16, 10
+    ).cast("long")
+
+
+def _smallest_k(
+    df: DataFrame,
+    order_col: str,
+    k: int,
+    by: list[str],
+    shards: int,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """The ``k`` globally smallest rows by ``(order_col, *tiebreak)``
+    per group, ranked — WITHOUT a global sort: a shard-level top-k
+    (shard = hash-derived, any deterministic split works: the global
+    top-k is a subset of the union of per-shard top-ks) bounds the
+    final window's input to ``shards*k`` rows per group."""
+    order = [order_col, *(tiebreak or [])]
+    shard = F.pmod(F.col(order_col), F.lit(shards))
+    pre_w = Window.partitionBy(*by, shard).orderBy(*order)
+    pre = (
+        df.withColumn("__srk", F.row_number().over(pre_w))
+        .where(F.col("__srk") <= k)
+        .drop("__srk")
+    )
+    w = Window.partitionBy(*by).orderBy(*order)
+    return pre.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= k
+    )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    col: str,
+    k: int = 64,
+    by: list[str] | None = None,
+    seed: str = "kmv",
+    shards: int = 64,
+) -> DataFrame:
+    """The KMV sketch itself: ``(by..., h, rk)`` — the ``k`` smallest
+    DISTINCT 52-bit hashes per group, rank-ordered.
+
+    Plan shape: one distinct on ``(by, h)`` (map-side partials collapse
+    duplicates before the shuffle), then the sharded top-k — no global
+    sort anywhere. Two sketches merge by union + re-top-k
+    (:func:`kmv_merge`); merged == direct is pinned in pytest."""
+    by = list(by or [])
+    d = (
+        df.where(F.col(col).isNotNull())
+        .select(*by, hash52(F.col(col), seed).alias("h"))
+        .distinct()
+    )
+    return _smallest_k(d, "h", k, by, shards)
+
+
+def kmv_merge(
+    sketches: list[DataFrame],
+    k: int = 64,
+    by: list[str] | None = None,
+    shards: int = 64,
+) -> DataFrame:
+    """Merge KMV sketches over disjoint or overlapping inputs: union
+    the hash sets, re-distinct, re-top-k. Identical to sketching the
+    unioned input directly (hashes are value-deterministic)."""
+    by = list(by or [])
+    u = sketches[0].select(*by, "h")
+    for s in sketches[1:]:
+        u = u.unionByName(s.select(*by, "h"))
+    return _smallest_k(u.distinct(), "h", k, by, shards)
+
+
+def kmv_estimate(
+    sketch: DataFrame, k: int = 64, by: list[str] | None = None
+) -> DataFrame:
+    """``(by..., n_seen, u_k, est_distinct)`` from a KMV sketch.
+
+    ``est = (k-1) * 2^52 / u_k`` — both factors exact in binary64
+    (``k-1`` small, ``u_k < 2^52``), so the estimate is ONE IEEE
+    division an oracle reproduces exactly. A group with fewer than
+    ``k`` distinct hashes saw its whole value set: the estimate is
+    the exact count (``u_k`` NULL — the estimator branch is dead)."""
+    by = list(by or [])
+    agg = sketch.groupBy(*by).agg(
+        F.count(F.lit(1)).cast("long").alias("n_seen"),
+        F.max(F.when(F.col("rk") == k, F.col("h"))).alias("u_k"),
+    )
+    est = F.when(
+        F.col("u_k").isNull(), F.col("n_seen").cast("double")
+    ).otherwise(
+        F.lit(float((k - 1) * HASH52_SPACE)) / F.col("u_k").cast("double")
+    )
+    return agg.withColumn("est_distinct", est)
+
+
+def cm_position(col: Column, j: int, width: int, seed: str = "cm") -> Column:
+    """Row-``j`` counter position: first 8 hex chars of
+    ``md5(seed j|value)`` mod ``width`` — the same md5-slice rule the
+    Bloom tier uses (operators/bloom.py)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}{j}|"), col)), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(width)
+    )
+
+
+def countmin_table(
+    df: DataFrame,
+    col: str,
+    width: int = 256,
+    depth: int = 3,
+    seed: str = "cm",
+) -> DataFrame:
+    """Build the ``depth x width`` counter table over value
+    OCCURRENCES: ``(j, pos, cnt)``, at most ``depth*width`` rows.
+
+    One groupBy; map-side partials bound every task's shuffle output
+    to the table size — the sketch's mergeability realized as Spark's
+    partial aggregation. Tables over row-disjoint inputs merge by
+    cell-wise sum (:func:`countmin_merge`)."""
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    cm_position(F.col(col), j, width, seed).alias("pos"),
+                )
+                for j in range(depth)
+            ]
+        )
+    ).alias("r")
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(rows)
+        .groupBy(F.col("r.j").alias("j"), F.col("r.pos").alias("pos"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def countmin_merge(tables: list[DataFrame]) -> DataFrame:
+    """Cell-wise sum of count-min tables built with the same
+    ``(width, depth, seed)`` — the union's table exactly."""
+    u = tables[0]
+    for t in tables[1:]:
+        u = u.unionByName(t)
+    return u.groupBy("j", "pos").agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+def countmin_estimate(
+    candidates: DataFrame,
+    table: DataFrame,
+    col: str,
+    width: int = 256,
+    depth: int = 3,
+    seed: str = "cm",
+) -> DataFrame:
+    """``(value, est_count)`` per candidate: ``min_j T[j][h_j(v)]`` —
+    an overestimate, never an undercount (collisions only ADD).
+
+    The candidate set is the caller's (at scale: a per-partition local
+    frequent-values pass, e.g. ``profiling.frequent_values`` per
+    source — never the full distinct set). The probe is a broadcast
+    join against the ≤ ``depth*width``-row table — no driver pull, no
+    corpus-side shuffle beyond the candidates' own groupBy."""
+    probes = candidates.select(
+        F.col(col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        cm_position(F.col(col), j, width, seed).alias("pos"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("r"),
+    ).select(col, "r.j", "r.pos")
+    return (
+        probes.join(F.broadcast(table), ["j", "pos"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+        .groupBy(col)
+        .agg(F.min("cnt").cast("long").alias("est_count"))
+    )
+
+
+def md5_sample_quantiles(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    probs: list[float],
+    n: int = 128,
+    seed: str = "q",
+    shards: int = 64,
+) -> DataFrame:
+    """``(prob, q_value, n_sample)`` — discrete quantiles over the
+    deterministic uniform sample formed by the ``n`` rows with the
+    smallest ``md5(seed|id)``.
+
+    Quantile rule is EXPLICIT so any engine replays it: the sample
+    sorted by value, ``q(p)`` = the value at 0-indexed rank
+    ``floor(p * (n_sample - 1))`` — a value at a rank is stable under
+    duplicate-value tie order, so no tie-break column is needed.
+
+    Sample membership orders by the FULL md5 hex string (fixed-length
+    hex compares lexicographically = numerically, and full-width
+    collisions are negligible, so membership is engine-exact even
+    where the 52-bit prefix collides; the prefix still drives the
+    shard split). No global sort: selection reuses the sharded top-k,
+    so the rank windows run over ≤ ``shards*n`` rows."""
+    keyed = df.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).alias("__v"),
+        hash52(F.col(id_col).cast("string"), seed).alias("h"),
+        F.md5(
+            F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))
+        ).alias("hfull"),
+    )
+    sample = _smallest_k(keyed, "h", n, [], shards, tiebreak=["hfull"]).drop(
+        "rk", "h", "hfull"
+    )
+    ranked = sample.withColumn(
+        "__rn", F.row_number().over(Window.orderBy("__v"))
+    )
+    counted = ranked.crossJoin(
+        F.broadcast(sample.agg(F.count(F.lit(1)).cast("long").alias("n_sample")))
+    )
+    probe = counted.select(
+        "__v",
+        "__rn",
+        "n_sample",
+        F.explode(
+            F.array(*[F.lit(float(p)).alias("p") for p in probs])
+        ).alias("prob"),
+    )
+    return probe.where(
+        (F.col("__rn") - 1)
+        == F.floor(F.col("prob") * (F.col("n_sample") - 1).cast("double"))
+    ).select("prob", F.col("__v").alias("q_value"), "n_sample")

@@ -6,11 +6,15 @@
   Pretraining", ICLR 2023, public);
 - ``contamination_bloom_counts`` — the Bloom-filter decontamination
   pre-screen (operators/bloom.py — bounded-broadcast membership; the
-  tier below the exact shingle join).
+  tier below the exact shingle join);
+- ``corpus_sketch_profile`` — the deterministic sketch family
+  (operators/sketches.py: KMV distinct estimation, count-min heavy
+  hitters, md5-order sample quantiles — engine-portable sketches a
+  SQL oracle replays exactly, unlike ``approx_count_distinct``).
 
 NOT imported by queries/__init__.py in round 15 (the front closed at
 49 named slots); pre-validate via ``tools/validate_module.py
-curation16``; r16 activation = the import line + the two gate names
+curation16``; r16 activation = the import line + the three gate names
 in the r16 front (the r16 pre-solve projects ~29 free slots — see the
 front plan in queries/__init__.py).
 
@@ -267,3 +271,249 @@ def contamination_bloom_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_contamination(
         corpus, bench, "doc_id", m=_BLOOM_M, k=_BLOOM_K
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sketch profiling (third staged r16 gate)
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_CM_W = 32   # deliberately undersized: the collision/overcount branch
+_CM_D = 3    # must be LIVE in the oracle compare (the bloom-m pattern)
+_Q_N = 128
+_Q_PROBS = [0.25, 0.5, 0.75, 0.9]
+#: (k-1) * 2^52 — exact in binary64 on both engines
+_KMV_NUM = float((_KMV_K - 1) * (1 << 52))
+
+_TOK_CTE = r"""
+    norm AS (
+      SELECT doc_id, source, n_chars,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, source, t.token
+      FROM norm, LATERAL (SELECT unnest(w) AS token) t
+      WHERE t.token <> ''
+    ),
+    sh AS (
+      SELECT doc_id, source, array_to_string(w[i.i:i.i+2], ' ') AS shingle
+      FROM norm, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) i
+      WHERE len(w) >= 3
+    )
+"""
+
+_SKETCH_ORACLE = f"""
+    WITH {_TOK_CTE},
+    ksh_h AS (
+      SELECT DISTINCT source,
+             ('0x' || substr(md5('kmv|' || shingle), 1, 13))::BIGINT AS h
+      FROM sh
+    ),
+    ksh_rk AS (
+      SELECT source, h,
+             row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+      FROM ksh_h
+    ),
+    ksh AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_seen,
+             max(h) FILTER (WHERE rk = {_KMV_K}) AS u_k
+      FROM ksh_rk WHERE rk <= {_KMV_K} GROUP BY source
+    ),
+    ktok_h AS (
+      SELECT DISTINCT source,
+             ('0x' || substr(md5('kmv|' || token), 1, 13))::BIGINT AS h
+      FROM tok
+    ),
+    ktok_rk AS (
+      SELECT source, h,
+             row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+      FROM ktok_h
+    ),
+    ktok AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_seen,
+             max(h) FILTER (WHERE rk = {_KMV_K}) AS u_k
+      FROM ktok_rk WHERE rk <= {_KMV_K} GROUP BY source
+    ),
+    hashes AS (SELECT unnest(range(0, {_CM_D})) AS j),
+    cm_table AS (
+      SELECT h.j,
+             ('0x' || substr(md5('cm' || h.j || '|' || o.token), 1, 8))::BIGINT
+               % {_CM_W} AS pos,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM tok o CROSS JOIN hashes h
+      GROUP BY 1, 2
+    ),
+    cand AS (SELECT DISTINCT token FROM tok),
+    cm_est AS (
+      SELECT c.token,
+             CAST(min(coalesce(t.cnt, 0)) AS BIGINT) AS est_count
+      FROM cand c CROSS JOIN hashes h
+      LEFT JOIN cm_table t
+        ON t.j = h.j
+       AND t.pos = ('0x' || substr(md5('cm' || h.j || '|' || c.token), 1, 8))::BIGINT
+                   % {_CM_W}
+      GROUP BY c.token
+    ),
+    cm_true AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS true_count
+      FROM tok GROUP BY token
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_occ FROM tok),
+    qsample AS (
+      SELECT n_chars::BIGINT AS v FROM documents
+      WHERE n_chars IS NOT NULL
+      ORDER BY md5('q|' || doc_id) LIMIT {_Q_N}
+    ),
+    qs AS (
+      SELECT v, row_number() OVER (ORDER BY v) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS n_sample
+      FROM qsample
+    )
+    SELECT 'kmv_shingle' AS leg, source, CAST(NULL AS VARCHAR) AS token,
+           n_seen, u_k,
+           round(CASE WHEN u_k IS NULL THEN n_seen::DOUBLE
+                      ELSE {_KMV_NUM!r} / u_k::DOUBLE END, 6) AS est_distinct,
+           CAST(NULL AS BIGINT) AS est_count,
+           CAST(NULL AS BIGINT) AS true_count,
+           CAST(NULL AS DOUBLE) AS prob, CAST(NULL AS BIGINT) AS q_value
+    FROM ksh
+    UNION ALL
+    SELECT 'kmv_token', source, CAST(NULL AS VARCHAR), n_seen, u_k,
+           round(CASE WHEN u_k IS NULL THEN n_seen::DOUBLE
+                      ELSE {_KMV_NUM!r} / u_k::DOUBLE END, 6),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+    FROM ktok
+    UNION ALL
+    SELECT 'cm', CAST(NULL AS VARCHAR), e.token, CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           e.est_count, tr.true_count,
+           CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+    FROM cm_est e JOIN cm_true tr USING (token), tot
+    WHERE e.est_count * 50 >= tot.n_occ
+    UNION ALL
+    SELECT 'q', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), n_sample,
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           p.prob, v
+    FROM qs, (SELECT unnest([{", ".join(f"{p!r}::DOUBLE" for p in _Q_PROBS)}]) AS prob) p
+    WHERE rn - 1 = floor(p.prob * (n_sample - 1)::DOUBLE)::BIGINT
+    """
+
+
+@register("corpus_sketch_profile", oracle=_SKETCH_ORACLE)
+def corpus_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic sketch family (operators/sketches.py) in one
+    four-leg profile of the documents table — the pre-flight numbers a
+    100-TB run plans itself with:
+
+    - ``kmv_shingle``: per-source KMV (k=64) distinct-shingle estimate
+      — the ESTIMATOR branch live (every source holds >= 1k distinct
+      shingles);
+    - ``kmv_token``: the same sketch over tokens (~31 distinct per
+      source < k) — the EXACT small-set branch live;
+    - ``cm``: count-min (32x3, deliberately undersized so collisions
+      overcount visibly) heavy hitters at the 2% occurrence threshold,
+      estimated vs true counts side by side (est >= true always);
+    - ``q``: md5-order deterministic 128-row sample, discrete
+      n_chars quantiles at explicit integer ranks.
+
+    Scale shape: distinct/groupBy with map-side partials everywhere
+    (the mergeable-sketch property realized as partial aggregation),
+    sharded top-k instead of global sorts, and the count-min probe is
+    a broadcast join against a <= depth*width-row table — no driver
+    pull anywhere, no corpus-scale sort, no full-distinct shuffle
+    beyond the candidate generation this gate's small vocab allows
+    (at scale candidates come from a local frequent-values pass)."""
+    from cdk_datalake_ingest_bigmagic_spark.operators import dedup as dd
+    from cdk_datalake_ingest_bigmagic_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_table,
+        kmv_estimate,
+        kmv_sketch,
+        md5_sample_quantiles,
+    )
+    from cdk_datalake_ingest_bigmagic_spark.operators.text import (
+        normalize_text,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    sh = dd.shingles_exploded(d, "source", "text", n=3)
+
+    ns, nl, nd = (
+        F.lit(None).cast("string"),
+        F.lit(None).cast("long"),
+        F.lit(None).cast("double"),
+    )
+
+    def _kmv_leg(rows: DataFrame, col: str, leg: str) -> DataFrame:
+        est = kmv_estimate(
+            kmv_sketch(rows, col, k=_KMV_K, by=["source"], seed="kmv"),
+            k=_KMV_K,
+            by=["source"],
+        )
+        return est.select(
+            F.lit(leg).alias("leg"),
+            "source",
+            ns.alias("token"),
+            "n_seen",
+            "u_k",
+            F.round("est_distinct", 6).alias("est_distinct"),
+            nl.alias("est_count"),
+            nl.alias("true_count"),
+            nd.alias("prob"),
+            nl.alias("q_value"),
+        )
+
+    kmv_legs = _kmv_leg(sh, "shingle", "kmv_shingle").unionByName(
+        _kmv_leg(tok, "token", "kmv_token")
+    )
+
+    table = countmin_table(tok, "token", width=_CM_W, depth=_CM_D)
+    est = countmin_estimate(
+        tok.select("token").distinct(), table, "token",
+        width=_CM_W, depth=_CM_D,
+    )
+    true_counts = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("true_count")
+    )
+    n_occ = tok.agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+    cm_leg = (
+        est.join(true_counts, "token")
+        .crossJoin(F.broadcast(n_occ))
+        .where(F.col("est_count") * 50 >= F.col("n_occ"))
+        .select(
+            F.lit("cm").alias("leg"),
+            ns.alias("source"),
+            "token",
+            nl.alias("n_seen"),
+            nl.alias("u_k"),
+            nd.alias("est_distinct"),
+            "est_count",
+            "true_count",
+            nd.alias("prob"),
+            nl.alias("q_value"),
+        )
+    )
+
+    q_leg = md5_sample_quantiles(
+        d, "n_chars", "doc_id", _Q_PROBS, n=_Q_N, seed="q"
+    ).select(
+        F.lit("q").alias("leg"),
+        ns.alias("source"),
+        ns.alias("token"),
+        F.col("n_sample").alias("n_seen"),
+        nl.alias("u_k"),
+        nd.alias("est_distinct"),
+        nl.alias("est_count"),
+        nl.alias("true_count"),
+        "prob",
+        F.col("q_value").cast("long").alias("q_value"),
+    )
+
+    return kmv_legs.unionByName(cm_leg).unionByName(q_leg)

@@ -44,6 +44,7 @@ def test_curation16_registers_in_isolation():
     rep = json.loads(out.stdout.strip().splitlines()[-1])
     assert rep["added"] == [
         "contamination_bloom_counts", "corpus_mix_unimax",
+        "corpus_sketch_profile",
     ]
     assert rep["oracles_ok"]
     # staged means staged: activation is a conscious __init__ edit
@@ -55,3 +56,4 @@ def test_curation16_not_in_live_registry():
 
     assert "corpus_mix_unimax" not in QUERIES
     assert "contamination_bloom_counts" not in QUERIES
+    assert "corpus_sketch_profile" not in QUERIES

@@ -1,0 +1,172 @@
+"""operators/sketches.py — deterministic distributed sketches.
+
+Pins the three contracts the module sells:
+
+- mergeability: sketch(union) == merge(sketches) for KMV (union +
+  re-top-k) and count-min (cell-wise sum) — the map-side-partials
+  scale story, asserted exactly;
+- count-min's one-sided error: est >= true for EVERY value, with the
+  overcount branch live when the table is undersized;
+- KMV estimator sanity: within a loose relative band of the true
+  cardinality at k=64 (the bound is probabilistic; the pinned seed
+  makes the assertion stable), exact below k.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.operators.sketches import (
+    countmin_estimate,
+    countmin_merge,
+    countmin_table,
+    kmv_estimate,
+    kmv_merge,
+    kmv_sketch,
+    md5_sample_quantiles,
+)
+
+
+@pytest.fixture(scope="module")
+def values(spark):
+    # 5000 rows over 1200 distinct values, skewed: value v appears
+    # 1 + (v % 7) times-ish via modulo fanout
+    return spark.range(5000).select(
+        F.concat(F.lit("val"), (F.col("id") % 1200).cast("string")).alias("v"),
+        (F.col("id") % 2 == 0).alias("left_half"),
+    )
+
+
+def test_kmv_estimate_within_band(spark, values):
+    est = kmv_estimate(kmv_sketch(values, "v", k=64)).first()
+    assert est["n_seen"] == 64
+    # KMV stderr ~ 1/sqrt(k-2) ~ 13%; allow 4 sigma
+    assert abs(est["est_distinct"] - 1200) / 1200 < 0.52
+    assert est["u_k"] is not None
+
+
+def test_kmv_exact_below_k(spark):
+    small = spark.range(40).select(
+        F.concat(F.lit("s"), F.col("id").cast("string")).alias("v")
+    )
+    est = kmv_estimate(kmv_sketch(small, "v", k=64)).first()
+    assert est["n_seen"] == 40
+    assert est["u_k"] is None
+    assert est["est_distinct"] == 40.0
+
+
+def test_kmv_merge_equals_direct(spark, values):
+    left = values.where("left_half")
+    right = values.where("NOT left_half")
+    direct = kmv_sketch(values, "v", k=64)
+    merged = kmv_merge(
+        [kmv_sketch(left, "v", k=64), kmv_sketch(right, "v", k=64)], k=64
+    )
+    assert sorted(r["h"] for r in direct.collect()) == sorted(
+        r["h"] for r in merged.collect()
+    )
+
+
+def test_kmv_grouped(spark, values):
+    g = values.withColumn("grp", (F.length("v") % 2).cast("string"))
+    rows = kmv_estimate(
+        kmv_sketch(g, "v", k=64, by=["grp"]), k=64, by=["grp"]
+    ).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["n_seen"] <= 64
+
+
+def test_countmin_never_undercounts_and_overcount_live(spark, values):
+    # width 16 over 1200 distinct values: collisions guaranteed
+    table = countmin_table(values, "v", width=16, depth=3)
+    true = values.groupBy(F.col("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    est = countmin_estimate(
+        values.select("v").distinct(), table, "v", width=16, depth=3
+    )
+    joined = est.join(true, "v").collect()
+    assert len(joined) == 1200
+    assert all(r["est_count"] >= r["t"] for r in joined)
+    assert any(r["est_count"] > r["t"] for r in joined)
+
+
+def test_countmin_table_bounded(spark, values):
+    table = countmin_table(values, "v", width=16, depth=3).collect()
+    assert len(table) <= 16 * 3
+    assert {r["j"] for r in table} == {0, 1, 2}
+    # total mass per row == row count of the input
+    per_row = {}
+    for r in table:
+        per_row[r["j"]] = per_row.get(r["j"], 0) + r["cnt"]
+    assert set(per_row.values()) == {5000}
+
+
+def test_countmin_merge_equals_direct(spark, values):
+    left = values.where("left_half")
+    right = values.where("NOT left_half")
+    direct = {
+        (r["j"], r["pos"]): r["cnt"]
+        for r in countmin_table(values, "v", width=16, depth=3).collect()
+    }
+    merged = {
+        (r["j"], r["pos"]): r["cnt"]
+        for r in countmin_merge(
+            [
+                countmin_table(left, "v", width=16, depth=3),
+                countmin_table(right, "v", width=16, depth=3),
+            ]
+        ).collect()
+    }
+    assert direct == merged
+
+
+def test_countmin_unseen_candidate_is_zero_or_collision(spark, values):
+    table = countmin_table(values, "v", width=1 << 20, depth=3)
+    ghost = spark.createDataFrame([("never-seen-value",)], "v string")
+    est = countmin_estimate(ghost, table, "v", width=1 << 20, depth=3).first()
+    # with 2^20 buckets and 1200 values, all-3-rows collision is
+    # essentially impossible -> the left-join zero branch is exercised
+    assert est["est_count"] == 0
+
+
+def test_md5_sample_quantiles_rule(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 3 % 997).alias("x")
+    )
+    rows = md5_sample_quantiles(
+        df, "x", "doc_id", [0.0, 0.5, 1.0], n=100, seed="q"
+    ).collect()
+    by_p = {r["prob"]: r for r in rows}
+    assert set(by_p) == {0.0, 0.5, 1.0}
+    assert all(r["n_sample"] == 100 for r in rows)
+    # explicit rank rule: p=0 -> min of sample, p=1 -> max of sample
+    assert by_p[0.0]["q_value"] <= by_p[0.5]["q_value"] <= by_p[1.0]["q_value"]
+    # sample smaller than n when the table is smaller
+    tiny = md5_sample_quantiles(
+        df.limit(10), "x", "doc_id", [0.5], n=100, seed="q"
+    ).first()
+    assert tiny["n_sample"] == 10
+
+
+def test_md5_sample_is_order_insensitive(spark):
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 91).alias("x")
+    )
+    a = md5_sample_quantiles(df, "x", "doc_id", [0.25, 0.75], n=64)
+    b = md5_sample_quantiles(
+        df.orderBy(F.desc("doc_id")).repartition(7), "x", "doc_id",
+        [0.25, 0.75], n=64,
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_kmv_estimator_formula_is_exact_division(spark, values):
+    est = kmv_estimate(kmv_sketch(values, "v", k=64)).first()
+    # the estimate is reproducible driver-side from (k-1)*2^52 / u_k
+    assert est["est_distinct"] == float((63 * (1 << 52))) / float(est["u_k"])
+    assert not math.isnan(est["est_distinct"])

@@ -1,0 +1,91 @@
+"""Bloom decontamination tier at realistic benchmark scale.
+
+The staged gate (contamination_bloom_counts) runs m=4096 so the
+false-positive branch is live in the oracle compare; THIS probe runs
+the size the tier exists for — a 1M-shingle aggregated benchmark and
+a 16M-bit (2 MB true bitmap / 16 MB as '0'/'1' chars) filter — and
+checks the two scale contracts:
+
+- build cost is the bounded driver pull (<= m distinct positions via
+  one Arrow batch), independent of corpus size;
+- probe cost is O(k) per corpus shingle, independent of m (the
+  literal must stay inside the filter expression: projecting it as a
+  column materializes m bytes into EVERY UnsafeRow — measured 391 s
+  for a 200k-row probe at m=16M before that fix).
+
+Usage: python tools/bloom_scale_probe.py [n_bench] [n_corpus] [m]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark import get_spark
+from cdk_datalake_ingest_bigmagic_spark.operators.bloom import (
+    bloom_bits,
+    bloom_flag,
+)
+
+
+def main() -> None:
+    n_bench = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_corpus = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+    m = int(sys.argv[3]) if len(sys.argv) > 3 else 16_777_216
+    k = 3
+    spark = get_spark(app_name="bloom-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bench = spark.range(n_bench).select(
+        F.concat(F.lit("eval gram "), F.col("id").cast("string")).alias(
+            "shingle"
+        )
+    )
+    t0 = time.time()
+    bits = bloom_bits(bench, m=m, k=k)
+    t_build = time.time() - t0
+
+    # 10% planted contamination over 20k docs; the rest clean
+    corpus = spark.range(n_corpus).select(
+        (F.col("id") % 20_000).alias("doc_id"),
+        F.when(
+            F.col("id") % 10 == 0,
+            F.concat(
+                F.lit("eval gram "),
+                (F.col("id") % n_bench).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("clean gram "), F.col("id").cast("string"))
+        )
+        .alias("shingle"),
+    )
+    t0 = time.time()
+    out = bloom_flag(corpus, bits, "doc_id", k=k)
+    n_docs = out.count()
+    t_probe = time.time() - t0
+    tot = out.agg(F.sum("n_flagged")).first()[0]
+    print(
+        json.dumps(
+            {
+                "bench_shingles": n_bench,
+                "m_bits": m,
+                "build_sec": round(t_build, 1),
+                "set_bit_frac": round(bits.count("1") / m, 3),
+                "corpus_shingles": n_corpus,
+                "probe_sec": round(t_probe, 1),
+                "docs_flagged": n_docs,
+                "shingles_flagged": int(tot),
+                "planted_contaminated_shingles": n_corpus // 10,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
