@@ -739,3 +739,111 @@ def accumulated_dsir_distribution(
     b = n_buckets or N_BUCKETS
     raw = spark.read.parquet(store_path).select("bucket", "cnt")
     return bucket_distribution(raw, b, smoothing)
+
+
+def _sketch_batch(
+    batch_df,
+    store_path: str,
+    batch_id: int,
+    value_expr: str,
+    width: int,
+    depth: int,
+    k: int,
+    cm_seed: str,
+    kmv_seed: str,
+) -> None:
+    """One micro-batch's sketch partials into their own ``batch_id=N``
+    partitions (the replay-idempotence contract the DSIR/term-index
+    sinks use): the batch's count-min table (≤ depth·width rows) and
+    its batch-local KMV sketch (≤ k hashes per group — the k smallest
+    of the union of batch-local top-ks IS the global top-k, so the
+    partial is all a batch ever needs to persist)."""
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_bigmagic_spark.operators.sketches import (
+        countmin_table,
+        kmv_sketch,
+    )
+
+    vals = batch_df.selectExpr(f"{value_expr} AS v").where(
+        F.col("v").isNotNull()
+    )
+    countmin_table(
+        vals, "v", width=width, depth=depth, seed=cm_seed
+    ).write.mode("overwrite").parquet(f"{store_path}/cm/batch_id={batch_id}")
+    kmv_sketch(vals, "v", k=k, seed=kmv_seed).select("h").write.mode(
+        "overwrite"
+    ).parquet(f"{store_path}/kmv/batch_id={batch_id}")
+
+
+def stream_sketch_profile(
+    spark: SparkSession,
+    docs_path: str,
+    store_path: str,
+    checkpoint: str,
+    value_expr: str = "token",
+    width: int = 256,
+    depth: int = 3,
+    k: int = 64,
+    cm_seed: str = "cm",
+    kmv_seed: str = "kmv",
+    available_now: bool = True,
+):
+    """Incremental maintenance of the deterministic sketch profile
+    (operators/sketches.py) over an append-only corpus — the streaming
+    twin of the batch KMV + count-min pair.
+
+    Both sketches are MERGEABLE, so each micro-batch lands bounded
+    partials (cell counts are additive; KMV top-ks union-and-re-top-k)
+    and the accumulated readers below reduce them — never a
+    read-modify-write of accumulated state, never a re-scan of landed
+    data. ``value_expr`` is any selectExpr producing the sketched
+    value (e.g. ``"explode(split(lower(text), ' '))"`` for tokens).
+    Exactly-once follows the standing pattern: checkpointed file log +
+    per-``batch_id`` overwrite partitions."""
+    schema = spark.read.parquet(docs_path).schema
+    stream = spark.readStream.schema(schema).parquet(docs_path)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _sketch_batch(
+            batch_df, store_path, batch_id, value_expr, width, depth, k,
+            cm_seed, kmv_seed,
+        )
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def accumulated_countmin_table(spark: SparkSession, store_path: str):
+    """(j, pos, cnt) — cell-wise sum of the landed batch tables:
+    bit-identical to ``countmin_table`` over every landed row (partial
+    sums only ever sum)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(f"{store_path}/cm")
+        .groupBy("j", "pos")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def accumulated_kmv_estimate(
+    spark: SparkSession, store_path: str, k: int = 64
+):
+    """(n_seen, u_k, est_distinct) — re-top-k over the union of the
+    landed batch sketches: identical to sketching the whole landed
+    corpus directly (hashes are value-deterministic, and the global
+    k-smallest is a subset of the union of batch-local k-smallest)."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_merge,
+    )
+
+    partials = spark.read.parquet(f"{store_path}/kmv").select("h")
+    return kmv_estimate(kmv_merge([partials], k=k), k=k)

@@ -722,3 +722,78 @@ def test_stream_semantic_novelty_matches_batch_semdedup(spark, tmp_path):
         .filter("NOT novel").collect()
     }
     assert dup_of == {3: 1, 5: 1, 4: 2}
+
+
+def test_stream_sketch_profile_accumulates_and_replays(spark, tmp_path):
+    """The accumulated streaming sketches equal the batch sketches
+    over ALL landed rows (count-min cell-exact, KMV estimate-exact),
+    stay correct as new files arrive, and a replayed batch cannot
+    double-count — the per-batch_id overwrite contract."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.sketches import (
+        countmin_table,
+        kmv_estimate,
+        kmv_sketch,
+    )
+    from cdk_datalake_ingest_bigmagic_spark.streaming.incremental import (
+        _sketch_batch,
+        accumulated_countmin_table,
+        accumulated_kmv_estimate,
+        stream_sketch_profile,
+    )
+
+    src = str(tmp_path / "docs")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    expr = "explode(split(lower(text), ' '))"
+    W, D, K = 16, 3, 8
+
+    first = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "stock market news today")],
+        "doc_id long, text string",
+    )
+    first.write.mode("append").parquet(src)
+    stream_sketch_profile(
+        spark, src, store, ckpt, value_expr=expr, width=W, depth=D, k=K
+    ).awaitTermination(120)
+    second = spark.createDataFrame(
+        [(3, "the dog ran far"), (4, "cat and dog and cat")],
+        "doc_id long, text string",
+    )
+    second.write.mode("append").parquet(src)
+    stream_sketch_profile(
+        spark, src, store, ckpt, value_expr=expr, width=W, depth=D, k=K
+    ).awaitTermination(120)
+
+    everything = spark.read.parquet(src).selectExpr(f"{expr} AS v")
+
+    got_cm = {
+        (r["j"], r["pos"]): r["cnt"]
+        for r in accumulated_countmin_table(spark, store).collect()
+    }
+    want_cm = {
+        (r["j"], r["pos"]): r["cnt"]
+        for r in countmin_table(everything, "v", width=W, depth=D).collect()
+    }
+    assert got_cm == want_cm
+
+    got_kmv = accumulated_kmv_estimate(spark, store, k=K).first()
+    want_kmv = kmv_estimate(kmv_sketch(everything, "v", k=K), k=K).first()
+    assert (
+        got_kmv["n_seen"],
+        got_kmv["u_k"],
+        got_kmv["est_distinct"],
+    ) == (want_kmv["n_seen"], want_kmv["u_k"], want_kmv["est_distinct"])
+
+    # crash replay: re-running batch 0 with its own rows replaces its
+    # partials; the accumulated reductions are unchanged
+    _sketch_batch(
+        spark.read.parquet(src).where("doc_id <= 2"),
+        store, 0, expr, W, D, K, "cm", "kmv",
+    )
+    again_cm = {
+        (r["j"], r["pos"]): r["cnt"]
+        for r in accumulated_countmin_table(spark, store).collect()
+    }
+    assert again_cm == want_cm
+    again_kmv = accumulated_kmv_estimate(spark, store, k=K).first()
+    assert again_kmv["est_distinct"] == want_kmv["est_distinct"]
