@@ -1,0 +1,86 @@
+"""Sketch family at probe scale — the 100-TB evidence run.
+
+Claims under test (operators/sketches.py):
+
+- KMV cost is the distinct + sharded top-k — no global sort; the
+  final window reads <= shards*k rows per group however large the
+  input;
+- count-min build cost is ONE groupBy whose map-side partials are
+  bounded by depth*width per task — wall flat in the value
+  cardinality, linear in row count;
+- the md5-order sample never sorts the corpus (sharded top-k again).
+
+Synthetic input: n rows over ~n/4 distinct values (high cardinality —
+the regime where approx_count_distinct exists), skew-free; doubling n
+should ~double wall for each stage.
+
+Usage: python tools/sketch_scale_probe.py [n_rows ...]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark import get_spark
+from cdk_datalake_ingest_bigmagic_spark.operators.sketches import (
+    countmin_table,
+    kmv_estimate,
+    kmv_sketch,
+    md5_sample_quantiles,
+)
+
+
+def main() -> None:
+    sizes = [int(a) for a in sys.argv[1:]] or [1_000_000, 5_000_000]
+    spark = get_spark(app_name="sketch-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    for n in sizes:
+        df = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("value "), (F.col("id") % (n // 4)).cast("string")
+            ).alias("v"),
+            (F.col("id") % 997).alias("x"),
+        )
+        t0 = time.time()
+        est = kmv_estimate(kmv_sketch(df, "v", k=256), k=256).first()
+        t_kmv = time.time() - t0
+        t0 = time.time()
+        cells = countmin_table(df, "v", width=1024, depth=3).count()
+        t_cm = time.time() - t0
+        t0 = time.time()
+        qs = md5_sample_quantiles(
+            df, "x", "doc_id", [0.25, 0.5, 0.75], n=1024
+        ).collect()
+        t_q = time.time() - t0
+        true_distinct = n // 4
+        print(
+            json.dumps(
+                {
+                    "n_rows": n,
+                    "true_distinct": true_distinct,
+                    "kmv_sec": round(t_kmv, 1),
+                    "kmv_est": round(est["est_distinct"]),
+                    "kmv_rel_err": round(
+                        abs(est["est_distinct"] - true_distinct)
+                        / true_distinct,
+                        4,
+                    ),
+                    "cm_sec": round(t_cm, 1),
+                    "cm_cells": cells,
+                    "q_sec": round(t_q, 1),
+                    "q_n_sample": qs[0]["n_sample"] if qs else 0,
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
