@@ -1070,3 +1070,52 @@ def semdedup_keep_best(
     return pick_canonical(
         labeled, id_col, "component", quality_col, prefer="max"
     ).select(id_col, "component", quality_col, "keep")
+
+
+def ivf_assignments(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_lists: int = 16,
+    centroids: str = "first-ids",
+) -> DataFrame:
+    """``(id, list_idx)`` — each vector's top-1 coarse-quantizer list,
+    exposed as a standalone relation: the SEMANTIC STRATUM column for
+    cluster-balanced sampling (cluster-proportional data mixing over
+    embedding space instead of metadata strata) and for any consumer
+    that wants list membership without the pair search.
+
+    Identical quantizer and tie order to :func:`ann_ivf_pairs`'
+    assignment stage (stable argsort on (-sim, list index), the
+    deterministic "first-ids" default an SQL oracle replays) — a
+    vector lands in the SAME list here and there.
+
+    Scale shape: one broadcast (n_lists × dims) matrix, one
+    Arrow-batched BLAS matmul pass, no shuffle at all."""
+    import numpy as np
+
+    C = _ivf_centroids(df, id_col, vec_col, n_lists, centroids)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("list_idx", T.IntegerType(), False),
+        ]
+    )
+    if C is None:
+        return df.sparkSession.createDataFrame([], schema)
+    Cn = C / np.maximum(np.sqrt((C * C).sum(axis=1))[:, None], 1e-12)
+    bc = df.sparkSession.sparkContext.broadcast(Cn)
+
+    def assign(batches: Iterator) -> Iterator:
+        M = bc.value
+        for pdf in batches:
+            V = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            Vn = V / np.maximum(np.sqrt((V * V).sum(axis=1))[:, None], 1e-12)
+            order = np.argsort(-(Vn @ M.T), axis=1, kind="stable")
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "list_idx": order[:, 0].astype("int32")}
+            )
+
+    from cdk_datalake_ingest_bigmagic_spark.operators import fan_out
+
+    return fan_out(df.select(id_col, vec_col)).mapInPandas(assign, schema)

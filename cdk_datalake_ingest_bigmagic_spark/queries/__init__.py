@@ -278,10 +278,10 @@ from cdk_datalake_ingest_bigmagic_spark.queries import curation15  # noqa: E402,
 # slack round since r9); spend the slack on r14-green pre-gates to
 # keep r17 flat.
 # ALSO STAGED for r16 (growth, queue position after the obligation):
-# queries/curation16.py — THREE gates, all pre-validated at sf0.001 +
+# queries/curation16.py — FOUR gates, all pre-validated at sf0.001 +
 # sf0.01 + sf0.1 (0 failures each) and staging-test-pinned
-# (tests/test_curation16_staging.py); activation = import + 3 front
-# slots (registry 111 → 114):
+# (tests/test_curation16_staging.py); activation = import + 4 front
+# slots (registry 111 → 115):
 # - corpus_mix_unimax (the UniMax budget-capped waterfill mixing
 #   rule, Chung et al. ICLR 2023; operators/sampling.py::unimax_mix,
 #   closed-form waterfill so the SQL oracle replays the identical
@@ -297,7 +297,13 @@ from cdk_datalake_ingest_bigmagic_spark.queries import curation15  # noqa: E402,
 #   hitters / md5-order sample quantiles — md5-deterministic so the
 #   oracle replays them exactly; merge==direct and est>=true pinned
 #   in tests/test_sketches.py; all four legs' branches live at every
-#   SF — estimator + exact KMV, count-min overcount, full sample).
+#   SF — estimator + exact KMV, count-min overcount, full sample);
+# - corpus_mix_semantic (cluster-balanced mixing: strata = each
+#   embedding's top-1 IVF list via the NEW
+#   similarity.py::ivf_assignments — same quantizer/tie order the
+#   SemDeDup gates prove, new-code-only addition — fed through the
+#   T=2 temperature rule; zero corpus shuffle, assignment is one
+#   broadcast BLAS pass).
 _GATE_FRONT: list[str] = [
     # (1) the 2 round-15 fold-suite activations (never gated; staged +
     # pre-validated at 3 SFs in round 14, activation now explicit via

@@ -517,3 +517,152 @@ def corpus_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return kmv_legs.unionByName(cm_leg).unionByName(q_leg)
+
+
+# ---------------------------------------------------------------------------
+# Cluster-balanced semantic mixing (fourth staged r16 gate)
+# ---------------------------------------------------------------------------
+
+_SEM_LISTS = 16
+_SEM_FRAC = 0.5
+_SEM_SEED = "semmix"
+
+_SEM_ORACLE = f"""
+    WITH cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_idx,
+             embedding::DOUBLE[] AS cvec
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {_SEM_LISTS})
+    ),
+    ranked AS (
+      SELECT e.vec_id, c.list_idx,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cvec)
+                        / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                           * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+                        c.list_idx
+             ) AS rk
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assigned AS (SELECT vec_id, list_idx FROM ranked WHERE rk = 1),
+    counts AS (
+      SELECT list_idx, CAST(count(*) AS BIGINT) AS n
+      FROM assigned GROUP BY list_idx
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM counts),
+    w AS (SELECT list_idx, n, sqrt(n::DOUBLE) AS weight FROM counts),
+    wsum AS (
+      SELECT list_sum(list(weight ORDER BY list_idx)) AS total_w FROM w
+    ),
+    thr AS (
+      SELECT list_idx, n, weight,
+             least(1.0,
+                   (weight / total_w)
+                   * round({_SEM_FRAC} * n_total)::DOUBLE
+                   / n::DOUBLE) AS rate,
+             CAST(round(least(1.0,
+                   (weight / total_w)
+                   * round({_SEM_FRAC} * n_total)::DOUBLE
+                   / n::DOUBLE) * 10000, 0) AS INT) AS threshold
+      FROM w, wsum, tot
+    )
+    SELECT 'rates' AS leg, list_idx, n AS n_docs,
+           round(weight, 6) AS weight, round(rate, 6) AS rate, threshold,
+           CAST(NULL AS BIGINT) AS vec_id
+    FROM thr
+    UNION ALL
+    SELECT 'sample', a.list_idx, CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS INTEGER), a.vec_id
+    FROM assigned a JOIN thr t USING (list_idx)
+    WHERE ('0x' || substr(md5('{_SEM_SEED}|' || a.vec_id), 1, 7))::BIGINT
+          % 10000 < t.threshold
+    """
+
+
+@register("corpus_mix_semantic", oracle=_SEM_ORACLE)
+def corpus_mix_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced data mixing: the mixture strata are SEMANTIC
+    clusters (each embedding's top-1 IVF list,
+    operators/similarity.py::ivf_assignments — the same deterministic
+    first-ids quantizer and tie order the SemDeDup gates prove), and
+    the temperature rule (T=2, the published sqrt upweighting of tail
+    strata) balances the sample ACROSS EMBEDDING SPACE instead of
+    across metadata strata — the cluster-proportional selection the
+    web-scale curation literature uses where no domain labels exist.
+
+    Two legs: the derived per-list waterline table (count, sqrt
+    weight, rate, integer bucket threshold) and the deterministic
+    md5-bucket document selection under those rates.
+
+    Scale shape: assignment is one broadcast (n_lists x dims) BLAS
+    pass with zero shuffles; the rates are ONE tiny counts
+    aggregation + a counted driver pull (MAX_MIX_STRATA-capped);
+    application is a broadcast threshold lookup + in-row md5 bucket
+    filter — the corpus never shuffles."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.sampling import (
+        SAMPLE_BUCKETS,
+        round_half_away,
+        stratified_hash_sample,
+        temperature_mix_rates,
+    )
+    from cdk_datalake_ingest_bigmagic_spark.operators.similarity import (
+        ivf_assignments,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    assigned = ivf_assignments(
+        e, "vec_id", "embedding", n_lists=_SEM_LISTS
+    )
+    rates = temperature_mix_rates(
+        assigned, "list_idx", temperature=2.0, target_frac=_SEM_FRAC
+    )
+    # replay the driver-side intermediates for the rates leg (the
+    # identical IEEE sequence temperature_mix_rates ran)
+    import math
+
+    counts = {
+        int(r["list_idx"]): int(r["n"])
+        for r in assigned.groupBy("list_idx")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    nl, nd, ni = (
+        F.lit(None).cast("long"),
+        F.lit(None).cast("double"),
+        F.lit(None).cast("int"),
+    )
+    rate_rows = [
+        (
+            "rates",
+            k,
+            counts[k],
+            round(math.sqrt(counts[k]), 6),
+            round(rate, 6),
+            round_half_away(rate * SAMPLE_BUCKETS),
+            None,
+        )
+        for k, rate in sorted(rates.items())
+    ]
+    rates_leg = spark.createDataFrame(
+        rate_rows,
+        "leg string, list_idx int, n_docs long, weight double, "
+        "rate double, threshold int, vec_id long",
+    )
+    sample_leg = stratified_hash_sample(
+        assigned.withColumn("stratum", F.col("list_idx").cast("string")),
+        "vec_id",
+        "stratum",
+        {str(k): v for k, v in rates.items()},
+        default_rate=0.0,
+        seed=_SEM_SEED,
+    ).select(
+        F.lit("sample").alias("leg"),
+        "list_idx",
+        nl.alias("n_docs"),
+        nd.alias("weight"),
+        nd.alias("rate"),
+        ni.alias("threshold"),
+        "vec_id",
+    )
+    return rates_leg.unionByName(sample_leg)

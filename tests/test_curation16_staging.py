@@ -43,8 +43,8 @@ def test_curation16_registers_in_isolation():
     assert out.returncode == 0, out.stderr[-1500:]
     rep = json.loads(out.stdout.strip().splitlines()[-1])
     assert rep["added"] == [
-        "contamination_bloom_counts", "corpus_mix_unimax",
-        "corpus_sketch_profile",
+        "contamination_bloom_counts", "corpus_mix_semantic",
+        "corpus_mix_unimax", "corpus_sketch_profile",
     ]
     assert rep["oracles_ok"]
     # staged means staged: activation is a conscious __init__ edit
@@ -57,3 +57,4 @@ def test_curation16_not_in_live_registry():
     assert "corpus_mix_unimax" not in QUERIES
     assert "contamination_bloom_counts" not in QUERIES
     assert "corpus_sketch_profile" not in QUERIES
+    assert "corpus_mix_semantic" not in QUERIES

@@ -2068,3 +2068,49 @@ def test_unimax_mix_rates_differential(spark):
         unimax_mix_rates(df, "s", budget_frac=0.0)
     with _pytest.raises(ValueError):
         unimax_mix_rates(df, "s", epoch_cap=0)
+
+
+def test_ivf_assignments_match_brute_force_argmax(spark, sf_dir):
+    """ivf_assignments' top-1 list equals the brute-force cosine
+    argmax over the first-ids centroids with the stable (-sim,
+    list_idx) tie order — the same quantizer ann_ivf_pairs uses."""
+    import numpy as np
+
+    from cdk_datalake_ingest_bigmagic_spark.operators.similarity import (
+        ivf_assignments,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {
+        r["vec_id"]: r["list_idx"]
+        for r in ivf_assignments(e, "vec_id", "embedding", n_lists=8).collect()
+    }
+    rows = sorted(e.collect(), key=lambda r: r["vec_id"])
+    C = np.vstack([np.asarray(r["embedding"], dtype="f8") for r in rows[:8]])
+    Cn = C / np.maximum(np.sqrt((C * C).sum(axis=1))[:, None], 1e-12)
+    want = {}
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype="f8")
+        vn = v / max(float(np.sqrt((v * v).sum())), 1e-12)
+        sims = Cn @ vn
+        want[r["vec_id"]] = int(
+            min(range(8), key=lambda i: (-sims[i], i))
+        )
+    assert got == want and len(got) == len(rows)
+
+
+def test_ivf_assignments_empty_corpus(spark):
+    from pyspark.sql import types as T
+
+    from cdk_datalake_ingest_bigmagic_spark.operators.similarity import (
+        ivf_assignments,
+    )
+
+    empty = spark.createDataFrame(
+        [], T.StructType()
+        .add("vec_id", T.LongType())
+        .add("embedding", T.ArrayType(T.DoubleType())),
+    )
+    out = ivf_assignments(empty, "vec_id", "embedding", n_lists=4)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "list_idx"]
