@@ -243,10 +243,12 @@ def md5_sample_quantiles(
     n: int = 128,
     seed: str = "q",
     shards: int = 64,
+    by: list[str] | None = None,
 ) -> DataFrame:
-    """``(prob, q_value, n_sample)`` — discrete quantiles over the
-    deterministic uniform sample formed by the ``n`` rows with the
-    smallest ``md5(seed|id)``.
+    """``(by..., prob, q_value, n_sample)`` — discrete quantiles over
+    the deterministic uniform sample formed by the ``n`` rows with the
+    smallest ``md5(seed|id)`` (per group when ``by`` is given — the
+    per-stratum bucket-boundary planner).
 
     Quantile rule is EXPLICIT so any engine replays it: the sample
     sorted by value, ``q(p)`` = the value at 0-indexed rank
@@ -258,24 +260,32 @@ def md5_sample_quantiles(
     collisions are negligible, so membership is engine-exact even
     where the 52-bit prefix collides; the prefix still drives the
     shard split). No global sort: selection reuses the sharded top-k,
-    so the rank windows run over ≤ ``shards*n`` rows."""
+    so the rank windows run over ≤ ``shards*n`` rows per group."""
+    by = list(by or [])
     keyed = df.where(F.col(value_col).isNotNull()).select(
+        *by,
         F.col(value_col).alias("__v"),
         hash52(F.col(id_col).cast("string"), seed).alias("h"),
         F.md5(
             F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))
         ).alias("hfull"),
     )
-    sample = _smallest_k(keyed, "h", n, [], shards, tiebreak=["hfull"]).drop(
+    sample = _smallest_k(keyed, "h", n, by, shards, tiebreak=["hfull"]).drop(
         "rk", "h", "hfull"
     )
     ranked = sample.withColumn(
-        "__rn", F.row_number().over(Window.orderBy("__v"))
+        "__rn", F.row_number().over(Window.partitionBy(*by).orderBy("__v"))
     )
-    counted = ranked.crossJoin(
-        F.broadcast(sample.agg(F.count(F.lit(1)).cast("long").alias("n_sample")))
+    counts = sample.groupBy(*by).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sample")
+    )
+    counted = (
+        ranked.join(F.broadcast(counts), by)
+        if by
+        else ranked.crossJoin(F.broadcast(counts))
     )
     probe = counted.select(
+        *by,
         "__v",
         "__rn",
         "n_sample",
@@ -286,4 +296,4 @@ def md5_sample_quantiles(
     return probe.where(
         (F.col("__rn") - 1)
         == F.floor(F.col("prob") * (F.col("n_sample") - 1).cast("double"))
-    ).select("prob", F.col("__v").alias("q_value"), "n_sample")
+    ).select(*by, "prob", F.col("__v").alias("q_value"), "n_sample")

@@ -170,3 +170,26 @@ def test_kmv_estimator_formula_is_exact_division(spark, values):
     # the estimate is reproducible driver-side from (k-1)*2^52 / u_k
     assert est["est_distinct"] == float((63 * (1 << 52))) / float(est["u_k"])
     assert not math.isnan(est["est_distinct"])
+
+
+def test_md5_sample_quantiles_grouped(spark):
+    df = spark.range(600).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("grp"),
+        (F.col("id") % 101).alias("x"),
+    )
+    rows = md5_sample_quantiles(
+        df, "x", "doc_id", [0.5], n=50, seed="q", by=["grp"]
+    ).collect()
+    assert {r["grp"] for r in rows} == {"0", "1", "2"}
+    assert all(r["n_sample"] == 50 for r in rows)
+    # each group's median comes from ITS OWN sample: recompute one
+    # group directly with the ungrouped path
+    solo = md5_sample_quantiles(
+        df.where("grp = '1'"), "x", "doc_id", [0.5], n=50, seed="q"
+    ).first()
+    grouped_g1 = next(r for r in rows if r["grp"] == "1")
+    assert (solo["q_value"], solo["n_sample"]) == (
+        grouped_g1["q_value"],
+        grouped_g1["n_sample"],
+    )
