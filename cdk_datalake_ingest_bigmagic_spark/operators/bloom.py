@@ -19,18 +19,19 @@ no engine-specific hash seeds):
   ``md5(f"{i}|{s}")`` as an integer, mod ``m`` — the same expression
   in Spark (``conv(substring(md5(...), 1, 8), 16, 10) % m``) and any
   SQL oracle;
-- the filter itself is a length-``m`` '0'/'1' string literal: the
-  set-bit POSITIONS are collected driver-side (≤ m values — a
-  bounded pull however large the benchmark is, which is the entire
-  point), and the membership check compiles to ``k`` substring
-  probes inside WholeStageCodegen — zero joins, zero shuffles on the
-  corpus side; the only corpus shuffle is the final per-document
-  aggregation.
+- the filter is built as a length-``m`` '0'/'1' string (inspectable,
+  engine-neutral): the set-bit POSITIONS are collected driver-side
+  (≤ m values in one Arrow batch — a bounded pull however large the
+  benchmark is, which is the entire point); at probe time the string
+  is bit-packed into an ``array<bigint>`` literal and the membership
+  check compiles to ``k`` O(1) ``getbit``/``element_at`` probes
+  inside codegen — zero joins, zero shuffles on the corpus side; the
+  only corpus shuffle is the final per-document aggregation.
 
-Memory shape: the literal costs m bytes in the plan (broadcast once
-per executor). m up to a few tens of millions is a normal broadcast;
-beyond that, shard the filter by ``pos % n_shards`` into several
-literals and OR the probes.
+Memory shape: the packed literal costs m/8 bytes in the plan
+(shipped once per task binary). m up to a few hundred million is a
+normal literal; beyond that, shard the filter by ``pos % n_shards``
+into several literals and OR the probes.
 """
 
 from __future__ import annotations
@@ -100,28 +101,40 @@ def bloom_flag(
     false negatives). Only flagged documents come back (inner
     semantics, like the exact tier).
 
-    Plan shape: ``k`` substring probes on a literal — all inside
-    WholeStageCodegen, no join against the benchmark anywhere — then
-    ONE shuffle for the per-document distinct count.
+    Plan shape: ``k`` O(1) bit probes on a packed literal — all inside
+    codegen, no join against the benchmark anywhere — then ONE shuffle
+    for the per-document distinct count.
 
-    The literal stays INSIDE the filter expression and is never
-    projected as a column: a ``withColumn`` of the filter string
-    materializes it into every UnsafeRow (measured: a 200k-shingle
-    probe at m=16M went 391 s -> ~2 s when the per-row copy was
-    removed — the filter itself is O(k) per row regardless of m)."""
+    Execution-side representation: the '0'/'1' string is bit-packed
+    into an ``array<bigint>`` literal (``m/64`` words, ``m/8`` bytes)
+    and each probe is ``getbit(element_at(words, pos div 64 + 1),
+    pos % 64)`` — both O(1). A string representation is NOT probe-safe
+    at large m: ``substr(filter, pos, 1)`` walks the UTF8 string to
+    char ``pos`` (variable-width encoding), making each probe O(m) —
+    measured 28 cores pegged for >10 min on a 2M-shingle probe at
+    m=16M, vs seconds with the packed words. The literal also stays
+    INSIDE the filter expression, never projected as a column (a
+    ``withColumn`` would materialize it into every UnsafeRow)."""
+    import numpy as np
+
     m = len(bits)
+    arr = np.frombuffer(bits.encode("ascii"), dtype=np.uint8) == ord("1")
+    pad = (-m) % 64
+    if pad:
+        arr = np.concatenate([arr, np.zeros(pad, dtype=bool)])
+    # little-endian pack: bit b of word w <-> position 64*w + b
+    words = (
+        np.packbits(arr, bitorder="little").view("<u8").view(np.int64).tolist()
+    )
+    lit_words = F.lit(words)
     shingle = F.col("shingle")
-    lit_bits = F.lit(bits)
     member = None
     for i in range(k):
-        hit = (
-            F.substr(
-                lit_bits,
-                (bloom_position(shingle, i, m) + F.lit(1)).cast("int"),
-                F.lit(1),
-            )
-            == F.lit("1")
+        pos = bloom_position(shingle, i, m)
+        word = F.element_at(
+            lit_words, (pos / F.lit(64)).cast("int") + F.lit(1)
         )
+        hit = F.getbit(word, F.pmod(pos, F.lit(64)).cast("int")) == F.lit(1)
         member = hit if member is None else (member & hit)
     return (
         corpus_shingles.filter(member)

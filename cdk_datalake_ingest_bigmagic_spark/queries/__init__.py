@@ -289,8 +289,8 @@ from cdk_datalake_ingest_bigmagic_spark.queries import curation15  # noqa: E402,
 #   CorpusPipeline 'unimax' mix mode wires it, pytest-pinned);
 # - contamination_bloom_counts (the Bloom-filter decontamination
 #   pre-screen, operators/bloom.py: ≤m set-bit positions collected
-#   once however large the benchmark, k codegen substring probes on
-#   a literal, zero corpus-side joins; superset-of-exact pinned in
+#   once however large the benchmark, k O(1) codegen bit probes on
+#   a packed array<bigint> literal, zero corpus-side joins; superset-of-exact pinned in
 #   tests/test_bloom.py, both hash branches live in the oracle);
 # - corpus_sketch_profile (deterministic sketches,
 #   operators/sketches.py: KMV distinct estimation / count-min heavy

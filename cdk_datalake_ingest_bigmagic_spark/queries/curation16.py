@@ -256,8 +256,8 @@ def contamination_bloom_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the filter is ≤ m set-bit positions collected once
     (bounded however large the benchmark grows — the tier's reason to
-    exist); the corpus side is k codegen substring probes on a
-    literal, zero joins, and the one shuffle is the per-document
+    exist); the corpus side is k O(1) codegen bit probes on a
+    packed array<bigint> literal, zero joins, and the one shuffle is the per-document
     distinct count."""
     from cdk_datalake_ingest_bigmagic_spark.operators import dedup as dd
     from cdk_datalake_ingest_bigmagic_spark.operators.bloom import (
