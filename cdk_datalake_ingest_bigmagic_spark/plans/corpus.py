@@ -178,6 +178,22 @@ class CorpusPipelineConfig:
     #: Computed from the clean step's output, so it reflects the
     #: documents that actually continue downstream.
     score_card: bool = False
+    #: materializes the deterministic sketch profile
+    #: (plans/profile.py over operators/sketches.py) as a
+    #: manifest-tracked step beside the artifacts: per-source KMV
+    #: distinct-shingle estimates, count-min heavy-hitter tokens
+    #: (candidates + exact counts from one frequent_values pass), and
+    #: md5-order doc-length sample quantiles — the pre-flight numbers
+    #: the NEXT run sizes itself with (LSH bands / IVF n_lists /
+    #: shuffle partitions from cardinality, skew keys, packing
+    #: boundaries). Computed from the clean step's output, like the
+    #: score card.
+    sketch_profile: bool = False
+    sketch_kmv_k: int = 256
+    sketch_cm_width: int = 1024
+    sketch_cm_depth: int = 3
+    sketch_cm_candidates: int = 64
+    sketch_sample_n: int = 1024
 
     def fingerprint(self) -> str:
         blob = json.dumps(
@@ -238,6 +254,10 @@ class CorpusPipeline:
                      "semantic_dedup", "semantic_threshold",
                      "semantic_n_lists"),
         "scorecard": ("id_col", "text_col", "score_card"),
+        "profile": ("id_col", "text_col", "source_col", "shingle_n",
+                    "sketch_profile", "sketch_kmv_k", "sketch_cm_width",
+                    "sketch_cm_depth", "sketch_cm_candidates",
+                    "sketch_sample_n"),
         "split": ("id_col", "splits", "seed"),
         "mix": ("id_col", "text_col", "source_col", "splits", "seed",
                 "mix_mode", "mix_strata_col", "mix_temperature",
@@ -513,6 +533,27 @@ class CorpusPipeline:
                 return score_card(self.read("clean"), ic, tc)
 
             self._step("scorecard", clean.fingerprint, build_card)
+
+        if cfg.sketch_profile:
+            from cdk_datalake_ingest_bigmagic_spark.plans.profile import (
+                sketch_profile,
+            )
+
+            def build_profile():
+                return sketch_profile(
+                    self.read("clean"),
+                    ic,
+                    tc,
+                    cfg.source_col,
+                    shingle_n=cfg.shingle_n,
+                    kmv_k=cfg.sketch_kmv_k,
+                    cm_width=cfg.sketch_cm_width,
+                    cm_depth=cfg.sketch_cm_depth,
+                    cm_candidates=cfg.sketch_cm_candidates,
+                    sample_n=cfg.sketch_sample_n,
+                )
+
+            self._step("profile", clean.fingerprint, build_profile)
 
         def build_dedup():
             cdf = self.read("clean")

@@ -1,0 +1,142 @@
+"""One-pass-per-sketch corpus profile — the pre-flight numbers a
+100-TB curation run sizes itself with, materialized beside the
+pipeline artifacts the way the score card is.
+
+The score card (plans/scorecard.py) answers "how good is each
+document"; this table answers "what SHAPE is the corpus": per-source
+distinct-shingle cardinality (sizes dedup's LSH bands / IVF
+``n_lists`` / ``spark.sql.shuffle.partitions``), heavy-hitter tokens
+(the skew keys a salted join or hot-list guard needs to know about),
+and document-length quantiles (bucket boundaries for packing and
+range-partitioned writes).
+
+Built on operators/sketches.py, so every number is deterministic
+(md5-hash sketches — partition-, run-, and engine-invariant) and
+every stage is bounded: KMV ships ``shards*k`` rows per source,
+count-min a ``depth*width`` table, the quantile sample ``n`` rows.
+Candidate generation for the heavy-hitter leg is
+``profiling.frequent_values`` — its exact top-k counts double as the
+``true_count`` column, so the overcount a too-small table introduces
+is visible in the artifact itself.
+
+Output is one narrow leg-tagged table (the same shape the
+``corpus_sketch_profile`` gate pins cross-engine):
+
+====  ===========================================================
+leg   columns
+====  ===========================================================
+kmv   source, n_seen, u_k, est_distinct   (distinct shingles)
+cm    token, est_count, true_count        (heavy hitters)
+q     prob, q_value, n_seen (=n_sample)   (doc-length quantiles)
+====  ===========================================================
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sketch_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    shingle_n: int = 3,
+    kmv_k: int = 256,
+    cm_width: int = 1024,
+    cm_depth: int = 3,
+    cm_candidates: int = 64,
+    sample_n: int = 1024,
+) -> DataFrame:
+    """The leg-tagged sketch profile of a document corpus."""
+    from cdk_datalake_ingest_bigmagic_spark.operators import dedup as dd
+    from cdk_datalake_ingest_bigmagic_spark.operators.profiling import (
+        frequent_values,
+    )
+    from cdk_datalake_ingest_bigmagic_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_table,
+        kmv_estimate,
+        kmv_sketch,
+        md5_sample_quantiles,
+    )
+    from cdk_datalake_ingest_bigmagic_spark.operators.text import (
+        normalize_text,
+    )
+
+    ns, nl, nd = (
+        F.lit(None).cast("string"),
+        F.lit(None).cast("long"),
+        F.lit(None).cast("double"),
+    )
+
+    sh = dd.shingles_exploded(df, source_col, text_col, n=shingle_n)
+    kmv_leg = kmv_estimate(
+        kmv_sketch(sh, "shingle", k=kmv_k, by=[source_col]),
+        k=kmv_k,
+        by=[source_col],
+    ).select(
+        F.lit("kmv").alias("leg"),
+        F.col(source_col).alias("source"),
+        ns.alias("token"),
+        "n_seen",
+        "u_k",
+        F.round("est_distinct", 6).alias("est_distinct"),
+        nl.alias("est_count"),
+        nl.alias("true_count"),
+        nd.alias("prob"),
+        nl.alias("q_value"),
+    )
+
+    tok = df.select(
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias(
+            "token"
+        )
+    ).where(F.col("token") != "")
+    # frequent_values' exact counts are the candidate generator AND
+    # the true_count column — one shuffle, no second pass
+    cand = frequent_values(tok, "token", k=cm_candidates).select(
+        F.col("value").alias("token"), F.col("n").alias("true_count")
+    )
+    table = countmin_table(tok, "token", width=cm_width, depth=cm_depth)
+    cm_leg = (
+        countmin_estimate(
+            cand.select("token"), table, "token",
+            width=cm_width, depth=cm_depth,
+        )
+        .join(F.broadcast(cand), "token")
+        .select(
+            F.lit("cm").alias("leg"),
+            ns.alias("source"),
+            "token",
+            nl.alias("n_seen"),
+            nl.alias("u_k"),
+            nd.alias("est_distinct"),
+            "est_count",
+            "true_count",
+            nd.alias("prob"),
+            nl.alias("q_value"),
+        )
+    )
+
+    q_leg = md5_sample_quantiles(
+        df.select(id_col, F.length(text_col).cast("long").alias("__len")),
+        "__len",
+        id_col,
+        [0.25, 0.5, 0.75, 0.9, 0.99],
+        n=sample_n,
+    ).select(
+        F.lit("q").alias("leg"),
+        ns.alias("source"),
+        ns.alias("token"),
+        F.col("n_sample").alias("n_seen"),
+        nl.alias("u_k"),
+        nd.alias("est_distinct"),
+        nl.alias("est_count"),
+        nl.alias("true_count"),
+        "prob",
+        F.col("q_value").cast("long").alias("q_value"),
+    )
+
+    return kmv_leg.unionByName(cm_leg).unionByName(q_leg)

@@ -769,3 +769,37 @@ def test_pipeline_semdedup_step(spark, tmp_path_factory):
             str(tmp_path_factory.mktemp("corpus_semdedup_bad")),
             CorpusPipelineConfig(semantic_dedup=True),
         ).run(corpus.drop("embedding"))
+
+
+def test_pipeline_sketch_profile_step(spark, corpus, tmp_path_factory):
+    """sketch_profile=True materializes the leg-tagged sketch profile
+    off the clean output; resume skips it; a sketch-parameter change
+    invalidates ONLY the profile step."""
+    import dataclasses as _dc
+
+    work = str(tmp_path_factory.mktemp("pipe_prof"))
+    cfg = CorpusPipelineConfig(
+        sketch_profile=True, sketch_kmv_k=8, sketch_cm_width=16,
+        sketch_cm_candidates=4, sketch_sample_n=16,
+    )
+    pipe = CorpusPipeline(spark, work, cfg)
+    results = pipe.run(corpus)
+    assert "profile" in results
+    prof = pipe.read("profile")
+    legs = {r["leg"] for r in prof.select("leg").distinct().collect()}
+    assert legs == {"kmv", "cm", "q"}
+    cm = prof.where("leg = 'cm'").collect()
+    assert 0 < len(cm) <= 4
+    assert all(r["est_count"] >= r["true_count"] for r in cm)
+    q = prof.where("leg = 'q'").collect()
+    assert len(q) == 5 and all(r["n_seen"] <= 16 for r in q)
+    kmv = prof.where("leg = 'kmv'").collect()
+    assert all(r["n_seen"] <= 8 for r in kmv)
+    # resume skips; a profile-only parameter change re-runs ONLY it
+    rerun = CorpusPipeline(spark, work, cfg).run(corpus)
+    assert rerun["profile"].skipped
+    rerun2 = CorpusPipeline(
+        spark, work, _dc.replace(cfg, sketch_cm_width=32)
+    ).run(corpus)
+    assert not rerun2["profile"].skipped
+    assert rerun2["clean"].skipped and rerun2["dedup"].skipped
