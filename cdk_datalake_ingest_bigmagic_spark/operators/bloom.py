@@ -29,9 +29,14 @@ no engine-specific hash seeds):
   only corpus shuffle is the final per-document aggregation.
 
 Memory shape: the packed literal costs m/8 bytes in the plan
-(shipped once per task binary). m up to a few hundred million is a
-normal literal; beyond that, shard the filter by ``pos % n_shards``
-into several literals and OR the probes.
+(shipped once per task binary). The practical per-literal ceiling is
+the DRIVER-side literal construction, not execution: py4j converts
+the word list element-wise, so m = 16M bits (262k words) builds in
+~a second while m = 128M (2M words) takes minutes. Beyond a few tens
+of millions of bits, shard the filter by ``pos % n_shards`` into
+several literals and OR the probes — or at that benchmark size
+reconsider: a broadcast semi-join of the distinct shingle set is no
+longer the thing this tier exists to avoid.
 """
 
 from __future__ import annotations
