@@ -1,0 +1,115 @@
+"""Range (interval) joins — the non-equi join family Spark has no
+native operator for.
+
+Expressed naively (``JOIN ON p BETWEEN lo AND hi`` or ``ON a.lo <=
+b.hi AND b.lo <= a.hi``), Catalyst has no equi-key to hash on and
+falls back to BroadcastNestedLoopJoin — O(|left|·|right|) predicate
+evaluations and a broadcast of one ENTIRE side, the classic 100-TB
+plan killer (the same trap operators/asof.py documents for as-of
+semantics). The scale pattern is bucketed replication:
+
+- quantize the range dimension into width-``w`` buckets;
+- each RANGE row replicates to the ``floor(span/w)+1`` buckets it
+  intersects (an in-row ``explode(sequence(...))`` — no shuffle to
+  build);
+- each POINT row probes exactly ONE bucket;
+- the join becomes a plain hash/sort-merge EQUI-join on the bucket id
+  followed by the residual range predicate, so both sides
+  shuffle-partition on a real key, AQE sizes/skew-splits it like any
+  other join, and no side is ever nested-loop broadcast.
+
+A (point, range) pair can only meet in the point's single bucket, so
+no dedup is needed; for interval-overlap (both sides are ranges) a
+pair meets in every shared bucket and is emitted exactly once via the
+ownership rule (the bucket containing ``greatest(lo_a, lo_b)``).
+
+Pick ``w`` near the typical span: replication per range is
+``span/w + 1`` rows, probe amplification is 1 either way. Cost is
+``|R|·(span/w + 1) + |P|`` shuffled rows — linear, tunable, and skew
+on hot buckets is ordinary equi-join skew (AQE splits it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(col, w: float):
+    return F.floor(col.cast("double") / F.lit(w)).cast("long")
+
+
+def point_in_range_join(
+    points: DataFrame,
+    ranges: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Inner join of ``points`` with every range row satisfying
+    ``lo <= point <= hi`` (both bounds inclusive), as a bucketed
+    equi-join. NULL points/bounds never match (SQL semantics).
+    Column names must be disjoint across the two inputs apart from
+    the caller's intent — the output carries both sides' columns."""
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be > 0, got {bucket_width}")
+    w = float(bucket_width)
+    pb = points.withColumn("__rj_b", _bucket(F.col(point_col), w))
+    rb = ranges.withColumn(
+        "__rj_b",
+        F.explode(
+            F.sequence(
+                _bucket(F.col(lo_col), w), _bucket(F.col(hi_col), w)
+            )
+        ),
+    )
+    return (
+        pb.join(rb, "__rj_b")
+        .where(
+            (F.col(point_col) >= F.col(lo_col))
+            & (F.col(point_col) <= F.col(hi_col))
+        )
+        .drop("__rj_b")
+    )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Inner join of two interval relations on overlap
+    (``left_lo <= right_hi AND right_lo <= left_hi``, inclusive) as a
+    bucketed equi-join: both sides replicate to the buckets they
+    span; a pair is emitted only from the bucket that contains
+    ``greatest(left_lo, right_lo)`` (each overlapping pair shares
+    that bucket and it is unique — exactly-once output)."""
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be > 0, got {bucket_width}")
+    w = float(bucket_width)
+
+    def replicate(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        return df.withColumn(
+            "__rj_b",
+            F.explode(
+                F.sequence(_bucket(F.col(lo), w), _bucket(F.col(hi), w))
+            ),
+        )
+
+    lb = replicate(left, left_lo, left_hi)
+    rb = replicate(right, right_lo, right_hi)
+    own = _bucket(F.greatest(F.col(left_lo), F.col(right_lo)), w)
+    return (
+        lb.join(rb, "__rj_b")
+        .where(
+            (F.col(left_lo) <= F.col(right_hi))
+            & (F.col(right_lo) <= F.col(left_hi))
+            & (F.col("__rj_b") == own)
+        )
+        .drop("__rj_b")
+    )

@@ -278,10 +278,10 @@ from cdk_datalake_ingest_bigmagic_spark.queries import curation15  # noqa: E402,
 # slack round since r9); spend the slack on r14-green pre-gates to
 # keep r17 flat.
 # ALSO STAGED for r16 (growth, queue position after the obligation):
-# queries/curation16.py — FOUR gates, all pre-validated at sf0.001 +
+# queries/curation16.py — FIVE gates, all pre-validated at sf0.001 +
 # sf0.01 + sf0.1 (0 failures each) and staging-test-pinned
-# (tests/test_curation16_staging.py); activation = import + 4 front
-# slots (registry 111 → 115):
+# (tests/test_curation16_staging.py); activation = import + 5 front
+# slots (registry 111 → 116):
 # - corpus_mix_unimax (the UniMax budget-capped waterfill mixing
 #   rule, Chung et al. ICLR 2023; operators/sampling.py::unimax_mix,
 #   closed-form waterfill so the SQL oracle replays the identical
@@ -303,7 +303,12 @@ from cdk_datalake_ingest_bigmagic_spark.queries import curation15  # noqa: E402,
 #   similarity.py::ivf_assignments — same quantizer/tie order the
 #   SemDeDup gates prove, new-code-only addition — fed through the
 #   T=2 temperature rule; zero corpus shuffle, assignment is one
-#   broadcast BLAS pass).
+#   broadcast BLAS pass);
+# - join_range_acctbal (bucketed range join, operators/rangejoin.py:
+#   the non-equi BETWEEN join rewritten as range-replication +
+#   equi-join on the bucket id — never BroadcastNestedLoopJoin;
+#   oracle = the naive BETWEEN join, equivalence + exactly-once
+#   pinned in tests/test_rangejoin.py).
 _GATE_FRONT: list[str] = [
     # (1) the 2 round-15 fold-suite activations (never gated; staged +
     # pre-validated at 3 SFs in round 14, activation now explicit via

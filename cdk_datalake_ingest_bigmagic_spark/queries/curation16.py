@@ -10,11 +10,17 @@
 - ``corpus_sketch_profile`` — the deterministic sketch family
   (operators/sketches.py: KMV distinct estimation, count-min heavy
   hitters, md5-order sample quantiles — engine-portable sketches a
-  SQL oracle replays exactly, unlike ``approx_count_distinct``).
+  SQL oracle replays exactly, unlike ``approx_count_distinct``);
+- ``corpus_mix_semantic`` — cluster-balanced semantic mixing
+  (similarity.py::ivf_assignments strata through the T=2 temperature
+  rule);
+- ``join_range_acctbal`` — the bucketed range join
+  (operators/rangejoin.py: non-equi BETWEEN join as replication +
+  equi-join on the bucket id).
 
 NOT imported by queries/__init__.py in round 15 (the front closed at
 49 named slots); pre-validate via ``tools/validate_module.py
-curation16``; r16 activation = the import line + the three gate names
+curation16``; r16 activation = the import line + the five gate names
 in the r16 front (the r16 pre-solve projects ~29 free slots — see the
 front plan in queries/__init__.py).
 
@@ -666,3 +672,50 @@ def corpus_mix_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
     )
     return rates_leg.unionByName(sample_leg)
+
+
+# ---------------------------------------------------------------------------
+# Bucketed range join (fifth staged r16 gate — relational family)
+# ---------------------------------------------------------------------------
+
+_RJ_BAND = 100.0
+_RJ_WIDTH = 200.0
+
+_RJ_ORACLE = f"""
+    SELECT s.s_suppkey, c.c_custkey, s.s_acctbal, c.c_acctbal
+    FROM supplier s
+    JOIN customer c
+      ON c.c_acctbal BETWEEN s.s_acctbal - {_RJ_BAND!r}
+                         AND s.s_acctbal + {_RJ_BAND!r}
+    """
+
+
+@register("join_range_acctbal", oracle=_RJ_ORACLE)
+def join_range_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-range join via operators/rangejoin.py: every
+    (supplier, customer) pair whose account balances sit within ±100
+    of each other — a BETWEEN join Catalyst would otherwise plan as a
+    BroadcastNestedLoopJoin (O(|S|·|C|) + a whole-side broadcast).
+
+    The bucketed rewrite replicates each supplier band to the
+    width-200 buckets it spans (exactly 2-3 in-row rows via
+    explode(sequence)) and probes each customer's single bucket — a
+    plain equi-join on the bucket id plus the residual predicate, so
+    both sides shuffle on a real key and AQE handles size/skew like
+    any other join. The oracle is the naive BETWEEN join: identical
+    IEEE arithmetic on the same doubles, so the hash compare pins the
+    rewrite's exactness (no duplicate pairs, no boundary misses)."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.rangejoin import (
+        point_in_range_join,
+    )
+
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_acctbal",
+        (F.col("s_acctbal") - F.lit(_RJ_BAND)).alias("__lo"),
+        (F.col("s_acctbal") + F.lit(_RJ_BAND)).alias("__hi"),
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    return point_in_range_join(
+        c, s, "c_acctbal", "__lo", "__hi", bucket_width=_RJ_WIDTH
+    ).select("s_suppkey", "c_custkey", "s_acctbal", "c_acctbal")

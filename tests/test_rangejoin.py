@@ -1,0 +1,128 @@
+"""operators/rangejoin.py — bucketed range/interval joins.
+
+Pins: exact equivalence to the naive non-equi join (no duplicate
+pairs from range replication, no bucket-boundary misses), bucket-
+width invariance, NULL semantics, and the plan contract (an equi-join
+on the bucket id — never BroadcastNestedLoopJoin / CartesianProduct).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark.operators.rangejoin import (
+    interval_overlap_join,
+    point_in_range_join,
+)
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    return spark.range(500).select(
+        F.col("id").alias("pid"), ((F.col("id") * 37) % 1000).alias("p")
+    )
+
+
+@pytest.fixture(scope="module")
+def ranges(spark):
+    # spans of varying width (0 to ~90), some crossing bucket edges
+    return spark.range(80).select(
+        F.col("id").alias("rid"),
+        ((F.col("id") * 53) % 950).cast("double").alias("lo"),
+        (((F.col("id") * 53) % 950) + (F.col("id") % 10) * 10)
+        .cast("double")
+        .alias("hi"),
+    )
+
+
+def _naive_point(points, ranges):
+    return points.crossJoin(ranges).where(
+        (F.col("p") >= F.col("lo")) & (F.col("p") <= F.col("hi"))
+    )
+
+
+@pytest.mark.parametrize("w", [7.0, 64.0, 500.0])
+def test_point_in_range_matches_naive(spark, points, ranges, w):
+    got = sorted(
+        (r["pid"], r["rid"])
+        for r in point_in_range_join(
+            points, ranges, "p", "lo", "hi", bucket_width=w
+        ).collect()
+    )
+    want = sorted(
+        (r["pid"], r["rid"]) for r in _naive_point(points, ranges).collect()
+    )
+    assert got == want and len(want) > 0
+
+
+def test_point_in_range_nulls_never_match(spark):
+    pts = spark.createDataFrame(
+        [(1, 5.0), (2, None)], "pid long, p double"
+    )
+    rng = spark.createDataFrame(
+        [(10, 0.0, 10.0), (11, None, 10.0)],
+        "rid long, lo double, hi double",
+    )
+    got = {
+        (r["pid"], r["rid"])
+        for r in point_in_range_join(
+            pts, rng, "p", "lo", "hi", bucket_width=4.0
+        ).collect()
+    }
+    assert got == {(1, 10)}
+
+
+def test_point_in_range_negative_domain(spark):
+    # floor-bucketing must stay correct below zero
+    pts = spark.createDataFrame(
+        [(1, -7.0), (2, -0.5), (3, 0.0)], "pid long, p double"
+    )
+    rng = spark.createDataFrame(
+        [(10, -8.0, -6.0), (11, -1.0, 1.0)],
+        "rid long, lo double, hi double",
+    )
+    got = sorted(
+        (r["pid"], r["rid"])
+        for r in point_in_range_join(
+            pts, rng, "p", "lo", "hi", bucket_width=3.0
+        ).collect()
+    )
+    assert got == [(1, 10), (2, 11), (3, 11)]
+
+
+def test_interval_overlap_matches_naive_and_emits_once(spark, ranges):
+    other = ranges.select(
+        F.col("rid").alias("oid"),
+        (F.col("lo") + 13).alias("olo"),
+        (F.col("hi") + 40).alias("ohi"),
+    )
+    got = sorted(
+        (r["rid"], r["oid"])
+        for r in interval_overlap_join(
+            ranges, other, "lo", "hi", "olo", "ohi", bucket_width=16.0
+        ).collect()
+    )
+    want = sorted(
+        (r["rid"], r["oid"])
+        for r in ranges.crossJoin(other)
+        .where((F.col("lo") <= F.col("ohi")) & (F.col("olo") <= F.col("hi")))
+        .collect()
+    )
+    assert got == want and len(want) > 0
+    assert len(got) == len(set(got))  # exactly-once ownership rule
+
+
+def test_plan_is_equi_join_not_nested_loop(spark, points, ranges):
+    plan = point_in_range_join(
+        points, ranges, "p", "lo", "hi", bucket_width=64.0
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_invalid_width_raises(spark, points, ranges):
+    with pytest.raises(ValueError):
+        point_in_range_join(points, ranges, "p", "lo", "hi", 0)
+    with pytest.raises(ValueError):
+        interval_overlap_join(ranges, ranges, "lo", "hi", "lo", "hi", -1)
