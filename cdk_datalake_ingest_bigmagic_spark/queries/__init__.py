@@ -278,10 +278,10 @@ from cdk_datalake_ingest_bigmagic_spark.queries import curation15  # noqa: E402,
 # slack round since r9); spend the slack on r14-green pre-gates to
 # keep r17 flat.
 # ALSO STAGED for r16 (growth, queue position after the obligation):
-# queries/curation16.py — FIVE gates, all pre-validated at sf0.001 +
+# queries/curation16.py — SIX gates, all pre-validated at sf0.001 +
 # sf0.01 + sf0.1 (0 failures each) and staging-test-pinned
-# (tests/test_curation16_staging.py); activation = import + 5 front
-# slots (registry 111 → 116):
+# (tests/test_curation16_staging.py); activation = import + 6 front
+# slots (registry 111 → 117):
 # - corpus_mix_unimax (the UniMax budget-capped waterfill mixing
 #   rule, Chung et al. ICLR 2023; operators/sampling.py::unimax_mix,
 #   closed-form waterfill so the SQL oracle replays the identical
@@ -308,7 +308,12 @@ from cdk_datalake_ingest_bigmagic_spark.queries import curation15  # noqa: E402,
 #   the non-equi BETWEEN join rewritten as range-replication +
 #   equi-join on the bucket id — never BroadcastNestedLoopJoin;
 #   oracle = the naive BETWEEN join, equivalence + exactly-once
-#   pinned in tests/test_rangejoin.py).
+#   pinned in tests/test_rangejoin.py);
+# - events_rollup_cascade (hypertable continuous-aggregate cascade,
+#   streaming/windows.py::rollup_cascade: daily windows re-aggregated
+#   from hourly DECIMAL partials, one raw scan for all resolutions;
+#   oracle computes both levels independently from raw, pinning the
+#   partial re-aggregation cross-engine).
 _GATE_FRONT: list[str] = [
     # (1) the 2 round-15 fold-suite activations (never gated; staged +
     # pre-validated at 3 SFs in round 14, activation now explicit via

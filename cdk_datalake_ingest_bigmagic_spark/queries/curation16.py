@@ -16,11 +16,14 @@
   rule);
 - ``join_range_acctbal`` — the bucketed range join
   (operators/rangejoin.py: non-equi BETWEEN join as replication +
-  equi-join on the bucket id).
+  equi-join on the bucket id);
+- ``events_rollup_cascade`` — the hypertable continuous-aggregate
+  cascade (streaming/windows.py::rollup_cascade: coarse levels from
+  fine DECIMAL partials, one raw scan).
 
 NOT imported by queries/__init__.py in round 15 (the front closed at
 49 named slots); pre-validate via ``tools/validate_module.py
-curation16``; r16 activation = the import line + the five gate names
+curation16``; r16 activation = the import line + the six gate names
 in the r16 front (the r16 pre-solve projects ~29 free slots — see the
 front plan in queries/__init__.py).
 
@@ -719,3 +722,52 @@ def join_range_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return point_in_range_join(
         c, s, "c_acctbal", "__lo", "__hi", bucket_width=_RJ_WIDTH
     ).select("s_suppkey", "c_custkey", "s_acctbal", "c_acctbal")
+
+
+# ---------------------------------------------------------------------------
+# Hypertable rollup cascade (sixth staged r16 gate — events family)
+# ---------------------------------------------------------------------------
+
+_RC_ORACLE = """
+    SELECT '1h' AS kind,
+           time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           (SUM(CAST(value AS DECIMAL(18,2))))::DOUBLE AS total_value,
+           MIN(value)::DOUBLE AS min_value,
+           MAX(value)::DOUBLE AS max_value
+    FROM events GROUP BY 2, 3, 4
+    UNION ALL
+    SELECT '1d',
+           time_bucket(INTERVAL 1 DAY, ts),
+           time_bucket(INTERVAL 1 DAY, ts) + INTERVAL 1 DAY,
+           event_type,
+           COUNT(*),
+           (SUM(CAST(value AS DECIMAL(18,2))))::DOUBLE,
+           MIN(value)::DOUBLE,
+           MAX(value)::DOUBLE
+    FROM events GROUP BY 2, 3, 4
+    """
+
+
+@register("events_rollup_cascade", oracle=_RC_ORACLE)
+def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable continuous-aggregate cascade
+    (streaming/windows.py::rollup_cascade): hourly windows from the
+    raw events, DAILY windows re-aggregated from the HOURLY PARTIALS
+    — the raw table is scanned once for both resolutions. The oracle
+    computes BOTH levels independently from raw, so the hash compare
+    pins the partial re-aggregation (count sums, associative DECIMAL
+    value sums, min/max composition) cross-engine at every SF."""
+    from cdk_datalake_ingest_bigmagic_spark.streaming.windows import (
+        rollup_cascade,
+    )
+
+    e = load(spark, sf_dir, "events")
+    hourly, daily = rollup_cascade(
+        e, "ts", ["1 hour", "1 day"], ["event_type"], "value"
+    )
+    return hourly.select(F.lit("1h").alias("kind"), "*").unionByName(
+        daily.select(F.lit("1d").alias("kind"), "*")
+    )

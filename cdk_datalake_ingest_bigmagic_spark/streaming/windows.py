@@ -113,3 +113,116 @@ def session_agg(
             "n_events",
         )
     )
+
+
+_DURATION_UNITS = {
+    "second": 1, "seconds": 1,
+    "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600,
+    "day": 86400, "days": 86400,
+    "week": 604800, "weeks": 604800,
+}
+
+
+def _duration_seconds(s: str) -> int:
+    parts = s.strip().split()
+    if len(parts) != 2 or not parts[0].isdigit() or parts[1] not in _DURATION_UNITS:
+        raise ValueError(f"unsupported duration {s!r} (use 'N unit')")
+    return int(parts[0]) * _DURATION_UNITS[parts[1]]
+
+
+def rollup_cascade(
+    df: DataFrame,
+    ts_col: str,
+    resolutions: list[str],
+    group_cols: list[str] | None = None,
+    value_col: str | None = None,
+) -> list[DataFrame]:
+    """Hypertable-style continuous-aggregate cascade: level 0
+    aggregates the RAW rows into the finest windows; every coarser
+    level re-aggregates the PREVIOUS level's partials — counts sum,
+    DECIMAL value sums sum (associative, unlike double), min/max
+    compose. The raw table is scanned ONCE however many resolutions
+    are kept; at 100 TB that is the difference between one pass and
+    one pass per dashboard zoom level, and each level's input is the
+    previous level's (already tiny) aggregate.
+
+    ``resolutions`` must nest: each duration an integer multiple of
+    the previous (window alignment is origin-based, so nesting makes
+    every fine window fall entirely inside one coarse window — the
+    condition that makes partial re-aggregation exact).
+
+    Returns one DataFrame per resolution: ``(window_start,
+    window_end, *group_cols, n_events[, total_value, min_value,
+    max_value])``, each value-identical to aggregating the raw rows
+    at that resolution directly (pinned in pytest and cross-engine
+    by the gate's from-raw oracle)."""
+    groups = list(group_cols or [])
+    secs = [_duration_seconds(r) for r in resolutions]
+    if not secs:
+        raise ValueError("need at least one resolution")
+    for a, b in zip(secs, secs[1:]):
+        if b % a != 0 or b <= a:
+            raise ValueError(
+                f"resolutions must nest coarser: {resolutions!r}"
+            )
+
+    def present(internal: DataFrame) -> DataFrame:
+        cols = [
+            "window_start",
+            "window_end",
+            *groups,
+            F.col("__n").alias("n_events"),
+        ]
+        if value_col is not None:
+            cols += [
+                F.col("__dec").cast("double").alias("total_value"),
+                F.col("__min").cast("double").alias("min_value"),
+                F.col("__max").cast("double").alias("max_value"),
+            ]
+        return internal.select(*cols)
+
+    aggs0 = [F.count(F.lit(1)).cast("long").alias("__n")]
+    if value_col is not None:
+        aggs0 += [
+            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("__dec"),
+            F.min(F.col(value_col)).alias("__min"),
+            F.max(F.col(value_col)).alias("__max"),
+        ]
+    level = (
+        df.groupBy(F.window(F.col(ts_col), resolutions[0]), *groups)
+        .agg(*aggs0)
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *groups,
+            "__n",
+            *(["__dec", "__min", "__max"] if value_col is not None else []),
+        )
+    )
+    out = [present(level)]
+    for res in resolutions[1:]:
+        aggs = [F.sum("__n").cast("long").alias("__n")]
+        if value_col is not None:
+            aggs += [
+                F.sum("__dec").alias("__dec"),
+                F.min("__min").alias("__min"),
+                F.max("__max").alias("__max"),
+            ]
+        level = (
+            level.groupBy(F.window(F.col("window_start"), res), *groups)
+            .agg(*aggs)
+            .select(
+                F.col("window.start").alias("window_start"),
+                F.col("window.end").alias("window_end"),
+                *groups,
+                "__n",
+                *(
+                    ["__dec", "__min", "__max"]
+                    if value_col is not None
+                    else []
+                ),
+            )
+        )
+        out.append(present(level))
+    return out

@@ -45,7 +45,7 @@ def test_curation16_registers_in_isolation():
     assert rep["added"] == [
         "contamination_bloom_counts", "corpus_mix_semantic",
         "corpus_mix_unimax", "corpus_sketch_profile",
-        "join_range_acctbal",
+        "events_rollup_cascade", "join_range_acctbal",
     ]
     assert rep["oracles_ok"]
     # staged means staged: activation is a conscious __init__ edit
@@ -60,3 +60,4 @@ def test_curation16_not_in_live_registry():
     assert "corpus_sketch_profile" not in QUERIES
     assert "corpus_mix_semantic" not in QUERIES
     assert "join_range_acctbal" not in QUERIES
+    assert "events_rollup_cascade" not in QUERIES

@@ -797,3 +797,63 @@ def test_stream_sketch_profile_accumulates_and_replays(spark, tmp_path):
     assert again_cm == want_cm
     again_kmv = accumulated_kmv_estimate(spark, store, k=K).first()
     assert again_kmv["est_distinct"] == want_kmv["est_distinct"]
+
+
+def test_rollup_cascade_derived_equals_direct(spark):
+    """Each cascade level equals aggregating the raw rows at that
+    resolution directly; resolutions must nest; value sums survive
+    re-aggregation exactly (DECIMAL partials)."""
+    import datetime as _dt
+
+    import pytest as _pytest
+
+    from cdk_datalake_ingest_bigmagic_spark.streaming.windows import (
+        rollup_cascade,
+        tumbling_agg,
+    )
+
+    rows = [
+        (
+            _dt.datetime(2024, 3, 1 + (i % 3), (i * 7) % 24, (i * 13) % 60),
+            ["a", "b"][i % 2],
+            round(0.01 * ((i * 37) % 1000), 2),
+        )
+        for i in range(400)
+    ]
+    e = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+
+    hourly, daily = rollup_cascade(
+        e, "ts", ["1 hour", "1 day"], ["event_type"], "value"
+    )
+    for level, res in ((hourly, "1 hour"), (daily, "1 day")):
+        direct = tumbling_agg(e, "ts", res, ["event_type"], "value")
+        got = {
+            (r["window_start"], r["event_type"]): (
+                r["n_events"],
+                r["total_value"],
+            )
+            for r in level.collect()
+        }
+        want = {
+            (r["window_start"], r["event_type"]): (
+                r["n_events"],
+                r["total_value"],
+            )
+            for r in direct.collect()
+        }
+        assert got == want and len(got) > 1
+
+    # min/max compose
+    d = {r["event_type"]: r for r in daily.where(
+        "window_start = timestamp'2024-03-01 00:00:00'").collect()}
+    from pyspark.sql import functions as SF
+
+    raw = e.where(
+        "ts < timestamp'2024-03-02 00:00:00' AND event_type = 'a'"
+    ).agg(SF.min("value"), SF.max("value")).first()
+    assert (d["a"]["min_value"], d["a"]["max_value"]) == (raw[0], raw[1])
+
+    with _pytest.raises(ValueError):
+        rollup_cascade(e, "ts", ["1 hour", "90 minutes"])
+    with _pytest.raises(ValueError):
+        rollup_cascade(e, "ts", ["fortnight"])
