@@ -1,0 +1,372 @@
+"""Deterministic distributed Lloyd k-means: a trained coarse quantizer
+that is still engine-replayable.
+
+Why this exists: the IVF family (``similarity.ann_ivf_pairs`` /
+``ivf_assignments`` / SemDeDup) takes its coarse quantizer either from
+"first-ids" (deterministic, zero training cost, but quantization
+quality is id-order luck) or from ``pyspark.ml.clustering.KMeans``
+(good centers, but the exact centers vary with partitioning, so no SQL
+oracle can replay them and no two runs are bit-identical). This module
+closes that gap: full Lloyd's iterations (Lloyd 1982; the same
+objective MacQueen 1967 / the ml-lib implementation optimize) whose
+every arithmetic step is EXACT INTEGER arithmetic, so the result is
+
+- partition-order independent (integer addition is associative —
+  the same argument that lets money aggregates ride DECIMAL sums),
+- bit-identical across runs, cluster layouts, and engines (a DuckDB
+  oracle replays the whole training loop), and
+- still one broadcast + one Arrow-batched integer matmul per
+  iteration — the scale shape of the float path.
+
+The determinism contract (documented, not hidden):
+
+1. Vectors are unit-normalized in float64 (left-fold norm — the
+   cross-engine-stable sum every cosine oracle in this repo already
+   relies on), then QUANTIZED: ``q_d = floor(v_d / ||v|| * 2^bits)``.
+   With ``bits=20`` the grid is ~1e-6 per component — two orders of
+   magnitude below float32 input noise, so the clustering is the one
+   float k-means would find, minus boundary luck.
+2. Distances are squared Euclidean on the quantized integers —
+   exact int64 (|q| <= 2^bits, so a 64-dim distance is < 2^(2*bits+7)
+   << 2^63). On unit-normalized vectors Euclidean argmin == cosine
+   argmax, so trained centroids slot straight into the IVF tier.
+   Ties go to the smaller cluster index (numpy ``argmin`` first-hit ==
+   SQL ``ORDER BY dist, cluster_idx LIMIT 1``).
+3. Centroid update: per-dimension exact integer sums (bounded by
+   n * 2^bits — overflow-free below ~2^43 rows at bits=20), then
+   ``floor(CAST(sum AS DOUBLE) / n)``. The one double division is
+   exact-input (sums < 2^53) and IEEE-identical everywhere.
+4. Init: the vectors of the k smallest ``md5(seed|id)`` values,
+   cluster index = rank in that hash order (k-means|| would be
+   better-spread but is sampling-based; the md5 init is the
+   engine-replayable analogue of a uniform random draw).
+5. Empty clusters keep their previous centroid (deterministic; the
+   standard Lloyd fallback).
+
+Scale shape per iteration (the 100-TB contract):
+
+- assignment: ONE ``mapInPandas`` pass against a broadcast
+  (k × dims) int64 matrix — ``|q|² − 2·q@Cᵀ + |C|²`` argmin, a few
+  integer FLOP-equivalents per vector, ZERO shuffle;
+- update: the same pass emits per-batch partial sums — at most
+  k rows × dims ints per Arrow batch (the count-min "bounded
+  partials" contract: shuffle volume scales with batches × k, never
+  with corpus rows) — reduced by one keyed groupBy, k rows collected;
+- driver state: one (k × dims) integer matrix per iteration.
+
+Iterations are driver-sequenced jobs (inherent to Lloyd's); n_iter
+is typically 3-10 for a coarse quantizer, and each job is a linear
+scan. No lineage growth: each iteration's plan starts from the source
+DataFrame plus a literal centroid matrix, so no checkpointing is
+needed (unlike the connected-components loops, whose plans nest).
+
+Reference parity note: the reference ingestion engine has no
+clustering surface; this belongs to the LLM-curation tier
+(quantizer training for the IVF/SemDeDup operators, cluster-balanced
+mixing strata).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cdk_datalake_ingest_bigmagic_spark.operators import fan_out
+from cdk_datalake_ingest_bigmagic_spark.operators.similarity import (
+    to_double_array,
+)
+
+
+def _norm_fold(arr):
+    # the left-fold sum-of-squares both engines evaluate identically
+    # (similarity.norm, inlined here to keep the guard explicit)
+    return F.sqrt(
+        F.aggregate(
+            F.transform(arr, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+
+
+def quantized_vectors(
+    df: DataFrame, id_col: str, vec_col: str, scale_bits: int = 20
+) -> DataFrame:
+    """``(id, qv: array<long>)`` — unit-normalized, grid-quantized
+    vectors: ``floor(v_d / max(||v||, 1e-12) * 2^scale_bits)``.
+
+    Pure codegen Column ops (cast → fold norm → transform floor); the
+    oracle replays it as
+    ``floor(val / greatest(sqrt(list_dot_product(v,v)),1e-12) * S)``.
+    """
+    arr = to_double_array(F.col(vec_col))
+    nrm = F.greatest(_norm_fold(arr), F.lit(1e-12))
+    scale = F.lit(float(2**scale_bits))
+    qv = F.transform(arr, lambda x: F.floor(x / nrm * scale).cast("long"))
+    return df.select(F.col(id_col), qv.alias("qv"))
+
+
+def _init_centroids(
+    qdf: DataFrame, id_col: str, k: int, seed: str
+) -> list[list[int]]:
+    """k quantized vectors by md5(seed|id) order; index = hash rank."""
+    h = F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string")))
+    rows = (
+        qdf.select(F.col(id_col), F.col("qv"), h.alias("__h"))
+        .orderBy("__h", id_col)
+        .limit(k)
+        .collect()
+    )
+    return [list(r["qv"]) for r in rows]
+
+
+_PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("cluster_idx", T.IntegerType(), False),
+        T.StructField("n", T.LongType(), False),
+        T.StructField("csum", T.ArrayType(T.LongType(), False), False),
+    ]
+)
+
+
+def _iterate_once(
+    qdf: DataFrame, centroids: list[list[int]]
+) -> list[list[int]]:
+    """One Lloyd step: assign (broadcast integer matmul) + update
+    (bounded per-batch partials → one keyed groupBy → k-row collect).
+    Returns the new quantized centroid matrix."""
+    import numpy as np
+
+    spark = qdf.sparkSession
+    C = np.asarray(centroids, dtype=np.int64)
+    bc = spark.sparkContext.broadcast(C)
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        M = bc.value
+        c_sq = (M * M).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.vstack(pdf["qv"].to_numpy()).astype(np.int64)
+            # exact int64: |q|^2 - 2 q.C^T + |c|^2  (argmin drops |q|^2,
+            # kept for non-negative dist if a caller ever reads it)
+            d = -2 * (Q @ M.T) + c_sq[None, :]
+            idx = d.argmin(axis=1)  # first-hit tie -> smaller cluster
+            out_c, out_n, out_s = [], [], []
+            for c in np.unique(idx):
+                members = Q[idx == c]
+                out_c.append(int(c))
+                out_n.append(int(members.shape[0]))
+                out_s.append(members.sum(axis=0, dtype=np.int64).tolist())
+            yield pd.DataFrame(
+                {"cluster_idx": out_c, "n": out_n, "csum": out_s}
+            )
+
+    part = qdf.mapInPandas(partials, _PARTIAL_SCHEMA)
+    # element-wise array-sum aggregate: posexplode the BOUNDED partials
+    # (batches x k x dims rows — sketch-sized, never corpus-sized),
+    # sum per (cluster, dim), re-pack ordered by dim.
+    exploded = part.select(
+        "cluster_idx", "n", F.posexplode("csum").alias("dim", "s")
+    )
+    summed = exploded.groupBy("cluster_idx", "dim").agg(
+        F.sum("s").alias("s"),
+        # n repeats per dim within a partial row; sum over dim==0 only
+        F.sum(F.when(F.col("dim") == 0, F.col("n")).otherwise(0)).alias("n0"),
+    )
+    packed = (
+        summed.groupBy("cluster_idx")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "s"))),
+                lambda x: x["s"],
+            ).alias("csum"),
+            F.sum("n0").alias("n"),
+        )
+        .collect()
+    )
+    new_C = [list(c) for c in centroids]  # empty clusters keep previous
+    for r in packed:
+        n = int(r["n"])
+        if n <= 0:
+            continue
+        # floor(CAST(sum AS DOUBLE)/n): the engine-identical division
+        new_C[int(r["cluster_idx"])] = [
+            math.floor(int(s) / n) for s in r["csum"]
+        ]
+    return new_C
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_iter: int = 5,
+    seed: str = "km",
+    scale_bits: int = 20,
+) -> list[list[int]]:
+    """Train deterministic Lloyd k-means; returns the quantized
+    (k × dims) centroid matrix (ints on the 2^scale_bits grid).
+    ``centroids_float = [[c / 2**scale_bits for c in row] ...]``."""
+    qdf = fan_out(quantized_vectors(df, id_col, vec_col, scale_bits))
+    qdf = qdf.persist()
+    try:
+        C = _init_centroids(qdf, id_col, k, seed)
+        if not C:
+            return []
+        for _ in range(n_iter):
+            C = _iterate_once(qdf, C)
+        return C
+    finally:
+        qdf.unpersist()
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[int]],
+    scale_bits: int = 20,
+) -> DataFrame:
+    """``(id, cluster_idx, dist_sq)`` under the trained quantizer —
+    one broadcast integer-matmul pass, zero shuffle. ``dist_sq`` is
+    the exact integer squared distance on the quantized grid."""
+    import numpy as np
+
+    spark = df.sparkSession
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("cluster_idx", T.IntegerType(), False),
+            T.StructField("dist_sq", T.LongType(), False),
+        ]
+    )
+    if not centroids:
+        return spark.createDataFrame([], schema)
+    C = np.asarray(centroids, dtype=np.int64)
+    bc = spark.sparkContext.broadcast(C)
+    qdf = fan_out(quantized_vectors(df, id_col, vec_col, scale_bits))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        M = bc.value
+        c_sq = (M * M).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.vstack(pdf["qv"].to_numpy()).astype(np.int64)
+            d = (Q * Q).sum(axis=1)[:, None] - 2 * (Q @ M.T) + c_sq[None, :]
+            idx = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cluster_idx": idx.astype("int32"),
+                    "dist_sq": d[np.arange(len(idx)), idx],
+                }
+            )
+
+    return qdf.mapInPandas(assign, schema)
+
+
+def kmeans_profile(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_iter: int = 2,
+    seed: str = "km",
+    scale_bits: int = 20,
+) -> DataFrame:
+    """The gate-shaped training summary: train ``n_iter`` Lloyd steps,
+    run one final assignment, and emit one row per cluster —
+    ``(cluster_idx, n_members, qc_sum, qc_min, qc_max)`` where the
+    ``qc_*`` columns are exact-integer statistics of the final
+    centroid. Every value is an integer the SQL oracle reproduces by
+    replaying the identical training loop."""
+    C = kmeans_fit(df, id_col, vec_col, k, n_iter, seed, scale_bits)
+    spark = df.sparkSession
+    if not C:
+        return spark.createDataFrame(
+            [],
+            "cluster_idx int, n_members bigint, qc_sum bigint, "
+            "qc_min bigint, qc_max bigint",
+        )
+    counts = (
+        kmeans_assign(df, id_col, vec_col, C, scale_bits)
+        .groupBy("cluster_idx")
+        .agg(F.count("*").alias("n_members"))
+    )
+    cent = spark.createDataFrame(
+        [
+            (i, sum(row), min(row), max(row))
+            for i, row in enumerate(C)
+        ],
+        "cluster_idx int, qc_sum bigint, qc_min bigint, qc_max bigint",
+    )
+    return (
+        cent.join(counts, "cluster_idx", "left")
+        .select(
+            "cluster_idx",
+            F.coalesce("n_members", F.lit(0)).alias("n_members"),
+            "qc_sum",
+            "qc_min",
+            "qc_max",
+        )
+        .orderBy("cluster_idx")
+    )
+
+
+def reference_kmeans(
+    vectors: dict[int, list[float]],
+    k: int,
+    n_iter: int,
+    seed: str = "km",
+    scale_bits: int = 20,
+) -> tuple[list[list[int]], dict[int, int]]:
+    """Single-process reference implementation of the SAME contract
+    (for differential tests): returns (centroids, final assignment)."""
+    S = float(2**scale_bits)
+    q = {}
+    for i, v in vectors.items():
+        # replicate the engines' left fold exactly (NOT math.fsum)
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        nrm = max(math.sqrt(acc), 1e-12)
+        q[i] = [math.floor(x / nrm * S) for x in v]
+    order = sorted(
+        q,
+        key=lambda i: (
+            hashlib.md5(f"{seed}|{i}".encode()).hexdigest(),
+            i,
+        ),
+    )
+    C = [list(q[i]) for i in order[:k]]
+
+    def closest(qv):
+        best, bd = 0, None
+        for c, cv in enumerate(C):
+            d = sum((a - b) * (a - b) for a, b in zip(qv, cv))
+            if bd is None or d < bd:
+                best, bd = c, d
+        return best
+
+    for _ in range(n_iter):
+        members: dict[int, list[int]] = {}
+        for i, qv in q.items():
+            members.setdefault(closest(qv), []).append(i)
+        for c in range(len(C)):
+            ids = members.get(c)
+            if not ids:
+                continue
+            n = len(ids)
+            C[c] = [
+                math.floor(sum(q[i][d] for i in ids) / n)
+                for d in range(len(C[c]))
+            ]
+    assign = {i: closest(qv) for i, qv in q.items()}
+    return C, assign

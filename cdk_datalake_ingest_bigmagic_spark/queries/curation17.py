@@ -1,0 +1,133 @@
+"""Round-17 growth gates, STAGED during round 15:
+
+- ``corpus_kmeans_quantizer`` — deterministic distributed Lloyd
+  k-means (operators/kmeans.py): the trained coarse quantizer for the
+  IVF/SemDeDup tier whose every arithmetic step is exact integer
+  arithmetic, so a SQL oracle replays the ENTIRE training loop —
+  init, both Lloyd iterations, and the final assignment — and the
+  cross-engine hash pins all of it.
+
+NOT imported by queries/__init__.py (the r15 front closed at 49
+slots; the r16 front takes curation16 first). Pre-validate with
+``python tools/validate_module.py curation17 [sf_dir]``; activation =
+the import line + the gate name in a future front.
+
+What the oracle replays, step by step (k=4, n_iter=2, seed='km',
+scale 2^20 — every stage's branch live at every SF):
+
+1. quantize: ``q_d = floor(v_d / max(||v||,1e-12) * 2^20)`` with the
+   left-fold norm (``list_dot_product`` ≡ the Column fold);
+2. init: the 4 vectors with smallest ``md5('km|'||vec_id)``, cluster
+   index = hash rank;
+3. assign: exact-integer squared-Euclidean argmin, ties to the
+   smaller cluster index (``row_number() OVER (ORDER BY dist,
+   cluster_idx)``);
+4. update: ``qc_d = floor(CAST(sum(q_d) AS DOUBLE)/n)`` per cluster,
+   empty clusters coalesce to the previous centroid;
+5. output: per cluster the FINAL assignment count plus exact-integer
+   centroid statistics (sum/min/max of the quantized components).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cdk_datalake_ingest_bigmagic_spark.operators.kmeans import (
+    kmeans_profile,
+)
+from cdk_datalake_ingest_bigmagic_spark.queries import load, register
+
+_K = 4
+_SEED = "km"
+_SCALE = float(2**20)
+
+# one assignment round: (qv ⋈ centroids on dim) → per-(vec, cluster)
+# exact integer distance → argmin with the (dist, cluster_idx) tie rule
+_ASSIGN = """
+  SELECT vec_id, cluster_idx FROM (
+    SELECT q.vec_id, c.cluster_idx,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY sum((q.q - c.qc) * (q.q - c.qc)), c.cluster_idx
+           ) AS rk
+    FROM qv q JOIN {cent} c ON q.dim = c.dim
+    GROUP BY q.vec_id, c.cluster_idx
+  ) WHERE rk = 1
+"""
+
+# one update round: per-(cluster, dim) exact integer sums → the
+# engine-identical floor(CAST(sum AS DOUBLE)/n) division; empty
+# clusters keep the previous centroid via the LEFT JOIN coalesce
+_UPDATE = """
+  SELECT p.cluster_idx, p.dim, coalesce(u.qc, p.qc) AS qc
+  FROM {prev} p LEFT JOIN (
+    SELECT a.cluster_idx, q.dim,
+           CAST(floor(CAST(sum(q.q) AS DOUBLE) / count(*)) AS BIGINT)
+             AS qc
+    FROM {assign} a JOIN qv q USING (vec_id)
+    GROUP BY a.cluster_idx, q.dim
+  ) u ON p.cluster_idx = u.cluster_idx AND p.dim = u.dim
+"""
+
+_ORACLE = f"""
+    WITH unpacked AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(embedding::DOUBLE[]) AS val,
+             greatest(
+               sqrt(list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[])),
+               1e-12
+             ) AS nrm
+      FROM embeddings
+    ),
+    qv AS (
+      SELECT vec_id, dim,
+             CAST(floor(val / nrm * {_SCALE}) AS BIGINT) AS q
+      FROM unpacked
+    ),
+    init AS (
+      SELECT vec_id,
+             CAST(row_number() OVER (
+               ORDER BY md5('{_SEED}|' || CAST(vec_id AS VARCHAR)),
+                        vec_id
+             ) - 1 AS INTEGER) AS cluster_idx
+      FROM embeddings
+      QUALIFY row_number() OVER (
+        ORDER BY md5('{_SEED}|' || CAST(vec_id AS VARCHAR)), vec_id
+      ) <= {_K}
+    ),
+    c0 AS (
+      SELECT i.cluster_idx, q.dim, q.q AS qc
+      FROM init i JOIN qv q USING (vec_id)
+    ),
+    a1 AS ({_ASSIGN.format(cent="c0")}),
+    c1 AS ({_UPDATE.format(prev="c0", assign="a1")}),
+    a2 AS ({_ASSIGN.format(cent="c1")}),
+    c2 AS ({_UPDATE.format(prev="c1", assign="a2")}),
+    a3 AS ({_ASSIGN.format(cent="c2")}),
+    cent AS (
+      SELECT cluster_idx,
+             CAST(sum(qc) AS BIGINT) AS qc_sum,
+             CAST(min(qc) AS BIGINT) AS qc_min,
+             CAST(max(qc) AS BIGINT) AS qc_max
+      FROM c2 GROUP BY cluster_idx
+    ),
+    counts AS (
+      SELECT cluster_idx, CAST(count(*) AS BIGINT) AS n_members
+      FROM a3 GROUP BY cluster_idx
+    )
+    SELECT c.cluster_idx,
+           CAST(coalesce(n.n_members, 0) AS BIGINT) AS n_members,
+           c.qc_sum, c.qc_min, c.qc_max
+    FROM cent c LEFT JOIN counts n USING (cluster_idx)
+    ORDER BY c.cluster_idx
+"""
+
+
+@register("corpus_kmeans_quantizer", _ORACLE)
+def corpus_kmeans_quantizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "embeddings")
+    return kmeans_profile(
+        df, "vec_id", "embedding", k=_K, n_iter=2, seed=_SEED
+    )

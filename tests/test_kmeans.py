@@ -1,0 +1,140 @@
+"""Deterministic distributed k-means (operators/kmeans.py).
+
+The contract under test: exact-integer Lloyd's — partition-order
+independent, bit-identical to the single-process reference that
+replays the same quantize/assign/update rules, ties and empty
+clusters handled deterministically."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from cdk_datalake_ingest_bigmagic_spark.operators import kmeans as km
+
+
+def _mkdf(spark, vectors: dict[int, list[float]], n_parts: int = 4):
+    rows = [(i, [float(x) for x in v]) for i, v in vectors.items()]
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    ).repartition(n_parts)
+
+
+def _random_vectors(n: int, d: int, seed: int) -> dict[int, list[float]]:
+    rng = random.Random(seed)
+    # float32-quantize like the parquet column would
+    import struct
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    return {
+        i: [f32(rng.gauss(0, 1)) for _ in range(d)] for i in range(n)
+    }
+
+
+def test_fit_matches_reference(spark):
+    vecs = _random_vectors(120, 8, seed=7)
+    df = _mkdf(spark, vecs)
+    C = km.kmeans_fit(df, "vec_id", "embedding", k=5, n_iter=3, seed="t")
+    C_ref, assign_ref = km.reference_kmeans(vecs, k=5, n_iter=3, seed="t")
+    assert C == C_ref
+    got = {
+        r["vec_id"]: r["cluster_idx"]
+        for r in km.kmeans_assign(df, "vec_id", "embedding", C).collect()
+    }
+    assert got == assign_ref
+
+
+def test_partitioning_invariance(spark):
+    vecs = _random_vectors(90, 6, seed=11)
+    a = km.kmeans_fit(
+        _mkdf(spark, vecs, n_parts=1), "vec_id", "embedding", 4, n_iter=2
+    )
+    b = km.kmeans_fit(
+        _mkdf(spark, vecs, n_parts=13), "vec_id", "embedding", 4, n_iter=2
+    )
+    assert a == b
+
+
+def test_duplicate_vectors_tie_to_smaller_cluster(spark):
+    # two identical centroid candidates -> every point equidistant to
+    # both; all mass must land on the smaller cluster index
+    vecs = {i: [1.0, 0.0] for i in range(10)}
+    df = _mkdf(spark, vecs)
+    C = km.kmeans_fit(df, "vec_id", "embedding", k=2, n_iter=2)
+    rows = km.kmeans_assign(df, "vec_id", "embedding", C).collect()
+    assert {r["cluster_idx"] for r in rows} == {0}
+    assert all(r["dist_sq"] == 0 for r in rows)
+
+
+def test_empty_cluster_keeps_previous_centroid(spark):
+    # k=3 over 2 distinct points: one cluster starves and must retain
+    # its init centroid through every iteration
+    vecs = {0: [1.0, 0.0], 1: [0.0, 1.0], 2: [1.0, 0.0], 3: [0.0, 1.0]}
+    df = _mkdf(spark, vecs)
+    C = km.kmeans_fit(df, "vec_id", "embedding", k=3, n_iter=3, seed="e")
+    C_ref, _ = km.reference_kmeans(vecs, k=3, n_iter=3, seed="e")
+    assert C == C_ref
+    assert len(C) == 3
+
+
+def test_zero_vector_guard(spark):
+    vecs = {0: [0.0, 0.0], 1: [1.0, 1.0], 2: [-1.0, 0.5]}
+    df = _mkdf(spark, vecs)
+    C = km.kmeans_fit(df, "vec_id", "embedding", k=2, n_iter=2)
+    C_ref, assign_ref = km.reference_kmeans(vecs, k=2, n_iter=2)
+    assert C == C_ref
+    got = {
+        r["vec_id"]: r["cluster_idx"]
+        for r in km.kmeans_assign(df, "vec_id", "embedding", C).collect()
+    }
+    assert got == assign_ref
+
+
+def test_profile_shape_and_counts(spark):
+    vecs = _random_vectors(60, 4, seed=3)
+    df = _mkdf(spark, vecs)
+    out = km.kmeans_profile(df, "vec_id", "embedding", k=3, n_iter=2).collect()
+    assert [r["cluster_idx"] for r in out] == [0, 1, 2]
+    assert sum(r["n_members"] for r in out) == 60
+    C = km.kmeans_fit(df, "vec_id", "embedding", k=3, n_iter=2)
+    for r in out:
+        row = C[r["cluster_idx"]]
+        assert r["qc_sum"] == sum(row)
+        assert r["qc_min"] == min(row)
+        assert r["qc_max"] == max(row)
+
+
+def test_quantization_grid_bound(spark):
+    # every quantized component lies on the 2^20 unit-sphere grid
+    vecs = _random_vectors(30, 5, seed=9)
+    qdf = km.quantized_vectors(_mkdf(spark, vecs), "vec_id", "embedding")
+    for r in qdf.collect():
+        assert all(abs(q) <= 2**20 for q in r["qv"])
+        nrm = math.sqrt(sum((q / 2**20) ** 2 for q in r["qv"]))
+        assert nrm == pytest.approx(1.0, abs=1e-4)
+
+
+def test_trained_quantizer_improves_balance(spark, sf_dir):
+    """On the real embeddings table the trained quantizer should not
+    be WORSE balanced than first-ids (the motivating property), and
+    stays deterministic end to end."""
+    from cdk_datalake_ingest_bigmagic_spark.queries import load
+
+    df = load(spark, sf_dir, "embeddings")
+    k = 8
+    C = km.kmeans_fit(df, "vec_id", "embedding", k=k, n_iter=4)
+    C2 = km.kmeans_fit(df, "vec_id", "embedding", k=k, n_iter=4)
+    assert C == C2
+    sizes = [
+        r["count"]
+        for r in km.kmeans_assign(df, "vec_id", "embedding", C)
+        .groupBy("cluster_idx")
+        .count()
+        .collect()
+    ]
+    assert sum(sizes) == df.count()
+    assert len(sizes) >= 2  # the trained quantizer actually separates
