@@ -257,6 +257,11 @@ def _ivf_centroids(
       lists → better recall at the same n_probe; seeded, but exact
       centers can vary with partitioning, so it is not the default for
       oracle-gated queries.
+    - ``"kmeans-det"``: deterministic exact-integer Lloyd's
+      (``operators.kmeans.kmeans_fit``, 5 iterations on the 2^20
+      unit-sphere grid) — trained-quantizer balance AND the
+      partition-order/engine determinism of first-ids. The one option
+      that is both trained and oracle-replayable.
     """
     import numpy as np
 
@@ -278,7 +283,19 @@ def _ivf_centroids(
             k=n_lists, seed=7, maxIter=20, featuresCol="features"
         ).fit(feats)
         return np.vstack(model.clusterCenters()).astype("float64")
-    raise ValueError(f"centroids must be 'first-ids' or 'kmeans', got {method!r}")
+    if method == "kmeans-det":
+        from cdk_datalake_ingest_bigmagic_spark.operators.kmeans import (
+            kmeans_fit,
+        )
+
+        C = kmeans_fit(df, id_col, vec_col, k=n_lists, n_iter=5)
+        if not C:
+            return None
+        return np.asarray(C, dtype="float64") / float(2**20)
+    raise ValueError(
+        "centroids must be 'first-ids', 'kmeans' or 'kmeans-det', "
+        f"got {method!r}"
+    )
 
 
 def ann_ivf_pairs(

@@ -1,0 +1,55 @@
+"""Staging invariants for queries/curation17.py (the deterministic
+k-means quantizer gate, staged during round 15 per the standing
+policy: pre-write and pre-validate future rounds' registrations).
+
+The module is NOT imported by queries/__init__.py — a registered
+query outside the gate window would violate the rotation invariant.
+Pre-validation runs via ``tools/validate_module.py curation17``
+(0 failures at sf0.001 / sf0.01 / sf0.1 in round 15). Activation =
+the import line + the gate name in a future front (r17 per the
+queue; r16's six slots belong to curation16).
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+_PROBE = """
+import json, sys
+sys.path.insert(0, {repo!r})
+from cdk_datalake_ingest_bigmagic_spark.queries import QUERIES, ORACLES
+before = set(QUERIES)
+import cdk_datalake_ingest_bigmagic_spark.queries.curation17  # noqa
+after = set(QUERIES)
+print(json.dumps({{
+    "added": sorted(after - before),
+    "oracles_ok": all(n in ORACLES for n in (after - before)),
+    "not_imported_by_default": "import curation17" not in open(
+        {repo!r} + "/cdk_datalake_ingest_bigmagic_spark/queries/__init__.py"
+    ).read(),
+}}))
+"""
+
+
+def test_curation17_registers_in_isolation():
+    out = subprocess.run(
+        [sys.executable, "-c", _PROBE.format(repo=str(REPO))],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    rep = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["added"] == ["corpus_kmeans_quantizer"]
+    assert rep["oracles_ok"]
+    # staged means staged: activation is a conscious __init__ edit
+    assert rep["not_imported_by_default"]
+
+
+def test_curation17_not_in_live_registry():
+    from cdk_datalake_ingest_bigmagic_spark.queries import QUERIES
+
+    assert "corpus_kmeans_quantizer" not in QUERIES

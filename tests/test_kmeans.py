@@ -138,3 +138,26 @@ def test_trained_quantizer_improves_balance(spark, sf_dir):
     ]
     assert sum(sizes) == df.count()
     assert len(sizes) >= 2  # the trained quantizer actually separates
+
+
+def test_ivf_kmeans_det_quantizer(spark, sf_dir):
+    """The trained deterministic quantizer slots into the IVF tier:
+    assignments are reproducible run-to-run and cover the corpus."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.similarity import (
+        ivf_assignments,
+    )
+    from cdk_datalake_ingest_bigmagic_spark.queries import load
+
+    df = load(spark, sf_dir, "embeddings")
+    a = ivf_assignments(
+        df, "vec_id", "embedding", n_lists=8, centroids="kmeans-det"
+    )
+    rows1 = sorted((r["vec_id"], r["list_idx"]) for r in a.collect())
+    a2 = ivf_assignments(
+        df.repartition(7), "vec_id", "embedding", n_lists=8,
+        centroids="kmeans-det",
+    )
+    rows2 = sorted((r["vec_id"], r["list_idx"]) for r in a2.collect())
+    assert rows1 == rows2
+    assert len(rows1) == df.count()
+    assert len({l for _, l in rows1}) >= 4  # trained lists actually used
