@@ -1,0 +1,74 @@
+"""Session-aging probe: reproduce the bench-session inflation of
+iterative queries and test which cleanup lever restores it.
+
+Runs `dedup_connected_components_twophase` fresh, then a 16-query
+HEADLINE prefix (bench methodology: force() with clearCache between),
+re-times it (inflated), then applies a candidate remedy and re-times.
+
+Usage: python tools/aging_probe.py [gc|none]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import HEADLINE, force  # noqa: E402
+from cdk_datalake_ingest_bigmagic_spark import get_spark  # noqa: E402
+from cdk_datalake_ingest_bigmagic_spark.queries import all_queries  # noqa: E402
+
+REMEDY = sys.argv[1] if len(sys.argv) > 1 else "gc"
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+TARGET = "dedup_connected_components_twophase"
+
+
+def t(fn, spark, label):
+    spark.catalog.clearCache()
+    t0 = time.time()
+    force(fn(spark, SF_DIR))
+    dt = time.time() - t0
+    print(f"[probe] {label}: {dt:.2f}s", flush=True)
+    return dt
+
+
+def main():
+    spark = get_spark(app_name="aging-probe",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    q = all_queries()
+    # warm engine
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.range(64).repartition(8).mapInPandas(lambda it: it, "id long").count()
+    force(q[TARGET](spark, "/root/testdata/sf0.001"))
+
+    t(q[TARGET], spark, "fresh-1")
+    t(q[TARGET], spark, "fresh-2")
+
+    t0 = time.time()
+    for name in HEADLINE[:16]:
+        spark.catalog.clearCache()
+        force(q[name](spark, SF_DIR))
+    print(f"[probe] 16-query prefix done in {time.time()-t0:.1f}s", flush=True)
+
+    t(q[TARGET], spark, "aged-1")
+    t(q[TARGET], spark, "aged-2")
+
+    jvm = spark.sparkContext._jvm
+    if REMEDY == "gc":
+        jvm.System.gc()
+        time.sleep(5)
+        jvm.System.gc()
+        time.sleep(5)
+        print("[probe] System.gc() x2 done", flush=True)
+    t(q[TARGET], spark, f"post-{REMEDY}-1")
+    t(q[TARGET], spark, f"post-{REMEDY}-2")
+
+    # what persistent RDDs linger?
+    prdds = spark.sparkContext._jsc.getPersistentRDDs()
+    print(f"[probe] persistent RDDs lingering: {prdds.size()}", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
