@@ -848,37 +848,37 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     bit b of the signature = majority vote of bit b across token
     occurrences (summing ±1 per occurrence ≡ the tf-weighted vote over
-    distinct tokens). The whole computation is IN-ROW: the token-hash
-    array is materialized once per document, then 32 ``aggregate``
-    expressions fold it into the vote counters — ZERO shuffles (the
-    old shape shuffled |tokens| rows into a token-frequency groupBy).
+    distinct tokens; vote_b > 0 ⟺ 2·count(bit_b set) > n_tokens).
+
+    Shape (round-15 rewrite): explode token occurrences and fold the
+    32 bit counters in ONE codegen hash aggregation keyed on the doc
+    id — md5 and every bit test run in WholeStageCodegen, and the
+    map-side partial aggregation means the shuffle carries one
+    33-long row per document per map partition. The previous in-row
+    shape folded 32 interpreted ``aggregate`` HOFs over a per-doc
+    hash array — value-identical, measured 2.12 s vs 1.50 s at sf0.1
+    (the per-element expression interpreter was the cost, not data
+    movement).
     """
     toks = F.filter(
         F.split(normalize_text(F.col(text_col)), " "), lambda t: t != ""
     )
-    # barrier: the 32 vote folds below each reference __hs — inlined,
-    # every fold would re-tokenize and re-md5 the document (32× the
-    # signature work); materialized, they fold one in-memory array
-    hashed = barrier(
-        fan_out(df.select(F.col(id_col), F.col(text_col))).select(
-            F.col(id_col),
-            F.transform(toks, lambda t: token_hash64(t)).alias("__hs"),
-        )
-    ).filter(F.size("__hs") > 0)
-    def _vote(b: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1).cast("long")
-        ).otherwise(F.lit(-1).cast("long"))
-
-    votes = [
-        F.aggregate(F.col("__hs"), F.lit(0).cast("long"), _vote(b)).alias(f"v{b}")
+    hashed = (
+        fan_out(df.select(F.col(id_col), toks.alias("__t")))
+        .select(F.col(id_col), F.explode("__t").alias("__tok"))
+        .select(F.col(id_col), token_hash64(F.col("__tok")).alias("__h"))
+    )
+    # count of set bits per position; docs with zero tokens vanish in
+    # the explode, matching the old size-guard filter
+    counts = [
+        F.sum(F.shiftright("__h", b).bitwiseAND(F.lit(1))).alias(f"c{b}")
         for b in range(32)
     ]
-    wide = hashed.select(F.col(id_col), *votes)
+    wide = hashed.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"), *counts)
     sig_expr = None
     for b in range(32):
         term = F.when(
-            F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")
+            F.col(f"c{b}") * 2 > F.col("__n"), F.lit(1 << b).cast("long")
         ).otherwise(F.lit(0).cast("long"))
         sig_expr = term if sig_expr is None else (sig_expr + term)
     return wide.select(F.col(id_col), sig_expr.alias("simhash"))

@@ -29,6 +29,46 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _distinct_gram_rows(
+    df: DataFrame, keep_cols: list[str], text_col: str, n: int
+) -> DataFrame:
+    """(keep_cols..., gram): each document's DISTINCT lowercased char
+    n-grams in ROW form, whitespace runs collapsed first.
+
+    The grams are built IN-ROW: split the normalized text into a char
+    array once (behind ``barrier`` so the per-gram lambda reads a
+    materialized array), cut each gram as a ``concat`` of ``n``
+    O(1) ``element_at`` slots, ``array_distinct`` BEFORE the explode.
+    Zero shuffles — per-document dedup never leaves the row, so no
+    (doc, gram) distinct exchange exists at any corpus size. This
+    replaced the explode-index + ``substr`` shape (round 15): that
+    shape re-sliced the document per gram (O(position) seeks in
+    UTF8String) and carried the FULL document string through the
+    Generate into every gram row — measured 3.8× slower at sf0.1
+    (4.67 s vs 1.24 s to the same distinct rows) before any shuffle
+    was even paid.
+    """
+    from cdk_datalake_ingest_bigmagic_spark.operators import barrier, fan_out
+
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    base = barrier(
+        fan_out(df.select(*keep_cols, norm.alias("__s"))).select(
+            *keep_cols, F.split("__s", "").alias("__c")
+        )
+    )
+    slots = ", ".join(
+        f"element_at(__c, i + {k})" if k else "element_at(__c, i)"
+        for k in range(n)
+    )
+    garr = F.expr(
+        f"transform(sequence(1, greatest(size(__c) - {n - 1}, 1)), "
+        f"i -> concat({slots}))"
+    )
+    return base.select(
+        *keep_cols, F.explode(F.array_distinct(garr)).alias("gram")
+    ).where(F.length("gram") == n)
+
+
 def char_ngrams(text, n: int = 3) -> Column:
     """Distinct lowercased char n-grams of a string Column, computed
     in-row (sequence → transform → substring); whitespace runs are
@@ -56,37 +96,20 @@ def train_char_ngram_profiles(
     corpus. One explode + one (lang, gram) aggregation + a bounded
     per-language TakeOrdered; the result is a plain dict (langs × K
     strings) — the model artifact, JSON-serializable for reuse.
-    Deterministic: ties break on the gram string."""
+    Deterministic: ties break on the gram string.
+
+    Document frequency needs each document's grams counted ONCE —
+    that dedup happens in-row (``_distinct_gram_rows``), so the only
+    shuffle in training is the map-side-combined (lang, gram) count;
+    the old shape shuffled the full (lang, doc, gram) relation
+    through a global ``distinct`` first."""
     from pyspark.sql import Window
 
-    # same codegen gram cutting as classify_language_join (the in-row
-    # HOF array is the measured cost, not the aggregation); distinct
-    # per (doc, gram) first so cnt is document frequency
-    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
-    normed = seed.select(
-        F.col(lang_col).alias("lang"),
-        F.monotonically_increasing_id().alias("__doc"),
-        norm.alias("__s"),
-    )
-    grams = (
-        normed.select(
-            "lang",
-            "__doc",
-            "__s",
-            F.explode(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(F.length("__s") - (n - 1), F.lit(1)),
-                )
-            ).alias("__i"),
-        )
-        .select(
-            "lang",
-            "__doc",
-            F.col("__s").substr(F.col("__i"), F.lit(n)).alias("gram"),
-        )
-        .where(F.length("gram") == n)
-        .distinct()
+    grams = _distinct_gram_rows(
+        seed.select(F.col(lang_col).alias("lang"), F.col(text_col)),
+        ["lang"],
+        text_col,
+        n,
     )
     counts = grams.groupBy("lang", "gram").agg(
         F.count(F.lit(1)).alias("cnt")
@@ -158,14 +181,11 @@ def classify_language_join(
     count votes per (doc, lang), argmax with the same lexicographic
     tie-break. One map-side-combined shuffle on the doc id.
 
-    Gram generation here deliberately AVOIDS the in-row array the
-    inline tier builds (``transform``/``array_distinct`` run
-    interpreted and dominate the inline tier's wall — measured, see
-    SCALE.md round-7 third batch): it explodes an integer sequence
-    and cuts each gram with codegen ``substring`` over the
-    pre-normalized text, then dedups (doc, gram) map-side. This is
-    also the only option once profiles outgrow literal inlining
-    (10k+ grams).
+    Gram rows come from :func:`_distinct_gram_rows` — per-document
+    dedup happens in-row, so classification's only corpus-sized
+    shuffle is the (doc, lang) vote count; the join tier (vs the
+    inline tier's literal arrays) is also the only option once
+    profiles outgrow literal inlining (10k+ grams).
     """
     if not profiles:
         raise ValueError("empty profiles")
@@ -174,25 +194,8 @@ def classify_language_join(
         [(lang, g) for lang in sorted(profiles) for g in profiles[lang]],
         "lang string, gram string",
     )
-    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
-    normed = df.select(F.col(id_col), norm.alias("__s"))
-    grams = (
-        normed.select(
-            F.col(id_col),
-            F.col("__s"),
-            F.explode(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(F.length("__s") - (n - 1), F.lit(1)),
-                )
-            ).alias("__i"),
-        )
-        .select(
-            F.col(id_col),
-            F.col("__s").substr(F.col("__i"), F.lit(n)).alias("gram"),
-        )
-        .where(F.length("gram") == n)
-        .distinct()
+    grams = _distinct_gram_rows(
+        df.select(F.col(id_col), F.col(text_col)), [id_col], text_col, n
     )
     votes = (
         grams.join(F.broadcast(prof), "gram")
@@ -240,10 +243,10 @@ def classify_language_margin(
     trusting a 1-vote win — the integer twin of a probability gap, so
     the whole card stays oracle-exact.
 
-    Same execution shape as the join tier (codegen substring gram
-    cutting, map-side-combined (doc, gram) distinct, broadcast
-    profile join, one vote shuffle); the only addition is keeping
-    window rows rn <= 2 instead of rn == 1.
+    Same execution shape as the join tier (in-row distinct gram rows
+    via :func:`_distinct_gram_rows`, broadcast profile join, one vote
+    shuffle); the only addition is keeping window rows rn <= 2
+    instead of rn == 1.
     """
     if not profiles:
         raise ValueError("empty profiles")
@@ -254,25 +257,8 @@ def classify_language_margin(
         [(lang, g) for lang in sorted(profiles) for g in profiles[lang]],
         "lang string, gram string",
     )
-    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
-    normed = df.select(F.col(id_col), norm.alias("__s"))
-    grams = (
-        normed.select(
-            F.col(id_col),
-            F.col("__s"),
-            F.explode(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(F.length("__s") - (n - 1), F.lit(1)),
-                )
-            ).alias("__i"),
-        )
-        .select(
-            F.col(id_col),
-            F.col("__s").substr(F.col("__i"), F.lit(n)).alias("gram"),
-        )
-        .where(F.length("gram") == n)
-        .distinct()
+    grams = _distinct_gram_rows(
+        df.select(F.col(id_col), F.col(text_col)), [id_col], text_col, n
     )
     votes = (
         grams.join(F.broadcast(prof), "gram")
