@@ -221,25 +221,47 @@ def srp_buckets(
 ) -> DataFrame:
     """(id, bucket) from sign-random-projection: bit_p = [v·h_p > 0].
 
-    posexplode + broadcast hyperplane join + two map-side-combinable
-    aggregations — all codegen, linear in rows × dims × planes.
+    The hyperplane signs are driver-side CONSTANTS (md5 parity), so
+    each plane's projection is inlined as a static dims-term codegen
+    sum over ``element_at`` slots and the bucket rides the scan as
+    ONE projection — zero joins, zero exchanges, zero explodes (the
+    round-15 rewrite; the old shape posexploded rows × dims and paid
+    a broadcast hyperplane join plus two aggregations for what is a
+    per-row constant-weights dot product). Term order is ascending
+    dim, the same order the exploded aggregation accumulated in, so
+    every projection double — and therefore every bucket — is
+    bit-identical; rows whose vector is empty/NULL produced no
+    aggregation groups before and are filtered here for the same
+    contract.
     """
-    spark = df.sparkSession
-    hp = spark.createDataFrame(
-        _hyperplane_rows(dims, num_planes), "plane INT, dim INT, sign DOUBLE"
+    from cdk_datalake_ingest_bigmagic_spark.operators import barrier
+
+    arr = to_double_array(F.col(vec_col))
+    # barrier: the planes × dims element_at slots below all reference
+    # __v — inlined, each would re-run the array cast per term
+    base = barrier(df.select(F.col(id_col), arr.alias("__v")))
+    return base.where(F.size("__v") > 0).select(
+        F.col(id_col),
+        _srp_bucket_col("__v", dims, num_planes).alias("bucket"),
     )
-    exploded = df.select(
-        F.col(id_col), F.posexplode(to_double_array(F.col(vec_col))).alias("dim", "x")
-    )
-    proj = (
-        exploded.join(F.broadcast(hp), "dim")
-        .groupBy(id_col, "plane")
-        .agg(F.sum(F.col("x") * F.col("sign")).alias("proj"))
-    )
-    bit = F.when(F.col("proj") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), plane)")).otherwise(
-        F.lit(0).cast("long")
-    )
-    return proj.groupBy(id_col).agg(F.sum(bit).alias("bucket"))
+
+
+def _srp_bucket_col(vec_col: str, dims: int, num_planes: int) -> Column:
+    """The SRP bucket as a static codegen Column over a MATERIALIZED
+    double-array column (callers must pin it behind ``barrier`` — the
+    planes × dims ``element_at`` slots all reference it)."""
+    signs = {(p, d): s for p, d, s in _hyperplane_rows(dims, num_planes)}
+    bucket = None
+    for p in range(num_planes):
+        proj = None
+        for d in range(dims):
+            term = F.element_at(vec_col, d + 1) * F.lit(signs[(p, d)])
+            proj = term if proj is None else proj + term
+        bit = F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bit if bucket is None else bucket + bit
+    return bucket
 
 
 def _ivf_centroids(
@@ -484,6 +506,7 @@ def ann_lsh_pairs(
     num_planes: int = 8,
     threshold: float = 0.45,
     max_bucket_size: int = 16384,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Approximate pair search: SRP-bucket, then exact cosine only
     within buckets (precision 1, recall < 1 by construction).
@@ -501,26 +524,61 @@ def ann_lsh_pairs(
     the ``id_a < id_b`` filter. Balanced buckets have ``n_sub = 1``
     and pay only the bucket-size-table broadcast join.
     """
-    buckets = srp_buckets(df, id_col, vec_col, dims, num_planes)
-    sizes = buckets.groupBy("bucket").agg(
+    from cdk_datalake_ingest_bigmagic_spark.operators import barrier
+
+    # static dims-term codegen folds in the same left-to-right order
+    # as the previous aggregate() HOFs — every double bit-identical,
+    # but no interpreted per-element lambda on the pair rows
+    def _fold(term):
+        out = term(1)
+        for i in range(2, dims + 1):
+            out = out + term(i)
+        return out
+
+    # bucket + norm are per-VECTOR quantities computed in-row on the
+    # scan (the SRP signs are driver-side constants — zero joins, zero
+    # exchanges to bucket; see srp_buckets), so the whole candidate
+    # pipeline hangs off ONE narrow cached row per vector: the norm is
+    # paid once per vector instead of once per candidate pair, and the
+    # self-join's two sides read one materialization of the scan +
+    # bucket pipeline instead of re-running it per side. Empty/NULL
+    # vectors produced no srp_buckets row (no aggregation groups) in
+    # the pre-r15 shape and are filtered here for the same contract.
+    nrm = F.sqrt(_fold(lambda i: F.element_at("__v", i) * F.element_at("__v", i)))
+    base = barrier(
+        df.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("__v"))
+    ).where(F.size("__v") > 0)
+    with_b = scoped_cache(
+        base.select(
+            F.col(id_col),
+            F.col("__v"),
+            _srp_bucket_col("__v", dims, num_planes).alias("bucket"),
+            nrm.alias("__nrm"),
+        ),
+        scope,
+    )
+    # ≤ 2^num_planes size rows — the explicit broadcast keeps the
+    # corpus side shuffle-free in the static plan
+    sizes = with_b.groupBy("bucket").agg(
         F.ceil(F.count("*") / F.lit(max_bucket_size)).cast("int").alias("__nsub")
     )
-    # ≤ 2^num_planes size rows — explicit broadcast keeps the corpus
-    # side shuffle-free in the static plan
-    with_b = df.join(buckets, id_col).join(F.broadcast(sizes), "bucket")
+    with_b = with_b.join(F.broadcast(sizes), "bucket")
     a = with_b.select(
         F.col(id_col).alias("id_a"),
-        to_double_array(F.col(vec_col)).alias("va"),
+        F.col("__v").alias("va"),
+        F.col("__nrm").alias("na"),
         F.col("bucket"),
         F.explode(F.sequence(F.lit(0), F.col("__nsub") - 1)).alias("__sub"),
     )
     b = with_b.select(
         F.col(id_col).alias("id_b"),
-        to_double_array(F.col(vec_col)).alias("vb"),
+        F.col("__v").alias("vb"),
+        F.col("__nrm").alias("nb"),
         F.col("bucket"),
         F.pmod(F.xxhash64(F.col(id_col)), F.col("__nsub")).cast("int").alias("__sub"),
     )
-    sim = cosine(F.col("va"), F.col("vb"))
+    dot = _fold(lambda i: F.element_at("va", i) * F.element_at("vb", i))
+    sim = dot / (F.col("na") * F.col("nb"))
     return (
         a.join(b, ["bucket", "__sub"])
         .filter(F.col("id_a") < F.col("id_b"))

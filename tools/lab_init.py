@@ -1,0 +1,50 @@
+"""Interactive lab bootstrap: paste into (or run -i) a Python REPL.
+
+Builds the bench-identical session and helpers to time any query
+callable or DataFrame with the bench's full-column forcing.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+
+from bench import force  # noqa: E402
+from cdk_datalake_ingest_bigmagic_spark import get_spark  # noqa: E402
+from cdk_datalake_ingest_bigmagic_spark.queries import all_queries  # noqa: E402
+from pyspark.sql import functions as F  # noqa: F401,E402
+
+SF = "/root/testdata/sf0.1"
+SF3 = "/root/testdata/sf0.001"
+spark = get_spark(app_name="lab", extra_conf={"spark.ui.showConsoleProgress": "false"})
+Q = all_queries()
+spark.range(1000).selectExpr("sum(id)").collect()
+spark.range(64).repartition(8).mapInPandas(lambda it: it, "id long").count()
+
+
+def t(fn, sf_dir=SF, n=2, label=""):
+    """Bench-identical timing of a query callable: best of n."""
+    best = float("inf")
+    for _ in range(n):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        force(fn(spark, sf_dir))
+        best = min(best, time.time() - t0)
+    print(f"[lab] {label or getattr(fn, '__name__', '?')}: {best:.2f}s (best of {n})")
+    return best
+
+
+def tdf(make_df, n=2, label="df"):
+    """Time a 0-arg callable returning a DataFrame."""
+    best = float("inf")
+    for _ in range(n):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        force(make_df())
+        best = min(best, time.time() - t0)
+    print(f"[lab] {label}: {best:.2f}s (best of {n})")
+    return best
+
+
+print("[lab] ready: spark, Q, t(fn), tdf(make_df), force, SF, SF3")
