@@ -75,6 +75,8 @@ class _LineageCutter:
         self._prev_dir = None
         # id(df) -> (df strong ref, set of rdd-N checkpoint dirs)
         self._dirs: dict[int, tuple[DataFrame, set[str]]] = {}
+        # id(df) -> (df strong ref, set of persisted RDD ids) — local mode
+        self._local: dict[int, tuple[DataFrame, set[int]]] = {}
         if self.reliable:
             try:
                 self._prev_dir = self._sc.getCheckpointDir()
@@ -102,6 +104,19 @@ class _LineageCutter:
         except Exception:
             return set()
 
+    def _persistent_ids(self) -> set[int]:
+        """Ids of every RDD currently registered persistent on the
+        context — ``localCheckpoint`` persists its RDD at CALL time
+        (even with ``eager=False``), so a before/after diff around the
+        cut attributes the blocks exactly (cuts are serialized
+        driver-side, the same argument the reliable mode's dir diff
+        makes)."""
+        try:
+            m = self._sc._jsc.getPersistentRDDs()
+            return {int(k) for k in m.keySet().toArray()}
+        except Exception:
+            return set()
+
     def __call__(self, df: DataFrame, lazy: bool = False) -> DataFrame:
         """Cut ``df``'s lineage. ``lazy=True`` (honored in
         localCheckpoint mode only) defers materialization to the
@@ -112,7 +127,10 @@ class _LineageCutter:
         eager: the durability contract is that the round's state is on
         stable storage before the round is considered done."""
         if not self.reliable:
-            return df.localCheckpoint(eager=not lazy)
+            before = self._persistent_ids()
+            out = df.localCheckpoint(eager=not lazy)
+            self._local[id(out)] = (out, self._persistent_ids() - before)
+            return out
         # the checkpointed RDD is not reachable from the Python
         # DataFrame (df.rdd wraps it), so attribute the rdd-N dir the
         # eager checkpoint just wrote by diffing the per-invocation
@@ -124,11 +142,28 @@ class _LineageCutter:
         return out
 
     def release(self, df: DataFrame) -> None:
-        """Delete ``df``'s reliable checkpoint files (no-op for
-        localCheckpoint — executor block cleanup is reference-tracked;
-        Spark itself never deletes reliable checkpoints). Only call
-        once nothing downstream will re-read ``df``."""
+        """Free ``df``'s checkpoint state: unpersist its localCheckpoint
+        blocks (local mode — reference-tracked cleanup otherwise waits
+        for a JVM GC that a busy job may not run for hours, so a
+        25-round iteration holds 25 superseded state tables in the
+        unified memory region; round-15 session-aging finding) or
+        delete its reliable checkpoint files (durable mode — Spark
+        itself never deletes those). Only call once nothing downstream
+        will re-read ``df`` AND every dependent lazy cut has been
+        materialized by an action (a lazy localCheckpoint reads its
+        parent's blocks on first materialization)."""
         if not self.reliable:
+            _, ids = self._local.pop(id(df), (None, set()))
+            if not ids:
+                return
+            try:
+                m = self._sc._jsc.getPersistentRDDs()
+                for rid in ids:
+                    r = m.get(rid)
+                    if r is not None:
+                        r.unpersist(False)
+            except Exception:
+                pass  # cleanup is best-effort; never fail the job over it
             return
         _, dirs = self._dirs.pop(id(df), (None, set()))
         try:
@@ -144,6 +179,10 @@ class _LineageCutter:
         re-read it. The subtree is private to this invocation (uuid),
         so nothing else can be deleted by mistake."""
         if not self.reliable:
+            # failure path: free every block this invocation persisted
+            for df, _ids in list(self._local.values()):
+                self.release(df)
+            self._local.clear()
             return
         try:
             fs, root = self._fs_and_path(self._root)
@@ -203,7 +242,12 @@ def connected_components(
             .withColumn("component", F.col("id")),
             lazy=True,
         )
-        cut.release(pairs)  # `both` is materialized; nothing reads pairs now
+        # pairs is released after round 0's convergence agg: that agg
+        # is the action that materializes the LAZY cuts of `both` and
+        # the initial labels (which read pairs' blocks) — releasing
+        # earlier would unpersist blocks a pending lazy checkpoint
+        # still needs
+        pairs_released = False
         labels = labels_ck
         for _ in range(max_iter):
             neighbor_min = (
@@ -228,7 +272,10 @@ def connected_components(
                 lazy=True,
             )
             n_changed = updated.agg(F.sum("changed")).first()[0] or 0
-            cut.release(labels_ck)  # superseded round state (durable mode)
+            if not pairs_released:
+                cut.release(pairs)  # both + labels materialized now
+                pairs_released = True
+            cut.release(labels_ck)  # superseded round state
             labels_ck = updated
             labels = updated.drop("changed")
             if n_changed == 0:
@@ -334,9 +381,9 @@ def connected_components_twophase(
             # the round's one materializing job.
             e = _large_star(e)
             e = cut(_small_star(e), lazy=True)
-            cut.release(prev_e)  # superseded round state (durable mode)
+            sig = signature(e)  # materializes the lazy cut of e
+            cut.release(prev_e)  # superseded round state — e no longer reads it
             prev_e = e
-            sig = signature(e)
             if sig == prev:
                 break
             prev = sig

@@ -215,7 +215,17 @@ def pagerank(
         if n == 0:
             return nodes.withColumn("rank", F.lit(0.0))
         ranks = cut(nodes.withColumn("rank", F.lit(1.0 / n)), lazy=True)
-        cut.release(raw)  # trans/linked/nodes are materialized; raw is dead
+        if cut.reliable:
+            # durable mode cuts are EAGER, so trans/linked/nodes already
+            # sit on stable storage and raw's files can go now; in local
+            # mode the lazy cuts above still read raw's blocks at first
+            # materialization — released after the final cut instead
+            cut.release(raw)
+        # rank tables whose blocks a PENDING lazy plan may still read:
+        # round i's lazy cut reads ranks_{i-1}, so ranks_{i-2} and older
+        # become releasable only once round i's action has materialized
+        # ranks_{i-1} (release() now really unpersists in local mode)
+        history: list = [ranks]
         for _ in range(iterations):
             contribs = (
                 ranks.join(trans, ranks.host == trans.u)
@@ -232,8 +242,10 @@ def pagerank(
                 .first()[0]
                 or 0.0
             )
+            # this action materialized history[-1]; older tables are dead
+            while len(history) > 1:
+                cut.release(history.pop(0))
             base = (1.0 - damping) / n + damping * (1.0 - linked_mass) / n
-            prev = ranks
             ranks = cut(
                 nodes.join(contribs, "host", "left").select(
                     "host",
@@ -244,10 +256,17 @@ def pagerank(
                 ),
                 lazy=True,
             )
-            cut.release(prev)
+            history.append(ranks)
         # materialize the final state inside the guarded region so a
-        # failure-path destroy() can never strand the caller's result
-        return cut(ranks)
+        # failure-path destroy() can never strand the caller's result;
+        # after this eager cut every upstream per-round table is dead —
+        # free raw/trans/linked/nodes and the superseded rank tables so
+        # a long-lived session doesn't accumulate them (round-15
+        # session-aging finding)
+        out = cut(ranks)
+        for dead in (raw, trans, linked, nodes, *history):
+            cut.release(dead)
+        return out
     except BaseException:
         cut.destroy()  # no result escapes a failed run — reclaim it all
         raise

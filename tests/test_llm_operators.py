@@ -581,6 +581,38 @@ def test_connected_components_twophase_matches_label_prop(spark):
     assert got == ref
 
 
+def test_connected_components_releases_local_checkpoint_blocks(spark):
+    """Superseded per-round localCheckpoint state must be unpersisted
+    as rounds complete (round-15 session-aging finding: a 25-round job
+    otherwise holds every round's dead state in the unified memory
+    region until a lucky JVM GC drives the reference-tracked cleanup).
+    Only the tables the RESULT still reads may stay persistent."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.graph import (
+        connected_components,
+        connected_components_twophase,
+    )
+
+    jsc = spark.sparkContext._jsc
+
+    def n_persistent():
+        return jsc.getPersistentRDDs().size()
+
+    # 11-node chain: 10 label-prop rounds, several two-phase rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+    )
+    base = n_persistent()
+    out = connected_components(edges)
+    assert {r["component"] for r in out.collect()} == {0}
+    # label-prop retains only the final round's checkpoint
+    assert n_persistent() - base <= 1
+    base2 = n_persistent()
+    out2 = connected_components_twophase(edges)
+    assert {r["component"] for r in out2.collect()} == {0}
+    # two-phase retains the vertex spine + the converged edge forest
+    assert n_persistent() - base2 <= 2
+
+
 def test_connected_components_twophase_long_chain_few_rounds(spark):
     """A 400-node chain has diameter 400 — label propagation would need
     400 rounds, two-phase must finish inside its default 25-round cap

@@ -5,7 +5,14 @@ Runs `dedup_connected_components_twophase` fresh, then a 16-query
 HEADLINE prefix (bench methodology: force() with clearCache between),
 re-times it (inflated), then applies a candidate remedy and re-times.
 
-Usage: python tools/aging_probe.py [gc|none]
+Instrumented: JVM code-cache / metaspace / heap pools, GC totals and
+persistent-RDD counts are printed at each stage so the aging lever is
+identified by evidence, not guesswork.
+
+Usage: python tools/aging_probe.py [gc|unpersist|none]
+- gc:        System.gc() x2 (drives ContextCleaner's weak-ref queue)
+- unpersist: unpersist every lingering persistent RDD, then gc
+- none:      re-time with no remedy (control)
 """
 from __future__ import annotations
 
@@ -22,6 +29,23 @@ from cdk_datalake_ingest_bigmagic_spark.queries import all_queries  # noqa: E402
 REMEDY = sys.argv[1] if len(sys.argv) > 1 else "gc"
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 TARGET = "dedup_connected_components_twophase"
+
+
+def jvm_report(spark, label):
+    jvm = spark.sparkContext._jvm
+    mf = jvm.java.lang.management.ManagementFactory
+    print(f"[jvm @{label}]", flush=True)
+    for pool in mf.getMemoryPoolMXBeans():
+        u = pool.getUsage()
+        name = pool.getName()
+        if any(k in name for k in ("CodeHeap", "Metaspace", "Old", "Eden", "Compressed")):
+            print(f"  {name}: used={u.getUsed()//(1<<20)}M max={max(u.getMax(),0)//(1<<20)}M",
+                  flush=True)
+    for gc in mf.getGarbageCollectorMXBeans():
+        print(f"  GC {gc.getName()}: count={gc.getCollectionCount()} "
+              f"time={gc.getCollectionTime()}ms", flush=True)
+    prdds = spark.sparkContext._jsc.getPersistentRDDs()
+    print(f"  persistent RDDs: {prdds.size()}", flush=True)
 
 
 def t(fn, spark, label):
@@ -42,6 +66,7 @@ def main():
     spark.range(64).repartition(8).mapInPandas(lambda it: it, "id long").count()
     force(q[TARGET](spark, "/root/testdata/sf0.001"))
 
+    jvm_report(spark, "fresh")
     t(q[TARGET], spark, "fresh-1")
     t(q[TARGET], spark, "fresh-2")
 
@@ -51,22 +76,30 @@ def main():
         force(q[name](spark, SF_DIR))
     print(f"[probe] 16-query prefix done in {time.time()-t0:.1f}s", flush=True)
 
+    jvm_report(spark, "aged")
     t(q[TARGET], spark, "aged-1")
     t(q[TARGET], spark, "aged-2")
 
     jvm = spark.sparkContext._jvm
-    if REMEDY == "gc":
+    if REMEDY in ("gc", "unpersist"):
+        if REMEDY == "unpersist":
+            jsc = spark.sparkContext._jsc
+            m = jsc.getPersistentRDDs()
+            ids = [k for k in m.keySet().toArray()]
+            for k in ids:
+                rdd = m.get(k)
+                if rdd is not None:
+                    rdd.unpersist(False)
+            print(f"[probe] unpersisted {len(ids)} lingering RDDs", flush=True)
         jvm.System.gc()
         time.sleep(5)
         jvm.System.gc()
         time.sleep(5)
         print("[probe] System.gc() x2 done", flush=True)
+    jvm_report(spark, f"post-{REMEDY}")
     t(q[TARGET], spark, f"post-{REMEDY}-1")
     t(q[TARGET], spark, f"post-{REMEDY}-2")
-
-    # what persistent RDDs linger?
-    prdds = spark.sparkContext._jsc.getPersistentRDDs()
-    print(f"[probe] persistent RDDs lingering: {prdds.size()}", flush=True)
+    jvm_report(spark, "end")
     spark.stop()
 
 
