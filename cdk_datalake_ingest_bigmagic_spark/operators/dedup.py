@@ -364,12 +364,51 @@ def duplicated_run_profile(
     )
 
 
+def shingle_doc_items(
+    shingle_rows: DataFrame,
+    id_col: str,
+    max_df: int | None = 1000,
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """The packed per-document shingle index BOTH prefix-filtered pair
+    operators read: (id, __items) where __items is the rarity-sorted
+    distinct (df, xxhash64, below-cap flag) struct array.
+
+    Factored out (round 15) so a consumer running Jaccard AND
+    containment over the same shingle relation — dedup_methods_suite
+    does exactly that — builds (and caches) the index ONCE: the table
+    depends only on (shingle_rows, max_df), not on the threshold or
+    the symmetric/asymmetric prefix rule, so the two operators'
+    indexes were bit-identical and cost two full df-agg + re-key join
+    + set-packing groupBy pipelines where one suffices.
+    """
+    rows = shingle_rows.select(
+        F.col(id_col), F.xxhash64("shingle").alias("__sh")
+    )
+    dfreq = rows.groupBy("__sh").agg(
+        F.count_distinct(F.col(id_col)).alias("__df")
+    )
+    keyed = rows.join(dfreq, "__sh").withColumn(
+        "__idx",
+        (F.col("__df") <= max_df).cast("int") if max_df is not None else F.lit(1),
+    )
+    return scoped_cache(
+        keyed.groupBy(id_col).agg(
+            F.sort_array(
+                F.collect_set(F.struct("__df", F.col("__sh"), "__idx"))
+            ).alias("__items")
+        ),
+        scope,
+    )
+
+
 def jaccard_pairs_rows(
     shingle_rows: DataFrame,
     id_col: str,
     threshold: float = 0.8,
     max_df: int | None = 1000,
     scope: CacheScope | None = None,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard ≥ threshold, from a ROW-form
     (id, shingle) relation — build it with :func:`shingles_exploded`
@@ -412,6 +451,11 @@ def jaccard_pairs_rows(
     in-document collision (which alone could perturb a value) has
     probability ~|shingles|²/2⁶⁵ ≈ 1e-16 per document — the values are
     the exact string-set Jaccards for any real corpus.
+
+    ``docs``: a precomputed :func:`shingle_doc_items` table (same
+    shingle_rows/max_df) — pass it when another prefix-filtered
+    operator over the same relation already built the index, so the
+    three full-relation shuffles run once, not per operator.
     """
     # Shuffle inventory (the whole point of this shape): the exploded
     # corpus×shingle relation crosses the network exactly THREE times —
@@ -423,29 +467,8 @@ def jaccard_pairs_rows(
     # AND the verify-array groupBy all collapse into this single
     # aggregation). Everything after C — prefix slice, candidate join,
     # verify — works on per-document rows or candidate pairs.
-    rows = shingle_rows.select(
-        F.col(id_col), F.xxhash64("shingle").alias("__sh")
-    )
-    dfreq = rows.groupBy("__sh").agg(
-        F.count_distinct(F.col(id_col)).alias("__df")
-    )
-    keyed = rows.join(dfreq, "__sh")
-    if max_df is not None:
-        # the cap drops capped shingles from the PREFIX INDEX only; the
-        # verify still needs them, so keep the row but mark it
-        keyed = keyed.withColumn(
-            "__idx", (F.col("__df") <= max_df).cast("int")
-        )
-    else:
-        keyed = keyed.withColumn("__idx", F.lit(1))
-    docs = scoped_cache(
-        keyed.groupBy(id_col).agg(
-            F.sort_array(
-                F.collect_set(F.struct("__df", F.col("__sh"), "__idx"))
-            ).alias("__items")
-        ),
-        scope,
-    )
+    if docs is None:
+        docs = shingle_doc_items(shingle_rows, id_col, max_df, scope)
     n = F.size("__items")
     # Candidate generation prunes against t_cand = threshold − 5e-7,
     # not threshold: the final filter (and the oracle) compare the
@@ -527,6 +550,7 @@ def containment_pairs_rows(
     threshold: float = 0.9,
     max_df: int | None = 1000,
     scope: CacheScope | None = None,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """Directed near-CONTAINMENT pairs: (contained, container) where
     ``|A∩B| / |A| ≥ threshold`` — the asymmetric complement of
@@ -549,24 +573,8 @@ def containment_pairs_rows(
     ``max_df`` belt-and-braces (capped shingles are excluded from
     BOTH index sides but kept in the verify) as the Jaccard path.
     """
-    rows = shingle_rows.select(
-        F.col(id_col), F.xxhash64("shingle").alias("__sh")
-    )
-    dfreq = rows.groupBy("__sh").agg(
-        F.count_distinct(F.col(id_col)).alias("__df")
-    )
-    keyed = rows.join(dfreq, "__sh").withColumn(
-        "__idx",
-        (F.col("__df") <= max_df).cast("int") if max_df is not None else F.lit(1),
-    )
-    docs = scoped_cache(
-        keyed.groupBy(id_col).agg(
-            F.sort_array(
-                F.collect_set(F.struct("__df", F.col("__sh"), "__idx"))
-            ).alias("__items")
-        ),
-        scope,
-    )
+    if docs is None:
+        docs = shingle_doc_items(shingle_rows, id_col, max_df, scope)
     n = F.size("__items")
     t_cand = threshold - 5e-7
     prefix_len = (n - F.ceil(F.lit(t_cand) * n - F.lit(1e-9)) + 1).cast("int")

@@ -1131,8 +1131,16 @@ def semdedup_keep_best(
         connected_components_twophase,
     )
 
+    # the narrow (id, vector, quality) projection is read ~6 times
+    # downstream (centroid collect, IVF assignment, both verify join
+    # sides, the label join, and pick_canonical's agg + join sides) —
+    # when df is a composed subtree (doc ⋈ embedding join, a clean +
+    # exact-dedup pipeline) every read re-ran it. Cache it once
+    # (round-15 optimization; values unchanged, the plan's repeated
+    # subtrees collapse onto one InMemoryRelation).
+    base = scoped_cache(df.select(id_col, vec_col, quality_col), scope)
     pairs = ann_ivf_pairs(
-        df.select(id_col, vec_col),
+        base.select(id_col, vec_col),
         id_col,
         vec_col,
         n_lists=n_lists,
@@ -1146,7 +1154,7 @@ def semdedup_keep_best(
         pairs, "id_a", "id_b"
     ).withColumnRenamed("id", id_col)
     labeled = (
-        df.select(id_col, quality_col)
+        base.select(id_col, quality_col)
         .join(comp, id_col, "left")
         .withColumn("component", F.coalesce(F.col("component"), F.col(id_col)))
     )

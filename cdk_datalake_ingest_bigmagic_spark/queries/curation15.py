@@ -202,12 +202,14 @@ def corpus_semdedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_lists=_N_LISTS,
         threshold=_THRESHOLD,
     )
-    # the wired join-back: winners only, the SEMANTIC label rides as
-    # `component` into the split (plans/corpus.py:565-570)
-    winners = survivors.join(
-        dec.filter(F.col("keep")).select("doc_id", "component", "quality"),
-        "doc_id",
-    )
+    # the wired winners frame: the SEMANTIC label rides as `component`
+    # into the split (plans/corpus.py:565-570). dec carries exactly one
+    # row per survivor by construction (semdedup_keep_best returns one
+    # row per input row), so the historical survivors ⋈ dec equi-join
+    # was an identity re-verification that re-ran the whole
+    # clean→union→exact-dedup subtree once more — dropped round 15
+    # (value-identical; oracle re-proved at sf0.001/sf0.01)
+    winners = dec.filter(F.col("keep")).select("doc_id", "component", "quality")
     return leakage_safe_split(
         winners, "doc_id", None,
         {"train": 0.8, "val": 0.1, "test": 0.1}, seed=_SEED,

@@ -180,8 +180,62 @@ def _build(suite_name: str) -> None:
     register(suite_name, oracle=oracle)(suite)
 
 
+def _build_dedup_methods() -> None:
+    """dedup_methods_suite, hand-composed (round-15 optimization): the
+    ngram and containment legs both run the prefix-filtered pipeline
+    over the SAME (doc, 3-gram shingle) relation, and the packed
+    per-document index (``shingle_doc_items``: df agg + re-key join +
+    set-packing groupBy — three full shuffles of the exploded
+    corpus×shingle relation) is bit-identical between them (it depends
+    only on the shingle relation and max_df, not on the threshold or
+    the prefix rule). Build it ONCE, cache it, feed both legs — the
+    generic member-per-leg composition paid the index twice. Leg
+    values are unchanged (same operators, same thresholds); the
+    minhash/simhash legs keep their registry members verbatim."""
+    cols, legs = _FOLDS["dedup_methods_suite"]
+    fns = {m: QUERIES[m] for _, m, _ in legs}
+    oracle = _union_sql(
+        [(leg, ORACLES[m], have) for leg, m, have in legs], cols
+    )
+
+    def suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from cdk_datalake_ingest_bigmagic_spark.operators import dedup as dd
+        from cdk_datalake_ingest_bigmagic_spark.queries import load
+
+        d = load(spark, sf_dir, "documents")
+        rows = dd.shingles_exploded(d, "doc_id", "text", n=3)
+        docs = dd.shingle_doc_items(rows, "doc_id", max_df=1000)
+        by_leg = {
+            "minhash": lambda: fns["dedup_minhash_lsh"](spark, sf_dir),
+            "simhash": lambda: fns["dedup_simhash"](spark, sf_dir),
+            # same calls as the retired members, minus the second and
+            # third index builds (dedup_ngram_jaccard selected the
+            # three columns explicitly; jaccard_pairs_rows already
+            # returns exactly those)
+            "ngram": lambda: dd.jaccard_pairs_rows(
+                rows, "doc_id", threshold=0.8, docs=docs
+            ),
+            "containment": lambda: dd.containment_pairs_rows(
+                rows, "doc_id", threshold=0.85, docs=docs
+            ),
+        }
+        out = None
+        for leg, _member, _have in legs:
+            part = _leg(by_leg[leg](), leg, cols)
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    suite.__name__ = "dedup_methods_suite"
+    suite.__qualname__ = "dedup_methods_suite"
+    suite.__doc__ = _DOCS["dedup_methods_suite"]
+    register("dedup_methods_suite", oracle=oracle)(suite)
+
+
 for _name in _FOLDS:
-    _build(_name)
+    if _name == "dedup_methods_suite":
+        _build_dedup_methods()
+    else:
+        _build(_name)
 
 #: Activation-time retirement: once queries/__init__.py imports this
 #: module (round 14), the members leave the registry — the suites
