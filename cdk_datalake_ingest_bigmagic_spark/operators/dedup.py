@@ -736,14 +736,21 @@ def minhash_signatures(
     any caching move fixed-width integers instead of concatenated
     strings, which at 500k docs cut the whole pipeline by a third.
     Output: (id, band, k1, k2, ... k⌈r/2⌉).
+
+    The n_hashes minima and the band-key pack are built as SQL
+    expression STRINGS (one JVM parse each), not per-term Column
+    calls: the 32 ``transform`` lambdas alone cost ~1,000 py4j round
+    trips ≈ 0.9 s of driver time PER INVOCATION (round-15 profile of
+    dedup_cross_corpus: 2.5 of 2.7 s build was py4j). The parsed
+    trees are the same expressions — identical values, same plan.
     """
     n_hashes = num_bands * rows_per_band
 
-    def _univ(a: int, b: int):
-        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
-
     mins = [
-        F.array_min(F.transform(F.col("hs"), _univ(a, b))).alias(f"h{i}")
+        F.expr(
+            f"array_min(transform(hs, x -> "
+            f"({a} * x + {b}) % {MINHASH_PRIME}))"
+        ).alias(f"h{i}")
         for i, (a, b) in enumerate(minhash_hash_params(n_hashes))
     ]
     # barrier: each of the n_hashes minima references hs — when the
@@ -752,29 +759,27 @@ def minhash_signatures(
     # every one of them (n_hashes× the shingling work)
     wide = barrier(shingle_arrays).select(F.col(id_col), *mins)
 
-    def _pack(b: int, r: int):
-        lo = F.col(f"h{b * rows_per_band + r}")
+    def _pack(b: int, r: int) -> str:
+        lo = f"h{b * rows_per_band + r}"
         if r + 1 < rows_per_band:
-            hi = F.col(f"h{b * rows_per_band + r + 1}")
-            return lo * F.lit(MINHASH_PRIME) + hi
+            return f"{lo} * {MINHASH_PRIME} + h{b * rows_per_band + r + 1}"
         return lo
 
     n_keys = (rows_per_band + 1) // 2
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                *[
-                    _pack(b, 2 * k).alias(f"k{k + 1}")
-                    for k in range(n_keys)
-                ],
+    band_structs = "array({})".format(
+        ", ".join(
+            "named_struct({})".format(
+                ", ".join(
+                    [f"'band', {b}"]
+                    + [f"'k{k + 1}', {_pack(b, 2 * k)}" for k in range(n_keys)]
+                )
             )
             for b in range(num_bands)
-        ]
+        )
     )
     key_cols = [f"k{k + 1}" for k in range(n_keys)]
     return wide.select(
-        F.col(id_col), F.explode(band_structs).alias("bk")
+        F.col(id_col), F.explode(F.expr(band_structs)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), *[F.col(f"bk.{k}").alias(k) for k in key_cols])
 
 
@@ -877,19 +882,22 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .select(F.col(id_col), token_hash64(F.col("__tok")).alias("__h"))
     )
     # count of set bits per position; docs with zero tokens vanish in
-    # the explode, matching the old size-guard filter
+    # the explode, matching the old size-guard filter. Expression
+    # STRINGS, not per-term Column calls — the 32 aggregates + the
+    # 32-arm vote fold cost hundreds of py4j round trips per
+    # invocation otherwise (round-15 py4j-chattiness finding); the
+    # parsed trees are the same expressions, values unchanged.
     counts = [
-        F.sum(F.shiftright("__h", b).bitwiseAND(F.lit(1))).alias(f"c{b}")
+        F.expr(f"sum(shiftright(__h, {b}) & 1)").alias(f"c{b}")
         for b in range(32)
     ]
     wide = hashed.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"), *counts)
-    sig_expr = None
-    for b in range(32):
-        term = F.when(
-            F.col(f"c{b}") * 2 > F.col("__n"), F.lit(1 << b).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        sig_expr = term if sig_expr is None else (sig_expr + term)
-    return wide.select(F.col(id_col), sig_expr.alias("simhash"))
+    sig_expr = " + ".join(
+        f"CASE WHEN c{b} * 2 > __n THEN CAST({1 << b} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END"
+        for b in range(32)
+    )
+    return wide.select(F.col(id_col), F.expr(sig_expr).alias("simhash"))
 
 
 def simhash_pairs_from_signatures(

@@ -92,18 +92,18 @@ def signal_calibration(
 
 def collect_bins(bins: DataFrame) -> list[tuple[float, float]]:
     """Driver-bounded pull of a fitted calibration table:
-    ``[(hi, p), ...]`` in bucket order. Counted against
-    :data:`MAX_BINS` BEFORE collecting (the counted-cap pattern from
-    operators/similarity.py)."""
-    k = bins.limit(MAX_BINS + 1).count()
-    if k > MAX_BINS:
+    ``[(hi, p), ...]`` in bucket order. The pull itself is the bound:
+    at most ``MAX_BINS + 1`` rows ever reach the driver (LIMIT below
+    the collect), and the sentinel row past the cap raises. One
+    action instead of the old count-then-collect pair — each action
+    re-ran the whole calibration fit (scan + NTILE sort + agg), so
+    the guard literally doubled the fit cost (round-15 finding)."""
+    rows = bins.orderBy("bucket").limit(MAX_BINS + 1).collect()
+    if len(rows) > MAX_BINS:
         raise CalibrationTooLargeError(
             f"calibration table has more than {MAX_BINS} buckets"
         )
-    out = [
-        (float(r["hi"]), float(r["p"]))
-        for r in bins.orderBy("bucket").collect()
-    ]
+    out = [(float(r["hi"]), float(r["p"])) for r in rows]
     if not out:
         raise CalibrationTooLargeError("calibration table is empty")
     return out

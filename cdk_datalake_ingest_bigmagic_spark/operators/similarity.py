@@ -254,21 +254,27 @@ def _srp_bucket_col(vec_col: str, dims: int, num_planes: int) -> Column:
     double-array column (callers must pin it behind ``barrier`` — the
     per-plane ``zip_with`` slots all reference it): one
     ``zip_with``/``aggregate`` dot per plane against its literal sign
-    array, accumulated ascending dim from 0.0."""
+    array, accumulated ascending dim from 0.0.
+
+    Built as ONE SQL expression string (single JVM parse): the
+    per-term Column construction cost dims × planes py4j round trips
+    (~0.7 s of driver time at 64×8 per invocation — round-15
+    py4j-chattiness finding). The parsed tree is the same expression
+    — same fold order, same literal types (``D`` doubles), identical
+    buckets."""
     signs = {(p, d): s for p, d, s in _hyperplane_rows(dims, num_planes)}
-    bucket = None
+    terms = []
     for p in range(num_planes):
-        sarr = F.array(*[F.lit(signs[(p, d)]) for d in range(dims)])
-        proj = F.aggregate(
-            F.zip_with(vec_col, sarr, lambda x, s: x * s),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        sarr = ", ".join(f"{signs[(p, d)]:.1f}D" for d in range(dims))
+        proj = (
+            f"aggregate(zip_with({vec_col}, array({sarr}), "
+            f"(x, s) -> x * s), 0.0D, (acc, x) -> acc + x)"
         )
-        bit = F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
-            F.lit(0).cast("long")
+        terms.append(
+            f"CASE WHEN {proj} > 0 THEN CAST({1 << p} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END"
         )
-        bucket = bit if bucket is None else bucket + bit
-    return bucket
+    return F.expr(" + ".join(terms))
 
 
 def _ivf_centroids(

@@ -195,7 +195,12 @@ def quality_ensemble_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     cal_frames = {}
     edges = {}
     for sig, _w in _WEIGHTS:
-        bins = signal_calibration(train, sig, "y", "doc_id", _N_BINS)
+        # cache the 8-row fitted table: each fit (scan + global NTILE
+        # sort + agg over the train split) is otherwise executed once
+        # for the collect_bins pull AND once more when the calibration
+        # leg below lands in the output union — 6 fit executions for 3
+        # signals (round-15; 9 before collect_bins fused its guard)
+        bins = signal_calibration(train, sig, "y", "doc_id", _N_BINS).cache()
         cal_frames[sig] = bins
         edges[sig] = collect_bins(bins)
 

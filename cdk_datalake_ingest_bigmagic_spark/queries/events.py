@@ -247,27 +247,34 @@ def events_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, so the dot products are exact in any engine and the one
     double division is bit-reproducible."""
     e = load(spark, sf_dir, "events")
+    # expression STRINGS (one JVM parse each), not per-term Column
+    # calls — the 24 aggregates + two 24-term folds cost hundreds of
+    # py4j round trips ≈ 0.9 s of driver build time per invocation
+    # (round-15 py4j-chattiness finding); parsed trees identical
     hour_counts = [
-        F.sum(
-            F.when(F.hour("ts") == h, F.lit(1)).otherwise(F.lit(0))
-        ).cast("double").alias(f"h{h}")
+        F.expr(
+            f"CAST(sum(CASE WHEN hour(ts) = {h} THEN 1 ELSE 0 END) AS DOUBLE)"
+        ).alias(f"h{h}")
         for h in range(24)
     ]
     vec = e.groupBy("user_id").agg(*hour_counts).select(
-        "user_id", F.array(*[F.col(f"h{h}") for h in range(24)]).alias("hours")
+        "user_id",
+        F.expr("array({})".format(", ".join(f"h{h}" for h in range(24)))).alias(
+            "hours"
+        ),
     )
     buckets = _sim.srp_buckets(vec, "user_id", "hours", dims=24, num_planes=_US_PLANES)
     # norms are a per-USER quantity — compute them once on the 1-row-
     # per-user table, not per candidate pair. The fold is a static
     # 24-term codegen sum in the same left-to-right order as the
     # previous aggregate() HOF, so every double is bit-identical.
-    def _fold(term):
-        out = term(1)
-        for i in range(2, 25):
-            out = out + term(i)
-        return out
+    def _fold(a: str, b: str) -> str:
+        return " + ".join(
+            f"element_at({a}, {i}) * element_at({b}, {i})"
+            for i in range(1, 25)
+        )
 
-    nrm = F.sqrt(_fold(lambda i: F.element_at("hours", i) * F.element_at("hours", i)))
+    nrm = F.expr(f"sqrt({_fold('hours', 'hours')})")
     # the per-user vector table is tiny relative to the events it
     # summarizes (the decide-on-small-rows shape): cache it so the
     # bucket self-join's two sides read ONE materialization of the
@@ -282,7 +289,7 @@ def events_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("user_b"), F.col("hours").alias("vb"),
         F.col("nrm").alias("nb"), "bucket"
     )
-    dot = _fold(lambda i: F.element_at("va", i) * F.element_at("vb", i))
+    dot = F.expr(_fold("va", "vb"))
     sim = F.round(dot / (F.col("na") * F.col("nb")), 6)
     return (
         a.join(b, "bucket")
