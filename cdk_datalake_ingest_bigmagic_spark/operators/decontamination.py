@@ -41,15 +41,17 @@ DEFAULT_MAX_EVAL_ROWS = 500_000
 def _collect_eval_matrix(
     eval_df: DataFrame, id_col: str, vec_col: str, max_rows: int
 ) -> tuple[np.ndarray, np.ndarray]:
-    n = eval_df.count()
-    if n == 0:
+    # ONE LIMIT-bounded pull (≤ cap+1 rows ever reach the driver; the
+    # sentinel row past the cap raises) — the old count-then-collect
+    # pair executed the eval subtree twice (round-15 finding)
+    rows = eval_df.select(id_col, vec_col).limit(max_rows + 1).collect()
+    if not rows:
         raise ValueError("empty eval set")
-    if n > max_rows:
+    if len(rows) > max_rows:
         raise ValueError(
-            f"eval set has {n} rows > max_eval_rows={max_rows}; "
+            f"eval set has more than max_eval_rows={max_rows} rows; "
             "raise the cap explicitly if the driver can hold it"
         )
-    rows = eval_df.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows])
     mat = np.array([r[1] for r in rows], dtype=np.float32)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)

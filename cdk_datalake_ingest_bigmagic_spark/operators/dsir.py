@@ -125,15 +125,23 @@ def bucket_distribution(
     full = bins.join(per, "bucket", "left").select(
         "bucket", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt")
     )
+    # the smoothed total rides the plan as a broadcast one-row join
+    # instead of a driver .first(): the action re-ran the WHOLE
+    # upstream featurization (corpus scan + gram explode + count) once
+    # more per fit — at build time, before the real query even started
+    # (round-15 finding). Same IEEE division: lit(float(total)) and
+    # cast(total as double) are the same double.
     total = full.agg(
-        (F.sum("cnt") + F.lit(smoothing) * F.lit(n_buckets)).cast("long")
-    ).first()[0]
-    return full.select(
+        (F.sum("cnt") + F.lit(smoothing) * F.lit(n_buckets))
+        .cast("long")
+        .alias("__total")
+    )
+    return full.crossJoin(F.broadcast(total)).select(
         "bucket",
         "cnt",
         (
             (F.col("cnt") + F.lit(smoothing)).cast("double")
-            / F.lit(float(total))
+            / F.col("__total").cast("double")
         ).alias("prob"),
     )
 

@@ -117,11 +117,15 @@ def temperature_mix_rates(
         .groupBy(strata_col)
         .agg(F.count(F.lit(1)).alias("__n"))
     )
-    if counts_df.limit(MAX_MIX_STRATA + 1).count() > MAX_MIX_STRATA:
+    # ONE LIMIT-bounded pull (≤ cap+1 rows ever reach the driver; the
+    # sentinel row past the cap raises) — the old count-then-collect
+    # pair executed the counts aggregation twice (round-15 finding)
+    raw = counts_df.limit(MAX_MIX_STRATA + 1).collect()
+    if len(raw) > MAX_MIX_STRATA:
         raise StrataTooLargeError(
             f"more than {MAX_MIX_STRATA} strata in {strata_col!r}"
         )
-    rows = sorted((r[strata_col], int(r["__n"])) for r in counts_df.collect())
+    rows = sorted((r[strata_col], int(r["__n"])) for r in raw)
     if not rows:
         return {}
     if temperature == 2.0:
@@ -191,11 +195,13 @@ def unimax_mix_rates(
         .groupBy(strata_col)
         .agg(F.count(F.lit(1)).alias("__n"))
     )
-    if counts_df.limit(MAX_MIX_STRATA + 1).count() > MAX_MIX_STRATA:
+    # same fused LIMIT-bounded pull as temperature_mix_rates
+    raw = counts_df.limit(MAX_MIX_STRATA + 1).collect()
+    if len(raw) > MAX_MIX_STRATA:
         raise StrataTooLargeError(
             f"more than {MAX_MIX_STRATA} strata in {strata_col!r}"
         )
-    rows = sorted((r[strata_col], int(r["__n"])) for r in counts_df.collect())
+    rows = sorted((r[strata_col], int(r["__n"])) for r in raw)
     return unimax_waterfill(dict(rows), budget_frac, epoch_cap)
 
 
@@ -495,16 +501,16 @@ def mix_to_budget(
     totals_df = toks.groupBy(source_col).agg(
         F.sum("n_tokens").alias("__tok")
     )
-    n_sources = totals_df.count()
-    if n_sources > max_sources:
+    # ONE LIMIT-bounded pull (≤ cap+1 rows; sentinel row raises) — the
+    # old count-then-collect pair ran the token aggregation (a full
+    # corpus tokenize + sum) twice (round-15 finding)
+    raw = totals_df.limit(max_sources + 1).collect()
+    if len(raw) > max_sources:
         raise ValueError(
-            f"{n_sources} sources exceed max_sources={max_sources}; "
+            f"more than max_sources={max_sources} sources; "
             "raise the cap only if the driver can hold the rate table"
         )
-    totals = {
-        r[source_col]: int(r["__tok"] or 0)
-        for r in totals_df.collect()
-    }
+    totals = {r[source_col]: int(r["__tok"] or 0) for r in raw}
     # Σw over the sources PRESENT, in sorted order (float sums are
     # order-dependent; the oracle's aggregate must see the same value
     # — with exact-binary weights any order agrees, sorted makes it

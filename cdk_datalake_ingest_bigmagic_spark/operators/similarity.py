@@ -122,15 +122,17 @@ def _broadcast_index(
 ):
     """Normalize and broadcast the embedding matrix. The index is
     (N × dims) float64 — broadcast-sized ONLY up to ``max_index_rows``,
-    enforced with a count before anything is collected; for corpora
-    above the ceiling, bucket first (ann_lsh_pairs) and index per
-    bucket."""
+    enforced by a LIMIT below the pull: at most ``max_index_rows + 1``
+    rows can ever reach the driver, and the sentinel row past the cap
+    raises. One action instead of the old count-then-collect pair —
+    each action executed the whole embedding subtree (round-15
+    finding). For corpora above the ceiling, bucket first
+    (ann_lsh_pairs) and index per bucket."""
     import numpy as np
 
-    n = df.count()
-    if n > max_index_rows:
-        raise IndexTooLargeError(n, max_index_rows)
-    pdf = df.select(id_col, vec_col).toPandas()
+    pdf = df.select(id_col, vec_col).limit(max_index_rows + 1).toPandas()
+    if len(pdf) > max_index_rows:
+        raise IndexTooLargeError(len(pdf), max_index_rows)
     ids = pdf[id_col].to_numpy()
     M = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
     norms = np.sqrt((M * M).sum(axis=1))
@@ -1004,10 +1006,15 @@ def pq_topk_batch(
     """
     import numpy as np
 
-    nq = queries_df.count()
-    if nq > max_queries:
-        raise IndexTooLargeError(nq, max_queries)
-    qrows = queries_df.select(query_id_col, query_vec_col).collect()
+    # ONE LIMIT-bounded pull (≤ cap+1 rows; sentinel raises) — the old
+    # count-then-collect pair executed the query subtree twice
+    qrows = (
+        queries_df.select(query_id_col, query_vec_col)
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(qrows) > max_queries:
+        raise IndexTooLargeError(len(qrows), max_queries)
     first = df.select(id_col, vec_col).orderBy(id_col).limit(n_codebook).collect()
     if not qrows or not first:
         return df.sparkSession.createDataFrame(
