@@ -274,6 +274,15 @@ def main() -> None:
     # the warmup pass leaves the same lingering state a timed run does
     reset_session_state(spark)
 
+    # NOTE (round 15): a per-query System.gc() before each timed pair
+    # was tried to counter session aging (dead broadcast/shuffle state
+    # pinned by uncollected weak references inflates late queries up to
+    # 2x). It helped the specific victims (ngram_repetition_card
+    # 8.0 -> 3.2 s in-bench) but the ContextCleaner storm each GC
+    # queues overlaps the NEXT timed run and cost more than it saved
+    # at the total level in both paired comparisons (129.8 -> 146.9 s
+    # and 165.5 -> 189.5 s back-to-back) — rejected. The removal-only
+    # reset_session_state sweep above is kept.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]

@@ -103,10 +103,17 @@ def train_bigram_lm(
     continuation mass.
     """
     tmp = df.select(F.monotonically_increasing_id().alias("__id"), text_col)
+    # cached: the vocabulary table is read THREE times under different
+    # projections (the totals action below, then the w1-count and
+    # w2-backoff joins in surprisal_score) — none of which Spark can
+    # stage-reuse — so the corpus tokenize + count otherwise runs 3x
+    # (round-15). Vocabulary is Heaps-law bounded, far smaller than
+    # the corpus it summarizes.
     uni = (
         _tokens(tmp, "__id", text_col)
         .groupBy(F.col("w").alias("w1"))
         .agg(F.count(F.lit(1)).alias("uni_count"))
+        .cache()
     )
     big = (
         _doc_bigrams(tmp, "__id", text_col)
