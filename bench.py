@@ -308,8 +308,26 @@ def main() -> None:
     # truncates long lines from the head, and at 79+ queries the
     # combined line outgrew it (BENCH_r08 parsed:null). The FINAL line
     # stays compact and bounded so it always parses.
-    print(json.dumps({"metric": "per_query_wall", "queries": timings,
-                      "unit": "sec", "sf": sf_val}))
+    per_query = {"metric": "per_query_wall", "queries": timings,
+                 "unit": "sec", "sf": sf_val}
+    print(json.dumps(per_query))
+    # SIDECAR file (round 16, VERDICT r15 item 1): at 93 queries the
+    # per-query line also outgrew the driver's 2,000-char tail window
+    # (PERF_r15 n_common: 0 — only the compact total line parsed), so
+    # round-over-round per-query comparison silently broke. Write the
+    # same object to bench_per_query.json next to this file; stdout
+    # stays the contract, the sidecar is the audit trail.
+    try:
+        side = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            f"bench_per_query_c{os.environ.get('SPARK_GRAFT_CPUS', 'na')}.json",
+        )
+        with open(side, "w") as fh:
+            json.dump({**per_query, "total": total,
+                       "cpus": os.environ.get("SPARK_GRAFT_CPUS")}, fh,
+                      indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout — stdout still carries everything
     print(
         json.dumps(
             {

@@ -314,7 +314,82 @@ from cdk_datalake_ingest_bigmagic_spark.queries import curation15  # noqa: E402,
 #   from hourly DECIMAL partials, one raw scan for all resolutions;
 #   oracle computes both levels independently from raw, pinning the
 #   partial re-aggregation cross-engine).
+# ROUND-16 front (optimization round 2 of 2 — NO activations, the
+# staged curation16 gates stay staged per the no-new-features rule):
+# (1) the 21-query obligation (window_math 16: the r13-green cohort
+#     at the freshness ceiling — matches the hand-projection left in
+#     the r15 comment above exactly);
+# (2) riders of this round's optimizations — every query whose plan
+#     this round restructures re-gates: corpus_clean_full (redundant
+#     post-extract filter removed — the pushed-down copy re-ran the
+#     whole extraction chain per row), ngram_rep_counts +
+#     ngram_repetition_card (window-lead grams → in-row element_at
+#     construction), the CC family (per-round join fused into the
+#     label union-aggregate) = dedup_connected_components, …_twophase,
+#     dedup_keep_list, corpus_ops_suite (leakage leg), plus
+#     dedup_methods_suite (shared tokenize prefix), events_suite /
+#     lm_surprisal_counts / url_spelling_suite / linkgraph_degree_stats
+#     (cache-scope hygiene + duplicated-filter audit riders);
+# (3) 17 r14-green pre-gates (cheapest single-scan gates first) so
+#     round 17's obligation stays flat.
 _GATE_FRONT: list[str] = [
+    # (1) the 21-query obligation (r13-green cohort at the ceiling)
+    "dedup_cross_corpus",
+    "dsir_suite",
+    "gopher_quality_card",
+    "gopher_repetition_fracs",
+    "html_block_census",
+    "html_boilerplate_profile",
+    "html_extract_main_text",
+    "multimodal_suite",
+    "paragraph_exact_core",
+    "paragraph_near_dup_pairs",
+    "paragraph_strip_rewrite",
+    "pii_financial_counts",
+    "profile_suite",
+    "quality_ensemble_card",
+    "ranking_global_order",
+    "retrieval_bm25_topk",
+    "softdedup_cluster_keep",
+    "text_bpe_encode",
+    "text_dup_run_profile",
+    "text_duplicate_intervals",
+    "tokenizer_fertility",
+    # (2) riders of this round's optimizations
+    "corpus_clean_full",
+    "ngram_rep_counts",
+    "ngram_repetition_card",
+    "dedup_connected_components",
+    "dedup_connected_components_twophase",
+    "dedup_keep_list",
+    "corpus_ops_suite",
+    "dedup_methods_suite",
+    "events_suite",
+    "lm_surprisal_counts",
+    "url_spelling_suite",
+    "linkgraph_degree_stats",
+    # (3) r14-green pre-gates (keep round 17 flat)
+    "agg_exact_quantiles",
+    "agg_pricing_summary",
+    "agg_probe_suite",
+    "agg_sketch_error_bounds",
+    "conversation_report",
+    "corpus_quality_percentile",
+    "dedup_exact",
+    "dedup_exact_rows",
+    "dsl_date_to_string_nested",
+    "fixedwidth_typed_parse",
+    "join_config_multitable",
+    "readability_scores",
+    "sentence_stats",
+    "set_ops_segments",
+    "synthetic_id",
+    "text_chunk_windows",
+    "text_pii_scrub",
+]
+
+#: the round-15 front, kept for the audit trail (not used at runtime)
+_GATE_FRONT_R15: list[str] = [
     # (1) the 2 round-15 fold-suite activations (never gated; staged +
     # pre-validated at 3 SFs in round 14, activation now explicit via
     # suites15.activate())

@@ -114,7 +114,12 @@ def main() -> None:
     for name in names:
         best = float("inf")
         for _ in range(RUNS):
-            spark.catalog.clearCache()
+            # same reset as bench.py: clearCache alone misses lingering
+            # localCheckpoint RDD blocks (round-15 session-aging
+            # finding: 3.6x inflation of iterative queries), so A/B
+            # brackets of iterative queries were exposed to the same
+            # order-dependent aging bias the bench fixed
+            bench.reset_session_state(spark)
             t0 = time.time()
             bench.force(queries[name](spark, sf_dir))
             best = min(best, time.time() - t0)
