@@ -402,6 +402,106 @@ def shingle_doc_items(
     )
 
 
+def shingles_exploded_hashed(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """:func:`shingles_exploded` extended with the MinHash poly hash:
+    (id, shingle, __ph) — one row per shingle occurrence, where
+    ``shingle`` is the word n-gram string (the Jaccard index keys on
+    ``xxhash64`` of it, as before) and ``__ph`` is the SAME 28-bit
+    md5-derived polynomial hash :func:`shingle_hash_arrays` computes,
+    evaluated here as scalar ``element_at`` arithmetic per exploded
+    position (codegen) instead of a per-document ``transform`` HOF.
+
+    Round-16 rationale: a consumer that runs the prefix-filtered pair
+    operators AND MinHash over the same corpus (dedup_methods_suite)
+    previously tokenized + hashed the corpus once per representation
+    (shingle strings for the index pass, word-md5 arrays for the
+    MinHash pass). Emitting both keys from ONE tokenize/md5 pass lets
+    :func:`shingle_doc_items_hashed` build both per-document tables in
+    the same aggregation — one full corpus pass fewer at any scale.
+    The md5 per word runs once (both hash families derive from it).
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    # materialize __w, then __wh, each behind a barrier: inlined, the
+    # per-position element_at accesses would re-run the split (resp.
+    # the md5-per-word transform) per gram — the shingle_hash_arrays
+    # lesson
+    base = barrier(
+        fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+            F.col(id_col), words.alias("__w")
+        )
+    ).filter(F.size("__w") >= n)
+    word_hashes = F.transform(
+        F.col("__w"),
+        lambda w: F.conv(F.substring(F.md5(w), 1, 7), 16, 10).cast("long"),
+    )
+    staged = barrier(
+        base.select(F.col(id_col), "__w", word_hashes.alias("__wh"))
+    )
+    idx = staged.select(
+        F.col(id_col), "__w", "__wh",
+        F.explode(F.sequence(F.lit(1), F.size("__w") - (n - 1))).alias("__i"),
+    )
+    parts: list = []
+    for k in range(n):
+        if k:
+            parts.append(F.lit(" "))
+        parts.append(F.element_at("__w", F.col("__i") + k))
+    poly = "element_at(__wh, __i)"
+    for k in range(1, n):
+        poly = (
+            f"({poly} * {WORDHASH_BASE} % {SHINGLE_MOD}"
+            f" + element_at(__wh, __i + {k}))"
+        )
+    return idx.select(
+        F.col(id_col),
+        F.concat(*parts).alias("shingle"),
+        F.expr(f"{poly} % {SHINGLE_MOD}").alias("__ph"),
+    )
+
+
+def shingle_doc_items_hashed(
+    shingle_rows: DataFrame,
+    id_col: str,
+    max_df: int | None = 1000,
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """:func:`shingle_doc_items` extended with the per-document
+    DISTINCT MinHash hash set: (id, __items, hs), from the
+    (id, shingle, __ph) relation of :func:`shingles_exploded_hashed`.
+
+    Same three full-relation shuffles as the plain index (df agg on
+    the 8-byte shingle key, re-key join, ONE set-packing groupBy) —
+    the poly hash rides the last two as one extra long per row, and
+    ``collect_set(__ph)`` lands the MinHash input in the SAME
+    aggregation that packs the Jaccard index. ``hs`` is value-equal to
+    :func:`shingle_hash_arrays`'s output (the distinct set of the same
+    per-position poly hashes; MinHash minima and the array_intersect
+    verify are order- and multiplicity-insensitive), so signatures,
+    candidates and verified pairs reproduce bit-for-bit.
+    """
+    rows = shingle_rows.select(
+        F.col(id_col), F.xxhash64("shingle").alias("__sh"), F.col("__ph")
+    )
+    dfreq = rows.groupBy("__sh").agg(
+        F.count_distinct(F.col(id_col)).alias("__df")
+    )
+    keyed = rows.join(dfreq, "__sh").withColumn(
+        "__idx",
+        (F.col("__df") <= max_df).cast("int") if max_df is not None else F.lit(1),
+    )
+    return scoped_cache(
+        keyed.groupBy(id_col).agg(
+            F.sort_array(
+                F.collect_set(F.struct("__df", F.col("__sh"), "__idx"))
+            ).alias("__items"),
+            F.collect_set("__ph").alias("hs"),
+        ),
+        scope,
+    )
+
+
 def jaccard_pairs_rows(
     shingle_rows: DataFrame,
     id_col: str,
@@ -840,6 +940,25 @@ def minhash_lsh_pairs(
     caught w.p. ≈0.99, j=0.3 pairs almost never become candidates.
     """
     arrays = scoped_cache(shingle_hash_arrays(df, id_col, text_col, n), scope)
+    return minhash_pairs_from_arrays(
+        arrays, id_col, num_bands, rows_per_band, threshold
+    )
+
+
+def minhash_pairs_from_arrays(
+    arrays: DataFrame,
+    id_col: str,
+    num_bands: int = 8,
+    rows_per_band: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """The signature → band bucket join → exact verify tail of
+    :func:`minhash_lsh_pairs`, from an already-materialized
+    (id, hs) table — for callers that share the hash arrays with
+    other operators (:func:`shingle_doc_items_hashed`) instead of
+    building them from text. ``arrays`` should be cached (or a cheap
+    projection of a cached table): both candidate-join sides and the
+    verify read it."""
     # NOT cached: the signature projection from cached arrays is pure
     # integer math — recomputing it per join side is cheaper than
     # writing 8 rows/doc through the cache

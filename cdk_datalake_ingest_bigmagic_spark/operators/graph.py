@@ -250,22 +250,41 @@ def connected_components(
         pairs_released = False
         labels = labels_ck
         for _ in range(max_iter):
-            neighbor_min = (
-                both.join(labels, both.b == labels.id)
-                .groupBy("a")
-                .agg(F.min("component").alias("nbr_min"))
+            # ROUND SHAPE (round-16 rewrite): neighbor contributions
+            # and the vertex's own label meet in ONE aggregation —
+            # union the flagged self rows under the join output and
+            # take min(component) per id (new label) alongside the
+            # self row's component (old label; exactly one self row
+            # per id, so the conditional max IS that row). The
+            # previous shape aggregated neighbor minima first and
+            # joined them back to `labels` — a second join + its
+            # exchanges per round carrying the same information this
+            # union carries for free (guide §2.4). Values are
+            # identical: min(self ∪ neighbors) = least(component,
+            # coalesce(nbr_min, component)), and changed ⟺ the min
+            # came from a strictly smaller neighbor.
+            contrib = both.join(labels, both.b == labels.id).select(
+                F.col("a").alias("id"),
+                F.col("component"),
+                F.lit(0).alias("__self"),
+            )
+            mine = labels.select(
+                "id", "component", F.lit(1).alias("__self")
             )
             # lazy cut: the convergence agg below is the round's ONE
             # job — it materializes the cached checkpoint blocks it
             # reads (reliable mode stays eager inside cut())
             updated = cut(
-                labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
-                .select(
-                    "id",
-                    F.least(
-                        F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-                    ).alias("component"),
-                    (F.coalesce(F.col("nbr_min"), F.col("component")) < F.col("component"))
+                contrib.unionByName(mine)
+                .groupBy("id")
+                .agg(
+                    F.min("component").alias("component"),
+                    (
+                        F.min("component")
+                        < F.max(
+                            F.when(F.col("__self") == 1, F.col("component"))
+                        )
+                    )
                     .cast("int")
                     .alias("changed"),
                 ),
@@ -293,7 +312,17 @@ def _large_star(e: DataFrame) -> DataFrame:
     """Large-star: each node u links every strictly-larger neighbor to
     the minimum of its closed neighborhood. Neighborhoods are
     undirected, so the input is symmetrized here (small-star's output
-    is directed child→root); one groupBy + one join per application."""
+    is directed child→root); one groupBy + one join per application.
+
+    NO trailing ``distinct`` (round-16): in the alternating loop this
+    output feeds :func:`_small_star`, whose first step re-normalizes
+    and ``distinct``s the edge set anyway — and its groupBy-min is
+    duplicate-insensitive — so large-star's own dedup exchange was a
+    full extra shuffle per round carrying zero information. Large-star
+    output may therefore contain duplicate (u, v) rows (two neighbors
+    of v sharing one minimum); every consumer contract downstream is
+    set-semantic after small-star's distinct, including the
+    convergence signature (computed on small-star output only)."""
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     m = (
         sym.groupBy("u")
@@ -305,7 +334,6 @@ def _large_star(e: DataFrame) -> DataFrame:
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 

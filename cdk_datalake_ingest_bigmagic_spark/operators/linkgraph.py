@@ -213,6 +213,13 @@ def pagerank(
         )
         n = nodes.count()  # one scalar, fixed for the whole run
         if n == 0:
+            # the count above materialized `nodes` (it no longer reads
+            # raw's blocks), and trans/linked never will — release all
+            # three so the empty-graph path doesn't leak the state the
+            # end-of-run sweep would otherwise free (round-15 ADVICE)
+            cut.release(raw)
+            cut.release(trans)
+            cut.release(linked)
             return nodes.withColumn("rank", F.lit(0.0))
         ranks = cut(nodes.withColumn("rank", F.lit(1.0 / n)), lazy=True)
         if cut.reliable:

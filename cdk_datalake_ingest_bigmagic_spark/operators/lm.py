@@ -39,6 +39,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cdk_datalake_ingest_bigmagic_spark.operators import barrier, fan_out
+from cdk_datalake_ingest_bigmagic_spark.operators.caching import (
+    CacheScope,
+    scoped_cache,
+)
 
 
 @dataclass
@@ -92,6 +96,7 @@ def train_bigram_lm(
     text_col: str,
     max_bigrams: int = 1_000_000,
     k: float = 0.5,
+    scope: CacheScope | None = None,
 ) -> BigramLM:
     """Count unigrams and (capped) bigrams over the corpus.
 
@@ -101,6 +106,11 @@ def train_bigram_lm(
     score time. Unigrams are kept in full — vocabulary grows far
     slower than bigram inventory, and the scorer needs every w1's
     continuation mass.
+
+    ``scope``: a :class:`CacheScope` to register the cached vocabulary
+    table in — a long-running driver composing many fits releases each
+    model's cache deterministically once scoring is done (the bare
+    ``.cache()`` otherwise lives for the session; round-15 ADVICE).
     """
     tmp = df.select(F.monotonically_increasing_id().alias("__id"), text_col)
     # cached: the vocabulary table is read THREE times under different
@@ -109,11 +119,11 @@ def train_bigram_lm(
     # stage-reuse — so the corpus tokenize + count otherwise runs 3x
     # (round-15). Vocabulary is Heaps-law bounded, far smaller than
     # the corpus it summarizes.
-    uni = (
+    uni = scoped_cache(
         _tokens(tmp, "__id", text_col)
         .groupBy(F.col("w").alias("w1"))
-        .agg(F.count(F.lit(1)).alias("uni_count"))
-        .cache()
+        .agg(F.count(F.lit(1)).alias("uni_count")),
+        scope,
     )
     big = (
         _doc_bigrams(tmp, "__id", text_col)

@@ -91,31 +91,33 @@ def ngram_counts(
     """Exact (doc, n, gram) occurrence counts for every requested n,
     plus the document's token-space char denominator.
 
-    Shape (round-11 rewrite, the langid2 join-tier lesson): tokens
-    posexplode to (doc, pos, token) rows, ONE window over (doc, pos)
-    carries lead(token, 1..max(n)-1), and every n-gram is a CODEGEN
-    ``concat_ws`` over those window columns — an in-row variant that
-    built per-n gram arrays with ``transform``/``slice`` lambdas ran
-    interpreted per gram and measured 4× slower at sf0.1 (21.3 s vs
-    5.3 s for the full n=2..10 sweep, value-identical). Cost: one
-    token shuffle for the window + one map-side-combined count
-    shuffle (partial aggregation collapses repeats, so distinct grams
-    travel, not occurrences — on the repetitive documents these rules
-    exist to catch, that is the whole point). ``doc_chars`` rides the
-    grouping keys (constant per document) so no join back is needed.
-    Window skew is bounded by single-document token counts — the same
-    per-doc bound every in-row operator already has.
-    """
-    from pyspark.sql import Window
+    Shape (round-16 rewrite — IN-ROW gram construction): explode a
+    position index over the materialized token array and cut every
+    n-gram as a codegen ``concat`` of ``n`` ``element_at`` slots —
+    the ``shingles_exploded``/langid2 pattern. No window: the
+    (doc, pos) hash exchange + SORT that carried the lead columns in
+    the round-11 shape disappears (that exchange moved the whole
+    token relation), so the ONLY shuffle left is the
+    map-side-combined count aggregation — distinct grams travel, not
+    occurrences, and tokens never cross the network at all. Values
+    are identical: same tokens, same joiners, same guard (position
+    ``i`` emits the n-gram iff ``i + n - 1 <= size(tokens)`` ⟺ the
+    window shape's ``lead(n-1) IS NOT NULL``); proved by exceptAll
+    in both directions at sf0.1 (0 rows) and the DuckDB oracle at
+    two SFs.
 
+    Measured at sf0.1, isolated best-of-3, full n=2..10 sweep:
+    window-lead 3.49 s → in-row 2.91 s; the full rule card
+    (``ngram_repetition``) 4.27 → 3.69 s. The r11 A/B that picked
+    the window shape tested a different in-row variant (per-n
+    ``transform``/``slice`` gram ARRAYS, which run interpreted per
+    element); the explode + scalar-``element_at`` form stays in
+    WholeStageCodegen — the same distinction that made
+    ``shingles_exploded`` 5x faster than its HOF form.
+    """
     from cdk_datalake_ingest_bigmagic_spark.operators import barrier, fan_out
 
-    # __t is referenced twice below (doc_chars + posexplode); the
-    # barrier materializes the tokenization once
-    # (the operators/__init__.py barrier() lesson). fan_out raises
-    # map-side parallelism on under-partitioned inputs — the probe
-    # showed a single-file corpus capping the tokenize/explode/window
-    # map work at its row-group count (3 tasks for 100k docs)
+    min_n = min(ns)
     base = barrier(
         fan_out(df.select(F.col(id_col), _tokens(F.col(text_col)).alias("__t")))
     ).select(
@@ -123,28 +125,35 @@ def ngram_counts(
         F.length(F.concat_ws(" ", F.col("__t"))).cast("long").alias(
             "doc_chars"
         ),
-        F.posexplode(F.col("__t")).alias("__pos", "__tok"),
+        F.col("__t"),
+        F.size("__t").alias("__sz"),
+    ).filter(F.col("__sz") >= min_n)
+    idx = base.select(
+        F.col(id_col),
+        F.col("doc_chars"),
+        F.col("__t"),
+        F.col("__sz"),
+        F.explode(
+            F.sequence(F.lit(1), F.col("__sz") - (min_n - 1))
+        ).alias("__i"),
     )
-    w = Window.partitionBy(id_col).orderBy("__pos")
-    max_n = max(ns)
-    leads = base
-    for k in range(1, max_n):
-        leads = leads.withColumn(f"__l{k}", F.lead("__tok", k).over(w))
     gram_structs = []
     for n in ns:
-        parts = [F.col("__tok")] + [F.col(f"__l{k}") for k in range(1, n)]
-        # lead(k) NULL ⟹ lead(k+1) NULL, so guarding the LAST part
-        # drops exactly the positions whose n-gram runs off the end
+        parts: list = []
+        for k in range(n):
+            if k:
+                parts.append(F.lit(" "))
+            parts.append(F.element_at("__t", F.col("__i") + k))
         gram_structs.append(
             F.when(
-                parts[-1].isNotNull(),
+                F.col("__i") + (n - 1) <= F.col("__sz"),
                 F.struct(
                     F.lit(n).alias("n"),
-                    F.concat_ws(" ", *parts).alias("gram"),
+                    F.concat(*parts).alias("gram"),
                 ),
             )
         )
-    exploded = leads.select(
+    exploded = idx.select(
         F.col(id_col),
         F.col("doc_chars"),
         F.explode(F.array(*gram_structs)).alias("__g"),

@@ -101,16 +101,23 @@ DEFAULT_MAX_INDEX_ROWS = 2_000_000
 
 
 class IndexTooLargeError(ValueError):
-    """The embedding table exceeds the broadcast-index ceiling."""
+    """The embedding table exceeds the broadcast-index ceiling.
 
-    def __init__(self, n_rows: int, max_rows: int):
+    ``exact=False`` marks a LIMIT-bounded probe: the pull stopped at
+    ``max_rows + 1`` rows, so ``n_rows`` is a lower bound ("more
+    than"), not the table's true count (the fused single-action guard
+    never learns the true count — round-15 ADVICE)."""
+
+    def __init__(self, n_rows: int, max_rows: int, exact: bool = True):
         self.n_rows = n_rows
         self.max_rows = max_rows
+        qualifier = "" if exact else "more than "
+        shown = n_rows if exact else max_rows
         super().__init__(
-            f"embedding table has {n_rows} rows, above the broadcast-index "
-            f"ceiling of {max_rows}; collecting it would risk a driver OOM. "
-            f"Use ann_lsh_pairs/ann_ivf_pairs, raise max_index_rows "
-            f"explicitly, or pass on_overflow='route'."
+            f"embedding table has {qualifier}{shown} rows, above the "
+            f"broadcast-index ceiling of {max_rows}; collecting it would "
+            f"risk a driver OOM. Use ann_lsh_pairs/ann_ivf_pairs, raise "
+            f"max_index_rows explicitly, or pass on_overflow='route'."
         )
 
 
@@ -132,7 +139,7 @@ def _broadcast_index(
 
     pdf = df.select(id_col, vec_col).limit(max_index_rows + 1).toPandas()
     if len(pdf) > max_index_rows:
-        raise IndexTooLargeError(len(pdf), max_index_rows)
+        raise IndexTooLargeError(len(pdf), max_index_rows, exact=False)
     ids = pdf[id_col].to_numpy()
     M = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
     norms = np.sqrt((M * M).sum(axis=1))
@@ -1014,7 +1021,7 @@ def pq_topk_batch(
         .collect()
     )
     if len(qrows) > max_queries:
-        raise IndexTooLargeError(len(qrows), max_queries)
+        raise IndexTooLargeError(len(qrows), max_queries, exact=False)
     first = df.select(id_col, vec_col).orderBy(id_col).limit(n_codebook).collect()
     if not qrows or not first:
         return df.sparkSession.createDataFrame(

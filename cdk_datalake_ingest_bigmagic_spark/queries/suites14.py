@@ -181,17 +181,27 @@ def _build(suite_name: str) -> None:
 
 
 def _build_dedup_methods() -> None:
-    """dedup_methods_suite, hand-composed (round-15 optimization): the
-    ngram and containment legs both run the prefix-filtered pipeline
-    over the SAME (doc, 3-gram shingle) relation, and the packed
-    per-document index (``shingle_doc_items``: df agg + re-key join +
-    set-packing groupBy — three full shuffles of the exploded
-    corpus×shingle relation) is bit-identical between them (it depends
-    only on the shingle relation and max_df, not on the threshold or
-    the prefix rule). Build it ONCE, cache it, feed both legs — the
-    generic member-per-leg composition paid the index twice. Leg
-    values are unchanged (same operators, same thresholds); the
-    minhash/simhash legs keep their registry members verbatim."""
+    """dedup_methods_suite, hand-composed (round-15 optimization,
+    extended round 16): the ngram and containment legs both run the
+    prefix-filtered pipeline over the SAME (doc, 3-gram shingle)
+    relation, and the packed per-document index (df agg + re-key join
+    + set-packing groupBy — three full shuffles of the exploded
+    corpus×shingle relation) is bit-identical between them. Round 16
+    folds the MINHASH leg into the same pass: the shared shingle
+    relation now also carries the 28-bit poly hash
+    (``shingles_exploded_hashed`` — md5 per word computed once), and
+    the index groupBy additionally packs each document's distinct
+    MinHash hash set (``shingle_doc_items_hashed``), so the minhash
+    leg reads a projection of the SAME cached table instead of
+    re-tokenizing + re-hashing the corpus in its own pass
+    (guide §2.3/§5: 3 corpus tokenize passes → 2 across the suite).
+    Leg values are unchanged — MinHash minima and the
+    ``array_intersect`` verify are order/multiplicity-insensitive, so
+    the distinct-set inputs are value-equal (oracle re-proved at two
+    SFs); the simhash leg keeps its registry member verbatim (its
+    per-token aggregation cannot share the per-shingle relation
+    without caching a corpus-sized token table — the §5 spill trade
+    rejected in round 15)."""
     cols, legs = _FOLDS["dedup_methods_suite"]
     fns = {m: QUERIES[m] for _, m, _ in legs}
     oracle = _union_sql(
@@ -203,10 +213,17 @@ def _build_dedup_methods() -> None:
         from cdk_datalake_ingest_bigmagic_spark.queries import load
 
         d = load(spark, sf_dir, "documents")
-        rows = dd.shingles_exploded(d, "doc_id", "text", n=3)
-        docs = dd.shingle_doc_items(rows, "doc_id", max_df=1000)
+        rows = dd.shingles_exploded_hashed(d, "doc_id", "text", n=3)
+        docs = dd.shingle_doc_items_hashed(rows, "doc_id", max_df=1000)
+        arrays = docs.select("doc_id", "hs")
         by_leg = {
-            "minhash": lambda: fns["dedup_minhash_lsh"](spark, sf_dir),
+            # same parameters as the retired dedup_minhash_lsh member
+            # (n=3, b=8, r=4, t=0.8) — the hash arrays come from the
+            # shared cached index table instead of a second corpus pass
+            "minhash": lambda: dd.minhash_pairs_from_arrays(
+                arrays, "doc_id", num_bands=8, rows_per_band=4,
+                threshold=0.8,
+            ),
             "simhash": lambda: fns["dedup_simhash"](spark, sf_dir),
             # same calls as the retired members, minus the second and
             # third index builds (dedup_ngram_jaccard selected the

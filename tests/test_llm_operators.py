@@ -62,6 +62,51 @@ def test_jaccard_and_minhash_agree(docs):
     assert (1, 5) in lsh
 
 
+def test_shared_hashed_index_matches_standalone_paths(docs):
+    """The round-16 shared-pass tables (shingles_exploded_hashed →
+    shingle_doc_items_hashed) must be value-equal to the standalone
+    paths they replace inside dedup_methods_suite: ``hs`` is the SAME
+    distinct poly-hash set shingle_hash_arrays builds (order-free),
+    ``__items`` is bit-identical to shingle_doc_items', and the
+    MinHash pairs derived from the shared table equal
+    minhash_lsh_pairs' output exactly."""
+    rows_h = dd.shingles_exploded_hashed(docs, "doc_id", "text", n=3)
+    docs_h = dd.shingle_doc_items_hashed(rows_h, "doc_id", max_df=1000)
+
+    # hs set equality vs the standalone array builder
+    old = {
+        r["doc_id"]: sorted(r["hs"])
+        for r in dd.shingle_hash_arrays(docs, "doc_id", "text", n=3).collect()
+    }
+    new = {r["doc_id"]: sorted(r["hs"]) for r in docs_h.collect()}
+    assert new == old
+
+    # __items equality vs the plain index
+    plain = dd.shingle_doc_items(
+        dd.shingles_exploded(docs, "doc_id", "text", n=3), "doc_id", 1000
+    )
+    a = {r["doc_id"]: r["__items"] for r in plain.collect()}
+    b = {r["doc_id"]: r["__items"] for r in docs_h.collect()}
+    assert a == b
+
+    # MinHash pairs from the shared table == the standalone pipeline
+    shared_pairs = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dd.minhash_pairs_from_arrays(
+            docs_h.select("doc_id", "hs"), "doc_id", 8, 4, 0.5
+        ).collect()
+    }
+    standalone = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dd.minhash_lsh_pairs(
+            docs, "doc_id", "text", n=3, num_bands=8, threshold=0.5
+        ).collect()
+    }
+    assert shared_pairs == standalone
+    docs_h.unpersist()
+    plain.unpersist()
+
+
 def test_simhash_exact_dup_distance_zero(docs):
     sigs = {r["doc_id"]: r["simhash"] for r in
             dd.simhash_signatures(docs, "doc_id", "text").collect()}
