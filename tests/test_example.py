@@ -7,19 +7,32 @@ import json
 import os
 import subprocess
 import sys
+import tempfile
+
+import pytest
 
 
-def test_curate_crawl_example(tmp_path):
+@pytest.fixture(scope="module")
+def crawl_record():
+    """curate_crawl.py run ONCE per module: two tests assert disjoint
+    fields of the same record, and each subprocess boots its own JVM
+    (~60 s) — running it twice doubled the cost without adding any
+    coverage (round-16 suite-wall-time work, VERDICT r15 item 1)."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out = subprocess.run(
-        [sys.executable, f"{repo}/examples/curate_crawl.py", str(tmp_path)],
-        capture_output=True,
-        text=True,
-        timeout=240,
-        cwd=repo,
-    )
-    assert out.returncode == 0, out.stderr[-2000:]
-    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    with tempfile.TemporaryDirectory(prefix="crawl_example_") as tmp:
+        out = subprocess.run(
+            [sys.executable, f"{repo}/examples/curate_crawl.py", tmp],
+            capture_output=True,
+            text=True,
+            timeout=240,
+            cwd=repo,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        yield json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_curate_crawl_example(crawl_record):
+    rec = crawl_record
     # the spam page was domain-blocked; both real pages survive the
     # full pipeline into the training manifest
     assert rec["steps"]["clean"] == 2
@@ -46,14 +59,8 @@ def test_prepare_sft_example(tmp_path):
     assert rec["spans_nonempty"] == 2
 
 
-def test_crawl_example_datasheet_fields(tmp_path):
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out = subprocess.run(
-        [sys.executable, f"{repo}/examples/curate_crawl.py", str(tmp_path)],
-        capture_output=True, text=True, timeout=240, cwd=repo,
-    )
-    assert out.returncode == 0, out.stderr[-2000:]
-    rec = json.loads(out.stdout.strip().splitlines()[-1])
+def test_crawl_example_datasheet_fields(crawl_record):
+    rec = crawl_record
     assert rec["datasheet_docs"] == rec["steps"]["clean"]
     assert rec["datasheet_sources"] >= 1
 

@@ -57,7 +57,10 @@ def test_all_56_tables_replay(spark):
     string — the reference applies no cast there either,
     light_transform.py:721)."""
     workdir = tempfile.mkdtemp(prefix="cfg_replay_test_")
-    out = run(spark, n_rows=300, workdir=workdir)
+    # workers=8: the 56 per-table chains are independent and driver
+    # round-trip-bound at 300 rows — overlapping them cut this test
+    # from ~200 s to ~50 s without changing any assertion input
+    out = run(spark, n_rows=300, workdir=workdir, workers=8)
     s = out["summary"]
     assert s["tables_ran"] == 56
     assert s["failures"] == []

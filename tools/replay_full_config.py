@@ -927,7 +927,13 @@ def run_lifecycle(
     return {"summary": summary, "tables": reports}
 
 
-def run(spark, n_rows: int, workdir: str, limit: int | None = None) -> dict:
+def run(
+    spark,
+    n_rows: int,
+    workdir: str,
+    limit: int | None = None,
+    workers: int = 1,
+) -> dict:
     import duckdb
 
     from cdk_datalake_ingest_bigmagic_spark.config.loader import load_catalog
@@ -943,20 +949,28 @@ def run(spark, n_rows: int, workdir: str, limit: int | None = None) -> dict:
     spark.conf.set(
         "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
     )
-    duck = duckdb.connect()
     tables = [t for t in cat.tables.values() if t.is_active]
     if limit:
         tables = tables[:limit]
-    reports, t0 = [], time.time()
-    for tc in tables:
+    t0 = time.time()
+
+    # per-thread DuckDB connections: a connection is not safe for
+    # concurrent queries, and each table runs only 1-2 tiny oracle
+    # counts on it
+    import threading
+
+    tls = threading.local()
+
+    def _duck():
+        if not hasattr(tls, "duck"):
+            tls.duck = duckdb.connect()
+        return tls.duck
+
+    def _one(tc):
         specs = cat.columns_for(tc.stage_table_name)
         if not specs:
-            reports.append(
-                {"table": tc.stage_table_name, "skipped": "no column specs"}
-            )
-            continue
-        r = replay_table(spark, duck, tc, specs, n_rows, workdir)
-        reports.append(r)
+            return {"table": tc.stage_table_name, "skipped": "no column specs"}
+        r = replay_table(spark, _duck(), tc, specs, n_rows, workdir)
         status = "OK " if r["rows_match"] and r["schema_match"] and not r[
             "quarantined_columns"
         ] else "FAIL"
@@ -965,6 +979,20 @@ def run(spark, n_rows: int, workdir: str, limit: int | None = None) -> dict:
             f" cols {r['n_specs']:>3} [{r['secs']}s]",
             flush=True,
         )
+        return r
+
+    if workers > 1:
+        # each table is an independent write→read→stage→count chain
+        # under its own workdir subtree; overlapping a few of them
+        # back-fills the tail of each table's tiny Spark jobs
+        # (optimization-guide §2.6) — the 56-table replay is driver
+        # round-trip-bound, not executor-bound, at test row counts
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            reports = list(pool.map(_one, tables))
+    else:
+        reports = [_one(tc) for tc in tables]
     ran = [r for r in reports if "skipped" not in r]
     summary = {
         "tables_ran": len(ran),
