@@ -162,12 +162,18 @@ def ensemble_sweep(
     ``precision``/``recall``/``f1`` are each ONE division of exact
     longs (``f1 = 2*tp / (2*tp + fp + fn)``); empty denominators give
     NULL, the repo's degradation policy. NULL scores/labels are
-    excluded up front (the threshold_sweep rationale)."""
+    excluded — IMPLICITLY, by the aggregation conditions (round 16):
+    a NULL score or label makes every ``pred``/``y`` conjunction NULL
+    or false, so the row lands in none of tp/fp/fn/tn — identical
+    counts to the explicit ``where`` this replaces. The explicit
+    filter's ``isnotnull(score)`` pushed BELOW the caller's score
+    projection and duplicated the whole fitted CASE ladder per row
+    (the guide-§4.4 duplication pathology; see
+    plans/r16/quality_ensemble_card_before.txt node (80), a 6 KB
+    pushed condition repeating the 3-signal calibration ladder)."""
     if not thresholds:
         raise ValueError("thresholds must be non-empty")
-    rows = held.where(
-        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
-    ).select(
+    rows = held.select(
         F.col(score_col).alias("__sc"),
         F.col(label_col).cast("int").alias("__y"),
     )

@@ -222,6 +222,7 @@ def connected_components(
     job. When None (default), fast unreplicated ``localCheckpoint``.
     """
     cut = _lineage_cutter(edges, checkpoint_dir)
+    both_cache: DataFrame | None = None
     try:
         # materialize the edge list ONCE before symmetrizing: the union
         # references `edges` twice, and without this checkpoint the whole
@@ -229,13 +230,27 @@ def connected_components(
         # recomputed per branch
         pairs = cut(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
         both = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        # lazy cuts: round 0's convergence agg materializes `both` and
-        # the initial labels in the SAME job (their plans above the
-        # pairs checkpoint are one distinct each — recomputing a branch
-        # inside one job is cheaper than an eager job per table).
-        # Reliable mode stays eager inside cut(), so the release(pairs)
-        # below never outruns a durable copy of `both`.
-        both = cut(both.distinct(), lazy=True)
+        if not cut.reliable:
+            # JOIN-ALIGNED EDGE CACHE (round 16, guide §2.4): every
+            # round joins `both` on b — a localCheckpoint forgets its
+            # partitioning (Scan ExistingRDD), so each round re-shuffled
+            # the WHOLE edge relation by b. Establish hash(b) ONCE with
+            # an explicit repartition (the (a, b) distinct then needs no
+            # exchange of its own: same b ⇒ same partition satisfies its
+            # clustering requirement) and persist THAT — a cached plan
+            # keeps its output partitioning, so every round's join
+            # shuffles only the label table (V rows), never the edges
+            # (E rows). Storage cost is the same blocks the checkpoint
+            # held; lineage above the cache is one union over the pairs
+            # checkpoint, so no per-round plan growth either.
+            both = both.repartition("b").distinct().cache()
+            both_cache = both
+        else:
+            # reliable mode keeps the durable checkpoint: state must
+            # survive executor loss, and a reliable checkpoint read-back
+            # cannot carry partitioning anyway — the per-round edge
+            # exchange is the price of the durability contract
+            both = cut(both.distinct(), lazy=True)
         labels_ck = cut(
             both.select(F.col("a").alias("id"))
             .distinct()
@@ -298,11 +313,21 @@ def connected_components(
             labels_ck = updated
             labels = updated.drop("changed")
             if n_changed == 0:
-                cut.release(both)  # result reads only its own checkpoint
+                # result reads only its own checkpoint: free the edge
+                # relation (cache in local mode, checkpoint otherwise)
+                if both_cache is not None:
+                    both_cache.unpersist(False)
+                else:
+                    cut.release(both)
                 return labels
         raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
     except BaseException:
         cut.destroy()  # no result escapes a failed run — reclaim it all
+        if both_cache is not None:
+            try:
+                both_cache.unpersist(False)
+            except Exception:
+                pass
         raise
     finally:
         cut.restore_dir()
@@ -322,8 +347,17 @@ def _large_star(e: DataFrame) -> DataFrame:
     output may therefore contain duplicate (u, v) rows (two neighbors
     of v sharing one minimum); every consumer contract downstream is
     set-semantic after small-star's distinct, including the
-    convergence signature (computed on small-star output only)."""
-    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    convergence signature (computed on small-star output only).
+
+    ONE exchange per application (round-16): ``repartition("u")``
+    establishes hash(u) once; the neighborhood-min aggregation needs
+    ClusteredDistribution(u) (satisfied) and the m-join's two children
+    both derive from that same exchange (satisfied on both sides, and
+    the shuffle stage is reused), so neither adds an exchange — the
+    previous shape shuffled ``sym`` twice per round (guide §2.4)."""
+    sym = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).repartition("u")
     m = (
         sym.groupBy("u")
         .agg(F.min("v").alias("nbr_min"))
@@ -339,10 +373,19 @@ def _large_star(e: DataFrame) -> DataFrame:
 
 def _small_star(e: DataFrame) -> DataFrame:
     """Small-star: orient edges larger→smaller, then link each node's
-    smaller-or-equal neighbors (and itself) to the minimum."""
+    smaller-or-equal neighbors (and itself) to the minimum.
+
+    TWO exchanges per application (round-16; was four): hash(u) is
+    established once by ``repartition("u")``; the (u, v) ``distinct``
+    (ClusteredDistribution(u, v) — satisfied, same u ⇒ same
+    partition), the min aggregation (ClusteredDistribution(u)), and
+    the m-join (both children derive from the same reused shuffle
+    stage) then all run without further exchanges. Only the final
+    output ``distinct`` — whose rows are re-keyed to the CHILD id, a
+    different key — pays its own exchange (guide §2.4)."""
     directed = e.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-    ).distinct()
+    ).repartition("u").distinct()
     m = (
         directed.groupBy("u")
         .agg(F.min("v").alias("m"))

@@ -114,12 +114,43 @@ def ngram_counts(
     element); the explode + scalar-``element_at`` form stays in
     WholeStageCodegen — the same distinction that made
     ``shingles_exploded`` 5x faster than its HOF form.
+
+    The hash(id) repartition of the RAW (id, text) rows below is the
+    scale-critical piece: it spreads the tokenize/gram work across
+    every core (what ``fan_out`` did here before) AND establishes the
+    partitioning that the count aggregation's clustering requirement
+    (id ⊆ its keys) is satisfied by — so the ~(Σn)-per-token gram
+    rows NEVER cross the network (the window shape got the same
+    no-gram-shuffle property from the window's exchange; a naive
+    in-row form without the repartition would shuffle every distinct
+    gram row to the count aggregation, ~9x the corpus's token bytes
+    at n=2..10). Net shuffle profile: ONE exchange of raw text
+    (smaller than the window shape's token rows, and without its
+    sort), then everything through the per-document card aggregates
+    stays partition-local. Skew bound: a single document's tokens —
+    identical to the window shape's partition key.
     """
-    from cdk_datalake_ingest_bigmagic_spark.operators import barrier, fan_out
+    from cdk_datalake_ingest_bigmagic_spark.operators import barrier
 
     min_n = min(ns)
+    # explicit partition count: an unpinned repartition(col) is
+    # AQE-coalesced to the data's byte size, which at bench SFs means
+    # ONE task doing every document's tokenize+gram work (measured
+    # 13.4 s vs 2.9 s for the card). Scale-adaptive, not a constant:
+    # the max() keeps the scan's own split count when the input is
+    # already well-partitioned (100 TB → thousands of splits) and
+    # lifts under-split inputs to the session's core count — the same
+    # rule operators.fan_out applies, with a hash(id) key instead of
+    # round-robin so the aggregation clustering below holds.
+    n_parts = max(
+        df.sparkSession.sparkContext.defaultParallelism,
+        df.rdd.getNumPartitions(),
+    )
+    spread = df.select(F.col(id_col), F.col(text_col)).repartition(
+        n_parts, F.col(id_col)
+    )
     base = barrier(
-        fan_out(df.select(F.col(id_col), _tokens(F.col(text_col)).alias("__t")))
+        spread.select(F.col(id_col), _tokens(F.col(text_col)).alias("__t"))
     ).select(
         F.col(id_col),
         F.length(F.concat_ws(" ", F.col("__t"))).cast("long").alias(
