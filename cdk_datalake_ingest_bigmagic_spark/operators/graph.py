@@ -141,6 +141,26 @@ class _LineageCutter:
         self._dirs[id(out)] = (out, self._list_rdd_dirs() - before)
         return out
 
+    def persisted_bytes(self, df: DataFrame) -> int | None:
+        """Total bytes (memory + disk) the local-mode checkpoint blocks
+        of ``df`` occupy, from the context's RDD storage info — the
+        cheapest honest size signal for partition-count decisions (the
+        checkpoint is already materialized; no extra job). None when
+        unknown (reliable mode, or the blocks aren't reported yet)."""
+        if self.reliable:
+            return None
+        _, ids = self._local.get(id(df), (None, set()))
+        if not ids:
+            return None
+        try:
+            total = 0
+            for info in self._sc._jsc.sc().getRDDStorageInfo():
+                if int(info.id()) in ids:
+                    total += int(info.memSize()) + int(info.diskSize())
+            return total
+        except Exception:
+            return None
+
     def release(self, df: DataFrame) -> None:
         """Free ``df``'s checkpoint state: unpersist its localCheckpoint
         blocks (local mode — reference-tracked cleanup otherwise waits
@@ -243,7 +263,23 @@ def connected_components(
             # (E rows). Storage cost is the same blocks the checkpoint
             # held; lineage above the cache is one union over the pairs
             # checkpoint, so no per-round plan growth either.
-            both = both.repartition("b").distinct().cache()
+            # Partition count: sized from the materialized edge list's
+            # ACTUAL bytes (the pairs checkpoint is already on the
+            # block manager — no extra job), targeting ~32 MB per
+            # partition, capped by the checkpoint's own partition
+            # count. AQE cannot re-coalesce a cached plan and every
+            # round's label exchange must MATCH this count, so an
+            # oversized constant (shuffle.partitions) schedules
+            # rounds × N near-empty tasks on small graphs (measured:
+            # +60% tasks per invocation at sf0.1), while a byte-sized
+            # count gives 1 task locally and thousands at 100 TB.
+            pb = cut.persisted_bytes(pairs)
+            cap = max(1, pairs.rdd.getNumPartitions())
+            n_parts = (
+                cap if pb is None
+                else max(1, min(cap, (2 * pb) // (32 << 20) + 1))
+            )
+            both = both.repartition(n_parts, "b").distinct().cache()
             both_cache = both
         else:
             # reliable mode keeps the durable checkpoint: state must
